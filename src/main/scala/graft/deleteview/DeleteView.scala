@@ -1,0 +1,133 @@
+package graft.deleteview
+
+import graft.format._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's core capability, Spark-native: given a versioned COW table
+  * and a commit timestamp `T`, reconstruct the full rows that commit `T`
+  * deleted and serve them as a DataFrame
+  * (ref: DeleteSupport.java:89-96, HudiDeleteHandle.java:61-75).
+  *
+  * Semantics = per-file-group LEFT ANTI JOIN on record key, projected to the
+  * full old-row payload, with `_hoodie_commit_time` restamped to `T`
+  * (ref: HudiDeleteHandle.java:70-74). Because record keys are table-unique
+  * (our writer's guarantee, matching Hudi's), a single global anti-join over
+  * the unioned old/new path sets equals the per-group union of anti-joins
+  * (SURVEY.md §7.3) — so the whole computation is ONE declarative plan that
+  * Catalyst turns into a spillable broadcast/shuffled-hash anti-join, instead
+  * of the reference's per-file in-memory HashSet (which OOMs on file groups
+  * larger than task memory, ref: HudiDeleteHandle.java:21, 75).
+  *
+  * The result is materialized once under `<basePath>/.delete/<T>/` and
+  * validated against the commit's `totalRecordsDeleted`; later queries serve
+  * the cache after a metadata-only row-count check
+  * (ref: DeleteView.java:165-190, DeleteSupport.java:89-96). A stale or
+  * partial cache (count mismatch) triggers recompute — self-healing.
+  *
+  * Scale notes (100 TB): planning is O(#touched file groups) driver metadata.
+  * Execution reads only the file groups whose write stats say
+  * `prevCommit != null && numDeletes > 0` (metadata-driven pruning,
+  * ref: DeleteView.java:98-104), projects only the key column on the probe
+  * side (Parquet column pruning), and shuffles at most the touched groups'
+  * rows. Parallelism comes from Parquet splits, not 1-task-per-file-pair.
+  */
+final class DeleteView(spark: SparkSession, basePath: String, ts: String) {
+
+  private val conf = spark.sessionState.newHadoopConf()
+  private val base = new Path(basePath)
+  private val fs = base.getFileSystem(conf)
+  private val timeline = Timeline(conf, basePath)
+
+  // Instant resolution: completed instant with timestamp == ts must exist
+  // (ref: DeleteView.java:51-56 — Optional.get throws on absence).
+  require(timeline.instantAt(ts).isDefined,
+    s"no completed instant at ts=$ts for table $basePath")
+
+  private lazy val meta: CommitMetadata = timeline.metadata(ts)
+
+  /** Materialization path `<base>/.delete/<T>/`
+    * (ref: DeleteView.java:165-172). */
+  val cachePath: String = s"$basePath/.delete/$ts"
+
+  /** Candidate file groups containing deletions: stats with a previous slice
+    * and a positive delete count (ref predicate: DeleteView.java:98-104). */
+  private[graft] def deleteStats: Seq[(String, WriteStat)] =
+    meta.allStats.filter { case (_, s) =>
+      s.prevCommit.isDefined && s.numDeletes > 0
+    }
+
+  /** (old slice path, new slice path?) per touched file group. The previous
+    * slice is resolved by fileId from the prevCommit's metadata — missing
+    * resolution is an error, as in the reference
+    * (ref: DeleteView.java:116-126, 132-142). */
+  private[graft] def slicePairs: Seq[(String, Option[String])] =
+    deleteStats.map { case (_, s) =>
+      val prevTs = s.prevCommit.get
+      val prev = timeline.metadata(prevTs).statByFileId(s.fileId).getOrElse {
+        throw new IllegalStateException(
+          s"file group ${s.fileId}: no write stat in prevCommit=$prevTs")
+      }._2
+      val oldRel = prev.path.getOrElse(throw new IllegalStateException(
+        s"file group ${s.fileId}: prevCommit=$prevTs wrote no file"))
+      (s"$basePath/$oldRel", s.path.map(p => s"$basePath/$p"))
+    }
+
+  /** Build the delete-view plan (no materialization). */
+  private[graft] def plan(): DataFrame = {
+    val pairs = slicePairs
+    val oldPaths = pairs.map(_._1)
+    val newPaths = pairs.flatMap(_._2)
+    val old = spark.read.parquet(oldPaths: _*)
+    val deleted =
+      if (newPaths.isEmpty) old // every touched group was fully emptied
+      else {
+        // Probe side projects ONLY the key column → Parquet column pruning;
+        // Catalyst/AQE picks broadcast vs shuffled-hash anti-join and can
+        // spill — strictly dominates the reference's in-memory HashSet.
+        val newKeys = spark.read.parquet(newPaths: _*)
+          .select(MetaCols.RecordKey)
+        old.join(newKeys, Seq(MetaCols.RecordKey), "left_anti")
+      }
+    // Restamp the deleting commit's timestamp (ref: HudiDeleteHandle.java:73-74)
+    deleted.withColumn(MetaCols.CommitTime, lit(ts))
+      // keep the canonical column order (meta prefix, then payload)
+      .select(old.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Cache probe: dir exists, non-empty, and row count equals the commit's
+    * totalRecordsDeleted (metadata-only count — Spark answers from Parquet
+    * footers). Ref: checkDeleteFileIsPresent, DeleteView.java:174-190. */
+  private[graft] def cacheValid(): Boolean = {
+    val p = new Path(cachePath)
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")) &&
+      spark.read.parquet(cachePath).count() == meta.totalRecordsDeleted
+  }
+
+  /** Materialize (if needed) and serve the delete view
+    * (ref: getDeleteDataset, DeleteSupport.java:89-96). */
+  def toDF(): DataFrame = {
+    if (meta.totalRecordsDeleted == 0) {
+      // Commit deleted nothing: empty view with the table schema.
+      val slices = timeline.latestSlices(Some(ts))
+      val anyPath = slices.values.flatMap(_.relPath).headOption
+        .map(rp => s"$basePath/$rp")
+        .getOrElse(throw new IllegalStateException(s"empty table $basePath"))
+      return spark.read.parquet(anyPath).limit(0)
+    }
+    if (!cacheValid()) {
+      plan().write.mode(SaveMode.Overwrite).parquet(cachePath)
+      val n = spark.read.parquet(cachePath).count()
+      require(n == meta.totalRecordsDeleted,
+        s"delete view integrity: wrote $n rows, commit says ${meta.totalRecordsDeleted}")
+    }
+    spark.read.parquet(cachePath)
+  }
+}
+
+object DeleteView {
+  def apply(spark: SparkSession, basePath: String, ts: String): DeleteView =
+    new DeleteView(spark, basePath, ts)
+}

@@ -1,0 +1,64 @@
+package graft.format
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** JSON (de)serialization of commit metadata, shaped after Hudi's commit file
+  * layout (`partitionToWriteStats` map + aggregate counters) which the
+  * reference decodes via `HoodieCommitMetadata.fromBytes`
+  * (ref: DeleteView.java:85-88, 205-212). Uses Jackson's tree API (already on
+  * the Spark classpath) — driver-side metadata only, never per-row.
+  */
+object JsonCodec {
+  private val mapper = new ObjectMapper()
+
+  def toJson(m: CommitMetadata): String = {
+    val root = mapper.createObjectNode()
+    val parts = root.putObject("partitionToWriteStats")
+    m.partitionToWriteStats.toSeq.sortBy(_._1).foreach { case (p, stats) =>
+      val arr = parts.putArray(p)
+      stats.foreach { s =>
+        val n = arr.addObject()
+        n.put("fileId", s.fileId)
+        s.path.fold[Unit](n.putNull("path"))(v => n.put("path", v))
+        s.prevCommit.fold[Unit](n.putNull("prevCommit"))(v => n.put("prevCommit", v))
+        n.put("numWrites", s.numWrites)
+        n.put("numDeletes", s.numDeletes)
+        n.put("numUpdateWrites", s.numUpdateWrites)
+        n.put("numInserts", s.numInserts)
+      }
+    }
+    root.put("operationType", m.operationType)
+    root.put("totalRecordsDeleted", m.totalRecordsDeleted)
+    root.put("totalRecordsWritten", m.totalRecordsWritten)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def fromJson(json: String): CommitMetadata = {
+    val root = mapper.readTree(json)
+    def optStr(n: JsonNode, f: String): Option[String] = {
+      val v = n.get(f)
+      if (v == null || v.isNull) None else Some(v.asText())
+    }
+    val parts = root.get("partitionToWriteStats").asInstanceOf[ObjectNode]
+    val m = parts.fields().asScala.map { e =>
+      val stats = e.getValue.asInstanceOf[ArrayNode].elements().asScala.map { n =>
+        WriteStat(
+          fileId = n.get("fileId").asText(),
+          path = optStr(n, "path"),
+          prevCommit = optStr(n, "prevCommit"),
+          numWrites = n.get("numWrites").asLong(),
+          numDeletes = n.get("numDeletes").asLong(),
+          numUpdateWrites = n.get("numUpdateWrites").asLong(),
+          numInserts = n.get("numInserts").asLong())
+      }.toSeq
+      e.getKey -> stats
+    }.toMap
+    CommitMetadata(
+      partitionToWriteStats = m,
+      operationType = root.get("operationType").asText(),
+      totalRecordsDeleted = root.get("totalRecordsDeleted").asLong(),
+      totalRecordsWritten = root.get("totalRecordsWritten").asLong())
+  }
+}

@@ -1,0 +1,69 @@
+package graft.format
+
+/** A completed (or in-flight) action on the timeline.
+  * Ref: the reference enumerates `HoodieInstant(timestamp, action, state)`
+  * via the timeline (DeleteView.java:51-55, 196-204).
+  */
+final case class Instant(ts: String, action: String, state: String) {
+  def isCompleted: Boolean = state == Instant.Completed
+}
+
+object Instant {
+  val Completed = "COMPLETED"
+  val Inflight  = "INFLIGHT"
+  val CommitAction = "commit"
+}
+
+/** Per-written-file statistics recorded in a commit's metadata.
+  * Ref: HoodieWriteStat — the reference consumes getPrevCommit/getNumDeletes/
+  * getFileId/getPath (DeleteView.java:100, 116-119, 135, 157-158).
+  *
+  * @param fileId     stable file-group id (survives rewrites)
+  * @param path       table-relative path of the written file slice; None when
+  *                   a rewrite left the group empty (no file written)
+  * @param prevCommit timestamp of the slice this write replaced; None for the
+  *                   group's first slice
+  * @param numWrites  rows in the written file
+  * @param numDeletes record keys removed relative to the previous slice
+  * @param numUpdateWrites rows rewritten with changed payload
+  * @param numInserts brand-new record keys
+  */
+final case class WriteStat(
+    fileId: String,
+    path: Option[String],
+    prevCommit: Option[String],
+    numWrites: Long,
+    numDeletes: Long,
+    numUpdateWrites: Long,
+    numInserts: Long)
+
+/** Decoded commit file. Ref: HoodieCommitMetadata — the reference consumes
+  * getPartitionToWriteStats and getTotalRecordsDeleted
+  * (DeleteView.java:85-88, 98, 133, 186).
+  */
+final case class CommitMetadata(
+    partitionToWriteStats: Map[String, Seq[WriteStat]],
+    operationType: String,
+    totalRecordsDeleted: Long,
+    totalRecordsWritten: Long) {
+
+  /** All stats, flattened with their partition path. */
+  def allStats: Seq[(String, WriteStat)] =
+    partitionToWriteStats.toSeq.sortBy(_._1).flatMap { case (p, ss) =>
+      ss.map(p -> _)
+    }
+
+  /** Point lookup by fileId (ref: findHoodieWriteStat,
+    * DeleteView.java:132-142). */
+  def statByFileId(fileId: String): Option[(String, WriteStat)] =
+    allStats.find(_._2.fileId == fileId)
+}
+
+/** One file slice of a file group: the concrete parquet file written for
+  * `fileId` by commit `commitTs` under `partitionPath`.
+  */
+final case class FileSlice(
+    partitionPath: String,
+    fileId: String,
+    commitTs: String,
+    relPath: Option[String])

@@ -1,0 +1,256 @@
+package graft.write
+
+import graft.format._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Native Copy-On-Write table writer.
+  *
+  * Creates Hudi-shaped versioned tables: parquet file slices named
+  * `<fileId>_<commitTs>.parquet` under partition directories, plus a
+  * `.hoodie/<ts>.commit` JSON per commit carrying per-file write stats
+  * (fileId, path, prevCommit, numDeletes — exactly the fields the reference's
+  * planner consumes, ref: DeleteView.java:98-104, 116-126, 132-142).
+  *
+  * Layout and semantics follow SURVEY.md §1.1/§7.2. Record keys are kept
+  * table-unique (Hudi's guarantee) so the delete view's global anti-join is
+  * equivalent to the per-file-group union (SURVEY.md §7.3).
+  *
+  * Scale notes (100 TB): the data path is one distributed job per commit —
+  * a hash `repartition` on (partition, fileId) followed by a partitioned
+  * parquet write; per-group row counts come from a map-side-combined
+  * `groupBy(...).count()` (metadata-sized result). Only file *names* and the
+  * commit JSON are handled on the driver, which is O(#touched file groups) —
+  * the same metadata scale Hudi itself plans at. No data ever moves through
+  * the driver.
+  *
+  * @param numBuckets file groups per partition (deterministic bucketing of
+  *                   record keys via xxhash64)
+  */
+final class CowWriter(
+    spark: SparkSession,
+    basePath: String,
+    numBuckets: Int) {
+
+  import CowWriter._
+
+  private val conf = spark.sessionState.newHadoopConf()
+  private val fs: FileSystem = new Path(basePath).getFileSystem(conf)
+  val timeline: Timeline = Timeline(conf, basePath)
+
+  /** Deterministic file-group id for a record: `<partition>-<bucket>`. */
+  private def fileIdCol: Column =
+    concat(col(MetaCols.PartitionPath), lit("-"),
+      pmod(xxhash64(col(MetaCols.RecordKey)), lit(numBuckets)).cast("string"))
+
+  /** Stamp the five meta columns onto payload rows for commit `ts`. */
+  private def withMeta(df: DataFrame, keyCol: Column, partCol: Column,
+      ts: String): DataFrame = {
+    val payloadCols = df.columns.toSeq
+    df.withColumn(MetaCols.RecordKey, keyCol.cast("string"))
+      .withColumn(MetaCols.PartitionPath, partCol.cast("string"))
+      .withColumn(MetaCols.CommitTime, lit(ts))
+      // Deterministic per-key seqno (monotonically_increasing_id would be
+      // partition-layout-dependent, breaking rebuild determinism).
+      .withColumn(MetaCols.CommitSeqno,
+        concat(lit(ts), lit("_"), xxhash64(col(MetaCols.RecordKey)).cast("string")))
+      .withColumn(FidCol, fileIdCol)
+      .withColumn(MetaCols.FileName,
+        concat(col(FidCol), lit("_"), lit(ts), lit(".parquet")))
+      .select((MetaCols.all.map(col) ++ payloadCols.map(col) :+ col(FidCol)): _*)
+  }
+
+  /** First commit: bulk insert `df` as the table's initial file slices. */
+  def insert(df: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit = {
+    require(timeline.completedInstants().isEmpty,
+      s"insert() creates a table; $basePath already has commits")
+    val data = withMeta(df, keyCol, partCol, ts)
+    val written = writeSlices(data, ts)
+    // NB: .toSeq before .map — mapping the Map directly would collapse
+    // same-partition stats onto one key.
+    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
+      part -> WriteStat(fid, Some(relPath), prevCommit = None,
+        numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = n)
+    }
+    saveCommit(ts, stats, totalDeleted = 0, op = "INSERT")
+  }
+
+  /** Upsert + delete in one commit (COW: affected file groups are fully
+    * rewritten as new slices).
+    *
+    * @param updates full payload rows to insert-or-update (same schema as the
+    *                table payload); may be empty
+    * @param deletes payload rows identifying records to delete (only key +
+    *                partition derivation matter); may be empty
+    */
+  def commit(updates: Option[DataFrame], deletes: Option[DataFrame],
+      keyCol: Column, partCol: Column, ts: String): Unit = {
+    require(timeline.completedInstants().nonEmpty,
+      s"commit() needs an existing table at $basePath; call insert() first")
+
+    val up = updates.map(withMeta(_, keyCol, partCol, ts))
+    val del = deletes.map(withMeta(_, keyCol, partCol, ts)
+      .select(col(MetaCols.RecordKey), col(MetaCols.PartitionPath), col(FidCol)))
+
+    // Affected file groups — metadata-sized driver list (same scale Hudi
+    // plans at); the data itself never reaches the driver.
+    val touched: Seq[(String, String)] =
+      (up.map(_.select(col(MetaCols.PartitionPath), col(FidCol)))
+        .toSeq ++ del.map(_.select(col(MetaCols.PartitionPath), col(FidCol))))
+        .reduceOption(_ unionByName _)
+        .map(_.distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+        .getOrElse(Seq.empty)
+    require(touched.nonEmpty, "empty commit: no updates and no deletes")
+
+    val slices = timeline.latestSlices(None)
+    val prevByFid: Map[String, FileSlice] =
+      touched.flatMap { case (_, fid) => slices.get(fid).map(fid -> _) }.toMap
+    val oldPaths = prevByFid.values.flatMap(_.relPath)
+      .map(rp => s"$basePath/$rp").toSeq
+
+    val old = if (oldPaths.nonEmpty) Some(spark.read.parquet(oldPaths: _*))
+      else None
+
+    // Keys being replaced or removed in this commit.
+    val changeKeys = (up.map(_.select(MetaCols.RecordKey)).toSeq ++
+      del.map(_.select(MetaCols.RecordKey))).reduce(_ unionByName _).distinct()
+
+    // Survivors keep their original _hoodie_commit_time/_seqno (COW
+    // semantics: unchanged rows are carried over), but move to the new file.
+    val survivors = old.map { o =>
+      o.join(changeKeys, Seq(MetaCols.RecordKey), "left_anti")
+        .withColumn(FidCol, fileIdCol)
+        .withColumn(MetaCols.FileName,
+          concat(col(FidCol), lit("_"), lit(ts), lit(".parquet")))
+    }
+
+    val newData = (survivors.toSeq ++ up.toSeq)
+      .reduce(_ unionByName _)
+
+    val written = writeSlices(newData, ts)
+
+    // numDeletes per group: delete keys actually present in the old slices
+    // (ref invariant: totalRecordsDeleted must be exact, DeleteView.java:186).
+    val deletedPerFid: Map[String, Long] = (old, del) match {
+      case (Some(o), Some(d)) =>
+        o.join(d.select(MetaCols.RecordKey), Seq(MetaCols.RecordKey), "left_semi")
+          .withColumn(FidCol, fileIdCol)
+          .groupBy(FidCol).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      case _ => Map.empty
+    }
+    // numUpdateWrites per group: update keys present in the old slices.
+    val updatedPerFid: Map[String, Long] = (old, up) match {
+      case (Some(o), Some(u)) =>
+        o.join(u.select(MetaCols.RecordKey), Seq(MetaCols.RecordKey), "left_semi")
+          .withColumn(FidCol, fileIdCol)
+          .groupBy(FidCol).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      case _ => Map.empty
+    }
+
+    // Groups fully emptied by deletes produce no file: record a 0-row stat so
+    // the delete view still sees prevCommit + numDeletes for them.
+    val writtenFids = written.keys.map(_._2).toSet
+    val emptied = touched.filter { case (_, fid) =>
+      !writtenFids.contains(fid) && prevByFid.contains(fid)
+    }
+
+    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
+      part -> WriteStat(fid, Some(relPath),
+        prevCommit = prevByFid.get(fid).map(_.commitTs),
+        numWrites = n,
+        numDeletes = deletedPerFid.getOrElse(fid, 0L),
+        numUpdateWrites = updatedPerFid.getOrElse(fid, 0L),
+        numInserts = 0)
+    } ++ emptied.map { case (part, fid) =>
+      part -> WriteStat(fid, None,
+        prevCommit = prevByFid.get(fid).map(_.commitTs),
+        numWrites = 0,
+        numDeletes = deletedPerFid.getOrElse(fid, 0L),
+        numUpdateWrites = 0, numInserts = 0)
+    }
+
+    saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum, op = "UPSERT")
+  }
+
+  def upsert(updates: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit =
+    commit(Some(updates), None, keyCol, partCol, ts)
+
+  def delete(rows: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit =
+    commit(None, Some(rows), keyCol, partCol, ts)
+
+  /** Write one parquet file per (partition, fileId) group and move it into
+    * the table layout. One distributed job: hash-repartition on the group
+    * columns, partitioned write to a temp dir, then driver-side renames
+    * (metadata-only) into `<part>/<fileId>_<ts>.parquet`.
+    *
+    * Returns (partition, fileId) -> (relative path, row count).
+    */
+  private def writeSlices(data: DataFrame, ts: String)
+      : Map[(String, String), (String, Long)] = {
+    val tmp = new Path(basePath, s".tmp_$ts")
+    fs.delete(tmp, true)
+
+    val withDirs = data
+      .withColumn(PartDirCol, col(MetaCols.PartitionPath))
+      // FidCol doubles as the partitionBy column; it is dropped from file
+      // contents by partitionBy, which is what we want (helper only).
+      .repartition(col(PartDirCol), col(FidCol))
+
+    withDirs.write
+      .partitionBy(PartDirCol, FidCol)
+      .parquet(tmp.toString)
+
+    // Row counts per group — distributed agg with map-side combine; result is
+    // metadata-sized (#groups rows).
+    val counts = data.groupBy(MetaCols.PartitionPath, FidCol).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val out = scala.collection.mutable.Map.empty[(String, String), (String, Long)]
+    val partDirs = if (fs.exists(tmp)) fs.listStatus(tmp).filter(_.isDirectory) else Array.empty[org.apache.hadoop.fs.FileStatus]
+    partDirs.foreach { pd =>
+      val part = dirValue(pd.getPath.getName)
+      fs.listStatus(pd.getPath).filter(_.isDirectory).foreach { fd =>
+        val fid = dirValue(fd.getPath.getName)
+        val files = fs.listStatus(fd.getPath)
+          .filter(f => f.getPath.getName.startsWith("part-"))
+        require(files.length == 1,
+          s"expected exactly 1 file for group $fid, got ${files.length}")
+        val destDir = if (part.isEmpty) new Path(basePath) else new Path(basePath, part)
+        fs.mkdirs(destDir)
+        val fileName = s"${fid}_$ts.parquet"
+        val dest = new Path(destDir, fileName)
+        fs.delete(dest, false)
+        require(fs.rename(files.head.getPath, dest), s"rename to $dest failed")
+        val rel = if (part.isEmpty) fileName else s"$part/$fileName"
+        out((part, fid)) = (rel, counts.getOrElse((part, fid), 0L))
+      }
+    }
+    fs.delete(tmp, true)
+    out.toMap
+  }
+
+  private def dirValue(dirName: String): String = {
+    val v = dirName.substring(dirName.indexOf('=') + 1)
+    java.net.URLDecoder.decode(v, "UTF-8")
+  }
+
+  private def saveCommit(ts: String, stats: Iterable[(String, WriteStat)],
+      totalDeleted: Long, op: String): Unit = {
+    val byPart = stats.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
+    timeline.saveCommit(ts, CommitMetadata(
+      partitionToWriteStats = byPart,
+      operationType = op,
+      totalRecordsDeleted = totalDeleted,
+      totalRecordsWritten = stats.map(_._2.numWrites).sum))
+  }
+}
+
+object CowWriter {
+  /** Helper column holding the file-group id during a write. */
+  private[graft] val FidCol = "__graft_fid"
+  private val PartDirCol = "__graft_part"
+}

@@ -10,8 +10,9 @@ import scala.collection.mutable
   * Replaces the reference's external timeline server
   * (RemoteHoodieTableFileSystemView @ localhost:26754,
   * ref: DeleteSupport.java:32-33, 45-46) with direct storage reads: completed
-  * instants are `<ts>.commit` files whose body is the commit-metadata JSON
-  * (ref: HoodieTimeline.getInstants/getInstantDetails,
+  * instants are `<ts>.commit` (base-file writes: COW commits, MOR
+  * compactions) or `<ts>.deltacommit` (MOR delta appends) files whose body is
+  * the commit-metadata JSON (ref: HoodieTimeline.getInstants/getInstantDetails,
   * DeleteView.java:51-55, 85-87, 196-209). Commits are written atomically
   * (temp file + rename) per SURVEY.md §7.5. All driver-side, metadata-scale:
   * O(#commits) listing, never a data-dir scan.
@@ -28,9 +29,14 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
     if (!fs.exists(hoodieDir)) return Seq.empty
     fs.listStatus(hoodieDir).toSeq
       .map(_.getPath.getName)
-      .filter(_.endsWith(Timeline.CommitSuffix))
-      .map(n => Instant(n.stripSuffix(Timeline.CommitSuffix),
-        Instant.CommitAction, Instant.Completed))
+      .collect {
+        case n if n.endsWith(Timeline.CommitSuffix) =>
+          Instant(n.stripSuffix(Timeline.CommitSuffix),
+            Instant.CommitAction, Instant.Completed)
+        case n if n.endsWith(Timeline.DeltaCommitSuffix) =>
+          Instant(n.stripSuffix(Timeline.DeltaCommitSuffix),
+            Instant.DeltaCommitAction, Instant.Completed)
+      }
       .sortBy(_.ts)
   }
 
@@ -38,11 +44,18 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
   def instantAt(ts: String): Option[Instant] =
     completedInstants().find(_.ts == ts)
 
+  private def suffixOf(action: String): String = action match {
+    case Instant.DeltaCommitAction => Timeline.DeltaCommitSuffix
+    case _ => Timeline.CommitSuffix
+  }
+
   /** Decode the commit metadata for instant `ts` (memoized). */
   def metadata(ts: String): CommitMetadata =
     memo.getOrElseUpdate(ts, {
-      val p = new Path(hoodieDir, ts + Timeline.CommitSuffix)
-      require(fs.exists(p), s"no completed instant at ts=$ts under $hoodieDir")
+      val i = instantAt(ts).getOrElse(
+        throw new IllegalArgumentException(
+          s"no completed instant at ts=$ts under $hoodieDir"))
+      val p = new Path(hoodieDir, ts + suffixOf(i.action))
       val in = fs.open(p)
       try JsonCodec.fromJson(
         new String(org.apache.commons.io.IOUtils.toByteArray(in),
@@ -50,12 +63,14 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
       finally in.close()
     })
 
-  /** Atomically record a completed commit: write `<ts>.commit.inflight`,
-    * then rename to `<ts>.commit`. */
-  def saveCommit(ts: String, meta: CommitMetadata): Unit = {
+  /** Atomically record a completed commit: write `<ts>.<action>.inflight`,
+    * then rename to `<ts>.<action-suffix>`. */
+  def saveCommit(ts: String, meta: CommitMetadata,
+      action: String = Instant.CommitAction): Unit = {
     fs.mkdirs(hoodieDir)
-    val tmp = new Path(hoodieDir, ts + Timeline.CommitSuffix + ".inflight")
-    val fin = new Path(hoodieDir, ts + Timeline.CommitSuffix)
+    val suffix = suffixOf(action)
+    val tmp = new Path(hoodieDir, ts + suffix + ".inflight")
+    val fin = new Path(hoodieDir, ts + suffix)
     val out = fs.create(tmp, true)
     try out.write(JsonCodec.toJson(meta).getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -64,14 +79,26 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
   }
 
   /** The latest file slice per file group as of `asOf` (inclusive); all
-    * completed commits when `asOf` is None. Pure metadata walk. */
+    * completed commits when `asOf` is None. Pure metadata walk: base-writing
+    * instants (commit/compaction) start a fresh slice, delta commits append
+    * to the group's current slice. */
   def latestSlices(asOf: Option[String]): Map[String, FileSlice] = {
     val slices = mutable.LinkedHashMap.empty[String, FileSlice]
     completedInstants()
       .filter(i => asOf.forall(i.ts <= _))
       .foreach { i =>
         metadata(i.ts).allStats.foreach { case (part, s) =>
-          slices(s.fileId) = FileSlice(part, s.fileId, i.ts, s.path)
+          if (i.action == Instant.DeltaCommitAction) {
+            val delta = DeltaFile(i.ts, s.path.getOrElse(
+              throw new IllegalStateException(
+                s"deltacommit ${i.ts} wrote no file for group ${s.fileId}")))
+            slices(s.fileId) = slices.get(s.fileId) match {
+              case Some(sl) => sl.copy(deltas = sl.deltas :+ delta)
+              case None => FileSlice(part, s.fileId, i.ts, None, Seq(delta))
+            }
+          } else {
+            slices(s.fileId) = FileSlice(part, s.fileId, i.ts, s.path)
+          }
         }
       }
     slices.toMap
@@ -81,6 +108,7 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
 object Timeline {
   val MetaDir = ".hoodie"
   val CommitSuffix = ".commit"
+  val DeltaCommitSuffix = ".deltacommit"
 
   def apply(conf: Configuration, basePath: String): Timeline = {
     val p = new Path(basePath)

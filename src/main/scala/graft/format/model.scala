@@ -11,7 +11,10 @@ final case class Instant(ts: String, action: String, state: String) {
 object Instant {
   val Completed = "COMPLETED"
   val Inflight  = "INFLIGHT"
+  /** COW commit / MOR compaction: writes new base file slices. */
   val CommitAction = "commit"
+  /** MOR delta commit: appends delta files to existing file slices. */
+  val DeltaCommitAction = "deltacommit"
 }
 
 /** Per-written-file statistics recorded in a commit's metadata.
@@ -59,11 +62,18 @@ final case class CommitMetadata(
     allStats.find(_._2.fileId == fileId)
 }
 
-/** One file slice of a file group: the concrete parquet file written for
-  * `fileId` by commit `commitTs` under `partitionPath`.
+/** A delta (log) file appended to a file slice by a MOR delta commit. */
+final case class DeltaFile(commitTs: String, relPath: String)
+
+/** One file slice of a file group: the base parquet written for `fileId` by
+  * commit `commitTs` under `partitionPath`, plus any MOR delta files
+  * appended since. COW tables always have `deltas.isEmpty`; a MOR group may
+  * transiently have `relPath == None` (delta-only slice before first
+  * compaction when inserts went through the delta path).
   */
 final case class FileSlice(
     partitionPath: String,
     fileId: String,
     commitTs: String,
-    relPath: Option[String])
+    relPath: Option[String],
+    deltas: Seq[DeltaFile] = Seq.empty)

@@ -1,0 +1,95 @@
+package graft.read
+
+import graft.format._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snapshot / time-travel reader over a versioned table (COW or MOR).
+  *
+  * COW fast path: the latest slices are plain base files, so the snapshot is
+  * a single multi-path parquet scan — no shuffle, no merge; Catalyst pushes
+  * filters and prunes columns into the scan. The reference has no snapshot
+  * reader of its own (it delegates to Hudi); semantics follow Hudi's
+  * snapshot query: latest file slice per file group as of the requested
+  * instant.
+  *
+  * MOR path: file groups that carry delta files are merged by
+  * `row_number() over (partition by _hoodie_record_key order by
+  * _hoodie_commit_time desc, _hoodie_commit_seqno desc) == 1` with delete
+  * markers (`_hoodie_is_deleted`) filtered out (SURVEY.md §7.2 step 4).
+  *
+  * Scale notes (100 TB): ONLY groups with outstanding deltas enter the
+  * window merge (its shuffle is bounded by un-compacted data, typically a
+  * small fraction of the table); pure-base groups stream straight from
+  * parquet and are unioned in. Regular compaction keeps the merge side
+  * small — exactly Hudi's own cost model.
+  */
+object SnapshotReader {
+
+  /** Standard Hudi delete-marker column carried by MOR delta files. */
+  val IsDeleted = "_hoodie_is_deleted"
+
+  def read(spark: SparkSession, basePath: String,
+      asOf: Option[String] = None): DataFrame = {
+    val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val slices = timeline.latestSlices(asOf).values.toSeq
+    require(slices.nonEmpty, s"empty table (no slices) at $basePath" +
+      asOf.fold("")(t => s" as of $t"))
+    merge(spark, basePath, slices)
+  }
+
+  /** Merge a concrete set of file slices into their current-state rows. */
+  private[graft] def merge(spark: SparkSession, basePath: String,
+      slices: Seq[FileSlice]): DataFrame = {
+    def abs(rel: String) = s"$basePath/$rel"
+    val (withDeltas, baseOnly) = slices.partition(_.deltas.nonEmpty)
+    val basePaths = baseOnly.flatMap(_.relPath).map(abs)
+
+    val plainScan =
+      if (basePaths.nonEmpty) Some(spark.read.parquet(basePaths: _*))
+      else None
+
+    val merged = if (withDeltas.nonEmpty) {
+      val mergeBase = withDeltas.flatMap(_.relPath).map(abs)
+      val deltaPaths = withDeltas.flatMap(_.deltas.map(d => abs(d.relPath)))
+      val deltas = spark.read.parquet(deltaPaths: _*)
+      val cols = deltas.columns.filter(_ != IsDeleted)
+      val unioned = (if (mergeBase.nonEmpty)
+        Seq(spark.read.parquet(mergeBase: _*)
+          .withColumn(IsDeleted, lit(false))) else Seq.empty) :+ deltas
+      val all = unioned.reduce(_ unionByName _)
+      // Tiebreak: within one commit a delete marker beats an upsert of the
+      // same key (deterministic delete-wins semantics; SURVEY.md §7.5 #2 —
+      // same key written twice in one commit must not be order-dependent).
+      val w = Window.partitionBy(MetaCols.RecordKey)
+        .orderBy(col(MetaCols.CommitTime).desc, col(IsDeleted).desc,
+          col(MetaCols.CommitSeqno).desc)
+      Some(all
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1 && !col(IsDeleted))
+        .select(cols.map(col).toIndexedSeq: _*))
+    } else None
+
+    (plainScan.toSeq ++ merged.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalStateException(
+        s"no readable files among ${slices.size} slices at $basePath"))
+  }
+}
+
+/** Incremental reader: the current state of every record written in the
+  * commit range `(fromExclusive, toInclusive]` — implemented as the snapshot
+  * as of `to` filtered on `_hoodie_commit_time`, which Spark pushes down to
+  * parquet row-group min/max stats (carried-over COW rows keep their original
+  * commit time, so the filter selects exactly the changed rows). Deletes in
+  * the range simply vanish from the snapshot (Hudi incremental semantics);
+  * use DeleteView for reconstructing them. Can feed Structured Streaming as
+  * a micro-batch source (poll completed instants, read each new range).
+  */
+object IncrementalReader {
+  def read(spark: SparkSession, basePath: String,
+      fromExclusive: String, toInclusive: String): DataFrame =
+    SnapshotReader.read(spark, basePath, Some(toInclusive))
+      .filter(col(MetaCols.CommitTime) > fromExclusive &&
+        col(MetaCols.CommitTime) <= toInclusive)
+}

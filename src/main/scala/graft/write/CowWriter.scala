@@ -181,61 +181,10 @@ final class CowWriter(
   def delete(rows: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit =
     commit(None, Some(rows), keyCol, partCol, ts)
 
-  /** Write one parquet file per (partition, fileId) group and move it into
-    * the table layout. One distributed job: hash-repartition on the group
-    * columns, partitioned write to a temp dir, then driver-side renames
-    * (metadata-only) into `<part>/<fileId>_<ts>.parquet`.
-    *
-    * Returns (partition, fileId) -> (relative path, row count).
-    */
   private def writeSlices(data: DataFrame, ts: String)
-      : Map[(String, String), (String, Long)] = {
-    val tmp = new Path(basePath, s".tmp_$ts")
-    fs.delete(tmp, true)
-
-    val withDirs = data
-      .withColumn(PartDirCol, col(MetaCols.PartitionPath))
-      // FidCol doubles as the partitionBy column; it is dropped from file
-      // contents by partitionBy, which is what we want (helper only).
-      .repartition(col(PartDirCol), col(FidCol))
-
-    withDirs.write
-      .partitionBy(PartDirCol, FidCol)
-      .parquet(tmp.toString)
-
-    // Row counts per group — distributed agg with map-side combine; result is
-    // metadata-sized (#groups rows).
-    val counts = data.groupBy(MetaCols.PartitionPath, FidCol).count()
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-
-    val out = scala.collection.mutable.Map.empty[(String, String), (String, Long)]
-    val partDirs = if (fs.exists(tmp)) fs.listStatus(tmp).filter(_.isDirectory) else Array.empty[org.apache.hadoop.fs.FileStatus]
-    partDirs.foreach { pd =>
-      val part = dirValue(pd.getPath.getName)
-      fs.listStatus(pd.getPath).filter(_.isDirectory).foreach { fd =>
-        val fid = dirValue(fd.getPath.getName)
-        val files = fs.listStatus(fd.getPath)
-          .filter(f => f.getPath.getName.startsWith("part-"))
-        require(files.length == 1,
-          s"expected exactly 1 file for group $fid, got ${files.length}")
-        val destDir = if (part.isEmpty) new Path(basePath) else new Path(basePath, part)
-        fs.mkdirs(destDir)
-        val fileName = s"${fid}_$ts.parquet"
-        val dest = new Path(destDir, fileName)
-        fs.delete(dest, false)
-        require(fs.rename(files.head.getPath, dest), s"rename to $dest failed")
-        val rel = if (part.isEmpty) fileName else s"$part/$fileName"
-        out((part, fid)) = (rel, counts.getOrElse((part, fid), 0L))
-      }
-    }
-    fs.delete(tmp, true)
-    out.toMap
-  }
-
-  private def dirValue(dirName: String): String = {
-    val v = dirName.substring(dirName.indexOf('=') + 1)
-    java.net.URLDecoder.decode(v, "UTF-8")
-  }
+      : Map[(String, String), (String, Long)] =
+    SliceFiles.write(fs, basePath, data, ts,
+      (fid, t) => s"${fid}_$t.parquet")
 
   private def saveCommit(ts: String, stats: Iterable[(String, WriteStat)],
       totalDeleted: Long, op: String): Unit = {

@@ -1,0 +1,166 @@
+package graft.write
+
+import graft.format._
+import graft.read.SnapshotReader
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Native Merge-On-Read table writer (the BASELINE.json north-star approach:
+  * "Spark + Hudi MergeOnRead reader").
+  *
+  * Layout: base files `<fileId>_<ts>.parquet` written by `insert`/`compact`
+  * (timeline action `commit`), delta files `<fileId>_<ts>.delta.parquet`
+  * written by `upsertDelta` (timeline action `deltacommit`) carrying upserted
+  * rows plus delete markers (`_hoodie_is_deleted = true`). Snapshot reads
+  * merge base + deltas per file group (see
+  * [[graft.read.SnapshotReader]]); `compact()` folds outstanding deltas into
+  * fresh base slices.
+  *
+  * Scale notes (100 TB): a delta commit writes ONLY the changed rows (no
+  * file-group rewrite — the point of MOR), one distributed job per commit;
+  * stats (numDeletes per group) come from a map-side-combined aggregate.
+  * Compaction is itself a distributed merge job whose output goes through
+  * the same slice writer as COW commits.
+  */
+final class MorWriter(
+    spark: SparkSession,
+    basePath: String,
+    numBuckets: Int) {
+
+  import CowWriter.FidCol
+
+  private val conf = spark.sessionState.newHadoopConf()
+  private val fs: FileSystem = new Path(basePath).getFileSystem(conf)
+  val timeline: Timeline = Timeline(conf, basePath)
+
+  private def fileIdCol: Column =
+    concat(col(MetaCols.PartitionPath), lit("-"),
+      pmod(xxhash64(col(MetaCols.RecordKey)), lit(numBuckets)).cast("string"))
+
+  private def withMeta(df: DataFrame, keyCol: Column, partCol: Column,
+      ts: String): DataFrame = {
+    val payloadCols = df.columns.toSeq
+    df.withColumn(MetaCols.RecordKey, keyCol.cast("string"))
+      .withColumn(MetaCols.PartitionPath, partCol.cast("string"))
+      .withColumn(MetaCols.CommitTime, lit(ts))
+      .withColumn(MetaCols.CommitSeqno,
+        concat(lit(ts), lit("_"), xxhash64(col(MetaCols.RecordKey)).cast("string")))
+      .withColumn(FidCol, fileIdCol)
+      .withColumn(MetaCols.FileName,
+        concat(col(FidCol), lit("_"), lit(ts), lit(".parquet")))
+      .select((MetaCols.all.map(col) ++ payloadCols.map(col) :+ col(FidCol)): _*)
+  }
+
+  /** First commit: bulk insert as base file slices (same as COW insert). */
+  def insert(df: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit = {
+    require(timeline.completedInstants().isEmpty,
+      s"insert() creates a table; $basePath already has commits")
+    val data = withMeta(df, keyCol, partCol, ts)
+    val written = SliceFiles.write(fs, basePath, data, ts,
+      (fid, t) => s"${fid}_$t.parquet")
+    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
+      part -> WriteStat(fid, Some(relPath), prevCommit = None,
+        numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = n)
+    }
+    saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
+      action = Instant.CommitAction)
+  }
+
+  /** MOR delta commit: append upserts + delete markers as delta files —
+    * no base-file rewrite.
+    *
+    * @param updates full payload rows to insert-or-update; may be empty
+    * @param deletes payload rows identifying records to delete; may be empty
+    */
+  def upsertDelta(updates: Option[DataFrame], deletes: Option[DataFrame],
+      keyCol: Column, partCol: Column, ts: String): Unit = {
+    require(timeline.completedInstants().nonEmpty,
+      s"upsertDelta() needs an existing table at $basePath; call insert() first")
+
+    val up = updates.map(withMeta(_, keyCol, partCol, ts)
+      .withColumn(SnapshotReader.IsDeleted, lit(false)))
+    val del = deletes.map(withMeta(_, keyCol, partCol, ts)
+      .withColumn(SnapshotReader.IsDeleted, lit(true)))
+    val deltaRows = (up.toSeq ++ del.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalArgumentException(
+        "empty delta commit: no updates and no deletes"))
+
+    val written = SliceFiles.write(fs, basePath, deltaRows, ts,
+      (fid, t) => s"${fid}_$t.delta.parquet")
+
+    // Exact numDeletes per group: delete keys actually live in the
+    // pre-commit snapshot (ref invariant: totalRecordsDeleted must be exact,
+    // DeleteView.java:186).
+    val slices = timeline.latestSlices(None)
+    val deletedPerFid: Map[String, Long] = del match {
+      case Some(d) if slices.nonEmpty =>
+        val current = SnapshotReader.merge(spark, basePath, slices.values.toSeq)
+          .select(MetaCols.RecordKey)
+        current
+          .join(d.select(col(MetaCols.RecordKey), col(FidCol)),
+            Seq(MetaCols.RecordKey), "inner")
+          .groupBy(FidCol).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      case _ => Map.empty
+    }
+
+    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
+      part -> WriteStat(fid, Some(relPath),
+        prevCommit = slices.get(fid).map(_.commitTs),
+        numWrites = n,
+        numDeletes = deletedPerFid.getOrElse(fid, 0L),
+        numUpdateWrites = 0, numInserts = 0)
+    }
+    saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
+      op = "UPSERT_DELTA", action = Instant.DeltaCommitAction)
+  }
+
+  def upsert(updates: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit =
+    upsertDelta(Some(updates), None, keyCol, partCol, ts)
+
+  def delete(rows: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit =
+    upsertDelta(None, Some(rows), keyCol, partCol, ts)
+
+  /** Compaction: fold every file group with outstanding deltas into a fresh
+    * base slice at `ts` (timeline action `commit`, like Hudi compaction).
+    * Groups without deltas are untouched. */
+  def compact(ts: String): Unit = {
+    val slices = timeline.latestSlices(None)
+    val dirty = slices.values.filter(_.deltas.nonEmpty).toSeq
+    if (dirty.isEmpty) return
+    val merged = SnapshotReader.merge(spark, basePath, dirty)
+      .withColumn(FidCol, fileIdCol)
+      .withColumn(MetaCols.FileName,
+        concat(col(FidCol), lit("_"), lit(ts), lit(".parquet")))
+    val written = SliceFiles.write(fs, basePath, merged, ts,
+      (fid, t) => s"${fid}_$t.parquet")
+    // A group whose rows were all deleted writes no file: record a 0-row
+    // stat so the slice is still superseded on the timeline.
+    val writtenFids = written.keys.map(_._2).toSet
+    val emptied = dirty.filterNot(s => writtenFids.contains(s.fileId))
+    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
+      part -> WriteStat(fid, Some(relPath),
+        prevCommit = slices.get(fid).map(_.commitTs),
+        numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = 0)
+    } ++ emptied.map { s =>
+      s.partitionPath -> WriteStat(s.fileId, None,
+        prevCommit = Some(s.commitTs),
+        numWrites = 0, numDeletes = 0, numUpdateWrites = 0, numInserts = 0)
+    }
+    saveCommit(ts, stats, totalDeleted = 0, op = "COMPACT",
+      action = Instant.CommitAction)
+  }
+
+  private def saveCommit(ts: String, stats: Iterable[(String, WriteStat)],
+      totalDeleted: Long, op: String, action: String): Unit = {
+    val byPart = stats.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
+    timeline.saveCommit(ts, CommitMetadata(
+      partitionToWriteStats = byPart,
+      operationType = op,
+      totalRecordsDeleted = totalDeleted,
+      totalRecordsWritten = stats.map(_._2.numWrites).sum),
+      action)
+  }
+}

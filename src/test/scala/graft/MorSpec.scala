@@ -1,0 +1,111 @@
+package graft
+
+import graft.format._
+import graft.read.{IncrementalReader, SnapshotReader}
+import graft.write.MorWriter
+import org.apache.spark.sql.functions._
+
+/** MOR table lifecycle: insert → delta upsert/delete → snapshot merge →
+  * time travel → incremental → compaction (SURVEY.md §7.2 step 4; north-star
+  * "Spark + Hudi MergeOnRead reader" per BASELINE.json).
+  */
+class MorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val C1 = "20260101000000"
+  private val C2 = "20260102000000"
+  private val C3 = "20260103000000"
+  private val C4 = "20260104000000"
+
+  private lazy val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+  private def keyCol = col("o_orderkey")
+  private def partCol = col("o_orderstatus")
+
+  /** C1: insert all; C2: delta-delete %7==0 and delta-update %10==3 (+1e5);
+    * C3: compaction; C4: delta-delete %11==5 of survivors. */
+  private lazy val base: String = {
+    val dir = freshDir("orders_mor")
+    val w = new MorWriter(spark, dir, numBuckets = 4)
+    w.insert(orders, keyCol, partCol, C1)
+    w.upsertDelta(
+      updates = Some(orders.filter($"o_orderkey" % 10 === 3 && $"o_orderkey" % 7 =!= 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 100000)),
+      deletes = Some(orders.filter($"o_orderkey" % 7 === 0)),
+      keyCol, partCol, C2)
+    w.compact(C3)
+    w.upsertDelta(None,
+      Some(orders.filter($"o_orderkey" % 11 === 5 && $"o_orderkey" % 7 =!= 0)),
+      keyCol, partCol, C4)
+    dir
+  }
+
+  private def expectedAfterC2 = orders
+    .filter($"o_orderkey" % 7 =!= 0)
+    .withColumn("o_totalprice",
+      when($"o_orderkey" % 10 === 3, $"o_totalprice" + 100000)
+        .otherwise($"o_totalprice"))
+
+  test("snapshot after delta commit merges base + deltas") {
+    val snap = SnapshotReader.read(spark, base, asOf = Some(C2))
+      .select(orders.columns.map(col).toIndexedSeq: _*)
+    val exp = expectedAfterC2
+    assert(snap.count() == exp.count())
+    assert(snap.exceptAll(exp).isEmpty && exp.exceptAll(snap).isEmpty)
+  }
+
+  test("delta commit records exact delete counts") {
+    val tl = Timeline(spark.sessionState.newHadoopConf(), base)
+    assert(tl.instantAt(C2).get.action == Instant.DeltaCommitAction)
+    assert(tl.metadata(C2).totalRecordsDeleted ==
+      orders.filter($"o_orderkey" % 7 === 0).count())
+  }
+
+  test("compaction folds deltas; snapshot unchanged; slices reset") {
+    val tl = Timeline(spark.sessionState.newHadoopConf(), base)
+    val afterC3 = tl.latestSlices(Some(C3))
+    assert(afterC3.values.forall(_.deltas.isEmpty), "compaction clears deltas")
+    val snap = SnapshotReader.read(spark, base, asOf = Some(C3))
+      .select(orders.columns.map(col).toIndexedSeq: _*)
+    val exp = expectedAfterC2
+    assert(snap.count() == exp.count())
+    assert(snap.exceptAll(exp).isEmpty && exp.exceptAll(snap).isEmpty)
+  }
+
+  test("snapshot at head reflects post-compaction delta delete") {
+    val snap = SnapshotReader.read(spark, base)
+    val exp = expectedAfterC2.filter($"o_orderkey" % 11 =!= 5)
+    assert(snap.count() == exp.count())
+  }
+
+  test("time travel to C1 sees original inserts only") {
+    val snap = SnapshotReader.read(spark, base, asOf = Some(C1))
+    assert(snap.count() == orders.count())
+    assert(snap.select(MetaCols.CommitTime).distinct()
+      .as[String].collect().toSeq == Seq(C1))
+  }
+
+  test("same key updated AND deleted in one commit: delete wins, deterministically") {
+    val dir = freshDir("orders_mor_tie")
+    val w = new MorWriter(spark, dir, numBuckets = 2)
+    w.insert(orders, keyCol, partCol, C1)
+    // overlap: %10==3 ∩ %7==0 keys get both an upsert and a delete marker
+    w.upsertDelta(
+      updates = Some(orders.filter($"o_orderkey" % 10 === 3)
+        .withColumn("o_totalprice", $"o_totalprice" + 100000)),
+      deletes = Some(orders.filter($"o_orderkey" % 7 === 0)),
+      keyCol, partCol, C2)
+    val snap = SnapshotReader.read(spark, dir)
+    assert(snap.count() == orders.filter($"o_orderkey" % 7 =!= 0).count())
+    assert(snap.filter($"o_orderkey" % 7 === 0).isEmpty)
+  }
+
+  test("incremental (C1, C2] returns exactly the C2 upserts") {
+    val inc = IncrementalReader.read(spark, base, C1, C2)
+    val expUpd = orders.filter($"o_orderkey" % 10 === 3 && $"o_orderkey" % 7 =!= 0)
+    assert(inc.count() == expUpd.count())
+    assert(inc.select(MetaCols.CommitTime).distinct()
+      .as[String].collect().toSeq == Seq(C2))
+    // updated payloads carried
+    assert(inc.filter($"o_totalprice" < 100000).isEmpty)
+  }
+}

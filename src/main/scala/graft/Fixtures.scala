@@ -1,0 +1,82 @@
+package graft
+
+import graft.format.Timeline
+import graft.write.{CowWriter, MorWriter}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic versioned-table fixtures built from the driver testdata.
+  *
+  * Commit script (same for COW and MOR, so snapshot oracles are shared):
+  *   C1 insert all orders;
+  *   C2 delete keys %7==0;
+  *   C3 update keys %10==3 (survivors): o_totalprice += 100000;
+  *   C4 delete keys %11==5 (survivors).  MOR adds a compaction C3x between
+  *   C3 and C4 so the head snapshot exercises post-compaction deltas.
+  *
+  * Built once per scale factor under /tmp/graft_tables/<sf>/ and reused
+  * across Verify/Bench invocations (rebuilt only when the timeline is
+  * incomplete). All predicates are key-arithmetic → exactly mirrorable in
+  * the DuckDB oracle SQL.
+  */
+object Fixtures {
+  val C1 = "20260101000000"
+  val C2 = "20260102000000"
+  val C3 = "20260103000000"
+  val C3x = "20260103120000"
+  val C4 = "20260104000000"
+
+  private def root(sfDir: String): String =
+    "/tmp/graft_tables/" + sfDir.replaceAll("[^0-9a-zA-Z.]", "_")
+
+  private def complete(spark: SparkSession, dir: String, n: Int): Boolean =
+    Timeline(spark.sessionState.newHadoopConf(), dir)
+      .completedInstants().size == n
+
+  def cowDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_cow"
+    if (!complete(spark, dir, 4)) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = col("o_orderkey")
+      val w = new CowWriter(spark, dir, numBuckets = 8)
+      w.insert(orders, k, col("o_orderstatus"), C1)
+      w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C2)
+      w.upsert(orders.filter(k % 10 === 3 && k % 7 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000),
+        k, col("o_orderstatus"), C3)
+      w.delete(orders.filter(k % 11 === 5 && k % 7 =!= 0),
+        k, col("o_orderstatus"), C4)
+    }
+    dir
+  }
+
+  def morDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_mor"
+    if (!complete(spark, dir, 5)) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = col("o_orderkey")
+      val w = new MorWriter(spark, dir, numBuckets = 8)
+      w.insert(orders, k, col("o_orderstatus"), C1)
+      w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C2)
+      w.upsert(orders.filter(k % 10 === 3 && k % 7 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000),
+        k, col("o_orderstatus"), C3)
+      w.compact(C3x)
+      w.delete(orders.filter(k % 11 === 5 && k % 7 =!= 0),
+        k, col("o_orderstatus"), C4)
+    }
+    dir
+  }
+
+  /** Build both fixtures up front (Bench calls this before timing). */
+  def prepare(spark: SparkSession, sfDir: String): Unit = {
+    cowDir(spark, sfDir); morDir(spark, sfDir)
+  }
+
+  private def rm(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+}

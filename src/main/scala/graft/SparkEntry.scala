@@ -1,13 +1,326 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.deleteview.DeleteView
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.read.{IncrementalReader, SnapshotReader}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is deterministic (explicit ORDER BY, integer-
+  * scaled ratios, decimal-cast aggregates of doubles) so the DuckDB oracle in
+  * `oracleSql` hash-matches exactly. Queries on the versioned-table surface
+  * (delete view, snapshot, time travel, incremental) run against the
+  * [[Fixtures]] COW/MOR tables built deterministically from `orders`, whose
+  * commit script is plain key arithmetic — mirrorable 1:1 in oracle SQL over
+  * the raw `orders` table. xxhash64-based sketches (MinHash/SimHash/
+  * embedding LSH) have no SQL twin → no oracle entry (driver records a
+  * rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import Fixtures.{C1, C2, C3, C4}
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Orders payload columns, for delete-view/snapshot projections. */
+  private val OrdersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val OrdersColsSql = OrdersCols.mkString(", ")
+
+  private def payload(df: DataFrame): DataFrame =
+    df.select(OrdersCols.map(col): _*).orderBy(col("o_orderkey"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = Fixtures.cowDir(spark, "/root/testdata/sf0.001")
+    payload(DeleteView(spark, dir, C2).toDF())
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ pipeline ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- versioned-table surface (reference parity, SURVEY §2 O1-O19) ----
+    "q_delete_view" -> ((s, d) =>
+      payload(DeleteView(s, Fixtures.cowDir(s, d), C2).toDF())),
+    "q_delete_view_c4" -> ((s, d) =>
+      payload(DeleteView(s, Fixtures.cowDir(s, d), C4).toDF())),
+    "q_snapshot_cow" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.cowDir(s, d)))),
+    "q_time_travel_cow" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
+    "q_incremental_cow" -> ((s, d) =>
+      payload(IncrementalReader.read(s, Fixtures.cowDir(s, d), C2, C3))),
+    "q_snapshot_mor" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.morDir(s, d)))),
+    "q_time_travel_mor" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.morDir(s, d), Some(C2)))),
+    "q_incremental_mor" -> ((s, d) =>
+      payload(IncrementalReader.read(s, Fixtures.morDir(s, d), C2, C3))),
+    // metadata-only COUNT (SURVEY §2 O16/O17)
+    "q_meta_count" -> ((s, d) => {
+      import s.implicits._
+      Seq(t(s, d, "lineitem").count()).toDF("cnt")
+    }),
+
+    // ---- core engine surface: scan/filter/project, agg, join, window,
+    //      sort/limit, set ops ----
+    "q_scan_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit("1998-01-01") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(20,4)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(20,4)")).as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(20,4)") *
+            (lit(1).cast("decimal(20,4)") - col("l_discount").cast("decimal(20,4)")))
+            .cast("decimal(30,8)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q3_topk" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey").as("o_orderkey"), o("o_orderdate"))
+        .agg(sum((l("l_extendedprice").cast("decimal(20,4)") *
+          (lit(1).cast("decimal(20,4)") - l("l_discount").cast("decimal(20,4)")))
+          .cast("decimal(30,8)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "q_window_topn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    "q_antijoin" -> ((s, d) =>
+      t(s, d, "customer").join(
+          t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))),
+    "q_semijoin" -> ((s, d) =>
+      t(s, d, "supplier").join(t(s, d, "lineitem"),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey")).orderBy(col("s_suppkey"))),
+    "q_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))),
+    "q_union" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_partkey").as("partkey"))
+        .union(t(s, d, "part").select(col("p_partkey").as("partkey")))
+        .distinct().orderBy(col("partkey"))),
+
+    // ---- events: time-window agg + gap-based sessionization ----
+    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a nanos-long
+    // (spark.sql.legacy.parquet.nanosAsLong, set by Verify/Bench); all time
+    // math below is integer arithmetic on epoch nanos — exact and
+    // engine-portable (DuckDB reads the same column natively as TIMESTAMP).
+    "q_events_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("hour",
+          date_format(timestamp_micros(
+            (col("ts") / lit(1000L)).cast("long")), "yyyy-MM-dd HH"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,4)")).as("sum_value"))
+        .orderBy(col("event_type"), col("hour"))),
+    "q_events_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("sec", (col("ts") / lit(1000000000L)).cast("long"))
+        .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull ||
+            col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- training-data pipeline: dedup / text / similarity / multimodal ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), col("text"), col("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+    "q_text_stats" -> ((s, d) =>
+      TextAnalysis.withQuality(t(s, d, "documents"), col("text"))
+        .select(col("doc_id"), col("n_tokens"), col("punct_permille"),
+          col("stopword_permille"), col("quality_score"))
+        .orderBy(col("doc_id"))),
+    "q_langid" -> ((s, d) =>
+      TextAnalysis.withLangId(t(s, d, "documents"), col("text"))
+        .select(col("doc_id"), col("lang_pred")).orderBy(col("doc_id"))),
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+    "q_ngram_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), col("doc_id"),
+          col("text"), blocking = col("source"), n = 2,
+          thresholdPermille = 200)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_sim_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          n = 3, numHashes = 32, bands = 16, thresholdPermille = 500)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), dim = 64, bands = 16, planesPerBand = 2,
+          thresholdMicro = 400000)
+        .orderBy(col("id_a"), col("id_b"))),
+    "q_multimodal_stats" -> ((s, d) =>
+      Multimodal.stats(
+        t(s, d, "documents").select(
+          col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
+          col("text").cast("binary").as("content")))
+        .orderBy(col("kind"))),
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val Rev =
+    "CAST(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4))) AS DECIMAL(30,8))"
+
+  /** Snapshot state after C3 updates, as a CASE over raw orders. */
+  private val PriceAfterC3 =
+    "CASE WHEN o_orderkey % 10 = 3 AND o_orderkey % 7 <> 0 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice"
+  private val OrdersColsAfterC3 = OrdersCols
+    .map(c => if (c == "o_totalprice") PriceAfterC3 else c).mkString(", ")
+
+  /** DuckDB lambda for whitespace tokens of lower(text). */
+  private val Toks =
+    "string_split_regex(trim(lower(text)), '\\s+')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_delete_view" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey",
+    "q_delete_view_c4" ->
+      s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "q_snapshot_cow" ->
+      s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
+    "q_time_travel_cow" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "q_incremental_cow" ->
+      s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100000 AS o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "q_snapshot_mor" ->
+      s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
+    "q_time_travel_mor" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "q_incremental_mor" ->
+      s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100000 AS o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "q_meta_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q_scan_filter_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01' AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS sum_base_price, " +
+        s"sum($Rev) AS sum_disc_price, count(*) AS count_order " +
+        "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q3_topk" ->
+      (s"SELECT o_orderkey, o_orderdate, sum($Rev) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"),
+    "q_window_topn" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn " +
+        "FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q_antijoin" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') ORDER BY c_custkey",
+    "q_semijoin" ->
+      "SELECT s_suppkey FROM supplier WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey) ORDER BY s_suppkey",
+    "q_except" ->
+      "SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F' ORDER BY custkey",
+    "q_union" ->
+      "SELECT DISTINCT partkey FROM (SELECT l_partkey AS partkey FROM lineitem UNION ALL SELECT p_partkey FROM part) ORDER BY partkey",
+    "q_events_hourly" ->
+      ("SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(20,4))) AS sum_value FROM events " +
+        "GROUP BY event_type, hour ORDER BY event_type, hour"),
+    "q_events_sessions" ->
+      ("SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (" +
+        "SELECT user_id, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session FROM (" +
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
+        "lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_sec " +
+        "FROM events)) GROUP BY user_id ORDER BY user_id"),
+    "q_dedup_exact" ->
+      ("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (" +
+        "PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn = 1 ORDER BY doc_id"),
+    "q_text_stats" ->
+      (s"SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_tokens, " +
+        "CAST(floor((length(text) - length(regexp_replace(text, '[.,;:!?''\"()]', '', 'g'))) * 1000 / greatest(length(text), 1)) AS BIGINT) AS punct_permille, " +
+        s"CAST(floor(len(list_filter($Toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1000 / greatest(len($Toks), 1)) AS BIGINT) AS stopword_permille, " +
+        s"CAST((CASE WHEN len($Toks) BETWEEN 5 AND 10000 THEN 400 ELSE 0 END + " +
+        s"CASE WHEN floor(len(list_filter($Toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1000 / greatest(len($Toks), 1)) > 20 THEN 300 ELSE 0 END + " +
+        "CASE WHEN floor((length(text) - length(regexp_replace(text, '[.,;:!?''\"()]', '', 'g'))) * 1000 / greatest(length(text), 1)) < 100 THEN 300 ELSE 0 END) AS BIGINT) AS quality_score " +
+        "FROM documents ORDER BY doc_id"),
+    "q_langid" ->
+      (s"SELECT doc_id, CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+        s"WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und' " +
+        "WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en' " +
+        "WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de' " +
+        "WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr' ELSE 'es' END AS lang_pred FROM (" +
+        s"SELECT doc_id, text, len(list_filter($Toks, t -> t IN ('the','and','of','to','in','is'))) AS c_en, " +
+        s"len(list_filter($Toks, t -> t IN ('der','die','und','das','ist','nicht'))) AS c_de, " +
+        s"len(list_filter($Toks, t -> t IN ('le','la','les','et','est','une'))) AS c_fr, " +
+        s"len(list_filter($Toks, t -> t IN ('el','los','las','y','es','una'))) AS c_es FROM documents" +
+        ") ORDER BY doc_id"),
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id",
+    "q_ngram_pairs" ->
+      ("WITH sh AS (SELECT doc_id, source, list_distinct(list_transform(" +
+        s"range(0, greatest(len($Toks) - 2, 0) + 1), " +
+        s"i -> array_to_string(($Toks)[i+1:i+2], ' '))) AS shingles FROM documents) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(floor(len(list_intersect(a.shingles, b.shingles)) * 1000 / greatest(len(list_distinct(list_cat(a.shingles, b.shingles))), 1)) AS BIGINT) AS jaccard_permille " +
+        "FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE floor(len(list_intersect(a.shingles, b.shingles)) * 1000 / greatest(len(list_distinct(list_cat(a.shingles, b.shingles))), 1)) >= 200 " +
+        "ORDER BY id_a, id_b"),
+    "q_sim_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    "q_multimodal_stats" ->
+      ("SELECT kind, count(*) AS n, sum(octet_length(encode(text))) AS total_bytes, " +
+        "CAST(floor(avg(octet_length(encode(text)))) AS BIGINT) AS avg_bytes FROM (" +
+        "SELECT CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind, text FROM documents" +
+        ") GROUP BY kind ORDER BY kind"),
+  )
 }

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` (whole-stage
+  * codegen, no UDFs), scales embarrassingly-parallel (per-row, no shuffle),
+  * and is engine-portable: each computation has an exact ANSI-SQL twin used
+  * as the DuckDB oracle (see SparkEntry.oracleSql). Ratio outputs are
+  * integer-scaled (per-mille floors) to keep cross-engine hashing exact —
+  * no float rounding-mode drift.
+  */
+object TextAnalysis {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, digits, or single
+    * non-alphanumeric glyphs — a cheap proxy for tokenizer load at scale. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(regexp_replace(lower(text), "([a-z]+|[0-9]+|[^a-z0-9\\s])", "$1"),
+        "|\\s+"),
+      t => length(t) > lit(0)))
+
+  /** English-ish stopwords used by the quality heuristic. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality metrics: n_chars, n_tokens, avg token length (per-mille),
+    * punctuation per-mille, stopword per-mille, and a 0-1000 quality score
+    * (docs in a healthy length band with some stopwords score high). */
+  def withQuality(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    val nPunct = nChars - length(regexp_replace(text, "[.,;:!?'\"()]", ""))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    df.withColumn("n_chars", nChars.cast("long"))
+      .withColumn("n_tokens", nToks.cast("long"))
+      .withColumn("avg_token_len_permille",
+        floor(nChars * lit(1000) / greatest(nToks, lit(1))).cast("long"))
+      .withColumn("punct_permille",
+        floor(nPunct * lit(1000) / greatest(nChars, lit(1))).cast("long"))
+      .withColumn("stopword_permille",
+        floor(nStop * lit(1000) / greatest(nToks, lit(1))).cast("long"))
+      .withColumn("quality_score",
+        (when(nToks.between(5, 10000), lit(400)).otherwise(lit(0)) +
+          when(col("stopword_permille") > 20, lit(300)).otherwise(lit(0)) +
+          when(col("punct_permille") < 100, lit(300)).otherwise(lit(0)))
+          .cast("long"))
+  }
+
+  /** Marker stopwords per language for the n-gram/stopword-count heuristic.
+    * Deterministic argmax with a fixed tie order (en,de,fr,es). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"))
+
+  /** Heuristic language ID: per-language marker-token counts, argmax, with
+    * CJK-codepoint presence short-circuiting to "zh"; "und" when no marker
+    * hits at all. */
+  def withLangId(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val counts = LangMarkers.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(arr, t)))
+    }
+    val hasCjk = text.rlike("[\\u4e00-\\u9fff]")
+    // Argmax as an explicit greatest + case chain (ties go to the earlier
+    // language in LangMarkers order) — mirrorable 1:1 in the SQL oracle.
+    val cEn = counts(0)._2; val cDe = counts(1)._2
+    val cFr = counts(2)._2; val cEs = counts(3)._2
+    val top = greatest(cEn, cDe, cFr, cEs)
+    val pred = when(hasCjk, lit("zh"))
+      .when(top === 0, lit("und"))
+      .when(cEn === top, lit("en"))
+      .when(cDe === top, lit("de"))
+      .when(cFr === top, lit("fr"))
+      .otherwise(lit("es"))
+    df.withColumn("lang_pred", pred)
+  }
+
+  /** Exact document fingerprint: md5 of whitespace-normalized lower-cased
+    * text (md5 is bit-identical across engines → oracle-matchable). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Rolling-hash shingle fingerprints: xxhash64 of each word n-gram —
+    * the building block for n-gram dedup (Spark-side only; xxhash64 is
+    * engine-specific so no SQL oracle). */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(tokens(text)) - n, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(tokens(text), i + 1, lit(n)))))
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** Pipeline-operator specs over the driver testdata (documents/embeddings). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("exact dedup keeps one row per duplicated text, smallest id") {
+    // introduce real duplicates: re-append docs 0-49 with shifted ids
+    val dupes = docs.filter($"doc_id" < 50)
+      .withColumn("doc_id", $"doc_id" + 10000)
+    val withDupes = docs.unionByName(dupes)
+    val out = Dedup.exact(withDupes, $"text", $"doc_id")
+    assert(out.count() == docs.count())
+    assert(out.filter($"doc_id" >= 10000).isEmpty, "kept the smaller ids")
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    // plant near-dups: copy of text with one word changed
+    val near = docs.filter($"doc_id" < 20)
+      .withColumn("doc_id", $"doc_id" + 20000)
+      .withColumn("text", concat($"text", lit(" extra")))
+    val df = docs.unionByName(near)
+    val pairs = Dedup.minhashPairs(df, $"doc_id", $"text",
+      n = 3, numHashes = 32, bands = 16, thresholdPermille = 600)
+    val found = pairs.filter($"id_b" >= 20000 && $"id_a" === $"id_b" - 20000)
+    assert(found.count() >= 15, s"recall too low: ${found.count()}/20")
+    // verified pairs really are similar
+    assert(pairs.filter($"jaccard_permille" < 600).isEmpty)
+  }
+
+  test("simhash: identical docs have hamming 0; pairs found") {
+    val twin = docs.filter($"doc_id" < 10)
+      .withColumn("doc_id", $"doc_id" + 30000)
+    val pairs = Dedup.simhashPairs(docs.unionByName(twin),
+      $"doc_id", $"text", maxHamming = 3)
+    val exact0 = pairs.filter($"id_b" >= 30000 && $"id_a" === $"id_b" - 30000)
+    assert(exact0.count() == 10)
+    assert(exact0.filter($"hamming" =!= 0).isEmpty)
+  }
+
+  test("ngram jaccard within blocking key is symmetric-free and thresholded") {
+    val pairs = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text",
+      blocking = $"source", n = 2, thresholdPermille = 100)
+    assert(pairs.filter($"id_a" >= $"id_b").isEmpty)
+    assert(pairs.filter($"jaccard_permille" < 100).isEmpty)
+  }
+
+  test("embedding near-dup: planted duplicate vector is found") {
+    val twin = embs.filter($"vec_id" < 5)
+      .withColumn("vec_id", $"vec_id" + 40000)
+    val pairs = Dedup.embeddingNearDupPairs(embs.unionByName(twin),
+      $"vec_id", $"embedding", dim = 64, bands = 8, planesPerBand = 4,
+      thresholdMicro = 999000)
+    val found = pairs.filter($"id_b" >= 40000 && $"id_a" === $"id_b" - 40000)
+    assert(found.count() == 5)
+  }
+
+  test("brute-force top-k: self is rank 1 with cosine ~1; k rows per query") {
+    val queries = embs.filter($"vec_id" < 3)
+    val topk = Similarity.bruteForceTopK(
+      embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5)
+    assert(topk.groupBy("query_id").count()
+      .filter($"count" =!= 5).isEmpty)
+    val self = topk.filter($"rank" === 1)
+    assert(self.filter($"query_id" =!= $"corpus_id").isEmpty)
+    assert(self.filter($"cosine_micro" < 999999).isEmpty)
+  }
+
+  test("LSH top-k: self bucket always contains the query itself") {
+    val queries = embs.filter($"vec_id" < 5)
+    val topk = Similarity.lshTopK(
+      embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 3, dim = 64, planes = 6)
+    val self = topk.filter($"rank" === 1)
+    assert(self.filter($"query_id" =!= $"corpus_id").isEmpty)
+  }
+
+  test("quality metrics are integer-exact and bounded") {
+    val q = TextAnalysis.withQuality(docs, $"text")
+    assert(q.filter($"punct_permille" < 0 || $"punct_permille" > 1000).isEmpty)
+    assert(q.filter($"stopword_permille" < 0 || $"stopword_permille" > 1000).isEmpty)
+    assert(q.filter($"quality_score" % 100 =!= 0).isEmpty)
+    assert(q.filter($"n_chars" =!= length($"text")).isEmpty)
+  }
+
+  test("lang id is deterministic and covers all docs") {
+    val l = TextAnalysis.withLangId(docs, $"text")
+    assert(l.filter($"lang_pred".isNull).isEmpty)
+    assert(l.count() == docs.count())
+    val l2 = TextAnalysis.withLangId(docs, $"text")
+    assert(l.select("doc_id", "lang_pred")
+      .exceptAll(l2.select("doc_id", "lang_pred")).isEmpty)
+  }
+
+  test("multimodal: typed plumbing, stub decode, frame sampling") {
+    val media = docs.limit(50).select(
+      $"doc_id".as("media_id"),
+      when($"doc_id" % 3 === 0, "video").otherwise("image").as("kind"),
+      lit(64).as("width"), lit(48).as("height"),
+      when($"doc_id" % 3 === 0, 5000L).otherwise(0L).as("duration_ms"),
+      $"text".cast("binary").as("content"))
+    val ds = Multimodal.fromBinary(media)
+    val feats = Multimodal.extractFeatures(ds, dim = 8)
+    assert(feats.count() == 50)
+    assert(feats.filter(f => f.features.length != 8).count() == 0)
+    assert(feats.filter(f => f.features.exists(v => v < -1f || v > 1f)).count() == 0)
+    val resized = Multimodal.resize(ds, 32, 24)
+    assert(resized.filter(r => r.meta.width != 32).count() == 0)
+    val frames = Multimodal.sampleFrames(ds, everyMs = 1000)
+    val vids = media.filter($"kind" === "video").count()
+    assert(frames.count() == vids * 5)
+    val stats = Multimodal.stats(media)
+    assert(stats.count() == 2)
+  }
+}

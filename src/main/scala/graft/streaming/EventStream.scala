@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the `events` stream table.
+  *
+  * The reference has no streaming operators (SURVEY.md §2.1: "Streaming —
+  * ABSENT"); this module is part of the engine's extended surface. Every
+  * transform is a pure `DataFrame => DataFrame` so the SAME code path runs
+  * in batch (for the DuckDB-oracle correctness gate) and under
+  * `readStream`/`writeStream` (for the streaming specs) — the idiomatic
+  * Spark "unified batch/streaming" design.
+  *
+  * Scale notes (100 TB): windowed aggregations are keyed by
+  * (event_type, window) — state is bounded by watermark eviction, and the
+  * pre-shuffle partial aggregation keeps the exchange small. Session windows
+  * use the built-in `session_window`, which merges overlapping sessions in
+  * state without a per-key sort. The stateful variant
+  * ([[sessionizeStateful]]) demonstrates custom state with
+  * `flatMapGroupsWithState` + event-time timeout for semantics the built-in
+  * can't express (e.g. emitting per-session aggregates with custom close
+  * conditions).
+  */
+object EventStream {
+
+  /** Schema of the driver's events table with `ts` read as epoch nanos
+    * (spark.sql.legacy.parquet.nanosAsLong=true). Needed by
+    * `spark.readStream.schema(...)` — streaming file sources require an
+    * explicit schema. */
+  val schemaNanos: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open the events table as a micro-batch file stream. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schemaNanos).parquet(dir)
+
+  /** Epoch-nanos `ts` → proper event-time timestamp column. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time",
+      timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+
+  /** Watermarked tumbling-window aggregate: events per (type, hour).
+    * Streaming-safe: state for a window is dropped `delay` after its end. */
+  def hourlyAgg(df: DataFrame, delay: String = "2 hours"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_time", delay)
+      .groupBy(col("event_type"), window(col("event_time"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("event_type"), col("window.start").as("hour_start"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with the built-in session window: sessions
+    * close after `gap` of per-user inactivity. */
+  def sessionAgg(df: DataFrame, gap: String = "30 minutes",
+      delay: String = "2 hours"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_time", delay)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  // ---- custom state: flatMapGroupsWithState sessionization ----
+
+  case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(startSec: Long, lastSec: Long, nEvents: Long,
+      sumValue: Double)
+
+  case class SessionOut(user_id: Long, session_start_sec: Long,
+      session_end_sec: Long, n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization: one state record per live user session,
+    * closed (emitted) when the inactivity gap elapses. Demonstrates
+    * `flatMapGroupsWithState` for session semantics the built-in
+    * `session_window` can't carry (running aggregates inside the state,
+    * custom close conditions).
+    *
+    * `flushOpen = true` (batch mode): open sessions are emitted at
+    * end-of-group — the whole input is one "micro-batch", so every session
+    * is final. `flushOpen = false` (streaming): open sessions stay in state
+    * and close via the event-time timeout once the watermark passes
+    * `lastSec + gap` — the input stream must carry a watermark.
+    *
+    * Within a group, events may arrive unordered — the handler sorts each
+    * micro-batch's slice (bounded memory: one user's events per batch, not
+    * the stream's history).
+    */
+  def sessionizeStateful(spark: SparkSession, events: Dataset[Event],
+      gapSec: Long, flushOpen: Boolean = true): Dataset[SessionOut] = {
+    import spark.implicits._
+    val timeout = if (flushOpen) GroupStateTimeout.NoTimeout()
+      else GroupStateTimeout.EventTimeTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeout) {
+        case (user: Long, it: Iterator[Event],
+            state: GroupState[SessionState]) =>
+          val secs = it.map(e => (e.ts / 1000000000L, e.value)).toSeq.sorted
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          secs.foreach { case (sec, v) =>
+            cur match {
+              case Some(s) if sec - s.lastSec <= gapSec =>
+                cur = Some(s.copy(lastSec = sec, nEvents = s.nEvents + 1,
+                  sumValue = s.sumValue + v))
+              case Some(s) =>
+                closed += SessionOut(user, s.startSec, s.lastSec, s.nEvents,
+                  s.sumValue)
+                cur = Some(SessionState(sec, sec, 1L, v))
+              case None =>
+                cur = Some(SessionState(sec, sec, 1L, v))
+            }
+          }
+          cur match {
+            case Some(s) if state.hasTimedOut || flushOpen =>
+              closed += SessionOut(user, s.startSec, s.lastSec, s.nEvents,
+                s.sumValue)
+              state.remove()
+            case Some(s) =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastSec + gapSec) * 1000L + 1L)
+            case None => if (state.exists) state.remove()
+          }
+          closed.result().iterator
+      }
+  }
+}

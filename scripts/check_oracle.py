@@ -42,17 +42,19 @@ for q in sorted(os.listdir(out)):
         print(f"{q:24s} ROWCOUNT spark={len(a)} duck={len(b)}")
         fails += 1
         continue
-    # normalize dtypes for comparison
+    # driver-style strict compare: dtypes must be hash-compatible (same
+    # family) and value string representations must be identical — decimal
+    # vs float64, or int64 vs HUGEINT-as-float64, is what broke round 1.
     try:
-        import numpy as np
         eq = True
         for c in a.columns:
             av, bv = a[c], b[c]
-            if av.dtype.kind in "fc" or bv.dtype.kind in "fc":
-                ok = np.allclose(av.astype(float), bv.astype(float),
-                                 rtol=0, atol=0, equal_nan=True)
-            else:
-                ok = (av.astype(str) == bv.astype(str)).all()
+            if av.dtype != bv.dtype:
+                print(f"{q:24s} DTYPE-MISMATCH col={c} "
+                      f"spark={av.dtype} duck={bv.dtype}")
+                eq = False
+                continue
+            ok = (av.astype(str) == bv.astype(str)).all()
             if not ok:
                 bad = (av.astype(str) != bv.astype(str))
                 idx = bad[bad].index[:3].tolist()

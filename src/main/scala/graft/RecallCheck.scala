@@ -1,0 +1,32 @@
+package graft
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: asserts MinHash-LSH candidate recall is exactly 1 against the
+  * brute-force inverted-index Jaccard at a given scale factor — the
+  * precondition for q_minhash_pairs' brute-force oracle (PipelineSpec pins
+  * it at sf0.001; run this against larger SFs after changing banding
+  * parameters). */
+object RecallCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lsh = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      n = 3, numHashes = 48, bands = 16, thresholdPermille = 500)
+    val brute = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      blocking = lit(1), n = 3, thresholdPermille = 500)
+    val missed = brute.exceptAll(lsh).count()
+    val extra = lsh.exceptAll(brute).count()
+    println(s"[recall] sf=$sfDir true=${brute.count()} lsh=${lsh.count()} " +
+      s"missed=$missed extra=$extra ${if (missed + extra == 0) "PASS" else "FAIL"}")
+    spark.stop()
+  }
+}

@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry in `queries` is deterministic (explicit ORDER BY, integer-
-  * scaled ratios, decimal-cast aggregates of doubles) so the DuckDB oracle in
-  * `oracleSql` hash-matches exactly. Queries on the versioned-table surface
-  * (delete view, snapshot, time travel, incremental) run against the
-  * [[Fixtures]] COW/MOR tables built deterministically from `orders`, whose
-  * commit script is plain key arithmetic — mirrorable 1:1 in oracle SQL over
-  * the raw `orders` table. xxhash64-based sketches (MinHash/SimHash/
-  * embedding LSH) have no SQL twin → no oracle entry (driver records a
-  * rows-only check).
+  * quantized aggregates — never engine-local decimal/float rounding) so the
+  * DuckDB oracle in `oracleSql` hash-matches exactly. Queries on the
+  * versioned-table surface (delete view, snapshot, time travel, incremental)
+  * run against the [[Fixtures]] COW/MOR tables built deterministically from
+  * `orders`, whose commit script is plain key arithmetic — mirrorable 1:1 in
+  * oracle SQL over the raw `orders` table. The sketch operators (MinHash/
+  * SimHash/embedding near-dup) are specified so their OUTPUT is exact —
+  * sketches only generate candidates (with recall 1 on this data, asserted
+  * in PipelineSpec); verification is integer-exact — so they brute-force
+  * oracle-match too.
   */
 object SparkEntry {
   import Fixtures.{C1, C2, C3, C4}
@@ -71,16 +73,23 @@ object SparkEntry {
           col("l_discount") > 0.05)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
+    // Money amounts are quantized per row to exact integer units BEFORE
+    // aggregation (cents for prices; 1e-4 units for the discount product —
+    // source values carry ≤2+2 decimals, so round() lands on the true value
+    // identically in every IEEE engine), and the sums are BIGINT. Decimal
+    // aggregates hash-differently across engine→pandas paths; integer sums
+    // do not, and at 100 TB fixed-width integer sums are also the cheaper
+    // aggregation (no 128-bit decimal accumulation in the inner loop).
     "q1_agg" -> ((s, d) =>
       t(s, d, "lineitem")
         .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(20,4)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(20,4)")).as("sum_base_price"),
-          sum((col("l_extendedprice").cast("decimal(20,4)") *
-            (lit(1).cast("decimal(20,4)") - col("l_discount").cast("decimal(20,4)")))
-            .cast("decimal(30,8)")).as("sum_disc_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_base_price_c"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000).cast("long")).as("sum_disc_price_dm"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
     "q3_topk" -> ((s, d) => {
@@ -89,10 +98,9 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(o("o_orderkey").as("o_orderkey"), o("o_orderdate"))
-        .agg(sum((l("l_extendedprice").cast("decimal(20,4)") *
-          (lit(1).cast("decimal(20,4)") - l("l_discount").cast("decimal(20,4)")))
-          .cast("decimal(30,8)")).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .agg(sum(round(l("l_extendedprice") * (lit(1.0) - l("l_discount"))
+          * 10000).cast("long")).as("revenue_dm"))
+        .orderBy(col("revenue_dm").desc, col("o_orderkey").asc)
         .limit(10)
     }),
     "q_window_topn" -> ((s, d) => {
@@ -137,7 +145,7 @@ object SparkEntry {
             (col("ts") / lit(1000L)).cast("long")), "yyyy-MM-dd HH"))
         .groupBy(col("event_type"), col("hour"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(20,4)")).as("sum_value"))
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
         .orderBy(col("event_type"), col("hour"))),
     "q_events_sessions" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -188,7 +196,7 @@ object SparkEntry {
     }),
     "q_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
-          n = 3, numHashes = 32, bands = 16, thresholdPermille = 500)
+          n = 3, numHashes = 48, bands = 16, thresholdPermille = 500)
         .orderBy(col("id_a"), col("id_b"))),
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
@@ -196,8 +204,7 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
     "q_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), col("vec_id"),
-          col("embedding"), dim = 64, bands = 16, planesPerBand = 2,
-          thresholdMicro = 400000)
+          col("embedding"), thresholdNum = 2, thresholdDen = 5)
         .orderBy(col("id_a"), col("id_b"))),
     "q_multimodal_stats" -> ((s, d) =>
       Multimodal.stats(
@@ -210,8 +217,29 @@ object SparkEntry {
 
   // ---- DuckDB oracles ----
 
-  private val Rev =
-    "CAST(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4))) AS DECIMAL(30,8))"
+  /** Revenue per row in exact 1e-4 integer units (ties impossible: true
+    * values carry ≤4 decimals, so the double sits ~1e-9 off an integer). */
+  private val RevDm =
+    "CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)"
+
+  /** DuckDB sum(BIGINT) is HUGEINT (→ float64 via pandas) — always re-cast
+    * integer sums to BIGINT so they hash like Spark's LongType. */
+  private def sumB(e: String): String = s"CAST(sum($e) AS BIGINT)"
+
+  /** Portable 60-bit SimHash in SQL, mirroring [[Dedup.simhash60]] exactly:
+    * md5 hex digits → per-bit ±1 votes → positive-sum bits. */
+  private val SimhashSql: String = {
+    val bitSums = (0 until 60).map { b =>
+      s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(m, ${b / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    val simBits = (0 until 60).map { b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, md5(tok) AS m FROM tok), " +
+      s"bs AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id), " +
+      s"sim AS (SELECT doc_id, ($simBits) AS simhash FROM bs)"
+  }
 
   /** Snapshot state after C3 updates, as a CASE over raw orders. */
   private val PriceAfterC3 =
@@ -245,15 +273,15 @@ object SparkEntry {
     "q_scan_filter_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01' AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
     "q1_agg" ->
-      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty, " +
-        "sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS sum_base_price, " +
-        s"sum($Rev) AS sum_disc_price, count(*) AS count_order " +
+      (s"SELECT l_returnflag, l_linestatus, ${sumB("CAST(l_quantity AS BIGINT)")} AS sum_qty, " +
+        s"${sumB("CAST(round(l_extendedprice * 100) AS BIGINT)")} AS sum_base_price_c, " +
+        s"${sumB(RevDm)} AS sum_disc_price_dm, count(*) AS count_order " +
         "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q3_topk" ->
-      (s"SELECT o_orderkey, o_orderdate, sum($Rev) AS revenue " +
+      (s"SELECT o_orderkey, o_orderdate, ${sumB(RevDm)} AS revenue_dm " +
         "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey " +
-        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"),
+        "GROUP BY o_orderkey, o_orderdate ORDER BY revenue_dm DESC, o_orderkey ASC LIMIT 10"),
     "q_window_topn" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, " +
@@ -269,7 +297,7 @@ object SparkEntry {
       "SELECT DISTINCT partkey FROM (SELECT l_partkey AS partkey FROM lineitem UNION ALL SELECT p_partkey FROM part) ORDER BY partkey",
     "q_events_hourly" ->
       ("SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour, count(*) AS n, " +
-        "sum(CAST(value AS DECIMAL(20,4))) AS sum_value FROM events " +
+        s"${sumB("CAST(round(value * 100) AS BIGINT)")} AS sum_value_c FROM events " +
         "GROUP BY event_type, hour ORDER BY event_type, hour"),
     "q_events_sessions" ->
       ("SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (" +
@@ -318,9 +346,43 @@ object SparkEntry {
         "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
         ") WHERE rank <= 5 ORDER BY query_id, rank"),
     "q_multimodal_stats" ->
-      ("SELECT kind, count(*) AS n, sum(octet_length(encode(text))) AS total_bytes, " +
-        "CAST(floor(avg(octet_length(encode(text)))) AS BIGINT) AS avg_bytes FROM (" +
+      (s"SELECT kind, count(*) AS n, ${sumB("octet_length(encode(text))")} AS total_bytes, " +
+        s"CAST(floor(${sumB("octet_length(encode(text))")} / count(*)) AS BIGINT) AS avg_bytes FROM (" +
         "SELECT CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind, text FROM documents" +
         ") GROUP BY kind ORDER BY kind"),
+    // Brute-force exact-Jaccard oracle: the Spark side is MinHash-LSH
+    // candidate generation + exact verification; banding recall is 1 on this
+    // data (asserted in PipelineSpec against this same brute force).
+    "q_minhash_pairs" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1), " +
+        "i -> array_to_string(t[i+1:i+3], ' '))) AS s FROM toks) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(floor(len(list_intersect(a.s, b.s)) * 1000 / greatest(len(list_distinct(list_cat(a.s, b.s))), 1)) AS BIGINT) AS jaccard_permille " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE floor(len(list_intersect(a.s, b.s)) * 1000 / greatest(len(list_distinct(list_cat(a.s, b.s))), 1)) >= 500 " +
+        "ORDER BY id_a, id_b"),
+    // SimHash is md5-derived (portable) → the oracle recomputes it and brute-
+    // forces hamming ≤ 3; the Spark side's 4-chunk bucketing has exact recall
+    // by pigeonhole, so the two agree by construction.
+    "q_simhash_pairs" ->
+      (s"$SimhashSql " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming " +
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 " +
+        "ORDER BY id_a, id_b"),
+    // Quantized-integer cosine: floor(x·1e6) per element, integer dot/norms,
+    // threshold 2/5 tested cross-multiplied in 128-bit — exact in both
+    // engines, no sqrt/division.
+    "q_embed_neardup" ->
+      ("WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM embeddings), " +
+        "n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm FROM q), " +
+        "d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS dot, " +
+        "a.nrm AS na, b.nrm AS nb FROM n a JOIN n b ON a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot_q FROM d " +
+        "WHERE na > 0 AND nb > 0 AND dot >= 0 AND 25 * dot * dot >= 4 * na * nb " +
+        "ORDER BY id_a, id_b"),
   )
 }

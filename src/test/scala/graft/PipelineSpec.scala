@@ -34,6 +34,17 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.filter($"jaccard_permille" < 600).isEmpty)
   }
 
+  test("minhash LSH output == exact brute-force Jaccard (recall 1)") {
+    // brute force = the inverted-index all-pairs operator with a constant
+    // blocking key; the q_minhash_pairs oracle relies on this equality.
+    val lsh = Dedup.minhashPairs(docs, $"doc_id", $"text",
+      n = 3, numHashes = 48, bands = 16, thresholdPermille = 500)
+    val brute = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text",
+      blocking = lit(1), n = 3, thresholdPermille = 500)
+    assert(lsh.exceptAll(brute).isEmpty, "LSH emitted a non-pair")
+    assert(brute.exceptAll(lsh).isEmpty, "LSH missed a true pair")
+  }
+
   test("simhash: identical docs have hamming 0; pairs found") {
     val twin = docs.filter($"doc_id" < 10)
       .withColumn("doc_id", $"doc_id" + 30000)
@@ -51,14 +62,15 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.filter($"jaccard_permille" < 100).isEmpty)
   }
 
-  test("embedding near-dup: planted duplicate vector is found") {
+  test("embedding near-dup: planted duplicate vector is found, exactly") {
     val twin = embs.filter($"vec_id" < 5)
       .withColumn("vec_id", $"vec_id" + 40000)
+    // cosine ≥ 99/100: only the planted identical twins qualify
     val pairs = Dedup.embeddingNearDupPairs(embs.unionByName(twin),
-      $"vec_id", $"embedding", dim = 64, bands = 8, planesPerBand = 4,
-      thresholdMicro = 999000)
+      $"vec_id", $"embedding", thresholdNum = 99, thresholdDen = 100)
     val found = pairs.filter($"id_b" >= 40000 && $"id_a" === $"id_b" - 40000)
     assert(found.count() == 5)
+    assert(pairs.count() == 5, "exact threshold admitted a non-twin pair")
   }
 
   test("brute-force top-k: self is rank 1 with cosine ~1; k rows per query") {

@@ -23,10 +23,15 @@ object DriveScratch {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
       .foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          println(f"[prof] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          // two timed runs: first includes codegen/JIT warmup, second is
+          // steady state — the gap separates fixed from per-row cost
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[prof] $name%-24s ${times(0)}%8.2f s   warm ${times(1)}%8.2f s")
         } catch { case e: Throwable =>
           println(f"[prof] $name%-24s FAILED ${e.getMessage}")
         }

@@ -20,7 +20,7 @@ object RecallCheck {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val lsh = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
-      n = 3, numHashes = 48, bands = 16, thresholdPermille = 500)
+      n = 3, numHashes = 32, bands = 16, thresholdPermille = 500)
     val brute = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       blocking = lit(1), n = 3, thresholdPermille = 500)
     val missed = brute.exceptAll(lsh).count()

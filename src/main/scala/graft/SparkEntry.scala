@@ -1,6 +1,7 @@
 package graft
 
 import graft.deleteview.DeleteView
+import graft.operators.AsOfJoin
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.read.{IncrementalReader, SnapshotReader}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -138,11 +139,13 @@ object SparkEntry {
     // (spark.sql.legacy.parquet.nanosAsLong, set by Verify/Bench); all time
     // math below is integer arithmetic on epoch nanos — exact and
     // engine-portable (DuckDB reads the same column natively as TIMESTAMP).
+    // `ts div N` (integer division) NOT `/` — double division of epoch-nanos
+    // longs (> 2⁵³) rounds, and a ts within ~256ns of a unit boundary could
+    // truncate to the wrong bucket vs the oracle's exact integer math.
     "q_events_hourly" -> ((s, d) =>
       t(s, d, "events")
         .withColumn("hour",
-          date_format(timestamp_micros(
-            (col("ts") / lit(1000L)).cast("long")), "yyyy-MM-dd HH"))
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH"))
         .groupBy(col("event_type"), col("hour"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
@@ -152,7 +155,7 @@ object SparkEntry {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").asc, col("event_id").asc)
       t(s, d, "events")
-        .withColumn("sec", (col("ts") / lit(1000000000L)).cast("long"))
+        .withColumn("sec", expr("ts div 1000000000"))
         .withColumn("prev_sec", lag(col("sec"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_sec").isNull ||
@@ -196,7 +199,7 @@ object SparkEntry {
     }),
     "q_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
-          n = 3, numHashes = 48, bands = 16, thresholdPermille = 500)
+          n = 3, numHashes = 32, bands = 16, thresholdPermille = 500)
         .orderBy(col("id_a"), col("id_b"))),
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
@@ -213,6 +216,76 @@ object SparkEntry {
           when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
           col("text").cast("binary").as("content")))
         .orderBy(col("kind"))),
+
+    // ---- extended analytics surface: rollup, exact median, JSON scalar
+    //      functions, token counting, fuzzy-dedup end-to-end, as-of join ----
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))),
+    // Exact median (lower middle element), not an interpolating percentile:
+    // the k-th smallest VALUE is tie-insensitive and engine-portable.
+    "q_events_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = t(s, d, "events")
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+      val wOrd = Window.partitionBy("event_type")
+        .orderBy(col("value_c").asc, col("event_id").asc)
+      val wAll = Window.partitionBy("event_type")
+      v.withColumn("rn", row_number().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .filter(col("rn") === floor((col("cnt") + 1) / 2))
+        .select(col("event_type"), col("value_c").as("median_c"))
+        .orderBy(col("event_type"))
+    }),
+    "q_json_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+    "q_token_counts" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_ws"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+        .orderBy(col("doc_id"))),
+    "q_quality_filter" -> ((s, d) =>
+      TextAnalysis.withQuality(t(s, d, "documents"), col("text"))
+        .filter(col("quality_score") >= 700)
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+    // End-to-end fuzzy dedup: MinHash pairs → drop-list → anti-join keep set.
+    "q_dedup_fuzzy" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val drops = Dedup.dropIdsFromPairs(Dedup.minhashPairs(docs,
+        col("doc_id"), col("text"), n = 3, numHashes = 32, bands = 16,
+        thresholdPermille = 500))
+      docs.join(drops, col("doc_id") === col("drop_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // As-of join: each click annotated with the user's latest view at-or-
+    // before it (merge-sort formulation — see operators.AsOfJoin).
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      AsOfJoin.asOf(clicks, col("user_id"), col("ts"),
+          views, col("user_id"), col("ts"),
+          Seq("view_event_id" -> col("view_event_id"),
+            "view_sec" -> expr("ts div 1000000000")))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
+          coalesce(col("view_sec"), lit(-1L)).as("view_sec"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -250,6 +323,26 @@ object SparkEntry {
   /** DuckDB lambda for whitespace tokens of lower(text). */
   private val Toks =
     "string_split_regex(trim(lower(text)), '\\s+')"
+
+  // Shared quality-metric fragments (must stay semantically identical to
+  // TextAnalysis.withQuality):
+  private val PunctSql =
+    "floor((length(text) - length(regexp_replace(text, '[.,;:!?''\"()]', '', 'g'))) * 1000 / greatest(length(text), 1))"
+  private val StopSql =
+    s"floor(len(list_filter($Toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) * 1000 / greatest(len($Toks), 1))"
+  private val QualitySql =
+    s"(CASE WHEN len($Toks) BETWEEN 5 AND 10000 THEN 400 ELSE 0 END + " +
+      s"CASE WHEN $StopSql > 20 THEN 300 ELSE 0 END + " +
+      s"CASE WHEN $PunctSql < 100 THEN 300 ELSE 0 END)"
+
+  /** Distinct word-3-gram shingle sets per doc (mirrors Dedup.shingleSet
+    * with n=3), as a reusable CTE for brute-force Jaccard oracles. */
+  private val ShinglesCte =
+    "WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1), " +
+      "i -> array_to_string(t[i+1:i+3], ' '))) AS s FROM toks)"
+  private val JaccPermilleSql =
+    "floor(len(list_intersect(a.s, b.s)) * 1000 / greatest(len(list_distinct(list_cat(a.s, b.s))), 1))"
 
   def oracleSql: Map[String, String] = Map(
     "q_delete_view" ->
@@ -354,13 +447,11 @@ object SparkEntry {
     // candidate generation + exact verification; banding recall is 1 on this
     // data (asserted in PipelineSpec against this same brute force).
     "q_minhash_pairs" ->
-      ("WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), " +
-        "sh AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1), " +
-        "i -> array_to_string(t[i+1:i+3], ' '))) AS s FROM toks) " +
+      (s"$ShinglesCte " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "CAST(floor(len(list_intersect(a.s, b.s)) * 1000 / greatest(len(list_distinct(list_cat(a.s, b.s))), 1)) AS BIGINT) AS jaccard_permille " +
+        s"CAST($JaccPermilleSql AS BIGINT) AS jaccard_permille " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-        "WHERE floor(len(list_intersect(a.s, b.s)) * 1000 / greatest(len(list_distinct(list_cat(a.s, b.s))), 1)) >= 500 " +
+        s"WHERE $JaccPermilleSql >= 500 " +
         "ORDER BY id_a, id_b"),
     // SimHash is md5-derived (portable) → the oracle recomputes it and brute-
     // forces hamming ≤ 3; the Spark side's 4-chunk bucketing has exact recall
@@ -384,5 +475,38 @@ object SparkEntry {
         "SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot_q FROM d " +
         "WHERE na > 0 AND nb > 0 AND dot >= 0 AND 25 * dot * dot >= 4 * na * nb " +
         "ORDER BY id_a, id_b"),
+    "q_rollup" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
+        s"${sumB("CAST(l_quantity AS BIGINT)")} AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY returnflag, linestatus"),
+    "q_events_median" ->
+      ("SELECT event_type, value_c AS median_c FROM (" +
+        "SELECT event_type, value_c, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY value_c ASC, event_id ASC) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS cnt " +
+        "FROM (SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS value_c FROM events)" +
+        ") WHERE rn = floor((cnt + 1) / 2) ORDER BY event_type"),
+    "q_json_agg" ->
+      (s"SELECT event_type, ${sumB("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k, " +
+        s"max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k, count(*) AS n " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_token_counts" ->
+      (s"SELECT doc_id, CAST(len($Toks) AS BIGINT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])')) AS BIGINT) AS n_bpeish " +
+        "FROM documents ORDER BY doc_id"),
+    "q_quality_filter" ->
+      (s"SELECT doc_id FROM documents WHERE CAST($QualitySql AS BIGINT) >= 700 ORDER BY doc_id"),
+    "q_dedup_fuzzy" ->
+      (s"$ShinglesCte " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN (" +
+        s"SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE $JaccPermilleSql >= 500) " +
+        "ORDER BY doc_id"),
+    "q_asof_join" ->
+      ("WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "views AS (SELECT user_id, ts, max(event_id) AS view_event_id FROM events WHERE event_type = 'view' GROUP BY user_id, ts) " +
+        "SELECT c.event_id, c.user_id, coalesce(v.view_event_id, -1) AS view_event_id, " +
+        "coalesce(CAST(floor(epoch(v.ts)) AS BIGINT), -1) AS view_sec " +
+        "FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.ts <= c.ts " +
+        "ORDER BY c.event_id"),
   )
 }

@@ -60,13 +60,14 @@ object Dedup {
     * only — the output is defined purely by the exact Jaccard threshold, so
     * the DuckDB brute-force oracle matches as long as banding recall is 1
     * at the threshold (with r hashes per band and b bands, a pair at
-    * similarity s survives with prob 1-(1-s^r)^b; defaults r=3, b=16 give
-    * miss < 3e-7 at s=0.85 — duplicate pairs in practice sit far above any
+    * similarity s survives with prob 1-(1-s^r)^b; defaults r=2, b=16 give
+    * miss ≈ 1e-9 at s=0.85 — duplicate pairs in practice sit far above any
     * sensible threshold while the background sits far below; see
-    * PipelineSpec's recall assertion against the brute-force result).
+    * PipelineSpec's recall assertion against the brute-force result and the
+    * RecallCheck tool for larger SFs).
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, numHashes: Int = 48, bands: Int = 16,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
       thresholdPermille: Int = 500, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
@@ -127,12 +128,20 @@ object Dedup {
     * 60 bits (not 64) keeps the value positive in a signed BIGINT on every
     * engine — no sign-bit shift pitfalls. */
   def simhash60(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // Fold the 15 hex digits into ONE long per token up front (bit 4j+k of
+    // `h` = bit k of digit j — the same bit layout the per-digit spec and
+    // the SQL oracle use); the 60 bit-vote aggregates then run on plain
+    // shifts of that long instead of re-deriving digits per bit, which
+    // keeps the generated aggregate code small enough for JIT.
     val toks = df.select(id.cast("long").as("id"),
         explode(TextAnalysis.tokens(text)).as("tok"))
       .select(col("id"), md5(col("tok")).as("m"))
+      .select(col("id"), (0 until 15).map(j =>
+        shiftleft(hexDigit(col("m"), j + 1).cast("long"), 4 * j))
+        .reduce((a, c) => a.bitwiseOR(c)).as("h"))
     val bitSums = (0 until 60).map { b =>
-      sum(when(shiftright(hexDigit(col("m"), b / 4 + 1), b % 4)
-        .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
     }
     val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 60).map { b =>
@@ -193,8 +202,16 @@ object Dedup {
     val b = withNorm.select(col("id").as("id_b"), col("q").as("q_b"),
       col("nrm").as("n_b"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot_q", longDot(col("q_a"), col("q_b")))
+    // Project the dot product into a slim (5-long) row and cache it BEFORE
+    // filtering: with the threshold inside the join condition Catalyst
+    // re-evaluates the dot kernel once per reference (4× per pair); the
+    // cache boundary pins single evaluation and drops the vectors from the
+    // scored rows (O(pairs·40B), not O(pairs·dim)).
+    val scored = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), longDot(col("q_a"), col("q_b"))
+        .as("dot_q"), col("n_a"), col("n_b"))
+      .persist()
+    scored
       .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
         lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
           >= lit(thresholdNum * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))

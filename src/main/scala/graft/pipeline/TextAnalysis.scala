@@ -21,13 +21,13 @@ object TextAnalysis {
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: runs of letters, digits, or single
-    * non-alphanumeric glyphs — a cheap proxy for tokenizer load at scale. */
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * other non-space glyphs (CJK counts one-per-char) — a cheap proxy for
+    * tokenizer load at scale. Defined as a match COUNT of one regex so the
+    * SQL oracle (`len(regexp_extract_all(...))`) is exact. */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(
-      split(regexp_replace(lower(text), "([a-z]+|[0-9]+|[^a-z0-9\\s])", "$1"),
-        "|\\s+"),
-      t => length(t) > lit(0)))
+    size(regexp_extract_all(lower(text),
+      lit("([a-z]+|[0-9]+|[^a-z0-9\\s])"), lit(0)))
 
   /** English-ish stopwords used by the quality heuristic. */
   val Stopwords: Seq[String] =

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** Specs for standalone relational operators (as-of join). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join: latest right row at-or-before each left ts, per key") {
+    val left = Seq(
+      (1L, 10L, 100L), // key 1: matches right ts=100 (inclusive)
+      (2L, 10L, 150L), // key 1: matches right ts=120 (latest ≤ 150)
+      (3L, 20L, 90L),  // key 2: no right row ≤ 90 → null
+      (4L, 30L, 500L)  // key 3: no right rows at all → null
+    ).toDF("event_id", "key", "ts")
+    val right = Seq(
+      (10L, 100L, "a"),
+      (10L, 120L, "b"),
+      (10L, 200L, "c"), // after every left ts for key 1 → never chosen
+      (20L, 95L, "d")   // after left ts 90 → not chosen
+    ).toDF("key", "ts", "tag")
+
+    val out = AsOfJoin.asOf(left, col("key"), col("ts"),
+        right, col("key"), col("ts"),
+        Seq("tag" -> col("tag"), "right_ts" -> col("ts")))
+      .orderBy("event_id")
+      .select("event_id", "tag", "right_ts")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+
+    assert(out.toSeq == Seq(
+      (1L, Some("a"), Some(100L)),
+      (2L, Some("b"), Some(120L)),
+      (3L, None, None),
+      (4L, None, None)))
+  }
+
+  test("as-of join: left columns pass through unchanged") {
+    val left = Seq((1L, 5L, 50L, "x")).toDF("event_id", "key", "ts", "extra")
+    val right = Seq((5L, 40L, 7L)).toDF("key", "ts", "payload")
+    val out = AsOfJoin.asOf(left, col("key"), col("ts"),
+      right, col("key"), col("ts"), Seq("payload" -> col("payload")))
+    assert(out.columns.toSeq ==
+      Seq("event_id", "key", "ts", "extra", "payload"))
+    assert(out.select("extra", "payload").as[(String, Long)].head() ==
+      ("x", 7L))
+  }
+}

@@ -38,7 +38,7 @@ class PipelineSpec extends SparkSpec {
     // brute force = the inverted-index all-pairs operator with a constant
     // blocking key; the q_minhash_pairs oracle relies on this equality.
     val lsh = Dedup.minhashPairs(docs, $"doc_id", $"text",
-      n = 3, numHashes = 48, bands = 16, thresholdPermille = 500)
+      n = 3, numHashes = 32, bands = 16, thresholdPermille = 500)
     val brute = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text",
       blocking = lit(1), n = 3, thresholdPermille = 500)
     assert(lsh.exceptAll(brute).isEmpty, "LSH emitted a non-pair")

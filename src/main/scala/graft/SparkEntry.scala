@@ -27,6 +27,13 @@ object SparkEntry {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Table scan widened to cluster parallelism: the testdata parquet files
+    * are single row-groups, i.e. ONE split, so without this every per-row
+    * stage above the scan runs on one core (no-op at real scale — see
+    * [[graft.util.ParallelScan]]). */
+  private def tp(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    graft.util.ParallelScan.widen(t(spark, sfDir, name))
+
   /** Orders payload columns, for delete-view/snapshot projections. */
   private val OrdersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
@@ -60,7 +67,8 @@ object SparkEntry {
       payload(SnapshotReader.read(s, Fixtures.morDir(s, d), Some(C2)))),
     "q_incremental_mor" -> ((s, d) =>
       payload(IncrementalReader.read(s, Fixtures.morDir(s, d), C2, C3))),
-    // metadata-only COUNT (SURVEY §2 O16/O17)
+    // metadata-only COUNT (SURVEY §2 O16/O17) — raw scan, NOT widened:
+    // count() on an un-shuffled parquet relation is answered from footers.
     "q_meta_count" -> ((s, d) => {
       import s.implicits._
       Seq(t(s, d, "lineitem").count()).toDF("cnt")
@@ -69,11 +77,14 @@ object SparkEntry {
     // ---- core engine surface: scan/filter/project, agg, join, window,
     //      sort/limit, set ops ----
     "q_scan_filter_project" -> ((s, d) =>
-      t(s, d, "lineitem")
+      tp(s, d, "lineitem")
         .filter(col("l_shipdate").cast("date") >= lit("1998-01-01") &&
           col("l_discount") > 0.05)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        // total order over ALL output columns: (orderkey, linenumber) is NOT
+        // unique in this data, and rows tied on every projected column hash
+        // the same in any order
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
     // Money amounts are quantized per row to exact integer units BEFORE
     // aggregation (cents for prices; 1e-4 units for the discount product —
     // source values carry ≤2+2 decimals, so round() lands on the true value
@@ -82,7 +93,7 @@ object SparkEntry {
     // do not, and at 100 TB fixed-width integer sums are also the cheaper
     // aggregation (no 128-bit decimal accumulation in the inner loop).
     "q1_agg" -> ((s, d) =>
-      t(s, d, "lineitem")
+      tp(s, d, "lineitem")
         .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -94,8 +105,8 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
     "q3_topk" -> ((s, d) => {
-      val c = t(s, d, "customer"); val o = t(s, d, "orders")
-      val l = t(s, d, "lineitem")
+      val c = tp(s, d, "customer"); val o = tp(s, d, "orders")
+      val l = tp(s, d, "lineitem")
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(o("o_orderkey").as("o_orderkey"), o("o_orderdate"))
@@ -108,30 +119,30 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, d, "orders").withColumn("rn", row_number().over(w))
+      tp(s, d, "orders").withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rn").cast("long").as("rn"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
     "q_antijoin" -> ((s, d) =>
-      t(s, d, "customer").join(
-          t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+      tp(s, d, "customer").join(
+          tp(s, d, "orders").filter(col("o_orderstatus") === "F"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey")).orderBy(col("c_custkey"))),
     "q_semijoin" -> ((s, d) =>
-      t(s, d, "supplier").join(t(s, d, "lineitem"),
+      tp(s, d, "supplier").join(tp(s, d, "lineitem"),
           col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey")).orderBy(col("s_suppkey"))),
     "q_except" -> ((s, d) =>
-      t(s, d, "customer").select(col("c_custkey").as("custkey"))
-        .except(t(s, d, "orders")
+      tp(s, d, "customer").select(col("c_custkey").as("custkey"))
+        .except(tp(s, d, "orders")
           .filter(col("o_orderstatus") === "F")
           .select(col("o_custkey").as("custkey")))
         .orderBy(col("custkey"))),
     "q_union" -> ((s, d) =>
-      t(s, d, "lineitem").select(col("l_partkey").as("partkey"))
-        .union(t(s, d, "part").select(col("p_partkey").as("partkey")))
+      tp(s, d, "lineitem").select(col("l_partkey").as("partkey"))
+        .union(tp(s, d, "part").select(col("p_partkey").as("partkey")))
         .distinct().orderBy(col("partkey"))),
 
     // ---- events: time-window agg + gap-based sessionization ----
@@ -143,7 +154,7 @@ object SparkEntry {
     // longs (> 2⁵³) rounds, and a ts within ~256ns of a unit boundary could
     // truncate to the wrong bucket vs the oracle's exact integer math.
     "q_events_hourly" -> ((s, d) =>
-      t(s, d, "events")
+      tp(s, d, "events")
         .withColumn("hour",
           date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH"))
         .groupBy(col("event_type"), col("hour"))
@@ -154,7 +165,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").asc, col("event_id").asc)
-      t(s, d, "events")
+      tp(s, d, "events")
         .withColumn("sec", expr("ts div 1000000000"))
         .withColumn("prev_sec", lag(col("sec"), 1).over(w))
         .withColumn("new_session",
@@ -168,28 +179,28 @@ object SparkEntry {
 
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----
     "q_dedup_exact" -> ((s, d) =>
-      Dedup.exact(t(s, d, "documents"), col("text"), col("doc_id"))
+      Dedup.exact(tp(s, d, "documents"), col("text"), col("doc_id"))
         .select(col("doc_id")).orderBy(col("doc_id"))),
     "q_text_stats" -> ((s, d) =>
-      TextAnalysis.withQuality(t(s, d, "documents"), col("text"))
+      TextAnalysis.withQuality(tp(s, d, "documents"), col("text"))
         .select(col("doc_id"), col("n_tokens"), col("punct_permille"),
           col("stopword_permille"), col("quality_score"))
         .orderBy(col("doc_id"))),
     "q_langid" -> ((s, d) =>
-      TextAnalysis.withLangId(t(s, d, "documents"), col("text"))
+      TextAnalysis.withLangId(tp(s, d, "documents"), col("text"))
         .select(col("doc_id"), col("lang_pred")).orderBy(col("doc_id"))),
     "q_fingerprint" -> ((s, d) =>
-      t(s, d, "documents")
+      tp(s, d, "documents")
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
     "q_ngram_pairs" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), col("doc_id"),
+      Dedup.ngramJaccardPairs(tp(s, d, "documents"), col("doc_id"),
           col("text"), blocking = col("source"), n = 2,
           thresholdPermille = 200)
         .orderBy(col("id_a"), col("id_b"))),
     "q_sim_topk" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
+      val e = tp(s, d, "embeddings")
       Similarity.bruteForceTopK(
         e, col("vec_id"), col("embedding"),
         e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
@@ -198,20 +209,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+      Dedup.minhashPairs(tp(s, d, "documents"), col("doc_id"), col("text"),
           n = 3, numHashes = 32, bands = 16, thresholdPermille = 500)
         .orderBy(col("id_a"), col("id_b"))),
     "q_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+      Dedup.simhashPairs(tp(s, d, "documents"), col("doc_id"), col("text"),
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
     "q_embed_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), col("vec_id"),
+      Dedup.embeddingNearDupPairs(tp(s, d, "embeddings"), col("vec_id"),
           col("embedding"), thresholdNum = 2, thresholdDen = 5)
         .orderBy(col("id_a"), col("id_b"))),
     "q_multimodal_stats" -> ((s, d) =>
       Multimodal.stats(
-        t(s, d, "documents").select(
+        tp(s, d, "documents").select(
           col("doc_id").as("media_id"),
           when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
           col("text").cast("binary").as("content")))
@@ -220,7 +231,7 @@ object SparkEntry {
     // ---- extended analytics surface: rollup, exact median, JSON scalar
     //      functions, token counting, fuzzy-dedup end-to-end, as-of join ----
     "q_rollup" -> ((s, d) =>
-      t(s, d, "lineitem")
+      tp(s, d, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
           count(lit(1)).as("n"))
@@ -232,7 +243,7 @@ object SparkEntry {
     // the k-th smallest VALUE is tie-insensitive and engine-portable.
     "q_events_median" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val v = t(s, d, "events")
+      val v = tp(s, d, "events")
         .withColumn("value_c", round(col("value") * 100).cast("long"))
       val wOrd = Window.partitionBy("event_type")
         .orderBy(col("value_c").asc, col("event_id").asc)
@@ -244,24 +255,24 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
     "q_json_agg" -> ((s, d) =>
-      t(s, d, "events")
+      tp(s, d, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
     "q_token_counts" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      tp(s, d, "documents").select(col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_ws"),
           TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
         .orderBy(col("doc_id"))),
     "q_quality_filter" -> ((s, d) =>
-      TextAnalysis.withQuality(t(s, d, "documents"), col("text"))
+      TextAnalysis.withQuality(tp(s, d, "documents"), col("text"))
         .filter(col("quality_score") >= 700)
         .select(col("doc_id")).orderBy(col("doc_id"))),
     // End-to-end fuzzy dedup: MinHash pairs → drop-list → anti-join keep set.
     "q_dedup_fuzzy" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = tp(s, d, "documents")
       val drops = Dedup.dropIdsFromPairs(Dedup.minhashPairs(docs,
         col("doc_id"), col("text"), n = 3, numHashes = 32, bands = 16,
         thresholdPermille = 500))
@@ -271,7 +282,7 @@ object SparkEntry {
     // As-of join: each click annotated with the user's latest view at-or-
     // before it (merge-sort formulation — see operators.AsOfJoin).
     "q_asof_join" -> ((s, d) => {
-      val ev = t(s, d, "events")
+      val ev = tp(s, d, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val views = ev.filter(col("event_type") === "view")
@@ -364,7 +375,7 @@ object SparkEntry {
     "q_meta_count" ->
       "SELECT count(*) AS cnt FROM lineitem",
     "q_scan_filter_project" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01' AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01' AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber, l_quantity",
     "q1_agg" ->
       (s"SELECT l_returnflag, l_linestatus, ${sumB("CAST(l_quantity AS BIGINT)")} AS sum_qty, " +
         s"${sumB("CAST(round(l_extendedprice * 100) AS BIGINT)")} AS sum_base_price_c, " +

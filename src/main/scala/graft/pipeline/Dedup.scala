@@ -46,11 +46,21 @@ object Dedup {
   /** (id, shingle-hash) stream: one row per distinct shingle per doc — the
     * substrate for both signature aggregation and exact-Jaccard verification
     * (intersection sizes come from a join on the shingle hash, never from
-    * per-pair array scans). */
+    * per-pair array scans).
+    *
+    * explode_outer, NOT explode: plain explode makes Catalyst infer a
+    * `size(shingles) > 0` filter (InferFiltersFromGenerate) whose predicate
+    * embeds the whole shingle expression, and predicate pushdown then
+    * evaluates it BELOW the widening exchange — i.e. the full shingling of
+    * every document runs serially inside the scan task, per action. Shingle
+    * arrays are never empty (even "" yields one shingle), so outer explode
+    * is row-identical and dodges the inferred filter. */
   private def explodedShingles(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame =
-    df.select(id.cast("long").as("id"), shingleSet(text, n).as("shingles"))
-      .select(col("id"), explode(col("shingles")).as("sh"))
+    graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("id"), text.as("__text")))
+      .select(col("id"), shingleSet(col("__text"), n).as("shingles"))
+      .select(col("id"), explode_outer(col("shingles")).as("sh"))
 
   /** Near-duplicate pairs via MinHash + LSH banding, verified with the exact
     * Jaccard similarity of the shingle sets (integer per-mille, floor).
@@ -102,8 +112,11 @@ object Dedup {
     * are materialized. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       blocking: Column, n: Int = 3, thresholdPermille: Int = 500): DataFrame = {
-    val base = df.select(id.cast("long").as("id"), blocking.as("block"),
-      shingleSet(text, n).as("shingles")).persist()
+    val base = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("id"), blocking.as("block"),
+          text.as("__text")))
+      .select(col("id"), col("block"),
+        shingleSet(col("__text"), n).as("shingles")).persist()
     val sizes = base.select(col("id"), size(col("shingles")).as("sz"))
     val exploded = base.select(col("id"), col("block"),
       explode(col("shingles")).as("sh"))
@@ -133,8 +146,13 @@ object Dedup {
     // the SQL oracle use); the 60 bit-vote aggregates then run on plain
     // shifts of that long instead of re-deriving digits per bit, which
     // keeps the generated aggregate code small enough for JIT.
-    val toks = df.select(id.cast("long").as("id"),
-        explode(TextAnalysis.tokens(text)).as("tok"))
+    // explode_outer: see explodedShingles — token arrays are never empty,
+    // and plain explode's inferred size-filter would serialize tokenization
+    // below the widening exchange.
+    val toks = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("id"), text.as("__text")))
+      .select(col("id"),
+        explode_outer(TextAnalysis.tokens(col("__text"))).as("tok"))
       .select(col("id"), md5(col("tok")).as("m"))
       .select(col("id"), (0 until 15).map(j =>
         shiftleft(hexDigit(col("m"), j + 1).cast("long"), 4 * j))
@@ -194,8 +212,10 @@ object Dedup {
       thresholdNum: Int = 2, thresholdDen: Int = 5,
       scale: Long = 1000000L): DataFrame = {
     import graft.functions.ArrayNumeric.{longDot, longNormSq}
-    val q = df.select(id.cast("long").as("id"),
-      transform(vec, x => floor(x.cast("double") * scale).cast("long")).as("q"))
+    val q = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("id"), vec.as("__v")))
+      .select(col("id"), transform(col("__v"),
+        x => floor(x.cast("double") * scale).cast("long")).as("q"))
     val withNorm = q.withColumn("nrm", longNormSq(col("q")))
     val a = withNorm.select(col("id").as("id_a"), col("q").as("q_a"),
       col("nrm").as("n_a"))

@@ -43,8 +43,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int): DataFrame = {
-    val c = corpus.select(corpusId.cast("long").as("corpus_id"),
-      corpusVec.as("cv"))
+    val c = graft.util.ParallelScan.widen(
+      corpus.select(corpusId.cast("long").as("corpus_id"),
+        corpusVec.as("cv")))
     val q = queries.select(queryId.cast("long").as("query_id"),
       queryVec.as("qv"))
     val scored = c.crossJoin(broadcast(q))
@@ -67,8 +68,9 @@ object Similarity {
     def sig(v: Column): Column = hp.zipWithIndex.map { case (h, i) =>
       when(dot(v, typedLit(h)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val c = corpus.select(corpusId.cast("long").as("corpus_id"),
-      corpusVec.as("cv")).withColumn("bucket", sig(col("cv")))
+    val c = graft.util.ParallelScan.widen(
+      corpus.select(corpusId.cast("long").as("corpus_id"),
+        corpusVec.as("cv"))).withColumn("bucket", sig(col("cv")))
     val q = queries.select(queryId.cast("long").as("query_id"),
       queryVec.as("qv")).withColumn("bucket", sig(col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))

@@ -125,6 +125,12 @@ final class DeleteView(spark: SparkSession, basePath: String, ts: String) {
     }
     spark.read.parquet(cachePath)
   }
+
+  /** Expose the (materialized) delete view to SQL text as a temp view —
+    * `SELECT * FROM <name>` then serves the cached Parquet with full
+    * pushdown/pruning (SURVEY.md §7.4: temp-view registration is the SQL
+    * surface; a TVF is unnecessary for parity). */
+  def register(name: String): Unit = toDF().createOrReplaceTempView(name)
 }
 
 object DeleteView {

@@ -69,4 +69,13 @@ object ArrayNumeric {
 
   /** Exact squared L2 norm `Σ aᵢ²` of an `array<bigint>` column. */
   def longNormSq(a: Column): Column = longDot(a, a)
+
+  /** Register `long_array_dot` in a session's function registry so it is
+    * callable from SQL text (`SELECT long_array_dot(a, b) ...`). For
+    * config-driven registration use [[graft.GraftExtensions]] instead. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_array_dot",
+      exprs => LongArrayDot(exprs.head, exprs(1)),
+      "built-in")
 }

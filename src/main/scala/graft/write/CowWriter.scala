@@ -130,25 +130,25 @@ final class CowWriter(
 
     val written = writeSlices(newData, ts)
 
-    // numDeletes per group: delete keys actually present in the old slices
-    // (ref invariant: totalRecordsDeleted must be exact, DeleteView.java:186).
-    val deletedPerFid: Map[String, Long] = (old, del) match {
-      case (Some(o), Some(d)) =>
-        o.join(d.select(MetaCols.RecordKey), Seq(MetaCols.RecordKey), "left_semi")
+    // Per-group delete/update counters in ONE job (the old slices are 100 TB
+    // scale — every extra stats pass is a full re-read): tag the change keys
+    // with their op, inner-join once against old keys, count by (fid, op).
+    // Ref invariant: totalRecordsDeleted must be exact (DeleteView.java:186).
+    val tagged = (del.map(_.select(col(MetaCols.RecordKey))
+        .withColumn(OpCol, lit("d"))).toSeq ++
+      up.map(_.select(col(MetaCols.RecordKey)).withColumn(OpCol, lit("u"))))
+      .reduceOption(_ unionByName _)
+    val opCounts: Map[(String, String), Long] = (old, tagged) match {
+      case (Some(o), Some(t)) =>
+        o.select(col(MetaCols.RecordKey), col(MetaCols.PartitionPath))
+          .join(t, Seq(MetaCols.RecordKey))
           .withColumn(FidCol, fileIdCol)
-          .groupBy(FidCol).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+          .groupBy(col(FidCol), col(OpCol)).count().collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       case _ => Map.empty
     }
-    // numUpdateWrites per group: update keys present in the old slices.
-    val updatedPerFid: Map[String, Long] = (old, up) match {
-      case (Some(o), Some(u)) =>
-        o.join(u.select(MetaCols.RecordKey), Seq(MetaCols.RecordKey), "left_semi")
-          .withColumn(FidCol, fileIdCol)
-          .groupBy(FidCol).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-      case _ => Map.empty
-    }
+    val deletedPerFid = opCounts.collect { case ((f, "d"), n) => f -> n }
+    val updatedPerFid = opCounts.collect { case ((f, "u"), n) => f -> n }
 
     // Groups fully emptied by deletes produce no file: record a 0-row stat so
     // the delete view still sees prevCommit + numDeletes for them.
@@ -201,5 +201,6 @@ final class CowWriter(
 object CowWriter {
   /** Helper column holding the file-group id during a write. */
   private[graft] val FidCol = "__graft_fid"
-  private val PartDirCol = "__graft_part"
+  /** Helper column tagging change rows with their operation (d/u). */
+  private val OpCol = "__graft_op"
 }

@@ -90,4 +90,100 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
+
+  // ---- IVF (inverted-file) ANN: the coarse-quantizer scale path ----
+
+  /** Train `nlist` IVF centroids with `iters` Lloyd steps, fully as
+    * DataFrame aggregations (no MLlib, no driver-side data beyond the
+    * centroids themselves — O(nlist·dim), metadata-sized).
+    *
+    * Initialization is deterministic: the `nlist` corpus rows with the
+    * smallest xxhash64(id) (a seeded uniform sample that is reproducible
+    * across cluster layouts, unlike `rdd.takeSample`).
+    *
+    * Scale: each Lloyd step is one broadcast-join (assignment against the
+    * broadcast centroid table) + one map-side-combined average — the
+    * standard distributed k-means shape; cost is O(n·nlist·dim) per iter. */
+  def ivfTrain(corpus: DataFrame, id: Column, vec: Column,
+      nlist: Int, iters: Int = 2, seed: Long = 42L): Seq[(Int, Seq[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = graft.util.ParallelScan.widen(
+      corpus.select(id.cast("long").as("id"), vec.as("v")))
+    var centroids: Seq[(Int, Seq[Float])] =
+      c.withColumn("__h", xxhash64(col("id"), lit(seed)))
+        .orderBy(col("__h")).limit(nlist)
+        .select(col("v")).collect()
+        .map(_.getSeq[Float](0).toSeq).zipWithIndex
+        .map { case (v, i) => (i, v) }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroid(c, centroids)
+      val dim = centroids.head._2.size
+      // per-cluster mean, component-wise: posexplode + (cluster, pos) agg —
+      // map-side combine keeps the shuffle at O(nlist·dim) rows.
+      val means = assigned
+        .select(col("__cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("__cluster", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("__cluster")
+        .agg(map_from_arrays(collect_list(col("pos")),
+          collect_list(col("m"))).as("mm"))
+        .as[(Int, Map[Int, Double])].collect()
+      val updated = means.map { case (cl, mm) =>
+        cl -> (0 until dim).map(p => mm.getOrElse(p, 0.0).toFloat)
+      }.toMap
+      centroids = centroids.map { case (cl, v) =>
+        cl -> updated.getOrElse(cl, v)
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment (dot-product metric, deterministic
+    * lowest-index tiebreak) against a broadcast centroid list. */
+  private def assignToCentroid(c: DataFrame,
+      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    val scores = centroids.map { case (cl, cv) =>
+      struct(dot(col("v"), typedLit(cv.map(_.toDouble))).as("s"),
+        lit(cl).as("cl"))
+    }
+    c.withColumn("__cluster",
+      greatest(scores: _*).getField("cl"))
+  }
+
+  /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
+    * (in production: written once as a `partitionBy`/bucketed table);
+    * each query probes only its `nprobe` nearest centroid buckets. Same
+    * output shape as [[bruteForceTopK]]; recall < 1 by design, tuned by
+    * `nprobe`/`nlist`. */
+  def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nlist: Int, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+    val centroids = ivfTrain(corpus, corpusId, corpusVec, nlist, seed = seed)
+    val c = graft.util.ParallelScan.widen(
+      corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("cv")))
+    val cAssigned = assignToCentroid(c.withColumnRenamed("cv", "v"), centroids)
+      .withColumnRenamed("v", "cv")
+    // queries probe their nprobe nearest centroids
+    val probes = (q: Column) => {
+      val scored = centroids.map { case (cl, cv) =>
+        struct(dot(q, typedLit(cv.map(_.toDouble))).as("s"), lit(cl).as("cl"))
+      }
+      slice(transform(
+        array_sort(array(scored: _*),
+          (a, b) => when(a.getField("s") > b.getField("s"), -1)
+            .when(a.getField("s") < b.getField("s"), 1).otherwise(0)),
+        x => x.getField("cl")), 1, nprobe)
+    }
+    val qd = queries.select(queryId.cast("long").as("query_id"),
+        queryVec.as("qv"))
+      .withColumn("__cluster", explode(probes(col("qv"))))
+    val scored = cAssigned.join(broadcast(qd), Seq("__cluster"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cosine_micro", floor(col("cos") * 1000000).cast("long"))
+      .select("query_id", "corpus_id", "rank", "cosine_micro")
+  }
 }

@@ -85,6 +85,28 @@ class PipelineSpec extends SparkSpec {
     assert(self.filter($"cosine_micro" < 999999).isEmpty)
   }
 
+  test("IVF top-k: corpus queries retrieve themselves at rank 1") {
+    val queries = embs.filter($"vec_id" < 5)
+    val topk = Similarity.ivfTopK(
+      embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding",
+      k = 3, nlist = 8, nprobe = 8) // nprobe = nlist → exhaustive = exact
+    val self = topk.filter($"rank" === 1)
+    assert(self.count() == 5)
+    assert(self.filter($"query_id" =!= $"corpus_id").isEmpty)
+    // with nprobe == nlist the result must equal brute force
+    val brute = Similarity.bruteForceTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 3)
+    assert(topk.exceptAll(brute).isEmpty && brute.exceptAll(topk).isEmpty)
+  }
+
+  test("IVF training is deterministic and returns nlist centroids") {
+    val c1 = Similarity.ivfTrain(embs, $"vec_id", $"embedding", nlist = 4)
+    val c2 = Similarity.ivfTrain(embs, $"vec_id", $"embedding", nlist = 4)
+    assert(c1 == c2)
+    assert(c1.size == 4 && c1.forall(_._2.size == 64))
+  }
+
   test("LSH top-k: self bucket always contains the query itself") {
     val queries = embs.filter($"vec_id" < 5)
     val topk = Similarity.lshTopK(

@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.deleteview.DeleteView
+import graft.format.Timeline
+import graft.read.{IncrementalReader, SnapshotReader}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Public façade over a versioned table — the one-object API a user of the
+  * reference (`DeleteSupport(path, ts).getDeleteDataset()`) migrates to:
+  *
+  * {{{
+  *   val t = GraftTable(spark, "/data/orders")
+  *   t.snapshot()                  // current state (COW fast path / MOR merge)
+  *   t.asOf("20260102000000")      // time travel
+  *   t.incremental(c1, c2)         // rows written in (c1, c2]
+  *   t.deleteView(c2)              // rows DELETED by c2 (the reference's API)
+  *   t.commits                     // completed instants, oldest→newest
+  * }}}
+  *
+  * All methods return lazy DataFrames planned against the table's commit
+  * metadata; nothing is read until an action runs. The underlying scans are
+  * plain multi-path parquet relations, so filter pushdown, column pruning
+  * and split-based parallelism apply unchanged.
+  */
+final class GraftTable(spark: SparkSession, basePath: String) {
+
+  private def timeline =
+    Timeline(spark.sessionState.newHadoopConf(), basePath)
+
+  /** Completed commit timestamps, oldest first. */
+  def commits: Seq[String] = timeline.completedInstants().map(_.ts)
+
+  /** Latest-state snapshot (COW: pure multi-path scan; MOR: window merge of
+    * dirty groups only). */
+  def snapshot(): DataFrame = SnapshotReader.read(spark, basePath)
+
+  /** Snapshot as of (≤) commit `ts`. */
+  def asOf(ts: String): DataFrame =
+    SnapshotReader.read(spark, basePath, Some(ts))
+
+  /** Current state of records written in `(fromExclusive, toInclusive]`. */
+  def incremental(fromExclusive: String, toInclusive: String): DataFrame =
+    IncrementalReader.read(spark, basePath, fromExclusive, toInclusive)
+
+  /** Rows deleted by commit `ts` (the reference's capability): materialized
+    * once under `.delete/<ts>/`, count-validated, then served cached. */
+  def deleteView(ts: String): DataFrame =
+    DeleteView(spark, basePath, ts).toDF()
+
+  /** Register `snapshot()` as a SQL temp view. */
+  def register(name: String): Unit =
+    snapshot().createOrReplaceTempView(name)
+}
+
+object GraftTable {
+  def apply(spark: SparkSession, basePath: String): GraftTable =
+    new GraftTable(spark, basePath)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based check: AsOfJoin over random inputs must equal the obvious
+  * in-memory model (per left row: the max-ts right row with same key and
+  * ts ≤ left ts). Right side is generated unique per (key, ts), matching the
+  * operator's determinism contract. */
+object AsOfJoinProps extends Properties("AsOfJoin") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+
+  private val genRow: Gen[(Long, Long)] = for {
+    k <- Gen.choose(0L, 3L)
+    ts <- Gen.choose(0L, 20L)
+  } yield (k, ts)
+
+  private val genInput: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+    for {
+      l <- Gen.listOfN(12, genRow)
+      r <- Gen.listOfN(12, genRow)
+    } yield (
+      l.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) },
+      r.distinctBy { case (k, ts) => (k, ts) }
+        .zipWithIndex.map { case ((k, ts), i) => (k, ts, 100L + i) })
+
+  property("equals the in-memory point-in-time model") =
+    Prop.forAll(genInput) { case (leftRows, rightRows) =>
+      import spark.implicits._
+      val left = leftRows.toDF("event_id", "key", "ts")
+      val right = rightRows.toDF("key", "ts", "payload")
+
+      val got = AsOfJoin.asOf(left, col("key"), col("ts"),
+          right, col("key"), col("ts"),
+          Seq("payload" -> col("payload")))
+        .select("event_id", "payload").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some(r.getLong(1)))).toMap
+
+      val want = leftRows.map { case (id, k, ts) =>
+        val cand = rightRows.filter { case (rk, rts, _) => rk == k && rts <= ts }
+        id -> cand.sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+
+      got == want
+    }
+}

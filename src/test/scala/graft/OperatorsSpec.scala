@@ -36,6 +36,20 @@ class OperatorsSpec extends SparkSpec {
       (4L, None, None)))
   }
 
+  test("GraftTable facade: snapshot/asOf/incremental/deleteView agree with readers") {
+    val dir = Fixtures.cowDir(spark, sf0001)
+    val t = graft.sources.GraftTable(spark, dir)
+    assert(t.commits == Seq(Fixtures.C1, Fixtures.C2, Fixtures.C3, Fixtures.C4))
+    assert(t.snapshot().count() ==
+      graft.read.SnapshotReader.read(spark, dir).count())
+    assert(t.asOf(Fixtures.C2).count() ==
+      graft.read.SnapshotReader.read(spark, dir, Some(Fixtures.C2)).count())
+    assert(t.deleteView(Fixtures.C2).count() > 0)
+    t.register("graft_orders")
+    assert(spark.sql("SELECT count(*) FROM graft_orders").head().getLong(0) ==
+      t.snapshot().count())
+  }
+
   test("as-of join: left columns pass through unchanged") {
     val left = Seq((1L, 5L, 50L, "x")).toDF("event_id", "key", "ts", "extra")
     val right = Seq((5L, 40L, 7L)).toDF("key", "ts", "payload")

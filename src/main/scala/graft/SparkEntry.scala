@@ -1,7 +1,7 @@
 package graft
 
 import graft.deleteview.DeleteView
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.read.{IncrementalReader, SnapshotReader}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -279,19 +279,37 @@ object SparkEntry {
       docs.join(drops, col("doc_id") === col("drop_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // Event-join queries compare INTEGER MICROSECONDS on both sides: the
+    // raw ts carries sub-µs precision that DuckDB's TIMESTAMP truncates
+    // away, so nanosecond comparisons could disagree at window/as-of
+    // boundaries; `ts div 1000` equals DuckDB's epoch_us exactly (verified).
+    // Range (band) join: clicks of the same user in the 10 minutes before
+    // each error event (bucketized equi-join — see operators.RangeJoin).
+    "q_range_join" -> ((s, d) => {
+      val ev = tp(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+      RangeJoin.countPreceding(
+          ev.filter(col("event_type") === "error"),
+          col("event_id"), col("user_id"), col("ts_us"),
+          ev.filter(col("event_type") === "click"),
+          col("user_id"), col("ts_us"),
+          window = 600L * 1000000L)
+        .select(col("id").as("event_id"), col("k").as("user_id"),
+          col("n_matches").as("n_clicks"))
+        .orderBy(col("event_id"))
+    }),
     // As-of join: each click annotated with the user's latest view at-or-
     // before it (merge-sort formulation — see operators.AsOfJoin).
     "q_asof_join" -> ((s, d) => {
-      val ev = tp(s, d, "events")
+      val ev = tp(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), col("ts_us"))
       val views = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
+        .groupBy(col("user_id"), col("ts_us"))
         .agg(max(col("event_id")).as("view_event_id"))
-      AsOfJoin.asOf(clicks, col("user_id"), col("ts"),
-          views, col("user_id"), col("ts"),
+      AsOfJoin.asOf(clicks, col("user_id"), col("ts_us"),
+          views, col("user_id"), col("ts_us"),
           Seq("view_event_id" -> col("view_event_id"),
-            "view_sec" -> expr("ts div 1000000000")))
+            "view_sec" -> expr("ts_us div 1000000")))
         .select(col("event_id"), col("user_id"),
           coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"),
           coalesce(col("view_sec"), lit(-1L)).as("view_sec"))
@@ -512,6 +530,11 @@ object SparkEntry {
         "SELECT doc_id FROM documents WHERE doc_id NOT IN (" +
         s"SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE $JaccPermilleSql >= 500) " +
         "ORDER BY doc_id"),
+    "q_range_join" ->
+      ("SELECT e.event_id, e.user_id, " +
+        "(SELECT count(*) FROM events c WHERE c.event_type = 'click' AND c.user_id = e.user_id " +
+        "AND epoch_us(c.ts) >= epoch_us(e.ts) - 600000000 AND epoch_us(c.ts) < epoch_us(e.ts)) AS n_clicks " +
+        "FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id"),
     "q_asof_join" ->
       ("WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
         "views AS (SELECT user_id, ts, max(event_id) AS view_event_id FROM events WHERE event_type = 'view' GROUP BY user_id, ts) " +

@@ -36,6 +36,22 @@ class OperatorsSpec extends SparkSpec {
       (4L, None, None)))
   }
 
+  test("range join counts matches in [ts-window, ts), zeros kept") {
+    import graft.operators.RangeJoin
+    val left = Seq(
+      (1L, 10L, 100L), // right @95 in [90,100); @100 NOT (exclusive)
+      (2L, 10L, 96L),  // right @95 only ([86,96))
+      (3L, 20L, 50L)   // no right rows for key 20
+    ).toDF("event_id", "key", "ts")
+    val right = Seq((10L, 95L), (10L, 100L), (10L, 89L), (30L, 95L))
+      .toDF("key", "ts")
+    val out = RangeJoin.countPreceding(left, col("event_id"), col("key"),
+        col("ts"), right, col("key"), col("ts"), window = 10L)
+      .orderBy("id").select("id", "n_matches")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 2L), (3L, 0L)))
+  }
+
   test("GraftTable facade: snapshot/asOf/incremental/deleteView agree with readers") {
     val dir = Fixtures.cowDir(spark, sf0001)
     val t = graft.sources.GraftTable(spark, dir)

@@ -39,9 +39,12 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingle set (distinct xxhash64 values) of a text column. */
+  /** Word n-gram shingle set (distinct xxhash64 values) of a text column —
+    * native expression, not HOF lambdas (see
+    * [[graft.functions.DistinctShingleHashes]]). */
   def shingleSet(text: Column, n: Int): Column =
-    array_distinct(TextAnalysis.shingleHashes(text, n))
+    graft.functions.TextHashes.distinctShingleHashes(
+      TextAnalysis.tokens(text), n)
 
   /** (id, shingle-hash) stream: one row per distinct shingle per doc — the
     * substrate for both signature aggregation and exact-Jaccard verification

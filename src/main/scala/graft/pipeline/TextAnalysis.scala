@@ -95,20 +95,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
-  /** Rolling-hash shingle fingerprints: xxhash64 of each word n-gram —
-    * the building block for n-gram dedup (Spark-side only; xxhash64 is
-    * engine-specific so no SQL oracle).
-    *
-    * Callers on a hot path should pre-project `tokens(text)` into a column
-    * and use [[shingleHashesFromTokens]]: higher-order-function lambdas are
-    * interpreted (no codegen, no common-subexpression elimination), so a
-    * `tokens(text)` INSIDE the lambda would re-run the regex split once per
-    * shingle position. */
-  def shingleHashes(text: Column, n: Int): Column =
-    shingleHashesFromTokens(tokens(text), n)
-
-  /** [[shingleHashes]] over an already-materialized token-array column. */
-  def shingleHashesFromTokens(toks: Column, n: Int): Column =
+  /** Rolling-hash shingle fingerprints: xxhash64 of each word n-gram — the
+    * building block for n-gram dedup (Spark-side only; xxhash64 is
+    * engine-specific so no SQL oracle). The hot-path implementation is the
+    * native [[graft.functions.DistinctShingleHashes]] expression; this is
+    * the pure-`functions._` reference formulation kept for documentation
+    * and cross-checking (HOF lambdas evaluate interpreted — measured ~20×
+    * slower per shingle). */
+  def shingleHashesHof(toks: Column, n: Int): Column =
     transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))

@@ -34,6 +34,15 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.filter($"jaccard_permille" < 600).isEmpty)
   }
 
+  test("native shingle expression == HOF reference formulation") {
+    val native = docs.select($"doc_id",
+      Dedup.shingleSet($"text", 3).as("s"))
+    val hof = docs.select($"doc_id",
+      array_distinct(TextAnalysis.shingleHashesHof(
+        TextAnalysis.tokens($"text"), 3)).as("s"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
   test("minhash LSH output == exact brute-force Jaccard (recall 1)") {
     // brute force = the inverted-index all-pairs operator with a constant
     // blocking key; the q_minhash_pairs oracle relies on this equality.

@@ -99,6 +99,35 @@ class DeleteViewSpec extends SparkSpec {
     }
   }
 
+  test("delete then re-insert: snapshot serves new payload, delete view keeps old") {
+    val dir = freshDir("orders_reinsert")
+    val small = orders.limit(200).cache()
+    val victims = small.filter($"o_orderkey" % 10 === 1)
+    val w = new CowWriter(spark, dir, numBuckets = 4)
+    w.insert(small, keyCol, partCol, C1)
+    w.delete(victims, keyCol, partCol, C2)
+    // C3 re-inserts the deleted keys with a changed payload
+    w.upsert(victims.withColumn("o_totalprice", $"o_totalprice" + 5),
+      keyCol, partCol, C3)
+    val t = graft.sources.GraftTable(spark, dir)
+    assert(t.snapshot().count() == small.count(), "re-insert restores count")
+    val reborn = t.snapshot()
+      .filter($"o_orderkey" % 10 === 1)
+      .join(victims.select($"o_orderkey",
+        ($"o_totalprice" + 5).as("expected")), Seq("o_orderkey"))
+    assert(reborn.filter($"o_totalprice" =!= $"expected").isEmpty,
+      "re-inserted rows carry the new payload")
+    // the delete view of C2 still reconstructs the ORIGINAL payload
+    val view = t.deleteView(C2)
+    assert(view.count() == victims.count())
+    assert(view.select("o_orderkey", "o_totalprice")
+      .exceptAll(victims.select("o_orderkey", "o_totalprice")).isEmpty,
+      "delete view shows pre-delete payload, not the re-inserted one")
+    // and those rows carry C1 commit provenance restamped to C2
+    assert(view.select(MetaCols.CommitTime).distinct()
+      .as[String].collect().toSeq == Seq(C2))
+  }
+
   test("snapshot semantics: survivors keep original commit time (COW carry-over)") {
     val tl = Timeline(spark.sessionState.newHadoopConf(), base)
     val slices = tl.latestSlices(Some(C2))

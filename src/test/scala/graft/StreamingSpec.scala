@@ -1,5 +1,49 @@
 package graft
 
+import graft.streaming.TableTail
+import graft.write.CowWriter
+import org.apache.spark.sql.functions.col
+
+/** Micro-batch tail over the versioned table's commit timeline. */
+class TableTailSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("drainOnce yields each commit exactly once and resumes from cursor") {
+    val dir = freshDir("tail_cow")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(200)
+    val w = new CowWriter(spark, dir, numBuckets = 2)
+    w.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    w.delete(orders.filter($"o_orderkey" % 7 === 0),
+      col("o_orderkey"), col("o_orderstatus"), Fixtures.C2)
+
+    var seen = Vector.empty[(String, Long)]
+    val cur1 = TableTail.drainOnce(spark, dir, None) { (ts, df) =>
+      seen :+= (ts -> df.count())
+    }
+    assert(cur1.contains(Fixtures.C2))
+    assert(seen.map(_._1) == Vector(Fixtures.C1, Fixtures.C2))
+    assert(seen(0)._2 == orders.count(), "C1 increment = full insert")
+    // C2 only deleted rows → incremental (Hudi semantics) shows none
+    assert(seen(1)._2 == 0)
+
+    // nothing new → no callbacks, cursor unchanged
+    val cur2 = TableTail.drainOnce(spark, dir, cur1) { (_, _) => fail("no new commits") }
+    assert(cur2 == cur1)
+
+    // a new commit appears → only that one drains
+    w.upsert(orders.filter($"o_orderkey" % 10 === 3 && $"o_orderkey" % 7 =!= 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1),
+      col("o_orderkey"), col("o_orderstatus"), Fixtures.C3)
+    var tail = Vector.empty[String]
+    val cur3 = TableTail.drainOnce(spark, dir, cur2) { (ts, df) =>
+      tail :+= ts
+      assert(df.count() ==
+        orders.filter($"o_orderkey" % 10 === 3 && $"o_orderkey" % 7 =!= 0).count())
+    }
+    assert(tail == Vector(Fixtures.C3) && cur3.contains(Fixtures.C3))
+  }
+}
+
 import graft.streaming.EventStream
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

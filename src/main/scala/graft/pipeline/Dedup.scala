@@ -85,19 +85,21 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // The shingle stream feeds four consumers (sizes, signatures, and both
-    // verification endpoints); shingling itself is interpreted HOF work, so
-    // materialize it once instead of recomputing per consumer. (Spill-safe:
-    // MEMORY_AND_DISK; at 100 TB this is the standard "shingle once" stage.)
+    // verification endpoints); materialize it once instead of recomputing
+    // per consumer. (Spill-safe: MEMORY_AND_DISK; at 100 TB this is the
+    // standard "shingle once" stage.)
     val exploded = explodedShingles(df, id, text, n).persist()
     val sizes = exploded.groupBy("id").agg(count(lit(1)).as("sz"))
-    // 48 parallel min-aggregates: each seeded hash h_i(s) = xxhash64(s, i).
-    val minCols = (0 until numHashes).map(h =>
-      min(xxhash64(col("sh"), lit(h))).as(s"m$h"))
-    val sigs = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
-    // Band bucket = hash of the band's signature rows (+ band index).
+    // ONE native aggregate yields the whole signature array (map-side
+    // combined, elementwise-min merge — see functions.MinHashAgg).
+    val sigs = exploded.groupBy("id").agg(
+      graft.functions.MinHashAgg.minhashSig(col("sh"), numHashes).as("sig"))
+    // Band bucket = hash of the band's signature slice (+ band index). The
+    // sig is an aggregate OUTPUT attribute, so the per-band slices reference
+    // the materialized array — nothing recomputes upstream work per band.
     val bandCols = (0 until bands).map { b =>
-      val bandMins = (b * rows until (b + 1) * rows).map(h => col(s"m$h"))
-      struct(lit(b).as("band"), xxhash64(bandMins :+ lit(b): _*).as("bucket"))
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)).as("bucket"))
     }
     val bucketed = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bc"))

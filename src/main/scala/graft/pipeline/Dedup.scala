@@ -148,9 +148,8 @@ object Dedup {
   def simhash60(df: DataFrame, id: Column, text: Column): DataFrame = {
     // Fold the 15 hex digits into ONE long per token up front (bit 4j+k of
     // `h` = bit k of digit j — the same bit layout the per-digit spec and
-    // the SQL oracle use); the 60 bit-vote aggregates then run on plain
-    // shifts of that long instead of re-deriving digits per bit, which
-    // keeps the generated aggregate code small enough for JIT.
+    // the SQL oracle use); the bit votes then accumulate in ONE native
+    // aggregate (functions.SimHashAgg) instead of 60 sum(CASE...) columns.
     // explode_outer: see explodedShingles — token arrays are never empty,
     // and plain explode's inferred size-filter would serialize tokenization
     // below the widening exchange.
@@ -162,15 +161,8 @@ object Dedup {
       .select(col("id"), (0 until 15).map(j =>
         shiftleft(hexDigit(col("m"), j + 1).cast("long"), 4 * j))
         .reduce((a, c) => a.bitwiseOR(c)).as("h"))
-    val bitSums = (0 until 60).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$b")
-    }
-    val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 60).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-    agg.select(col("id"), sim.as("simhash"))
+    toks.groupBy("id").agg(
+      graft.functions.SimHashAgg.simhash(col("h"), 60).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ `maxHamming`. Bucketing on

@@ -144,6 +144,23 @@ object SparkEntry {
       tp(s, d, "lineitem").select(col("l_partkey").as("partkey"))
         .union(tp(s, d, "part").select(col("p_partkey").as("partkey")))
         .distinct().orderBy(col("partkey"))),
+    "q_intersect" -> ((s, d) =>
+      tp(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+        .intersect(tp(s, d, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))),
+    // PIVOT: daily event-type count matrix (explicit pivot values keep the
+    // schema static; absent cells are 0, not null, for oracle parity).
+    "q_pivot" -> ((s, d) =>
+      tp(s, d, "events")
+        .withColumn("day",
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))),
 
     // ---- events: time-window agg + gap-based sessionization ----
     // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a nanos-long
@@ -417,6 +434,15 @@ object SparkEntry {
       "SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F' ORDER BY custkey",
     "q_union" ->
       "SELECT DISTINCT partkey FROM (SELECT l_partkey AS partkey FROM lineitem UNION ALL SELECT p_partkey FROM part) ORDER BY partkey",
+    "q_intersect" ->
+      ("SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F' " +
+        "INTERSECT SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O' ORDER BY custkey"),
+    "q_pivot" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, " +
+        Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"${sumB(s"CASE WHEN event_type = '$t' THEN 1 ELSE 0 END")} AS $t")
+          .mkString(", ") +
+        " FROM events GROUP BY day ORDER BY day"),
     "q_events_hourly" ->
       ("SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour, count(*) AS n, " +
         s"${sumB("CAST(round(value * 100) AS BIGINT)")} AS sum_value_c FROM events " +

@@ -1,0 +1,52 @@
+package graft
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based check: ngramJaccardPairs over random word-soup docs must
+  * equal the in-memory string-shingle model (xxhash64 shingle collisions
+  * are negligible at these sizes). */
+object DedupProps extends Properties("Dedup.ngramJaccard") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+  private val genDoc: Gen[String] = for {
+    n <- Gen.choose(1, 12)
+    ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield ws.mkString(" ")
+
+  private def shingles(text: String, n: Int): Set[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    val windows = math.max(toks.size - n, 0) + 1
+    (0 until windows).map(i => toks.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  property("equals the in-memory shingle-set model") =
+    Prop.forAll(Gen.listOfN(8, genDoc), Gen.choose(1, 3)) { (docs, n) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val threshold = 300
+      val got = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"),
+          blocking = lit(1), n = n, thresholdPermille = threshold)
+        .select("id_a", "id_b", "jaccard_permille")
+        .as[(Long, Long, Long)].collect().toSet
+
+      val want = (for {
+        a <- docs.indices
+        b <- docs.indices if a < b
+        sa = shingles(docs(a), n)
+        sb = shingles(docs(b), n)
+        inter = (sa & sb).size
+        j = math.floorDiv(inter * 1000L, math.max((sa | sb).size, 1))
+        if j >= threshold && inter > 0
+      } yield (a.toLong, b.toLong, j)).toSet
+
+      got == want
+    }
+}

@@ -61,7 +61,8 @@ object Dedup {
   private def explodedShingles(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame =
     graft.util.ParallelScan.widen(
-        df.select(id.cast("long").as("id"), text.as("__text")))
+        df.select(id.cast("long").as("id"), text.as("__text"))
+          .filter(col("__text").isNotNull))
       .select(col("id"), shingleSet(col("__text"), n).as("shingles"))
       .select(col("id"), explode_outer(col("shingles")).as("sh"))
 
@@ -152,9 +153,12 @@ object Dedup {
     // aggregate (functions.SimHashAgg) instead of 60 sum(CASE...) columns.
     // explode_outer: see explodedShingles — token arrays are never empty,
     // and plain explode's inferred size-filter would serialize tokenization
-    // below the widening exchange.
+    // below the widening exchange. Null text is dropped (a null-text doc
+    // would otherwise aggregate to simhash 0 and pair with every other
+    // null-text doc — the SQL oracle's unnest drops them too).
     val toks = graft.util.ParallelScan.widen(
-        df.select(id.cast("long").as("id"), text.as("__text")))
+        df.select(id.cast("long").as("id"), text.as("__text"))
+          .filter(col("__text").isNotNull))
       .select(col("id"),
         explode_outer(TextAnalysis.tokens(col("__text"))).as("tok"))
       .select(col("id"), md5(col("tok")).as("m"))

@@ -139,15 +139,17 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment (dot-product metric, deterministic
-    * lowest-index tiebreak) against a broadcast centroid list. */
+    * lowest-index tiebreak) against a broadcast centroid list. The struct
+    * carries the NEGATED cluster id so `greatest` — which prefers the larger
+    * second field on score ties — resolves to the lowest cluster index. */
   private def assignToCentroid(c: DataFrame,
       centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     val scores = centroids.map { case (cl, cv) =>
       struct(dot(col("v"), typedLit(cv.map(_.toDouble))).as("s"),
-        lit(cl).as("cl"))
+        lit(-cl).as("ncl"))
     }
     c.withColumn("__cluster",
-      greatest(scores: _*).getField("cl"))
+      -greatest(scores: _*).getField("ncl"))
   }
 
   /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
@@ -168,10 +170,13 @@ object Similarity {
       val scored = centroids.map { case (cl, cv) =>
         struct(dot(q, typedLit(cv.map(_.toDouble))).as("s"), lit(cl).as("cl"))
       }
+      // score desc, cluster id asc on ties — same deterministic tiebreak as
+      // assignToCentroid.
       slice(transform(
         array_sort(array(scored: _*),
           (a, b) => when(a.getField("s") > b.getField("s"), -1)
-            .when(a.getField("s") < b.getField("s"), 1).otherwise(0)),
+            .when(a.getField("s") < b.getField("s"), 1)
+            .otherwise(a.getField("cl") - b.getField("cl"))),
         x => x.getField("cl")), 1, nprobe)
     }
     val qd = queries.select(queryId.cast("long").as("query_id"),

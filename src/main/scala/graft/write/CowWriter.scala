@@ -133,11 +133,14 @@ final class CowWriter(
     // Per-group delete/update counters in ONE job (the old slices are 100 TB
     // scale — every extra stats pass is a full re-read): tag the change keys
     // with their op, inner-join once against old keys, count by (fid, op).
+    // Distinct per (key, op): duplicate keys in the user-supplied frames must
+    // not inflate the counters (survivors already use distinct changeKeys).
     // Ref invariant: totalRecordsDeleted must be exact (DeleteView.java:186).
     val tagged = (del.map(_.select(col(MetaCols.RecordKey))
         .withColumn(OpCol, lit("d"))).toSeq ++
       up.map(_.select(col(MetaCols.RecordKey)).withColumn(OpCol, lit("u"))))
       .reduceOption(_ unionByName _)
+      .map(_.distinct())
     val opCounts: Map[(String, String), Long] = (old, tagged) match {
       case (Some(o), Some(t)) =>
         o.select(col(MetaCols.RecordKey), col(MetaCols.PartitionPath))

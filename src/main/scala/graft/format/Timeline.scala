@@ -24,10 +24,31 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
   // (ref: cacheMetadata, DeleteView.java:65, 192-217).
   private val memo = mutable.Map.empty[String, CommitMetadata]
 
-  /** Completed instants in timestamp order. */
-  def completedInstants(): Seq[Instant] = {
-    if (!fs.exists(hoodieDir)) return Seq.empty
-    fs.listStatus(hoodieDir).toSeq
+  // Instant-listing memo: latestSlices walks metadata per instant and each
+  // metadata() lookup validates its instant, so an unmemoized listing is
+  // O(#commits²) FS list calls — a real driver bottleneck on object storage.
+  // One listStatus per Timeline instance; saveCommit invalidates. A Timeline
+  // is a per-operation handle (readers construct one per query), so external
+  // writers are picked up by the next operation, same staleness window as
+  // Hudi's own timeline snapshot.
+  private var instantsMemo: Option[Seq[Instant]] = None
+
+  /** Completed instants in timestamp order (memoized; one FS listing per
+    * instance — call [[refresh]] to force a re-list). */
+  def completedInstants(): Seq[Instant] = instantsMemo match {
+    case Some(cached) => cached
+    case None =>
+      val listed = listInstants()
+      instantsMemo = Some(listed)
+      listed
+  }
+
+  /** Drop the instant-listing memo (next call re-lists the FS). */
+  def refresh(): Unit = instantsMemo = None
+
+  private def listInstants(): Seq[Instant] = {
+    if (!Timeline.retryOnce(fs.exists(hoodieDir))) return Seq.empty
+    Timeline.retryOnce(fs.listStatus(hoodieDir)).toSeq
       .map(_.getPath.getName)
       .collect {
         case n if n.endsWith(Timeline.CommitSuffix) =>
@@ -56,11 +77,13 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
         throw new IllegalArgumentException(
           s"no completed instant at ts=$ts under $hoodieDir"))
       val p = new Path(hoodieDir, ts + suffixOf(i.action))
-      val in = fs.open(p)
-      try JsonCodec.fromJson(
-        new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          StandardCharsets.UTF_8))
-      finally in.close()
+      Timeline.retryOnce {
+        val in = fs.open(p)
+        try JsonCodec.fromJson(
+          new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            StandardCharsets.UTF_8))
+        finally in.close()
+      }
     })
 
   /** Atomically record a completed commit: write `<ts>.<action>.inflight`,
@@ -76,6 +99,7 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
     finally out.close()
     require(fs.rename(tmp, fin), s"atomic commit rename failed for $fin")
     memo.remove(ts)
+    instantsMemo = None
   }
 
   /** The latest file slice per file group as of `asOf` (inclusive); all
@@ -109,6 +133,12 @@ object Timeline {
   val MetaDir = ".hoodie"
   val CommitSuffix = ".commit"
   val DeltaCommitSuffix = ".deltacommit"
+
+  /** One bounded retry around a metadata FS read (parity with the
+    * reference's transient-failure retry, ref: DeleteView.java:74-96:
+    * metadata fetch is retried exactly once, then the error surfaces). */
+  private[format] def retryOnce[T](op: => T): T =
+    try op catch { case _: java.io.IOException => op }
 
   def apply(conf: Configuration, basePath: String): Timeline = {
     val p = new Path(basePath)

@@ -78,18 +78,45 @@ object SnapshotReader {
 }
 
 /** Incremental reader: the current state of every record written in the
-  * commit range `(fromExclusive, toInclusive]` — implemented as the snapshot
-  * as of `to` filtered on `_hoodie_commit_time`, which Spark pushes down to
-  * parquet row-group min/max stats (carried-over COW rows keep their original
-  * commit time, so the filter selects exactly the changed rows). Deletes in
-  * the range simply vanish from the snapshot (Hudi incremental semantics);
-  * use DeleteView for reconstructing them. Can feed Structured Streaming as
-  * a micro-batch source (poll completed instants, read each new range).
+  * commit range `(fromExclusive, toInclusive]`.
+  *
+  * Planned from commit metadata, not from a full-table scan: the commits in
+  * range name exactly the file groups they wrote (same metadata-first
+  * pruning as the delete view, ref: DeleteView.java:98-104), so only those
+  * groups' latest slices as of `to` are listed, scanned, and (for MOR)
+  * merged — untouched groups never enter the plan. A row's
+  * `_hoodie_commit_time` is the commit that wrote its current version, and
+  * that write is recorded under the row's fileId in that commit's stats, so
+  * group-level pruning is exact, including rewritten COW slices whose
+  * carried-over rows mix commit times. The residual commit-time filter then
+  * selects the changed rows within the touched slices (pushed to parquet
+  * row-group min/max stats).
+  *
+  * Deletes in the range simply vanish from the snapshot (Hudi incremental
+  * semantics); use DeleteView for reconstructing them. Can feed Structured
+  * Streaming as a micro-batch source (poll completed instants, read each new
+  * range — see streaming.TableTail).
   */
 object IncrementalReader {
   def read(spark: SparkSession, basePath: String,
-      fromExclusive: String, toInclusive: String): DataFrame =
-    SnapshotReader.read(spark, basePath, Some(toInclusive))
-      .filter(col(MetaCols.CommitTime) > fromExclusive &&
-        col(MetaCols.CommitTime) <= toInclusive)
+      fromExclusive: String, toInclusive: String): DataFrame = {
+    val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val touched: Set[String] = timeline.completedInstants()
+      .filter(i => i.ts > fromExclusive && i.ts <= toInclusive)
+      .flatMap(i => timeline.metadata(i.ts).allStats.map(_._2.fileId))
+      .toSet
+    val rangeFilter = col(MetaCols.CommitTime) > fromExclusive &&
+      col(MetaCols.CommitTime) <= toInclusive
+    if (touched.isEmpty)
+      // Degenerate empty range: keep the schema by planning the snapshot with
+      // an always-false residual (never executed at data scale — no instants
+      // in range means nothing to read).
+      SnapshotReader.read(spark, basePath, Some(toInclusive))
+        .filter(rangeFilter && lit(false))
+    else {
+      val slices = timeline.latestSlices(Some(toInclusive))
+        .collect { case (fid, slice) if touched(fid) => slice }.toSeq
+      SnapshotReader.merge(spark, basePath, slices).filter(rangeFilter)
+    }
+  }
 }

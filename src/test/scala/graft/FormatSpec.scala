@@ -1,9 +1,41 @@
 package graft
 
 import graft.format._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FileStatus, FileSystem, FilterFileSystem, Path}
 import org.scalatest.funsuite.AnyFunSuite
 
+/** FS wrapper that counts listings and can inject transient IO failures. */
+private final class CountingFs(underlying: FileSystem)
+    extends FilterFileSystem(underlying) {
+  var lists = 0
+  var failNext = 0
+  private def maybeFail(): Unit =
+    if (failNext > 0) { failNext -= 1
+      throw new java.io.IOException("injected transient failure") }
+  override def listStatus(f: Path): Array[FileStatus] = {
+    maybeFail(); lists += 1; super.listStatus(f)
+  }
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    maybeFail(); super.open(f, bufferSize)
+  }
+}
+
 class FormatSpec extends AnyFunSuite {
+
+  private def freshTable(nCommits: Int): (CountingFs, Timeline) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val fs = new CountingFs(FileSystem.getLocal(new Configuration()))
+    val t = new Timeline(fs, new Path(dir))
+    (1 to nCommits).foreach { i =>
+      t.saveCommit(s"t$i", CommitMetadata(
+        partitionToWriteStats = Map("P" -> Seq(
+          WriteStat(s"P-0", Some(s"P/P-0_t$i.parquet"), None, 1, 0, 0, 1))),
+        operationType = "INSERT", totalRecordsDeleted = 0,
+        totalRecordsWritten = 1))
+    }
+    (fs, t)
+  }
 
   private val meta = CommitMetadata(
     partitionToWriteStats = Map(
@@ -29,5 +61,43 @@ class FormatSpec extends AnyFunSuite {
 
   test("allStats is deterministic (sorted by partition)") {
     assert(meta.allStats.map(_._2.fileId) == Seq("A-0", "A-1", "R-0"))
+  }
+
+  test("latestSlices does ONE FS listing regardless of commit count") {
+    val (fs, t) = freshTable(nCommits = 5)
+    fs.lists = 0
+    val slices = t.latestSlices(None)
+    assert(slices("P-0").commitTs == "t5")
+    assert(fs.lists == 1, s"expected 1 listing, saw ${fs.lists}")
+    t.latestSlices(None) // memo serves the second walk entirely
+    assert(fs.lists == 1)
+    t.refresh()
+    t.completedInstants()
+    assert(fs.lists == 2)
+  }
+
+  test("saveCommit invalidates the instant-listing memo") {
+    val (_, t) = freshTable(nCommits = 1)
+    assert(t.completedInstants().map(_.ts) == Seq("t1"))
+    t.saveCommit("t2", CommitMetadata(
+      partitionToWriteStats = Map("P" -> Seq(
+        WriteStat("P-0", Some("P/P-0_t2.parquet"), Some("t1"), 1, 0, 1, 0))),
+      operationType = "UPSERT", totalRecordsDeleted = 0,
+      totalRecordsWritten = 1))
+    assert(t.completedInstants().map(_.ts) == Seq("t1", "t2"))
+  }
+
+  test("metadata FS reads survive one injected transient failure") {
+    val (fs, t) = freshTable(nCommits = 2)
+    t.refresh()
+    fs.failNext = 1 // first listStatus throws; retryOnce recovers
+    assert(t.completedInstants().size == 2)
+    fs.failNext = 1 // first open throws; retryOnce recovers
+    assert(t.metadata("t2").operationType == "INSERT")
+    // two consecutive failures exceed the single bounded retry
+    val t2 = new Timeline(fs, t.basePath)
+    t2.completedInstants()
+    fs.failNext = 2
+    intercept[java.io.IOException](t2.metadata("t1"))
   }
 }

@@ -99,6 +99,34 @@ class MorSpec extends SparkSpec {
     assert(snap.filter($"o_orderkey" % 7 === 0).isEmpty)
   }
 
+  test("incremental plans ONLY file groups written in the commit range") {
+    val dir = freshDir("orders_mor_prune")
+    val w = new MorWriter(spark, dir, numBuckets = 4)
+    w.insert(orders, keyCol, partCol, C1)
+    // touch exactly one record → exactly one file group dirty in (C1, C2]
+    val one = orders.orderBy($"o_orderkey").limit(1)
+    w.upsertDelta(
+      Some(one.withColumn("o_totalprice", $"o_totalprice" + 5)), None,
+      keyCol, partCol, C2)
+    val inc = IncrementalReader.read(spark, dir, C1, C2)
+    val touched = Timeline(spark.sessionState.newHadoopConf(), dir)
+      .metadata(C2).allStats.map(_._2.fileId).toSet
+    assert(touched.size == 1)
+    val files = inc.inputFiles.toSeq
+    assert(files.nonEmpty)
+    assert(files.forall { f =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      touched.exists(fid => name.startsWith(fid + "_"))
+    }, s"scan leaked beyond touched groups: $files")
+    assert(inc.count() == 1)
+  }
+
+  test("incremental over an empty commit range is empty but keeps the schema") {
+    val inc = IncrementalReader.read(spark, base, C3, C3)
+    assert(inc.isEmpty)
+    assert(inc.columns.contains(MetaCols.CommitTime))
+  }
+
   test("incremental (C1, C2] returns exactly the C2 upserts") {
     val inc = IncrementalReader.read(spark, base, C1, C2)
     val expUpd = orders.filter($"o_orderkey" % 10 === 3 && $"o_orderkey" % 7 =!= 0)

@@ -518,18 +518,28 @@ object SparkEntry {
         "FROM sim a JOIN sim b ON a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 " +
         "ORDER BY id_a, id_b"),
-    // Quantized-integer cosine: floor(x·1e6) per element, integer dot/norms,
-    // threshold 2/5 tested cross-multiplied in 128-bit — exact in both
-    // engines, no sqrt/division.
-    "q_embed_neardup" ->
-      ("WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS qv FROM embeddings), " +
-        "n AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm FROM q), " +
-        "d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
-        "list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS dot, " +
-        "a.nrm AS na, b.nrm AS nb FROM n a JOIN n b ON a.vec_id < b.vec_id) " +
+    // Deterministic sign-LSH blocking + quantized-integer cosine, mirrored
+    // 1:1 from Dedup.embeddingNearDupPairs (8 bands × 8 coordinate sign
+    // bits; all math integer — floor(x·1e6) quantization, integer dot/
+    // norms, threshold 2/5 cross-multiplied in 128-bit — so the bucket
+    // words and the verdicts are bit-identical across engines).
+    "q_embed_neardup" -> {
+      val buckets = (0 until 8).map { b =>
+        val bits = (0 until 8).map { j =>
+          s"(CASE WHEN qv[${b * 8 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"($bits) AS b$b"
+      }.mkString(", ")
+      val coBucketed = (0 until 8).map(b => s"x.b$b = y.b$b").mkString(" OR ")
+      "WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), v -> CAST(floor(v * 1000000) AS BIGINT)) AS qv FROM embeddings), " +
+        s"n AS (SELECT vec_id, qv, list_sum(list_transform(qv, v -> v * v)) AS nrm, $buckets FROM q), " +
+        "d AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
+        "list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2])) AS dot, " +
+        s"x.nrm AS na, y.nrm AS nb FROM n x JOIN n y ON x.vec_id < y.vec_id AND ($coBucketed)) " +
         "SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot_q FROM d " +
         "WHERE na > 0 AND nb > 0 AND dot >= 0 AND 25 * dot * dot >= 4 * na * nb " +
-        "ORDER BY id_a, id_b"),
+        "ORDER BY id_a, id_b"
+    },
     "q_rollup" ->
       ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
         s"${sumB("CAST(l_quantity AS BIGINT)")} AS sum_qty, count(*) AS n " +

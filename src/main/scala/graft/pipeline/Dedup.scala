@@ -88,50 +88,110 @@ object Dedup {
     // The shingle stream feeds four consumers (sizes, signatures, and both
     // verification endpoints); materialize it once instead of recomputing
     // per consumer. (Spill-safe: MEMORY_AND_DISK; at 100 TB this is the
-    // standard "shingle once" stage.)
-    val exploded = explodedShingles(df, id, text, n).persist()
-    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("sz"))
-    // ONE native aggregate yields the whole signature array (map-side
-    // combined, elementwise-min merge — see functions.MinHashAgg).
-    val sigs = exploded.groupBy("id").agg(
-      graft.functions.MinHashAgg.minhashSig(col("sh"), numHashes).as("sig"))
-    // Band bucket = hash of the band's signature slice (+ band index). The
-    // sig is an aggregate OUTPUT attribute, so the per-band slices reference
-    // the materialized array — nothing recomputes upstream work per band.
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)).as("bucket"))
+    // standard "shingle once" stage.) `scoped` releases it when the result
+    // is materialized.
+    val exploded = explodedShingles(df, id, text, n)
+    scoped(exploded) {
+      val sizes = exploded.groupBy("id").agg(count(lit(1)).as("sz"))
+      // ONE native aggregate yields the whole signature array (map-side
+      // combined, elementwise-min merge — see functions.MinHashAgg).
+      val sigs = exploded.groupBy("id").agg(
+        graft.functions.MinHashAgg.minhashSig(col("sh"), numHashes).as("sig"))
+      // Band bucket = hash of the band's signature slice (+ band index). The
+      // sig is an aggregate OUTPUT attribute, so the per-band slices reference
+      // the materialized array — nothing recomputes upstream work per band.
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)).as("bucket"))
+      }
+      val bucketed = sigs
+        .select(col("id"), explode(array(bandCols: _*)).as("bc"))
+        .select(col("id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+      val cand = candidatePairs(capBuckets(bucketed, maxBucket))
+      verifyJaccard(cand, exploded, sizes, thresholdPermille)
     }
-    val bucketed = sigs
-      .select(col("id"), explode(array(bandCols: _*)).as("bc"))
-      .select(col("id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
-    val cand = candidatePairs(capBuckets(bucketed, maxBucket))
-    verifyJaccard(cand, exploded, sizes, thresholdPermille)
   }
 
-  /** Exact n-gram Jaccard pairs within a blocking key (e.g. same source) —
-    * the no-sketch variant for when blocks are small enough to pair fully.
-    * Implemented as an inverted-index join (pairs sharing ≥1 shingle get
-    * their intersection counted by a shuffle-aggregate), never as per-pair
-    * array intersections: cost is Σ_shingle df² within each block, and only
-    * pairs with a common shingle (a superset of any pair above threshold)
-    * are materialized. */
+  /** Exact n-gram Jaccard pairs within a blocking key (e.g. same source),
+    * EXACT output, sub-quadratic candidates via PPJoin-style prefix
+    * filtering (Xiao et al., WWW'08; Bayardo et al., WWW'07):
+    *
+    *  - Canonical shingle order = (global document frequency asc, hash asc) —
+    *    a total order with the rarest shingles first.
+    *  - Each doc indexes only its PREFIX: the first
+    *    `sz − ⌈t·sz⌉ + 1` shingles under that order. Lossless by the prefix
+    *    lemma: Jaccard ≥ t forces |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two docs
+    *    whose prefixes are disjoint can share at most ⌈t·|A|⌉ − 1 elements
+    *    (every common element ≤ both prefix boundaries would sit in both
+    *    prefixes), so every qualifying pair shares a PREFIX shingle.
+    *  - Candidates = prefix-index self-join within the block; verification =
+    *    intersection counting against the FULL shingle stream (exact).
+    *
+    * This removes the df² hotspot of a naive inverted-index join: a
+    * stop-shingle shared by a whole block is the most frequent, lands at the
+    * END of every doc's canonical order, and therefore never enters a
+    * prefix — the join cost is Σ df² over RARE shingles only. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       blocking: Column, n: Int = 3, thresholdPermille: Int = 500): DataFrame = {
-    val base = graft.util.ParallelScan.widen(
+    val base = ngramBase(df, id, text, blocking, n)
+    scoped(base) {
+      val sizes = base.select(col("id"), size(col("shingles")).as("sz"))
+      val exploded = base.select(col("id"), col("block"),
+        explode(col("shingles")).as("sh"))
+      val prefix = prefixShingles(exploded, thresholdPermille)
+      val cand = prefix.select(col("block"), col("sh"), col("id").as("id_a"))
+        .join(prefix.select(col("block"), col("sh"), col("id").as("id_b")),
+          Seq("block", "sh"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      verifyJaccard(cand, exploded.select("id", "sh"), sizes,
+        thresholdPermille)
+    }
+  }
+
+  /** Reference formulation (full inverted-index join, no prefix filter):
+    * cost is Σ_shingle df² per block. Kept as the independent exact baseline
+    * for property tests and recall checks — NOT the shipped operator. */
+  private[graft] def ngramJaccardPairsFullIndex(df: DataFrame, id: Column,
+      text: Column, blocking: Column, n: Int = 3,
+      thresholdPermille: Int = 500): DataFrame = {
+    val base = ngramBase(df, id, text, blocking, n)
+    scoped(base) {
+      val sizes = base.select(col("id"), size(col("shingles")).as("sz"))
+      val exploded = base.select(col("id"), col("block"),
+        explode(col("shingles")).as("sh"))
+      val inter = exploded.select(col("block"), col("sh"), col("id").as("id_a"))
+        .join(exploded.select(col("block"), col("sh"), col("id").as("id_b")),
+          Seq("block", "sh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      jaccardFromCounts(inter, sizes, thresholdPermille)
+    }
+  }
+
+  private def ngramBase(df: DataFrame, id: Column, text: Column,
+      blocking: Column, n: Int): DataFrame =
+    graft.util.ParallelScan.widen(
         df.select(id.cast("long").as("id"), blocking.as("block"),
-          text.as("__text")))
-      .select(col("id"), col("block"),
-        shingleSet(col("__text"), n).as("shingles")).persist()
-    val sizes = base.select(col("id"), size(col("shingles")).as("sz"))
-    val exploded = base.select(col("id"), col("block"),
-      explode(col("shingles")).as("sh"))
-    val inter = exploded.select(col("block"), col("sh"), col("id").as("id_a"))
-      .join(exploded.select(col("block"), col("sh"), col("id").as("id_b")),
-        Seq("block", "sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    jaccardFromCounts(inter, sizes, thresholdPermille)
+            text.as("__text"))
+          .filter(col("__text").isNotNull))
+      .select(col("id"), col("block"), shingleSet(col("__text"), n).as("shingles"))
+
+  /** Per-doc prefix of the (id, block, sh) stream: the `sz − ⌈t·sz⌉ + 1`
+    * rarest shingles under the global (df asc, sh asc) order. The ceil runs
+    * in exact double (sz·t ≤ ~1e7 and integer-valued quotients of /1000 are
+    * exactly representable). */
+  private def prefixShingles(exploded: DataFrame,
+      thresholdPermille: Int): DataFrame = {
+    val dfreq = exploded.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val wOrd = Window.partitionBy("id").orderBy(col("__df").asc, col("sh").asc)
+    val wAll = Window.partitionBy("id")
+    exploded.join(dfreq, "sh")
+      .withColumn("__sz", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") <=
+        col("__sz") - ceil(col("__sz") * thresholdPermille / 1000) + 1)
+      .select("id", "block", "sh")
   }
 
   /** Hex digit value (0-15) of `hexStr` at 1-based position `pos` — engine-
@@ -192,51 +252,121 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Embedding near-dup pairs with EXACT integer semantics: each vector is
-    * quantized to 1e-6 units (floor(x·10⁶) — deterministic IEEE double math,
-    * identical on every engine), and cosine ≥ num/den is tested by
-    * cross-multiplication on integer dot products and squared norms
-    * (den²·dot² ≥ num²·‖a‖²·‖b‖² ∧ dot ≥ 0) — no sqrt, no division, no
-    * float drift; the products run in decimal(38,0) (128-bit in DuckDB).
+  /** Embedding near-dup pairs: deterministic sign-LSH blocking + EXACT
+    * integer verification of the co-bucketed candidates.
     *
-    * This operator is the exact all-pairs verifier: O(n²/p) with both sides
-    * broadcast-joined under `id_a < id_b`. At 100 TB scale it is meant to run
-    * WITHIN candidate blocks — compose with [[Similarity.lshTopK]]'s
-    * hyperplane buckets or an IVF assignment as the blocking stage; given a
-    * smooth cosine continuum (no similarity gap), sub-quadratic candidate
-    * generation with recall exactly 1 at an interior threshold does not
-    * exist, so the exact spec is only meaningful per-block.
+    * Quantization: each vector becomes floor(x·10⁶) longs (deterministic
+    * IEEE double math, identical on every engine). Blocking: `bands` bands
+    * of `rowsPerBand` consecutive coordinates; a band's bucket is the word
+    * of sign bits (qᵢ ≥ 0) of its coordinates — axis-aligned hyperplane LSH,
+    * integer-exact and therefore replicable verbatim by the SQL oracle (no
+    * float dot products whose summation order could flip a sign).
+    * Candidates = pairs sharing any band's bucket, skew-capped by
+    * `maxBucket` like the MinHash path. Verification: cosine ≥ num/den by
+    * cross-multiplication on integer dot products and squared norms
+    * (den²·dot² ≥ num²·‖a‖²·‖b‖² ∧ dot ≥ 0) — no sqrt, no division; the
+    * products run in decimal(38,0) (128-bit in DuckDB).
+    *
+    * Semantics: the output is DEFINED as "co-bucketed pairs with exact
+    * cosine ≥ threshold" — the standard production near-dup contract where
+    * candidate generation is part of the spec. Measured on the test corpus
+    * the raw cosine distribution is a smooth continuum through any interior
+    * threshold (pairs at 0.3999 and 0.4001 coexist at every SF), so a
+    * sub-quadratic candidate stage with unconditional recall 1 at such a
+    * threshold cannot exist; what IS guaranteed: identical quantized
+    * vectors have identical sign words in every band, so exact duplicates
+    * are ALWAYS candidates (recall 1, deterministically), and recall rises
+    * steeply with cosine (per-coordinate sign agreement for centered
+    * isotropic data is 1 − arccos(ρ)/π: ≈ 99% candidate probability at
+    * ρ = 0.95 with the 8×8 default). Degenerate config bands=1,
+    * rowsPerBand=0 puts everything in one bucket — candidates = all pairs —
+    * which PipelineSpec uses to pin the verifier against the all-pairs
+    * reference.
+    *
+    * Scale: one narrow pass for quantization+signs, a bucket self-join on
+    * (band, bucket) — 2^rowsPerBand buckets per band, occupancy n/2^r; grow
+    * `rowsPerBand` with corpus size (r ≈ log₂ n keeps per-bucket occupancy
+    * O(1)) — then a candidate-sized verification join. No global theta
+    * join anywhere.
     *
     * Returns (id_a, id_b, dot_q) — dot_q is the exact quantized dot product.
     */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
       thresholdNum: Int = 2, thresholdDen: Int = 5,
+      scale: Long = 1000000L, bands: Int = 8, rowsPerBand: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    import graft.functions.ArrayNumeric.{longDot, longNormSq}
+    val q = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("id"), vec.as("__v")))
+      .select(col("id"), transform(col("__v"),
+        x => floor(x.cast("double") * scale).cast("long")).as("q"))
+      .withColumn("nrm", longNormSq(col("q")))
+    scoped(q) {
+      val bandCols = (0 until bands).map { b =>
+        val bucket = (0 until rowsPerBand).map { j =>
+          when(element_at(col("q"), b * rowsPerBand + j + 1) >= 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.foldLeft(lit(0L))(_ + _)
+        struct(lit(b).as("band"), bucket.as("bucket"))
+      }
+      val bucketed = q.select(col("id"), explode(array(bandCols: _*)).as("bc"))
+        .select(col("id"), col("bc.band").as("band"),
+          col("bc.bucket").as("bucket"))
+      val cand = candidatePairs(capBuckets(bucketed, maxBucket))
+      val a = q.select(col("id").as("id_a"), col("q").as("q_a"),
+        col("nrm").as("n_a"))
+      val b = q.select(col("id").as("id_b"), col("q").as("q_b"),
+        col("nrm").as("n_b"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      // Slim scored rows (5 longs) behind their own scope boundary: with the
+      // threshold applied directly, Catalyst's project-collapse would inline
+      // the dot kernel once per filter reference (4× per candidate).
+      val scored = cand.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), longDot(col("q_a"), col("q_b"))
+          .as("dot_q"), col("n_a"), col("n_b"))
+      scoped(scored) {
+        scored
+          .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
+            lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
+              >= lit(thresholdNum * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
+          .select(col("id_a"), col("id_b"), col("dot_q"))
+      }
+    }
+  }
+
+  /** All-pairs exact reference for [[embeddingNearDupPairs]]: same
+    * quantization + integer verification, but candidates come from a global
+    * `id_a < id_b` theta join — O(n²) by construction and INDEPENDENT of the
+    * bucket-join code path, so PipelineSpec can pin the blocked operator
+    * against it (degenerate single-bucket config must equal this exactly;
+    * any banded config must be a subset). Spec/tooling baseline, not the
+    * shipped operator. */
+  private[graft] def embeddingNearDupPairsAllPairs(df: DataFrame, id: Column,
+      vec: Column, thresholdNum: Int = 2, thresholdDen: Int = 5,
       scale: Long = 1000000L): DataFrame = {
     import graft.functions.ArrayNumeric.{longDot, longNormSq}
     val q = graft.util.ParallelScan.widen(
         df.select(id.cast("long").as("id"), vec.as("__v")))
       .select(col("id"), transform(col("__v"),
         x => floor(x.cast("double") * scale).cast("long")).as("q"))
-    val withNorm = q.withColumn("nrm", longNormSq(col("q")))
-    val a = withNorm.select(col("id").as("id_a"), col("q").as("q_a"),
-      col("nrm").as("n_a"))
-    val b = withNorm.select(col("id").as("id_b"), col("q").as("q_b"),
-      col("nrm").as("n_b"))
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    // Project the dot product into a slim (5-long) row and cache it BEFORE
-    // filtering: with the threshold inside the join condition Catalyst
-    // re-evaluates the dot kernel once per reference (4× per pair); the
-    // cache boundary pins single evaluation and drops the vectors from the
-    // scored rows (O(pairs·40B), not O(pairs·dim)).
-    val scored = a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), longDot(col("q_a"), col("q_b"))
-        .as("dot_q"), col("n_a"), col("n_b"))
-      .persist()
-    scored
-      .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
-        lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
-          >= lit(thresholdNum * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
-      .select(col("id_a"), col("id_b"), col("dot_q"))
+      .withColumn("nrm", longNormSq(col("q")))
+    scoped(q) {
+      val a = q.select(col("id").as("id_a"), col("q").as("q_a"),
+        col("nrm").as("n_a"))
+      val b = q.select(col("id").as("id_b"), col("q").as("q_b"),
+        col("nrm").as("n_b"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val scored = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), longDot(col("q_a"), col("q_b"))
+          .as("dot_q"), col("n_a"), col("n_b"))
+      scoped(scored) {
+        scored
+          .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
+            lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
+              >= lit(thresholdNum * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
+          .select(col("id_a"), col("id_b"), col("dot_q"))
+      }
+    }
   }
 
   /** Keep-min-id fuzzy dedup: from verified pairs, drop every doc that has a
@@ -245,6 +375,22 @@ object Dedup {
     pairs.select(col("id_b").as("drop_id")).distinct()
 
   // ---- shared internals ----
+
+  /** Persist `intermediates`, materialize `body`'s (output-sized) result
+    * eagerly via localCheckpoint, then release the intermediates. The
+    * operators above reuse expensive intermediates (shingle streams,
+    * quantized vectors) across several plan consumers; a persist that
+    * outlives the call leaks executor memory for the session lifetime and
+    * lets CacheManager silently serve later identical plans from cache
+    * (which also falsifies benchmarks). localCheckpoint truncates lineage,
+    * so the returned DataFrame no longer references the unpersisted plans;
+    * the cost is that the operator becomes eager — acceptable for dedup
+    * operators whose callers always consume them. */
+  private def scoped(intermediates: DataFrame*)(body: => DataFrame): DataFrame = {
+    intermediates.foreach(_.persist())
+    try body.localCheckpoint(eager = true)
+    finally intermediates.foreach(_.unpersist(blocking = false))
+  }
 
   /** Exact-Jaccard verification of candidate pairs: intersection sizes come
     * from joining the candidates against the (id, shingle) stream on BOTH

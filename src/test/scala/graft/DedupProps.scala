@@ -49,4 +49,23 @@ object DedupProps extends Properties("Dedup.ngramJaccard") {
 
       got == want
     }
+
+  /** The PPJoin-style prefix filter must be lossless: the shipped operator
+    * and the full-inverted-index formulation agree on every random corpus
+    * and threshold. */
+  property("prefix filter == full inverted index") =
+    Prop.forAll(Gen.listOfN(10, genDoc), Gen.choose(1, 3),
+        Gen.oneOf(100, 300, 500, 700, 900)) { (docs, n, threshold) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pref = Dedup.ngramJaccardPairs(df, col("doc_id"), col("text"),
+          blocking = lit(1), n = n, thresholdPermille = threshold)
+        .as[(Long, Long, Long)].collect().toSet
+      val full = Dedup.ngramJaccardPairsFullIndex(df, col("doc_id"),
+          col("text"), blocking = lit(1), n = n,
+          thresholdPermille = threshold)
+        .as[(Long, Long, Long)].collect().toSet
+      pref == full
+    }
 }

@@ -44,14 +44,25 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("minhash LSH output == exact brute-force Jaccard (recall 1)") {
-    // brute force = the inverted-index all-pairs operator with a constant
+    // brute force = the full-inverted-index operator with a constant
     // blocking key; the q_minhash_pairs oracle relies on this equality.
     val lsh = Dedup.minhashPairs(docs, $"doc_id", $"text",
       n = 3, numHashes = 32, bands = 16, thresholdPermille = 500)
-    val brute = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text",
+    val brute = Dedup.ngramJaccardPairsFullIndex(docs, $"doc_id", $"text",
       blocking = lit(1), n = 3, thresholdPermille = 500)
     assert(lsh.exceptAll(brute).isEmpty, "LSH emitted a non-pair")
     assert(brute.exceptAll(lsh).isEmpty, "LSH missed a true pair")
+  }
+
+  test("prefix-filtered ngram pairs == full inverted index (lossless filter)") {
+    for (t <- Seq(200, 500, 800)) {
+      val pref = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text",
+        blocking = $"source", n = 2, thresholdPermille = t)
+      val full = Dedup.ngramJaccardPairsFullIndex(docs, $"doc_id", $"text",
+        blocking = $"source", n = 2, thresholdPermille = t)
+      assert(pref.exceptAll(full).isEmpty, s"t=$t: prefix emitted a non-pair")
+      assert(full.exceptAll(pref).isEmpty, s"t=$t: prefix filter lost a pair")
+    }
   }
 
   test("simhash: identical docs have hamming 0; pairs found") {
@@ -71,15 +82,35 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.filter($"jaccard_permille" < 100).isEmpty)
   }
 
-  test("embedding near-dup: planted duplicate vector is found, exactly") {
+  test("embedding near-dup: planted duplicate vector is ALWAYS found (sign-LSH recall 1 on exact dups)") {
     val twin = embs.filter($"vec_id" < 5)
       .withColumn("vec_id", $"vec_id" + 40000)
-    // cosine ≥ 99/100: only the planted identical twins qualify
+    // cosine ≥ 99/100: only the planted identical twins qualify; identical
+    // quantized vectors have identical sign words in every band, so the
+    // blocking can never lose them.
     val pairs = Dedup.embeddingNearDupPairs(embs.unionByName(twin),
       $"vec_id", $"embedding", thresholdNum = 99, thresholdDen = 100)
     val found = pairs.filter($"id_b" >= 40000 && $"id_a" === $"id_b" - 40000)
     assert(found.count() == 5)
     assert(pairs.count() == 5, "exact threshold admitted a non-twin pair")
+  }
+
+  test("embedding near-dup: degenerate single-bucket config == all-pairs verifier") {
+    val blocked = Dedup.embeddingNearDupPairs(embs, $"vec_id", $"embedding",
+      thresholdNum = 2, thresholdDen = 5, bands = 1, rowsPerBand = 0)
+    val all = Dedup.embeddingNearDupPairsAllPairs(embs, $"vec_id",
+      $"embedding", thresholdNum = 2, thresholdDen = 5)
+    assert(blocked.exceptAll(all).isEmpty && all.exceptAll(blocked).isEmpty)
+  }
+
+  test("embedding near-dup: banded output is an exact subset of all-pairs") {
+    val blocked = Dedup.embeddingNearDupPairs(embs, $"vec_id", $"embedding",
+      thresholdNum = 2, thresholdDen = 5)
+    val all = Dedup.embeddingNearDupPairsAllPairs(embs, $"vec_id",
+      $"embedding", thresholdNum = 2, thresholdDen = 5)
+    assert(blocked.exceptAll(all).isEmpty,
+      "blocked operator emitted a pair the exact verifier rejects")
+    assert(blocked.count() > 0, "blocking degenerated to empty output")
   }
 
   test("brute-force top-k: self is rank 1 with cosine ~1; k rows per query") {

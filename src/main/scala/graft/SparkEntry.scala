@@ -244,6 +244,13 @@ object SparkEntry {
           when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
           col("text").cast("binary").as("content")))
         .orderBy(col("kind"))),
+    // REAL image codec round trip: synthesize deterministic grayscale PNGs
+    // (JDK ImageIO encoder), decode them back (ImageIO decoder), emit
+    // dims + whole-raster checksum — closed-form in doc_id, so the oracle
+    // verifies actual compression/decompression, not a stub.
+    "q_image_dims" -> ((s, d) =>
+      Multimodal.imageDimsRoundtrip(tp(s, d, "documents"), col("doc_id"))
+        .orderBy(col("media_id"))),
 
     // ---- extended analytics surface: rollup, exact median, JSON scalar
     //      functions, token counting, fuzzy-dedup end-to-end, as-of join ----
@@ -498,6 +505,15 @@ object SparkEntry {
         s"CAST(floor(${sumB("octet_length(encode(text))")} / count(*)) AS BIGINT) AS avg_bytes FROM (" +
         "SELECT CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind, text FROM documents" +
         ") GROUP BY kind ORDER BY kind"),
+    // The Spark side runs a REAL PNG encode→decode round trip; the decoded
+    // width/height/raster-sum are closed-form in doc_id (pixel value depends
+    // only on x, so px_sum = height · Σ_x (x + id) mod 256).
+    "q_image_dims" ->
+      ("SELECT media_id, width, height, " +
+        "CAST(height * list_sum(list_transform(range(0, width), x -> (x + media_id) % 256)) AS BIGINT) AS px_sum FROM (" +
+        "SELECT doc_id AS media_id, CAST(16 + doc_id % 17 AS BIGINT) AS width, " +
+        "CAST(16 + doc_id % 13 AS BIGINT) AS height " +
+        "FROM documents) ORDER BY media_id"),
     // Brute-force exact-Jaccard oracle: the Spark side is MinHash-LSH
     // candidate generation + exact verification; banding recall is 1 on this
     // data (asserted in PipelineSpec against this same brute force).

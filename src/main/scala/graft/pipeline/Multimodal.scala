@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed metadata travelling with an opaque media payload. */
@@ -22,18 +22,27 @@ final case class MediaFeatures(media_id: Long, kind: String, nBytes: Long,
 final case class MediaFrame(media_id: Long, frameIdx: Int, tsMs: Long,
     content: Array[Byte])
 
+/** Decoded image facts (REAL codec path — see [[Multimodal.decodeImageDims]]).
+  * px_sum is the integer sum of band-0 raster samples — a deterministic
+  * whole-raster checksum proving the pixels were actually decoded. */
+final case class ImageDims(media_id: Long, width: Long, height: Long,
+    px_sum: Long)
+
 /** Multimodal-column operators: treat image/audio/video as opaque `binary`
   * columns with typed metadata; decode / feature-extract / resize /
   * frame-sample run batch-wise per partition (`mapPartitions` over typed
   * Datasets — the Scala analog of `mapInPandas` batches).
   *
-  * ==== STUB NOTICE ====
-  * The image/audio codecs are NOT in this container, so the byte-decoding
-  * kernels below are deterministic fakes (hash-derived features, truncated
-  * "resized" payloads, synthesized frame bytes) clearly marked [STUB].
-  * The Spark-side plumbing — schemas, encoders, partitioning, batch shape,
-  * lazy iterator processing — is real and tested; swapping a real codec in
-  * means replacing only the marked functions.
+  * ==== Codec status ====
+  * IMAGE encode/decode is REAL: the JDK ships PNG/JPEG/BMP/GIF codecs in
+  * `javax.imageio` — [[encodePng]]/[[decodeImageDims]] run actual
+  * compression round-trips (exercised oracle-backed by q_image_dims).
+  * AUDIO/VIDEO codecs are NOT in this container, so the generic
+  * feature-extract / resize / frame-sample kernels below remain
+  * deterministic fakes clearly marked [STUB]; their Spark-side plumbing —
+  * schemas, encoders, partitioning, batch shape, lazy iterator
+  * processing — is real and tested, and swapping a real codec in means
+  * replacing only the marked functions.
   */
 object Multimodal {
 
@@ -109,6 +118,75 @@ object Multimodal {
           r.content.slice(start, math.min(start + 64, r.content.length)))
       }
     }
+  }
+
+  /** REAL codec: encode a deterministic grayscale image as PNG via the
+    * JDK's ImageIO (`pixel(x, y)` supplies band-0 samples, masked to 8
+    * bits). Runs inside executors — no driver-side image handling. */
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL codec: decode image payloads (PNG/JPEG/BMP/GIF via ImageIO) into
+    * (width, height, band-0 raster sum). Iterator-in/iterator-out partition
+    * shape: one codec instance per task, payloads materialized one at a
+    * time, never collected or shuffled undecoded. Null/undecodable payloads
+    * are dropped (flatMap), mirroring SQL null-dropping semantics. */
+  def decodeImageDims(df: DataFrame, id: Column, content: Column)
+      : Dataset[ImageDims] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), content.cast("binary").as("c"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          Option(bytes)
+            .flatMap(b => Option(
+              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))))
+            .map { img =>
+              val raster = img.getRaster
+              var s = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { s += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              ImageDims(mid, img.getWidth.toLong, img.getHeight.toLong, s)
+            }
+        }
+      }
+  }
+
+  /** End-to-end real-codec round trip (the q_image_dims substrate): per id,
+    * synthesize a deterministic grayscale PNG — width 16 + id%17, height
+    * 16 + id%13, pixel(x, ·) = (x + id) mod 256 — through the REAL PNG
+    * encoder, then decode it back with [[decodeImageDims]]'s kernel. The
+    * decoded dims and raster sum are closed-form in id, so a SQL oracle can
+    * verify the whole compression round trip exactly. */
+  def imageDimsRoundtrip(df: DataFrame, id: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(id.cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val w = 16 + (mid % 17).toInt
+          val h = 16 + (mid % 13).toInt
+          (mid, encodePng(w, h, (x, _) => ((x + mid) % 256).toInt))
+        }
+      }.toDF("media_id", "content")
+    decodeImageDims(encoded, col("media_id"), col("content")).toDF()
   }
 
   /** Metadata-only stats over a media table: per-kind count/bytes — pure

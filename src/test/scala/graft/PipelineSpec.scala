@@ -173,6 +173,31 @@ class PipelineSpec extends SparkSpec {
       .exceptAll(l2.select("doc_id", "lang_pred")).isEmpty)
   }
 
+  test("image codec: PNG encode→decode round trip matches closed form") {
+    val rows = Multimodal.imageDimsRoundtrip(
+      docs.limit(40).select($"doc_id"), $"doc_id").collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = 16 + (id % 17); val h = 16 + (id % 13)
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      val pxRow = (0L until w).map(x => (x + id) % 256).sum
+      assert(r.getLong(3) == h * pxRow,
+        s"raster checksum mismatch for id=$id")
+    }
+  }
+
+  test("image codec: undecodable payloads are dropped, real ones decoded") {
+    val mixed = Seq(
+      (1L, Multimodal.encodePng(7, 5, (x, y) => x * y)),
+      (2L, Array[Byte](1, 2, 3)),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "content")
+    val out = Multimodal.decodeImageDims(mixed, $"media_id", $"content")
+      .collect()
+    assert(out.map(_.media_id).toSeq == Seq(1L))
+    assert(out.head.width == 7 && out.head.height == 5)
+  }
+
   test("multimodal: typed plumbing, stub decode, frame sampling") {
     val media = docs.limit(50).select(
       $"doc_id".as("media_id"),

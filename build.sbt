@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Measured: 8g beats 32g here (large heaps turn the dedup queries'
+  // short-lived humongous allocations into long G1 mixed-GC pauses; 8g
+  // keeps pause times flat). Override with SPARK_DRIVER_MEM if needed.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

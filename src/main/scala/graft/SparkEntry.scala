@@ -30,7 +30,10 @@ object SparkEntry {
   /** Table scan widened to cluster parallelism: the testdata parquet files
     * are single row-groups, i.e. ONE split, so without this every per-row
     * stage above the scan runs on one core (no-op at real scale — see
-    * [[graft.util.ParallelScan]]). */
+    * [[graft.util.ParallelScan]]). Scoped to COMPUTE-DENSE queries only:
+    * for cheap scan/set-op queries the round-robin exchange costs more than
+    * the serial compute it unblocks (measured r2 regressions), so those use
+    * the raw scan `t`. */
   private def tp(spark: SparkSession, sfDir: String, name: String): DataFrame =
     graft.util.ParallelScan.widen(t(spark, sfDir, name))
 
@@ -77,7 +80,7 @@ object SparkEntry {
     // ---- core engine surface: scan/filter/project, agg, join, window,
     //      sort/limit, set ops ----
     "q_scan_filter_project" -> ((s, d) =>
-      tp(s, d, "lineitem")
+      t(s, d, "lineitem")
         .filter(col("l_shipdate").cast("date") >= lit("1998-01-01") &&
           col("l_discount") > 0.05)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
@@ -131,7 +134,7 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey")).orderBy(col("c_custkey"))),
     "q_semijoin" -> ((s, d) =>
-      tp(s, d, "supplier").join(tp(s, d, "lineitem"),
+      t(s, d, "supplier").join(t(s, d, "lineitem"),
           col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey")).orderBy(col("s_suppkey"))),
     "q_except" -> ((s, d) =>
@@ -141,8 +144,8 @@ object SparkEntry {
           .select(col("o_custkey").as("custkey")))
         .orderBy(col("custkey"))),
     "q_union" -> ((s, d) =>
-      tp(s, d, "lineitem").select(col("l_partkey").as("partkey"))
-        .union(tp(s, d, "part").select(col("p_partkey").as("partkey")))
+      t(s, d, "lineitem").select(col("l_partkey").as("partkey"))
+        .union(t(s, d, "part").select(col("p_partkey").as("partkey")))
         .distinct().orderBy(col("partkey"))),
     "q_intersect" -> ((s, d) =>
       tp(s, d, "orders").filter(col("o_orderstatus") === "F")
@@ -199,7 +202,7 @@ object SparkEntry {
       Dedup.exact(tp(s, d, "documents"), col("text"), col("doc_id"))
         .select(col("doc_id")).orderBy(col("doc_id"))),
     "q_text_stats" -> ((s, d) =>
-      TextAnalysis.withQuality(tp(s, d, "documents"), col("text"))
+      TextAnalysis.withQuality(t(s, d, "documents"), col("text"))
         .select(col("doc_id"), col("n_tokens"), col("punct_permille"),
           col("stopword_permille"), col("quality_score"))
         .orderBy(col("doc_id"))),

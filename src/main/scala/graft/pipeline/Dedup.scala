@@ -46,25 +46,14 @@ object Dedup {
     graft.functions.TextHashes.distinctShingleHashes(
       TextAnalysis.tokens(text), n)
 
-  /** (id, shingle-hash) stream: one row per distinct shingle per doc — the
-    * substrate for both signature aggregation and exact-Jaccard verification
-    * (intersection sizes come from a join on the shingle hash, never from
-    * per-pair array scans).
-    *
-    * explode_outer, NOT explode: plain explode makes Catalyst infer a
-    * `size(shingles) > 0` filter (InferFiltersFromGenerate) whose predicate
-    * embeds the whole shingle expression, and predicate pushdown then
-    * evaluates it BELOW the widening exchange — i.e. the full shingling of
-    * every document runs serially inside the scan task, per action. Shingle
-    * arrays are never empty (even "" yields one shingle), so outer explode
-    * is row-identical and dodges the inferred filter. */
-  private def explodedShingles(df: DataFrame, id: Column, text: Column,
-      n: Int): DataFrame =
-    graft.util.ParallelScan.widen(
-        df.select(id.cast("long").as("id"), text.as("__text"))
-          .filter(col("__text").isNotNull))
-      .select(col("id"), shingleSet(col("__text"), n).as("shingles"))
-      .select(col("id"), explode_outer(col("shingles")).as("sh"))
+  /** Why every shingle explode below is `explode_outer`, NOT `explode`:
+    * plain explode makes Catalyst infer a `size(shingles) > 0` filter
+    * (InferFiltersFromGenerate) whose predicate embeds the whole shingle
+    * expression, and predicate pushdown then evaluates it BELOW the widening
+    * exchange — i.e. the full shingling of every document runs serially
+    * inside the scan task, per action. Shingle arrays are never empty (even
+    * "" yields one shingle), so outer explode is row-identical and dodges
+    * the inferred filter. */
 
   /** Near-duplicate pairs via MinHash + LSH banding, verified with the exact
     * Jaccard similarity of the shingle sets (integer per-mille, floor).
@@ -85,14 +74,18 @@ object Dedup {
       thresholdPermille: Int = 500, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    // The shingle stream feeds four consumers (sizes, signatures, and both
-    // verification endpoints); materialize it once instead of recomputing
-    // per consumer. (Spill-safe: MEMORY_AND_DISK; at 100 TB this is the
-    // standard "shingle once" stage.) `scoped` releases it when the result
-    // is materialized.
-    val exploded = explodedShingles(df, id, text, n)
-    scoped(exploded) {
-      val sizes = exploded.groupBy("id").agg(count(lit(1)).as("sz"))
+    // ONE shingle pass feeds both the signature aggregate and the
+    // array-based verification (scoped persist, released on materialize —
+    // spill-safe MEMORY_AND_DISK; at 100 TB this is the standard
+    // "shingle once" stage).
+    val base = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("id"), text.as("__text"))
+          .filter(col("__text").isNotNull))
+      .select(col("id"), shingleSet(col("__text"), n).as("shingles"))
+    scoped(base) {
+      // explode_outer: see the object-level note above minhashPairs.
+      val exploded = base.select(col("id"),
+        explode_outer(col("shingles")).as("sh"))
       // ONE native aggregate yields the whole signature array (map-side
       // combined, elementwise-min merge — see functions.MinHashAgg).
       val sigs = exploded.groupBy("id").agg(
@@ -108,7 +101,7 @@ object Dedup {
         .select(col("id"), explode(array(bandCols: _*)).as("bc"))
         .select(col("id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
       val cand = candidatePairs(capBuckets(bucketed, maxBucket))
-      verifyJaccard(cand, exploded, sizes, thresholdPermille)
+      verifyJaccardArrays(cand, base, thresholdPermille)
     }
   }
 
@@ -135,16 +128,17 @@ object Dedup {
       blocking: Column, n: Int = 3, thresholdPermille: Int = 500): DataFrame = {
     val base = ngramBase(df, id, text, blocking, n)
     scoped(base) {
-      val sizes = base.select(col("id"), size(col("shingles")).as("sz"))
+      // sz travels WITH the exploded rows (computed from the in-row array)
+      // so the prefix stage needs no second window/join to learn it.
       val exploded = base.select(col("id"), col("block"),
-        explode(col("shingles")).as("sh"))
+        size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
       val prefix = prefixShingles(exploded, thresholdPermille)
       val cand = prefix.select(col("block"), col("sh"), col("id").as("id_a"))
         .join(prefix.select(col("block"), col("sh"), col("id").as("id_b")),
           Seq("block", "sh"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      verifyJaccard(cand, exploded.select("id", "sh"), sizes,
+      verifyJaccardArrays(cand, base.select(col("id"), col("shingles")),
         thresholdPermille)
     }
   }
@@ -177,20 +171,20 @@ object Dedup {
           .filter(col("__text").isNotNull))
       .select(col("id"), col("block"), shingleSet(col("__text"), n).as("shingles"))
 
-  /** Per-doc prefix of the (id, block, sh) stream: the `sz − ⌈t·sz⌉ + 1`
-    * rarest shingles under the global (df asc, sh asc) order. The ceil runs
-    * in exact double (sz·t ≤ ~1e7 and integer-valued quotients of /1000 are
-    * exactly representable). */
+  /** Per-doc prefix of the (id, block, sz, sh) stream: the `sz − ⌈t·sz⌉ + 1`
+    * rarest shingles under the global (df asc, sh asc) order. One shuffle
+    * for the document frequencies, one window (sort by id) for the rank —
+    * both linear in the shingle stream. The ceil runs in exact double
+    * (sz·t ≤ ~1e7 and integer-valued quotients of /1000 are exactly
+    * representable). */
   private def prefixShingles(exploded: DataFrame,
       thresholdPermille: Int): DataFrame = {
     val dfreq = exploded.groupBy("sh").agg(count(lit(1)).as("__df"))
     val wOrd = Window.partitionBy("id").orderBy(col("__df").asc, col("sh").asc)
-    val wAll = Window.partitionBy("id")
     exploded.join(dfreq, "sh")
-      .withColumn("__sz", count(lit(1)).over(wAll))
       .withColumn("__rn", row_number().over(wOrd))
       .filter(col("__rn") <=
-        col("__sz") - ceil(col("__sz") * thresholdPermille / 1000) + 1)
+        col("sz") - ceil(col("sz") * thresholdPermille / 1000) + 1)
       .select("id", "block", "sh")
   }
 
@@ -211,7 +205,7 @@ object Dedup {
     // `h` = bit k of digit j — the same bit layout the per-digit spec and
     // the SQL oracle use); the bit votes then accumulate in ONE native
     // aggregate (functions.SimHashAgg) instead of 60 sum(CASE...) columns.
-    // explode_outer: see explodedShingles — token arrays are never empty,
+    // explode_outer (see the explode_outer note above) — token arrays are never empty,
     // and plain explode's inferred size-filter would serialize tokenization
     // below the widening exchange. Null text is dropped (a null-text doc
     // would otherwise aggregate to simhash 0 and pair with every other
@@ -376,6 +370,29 @@ object Dedup {
 
   // ---- shared internals ----
 
+  /** Exact-Jaccard verification of candidate pairs against the per-doc
+    * shingle ARRAYS (a doc-count-sized side — broadcast below the
+    * autoBroadcast threshold, hash-shuffled by id beyond it), intersected
+    * in-row: cost |cand|·O(sz). PPJoin's verify step — an exploded-stream
+    * re-join would instead push |cand|·avg_sz ROWS through a shuffle. */
+  private def verifyJaccardArrays(cand: DataFrame, arrays: DataFrame,
+      thresholdPermille: Int): DataFrame =
+    cand
+      .join(arrays.select(col("id").as("id_a"), col("shingles").as("__sa")),
+        "id_a")
+      .join(arrays.select(col("id").as("id_b"), col("shingles").as("__sb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+          .as("inter"),
+        size(col("__sa")).cast("long").as("sz_a"),
+        size(col("__sb")).cast("long").as("sz_b"))
+      .withColumn("jaccard_permille",
+        floor(col("inter") * lit(1000) /
+          (col("sz_a") + col("sz_b") - col("inter"))).cast("long"))
+      .filter(col("jaccard_permille") >= thresholdPermille)
+      .select("id_a", "id_b", "jaccard_permille")
+
   /** Persist `intermediates`, materialize `body`'s (output-sized) result
     * eagerly via localCheckpoint, then release the intermediates. The
     * operators above reuse expensive intermediates (shingle streams,
@@ -389,19 +406,7 @@ object Dedup {
   private def scoped(intermediates: DataFrame*)(body: => DataFrame): DataFrame = {
     intermediates.foreach(_.persist())
     try body.localCheckpoint(eager = true)
-    finally intermediates.foreach(_.unpersist(blocking = false))
-  }
-
-  /** Exact-Jaccard verification of candidate pairs: intersection sizes come
-    * from joining the candidates against the (id, shingle) stream on BOTH
-    * endpoints — cost ∝ |candidates| · avg-shingles, all codegen'd joins. */
-  private def verifyJaccard(cand: DataFrame, exploded: DataFrame,
-      sizes: DataFrame, thresholdPermille: Int): DataFrame = {
-    val inter = cand
-      .join(exploded.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(exploded.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    jaccardFromCounts(inter, sizes, thresholdPermille)
+    finally intermediates.foreach(_.unpersist(blocking = true))
   }
 
   /** (id_a, id_b, inter) + per-doc set sizes → integer-exact Jaccard

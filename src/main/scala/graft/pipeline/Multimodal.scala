@@ -46,6 +46,13 @@ final case class ImageDims(media_id: Long, width: Long, height: Long,
   */
 object Multimodal {
 
+  /** ImageIO defaults to FILE-backed stream caches (a temp file created and
+    * deleted per encode/decode — syscall-bound and serialized on /tmp);
+    * in-memory caches are strictly better for our byte-array round trips.
+    * JVM-wide, executor-side: set lazily from within the codec kernels. */
+  @transient private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Lift a raw DataFrame (id, kind, width, height, duration_ms, content)
     * into the typed Dataset. */
   def fromBinary(df: DataFrame): Dataset[MediaRecord] = {
@@ -124,6 +131,7 @@ object Multimodal {
     * JDK's ImageIO (`pixel(x, y)` supplies band-0 samples, masked to 8
     * bits). Runs inside executors — no driver-side image handling. */
   def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    imageIoMemCache
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
@@ -150,6 +158,7 @@ object Multimodal {
     df.select(id.cast("long").as("media_id"), content.cast("binary").as("c"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoMemCache
         it.flatMap { case (mid, bytes) =>
           Option(bytes)
             .flatMap(b => Option(

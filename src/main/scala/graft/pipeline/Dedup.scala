@@ -12,18 +12,21 @@ import org.apache.spark.sql.functions._
   *  - Exact dedup is a single hash shuffle on the fingerprint (Spark 4's
   *    WindowGroupLimit pushes the rank-1 filter below the exchange, so only
   *    one candidate row per (fingerprint, partition) shuffles).
-  *  - MinHash signatures are computed as 48 codegen'd `min` aggregates over
-  *    the exploded shingle stream (map-side partial aggregation; one shuffle
-  *    keyed by doc id) — NOT as nested array lambdas, which Catalyst's
+  *  - MinHash signatures come from ONE native aggregate (MinHashAgg:
+  *    map-side partial aggregation, elementwise-min merge; one shuffle
+  *    keyed by doc id) — NOT nested array lambdas, which Catalyst's
   *    CollapseProject would re-inline once per band and evaluate interpreted.
   *  - Fuzzy variants never do an O(n²) cross join: candidates come from
-  *    LSH band buckets (MinHash) or 15-bit chunk buckets (SimHash —
-  *    pigeonhole guarantees FULL recall for hamming ≤ 3 over 4 chunks).
-  *    Expensive exact verification runs only on bucket-cohabiting pairs.
-  *  - Verification is integer-exact (Jaccard per-mille via intersection
-  *    counts, hamming via xor/bit_count, cosine via quantized integer dot
-  *    products compared cross-multiplied) so every operator has a DuckDB
-  *    oracle that hash-matches — no float rounding-mode drift.
+  *    LSH band buckets (MinHash), 15-bit chunk buckets (SimHash —
+  *    pigeonhole guarantees FULL recall for hamming ≤ 3 over 4 chunks),
+  *    PPJoin prefix indexes (n-gram Jaccard), or coordinate-sign buckets
+  *    (embeddings). Expensive exact verification runs only on candidate
+  *    pairs, in-row against doc-count-sized array/sketch sides.
+  *  - Verification is integer-exact (Jaccard per-mille via array
+  *    intersections of hash sets, hamming via xor/bit_count, cosine via
+  *    quantized integer dot products compared cross-multiplied) so every
+  *    operator has a DuckDB oracle that hash-matches — no float
+  *    rounding-mode drift.
   *  - Skew: a pathological bucket (e.g. millions of identical docs) turns
   *    the bucket self-join quadratic. `maxBucket` caps membership per bucket
   *    (rows beyond the cap in one bucket are still caught by their other

@@ -266,6 +266,32 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("sum_qty"), col("n"))
         .orderBy(col("returnflag"), col("linestatus"))),
+    // CUBE: all four grouping combinations in one pass (Spark expands to a
+    // single Expand + one aggregation — no re-scan per grouping set).
+    "q_cube" -> ((s, d) =>
+      tp(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("sum_price_c"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_price_c"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))),
+    // Bounded-frame running window: last-4-rows moving sum per user —
+    // integer cents over a (ts_us, event_id) total order, so the frame
+    // content (and the sum) is engine-exact.
+    "q_moving_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(-3, 0)
+      tp(s, d, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("value_c", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("value_c")).over(w).as("sum4_c"))
+        .orderBy(col("event_id"))
+    }),
     // Exact median (lower middle element), not an interpolating percentile:
     // the k-th smallest VALUE is tie-insensitive and engine-portable.
     "q_events_median" -> ((s, d) => {
@@ -563,6 +589,16 @@ object SparkEntry {
       ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
         s"${sumB("CAST(l_quantity AS BIGINT)")} AS sum_qty, count(*) AS n " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY returnflag, linestatus"),
+    "q_cube" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
+        s"${sumB("CAST(round(l_extendedprice * 100) AS BIGINT)")} AS sum_price_c, count(*) AS n " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY returnflag, linestatus"),
+    "q_moving_sum" ->
+      ("SELECT event_id, user_id, CAST(sum(value_c) OVER (" +
+        "PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum4_c FROM (" +
+        "SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS value_c FROM events" +
+        ") ORDER BY event_id"),
     "q_events_median" ->
       ("SELECT event_type, value_c AS median_c FROM (" +
         "SELECT event_type, value_c, " +

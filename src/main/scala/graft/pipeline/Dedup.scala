@@ -136,10 +136,15 @@ object Dedup {
       val exploded = base.select(col("id"), col("block"),
         size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
       val prefix = prefixShingles(exploded, thresholdPermille)
-      val cand = prefix.select(col("block"), col("sh"), col("id").as("id_a"))
-        .join(prefix.select(col("block"), col("sh"), col("id").as("id_b")),
-          Seq("block", "sh"))
-        .filter(col("id_a") < col("id_b"))
+      // Size filter (also lossless): J(A,B) ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t —
+      // prunes size-mismatched collisions before the distinct.
+      val cand = prefix.select(col("block"), col("sh"), col("id").as("id_a"),
+          col("sz").as("sz_a"))
+        .join(prefix.select(col("block"), col("sh"), col("id").as("id_b"),
+          col("sz").as("sz_b")), Seq("block", "sh"))
+        .filter(col("id_a") < col("id_b") &&
+          col("sz_b") * 1000 >= col("sz_a") * thresholdPermille &&
+          col("sz_a") * 1000 >= col("sz_b") * thresholdPermille)
         .select("id_a", "id_b").distinct()
       verifyJaccardArrays(cand, base.select(col("id"), col("shingles")),
         thresholdPermille)
@@ -188,7 +193,7 @@ object Dedup {
       .withColumn("__rn", row_number().over(wOrd))
       .filter(col("__rn") <=
         col("sz") - ceil(col("sz") * thresholdPermille / 1000) + 1)
-      .select("id", "block", "sh")
+      .select("id", "block", "sh", "sz")
   }
 
   /** Hex digit value (0-15) of `hexStr` at 1-based position `pos` — engine-

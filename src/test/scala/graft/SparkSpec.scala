@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed (bucketed) test tables land in /tmp, not the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft_test/warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

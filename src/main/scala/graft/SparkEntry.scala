@@ -58,6 +58,12 @@ object SparkEntry {
       payload(DeleteView(s, Fixtures.cowDir(s, d), C2).toDF())),
     "q_delete_view_c4" -> ((s, d) =>
       payload(DeleteView(s, Fixtures.cowDir(s, d), C4).toDF())),
+    // MOR delete views: C2 is a pre-compaction delta delete; C4 deletes
+    // AFTER compaction C3x (marker keys resolved against compacted slices).
+    "q_delete_view_mor" -> ((s, d) =>
+      payload(DeleteView(s, Fixtures.morDir(s, d), C2).toDF())),
+    "q_delete_view_mor_c4" -> ((s, d) =>
+      payload(DeleteView(s, Fixtures.morDir(s, d), C4).toDF())),
     "q_snapshot_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d)))),
     "q_time_travel_cow" -> ((s, d) =>
@@ -430,6 +436,10 @@ object SparkEntry {
     "q_delete_view" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey",
     "q_delete_view_c4" ->
+      s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "q_delete_view_mor" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey",
+    "q_delete_view_mor_c4" ->
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_snapshot_cow" ->
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",

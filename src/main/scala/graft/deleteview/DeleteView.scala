@@ -5,10 +5,13 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The reference's core capability, Spark-native: given a versioned COW table
-  * and a commit timestamp `T`, reconstruct the full rows that commit `T`
-  * deleted and serve them as a DataFrame
-  * (ref: DeleteSupport.java:89-96, HudiDeleteHandle.java:61-75).
+/** The reference's core capability, Spark-native: given a versioned table
+  * (COW or MOR) and a commit timestamp `T`, reconstruct the full rows that
+  * commit `T` deleted and serve them as a DataFrame
+  * (ref: DeleteSupport.java:89-96, HudiDeleteHandle.java:61-75). COW
+  * rewrites diff old vs new slices; MOR delta commits resolve their
+  * `_hoodie_is_deleted` markers against the pre-commit merged state —
+  * capability the reference itself lacks (it reads COW rewrites only).
   *
   * Semantics = per-file-group LEFT ANTI JOIN on record key, projected to the
   * full old-row payload, with `_hoodie_commit_time` restamped to `T`
@@ -74,26 +77,60 @@ final class DeleteView(spark: SparkSession, basePath: String, ts: String) {
       (s"$basePath/$oldRel", s.path.map(p => s"$basePath/$p"))
     }
 
-  /** Build the delete-view plan (no materialization). */
+  /** Build the delete-view plan (no materialization). COW rewrites diff the
+    * previous slice against the new one; MOR delta commits semi-join the
+    * pre-commit state against the commit's delete markers. */
   private[graft] def plan(): DataFrame = {
+    val deleted =
+      if (timeline.instantAt(ts).exists(_.action == Instant.DeltaCommitAction))
+        planMorDelta()
+      else planCowRewrite()
+    // Restamp the deleting commit's timestamp (ref: HudiDeleteHandle.java:73-74)
+    deleted.withColumn(MetaCols.CommitTime, lit(ts))
+      // keep the canonical column order (meta prefix, then payload)
+      .select(deleted.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** COW: anti-join each touched group's previous slice against the new
+    * slice's keys. */
+  private def planCowRewrite(): DataFrame = {
     val pairs = slicePairs
     val oldPaths = pairs.map(_._1)
     val newPaths = pairs.flatMap(_._2)
     val old = spark.read.parquet(oldPaths: _*)
-    val deleted =
-      if (newPaths.isEmpty) old // every touched group was fully emptied
-      else {
-        // Probe side projects ONLY the key column → Parquet column pruning;
-        // Catalyst/AQE picks broadcast vs shuffled-hash anti-join and can
-        // spill — strictly dominates the reference's in-memory HashSet.
-        val newKeys = spark.read.parquet(newPaths: _*)
-          .select(MetaCols.RecordKey)
-        old.join(newKeys, Seq(MetaCols.RecordKey), "left_anti")
-      }
-    // Restamp the deleting commit's timestamp (ref: HudiDeleteHandle.java:73-74)
-    deleted.withColumn(MetaCols.CommitTime, lit(ts))
-      // keep the canonical column order (meta prefix, then payload)
-      .select(old.columns.map(col).toIndexedSeq: _*)
+    if (newPaths.isEmpty) old // every touched group was fully emptied
+    else {
+      // Probe side projects ONLY the key column → Parquet column pruning;
+      // Catalyst/AQE picks broadcast vs shuffled-hash anti-join and can
+      // spill — strictly dominates the reference's in-memory HashSet.
+      val newKeys = spark.read.parquet(newPaths: _*)
+        .select(MetaCols.RecordKey)
+      old.join(newKeys, Seq(MetaCols.RecordKey), "left_anti")
+    }
+  }
+
+  /** MOR: a delta commit deletes via `_hoodie_is_deleted` markers, so the
+    * deleted rows are the PRE-COMMIT state of the touched groups (their
+    * latest slices as of the preceding instant, merged) semi-joined on the
+    * marker keys. Both sides are metadata-pruned: only groups whose stats
+    * say numDeletes > 0 are read, and the marker scan projects
+    * (key, is_deleted) only. The writer counts numDeletes against the
+    * pre-commit snapshot, so the cache-integrity check
+    * (count == totalRecordsDeleted) holds exactly. */
+  private def planMorDelta(): DataFrame = {
+    val stats = deleteStats
+    val touched = stats.map(_._2.fileId).toSet
+    val prevTs = timeline.completedInstants().map(_.ts).filter(_ < ts)
+      .lastOption.getOrElse(throw new IllegalStateException(
+        s"deltacommit $ts has no preceding instant"))
+    val oldSlices = timeline.latestSlices(Some(prevTs))
+      .collect { case (fid, sl) if touched(fid) => sl }.toSeq
+    val old = graft.read.SnapshotReader.merge(spark, basePath, oldSlices)
+    val deltaPaths = stats.flatMap(_._2.path).map(p => s"$basePath/$p")
+    val delKeys = spark.read.parquet(deltaPaths: _*)
+      .filter(col(graft.read.SnapshotReader.IsDeleted))
+      .select(MetaCols.RecordKey)
+    old.join(delKeys, Seq(MetaCols.RecordKey), "left_semi")
   }
 
   /** Cache probe: dir exists, non-empty, and row count equals the commit's

@@ -99,6 +99,24 @@ class MorSpec extends SparkSpec {
     assert(snap.filter($"o_orderkey" % 7 === 0).isEmpty)
   }
 
+  test("MOR delete view: delta-delete markers resolve to full pre-commit rows") {
+    val dv = graft.deleteview.DeleteView(spark, base, C2).toDF()
+    val expected = orders.filter($"o_orderkey" % 7 === 0)
+    assert(dv.count() == expected.count())
+    // full old payloads, restamped to the deleting commit
+    assert(dv.select(MetaCols.CommitTime).distinct()
+      .as[String].collect().toSeq == Seq(C2))
+    val got = dv.select(orders.columns.map(col).toIndexedSeq: _*)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // post-compaction delta delete (C4): markers resolve against the
+    // compacted slices, payloads carry the C2 update
+    val dv4 = graft.deleteview.DeleteView(spark, base, C4).toDF()
+    val exp4 = expectedAfterC2.filter($"o_orderkey" % 11 === 5)
+    assert(dv4.count() == exp4.count())
+    val got4 = dv4.select(orders.columns.map(col).toIndexedSeq: _*)
+    assert(got4.exceptAll(exp4).isEmpty && exp4.exceptAll(got4).isEmpty)
+  }
+
   test("incremental plans ONLY file groups written in the commit range") {
     val dir = freshDir("orders_mor_prune")
     val w = new MorWriter(spark, dir, numBuckets = 4)

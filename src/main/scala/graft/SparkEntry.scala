@@ -260,6 +260,12 @@ object SparkEntry {
     "q_image_dims" -> ((s, d) =>
       Multimodal.imageDimsRoundtrip(tp(s, d, "documents"), col("doc_id"))
         .orderBy(col("media_id"))),
+    // REAL audio codec round trip (WAV PCM via javax.sound.sampled):
+    // deterministic waveform per doc, encoded + decoded for real; the
+    // signed sample sum is closed-form in doc_id for the oracle.
+    "q_audio_stats" -> ((s, d) =>
+      Multimodal.audioFactsRoundtrip(tp(s, d, "documents"), col("doc_id"))
+        .orderBy(col("media_id"))),
 
     // ---- extended analytics surface: rollup, exact median, JSON scalar
     //      functions, token counting, fuzzy-dedup end-to-end, as-of join ----
@@ -599,6 +605,15 @@ object SparkEntry {
       ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
         s"${sumB("CAST(l_quantity AS BIGINT)")} AS sum_qty, count(*) AS n " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY returnflag, linestatus"),
+    // The Spark side runs a REAL WAV encode→decode round trip; sample(i) =
+    // (i·k) mod 4096 − 2048 with k = 1 + id%31 over n = 256 + (id%64)·4
+    // frames at 8 kHz.
+    "q_audio_stats" ->
+      ("SELECT media_id, sample_rate, n_samples, " +
+        "CAST(list_sum(list_transform(range(0, n_samples), i -> (i * k) % 4096 - 2048)) AS BIGINT) AS amp_sum FROM (" +
+        "SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate, " +
+        "CAST(256 + (doc_id % 64) * 4 AS BIGINT) AS n_samples, 1 + doc_id % 31 AS k " +
+        "FROM documents) ORDER BY media_id"),
     "q_cube" ->
       ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
         s"${sumB("CAST(round(l_extendedprice * 100) AS BIGINT)")} AS sum_price_c, count(*) AS n " +

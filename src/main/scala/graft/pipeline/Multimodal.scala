@@ -28,6 +28,12 @@ final case class MediaFrame(media_id: Long, frameIdx: Int, tsMs: Long,
 final case class ImageDims(media_id: Long, width: Long, height: Long,
     px_sum: Long)
 
+/** Decoded audio facts (REAL codec path — see
+  * [[Multimodal.decodeAudioFacts]]). amp_sum is the signed sum of all PCM
+  * samples — a deterministic whole-waveform checksum. */
+final case class AudioFacts(media_id: Long, sample_rate: Long,
+    n_samples: Long, amp_sum: Long)
+
 /** Multimodal-column operators: treat image/audio/video as opaque `binary`
   * columns with typed metadata; decode / feature-extract / resize /
   * frame-sample run batch-wise per partition (`mapPartitions` over typed
@@ -37,12 +43,15 @@ final case class ImageDims(media_id: Long, width: Long, height: Long,
   * IMAGE encode/decode is REAL: the JDK ships PNG/JPEG/BMP/GIF codecs in
   * `javax.imageio` — [[encodePng]]/[[decodeImageDims]] run actual
   * compression round-trips (exercised oracle-backed by q_image_dims).
-  * AUDIO/VIDEO codecs are NOT in this container, so the generic
-  * feature-extract / resize / frame-sample kernels below remain
-  * deterministic fakes clearly marked [STUB]; their Spark-side plumbing —
-  * schemas, encoders, partitioning, batch shape, lazy iterator
-  * processing — is real and tested, and swapping a real codec in means
-  * replacing only the marked functions.
+  * AUDIO encode/decode is REAL for PCM WAV/AIFF/AU: the JDK ships them in
+  * `javax.sound.sampled` — [[encodeWav]]/[[decodeAudioFacts]] run actual
+  * container round-trips (oracle-backed by q_audio_stats).
+  * VIDEO codecs are NOT in this container, so the generic feature-extract /
+  * resize / frame-sample kernels below remain deterministic fakes clearly
+  * marked [STUB]; their Spark-side plumbing — schemas, encoders,
+  * partitioning, batch shape, lazy iterator processing — is real and
+  * tested, and swapping a real codec in means replacing only the marked
+  * functions.
   */
 object Multimodal {
 
@@ -196,6 +205,86 @@ object Multimodal {
         }
       }.toDF("media_id", "content")
     decodeImageDims(encoded, col("media_id"), col("content")).toDF()
+  }
+
+  /** REAL codec: encode signed 16-bit mono little-endian PCM as a WAV
+    * container via the JDK's javax.sound.sampled. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL codec: decode audio payloads (WAV/AIFF/AU PCM via
+    * javax.sound.sampled) into (sample rate, frame count, signed sample
+    * sum). 16-bit PCM only (the synthesis format); respects the container's
+    * declared endianness. Undecodable/null payloads are dropped. */
+  def decodeAudioFacts(df: DataFrame, id: Column, content: Column)
+      : Dataset[AudioFacts] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), content.cast("binary").as("c"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          Option(bytes).flatMap { b =>
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(b))
+              try {
+                val fmt = ais.getFormat
+                require(fmt.getSampleSizeInBits == 16)
+                val data = ais.readAllBytes()
+                val n = data.length / 2
+                var s = 0L
+                var i = 0
+                if (fmt.isBigEndian)
+                  while (i < n) {
+                    s += ((data(2 * i) << 8) | (data(2 * i + 1) & 0xFF)).toShort
+                    i += 1
+                  }
+                else
+                  while (i < n) {
+                    s += ((data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)).toShort
+                    i += 1
+                  }
+                Some(AudioFacts(mid, fmt.getSampleRate.toLong, n.toLong, s))
+              } finally ais.close()
+            } catch { case _: Exception => None }
+          }
+        }
+      }
+  }
+
+  /** End-to-end real-codec round trip (the q_audio_stats substrate): per id,
+    * synthesize deterministic PCM — 8 kHz, n = 256 + (id%64)·4 samples,
+    * sample(i) = (i·(1 + id%31)) mod 4096 − 2048 — through the REAL WAV
+    * encoder, decode it back, emit rate/frames/signed sample sum. Closed
+    * form in id, so a SQL oracle verifies the container round trip. */
+  def audioFactsRoundtrip(df: DataFrame, id: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(id.cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val n = 256 + (mid % 64).toInt * 4
+          val k = 1 + (mid % 31).toInt
+          val samples = Array.tabulate(n)(i => ((i * k) % 4096 - 2048).toShort)
+          (mid, encodeWav(8000, samples))
+        }
+      }.toDF("media_id", "content")
+    decodeAudioFacts(encoded, col("media_id"), col("content")).toDF()
   }
 
   /** Metadata-only stats over a media table: per-kind count/bytes — pure

@@ -198,6 +198,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.width == 7 && out.head.height == 5)
   }
 
+  test("audio codec: WAV encode→decode round trip matches closed form") {
+    val rows = Multimodal.audioFactsRoundtrip(
+      docs.limit(40).select($"doc_id"), $"doc_id").collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = 256 + (id % 64) * 4
+      val k = 1 + id % 31
+      assert(r.getLong(1) == 8000L && r.getLong(2) == n)
+      val ampSum = (0L until n).map(i => (i * k) % 4096 - 2048).sum
+      assert(r.getLong(3) == ampSum, s"waveform checksum mismatch for id=$id")
+    }
+    // undecodable payloads dropped
+    val junk = Seq((9L, Array[Byte](9, 9, 9))).toDF("media_id", "content")
+    assert(Multimodal.decodeAudioFacts(junk, $"media_id", $"content").isEmpty)
+  }
+
   test("multimodal: typed plumbing, stub decode, frame sampling") {
     val media = docs.limit(50).select(
       $"doc_id".as("media_id"),

@@ -30,12 +30,26 @@ object SnapshotReader {
   /** Standard Hudi delete-marker column carried by MOR delta files. */
   val IsDeleted = "_hoodie_is_deleted"
 
+  /** Snapshot (or time-travel, via `asOf`) read.
+    *
+    * @param partitions non-empty → METADATA-level partition pruning: only
+    *                   slices under the named partition paths are listed,
+    *                   scanned, or merged. At 100 TB this is the difference
+    *                   between planning thousands of file groups and
+    *                   planning one partition's worth — the row-group
+    *                   min/max filter on `_hoodie_partition_path` only
+    *                   kicks in after every file is already in the plan. */
   def read(spark: SparkSession, basePath: String,
-      asOf: Option[String] = None): DataFrame = {
+      asOf: Option[String] = None,
+      partitions: Seq[String] = Seq.empty): DataFrame = {
     val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
     val slices = timeline.latestSlices(asOf).values.toSeq
-    require(slices.nonEmpty, s"empty table (no slices) at $basePath" +
-      asOf.fold("")(t => s" as of $t"))
+      .filter(sl => partitions.isEmpty ||
+        partitions.contains(sl.partitionPath))
+    require(slices.nonEmpty, s"empty table (no matching slices) at $basePath" +
+      asOf.fold("")(t => s" as of $t") +
+      (if (partitions.nonEmpty) s" partitions=${partitions.mkString(",")}"
+       else ""))
     merge(spark, basePath, slices)
   }
 
@@ -99,11 +113,15 @@ object SnapshotReader {
   */
 object IncrementalReader {
   def read(spark: SparkSession, basePath: String,
-      fromExclusive: String, toInclusive: String): DataFrame = {
+      fromExclusive: String, toInclusive: String,
+      partitions: Seq[String] = Seq.empty): DataFrame = {
     val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
     val touched: Set[String] = timeline.completedInstants()
       .filter(i => i.ts > fromExclusive && i.ts <= toInclusive)
-      .flatMap(i => timeline.metadata(i.ts).allStats.map(_._2.fileId))
+      .flatMap(i => timeline.metadata(i.ts).allStats.collect {
+        case (part, s)
+            if partitions.isEmpty || partitions.contains(part) => s.fileId
+      })
       .toSet
     val rangeFilter = col(MetaCols.CommitTime) > fromExclusive &&
       col(MetaCols.CommitTime) <= toInclusive

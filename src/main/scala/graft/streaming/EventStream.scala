@@ -68,6 +68,16 @@ object EventStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeated (user_id, event_id) arrivals with
+    * BOUNDED state — `dropDuplicatesWithinWatermark` evicts seen-key state
+    * once the watermark passes, so a long-lived training-data ingest stream
+    * (at-least-once upstream → exactly-once-per-key downstream) never
+    * accumulates unbounded dedup state. Batch twin: plain dropDuplicates. */
+  def dedupStream(df: DataFrame, delay: String = "2 hours"): DataFrame =
+    withEventTime(df)
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_id")
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   case class Event(event_id: Long, ts: Long, user_id: Long,

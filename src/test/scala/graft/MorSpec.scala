@@ -139,6 +139,19 @@ class MorSpec extends SparkSpec {
     assert(inc.count() == 1)
   }
 
+  test("partition-pruned snapshot plans only the named partition's files") {
+    val part = orders.select(partCol).distinct()
+      .as[String].collect().sorted.head
+    val snap = SnapshotReader.read(spark, base, partitions = Seq(part))
+    val files = snap.inputFiles.toSeq
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains(s"/$part/")),
+      s"scan leaked outside partition $part: $files")
+    val expected = expectedAfterC2
+      .filter($"o_orderkey" % 11 =!= 5 && partCol === part)
+    assert(snap.count() == expected.count())
+  }
+
   test("incremental over an empty commit range is empty but keeps the schema") {
     val inc = IncrementalReader.read(spark, base, C3, C3)
     assert(inc.isEmpty)

@@ -107,6 +107,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedTotal == nEvents)
   }
 
+  test("streaming dedup drops duplicate arrivals with bounded state") {
+    // duplicate the whole input: copy events.parquet twice into the source
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("b.parquet"))
+    val q = EventStream.dedupStream(
+        EventStream.readStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.table("deduped").count()
+    val distinct = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_id").distinct().count()
+    assert(n == distinct, s"expected $distinct deduped rows, got $n")
+  }
+
   test("stateful sessionization: batch flush matches window-lag oracle") {
     import spark.implicits._
     val events = spark.read.parquet(s"$sf/events.parquet")

@@ -97,7 +97,7 @@ final class DeleteView(spark: SparkSession, basePath: String, ts: String) {
     val pairs = slicePairs
     val oldPaths = pairs.map(_._1)
     val newPaths = pairs.flatMap(_._2)
-    val old = spark.read.parquet(oldPaths: _*)
+    val old = graft.read.SnapshotReader.evolvedRead(spark, oldPaths)
     if (newPaths.isEmpty) old // every touched group was fully emptied
     else {
       // Probe side projects ONLY the key column → Parquet column pruning;

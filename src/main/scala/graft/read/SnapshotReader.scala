@@ -30,6 +30,15 @@ object SnapshotReader {
   /** Standard Hudi delete-marker column carried by MOR delta files. */
   val IsDeleted = "_hoodie_is_deleted"
 
+  /** Multi-path parquet read that survives ADD-COLUMN schema evolution:
+    * `mergeSchema` unions the footers' schemas (files written before the
+    * column appeared read as null). Cost is driver-side footer sampling —
+    * the price of evolution support; slices of one table share a schema
+    * lineage so the merged schema stays small. */
+  private[graft] def evolvedRead(spark: SparkSession,
+      paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Snapshot (or time-travel, via `asOf`) read.
     *
     * @param partitions non-empty → METADATA-level partition pruning: only
@@ -61,18 +70,18 @@ object SnapshotReader {
     val basePaths = baseOnly.flatMap(_.relPath).map(abs)
 
     val plainScan =
-      if (basePaths.nonEmpty) Some(spark.read.parquet(basePaths: _*))
+      if (basePaths.nonEmpty) Some(evolvedRead(spark, basePaths))
       else None
 
     val merged = if (withDeltas.nonEmpty) {
       val mergeBase = withDeltas.flatMap(_.relPath).map(abs)
       val deltaPaths = withDeltas.flatMap(_.deltas.map(d => abs(d.relPath)))
-      val deltas = spark.read.parquet(deltaPaths: _*)
+      val deltas = evolvedRead(spark, deltaPaths)
       val cols = deltas.columns.filter(_ != IsDeleted)
       val unioned = (if (mergeBase.nonEmpty)
-        Seq(spark.read.parquet(mergeBase: _*)
+        Seq(evolvedRead(spark, mergeBase)
           .withColumn(IsDeleted, lit(false))) else Seq.empty) :+ deltas
-      val all = unioned.reduce(_ unionByName _)
+      val all = unioned.reduce(_.unionByName(_, allowMissingColumns = true))
       // Tiebreak: within one commit a delete marker beats an upsert of the
       // same key (deterministic delete-wins semantics; SURVEY.md §7.5 #2 —
       // same key written twice in one commit must not be order-dependent).
@@ -85,7 +94,8 @@ object SnapshotReader {
         .select(cols.map(col).toIndexedSeq: _*))
     } else None
 
-    (plainScan.toSeq ++ merged.toSeq).reduceOption(_ unionByName _)
+    (plainScan.toSeq ++ merged.toSeq)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(throw new IllegalStateException(
         s"no readable files among ${slices.size} slices at $basePath"))
   }

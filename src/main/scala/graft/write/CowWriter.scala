@@ -109,8 +109,9 @@ final class CowWriter(
     val oldPaths = prevByFid.values.flatMap(_.relPath)
       .map(rp => s"$basePath/$rp").toSeq
 
-    val old = if (oldPaths.nonEmpty) Some(spark.read.parquet(oldPaths: _*))
-      else None
+    val old = if (oldPaths.nonEmpty)
+      Some(graft.read.SnapshotReader.evolvedRead(spark, oldPaths))
+    else None
 
     // Keys being replaced or removed in this commit.
     val changeKeys = (up.map(_.select(MetaCols.RecordKey)).toSeq ++
@@ -125,8 +126,10 @@ final class CowWriter(
           concat(col(FidCol), lit("_"), lit(ts), lit(".parquet")))
     }
 
+    // allowMissingColumns: an upsert may ADD payload columns (schema
+    // evolution) — carried-over survivors read them as null.
     val newData = (survivors.toSeq ++ up.toSeq)
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
     val written = writeSlices(newData, ts)
 

@@ -82,7 +82,8 @@ final class MorWriter(
       .withColumn(SnapshotReader.IsDeleted, lit(false)))
     val del = deletes.map(withMeta(_, keyCol, partCol, ts)
       .withColumn(SnapshotReader.IsDeleted, lit(true)))
-    val deltaRows = (up.toSeq ++ del.toSeq).reduceOption(_ unionByName _)
+    val deltaRows = (up.toSeq ++ del.toSeq)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(throw new IllegalArgumentException(
         "empty delta commit: no updates and no deletes"))
 

@@ -31,16 +31,21 @@ final class GraftTable(spark: SparkSession, basePath: String) {
   def commits: Seq[String] = timeline.completedInstants().map(_.ts)
 
   /** Latest-state snapshot (COW: pure multi-path scan; MOR: window merge of
-    * dirty groups only). */
-  def snapshot(): DataFrame = SnapshotReader.read(spark, basePath)
+    * dirty groups only). `partitions` non-empty → metadata-level partition
+    * pruning (only those partitions' slices are even listed). */
+  def snapshot(partitions: Seq[String] = Seq.empty): DataFrame =
+    SnapshotReader.read(spark, basePath, None, partitions)
 
   /** Snapshot as of (≤) commit `ts`. */
-  def asOf(ts: String): DataFrame =
-    SnapshotReader.read(spark, basePath, Some(ts))
+  def asOf(ts: String, partitions: Seq[String] = Seq.empty): DataFrame =
+    SnapshotReader.read(spark, basePath, Some(ts), partitions)
 
-  /** Current state of records written in `(fromExclusive, toInclusive]`. */
-  def incremental(fromExclusive: String, toInclusive: String): DataFrame =
-    IncrementalReader.read(spark, basePath, fromExclusive, toInclusive)
+  /** Current state of records written in `(fromExclusive, toInclusive]` —
+    * plans only the file groups those commits actually wrote. */
+  def incremental(fromExclusive: String, toInclusive: String,
+      partitions: Seq[String] = Seq.empty): DataFrame =
+    IncrementalReader.read(spark, basePath, fromExclusive, toInclusive,
+      partitions)
 
   /** Rows deleted by commit `ts` (the reference's capability): materialized
     * once under `.delete/<ts>/`, count-validated, then served cached. */

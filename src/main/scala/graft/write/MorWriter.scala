@@ -126,9 +126,21 @@ final class MorWriter(
   /** Compaction: fold every file group with outstanding deltas into a fresh
     * base slice at `ts` (timeline action `commit`, like Hudi compaction).
     * Groups without deltas are untouched. */
-  def compact(ts: String): Unit = {
+  def compact(ts: String): Unit = compactWhere(ts, _.deltas.nonEmpty)
+
+  /** Threshold compaction (Hudi's num-delta-commits strategy): compact only
+    * file groups carrying at least `minDeltas` outstanding delta files;
+    * groups below the threshold keep accumulating. At scale this bounds
+    * both compaction write amplification (only genuinely dirty groups are
+    * rewritten) and snapshot merge cost (the window merge side stays
+    * small). */
+  def compactIf(ts: String, minDeltas: Int): Unit =
+    compactWhere(ts, _.deltas.size >= minDeltas)
+
+  private def compactWhere(ts: String,
+      shouldCompact: FileSlice => Boolean): Unit = {
     val slices = timeline.latestSlices(None)
-    val dirty = slices.values.filter(_.deltas.nonEmpty).toSeq
+    val dirty = slices.values.filter(shouldCompact).toSeq
     if (dirty.isEmpty) return
     val merged = SnapshotReader.merge(spark, basePath, dirty)
       .withColumn(FidCol, fileIdCol)

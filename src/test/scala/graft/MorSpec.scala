@@ -99,6 +99,37 @@ class MorSpec extends SparkSpec {
     assert(snap.filter($"o_orderkey" % 7 === 0).isEmpty)
   }
 
+  test("threshold compaction rewrites only groups at/over the delta threshold") {
+    val dir = freshDir("orders_mor_compactif")
+    val w = new MorWriter(spark, dir, numBuckets = 4)
+    w.insert(orders, keyCol, partCol, C1)
+    // C2 touches everything (one delta per group); C3 touches ONE key
+    w.upsertDelta(Some(orders.withColumn("o_totalprice", $"o_totalprice" + 1)),
+      None, keyCol, partCol, C2)
+    val one = orders.orderBy($"o_orderkey").limit(1)
+    w.upsertDelta(Some(one.withColumn("o_totalprice", $"o_totalprice" + 2)),
+      None, keyCol, partCol, C3)
+    val before = Timeline(spark.sessionState.newHadoopConf(), dir)
+      .latestSlices(None)
+    val hot = before.values.filter(_.deltas.size >= 2).map(_.fileId).toSet
+    assert(hot.size == 1, "exactly one group should carry two deltas")
+    w.compactIf(C4, minDeltas = 2)
+    val after = Timeline(spark.sessionState.newHadoopConf(), dir)
+      .latestSlices(None)
+    assert(after(hot.head).deltas.isEmpty &&
+      after(hot.head).commitTs == C4, "hot group compacted")
+    after.values.filterNot(s => hot(s.fileId)).foreach { s =>
+      assert(s.deltas.size == 1 && s.commitTs != C4,
+        s"cold group ${s.fileId} must be untouched")
+    }
+    // data unchanged by compaction
+    val snap = SnapshotReader.read(spark, dir)
+    assert(snap.count() == orders.count())
+    assert(snap.filter($"o_totalprice" % 10 === 0).count() ==
+      SnapshotReader.read(spark, dir, Some(C3))
+        .filter($"o_totalprice" % 10 === 0).count())
+  }
+
   test("MOR delete view: delta-delete markers resolve to full pre-commit rows") {
     val dv = graft.deleteview.DeleteView(spark, base, C2).toDF()
     val expected = orders.filter($"o_orderkey" % 7 === 0)

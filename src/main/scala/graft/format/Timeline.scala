@@ -102,6 +102,16 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
     instantsMemo = None
   }
 
+  /** Remove a completed instant's commit file from the timeline (rollback
+    * support — data-file deletion is the caller's job, see
+    * graft.write.TableMaintenance). No-op if the instant doesn't exist. */
+  def deleteCommit(ts: String): Unit =
+    instantAt(ts).foreach { i =>
+      fs.delete(new Path(hoodieDir, ts + suffixOf(i.action)), false)
+      memo.remove(ts)
+      instantsMemo = None
+    }
+
   /** The latest file slice per file group as of `asOf` (inclusive); all
     * completed commits when `asOf` is None. Pure metadata walk: base-writing
     * instants (commit/compaction) start a fresh slice, delta commits append

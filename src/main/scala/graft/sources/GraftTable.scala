@@ -55,6 +55,14 @@ final class GraftTable(spark: SparkSession, basePath: String) {
   /** Register `snapshot()` as a SQL temp view. */
   def register(name: String): Unit =
     snapshot().createOrReplaceTempView(name)
+
+  /** Undo every commit after `toTs` (files + timeline + caches). */
+  def rollback(toTs: String): Seq[String] =
+    graft.write.TableMaintenance.rollback(spark, basePath, toTs)
+
+  /** Reclaim storage unreachable by the newest `retainCommits` snapshots. */
+  def clean(retainCommits: Int): Seq[String] =
+    graft.write.TableMaintenance.clean(spark, basePath, retainCommits)
 }
 
 object GraftTable {

@@ -90,28 +90,36 @@ final class MorWriter(
     val written = SliceFiles.write(fs, basePath, deltaRows, ts,
       (fid, t) => s"${fid}_$t.delta.parquet")
 
-    // Exact numDeletes per group: delete keys actually live in the
-    // pre-commit snapshot (ref invariant: totalRecordsDeleted must be exact,
-    // DeleteView.java:186).
+    // Exact per-group op counters in ONE snapshot join: a delete/update only
+    // counts if its key actually lives in the pre-commit snapshot (ref
+    // invariant: totalRecordsDeleted must be exact, DeleteView.java:186).
+    // Distinct per (key, op) so duplicate keys in user frames can't inflate.
     val slices = timeline.latestSlices(None)
-    val deletedPerFid: Map[String, Long] = del match {
-      case Some(d) if slices.nonEmpty =>
+    val tagged = (del.map(_.select(col(MetaCols.RecordKey), col(FidCol))
+        .withColumn("__op", lit("d"))).toSeq ++
+      up.map(_.select(col(MetaCols.RecordKey), col(FidCol))
+        .withColumn("__op", lit("u"))))
+      .reduceOption(_ unionByName _).map(_.distinct())
+    val opCounts: Map[(String, String), Long] = tagged match {
+      case Some(t) if slices.nonEmpty =>
         val current = SnapshotReader.merge(spark, basePath, slices.values.toSeq)
           .select(MetaCols.RecordKey)
         current
-          .join(d.select(col(MetaCols.RecordKey), col(FidCol)),
-            Seq(MetaCols.RecordKey), "inner")
-          .groupBy(FidCol).count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+          .join(t, Seq(MetaCols.RecordKey), "inner")
+          .groupBy(col(FidCol), col("__op")).count().collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       case _ => Map.empty
     }
+    val deletedPerFid = opCounts.collect { case ((f, "d"), n) => f -> n }
+    val updatedPerFid = opCounts.collect { case ((f, "u"), n) => f -> n }
 
     val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
       part -> WriteStat(fid, Some(relPath),
         prevCommit = slices.get(fid).map(_.commitTs),
         numWrites = n,
         numDeletes = deletedPerFid.getOrElse(fid, 0L),
-        numUpdateWrites = 0, numInserts = 0)
+        numUpdateWrites = updatedPerFid.getOrElse(fid, 0L),
+        numInserts = 0)
     }
     saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
       op = "UPSERT_DELTA", action = Instant.DeltaCommitAction)

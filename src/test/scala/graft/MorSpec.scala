@@ -60,6 +60,13 @@ class MorSpec extends SparkSpec {
       orders.filter($"o_orderkey" % 7 === 0).count())
   }
 
+  test("delta commit records exact update counts (existing keys only)") {
+    val tl = Timeline(spark.sessionState.newHadoopConf(), base)
+    val updates = tl.metadata(C2).allStats.map(_._2.numUpdateWrites).sum
+    assert(updates ==
+      orders.filter($"o_orderkey" % 10 === 3 && $"o_orderkey" % 7 =!= 0).count())
+  }
+
   test("compaction folds deltas; snapshot unchanged; slices reset") {
     val tl = Timeline(spark.sessionState.newHadoopConf(), base)
     val afterC3 = tl.latestSlices(Some(C3))

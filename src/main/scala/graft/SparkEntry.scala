@@ -380,6 +380,30 @@ object SparkEntry {
           coalesce(col("view_sec"), lit(-1L)).as("view_sec"))
         .orderBy(col("event_id"))
     }),
+    // Forward as-of: the user's EARLIEST view at-or-after each click (same
+    // merge-sort plan, time axis reversed).
+    "q_asof_join_fwd" -> ((s, d) => {
+      val ev = tp(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      AsOfJoin.asOf(clicks, col("user_id"), col("ts_us"),
+          views, col("user_id"), col("ts_us"),
+          Seq("view_event_id" -> col("view_event_id")), forward = true)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("view_event_id"), lit(-1L)).as("view_event_id"))
+        .orderBy(col("event_id"))
+    }),
+    // Heavy hitters: exact global top-20 tokens — partial-aggregated count
+    // per token, TakeOrderedAndProject top-k (no global sort).
+    "q_top_tokens" -> ((s, d) =>
+      tp(s, d, "documents")
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
   )
 
   // ---- DuckDB oracles ----
@@ -658,5 +682,14 @@ object SparkEntry {
         "coalesce(CAST(floor(epoch(v.ts)) AS BIGINT), -1) AS view_sec " +
         "FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.ts <= c.ts " +
         "ORDER BY c.event_id"),
+    "q_asof_join_fwd" ->
+      ("WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+        "views AS (SELECT user_id, ts, max(event_id) AS view_event_id FROM events WHERE event_type = 'view' GROUP BY user_id, ts) " +
+        "SELECT c.event_id, c.user_id, coalesce(v.view_event_id, -1) AS view_event_id " +
+        "FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.ts >= c.ts " +
+        "ORDER BY c.event_id"),
+    "q_top_tokens" ->
+      (s"SELECT token, count(*) AS n FROM (SELECT unnest($Toks) AS token FROM documents) " +
+        "GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"),
   )
 }

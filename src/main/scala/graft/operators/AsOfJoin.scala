@@ -29,10 +29,15 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param rightPayload (outputName -> column-of-right) payload attached
-    *                     to each left row (null when no right row ≤ ts). */
+    *                     to each left row (null when no matching right row).
+    * @param forward false (default): LATEST right row with rightTs ≤ leftTs
+    *                (backward as-of). true: EARLIEST right row with
+    *                rightTs ≥ leftTs (forward as-of) — the same merge-sort
+    *                plan with the time axis reversed. */
   def asOf(left: DataFrame, leftKey: Column, leftTs: Column,
       right: DataFrame, rightKey: Column, rightTs: Column,
-      rightPayload: Seq[(String, Column)]): DataFrame = {
+      rightPayload: Seq[(String, Column)],
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadStruct = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
     val l = left.select(
@@ -45,8 +50,11 @@ object AsOfJoin {
         .head.dataType).as("__row"),
       rightKey.as("__k"), rightTs.as("__ts"),
       lit(0).as("__side"), payloadStruct.as("__p"))
+    // Right rows (side 0) sort before left rows at equal ts in BOTH
+    // directions, giving inclusive (≤ / ≥) semantics.
     val w = Window.partitionBy("__k")
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc,
+        col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))

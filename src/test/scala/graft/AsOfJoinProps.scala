@@ -49,4 +49,25 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
 
       got == want
     }
+
+  property("forward direction equals the earliest-at-or-after model") =
+    Prop.forAll(genInput) { case (leftRows, rightRows) =>
+      import spark.implicits._
+      val left = leftRows.toDF("event_id", "key", "ts")
+      val right = rightRows.toDF("key", "ts", "payload")
+
+      val got = AsOfJoin.asOf(left, col("key"), col("ts"),
+          right, col("key"), col("ts"),
+          Seq("payload" -> col("payload")), forward = true)
+        .select("event_id", "payload").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some(r.getLong(1)))).toMap
+
+      val want = leftRows.map { case (id, k, ts) =>
+        val cand = rightRows.filter { case (rk, rts, _) => rk == k && rts >= ts }
+        id -> cand.sortBy(_._2).headOption.map(_._3)
+      }.toMap
+
+      got == want
+    }
 }

@@ -220,6 +220,17 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+    // Winnowing (MOSS) rolling-hash fingerprints — engine-portable integer
+    // polynomial hash, so the full sketch is oracle-checked via its
+    // cardinality and extrema per doc.
+    "q_winnow" -> ((s, d) =>
+      tp(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          coalesce(array_min(col("fps")), lit(-1L)).as("min_fp"),
+          coalesce(array_max(col("fps")), lit(-1L)).as("max_fp"))
+        .orderBy(col("doc_id"))),
     "q_ngram_pairs" -> ((s, d) =>
       Dedup.ngramJaccardPairs(tp(s, d, "documents"), col("doc_id"),
           col("text"), blocking = col("source"), n = 2,
@@ -554,6 +565,18 @@ object SparkEntry {
         ") ORDER BY doc_id"),
     "q_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id",
+    "q_winnow" -> {
+      val pow = Array.iterate(1L, 5)(_ * 257L) // 257^0..257^4
+      val gram = (0 until 5).map(i =>
+        s"ascii(substr(s, j+${i + 1}, 1)) * ${pow(4 - i)}").mkString(" + ")
+      "WITH c AS (SELECT doc_id, lower(text) AS s, length(lower(text)) AS n FROM documents), " +
+        s"h AS (SELECT doc_id, n, CASE WHEN n >= 12 THEN list_transform(range(0, n - 4), j -> ($gram) % 1000000007) ELSE [] END AS hs FROM c), " +
+        "wfp AS (SELECT doc_id, CASE WHEN n >= 12 THEN list_distinct(list_transform(range(0, n - 11), j -> list_min(hs[j+1:j+8]))) ELSE [] END AS fps FROM h) " +
+        "SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, " +
+        "CAST(coalesce(list_min(fps), -1) AS BIGINT) AS min_fp, " +
+        "CAST(coalesce(list_max(fps), -1) AS BIGINT) AS max_fp " +
+        "FROM wfp ORDER BY doc_id"
+    },
     "q_ngram_pairs" ->
       ("WITH sh AS (SELECT doc_id, source, list_distinct(list_transform(" +
         s"range(0, greatest(len($Toks) - 2, 0) + 1), " +

@@ -106,4 +106,19 @@ object TextAnalysis {
     transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm): polynomial rolling hash of every `k`-char gram of the
+    * lower-cased text, then the minimum hash of every `w`-wide window of
+    * that sequence, deduplicated. The guarantee: any shared substring of
+    * length ≥ k + w − 1 between two documents yields at least one shared
+    * fingerprint, with only ~2/(w+1) of positions sampled — the standard
+    * near-copy detection sketch at crawl scale.
+    *
+    * Arithmetic is engine-portable on purpose: code points via `ascii`,
+    * hash = (Σ code·257^(k−1−i)) mod (10⁹+7) in exact integer math — the
+    * DuckDB oracle reproduces it term by term (unlike xxhash64-based
+    * shingles). Documents shorter than k + w − 1 chars get an empty set. */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 8): Column =
+    graft.functions.WinnowHashes.winnowHashes(lower(text), k, w)
 }

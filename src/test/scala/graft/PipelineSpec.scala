@@ -173,6 +173,22 @@ class PipelineSpec extends SparkSpec {
       .exceptAll(l2.select("doc_id", "lang_pred")).isEmpty)
   }
 
+  test("winnowing: shared substrings guarantee shared fingerprints; short docs empty") {
+    val data = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "PREFIX the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely unrelated text with different characters entirely"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val fps = data.select($"doc_id",
+      TextAnalysis.winnowFingerprints($"text").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee: shared substring of length >= k+w-1 (12) shares
+    // at least one fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert(fps(4L).isEmpty, "docs shorter than k+w-1 chars have no windows")
+    assert(fps(1L).nonEmpty && fps(3L).nonEmpty)
+  }
+
   test("image codec: PNG encode→decode round trip matches closed form") {
     val rows = Multimodal.imageDimsRoundtrip(
       docs.limit(40).select($"doc_id"), $"doc_id").collect()

@@ -28,6 +28,33 @@ class SqlSurfaceSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // must not throw
   }
 
+  test("full native-function registry: scalar kernels and sketch aggregates from SQL") {
+    GraftExtensions.registerAll(spark)
+    // scalar: shingle hasher == the Column API result
+    val sql = spark.sql(
+      "SELECT distinct_shingle_hashes(array('a','b','c'), 2) AS h")
+      .head().getSeq[Long](0)
+    val api = Seq(("a b c")).toDF("t")
+      .select(graft.pipeline.Dedup.shingleSet(col("t"), 2).as("h"))
+      .head().getSeq[Long](0)
+    assert(sql == api)
+    // scalar: winnowing — short input empty, long input non-empty
+    assert(spark.sql("SELECT winnow_hashes('abc', 5, 8) AS w")
+      .head().getSeq[Long](0).isEmpty)
+    assert(spark.sql(
+      "SELECT winnow_hashes('abcdefghijklmnopqrstuvwxyz', 5, 8) AS w")
+      .head().getSeq[Long](0).nonEmpty)
+    // aggregates: minhash signature and simhash word via GROUP BY
+    val sig = spark.sql(
+      "SELECT minhash_sig(x, 4) AS s FROM VALUES (1L), (2L), (3L) AS t(x)")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4)
+    val sim = spark.sql(
+      "SELECT simhash_bits(x, 8) AS s FROM VALUES (255L), (255L) AS t(x)")
+      .head().getLong(0)
+    assert(sim == 255L, "all-ones votes must set all 8 bits")
+  }
+
   test("delete view registers as a SQL temp view with pushdown-able scan") {
     val dir = Fixtures.cowDir(spark, sf0001)
     DeleteView(spark, dir, Fixtures.C2).register("dv_c2")

@@ -68,6 +68,31 @@ object EventStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked stream-stream INTERVAL join: each click joined to the same
+    * user's views from the preceding `window`. Both sides carry watermarks
+    * and the join condition bounds the event-time range, so Structured
+    * Streaming can evict buffered state once the watermark passes — the
+    * canonical bounded-state stream-stream join (without the range bound
+    * the state would grow forever). Works identically on batch frames
+    * (same code path — used by the spec as its own oracle). */
+  def clickViewJoin(events: DataFrame, window: String = "10 minutes",
+      delay: String = "30 minutes"): DataFrame = {
+    val e = withEventTime(events)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", delay)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("event_time").as("view_time"))
+      .withWatermark("view_time", delay)
+    clicks.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("view_time") >= col("click_time") - expr(s"INTERVAL $window") &&
+        col("view_time") < col("click_time"))
+      .select(col("click_id"), col("user_id"), col("view_id"))
+  }
+
   /** Streaming exact dedup: drop repeated (user_id, event_id) arrivals with
     * BOUNDED state — `dropDuplicatesWithinWatermark` evicts seen-key state
     * once the watermark passes, so a long-lived training-data ingest stream

@@ -107,6 +107,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedTotal == nEvents)
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    val batch = EventStream.clickViewJoin(
+      spark.read.parquet(s"$sf/events.parquet")).count()
+    val q = EventStream.clickViewJoin(
+        EventStream.readStream(spark, eventsDir))
+      .writeStream.format("memory").queryName("cv_join")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cv_join").count()
+    assert(batch > 0, "batch twin must find click-view pairs")
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("streaming dedup drops duplicate arrivals with bounded state") {
     // duplicate the whole input: copy events.parquet twice into the source
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")

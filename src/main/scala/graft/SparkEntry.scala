@@ -289,6 +289,21 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("sum_qty"), col("n"))
         .orderBy(col("returnflag"), col("linestatus"))),
+    // String/date scalar-function surface in one deterministic pass:
+    // substrings, case transforms, concat, year/month extraction, date
+    // arithmetic — all engine-portable builtins.
+    "q_string_date" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 1)).as("prio_initial"),
+          length(col("o_orderpriority")).cast("long").as("prio_len"),
+          concat(col("o_orderstatus"), lit("-"),
+            substring(col("o_orderpriority"), 1, 1)).as("status_tag"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          datediff(lit("1999-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_99"))
+        .orderBy(col("o_orderkey"))),
     // CUBE: all four grouping combinations in one pass (Spark expands to a
     // single Expand + one aggregation — no re-scan per grouping set).
     "q_cube" -> ((s, d) =>
@@ -661,6 +676,13 @@ object SparkEntry {
         "SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate, " +
         "CAST(256 + (doc_id % 64) * 4 AS BIGINT) AS n_samples, 1 + doc_id % 31 AS k " +
         "FROM documents) ORDER BY media_id"),
+    "q_string_date" ->
+      ("SELECT o_orderkey, upper(substr(o_orderpriority, 1, 1)) AS prio_initial, " +
+        "CAST(length(o_orderpriority) AS BIGINT) AS prio_len, " +
+        "o_orderstatus || '-' || substr(o_orderpriority, 1, 1) AS status_tag, " +
+        "CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo, " +
+        "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_99 " +
+        "FROM orders ORDER BY o_orderkey"),
     "q_cube" ->
       ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
         s"${sumB("CAST(round(l_extendedprice * 100) AS BIGINT)")} AS sum_price_c, count(*) AS n " +

@@ -152,11 +152,73 @@ object Similarity {
       -greatest(scores: _*).getField("ncl"))
   }
 
+  /** Materialize the corpus as an IVF-partitioned table: one partition
+    * directory per centroid cell. This is the ANN SERVING layout at 100 TB —
+    * probes then read only their `nprobe` cells via directory-level
+    * partition pruning ([[ivfTopKFromTable]]), so query cost is
+    * O(nprobe·cell), not a corpus scan. Returns the (deterministic)
+    * centroids; persist them app-side or re-derive with the same seed. */
+  def ivfWrite(corpus: DataFrame, id: Column, vec: Column, path: String,
+      nlist: Int, iters: Int = 2, seed: Long = 42L): Seq[(Int, Seq[Float])] = {
+    val centroids = ivfTrain(corpus, id, vec, nlist, iters, seed)
+    assignToCentroid(
+        corpus.select(id.cast("long").as("corpus_id"), vec.as("v")), centroids)
+      .withColumnRenamed("v", "cv")
+      .write.mode("overwrite").partitionBy("__cluster").parquet(path)
+    centroids
+  }
+
+  /** Approximate top-k against an [[ivfWrite]] table: the probe cells of
+    * the query batch are resolved DRIVER-side from the centroid list
+    * (metadata-sized), so the scan carries a static `__cluster IN (...)`
+    * partition filter — untouched cells never enter the plan (asserted via
+    * inputFiles in PipelineSpec). Same output shape as [[bruteForceTopK]]. */
+  def ivfTopKFromTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Float])],
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val qd = queries.select(queryId.cast("long").as("query_id"),
+        queryVec.as("qv"))
+      .withColumn("__cluster", explode(probeClusters(centroids, nprobe)(col("qv"))))
+    // Distinct probe cells of this query batch — driver-side, O(|q|·nprobe).
+    // The scan lists ONLY those cells' directories (structural pruning:
+    // untouched cells never reach the FileIndex, let alone the plan);
+    // basePath keeps __cluster as a column for the probe join.
+    val cells = qd.select("__cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.option("basePath", path)
+      .parquet(cells.map(c => s"$path/__cluster=$c"): _*)
+    val scored = corpus.join(broadcast(qd), Seq("__cluster"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cosine_micro", floor(col("cos") * 1000000).cast("long"))
+      .select("query_id", "corpus_id", "rank", "cosine_micro")
+  }
+
+  /** The `nprobe` nearest centroid ids of a vector, score-desc with
+    * ascending-id tiebreak (shared by [[ivfTopK]] and
+    * [[ivfTopKFromTable]]). */
+  private def probeClusters(centroids: Seq[(Int, Seq[Float])],
+      nprobe: Int)(q: Column): Column = {
+    val scored = centroids.map { case (cl, cv) =>
+      struct(dot(q, typedLit(cv.map(_.toDouble))).as("s"), lit(cl).as("cl"))
+    }
+    slice(transform(
+      array_sort(array(scored: _*),
+        (a, b) => when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1)
+          .otherwise(a.getField("cl") - b.getField("cl"))),
+      x => x.getField("cl")), 1, nprobe)
+  }
+
   /** IVF approximate top-k: corpus rows are bucketed by nearest centroid
-    * (in production: written once as a `partitionBy`/bucketed table);
-    * each query probes only its `nprobe` nearest centroid buckets. Same
-    * output shape as [[bruteForceTopK]]; recall < 1 by design, tuned by
-    * `nprobe`/`nlist`. */
+    * (in production: written once as a `partitionBy` table — see
+    * [[ivfWrite]]/[[ivfTopKFromTable]] for that path); each query probes
+    * only its `nprobe` nearest centroid buckets. Same output shape as
+    * [[bruteForceTopK]]; recall < 1 by design, tuned by `nprobe`/`nlist`. */
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nlist: Int, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
@@ -165,23 +227,10 @@ object Similarity {
       corpus.select(corpusId.cast("long").as("corpus_id"), corpusVec.as("cv")))
     val cAssigned = assignToCentroid(c.withColumnRenamed("cv", "v"), centroids)
       .withColumnRenamed("v", "cv")
-    // queries probe their nprobe nearest centroids
-    val probes = (q: Column) => {
-      val scored = centroids.map { case (cl, cv) =>
-        struct(dot(q, typedLit(cv.map(_.toDouble))).as("s"), lit(cl).as("cl"))
-      }
-      // score desc, cluster id asc on ties — same deterministic tiebreak as
-      // assignToCentroid.
-      slice(transform(
-        array_sort(array(scored: _*),
-          (a, b) => when(a.getField("s") > b.getField("s"), -1)
-            .when(a.getField("s") < b.getField("s"), 1)
-            .otherwise(a.getField("cl") - b.getField("cl"))),
-        x => x.getField("cl")), 1, nprobe)
-    }
     val qd = queries.select(queryId.cast("long").as("query_id"),
         queryVec.as("qv"))
-      .withColumn("__cluster", explode(probes(col("qv"))))
+      .withColumn("__cluster",
+        explode(probeClusters(centroids, nprobe)(col("qv"))))
     val scored = cAssigned.join(broadcast(qd), Seq("__cluster"))
       .withColumn("cos", cosine(col("cv"), col("qv")))
     val w = Window.partitionBy("query_id")

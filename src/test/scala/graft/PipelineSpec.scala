@@ -140,6 +140,26 @@ class PipelineSpec extends SparkSpec {
     assert(topk.exceptAll(brute).isEmpty && brute.exceptAll(topk).isEmpty)
   }
 
+  test("IVF table path: partition-pruned probes == in-memory IVF top-k") {
+    val path = "/tmp/graft_test/ivf_table"
+    val centroids = Similarity.ivfWrite(embs, $"vec_id", $"embedding",
+      path, nlist = 8)
+    val queries = embs.filter($"vec_id" < 2)
+    val fromTable = Similarity.ivfTopKFromTable(spark, path, centroids,
+      queries, $"vec_id", $"embedding", k = 3, nprobe = 2)
+    val inMemory = Similarity.ivfTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 3, nlist = 8, nprobe = 2)
+    assert(fromTable.exceptAll(inMemory).isEmpty &&
+      inMemory.exceptAll(fromTable).isEmpty)
+    // directory-level pruning: only the probed cells' files enter the plan
+    val probed = fromTable.inputFiles.toSeq
+    assert(probed.nonEmpty)
+    val cells = probed.flatMap(
+      _.split("/").find(_.startsWith("__cluster="))).distinct
+    assert(cells.size <= 2 * 2,
+      s"scan read more cells than the query batch probes: $cells")
+  }
+
   test("IVF training is deterministic and returns nlist centroids") {
     val c1 = Similarity.ivfTrain(embs, $"vec_id", $"embedding", nlist = 4)
     val c2 = Similarity.ivfTrain(embs, $"vec_id", $"embedding", nlist = 4)

@@ -388,6 +388,20 @@ object SparkEntry {
           col("n_matches").as("n_clicks"))
         .orderBy(col("event_id"))
     }),
+    // Following-band range join: clicks of the same user in the 10 minutes
+    // AFTER each error event.
+    "q_range_join_fwd" -> ((s, d) => {
+      val ev = tp(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+      RangeJoin.countFollowing(
+          ev.filter(col("event_type") === "error"),
+          col("event_id"), col("user_id"), col("ts_us"),
+          ev.filter(col("event_type") === "click"),
+          col("user_id"), col("ts_us"),
+          window = 600L * 1000000L)
+        .select(col("id").as("event_id"), col("k").as("user_id"),
+          col("n_matches").as("n_clicks"))
+        .orderBy(col("event_id"))
+    }),
     // As-of join: each click annotated with the user's latest view at-or-
     // before it (merge-sort formulation — see operators.AsOfJoin).
     "q_asof_join" -> ((s, d) => {
@@ -719,6 +733,11 @@ object SparkEntry {
       ("SELECT e.event_id, e.user_id, " +
         "(SELECT count(*) FROM events c WHERE c.event_type = 'click' AND c.user_id = e.user_id " +
         "AND epoch_us(c.ts) >= epoch_us(e.ts) - 600000000 AND epoch_us(c.ts) < epoch_us(e.ts)) AS n_clicks " +
+        "FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id"),
+    "q_range_join_fwd" ->
+      ("SELECT e.event_id, e.user_id, " +
+        "(SELECT count(*) FROM events c WHERE c.event_type = 'click' AND c.user_id = e.user_id " +
+        "AND epoch_us(c.ts) > epoch_us(e.ts) AND epoch_us(c.ts) <= epoch_us(e.ts) + 600000000) AS n_clicks " +
         "FROM events e WHERE e.event_type = 'error' ORDER BY e.event_id"),
     "q_asof_join" ->
       ("WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +

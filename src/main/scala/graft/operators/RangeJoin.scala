@@ -47,4 +47,26 @@ object RangeJoin {
     l.join(counts, Seq("id"), "left_outer")
       .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
   }
+
+  /** Mirror of [[countPreceding]] for the FOLLOWING band `(leftTs,
+    * leftTs + window]` — e.g. "clicks in the 10 minutes after each error".
+    * Candidate buckets: `bucket(lts)` and `bucket(lts) + window`. */
+  def countFollowing(left: DataFrame, leftId: Column, leftKey: Column,
+      leftTs: Column, right: DataFrame, rightKey: Column, rightTs: Column,
+      window: Long): DataFrame = {
+    require(window > 0, "window must be positive")
+    def bucket(ts: Column): Column = ts - pmod(ts, lit(window))
+    val l = left.select(leftId.as("id"), leftKey.as("k"),
+      leftTs.cast("long").as("ts"))
+    val lCand = l.withColumn("b",
+      explode(array_distinct(array(bucket(col("ts")),
+        bucket(col("ts")) + window))))
+    val r = right.select(rightKey.as("k"), rightTs.cast("long").as("rts"))
+      .withColumn("b", bucket(col("rts")))
+    val counts = lCand.join(r, Seq("k", "b"))
+      .filter(col("rts") > col("ts") && col("rts") <= col("ts") + window)
+      .groupBy("id").agg(count(lit(1)).as("n_matches"))
+    l.join(counts, Seq("id"), "left_outer")
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+  }
 }

@@ -46,9 +46,11 @@ final case class AudioFacts(media_id: Long, sample_rate: Long,
   * AUDIO encode/decode is REAL for PCM WAV/AIFF/AU: the JDK ships them in
   * `javax.sound.sampled` — [[encodeWav]]/[[decodeAudioFacts]] run actual
   * container round-trips (oracle-backed by q_audio_stats).
+  * IMAGE resize is REAL too ([[resizeImages]]: decode → Graphics2D
+  * bilinear rescale → re-encode).
   * VIDEO codecs are NOT in this container, so the generic feature-extract /
-  * resize / frame-sample kernels below remain deterministic fakes clearly
-  * marked [STUB]; their Spark-side plumbing — schemas, encoders,
+  * generic-resize / frame-sample kernels below remain deterministic fakes
+  * clearly marked [STUB]; their Spark-side plumbing — schemas, encoders,
   * partitioning, batch shape, lazy iterator processing — is real and
   * tested, and swapping a real codec in means replacing only the marked
   * functions.
@@ -103,7 +105,8 @@ object Multimodal {
 
   /** [STUB resize] Pretend-resize an image payload: updates the typed
     * metadata and deterministically truncates bytes proportionally to the
-    * pixel reduction. Real codec drop-in replaces the byte math only. */
+    * pixel reduction. Real codec drop-in replaces the byte math only —
+    * see [[resizeImages]] for the REAL image path. */
   def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -114,6 +117,41 @@ object Multimodal {
         val n = math.max(1, (r.content.length * ratio).toInt)
         r.copy(meta = r.meta.copy(width = w, height = h),
           content = r.content.take(n))
+      }
+    }
+  }
+
+  /** REAL codec: decode → bilinear-rescale (Graphics2D) → re-encode PNG.
+    * Pure JDK. Undecodable payloads pass through unchanged (metadata
+    * untouched) so mixed media batches survive; decoded ones carry the new
+    * dimensions in bytes AND typed metadata. */
+  def resizeImages(ds: Dataset[MediaRecord], w: Int, h: Int)
+      : Dataset[MediaRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      imageIoMemCache
+      it.map { r =>
+        Option(r.content)
+          .flatMap(b => Option(
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))))
+          .map { img =>
+            val out = new java.awt.image.BufferedImage(w, h, img.getType match {
+              case 0 => java.awt.image.BufferedImage.TYPE_INT_RGB
+              case t => t
+            })
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            r.copy(meta = r.meta.copy(width = w, height = h),
+              content = bos.toByteArray)
+          }
+          .getOrElse(r)
       }
     }
   }

@@ -251,6 +251,24 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodeAudioFacts(junk, $"media_id", $"content").isEmpty)
   }
 
+  test("image resize: real decode→rescale→re-encode round trip") {
+    val media = Seq(
+      (1L, Multimodal.encodePng(30, 20, (x, y) => x * 7 + y)),
+      (2L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
+      .select(col("media_id"), lit("image").as("kind"),
+        lit(30).as("width"), lit(20).as("height"),
+        lit(0L).as("duration_ms"), col("content"))
+    val resized = Multimodal.resizeImages(
+      Multimodal.fromBinary(media), 15, 10)
+    val dims = Multimodal.decodeImageDims(
+      resized.toDF().select(col("media_id"), col("content")),
+      col("media_id"), col("content")).collect()
+    // the real image decodes back at the NEW dimensions; junk passed through
+    assert(dims.map(d => d.media_id -> (d.width, d.height)).toMap ==
+      Map(1L -> ((15L, 10L))))
+    assert(resized.filter(_.media_id == 2L).head().content.length == 3)
+  }
+
   test("multimodal: typed plumbing, stub decode, frame sampling") {
     val media = docs.limit(50).select(
       $"doc_id".as("media_id"),

@@ -43,4 +43,23 @@ object RangeJoinProps extends Properties("RangeJoin") {
 
       got == want
     }
+
+  property("following window equals the in-memory model") =
+    Prop.forAll(genInput) { case (leftRows, rightRows, window) =>
+      import spark.implicits._
+      val left = leftRows.toDF("event_id", "key", "ts")
+      val right = rightRows.toDF("key", "ts")
+
+      val got = RangeJoin.countFollowing(left, col("event_id"), col("key"),
+          col("ts"), right, col("key"), col("ts"), window)
+        .select("id", "n_matches").as[(Long, Long)].collect().toMap
+
+      val want = leftRows.map { case (id, k, ts) =>
+        id -> rightRows.count { case (rk, rts) =>
+          rk == k && rts > ts && rts <= ts + window
+        }.toLong
+      }.toMap
+
+      got == want
+    }
 }

@@ -18,7 +18,13 @@ object TableMaintenance {
   /** Roll the table back to `toTs` (inclusive): every later commit is
     * removed from the timeline, the files it wrote are deleted, and its
     * delete-view cache (if materialized) is dropped. Returns the rolled-back
-    * commit timestamps, newest first. */
+    * commit timestamps, newest first.
+    *
+    * Interaction with [[clean]]: cleaning deletes slices OLDER than the
+    * retention window, so only roll back to commits still inside the most
+    * recent clean's window — rolling back past it leaves file groups whose
+    * pre-rollback slices were already reclaimed (same contract as Hudi's
+    * restore-vs-cleaner rule). */
   def rollback(spark: SparkSession, basePath: String,
       toTs: String): Seq[String] = {
     val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)

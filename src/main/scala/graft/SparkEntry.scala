@@ -236,6 +236,12 @@ object SparkEntry {
           col("text"), blocking = col("source"), n = 2,
           thresholdPermille = 200)
         .orderBy(col("id_a"), col("id_b"))),
+    // Winnow-fingerprint near-copy pairs within source (MOSS predicate):
+    // prefix-filtered candidate generation, in-row intersection verify.
+    "q_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(tp(s, d, "documents"), col("doc_id"), col("text"),
+          blocking = col("source"), minShared = 10)
+        .orderBy(col("id_a"), col("id_b"))),
     "q_sim_topk" -> ((s, d) => {
       val e = tp(s, d, "embeddings")
       Similarity.bruteForceTopK(
@@ -605,6 +611,19 @@ object SparkEntry {
         "CAST(coalesce(list_min(fps), -1) AS BIGINT) AS min_fp, " +
         "CAST(coalesce(list_max(fps), -1) AS BIGINT) AS max_fp " +
         "FROM wfp ORDER BY doc_id"
+    },
+    "q_winnow_pairs" -> {
+      val pow = Array.iterate(1L, 5)(_ * 257L)
+      val gram = (0 until 5).map(i =>
+        s"ascii(substr(s, j+${i + 1}, 1)) * ${pow(4 - i)}").mkString(" + ")
+      "WITH c AS (SELECT doc_id, source, lower(text) AS s, length(lower(text)) AS n FROM documents), " +
+        s"h AS (SELECT doc_id, source, n, CASE WHEN n >= 12 THEN list_transform(range(0, n - 4), j -> ($gram) % 1000000007) ELSE [] END AS hs FROM c), " +
+        "wfp AS (SELECT doc_id, source, CASE WHEN n >= 12 THEN list_distinct(list_transform(range(0, n - 11), j -> list_min(hs[j+1:j+8]))) ELSE [] END AS fps FROM h) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS n_shared " +
+        "FROM wfp a JOIN wfp b ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.fps, b.fps)) >= 10 " +
+        "ORDER BY id_a, id_b"
     },
     "q_ngram_pairs" ->
       ("WITH sh AS (SELECT doc_id, source, list_distinct(list_transform(" +

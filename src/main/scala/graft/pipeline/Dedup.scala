@@ -196,6 +196,55 @@ object Dedup {
       .select("id", "block", "sh", "sz")
   }
 
+  /** Near-COPY pairs by shared winnowing fingerprints within a blocking
+    * key: pairs sharing ≥ `minShared` distinct fingerprints (the MOSS
+    * plagiarism-detection predicate — each shared fingerprint witnesses a
+    * shared substring of length ≥ k, and any shared run of length
+    * ≥ k + w − 1 is guaranteed a witness).
+    *
+    * Same lossless prefix filtering as [[ngramJaccardPairs]], in its
+    * overlap-count form: if |A∩B| ≥ T then A and B share an element within
+    * their `sz − T + 1` rarest fingerprints (global df order) — docs with
+    * fewer than T fingerprints can't qualify and are dropped from the index
+    * entirely. Verification is in-row array intersection against the
+    * doc-count-sized fingerprint-array side. Output:
+    * (id_a, id_b, n_shared). */
+  def winnowPairs(df: DataFrame, id: Column, text: Column, blocking: Column,
+      k: Int = 5, w: Int = 8, minShared: Int = 10): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val base = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("id"), blocking.as("block"),
+            text.as("__text"))
+          .filter(col("__text").isNotNull))
+      .select(col("id"), col("block"),
+        TextAnalysis.winnowFingerprints(col("__text"), k, w).as("fps"))
+      .filter(size(col("fps")) >= minShared)
+    scoped(base) {
+      val exploded = base.select(col("id"), col("block"),
+        size(col("fps")).as("sz"), explode(col("fps")).as("fp"))
+      val dfreq = exploded.groupBy("fp").agg(count(lit(1)).as("__df"))
+      val wOrd = Window.partitionBy("id")
+        .orderBy(col("__df").asc, col("fp").asc)
+      val prefix = exploded.join(dfreq, "fp")
+        .withColumn("__rn", row_number().over(wOrd))
+        .filter(col("__rn") <= col("sz") - minShared + 1)
+        .select("id", "block", "fp")
+      val cand = prefix.select(col("block"), col("fp"), col("id").as("id_a"))
+        .join(prefix.select(col("block"), col("fp"), col("id").as("id_b")),
+          Seq("block", "fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val arrays = base.select(col("id"), col("fps"))
+      cand
+        .join(arrays.select(col("id").as("id_a"), col("fps").as("__fa")), "id_a")
+        .join(arrays.select(col("id").as("id_b"), col("fps").as("__fb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("__fa"), col("__fb"))).cast("long")
+            .as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    }
+  }
+
   /** Hex digit value (0-15) of `hexStr` at 1-based position `pos` — engine-
     * portable (mirrors DuckDB's strpos('0123456789abcdef', …)-1). */
   private def hexDigit(hexStr: Column, pos: Int): Column =

@@ -46,8 +46,9 @@ final case class AudioFacts(media_id: Long, sample_rate: Long,
   * AUDIO encode/decode is REAL for PCM WAV/AIFF/AU: the JDK ships them in
   * `javax.sound.sampled` — [[encodeWav]]/[[decodeAudioFacts]] run actual
   * container round-trips (oracle-backed by q_audio_stats).
-  * IMAGE resize is REAL too ([[resizeImages]]: decode → Graphics2D
-  * bilinear rescale → re-encode).
+  * IMAGE resize and IMAGE feature extraction are REAL too
+  * ([[resizeImages]]: decode → Graphics2D bilinear rescale → re-encode;
+  * [[imageHistogramFeatures]]: decoded-intensity histogram vectors).
   * VIDEO codecs are NOT in this container, so the generic feature-extract /
   * generic-resize / frame-sample kernels below remain deterministic fakes
   * clearly marked [STUB]; their Spark-side plumbing — schemas, encoders,
@@ -172,6 +173,45 @@ object Multimodal {
           r.content.slice(start, math.min(start + 64, r.content.length)))
       }
     }
+  }
+
+  /** REAL feature extraction for IMAGES: decode the payload (ImageIO) and
+    * emit the L1-normalized band-0 intensity histogram as the feature
+    * vector — an actual decoded-pixel feature, not a byte hash. Undecodable
+    * payloads are dropped. Same iterator-per-partition shape as the stub
+    * kernels; compose with [[Similarity]] for visual near-dup search. */
+  def imageHistogramFeatures(df: DataFrame, id: Column, content: Column,
+      bins: Int = 16): Dataset[MediaFeatures] = {
+    require(bins >= 1 && 256 % bins == 0, "bins must divide 256")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = 256 / bins
+    df.select(id.cast("long").as("media_id"), content.cast("binary").as("c"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoMemCache
+        it.flatMap { case (mid, bytes) =>
+          Option(bytes)
+            .flatMap(b => Option(
+              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))))
+            .map { img =>
+              val raster = img.getRaster
+              val hist = new Array[Long](bins)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  hist((raster.getSample(x, y, 0) & 0xFF) / width) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val n = math.max(img.getWidth.toLong * img.getHeight, 1L)
+              MediaFeatures(mid, "image", bytes.length.toLong,
+                hist.map(c => c.toFloat / n))
+            }
+        }
+      }
   }
 
   /** REAL codec: encode a deterministic grayscale image as PNG via the

@@ -251,6 +251,19 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodeAudioFacts(junk, $"media_id", $"content").isEmpty)
   }
 
+  test("image features: decoded-intensity histogram is exact on a known image") {
+    // 16×16 image, pixel = x*16+y covers every intensity 0..255 exactly once
+    val png = Multimodal.encodePng(16, 16, (x, y) => x * 16 + y)
+    val media = Seq((7L, png), (8L, Array[Byte](0, 1))).toDF("media_id", "content")
+    val feats = Multimodal.imageHistogramFeatures(
+      media, $"media_id", $"content", bins = 16).collect()
+    assert(feats.map(_.media_id).toSeq == Seq(7L), "junk payload dropped")
+    val f = feats.head.features
+    assert(f.length == 16)
+    // uniform coverage → every bin holds exactly 16/256 of the mass
+    assert(f.forall(v => math.abs(v - 1.0f / 16) < 1e-6))
+  }
+
   test("image resize: real decode→rescale→re-encode round trip") {
     val media = Seq(
       (1L, Multimodal.encodePng(30, 20, (x, y) => x * 7 + y)),

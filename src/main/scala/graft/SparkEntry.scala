@@ -277,6 +277,29 @@ object SparkEntry {
     "q_image_dims" -> ((s, d) =>
       Multimodal.imageDimsRoundtrip(tp(s, d, "documents"), col("doc_id"))
         .orderBy(col("media_id"))),
+    // REAL decoded-pixel features: the synthesized PNGs' intensity
+    // histograms — bin shape is closed-form in doc_id (pixel depends only
+    // on x), so argmax/nonzero-count verify the actual decode+histogram.
+    "q_image_hist" -> ((s, d) => {
+      import s.implicits._
+      val encoded = tp(s, d, "documents")
+        .select(col("doc_id").cast("long").as("media_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { mid =>
+            val w = 16 + (mid % 17).toInt
+            val h = 16 + (mid % 13).toInt
+            (mid, Multimodal.encodePng(w, h, (x, _) => ((x + mid) % 256).toInt))
+          }
+        }.toDF("media_id", "content")
+      Multimodal.imageHistogramFeatures(encoded, col("media_id"),
+          col("content"), bins = 16).toDF()
+        .select(col("media_id"),
+          size(filter(col("features"), f => f > 0f)).cast("long")
+            .as("n_nonzero"),
+          (array_position(col("features"), array_max(col("features"))) - 1)
+            .cast("long").as("top_bin"))
+        .orderBy(col("media_id"))
+    }),
     // REAL audio codec round trip (WAV PCM via javax.sound.sampled):
     // deterministic waveform per doc, encoded + decoded for real; the
     // signed sample sum is closed-form in doc_id for the oracle.
@@ -700,6 +723,14 @@ object SparkEntry {
       ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
         s"${sumB("CAST(l_quantity AS BIGINT)")} AS sum_qty, count(*) AS n " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY returnflag, linestatus"),
+    // Per-x-column bin membership counts (the h rows scale every bin
+    // equally, so argmax and nonzero-count are h-invariant).
+    "q_image_hist" ->
+      ("SELECT media_id, CAST(len(list_filter(bins, c -> c > 0)) AS BIGINT) AS n_nonzero, " +
+        "CAST(list_position(bins, list_max(bins)) - 1 AS BIGINT) AS top_bin FROM (" +
+        "SELECT doc_id AS media_id, list_transform(range(0, 16), b -> " +
+        "len(list_filter(range(0, 16 + doc_id % 17), x -> ((x + doc_id) % 256) // 16 = b))) AS bins " +
+        "FROM documents) ORDER BY media_id"),
     // The Spark side runs a REAL WAV encode→decode round trip; sample(i) =
     // (i·k) mod 4096 − 2048 with k = 1 + id%31 over n = 256 + (id%64)·4
     // frames at 8 kHz.

@@ -306,6 +306,12 @@ object SparkEntry {
     "q_audio_stats" -> ((s, d) =>
       Multimodal.audioFactsRoundtrip(tp(s, d, "documents"), col("doc_id"))
         .orderBy(col("media_id"))),
+    // REAL video codec round trip: deterministic multi-frame animated GIFs
+    // (ImageIO sequence writer), decoded back frame by frame; frame count,
+    // dims, and per-frame intensity sums are closed-form in doc_id.
+    "q_video_frames" -> ((s, d) =>
+      Multimodal.videoFramesRoundtrip(tp(s, d, "documents"), col("doc_id"))
+        .orderBy(col("media_id"), col("frame_idx"))),
 
     // ---- extended analytics surface: rollup, exact median, JSON scalar
     //      functions, token counting, fuzzy-dedup end-to-end, as-of join ----
@@ -740,6 +746,15 @@ object SparkEntry {
         "SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate, " +
         "CAST(256 + (doc_id % 64) * 4 AS BIGINT) AS n_samples, 1 + doc_id % 31 AS k " +
         "FROM documents) ORDER BY media_id"),
+    // The Spark side runs a REAL animated-GIF encode→decode round trip;
+    // 2 + id%4 frames, pixel(f, x, ·) = (x + 7f + id) mod 256 depends only
+    // on (frame, x), so px_sum = height · Σ_x (x + 7f + id) mod 256.
+    "q_video_frames" ->
+      ("SELECT media_id, frame_idx, width, height, " +
+        "CAST(height * list_sum(list_transform(range(0, width), x -> (x + 7 * frame_idx + media_id) % 256)) AS BIGINT) AS px_sum FROM (" +
+        "SELECT doc_id AS media_id, unnest(range(0, 2 + doc_id % 4)) AS frame_idx, " +
+        "CAST(8 + doc_id % 9 AS BIGINT) AS width, CAST(8 + doc_id % 7 AS BIGINT) AS height " +
+        "FROM documents) ORDER BY media_id, frame_idx"),
     "q_string_date" ->
       ("SELECT o_orderkey, upper(substr(o_orderpriority, 1, 1)) AS prio_initial, " +
         "CAST(length(o_orderpriority) AS BIGINT) AS prio_len, " +

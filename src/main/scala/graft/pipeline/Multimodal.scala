@@ -18,9 +18,16 @@ final case class MediaRecord(media_id: Long, meta: MediaMeta,
 final case class MediaFeatures(media_id: Long, kind: String, nBytes: Long,
     features: Array[Float])
 
-/** A sampled video frame (decode-stubbed). */
+/** A sampled video frame (REAL decode — content is the frame re-encoded as
+  * PNG; tsMs comes from the container's per-frame delay metadata). */
 final case class MediaFrame(media_id: Long, frameIdx: Int, tsMs: Long,
     content: Array[Byte])
+
+/** Decoded video-frame facts (REAL codec path — see
+  * [[Multimodal.decodeVideoFrames]]). px_sum is the integer sum of the
+  * frame's 8-bit intensities — a deterministic per-frame raster checksum. */
+final case class VideoFrameFacts(media_id: Long, frame_idx: Long,
+    width: Long, height: Long, px_sum: Long)
 
 /** Decoded image facts (REAL codec path — see [[Multimodal.decodeImageDims]]).
   * px_sum is the integer sum of band-0 raster samples — a deterministic
@@ -39,7 +46,7 @@ final case class AudioFacts(media_id: Long, sample_rate: Long,
   * frame-sample run batch-wise per partition (`mapPartitions` over typed
   * Datasets — the Scala analog of `mapInPandas` batches).
   *
-  * ==== Codec status ====
+  * ==== Codec status — every modality is REAL ====
   * IMAGE encode/decode is REAL: the JDK ships PNG/JPEG/BMP/GIF codecs in
   * `javax.imageio` — [[encodePng]]/[[decodeImageDims]] run actual
   * compression round-trips (exercised oracle-backed by q_image_dims).
@@ -49,12 +56,15 @@ final case class AudioFacts(media_id: Long, sample_rate: Long,
   * IMAGE resize and IMAGE feature extraction are REAL too
   * ([[resizeImages]]: decode → Graphics2D bilinear rescale → re-encode;
   * [[imageHistogramFeatures]]: decoded-intensity histogram vectors).
-  * VIDEO codecs are NOT in this container, so the generic feature-extract /
-  * generic-resize / frame-sample kernels below remain deterministic fakes
-  * clearly marked [STUB]; their Spark-side plumbing — schemas, encoders,
-  * partitioning, batch shape, lazy iterator processing — is real and
-  * tested, and swapping a real codec in means replacing only the marked
-  * functions.
+  * VIDEO is REAL via ImageIO's multi-frame GIF support (the one moving-
+  * picture container the JDK ships a codec for): [[encodeGif]] writes a
+  * true animated GIF sequence with per-frame delay metadata,
+  * [[decodeVideoFrames]] decodes every frame back (oracle-backed by
+  * q_video_frames), [[sampleFrames]] time-samples frames by the container's
+  * own delay metadata and re-encodes each sampled frame as PNG, and
+  * [[resizeVideos]] rescales every frame and re-encodes the sequence.
+  * [[extractFeatures]] decodes ANY of the above (multi-frame aware; WAV
+  * fallback for audio) into intensity/amplitude histogram features.
   */
 object Multimodal {
 
@@ -79,47 +89,173 @@ object Multimodal {
       col("content").cast("binary")).as[MediaRecord]
   }
 
-  /** [STUB decode] Deterministic fake feature vector: chunk the payload and
-    * fold each chunk's bytes into a float in [-1, 1]. A real implementation
-    * would decode the image/audio and run a feature extractor here; the
-    * iterator-in/iterator-out partition shape (no per-row task setup,
-    * streaming through the partition without materializing it) is the part
-    * that matters at scale and is real. */
+  /** Decoded frames (+ per-frame delay in centiseconds, 0 when the container
+    * carries none) of any ImageIO-readable payload — single images decode as
+    * one frame; animated GIFs as their full sequence. None when no installed
+    * codec accepts the bytes. Executor-side only. */
+  private def readFrames(bytes: Array[Byte])
+      : Option[IndexedSeq[(java.awt.image.BufferedImage, Int)]] = {
+    imageIoMemCache
+    if (bytes == null) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return None }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      Some((0 until n).map { i =>
+        val img = reader.read(i)
+        val meta = reader.getImageMetadata(i)
+        val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+        var delay = 0
+        var c = root.getFirstChild
+        while (c != null) {
+          if (c.getNodeName == "GraphicControlExtension")
+            delay = c.asInstanceOf[org.w3c.dom.Element]
+              .getAttribute("delayTime").toInt
+          c = c.getNextSibling
+        }
+        (img, delay)
+      })
+    } catch { case _: Exception => None }
+    finally { reader.dispose(); iis.close() }
+  }
+
+  /** Encode decoded frames back into an animated-GIF sequence (per-frame
+    * delay in centiseconds preserved in GraphicControlExtension metadata). */
+  private def writeGifSequence(
+      frames: Iterator[(java.awt.image.BufferedImage, Int)]): Array[Byte] = {
+    imageIoMemCache
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (img, delayCs) =>
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img),
+          writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = new javax.imageio.metadata.IIOMetadataNode(
+          "GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** 8-bit intensity of a decoded pixel. Gray color spaces read the raw
+    * raster sample (getRGB would run the lossy ICC gray→sRGB transform);
+    * palette/RGB models go through `getRGB` — for indexed GIFs that is an
+    * exact palette LOOKUP (a raw raster sample would be the palette index). */
+  private def intensity(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+    if (img.getColorModel.getColorSpace.getType ==
+        java.awt.color.ColorSpace.TYPE_GRAY)
+      img.getRaster.getSample(x, y, 0)
+    else img.getRGB(x, y) & 0xFF
+
+  /** REAL feature extraction for ANY decodable payload — no byte-hash fakes:
+    *  - ImageIO-decodable (PNG/JPEG/BMP/GIF incl. multi-frame video): the
+    *    L1-normalized intensity histogram over ALL frames' pixels;
+    *  - else 16-bit PCM audio (WAV/AIFF/AU): the L1-normalized amplitude
+    *    histogram over `dim` equal bins of [-32768, 32768);
+    *  - undecodable payloads are dropped (flatMap), mirroring the SQL
+    *    null-dropping convention of the other decode kernels.
+    * Iterator-in/iterator-out partition shape: one codec instance per task,
+    * payloads materialized one at a time. */
   def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 16)
       : Dataset[MediaFeatures] = {
+    require(dim >= 1 && 256 % dim == 0, "dim must divide 256")
     val spark = ds.sparkSession
     import spark.implicits._
+    val width = 256 / dim
     ds.mapPartitions { it =>
-      it.map { r =>
-        val bytes = r.content
-        val features = Array.tabulate(dim) { i =>
-          // [STUB] hash-fold of the i-th stripe of bytes
-          var acc = 1125899906842597L + i
-          var j = i
-          while (j < bytes.length) { acc = 31 * acc + bytes(j); j += dim }
-          (math.floorMod(acc, 2000001L) / 1000000.0f) - 1.0f
+      it.flatMap { r =>
+        readFrames(r.content).map { frames =>
+          val hist = new Array[Long](dim)
+          var n = 0L
+          frames.foreach { case (img, _) =>
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                hist(intensity(img, x, y) / width) += 1
+                x += 1
+              }
+              y += 1
+            }
+            n += img.getWidth.toLong * img.getHeight
+          }
+          MediaFeatures(r.media_id, r.meta.kind, r.content.length.toLong,
+            hist.map(c => c.toFloat / math.max(n, 1L)))
+        }.orElse {
+          decodePcmSamples(r.content).map { case (_, samples) =>
+            val hist = new Array[Long](dim)
+            val binW = 65536 / dim
+            samples.foreach(s => hist((s + 32768) / binW) += 1)
+            MediaFeatures(r.media_id, r.meta.kind, r.content.length.toLong,
+              hist.map(c => c.toFloat / math.max(samples.length, 1)))
+          }
         }
-        MediaFeatures(r.media_id, r.meta.kind, bytes.length.toLong, features)
       }
     }
   }
 
-  /** [STUB resize] Pretend-resize an image payload: updates the typed
-    * metadata and deterministically truncates bytes proportionally to the
-    * pixel reduction. Real codec drop-in replaces the byte math only —
-    * see [[resizeImages]] for the REAL image path. */
-  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+  /** REAL video resize: decode every frame (GIF sequence), bilinear-rescale
+    * each, re-encode the sequence with its original per-frame delays.
+    * Single-frame images take the [[resizeImages]] PNG path; undecodable
+    * payloads pass through unchanged so mixed media batches survive. */
+  def resizeVideos(ds: Dataset[MediaRecord], w: Int, h: Int)
+      : Dataset[MediaRecord] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
-        val oldPx = math.max(r.meta.width * r.meta.height, 1)
-        val ratio = math.min(1.0, (w.toDouble * h) / oldPx)
-        val n = math.max(1, (r.content.length * ratio).toInt)
-        r.copy(meta = r.meta.copy(width = w, height = h),
-          content = r.content.take(n))
+        readFrames(r.content).map { frames =>
+          val scaled = frames.map { case (img, d) => (rescale(img, w, h), d) }
+          val bytes =
+            if (scaled.size > 1) writeGifSequence(scaled.iterator)
+            else {
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(scaled.head._1, "png", bos)
+              bos.toByteArray
+            }
+          r.copy(meta = r.meta.copy(width = w, height = h), content = bytes)
+        }.getOrElse(r)
       }
     }
+  }
+
+  private def rescale(img: java.awt.image.BufferedImage, w: Int, h: Int)
+      : java.awt.image.BufferedImage = {
+    // custom/unknown (0) and palette-indexed sources rescale into full RGB
+    // (drawing into an indexed target would re-quantize through its palette)
+    val out = new java.awt.image.BufferedImage(w, h, img.getType match {
+      case 0 => java.awt.image.BufferedImage.TYPE_INT_RGB
+      case java.awt.image.BufferedImage.TYPE_BYTE_INDEXED =>
+        java.awt.image.BufferedImage.TYPE_INT_RGB
+      case t => t
+    })
+    val g = out.createGraphics()
+    g.setRenderingHint(
+      java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    out
   }
 
   /** REAL codec: decode → bilinear-rescale (Graphics2D) → re-encode PNG.
@@ -137,18 +273,8 @@ object Multimodal {
           .flatMap(b => Option(
             javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))))
           .map { img =>
-            val out = new java.awt.image.BufferedImage(w, h, img.getType match {
-              case 0 => java.awt.image.BufferedImage.TYPE_INT_RGB
-              case t => t
-            })
-            val g = out.createGraphics()
-            g.setRenderingHint(
-              java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, w, h, null)
-            g.dispose()
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bos)
+            javax.imageio.ImageIO.write(rescale(img, w, h), "png", bos)
             r.copy(meta = r.meta.copy(width = w, height = h),
               content = bos.toByteArray)
           }
@@ -157,20 +283,33 @@ object Multimodal {
     }
   }
 
-  /** [STUB frame-sample] One frame every `everyMs` for video records; frame
-    * bytes are a deterministic slice of the source payload. flatMap shape:
-    * output cardinality = Σ duration/everyMs, computed streaming. */
+  /** REAL frame sampling: decode the video (multi-frame GIF) and keep one
+    * frame per `everyMs` of PLAYBACK time — frame timestamps come from the
+    * container's own per-frame delay metadata (centiseconds × 10), not from
+    * byte math. Greedy deterministic sampling: a frame is kept when its
+    * timestamp reaches the next sample point; each kept frame is re-encoded
+    * as PNG (decoded pixels, palette-resolved). flatMap shape: output
+    * cardinality ≈ Σ duration/everyMs, computed streaming per partition;
+    * undecodable/non-video records are dropped. */
   def sampleFrames(ds: Dataset[MediaRecord], everyMs: Long)
       : Dataset[MediaFrame] = {
+    require(everyMs > 0, "everyMs must be positive")
     val spark = ds.sparkSession
     import spark.implicits._
     ds.filter(_.meta.kind == "video").flatMap { r =>
-      val nFrames = math.max(1, (r.meta.durationMs / everyMs).toInt)
-      (0 until nFrames).iterator.map { i =>
-        val start = if (r.content.isEmpty) 0
-          else (i * r.content.length / nFrames)
-        MediaFrame(r.media_id, i, i * everyMs,
-          r.content.slice(start, math.min(start + 64, r.content.length)))
+      readFrames(r.content).iterator.flatMap { frames =>
+        var tsMs = 0L
+        var next = 0L
+        frames.iterator.zipWithIndex.flatMap { case ((img, delayCs), i) =>
+          val out = if (tsMs >= next) {
+            next = tsMs + everyMs
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Some(MediaFrame(r.media_id, i, tsMs, bos.toByteArray))
+          } else None
+          tsMs += delayCs * 10L
+          out
+        }
       }
     }
   }
@@ -285,6 +424,82 @@ object Multimodal {
     decodeImageDims(encoded, col("media_id"), col("content")).toDF()
   }
 
+  /** REAL codec: encode a deterministic grayscale ANIMATED GIF — a true
+    * multi-frame sequence written through ImageIO's GIF `ImageWriter`
+    * (`prepareWriteSequence`/`writeToSequence`), with `delayCs` centiseconds
+    * of playback delay per frame in GraphicControlExtension metadata.
+    * `pixel(frame, x, y)` supplies 8-bit intensities. Runs inside executors. */
+  def encodeGif(width: Int, height: Int, frames: Int, delayCs: Int,
+      pixel: (Int, Int, Int) => Int): Array[Byte] =
+    writeGifSequence((0 until frames).iterator.map { f =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          raster.setSample(x, y, 0, pixel(f, x, y) & 0xFF); x += 1
+        }
+        y += 1
+      }
+      (img, delayCs)
+    })
+
+  /** REAL codec: decode video payloads (multi-frame GIF via ImageIO) into
+    * one row PER FRAME with the frame's dimensions and 8-bit intensity sum
+    * (palette-resolved via getRGB — a raster sample would be the palette
+    * index). flatMap over an iterator-per-partition kernel: frames decode
+    * lazily and stream out; a 2-hour video never materializes as a whole.
+    * Null/undecodable payloads are dropped. */
+  def decodeVideoFrames(df: DataFrame, id: Column, content: Column)
+      : Dataset[VideoFrameFacts] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("media_id"), content.cast("binary").as("c"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (mid, bytes) =>
+          readFrames(bytes).iterator.flatMap { frames =>
+            frames.iterator.zipWithIndex.map { case ((img, _), i) =>
+              var s = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { s += intensity(img, x, y); x += 1 }
+                y += 1
+              }
+              VideoFrameFacts(mid, i.toLong, img.getWidth.toLong,
+                img.getHeight.toLong, s)
+            }
+          }
+        }
+      }
+  }
+
+  /** End-to-end real-codec round trip (the q_video_frames substrate): per
+    * id, synthesize a deterministic animated GIF — 2 + id%4 frames of
+    * width 8 + id%9, height 8 + id%7, pixel(f, x, ·) = (x + 7f + id) mod 256,
+    * 4 cs/frame — through the REAL GIF sequence encoder, then decode every
+    * frame back with [[decodeVideoFrames]]'s kernel. Frame count, dims, and
+    * per-frame intensity sums are closed-form in id, so a SQL oracle
+    * verifies the whole multi-frame round trip exactly. */
+  def videoFramesRoundtrip(df: DataFrame, id: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(id.cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { mid =>
+          val w = 8 + (mid % 9).toInt
+          val h = 8 + (mid % 7).toInt
+          val n = 2 + (mid % 4).toInt
+          (mid, encodeGif(w, h, n, delayCs = 4,
+            (f, x, _) => ((x + 7L * f + mid) % 256).toInt))
+        }
+      }.toDF("media_id", "content")
+    decodeVideoFrames(encoded, col("media_id"), col("content")).toDF()
+  }
+
   /** REAL codec: encode signed 16-bit mono little-endian PCM as a WAV
     * container via the JDK's javax.sound.sampled. */
   def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
@@ -304,6 +519,37 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Decode a 16-bit PCM audio container (WAV/AIFF/AU) into (sample rate,
+    * samples), respecting the container's declared endianness. None when
+    * the bytes aren't decodable audio. Executor-side only. */
+  private def decodePcmSamples(bytes: Array[Byte])
+      : Option[(Long, Array[Short])] =
+    Option(bytes).flatMap { b =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16)
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          if (fmt.isBigEndian)
+            while (i < n) {
+              out(i) = ((data(2 * i) << 8) | (data(2 * i + 1) & 0xFF)).toShort
+              i += 1
+            }
+          else
+            while (i < n) {
+              out(i) = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)).toShort
+              i += 1
+            }
+          Some((fmt.getSampleRate.toLong, out))
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    }
+
   /** REAL codec: decode audio payloads (WAV/AIFF/AU PCM via
     * javax.sound.sampled) into (sample rate, frame count, signed sample
     * sum). 16-bit PCM only (the synthesis format); respects the container's
@@ -316,30 +562,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (mid, bytes) =>
-          Option(bytes).flatMap { b =>
-            try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(b))
-              try {
-                val fmt = ais.getFormat
-                require(fmt.getSampleSizeInBits == 16)
-                val data = ais.readAllBytes()
-                val n = data.length / 2
-                var s = 0L
-                var i = 0
-                if (fmt.isBigEndian)
-                  while (i < n) {
-                    s += ((data(2 * i) << 8) | (data(2 * i + 1) & 0xFF)).toShort
-                    i += 1
-                  }
-                else
-                  while (i < n) {
-                    s += ((data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)).toShort
-                    i += 1
-                  }
-                Some(AudioFacts(mid, fmt.getSampleRate.toLong, n.toLong, s))
-              } finally ais.close()
-            } catch { case _: Exception => None }
+          decodePcmSamples(bytes).map { case (rate, samples) =>
+            var s = 0L
+            var i = 0
+            while (i < samples.length) { s += samples(i); i += 1 }
+            AudioFacts(mid, rate, samples.length.toLong, s)
           }
         }
       }

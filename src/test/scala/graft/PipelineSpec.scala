@@ -282,24 +282,91 @@ class PipelineSpec extends SparkSpec {
     assert(resized.filter(_.media_id == 2L).head().content.length == 3)
   }
 
-  test("multimodal: typed plumbing, stub decode, frame sampling") {
-    val media = docs.limit(50).select(
-      $"doc_id".as("media_id"),
-      when($"doc_id" % 3 === 0, "video").otherwise("image").as("kind"),
-      lit(64).as("width"), lit(48).as("height"),
-      when($"doc_id" % 3 === 0, 5000L).otherwise(0L).as("duration_ms"),
-      $"text".cast("binary").as("content"))
-    val ds = Multimodal.fromBinary(media)
-    val feats = Multimodal.extractFeatures(ds, dim = 8)
-    assert(feats.count() == 50)
-    assert(feats.filter(f => f.features.length != 8).count() == 0)
-    assert(feats.filter(f => f.features.exists(v => v < -1f || v > 1f)).count() == 0)
-    val resized = Multimodal.resize(ds, 32, 24)
-    assert(resized.filter(r => r.meta.width != 32).count() == 0)
-    val frames = Multimodal.sampleFrames(ds, everyMs = 1000)
-    val vids = media.filter($"kind" === "video").count()
-    assert(frames.count() == vids * 5)
+  test("video codec: multi-frame GIF round trip is exact per frame") {
+    // 3 ids with different frame counts/dims; pixel = (x + 7f + id) mod 256
+    val ids = Seq(3L, 10L, 17L).toDF("doc_id")
+    val rows = Multimodal.videoFramesRoundtrip(ids, $"doc_id")
+      .orderBy($"media_id", $"frame_idx").collect()
+    val expect = for {
+      id <- Seq(3L, 10L, 17L)
+      w = 8 + (id % 9).toInt; h = 8 + (id % 7).toInt; n = 2 + (id % 4).toInt
+      f <- 0 until n
+    } yield (id, f.toLong, w.toLong, h.toLong,
+      h.toLong * (0 until w).map(x => (x + 7L * f + id) % 256).sum)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == expect)
+  }
+
+  test("video: real frame sampling by container delay metadata") {
+    // 5 frames at 100 ms each (delay 10 cs); sampling every 200 ms keeps
+    // frames 0, 2, 4 at playback timestamps 0, 200, 400.
+    val gif = Multimodal.encodeGif(12, 8, frames = 5, delayCs = 10,
+      (f, x, _) => (x * 10 + f) % 256)
+    val media = Seq((1L, "video", 12, 8, 500L, gif),
+        (2L, "video", 1, 1, 0L, Array[Byte](9, 9)), // undecodable: dropped
+        (3L, "image", 1, 1, 0L, gif)) // non-video: filtered
+      .toDF("media_id", "kind", "width", "height", "duration_ms", "content")
+    val frames = Multimodal.sampleFrames(Multimodal.fromBinary(media),
+      everyMs = 200).collect().sortBy(_.frameIdx)
+    assert(frames.map(f => (f.media_id, f.frameIdx, f.tsMs)).toSeq ==
+      Seq((1L, 0, 0L), (1L, 2, 200L), (1L, 4, 400L)))
+    // each sampled frame re-encoded as a REAL PNG of the frame's pixels
+    val dims = Multimodal.decodeImageDims(
+      frames.toSeq.toDF("media_id", "frameIdx", "tsMs", "content")
+        .select($"frameIdx".as("media_id"), $"content"),
+      col("media_id"), col("content")).collect()
+    assert(dims.map(d => (d.width, d.height)).distinct.toSeq == Seq((12L, 8L)))
+    // frame f pixel = (10x + f) mod 256, constant per column → closed sum
+    assert(dims.sortBy(_.media_id).map(_.px_sum).toSeq ==
+      Seq(0, 2, 4).map(f => 8L * (0 until 12).map(x => (x * 10 + f) % 256).sum))
+  }
+
+  test("video resize: per-frame rescale preserves frame count and delays") {
+    val gif = Multimodal.encodeGif(20, 14, frames = 4, delayCs = 7,
+      (f, x, y) => (x + y + f) % 256)
+    val media = Seq((1L, "video", 20, 14, 280L, gif),
+        (2L, "video", 1, 1, 0L, Array[Byte](1))) // undecodable: pass-through
+      .toDF("media_id", "kind", "width", "height", "duration_ms", "content")
+    val resized = Multimodal.resizeVideos(Multimodal.fromBinary(media), 10, 7)
+      .collect().sortBy(_.media_id)
+    assert(resized(1).content.length == 1, "undecodable passes through")
+    val out = Multimodal.decodeVideoFrames(
+      Seq((1L, resized(0).content)).toDF("media_id", "content"),
+      col("media_id"), col("content")).collect()
+    assert(out.length == 4)
+    assert(out.forall(f => f.width == 10 && f.height == 7))
+    // delays survive the re-encode: sampling every 140 ms (= 2 frames at
+    // 70 ms) keeps frames 0 and 2
+    val frames = Multimodal.sampleFrames(Multimodal.fromBinary(
+        Seq((1L, "video", 10, 7, 280L, resized(0).content))
+          .toDF("media_id", "kind", "width", "height", "duration_ms", "content")),
+      everyMs = 140).collect()
+    assert(frames.map(_.frameIdx).sorted.toSeq == Seq(0, 2))
+  }
+
+  test("multimodal: real feature extraction across modalities") {
+    // image: 16×16 PNG covering every intensity once → uniform histogram
+    val png = Multimodal.encodePng(16, 16, (x, y) => x * 16 + y)
+    // video: 2-frame GIF, all pixels 0 → all mass in bin 0
+    val gif = Multimodal.encodeGif(8, 8, frames = 2, delayCs = 4,
+      (_, _, _) => 0)
+    // audio: WAV with samples −32768 (bin 0) and 32767 (bin 7), half each
+    val wav = Multimodal.encodeWav(8000,
+      Array.tabulate(64)(i => if (i % 2 == 0) Short.MinValue else Short.MaxValue))
+    val media = Seq(
+        (1L, "image", 16, 16, 0L, png), (2L, "video", 8, 8, 80L, gif),
+        (3L, "audio", 0, 0, 8L, wav), (4L, "junk", 0, 0, 0L, Array[Byte](5)))
+      .toDF("media_id", "kind", "width", "height", "duration_ms", "content")
+    val feats = Multimodal.extractFeatures(Multimodal.fromBinary(media), dim = 8)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(1L, 2L, 3L), "junk dropped")
+    assert(feats.forall(_.features.length == 8))
+    assert(feats(0).features.forall(v => math.abs(v - 0.125f) < 1e-6))
+    assert(feats(1).features.head == 1.0f &&
+      feats(1).features.tail.forall(_ == 0.0f))
+    assert(math.abs(feats(2).features.head - 0.5f) < 1e-6 &&
+      math.abs(feats(2).features.last - 0.5f) < 1e-6)
     val stats = Multimodal.stats(media)
-    assert(stats.count() == 2)
+    assert(stats.count() == 4)
   }
 }

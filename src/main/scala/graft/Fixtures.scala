@@ -72,7 +72,36 @@ object Fixtures {
 
   /** Build both fixtures up front (Bench calls this before timing). */
   def prepare(spark: SparkSession, sfDir: String): Unit = {
-    cowDir(spark, sfDir); morDir(spark, sfDir)
+    cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
+  }
+
+  /** IVF-partitioned ANN serving table over the embeddings corpus (one
+    * directory per centroid cell — see [[graft.pipeline.Similarity.ivfWrite]])
+    * plus its trained centroids, built once per scale factor. The centroids
+    * are persisted next to the data so reuse needs no re-training; training
+    * itself is deterministic (seeded), so a rebuild yields the same table. */
+  def ivfDir(spark: SparkSession, sfDir: String,
+      nlist: Int = 8): (String, Seq[(Int, Seq[Float])]) = synchronized {
+    val dir = s"${root(sfDir)}/embeddings_ivf"
+    val dataDir = s"$dir/data"
+    val centDir = s"$dir/centroids"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def done(d: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS"))
+    if (!done(centDir)) {
+      rm(spark, dir)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val centroids = graft.pipeline.Similarity.ivfWrite(
+        emb, col("vec_id"), col("embedding"), dataDir, nlist = nlist)
+      import spark.implicits._
+      centroids.toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(centDir)
+    }
+    val cents = spark.read.parquet(centDir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
+      .sortBy(_._1).toSeq
+    (dataDir, cents)
   }
 
   private def rm(spark: SparkSession, dir: String): Unit = {

@@ -242,6 +242,25 @@ object SparkEntry {
       Dedup.winnowPairs(tp(s, d, "documents"), col("doc_id"), col("text"),
           blocking = col("source"), minShared = 10)
         .orderBy(col("id_a"), col("id_b"))),
+    // Ratio-mode winnow pairs: shared fingerprints ≥ 30% of the LARGER
+    // doc's fingerprint set — the threshold-scaled prefix variant whose
+    // candidate cost tracks the output (constant-threshold mode can't).
+    "q_winnow_ratio" -> ((s, d) =>
+      Dedup.winnowPairs(tp(s, d, "documents"), col("doc_id"), col("text"),
+          blocking = col("source"), ratioPermille = Some(300))
+        .orderBy(col("id_a"), col("id_b"))),
+    // IVF ANN serving path under the oracle gate: probing ALL cells
+    // (nprobe = nlist) makes the approximate path exactly equal to brute
+    // force, so the DuckDB brute-force oracle hash-matches; the table read
+    // still goes through the partitioned-directory probe machinery.
+    "q_ivf_topk" -> ((s, d) => {
+      val (path, centroids) = Fixtures.ivfDir(s, d)
+      Similarity.ivfTopKFromTable(s, path, centroids,
+          t(s, d, "embeddings").filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), k = 5, nprobe = centroids.size)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_sim_topk" -> ((s, d) => {
       val e = tp(s, d, "embeddings")
       Similarity.bruteForceTopK(
@@ -654,6 +673,23 @@ object SparkEntry {
         "WHERE len(list_intersect(a.fps, b.fps)) >= 10 " +
         "ORDER BY id_a, id_b"
     },
+    // Ratio-mode winnow: shared ≥ 30% of the larger fingerprint set (and at
+    // least one shared fingerprint; empty-fingerprint docs excluded).
+    "q_winnow_ratio" -> {
+      val pow = Array.iterate(1L, 5)(_ * 257L)
+      val gram = (0 until 5).map(i =>
+        s"ascii(substr(s, j+${i + 1}, 1)) * ${pow(4 - i)}").mkString(" + ")
+      "WITH c AS (SELECT doc_id, source, lower(text) AS s, length(lower(text)) AS n FROM documents), " +
+        s"h AS (SELECT doc_id, source, n, CASE WHEN n >= 12 THEN list_transform(range(0, n - 4), j -> ($gram) % 1000000007) ELSE [] END AS hs FROM c), " +
+        "wfp AS (SELECT doc_id, source, CASE WHEN n >= 12 THEN list_distinct(list_transform(range(0, n - 11), j -> list_min(hs[j+1:j+8]))) ELSE [] END AS fps FROM h) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS n_shared " +
+        "FROM wfp a JOIN wfp b ON a.source = b.source AND a.doc_id < b.doc_id " +
+        "WHERE len(a.fps) >= 1 AND len(b.fps) >= 1 " +
+        "AND len(list_intersect(a.fps, b.fps)) >= 1 " +
+        "AND len(list_intersect(a.fps, b.fps)) * 1000 >= 300 * greatest(len(a.fps), len(b.fps)) " +
+        "ORDER BY id_a, id_b"
+    },
     "q_ngram_pairs" ->
       ("WITH sh AS (SELECT doc_id, source, list_distinct(list_transform(" +
         s"range(0, greatest(len($Toks) - 2, 0) + 1), " +
@@ -664,6 +700,14 @@ object SparkEntry {
         "WHERE floor(len(list_intersect(a.shingles, b.shingles)) * 1000 / greatest(len(list_distinct(list_cat(a.shingles, b.shingles))), 1)) >= 200 " +
         "ORDER BY id_a, id_b"),
     "q_sim_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // nprobe = nlist ⇒ the IVF serving path degenerates to exact brute
+    // force over the partitioned table — same oracle as q_sim_topk.
+    "q_ivf_topk" ->
       ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +

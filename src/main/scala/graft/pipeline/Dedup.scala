@@ -74,7 +74,8 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
-      thresholdPermille: Int = 500, maxBucket: Int = 1000): DataFrame = {
+      thresholdPermille: Int = 500, maxBucket: Int = 1000,
+      materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // ONE shingle pass feeds both the signature aggregate and the
@@ -85,7 +86,7 @@ object Dedup {
         df.select(id.cast("long").as("id"), text.as("__text"))
           .filter(col("__text").isNotNull))
       .select(col("id"), shingleSet(col("__text"), n).as("shingles"))
-    scoped(base) {
+    scoped(materialize, base) {
       // explode_outer: see the object-level note above minhashPairs.
       val exploded = base.select(col("id"),
         explode_outer(col("shingles")).as("sh"))
@@ -128,9 +129,10 @@ object Dedup {
     * END of every doc's canonical order, and therefore never enters a
     * prefix — the join cost is Σ df² over RARE shingles only. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-      blocking: Column, n: Int = 3, thresholdPermille: Int = 500): DataFrame = {
+      blocking: Column, n: Int = 3, thresholdPermille: Int = 500,
+      materialize: Boolean = true): DataFrame = {
     val base = ngramBase(df, id, text, blocking, n)
-    scoped(base) {
+    scoped(materialize, base) {
       // sz travels WITH the exploded rows (computed from the in-row array)
       // so the prefix stage needs no second window/join to learn it.
       val exploded = base.select(col("id"), col("block"),
@@ -158,7 +160,7 @@ object Dedup {
       text: Column, blocking: Column, n: Int = 3,
       thresholdPermille: Int = 500): DataFrame = {
     val base = ngramBase(df, id, text, blocking, n)
-    scoped(base) {
+    scoped(true, base) {
       val sizes = base.select(col("id"), size(col("shingles")).as("sz"))
       val exploded = base.select(col("id"), col("block"),
         explode(col("shingles")).as("sh"))
@@ -197,52 +199,124 @@ object Dedup {
   }
 
   /** Near-COPY pairs by shared winnowing fingerprints within a blocking
-    * key: pairs sharing ≥ `minShared` distinct fingerprints (the MOSS
-    * plagiarism-detection predicate — each shared fingerprint witnesses a
-    * shared substring of length ≥ k, and any shared run of length
-    * ≥ k + w − 1 is guaranteed a witness).
+    * key (the MOSS plagiarism-detection predicate — each shared fingerprint
+    * witnesses a shared substring of length ≥ k, and any shared run of
+    * length ≥ k + w − 1 is guaranteed a witness). Two threshold modes:
     *
-    * Same lossless prefix filtering as [[ngramJaccardPairs]], in its
-    * overlap-count form: if |A∩B| ≥ T then A and B share an element within
-    * their `sz − T + 1` rarest fingerprints (global df order) — docs with
-    * fewer than T fingerprints can't qualify and are dropped from the index
-    * entirely. Verification is in-row array intersection against the
-    * doc-count-sized fingerprint-array side. Output:
-    * (id_a, id_b, n_shared). */
+    *  - ABSOLUTE (`ratioPermille = None`, MOSS parity): pairs sharing
+    *    ≥ `minShared` distinct fingerprints. Prefix filter in overlap form:
+    *    if |A∩B| ≥ T then A and B share an element within their
+    *    `sz − T + 1` rarest fingerprints (global df order); docs with fewer
+    *    than T fingerprints are dropped from the index entirely. The prefix
+    *    excludes only a CONSTANT `minShared − 1` of each doc's most frequent
+    *    fingerprints, so a block where many docs share one mid-frequency
+    *    boilerplate fingerprint ranked below every doc's top-(T−1) still
+    *    yields df² false candidates — an inherent property of any lossless
+    *    filter for an absolute threshold (the qualifying-pair criterion
+    *    does not scale with doc size).
+    *  - RATIO (`ratioPermille = Some(p)`): pairs sharing
+    *    ≥ ⌈p‰ · max(sz_a, sz_b)⌉ fingerprints (overlap scaled to the LARGER
+    *    doc — the containment-style predicate). Here the per-doc prefix is
+    *    `sz − ⌈p·sz/1000⌉ + 1`: threshold-scaled exactly like
+    *    [[ngramJaccardPairs]], and lossless because the pair threshold
+    *    ⌈p·max⌉ dominates each doc's own ⌈p·sz⌉. The max (not min) scaling
+    *    is what MAKES a scaled lossless prefix possible: a min-scaled
+    *    threshold admits pairs of wildly different sizes, so no per-doc
+    *    prefix shorter than the whole doc can be lossless (a tiny doc's
+    *    threshold would bound the big doc's prefix). Ratio mode also
+    *    enables the size filter `1000·min(sz) ≥ p·max(sz)` in the
+    *    candidate join.
+    *
+    * Verification is in-row array intersection against the doc-count-sized
+    * fingerprint-array side. Output: (id_a, id_b, n_shared). */
   def winnowPairs(df: DataFrame, id: Column, text: Column, blocking: Column,
-      k: Int = 5, w: Int = 8, minShared: Int = 10): DataFrame = {
+      k: Int = 5, w: Int = 8, minShared: Int = 10,
+      ratioPermille: Option[Int] = None,
+      materialize: Boolean = true): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
-    val base = graft.util.ParallelScan.widen(
-        df.select(id.cast("long").as("id"), blocking.as("block"),
-            text.as("__text"))
-          .filter(col("__text").isNotNull))
-      .select(col("id"), col("block"),
-        TextAnalysis.winnowFingerprints(col("__text"), k, w).as("fps"))
-      .filter(size(col("fps")) >= minShared)
-    scoped(base) {
+    ratioPermille.foreach(p =>
+      require(p >= 1 && p <= 1000, "ratioPermille must be in [1, 1000]"))
+    val base = winnowBase(df, id, text, blocking, k, w)
+      .filter(size(col("fps")) >=
+        ratioPermille.fold(minShared)(_ => 1))
+    scoped(materialize, base) {
       val exploded = base.select(col("id"), col("block"),
         size(col("fps")).as("sz"), explode(col("fps")).as("fp"))
       val dfreq = exploded.groupBy("fp").agg(count(lit(1)).as("__df"))
       val wOrd = Window.partitionBy("id")
         .orderBy(col("__df").asc, col("fp").asc)
+      // Per-doc overlap threshold: constant in absolute mode, ⌈p·sz/1000⌉
+      // in ratio mode (exact double — sz·p ≤ ~1e10 « 2⁵³).
+      val docThreshold = ratioPermille
+        .fold(lit(minShared).cast("long"))(p =>
+          greatest(ceil(col("sz") * p / 1000), lit(1L)))
       val prefix = exploded.join(dfreq, "fp")
         .withColumn("__rn", row_number().over(wOrd))
-        .filter(col("__rn") <= col("sz") - minShared + 1)
-        .select("id", "block", "fp")
-      val cand = prefix.select(col("block"), col("fp"), col("id").as("id_a"))
-        .join(prefix.select(col("block"), col("fp"), col("id").as("id_b")),
-          Seq("block", "fp"))
+        .filter(col("__rn") <= col("sz") - docThreshold + 1)
+        .select(col("id"), col("block"), col("fp"), col("sz"))
+      val candRaw = prefix.select(col("block"), col("fp"), col("id").as("id_a"),
+          col("sz").as("sz_a"))
+        .join(prefix.select(col("block"), col("fp"), col("id").as("id_b"),
+          col("sz").as("sz_b")), Seq("block", "fp"))
         .filter(col("id_a") < col("id_b"))
+      // Ratio mode: lossless size filter (shared ≥ ⌈p·max⌉ forces
+      // min ≥ ⌈p·max⌉, so 1000·min ≥ p·max) prunes size-mismatched
+      // collisions before the distinct.
+      val cand = ratioPermille.fold(candRaw)(p => candRaw.filter(
+          least(col("sz_a"), col("sz_b")) * 1000 >=
+            greatest(col("sz_a"), col("sz_b")) * p))
         .select("id_a", "id_b").distinct()
       val arrays = base.select(col("id"), col("fps"))
-      cand
+      val shared = cand
         .join(arrays.select(col("id").as("id_a"), col("fps").as("__fa")), "id_a")
         .join(arrays.select(col("id").as("id_b"), col("fps").as("__fb")), "id_b")
         .select(col("id_a"), col("id_b"),
           size(array_intersect(col("__fa"), col("__fb"))).cast("long")
-            .as("n_shared"))
-        .filter(col("n_shared") >= minShared)
+            .as("n_shared"),
+          size(col("__fa")).cast("long").as("__sza"),
+          size(col("__fb")).cast("long").as("__szb"))
+      ratioPermille.fold(shared.filter(col("n_shared") >= minShared))(p =>
+          shared.filter(col("n_shared") * 1000 >=
+            greatest(col("__sza"), col("__szb")) * p &&
+            col("n_shared") >= 1))
+        .select("id_a", "id_b", "n_shared")
     }
+  }
+
+  private def winnowBase(df: DataFrame, id: Column, text: Column,
+      blocking: Column, k: Int, w: Int): DataFrame =
+    graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("id"), blocking.as("block"),
+            text.as("__text"))
+          .filter(col("__text").isNotNull))
+      .select(col("id"), col("block"),
+        TextAnalysis.winnowFingerprints(col("__text"), k, w).as("fps"))
+
+  /** All-pairs exact reference for [[winnowPairs]]: same fingerprints and
+    * thresholds, candidates from a block-local `id_a < id_b` theta join —
+    * O(n²) by construction and independent of the prefix-index code path,
+    * so DedupProps can pin both threshold modes against it. Spec/tooling
+    * baseline, not the shipped operator. */
+  private[graft] def winnowPairsAllPairs(df: DataFrame, id: Column,
+      text: Column, blocking: Column, k: Int = 5, w: Int = 8,
+      minShared: Int = 10, ratioPermille: Option[Int] = None): DataFrame = {
+    val base = winnowBase(df, id, text, blocking, k, w)
+      .filter(size(col("fps")) >= ratioPermille.fold(minShared)(_ => 1))
+    val a = base.select(col("block"), col("id").as("id_a"),
+      col("fps").as("__fa"))
+    val b = base.select(col("block"), col("id").as("id_b"),
+      col("fps").as("__fb"))
+    val shared = a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__fa"), col("__fb"))).cast("long")
+          .as("n_shared"),
+        size(col("__fa")).cast("long").as("__sza"),
+        size(col("__fb")).cast("long").as("__szb"))
+    ratioPermille.fold(shared.filter(col("n_shared") >= minShared))(p =>
+        shared.filter(col("n_shared") * 1000 >=
+          greatest(col("__sza"), col("__szb")) * p &&
+          col("n_shared") >= 1))
+      .select("id_a", "id_b", "n_shared")
   }
 
   /** Hex digit value (0-15) of `hexStr` at 1-based position `pos` — engine-
@@ -345,14 +419,14 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
       thresholdNum: Int = 2, thresholdDen: Int = 5,
       scale: Long = 1000000L, bands: Int = 8, rowsPerBand: Int = 8,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, materialize: Boolean = true): DataFrame = {
     import graft.functions.ArrayNumeric.{longDot, longNormSq}
     val q = graft.util.ParallelScan.widen(
         df.select(id.cast("long").as("id"), vec.as("__v")))
       .select(col("id"), transform(col("__v"),
         x => floor(x.cast("double") * scale).cast("long")).as("q"))
       .withColumn("nrm", longNormSq(col("q")))
-    scoped(q) {
+    scoped(materialize, q) {
       val bandCols = (0 until bands).map { b =>
         val bucket = (0 until rowsPerBand).map { j =>
           when(element_at(col("q"), b * rowsPerBand + j + 1) >= 0,
@@ -375,7 +449,7 @@ object Dedup {
       val scored = cand.join(a, "id_a").join(b, "id_b")
         .select(col("id_a"), col("id_b"), longDot(col("q_a"), col("q_b"))
           .as("dot_q"), col("n_a"), col("n_b"))
-      scoped(scored) {
+      scoped(materialize, scored) {
         scored
           .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
             lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
@@ -401,7 +475,7 @@ object Dedup {
       .select(col("id"), transform(col("__v"),
         x => floor(x.cast("double") * scale).cast("long")).as("q"))
       .withColumn("nrm", longNormSq(col("q")))
-    scoped(q) {
+    scoped(true, q) {
       val a = q.select(col("id").as("id_a"), col("q").as("q_a"),
         col("nrm").as("n_a"))
       val b = q.select(col("id").as("id_b"), col("q").as("q_b"),
@@ -410,7 +484,7 @@ object Dedup {
       val scored = a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), longDot(col("q_a"), col("q_b"))
           .as("dot_q"), col("n_a"), col("n_b"))
-      scoped(scored) {
+      scoped(true, scored) {
         scored
           .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
             lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
@@ -450,21 +524,32 @@ object Dedup {
       .filter(col("jaccard_permille") >= thresholdPermille)
       .select("id_a", "id_b", "jaccard_permille")
 
-  /** Persist `intermediates`, materialize `body`'s (output-sized) result
-    * eagerly via localCheckpoint, then release the intermediates. The
-    * operators above reuse expensive intermediates (shingle streams,
-    * quantized vectors) across several plan consumers; a persist that
-    * outlives the call leaks executor memory for the session lifetime and
-    * lets CacheManager silently serve later identical plans from cache
-    * (which also falsifies benchmarks). localCheckpoint truncates lineage,
-    * so the returned DataFrame no longer references the unpersisted plans;
-    * the cost is that the operator becomes eager — acceptable for dedup
-    * operators whose callers always consume them. */
-  private def scoped(intermediates: DataFrame*)(body: => DataFrame): DataFrame = {
-    intermediates.foreach(_.persist())
-    try body.localCheckpoint(eager = true)
-    finally intermediates.foreach(_.unpersist(blocking = true))
-  }
+  /** materialize = true: persist `intermediates`, materialize `body`'s
+    * (output-sized) result eagerly via localCheckpoint, then release the
+    * intermediates. The operators above reuse expensive intermediates
+    * (shingle streams, quantized vectors) across several plan consumers; a
+    * persist that outlives the call leaks executor memory for the session
+    * lifetime and lets CacheManager silently serve later identical plans
+    * from cache (which also falsifies benchmarks). localCheckpoint
+    * truncates lineage, so the returned DataFrame no longer references the
+    * unpersisted plans; the cost is that the operator becomes eager.
+    *
+    * materialize = false: return the UNMATERIALIZED declarative plan — no
+    * persist, no checkpoint, nothing eager. Pipeline composers get full
+    * lazy composition: downstream filters/projections push into the verify
+    * join (and below) before anything executes, and no checkpoint write of
+    * the full output happens at all. The trade: the shared intermediate
+    * appears as several subtrees of the one plan and is recomputed per
+    * consumer — choose this mode when the downstream filter is selective
+    * enough that skipping the full-output materialization wins. */
+  private def scoped(materialize: Boolean, intermediates: DataFrame*)(
+      body: => DataFrame): DataFrame =
+    if (!materialize) body
+    else {
+      intermediates.foreach(_.persist())
+      try body.localCheckpoint(eager = true)
+      finally intermediates.foreach(_.unpersist(blocking = true))
+    }
 
   /** (id_a, id_b, inter) + per-doc set sizes → integer-exact Jaccard
     * per-mille: floor(inter·1000 / (sz_a + sz_b − inter)). */

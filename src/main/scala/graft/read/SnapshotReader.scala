@@ -135,13 +135,26 @@ object IncrementalReader {
       .toSet
     val rangeFilter = col(MetaCols.CommitTime) > fromExclusive &&
       col(MetaCols.CommitTime) <= toInclusive
-    if (touched.isEmpty)
-      // Degenerate empty range: keep the schema by planning the snapshot with
-      // an always-false residual (never executed at data scale — no instants
-      // in range means nothing to read).
-      SnapshotReader.read(spark, basePath, Some(toInclusive))
-        .filter(rangeFilter && lit(false))
-    else {
+    if (touched.isEmpty) {
+      // Degenerate empty range, metadata-first: the snapshot is never
+      // planned. The schema comes from ONE slice's footers — the slice with
+      // the newest write as of `to` carries the current schema under
+      // add-only evolution — and the result is an empty relation, so no
+      // data file enters the plan (inputFiles is empty; asserted in
+      // MorSpec).
+      val slices = timeline.latestSlices(Some(toInclusive)).values
+      require(slices.nonEmpty,
+        s"empty table (no slices) at $basePath as of $toInclusive")
+      val newest = slices.maxBy(sl =>
+        (sl.deltas.map(_.commitTs) :+ sl.commitTs).max)
+      val paths = (newest.relPath.toSeq ++ newest.deltas.map(_.relPath))
+        .map(rp => s"$basePath/$rp")
+      val schema = org.apache.spark.sql.types.StructType(
+        SnapshotReader.evolvedRead(spark, paths).schema
+          .filterNot(_.name == SnapshotReader.IsDeleted))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
       val slices = timeline.latestSlices(Some(toInclusive))
         .collect { case (fid, slice) if touched(fid) => slice }.toSeq
       SnapshotReader.merge(spark, basePath, slices).filter(rangeFilter)

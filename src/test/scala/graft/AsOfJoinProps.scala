@@ -3,6 +3,7 @@ package graft
 import graft.operators.AsOfJoin
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
 
 /** Property-based check: AsOfJoin over random inputs must equal the obvious
   * in-memory model (per left row: the max-ts right row with same key and
@@ -69,5 +70,35 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
       }.toMap
 
       got == want
+    }
+
+  /** Single hot key (the exact skew shape bucketed mode exists for): the
+    * time-bucketed plan must equal the single-window plan for every width
+    * and both directions. */
+  private val genSkewInput: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+    for {
+      lts <- Gen.listOfN(15, Gen.choose(0L, 30L))
+      rts <- Gen.listOfN(15, Gen.choose(0L, 30L))
+    } yield (
+      lts.zipWithIndex.map { case (ts, i) => (i.toLong, 0L, ts) },
+      rts.distinct.zipWithIndex.map { case (ts, i) => (0L, ts, 100L + i) })
+
+  property("bucketed skew mode equals the single-window plan") =
+    Prop.forAll(genSkewInput, Gen.oneOf(1L, 2L, 5L, 7L, 100L),
+        Gen.oneOf(true, false)) { case ((leftRows, rightRows), w, fwd) =>
+      import spark.implicits._
+      val left = leftRows.toDF("event_id", "key", "ts")
+      val right = rightRows.toDF("key", "ts", "payload")
+      def run(width: Option[Long]) =
+        AsOfJoin.asOf(left, col("key"), col("ts"),
+            right, col("key"), col("ts"),
+            Seq("payload" -> col("payload")), forward = fwd,
+            bucketWidth = width)
+          .select("event_id", "payload").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+            else Some(r.getLong(1)))).toMap
+      val bucketed = run(Some(w))
+      val plain = run(None)
+      (bucketed == plain) :| s"w=$w fwd=$fwd: $bucketed vs $plain"
     }
 }

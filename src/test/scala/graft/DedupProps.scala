@@ -3,6 +3,7 @@ package graft
 import graft.pipeline.Dedup
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
 
 /** Property-based check: ngramJaccardPairs over random word-soup docs must
   * equal the in-memory string-shingle model (xxhash64 shingle collisions
@@ -68,4 +69,38 @@ object DedupProps extends Properties("Dedup.ngramJaccard") {
         .as[(Long, Long, Long)].collect().toSet
       pref == full
     }
+
+  /** winnowPairs' prefix filter must be lossless in BOTH threshold modes:
+    * the shipped prefix-index operator equals the independent all-pairs
+    * formulation on every random corpus. Docs repeat fragments so shared
+    * fingerprints actually occur. */
+  property("winnow prefix == all-pairs (absolute and ratio modes)") =
+    Prop.forAll(Gen.listOfN(8, genWinnowDoc), Gen.choose(1, 6),
+        Gen.oneOf(100, 300, 500, 800)) { (docs, minShared, permille) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def collectPairs(d: org.apache.spark.sql.DataFrame) =
+        d.as[(Long, Long, Long)].collect().toSet
+      val absPref = collectPairs(Dedup.winnowPairs(df, col("doc_id"),
+        col("text"), blocking = lit(1), minShared = minShared))
+      val absFull = collectPairs(Dedup.winnowPairsAllPairs(df, col("doc_id"),
+        col("text"), blocking = lit(1), minShared = minShared))
+      val ratPref = collectPairs(Dedup.winnowPairs(df, col("doc_id"),
+        col("text"), blocking = lit(1), ratioPermille = Some(permille)))
+      val ratFull = collectPairs(Dedup.winnowPairsAllPairs(df, col("doc_id"),
+        col("text"), blocking = lit(1), ratioPermille = Some(permille)))
+      (absPref == absFull) :| s"absolute: $absPref vs $absFull" &&
+        (ratPref == ratFull) :| s"ratio: $ratPref vs $ratFull"
+    }
+
+  /** Docs long enough for winnowing (k=5, w=8 needs ≥12 chars), built from
+    * a small fragment pool so cross-doc shared substrings are common. */
+  private val genWinnowDoc: Gen[String] = for {
+    n <- Gen.choose(2, 6)
+    frags <- Gen.listOfN(n,
+      Gen.oneOf("the quick brown fox", "lorem ipsum dolor sit",
+        "pack my box with", "jumps over the lazy dog",
+        "sphinx of black quartz"))
+  } yield frags.mkString(" ")
 }

@@ -194,6 +194,13 @@ class MorSpec extends SparkSpec {
     val inc = IncrementalReader.read(spark, base, C3, C3)
     assert(inc.isEmpty)
     assert(inc.columns.contains(MetaCols.CommitTime))
+    // metadata-first degenerate path: no data file may enter the plan (the
+    // schema comes from one slice's footers, not a planned snapshot)
+    assert(inc.inputFiles.isEmpty,
+      s"empty-range incremental planned data files: ${inc.inputFiles.toSeq}")
+    // column parity with a real incremental read of the same table
+    assert(inc.columns.sorted.toSeq ==
+      IncrementalReader.read(spark, base, C1, C2).columns.sorted.toSeq)
   }
 
   test("incremental (C1, C2] returns exactly the C2 upserts") {

@@ -282,6 +282,32 @@ class PipelineSpec extends SparkSpec {
     assert(resized.filter(_.media_id == 2L).head().content.length == 3)
   }
 
+  test("dedup lazy mode: no checkpoint, filter pushes into the plan, same rows") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    def pairs(materialize: Boolean) = Dedup.winnowPairs(docs, $"doc_id",
+      $"text", blocking = lit(1), ratioPermille = Some(300),
+      materialize = materialize)
+    val eager = pairs(materialize = true)
+    val lzy = pairs(materialize = false)
+    // default mode materializes via localCheckpoint (LogicalRDD leaf);
+    // lazy mode stays a declarative plan end-to-end — nothing was written
+    assert(eager.queryExecution.analyzed
+      .collect { case l: LogicalRDD => l }.nonEmpty)
+    assert(lzy.queryExecution.analyzed
+      .collect { case l: LogicalRDD => l }.isEmpty)
+    // a downstream id filter prunes BEFORE anything materializes: it reaches
+    // the parquet scan as a pushed doc_id predicate (impossible after an
+    // eager checkpoint, whose input already materialized the full output)
+    val filtered = lzy.filter($"id_a" === 123L)
+    val scans = filtered.queryExecution.executedPlan.toString
+    assert(scans.contains("PushedFilters") &&
+      (scans.contains("EqualTo(doc_id,123)") ||
+        scans.contains("IsNotNull(doc_id)")),
+      s"doc_id filter not pushed to scan:\n$scans")
+    assert(lzy.as[(Long, Long, Long)].collect().toSet ==
+      eager.as[(Long, Long, Long)].collect().toSet)
+  }
+
   test("video codec: multi-frame GIF round trip is exact per frame") {
     // 3 ids with different frame counts/dims; pixel = (x + 7f + id) mod 256
     val ids = Seq(3L, 10L, 17L).toDF("doc_id")

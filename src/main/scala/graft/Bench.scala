@@ -39,16 +39,48 @@ object Bench {
           }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+    // Host-speed calibration: the build VM's multi-core throughput drifts
+    // ~3× between windows (PLANS.md §benchmark-methodology), making raw
+    // totals incomparable across runs. A fixed CPU-bound workload measured
+    // alongside each bench run lets readers normalize: true_cost ≈
+    // raw_time · (spin32_ref / spin32_run). spin1 = one xorshift spin on one
+    // thread (single-core speed); spin32 = the same spin on every worker in
+    // parallel via an RDD job (aggregate throughput under full load — what
+    // the queries actually experience). min-of-2 (before/after the timed
+    // passes), like the per-query times.
+    val SpinIters = 400000000L
+    def spin(iters: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    def calibrate(): (Double, Double) = {
+      val t0 = System.nanoTime()
+      spin(SpinIters)
+      val t1 = (System.nanoTime() - t0) / 1e9
+      val n = cpus.toInt
+      val t2 = System.nanoTime()
+      spark.sparkContext.parallelize(1 to n, n).map(_ => spin(SpinIters))
+        .count()
+      (t1, (System.nanoTime() - t2) / 1e9)
+    }
     runAll(timed = false)
+    val calibA = calibrate()
     val results = runAll(timed = true).zip(runAll(timed = true)).map {
       case ((name, a), (_, b)) =>
         name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
+    val calibB = calibrate()
+    val spin1 = math.min(calibA._1, calibB._1)
+    val spin32 = math.min(calibA._2, calibB._2)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums successful queries; failures stay visible as -1 entries
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val calib = s"""{"spin1_sec":$spin1,"spin32_sec":$spin32,""" +
+      s""""spin_iters":$SpinIters,"workers":$cpus}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calib}""")
     spark.stop()
   }
 }

@@ -42,6 +42,56 @@ class TableTailSpec extends SparkSpec {
     }
     assert(tail == Vector(Fixtures.C3) && cur3.contains(Fixtures.C3))
   }
+
+  test("table tail feeds the streaming surface: tailed hourly agg == batch") {
+    import graft.streaming.EventStream
+    // a 3-commit versioned EVENTS table (disjoint key ranges per commit)
+    val dir = freshDir("tail_events_cow")
+    val events = spark.read.parquet(s"$sf0001/events.parquet").limit(3000)
+    val payloadCols = EventStream.schemaNanos.fieldNames.toSeq
+    val w = new CowWriter(spark, dir, numBuckets = 2)
+    val k = col("event_id")
+    w.insert(events.filter(k % 3 === 0), k, col("event_type"), Fixtures.C1)
+    w.upsert(events.filter(k % 3 === 1), k, col("event_type"), Fixtures.C2)
+    w.upsert(events.filter(k % 3 === 2), k, col("event_type"), Fixtures.C3)
+
+    // TableTail bridge: each commit's incremental rows land as one parquet
+    // append in a staging dir — the micro-batch feed for the file stream
+    val staging = freshDir("tail_events_staging")
+    val cursor = TableTail.drainOnce(spark, dir, None) { (_, batch) =>
+      batch.select(payloadCols.map(col): _*)
+        .write.mode("append").parquet(staging)
+    }
+    assert(cursor.contains(Fixtures.C3))
+
+    // streaming surface over the tailed commits
+    import org.apache.spark.sql.streaming.Trigger
+    val q = EventStream.hourlyAgg(EventStream.readStream(spark, staging))
+      .writeStream.format("memory").queryName("tailed_hourly")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("tailed_hourly")
+      .orderBy("event_type", "hour_start").collect()
+
+    // batch twin over the table's SNAPSHOT (same commits, read via the
+    // format surface) must agree exactly
+    val batch = EventStream.hourlyAgg(
+        graft.read.SnapshotReader.read(spark, dir)
+          .select(payloadCols.map(col): _*))
+      .orderBy("event_type", "hour_start").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    // keys and counts exact; sum_value is a DOUBLE aggregate whose
+    // summation order differs between the staged micro-batch files and the
+    // snapshot scan — equal up to float associativity
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getString(0) == b.getString(0))
+      assert(s.getTimestamp(1) == b.getTimestamp(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(math.abs(s.getDouble(3) - b.getDouble(3)) <=
+        1e-9 * math.max(math.abs(b.getDouble(3)), 1.0))
+    }
+  }
 }
 
 import graft.streaming.EventStream

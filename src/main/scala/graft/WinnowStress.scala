@@ -1,8 +1,7 @@
 package graft
 
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dev measurement tool (not part of the driver contract): winnowPairs
@@ -14,37 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object WinnowStress {
 
-  /** Candidate count of the shipped prefix stage, replicated from
-    * Dedup.winnowPairs internals (kept here, not in the operator, so the
-    * shipped plan carries no counting overhead). */
+  /** Candidate count of the SHIPPED prefix stage — calls the operator's
+    * own `Dedup.winnowCandidates`, so the measurement cannot drift from
+    * the plan that ships (the shipped plan carries no counting overhead;
+    * the count action lives only here). */
   private def candidates(df: DataFrame, ratioPermille: Option[Int],
       minShared: Int): Long = {
-    val base = df.select(col("doc_id").cast("long").as("id"),
-        col("source").as("block"), col("text").as("__text"))
-      .filter(col("__text").isNotNull)
-      .select(col("id"), col("block"),
-        TextAnalysis.winnowFingerprints(col("__text"), 5, 8).as("fps"))
+    val base = Dedup.winnowBase(df, col("doc_id"), col("text"),
+        col("source"), 5, 8)
       .filter(size(col("fps")) >= ratioPermille.fold(minShared)(_ => 1))
-    val exploded = base.select(col("id"), col("block"),
-      size(col("fps")).as("sz"), explode(col("fps")).as("fp"))
-    val dfreq = exploded.groupBy("fp").agg(count(lit(1)).as("__df"))
-    val wOrd = Window.partitionBy("id").orderBy(col("__df").asc, col("fp").asc)
-    val docThreshold = ratioPermille
-      .fold(lit(minShared).cast("long"))(p =>
-        greatest(ceil(col("sz") * p / 1000), lit(1L)))
-    val prefix = exploded.join(dfreq, "fp")
-      .withColumn("__rn", row_number().over(wOrd))
-      .filter(col("__rn") <= col("sz") - docThreshold + 1)
-      .select(col("id"), col("block"), col("fp"), col("sz"))
-    val candRaw = prefix.select(col("block"), col("fp"), col("id").as("id_a"),
-        col("sz").as("sz_a"))
-      .join(prefix.select(col("block"), col("fp"), col("id").as("id_b"),
-        col("sz").as("sz_b")), Seq("block", "fp"))
-      .filter(col("id_a") < col("id_b"))
-    ratioPermille.fold(candRaw)(p => candRaw.filter(
-        least(col("sz_a"), col("sz_b")) * 1000 >=
-          greatest(col("sz_a"), col("sz_b")) * p))
-      .select("id_a", "id_b").distinct().count()
+    Dedup.winnowCandidates(base, minShared, ratioPermille).count()
   }
 
   private def time[A](label: String)(f: => A): A = {

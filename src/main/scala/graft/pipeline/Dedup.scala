@@ -136,7 +136,8 @@ object Dedup {
       // sz travels WITH the exploded rows (computed from the in-row array)
       // so the prefix stage needs no second window/join to learn it.
       val exploded = base.select(col("id"), col("block"),
-        size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
+        size(col("shingles")).cast("long").as("sz"),
+        explode(col("shingles")).as("sh"))
       val prefix = prefixShingles(exploded, thresholdPermille)
       // Size filter (also lossless): J(A,B) ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t —
       // prunes size-mismatched collisions before the distinct.
@@ -240,32 +241,7 @@ object Dedup {
       .filter(size(col("fps")) >=
         ratioPermille.fold(minShared)(_ => 1))
     scoped(materialize, base) {
-      val exploded = base.select(col("id"), col("block"),
-        size(col("fps")).as("sz"), explode(col("fps")).as("fp"))
-      val dfreq = exploded.groupBy("fp").agg(count(lit(1)).as("__df"))
-      val wOrd = Window.partitionBy("id")
-        .orderBy(col("__df").asc, col("fp").asc)
-      // Per-doc overlap threshold: constant in absolute mode, ⌈p·sz/1000⌉
-      // in ratio mode (exact double — sz·p ≤ ~1e10 « 2⁵³).
-      val docThreshold = ratioPermille
-        .fold(lit(minShared).cast("long"))(p =>
-          greatest(ceil(col("sz") * p / 1000), lit(1L)))
-      val prefix = exploded.join(dfreq, "fp")
-        .withColumn("__rn", row_number().over(wOrd))
-        .filter(col("__rn") <= col("sz") - docThreshold + 1)
-        .select(col("id"), col("block"), col("fp"), col("sz"))
-      val candRaw = prefix.select(col("block"), col("fp"), col("id").as("id_a"),
-          col("sz").as("sz_a"))
-        .join(prefix.select(col("block"), col("fp"), col("id").as("id_b"),
-          col("sz").as("sz_b")), Seq("block", "fp"))
-        .filter(col("id_a") < col("id_b"))
-      // Ratio mode: lossless size filter (shared ≥ ⌈p·max⌉ forces
-      // min ≥ ⌈p·max⌉, so 1000·min ≥ p·max) prunes size-mismatched
-      // collisions before the distinct.
-      val cand = ratioPermille.fold(candRaw)(p => candRaw.filter(
-          least(col("sz_a"), col("sz_b")) * 1000 >=
-            greatest(col("sz_a"), col("sz_b")) * p))
-        .select("id_a", "id_b").distinct()
+      val cand = winnowCandidates(base, minShared, ratioPermille)
       val arrays = base.select(col("id"), col("fps"))
       val shared = cand
         .join(arrays.select(col("id").as("id_a"), col("fps").as("__fa")), "id_a")
@@ -283,7 +259,43 @@ object Dedup {
     }
   }
 
-  private def winnowBase(df: DataFrame, id: Column, text: Column,
+  /** Candidate stage of [[winnowPairs]] (prefix index over `base`'s
+    * (id, block, fps) rows → distinct (id_a, id_b)). Shared with the
+    * WinnowStress measurement tool so candidate counts are measured on the
+    * SHIPPED plan, not a copy. All size arithmetic runs in LONG — Int
+    * sz·1000/sz·p would wrap for multi-million-fingerprint docs and
+    * silently widen the prefix. */
+  private[graft] def winnowCandidates(base: DataFrame, minShared: Int,
+      ratioPermille: Option[Int]): DataFrame = {
+    val exploded = base.select(col("id"), col("block"),
+      size(col("fps")).cast("long").as("sz"), explode(col("fps")).as("fp"))
+    val dfreq = exploded.groupBy("fp").agg(count(lit(1)).as("__df"))
+    val wOrd = Window.partitionBy("id")
+      .orderBy(col("__df").asc, col("fp").asc)
+    // Per-doc overlap threshold: constant in absolute mode, ⌈p·sz/1000⌉ in
+    // ratio mode (long sz → exact double product; quotient error « 1/1000).
+    val docThreshold = ratioPermille
+      .fold(lit(minShared).cast("long"))(p =>
+        greatest(ceil(col("sz") * p / 1000), lit(1L)))
+    val prefix = exploded.join(dfreq, "fp")
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") <= col("sz") - docThreshold + 1)
+      .select(col("id"), col("block"), col("fp"), col("sz"))
+    val candRaw = prefix.select(col("block"), col("fp"), col("id").as("id_a"),
+        col("sz").as("sz_a"))
+      .join(prefix.select(col("block"), col("fp"), col("id").as("id_b"),
+        col("sz").as("sz_b")), Seq("block", "fp"))
+      .filter(col("id_a") < col("id_b"))
+    // Ratio mode: lossless size filter (shared ≥ ⌈p·max⌉ forces
+    // min ≥ ⌈p·max⌉, so 1000·min ≥ p·max) prunes size-mismatched
+    // collisions before the distinct.
+    ratioPermille.fold(candRaw)(p => candRaw.filter(
+        least(col("sz_a"), col("sz_b")) * 1000 >=
+          greatest(col("sz_a"), col("sz_b")) * p))
+      .select("id_a", "id_b").distinct()
+  }
+
+  private[graft] def winnowBase(df: DataFrame, id: Column, text: Column,
       blocking: Column, k: Int, w: Int): DataFrame =
     graft.util.ParallelScan.widen(
         df.select(id.cast("long").as("id"), blocking.as("block"),

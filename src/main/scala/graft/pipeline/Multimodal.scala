@@ -89,38 +89,78 @@ object Multimodal {
       col("content").cast("binary")).as[MediaRecord]
   }
 
-  /** Decoded frames (+ per-frame delay in centiseconds, 0 when the container
-    * carries none) of any ImageIO-readable payload — single images decode as
-    * one frame; animated GIFs as their full sequence. None when no installed
-    * codec accepts the bytes. Executor-side only. */
-  private def readFrames(bytes: Array[Byte])
-      : Option[IndexedSeq[(java.awt.image.BufferedImage, Int)]] = {
+  /** LAZY frame stream (+ per-frame delay in centiseconds, 0 when the
+    * container carries none) of any ImageIO-readable payload — single
+    * images decode as one frame; animated GIFs as their full sequence.
+    * Frames decode ONE AT A TIME on `next()`, so a long sequence streams
+    * through a flatMap without ever materializing as a whole (only frame
+    * HEADERS are parsed up front by getNumImages). Empty when no installed
+    * codec accepts the bytes; a frame whose pixel data is corrupt ends the
+    * stream at the last decodable frame. The reader/stream close when the
+    * iterator is exhausted (both are in-memory, so an abandoned iterator
+    * costs heap until GC, not descriptors). Executor-side only. */
+  private def frameIterator(bytes: Array[Byte])
+      : Iterator[(java.awt.image.BufferedImage, Int)] = {
     imageIoMemCache
-    if (bytes == null) return None
+    if (bytes == null) return Iterator.empty
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) { iis.close(); return None }
+    if (!readers.hasNext) { iis.close(); return Iterator.empty }
     val reader = readers.next()
-    try {
-      reader.setInput(iis)
-      val n = reader.getNumImages(true)
-      Some((0 until n).map { i =>
-        val img = reader.read(i)
-        val meta = reader.getImageMetadata(i)
-        val root = meta.getAsTree(meta.getNativeMetadataFormatName)
-        var delay = 0
-        var c = root.getFirstChild
-        while (c != null) {
-          if (c.getNodeName == "GraphicControlExtension")
-            delay = c.asInstanceOf[org.w3c.dom.Element]
-              .getAttribute("delayTime").toInt
-          c = c.getNextSibling
+    val n =
+      try { reader.setInput(iis); reader.getNumImages(true) }
+      catch { case _: Exception =>
+        reader.dispose(); iis.close(); return Iterator.empty
+      }
+    // Prefetching iterator: decode happens inside hasNext, so a corrupt
+    // frame cleanly ENDS the stream instead of throwing after hasNext
+    // already promised an element.
+    new Iterator[(java.awt.image.BufferedImage, Int)] {
+      private var i = 0
+      private var open = true
+      private var pending: (java.awt.image.BufferedImage, Int) = _
+      private def close(): Unit =
+        if (open) { open = false; reader.dispose(); iis.close() }
+      private def fetch(): Unit =
+        if (pending == null && open && i < n) {
+          try {
+            val img = reader.read(i)
+            val meta = reader.getImageMetadata(i)
+            val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+            var delay = 0
+            var c = root.getFirstChild
+            while (c != null) {
+              if (c.getNodeName == "GraphicControlExtension")
+                delay = c.asInstanceOf[org.w3c.dom.Element]
+                  .getAttribute("delayTime").toInt
+              c = c.getNextSibling
+            }
+            pending = (img, delay)
+            i += 1
+            if (i >= n) close()
+          } catch { case _: Exception => close() }
         }
-        (img, delay)
-      })
-    } catch { case _: Exception => None }
-    finally { reader.dispose(); iis.close() }
+      override def hasNext: Boolean = { fetch(); pending != null }
+      override def next(): (java.awt.image.BufferedImage, Int) = {
+        fetch()
+        if (pending == null) throw new NoSuchElementException
+        val r = pending
+        pending = null
+        r
+      }
+    }
+  }
+
+  /** Fully-materialized variant of [[frameIterator]] for kernels that need
+    * the whole sequence at once (sequence re-encoding). None when the
+    * payload is undecodable outright; a mid-sequence corrupt frame yields
+    * the decodable prefix (same truncation semantics as the streaming
+    * path). */
+  private def readFrames(bytes: Array[Byte])
+      : Option[IndexedSeq[(java.awt.image.BufferedImage, Int)]] = {
+    val frames = frameIterator(bytes).toIndexedSeq
+    if (frames.isEmpty) None else Some(frames)
   }
 
   /** Encode decoded frames back into an animated-GIF sequence (per-frame
@@ -158,13 +198,15 @@ object Multimodal {
   }
 
   /** 8-bit intensity of a decoded pixel. Gray color spaces read the raw
-    * raster sample (getRGB would run the lossy ICC gray→sRGB transform);
+    * raster sample masked to 8 bits (getRGB would run the lossy ICC
+    * gray→sRGB transform; the mask keeps 16-bit grayscale rasters inside
+    * the 8-bit histogram contract instead of overflowing it);
     * palette/RGB models go through `getRGB` — for indexed GIFs that is an
     * exact palette LOOKUP (a raw raster sample would be the palette index). */
   private def intensity(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
     if (img.getColorModel.getColorSpace.getType ==
         java.awt.color.ColorSpace.TYPE_GRAY)
-      img.getRaster.getSample(x, y, 0)
+      img.getRaster.getSample(x, y, 0) & 0xFF
     else img.getRGB(x, y) & 0xFF
 
   /** REAL feature extraction for ANY decodable payload — no byte-hash fakes:
@@ -184,7 +226,8 @@ object Multimodal {
     val width = 256 / dim
     ds.mapPartitions { it =>
       it.flatMap { r =>
-        readFrames(r.content).map { frames =>
+        val frames = frameIterator(r.content) // streams: one frame in memory
+        (if (frames.hasNext) {
           val hist = new Array[Long](dim)
           var n = 0L
           frames.foreach { case (img, _) =>
@@ -199,9 +242,9 @@ object Multimodal {
             }
             n += img.getWidth.toLong * img.getHeight
           }
-          MediaFeatures(r.media_id, r.meta.kind, r.content.length.toLong,
-            hist.map(c => c.toFloat / math.max(n, 1L)))
-        }.orElse {
+          Some(MediaFeatures(r.media_id, r.meta.kind, r.content.length.toLong,
+            hist.map(c => c.toFloat / math.max(n, 1L))))
+        } else None).orElse {
           decodePcmSamples(r.content).map { case (_, samples) =>
             val hist = new Array[Long](dim)
             val binW = 65536 / dim
@@ -297,10 +340,10 @@ object Multimodal {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.filter(_.meta.kind == "video").flatMap { r =>
-      readFrames(r.content).iterator.flatMap { frames =>
-        var tsMs = 0L
-        var next = 0L
-        frames.iterator.zipWithIndex.flatMap { case ((img, delayCs), i) =>
+      var tsMs = 0L
+      var next = 0L
+      frameIterator(r.content).zipWithIndex.flatMap { // streams frame-by-frame
+        case ((img, delayCs), i) =>
           val out = if (tsMs >= next) {
             next = tsMs + everyMs
             val bos = new java.io.ByteArrayOutputStream()
@@ -309,7 +352,6 @@ object Multimodal {
           } else None
           tsMs += delayCs * 10L
           out
-        }
       }
     }
   }
@@ -460,18 +502,16 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (mid, bytes) =>
-          readFrames(bytes).iterator.flatMap { frames =>
-            frames.iterator.zipWithIndex.map { case ((img, _), i) =>
-              var s = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) { s += intensity(img, x, y); x += 1 }
-                y += 1
-              }
-              VideoFrameFacts(mid, i.toLong, img.getWidth.toLong,
-                img.getHeight.toLong, s)
+          frameIterator(bytes).zipWithIndex.map { case ((img, _), i) =>
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { s += intensity(img, x, y); x += 1 }
+              y += 1
             }
+            VideoFrameFacts(mid, i.toLong, img.getWidth.toLong,
+              img.getHeight.toLong, s)
           }
         }
       }

@@ -183,9 +183,30 @@ object Similarity {
     // Distinct probe cells of this query batch — driver-side, O(|q|·nprobe).
     // The scan lists ONLY those cells' directories (structural pruning:
     // untouched cells never reach the FileIndex, let alone the plan);
-    // basePath keeps __cluster as a column for the probe join.
+    // basePath keeps __cluster as a column for the probe join. Cells that
+    // got no corpus vectors (k-means can leave a centroid empty) have no
+    // directory — skipping them is exact, there is nothing to score there.
+    val tableDir = new org.apache.hadoop.fs.Path(path)
+    val existing = tableDir.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      .listStatus(tableDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("__cluster=") =>
+        n.stripPrefix("__cluster=").toInt
+      }.toSet
     val cells = qd.select("__cluster").distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .collect().map(_.getInt(0)).toSeq.filter(existing)
+    if (cells.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("corpus_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("cosine_micro",
+            org.apache.spark.sql.types.LongType))))
     val corpus = spark.read.option("basePath", path)
       .parquet(cells.map(c => s"$path/__cluster=$c"): _*)
     val scored = corpus.join(broadcast(qd), Seq("__cluster"))

@@ -300,10 +300,8 @@ class PipelineSpec extends SparkSpec {
     // eager checkpoint, whose input already materialized the full output)
     val filtered = lzy.filter($"id_a" === 123L)
     val scans = filtered.queryExecution.executedPlan.toString
-    assert(scans.contains("PushedFilters") &&
-      (scans.contains("EqualTo(doc_id,123)") ||
-        scans.contains("IsNotNull(doc_id)")),
-      s"doc_id filter not pushed to scan:\n$scans")
+    assert(scans.contains("EqualTo(doc_id,123)"),
+      s"doc_id equality not pushed to the parquet scan:\n$scans")
     assert(lzy.as[(Long, Long, Long)].collect().toSet ==
       eager.as[(Long, Long, Long)].collect().toSet)
   }

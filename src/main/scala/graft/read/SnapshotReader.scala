@@ -59,12 +59,37 @@ object SnapshotReader {
       asOf.fold("")(t => s" as of $t") +
       (if (partitions.nonEmpty) s" partitions=${partitions.mkString(",")}"
        else ""))
-    merge(spark, basePath, slices)
+    merge(spark, basePath, slices, Some(timeline))
+  }
+
+  /** Empty relation carrying the table's schema, for states where every
+    * file group is FILELESS (deletes emptied the whole table/slice set —
+    * a legal state: the groups' stats record `path = None`). The schema
+    * comes from the newest still-existing file any commit ever wrote
+    * (commit metadata records historical paths; prior slices survive until
+    * cleaned). Hudi parity: an emptied table reads as zero rows, not an
+    * error. */
+  private[read] def emptyLike(spark: SparkSession, basePath: String,
+      timeline: Timeline): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(basePath).getFileSystem(conf)
+    val sample = timeline.completedInstants().reverse.iterator
+      .flatMap(i => timeline.metadata(i.ts).allStats.flatMap(_._2.path))
+      .map(rel => s"$basePath/$rel")
+      .find(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      .getOrElse(throw new IllegalStateException(
+        s"empty slice set at $basePath and no historical file to derive " +
+          "a schema from (all prior slices cleaned)"))
+    val schema = org.apache.spark.sql.types.StructType(
+      evolvedRead(spark, Seq(sample)).schema.filterNot(_.name == IsDeleted))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Merge a concrete set of file slices into their current-state rows. */
   private[graft] def merge(spark: SparkSession, basePath: String,
-      slices: Seq[FileSlice]): DataFrame = {
+      slices: Seq[FileSlice],
+      timeline: Option[Timeline] = None): DataFrame = {
     def abs(rel: String) = s"$basePath/$rel"
     val (withDeltas, baseOnly) = slices.partition(_.deltas.nonEmpty)
     val basePaths = baseOnly.flatMap(_.relPath).map(abs)
@@ -96,8 +121,13 @@ object SnapshotReader {
 
     (plainScan.toSeq ++ merged.toSeq)
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
-      .getOrElse(throw new IllegalStateException(
-        s"no readable files among ${slices.size} slices at $basePath"))
+      .getOrElse {
+        // every slice is fileless (deletes emptied the groups): a legal
+        // empty state, not an error
+        val tl = timeline.getOrElse(Timeline(
+          spark.sessionState.newHadoopConf(), basePath))
+        emptyLike(spark, basePath, tl)
+      }
   }
 }
 
@@ -149,11 +179,15 @@ object IncrementalReader {
         (sl.deltas.map(_.commitTs) :+ sl.commitTs).max)
       val paths = (newest.relPath.toSeq ++ newest.deltas.map(_.relPath))
         .map(rp => s"$basePath/$rp")
-      val schema = org.apache.spark.sql.types.StructType(
-        SnapshotReader.evolvedRead(spark, paths).schema
-          .filterNot(_.name == SnapshotReader.IsDeleted))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      if (paths.isEmpty) // newest slice itself fileless (deletes emptied it)
+        SnapshotReader.emptyLike(spark, basePath, timeline)
+      else {
+        val schema = org.apache.spark.sql.types.StructType(
+          SnapshotReader.evolvedRead(spark, paths).schema
+            .filterNot(_.name == SnapshotReader.IsDeleted))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
     } else {
       val slices = timeline.latestSlices(Some(toInclusive))
         .collect { case (fid, slice) if touched(fid) => slice }.toSeq

@@ -43,11 +43,11 @@ object Bench {
     // ~3× between windows (PLANS.md §benchmark-methodology), making raw
     // totals incomparable across runs. A fixed CPU-bound workload measured
     // alongside each bench run lets readers normalize: true_cost ≈
-    // raw_time · (spin32_ref / spin32_run). spin1 = one xorshift spin on one
-    // thread (single-core speed); spin32 = the same spin on every worker in
-    // parallel via an RDD job (aggregate throughput under full load — what
-    // the queries actually experience). min-of-2 (before/after the timed
-    // passes), like the per-query times.
+    // raw_time · (spin_par_ref / spin_par_run). spin1 = one xorshift spin on
+    // one thread (single-core speed); spin_par = the same spin on every
+    // worker ("workers" in the output) in parallel via an RDD job (aggregate
+    // throughput under full load — what the queries actually experience).
+    // min-of-2 (before/after the timed passes), like the per-query times.
     val SpinIters = 400000000L
     def spin(iters: Long): Long = {
       var x = 0x9E3779B97F4A7C15L
@@ -73,12 +73,12 @@ object Bench {
     }
     val calibB = calibrate()
     val spin1 = math.min(calibA._1, calibB._1)
-    val spin32 = math.min(calibA._2, calibB._2)
+    val spinPar = math.min(calibA._2, calibB._2)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums successful queries; failures stay visible as -1 entries
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    val calib = s"""{"spin1_sec":$spin1,"spin32_sec":$spin32,""" +
+    val calib = s"""{"spin1_sec":$spin1,"spin_par_sec":$spinPar,""" +
       s""""spin_iters":$SpinIters,"workers":$cpus}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calib}""")
     spark.stop()

@@ -1,9 +1,11 @@
 package graft
 
-import graft.functions.{DistinctShingleHashes, LongArrayDot, MinHashAgg, SimHashAgg, WinnowHashes}
+import graft.functions.{DistinctShingleHashes, LongArrayDot, MinHashAgg, NearestCentroids, SimHashAgg, WinnowHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** Config-driven extension entry point:
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -33,6 +35,28 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Evaluate a foldable `array<array<double|float>>` argument to the
+    * centroid matrix [[NearestCentroids]] carries on its node (the SQL
+    * surface passes centroids as one array literal — constant-size plan). */
+  private def litMatrix(e: Expression): Seq[Seq[Double]] = {
+    val rows = e.eval() match {
+      case ad: ArrayData => ad
+      case other => throw new IllegalArgumentException(
+        s"centroids must be an array<array<double>> literal, got $other")
+    }
+    e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) =>
+        rows.toObjectArray(ArrayType(DoubleType)).toSeq
+          .map(_.asInstanceOf[ArrayData].toDoubleArray().toSeq)
+      case ArrayType(ArrayType(FloatType, _), _) =>
+        rows.toObjectArray(ArrayType(FloatType)).toSeq
+          .map(_.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble).toSeq)
+      case other => throw new IllegalArgumentException(
+        s"centroids must be array<array<double>> or array<array<float>>, " +
+          s"got $other")
+    }
+  }
+
   /** name → builder for every native function (scalar + aggregate —
     * the analyzer wraps returned AggregateFunctions itself). */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -49,7 +73,10 @@ object GraftExtensions {
         MinHashAgg(cs.head, litInt(cs(1), "numHashes"))),
     "simhash_bits" ->
       ((cs: Seq[Expression]) =>
-        SimHashAgg(cs.head, litInt(cs(1), "bits"))))
+        SimHashAgg(cs.head, litInt(cs(1), "bits"))),
+    "nearest_centroids" ->
+      ((cs: Seq[Expression]) =>
+        NearestCentroids(cs.head, litMatrix(cs(1)), litInt(cs(2), "nprobe"))))
 
   /** Install every native function on a live session. */
   def registerAll(spark: SparkSession): Unit =

@@ -87,6 +87,20 @@ object AsOfJoin {
 
       case Some(w0) =>
         require(w0 > 0, "bucketWidth must be positive")
+        // Bucketed mode orders by the long-cast __ts; with fractional ts
+        // (double/timestamp) truncation would silently flip inclusive
+        // semantics vs the default plan — reject non-integral ts up front.
+        locally {
+          import org.apache.spark.sql.types._
+          Seq(l, r).foreach { df =>
+            val t = df.schema("__ts").dataType
+            require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+                .contains(t),
+              s"bucketed as-of requires an integral timestamp column " +
+                s"(byte/short/int/long), got $t — use the default " +
+                "(bucketWidth=None) plan or pre-scale the ts to integers")
+          }
+        }
         // Floor-division bucket (sign-correct, pure integer arithmetic —
         // no double rounding at epoch-scale timestamps).
         def bucketed(df: DataFrame): DataFrame = df

@@ -126,16 +126,27 @@ object Multimodal {
         if (pending == null && open && i < n) {
           try {
             val img = reader.read(i)
-            val meta = reader.getImageMetadata(i)
-            val root = meta.getAsTree(meta.getNativeMetadataFormatName)
-            var delay = 0
-            var c = root.getFirstChild
-            while (c != null) {
-              if (c.getNodeName == "GraphicControlExtension")
-                delay = c.asInstanceOf[org.w3c.dom.Element]
-                  .getAttribute("delayTime").toInt
-              c = c.getNextSibling
-            }
+            // Delay metadata is best-effort: a metadata quirk (reader
+            // returning null metadata, an empty/garbled delayTime attribute)
+            // must never discard an already-decoded frame — it defaults the
+            // delay to 0 instead of truncating the stream.
+            val delay = try {
+              var d = 0
+              val meta = reader.getImageMetadata(i)
+              if (meta != null) {
+                val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+                var c = root.getFirstChild
+                while (c != null) {
+                  if (c.getNodeName == "GraphicControlExtension") {
+                    val s = c.asInstanceOf[org.w3c.dom.Element]
+                      .getAttribute("delayTime")
+                    if (s != null && s.nonEmpty) d = s.toInt
+                  }
+                  c = c.getNextSibling
+                }
+              }
+              d
+            } catch { case _: Exception => 0 }
             pending = (img, delay)
             i += 1
             if (i >= n) close()
@@ -216,6 +227,11 @@ object Multimodal {
     *    histogram over `dim` equal bins of [-32768, 32768);
     *  - undecodable payloads are dropped (flatMap), mirroring the SQL
     *    null-dropping convention of the other decode kernels.
+    * Multi-frame histograms are over each frame's RAW stored raster, with no
+    * GIF disposal-method/offset compositing: for external GIFs that encode
+    * later frames as partial deltas, the features describe the stored
+    * rasters, not the rendered display. (Exact for full-frame sequences —
+    * everything [[encodeGif]]/[[writeGifSequence]] produce.)
     * Iterator-in/iterator-out partition shape: one codec instance per task,
     * payloads materialized one at a time. */
   def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 16)
@@ -259,8 +275,12 @@ object Multimodal {
 
   /** REAL video resize: decode every frame (GIF sequence), bilinear-rescale
     * each, re-encode the sequence with its original per-frame delays.
-    * Single-frame images take the [[resizeImages]] PNG path; undecodable
-    * payloads pass through unchanged so mixed media batches survive. */
+    * Container choice is keyed on `meta.kind`: anything declared `video`
+    * stays a GIF sequence even at one frame (preserving its frame-delay
+    * metadata — no silent container change on resize); other kinds with a
+    * single frame take the [[resizeImages]] PNG path, and multi-frame
+    * payloads always re-encode as a sequence (a PNG would drop frames).
+    * Undecodable payloads pass through unchanged so mixed batches survive. */
   def resizeVideos(ds: Dataset[MediaRecord], w: Int, h: Int)
       : Dataset[MediaRecord] = {
     val spark = ds.sparkSession
@@ -270,7 +290,8 @@ object Multimodal {
         readFrames(r.content).map { frames =>
           val scaled = frames.map { case (img, d) => (rescale(img, w, h), d) }
           val bytes =
-            if (scaled.size > 1) writeGifSequence(scaled.iterator)
+            if (r.meta.kind == "video" || scaled.size > 1)
+              writeGifSequence(scaled.iterator)
             else {
               val bos = new java.io.ByteArrayOutputStream()
               javax.imageio.ImageIO.write(scaled.head._1, "png", bos)

@@ -138,11 +138,39 @@ object Similarity {
     centroids
   }
 
+  /** Centroid matrix in row-index-=-cluster-id order for the native
+    * [[graft.functions.NearestCentroids]] kernel. Training produces
+    * contiguous ids 0..nlist−1 ([[ivfTrain]]); enforced so the kernel's
+    * row indices ARE the cluster ids. */
+  private def centroidMatrix(
+      centroids: Seq[(Int, Seq[Float])]): Seq[Seq[Double]] = {
+    val sorted = centroids.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((cl, _), i) => cl == i },
+      "centroid ids must be contiguous 0..nlist-1")
+    sorted.map(_._2.map(_.toDouble))
+  }
+
   /** Nearest-centroid assignment (dot-product metric, deterministic
-    * lowest-index tiebreak) against a broadcast centroid list. The struct
-    * carries the NEGATED cluster id so `greatest` — which prefers the larger
-    * second field on score ties — resolves to the lowest cluster index. */
-  private def assignToCentroid(c: DataFrame,
+    * lowest-index tiebreak) against the centroid matrix, via ONE native
+    * expression node ([[graft.functions.NearestCentroids]]): the plan stays
+    * constant-size in nlist (a 10⁵-centroid matrix is one reference object
+    * shipped with the stage, not 10⁵ analyzed HOF columns), and the scoring
+    * loop runs inside whole-stage codegen. Score arithmetic and tiebreak
+    * are bit-identical to the declarative [[assignViaExprForm]] it replaced
+    * (property-pinned in PipelineSpec). */
+  private[graft] def assignToCentroid(c: DataFrame,
+      centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    c.withColumn("__cluster", element_at(
+      graft.functions.NearestCentroids.nearest(
+        col("v"), centroidMatrix(centroids), 1), 1))
+
+  /** The pre-r5 declarative assignment — `greatest` over one
+    * `struct(dot, −cl)` column per centroid (the struct carries the NEGATED
+    * id so `greatest`, which prefers the larger second field on score ties,
+    * resolves to the lowest cluster index). O(nlist)-wide in the plan: kept
+    * ONLY as the independent reference formulation the equality property
+    * pins the native kernel against. */
+  private[graft] def assignViaExprForm(c: DataFrame,
       centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     val scores = centroids.map { case (cl, cv) =>
       struct(dot(col("v"), typedLit(cv.map(_.toDouble))).as("s"),
@@ -220,9 +248,19 @@ object Similarity {
   }
 
   /** The `nprobe` nearest centroid ids of a vector, score-desc with
-    * ascending-id tiebreak (shared by [[ivfTopK]] and
-    * [[ivfTopKFromTable]]). */
-  private def probeClusters(centroids: Seq[(Int, Seq[Float])],
+    * ascending-id tiebreak (shared by [[ivfTopK]] and [[ivfTopKFromTable]]).
+    * Same native single-node kernel as [[assignToCentroid]] — constant-size
+    * plan in nlist, vs. the O(nlist)-wide `array_sort`-of-structs reference
+    * form [[probeViaExprForm]]. */
+  private[graft] def probeClusters(centroids: Seq[(Int, Seq[Float])],
+      nprobe: Int)(q: Column): Column =
+    graft.functions.NearestCentroids.nearest(
+      q, centroidMatrix(centroids), nprobe)
+
+  /** The pre-r5 declarative probe — `array_sort` over one scored struct per
+    * centroid. Kept ONLY as the independent reference formulation for the
+    * kernel-equality property in PipelineSpec. */
+  private[graft] def probeViaExprForm(centroids: Seq[(Int, Seq[Float])],
       nprobe: Int)(q: Column): Column = {
     val scored = centroids.map { case (cl, cv) =>
       struct(dot(q, typedLit(cv.map(_.toDouble))).as("s"), lit(cl).as("cl"))

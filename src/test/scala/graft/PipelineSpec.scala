@@ -160,6 +160,48 @@ class PipelineSpec extends SparkSpec {
       s"scan read more cells than the query batch probes: $cells")
   }
 
+  test("native centroid kernel == declarative expression form (nlist 8 and 1024)") {
+    // Independent reference formulation: the pre-r5 greatest/array_sort
+    // expression plans. Equality at small AND production-shaped nlist pins
+    // the kernel's score arithmetic and (score desc, id asc) tiebreak.
+    def mkCentroids(nlist: Int): Seq[(Int, Seq[Float])] = {
+      val rnd = new scala.util.Random(7)
+      (0 until nlist).map(i =>
+        i -> Seq.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val c = embs.limit(200)
+      .select($"vec_id".cast("long").as("id"), $"embedding".as("v"))
+    for (nlist <- Seq(8, 1024)) {
+      val cents = mkCentroids(nlist)
+      val kern = Similarity.assignToCentroid(c, cents)
+        .select($"id", $"__cluster")
+      val expr = Similarity.assignViaExprForm(c, cents)
+        .select($"id", $"__cluster")
+      assert(kern.exceptAll(expr).isEmpty && expr.exceptAll(kern).isEmpty,
+        s"assignment diverged from expression form at nlist=$nlist")
+      val kp = c.select($"id",
+        Similarity.probeClusters(cents, 3)($"v").as("p"))
+      val ep = c.select($"id",
+        Similarity.probeViaExprForm(cents, 3)($"v").as("p"))
+      assert(kp.exceptAll(ep).isEmpty && ep.exceptAll(kp).isEmpty,
+        s"probe diverged from expression form at nlist=$nlist")
+    }
+    // The scale property itself: plan width is CONSTANT in nlist — the
+    // centroid matrix rides on one expression node, not nlist columns.
+    def exprNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.expressions
+        .map(_.collect { case x => x }.size).sum
+    assert(
+      exprNodes(Similarity.assignToCentroid(c, mkCentroids(8))) ==
+        exprNodes(Similarity.assignToCentroid(c, mkCentroids(1024))),
+      "assignment plan width must not grow with nlist")
+    assert(
+      exprNodes(c.select(Similarity.probeClusters(mkCentroids(8), 3)($"v"))) ==
+        exprNodes(c.select(
+          Similarity.probeClusters(mkCentroids(1024), 3)($"v"))),
+      "probe plan width must not grow with nlist")
+  }
+
   test("IVF training is deterministic and returns nlist centroids") {
     val c1 = Similarity.ivfTrain(embs, $"vec_id", $"embedding", nlist = 4)
     val c2 = Similarity.ivfTrain(embs, $"vec_id", $"embedding", nlist = 4)

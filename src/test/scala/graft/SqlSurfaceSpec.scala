@@ -53,6 +53,13 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT simhash_bits(x, 8) AS s FROM VALUES (255L), (255L) AS t(x)")
       .head().getLong(0)
     assert(sim == 255L, "all-ones votes must set all 8 bits")
+    // scalar: nearest centroids — centroid 1 = (1,0) matches the vector,
+    // ascending-id tiebreak on the two equidistant remainder
+    val nc = spark.sql(
+      "SELECT nearest_centroids(array(cast(1.0 AS float), cast(0.0 AS float)), " +
+        "array(array(0.0D, 1.0D), array(1.0D, 0.0D), array(0.0D, 1.0D)), 2) AS c")
+      .head().getSeq[Int](0)
+    assert(nc == Seq(1, 0), s"expected Seq(1, 0), got $nc")
   }
 
   test("delete view registers as a SQL temp view with pushdown-able scan") {

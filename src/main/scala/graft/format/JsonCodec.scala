@@ -32,6 +32,7 @@ object JsonCodec {
     root.put("operationType", m.operationType)
     root.put("totalRecordsDeleted", m.totalRecordsDeleted)
     root.put("totalRecordsWritten", m.totalRecordsWritten)
+    m.schemaJson.foreach(root.put("schema", _))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -59,6 +60,7 @@ object JsonCodec {
       partitionToWriteStats = m,
       operationType = root.get("operationType").asText(),
       totalRecordsDeleted = root.get("totalRecordsDeleted").asLong(),
-      totalRecordsWritten = root.get("totalRecordsWritten").asLong())
+      totalRecordsWritten = root.get("totalRecordsWritten").asLong(),
+      schemaJson = optStr(root, "schema"))
   }
 }

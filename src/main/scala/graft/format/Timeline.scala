@@ -112,6 +112,20 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
       instantsMemo = None
     }
 
+  /** Writer schema (StructType JSON) of the NEWEST completed instant ≤
+    * `asOf` (optionally restricted to one action) that recorded one — O(1)
+    * metadata resolution of the table schema: under add-only evolution the
+    * newest writer schema is a superset of every older slice's, so readers
+    * can skip per-file footer sampling entirely. None when no commit in
+    * range carries a schema (pre-schema-recording tables). */
+  def latestSchemaJson(asOf: Option[String],
+      action: Option[String] = None): Option[String] =
+    completedInstants().reverseIterator
+      .filter(i => asOf.forall(i.ts <= _))
+      .filter(i => action.forall(_ == i.action))
+      .map(i => metadata(i.ts).schemaJson)
+      .collectFirst { case Some(s) => s }
+
   /** The latest file slice per file group as of `asOf` (inclusive); all
     * completed commits when `asOf` is None. Pure metadata walk: base-writing
     * instants (commit/compaction) start a fresh slice, delta commits append

@@ -43,12 +43,22 @@ final case class WriteStat(
 /** Decoded commit file. Ref: HoodieCommitMetadata — the reference consumes
   * getPartitionToWriteStats and getTotalRecordsDeleted
   * (DeleteView.java:85-88, 98, 133, 186).
+  *
+  * @param schemaJson Spark StructType JSON of the data files THIS commit
+  *                   wrote (Hudi records the same thing as an Avro schema in
+  *                   its commit extraMetadata). Lets readers resolve the
+  *                   table schema from O(1) timeline metadata instead of
+  *                   footer-sampling every planned file — under add-only
+  *                   evolution the newest writer schema is a superset of all
+  *                   older slices'. None on commits written before schema
+  *                   recording (readers fall back to footer merge).
   */
 final case class CommitMetadata(
     partitionToWriteStats: Map[String, Seq[WriteStat]],
     operationType: String,
     totalRecordsDeleted: Long,
-    totalRecordsWritten: Long) {
+    totalRecordsWritten: Long,
+    schemaJson: Option[String] = None) {
 
   /** All stats, flattened with their partition path. */
   def allStats: Seq[(String, WriteStat)] =

@@ -33,11 +33,23 @@ object SnapshotReader {
   /** Multi-path parquet read that survives ADD-COLUMN schema evolution:
     * `mergeSchema` unions the footers' schemas (files written before the
     * column appeared read as null). Cost is driver-side footer sampling —
-    * the price of evolution support; slices of one table share a schema
-    * lineage so the merged schema stays small. */
+    * only paid on PRE-schema-recording tables: commits now carry the writer
+    * schema ([[graft.format.CommitMetadata.schemaJson]]), so current-format
+    * reads resolve schema from O(1) timeline metadata via
+    * [[schemaRead]]/[[graft.format.Timeline.latestSchemaJson]] instead. */
   private[graft] def evolvedRead(spark: SparkSession,
       paths: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** Multi-path parquet read with a commit-metadata-resolved schema: no
+    * footer job at planning time (files written before an added column
+    * appeared still read as null — same evolution semantics as
+    * [[evolvedRead]], the schema superset just comes from the timeline). */
+  private[graft] def schemaRead(spark: SparkSession, paths: Seq[String],
+      schemaJson: String): DataFrame =
+    spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .parquet(paths: _*)
 
   /** Snapshot (or time-travel, via `asOf`) read.
     *
@@ -59,7 +71,7 @@ object SnapshotReader {
       asOf.fold("")(t => s" as of $t") +
       (if (partitions.nonEmpty) s" partitions=${partitions.mkString(",")}"
        else ""))
-    merge(spark, basePath, slices, Some(timeline))
+    merge(spark, basePath, slices, Some(timeline), asOf)
   }
 
   /** Empty relation carrying the table's schema, for states where every
@@ -71,40 +83,82 @@ object SnapshotReader {
     * error. */
   private[read] def emptyLike(spark: SparkSession, basePath: String,
       timeline: Timeline): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(basePath).getFileSystem(conf)
-    val sample = timeline.completedInstants().reverse.iterator
-      .flatMap(i => timeline.metadata(i.ts).allStats.flatMap(_._2.path))
-      .map(rel => s"$basePath/$rel")
-      .find(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-      .getOrElse(throw new IllegalStateException(
-        s"empty slice set at $basePath and no historical file to derive " +
-          "a schema from (all prior slices cleaned)"))
-    val schema = org.apache.spark.sql.types.StructType(
-      evolvedRead(spark, Seq(sample)).schema.filterNot(_.name == IsDeleted))
+    val schema = timeline.latestSchemaJson(None) match {
+      // O(1): the newest commit's recorded writer schema
+      case Some(sj) => org.apache.spark.sql.types.DataType.fromJson(sj)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case None => // pre-schema-recording table: sample a historical footer
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(basePath).getFileSystem(conf)
+        val sample = timeline.completedInstants().reverse.iterator
+          .flatMap(i => timeline.metadata(i.ts).allStats.flatMap(_._2.path))
+          .map(rel => s"$basePath/$rel")
+          .find(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+          .getOrElse(throw new IllegalStateException(
+            s"empty slice set at $basePath and no historical file to derive " +
+              "a schema from (all prior slices cleaned)"))
+        evolvedRead(spark, Seq(sample)).schema
+    }
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        schema.filterNot(_.name == IsDeleted)))
   }
 
-  /** Merge a concrete set of file slices into their current-state rows. */
+  /** Merge a concrete set of file slices into their current-state rows.
+    *
+    * Schema resolution is O(1) timeline metadata when the commits recorded
+    * their writer schema (newest base-commit schema for base files, newest
+    * deltacommit schema for deltas, each ≤ `asOf`) — no footer job is ever
+    * planned; pre-schema-recording tables fall back to `mergeSchema`.
+    *
+    * Base-only groups mount through the partition-pruning
+    * [[GraftFileIndex]] relation, so predicates on
+    * `_hoodie_partition_path` prune at LISTING time (the normal user idiom,
+    * no explicit `partitions` parameter needed). Delta-carrying groups go
+    * through the window merge, where a partition predicate cannot be pushed
+    * below the per-key window (the key, not the partition, is the window
+    * axis) — for those the explicit `partitions` parameter remains the
+    * metadata-pruning path, and compaction keeps that side small. */
   private[graft] def merge(spark: SparkSession, basePath: String,
       slices: Seq[FileSlice],
-      timeline: Option[Timeline] = None): DataFrame = {
+      timeline: Option[Timeline] = None,
+      asOf: Option[String] = None): DataFrame = {
     def abs(rel: String) = s"$basePath/$rel"
     val (withDeltas, baseOnly) = slices.partition(_.deltas.nonEmpty)
     val basePaths = baseOnly.flatMap(_.relPath).map(abs)
+    lazy val tl = timeline.getOrElse(
+      Timeline(spark.sessionState.newHadoopConf(), basePath))
+    lazy val baseSchema =
+      tl.latestSchemaJson(asOf, Some(Instant.CommitAction))
+    lazy val deltaSchema =
+      tl.latestSchemaJson(asOf, Some(Instant.DeltaCommitAction))
 
     val plainScan =
-      if (basePaths.nonEmpty) Some(evolvedRead(spark, basePaths))
-      else None
+      if (basePaths.isEmpty) None
+      else baseSchema match {
+        case Some(sj) =>
+          val partFiles = baseOnly.filter(_.relPath.nonEmpty)
+            .groupBy(_.partitionPath).toSeq.sortBy(_._1)
+            .map { case (p, ss) => p -> ss.flatMap(_.relPath).map(abs) }
+          Some(GraftFileIndex.scan(spark, basePath, partFiles,
+            org.apache.spark.sql.types.DataType.fromJson(sj)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        case None => Some(evolvedRead(spark, basePaths))
+      }
+
+    def baseRead(paths: Seq[String]): DataFrame =
+      baseSchema.fold(evolvedRead(spark, paths))(schemaRead(spark, paths, _))
+    def deltaRead(paths: Seq[String]): DataFrame =
+      deltaSchema.fold(evolvedRead(spark, paths))(schemaRead(spark, paths, _))
 
     val merged = if (withDeltas.nonEmpty) {
       val mergeBase = withDeltas.flatMap(_.relPath).map(abs)
       val deltaPaths = withDeltas.flatMap(_.deltas.map(d => abs(d.relPath)))
-      val deltas = evolvedRead(spark, deltaPaths)
+      val deltas = deltaRead(deltaPaths)
       val cols = deltas.columns.filter(_ != IsDeleted)
       val unioned = (if (mergeBase.nonEmpty)
-        Seq(evolvedRead(spark, mergeBase)
+        Seq(baseRead(mergeBase)
           .withColumn(IsDeleted, lit(false))) else Seq.empty) :+ deltas
       val all = unioned.reduce(_.unionByName(_, allowMissingColumns = true))
       // Tiebreak: within one commit a delete marker beats an upsert of the
@@ -167,31 +221,43 @@ object IncrementalReader {
       col(MetaCols.CommitTime) <= toInclusive
     if (touched.isEmpty) {
       // Degenerate empty range, metadata-first: the snapshot is never
-      // planned. The schema comes from ONE slice's footers — the slice with
-      // the newest write as of `to` carries the current schema under
-      // add-only evolution — and the result is an empty relation, so no
-      // data file enters the plan (inputFiles is empty; asserted in
-      // MorSpec).
-      val slices = timeline.latestSlices(Some(toInclusive)).values
-      require(slices.nonEmpty,
-        s"empty table (no slices) at $basePath as of $toInclusive")
-      val newest = slices.maxBy(sl =>
-        (sl.deltas.map(_.commitTs) :+ sl.commitTs).max)
-      val paths = (newest.relPath.toSeq ++ newest.deltas.map(_.relPath))
-        .map(rp => s"$basePath/$rp")
-      if (paths.isEmpty) // newest slice itself fileless (deletes emptied it)
-        SnapshotReader.emptyLike(spark, basePath, timeline)
-      else {
-        val schema = org.apache.spark.sql.types.StructType(
-          SnapshotReader.evolvedRead(spark, paths).schema
-            .filterNot(_.name == SnapshotReader.IsDeleted))
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // planned. The schema comes from the newest commit ≤ `to` that
+      // recorded one (O(1) metadata; newest writer schema is the current
+      // table schema under add-only evolution) — falling back to ONE
+      // slice's footers on pre-schema-recording tables — and the result is
+      // an empty relation, so no data file enters the plan (inputFiles is
+      // empty; asserted in MorSpec).
+      timeline.latestSchemaJson(Some(toInclusive)) match {
+        case Some(sj) =>
+          val schema = org.apache.spark.sql.types.DataType.fromJson(sj)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              schema.filterNot(_.name == SnapshotReader.IsDeleted)))
+        case None =>
+          val slices = timeline.latestSlices(Some(toInclusive)).values
+          require(slices.nonEmpty,
+            s"empty table (no slices) at $basePath as of $toInclusive")
+          val newest = slices.maxBy(sl =>
+            (sl.deltas.map(_.commitTs) :+ sl.commitTs).max)
+          val paths = (newest.relPath.toSeq ++ newest.deltas.map(_.relPath))
+            .map(rp => s"$basePath/$rp")
+          if (paths.isEmpty) // newest slice fileless (deletes emptied it)
+            SnapshotReader.emptyLike(spark, basePath, timeline)
+          else {
+            val schema = org.apache.spark.sql.types.StructType(
+              SnapshotReader.evolvedRead(spark, paths).schema
+                .filterNot(_.name == SnapshotReader.IsDeleted))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          }
       }
     } else {
       val slices = timeline.latestSlices(Some(toInclusive))
         .collect { case (fid, slice) if touched(fid) => slice }.toSeq
-      SnapshotReader.merge(spark, basePath, slices).filter(rangeFilter)
+      SnapshotReader.merge(spark, basePath, slices, Some(timeline),
+        Some(toInclusive)).filter(rangeFilter)
     }
   }
 }

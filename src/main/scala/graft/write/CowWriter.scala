@@ -73,7 +73,8 @@ final class CowWriter(
       part -> WriteStat(fid, Some(relPath), prevCommit = None,
         numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = n)
     }
-    saveCommit(ts, stats, totalDeleted = 0, op = "INSERT")
+    saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
+      schema = data.drop(FidCol).schema)
   }
 
   /** Upsert + delete in one commit (COW: affected file groups are fully
@@ -178,7 +179,8 @@ final class CowWriter(
         numUpdateWrites = 0, numInserts = 0)
     }
 
-    saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum, op = "UPSERT")
+    saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
+      op = "UPSERT", schema = newData.drop(FidCol).schema)
   }
 
   def upsert(updates: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit =
@@ -193,14 +195,16 @@ final class CowWriter(
       (fid, t) => s"${fid}_$t.parquet")
 
   private def saveCommit(ts: String, stats: Iterable[(String, WriteStat)],
-      totalDeleted: Long, op: String): Unit = {
+      totalDeleted: Long, op: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     val byPart = stats.groupBy(_._1).view
       .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
     timeline.saveCommit(ts, CommitMetadata(
       partitionToWriteStats = byPart,
       operationType = op,
       totalRecordsDeleted = totalDeleted,
-      totalRecordsWritten = stats.map(_._2.numWrites).sum))
+      totalRecordsWritten = stats.map(_._2.numWrites).sum,
+      schemaJson = Some(schema.json)))
   }
 }
 

@@ -64,7 +64,7 @@ final class MorWriter(
         numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = n)
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
-      action = Instant.CommitAction)
+      action = Instant.CommitAction, schema = data.drop(FidCol).schema)
   }
 
   /** MOR delta commit: append upserts + delete markers as delta files —
@@ -122,7 +122,8 @@ final class MorWriter(
         numInserts = 0)
     }
     saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
-      op = "UPSERT_DELTA", action = Instant.DeltaCommitAction)
+      op = "UPSERT_DELTA", action = Instant.DeltaCommitAction,
+      schema = deltaRows.drop(FidCol).schema)
   }
 
   def upsert(updates: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit =
@@ -170,18 +171,20 @@ final class MorWriter(
         numWrites = 0, numDeletes = 0, numUpdateWrites = 0, numInserts = 0)
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "COMPACT",
-      action = Instant.CommitAction)
+      action = Instant.CommitAction, schema = merged.drop(FidCol).schema)
   }
 
   private def saveCommit(ts: String, stats: Iterable[(String, WriteStat)],
-      totalDeleted: Long, op: String, action: String): Unit = {
+      totalDeleted: Long, op: String, action: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     val byPart = stats.groupBy(_._1).view
       .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
     timeline.saveCommit(ts, CommitMetadata(
       partitionToWriteStats = byPart,
       operationType = op,
       totalRecordsDeleted = totalDeleted,
-      totalRecordsWritten = stats.map(_._2.numWrites).sum),
+      totalRecordsWritten = stats.map(_._2.numWrites).sum,
+      schemaJson = Some(schema.json)),
       action)
   }
 }

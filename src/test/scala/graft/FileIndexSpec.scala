@@ -1,0 +1,100 @@
+package graft
+
+import graft.format.MetaCols
+import graft.read.SnapshotReader
+import graft.write.CowWriter
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Catalyst-automatic partition pruning (GraftFileIndex) and O(1)
+  * commit-metadata schema resolution. */
+class FileIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders =
+    spark.read.parquet(s"$sf0001/orders.parquet").limit(300)
+
+  private def cowTable(name: String): String = {
+    val dir = freshDir(name)
+    val w = new CowWriter(spark, dir, numBuckets = 2)
+    w.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    dir
+  }
+
+  test("snapshot filter on partition path prunes at LISTING time") {
+    val dir = cowTable("orders_prune")
+    val snap = SnapshotReader.read(spark, dir)
+    // correctness through the new relation first
+    assert(snap.count() == orders.count())
+    val filtered = snap.filter(col(MetaCols.PartitionPath) === "F")
+    assert(filtered.count() ==
+      orders.filter($"o_orderstatus" === "F").count())
+
+    // the planner must route the predicate into the FileIndex as a
+    // partitionFilter, and the pruned listing must contain ONLY partition
+    // F's slices — a strict subset of the table's files
+    val scans = filtered.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected one file scan, got ${scans.size}")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "partition predicate did not reach the scan as a partitionFilter")
+    val pruned = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+    val all = scan.relation.location.inputFiles.toSeq
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"pruning listed ${pruned.size}/${all.size} files")
+    assert(pruned.forall(_.contains("/F/")),
+      s"pruned listing leaked non-F slices: $pruned")
+    // NB: Dataset.inputFiles is deliberately NOT asserted here — its
+    // contract is the relation's full (unpruned) listing.
+  }
+
+  test("partition-pruned snapshot rows == explicit partitions parameter") {
+    val dir = cowTable("orders_prune_eq")
+    val viaFilter = SnapshotReader.read(spark, dir)
+      .filter(col(MetaCols.PartitionPath) === "O")
+    val viaParam = SnapshotReader.read(spark, dir,
+      partitions = Seq("O"))
+    assert(viaFilter.exceptAll(viaParam).isEmpty &&
+      viaParam.exceptAll(viaFilter).isEmpty)
+  }
+
+  test("snapshot planning runs NO footer job (schema from commit metadata)") {
+    val dir = cowTable("orders_nofooter")
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+    }
+    // settle any in-flight listener events from previous tests
+    Thread.sleep(300)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val snap = SnapshotReader.read(spark, dir)
+      snap.queryExecution.optimizedPlan // force full analysis+optimization
+      Thread.sleep(800)
+      val schemaPathJobs = jobs
+      // positive control on the same files: the footer-merge path DOES run
+      // a job, so a silent-listener false negative can't pass
+      SnapshotReader.evolvedRead(spark, snap.inputFiles.toSeq)
+      Thread.sleep(800)
+      assert(jobs > schemaPathJobs,
+        "control failed: mergeSchema read should run a footer job")
+      assert(schemaPathJobs == 0,
+        s"schema-resolved snapshot planning ran $schemaPathJobs job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("snapshot schema == recorded commit schema (column order preserved)") {
+    val dir = cowTable("orders_schema_order")
+    val tl = graft.format.Timeline(
+      spark.sessionState.newHadoopConf(), dir)
+    val recorded = org.apache.spark.sql.types.DataType
+      .fromJson(tl.latestSchemaJson(None).get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(SnapshotReader.read(spark, dir).schema == recorded)
+  }
+}

@@ -424,6 +424,16 @@ object SparkEntry {
       docs.join(drops, col("doc_id") === col("drop_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // Transitive dedup clusters: connected components over verified MinHash
+    // pairs via distributed min-label propagation (pointer-jumped; see
+    // Dedup.clusters) — one smallest-id representative per component.
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(
+          Dedup.minhashPairs(tp(s, d, "documents"), col("doc_id"),
+            col("text"), n = 3, numHashes = 32, bands = 16,
+            thresholdPermille = 500),
+          col("id_a"), col("id_b"))
+        .orderBy(col("doc_id"))),
     // Event-join queries compare INTEGER MICROSECONDS on both sides: the
     // raw ts carries sub-µs precision that DuckDB's TIMESTAMP truncates
     // away, so nanosecond comparisons could disagree at window/as-of
@@ -838,6 +848,20 @@ object SparkEntry {
         "SELECT doc_id FROM documents WHERE doc_id NOT IN (" +
         s"SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE $JaccPermilleSql >= 500) " +
         "ORDER BY doc_id"),
+    // Connected components as a recursive CTE: enumerate every (vertex,
+    // reachable-vertex) pair over the symmetric brute-force-Jaccard edge
+    // set, then min per vertex — an independent formulation of the same
+    // smallest-reachable-id cluster labels.
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE " + ShinglesCte.stripPrefix("WITH ") + ", " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a " +
+        s"JOIN sh b ON a.doc_id < b.doc_id WHERE $JaccPermilleSql >= 500), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM pairs), " +
+        "reach(id, lbl) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src) " +
+        "SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach " +
+        "GROUP BY id ORDER BY doc_id"),
     "q_range_join" ->
       ("SELECT e.event_id, e.user_id, " +
         "(SELECT count(*) FROM events c WHERE c.event_type = 'click' AND c.user_id = e.user_id " +

@@ -507,9 +507,77 @@ object Dedup {
   }
 
   /** Keep-min-id fuzzy dedup: from verified pairs, drop every doc that has a
-    * duplicate partner with a smaller id. */
+    * duplicate partner with a smaller id. PAIRWISE semantics: for a chain
+    * a–b, b–c (no a–c pair) both b and c are dropped even though c's only
+    * partner was itself dropped — over-deletion relative to the
+    * keep-one-representative-per-CLUSTER contract. Use
+    * [[clusters]]/[[dropIdsFromClusters]] for transitive semantics. */
   def dropIdsFromPairs(pairs: DataFrame): DataFrame =
     pairs.select(col("id_b").as("drop_id")).distinct()
+
+  /** Transitive dedup clusters: label every doc appearing in `pairs` with
+    * the SMALLEST doc id reachable through any chain of pairs — its
+    * connected-component representative. This is the standard large-corpus
+    * dedup contract (keep one representative per duplicate cluster):
+    * for a chain a–b, b–c, the component {a,b,c} keeps exactly a, where
+    * pairwise [[dropIdsFromPairs]] would drop b AND c.
+    *
+    * Distributed min-label propagation with pointer jumping — no
+    * driver-side graph, no GraphX: each round takes (1) the min label over
+    * graph neighbors and (2) the label OF the current label (path
+    * halving), so long chains collapse in O(log n) rounds, not
+    * O(diameter). Each round costs two hash joins + one aggregate over the
+    * EDGE set; at 100 TB the edges are the verified near-dup pairs —
+    * orders of magnitude smaller than the corpus — and every round's
+    * result is truncated via eager `localCheckpoint` so the iterative
+    * lineage never compounds (swap for reliable checkpointing on a
+    * cluster). The round count is driven by a convergence count, the only
+    * driver-side value.
+    *
+    * Output: (doc_id, cluster_id), one row per distinct id in `pairs`;
+    * docs in no pair are their own implicit singleton cluster (absent
+    * here — see [[dropIdsFromClusters]]). */
+  def clusters(pairs: DataFrame, idA: Column, idB: Column): DataFrame = {
+    val e0 = pairs.select(idA.cast("long").as("src"),
+      idB.cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = true) // reused every round
+    var lbl = edges.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("lbl"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    while (changed > 0) {
+      // min over neighbors' labels (symmetric edges → every vertex listed)
+      val viaNeighbors = edges
+        .join(lbl.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
+        .groupBy("src").agg(min(col("dlbl")).as("nmin"))
+        .select(col("src").as("id"), col("nmin"))
+      val stepped = lbl.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("l1"))
+      // path halving: follow the label's own label (labels are vertex ids
+      // of the same component, so the lookup stays within the component)
+      val jumped = stepped
+        .join(lbl.select(col("id").as("l1"), col("lbl").as("ll")),
+          Seq("l1"), "left")
+        .select(col("id"),
+          least(col("l1"), coalesce(col("ll"), col("l1"))).as("lbl"))
+        .localCheckpoint(eager = true)
+      changed = jumped.select(col("id"), col("lbl").as("nl"))
+        .join(lbl, Seq("id"))
+        .filter(col("nl") =!= col("lbl")).count()
+      lbl = jumped
+    }
+    lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Drop-list under CLUSTER semantics: every doc whose component
+    * representative is a different (smaller) doc. Anti-join the corpus
+    * against this to keep exactly one representative per duplicate cluster
+    * plus all unpaired docs. */
+  def dropIdsFromClusters(clusterLabels: DataFrame): DataFrame =
+    clusterLabels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("drop_id"))
 
   // ---- shared internals ----
 

@@ -103,4 +103,35 @@ object DedupProps extends Properties("Dedup.ngramJaccard") {
         "pack my box with", "jumps over the lazy dog",
         "sphinx of black quartz"))
   } yield frags.mkString(" ")
+
+  /** Transitive clusters must equal an in-memory union-find over the same
+    * random edge set — chains, cycles, self-loops, duplicate edges and
+    * multi-component graphs all land on smallest-reachable-id labels. */
+  property("clusters == in-memory union-find") =
+    Prop.forAll(
+        Gen.choose(1, 30).flatMap(nv => Gen.listOf(
+          Gen.zip(Gen.choose(0L, nv.toLong), Gen.choose(0L, nv.toLong))))) {
+      edges =>
+        import spark.implicits._
+        val df = (if (edges.isEmpty) Seq((0L, 0L)) else edges)
+          .toDF("id_a", "id_b")
+        val got = Dedup.clusters(df, col("id_a"), col("id_b"))
+          .as[(Long, Long)].collect().toMap
+
+        // union-find model
+        val verts = (if (edges.isEmpty) Seq((0L, 0L)) else edges)
+          .flatMap { case (a, b) => Seq(a, b) }.distinct
+        val parent = scala.collection.mutable.Map(
+          verts.map(v => v -> v): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x
+          else { val r = find(parent(x)); parent(x) = r; r }
+        (if (edges.isEmpty) Seq((0L, 0L)) else edges).foreach {
+          case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = verts.map(v => v -> find(v)).toMap
+        (got == want) :| s"got $got, want $want"
+    }
 }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.format.Timeline
+import graft.read.{IncrementalReader, SnapshotReader}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** `spark.readStream.format("graft").load(tablePath)` — the table
+  * change-stream as a FIRST-CLASS Structured Streaming source (registered
+  * via META-INF/services, shortName `graft`), replacing the manual
+  * [[TableTail.drainOnce]] + staging-directory bridge.
+  *
+  * Offsets are commit timestamps: `getOffset` is a driver-side timeline
+  * listing (O(#instants) metadata), and each micro-batch is the PLANNED
+  * incremental read of `(lastCommitted, newest]` — only the file groups
+  * those commits wrote enter the plan, with the commit-time filter pushed
+  * to parquet row-group stats. The engine's offset log gives exactly-once
+  * per commit range across restarts (same contract as the file source's
+  * file log, with the commit ts as the offset).
+  *
+  * Extension-point choice: this is the same V1 `Source` interface Spark's
+  * own FileStreamSource uses, NOT a DSv2 `MicroBatchStream` — deliberately.
+  * A DSv2 micro-batch source must produce rows from its own
+  * `PartitionReader`, which would mean re-implementing the planned
+  * parquet scan and the MOR window merge imperatively per partition;
+  * `Source.getBatch` instead returns the incremental read's full
+  * DECLARATIVE plan (pruning, pushdown, merge, schema resolution all
+  * shared with the batch surface, SURVEY.md §7.2). The engine consumes
+  * both interfaces through the same SparkDataStream contract.
+  *
+  * Spark's built-in file source cannot do this: a COW commit REWRITES
+  * slices, so carried-over rows would re-appear as input; the commit
+  * timeline is the only correct change log.
+  */
+final class GraftSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(GraftSourceProvider.tableSchema(
+      sqlContext.sparkSession, GraftSourceProvider.path(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftTailSource(sqlContext.sparkSession,
+      GraftSourceProvider.path(parameters),
+      schema.getOrElse(GraftSourceProvider.tableSchema(
+        sqlContext.sparkSession, GraftSourceProvider.path(parameters))))
+}
+
+object GraftSourceProvider {
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a table path: .load(tablePath)"))
+
+  /** Current table schema (without the MOR delete-marker column): O(1)
+    * from commit metadata when recorded, else the snapshot's resolved
+    * schema. */
+  private def tableSchema(spark: SparkSession, basePath: String): StructType = {
+    val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    tl.latestSchemaJson(None) match {
+      case Some(sj) => StructType(DataType.fromJson(sj)
+        .asInstanceOf[StructType]
+        .filterNot(_.name == SnapshotReader.IsDeleted))
+      case None => SnapshotReader.read(spark, basePath).schema
+    }
+  }
+}
+
+/** V1 streaming offset carrying a commit timestamp (json == the ts). */
+final case class CommitOffset(ts: String) extends Offset {
+  override val json: String = ts
+}
+
+object CommitOffset {
+  /** Engine-side offsets come back as SerializedOffset after a checkpoint
+    * restart — the json IS the ts either way. */
+  def tsOf(o: Offset): String = o match {
+    case CommitOffset(t) => t
+    case other => other.json
+  }
+}
+
+private[streaming] final class GraftTailSource(spark: SparkSession,
+    basePath: String, override val schema: StructType) extends Source {
+
+  override def getOffset: Option[Offset] =
+    Timeline(spark.sessionState.newHadoopConf(), basePath)
+      .completedInstants().lastOption.map(i => CommitOffset(i.ts))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(CommitOffset.tsOf).getOrElse("0")
+    val to = CommitOffset.tsOf(end)
+    val batch = IncrementalReader.read(spark, basePath, from, to)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // V1 contract: the returned frame must be tagged isStreaming — same
+    // internalCreateDataFrame path FileStreamSource takes.
+    Bridge.streamingDataFrame(spark, batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftTailSource[$basePath]"
+}

@@ -17,4 +17,13 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Tag a batch plan's rows as a streaming micro-batch — the V1
+    * Source.getBatch contract (the same internalCreateDataFrame path
+    * FileStreamSource takes). */
+  def streamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    s.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
 }

@@ -55,18 +55,12 @@ class TableTailSpec extends SparkSpec {
     w.upsert(events.filter(k % 3 === 1), k, col("event_type"), Fixtures.C2)
     w.upsert(events.filter(k % 3 === 2), k, col("event_type"), Fixtures.C3)
 
-    // TableTail bridge: each commit's incremental rows land as one parquet
-    // append in a staging dir — the micro-batch feed for the file stream
-    val staging = freshDir("tail_events_staging")
-    val cursor = TableTail.drainOnce(spark, dir, None) { (_, batch) =>
-      batch.select(payloadCols.map(col): _*)
-        .write.mode("append").parquet(staging)
-    }
-    assert(cursor.contains(Fixtures.C3))
-
-    // streaming surface over the tailed commits
+    // FIRST-CLASS source: the table tails straight into the streaming
+    // surface — no drain, no staging bridge
     import org.apache.spark.sql.streaming.Trigger
-    val q = EventStream.hourlyAgg(EventStream.readStream(spark, staging))
+    val q = EventStream.hourlyAgg(
+        spark.readStream.format("graft").load(dir)
+          .select(payloadCols.map(col): _*))
       .writeStream.format("memory").queryName("tailed_hourly")
       .outputMode("complete")
       .trigger(Trigger.AvailableNow()).start()
@@ -91,6 +85,50 @@ class TableTailSpec extends SparkSpec {
       assert(math.abs(s.getDouble(3) - b.getDouble(3)) <=
         1e-9 * math.max(math.abs(b.getDouble(3)), 1.0))
     }
+  }
+
+  test("graft stream source: exactly-once per commit offsets across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("tail_source_cow")
+    val sink = freshDir("tail_source_sink")
+    val ckpt = freshDir("tail_source_ckpt")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(300)
+    val w = new CowWriter(spark, dir, numBuckets = 2)
+    val k = col("o_orderkey")
+    // disjoint key ranges per commit → the sink's union is the snapshot
+    w.insert(orders.filter(k % 3 === 0), k, col("o_orderstatus"), Fixtures.C1)
+    w.upsert(orders.filter(k % 3 === 1), k, col("o_orderstatus"), Fixtures.C2)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").load(dir)
+        .select("o_orderkey")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(sink)
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(afterFirst.toSeq ==
+      orders.filter(k % 3 <= 1).select("o_orderkey").as[Long]
+        .collect().sorted.toSeq,
+      "first run must deliver commits C1+C2 exactly once")
+
+    // restart with no new commits: the offset log must prevent re-delivery
+    runOnce()
+    assert(spark.read.parquet(sink).count() == afterFirst.length,
+      "restart with no new commits re-delivered rows")
+
+    // a new commit after restart delivers ONLY its own range
+    w.upsert(orders.filter(k % 3 === 2), k, col("o_orderstatus"), Fixtures.C3)
+    runOnce()
+    val afterThird = spark.read.parquet(sink)
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(afterThird.toSeq ==
+      orders.select("o_orderkey").as[Long].collect().sorted.toSeq,
+      "second run must deliver exactly commit C3's rows")
   }
 }
 

@@ -18,11 +18,11 @@ object WinnowStress {
     * the plan that ships (the shipped plan carries no counting overhead;
     * the count action lives only here). */
   private def candidates(df: DataFrame, ratioPermille: Option[Int],
-      minShared: Int): Long = {
+      minShared: Int, dfCap: Option[Int] = None): Long = {
     val base = Dedup.winnowBase(df, col("doc_id"), col("text"),
         col("source"), 5, 8)
       .filter(size(col("fps")) >= ratioPermille.fold(minShared)(_ => 1))
-    Dedup.winnowCandidates(base, minShared, ratioPermille).count()
+    Dedup.winnowCandidates(base, minShared, ratioPermille, dfCap).count()
   }
 
   private def time[A](label: String)(f: => A): A = {
@@ -82,6 +82,51 @@ object WinnowStress {
         blocking = col("source"), minShared = 10, ratioPermille = ratio)
         .count()
       println(s"[stress] boilerplate $label: candidates=$cand output=$out")
+    }
+    // Posting-size histogram of corpus (b)'s prefix: measured r5, its
+    // candidates come from ~20k postings of size ≤ 2 — per-posting fan-out
+    // is already minimal, so NO posting cap (≥ 2) can reduce them. The cap
+    // targets the HOT-posting component of the df² corner, measured on (c).
+    for (cap <- Seq(16, 32)) {
+      val cand = time(s"boilerplate cand absolute dfCap=$cap")(
+        candidates(adversarial, None, 10, Some(cap)))
+      println(s"[stress] boilerplate absolute dfCap=$cap: candidates=$cand")
+    }
+
+    // (c) HOT boilerplate — the df² corner the cap is for: docs mix three
+    // of ten shared "license paragraphs" (pool fps df ≈ 0.3·n, far more
+    // than the constant 9 the absolute prefix can exclude, so ~half of
+    // each doc's pool fps stay IN the prefix) plus a group snippet
+    // (df ≈ 100). Hot in-prefix postings of ~900 docs yield C(df,2)-scale
+    // candidates; dfCap truncates each posting to its cap smallest ids.
+    // ten mutually gram-distinct paragraphs (a letter prefix shifts every
+    // word, so paragraphs share no 5-grams). Measured r5: a boilerplate-
+    // heavy corpus has O(n²) TRUE near-copies too (most co-bucketed pairs
+    // here genuinely share ≥ minShared fps), so the quadratic blow-up hits
+    // candidates AND output — the cap bounds the candidate stage either
+    // way, and representative-based dedup (pair with Dedup.clusters) does
+    // not need the full quadratic pair set.
+    val pool = (0 until 10).map { p =>
+      val c = ('a' + p).toChar
+      s"${c}qklv ${c}wrtn ${c}zpmh ${c}xcdg ${c}jfsb ${c}ynua ${c}eiok"
+    }
+    val hot = (0 until 3000).map { i =>
+      val rnd = new scala.util.Random(1000 + i)
+      val unique = Seq.fill(15)(
+        String.valueOf(Array.fill(10)(('a' + rnd.nextInt(26)).toChar)))
+        .mkString(" ")
+      val snippets = Seq(i % 10, (i + 3) % 10, (i + 6) % 10).map(pool)
+      (i.toLong, "s0",
+        s"$unique ${snippets.mkString(" ")} shared snippet ${i % 30}")
+    }.toDF("doc_id", "source", "text")
+    for ((label, cap) <- Seq("uncapped" -> None, "dfCap=16" -> Some(16),
+        "dfCap=32" -> Some(32))) {
+      val cand = time(s"hot-boilerplate cand absolute $label")(
+        candidates(hot, None, 10, cap))
+      val out = Dedup.winnowPairs(hot, col("doc_id"), col("text"),
+        blocking = col("source"), minShared = 10, dfCap = cap).count()
+      println(s"[stress] hot-boilerplate absolute $label: " +
+        s"candidates=$cand output=$out")
     }
     spark.stop()
   }

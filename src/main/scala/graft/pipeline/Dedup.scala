@@ -228,20 +228,38 @@ object Dedup {
     *    enables the size filter `1000·min(sz) ≥ p·max(sz)` in the
     *    candidate join.
     *
+    * ABSOLUTE-mode skew cap (`dfCap = Some(c)`, the [[capBuckets]] analog):
+    * every (block, fingerprint) posting in the prefix index keeps only its
+    * `c` smallest doc ids, so one boilerplate fingerprint contributes at
+    * most c² candidate pairs instead of df² — the inherent absolute-
+    * threshold corner becomes bounded. DOCUMENTED LOSSY FALLBACK: a true
+    * pair is retained iff SOME shared prefix fingerprint keeps both docs
+    * within its cap (ids are kept smallest-first, deterministically); a
+    * pair whose every shared rare fingerprint is hotter than `c` can be
+    * missed. Precision is unaffected — verification stays exact — and
+    * `dfCap = None` (default) keeps the lossless contract. Ratio mode
+    * already threshold-scales its prefix and size-filters its join, so the
+    * cap applies to absolute mode only.
+    *
     * Verification is in-row array intersection against the doc-count-sized
     * fingerprint-array side. Output: (id_a, id_b, n_shared). */
   def winnowPairs(df: DataFrame, id: Column, text: Column, blocking: Column,
       k: Int = 5, w: Int = 8, minShared: Int = 10,
       ratioPermille: Option[Int] = None,
+      dfCap: Option[Int] = None,
       materialize: Boolean = true): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     ratioPermille.foreach(p =>
       require(p >= 1 && p <= 1000, "ratioPermille must be in [1, 1000]"))
+    dfCap.foreach(c => require(c >= 2, "dfCap must be >= 2"))
+    require(dfCap.isEmpty || ratioPermille.isEmpty,
+      "dfCap is the absolute-mode skew cap; ratio mode is already " +
+        "threshold-scaled and size-filtered")
     val base = winnowBase(df, id, text, blocking, k, w)
       .filter(size(col("fps")) >=
         ratioPermille.fold(minShared)(_ => 1))
     scoped(materialize, base) {
-      val cand = winnowCandidates(base, minShared, ratioPermille)
+      val cand = winnowCandidates(base, minShared, ratioPermille, dfCap)
       val arrays = base.select(col("id"), col("fps"))
       val shared = cand
         .join(arrays.select(col("id").as("id_a"), col("fps").as("__fa")), "id_a")
@@ -266,7 +284,7 @@ object Dedup {
     * sz·1000/sz·p would wrap for multi-million-fingerprint docs and
     * silently widen the prefix. */
   private[graft] def winnowCandidates(base: DataFrame, minShared: Int,
-      ratioPermille: Option[Int]): DataFrame = {
+      ratioPermille: Option[Int], dfCap: Option[Int] = None): DataFrame = {
     val exploded = base.select(col("id"), col("block"),
       size(col("fps")).cast("long").as("sz"), explode(col("fps")).as("fp"))
     val dfreq = exploded.groupBy("fp").agg(count(lit(1)).as("__df"))
@@ -277,10 +295,18 @@ object Dedup {
     val docThreshold = ratioPermille
       .fold(lit(minShared).cast("long"))(p =>
         greatest(ceil(col("sz") * p / 1000), lit(1L)))
-    val prefix = exploded.join(dfreq, "fp")
+    val prefix0 = exploded.join(dfreq, "fp")
       .withColumn("__rn", row_number().over(wOrd))
       .filter(col("__rn") <= col("sz") - docThreshold + 1)
       .select(col("id"), col("block"), col("fp"), col("sz"))
+    // Absolute-mode skew cap: truncate each (block, fp) posting to its
+    // dfCap smallest ids (deterministic; see winnowPairs scaladoc for the
+    // documented recall trade) — a hot posting then yields ≤ cap² pairs.
+    val prefix = dfCap.fold(prefix0) { cap =>
+      val wCap = Window.partitionBy("block", "fp").orderBy(col("id").asc)
+      prefix0.withColumn("__pn", row_number().over(wCap))
+        .filter(col("__pn") <= cap).drop("__pn")
+    }
     val candRaw = prefix.select(col("block"), col("fp"), col("id").as("id_a"),
         col("sz").as("sz_a"))
       .join(prefix.select(col("block"), col("fp"), col("id").as("id_b"),

@@ -104,6 +104,29 @@ object DedupProps extends Properties("Dedup.ngramJaccard") {
         "sphinx of black quartz"))
   } yield frags.mkString(" ")
 
+  /** The absolute-mode dfCap contract: capped output is a SUBSET of the
+    * lossless output (verification stays exact, so the cap can only lose
+    * recall, never precision), and a cap at least as large as the corpus
+    * is inactive (capped == uncapped, since no posting can exceed it). */
+  property("winnow dfCap: subset of lossless; inactive cap == lossless") =
+    Prop.forAll(Gen.listOfN(8, genWinnowDoc), Gen.choose(1, 6),
+        Gen.choose(2, 4)) { (docs, minShared, cap) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def run(dfCap: Option[Int]) =
+        Dedup.winnowPairs(df, col("doc_id"), col("text"),
+            blocking = lit(1), minShared = minShared, dfCap = dfCap)
+          .as[(Long, Long, Long)].collect().toSet
+      val lossless = run(None)
+      val capped = run(Some(cap))
+      val inactive = run(Some(docs.size))
+      (capped.subsetOf(lossless) :|
+        s"capped $capped must be a subset of lossless $lossless") &&
+        ((inactive == lossless) :|
+          s"cap >= corpus size must be lossless: $inactive vs $lossless")
+    }
+
   /** Transitive clusters must equal an in-memory union-find over the same
     * random edge set — chains, cycles, self-loops, duplicate edges and
     * multi-component graphs all land on smallest-reachable-id labels. */

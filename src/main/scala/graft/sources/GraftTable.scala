@@ -15,6 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   t.incremental(c1, c2)         // rows written in (c1, c2]
   *   t.deleteView(c2)              // rows DELETED by c2 (the reference's API)
   *   t.commits                     // completed instants, oldest→newest
+  *   // and the change-stream surface (see streaming.GraftSourceProvider):
+  *   spark.readStream.format("graft").load("/data/orders")
   * }}}
   *
   * All methods return lazy DataFrames planned against the table's commit
@@ -31,8 +33,12 @@ final class GraftTable(spark: SparkSession, basePath: String) {
   def commits: Seq[String] = timeline.completedInstants().map(_.ts)
 
   /** Latest-state snapshot (COW: pure multi-path scan; MOR: window merge of
-    * dirty groups only). `partitions` non-empty → metadata-level partition
-    * pruning (only those partitions' slices are even listed). */
+    * dirty groups only). Partition pruning is Catalyst-automatic on the
+    * base-file side: `snapshot().filter($"_hoodie_partition_path" === …)`
+    * prunes at listing time via [[graft.read.GraftFileIndex]]. The
+    * `partitions` parameter remains as EXPLICIT metadata-level pruning
+    * (and is the pruning path for MOR groups with outstanding deltas,
+    * where a predicate cannot push below the per-key merge window). */
   def snapshot(partitions: Seq[String] = Seq.empty): DataFrame =
     SnapshotReader.read(spark, basePath, None, partitions)
 

@@ -97,7 +97,14 @@ final class DeleteView(spark: SparkSession, basePath: String, ts: String) {
     val pairs = slicePairs
     val oldPaths = pairs.map(_._1)
     val newPaths = pairs.flatMap(_._2)
-    val old = graft.read.SnapshotReader.evolvedRead(spark, oldPaths)
+    // Schema of the PRE-commit slices from commit metadata (O(1); the
+    // newest commit before `ts` bounds every old slice's schema under
+    // add-only evolution) — footer merge only for pre-schema tables.
+    val prevTs = timeline.completedInstants().map(_.ts).filter(_ < ts)
+      .lastOption
+    val old = prevTs.flatMap(p => timeline.latestSchemaJson(Some(p)))
+      .fold(graft.read.SnapshotReader.evolvedRead(spark, oldPaths))(
+        sj => graft.read.SnapshotReader.schemaRead(spark, oldPaths, sj))
     if (newPaths.isEmpty) old // every touched group was fully emptied
     else {
       // Probe side projects ONLY the key column → Parquet column pruning;
@@ -125,7 +132,8 @@ final class DeleteView(spark: SparkSession, basePath: String, ts: String) {
         s"deltacommit $ts has no preceding instant"))
     val oldSlices = timeline.latestSlices(Some(prevTs))
       .collect { case (fid, sl) if touched(fid) => sl }.toSeq
-    val old = graft.read.SnapshotReader.merge(spark, basePath, oldSlices)
+    val old = graft.read.SnapshotReader.merge(spark, basePath, oldSlices,
+      Some(timeline), Some(prevTs))
     val deltaPaths = stats.flatMap(_._2.path).map(p => s"$basePath/$p")
     val delKeys = spark.read.parquet(deltaPaths: _*)
       .filter(col(graft.read.SnapshotReader.IsDeleted))

@@ -101,4 +101,24 @@ object AsOfJoinProps extends Properties("AsOfJoin") {
       val plain = run(None)
       (bucketed == plain) :| s"w=$w fwd=$fwd: $bucketed vs $plain"
     }
+
+  /** Fractional timestamps under bucketed mode would order by the
+    * long-CAST value and silently flip inclusive semantics — the operator
+    * must reject them up front (the default plan accepts any orderable
+    * ts). */
+  property("bucketed mode rejects non-integral timestamp columns") =
+    Prop.forAll(Gen.oneOf(true, false)) { fwd =>
+      import spark.implicits._
+      val left = Seq((1L, 1L, 5.2d)).toDF("event_id", "key", "ts")
+      val right = Seq((1L, 5.7d, 9L)).toDF("key", "ts", "payload")
+      val thrown =
+        try {
+          AsOfJoin.asOf(left, col("key"), col("ts"),
+            right, col("key"), col("ts"),
+            Seq("payload" -> col("payload")), forward = fwd,
+            bucketWidth = Some(2L))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      thrown :| "double ts must be rejected in bucketed mode"
+    }
 }

@@ -63,6 +63,22 @@ class FileIndexSpec extends SparkSpec {
       viaParam.exceptAll(viaFilter).isEmpty)
   }
 
+  test("MOR with outstanding deltas: filter == partitions param (merge side unpruned but exact)") {
+    val dir = freshDir("orders_prune_mor")
+    val w = new graft.write.MorWriter(spark, dir, numBuckets = 2)
+    w.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    // leave deltas OUTSTANDING (no compaction) so the window-merge path runs
+    w.upsert(orders.filter($"o_orderkey" % 5 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1),
+      col("o_orderkey"), col("o_orderstatus"), Fixtures.C2)
+    val viaFilter = SnapshotReader.read(spark, dir)
+      .filter(col(MetaCols.PartitionPath) === "F")
+    val viaParam = SnapshotReader.read(spark, dir, partitions = Seq("F"))
+    assert(viaFilter.count() > 0)
+    assert(viaFilter.exceptAll(viaParam).isEmpty &&
+      viaParam.exceptAll(viaFilter).isEmpty)
+  }
+
   test("snapshot planning runs NO footer job (schema from commit metadata)") {
     val dir = cowTable("orders_nofooter")
     @volatile var jobs = 0

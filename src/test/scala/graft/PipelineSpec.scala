@@ -410,6 +410,22 @@ class PipelineSpec extends SparkSpec {
     assert(frames.map(_.frameIdx).sorted.toSeq == Seq(0, 2))
   }
 
+  test("video resize: a ONE-frame video keeps its GIF container and delay") {
+    val oneFrame = Multimodal.encodeGif(6, 4, frames = 1, delayCs = 9,
+      (f, x, y) => (x * 4 + y) % 256)
+    val media = Seq((1L, "video", 6, 4, 90L, oneFrame))
+      .toDF("media_id", "kind", "width", "height", "duration_ms", "content")
+    val resized = Multimodal.resizeVideos(Multimodal.fromBinary(media), 12, 8)
+      .collect().head
+    assert(new String(resized.content.take(3), "US-ASCII") == "GIF",
+      "single-frame video must not silently become a PNG on resize")
+    // and it still decodes as a (one-frame) sequence at the new dims
+    val out = Multimodal.decodeVideoFrames(
+      Seq((1L, resized.content)).toDF("media_id", "content"),
+      col("media_id"), col("content")).collect()
+    assert(out.length == 1 && out.head.width == 12 && out.head.height == 8)
+  }
+
   test("multimodal: real feature extraction across modalities") {
     // image: 16×16 PNG covering every intensity once → uniform histogram
     val png = Multimodal.encodePng(16, 16, (x, y) => x * 16 + y)

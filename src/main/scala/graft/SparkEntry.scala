@@ -434,6 +434,18 @@ object SparkEntry {
             thresholdPermille = 500),
           col("id_a"), col("id_b"))
         .orderBy(col("doc_id"))),
+    // End-to-end transitive dedup: keep every cluster representative plus
+    // all unpaired docs (contrast q_dedup_fuzzy's pairwise drop-list,
+    // which over-deletes on chains).
+    "q_dedup_transitive" -> ((s, d) => {
+      val docs = tp(s, d, "documents")
+      val drops = Dedup.dropIdsFromClusters(Dedup.clusters(
+        Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+          n = 3, numHashes = 32, bands = 16, thresholdPermille = 500),
+        col("id_a"), col("id_b")))
+      docs.join(drops, col("doc_id") === col("drop_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // Event-join queries compare INTEGER MICROSECONDS on both sides: the
     // raw ts carries sub-µs precision that DuckDB's TIMESTAMP truncates
     // away, so nanosecond comparisons could disagree at window/as-of
@@ -862,6 +874,17 @@ object SparkEntry {
         "UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src) " +
         "SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach " +
         "GROUP BY id ORDER BY doc_id"),
+    "q_dedup_transitive" ->
+      ("WITH RECURSIVE " + ShinglesCte.stripPrefix("WITH ") + ", " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a " +
+        s"JOIN sh b ON a.doc_id < b.doc_id WHERE $JaccPermilleSql >= 500), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM pairs), " +
+        "reach(id, lbl) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src) " +
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN (" +
+        "SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id) " +
+        "ORDER BY doc_id"),
     "q_range_join" ->
       ("SELECT e.event_id, e.user_id, " +
         "(SELECT count(*) FROM events c WHERE c.event_type = 'click' AND c.user_id = e.user_id " +

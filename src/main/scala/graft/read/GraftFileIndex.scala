@@ -91,6 +91,19 @@ object GraftFileIndex {
   def scan(spark: SparkSession, basePath: String,
       partFiles: Seq[(String, Seq[String])],
       fullSchema: StructType): DataFrame = {
+    val df = Bridge.ofRows(spark,
+      LogicalRelation(relation(spark, basePath, partFiles, fullSchema)))
+    // restore the canonical column order (partition cols mount at the end)
+    df.select(fullSchema.fieldNames.map(org.apache.spark.sql.functions.col)
+      .toIndexedSeq: _*)
+  }
+
+  /** The underlying pruning `HadoopFsRelation` (also served as the batch
+    * `spark.read.format("graft")` relation — see
+    * [[graft.streaming.GraftSourceProvider]]). */
+  def relation(spark: SparkSession, basePath: String,
+      partFiles: Seq[(String, Seq[String])],
+      fullSchema: StructType): HadoopFsRelation = {
     require(fullSchema.fieldNames.contains(MetaCols.PartitionPath),
       s"table schema must carry ${MetaCols.PartitionPath}")
     val fs = new Path(basePath).getFileSystem(
@@ -100,7 +113,7 @@ object GraftFileIndex {
     }
     val dataSchema = StructType(
       fullSchema.filterNot(_.name == MetaCols.PartitionPath))
-    val relation = HadoopFsRelation(
+    HadoopFsRelation(
       location = new GraftFileIndex(Seq(new Path(basePath)), statuses),
       partitionSchema = PartitionSchema,
       dataSchema = dataSchema,
@@ -108,9 +121,5 @@ object GraftFileIndex {
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    val df = Bridge.ofRows(spark, LogicalRelation(relation))
-    // restore the canonical column order (partition cols mount at the end)
-    df.select(fullSchema.fieldNames.map(org.apache.spark.sql.functions.col)
-      .toIndexedSeq: _*)
   }
 }

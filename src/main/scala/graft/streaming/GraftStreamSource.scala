@@ -1,12 +1,12 @@
 package graft.streaming
 
 import graft.format.Timeline
-import graft.read.{IncrementalReader, SnapshotReader}
+import graft.read.{GraftFileIndex, IncrementalReader, SnapshotReader}
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** `spark.readStream.format("graft").load(tablePath)` — the table
@@ -37,9 +37,45 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * timeline is the only correct change log.
   */
 final class GraftSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** Batch side of the format surface: `spark.read.format("graft")
+    * .load(tablePath)` mounts the snapshot's base slices through the
+    * partition-pruning [[GraftFileIndex]] relation (predicates on
+    * `_hoodie_partition_path` prune at listing time; schema from commit
+    * metadata). Options: `asOf` (time travel, ≤ commit ts). Tables with
+    * OUTSTANDING MOR deltas need the window merge, which a file relation
+    * cannot express — rejected with guidance to `GraftTable.snapshot()`
+    * (or compaction); the compacted/COW serving state is the common case
+    * this surface targets. NB: relation column order is data columns then
+    * the partition column (the lakehouse-format layout); use
+    * `GraftTable.snapshot()` for the writer-canonical order. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val basePath = GraftSourceProvider.path(parameters)
+    val asOf = parameters.get("asOf")
+    val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val slices = timeline.latestSlices(asOf).values.toSeq
+    require(slices.nonEmpty, s"empty table (no slices) at $basePath")
+    require(slices.forall(_.deltas.isEmpty),
+      s"table at $basePath has file groups with outstanding MOR deltas; " +
+        "the snapshot needs the window merge — read it via " +
+        "GraftTable.snapshot() or compact first")
+    val schemaJson = timeline
+      .latestSchemaJson(asOf, Some(graft.format.Instant.CommitAction))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table at $basePath predates schema recording; read it via " +
+          "GraftTable.snapshot()"))
+    val partFiles = slices.filter(_.relPath.nonEmpty)
+      .groupBy(_.partitionPath).toSeq.sortBy(_._1)
+      .map { case (p, ss) => p -> ss.flatMap(_.relPath)
+        .map(rp => s"$basePath/$rp") }
+    GraftFileIndex.relation(spark, basePath, partFiles,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,

@@ -104,6 +104,38 @@ class FileIndexSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("spark.read.format(\"graft\"): batch relation with predicate pruning") {
+    val dir = cowTable("orders_format_read")
+    val df = spark.read.format("graft").load(dir)
+    assert(df.count() == orders.count())
+    val filtered = df.filter(col(MetaCols.PartitionPath) === "F")
+    assert(filtered.count() ==
+      orders.filter($"o_orderstatus" === "F").count())
+    val scans = filtered.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+      "format-surface read must prune partitions from predicates")
+    // asOf option = time travel; with one commit it equals the snapshot
+    val asOf = spark.read.format("graft").option("asOf", Fixtures.C1)
+      .load(dir)
+    assert(asOf.count() == orders.count())
+    // outstanding MOR deltas cannot be a file relation: rejected w/ guidance
+    val morDir = freshDir("orders_format_mor")
+    val mw = new graft.write.MorWriter(spark, morDir, numBuckets = 2)
+    mw.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    mw.upsert(orders.limit(10), col("o_orderkey"), col("o_orderstatus"),
+      Fixtures.C2)
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(morDir)
+    }
+    assert(err.getMessage.contains("outstanding MOR deltas"))
+    // after compaction the format surface serves it
+    mw.compact(Fixtures.C3)
+    assert(spark.read.format("graft").load(morDir).count() ==
+      orders.count())
+  }
+
   test("snapshot schema == recorded commit schema (column order preserved)") {
     val dir = cowTable("orders_schema_order")
     val tl = graft.format.Timeline(

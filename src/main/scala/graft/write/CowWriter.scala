@@ -110,8 +110,13 @@ final class CowWriter(
     val oldPaths = prevByFid.values.flatMap(_.relPath)
       .map(rp => s"$basePath/$rp").toSeq
 
+    // Old-slice schema from commit metadata (newest commit bounds every
+    // current slice under add-only evolution); footer merge only for
+    // pre-schema-recording tables.
     val old = if (oldPaths.nonEmpty)
-      Some(graft.read.SnapshotReader.evolvedRead(spark, oldPaths))
+      Some(timeline.latestSchemaJson(None)
+        .fold(graft.read.SnapshotReader.evolvedRead(spark, oldPaths))(
+          sj => graft.read.SnapshotReader.schemaRead(spark, oldPaths, sj)))
     else None
 
     // Keys being replaced or removed in this commit.

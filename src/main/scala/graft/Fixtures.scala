@@ -29,9 +29,13 @@ object Fixtures {
   private def root(sfDir: String): String =
     "/tmp/graft_tables/" + sfDir.replaceAll("[^0-9a-zA-Z.]", "_")
 
-  private def complete(spark: SparkSession, dir: String, n: Int): Boolean =
-    Timeline(spark.sessionState.newHadoopConf(), dir)
-      .completedInstants().size == n
+  // A cached table is reusable only if it has all n commits AND was built
+  // by a schema-recording writer (r5) — stale pre-schema tables from an
+  // earlier build would silently exercise the legacy footer-merge path.
+  private def complete(spark: SparkSession, dir: String, n: Int): Boolean = {
+    val tl = Timeline(spark.sessionState.newHadoopConf(), dir)
+    tl.completedInstants().size == n && tl.latestSchemaJson(None).nonEmpty
+  }
 
   def cowDir(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = s"${root(sfDir)}/orders_cow"

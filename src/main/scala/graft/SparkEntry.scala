@@ -66,6 +66,10 @@ object SparkEntry {
       payload(DeleteView(s, Fixtures.morDir(s, d), C4).toDF())),
     "q_snapshot_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d)))),
+    // Same snapshot through the FORMAT surface (r5): the batch relation's
+    // pruning FileIndex + commit-metadata schema under the oracle gate.
+    "q_snapshot_format" -> ((s, d) =>
+      payload(s.read.format("graft").load(Fixtures.cowDir(s, d)))),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -588,6 +592,8 @@ object SparkEntry {
     "q_delete_view_mor_c4" ->
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_snapshot_cow" ->
+      s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
+    "q_snapshot_format" ->
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",

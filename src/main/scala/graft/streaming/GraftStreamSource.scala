@@ -64,17 +64,19 @@ final class GraftSourceProvider extends StreamSourceProvider
       s"table at $basePath has file groups with outstanding MOR deltas; " +
         "the snapshot needs the window merge — read it via " +
         "GraftTable.snapshot() or compact first")
-    val schemaJson = timeline
-      .latestSchemaJson(asOf, Some(graft.format.Instant.CommitAction))
-      .getOrElse(throw new IllegalArgumentException(
-        s"table at $basePath predates schema recording; read it via " +
-          "GraftTable.snapshot()"))
     val partFiles = slices.filter(_.relPath.nonEmpty)
       .groupBy(_.partitionPath).toSeq.sortBy(_._1)
       .map { case (p, ss) => p -> ss.flatMap(_.relPath)
         .map(rp => s"$basePath/$rp") }
-    GraftFileIndex.relation(spark, basePath, partFiles,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+    // Schema from commit metadata (O(1)); pre-schema-recording tables fall
+    // back to a footer merge over the planned slices — same policy as
+    // SnapshotReader.
+    val schema = timeline
+      .latestSchemaJson(asOf, Some(graft.format.Instant.CommitAction))
+      .map(sj => DataType.fromJson(sj).asInstanceOf[StructType])
+      .getOrElse(SnapshotReader.evolvedRead(spark,
+        partFiles.flatMap(_._2)).schema)
+    GraftFileIndex.relation(spark, basePath, partFiles, schema)
   }
 
   override def sourceSchema(sqlContext: SQLContext,

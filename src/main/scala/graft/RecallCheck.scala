@@ -59,6 +59,14 @@ object RecallCheck {
     val embMissed = allPairs.exceptAll(blocked).count()
     val embRecall =
       if (nExact == 0) 1.0 else (nExact - embMissed).toDouble / nExact
+    // high-recall mode: 32 seeded bands (q_embed_neardup_hi's blocking)
+    val blockedHi = Dedup.embeddingNearDupPairs(embs, col("vec_id"),
+      col("embedding"), thresholdNum = 2, thresholdDen = 5,
+      bandCoords = Some(Dedup.signBandCoords(32, 8, 64, 7L)))
+    val hiFalsePos = blockedHi.exceptAll(allPairs).count()
+    val hiMissed = allPairs.exceptAll(blockedHi).count()
+    val hiRecall =
+      if (nExact == 0) 1.0 else (nExact - hiMissed).toDouble / nExact
 
     // -- top-k paths: recall@k over a query batch vs brute force --
     val k = 5
@@ -90,6 +98,9 @@ object RecallCheck {
       s""""embed_neardup":{"exact":$nExact,"blocked":${nExact - embMissed + falsePos},""" +
       s""""false_positives":$falsePos,"recall":$embRecall,""" +
       s""""target":"precision == 1.0 (blocked is subset of exact); recall is the shipped blocking contract","pass":$embOk},""" +
+      s""""embed_neardup_hi":{"exact":$nExact,"blocked":${nExact - hiMissed + hiFalsePos},""" +
+      s""""false_positives":$hiFalsePos,"recall":$hiRecall,""" +
+      s""""target":"32 seeded bands: recall 1-(1-p)^32 at precision 1.0 — the recall knob","pass":${hiFalsePos == 0}},""" +
       s""""lsh_topk":{"k":$k,"planes":6,"recall_at_k":$lshTopkRecall,""" +
       s""""target":"< 1 by design, tuned by planes"},""" +
       s""""ivf_topk":{"k":$k,"nlist":$nlist,"nprobe":$nprobe,"recall_at_k":$ivfRecall,""" +
@@ -99,6 +110,8 @@ object RecallCheck {
       java.nio.file.Paths.get(f), json + "\n"))
     require(minhashOk, s"minhash recall gate failed: missed=$missed extra=$extra")
     require(embOk, s"embed blocking emitted $falsePos false positives")
+    require(hiFalsePos == 0,
+      s"hi-recall embed blocking emitted $hiFalsePos false positives")
     spark.stop()
   }
 }

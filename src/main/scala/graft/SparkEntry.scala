@@ -286,6 +286,15 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(tp(s, d, "embeddings"), col("vec_id"),
           col("embedding"), thresholdNum = 2, thresholdDen = 5)
         .orderBy(col("id_a"), col("id_b"))),
+    // High-recall blocking mode: 32 seeded sign-bands (vs the default 8
+    // consecutive ones) — recall 1 − (1−p)^32 instead of ^8 at identical
+    // precision (verification stays exact); the oracle embeds the same
+    // seeded coordinate literals.
+    "q_embed_neardup_hi" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(tp(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), thresholdNum = 2, thresholdDen = 5,
+          bandCoords = Some(EmbedHiCoords))
+        .orderBy(col("id_a"), col("id_b"))),
     "q_multimodal_stats" -> ((s, d) =>
       Multimodal.stats(
         tp(s, d, "documents").select(
@@ -582,6 +591,34 @@ object SparkEntry {
   private val JaccPermilleSql =
     "floor(len(list_intersect(a.s, b.s)) * 1000 / greatest(len(list_distinct(list_cat(a.s, b.s))), 1))"
 
+  /** Seeded 32×8 coordinate choices for the high-recall embed blocking —
+    * ONE constant shared by the Spark query and the generated oracle SQL. */
+  private val EmbedHiCoords: Seq[Seq[Int]] =
+    Dedup.signBandCoords(bands = 32, rowsPerBand = 8, dim = 64, seed = 7L)
+
+  /** Deterministic sign-LSH blocking + quantized-integer cosine, mirrored
+    * 1:1 from Dedup.embeddingNearDupPairs for an arbitrary per-band
+    * coordinate choice (all math integer — floor(x·1e6) quantization,
+    * integer dot/norms, threshold 2/5 cross-multiplied in 128-bit — so the
+    * bucket words and the verdicts are bit-identical across engines). */
+  private def embedNearDupOracle(coords: Seq[Seq[Int]]): String = {
+    val buckets = coords.zipWithIndex.map { case (cs, b) =>
+      val bits = cs.zipWithIndex.map { case (c, j) =>
+        s"(CASE WHEN qv[${c + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS b$b"
+    }.mkString(", ")
+    val coBucketed = coords.indices.map(b => s"x.b$b = y.b$b").mkString(" OR ")
+    "WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), v -> CAST(floor(v * 1000000) AS BIGINT)) AS qv FROM embeddings), " +
+      s"n AS (SELECT vec_id, qv, list_sum(list_transform(qv, v -> v * v)) AS nrm, $buckets FROM q), " +
+      "d AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
+      "list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2])) AS dot, " +
+      s"x.nrm AS na, y.nrm AS nb FROM n x JOIN n y ON x.vec_id < y.vec_id AND ($coBucketed)) " +
+      "SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot_q FROM d " +
+      "WHERE na > 0 AND nb > 0 AND dot >= 0 AND 25 * dot * dot >= 4 * na * nb " +
+      "ORDER BY id_a, id_b"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_delete_view" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey",
@@ -780,23 +817,11 @@ object SparkEntry {
     // bits; all math integer — floor(x·1e6) quantization, integer dot/
     // norms, threshold 2/5 cross-multiplied in 128-bit — so the bucket
     // words and the verdicts are bit-identical across engines).
-    "q_embed_neardup" -> {
-      val buckets = (0 until 8).map { b =>
-        val bits = (0 until 8).map { j =>
-          s"(CASE WHEN qv[${b * 8 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-        s"($bits) AS b$b"
-      }.mkString(", ")
-      val coBucketed = (0 until 8).map(b => s"x.b$b = y.b$b").mkString(" OR ")
-      "WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), v -> CAST(floor(v * 1000000) AS BIGINT)) AS qv FROM embeddings), " +
-        s"n AS (SELECT vec_id, qv, list_sum(list_transform(qv, v -> v * v)) AS nrm, $buckets FROM q), " +
-        "d AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
-        "list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2])) AS dot, " +
-        s"x.nrm AS na, y.nrm AS nb FROM n x JOIN n y ON x.vec_id < y.vec_id AND ($coBucketed)) " +
-        "SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot_q FROM d " +
-        "WHERE na > 0 AND nb > 0 AND dot >= 0 AND 25 * dot * dot >= 4 * na * nb " +
-        "ORDER BY id_a, id_b"
-    },
+    "q_embed_neardup" ->
+      embedNearDupOracle((0 until 8).map(b => (0 until 8).map(j => b * 8 + j))),
+    // Same oracle shape over the 32 SEEDED bands (identical literals on
+    // both engines — signBandCoords is deterministic).
+    "q_embed_neardup_hi" -> embedNearDupOracle(EmbedHiCoords),
     "q_rollup" ->
       ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
         s"${sumB("CAST(l_quantity AS BIGINT)")} AS sum_qty, count(*) AS n " +

@@ -457,17 +457,27 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
       thresholdNum: Int = 2, thresholdDen: Int = 5,
       scale: Long = 1000000L, bands: Int = 8, rowsPerBand: Int = 8,
-      maxBucket: Int = 10000, materialize: Boolean = true): DataFrame = {
+      maxBucket: Int = 10000, materialize: Boolean = true,
+      bandCoords: Option[Seq[Seq[Int]]] = None): DataFrame = {
     import graft.functions.ArrayNumeric.{longDot, longNormSq}
+    // Effective coordinate choice per band: consecutive runs by default
+    // (the 8×8 contract the q_embed_neardup oracle mirrors), or explicit
+    // seeded choices ([[signBandCoords]]) for the HIGH-RECALL mode — more
+    // bands than dim/rowsPerBand, each sampling different coordinates, so
+    // candidate probability rises with band count while verification stays
+    // exact (recall knob; precision always 1).
+    val coords: Seq[Seq[Int]] = bandCoords.getOrElse(
+      (0 until bands).map(b => (0 until rowsPerBand)
+        .map(j => b * rowsPerBand + j)))
     val q = graft.util.ParallelScan.widen(
         df.select(id.cast("long").as("id"), vec.as("__v")))
       .select(col("id"), transform(col("__v"),
         x => floor(x.cast("double") * scale).cast("long")).as("q"))
       .withColumn("nrm", longNormSq(col("q")))
     scoped(materialize, q) {
-      val bandCols = (0 until bands).map { b =>
-        val bucket = (0 until rowsPerBand).map { j =>
-          when(element_at(col("q"), b * rowsPerBand + j + 1) >= 0,
+      val bandCols = coords.zipWithIndex.map { case (cs, b) =>
+        val bucket = cs.zipWithIndex.map { case (c, j) =>
+          when(element_at(col("q"), c + 1) >= 0,
             lit(1L << j)).otherwise(lit(0L))
         }.foldLeft(lit(0L))(_ + _)
         struct(lit(b).as("band"), bucket.as("bucket"))
@@ -495,6 +505,22 @@ object Dedup {
           .select(col("id_a"), col("id_b"), col("dot_q"))
       }
     }
+  }
+
+  /** Seeded per-band coordinate choices for [[embeddingNearDupPairs]]'s
+    * high-recall mode: `bands` bands of `rowsPerBand` indices (0-based),
+    * each band an independent without-replacement draw from a seeded RNG —
+    * deterministic across the fleet AND embeddable verbatim in the SQL
+    * oracle (the indices are plain literals on both sides). With b bands
+    * whose per-band candidate probability at a given cosine is p, recall is
+    * 1 − (1−p)^b: the band count is the recall knob, and exact integer
+    * verification keeps precision at 1 regardless. */
+  def signBandCoords(bands: Int, rowsPerBand: Int, dim: Int,
+      seed: Long): Seq[Seq[Int]] = {
+    require(rowsPerBand <= dim, "rowsPerBand must be <= dim")
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bands)(
+      rnd.shuffle((0 until dim).toVector).take(rowsPerBand).toSeq)
   }
 
   /** All-pairs exact reference for [[embeddingNearDupPairs]]: same

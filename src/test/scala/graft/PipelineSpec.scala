@@ -113,6 +113,20 @@ class PipelineSpec extends SparkSpec {
     assert(blocked.count() > 0, "blocking degenerated to empty output")
   }
 
+  test("embed hi-recall mode: subset of exact, recall >= default blocking") {
+    val hi = Dedup.embeddingNearDupPairs(embs, $"vec_id", $"embedding",
+      thresholdNum = 2, thresholdDen = 5,
+      bandCoords = Some(Dedup.signBandCoords(32, 8, 64, 7L)))
+    val all = Dedup.embeddingNearDupPairsAllPairs(embs, $"vec_id",
+      $"embedding", thresholdNum = 2, thresholdDen = 5)
+    val default = Dedup.embeddingNearDupPairs(embs, $"vec_id", $"embedding",
+      thresholdNum = 2, thresholdDen = 5)
+    assert(hi.exceptAll(all).isEmpty,
+      "hi-recall blocking emitted a pair the exact verifier rejects")
+    assert(hi.count() >= default.count(),
+      "32 seeded bands must find at least as many pairs as 8 default bands")
+  }
+
   test("brute-force top-k: self is rank 1 with cosine ~1; k rows per query") {
     val queries = embs.filter($"vec_id" < 3)
     val topk = Similarity.bruteForceTopK(

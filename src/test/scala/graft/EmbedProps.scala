@@ -24,22 +24,23 @@ object EmbedProps extends Properties("Dedup.embeddingNearDup") {
   private val genVec: Gen[Seq[Float]] =
     Gen.listOfN(Dim, Gen.chooseNum(-1.0f, 1.0f)).map(_.toSeq)
 
-  private def model(vecs: Seq[Seq[Float]], num: Int, den: Int)
-      : Set[(Long, Long, Long)] = {
+  private val DefaultCoords: Seq[Seq[Int]] =
+    (0 until Bands).map(b => (0 until RowsPerBand).map(j => b * RowsPerBand + j))
+
+  private def model(vecs: Seq[Seq[Float]], num: Int, den: Int,
+      coords: Seq[Seq[Int]] = DefaultCoords): Set[(Long, Long, Long)] = {
     val q = vecs.map(_.map(x => math.floor(x.toDouble * 1000000L).toLong))
     val nrm = q.map(v => v.map(x => BigInt(x) * BigInt(x)).sum)
     def buckets(v: Seq[Long]): Seq[Long] =
-      (0 until Bands).map { b =>
-        (0 until RowsPerBand).map { j =>
-          if (v(b * RowsPerBand + j) >= 0) 1L << j else 0L
-        }.sum
-      }
+      coords.map(_.zipWithIndex.map { case (c, j) =>
+        if (v(c) >= 0) 1L << j else 0L
+      }.sum)
     val bs = q.map(buckets)
     (for {
       a <- vecs.indices
       b <- vecs.indices
       if a < b
-      if (0 until Bands).exists(k => bs(a)(k) == bs(b)(k))
+      if coords.indices.exists(k => bs(a)(k) == bs(b)(k))
       dot = q(a).zip(q(b)).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
       if nrm(a) > 0 && nrm(b) > 0 && dot >= 0 &&
         BigInt(den * den) * dot * dot >= BigInt(num * num) * nrm(a) * nrm(b)
@@ -58,5 +59,22 @@ object EmbedProps extends Properties("Dedup.embeddingNearDup") {
           bands = Bands, rowsPerBand = RowsPerBand)
         .as[(Long, Long, Long)].collect().toSet
       got == model(vecs, num, den)
+    }
+
+  /** The r5 high-recall mode: arbitrary SEEDED per-band coordinate choices
+    * must still match the in-memory model run over the same choices —
+    * pins the semantics q_embed_neardup_hi's generated oracle replicates. */
+  property("seeded-band mode == in-memory model over the same coords") =
+    Prop.forAll(Gen.choose(2, 10).flatMap(n => Gen.listOfN(n, genVec)),
+        Gen.choose(0L, 1000L), Gen.choose(1, 6)) { (vecs, seed, nBands) =>
+      import spark.implicits._
+      val coords = Dedup.signBandCoords(nBands, RowsPerBand, Dim, seed)
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val got = Dedup.embeddingNearDupPairs(df, col("vec_id"),
+          col("embedding"), thresholdNum = 2, thresholdDen = 5,
+          bandCoords = Some(coords))
+        .as[(Long, Long, Long)].collect().toSet
+      got == model(vecs, 2, 5, coords)
     }
 }

@@ -91,7 +91,12 @@ final class GraftSourceProvider extends StreamSourceProvider
     new GraftTailSource(sqlContext.sparkSession,
       GraftSourceProvider.path(parameters),
       schema.getOrElse(GraftSourceProvider.tableSchema(
-        sqlContext.sparkSession, GraftSourceProvider.path(parameters))))
+        sqlContext.sparkSession, GraftSourceProvider.path(parameters))),
+      maxCommitsPerBatch = parameters.get("maxCommitsPerBatch").map { s =>
+        val n = s.toInt
+        require(n >= 1, "maxCommitsPerBatch must be >= 1")
+        n
+      })
 }
 
 object GraftSourceProvider {
@@ -127,12 +132,67 @@ object CommitOffset {
   }
 }
 
+/** @param maxCommitsPerBatch Some(n): RATE LIMIT — each micro-batch covers
+  *        at most n commits (the commit-count analog of the file source's
+  *        maxFilesPerTrigger), bounding per-trigger read size. Carried by
+  *        the `SupportsAdmissionControl` surface (the FileStreamSource
+  *        pattern): the engine hands `latestOffset(start, …)` the exact
+  *        committed cursor, so bounded progression is correct from the
+  *        first batch AND across restarts. */
 private[streaming] final class GraftTailSource(spark: SparkSession,
-    basePath: String, override val schema: StructType) extends Source {
+    basePath: String, override val schema: StructType,
+    maxCommitsPerBatch: Option[Int] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  override def getOffset: Option[Offset] =
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit}
+
+  private def commitsNow(): Seq[String] =
     Timeline(spark.sessionState.newHadoopConf(), basePath)
-      .completedInstants().lastOption.map(i => CommitOffset(i.ts))
+      .completedInstants().map(_.ts)
+
+  // Trigger.AvailableNow target. Implemented DIRECTLY (the FileStreamSource
+  // pattern) instead of letting the engine wrap this source: the wrapper
+  // snapshots the source's NEXT offset as the terminal target, which under
+  // maxCommitsPerBatch would be one bounded step — the query would stop
+  // after a single batch instead of draining in bounded steps.
+  @volatile private var availableTarget: Option[String] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = commitsNow().lastOption
+
+  // Available commits, capped by the AvailableNow target when one is set.
+  private def available(): Seq[String] = {
+    val listed = commitsNow()
+    availableTarget.fold(listed)(t => listed.filter(_ <= t))
+  }
+
+  /** Admission-control path (preferred by the engine when implemented):
+    * `start` is the exact committed cursor — advance by at most
+    * `maxCommitsPerBatch` commits. The `limit` argument expresses row/file
+    * units, not commits, so the commit cap is applied here directly. */
+  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
+    val cur = start match {
+      case null => "0"
+      case c: CommitOffset => c.ts
+      case other => other.json()
+    }
+    val pending = available().filter(_ > cur)
+    maxCommitsPerBatch.fold(pending)(pending.take(_))
+      .lastOption.map(CommitOffset(_))
+      .getOrElse(if (cur == "0") null else CommitOffset(cur))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): ConnOffset = CommitOffset("0")
+
+  override def deserializeOffset(json: String): ConnOffset =
+    CommitOffset(json)
+
+  /** Legacy non-admission-control path: newest available (no rate limit —
+    * this path never learns the cursor, and a bounded offset behind the
+    * engine's committed one would plan an inverted range). */
+  override def getOffset: Option[Offset] =
+    available().lastOption.map(CommitOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(CommitOffset.tsOf).getOrElse("0")

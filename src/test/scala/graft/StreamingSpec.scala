@@ -87,6 +87,33 @@ class TableTailSpec extends SparkSpec {
     }
   }
 
+  test("graft stream source: maxCommitsPerBatch bounds each micro-batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("tail_rate_cow")
+    val ckpt = freshDir("tail_rate_ckpt")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(300)
+    val w = new CowWriter(spark, dir, numBuckets = 2)
+    val k = col("o_orderkey")
+    w.insert(orders.filter(k % 3 === 0), k, col("o_orderstatus"), Fixtures.C1)
+    w.upsert(orders.filter(k % 3 === 1), k, col("o_orderstatus"), Fixtures.C2)
+    w.upsert(orders.filter(k % 3 === 2), k, col("o_orderstatus"), Fixtures.C3)
+
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("maxCommitsPerBatch", "1").load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += batch.count() }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val perCommit = Seq(0L, 1L, 2L)
+      .map(r => orders.filter(k % 3 === r).count())
+    assert(sizes.toSeq == perCommit,
+      s"expected one bounded batch per commit $perCommit, got $sizes")
+  }
+
   test("graft stream source: exactly-once per commit offsets across restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = freshDir("tail_source_cow")

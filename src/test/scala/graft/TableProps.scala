@@ -153,7 +153,18 @@ object TableProps extends Properties("VersionedTable") {
         removed.isEmpty ||
           kvSet(DeleteView(spark, dir, t).toDF()) == removed.toSet
       }
-      headOk && travelOk && incOk && dvOk
+      // format-surface batch read (COW scripts are always base-only —
+      // MOR scripts may carry outstanding deltas, which the file relation
+      // rejects by contract): head + every asOf point through
+      // spark.read.format("graft") must match the model too
+      val formatOk = mor || {
+        kvSet(spark.read.format("graft").load(dir)) == modelSet(state) &&
+          history.forall { case (t, st, _) =>
+            kvSet(spark.read.format("graft").option("asOf", t).load(dir)) ==
+              modelSet(st)
+          }
+      }
+      headOk && travelOk && incOk && dvOk && formatOk
     }
 
   private def ts(i: Int): String = f"202601$i%02d000000"

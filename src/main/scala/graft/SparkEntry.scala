@@ -70,6 +70,17 @@ object SparkEntry {
     // pruning FileIndex + commit-metadata schema under the oracle gate.
     "q_snapshot_format" -> ((s, d) =>
       payload(s.read.format("graft").load(Fixtures.cowDir(s, d)))),
+    // MOR snapshot with OUTSTANDING deltas through the format surface (r6):
+    // the C4 delta delete is un-compacted, so this read plans the window
+    // merge behind spark.read.format("graft") (GraftMorRelation).
+    "q_snapshot_format_mor" -> ((s, d) =>
+      payload(s.read.format("graft").load(Fixtures.morDir(s, d)))),
+    // Partition-filtered MOR format read (r6): the pushed `=` predicate on
+    // _hoodie_partition_path prunes the file-GROUP set on BOTH merge sides
+    // at metadata level before the window merge is planned.
+    "q_snapshot_format_mor_part" -> ((s, d) =>
+      payload(s.read.format("graft").load(Fixtures.morDir(s, d))
+        .filter(col(graft.format.MetaCols.PartitionPath) === "F"))),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -632,6 +643,10 @@ object SparkEntry {
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
     "q_snapshot_format" ->
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
+    "q_snapshot_format_mor" ->
+      s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
+    "q_snapshot_format_mor_part" ->
+      s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 AND o_orderstatus = 'F' ORDER BY o_orderkey",
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_incremental_cow" ->

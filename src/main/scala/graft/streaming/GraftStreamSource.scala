@@ -42,16 +42,21 @@ final class GraftSourceProvider extends StreamSourceProvider
   override def shortName(): String = "graft"
 
   /** Batch side of the format surface: `spark.read.format("graft")
-    * .load(tablePath)` mounts the snapshot's base slices through the
-    * partition-pruning [[GraftFileIndex]] relation (predicates on
-    * `_hoodie_partition_path` prune at listing time; schema from commit
-    * metadata). Options: `asOf` (time travel, ≤ commit ts). Tables with
-    * OUTSTANDING MOR deltas need the window merge, which a file relation
-    * cannot express — rejected with guidance to `GraftTable.snapshot()`
-    * (or compaction); the compacted/COW serving state is the common case
-    * this surface targets. NB: relation column order is data columns then
-    * the partition column (the lakehouse-format layout); use
-    * `GraftTable.snapshot()` for the writer-canonical order. */
+    * .load(tablePath)`. Options: `asOf` (time travel, ≤ commit ts).
+    *
+    * Delta-free snapshots (COW tables, compacted MOR — the common serving
+    * state) mount the base slices through the partition-pruning
+    * [[GraftFileIndex]] relation: full Catalyst file-source planning,
+    * predicates on `_hoodie_partition_path` prune at listing time, schema
+    * from commit metadata. NB: that relation's column order is data columns
+    * then the partition column (the lakehouse-format layout).
+    *
+    * Snapshots with OUTSTANDING MOR deltas (r6) route to
+    * [[graft.read.GraftMorRelation]] — the window merge planned behind the
+    * same surface, with pushed partition predicates pruning the file-GROUP
+    * set on BOTH merge sides before planning (writer-canonical column
+    * order, matching `GraftTable.snapshot()`). The format surface is total:
+    * every table state a `GraftTable` can read, `format("graft")` can too. */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
@@ -60,23 +65,31 @@ final class GraftSourceProvider extends StreamSourceProvider
     val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
     val slices = timeline.latestSlices(asOf).values.toSeq
     require(slices.nonEmpty, s"empty table (no slices) at $basePath")
-    require(slices.forall(_.deltas.isEmpty),
-      s"table at $basePath has file groups with outstanding MOR deltas; " +
-        "the snapshot needs the window merge — read it via " +
-        "GraftTable.snapshot() or compact first")
-    val partFiles = slices.filter(_.relPath.nonEmpty)
-      .groupBy(_.partitionPath).toSeq.sortBy(_._1)
-      .map { case (p, ss) => p -> ss.flatMap(_.relPath)
-        .map(rp => s"$basePath/$rp") }
-    // Schema from commit metadata (O(1)); pre-schema-recording tables fall
-    // back to a footer merge over the planned slices — same policy as
-    // SnapshotReader.
-    val schema = timeline
-      .latestSchemaJson(asOf, Some(graft.format.Instant.CommitAction))
-      .map(sj => DataType.fromJson(sj).asInstanceOf[StructType])
-      .getOrElse(SnapshotReader.evolvedRead(spark,
-        partFiles.flatMap(_._2)).schema)
-    GraftFileIndex.relation(spark, basePath, partFiles, schema)
+    if (slices.forall(_.deltas.isEmpty)) {
+      val partFiles = slices.filter(_.relPath.nonEmpty)
+        .groupBy(_.partitionPath).toSeq.sortBy(_._1)
+        .map { case (p, ss) => p -> ss.flatMap(_.relPath)
+          .map(rp => s"$basePath/$rp") }
+      // Schema from commit metadata (O(1)); pre-schema-recording tables fall
+      // back to a footer merge over the planned slices — same policy as
+      // SnapshotReader.
+      val schema = timeline
+        .latestSchemaJson(asOf, Some(graft.format.Instant.CommitAction))
+        .map(sj => DataType.fromJson(sj).asInstanceOf[StructType])
+        .getOrElse(SnapshotReader.evolvedRead(spark,
+          partFiles.flatMap(_._2)).schema)
+      GraftFileIndex.relation(spark, basePath, partFiles, schema)
+    } else {
+      // Outstanding deltas: the merged snapshot's schema is the table
+      // schema minus the delta-side delete marker.
+      val schema = timeline.latestSchemaJson(asOf)
+        .map(sj => StructType(DataType.fromJson(sj)
+          .asInstanceOf[StructType]
+          .filterNot(_.name == SnapshotReader.IsDeleted)))
+        .getOrElse(StructType(SnapshotReader
+          .merge(spark, basePath, slices, Some(timeline), asOf).schema))
+      new graft.read.GraftMorRelation(spark, basePath, asOf, schema)
+    }
   }
 
   override def sourceSchema(sqlContext: SQLContext,

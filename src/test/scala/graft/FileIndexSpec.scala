@@ -120,20 +120,80 @@ class FileIndexSpec extends SparkSpec {
     val asOf = spark.read.format("graft").option("asOf", Fixtures.C1)
       .load(dir)
     assert(asOf.count() == orders.count())
-    // outstanding MOR deltas cannot be a file relation: rejected w/ guidance
+    // outstanding MOR deltas route to the merged-plan relation (r6) — same
+    // rows as the engine-API snapshot, no compaction precondition
     val morDir = freshDir("orders_format_mor")
     val mw = new graft.write.MorWriter(spark, morDir, numBuckets = 2)
     mw.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
     mw.upsert(orders.limit(10), col("o_orderkey"), col("o_orderstatus"),
       Fixtures.C2)
-    val err = intercept[IllegalArgumentException] {
-      spark.read.format("graft").load(morDir)
-    }
-    assert(err.getMessage.contains("outstanding MOR deltas"))
-    // after compaction the format surface serves it
+    val viaFormat = spark.read.format("graft").load(morDir)
+    val viaApi = SnapshotReader.read(spark, morDir)
+      .select(viaFormat.columns.map(col).toIndexedSeq: _*)
+    assert(viaFormat.exceptAll(viaApi).isEmpty &&
+      viaApi.exceptAll(viaFormat).isEmpty)
+    // after compaction the format surface serves the plain file relation
     mw.compact(Fixtures.C3)
     assert(spark.read.format("graft").load(morDir).count() ==
       orders.count())
+  }
+
+  test("format MOR read: pushed partition predicate prunes BOTH merge sides at metadata level") {
+    val dir = freshDir("orders_format_mor_prune")
+    val mw = new graft.write.MorWriter(spark, dir, numBuckets = 2)
+    mw.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    // leave deltas OUTSTANDING so the format read plans the window merge
+    mw.upsert(orders.filter($"o_orderkey" % 5 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1),
+      col("o_orderkey"), col("o_orderstatus"), Fixtures.C2)
+
+    val df = spark.read.format("graft").load(dir)
+    val filtered = df.filter(col(MetaCols.PartitionPath) === "F")
+    val viaParam = SnapshotReader.read(spark, dir, partitions = Seq("F"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+    assert(filtered.count() > 0)
+    assert(filtered.exceptAll(viaParam).isEmpty &&
+      viaParam.exceptAll(filtered).isEmpty)
+
+    // the relation must have planned ONLY partition F's files (base AND
+    // delta) — a strict subset of the unfiltered read's planning
+    val rel = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.collectFirst { case r: graft.read.GraftMorRelation => r }.get
+    val prunedFiles = rel.lastPlannedFiles
+    assert(prunedFiles.nonEmpty && prunedFiles.forall(_.contains("/F/")),
+      s"pruned MOR planning leaked non-F slices: $prunedFiles")
+    assert(prunedFiles.exists(_.contains(".delta.")),
+      "expected outstanding delta files in the pruned F planning")
+    df.count() // unfiltered: plans every partition's files
+    val allFiles = rel.lastPlannedFiles
+    assert(prunedFiles.size < allFiles.size,
+      s"pruning planned ${prunedFiles.size}/${allFiles.size} files")
+
+    // a filter selecting NO partition is empty rows, not an error
+    assert(df.filter(col(MetaCols.PartitionPath) === "NOPE").count() == 0)
+  }
+
+  test("GraftMorRelation.partitionValues: sound conjunct extraction only") {
+    import org.apache.spark.sql.sources._
+    import graft.read.GraftMorRelation.partitionValues
+    val P = MetaCols.PartitionPath
+    assert(partitionValues(Array(EqualTo(P, "F"))) == Some(Set("F")))
+    assert(partitionValues(Array(In(P, Array("F", "O")))) ==
+      Some(Set("F", "O")))
+    // top-level filters AND together: intersection
+    assert(partitionValues(Array(In(P, Array("F", "O")), EqualTo(P, "O"))) ==
+      Some(Set("O")))
+    assert(partitionValues(
+      Array(And(EqualTo(P, "F"), GreaterThan("o_totalprice", 0)))) ==
+      Some(Set("F")))
+    // unsound shapes must NOT prune
+    assert(partitionValues(
+      Array(Or(EqualTo(P, "F"), EqualTo("o_orderstatus", "O")))).isEmpty)
+    assert(partitionValues(Array(Not(EqualTo(P, "F")))).isEmpty)
+    assert(partitionValues(Array(IsNotNull(P))).isEmpty)
+    assert(partitionValues(Array(GreaterThan("o_totalprice", 0))).isEmpty)
   }
 
   test("snapshot schema == recorded commit schema (column order preserved)") {

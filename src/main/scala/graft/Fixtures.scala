@@ -77,6 +77,32 @@ object Fixtures {
   /** Build both fixtures up front (Bench calls this before timing). */
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
+    formatRtDir(spark, sfDir)
+  }
+
+  /** Table created ENTIRELY through the write format surface
+    * (`df.write.format("graft")`): C1 bulk insert of orders, C2 append
+    * upserting keys %10==3 with o_totalprice += 100000 (same arithmetic as
+    * the C3 script, so the oracle mirrors it 1:1). Exercises mode semantics
+    * (Overwrite create, Append upsert) and the recorded-buckets pin. */
+  def formatRtDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_fmt"
+    if (!complete(spark, dir, 2)) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = col("o_orderkey")
+      orders.write.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+        .option("buckets", "8").option("ts", C1)
+        .mode("overwrite").save(dir)
+      orders.filter(k % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000)
+        .write.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+        .option("ts", C2) // no buckets option: the recorded count applies
+        .mode("append").save(dir)
+    }
+    dir
   }
 
   /** IVF-partitioned ANN serving table over the embeddings corpus (one

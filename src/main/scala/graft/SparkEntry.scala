@@ -81,6 +81,11 @@ object SparkEntry {
     "q_snapshot_format_mor_part" -> ((s, d) =>
       payload(s.read.format("graft").load(Fixtures.morDir(s, d))
         .filter(col(graft.format.MetaCols.PartitionPath) === "F"))),
+    // Write-path round trip (r6): a table created and appended to entirely
+    // through df.write.format("graft") (insert + upsert commits), read back
+    // through the same format surface under the oracle gate.
+    "q_format_roundtrip" -> ((s, d) =>
+      payload(s.read.format("graft").load(Fixtures.formatRtDir(s, d)))),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -647,6 +652,11 @@ object SparkEntry {
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
     "q_snapshot_format_mor_part" ->
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 AND o_orderstatus = 'F' ORDER BY o_orderkey",
+    // no delete precedes the update in this fixture: every %10==3 key is hit
+    "q_format_roundtrip" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey"),
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_incremental_cow" ->

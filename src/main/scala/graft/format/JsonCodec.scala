@@ -33,6 +33,10 @@ object JsonCodec {
     root.put("totalRecordsDeleted", m.totalRecordsDeleted)
     root.put("totalRecordsWritten", m.totalRecordsWritten)
     m.schemaJson.foreach(root.put("schema", _))
+    if (m.extra.nonEmpty) {
+      val ex = root.putObject("extraMetadata")
+      m.extra.toSeq.sortBy(_._1).foreach { case (k, v) => ex.put(k, v) }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -56,11 +60,17 @@ object JsonCodec {
       }.toSeq
       e.getKey -> stats
     }.toMap
+    val extra = root.get("extraMetadata") match {
+      case o: ObjectNode => o.fields().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+      case _ => Map.empty[String, String] // pre-extra commits
+    }
     CommitMetadata(
       partitionToWriteStats = m,
       operationType = root.get("operationType").asText(),
       totalRecordsDeleted = root.get("totalRecordsDeleted").asLong(),
       totalRecordsWritten = root.get("totalRecordsWritten").asLong(),
-      schemaJson = optStr(root, "schema"))
+      schemaJson = optStr(root, "schema"),
+      extra = extra)
   }
 }

@@ -87,9 +87,24 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
     })
 
   /** Atomically record a completed commit: write `<ts>.<action>.inflight`,
-    * then rename to `<ts>.<action-suffix>`. */
+    * then rename to `<ts>.<action-suffix>`.
+    *
+    * Timestamp format is VALIDATED here: all digits, and the same width as
+    * every commit already on the timeline. Everything downstream — instant
+    * ordering, `asOf` bounds, incremental ranges, streaming offsets (which
+    * compare commit ts strings against a `"0"` sentinel) — relies on
+    * lexicographic order == numeric order, which only holds at fixed
+    * width; enforcing it at the single write point keeps every reader
+    * honest. */
   def saveCommit(ts: String, meta: CommitMetadata,
       action: String = Instant.CommitAction): Unit = {
+    require(ts.nonEmpty && ts.forall(_.isDigit),
+      s"commit ts must be numeric (digits only), got '$ts'")
+    completedInstants().headOption.foreach(first => require(
+      ts.length == first.ts.length,
+      s"commit ts '$ts' (width ${ts.length}) does not match the table's " +
+        s"ts width ${first.ts.length} ('${first.ts}'): mixed widths break " +
+        "lexicographic instant ordering"))
     fs.mkdirs(hoodieDir)
     val suffix = suffixOf(action)
     val tmp = new Path(hoodieDir, ts + suffix + ".inflight")

@@ -52,13 +52,19 @@ final case class WriteStat(
   *                   evolution the newest writer schema is a superset of all
   *                   older slices'. None on commits written before schema
   *                   recording (readers fall back to footer merge).
+  * @param extra      free-form writer annotations (Hudi's commit
+  *                   `extraMetadata` analog). Used by the streaming format
+  *                   sink to record the micro-batch id each commit belongs
+  *                   to (the exactly-once replay gate) and by the batch
+  *                   format writer to pin the table's bucket count.
   */
 final case class CommitMetadata(
     partitionToWriteStats: Map[String, Seq[WriteStat]],
     operationType: String,
     totalRecordsDeleted: Long,
     totalRecordsWritten: Long,
-    schemaJson: Option[String] = None) {
+    schemaJson: Option[String] = None,
+    extra: Map[String, String] = Map.empty) {
 
   /** All stats, flattened with their partition path. */
   def allStats: Seq[(String, WriteStat)] =

@@ -2,11 +2,12 @@ package graft.streaming
 
 import graft.format.Timeline
 import graft.read.{GraftFileIndex, IncrementalReader, SnapshotReader}
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** `spark.readStream.format("graft").load(tablePath)` — the table
@@ -37,9 +38,35 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * timeline is the only correct change log.
   */
 final class GraftSourceProvider extends StreamSourceProvider
-    with RelationProvider with DataSourceRegister {
+    with RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** Batch write surface: `df.write.format("graft").option("key", …)
+    * .option("partition", …).mode(…).save(tablePath)` — see
+    * [[graft.write.FormatWriter]] for options and mode semantics. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val basePath = GraftSourceProvider.path(parameters)
+    graft.write.FormatWriter.write(sqlContext.sparkSession, basePath, mode,
+      parameters, data)
+    createRelation(sqlContext, parameters)
+  }
+
+  /** Streaming sink surface: `writeStream.format("graft")` — one commit
+    * per micro-batch, exactly-once via batch ids recorded in commit
+    * metadata ([[graft.write.GraftStreamSink]]). Append output mode only
+    * (a table upsert IS an append of changes; Update/Complete modes would
+    * re-emit aggregated state the table contract doesn't model). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode")
+    new graft.write.GraftStreamSink(sqlContext.sparkSession,
+      GraftSourceProvider.path(parameters), parameters)
+  }
 
   /** Batch side of the format surface: `spark.read.format("graft")
     * .load(tablePath)`. Options: `asOf` (time travel, ≤ commit ts).

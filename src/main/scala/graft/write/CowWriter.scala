@@ -61,8 +61,10 @@ final class CowWriter(
       .select((MetaCols.all.map(col) ++ payloadCols.map(col) :+ col(FidCol)): _*)
   }
 
-  /** First commit: bulk insert `df` as the table's initial file slices. */
-  def insert(df: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit = {
+  /** First commit: bulk insert `df` as the table's initial file slices.
+    * `extra` lands in the commit's extraMetadata (format-writer/sink use). */
+  def insert(df: DataFrame, keyCol: Column, partCol: Column, ts: String,
+      extra: Map[String, String] = Map.empty): Unit = {
     require(timeline.completedInstants().isEmpty,
       s"insert() creates a table; $basePath already has commits")
     val data = withMeta(df, keyCol, partCol, ts)
@@ -74,7 +76,7 @@ final class CowWriter(
         numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = n)
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
-      schema = data.drop(FidCol).schema)
+      schema = data.drop(FidCol).schema, extra = extra)
   }
 
   /** Upsert + delete in one commit (COW: affected file groups are fully
@@ -86,7 +88,8 @@ final class CowWriter(
     *                partition derivation matter); may be empty
     */
   def commit(updates: Option[DataFrame], deletes: Option[DataFrame],
-      keyCol: Column, partCol: Column, ts: String): Unit = {
+      keyCol: Column, partCol: Column, ts: String,
+      extra: Map[String, String] = Map.empty): Unit = {
     require(timeline.completedInstants().nonEmpty,
       s"commit() needs an existing table at $basePath; call insert() first")
 
@@ -185,14 +188,16 @@ final class CowWriter(
     }
 
     saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
-      op = "UPSERT", schema = newData.drop(FidCol).schema)
+      op = "UPSERT", schema = newData.drop(FidCol).schema, extra = extra)
   }
 
-  def upsert(updates: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit =
-    commit(Some(updates), None, keyCol, partCol, ts)
+  def upsert(updates: DataFrame, keyCol: Column, partCol: Column, ts: String,
+      extra: Map[String, String] = Map.empty): Unit =
+    commit(Some(updates), None, keyCol, partCol, ts, extra)
 
-  def delete(rows: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit =
-    commit(None, Some(rows), keyCol, partCol, ts)
+  def delete(rows: DataFrame, keyCol: Column, partCol: Column, ts: String,
+      extra: Map[String, String] = Map.empty): Unit =
+    commit(None, Some(rows), keyCol, partCol, ts, extra)
 
   private def writeSlices(data: DataFrame, ts: String)
       : Map[(String, String), (String, Long)] =
@@ -201,7 +206,8 @@ final class CowWriter(
 
   private def saveCommit(ts: String, stats: Iterable[(String, WriteStat)],
       totalDeleted: Long, op: String,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      extra: Map[String, String] = Map.empty): Unit = {
     val byPart = stats.groupBy(_._1).view
       .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
     timeline.saveCommit(ts, CommitMetadata(
@@ -209,7 +215,8 @@ final class CowWriter(
       operationType = op,
       totalRecordsDeleted = totalDeleted,
       totalRecordsWritten = stats.map(_._2.numWrites).sum,
-      schemaJson = Some(schema.json)))
+      schemaJson = Some(schema.json),
+      extra = extra))
   }
 }
 

@@ -1,0 +1,153 @@
+package graft.write
+
+import graft.format.Timeline
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Write half of the `graft` format surface — the engine behind
+  * `df.write.format("graft")` (batch) and `writeStream.format("graft")`
+  * (streaming sink), both dispatched from
+  * [[graft.streaming.GraftSourceProvider]].
+  *
+  * Options: `key` (record-key column, REQUIRED), `partition` (partition
+  * column, REQUIRED), `buckets` (file groups per partition; defaults to the
+  * count recorded in the table's commit metadata, else 8), `ts` (explicit
+  * commit timestamp — tests/fixtures; defaults to a wall-clock timestamp
+  * bumped past the newest commit).
+  *
+  * Batch modes map to table operations, not directory semantics:
+  * Append = upsert-by-key into the existing table (insert when the table
+  * doesn't exist yet), Overwrite = recreate the table from scratch (the
+  * INSERT_OVERWRITE_TABLE analog — prior history is dropped),
+  * ErrorIfExists/Ignore behave as named. All data movement goes through
+  * [[CowWriter]]: one distributed job per commit, driver handles only
+  * file names and commit JSON.
+  *
+  * The reference has no write path at all (it reads Hudi tables others
+  * wrote) — this is a beyond-reference surface completing the format.
+  */
+private[graft] object FormatWriter {
+
+  /** Commit-extra key carrying the micro-batch id a streaming-sink commit
+    * belongs to — the exactly-once replay gate (the commit log plays the
+    * role of the file sink's `_spark_metadata` batch log). */
+  val BatchIdKey = "streaming.batchId"
+
+  /** Commit-extra key pinning the table's bucket count at creation, so
+    * later appends can't silently re-bucket keys across file groups. */
+  val BucketsKey = "buckets"
+
+  private def required(parameters: Map[String, String], name: String): String =
+    parameters.getOrElse(name, throw new IllegalArgumentException(
+      s"""graft write requires .option("$name", <column name>)"""))
+
+  /** Bucket count: explicit option, else the count recorded at table
+    * creation, else 8. An explicit option that CONTRADICTS the recorded
+    * count is an error — re-bucketing survivors of partially rewritten
+    * tables would break the key↔file-group invariant. */
+  private def buckets(parameters: Map[String, String],
+      timeline: Timeline): Int = {
+    val recorded = timeline.completedInstants().headOption
+      .flatMap(i => timeline.metadata(i.ts).extra.get(BucketsKey))
+      .map(_.toInt)
+    val opt = parameters.get(BucketsKey).map(_.toInt)
+    (opt, recorded) match {
+      case (Some(o), Some(r)) if o != r => throw new IllegalArgumentException(
+        s"buckets=$o contradicts the table's recorded bucket count $r")
+      case (o, r) => o.orElse(r).getOrElse(8)
+    }
+  }
+
+  /** Next commit ts: wall clock (14-digit yyyyMMddHHmmss, UTC) when it
+    * sorts after the newest commit at the table's ts width; otherwise the
+    * newest commit numerically +1 at fixed width (sub-second successive
+    * commits, or tables on a different ts convention). */
+  private[graft] def nextTs(timeline: Timeline): String = {
+    val clock = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    timeline.completedInstants().lastOption.map(_.ts) match {
+      case None => clock
+      case Some(last) if clock.length == last.length && clock > last => clock
+      case Some(last) =>
+        val bumped = (BigInt(last) + 1).toString
+        require(bumped.length <= last.length,
+          s"commit ts overflow bumping past $last")
+        ("0" * (last.length - bumped.length)) + bumped
+    }
+  }
+
+  /** Batch write (`df.write.format("graft").mode(...)`). */
+  def write(spark: SparkSession, basePath: String, mode: SaveMode,
+      parameters: Map[String, String], df: DataFrame): Unit = {
+    val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val exists = timeline.completedInstants().nonEmpty
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft table already exists at $basePath (mode=ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Overwrite =>
+        if (exists) { // table recreate: INSERT_OVERWRITE_TABLE semantics
+          val p = new org.apache.hadoop.fs.Path(basePath)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
+        append(spark, basePath, parameters, df, Map.empty)
+      case _ => // Append, or first write under any mode
+        append(spark, basePath, parameters, df, Map.empty)
+    }
+  }
+
+  /** Insert-or-upsert one commit (shared by batch Append and the streaming
+    * sink). Duplicate keys WITHIN `df` are the caller's bug (Hudi's
+    * record-key uniqueness contract — same as CowWriter's). */
+  def append(spark: SparkSession, basePath: String,
+      parameters: Map[String, String], df: DataFrame,
+      extra: Map[String, String]): Unit = {
+    val key = required(parameters, "key")
+    val part = required(parameters, "partition")
+    val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val nb = buckets(parameters, timeline)
+    val w = new CowWriter(spark, basePath, nb)
+    val ts = parameters.getOrElse("ts", nextTs(timeline))
+    if (timeline.completedInstants().isEmpty)
+      w.insert(df, col(key), col(part), ts,
+        extra = extra + (BucketsKey -> nb.toString))
+    else
+      w.upsert(df, col(key), col(part), ts, extra = extra)
+  }
+}
+
+/** V1 streaming sink: each micro-batch becomes ONE table commit tagged with
+  * its batch id in the commit's extraMetadata. Exactly-once under the
+  * engine's replay contract: after a restart the engine re-runs the last
+  * possibly-uncommitted batch with the SAME batch id — `addBatch` looks the
+  * id up on the timeline and skips the replay, so a batch never lands
+  * twice (the commit log IS the sink's batch log, no `_spark_metadata`
+  * sidecar). Empty micro-batches are skipped entirely (no empty commits;
+  * a replayed empty batch skips again — still exactly-once).
+  *
+  * Pairs with the r5 source: `readStream.format("graft")` →
+  * `writeStream.format("graft")` tails one table into another with
+  * per-commit exactly-once on both ends. */
+private[graft] final class GraftStreamSink(spark: SparkSession,
+    basePath: String, parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = synchronized {
+    val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val replay = timeline.completedInstants().exists(i =>
+      timeline.metadata(i.ts).extra.get(FormatWriter.BatchIdKey)
+        .contains(batchId.toString))
+    if (replay) return
+    // addBatch's frame wraps the planned IncrementalExecution — re-mount as
+    // a batch frame so the writer can run ordinary batch jobs over it.
+    val batch = org.apache.spark.sql.graft.Bridge
+      .sinkBatchDataFrame(spark, data)
+    if (batch.isEmpty) return
+    FormatWriter.append(spark, basePath, parameters, batch,
+      extra = Map(FormatWriter.BatchIdKey -> batchId.toString))
+  }
+
+  override def toString: String = s"GraftStreamSink[$basePath]"
+}

@@ -8,10 +8,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Access bridge for `private[sql]` internals — the supported pattern for
   * libraries that register native Catalyst expressions and custom relations
-  * without going through string-parsed surfaces. Kept to three minimal
-  * forwarders (Column↔Expression, and LogicalPlan→DataFrame for mounting
-  * the partition-pruning [[graft.read.GraftFileIndex]] relation); everything
-  * else in this project lives under the `graft` namespace. */
+  * without going through string-parsed surfaces. Kept to five minimal
+  * forwarders (Column↔Expression, LogicalPlan→DataFrame for mounting the
+  * partition-pruning [[graft.read.GraftFileIndex]] relation, and the two
+  * batch↔streaming frame re-mounts the V1 Source/Sink contracts need);
+  * everything else in this project lives under the `graft` namespace. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
@@ -25,5 +26,18 @@ object Bridge {
     val s = spark.asInstanceOf[classic.SparkSession]
     s.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
       isStreaming = true)
+  }
+
+  /** The inverse direction, for V1 STREAMING SINKS: `Sink.addBatch` hands
+    * over a frame wrapping the already-planned IncrementalExecution whose
+    * LOGICAL plan still carries streaming sources, so any new
+    * transformation on it trips the streaming-plan checker. Re-mounting
+    * the planned rows as a plain batch frame (rows copied out of the
+    * reused unsafe buffers) lets the sink run ordinary batch writes —
+    * the standard V1-sink pattern. */
+  def sinkBatchDataFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    s.internalCreateDataFrame(df.queryExecution.toRdd.map(_.copy()),
+      df.schema, isStreaming = false)
   }
 }

@@ -28,9 +28,9 @@ class FormatSpec extends AnyFunSuite {
     val fs = new CountingFs(FileSystem.getLocal(new Configuration()))
     val t = new Timeline(fs, new Path(dir))
     (1 to nCommits).foreach { i =>
-      t.saveCommit(s"t$i", CommitMetadata(
+      t.saveCommit(s"100$i", CommitMetadata(
         partitionToWriteStats = Map("P" -> Seq(
-          WriteStat(s"P-0", Some(s"P/P-0_t$i.parquet"), None, 1, 0, 0, 1))),
+          WriteStat(s"P-0", Some(s"P/P-0_100$i.parquet"), None, 1, 0, 0, 1))),
         operationType = "INSERT", totalRecordsDeleted = 0,
         totalRecordsWritten = 1))
     }
@@ -40,22 +40,39 @@ class FormatSpec extends AnyFunSuite {
   private val meta = CommitMetadata(
     partitionToWriteStats = Map(
       "A" -> Seq(
-        WriteStat("A-0", Some("A/A-0_t2.parquet"), Some("t1"), 10, 2, 3, 0),
-        WriteStat("A-1", None, Some("t1"), 0, 5, 0, 0)),
+        WriteStat("A-0", Some("A/A-0_1002.parquet"), Some("1001"), 10, 2, 3, 0),
+        WriteStat("A-1", None, Some("1001"), 0, 5, 0, 0)),
       "R" -> Seq(
-        WriteStat("R-0", Some("R/R-0_t2.parquet"), None, 7, 0, 0, 7))),
+        WriteStat("R-0", Some("R/R-0_1002.parquet"), None, 7, 0, 0, 7))),
     operationType = "UPSERT",
     totalRecordsDeleted = 7,
-    totalRecordsWritten = 17)
+    totalRecordsWritten = 17,
+    extra = Map("streaming.batchId" -> "7", "buckets" -> "4"))
 
-  test("commit metadata JSON round-trips exactly") {
+  test("commit metadata JSON round-trips exactly (incl. extraMetadata)") {
     val json = JsonCodec.toJson(meta)
     assert(JsonCodec.fromJson(json) == meta)
+    // pre-extra commit files (no extraMetadata field) decode to empty map
+    val legacy = JsonCodec.toJson(meta.copy(extra = Map.empty))
+    assert(!legacy.contains("extraMetadata"))
+    assert(JsonCodec.fromJson(legacy).extra.isEmpty)
+  }
+
+  test("saveCommit validates ts: digits only, fixed width per table") {
+    val (_, t) = freshTable(nCommits = 1)
+    def commit(ts: String): Unit = t.saveCommit(ts, CommitMetadata(
+      partitionToWriteStats = Map.empty, operationType = "INSERT",
+      totalRecordsDeleted = 0, totalRecordsWritten = 0))
+    intercept[IllegalArgumentException](commit("t2"))      // non-numeric
+    intercept[IllegalArgumentException](commit("20260101000000")) // width≠4
+    intercept[IllegalArgumentException](commit(""))        // empty
+    commit("1002") // matching width: fine
+    assert(t.completedInstants().map(_.ts) == Seq("1001", "1002"))
   }
 
   test("statByFileId finds stats across partitions") {
     assert(meta.statByFileId("R-0").map(_._1).contains("R"))
-    assert(meta.statByFileId("A-1").flatMap(_._2.prevCommit).contains("t1"))
+    assert(meta.statByFileId("A-1").flatMap(_._2.prevCommit).contains("1001"))
     assert(meta.statByFileId("nope").isEmpty)
   }
 
@@ -67,7 +84,7 @@ class FormatSpec extends AnyFunSuite {
     val (fs, t) = freshTable(nCommits = 5)
     fs.lists = 0
     val slices = t.latestSlices(None)
-    assert(slices("P-0").commitTs == "t5")
+    assert(slices("P-0").commitTs == "1005")
     assert(fs.lists == 1, s"expected 1 listing, saw ${fs.lists}")
     t.latestSlices(None) // memo serves the second walk entirely
     assert(fs.lists == 1)
@@ -78,13 +95,13 @@ class FormatSpec extends AnyFunSuite {
 
   test("saveCommit invalidates the instant-listing memo") {
     val (_, t) = freshTable(nCommits = 1)
-    assert(t.completedInstants().map(_.ts) == Seq("t1"))
-    t.saveCommit("t2", CommitMetadata(
+    assert(t.completedInstants().map(_.ts) == Seq("1001"))
+    t.saveCommit("1002", CommitMetadata(
       partitionToWriteStats = Map("P" -> Seq(
-        WriteStat("P-0", Some("P/P-0_t2.parquet"), Some("t1"), 1, 0, 1, 0))),
+        WriteStat("P-0", Some("P/P-0_1002.parquet"), Some("1001"), 1, 0, 1, 0))),
       operationType = "UPSERT", totalRecordsDeleted = 0,
       totalRecordsWritten = 1))
-    assert(t.completedInstants().map(_.ts) == Seq("t1", "t2"))
+    assert(t.completedInstants().map(_.ts) == Seq("1001", "1002"))
   }
 
   test("metadata FS reads survive one injected transient failure") {
@@ -93,11 +110,11 @@ class FormatSpec extends AnyFunSuite {
     fs.failNext = 1 // first listStatus throws; retryOnce recovers
     assert(t.completedInstants().size == 2)
     fs.failNext = 1 // first open throws; retryOnce recovers
-    assert(t.metadata("t2").operationType == "INSERT")
+    assert(t.metadata("1002").operationType == "INSERT")
     // two consecutive failures exceed the single bounded retry
     val t2 = new Timeline(fs, t.basePath)
     t2.completedInstants()
     fs.failNext = 2
-    intercept[java.io.IOException](t2.metadata("t1"))
+    intercept[java.io.IOException](t2.metadata("1001"))
   }
 }

@@ -74,6 +74,45 @@ class SqlSurfaceSpec extends SparkSpec {
       .as[Long].head() == 0)
   }
 
+  test("SQL DDL: CREATE TABLE ... USING graft serves the snapshot through the catalog") {
+    val dir = Fixtures.cowDir(spark, sf0001)
+    spark.sql("DROP TABLE IF EXISTS g_orders")
+    // schema comes from the relation (commit metadata) — none declared here
+    spark.sql(s"CREATE TABLE g_orders USING graft OPTIONS (path '$dir')")
+    try {
+      val viaSql = spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM g_orders")
+      val viaApi = graft.read.SnapshotReader.read(spark, dir)
+        .select("o_orderkey", "o_totalprice")
+      assert(viaSql.exceptAll(viaApi).isEmpty &&
+        viaApi.exceptAll(viaSql).isEmpty)
+      // catalog reads keep listing-time partition pruning: the predicate
+      // must reach the FileIndex as a partitionFilter
+      val filtered = spark.sql("SELECT o_orderkey FROM g_orders " +
+        s"WHERE ${graft.format.MetaCols.PartitionPath} = 'F'")
+      val scans = filtered.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        "catalog-table read lost partition pruning")
+      assert(filtered.count() == graft.read.SnapshotReader
+        .read(spark, dir, partitions = Seq("F")).count())
+      // MOR with outstanding deltas through the catalog (merged relation)
+      val morDir = freshDir("sql_ddl_mor")
+      val mw = new graft.write.MorWriter(spark, morDir, numBuckets = 2)
+      val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(200)
+      mw.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+      mw.upsert(orders.limit(20), col("o_orderkey"), col("o_orderstatus"),
+        Fixtures.C2)
+      spark.sql("DROP TABLE IF EXISTS g_orders_mor")
+      spark.sql(
+        s"CREATE TABLE g_orders_mor USING graft OPTIONS (path '$morDir')")
+      try assert(spark.sql("SELECT count(*) FROM g_orders_mor")
+        .as[Long].head() == orders.count())
+      finally spark.sql("DROP TABLE g_orders_mor")
+    } finally spark.sql("DROP TABLE g_orders")
+  }
+
   test("randomized: delete view == exactly the randomly deleted rows") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .limit(300).cache()

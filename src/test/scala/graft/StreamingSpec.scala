@@ -157,6 +157,78 @@ class TableTailSpec extends SparkSpec {
       orders.select("o_orderkey").as[Long].collect().sorted.toSeq,
       "second run must deliver exactly commit C3's rows")
   }
+
+  test("graft sink: graft source drains into writeStream.format(\"graft\") exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = freshDir("sink_src_cow")
+    val dst = freshDir("sink_dst_tbl")
+    val ckpt = freshDir("sink_ckpt")
+    val payloadCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(300)
+      .select(payloadCols.map(col): _*)
+    val w = new CowWriter(spark, src, numBuckets = 2)
+    val k = col("o_orderkey")
+    w.insert(orders.filter(k % 3 === 0), k, col("o_orderstatus"), Fixtures.C1)
+    w.upsert(orders.filter(k % 3 === 1), k, col("o_orderstatus"), Fixtures.C2)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxCommitsPerBatch", "1") // one source commit per batch
+        .load(src)
+        .select(payloadCols.map(col): _*)
+        .writeStream.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination(120000)
+    }
+    def dstCommits() = graft.format.Timeline(
+      spark.sessionState.newHadoopConf(), dst).completedInstants()
+    def dstBatchIds() = {
+      val tl = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), dst)
+      tl.completedInstants().flatMap(i =>
+        tl.metadata(i.ts).extra.get("streaming.batchId"))
+    }
+    def dstRows() = spark.read.format("graft").load(dst)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+
+    runOnce()
+    // one sink commit per micro-batch, each tagged with a DISTINCT batch id
+    assert(dstCommits().size == 2 && dstBatchIds() == Seq("0", "1"))
+    assert(dstRows() == orders.filter(k % 3 <= 1)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq)
+
+    // restart with no new source commits: no new sink commits
+    runOnce()
+    assert(dstCommits().size == 2, "idle restart wrote sink commits")
+
+    // an engine REPLAY re-runs a batch id the sink already committed — the
+    // commit-metadata gate must skip it (exactly-once), and a fresh id with
+    // the same rows must go through (it's the id, not the data, that gates)
+    val sink = new graft.write.GraftStreamSink(spark, dst,
+      Map("key" -> "o_orderkey", "partition" -> "o_orderstatus"))
+    sink.addBatch(1L, orders.filter(k % 3 === 1))
+    assert(dstCommits().size == 2, "replayed batch id landed twice")
+    sink.addBatch(7L, orders.filter(k % 3 === 1))
+    assert(dstCommits().size == 3 && dstBatchIds().contains("7"))
+
+    // a new source commit drains as the next batch; the sink upserts by
+    // key, so the destination converges to the source snapshot
+    w.upsert(orders.filter(k % 3 === 2), k, col("o_orderstatus"), Fixtures.C3)
+    runOnce()
+    assert(dstRows() == orders.select("o_orderkey").as[Long]
+      .collect().sorted.toSeq)
+    // destination payload == source snapshot payload, row for row
+    val dstPayload = spark.read.format("graft").load(dst)
+      .select(payloadCols.map(col): _*)
+    val srcPayload = graft.read.SnapshotReader.read(spark, src)
+      .select(payloadCols.map(col): _*)
+    assert(dstPayload.exceptAll(srcPayload).isEmpty &&
+      srcPayload.exceptAll(dstPayload).isEmpty)
+  }
 }
 
 import graft.streaming.EventStream

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DistinctShingleHashes, LongArrayDot, MinHashAgg, NearestCentroids, SimHashAgg, WinnowHashes}
+import graft.functions.{DistinctShingleHashes, LongArrayDot, MinHashAgg, NearestCentroids, SimHashAgg, VectorMeanAgg, WinnowHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -28,29 +28,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   /** Evaluate a foldable argument to the Int literal the expression's
-    * constructor needs (SQL surface passes widths/counts as literals). */
-  private def litInt(e: Expression, what: String): Int = e.eval() match {
-    case i: Int => i
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+    * constructor needs (SQL surface passes widths/counts as literals).
+    * Foldability is checked BEFORE eval so a non-constant argument fails
+    * with this message, not an Unevaluable internal error. */
+  private def litInt(e: Expression, what: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be an integer literal, got non-constant expression $e")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 
   /** Evaluate a foldable `array<array<double|float>>` argument to the
     * centroid matrix [[NearestCentroids]] carries on its node (the SQL
-    * surface passes centroids as one array literal — constant-size plan). */
+    * surface passes centroids as one array literal — constant-size plan).
+    * Mirrors [[litInt]]: non-constant or null-containing input fails with
+    * a clear message, not an Unevaluable/NullPointer internal error. */
   private def litMatrix(e: Expression): Seq[Seq[Double]] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"centroids must be an array literal, got non-constant expression $e")
     val rows = e.eval() match {
       case ad: ArrayData => ad
+      case null => throw new IllegalArgumentException(
+        "centroids must be a non-null array<array<double>> literal")
       case other => throw new IllegalArgumentException(
         s"centroids must be an array<array<double>> literal, got $other")
+    }
+    require((0 until rows.numElements()).forall(!rows.isNullAt(_)),
+      "centroids matrix must not contain null rows")
+    def noNullElems(row: ArrayData): ArrayData = {
+      require((0 until row.numElements()).forall(!row.isNullAt(_)),
+        "centroids matrix must not contain null elements")
+      row
     }
     e.dataType match {
       case ArrayType(ArrayType(DoubleType, _), _) =>
         rows.toObjectArray(ArrayType(DoubleType)).toSeq
-          .map(_.asInstanceOf[ArrayData].toDoubleArray().toSeq)
+          .map(r => noNullElems(r.asInstanceOf[ArrayData])
+            .toDoubleArray().toSeq)
       case ArrayType(ArrayType(FloatType, _), _) =>
         rows.toObjectArray(ArrayType(FloatType)).toSeq
-          .map(_.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble).toSeq)
+          .map(r => noNullElems(r.asInstanceOf[ArrayData])
+            .toFloatArray().map(_.toDouble).toSeq)
       case other => throw new IllegalArgumentException(
         s"centroids must be array<array<double>> or array<array<float>>, " +
           s"got $other")
@@ -76,7 +97,10 @@ object GraftExtensions {
         SimHashAgg(cs.head, litInt(cs(1), "bits"))),
     "nearest_centroids" ->
       ((cs: Seq[Expression]) =>
-        NearestCentroids(cs.head, litMatrix(cs(1)), litInt(cs(2), "nprobe"))))
+        NearestCentroids(cs.head, litMatrix(cs(1)), litInt(cs(2), "nprobe"))),
+    "vector_mean" ->
+      ((cs: Seq[Expression]) =>
+        VectorMeanAgg(cs.head, litInt(cs(1), "dim"))))
 
   /** Install every native function on a live session. */
   def registerAll(spark: SparkSession): Unit =

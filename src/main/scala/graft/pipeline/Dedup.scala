@@ -581,22 +581,36 @@ object Dedup {
     * O(diameter). Each round costs two hash joins + one aggregate over the
     * EDGE set; at 100 TB the edges are the verified near-dup pairs —
     * orders of magnitude smaller than the corpus — and every round's
-    * result is truncated via eager `localCheckpoint` so the iterative
-    * lineage never compounds (swap for reliable checkpointing on a
-    * cluster). The round count is driven by a convergence count, the only
-    * driver-side value.
+    * result is eagerly truncated so the iterative lineage never compounds:
+    * `localCheckpoint` by default (executor-local blocks, fast), or
+    * RELIABLE checkpointing when `checkpointDir` is set — the cluster
+    * production setting, surviving executor loss mid-job. The round count
+    * is driven by a convergence count, the only driver-side value.
     *
     * Output: (doc_id, cluster_id), one row per distinct id in `pairs`;
     * docs in no pair are their own implicit singleton cluster (absent
     * here — see [[dropIdsFromClusters]]). */
-  def clusters(pairs: DataFrame, idA: Column, idB: Column): DataFrame = {
+  def clusters(pairs: DataFrame, idA: Column, idB: Column,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Per-round lineage truncation: localCheckpoint (executor-local blocks,
+    // fast, default) or — when `checkpointDir` is given — RELIABLE
+    // checkpointing to that path, surviving executor loss mid-job: the
+    // production setting on a cluster, where a lost executor would
+    // otherwise force recomputing the whole iterative chain.
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val e0 = pairs.select(idA.cast("long").as("src"),
       idB.cast("long").as("dst"))
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(eager = true) // reused every round
-    var lbl = edges.groupBy("src").agg(min("dst").as("nmin"))
-      .select(col("src").as("id"), least(col("src"), col("nmin")).as("lbl"))
-      .localCheckpoint(eager = true)
+    val edges = truncate(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()) // reused every round
+    var lbl = truncate(
+      edges.groupBy("src").agg(min("dst").as("nmin"))
+        .select(col("src").as("id"),
+          least(col("src"), col("nmin")).as("lbl")))
     var changed = 1L
     while (changed > 0) {
       // min over neighbors' labels (symmetric edges → every vertex listed)
@@ -609,12 +623,11 @@ object Dedup {
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("l1"))
       // path halving: follow the label's own label (labels are vertex ids
       // of the same component, so the lookup stays within the component)
-      val jumped = stepped
+      val jumped = truncate(stepped
         .join(lbl.select(col("id").as("l1"), col("lbl").as("ll")),
           Seq("l1"), "left")
         .select(col("id"),
-          least(col("l1"), coalesce(col("ll"), col("l1"))).as("lbl"))
-        .localCheckpoint(eager = true)
+          least(col("l1"), coalesce(col("ll"), col("l1"))).as("lbl")))
       changed = jumped.select(col("id"), col("lbl").as("nl"))
         .join(lbl, Seq("id"))
         .filter(col("nl") =!= col("lbl")).count()

@@ -106,8 +106,6 @@ object Similarity {
     * standard distributed k-means shape; cost is O(n·nlist·dim) per iter. */
   def ivfTrain(corpus: DataFrame, id: Column, vec: Column,
       nlist: Int, iters: Int = 2, seed: Long = 42L): Seq[(Int, Seq[Float])] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val c = graft.util.ParallelScan.widen(
       corpus.select(id.cast("long").as("id"), vec.as("v")))
     var centroids: Seq[(Int, Seq[Float])] =
@@ -118,24 +116,47 @@ object Similarity {
         .map { case (v, i) => (i, v) }.toSeq
     for (_ <- 0 until iters) {
       val assigned = assignToCentroid(c, centroids)
-      val dim = centroids.head._2.size
-      // per-cluster mean, component-wise: posexplode + (cluster, pos) agg —
-      // map-side combine keeps the shuffle at O(nlist·dim) rows.
-      val means = assigned
-        .select(col("__cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("__cluster", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("__cluster")
-        .agg(map_from_arrays(collect_list(col("pos")),
-          collect_list(col("m"))).as("mm"))
-        .as[(Int, Map[Int, Double])].collect()
-      val updated = means.map { case (cl, mm) =>
-        cl -> (0 until dim).map(p => mm.getOrElse(p, 0.0).toFloat)
-      }.toMap
+      val updated = clusterMeans(assigned, centroids.head._2.size)
       centroids = centroids.map { case (cl, v) =>
         cl -> updated.getOrElse(cl, v)
       }
     }
     centroids
+  }
+
+  /** Lloyd-step per-cluster means via the native
+    * [[graft.functions.VectorMeanAgg]]: ONE aggregate per cluster with a
+    * primitive `double[dim+1]` buffer (map-side combined), the shuffle
+    * carries nlist rows, and the driver collect is O(nlist·dim) PRIMITIVE
+    * doubles — vs the posexplode form's O(nlist·dim)-row shuffle and boxed
+    * `Map[Int, Double]` payload (~GBs at nlist 10⁵ × dim 1024). Equality
+    * with [[meansViaExplodeForm]] is property-pinned in PipelineSpec. */
+  private[graft] def clusterMeans(assigned: DataFrame,
+      dim: Int): Map[Int, Seq[Float]] =
+    assigned.groupBy("__cluster")
+      .agg(graft.functions.VectorMeanAgg.vectorMean(col("v"), dim).as("m"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getSeq[Double](1).map(_.toFloat): Seq[Float]))
+      .toMap
+
+  /** The pre-r6 declarative Lloyd step — posexplode + (cluster, pos) avg +
+    * map_from_arrays collect. Kept ONLY as the independent reference
+    * formulation the [[clusterMeans]] equality property pins against. */
+  private[graft] def meansViaExplodeForm(assigned: DataFrame,
+      dim: Int): Map[Int, Seq[Float]] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned
+      .select(col("__cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("__cluster", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("__cluster")
+      .agg(map_from_arrays(collect_list(col("pos")),
+        collect_list(col("m"))).as("mm"))
+      .as[(Int, Map[Int, Double])].collect()
+      .map { case (cl, mm) =>
+        cl -> ((0 until dim).map(p => mm.getOrElse(p, 0.0).toFloat): Seq[Float])
+      }.toMap
   }
 
   /** Centroid matrix in row-index-=-cluster-id order for the native

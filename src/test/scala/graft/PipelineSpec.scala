@@ -223,6 +223,54 @@ class PipelineSpec extends SparkSpec {
     assert(c1.size == 4 && c1.forall(_._2.size == 64))
   }
 
+  test("clusters with reliable checkpointDir == localCheckpoint labels") {
+    import org.apache.spark.sql.functions.col
+    // chain + cycle + singleton-loop graph exercising multiple rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 10L),
+      (20L, 20L), (5L, 4L), (6L, 5L)).toDF("id_a", "id_b")
+    val ckptDir = freshDir("clusters_ckpt")
+    val local = Dedup.clusters(edges, col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toMap
+    val reliable = Dedup.clusters(edges, col("id_a"), col("id_b"),
+        checkpointDir = Some(ckptDir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // the reliable path actually wrote RDD checkpoints to the given dir
+    val ckptFiles = new java.io.File(ckptDir).listFiles()
+    assert(ckptFiles != null && ckptFiles.nonEmpty,
+      "checkpointDir mode wrote no checkpoint data")
+  }
+
+  test("Lloyd-step native vector_mean agg == posexplode/avg reference form") {
+    // same assigned frame through both formulations; the native agg's
+    // double summation order differs from avg's partial-agg order, so the
+    // pin is 1e-9 relative per component (both are float-input/double-sum)
+    val cents = Similarity.ivfTrain(embs, $"vec_id", $"embedding", nlist = 4,
+      iters = 0)
+    val assigned = Similarity.assignToCentroid(
+      embs.select($"vec_id".cast("long").as("id"), $"embedding".as("v")),
+      cents)
+    val native = Similarity.clusterMeans(assigned, dim = 64)
+    val reference = Similarity.meansViaExplodeForm(assigned, dim = 64)
+    assert(native.keySet == reference.keySet && native.nonEmpty)
+    native.foreach { case (cl, m) =>
+      val r = reference(cl)
+      assert(m.size == 64 && r.size == 64)
+      m.zip(r).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"cluster $cl mean diverged: $a vs $b")
+      }
+    }
+    // the driver payload is primitive: nlist rows of array<double>[dim]
+    val rows = assigned.groupBy("__cluster")
+      .agg(graft.functions.VectorMeanAgg.vectorMean($"v", 64).as("m"))
+      .collect()
+    assert(rows.length == native.size &&
+      rows.forall(_.getSeq[Double](1).size == 64))
+  }
+
   test("LSH top-k: self bucket always contains the query itself") {
     val queries = embs.filter($"vec_id" < 5)
     val topk = Similarity.lshTopK(

@@ -60,6 +60,13 @@ class SqlSurfaceSpec extends SparkSpec {
         "array(array(0.0D, 1.0D), array(1.0D, 0.0D), array(0.0D, 1.0D)), 2) AS c")
       .head().getSeq[Int](0)
     assert(nc == Seq(1, 0), s"expected Seq(1, 0), got $nc")
+    // aggregate: component-wise vector mean over two 2-d float vectors
+    val vm = spark.sql(
+      "SELECT vector_mean(v, 2) AS m FROM VALUES " +
+        "(array(cast(1.0 AS float), cast(3.0 AS float))), " +
+        "(array(cast(3.0 AS float), cast(5.0 AS float))) AS t(v)")
+      .head().getSeq[Double](0)
+    assert(vm == Seq(2.0, 4.0), s"expected Seq(2.0, 4.0), got $vm")
   }
 
   test("delete view registers as a SQL temp view with pushdown-able scan") {

@@ -35,6 +35,7 @@ object RecallCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try {
 
     // -- MinHash-LSH pairs vs brute force (target: recall exactly 1) --
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -80,13 +81,16 @@ object RecallCheck {
     val lshTop = pairSet(Similarity.lshTopK(
       embs, col("vec_id"), col("embedding"),
       queries, col("vec_id"), col("embedding"), k, dim = 64, planes = 6))
-    val lshTopkRecall = (bruteTop & lshTop).size.toDouble / bruteTop.size
+    // empty brute-force top set (no queries at this SF) => vacuous recall 1
+    val lshTopkRecall = if (bruteTop.isEmpty) 1.0
+      else (bruteTop & lshTop).size.toDouble / bruteTop.size
     val (nlist, nprobe) = (8, 2)
     val ivfTop = pairSet(Similarity.ivfTopK(
       embs, col("vec_id"), col("embedding"),
       queries, col("vec_id"), col("embedding"), k, nlist = nlist,
       nprobe = nprobe))
-    val ivfRecall = (bruteTop & ivfTop).size.toDouble / bruteTop.size
+    val ivfRecall = if (bruteTop.isEmpty) 1.0
+      else (bruteTop & ivfTop).size.toDouble / bruteTop.size
 
     val minhashOk = missed == 0 && extra == 0
     val embOk = falsePos == 0
@@ -112,6 +116,6 @@ object RecallCheck {
     require(embOk, s"embed blocking emitted $falsePos false positives")
     require(hiFalsePos == 0,
       s"hi-recall embed blocking emitted $hiFalsePos false positives")
-    spark.stop()
+    } finally spark.stop() // gates may throw: never leave the session running
   }
 }

@@ -47,11 +47,21 @@ final class GraftFileIndex(
     else {
       // Standard partition-pruning evaluation (the PartitioningAwareFileIndex
       // pattern): bind the predicate to the 1-column partition row and keep
-      // matching partitions.
+      // matching partitions. Attribute lookup honors spark.sql.caseSensitive
+      // and fails with a clear message if a filter was routed here with an
+      // attribute outside the partition schema (instead of an opaque
+      // index-out-of-bounds from position -1).
+      val caseSensitive = org.apache.spark.sql.internal.SQLConf.get
+        .caseSensitiveAnalysis
       val bound = Predicate.createInterpreted(
         partitionFilters.reduce(And).transform {
           case a: AttributeReference =>
-            val i = partitionSchema.indexWhere(_.name == a.name)
+            val i = partitionSchema.indexWhere(f =>
+              if (caseSensitive) f.name == a.name
+              else f.name.equalsIgnoreCase(a.name))
+            require(i >= 0,
+              s"partition filter attribute '${a.name}' is not a partition " +
+                s"column (${partitionSchema.fieldNames.mkString(", ")})")
             BoundReference(i, partitionSchema(i).dataType, nullable = true)
         })
       partFiles.filter { case (part, _) =>

@@ -184,7 +184,37 @@ final class MorWriter(
       operationType = op,
       totalRecordsDeleted = totalDeleted,
       totalRecordsWritten = stats.map(_._2.numWrites).sum,
-      schemaJson = Some(schema.json)),
+      schemaJson = Some(MorWriter.monotonicSchema(timeline, action, schema)
+        .json)),
       action)
   }
+}
+
+object MorWriter {
+  /** Schema recorded with a commit: the UNION of the newest previously
+    * recorded schema (same action — base and delta files resolve their
+    * schemas independently) and the new frame's schema, new fields' order
+    * first, previous-only fields appended.
+    *
+    * This makes `latestSchemaJson` a superset of every live file's schema
+    * BY CONSTRUCTION: readers resolve all delta files from the newest
+    * deltacommit's recorded schema, so without the union an upsert passing
+    * a NARROWER frame than an earlier deltacommit would silently drop the
+    * older delta files' extra columns (they read as null under the wider
+    * union — correct add-only evolution semantics; CowWriter is safe
+    * because its commits rewrite old∪new data wholesale). Same-name fields
+    * keep the NEW writer's type — diverging types are outside the add-only
+    * contract. */
+  private[graft] def monotonicSchema(timeline: Timeline, action: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    timeline.latestSchemaJson(None, Some(action)) match {
+      case None => schema
+      case Some(prevJson) =>
+        val prev = org.apache.spark.sql.types.DataType.fromJson(prevJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val newNames = schema.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          schema.fields ++ prev.fields.filterNot(f => newNames(f.name)))
+    }
 }

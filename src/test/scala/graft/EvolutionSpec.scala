@@ -54,4 +54,35 @@ class EvolutionSpec extends SparkSpec {
     assert(inc.count() == up.count())
     assert(inc.filter($"o_note".isNull).isEmpty)
   }
+
+  test("MOR: a NARROWER later delta must not drop an earlier delta's added column") {
+    // deltacommit C2 adds o_note; deltacommit C3 upserts DIFFERENT keys with
+    // the ORIGINAL (narrower) schema. All delta files resolve their schema
+    // from the NEWEST deltacommit's recorded schema, which is monotonic by
+    // construction (union with the previous record) — without it C3's
+    // narrow record would silently null out C2's o_note values.
+    val dir = freshDir("orders_evo_mor_narrow")
+    val w = new MorWriter(spark, dir, numBuckets = 2)
+    w.insert(orders, col("o_orderkey"), col("o_orderstatus"), C1)
+    val noted = orders.filter($"o_orderkey" % 10 === 3)
+      .withColumn("o_note", lit("x"))
+    w.upsert(noted, col("o_orderkey"), col("o_orderstatus"), C2)
+    w.upsert(orders.filter($"o_orderkey" % 10 === 4), // narrower frame
+      col("o_orderkey"), col("o_orderstatus"), Fixtures.C3)
+
+    val snap = SnapshotReader.read(spark, dir)
+    assert(snap.columns.contains("o_note"),
+      "added column vanished after a narrower delta commit")
+    assert(snap.filter($"o_note" === "x").count() == noted.count(),
+      "earlier delta's added-column values were nulled by a narrower delta")
+    assert(snap.filter($"o_orderkey" % 10 === 4 && $"o_note".isNotNull)
+      .isEmpty, "narrow-frame rows must read the added column as null")
+    // the recorded deltacommit schema is the running union
+    val tl = graft.format.Timeline(spark.sessionState.newHadoopConf(), dir)
+    val recorded = org.apache.spark.sql.types.DataType
+      .fromJson(tl.latestSchemaJson(None,
+        Some(graft.format.Instant.DeltaCommitAction)).get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(recorded.fieldNames.contains("o_note"))
+  }
 }

@@ -78,9 +78,20 @@ object Bench {
       .mkString("{", ",", "}")
     // total sums successful queries; failures stay visible as -1 entries
     val total = results.filter(_._2 >= 0).map(_._2).sum
+    // Host-normalized total, printed ALONGSIDE raw so a single artifact is
+    // interpretable without cross-referencing other runs' calibrations:
+    // normalized = raw · (spin_par_ref / spin_par_run), i.e. the total this
+    // run would have cost on a host at the REFERENCE speed. The reference
+    // constant is the round-4 driver artifact's spin_par (the round where
+    // cross-round comparison started), so normalized totals are directly
+    // comparable across rounds regardless of the ~3× host-speed drift
+    // (PLANS.md §benchmark-methodology).
+    val SpinParRef = 0.932
+    val totalNorm = total * (SpinParRef / spinPar)
     val calib = s"""{"spin1_sec":$spin1,"spin_par_sec":$spinPar,""" +
+      s""""spin_par_ref":$SpinParRef,""" +
       s""""spin_iters":$SpinIters,"workers":$cpus}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration":$calib}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_normalized":$totalNorm,"queries":$qs,"sf":"$sfDir","calibration":$calib}""")
     spark.stop()
   }
 }

@@ -158,7 +158,12 @@ object GraftSourceProvider {
   }
 }
 
-/** V1 streaming offset carrying a commit timestamp (json == the ts). */
+/** V1 streaming offset carrying a commit timestamp (json == the ts).
+  *
+  * Offsets are compared as STRINGS (against each other and the `"0"`
+  * initial sentinel); this is sound because `Timeline.saveCommit` validates
+  * every commit ts as fixed-width digits per table, so lexicographic order
+  * == numeric order and `"0"` (width 1) sorts before any real ts. */
 final case class CommitOffset(ts: String) extends Offset {
   override val json: String = ts
 }

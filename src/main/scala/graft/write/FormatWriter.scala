@@ -10,8 +10,12 @@ import org.apache.spark.sql.functions.col
   * [[graft.streaming.GraftSourceProvider]].
   *
   * Options: `key` (record-key column, REQUIRED), `partition` (partition
-  * column, REQUIRED), `buckets` (file groups per partition; defaults to the
-  * count recorded in the table's commit metadata, else 8), `ts` (explicit
+  * column, REQUIRED), `type` (`cow` default | `mor`: appends are DELTA
+  * commits — no file-group rewrite; the streaming-ingest shape), `buckets`
+  * (file groups per partition; defaults to the count recorded in the
+  * table's commit metadata, else 8), `compactEvery` (MOR only: compact
+  * file groups holding ≥ N outstanding deltas after each append — bounds
+  * snapshot merge cost without a separate maintenance job), `ts` (explicit
   * commit timestamp — tests/fixtures; defaults to a wall-clock timestamp
   * bumped past the newest commit).
   *
@@ -20,8 +24,15 @@ import org.apache.spark.sql.functions.col
   * doesn't exist yet), Overwrite = recreate the table from scratch (the
   * INSERT_OVERWRITE_TABLE analog — prior history is dropped),
   * ErrorIfExists/Ignore behave as named. All data movement goes through
-  * [[CowWriter]]: one distributed job per commit, driver handles only
-  * file names and commit JSON.
+  * [[CowWriter]]/[[MorWriter]]: one distributed job per commit, driver
+  * handles only file names and commit JSON.
+  *
+  * At 100 TB the `type` choice is the write-amplification knob: a COW
+  * append REWRITES every touched file group (read-optimized serving), a
+  * MOR delta append writes ONLY the changed rows (ingest-optimized; the
+  * snapshot merge stays bounded via compaction) — exactly Hudi's own
+  * trade. Streaming sinks should use `mor` + `compactEvery` unless
+  * batches are rare and large.
   *
   * The reference has no write path at all (it reads Hudi tables others
   * wrote) — this is a beyond-reference surface completing the format.
@@ -36,6 +47,9 @@ private[graft] object FormatWriter {
   /** Commit-extra key pinning the table's bucket count at creation, so
     * later appends can't silently re-bucket keys across file groups. */
   val BucketsKey = "buckets"
+
+  /** Commit-extra key pinning the table type (`cow`/`mor`) at creation. */
+  val TypeKey = "type"
 
   private def required(parameters: Map[String, String], name: String): String =
     parameters.getOrElse(name, throw new IllegalArgumentException(
@@ -98,9 +112,28 @@ private[graft] object FormatWriter {
     }
   }
 
+  /** Table type: explicit option, else the type recorded at creation,
+    * else `cow`. A contradicting explicit option is an error (a COW append
+    * on a MOR table would rewrite groups the merge expects deltas for). */
+  private def tableType(parameters: Map[String, String],
+      timeline: Timeline): String = {
+    val recorded = timeline.completedInstants().headOption
+      .flatMap(i => timeline.metadata(i.ts).extra.get(TypeKey))
+    val opt = parameters.get(TypeKey).map(_.toLowerCase)
+    opt.foreach(t => require(t == "cow" || t == "mor",
+      s"""graft type must be "cow" or "mor", got "$t""""))
+    (opt, recorded) match {
+      case (Some(o), Some(r)) if o != r => throw new IllegalArgumentException(
+        s"""type=$o contradicts the table's recorded type "$r"""")
+      case (o, r) => o.orElse(r).getOrElse("cow")
+    }
+  }
+
   /** Insert-or-upsert one commit (shared by batch Append and the streaming
     * sink). Duplicate keys WITHIN `df` are the caller's bug (Hudi's
-    * record-key uniqueness contract — same as CowWriter's). */
+    * record-key uniqueness contract — same as CowWriter's). COW appends
+    * rewrite touched groups; MOR appends are delta commits, optionally
+    * followed by threshold compaction (`compactEvery`). */
   def append(spark: SparkSession, basePath: String,
       parameters: Map[String, String], df: DataFrame,
       extra: Map[String, String]): Unit = {
@@ -108,13 +141,26 @@ private[graft] object FormatWriter {
     val part = required(parameters, "partition")
     val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
     val nb = buckets(parameters, timeline)
-    val w = new CowWriter(spark, basePath, nb)
+    val tpe = tableType(parameters, timeline)
     val ts = parameters.getOrElse("ts", nextTs(timeline))
-    if (timeline.completedInstants().isEmpty)
-      w.insert(df, col(key), col(part), ts,
-        extra = extra + (BucketsKey -> nb.toString))
-    else
-      w.upsert(df, col(key), col(part), ts, extra = extra)
+    val isNew = timeline.completedInstants().isEmpty
+    val createExtra = extra +
+      (BucketsKey -> nb.toString) + (TypeKey -> tpe)
+    if (tpe == "mor") {
+      val w = new MorWriter(spark, basePath, nb)
+      if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
+      else {
+        w.upsert(df, col(key), col(part), ts, extra = extra)
+        parameters.get("compactEvery").map(_.toInt).foreach { n =>
+          require(n >= 1, "compactEvery must be >= 1")
+          w.compactIf(nextTs(w.timeline), minDeltas = n)
+        }
+      }
+    } else {
+      val w = new CowWriter(spark, basePath, nb)
+      if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
+      else w.upsert(df, col(key), col(part), ts, extra = extra)
+    }
   }
 }
 

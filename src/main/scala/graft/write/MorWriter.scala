@@ -52,8 +52,10 @@ final class MorWriter(
       .select((MetaCols.all.map(col) ++ payloadCols.map(col) :+ col(FidCol)): _*)
   }
 
-  /** First commit: bulk insert as base file slices (same as COW insert). */
-  def insert(df: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit = {
+  /** First commit: bulk insert as base file slices (same as COW insert).
+    * `extra` lands in the commit's extraMetadata (format-writer/sink use). */
+  def insert(df: DataFrame, keyCol: Column, partCol: Column, ts: String,
+      extra: Map[String, String] = Map.empty): Unit = {
     require(timeline.completedInstants().isEmpty,
       s"insert() creates a table; $basePath already has commits")
     val data = withMeta(df, keyCol, partCol, ts)
@@ -64,7 +66,8 @@ final class MorWriter(
         numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = n)
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
-      action = Instant.CommitAction, schema = data.drop(FidCol).schema)
+      action = Instant.CommitAction, schema = data.drop(FidCol).schema,
+      extra = extra)
   }
 
   /** MOR delta commit: append upserts + delete markers as delta files —
@@ -74,7 +77,8 @@ final class MorWriter(
     * @param deletes payload rows identifying records to delete; may be empty
     */
   def upsertDelta(updates: Option[DataFrame], deletes: Option[DataFrame],
-      keyCol: Column, partCol: Column, ts: String): Unit = {
+      keyCol: Column, partCol: Column, ts: String,
+      extra: Map[String, String] = Map.empty): Unit = {
     require(timeline.completedInstants().nonEmpty,
       s"upsertDelta() needs an existing table at $basePath; call insert() first")
 
@@ -123,14 +127,16 @@ final class MorWriter(
     }
     saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
       op = "UPSERT_DELTA", action = Instant.DeltaCommitAction,
-      schema = deltaRows.drop(FidCol).schema)
+      schema = deltaRows.drop(FidCol).schema, extra = extra)
   }
 
-  def upsert(updates: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit =
-    upsertDelta(Some(updates), None, keyCol, partCol, ts)
+  def upsert(updates: DataFrame, keyCol: Column, partCol: Column, ts: String,
+      extra: Map[String, String] = Map.empty): Unit =
+    upsertDelta(Some(updates), None, keyCol, partCol, ts, extra)
 
-  def delete(rows: DataFrame, keyCol: Column, partCol: Column, ts: String): Unit =
-    upsertDelta(None, Some(rows), keyCol, partCol, ts)
+  def delete(rows: DataFrame, keyCol: Column, partCol: Column, ts: String,
+      extra: Map[String, String] = Map.empty): Unit =
+    upsertDelta(None, Some(rows), keyCol, partCol, ts, extra)
 
   /** Compaction: fold every file group with outstanding deltas into a fresh
     * base slice at `ts` (timeline action `commit`, like Hudi compaction).
@@ -176,7 +182,8 @@ final class MorWriter(
 
   private def saveCommit(ts: String, stats: Iterable[(String, WriteStat)],
       totalDeleted: Long, op: String, action: String,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      extra: Map[String, String] = Map.empty): Unit = {
     val byPart = stats.groupBy(_._1).view
       .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
     timeline.saveCommit(ts, CommitMetadata(
@@ -185,7 +192,8 @@ final class MorWriter(
       totalRecordsDeleted = totalDeleted,
       totalRecordsWritten = stats.map(_._2.numWrites).sum,
       schemaJson = Some(MorWriter.monotonicSchema(timeline, action, schema)
-        .json)),
+        .json),
+      extra = extra),
       action)
   }
 }

@@ -175,6 +175,53 @@ class FileIndexSpec extends SparkSpec {
     assert(df.filter(col(MetaCols.PartitionPath) === "NOPE").count() == 0)
   }
 
+  test("format write type=mor: appends are delta commits; compactEvery folds them") {
+    import graft.format.{Instant, Timeline}
+    val dir = freshDir("orders_format_mor_write")
+    def opts(df: org.apache.spark.sql.DataFrame) =
+      df.write.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+    opts(orders).option("type", "mor").option("ts", Fixtures.C1)
+      .mode("overwrite").save(dir)
+    val upd = orders.filter($"o_orderkey" % 5 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 1)
+    opts(upd).option("ts", Fixtures.C2).mode("append").save(dir)
+
+    // create = base commit, append = DELTA commit (no file-group rewrite)
+    def tl() = Timeline(spark.sessionState.newHadoopConf(), dir)
+    assert(tl().completedInstants().map(_.action) ==
+      Seq(Instant.CommitAction, Instant.DeltaCommitAction))
+    // recorded type pin: a contradicting cow append must fail
+    val err = intercept[IllegalArgumentException] {
+      opts(upd).option("type", "cow").option("ts", Fixtures.C3)
+        .mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("contradicts"))
+    // merged read through the format surface sees the delta upsert
+    val snap = spark.read.format("graft").load(dir)
+    assert(snap.count() == orders.count())
+    assert(snap.filter($"o_orderkey" % 5 === 0)
+      .join(orders.withColumnRenamed("o_totalprice", "orig"),
+        Seq("o_orderkey"))
+      .filter($"o_totalprice" =!= $"orig" + 1).isEmpty)
+
+    // compactEvery=1: the next append folds ALL outstanding deltas
+    opts(orders.filter($"o_orderkey" % 7 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 2))
+      .option("compactEvery", "1").option("ts", Fixtures.C3)
+      .mode("append").save(dir)
+    val slices = tl().latestSlices(None).values
+    assert(slices.nonEmpty && slices.forall(_.deltas.isEmpty),
+      "compactEvery left outstanding deltas")
+    // post-compaction the format read is the plain pruning file relation
+    val clean = spark.read.format("graft").load(dir)
+    val scans = clean.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 1, "compacted table should mount as a file scan")
+    assert(clean.count() == orders.count())
+  }
+
   test("GraftMorRelation.partitionValues: sound conjunct extraction only") {
     import org.apache.spark.sql.sources._
     import graft.read.GraftMorRelation.partitionValues

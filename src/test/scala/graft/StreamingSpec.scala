@@ -229,6 +229,55 @@ class TableTailSpec extends SparkSpec {
     assert(dstPayload.exceptAll(srcPayload).isEmpty &&
       srcPayload.exceptAll(dstPayload).isEmpty)
   }
+
+  test("graft sink type=mor: micro-batches land as delta commits, compactEvery bounds them") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.format.{Instant, Timeline}
+    val src = freshDir("sink_mor_src")
+    val dst = freshDir("sink_mor_dst")
+    val ckpt = freshDir("sink_mor_ckpt")
+    val payloadCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(200)
+      .select(payloadCols.map(col): _*)
+    val w = new CowWriter(spark, src, numBuckets = 2)
+    val k = col("o_orderkey")
+    // every commit touches EVERY key → every dst group gains a delta per batch
+    w.insert(orders, k, col("o_orderstatus"), Fixtures.C1)
+    w.upsert(orders.withColumn("o_totalprice", $"o_totalprice" + 1),
+      k, col("o_orderstatus"), Fixtures.C2)
+    w.upsert(orders.withColumn("o_totalprice", $"o_totalprice" + 2),
+      k, col("o_orderstatus"), Fixtures.C3)
+
+    val q = spark.readStream.format("graft")
+      .option("maxCommitsPerBatch", "1").load(src)
+      .select(payloadCols.map(col): _*)
+      .writeStream.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+      .option("type", "mor").option("compactEvery", "2")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start(dst)
+    q.awaitTermination(120000)
+
+    // batch 0 = base insert; batches 1, 2 = DELTA commits; after batch 2
+    // every group holds 2 deltas → compactEvery=2 folds them (action
+    // `commit`, no batch id — maintenance, not a sink batch)
+    val tl = Timeline(spark.sessionState.newHadoopConf(), dst)
+    val actions = tl.completedInstants().map(_.action)
+    assert(actions == Seq(Instant.CommitAction, Instant.DeltaCommitAction,
+      Instant.DeltaCommitAction, Instant.CommitAction),
+      s"unexpected dst timeline $actions")
+    assert(tl.latestSlices(None).values.forall(_.deltas.isEmpty),
+      "compactEvery left outstanding deltas")
+    // converged: dst snapshot == src snapshot (orig + 2 everywhere)
+    val dstPayload = spark.read.format("graft").load(dst)
+      .select(payloadCols.map(col): _*)
+    val srcPayload = graft.read.SnapshotReader.read(spark, src)
+      .select(payloadCols.map(col): _*)
+    assert(dstPayload.exceptAll(srcPayload).isEmpty &&
+      srcPayload.exceptAll(dstPayload).isEmpty)
+  }
 }
 
 import graft.streaming.EventStream

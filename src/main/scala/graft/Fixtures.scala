@@ -83,11 +83,12 @@ object Fixtures {
   /** Table created ENTIRELY through the write format surface
     * (`df.write.format("graft")`): C1 bulk insert of orders, C2 append
     * upserting keys %10==3 with o_totalprice += 100000 (same arithmetic as
-    * the C3 script, so the oracle mirrors it 1:1). Exercises mode semantics
-    * (Overwrite create, Append upsert) and the recorded-buckets pin. */
+    * the C3 script, so the oracle mirrors it 1:1), C3 DELETE of keys
+    * %7==0 via `operation=delete`. Exercises mode semantics (Overwrite
+    * create, Append upsert/delete) and the recorded-buckets pin. */
   def formatRtDir(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = s"${root(sfDir)}/orders_fmt"
-    if (!complete(spark, dir, 2)) {
+    if (!complete(spark, dir, 3)) {
       rm(spark, dir)
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       val k = col("o_orderkey")
@@ -100,6 +101,11 @@ object Fixtures {
         .write.format("graft")
         .option("key", "o_orderkey").option("partition", "o_orderstatus")
         .option("ts", C2) // no buckets option: the recorded count applies
+        .mode("append").save(dir)
+      orders.filter(k % 7 === 0)
+        .write.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+        .option("operation", "delete").option("ts", C3)
         .mode("append").save(dir)
     }
     dir

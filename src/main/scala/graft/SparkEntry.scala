@@ -81,11 +81,18 @@ object SparkEntry {
     "q_snapshot_format_mor_part" -> ((s, d) =>
       payload(s.read.format("graft").load(Fixtures.morDir(s, d))
         .filter(col(graft.format.MetaCols.PartitionPath) === "F"))),
-    // Write-path round trip (r6): a table created and appended to entirely
-    // through df.write.format("graft") (insert + upsert commits), read back
-    // through the same format surface under the oracle gate.
+    // Write-path round trip (r6): a table created and mutated entirely
+    // through df.write.format("graft") (insert + upsert + operation=delete
+    // commits), read back through the same format surface.
     "q_format_roundtrip" -> ((s, d) =>
       payload(s.read.format("graft").load(Fixtures.formatRtDir(s, d)))),
+    // Incremental read through the format surface (r6): current state of
+    // records written in (C2, C3] of the COW fixture — the batch twin of
+    // the streaming source's micro-batch range, as .option("from"/"to").
+    "q_incremental_format" -> ((s, d) =>
+      payload(s.read.format("graft")
+        .option("from", C2).option("to", C3)
+        .load(Fixtures.cowDir(s, d)))),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -652,11 +659,14 @@ object SparkEntry {
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
     "q_snapshot_format_mor_part" ->
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 AND o_orderstatus = 'F' ORDER BY o_orderkey",
-    // no delete precedes the update in this fixture: every %10==3 key is hit
+    // no delete precedes the C2 update in this fixture (every %10==3 key is
+    // hit); the C3 format-surface delete then removes all %7==0 keys
     "q_format_roundtrip" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
-        "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey"),
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"),
+    "q_incremental_format" ->
+      s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100000 AS o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_incremental_cow" ->

@@ -109,6 +109,15 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
     val suffix = suffixOf(action)
     val tmp = new Path(hoodieDir, ts + suffix + ".inflight")
     val fin = new Path(hoodieDir, ts + suffix)
+    // Collision guard: a completed instant is immutable and a ts names at
+    // most ONE instant (either action). Re-landing a ts means a concurrent
+    // writer or a caller bug — silently overwriting (or shadowing) history
+    // would corrupt every reader's timeline walk. The memo catches
+    // same-instance reuse; the direct exists() catches a racing external
+    // writer of the same action.
+    require(instantAt(ts).isEmpty && !Timeline.retryOnce(fs.exists(fin)),
+      s"instant $ts already completed at $hoodieDir (concurrent writer " +
+        "or ts reuse); completed commits are immutable")
     val out = fs.create(tmp, true)
     try out.write(JsonCodec.toJson(meta).getBytes(StandardCharsets.UTF_8))
     finally out.close()

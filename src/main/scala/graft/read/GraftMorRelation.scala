@@ -82,6 +82,41 @@ final class GraftMorRelation(
   }
 }
 
+/** Incremental read behind the format surface:
+  * `spark.read.format("graft").option("from", c1).option("to", c2)` — the
+  * current state of every record written in `(from, to]`, planned by
+  * [[IncrementalReader]] (only the file groups the range's commits wrote
+  * enter the plan). Same V1 PrunedFilteredScan shape as
+  * [[GraftMorRelation]]: pushed partition predicates become
+  * IncrementalReader's metadata-level `partitions` pruning, remaining
+  * filters apply on top of the declarative plan. */
+final class GraftIncrementalRelation(
+    spark: SparkSession,
+    basePath: String,
+    fromExclusive: String,
+    toInclusive: String,
+    override val schema: StructType) extends BaseRelation
+    with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def needConversion: Boolean = false
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot(f => GraftMorRelation.toColumn(f).isDefined)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val parts = GraftMorRelation.partitionValues(filters)
+      .map(_.toSeq.sorted).getOrElse(Seq.empty)
+    val inc = IncrementalReader.read(spark, basePath, fromExclusive,
+      toInclusive, partitions = parts)
+    val filtered = filters.flatMap(GraftMorRelation.toColumn)
+      .foldLeft(inc)((df, c) => df.filter(c))
+    filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
 object GraftMorRelation {
 
   /** Translate a pushed source filter back to a Column predicate; None for

@@ -90,6 +90,20 @@ final class GraftSourceProvider extends StreamSourceProvider
     val basePath = GraftSourceProvider.path(parameters)
     val asOf = parameters.get("asOf")
     val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    // `from` (+ optional `to`, default newest commit) = INCREMENTAL read:
+    // current state of records written in (from, to] — r6, the batch twin
+    // of the streaming source's micro-batch ranges.
+    parameters.get("from").foreach { from =>
+      require(asOf.isEmpty, "asOf and from/to are mutually exclusive")
+      val to = parameters.getOrElse("to",
+        timeline.completedInstants().lastOption.map(_.ts).getOrElse(
+          throw new IllegalArgumentException(s"empty table at $basePath")))
+      // schema from the range's own plan (metadata-resolved), so the
+      // relation can never declare columns the range cannot produce
+      return new graft.read.GraftIncrementalRelation(spark, basePath,
+        from, to,
+        graft.read.IncrementalReader.read(spark, basePath, from, to).schema)
+    }
     val slices = timeline.latestSlices(asOf).values.toSeq
     require(slices.nonEmpty, s"empty table (no slices) at $basePath")
     if (slices.forall(_.deltas.isEmpty)) {

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions.col
   * [[graft.streaming.GraftSourceProvider]].
   *
   * Options: `key` (record-key column, REQUIRED), `partition` (partition
-  * column, REQUIRED), `type` (`cow` default | `mor`: appends are DELTA
-  * commits — no file-group rewrite; the streaming-ingest shape), `buckets`
+  * column, REQUIRED), `operation` (`upsert` default | `delete`: Append
+  * mode removes the frame's keys instead of upserting them — COW rewrites
+  * survivors, MOR appends delete markers), `type` (`cow` default | `mor`:
+  * appends are DELTA commits — no file-group rewrite; the
+  * streaming-ingest shape), `buckets`
   * (file groups per partition; defaults to the count recorded in the
   * table's commit metadata, else 8), `compactEvery` (MOR only: compact
   * file groups holding ≥ N outstanding deltas after each append — bounds
@@ -144,13 +147,20 @@ private[graft] object FormatWriter {
     val tpe = tableType(parameters, timeline)
     val ts = parameters.getOrElse("ts", nextTs(timeline))
     val isNew = timeline.completedInstants().isEmpty
+    val op = parameters.getOrElse("operation", "upsert").toLowerCase
+    require(op == "upsert" || op == "delete",
+      s"""graft operation must be "upsert" or "delete", got "$op"""")
+    require(!(isNew && op == "delete"),
+      s"cannot delete from a table that does not exist at $basePath")
     val createExtra = extra +
       (BucketsKey -> nb.toString) + (TypeKey -> tpe)
     if (tpe == "mor") {
       val w = new MorWriter(spark, basePath, nb)
       if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
       else {
-        w.upsert(df, col(key), col(part), ts, extra = extra)
+        if (op == "delete") // delta with delete markers, no rewrite
+          w.delete(df, col(key), col(part), ts, extra = extra)
+        else w.upsert(df, col(key), col(part), ts, extra = extra)
         parameters.get("compactEvery").map(_.toInt).foreach { n =>
           require(n >= 1, "compactEvery must be >= 1")
           w.compactIf(nextTs(w.timeline), minDeltas = n)
@@ -159,6 +169,8 @@ private[graft] object FormatWriter {
     } else {
       val w = new CowWriter(spark, basePath, nb)
       if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
+      else if (op == "delete")
+        w.delete(df, col(key), col(part), ts, extra = extra)
       else w.upsert(df, col(key), col(part), ts, extra = extra)
     }
   }

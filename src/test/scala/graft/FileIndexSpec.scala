@@ -175,6 +175,45 @@ class FileIndexSpec extends SparkSpec {
     assert(df.filter(col(MetaCols.PartitionPath) === "NOPE").count() == 0)
   }
 
+  test("format incremental read: from/to options == IncrementalReader, with delete operation") {
+    val dir = freshDir("orders_format_inc")
+    def w(df: org.apache.spark.sql.DataFrame) = df.write.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+    w(orders).option("ts", Fixtures.C1).mode("overwrite").save(dir)
+    val upd = orders.filter($"o_orderkey" % 10 === 3)
+      .withColumn("o_totalprice", $"o_totalprice" + 5)
+    w(upd).option("ts", Fixtures.C2).mode("append").save(dir)
+    w(orders.filter($"o_orderkey" % 9 === 0))
+      .option("operation", "delete").option("ts", Fixtures.C3)
+      .mode("append").save(dir)
+
+    // (C1, C2]: exactly the C2 upsert's current rows
+    val inc = spark.read.format("graft")
+      .option("from", Fixtures.C1).option("to", Fixtures.C2).load(dir)
+    val api = graft.read.IncrementalReader.read(spark, dir,
+      Fixtures.C1, Fixtures.C2)
+      .select(inc.columns.map(col).toIndexedSeq: _*)
+    assert(inc.count() == upd.count())
+    assert(inc.exceptAll(api).isEmpty && api.exceptAll(inc).isEmpty)
+    // `to` defaults to the newest commit; deletes vanish from the range
+    val incAll = spark.read.format("graft")
+      .option("from", Fixtures.C1).load(dir)
+    assert(incAll.filter($"o_orderkey" % 9 === 0).count() == 0,
+      "deleted keys must not appear in the incremental range")
+    // partition predicate prunes via the metadata path, rows unchanged
+    val incF = inc.filter(col(MetaCols.PartitionPath) === "F")
+    assert(incF.count() ==
+      api.filter(col(MetaCols.PartitionPath) === "F").count())
+    // the format delete really removed the keys from the snapshot
+    assert(spark.read.format("graft").load(dir)
+      .filter($"o_orderkey" % 9 === 0).count() == 0)
+    // asOf and from are mutually exclusive
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("asOf", Fixtures.C2)
+        .option("from", Fixtures.C1).load(dir)
+    }
+  }
+
   test("format write type=mor: appends are delta commits; compactEvery folds them") {
     import graft.format.{Instant, Timeline}
     val dir = freshDir("orders_format_mor_write")

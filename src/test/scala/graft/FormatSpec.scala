@@ -70,6 +70,23 @@ class FormatSpec extends AnyFunSuite {
     assert(t.completedInstants().map(_.ts) == Seq("1001", "1002"))
   }
 
+  test("saveCommit rejects re-landing a completed instant (either action)") {
+    val (_, t) = freshTable(nCommits = 1)
+    val empty = CommitMetadata(
+      partitionToWriteStats = Map.empty, operationType = "INSERT",
+      totalRecordsDeleted = 0, totalRecordsWritten = 0)
+    // same ts + same action: completed commits are immutable
+    val e1 = intercept[IllegalArgumentException](t.saveCommit("1001", empty))
+    assert(e1.getMessage.contains("already completed"))
+    // same ts + OTHER action: a ts names at most one instant
+    val e2 = intercept[IllegalArgumentException](
+      t.saveCommit("1001", empty, Instant.DeltaCommitAction))
+    assert(e2.getMessage.contains("already completed"))
+    // an unused ts still lands
+    t.saveCommit("1002", empty)
+    assert(t.completedInstants().map(_.ts) == Seq("1001", "1002"))
+  }
+
   test("statByFileId finds stats across partitions") {
     assert(meta.statByFileId("R-0").map(_._1).contains("R"))
     assert(meta.statByFileId("A-1").flatMap(_._2.prevCommit).contains("1001"))

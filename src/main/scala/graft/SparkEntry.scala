@@ -93,6 +93,11 @@ object SparkEntry {
       payload(s.read.format("graft")
         .option("from", C2).option("to", C3)
         .load(Fixtures.cowDir(s, d)))),
+    // The reference's core capability through the format surface (r6):
+    // rows deleted by C2, materialized-once/served-cached.
+    "q_delete_view_format" -> ((s, d) =>
+      payload(s.read.format("graft")
+        .option("deleteView", C2).load(Fixtures.cowDir(s, d)))),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -667,6 +672,8 @@ object SparkEntry {
         "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"),
     "q_incremental_format" ->
       s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100000 AS o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "q_delete_view_format" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey",
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_incremental_cow" ->

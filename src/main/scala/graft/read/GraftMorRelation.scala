@@ -117,6 +117,39 @@ final class GraftIncrementalRelation(
   }
 }
 
+/** The DELETE VIEW — the reference's core capability
+  * (`DeleteSupport(path, ts).getDeleteDataset()`) — behind the format
+  * surface: `spark.read.format("graft").option("deleteView", ts)`. The
+  * rows deleted by commit `ts`, materialized-once/served-cached with the
+  * same idempotence contract as `GraftTable.deleteView`. Schema comes
+  * from the lazy plan (no materialization at relation-create time); the
+  * first scan materializes, later scans read the cached view. Filters are
+  * applied on top and pushed by Catalyst into whichever plan serves the
+  * scan (anti-join or cached parquet). */
+final class GraftDeleteViewRelation(
+    spark: SparkSession,
+    basePath: String,
+    ts: String) extends BaseRelation with PrunedFilteredScan {
+
+  private val view = graft.deleteview.DeleteView(spark, basePath, ts)
+
+  override val schema: StructType = view.plan().schema
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def needConversion: Boolean = false
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot(f => GraftMorRelation.toColumn(f).isDefined)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(GraftMorRelation.toColumn)
+      .foldLeft(view.toDF())((df, c) => df.filter(c))
+    filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
 object GraftMorRelation {
 
   /** Translate a pushed source filter back to a Column predicate; None for

@@ -90,6 +90,13 @@ final class GraftSourceProvider extends StreamSourceProvider
     val basePath = GraftSourceProvider.path(parameters)
     val asOf = parameters.get("asOf")
     val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    // `deleteView` = the rows DELETED by that commit (the reference's core
+    // capability, materialized-once/served-cached) — r6.
+    parameters.get("deleteView").foreach { ts =>
+      require(asOf.isEmpty && !parameters.contains("from"),
+        "deleteView is mutually exclusive with asOf/from/to")
+      return new graft.read.GraftDeleteViewRelation(spark, basePath, ts)
+    }
     // `from` (+ optional `to`, default newest commit) = INCREMENTAL read:
     // current state of records written in (from, to] — r6, the batch twin
     // of the streaming source's micro-batch ranges.

@@ -175,6 +175,31 @@ class FileIndexSpec extends SparkSpec {
     assert(df.filter(col(MetaCols.PartitionPath) === "NOPE").count() == 0)
   }
 
+  test("format deleteView option == DeleteView API, served from cache on re-read") {
+    val dir = freshDir("orders_format_dv")
+    val w = new CowWriter(spark, dir, numBuckets = 2)
+    w.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    val doomed = orders.filter($"o_orderkey" % 6 === 0)
+    w.delete(doomed, col("o_orderkey"), col("o_orderstatus"), Fixtures.C2)
+
+    val dv = spark.read.format("graft")
+      .option("deleteView", Fixtures.C2).load(dir)
+    assert(dv.count() == doomed.count() && doomed.count() > 0)
+    val api = graft.deleteview.DeleteView(spark, dir, Fixtures.C2).toDF()
+      .select(dv.columns.map(col).toIndexedSeq: _*)
+    assert(dv.exceptAll(api).isEmpty && api.exceptAll(dv).isEmpty)
+    // a second relation serves the materialized cache (idempotence
+    // contract), and filters push into it
+    val again = spark.read.format("graft")
+      .option("deleteView", Fixtures.C2).load(dir)
+      .filter($"o_orderkey" % 12 === 0)
+    assert(again.count() == doomed.filter($"o_orderkey" % 12 === 0).count())
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("deleteView", Fixtures.C2)
+        .option("from", Fixtures.C1).load(dir)
+    }
+  }
+
   test("format incremental read: from/to options == IncrementalReader, with delete operation") {
     val dir = freshDir("orders_format_inc")
     def w(df: org.apache.spark.sql.DataFrame) = df.write.format("graft")

@@ -98,6 +98,12 @@ object SparkEntry {
     "q_delete_view_format" -> ((s, d) =>
       payload(s.read.format("graft")
         .option("deleteView", C2).load(Fixtures.cowDir(s, d)))),
+    // Time travel through the format surface onto a state with OUTSTANDING
+    // deltas (asOf=C2 precedes compaction C3x): the merged-plan relation
+    // under time travel.
+    "q_time_travel_format" -> ((s, d) =>
+      payload(s.read.format("graft")
+        .option("asOf", C2).load(Fixtures.morDir(s, d)))),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -674,6 +680,8 @@ object SparkEntry {
       s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100000 AS o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_delete_view_format" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey",
+    "q_time_travel_format" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_incremental_cow" ->

@@ -15,8 +15,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   t.incremental(c1, c2)         // rows written in (c1, c2]
   *   t.deleteView(c2)              // rows DELETED by c2 (the reference's API)
   *   t.commits                     // completed instants, oldest→newest
-  *   // and the change-stream surface (see streaming.GraftSourceProvider):
-  *   spark.readStream.format("graft").load("/data/orders")
+  *
+  *   // every view is equally reachable through the FORMAT surface
+  *   // (see streaming.GraftSourceProvider), including writes:
+  *   spark.read.format("graft").load(path)                    // snapshot
+  *   spark.read.format("graft").option("asOf", c1).load(path) // time travel
+  *   spark.read.format("graft").option("from", c1).option("to", c2).load(path)
+  *   spark.read.format("graft").option("deleteView", c2).load(path)
+  *   df.write.format("graft").option("key", "id").option("partition", "p")
+  *     .option("type", "mor").mode("append").save(path)       // + operation=delete
+  *   spark.readStream.format("graft").load(path)              // change stream
+  *   df.writeStream.format("graft").option("key", "id")
+  *     .option("partition", "p").start(path)                  // exactly-once sink
+  *   // SQL: CREATE TABLE t USING graft OPTIONS (path '/data/orders')
   * }}}
   *
   * All methods return lazy DataFrames planned against the table's commit

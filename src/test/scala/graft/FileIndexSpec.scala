@@ -175,6 +175,21 @@ class FileIndexSpec extends SparkSpec {
     assert(df.filter(col(MetaCols.PartitionPath) === "NOPE").count() == 0)
   }
 
+  test("format read of a fully-EMPTIED table is zero rows with the table schema") {
+    val dir = freshDir("orders_format_emptied")
+    def w(df: org.apache.spark.sql.DataFrame) = df.write.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+    w(orders).option("ts", Fixtures.C1).mode("overwrite").save(dir)
+    w(orders).option("operation", "delete").option("ts", Fixtures.C2)
+      .mode("append").save(dir) // every file group now fileless
+    val df = spark.read.format("graft").load(dir)
+    assert(df.count() == 0)
+    assert(df.columns.contains("o_orderkey") &&
+      df.columns.contains(MetaCols.PartitionPath))
+    // and the engine-API read agrees (Hudi parity: emptied ≠ error)
+    assert(SnapshotReader.read(spark, dir).count() == 0)
+  }
+
   test("format deleteView option == DeleteView API, served from cache on re-read") {
     val dir = freshDir("orders_format_dv")
     val w = new CowWriter(spark, dir, numBuckets = 2)

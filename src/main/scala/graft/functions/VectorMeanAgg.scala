@@ -57,9 +57,21 @@ case class VectorMeanAgg(
       val ad = v.asInstanceOf[ArrayData]
       require(ad.numElements() == dim,
         s"vector_mean(dim=$dim) saw a ${ad.numElements()}-element vector")
+      // Null ELEMENTS are rejected loudly: ArrayData's primitive getters
+      // would read them as 0.0, silently diverging from the per-component
+      // null-skipping a declarative avg does. NULL VECTORS are skipped
+      // (standard aggregate null semantics, same as the posexplode form).
       var i = 0
-      if (elemIsFloat) while (i < dim) { buf(i) += ad.getFloat(i); i += 1 }
-      else while (i < dim) { buf(i) += ad.getDouble(i); i += 1 }
+      if (elemIsFloat) while (i < dim) {
+        require(!ad.isNullAt(i),
+          s"vector_mean saw a null element at position $i")
+        buf(i) += ad.getFloat(i); i += 1
+      }
+      else while (i < dim) {
+        require(!ad.isNullAt(i),
+          s"vector_mean saw a null element at position $i")
+        buf(i) += ad.getDouble(i); i += 1
+      }
       buf(dim) += 1d
     }
     buf

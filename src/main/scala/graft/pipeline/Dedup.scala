@@ -594,14 +594,21 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     // Per-round lineage truncation: localCheckpoint (executor-local blocks,
     // fast, default) or — when `checkpointDir` is given — RELIABLE
-    // checkpointing to that path, surviving executor loss mid-job: the
-    // production setting on a cluster, where a lost executor would
-    // otherwise force recomputing the whole iterative chain.
+    // checkpointing, surviving executor loss mid-job: the production
+    // setting on a cluster, where a lost executor would otherwise force
+    // recomputing the whole iterative chain. The data lands in a
+    // UNIQUE SUBDIR of `checkpointDir` (one call's files never collide
+    // with another's), any checkpoint dir the CALLER had configured is
+    // restored on exit, and the subdir remains on disk backing the
+    // returned frame — delete it once the result is persisted elsewhere.
     val sc = pairs.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
+    val callerDir = sc.getCheckpointDir
+    checkpointDir.foreach(d => sc.setCheckpointDir(
+      s"$d/graft-clusters-${java.util.UUID.randomUUID}"))
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
+    try {
     val e0 = pairs.select(idA.cast("long").as("src"),
       idB.cast("long").as("dst"))
     val edges = truncate(
@@ -634,6 +641,7 @@ object Dedup {
       lbl = jumped
     }
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    } finally checkpointDir.foreach(_ => callerDir.foreach(sc.setCheckpointDir))
   }
 
   /** Drop-list under CLUSTER semantics: every doc whose component

@@ -133,7 +133,10 @@ object Similarity {
     * with [[meansViaExplodeForm]] is property-pinned in PipelineSpec. */
   private[graft] def clusterMeans(assigned: DataFrame,
       dim: Int): Map[Int, Seq[Float]] =
-    assigned.groupBy("__cluster")
+    // null vectors are dropped BEFORE grouping so a cluster whose rows are
+    // all null is absent from the result (the caller then keeps its old
+    // centroid) — identical to what posexplode of a null array yields.
+    assigned.filter(col("v").isNotNull).groupBy("__cluster")
       .agg(graft.functions.VectorMeanAgg.vectorMean(col("v"), dim).as("m"))
       .collect()
       .map(r => r.getInt(0) ->

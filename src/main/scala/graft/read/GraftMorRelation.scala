@@ -7,6 +7,43 @@ import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
+/** Shared shape of the format surface's V1 `PrunedFilteredScan` relations
+  * (MOR snapshot merge, incremental range, delete view): the subclass
+  * provides the declarative plan — receiving the pushed filters for any
+  * metadata-level pruning it can do — and this trait applies every
+  * translatable filter as a Column on top (Catalyst re-pushes them into
+  * the inner plan wherever legal), projects the required columns, and
+  * hands the OPTIMIZED plan's InternalRows straight through
+  * (`needConversion = false`, the JDBC-relation pattern — no Row
+  * round-trip). Keeping the filter translation and scan assembly in one
+  * place means the three relations cannot drift apart. */
+private[read] trait GraftFilteredScan extends BaseRelation
+    with PrunedFilteredScan {
+
+  protected def session: SparkSession
+
+  /** The declarative plan for this scan. `filters` are the pushed source
+    * filters, offered for METADATA-level pruning only — row-level
+    * application happens in [[buildScan]] regardless. */
+  protected def planScan(filters: Array[Filter]): DataFrame
+
+  override def sqlContext: SQLContext = session.sqlContext
+  override def needConversion: Boolean = false
+
+  /** Filters this relation fully applies itself (everything expressible as
+    * a Column); the engine re-evaluates only what's returned here. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot(f => GraftMorRelation.toColumn(f).isDefined)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(GraftMorRelation.toColumn)
+      .foldLeft(planScan(filters))((df, c) => df.filter(c))
+    filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
 /** Batch `spark.read.format("graft")` relation for snapshots that NEED the
   * MOR window merge (file groups with outstanding deltas) — the case a plain
   * file relation cannot express, previously rejected by the format surface.
@@ -30,38 +67,24 @@ import org.apache.spark.sql.types.StructType
   *     groups, window merge on dirty ones) with the pushed filters applied
   *     on top — Catalyst then pushes them below the union into the parquet
   *     scans wherever legal (everywhere except across the merge window).
-  *     `needConversion = false` hands the optimized plan's InternalRows
-  *     straight through (the JDBC-relation pattern), no Row round-trip.
   *
   * The reference serves its view as a plain `Dataset<Row>` with no
   * compaction precondition (ref: DeleteSupport.java:89-96); this relation
   * gives the format surface the same totality.
   */
 final class GraftMorRelation(
-    spark: SparkSession,
+    protected val session: SparkSession,
     basePath: String,
     asOf: Option[String],
-    override val schema: StructType) extends BaseRelation
-    with PrunedFilteredScan {
-
-  override def sqlContext: SQLContext = spark.sqlContext
-
-  /** buildScan returns the optimized inner plan's InternalRows directly. */
-  override def needConversion: Boolean = false
+    override val schema: StructType) extends GraftFilteredScan {
 
   /** Absolute data-file paths the last `buildScan` planned (base + delta) —
     * observability/test hook for the metadata-pruning contract; the V1 RDD
     * hides them from `DataFrame.inputFiles`. */
   @volatile private[graft] var lastPlannedFiles: Seq[String] = Seq.empty
 
-  /** Filters this relation fully applies itself (everything expressible as
-    * a Column); the engine re-evaluates only what's returned here. */
-  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
-    filters.filterNot(f => GraftMorRelation.toColumn(f).isDefined)
-
-  override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
-    val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+  override protected def planScan(filters: Array[Filter]): DataFrame = {
+    val timeline = Timeline(session.sessionState.newHadoopConf(), basePath)
     val all = timeline.latestSlices(asOf).values.toSeq
     val slices = GraftMorRelation.partitionValues(filters) match {
       case Some(parts) => all.filter(s => parts.contains(s.partitionPath))
@@ -70,15 +93,9 @@ final class GraftMorRelation(
     lastPlannedFiles = slices.flatMap(s =>
       (s.relPath.toSeq ++ s.deltas.map(_.relPath))
         .map(rp => s"$basePath/$rp"))
-    val snap: DataFrame =
-      if (slices.isEmpty) // filters selected no partition: empty, not error
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else SnapshotReader.merge(spark, basePath, slices, Some(timeline), asOf)
-    val filtered = filters.flatMap(GraftMorRelation.toColumn)
-      .foldLeft(snap)((df, c) => df.filter(c))
-    val projected = filtered.select(
-      requiredColumns.map(col).toIndexedSeq: _*)
-    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    if (slices.isEmpty) // filters selected no partition: empty, not error
+      session.createDataFrame(session.sparkContext.emptyRDD[Row], schema)
+    else SnapshotReader.merge(session, basePath, slices, Some(timeline), asOf)
   }
 }
 
@@ -86,34 +103,20 @@ final class GraftMorRelation(
   * `spark.read.format("graft").option("from", c1).option("to", c2)` — the
   * current state of every record written in `(from, to]`, planned by
   * [[IncrementalReader]] (only the file groups the range's commits wrote
-  * enter the plan). Same V1 PrunedFilteredScan shape as
-  * [[GraftMorRelation]]: pushed partition predicates become
-  * IncrementalReader's metadata-level `partitions` pruning, remaining
-  * filters apply on top of the declarative plan. */
+  * enter the plan). Pushed partition predicates become IncrementalReader's
+  * metadata-level `partitions` pruning. */
 final class GraftIncrementalRelation(
-    spark: SparkSession,
+    protected val session: SparkSession,
     basePath: String,
     fromExclusive: String,
     toInclusive: String,
-    override val schema: StructType) extends BaseRelation
-    with PrunedFilteredScan {
+    override val schema: StructType) extends GraftFilteredScan {
 
-  override def sqlContext: SQLContext = spark.sqlContext
-  override def needConversion: Boolean = false
-
-  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
-    filters.filterNot(f => GraftMorRelation.toColumn(f).isDefined)
-
-  override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
+  override protected def planScan(filters: Array[Filter]): DataFrame = {
     val parts = GraftMorRelation.partitionValues(filters)
       .map(_.toSeq.sorted).getOrElse(Seq.empty)
-    val inc = IncrementalReader.read(spark, basePath, fromExclusive,
+    IncrementalReader.read(session, basePath, fromExclusive,
       toInclusive, partitions = parts)
-    val filtered = filters.flatMap(GraftMorRelation.toColumn)
-      .foldLeft(inc)((df, c) => df.filter(c))
-    filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 
@@ -123,31 +126,18 @@ final class GraftIncrementalRelation(
   * rows deleted by commit `ts`, materialized-once/served-cached with the
   * same idempotence contract as `GraftTable.deleteView`. Schema comes
   * from the lazy plan (no materialization at relation-create time); the
-  * first scan materializes, later scans read the cached view. Filters are
-  * applied on top and pushed by Catalyst into whichever plan serves the
-  * scan (anti-join or cached parquet). */
+  * first scan materializes, later scans read the cached view. */
 final class GraftDeleteViewRelation(
-    spark: SparkSession,
+    protected val session: SparkSession,
     basePath: String,
-    ts: String) extends BaseRelation with PrunedFilteredScan {
+    ts: String) extends GraftFilteredScan {
 
-  private val view = graft.deleteview.DeleteView(spark, basePath, ts)
+  private val view = graft.deleteview.DeleteView(session, basePath, ts)
 
   override val schema: StructType = view.plan().schema
 
-  override def sqlContext: SQLContext = spark.sqlContext
-  override def needConversion: Boolean = false
-
-  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
-    filters.filterNot(f => GraftMorRelation.toColumn(f).isDefined)
-
-  override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
-    val filtered = filters.flatMap(GraftMorRelation.toColumn)
-      .foldLeft(view.toDF())((df, c) => df.filter(c))
-    filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
-  }
+  override protected def planScan(filters: Array[Filter]): DataFrame =
+    view.toDF()
 }
 
 object GraftMorRelation {

@@ -93,23 +93,34 @@ final class GraftSourceProvider extends StreamSourceProvider
     // `deleteView` = the rows DELETED by that commit (the reference's core
     // capability, materialized-once/served-cached) — r6.
     parameters.get("deleteView").foreach { ts =>
-      require(asOf.isEmpty && !parameters.contains("from"),
+      require(asOf.isEmpty && !parameters.contains("from") &&
+        !parameters.contains("to"),
         "deleteView is mutually exclusive with asOf/from/to")
       return new graft.read.GraftDeleteViewRelation(spark, basePath, ts)
     }
     // `from` (+ optional `to`, default newest commit) = INCREMENTAL read:
     // current state of records written in (from, to] — r6, the batch twin
     // of the streaming source's micro-batch ranges.
+    require(parameters.contains("from") || !parameters.contains("to"),
+      """option "to" requires option "from" (the incremental range is """ +
+        "(from, to]); for a historical snapshot use asOf")
     parameters.get("from").foreach { from =>
       require(asOf.isEmpty, "asOf and from/to are mutually exclusive")
       val to = parameters.getOrElse("to",
         timeline.completedInstants().lastOption.map(_.ts).getOrElse(
           throw new IllegalArgumentException(s"empty table at $basePath")))
-      // schema from the range's own plan (metadata-resolved), so the
-      // relation can never declare columns the range cannot produce
+      // Schema from commit metadata when recorded (O(1) — the writers keep
+      // the newest record a superset of every live file's schema, and the
+      // range plan's columns equal that union minus the delete marker);
+      // pre-schema-recording tables fall back to planning the range once.
+      val schema = timeline.latestSchemaJson(Some(to))
+        .map(sj => StructType(DataType.fromJson(sj)
+          .asInstanceOf[StructType]
+          .filterNot(_.name == SnapshotReader.IsDeleted)))
+        .getOrElse(graft.read.IncrementalReader
+          .read(spark, basePath, from, to).schema)
       return new graft.read.GraftIncrementalRelation(spark, basePath,
-        from, to,
-        graft.read.IncrementalReader.read(spark, basePath, from, to).schema)
+        from, to, schema)
     }
     val slices = timeline.latestSlices(asOf).values.toSeq
     require(slices.nonEmpty, s"empty table (no slices) at $basePath")

@@ -47,6 +47,14 @@ private[graft] object FormatWriter {
     * role of the file sink's `_spark_metadata` batch log). */
   val BatchIdKey = "streaming.batchId"
 
+  /** Commit-extra key carrying the STREAMING QUERY id that wrote a sink
+    * commit. Scopes the replay gate: batch ids restart at 0 for every new
+    * query (fresh checkpoint), so gating on the id alone would silently
+    * swallow a new query's first batches into an already-written table
+    * (the file sink's documented foot-gun); gating on (queryId, batchId)
+    * makes a replay skip and a new query land. */
+  val QueryIdKey = "streaming.queryId"
+
   /** Commit-extra key pinning the table's bucket count at creation, so
     * later appends can't silently re-bucket keys across file groups. */
   val BucketsKey = "buckets"
@@ -59,11 +67,15 @@ private[graft] object FormatWriter {
       s"""graft write requires .option("$name", <column name>)"""))
 
   /** Bucket count: explicit option, else the count recorded at table
-    * creation, else 8. An explicit option that CONTRADICTS the recorded
-    * count is an error — re-bucketing survivors of partially rewritten
-    * tables would break the key↔file-group invariant. */
+    * creation, else (for a NEW table only) 8. An explicit option that
+    * CONTRADICTS the recorded count is an error, and appending to an
+    * existing table with NO recorded count (created by the raw writer
+    * APIs) without an explicit option is too — either way, re-bucketing
+    * keys across file groups would strand old row versions in groups the
+    * upsert never rewrites (silent duplicate keys). */
   private def buckets(parameters: Map[String, String],
       timeline: Timeline): Int = {
+    val exists = timeline.completedInstants().nonEmpty
     val recorded = timeline.completedInstants().headOption
       .flatMap(i => timeline.metadata(i.ts).extra.get(BucketsKey))
       .map(_.toInt)
@@ -71,6 +83,9 @@ private[graft] object FormatWriter {
     (opt, recorded) match {
       case (Some(o), Some(r)) if o != r => throw new IllegalArgumentException(
         s"buckets=$o contradicts the table's recorded bucket count $r")
+      case (None, None) if exists => throw new IllegalArgumentException(
+        "appending to a table with no recorded bucket count; pass " +
+          """.option("buckets", N) matching the writer that created it""")
       case (o, r) => o.orElse(r).getOrElse(8)
     }
   }
@@ -176,14 +191,20 @@ private[graft] object FormatWriter {
   }
 }
 
-/** V1 streaming sink: each micro-batch becomes ONE table commit tagged with
-  * its batch id in the commit's extraMetadata. Exactly-once under the
-  * engine's replay contract: after a restart the engine re-runs the last
-  * possibly-uncommitted batch with the SAME batch id — `addBatch` looks the
-  * id up on the timeline and skips the replay, so a batch never lands
-  * twice (the commit log IS the sink's batch log, no `_spark_metadata`
-  * sidecar). Empty micro-batches are skipped entirely (no empty commits;
-  * a replayed empty batch skips again — still exactly-once).
+/** V1 streaming sink: each micro-batch becomes ONE table commit tagged
+  * with its (query id, batch id) in the commit's extraMetadata.
+  * Exactly-once under the engine's replay contract: after a restart the
+  * engine re-runs the last possibly-uncommitted batch with the SAME query
+  * and batch id — `addBatch` compares against the newest commit THIS query
+  * wrote (batch ids are monotonic per query, so one newest-first walk that
+  * stops at the first matching commit decides replay in O(1) metadata
+  * reads per batch, not a full-timeline scan) and skips it, so a batch
+  * never lands twice (the commit log IS the sink's batch log, no
+  * `_spark_metadata` sidecar). A DIFFERENT query writing to the same
+  * table — fresh checkpoint, batch ids restarting at 0 — is a different
+  * query id and lands normally. Empty micro-batches are skipped entirely
+  * (no empty commits; a replayed empty batch skips again — the `isEmpty`
+  * probe costs one bounded extra execution of the micro-batch plan).
   *
   * Pairs with the r5 source: `readStream.format("graft")` →
   * `writeStream.format("graft")` tails one table into another with
@@ -194,17 +215,27 @@ private[graft] final class GraftStreamSink(spark: SparkSession,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = synchronized {
     val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
-    val replay = timeline.completedInstants().exists(i =>
-      timeline.metadata(i.ts).extra.get(FormatWriter.BatchIdKey)
-        .contains(batchId.toString))
-    if (replay) return
+    // The engine sets this local property on the thread running the sink
+    // (the stable query id, not the per-run id). Absent only when addBatch
+    // is driven outside a streaming execution.
+    val qid = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+    val newestForQuery = timeline.completedInstants().reverseIterator
+      .map(i => timeline.metadata(i.ts).extra)
+      .collectFirst {
+        case ex if ex.contains(FormatWriter.BatchIdKey) &&
+          ex.get(FormatWriter.QueryIdKey) == qid =>
+          ex(FormatWriter.BatchIdKey).toLong
+      }
+    if (newestForQuery.exists(_ >= batchId)) return // replay: already landed
     // addBatch's frame wraps the planned IncrementalExecution — re-mount as
     // a batch frame so the writer can run ordinary batch jobs over it.
     val batch = org.apache.spark.sql.graft.Bridge
       .sinkBatchDataFrame(spark, data)
     if (batch.isEmpty) return
     FormatWriter.append(spark, basePath, parameters, batch,
-      extra = Map(FormatWriter.BatchIdKey -> batchId.toString))
+      extra = Map(FormatWriter.BatchIdKey -> batchId.toString) ++
+        qid.map(FormatWriter.QueryIdKey -> _))
   }
 
   override def toString: String = s"GraftStreamSink[$basePath]"

@@ -200,23 +200,24 @@ final class MorWriter(
 
 object MorWriter {
   /** Schema recorded with a commit: the UNION of the newest previously
-    * recorded schema (same action — base and delta files resolve their
-    * schemas independently) and the new frame's schema, new fields' order
-    * first, previous-only fields appended.
+    * recorded schema (ANY action) and the new frame's schema — new fields'
+    * order first, previous-only fields appended, and the MOR delete marker
+    * kept only on delta records (base files never carry it, and leaking it
+    * into a base-commit record would surface a phantom null column on
+    * snapshot reads).
     *
-    * This makes `latestSchemaJson` a superset of every live file's schema
-    * BY CONSTRUCTION: readers resolve all delta files from the newest
-    * deltacommit's recorded schema, so without the union an upsert passing
-    * a NARROWER frame than an earlier deltacommit would silently drop the
-    * older delta files' extra columns (they read as null under the wider
-    * union — correct add-only evolution semantics; CowWriter is safe
-    * because its commits rewrite old∪new data wholesale). Same-name fields
-    * keep the NEW writer's type — diverging types are outside the add-only
-    * contract. */
+    * Unioning across actions makes the newest recorded schema a superset
+    * of EVERY live file's schema by induction — including the first
+    * deltacommit after an insert (a same-action union would let a narrow
+    * first delta record a schema missing base columns, and the snapshot's
+    * merged branch would project them away) and compaction commits on
+    * partially-compacted tables. Readers can therefore resolve the table
+    * schema from the single newest record. Same-name fields keep the NEW
+    * writer's type — diverging types are outside the add-only contract. */
   private[graft] def monotonicSchema(timeline: Timeline, action: String,
       schema: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.types.StructType =
-    timeline.latestSchemaJson(None, Some(action)) match {
+      : org.apache.spark.sql.types.StructType = {
+    val unioned = timeline.latestSchemaJson(None) match {
       case None => schema
       case Some(prevJson) =>
         val prev = org.apache.spark.sql.types.DataType.fromJson(prevJson)
@@ -225,4 +226,9 @@ object MorWriter {
         org.apache.spark.sql.types.StructType(
           schema.fields ++ prev.fields.filterNot(f => newNames(f.name)))
     }
+    if (action == Instant.CommitAction)
+      org.apache.spark.sql.types.StructType(
+        unioned.filterNot(_.name == graft.read.SnapshotReader.IsDeleted))
+    else unioned
+  }
 }

@@ -55,6 +55,29 @@ class EvolutionSpec extends SparkSpec {
     assert(inc.filter($"o_note".isNull).isEmpty)
   }
 
+  test("MOR: a narrow FIRST delta must not drop base-only columns from the snapshot") {
+    // insert records (payload incl. o_comment); the very first deltacommit
+    // passes a NARROWER frame (o_comment dropped). The recorded delta
+    // schema unions across ACTIONS (base insert included), so the merged
+    // snapshot still serves o_comment from the base side — a same-action
+    // union would have projected it away.
+    val dir = freshDir("orders_evo_mor_narrow_first")
+    val w = new MorWriter(spark, dir, numBuckets = 2)
+    val withComment = orders.withColumn("o_note2", lit("keep-me"))
+    w.insert(withComment, col("o_orderkey"), col("o_orderstatus"), C1)
+    w.upsert(orders.filter($"o_orderkey" % 10 === 4), // no o_note2
+      col("o_orderkey"), col("o_orderstatus"), C2)
+
+    val snap = SnapshotReader.read(spark, dir)
+    assert(snap.columns.contains("o_note2"),
+      "base-only column vanished after a narrow first delta commit")
+    assert(snap.filter($"o_orderkey" % 10 =!= 4 && $"o_note2" =!= "keep-me")
+      .isEmpty, "unchanged rows must keep their base-side column values")
+    assert(snap.filter($"o_orderkey" % 10 === 4 && $"o_note2".isNotNull)
+      .isEmpty, "narrow-frame rows read the missing column as null")
+    assert(snap.count() == orders.count())
+  }
+
   test("MOR: a NARROWER later delta must not drop an earlier delta's added column") {
     // deltacommit C2 adds o_note; deltacommit C3 upserts DIFFERENT keys with
     // the ORIGINAL (narrower) schema. All delta files resolve their schema

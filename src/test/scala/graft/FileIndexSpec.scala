@@ -175,6 +175,26 @@ class FileIndexSpec extends SparkSpec {
     assert(df.filter(col(MetaCols.PartitionPath) === "NOPE").count() == 0)
   }
 
+  test("format append to a table with no recorded bucket count requires explicit buckets") {
+    val dir = freshDir("orders_format_rawtable")
+    val w = new CowWriter(spark, dir, numBuckets = 2) // raw writer: no record
+    w.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    val upd = orders.limit(10)
+      .withColumn("o_totalprice", $"o_totalprice" + 1)
+    def append(df: org.apache.spark.sql.DataFrame) = df.write.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+      .option("ts", Fixtures.C2).mode("append")
+    // guessing a bucket count would re-bucket keys across file groups and
+    // strand old row versions (silent duplicate keys) — must refuse
+    val err = intercept[IllegalArgumentException](append(upd).save(dir))
+    assert(err.getMessage.contains("no recorded bucket count"))
+    // the writer's true count, passed explicitly, goes through
+    append(upd).option("buckets", "2").save(dir)
+    val snap = spark.read.format("graft").load(dir)
+    assert(snap.count() == orders.count(),
+      "matching-bucket append must not duplicate keys")
+  }
+
   test("format read of a fully-EMPTIED table is zero rows with the table schema") {
     val dir = freshDir("orders_format_emptied")
     def w(df: org.apache.spark.sql.DataFrame) = df.write.format("graft")

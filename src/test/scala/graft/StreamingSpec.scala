@@ -172,6 +172,7 @@ class TableTailSpec extends SparkSpec {
     w.insert(orders.filter(k % 3 === 0), k, col("o_orderstatus"), Fixtures.C1)
     w.upsert(orders.filter(k % 3 === 1), k, col("o_orderstatus"), Fixtures.C2)
 
+    var queryId: String = null // stable across restarts (same checkpoint)
     def runOnce(): Unit = {
       val q = spark.readStream.format("graft")
         .option("maxCommitsPerBatch", "1") // one source commit per batch
@@ -183,6 +184,7 @@ class TableTailSpec extends SparkSpec {
         .outputMode("append")
         .trigger(Trigger.AvailableNow()).start(dst)
       q.awaitTermination(120000)
+      queryId = q.id.toString
     }
     def dstCommits() = graft.format.Timeline(
       spark.sessionState.newHadoopConf(), dst).completedInstants()
@@ -205,15 +207,23 @@ class TableTailSpec extends SparkSpec {
     runOnce()
     assert(dstCommits().size == 2, "idle restart wrote sink commits")
 
-    // an engine REPLAY re-runs a batch id the sink already committed — the
-    // commit-metadata gate must skip it (exactly-once), and a fresh id with
-    // the same rows must go through (it's the id, not the data, that gates)
+    // an engine REPLAY re-runs a batch id THIS query already committed —
+    // the (queryId, batchId) gate must skip it; a DIFFERENT query (fresh
+    // checkpoint, ids restarting at 0) writing to the same table must LAND
+    // (the file sink's documented data-loss foot-gun, closed here)
+    val QidProp = "sql.streaming.queryId"
     val sink = new graft.write.GraftStreamSink(spark, dst,
       Map("key" -> "o_orderkey", "partition" -> "o_orderstatus"))
-    sink.addBatch(1L, orders.filter(k % 3 === 1))
-    assert(dstCommits().size == 2, "replayed batch id landed twice")
-    sink.addBatch(7L, orders.filter(k % 3 === 1))
-    assert(dstCommits().size == 3 && dstBatchIds().contains("7"))
+    spark.sparkContext.setLocalProperty(QidProp, queryId)
+    try {
+      sink.addBatch(1L, orders.filter(k % 3 === 1))
+      assert(dstCommits().size == 2, "replayed batch id landed twice")
+      spark.sparkContext.setLocalProperty(QidProp,
+        java.util.UUID.randomUUID.toString) // a brand-new query, batch 0
+      sink.addBatch(0L, orders.filter(k % 3 === 1))
+      assert(dstCommits().size == 3,
+        "a new query's batch 0 was swallowed by the old query's gate")
+    } finally spark.sparkContext.setLocalProperty(QidProp, null)
 
     // a new source commit drains as the next batch; the sink upserts by
     // key, so the destination converges to the source snapshot

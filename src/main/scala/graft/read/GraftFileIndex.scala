@@ -82,6 +82,28 @@ final class GraftFileIndex(
   override def sizeInBytes: Long = partFiles.flatMap(_._2).map(_.getLen).sum
 }
 
+/** Parquet format whose WRITE path is disabled: Spark's analyzer happily
+  * plans `INSERT INTO` against any `HadoopFsRelation`, and a raw file
+  * insert into a versioned table would land parquet files the timeline
+  * never records — accepted, then silently invisible to every reader
+  * (observed before this guard). Reads (vectorized scan, filter pushdown,
+  * partition pruning) are inherited unchanged; only `prepareWrite` — the
+  * first step of any insert plan — refuses, pointing at the real write
+  * surface. */
+private[read] final class GraftReadOnlyParquetFormat
+    extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: org.apache.spark.sql.SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "graft tables do not support INSERT INTO (raw file writes bypass " +
+        "the commit timeline and would be invisible to readers); write " +
+        """through df.write.format("graft") (upsert/delete by key) or """ +
+        "the CowWriter/MorWriter APIs instead")
+}
+
 object GraftFileIndex {
 
   /** The one partition column every slice layout shares. */
@@ -128,7 +150,7 @@ object GraftFileIndex {
       partitionSchema = PartitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = new GraftReadOnlyParquetFormat,
       options = Map.empty)(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
   }

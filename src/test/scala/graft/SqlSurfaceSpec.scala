@@ -104,6 +104,17 @@ class SqlSurfaceSpec extends SparkSpec {
         "catalog-table read lost partition pruning")
       assert(filtered.count() == graft.read.SnapshotReader
         .read(spark, dir, partitions = Seq("F")).count())
+      // INSERT INTO must refuse: a raw file insert bypasses the commit
+      // timeline — accepted-then-invisible without this guard
+      val ins = intercept[Exception] {
+        spark.sql("INSERT INTO g_orders SELECT * FROM g_orders LIMIT 1")
+      }
+      def rootCauses(t: Throwable): Seq[Throwable] =
+        t +: Option(t.getCause).toSeq.flatMap(rootCauses)
+      assert(rootCauses(ins).exists(c =>
+        c.isInstanceOf[UnsupportedOperationException] &&
+          c.getMessage.contains("INSERT INTO")),
+        s"expected the read-only-format refusal, got $ins")
       // MOR with outstanding deltas through the catalog (merged relation)
       val morDir = freshDir("sql_ddl_mor")
       val mw = new graft.write.MorWriter(spark, morDir, numBuckets = 2)
@@ -118,6 +129,30 @@ class SqlSurfaceSpec extends SparkSpec {
         .as[Long].head() == orders.count())
       finally spark.sql("DROP TABLE g_orders_mor")
     } finally spark.sql("DROP TABLE g_orders")
+  }
+
+  test("SQL CTAS: CREATE TABLE ... USING graft AS SELECT creates a real versioned table") {
+    val dir = freshDir("sql_ctas")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(200)
+    orders.createOrReplaceTempView("ctas_src")
+    spark.sql("DROP TABLE IF EXISTS g_ctas")
+    spark.sql(
+      s"""CREATE TABLE g_ctas USING graft
+         |OPTIONS (path '$dir', key 'o_orderkey', partition 'o_orderstatus',
+         |         ts '${Fixtures.C1}')
+         |AS SELECT * FROM ctas_src""".stripMargin)
+    try {
+      // the catalog table serves the snapshot...
+      assert(spark.sql("SELECT count(*) FROM g_ctas").as[Long].head() ==
+        orders.count())
+      // ...and a REAL versioned table exists underneath: commit on the
+      // timeline, readable through every other surface
+      val tl = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), dir)
+      assert(tl.completedInstants().map(_.ts) == Seq(Fixtures.C1))
+      assert(graft.read.SnapshotReader.read(spark, dir).count() ==
+        orders.count())
+    } finally spark.sql("DROP TABLE g_ctas")
   }
 
   test("randomized: delete view == exactly the randomly deleted rows") {

@@ -168,7 +168,12 @@ final class GraftSourceProvider extends StreamSourceProvider
         val n = s.toInt
         require(n >= 1, "maxCommitsPerBatch must be >= 1")
         n
-      })
+      },
+      // Same option name and EXCLUSIVE semantics as the batch incremental
+      // read: tail only commits strictly AFTER this ts (default "0" = the
+      // whole history). Only consulted on a fresh checkpoint — a restart
+      // resumes from the engine's offset log, as with every source.
+      startAfter = parameters.getOrElse("from", "0"))
 }
 
 object GraftSourceProvider {
@@ -218,7 +223,8 @@ object CommitOffset {
   *        first batch AND across restarts. */
 private[streaming] final class GraftTailSource(spark: SparkSession,
     basePath: String, override val schema: StructType,
-    maxCommitsPerBatch: Option[Int] = None) extends Source
+    maxCommitsPerBatch: Option[Int] = None,
+    startAfter: String = "0") extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit}
@@ -248,19 +254,19 @@ private[streaming] final class GraftTailSource(spark: SparkSession,
     * units, not commits, so the commit cap is applied here directly. */
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
     val cur = start match {
-      case null => "0"
+      case null => startAfter
       case c: CommitOffset => c.ts
       case other => other.json()
     }
     val pending = available().filter(_ > cur)
     maxCommitsPerBatch.fold(pending)(pending.take(_))
       .lastOption.map(CommitOffset(_))
-      .getOrElse(if (cur == "0") null else CommitOffset(cur))
+      .getOrElse(if (cur == startAfter) null else CommitOffset(cur))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def initialOffset(): ConnOffset = CommitOffset("0")
+  override def initialOffset(): ConnOffset = CommitOffset(startAfter)
 
   override def deserializeOffset(json: String): ConnOffset =
     CommitOffset(json)
@@ -269,10 +275,12 @@ private[streaming] final class GraftTailSource(spark: SparkSession,
     * this path never learns the cursor, and a bounded offset behind the
     * engine's committed one would plan an inverted range). */
   override def getOffset: Option[Offset] =
-    available().lastOption.map(CommitOffset(_))
+    available().filter(_ > startAfter).lastOption.map(CommitOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(CommitOffset.tsOf).getOrElse("0")
+    // first batch: `None` means "from the configured floor", which is the
+    // `from` option's ts (default "0" = the whole history)
+    val from = start.map(CommitOffset.tsOf).getOrElse(startAfter)
     val to = CommitOffset.tsOf(end)
     val batch = IncrementalReader.read(spark, basePath, from, to)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)

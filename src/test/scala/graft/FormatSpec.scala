@@ -70,6 +70,34 @@ class FormatSpec extends AnyFunSuite {
     assert(t.completedInstants().map(_.ts) == Seq("1001", "1002"))
   }
 
+  test("FormatWriter.nextTs: strictly after the newest commit, width preserved") {
+    import graft.write.FormatWriter.nextTs
+    // width-mismatched table (4-digit ts): numeric bump at fixed width
+    val (_, t4) = freshTable(nCommits = 2)
+    assert(nextTs(t4) == "1003")
+    // 14-digit (wall-clock-shaped) table: clock when it sorts after, else bump
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    val t14 = new Timeline(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        new org.apache.hadoop.conf.Configuration()),
+      new org.apache.hadoop.fs.Path(dir))
+    t14.saveCommit("20260101000000", CommitMetadata(
+      partitionToWriteStats = Map.empty, operationType = "INSERT",
+      totalRecordsDeleted = 0, totalRecordsWritten = 0))
+    val next = nextTs(t14)
+    assert(next.length == 14 && next.forall(_.isDigit) &&
+      next > "20260101000000")
+    // far-future newest commit: the clock is behind, bump keeps monotonic
+    t14.saveCommit("99990101000000", CommitMetadata(
+      partitionToWriteStats = Map.empty, operationType = "INSERT",
+      totalRecordsDeleted = 0, totalRecordsWritten = 0))
+    assert(nextTs(t14) == "99990101000001")
+    // empty table: a 14-digit wall-clock ts
+    val t0 = new Timeline(t14.fs, new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft-ts0").toString))
+    assert(nextTs(t0).length == 14 && nextTs(t0).forall(_.isDigit))
+  }
+
   test("saveCommit rejects re-landing a completed instant (either action)") {
     val (_, t) = freshTable(nCommits = 1)
     val empty = CommitMetadata(

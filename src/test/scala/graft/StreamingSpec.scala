@@ -240,6 +240,34 @@ class TableTailSpec extends SparkSpec {
       srcPayload.exceptAll(dstPayload).isEmpty)
   }
 
+  test("graft stream source: option(\"from\") tails only commits strictly after it") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("tail_from_cow")
+    val ckpt = freshDir("tail_from_ckpt")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(300)
+    val w = new CowWriter(spark, dir, numBuckets = 2)
+    val k = col("o_orderkey")
+    w.insert(orders.filter(k % 3 === 0), k, col("o_orderstatus"), Fixtures.C1)
+    w.upsert(orders.filter(k % 3 === 1), k, col("o_orderstatus"), Fixtures.C2)
+    w.upsert(orders.filter(k % 3 === 2), k, col("o_orderstatus"), Fixtures.C3)
+
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("from", Fixtures.C1) // exclusive: skip the C1 bulk insert
+      .option("maxCommitsPerBatch", "1").load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += batch.count() }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val expected = Seq(1L, 2L)
+      .map(r => orders.filter(k % 3 === r).count())
+    assert(sizes.toSeq == expected,
+      s"expected only post-C1 commits $expected, got $sizes")
+  }
+
   test("graft sink type=mor: micro-batches land as delta commits, compactEvery bounds them") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.format.{Instant, Timeline}

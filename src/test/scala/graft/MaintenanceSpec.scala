@@ -56,6 +56,22 @@ class MaintenanceSpec extends SparkSpec {
     // the surviving delete view still serves
     assert(graft.deleteview.DeleteView(spark, dir, C2).toDF().count() ==
       orders.filter($"o_orderkey" % 7 === 0).count())
+
+    // the FORMAT surface agrees with the rolled-back state (fresh relation
+    // per read — no stale planning), and a post-rollback append through
+    // the format lands as the new head
+    assert(spark.read.format("graft").load(dir).count() == preC2.length)
+    orders.filter($"o_orderkey" % 10 === 4 && $"o_orderkey" % 7 =!= 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 7)
+      .write.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+      .option("buckets", "2").option("ts", C3).mode("append").save(dir)
+    assert(Timeline(spark.sessionState.newHadoopConf(), dir)
+      .completedInstants().map(_.ts) == Seq(C1, C2, C3))
+    assert(spark.read.format("graft")
+      .option("from", C2).load(dir).count() ==
+      orders.filter($"o_orderkey" % 10 === 4 && $"o_orderkey" % 7 =!= 0)
+        .count())
   }
 
   test("clean deletes only slices unreachable within the retention window") {

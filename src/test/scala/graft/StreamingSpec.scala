@@ -268,6 +268,46 @@ class TableTailSpec extends SparkSpec {
       s"expected only post-C1 commits $expected, got $sizes")
   }
 
+  test("graft sink operation=delete: a key stream removes rows exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dst = freshDir("sink_del_dst")
+    val ckpt = freshDir("sink_del_ckpt")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(200)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val w = new CowWriter(spark, dst, numBuckets = 2)
+    w.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+
+    // CDC-style delete stream: (key, partition) tombstones per micro-batch
+    val doomed = orders.filter($"o_orderkey" % 4 === 0)
+      .select($"o_orderkey", $"o_orderstatus").as[(Long, String)]
+      .collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(doomed: _*)
+    val q = mem.toDF().toDF("o_orderkey", "o_orderstatus")
+      .writeStream.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+      .option("operation", "delete").option("buckets", "2")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start(dst)
+    q.awaitTermination(120000)
+
+    val remaining = spark.read.format("graft").load(dst)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(remaining == orders.filter($"o_orderkey" % 4 =!= 0)
+      .select("o_orderkey").as[Long].collect().sorted.toSeq,
+      "delete stream must remove exactly the tombstoned keys")
+    // the deletes are a real commit: the delete view reconstructs them
+    val delTs = graft.format.Timeline(
+      spark.sessionState.newHadoopConf(), dst)
+      .completedInstants().last.ts
+    assert(graft.deleteview.DeleteView(spark, dst, delTs).toDF().count() ==
+      doomed.size)
+  }
+
   test("graft sink type=mor: micro-batches land as delta commits, compactEvery bounds them") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.format.{Instant, Timeline}

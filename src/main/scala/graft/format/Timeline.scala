@@ -136,6 +136,21 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
       instantsMemo = None
     }
 
+  /** Validate a USER-SUPPLIED commit-ts parameter (asOf / from / to /
+    * deleteView / streaming from) against the table's fixed ts width:
+    * every reader compares ts strings lexicographically, which equals
+    * numeric order only at fixed width — a truncated or typo'd value
+    * would otherwise silently select the wrong range (e.g. "999" sorts
+    * AFTER "1003"). `"0"` passes as the accepted history-floor sentinel. */
+  def validateTsParam(name: String, ts: String): Unit = {
+    require(ts.nonEmpty && ts.forall(_.isDigit),
+      s"option '$name' must be a numeric commit ts, got '$ts'")
+    if (ts != "0") completedInstants().headOption.foreach(first => require(
+      ts.length == first.ts.length,
+      s"option '$name'='$ts' (width ${ts.length}) does not match this " +
+        s"table's commit-ts width ${first.ts.length} (e.g. '${first.ts}')"))
+  }
+
   /** Writer schema (StructType JSON) of the NEWEST completed instant ≤
     * `asOf` (optionally restricted to one action) that recorded one — O(1)
     * metadata resolution of the table schema: under add-only evolution the

@@ -596,15 +596,16 @@ object Dedup {
     // fast, default) or — when `checkpointDir` is given — RELIABLE
     // checkpointing, surviving executor loss mid-job: the production
     // setting on a cluster, where a lost executor would otherwise force
-    // recomputing the whole iterative chain. The data lands in a
-    // UNIQUE SUBDIR of `checkpointDir` (one call's files never collide
-    // with another's), any checkpoint dir the CALLER had configured is
-    // restored on exit, and the subdir remains on disk backing the
-    // returned frame — delete it once the result is persisted elsewhere.
+    // recomputing the whole iterative chain. `setCheckpointDir` itself
+    // isolates each call in a fresh UUID dir under the given path; the
+    // caller's EXACT prior checkpoint configuration (including "none") is
+    // restored on exit via the raw accessor — re-setting through the
+    // public API would nest another UUID and drift the location. The
+    // call's checkpoint data remains on disk backing the returned frame;
+    // delete `checkpointDir` once the result is persisted elsewhere.
     val sc = pairs.sparkSession.sparkContext
-    val callerDir = sc.getCheckpointDir
-    checkpointDir.foreach(d => sc.setCheckpointDir(
-      s"$d/graft-clusters-${java.util.UUID.randomUUID}"))
+    val callerDir = org.apache.spark.sql.graft.Bridge.rawCheckpointDir(sc)
+    checkpointDir.foreach(sc.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
@@ -641,7 +642,8 @@ object Dedup {
       lbl = jumped
     }
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-    } finally checkpointDir.foreach(_ => callerDir.foreach(sc.setCheckpointDir))
+    } finally checkpointDir.foreach(_ => org.apache.spark.sql.graft.Bridge
+      .restoreRawCheckpointDir(sc, callerDir))
   }
 
   /** Drop-list under CLUSTER semantics: every doc whose component

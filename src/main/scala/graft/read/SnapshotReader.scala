@@ -30,6 +30,17 @@ object SnapshotReader {
   /** Standard Hudi delete-marker column carried by MOR delta files. */
   val IsDeleted = "_hoodie_is_deleted"
 
+  /** Decode a recorded writer-schema JSON to the READER-facing table
+    * schema: the struct minus the MOR delete marker (an implementation
+    * detail of delta files, never served to users). One definition for
+    * every surface that resolves schemas from commit metadata. */
+  private[graft] def tableSchemaFromJson(sj: String)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.DataType.fromJson(sj)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .filterNot(_.name == IsDeleted))
+
   /** Multi-path parquet read that survives ADD-COLUMN schema evolution:
     * `mergeSchema` unions the footers' schemas (files written before the
     * column appeared read as null). Cost is driver-side footer sampling —
@@ -84,7 +95,8 @@ object SnapshotReader {
   private[read] def emptyLike(spark: SparkSession, basePath: String,
       timeline: Timeline): DataFrame = {
     val schema = timeline.latestSchemaJson(None) match {
-      // O(1): the newest commit's recorded writer schema
+      // O(1): the newest commit's recorded writer schema (marker stripped
+      // below together with the footer-sampled fallback's)
       case Some(sj) => org.apache.spark.sql.types.DataType.fromJson(sj)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       case None => // pre-schema-recording table: sample a historical footer
@@ -229,12 +241,9 @@ object IncrementalReader {
       // empty; asserted in MorSpec).
       timeline.latestSchemaJson(Some(toInclusive)) match {
         case Some(sj) =>
-          val schema = org.apache.spark.sql.types.DataType.fromJson(sj)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(
-              schema.filterNot(_.name == SnapshotReader.IsDeleted)))
+            SnapshotReader.tableSchemaFromJson(sj))
         case None =>
           val slices = timeline.latestSlices(Some(toInclusive)).values
           require(slices.nonEmpty,

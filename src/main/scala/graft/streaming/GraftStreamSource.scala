@@ -90,6 +90,10 @@ final class GraftSourceProvider extends StreamSourceProvider
     val basePath = GraftSourceProvider.path(parameters)
     val asOf = parameters.get("asOf")
     val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    // ts params are validated against the table's fixed ts width up front:
+    // lexicographic range comparisons silently misorder mixed widths.
+    Seq("asOf", "from", "to", "deleteView").foreach(n =>
+      parameters.get(n).foreach(timeline.validateTsParam(n, _)))
     // `deleteView` = the rows DELETED by that commit (the reference's core
     // capability, materialized-once/served-cached) — r6.
     parameters.get("deleteView").foreach { ts =>
@@ -114,9 +118,7 @@ final class GraftSourceProvider extends StreamSourceProvider
       // range plan's columns equal that union minus the delete marker);
       // pre-schema-recording tables fall back to planning the range once.
       val schema = timeline.latestSchemaJson(Some(to))
-        .map(sj => StructType(DataType.fromJson(sj)
-          .asInstanceOf[StructType]
-          .filterNot(_.name == SnapshotReader.IsDeleted)))
+        .map(SnapshotReader.tableSchemaFromJson)
         .getOrElse(graft.read.IncrementalReader
           .read(spark, basePath, from, to).schema)
       return new graft.read.GraftIncrementalRelation(spark, basePath,
@@ -142,9 +144,7 @@ final class GraftSourceProvider extends StreamSourceProvider
       // Outstanding deltas: the merged snapshot's schema is the table
       // schema minus the delta-side delete marker.
       val schema = timeline.latestSchemaJson(asOf)
-        .map(sj => StructType(DataType.fromJson(sj)
-          .asInstanceOf[StructType]
-          .filterNot(_.name == SnapshotReader.IsDeleted)))
+        .map(SnapshotReader.tableSchemaFromJson)
         .getOrElse(StructType(SnapshotReader
           .merge(spark, basePath, slices, Some(timeline), asOf).schema))
       new graft.read.GraftMorRelation(spark, basePath, asOf, schema)
@@ -159,7 +159,13 @@ final class GraftSourceProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    require(!parameters.contains("to"),
+      """the streaming tail has no end commit — drop option "to" (bound """ +
+        "a run with Trigger.AvailableNow, or use the batch from/to read)")
+    parameters.get("from").foreach(f =>
+      Timeline(sqlContext.sparkSession.sessionState.newHadoopConf(),
+        GraftSourceProvider.path(parameters)).validateTsParam("from", f))
     new GraftTailSource(sqlContext.sparkSession,
       GraftSourceProvider.path(parameters),
       schema.getOrElse(GraftSourceProvider.tableSchema(
@@ -174,6 +180,7 @@ final class GraftSourceProvider extends StreamSourceProvider
       // whole history). Only consulted on a fresh checkpoint — a restart
       // resumes from the engine's offset log, as with every source.
       startAfter = parameters.getOrElse("from", "0"))
+  }
 }
 
 object GraftSourceProvider {
@@ -187,9 +194,7 @@ object GraftSourceProvider {
   private def tableSchema(spark: SparkSession, basePath: String): StructType = {
     val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
     tl.latestSchemaJson(None) match {
-      case Some(sj) => StructType(DataType.fromJson(sj)
-        .asInstanceOf[StructType]
-        .filterNot(_.name == SnapshotReader.IsDeleted))
+      case Some(sj) => SnapshotReader.tableSchemaFromJson(sj)
       case None => SnapshotReader.read(spark, basePath).schema
     }
   }
@@ -282,7 +287,16 @@ private[streaming] final class GraftTailSource(spark: SparkSession,
     // `from` option's ts (default "0" = the whole history)
     val from = start.map(CommitOffset.tsOf).getOrElse(startAfter)
     val to = CommitOffset.tsOf(end)
-    val batch = IncrementalReader.read(spark, basePath, from, to)
+    val ranged = IncrementalReader.read(spark, basePath, from, to)
+    // Rate-limited catch-up over schema-evolved history: this batch's
+    // range plan resolves schemas as of ITS `to`, which may predate
+    // later-added columns the stream's (newest) schema carries — pad
+    // those with typed nulls (exactly what the files would read as had
+    // they been written under the evolved schema).
+    val batch = schema.fields.foldLeft(ranged)((df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name,
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     // V1 contract: the returned frame must be tagged isStreaming — same
     // internalCreateDataFrame path FileStreamSource takes.

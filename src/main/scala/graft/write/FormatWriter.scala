@@ -227,7 +227,23 @@ private[graft] final class GraftStreamSink(spark: SparkSession,
           ex.get(FormatWriter.QueryIdKey) == qid =>
           ex(FormatWriter.BatchIdKey).toLong
       }
-    if (newestForQuery.exists(_ >= batchId)) return // replay: already landed
+    // Legacy fallback: sink commits tagged WITHOUT a query id (written by
+    // out-of-band addBatch runs, or before query ids were recorded). When
+    // this query has no recorded commit yet, a legacy commit's batch id
+    // still gates — conservative replay protection, at the cost that a
+    // genuinely new query against a legacy-tagged table skips ids the old
+    // gate would also have skipped. Only consulted on the query's first
+    // batch (one full walk), never once its own commits exist.
+    val gate = newestForQuery.orElse(
+      if (qid.isEmpty) None
+      else timeline.completedInstants().reverseIterator
+        .map(i => timeline.metadata(i.ts).extra)
+        .collectFirst {
+          case ex if ex.contains(FormatWriter.BatchIdKey) &&
+            !ex.contains(FormatWriter.QueryIdKey) =>
+            ex(FormatWriter.BatchIdKey).toLong
+        })
+    if (gate.exists(_ >= batchId)) return // replay: already landed
     // addBatch's frame wraps the planned IncrementalExecution — re-mount as
     // a batch frame so the writer can run ordinary batch jobs over it.
     val batch = org.apache.spark.sql.graft.Bridge

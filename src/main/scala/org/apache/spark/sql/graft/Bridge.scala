@@ -8,7 +8,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Access bridge for `private[sql]` internals — the supported pattern for
   * libraries that register native Catalyst expressions and custom relations
-  * without going through string-parsed surfaces. Kept to five minimal
+  * without going through string-parsed surfaces. Kept to a handful of minimal
   * forwarders (Column↔Expression, LogicalPlan→DataFrame for mounting the
   * partition-pruning [[graft.read.GraftFileIndex]] relation, and the two
   * batch↔streaming frame re-mounts the V1 Source/Sink contracts need);
@@ -27,6 +27,17 @@ object Bridge {
     s.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
       isStreaming = true)
   }
+
+  /** Exact save/restore of the SparkContext checkpoint dir (the public
+    * `setCheckpointDir` nests a fresh UUID dir under its argument on every
+    * call, so restoring through it would drift the location deeper; the
+    * raw private[spark] var is the only faithful restore point). Used by
+    * [[graft.pipeline.Dedup.clusters]]'s scoped reliable-checkpoint mode. */
+  def rawCheckpointDir(sc: org.apache.spark.SparkContext): Option[String] =
+    sc.checkpointDir
+  def restoreRawCheckpointDir(sc: org.apache.spark.SparkContext,
+      dir: Option[String]): Unit =
+    sc.checkpointDir = dir
 
   /** The inverse direction, for V1 STREAMING SINKS: `Sink.addBatch` hands
     * over a frame wrapping the already-planned IncrementalExecution whose

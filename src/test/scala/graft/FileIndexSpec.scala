@@ -272,6 +272,19 @@ class FileIndexSpec extends SparkSpec {
       spark.read.format("graft").option("asOf", Fixtures.C2)
         .option("from", Fixtures.C1).load(dir)
     }
+    // ts params are width-validated against the table (lexicographic
+    // comparison misorders mixed widths — fail fast, don't mis-range)
+    val werr = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("asOf", "999").load(dir)
+    }
+    assert(werr.getMessage.contains("width"))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("from", "20260101").load(dir)
+    }
+    // a lone `to` is an error, not a silent full snapshot
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("to", Fixtures.C2).load(dir)
+    }
   }
 
   test("format write type=mor: appends are delta commits; compactEvery folds them") {

@@ -268,6 +268,69 @@ class TableTailSpec extends SparkSpec {
       s"expected only post-C1 commits $expected, got $sizes")
   }
 
+  test("rate-limited tail over schema-evolved history pads pre-evolution batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("tail_evo_cow")
+    val sink = freshDir("tail_evo_sink")
+    val ckpt = freshDir("tail_evo_ckpt")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(200)
+    val w = new CowWriter(spark, dir, numBuckets = 2)
+    val k = col("o_orderkey")
+    w.insert(orders, k, col("o_orderstatus"), Fixtures.C1)
+    // C2 ADDS a column; the stream schema (newest) carries it, but batch 0
+    // covers only C1, whose range plan resolves the pre-evolution schema —
+    // getBatch must pad the missing column with typed nulls, not crash
+    w.upsert(orders.filter(k % 10 === 3)
+        .withColumn("o_note", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("n-"), k)),
+      k, col("o_orderstatus"), Fixtures.C2)
+
+    val q = spark.readStream.format("graft")
+      .option("maxCommitsPerBatch", "1").load(dir)
+      .select("o_orderkey", "o_note")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(sink)
+    // batch 0 = the full C1 insert (o_note null), batch 1 = C2's rows
+    assert(out.count() == orders.count() +
+      orders.filter(k % 10 === 3).count())
+    assert(out.filter($"o_note".isNull).count() == orders.count(),
+      "pre-evolution batch must read the added column as null")
+    assert(out.filter($"o_note".startsWith("n-")).count() ==
+      orders.filter(k % 10 === 3).count())
+  }
+
+  test("graft sink replay gate: legacy commits without a query id still gate replays") {
+    val dst = freshDir("sink_legacy_dst")
+    val payloadCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(100)
+      .select(payloadCols.map(col): _*)
+    val sink = new graft.write.GraftStreamSink(spark, dst,
+      Map("key" -> "o_orderkey", "partition" -> "o_orderstatus"))
+    def commits() = graft.format.Timeline(
+      spark.sessionState.newHadoopConf(), dst).completedInstants().size
+    // legacy-tagged commit: addBatch outside a streaming execution records
+    // a batch id but no query id
+    sink.addBatch(0L, orders)
+    assert(commits() == 1)
+    // a restart replay that NOW carries a query id must still be gated by
+    // the legacy commit (same sink log, pre-query-id entries)
+    val QidProp = "sql.streaming.queryId"
+    spark.sparkContext.setLocalProperty(QidProp,
+      java.util.UUID.randomUUID.toString)
+    try {
+      sink.addBatch(0L, orders)
+      assert(commits() == 1, "legacy-gated replay landed twice")
+      sink.addBatch(1L, orders.limit(10))
+      assert(commits() == 2, "the query's next batch must land")
+    } finally spark.sparkContext.setLocalProperty(QidProp, null)
+  }
+
   test("graft sink operation=delete: a key stream removes rows exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

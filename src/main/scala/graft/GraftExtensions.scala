@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DistinctShingleHashes, LongArrayDot, MinHashAgg, NearestCentroids, SimHashAgg, VectorMeanAgg, WinnowHashes}
+import graft.functions.{DistinctShingleHashes, FloatCosine, LongArrayDot, MinHashAgg, NearestCentroids, SimHashAgg, VectorMeanAgg, WinnowHashes}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -100,7 +100,9 @@ object GraftExtensions {
         NearestCentroids(cs.head, litMatrix(cs(1)), litInt(cs(2), "nprobe"))),
     "vector_mean" ->
       ((cs: Seq[Expression]) =>
-        VectorMeanAgg(cs.head, litInt(cs(1), "dim"))))
+        VectorMeanAgg(cs.head, litInt(cs(1), "dim"))),
+    "float_cosine" ->
+      ((cs: Seq[Expression]) => FloatCosine(cs.head, cs(1))))
 
   /** Install every native function on a live session. */
   def registerAll(spark: SparkSession): Unit =

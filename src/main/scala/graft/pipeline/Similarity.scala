@@ -31,8 +31,17 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
 
-  /** Cosine similarity in [-1, 1] (double); 0 when either vector is zero. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity in [-1, 1] (double); 0 when either vector is zero.
+    * ONE fused codegen'd pass over the pair
+    * ([[graft.functions.FloatCosine]]) — the scoring inner loop of every
+    * top-k path; bit-identical to [[cosineViaHof]] (property-pinned). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.FloatCosine.cosine(a, b)
+
+  /** The pre-r6 declarative cosine — three HOF traversals with two
+    * intermediate arrays per row. Kept ONLY as the independent reference
+    * formulation the native kernel's equality property pins against. */
+  private[graft] def cosineViaHof(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0.0d, lit(0.0d)).otherwise(dot(a, b) / d)
   }

@@ -243,6 +243,46 @@ class PipelineSpec extends SparkSpec {
       "checkpointDir mode wrote no checkpoint data")
   }
 
+  test("native float_cosine == HOF reference form, bit-identical incl. edges") {
+    import org.apache.spark.sql.functions.col
+    // real embeddings against themselves and against a rolled copy
+    val pairs = embs.select($"vec_id", $"embedding".as("a"))
+      .join(embs.select(($"vec_id" + 1).as("vec_id"),
+        $"embedding".as("b")), "vec_id")
+    val both = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineViaHof(col("a"), col("b")).as("hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+      s"cosine diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    // edge cases: zero vector → 0.0; null element → null; length
+    // mismatch → null (or 0.0 when the denominator is zero) — identical
+    // to the declarative form's semantics, case by case
+    val edges = Seq(
+      (Array(0f, 0f), Array(1f, 2f)),       // zero norm → 0.0
+      (Array(1f, 2f), Array(1f, 2f, 3f)),   // length mismatch → null
+      (Array(0f, 0f), Array(0f)),           // mismatch AND zero norm → 0.0
+      (Array(1f, 2f), Array(3f, 4f)))       // plain
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineViaHof(col("a"), col("b")).as("hof"))
+      .collect()
+    edges.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null semantics diverged: $r")
+      if (!r.isNullAt(0)) assert(
+        java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+    }
+    val withNull = Seq((Seq[java.lang.Float](1f, null), Seq[java.lang.Float](1f, 2f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineViaHof(col("a"), col("b")).as("hof"))
+      .head()
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+  }
+
   test("Lloyd-step native vector_mean agg == posexplode/avg reference form") {
     // same assigned frame through both formulations; the native agg's
     // double summation order differs from avg's partial-agg order, so the

@@ -281,6 +281,19 @@ class PipelineSpec extends SparkSpec {
         Similarity.cosineViaHof(col("a"), col("b")).as("hof"))
       .head()
     assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+
+    // the INTERPRETED path (nullSafeEval) must agree with codegen —
+    // re-run the corpus comparison with whole-stage codegen disabled
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      both.collect().foreach(r => assert(
+        java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+        s"interpreted cosine diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 
   test("Lloyd-step native vector_mean agg == posexplode/avg reference form") {

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -36,6 +37,28 @@ case class FloatCosine(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_cosine"
+
+  /** Both inputs MUST be `array<float>` — `ArrayData.getFloat` reads 4 bytes
+    * per element off the unsafe buffer, so an `array<double>` input would
+    * return silently wrong scores under codegen rather than fail. Reject at
+    * analysis time instead. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  /** Returns null for NON-null inputs too (null element, mismatched
+    * lengths), so nullability cannot be derived from the children: with
+    * non-nullable children the default would leave `ev.isNull` undeclared
+    * in the non-nullable codegen branch and lie to downstream operators in
+    * the interpreted path. */
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -3,7 +3,7 @@ package graft.read
 import graft.format.{MetaCols, Timeline}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
@@ -39,7 +39,7 @@ private[read] trait GraftFilteredScan extends BaseRelation
       filters: Array[Filter]): RDD[Row] = {
     val filtered = filters.flatMap(GraftMorRelation.toColumn)
       .foldLeft(planScan(filters))((df, c) => df.filter(c))
-    filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    filtered.select(requiredColumns.map(GraftMorRelation.attr).toIndexedSeq: _*)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
@@ -142,24 +142,33 @@ final class GraftDeleteViewRelation(
 
 object GraftMorRelation {
 
+  /** The pushed filter's attribute as a Column, resolved as ONE quoted name
+    * part — `col(a)` would PARSE the string, turning a column literally
+    * named `a.b` into nested-field access (misresolution or analysis error
+    * on filters this relation has declared handled). Source filters carry
+    * plain top-level column names, so quoting is always the right reading. */
+  private[read] def attr(a: String): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a))
+
   /** Translate a pushed source filter back to a Column predicate; None for
     * shapes the relation leaves to the engine (declared unhandled). */
   private[graft] def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
+    case EqualTo(a, v) => Some(attr(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(attr(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(attr(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(attr(a) >= lit(v))
+    case LessThan(a, v) => Some(attr(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(attr(a) <= lit(v))
+    case In(a, vs) => Some(attr(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(attr(a).isNull)
+    case IsNotNull(a) => Some(attr(a).isNotNull)
     case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
     case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case Not(c) => toColumn(c).map(!_)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
+    case StringStartsWith(a, v) => Some(attr(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(attr(a).endsWith(v))
+    case StringContains(a, v) => Some(attr(a).contains(v))
     case AlwaysTrue() => Some(lit(true))
     case AlwaysFalse() => Some(lit(false))
     case _ => None

@@ -191,6 +191,48 @@ final class CowWriter(
       op = "UPSERT", schema = newData.drop(FidCol).schema, extra = extra)
   }
 
+  /** INSERT_OVERWRITE_TABLE as ONE atomic commit: `df` becomes the table's
+    * entire content. New slices are written for every file group the new
+    * data lands in; every OTHER live group gets an empty stat (path=None) so
+    * the timeline replay supersedes it — exactly the shape an
+    * all-rows-deleted rewrite already records. Nothing is ever deleted
+    * here: atomicity is the same commit rename every other commit has
+    * (readers see the old snapshot until the rename, the new one after),
+    * history/time-travel across the overwrite keep working, and the
+    * superseded files are reclaimed later by [[TableMaintenance.clean]].
+    *
+    * The recorded schema is exactly `df`'s (NOT the monotonic union):
+    * an overwrite starts a new schema era — every live slice after it was
+    * written by it, so dropping or retyping columns is safe; the add-only
+    * evolution contract restarts from here.
+    *
+    * Delete-view semantics: an overwrite REPLACES the table rather than
+    * deleting tracked records, so `numDeletes`/`totalRecordsDeleted` are 0
+    * and the overwrite commit's delete view is empty by design (Hudi's
+    * replacecommit is likewise outside the reference's delete tracking,
+    * ref: DeleteSupport.java:89-96 tracks per-record delete commits). */
+  def overwriteTable(df: DataFrame, keyCol: Column, partCol: Column,
+      ts: String, extra: Map[String, String] = Map.empty): Unit = {
+    require(timeline.completedInstants().nonEmpty,
+      s"overwriteTable() replaces a table; $basePath has none — use insert()")
+    val data = withMeta(df, keyCol, partCol, ts)
+    val written = writeSlices(data, ts)
+    val prior = timeline.latestSlices(None)
+    val writtenFids = written.keys.map(_._2).toSet
+    val replaced = prior.values.filterNot(s => writtenFids.contains(s.fileId))
+    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
+      part -> WriteStat(fid, Some(relPath),
+        prevCommit = prior.get(fid).map(_.commitTs),
+        numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = n)
+    } ++ replaced.map { s =>
+      s.partitionPath -> WriteStat(s.fileId, None,
+        prevCommit = Some(s.commitTs),
+        numWrites = 0, numDeletes = 0, numUpdateWrites = 0, numInserts = 0)
+    }
+    saveCommit(ts, stats, totalDeleted = 0, op = "INSERT_OVERWRITE_TABLE",
+      schema = data.drop(FidCol).schema, extra = extra)
+  }
+
   def upsert(updates: DataFrame, keyCol: Column, partCol: Column, ts: String,
       extra: Map[String, String] = Map.empty): Unit =
     commit(Some(updates), None, keyCol, partCol, ts, extra)

@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions.col
   *
   * Batch modes map to table operations, not directory semantics:
   * Append = upsert-by-key into the existing table (insert when the table
-  * doesn't exist yet), Overwrite = recreate the table from scratch (the
-  * INSERT_OVERWRITE_TABLE analog — prior history is dropped),
-  * ErrorIfExists/Ignore behave as named. All data movement goes through
-  * [[CowWriter]]/[[MorWriter]]: one distributed job per commit, driver
-  * handles only file names and commit JSON.
+  * doesn't exist yet), Overwrite = replace the table's content in ONE
+  * atomic commit (the INSERT_OVERWRITE_TABLE analog — history and time
+  * travel across the overwrite survive; superseded slices are reclaimed
+  * by [[TableMaintenance.clean]]), ErrorIfExists/Ignore behave as named.
+  * All data movement goes through [[CowWriter]]/[[MorWriter]]: one
+  * distributed job per commit, driver handles only file names and commit
+  * JSON.
   *
   * At 100 TB the `type` choice is the write-amplification knob: a COW
   * append REWRITES every touched file group (read-optimized serving), a
@@ -66,19 +68,26 @@ private[graft] object FormatWriter {
     parameters.getOrElse(name, throw new IllegalArgumentException(
       s"""graft write requires .option("$name", <column name>)"""))
 
+  /** Newest commit-extra value for `key` — table properties (buckets, type)
+    * are recorded at CREATION and at every OVERWRITE (re-creation point),
+    * so the newest record is the live one. Metadata-scale walk, memoized
+    * per Timeline; stops at the first carrier. */
+  private def recordedExtra(timeline: Timeline, key: String): Option[String] =
+    timeline.completedInstants().reverseIterator
+      .map(i => timeline.metadata(i.ts).extra.get(key))
+      .collectFirst { case Some(v) => v }
+
   /** Bucket count: explicit option, else the count recorded at table
-    * creation, else (for a NEW table only) 8. An explicit option that
-    * CONTRADICTS the recorded count is an error, and appending to an
-    * existing table with NO recorded count (created by the raw writer
-    * APIs) without an explicit option is too — either way, re-bucketing
-    * keys across file groups would strand old row versions in groups the
-    * upsert never rewrites (silent duplicate keys). */
+    * creation (or the newest overwrite), else (for a NEW table only) 8. An
+    * explicit option that CONTRADICTS the recorded count is an error, and
+    * appending to an existing table with NO recorded count (created by the
+    * raw writer APIs) without an explicit option is too — either way,
+    * re-bucketing keys across file groups would strand old row versions in
+    * groups the upsert never rewrites (silent duplicate keys). */
   private def buckets(parameters: Map[String, String],
       timeline: Timeline): Int = {
     val exists = timeline.completedInstants().nonEmpty
-    val recorded = timeline.completedInstants().headOption
-      .flatMap(i => timeline.metadata(i.ts).extra.get(BucketsKey))
-      .map(_.toInt)
+    val recorded = recordedExtra(timeline, BucketsKey).map(_.toInt)
     val opt = parameters.get(BucketsKey).map(_.toInt)
     (opt, recorded) match {
       case (Some(o), Some(r)) if o != r => throw new IllegalArgumentException(
@@ -119,24 +128,50 @@ private[graft] object FormatWriter {
         throw new IllegalStateException(
           s"graft table already exists at $basePath (mode=ErrorIfExists)")
       case SaveMode.Ignore if exists => ()
-      case SaveMode.Overwrite =>
-        if (exists) { // table recreate: INSERT_OVERWRITE_TABLE semantics
-          val p = new org.apache.hadoop.fs.Path(basePath)
-          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-        }
-        append(spark, basePath, parameters, df, Map.empty)
+      case SaveMode.Overwrite if exists =>
+        overwrite(spark, basePath, parameters, df)
       case _ => // Append, or first write under any mode
         append(spark, basePath, parameters, df, Map.empty)
     }
   }
 
-  /** Table type: explicit option, else the type recorded at creation,
-    * else `cow`. A contradicting explicit option is an error (a COW append
-    * on a MOR table would rewrite groups the merge expects deltas for). */
+  /** INSERT_OVERWRITE_TABLE: replace the table's content with `df` in ONE
+    * atomic commit ([[CowWriter.overwriteTable]]) — never a directory
+    * delete, so a concurrent reader sees the old snapshot or the new one
+    * (never an empty table), a crash mid-write leaves the old table intact
+    * (orphaned new files are reclaimed by clean), history and time travel
+    * survive, and every option typo throws BEFORE anything irreversible.
+    *
+    * An overwrite is the table's re-creation point: `buckets`/`type` may be
+    * CHANGED here (every group is rewritten, so re-bucketing strands
+    * nothing) and are re-recorded in the commit for later appends. */
+  private def overwrite(spark: SparkSession, basePath: String,
+      parameters: Map[String, String], df: DataFrame): Unit = {
+    val key = required(parameters, "key")
+    val part = required(parameters, "partition")
+    val op = parameters.getOrElse("operation", "upsert").toLowerCase
+    require(op == "upsert",
+      s"""mode=Overwrite replaces the table; operation "$op" is meaningless here""")
+    val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val opt = parameters.get(TypeKey).map(_.toLowerCase)
+    opt.foreach(t => require(t == "cow" || t == "mor",
+      s"""graft type must be "cow" or "mor", got "$t""""))
+    val tpe = opt.orElse(recordedExtra(timeline, TypeKey)).getOrElse("cow")
+    val nb = parameters.get(BucketsKey).map(_.toInt)
+      .orElse(recordedExtra(timeline, BucketsKey).map(_.toInt)).getOrElse(8)
+    require(nb >= 1, "buckets must be >= 1")
+    val ts = parameters.getOrElse("ts", nextTs(timeline))
+    new CowWriter(spark, basePath, nb).overwriteTable(df, col(key), col(part),
+      ts, extra = Map(BucketsKey -> nb.toString, TypeKey -> tpe))
+  }
+
+  /** Table type: explicit option, else the type recorded at creation (or
+    * the newest overwrite), else `cow`. A contradicting explicit option is
+    * an error (a COW append on a MOR table would rewrite groups the merge
+    * expects deltas for). */
   private def tableType(parameters: Map[String, String],
       timeline: Timeline): String = {
-    val recorded = timeline.completedInstants().headOption
-      .flatMap(i => timeline.metadata(i.ts).extra.get(TypeKey))
+    val recorded = recordedExtra(timeline, TypeKey)
     val opt = parameters.get(TypeKey).map(_.toLowerCase)
     opt.foreach(t => require(t == "cow" || t == "mor",
       s"""graft type must be "cow" or "mor", got "$t""""))
@@ -234,15 +269,27 @@ private[graft] final class GraftStreamSink(spark: SparkSession,
     // genuinely new query against a legacy-tagged table skips ids the old
     // gate would also have skipped. Only consulted on the query's first
     // batch (one full walk), never once its own commits exist.
-    val gate = newestForQuery.orElse(
-      if (qid.isEmpty) None
+    val legacyGate =
+      if (newestForQuery.nonEmpty || qid.isEmpty) None
       else timeline.completedInstants().reverseIterator
         .map(i => timeline.metadata(i.ts).extra)
         .collectFirst {
           case ex if ex.contains(FormatWriter.BatchIdKey) &&
             !ex.contains(FormatWriter.QueryIdKey) =>
             ex(FormatWriter.BatchIdKey).toLong
-        })
+        }
+    // A LEGACY-gated skip may be swallowing a genuinely new query's first
+    // batches (fresh checkpoint, ids restarting at 0, against a table whose
+    // sink commits predate query-id recording) — conservative, but surfaced
+    // loudly instead of silent data loss.
+    if (legacyGate.exists(_ >= batchId))
+      GraftStreamSink.log.warn(
+        s"graft sink at $basePath: skipping batch $batchId of query " +
+          s"${qid.getOrElse("?")} because a LEGACY (query-id-less) sink " +
+          s"commit recorded batchId ${legacyGate.get}; if this is a new " +
+          "query (not a replay), its first batches are being dropped — " +
+          "start it against a fresh table or re-tag the legacy commits")
+    val gate = newestForQuery.orElse(legacyGate)
     if (gate.exists(_ >= batchId)) return // replay: already landed
     // addBatch's frame wraps the planned IncrementalExecution — re-mount as
     // a batch frame so the writer can run ordinary batch jobs over it.
@@ -255,4 +302,8 @@ private[graft] final class GraftStreamSink(spark: SparkSession,
   }
 
   override def toString: String = s"GraftStreamSink[$basePath]"
+}
+
+private object GraftStreamSink {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftStreamSink])
 }

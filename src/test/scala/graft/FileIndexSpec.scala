@@ -355,6 +355,103 @@ class FileIndexSpec extends SparkSpec {
     assert(partitionValues(Array(GreaterThan("o_totalprice", 0))).isEmpty)
   }
 
+  test("mode=Overwrite on an existing table is ONE atomic replace commit") {
+    import graft.format.Timeline
+    val dir = freshDir("orders_format_overwrite")
+    def w(df: org.apache.spark.sql.DataFrame) = df.write.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+    w(orders).option("ts", Fixtures.C1).mode("overwrite").save(dir)
+
+    // a typo'd overwrite (missing required option) must throw BEFORE
+    // anything irreversible — the table is untouched
+    intercept[IllegalArgumentException] {
+      orders.write.format("graft").option("key", "o_orderkey")
+        .option("ts", Fixtures.C2).mode("overwrite").save(dir) // no partition
+    }
+    def tl() = Timeline(spark.sessionState.newHadoopConf(), dir)
+    assert(tl().completedInstants().map(_.ts) == Seq(Fixtures.C1),
+      "failed overwrite must leave the table exactly as it was")
+    assert(spark.read.format("graft").load(dir).count() == orders.count())
+
+    // the real overwrite: new content, REPLACE commit — history preserved
+    val replacement = orders.filter($"o_orderkey" % 2 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+    w(replacement).option("ts", Fixtures.C2).mode("overwrite").save(dir)
+    assert(tl().completedInstants().map(_.ts) ==
+      Seq(Fixtures.C1, Fixtures.C2),
+      "overwrite is a commit on the SAME timeline, not a table recreate")
+    assert(tl().metadata(Fixtures.C2).operationType ==
+      "INSERT_OVERWRITE_TABLE")
+    // the snapshot is exactly the replacement
+    val snap = spark.read.format("graft").load(dir)
+    assert(snap.count() == replacement.count())
+    assert(snap.filter($"o_orderkey" % 2 =!= 0).count() == 0)
+    // time travel ACROSS the overwrite still serves the old content
+    val old = spark.read.format("graft").option("asOf", Fixtures.C1).load(dir)
+    assert(old.count() == orders.count())
+    // nothing was deleted: every C1 slice file is still on disk (readers
+    // concurrent with the overwrite could never observe an empty table)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    tl().metadata(Fixtures.C1).allStats.foreach { case (_, s) =>
+      s.path.foreach(rel => assert(
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")),
+        s"overwrite deleted $rel — superseded slices belong to clean()"))
+    }
+    // and clean() reclaims the superseded slices once retention passes
+    val cleaned = graft.write.TableMaintenance.clean(spark, dir,
+      retainCommits = 1)
+    assert(cleaned.nonEmpty)
+    assert(spark.read.format("graft").load(dir).count() ==
+      replacement.count(), "clean must not touch the live snapshot")
+
+    // an overwrite is a re-creation point: appends after it work unchanged
+    val upd = replacement.limit(5)
+      .withColumn("o_totalprice", $"o_totalprice" + 1)
+    w(upd).option("ts", Fixtures.C3).mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).count() ==
+      replacement.count())
+  }
+
+  test("overwrite may change buckets and type (whole-table rewrite)") {
+    import graft.format.{Instant, Timeline}
+    val dir = freshDir("orders_format_overwrite_rebucket")
+    def w(df: org.apache.spark.sql.DataFrame) = df.write.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+    w(orders).option("buckets", "2").option("ts", Fixtures.C1)
+      .mode("overwrite").save(dir)
+    // rebucket 2 → 4 and retype cow → mor in one overwrite: safe, every
+    // group is rewritten
+    w(orders).option("buckets", "4").option("type", "mor")
+      .option("ts", Fixtures.C2).mode("overwrite").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == orders.count())
+    // appends now follow the NEW recorded properties: delta commit, 4 buckets
+    val upd = orders.limit(10)
+      .withColumn("o_totalprice", $"o_totalprice" + 1)
+    w(upd).option("ts", Fixtures.C3).mode("append").save(dir)
+    def tl() = Timeline(spark.sessionState.newHadoopConf(), dir)
+    assert(tl().completedInstants().map(_.action) ==
+      Seq(Instant.CommitAction, Instant.CommitAction,
+        Instant.DeltaCommitAction))
+    assert(spark.read.format("graft").load(dir).count() == orders.count(),
+      "append after a rebucketing overwrite must not duplicate keys")
+    // a contradicting append option is still refused post-overwrite
+    val err = intercept[IllegalArgumentException] {
+      w(upd).option("buckets", "2").option("ts", Fixtures.C4)
+        .mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("contradicts"))
+  }
+
+  test("pushed-filter translation treats dotted column names as ONE name part") {
+    import org.apache.spark.sql.sources.EqualTo
+    // a column literally named "a.b": col("a.b") would parse it as nested
+    // field access and misresolve — the translator must quote
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "a.b")
+    val c = graft.read.GraftMorRelation.toColumn(EqualTo("a.b", "x")).get
+    assert(df.filter(c).count() == 1)
+  }
+
   test("snapshot schema == recorded commit schema (column order preserved)") {
     val dir = cowTable("orders_schema_order")
     val tl = graft.format.Timeline(

@@ -296,6 +296,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("float_cosine rejects non-float arrays at ANALYSIS time; stays nullable") {
+    import org.apache.spark.sql.functions.col
+    // array<double> input would read 4 of each element's 8 bytes off the
+    // unsafe buffer — silently wrong scores; must fail analysis loudly
+    val doubles = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(Similarity.cosine(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<float>"))
+    // NON-nullable float children (array literals) still work: the
+    // expression declares itself nullable (it returns null for non-null
+    // inputs on length mismatch), so codegen must declare isNull
+    val floats = spark.range(1).select(
+      org.apache.spark.sql.functions.lit(Array(1f, 2f)).as("a"),
+      org.apache.spark.sql.functions.lit(Array(3f, 4f, 5f)).as("b"))
+    assert(!floats.schema("a").nullable)
+    val mismatch = floats
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(mismatch.schema("c").nullable,
+      "float_cosine must declare nullable: it can return null for " +
+        "non-null inputs")
+    assert(mismatch.head().isNullAt(0))
+  }
+
   test("Lloyd-step native vector_mean agg == posexplode/avg reference form") {
     // same assigned frame through both formulations; the native agg's
     // double summation order differs from avg's partial-agg order, so the

@@ -14,6 +14,7 @@ object DriveScratch {
     val only = args.drop(1).toSeq
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -77,7 +77,43 @@ object Fixtures {
   /** Build both fixtures up front (Bench calls this before timing). */
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
-    formatRtDir(spark, sfDir)
+    formatRtDir(spark, sfDir); sqlDmlDir(spark, sfDir)
+  }
+
+  /** Table mutated ENTIRELY through SQL DML (requires the
+    * `graft.GraftExtensions` rules on the session): C1 format-writer create
+    * of all orders, then `DELETE FROM` keys %7==0, `UPDATE` keys %10==3
+    * (o_totalprice += 100000), and one `MERGE INTO` with source keys %11==5
+    * (matched → o_totalprice = source price * 2; not matched — previously
+    * deleted %7 keys — re-INSERTed with original payload). Four commits;
+    * DML commit timestamps are writer-minted, so queries locate them by
+    * timeline position. All predicates are key-arithmetic → exactly
+    * mirrorable in the DuckDB oracle SQL. */
+  def sqlDmlDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_sqldml"
+    if (!complete(spark, dir, 4)) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      orders.write.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+        .option("buckets", "8").option("ts", C1).save(dir)
+      val tbl = "graft_sqldml_fixture"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$dir')")
+      try {
+        spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 7 = 0")
+        spark.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice + 100000 " +
+          "WHERE o_orderkey % 10 = 3")
+        orders.filter(col("o_orderkey") % 11 === 5)
+          .createOrReplaceTempView("graft_sqldml_src")
+        spark.sql(
+          s"""MERGE INTO $tbl t USING graft_sqldml_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      } finally spark.sql(s"DROP TABLE $tbl")
+    }
+    dir
   }
 
   /** Table created ENTIRELY through the write format surface

@@ -16,13 +16,18 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * (SURVEY.md §7.4). [[GraftExtensions.registerAll]] installs the same set
   * on an already-running session (used by the SQL-surface specs). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name),
         builder))
     }
+    // SQL DML on graft catalog tables: DELETE FROM / UPDATE / MERGE INTO /
+    // INSERT — resolved-plan rewrites into commit-producing commands
+    // (see [[graft.sql.GraftDmlRule]]).
+    ext.injectResolutionRule(new graft.sql.GraftDmlRule(_))
+  }
 }
 
 object GraftExtensions {

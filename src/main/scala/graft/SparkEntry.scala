@@ -104,6 +104,28 @@ object SparkEntry {
     "q_time_travel_format" -> ((s, d) =>
       payload(s.read.format("graft")
         .option("asOf", C2).load(Fixtures.morDir(s, d)))),
+    // ---- SQL DML surface (r7): the fixture table is mutated ENTIRELY by
+    // DELETE FROM / UPDATE / MERGE INTO statements (graft.sql.GraftDmlRule);
+    // DML commit timestamps are writer-minted, located by timeline position.
+    // q_sql_delete: the delete view of the SQL DELETE's own commit — the
+    // reference's core artifact produced by a SQL statement.
+    "q_sql_delete" -> ((s, d) => {
+      val dir = Fixtures.sqlDmlDir(s, d)
+      val tl = graft.format.Timeline(s.sessionState.newHadoopConf(), dir)
+      payload(DeleteView(s, dir, tl.completedInstants()(1).ts).toDF())
+    }),
+    // q_sql_update: time travel to the UPDATE's commit (after the SQL
+    // update, before the merge).
+    "q_sql_update" -> ((s, d) => {
+      val dir = Fixtures.sqlDmlDir(s, d)
+      val tl = graft.format.Timeline(s.sessionState.newHadoopConf(), dir)
+      payload(SnapshotReader.read(s, dir,
+        Some(tl.completedInstants()(2).ts)))
+    }),
+    // q_sql_merge: the head snapshot after MERGE INTO (matched update from
+    // source values + not-matched re-insert of previously deleted keys).
+    "q_sql_merge" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.sqlDmlDir(s, d)))),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -682,6 +704,20 @@ object SparkEntry {
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey",
     "q_time_travel_format" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "q_sql_delete" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey",
+    "q_sql_update" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey"),
+    "q_sql_merge" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 11 = 5 AND o_orderkey % 7 <> 0 THEN o_totalprice * 2 " +
+        "WHEN o_orderkey % 11 = 5 THEN o_totalprice " +
+        "WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 " +
+        "ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders " +
+        "WHERE o_orderkey % 7 <> 0 OR o_orderkey % 11 = 5 ORDER BY o_orderkey"),
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_incremental_cow" ->

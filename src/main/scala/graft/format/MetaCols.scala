@@ -15,4 +15,21 @@ object MetaCols {
   /** In canonical order (prefix of every data-file schema). */
   val all: Seq[String] =
     Seq(CommitTime, CommitSeqno, RecordKey, PartitionPath, FileName)
+
+  /** The STABLE form every commit records: meta columns first (canonical
+    * order), payload columns after (input order), all top-level fields
+    * nullable. Writers' internal plans reorder columns (a using-column
+    * join moves its key first) and flip nullability (a `lit(ts)` stamp is
+    * non-null at creation, nullable after a parquet round trip) — recording
+    * the raw plan schema would make the table's schema DRIFT across
+    * commits, which breaks any consumer that pins it once (the SQL catalog
+    * validates its stored schema against the relation on every
+    * re-resolution). */
+  def canonicalSchema(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      all.flatMap(n => schema.fields.find(_.name == n)
+        .map(_.copy(nullable = true))) ++
+      schema.fields.filterNot(f => all.contains(f.name))
+        .map(_.copy(nullable = true)))
 }

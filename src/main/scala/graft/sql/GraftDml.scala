@@ -1,0 +1,426 @@
+package graft.sql
+
+import graft.format.{MetaCols, Timeline}
+import graft.write.{CowWriter, FormatWriter, MorWriter}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.graft.Bridge
+
+/** SQL DML on graft tables — `DELETE FROM`, `UPDATE`, `MERGE INTO`, and
+  * `INSERT INTO/OVERWRITE` against catalog tables created with
+  * `CREATE TABLE ... USING graft`.
+  *
+  * The reference's whole reason to exist is DELETE tracking
+  * (ref: DeleteSupport.java:89-96); these rules give deletes (and the other
+  * verbs) their natural SQL front door, wired to the SAME commit verbs the
+  * programmatic surface uses ([[CowWriter.commit]] /
+  * [[MorWriter.upsertDelta]]) — one commit per statement, delete views and
+  * incremental reads of DML commits work unchanged.
+  *
+  * Extension-point choice: an analyzer rule injected via
+  * `SparkSessionExtensions.injectResolutionRule` (the Delta-lineage pattern
+  * for V1-relation DML), NOT DSv2 `SupportsRowLevelOperations` —
+  * deliberately. The DSv2 row-level path would force this engine to
+  * re-implement its scans as imperative `PartitionReader`s; the rule instead
+  * REWRITES the resolved DML plan into a command whose body is ordinary
+  * declarative DataFrame work over the already-planned snapshot relation
+  * (pruning FileIndex, pushdown, MOR merge — all shared with every other
+  * surface), feeding the existing writers. Condition evaluation, the MERGE
+  * join, and all row movement stay distributed Catalyst plans; the driver
+  * handles only commit metadata.
+  *
+  * Identity contract: a row's record key and partition path are IMMUTABLE
+  * under DML (Hudi's non-global-index contract). UPDATE/MERGE re-derive
+  * them from the snapshot's own `_hoodie_record_key`/`_hoodie_partition_path`
+  * meta columns, so assignments to payload columns the key/partition was
+  * derived from change the PAYLOAD only, never the row's identity;
+  * assignments to the meta columns themselves are rejected.
+  */
+class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      // MERGE star actions must expand BEFORE generic resolution chokes on
+      // the target's meta columns (INSERT * would demand a
+      // `_hoodie_commit_time` source column): map the PAYLOAD columns only.
+      case m @ MergeIntoTable(GraftTable(_, _), source, _, _, _, _, _)
+          if m.targetTable.resolved && source.resolved && hasStar(m) =>
+        expandStars(m, session)
+
+      case d @ DeleteFromTable(GraftTable(ct, path), cond) if d.resolved =>
+        GraftDeleteCommand(path, ct, d.table, cond)
+
+      case u @ UpdateTable(GraftTable(ct, path), assignments, cond)
+          if u.resolved =>
+        GraftUpdateCommand(path, ct, u.table, assignments, cond)
+
+      case m @ MergeIntoTable(GraftTable(ct, path), _, _, _, _, _, _)
+          if m.resolved =>
+        require(!m.withSchemaEvolution,
+          "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft " +
+            "tables; add columns through an Append write instead")
+        GraftMergeCommand(path, ct, m)
+
+      // INSERT INTO/OVERWRITE: intercepted before PreprocessTableInsertion
+      // would demand the meta columns; routed through FormatWriter so the
+      // rows land as a real commit (the raw-file path stays refused for
+      // sessions without the extension).
+      case i @ InsertIntoStatement(GraftTable(ct, path), partSpec, userCols,
+          query, overwrite, ifPartitionNotExists, byName)
+          if query.resolved =>
+        require(partSpec.isEmpty && !ifPartitionNotExists,
+          "graft tables partition by their recorded partition column; " +
+            "static PARTITION specs are not supported — insert the rows " +
+            "with their partition values")
+        GraftInsertCommand(path, ct, i.table, query, userCols, overwrite,
+          byName)
+    }
+}
+
+private[graft] object GraftDml {
+
+  /** Match a (possibly aliased) catalog relation whose provider is graft;
+    * yields the catalog table and the table base path. */
+  object GraftTable {
+    def unapply(plan: LogicalPlan): Option[(CatalogTable, String)] =
+      plan match {
+        case SubqueryAlias(_, child) => unapply(child)
+        case lr: LogicalRelation =>
+          lr.catalogTable
+            .filter(_.provider.exists(_.equalsIgnoreCase("graft")))
+            .flatMap(ct => ct.storage.properties.get("path")
+              .orElse(ct.storage.locationUri.map(_.toString))
+              .map(ct -> _))
+        case _ => None
+      }
+  }
+
+  def hasStar(m: MergeIntoTable): Boolean =
+    (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+      .exists {
+        case _: UpdateStarAction | _: InsertStarAction => true
+        case _ => false
+      }
+
+  /** Expand `UPDATE SET *` / `INSERT *` against the target's PAYLOAD
+    * columns: each must exist in the source by name (the meta columns are
+    * engine-derived and never sourced). Leaves explicit actions untouched;
+    * the analyzer then resolves the expanded assignments normally. */
+  def expandStars(m: MergeIntoTable, session: SparkSession): MergeIntoTable = {
+    val resolver = session.sessionState.conf.resolver
+    val payload = m.targetTable.output
+      .filterNot(a => MetaCols.all.contains(a.name))
+    def assigns(what: String): Seq[Assignment] = payload.map { t =>
+      val s = m.sourceTable.output.find(s => resolver(s.name, t.name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"MERGE $what requires source column '${t.name}' " +
+            "(expanding * over the target's payload columns)"))
+      Assignment(t, s)
+    }
+    def expand(a: MergeAction): MergeAction = a match {
+      case UpdateStarAction(cond) => UpdateAction(cond, assigns("UPDATE SET *"))
+      case InsertStarAction(cond) => InsertAction(cond, assigns("INSERT *"))
+      case other => other
+    }
+    m.copy(matchedActions = m.matchedActions.map(expand),
+      notMatchedActions = m.notMatchedActions.map(expand),
+      notMatchedBySourceActions = m.notMatchedBySourceActions.map(expand))
+  }
+
+  /** Resolve a table property for DML: catalog-table OPTIONS first, then
+    * the value recorded in commit metadata at creation/overwrite. */
+  def tableProp(ct: CatalogTable, tl: Timeline, name: String): Option[String] =
+    ct.storage.properties.get(name)
+      .orElse(FormatWriter.recordedExtra(tl, name))
+
+  /** One DML commit: updates/deletes are meta-column-carrying frames rooted
+    * at the table's own snapshot relation; identity re-derives from
+    * `_hoodie_record_key`/`_hoodie_partition_path`. COW rewrites the touched
+    * groups; MOR appends a delta commit (the ingest-friendly shape). */
+  def commitOnce(spark: SparkSession, basePath: String, ct: CatalogTable,
+      updates: Option[DataFrame], deletes: Option[DataFrame]): Unit = {
+    val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val nb = tableProp(ct, tl, FormatWriter.BucketsKey).map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table ${ct.identifier} has no recorded bucket count; declare " +
+          "OPTIONS (buckets 'N') matching the writer that created it"))
+    val tpe = tableProp(ct, tl, FormatWriter.TypeKey).getOrElse("cow")
+    val ts = FormatWriter.nextTs(tl)
+    val k = col(MetaCols.RecordKey)
+    val p = col(MetaCols.PartitionPath)
+    if (tpe == "mor")
+      new MorWriter(spark, basePath, nb).upsertDelta(updates, deletes, k, p, ts)
+    else
+      new CowWriter(spark, basePath, nb).commit(updates, deletes, k, p, ts)
+  }
+
+  /** Drop-or-keep emptiness probe: None when the frame has no rows (the
+    * writers reject fully-empty commits; a DML statement matching nothing
+    * is a legal no-op). One bounded extra execution per frame — DML
+    * statements are rare, large operations where this cost is noise. */
+  def nonEmpty(df: DataFrame): Option[DataFrame] =
+    if (df.isEmpty) None else Some(df)
+
+  def rejectMetaAssignments(assignments: Seq[Assignment]): Unit =
+    assignments.foreach { a =>
+      val name = keyName(a.key)
+      require(!MetaCols.all.contains(name),
+        s"cannot assign to meta column '$name' (engine-derived; a row's " +
+          "key and partition identity are immutable under DML)")
+    }
+
+  def keyName(key: Expression): String = key match {
+    case a: AttributeReference => a.name
+    case other => throw new IllegalArgumentException(
+      s"only top-level column assignments are supported, got $other")
+  }
+
+  /** Project `df` (which contains the target's attributes, possibly among
+    * source attributes after a join) to exactly the target schema, with
+    * `assignments` applied and values cast to the column's type (ANSI
+    * assignment casting); unassigned columns keep the target row's value. */
+  def applyAssignments(df: DataFrame, targetAttrs: Seq[Attribute],
+      assignments: Seq[Assignment]): DataFrame = {
+    rejectMetaAssignments(assignments)
+    val byAttr: Map[Attribute, Expression] = assignments.map { a =>
+      val key = a.key match {
+        case ar: AttributeReference => targetAttrs
+          .find(t => t.exprId == ar.exprId)
+          .getOrElse(throw new IllegalArgumentException(
+            s"assignment key ${ar.name} is not a target column"))
+        case other => throw new IllegalArgumentException(
+          s"only top-level column assignments are supported, got $other")
+      }
+      key -> a.value
+    }.toMap
+    df.select(targetAttrs.map { a =>
+      byAttr.get(a) match {
+        case Some(v) => Bridge.column(v).cast(a.dataType).as(a.name)
+        case None => Bridge.column(a)
+      }
+    }: _*)
+  }
+
+  /** First-matching-action split (MERGE semantics: per row, the FIRST
+    * action whose condition holds applies; rows matching none carry over
+    * untouched): tag each row with its action index in one `when` chain,
+    * return per-action frames. */
+  def splitByAction(df: DataFrame, actions: Seq[MergeAction])
+      : Seq[(MergeAction, DataFrame)] = {
+    val tagCol = "__graft_dml_action"
+    val tag = actions.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (a, i)) =>
+        val c = a.condition.map(Bridge.column).getOrElse(lit(true))
+        Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
+    }
+    val tagged = df.withColumn(tagCol, tag.getOrElse(lit(null)))
+    actions.zipWithIndex.map { case (a, i) =>
+      a -> tagged.filter(col(tagCol) === i).drop(tagCol)
+    }
+  }
+}
+
+/** `DELETE FROM <graft table> WHERE <cond>` → one delete commit of the
+  * matching snapshot rows. The condition is ANY Catalyst predicate (not
+  * just source-filter-convertible shapes) — it runs inside the snapshot
+  * plan, where partition predicates still prune at metadata/listing level. */
+case class GraftDeleteCommand(basePath: String, ct: CatalogTable,
+    target: LogicalPlan, condition: Expression) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val doomed = Bridge.ofRows(spark, target)
+      .filter(Bridge.column(condition))
+    GraftDml.nonEmpty(doomed).foreach(d =>
+      GraftDml.commitOnce(spark, basePath, ct, None, Some(d)))
+    spark.catalog.refreshTable(ct.identifier.quotedString)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <graft table> SET ... WHERE <cond>` → one upsert commit of the
+  * matching rows with assignments applied (values cast to the column type);
+  * row identity (key, partition) re-derives from the meta columns and is
+  * immutable. */
+case class GraftUpdateCommand(basePath: String, ct: CatalogTable,
+    target: LogicalPlan, assignments: Seq[Assignment],
+    condition: Option[Expression]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tgt = Bridge.ofRows(spark, target)
+    val matched = condition.map(c => tgt.filter(Bridge.column(c)))
+      .getOrElse(tgt)
+    val updated = GraftDml.applyAssignments(matched, target.output,
+      assignments)
+    GraftDml.nonEmpty(updated).foreach(u =>
+      GraftDml.commitOnce(spark, basePath, ct, Some(u), None))
+    spark.catalog.refreshTable(ct.identifier.quotedString)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <graft table> t USING <source> s ON <cond> WHEN ...` → ONE
+  * commit carrying every action's effect:
+  *
+  *  - matched rows: `t INNER JOIN s ON cond`, split by first-matching
+  *    action; UPDATE assignments may reference both sides.
+  *  - not-matched rows: `s LEFT ANTI JOIN t` → INSERT actions (new record
+  *    keys; requires the table's recorded key/partition column names).
+  *  - not-matched-by-source rows: `t LEFT ANTI JOIN s` → UPDATE/DELETE.
+  *
+  * All three are ordinary shuffled/broadcast joins Catalyst plans against
+  * the snapshot relation. Cardinality contract (ANSI/Delta): a target row
+  * matching MULTIPLE source rows fails the statement when any matched
+  * action exists — checked with one metadata-light aggregate on the join. */
+case class GraftMergeCommand(basePath: String, ct: CatalogTable,
+    merge: MergeIntoTable) extends LeafRunnableCommand {
+
+  import GraftDml._
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val targetAttrs = merge.targetTable.output
+    val tgt = Bridge.ofRows(spark, merge.targetTable)
+    val src = Bridge.ofRows(spark, merge.sourceTable)
+    val cond = Bridge.column(merge.mergeCondition)
+    val keyAttr = targetAttrs.find(_.name == MetaCols.RecordKey)
+      .getOrElse(throw new IllegalStateException(
+        s"graft relation lost ${MetaCols.RecordKey}"))
+
+    val updates = scala.collection.mutable.Buffer.empty[DataFrame]
+    val deletes = scala.collection.mutable.Buffer.empty[DataFrame]
+
+    if (merge.matchedActions.nonEmpty) {
+      val matched = tgt.join(src, cond, "inner")
+      // ANSI cardinality check: one source match per target row
+      val dup = matched.groupBy(Bridge.column(keyAttr)).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        "MERGE: a target row matched multiple source rows — the update/" +
+          "delete to apply is ambiguous; de-duplicate the source on the " +
+          "join keys")
+      splitByAction(matched, merge.matchedActions).foreach {
+        case (UpdateAction(_, assigns, _), rows) =>
+          updates += applyAssignments(rows, targetAttrs, assigns)
+        case (DeleteAction(_), rows) =>
+          deletes += rows.select(targetAttrs.map(Bridge.column): _*)
+        case (other, _) => throw new IllegalArgumentException(
+          s"unsupported WHEN MATCHED action: $other")
+      }
+    }
+
+    if (merge.notMatchedActions.nonEmpty) {
+      val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
+      val keyName = tableProp(ct, tl, FormatWriter.KeyColKey)
+        .getOrElse(throw new IllegalArgumentException(
+          "MERGE INSERT needs the table's record-key column name: declare " +
+            "OPTIONS (key '...', partition '...') or create the table " +
+            "through the graft format writer (which records them)"))
+      val partName = tableProp(ct, tl, FormatWriter.PartColKey)
+        .getOrElse(throw new IllegalArgumentException(
+          "MERGE INSERT needs the table's partition column name (see key)"))
+      val payloadAttrs = targetAttrs
+        .filterNot(a => MetaCols.all.contains(a.name))
+      val notMatched = src.join(tgt, cond, "left_anti")
+      splitByAction(notMatched, merge.notMatchedActions).foreach {
+        case (InsertAction(_, assigns), rows) =>
+          rejectMetaAssignments(assigns)
+          val byName = assigns.map(a => GraftDml.keyName(a.key) -> a.value)
+            .toMap
+          val projected = rows.select(payloadAttrs.map { a =>
+            byName.get(a.name) match {
+              case Some(v) => Bridge.column(v).cast(a.dataType).as(a.name)
+              case None => lit(null).cast(a.dataType).as(a.name)
+            }
+          }: _*)
+          // new records: identity derives from the named payload columns,
+          // exactly as a format-writer append would
+          updates += projected
+            .withColumn(MetaCols.RecordKey, col(keyName).cast("string"))
+            .withColumn(MetaCols.PartitionPath, col(partName).cast("string"))
+        case (other, _) => throw new IllegalArgumentException(
+          s"unsupported WHEN NOT MATCHED action: $other")
+      }
+    }
+
+    if (merge.notMatchedBySourceActions.nonEmpty) {
+      val bySource = tgt.join(src, cond, "left_anti")
+      splitByAction(bySource, merge.notMatchedBySourceActions).foreach {
+        case (UpdateAction(_, assigns, _), rows) =>
+          updates += applyAssignments(rows, targetAttrs, assigns)
+        case (DeleteAction(_), rows) =>
+          deletes += rows.select(targetAttrs.map(Bridge.column): _*)
+        case (other, _) => throw new IllegalArgumentException(
+          s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+      }
+    }
+
+    val up = updates.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .flatMap(nonEmpty)
+    val del = deletes.reduceOption(_.unionByName(_))
+      .flatMap(nonEmpty)
+    if (up.nonEmpty || del.nonEmpty)
+      commitOnce(spark, basePath, ct, up, del)
+    spark.catalog.refreshTable(ct.identifier.quotedString)
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO/OVERWRITE <graft table> [(cols)] SELECT ...` → a real
+  * commit through [[FormatWriter]] (Append = upsert-by-key; OVERWRITE = the
+  * atomic replace commit). Column mapping is positional against the
+  * table's PAYLOAD columns (or the named column list), values cast to the
+  * column types; unnamed columns insert as null. */
+case class GraftInsertCommand(basePath: String, ct: CatalogTable,
+    relation: LogicalPlan, query: LogicalPlan, userCols: Seq[String],
+    overwrite: Boolean, byName: Boolean) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val resolver = spark.sessionState.conf.resolver
+    val payloadAttrs = relation.output
+      .filterNot(a => MetaCols.all.contains(a.name))
+    val srcDf = Bridge.ofRows(spark, query)
+    val srcAttrs = query.output
+    val named: Seq[(String, Column)] =
+      if (byName || userCols.nonEmpty) {
+        val names = if (userCols.nonEmpty) userCols else srcAttrs.map(_.name)
+        require(names.size == srcAttrs.size,
+          s"INSERT column list has ${names.size} names for " +
+            s"${srcAttrs.size} query columns")
+        names.zip(srcAttrs).map { case (n, a) =>
+          val t = payloadAttrs.find(p => resolver(p.name, n)).getOrElse(
+            throw new IllegalArgumentException(
+              s"INSERT column '$n' is not a payload column of " +
+                s"${ct.identifier}"))
+          t.name -> Bridge.column(a).cast(t.dataType).as(t.name)
+        }
+      } else {
+        require(srcAttrs.size == payloadAttrs.size,
+          s"INSERT query has ${srcAttrs.size} columns; table " +
+            s"${ct.identifier} has ${payloadAttrs.size} payload columns " +
+            s"(${payloadAttrs.map(_.name).mkString(", ")})")
+        payloadAttrs.zip(srcAttrs).map { case (t, a) =>
+          t.name -> Bridge.column(a).cast(t.dataType).as(t.name)
+        }
+      }
+    val assigned = named.toMap
+    val rows = srcDf.select(payloadAttrs.map { a =>
+      assigned.getOrElse(a.name, lit(null).cast(a.dataType).as(a.name))
+    }: _*)
+    // a CTAS-declared `ts` option pins only the CREATION commit; an insert
+    // must mint its own commit ts or it would collide with that instant
+    val params = ct.storage.properties - "ts" + ("path" -> basePath)
+    if (overwrite)
+      FormatWriter.write(spark, basePath, SaveMode.Overwrite, params, rows)
+    else
+      FormatWriter.append(spark, basePath, params, rows, Map.empty)
+    spark.catalog.refreshTable(ct.identifier.quotedString)
+    Seq.empty
+  }
+}

@@ -142,11 +142,17 @@ final class GraftSourceProvider extends StreamSourceProvider
       GraftFileIndex.relation(spark, basePath, partFiles, schema)
     } else {
       // Outstanding deltas: the merged snapshot's schema is the table
-      // schema minus the delta-side delete marker.
-      val schema = timeline.latestSchemaJson(asOf)
+      // schema minus the delta-side delete marker — REORDERED to the same
+      // partition-column-last layout the delta-free FileIndex relation
+      // reports, so a catalog table's stored schema stays valid as the
+      // table moves between delta-free and delta-carrying states.
+      val resolved = timeline.latestSchemaJson(asOf)
         .map(SnapshotReader.tableSchemaFromJson)
         .getOrElse(StructType(SnapshotReader
           .merge(spark, basePath, slices, Some(timeline), asOf).schema))
+      val schema = StructType(
+        resolved.filterNot(_.name == graft.format.MetaCols.PartitionPath) ++
+          resolved.filter(_.name == graft.format.MetaCols.PartitionPath))
       new graft.read.GraftMorRelation(spark, basePath, asOf, schema)
     }
   }

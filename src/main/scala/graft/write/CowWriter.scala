@@ -44,10 +44,13 @@ final class CowWriter(
     concat(col(MetaCols.PartitionPath), lit("-"),
       pmod(xxhash64(col(MetaCols.RecordKey)), lit(numBuckets)).cast("string"))
 
-  /** Stamp the five meta columns onto payload rows for commit `ts`. */
+  /** Stamp the five meta columns onto payload rows for commit `ts`. The
+    * input may itself CARRY meta columns (SQL DML passes snapshot rows and
+    * re-derives identity from `_hoodie_record_key`/`_hoodie_partition_path`)
+    * — they are re-stamped, never duplicated into the payload. */
   private def withMeta(df: DataFrame, keyCol: Column, partCol: Column,
       ts: String): DataFrame = {
-    val payloadCols = df.columns.toSeq
+    val payloadCols = df.columns.toSeq.filterNot(MetaCols.all.contains)
     df.withColumn(MetaCols.RecordKey, keyCol.cast("string"))
       .withColumn(MetaCols.PartitionPath, partCol.cast("string"))
       .withColumn(MetaCols.CommitTime, lit(ts))
@@ -257,7 +260,7 @@ final class CowWriter(
       operationType = op,
       totalRecordsDeleted = totalDeleted,
       totalRecordsWritten = stats.map(_._2.numWrites).sum,
-      schemaJson = Some(schema.json),
+      schemaJson = Some(MetaCols.canonicalSchema(schema).json),
       extra = extra))
   }
 }

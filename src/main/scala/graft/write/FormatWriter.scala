@@ -64,15 +64,39 @@ private[graft] object FormatWriter {
   /** Commit-extra key pinning the table type (`cow`/`mor`) at creation. */
   val TypeKey = "type"
 
+  /** Commit-extra keys recording the record-key and partition COLUMN NAMES
+    * at creation/overwrite — what lets SQL DML (and appends that omit the
+    * options) resolve the table's identity columns from metadata. */
+  val KeyColKey = "key"
+  val PartColKey = "partition"
+
   private def required(parameters: Map[String, String], name: String): String =
     parameters.getOrElse(name, throw new IllegalArgumentException(
       s"""graft write requires .option("$name", <column name>)"""))
+
+  /** Identity column (key/partition): explicit option, else the name
+    * recorded at creation (or the newest overwrite). A contradicting
+    * explicit option is an error — changing the record-key or partition
+    * derivation mid-table would silently split record identities. */
+  private def identityCol(parameters: Map[String, String],
+      timeline: Timeline, name: String): String = {
+    val recorded = recordedExtra(timeline, name)
+    val opt = parameters.get(name)
+    (opt, recorded) match {
+      case (Some(o), Some(r)) if o != r => throw new IllegalArgumentException(
+        s"""$name=$o contradicts the table's recorded $name column "$r"""")
+      case (o, r) => o.orElse(r).getOrElse(throw new IllegalArgumentException(
+        s"""graft write requires .option("$name", <column name>) """ +
+          "(not recorded in this table's commit metadata)"))
+    }
+  }
 
   /** Newest commit-extra value for `key` — table properties (buckets, type)
     * are recorded at CREATION and at every OVERWRITE (re-creation point),
     * so the newest record is the live one. Metadata-scale walk, memoized
     * per Timeline; stops at the first carrier. */
-  private def recordedExtra(timeline: Timeline, key: String): Option[String] =
+  private[graft] def recordedExtra(timeline: Timeline,
+      key: String): Option[String] =
     timeline.completedInstants().reverseIterator
       .map(i => timeline.metadata(i.ts).extra.get(key))
       .collectFirst { case Some(v) => v }
@@ -147,12 +171,18 @@ private[graft] object FormatWriter {
     * nothing) and are re-recorded in the commit for later appends. */
   private def overwrite(spark: SparkSession, basePath: String,
       parameters: Map[String, String], df: DataFrame): Unit = {
-    val key = required(parameters, "key")
-    val part = required(parameters, "partition")
+    val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    // re-creation point: key/partition (like buckets/type) may CHANGE here
+    // — every group is rewritten, so no stale identity can survive
+    val key = parameters.get(KeyColKey)
+      .orElse(recordedExtra(timeline, KeyColKey))
+      .getOrElse(required(parameters, KeyColKey))
+    val part = parameters.get(PartColKey)
+      .orElse(recordedExtra(timeline, PartColKey))
+      .getOrElse(required(parameters, PartColKey))
     val op = parameters.getOrElse("operation", "upsert").toLowerCase
     require(op == "upsert",
       s"""mode=Overwrite replaces the table; operation "$op" is meaningless here""")
-    val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
     val opt = parameters.get(TypeKey).map(_.toLowerCase)
     opt.foreach(t => require(t == "cow" || t == "mor",
       s"""graft type must be "cow" or "mor", got "$t""""))
@@ -162,7 +192,8 @@ private[graft] object FormatWriter {
     require(nb >= 1, "buckets must be >= 1")
     val ts = parameters.getOrElse("ts", nextTs(timeline))
     new CowWriter(spark, basePath, nb).overwriteTable(df, col(key), col(part),
-      ts, extra = Map(BucketsKey -> nb.toString, TypeKey -> tpe))
+      ts, extra = Map(BucketsKey -> nb.toString, TypeKey -> tpe,
+        KeyColKey -> key, PartColKey -> part))
   }
 
   /** Table type: explicit option, else the type recorded at creation (or
@@ -190,9 +221,9 @@ private[graft] object FormatWriter {
   def append(spark: SparkSession, basePath: String,
       parameters: Map[String, String], df: DataFrame,
       extra: Map[String, String]): Unit = {
-    val key = required(parameters, "key")
-    val part = required(parameters, "partition")
     val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val key = identityCol(parameters, timeline, KeyColKey)
+    val part = identityCol(parameters, timeline, PartColKey)
     val nb = buckets(parameters, timeline)
     val tpe = tableType(parameters, timeline)
     val ts = parameters.getOrElse("ts", nextTs(timeline))
@@ -202,8 +233,8 @@ private[graft] object FormatWriter {
       s"""graft operation must be "upsert" or "delete", got "$op"""")
     require(!(isNew && op == "delete"),
       s"cannot delete from a table that does not exist at $basePath")
-    val createExtra = extra +
-      (BucketsKey -> nb.toString) + (TypeKey -> tpe)
+    val createExtra = extra + (BucketsKey -> nb.toString) +
+      (TypeKey -> tpe) + (KeyColKey -> key) + (PartColKey -> part)
     if (tpe == "mor") {
       val w = new MorWriter(spark, basePath, nb)
       if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)

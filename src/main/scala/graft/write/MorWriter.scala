@@ -38,9 +38,11 @@ final class MorWriter(
     concat(col(MetaCols.PartitionPath), lit("-"),
       pmod(xxhash64(col(MetaCols.RecordKey)), lit(numBuckets)).cast("string"))
 
+  /** Same contract as CowWriter.withMeta: meta columns on the input are
+    * re-stamped, never duplicated into the payload (SQL DML inputs). */
   private def withMeta(df: DataFrame, keyCol: Column, partCol: Column,
       ts: String): DataFrame = {
-    val payloadCols = df.columns.toSeq
+    val payloadCols = df.columns.toSeq.filterNot(MetaCols.all.contains)
     df.withColumn(MetaCols.RecordKey, keyCol.cast("string"))
       .withColumn(MetaCols.PartitionPath, partCol.cast("string"))
       .withColumn(MetaCols.CommitTime, lit(ts))
@@ -191,8 +193,8 @@ final class MorWriter(
       operationType = op,
       totalRecordsDeleted = totalDeleted,
       totalRecordsWritten = stats.map(_._2.numWrites).sum,
-      schemaJson = Some(MorWriter.monotonicSchema(timeline, action, schema)
-        .json),
+      schemaJson = Some(MetaCols.canonicalSchema(
+        MorWriter.monotonicSchema(timeline, action, schema)).json),
       extra = extra),
       action)
   }

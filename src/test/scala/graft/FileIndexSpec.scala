@@ -362,11 +362,11 @@ class FileIndexSpec extends SparkSpec {
       .option("key", "o_orderkey").option("partition", "o_orderstatus")
     w(orders).option("ts", Fixtures.C1).mode("overwrite").save(dir)
 
-    // a typo'd overwrite (missing required option) must throw BEFORE
-    // anything irreversible — the table is untouched
+    // a typo'd overwrite (invalid option) must throw BEFORE anything
+    // irreversible — the table is untouched
     intercept[IllegalArgumentException] {
-      orders.write.format("graft").option("key", "o_orderkey")
-        .option("ts", Fixtures.C2).mode("overwrite").save(dir) // no partition
+      w(orders).option("operation", "delete") // meaningless on Overwrite
+        .option("ts", Fixtures.C2).mode("overwrite").save(dir)
     }
     def tl() = Timeline(spark.sessionState.newHadoopConf(), dir)
     assert(tl().completedInstants().map(_.ts) == Seq(Fixtures.C1),

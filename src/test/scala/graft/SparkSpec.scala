@@ -9,6 +9,9 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the config-driven extension path (functions + SQL DML rules) —
+      // exactly how a deployment enables the library
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -104,17 +104,19 @@ class SqlSurfaceSpec extends SparkSpec {
         "catalog-table read lost partition pruning")
       assert(filtered.count() == graft.read.SnapshotReader
         .read(spark, dir, partitions = Seq("F")).count())
-      // INSERT INTO must refuse: a raw file insert bypasses the commit
-      // timeline — accepted-then-invisible without this guard
+      // INSERT INTO routes through GraftInsertCommand (r7): the column
+      // list is validated against the table's PAYLOAD columns — selecting
+      // the full 11-column snapshot (meta included) is an arity error, not
+      // a raw file write. (Sessions WITHOUT the extension still hit the
+      // read-only-format refusal at prepareWrite.)
       val ins = intercept[Exception] {
         spark.sql("INSERT INTO g_orders SELECT * FROM g_orders LIMIT 1")
       }
       def rootCauses(t: Throwable): Seq[Throwable] =
         t +: Option(t.getCause).toSeq.flatMap(rootCauses)
-      assert(rootCauses(ins).exists(c =>
-        c.isInstanceOf[UnsupportedOperationException] &&
-          c.getMessage.contains("INSERT INTO")),
-        s"expected the read-only-format refusal, got $ins")
+      assert(rootCauses(ins).exists(
+        _.getMessage.contains("payload columns")),
+        s"expected the payload-arity validation, got $ins")
       // MOR with outstanding deltas through the catalog (merged relation)
       val morDir = freshDir("sql_ddl_mor")
       val mw = new graft.write.MorWriter(spark, morDir, numBuckets = 2)
@@ -153,6 +155,195 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(graft.read.SnapshotReader.read(spark, dir).count() ==
         orders.count())
     } finally spark.sql("DROP TABLE g_ctas")
+  }
+
+  // ---- SQL DML (r7): DELETE FROM / UPDATE / MERGE INTO / INSERT ----
+
+  private def dmlTable(name: String, morType: Boolean = false)
+      : (String, String) = {
+    val dir = freshDir(s"sqldml_$name")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val w = orders.write.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+      .option("buckets", "4").option("ts", Fixtures.C1)
+    (if (morType) w.option("type", "mor") else w).save(dir)
+    val tbl = s"g_dml_$name"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$dir')")
+    (tbl, dir)
+  }
+
+  test("SQL DELETE FROM: one delete commit; delete view reconstructs the rows") {
+    val (tbl, dir) = dmlTable("del")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 7 = 0")
+      // catalog read sees the post-delete snapshot (refresh contract)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() ==
+        orders.filter($"o_orderkey" % 7 =!= 0).count())
+      val tl = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), dir)
+      assert(tl.completedInstants().size == 2)
+      val delTs = tl.completedInstants()(1).ts
+      assert(tl.metadata(delTs).totalRecordsDeleted ==
+        orders.filter($"o_orderkey" % 7 === 0).count())
+      // the reference's core artifact, produced by a SQL statement
+      val dv = DeleteView(spark, dir, delTs).toDF()
+      assert(dv.count() == orders.filter($"o_orderkey" % 7 === 0).count())
+      // empty-match DELETE is a legal no-op (no empty commit)
+      spark.sql(s"DELETE FROM $tbl WHERE o_orderkey < 0")
+      assert(tl.completedInstants().size == 2 ||
+        graft.format.Timeline(spark.sessionState.newHadoopConf(), dir)
+          .completedInstants().size == 2)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("SQL UPDATE: assignments applied, identity immutable, meta assignment refused") {
+    val (tbl, dir) = dmlTable("upd")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    try {
+      spark.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice + 100000 " +
+        "WHERE o_orderkey % 10 = 3")
+      val bumped = spark.sql(s"SELECT count(*) FROM $tbl " +
+        "WHERE o_totalprice >= 100000 AND o_orderkey % 10 = 3")
+        .as[Long].head()
+      assert(bumped == orders.filter($"o_orderkey" % 10 === 3).count())
+      // unchanged rows keep their original commit time (COW carry-over)
+      val tl = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), dir)
+      val snap = graft.read.SnapshotReader.read(spark, dir)
+      assert(snap.filter(col(graft.format.MetaCols.CommitTime) ===
+        Fixtures.C1 && $"o_orderkey" % 10 =!= 3).count() ==
+        orders.filter($"o_orderkey" % 10 =!= 3).count())
+      assert(tl.completedInstants().size == 2)
+      val err = intercept[Exception] {
+        spark.sql(s"UPDATE $tbl SET _hoodie_record_key = 'x'")
+      }
+      assert(err.getMessage.contains("meta column"))
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("SQL MERGE INTO: matched update + not-matched insert in ONE commit; cardinality guard") {
+    val (tbl, dir) = dmlTable("merge")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 7 = 0")
+      orders.filter($"o_orderkey" % 11 === 5)
+        .createOrReplaceTempView("sqldml_merge_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING sqldml_merge_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val tl = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), dir)
+      assert(tl.completedInstants().size == 3, "merge must be ONE commit")
+      // re-inserted keys (deleted %7 ∩ %11) are back with original payload
+      assert(spark.sql(s"SELECT count(*) FROM $tbl " +
+        "WHERE o_orderkey % 7 = 0").as[Long].head() ==
+        orders.filter($"o_orderkey" % 7 === 0 &&
+          $"o_orderkey" % 11 === 5).count())
+      // matched keys carry the doubled source price
+      val t2 = spark.sql(s"SELECT t.o_totalprice FROM $tbl t " +
+        "JOIN sqldml_merge_src s ON t.o_orderkey = s.o_orderkey " +
+        "WHERE t.o_orderkey % 7 <> 0 AND abs(t.o_totalprice - 2 * s.o_totalprice) > 1e-6")
+      assert(t2.count() == 0)
+      // a target row matching multiple source rows is an error
+      orders.filter($"o_orderkey" % 11 === 5)
+        .union(orders.filter($"o_orderkey" % 11 === 5))
+        .createOrReplaceTempView("sqldml_dup_src")
+      val err = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO $tbl t USING sqldml_dup_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+             |""".stripMargin)
+      }
+      assert(err.getMessage.contains("multiple source rows"))
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("SQL MERGE with NOT MATCHED BY SOURCE and INSERT column list") {
+    val (tbl, dir) = dmlTable("merge2")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    try {
+      // source: keys %13==1; delete every target row NOT in the source,
+      // insert nothing new (all source keys exist)
+      orders.filter($"o_orderkey" % 13 === 1)
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("p"))
+        .createOrReplaceTempView("sqldml_bysource_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING sqldml_bysource_src s
+           |ON t.o_orderkey = s.k
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p + 1
+           |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 2 = 0 THEN DELETE
+           |""".stripMargin)
+      val kept = spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head()
+      assert(kept == orders.filter($"o_orderkey" % 13 === 1 ||
+        $"o_orderkey" % 2 =!= 0).count())
+      // INSERT with explicit column list: unnamed payload columns → null
+      val mx = orders.agg(max($"o_orderkey")).as[Long].head()
+      spark.sql(s"SELECT ${mx + 1} AS a, 'F' AS b")
+        .createOrReplaceTempView("sqldml_ins_src")
+      spark.sql(
+        s"""MERGE INTO $tbl t USING sqldml_ins_src s ON t.o_orderkey = s.a
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus)
+           |VALUES (s.a, s.b)""".stripMargin)
+      val row = spark.sql(s"SELECT o_orderkey, o_orderstatus, o_custkey " +
+        s"FROM $tbl WHERE o_orderkey = ${mx + 1}").head()
+      assert(row.getLong(0) == mx + 1 && row.getString(1) == "F" &&
+        row.isNullAt(2))
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("SQL DML on a MOR table appends DELTA commits (no group rewrite)") {
+    import graft.format.{Instant, Timeline}
+    val (tbl, dir) = dmlTable("mor", morType = true)
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 3 = 0")
+      spark.sql(s"UPDATE $tbl SET o_custkey = -1 WHERE o_orderkey % 5 = 1")
+      val tl = Timeline(spark.sessionState.newHadoopConf(), dir)
+      assert(tl.completedInstants().map(_.action) ==
+        Seq(Instant.CommitAction, Instant.DeltaCommitAction,
+          Instant.DeltaCommitAction))
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() ==
+        orders.filter($"o_orderkey" % 3 =!= 0).count())
+      assert(spark.sql(
+        s"SELECT count(*) FROM $tbl WHERE o_custkey = -1").as[Long].head() ==
+        orders.filter($"o_orderkey" % 5 === 1 &&
+          $"o_orderkey" % 3 =!= 0).count())
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("SQL INSERT INTO/OVERWRITE: real commits through FormatWriter") {
+    import graft.format.Timeline
+    val (tbl, dir) = dmlTable("ins")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val n = orders.count()
+    try {
+      // new keys via deterministic arithmetic (no nondeterministic limit:
+      // the writer executes its input plan more than once)
+      val mx = orders.agg(max($"o_orderkey")).as[Long].head()
+      orders.filter($"o_orderkey" % 100 === 1)
+        .withColumn("o_orderkey", $"o_orderkey" + mx)
+        .createOrReplaceTempView("sqldml_insert_src")
+      val added = orders.filter($"o_orderkey" % 100 === 1).count()
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM sqldml_insert_src")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() ==
+        n + added)
+      val tl = Timeline(spark.sessionState.newHadoopConf(), dir)
+      assert(tl.completedInstants().size == 2)
+      // INSERT OVERWRITE = the atomic replace commit; history survives
+      spark.sql(s"INSERT OVERWRITE $tbl " +
+        "SELECT * FROM sqldml_insert_src")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() ==
+        added)
+      val tl2 = Timeline(spark.sessionState.newHadoopConf(), dir)
+      assert(tl2.completedInstants().size == 3)
+      assert(tl2.metadata(tl2.completedInstants().last.ts).operationType ==
+        "INSERT_OVERWRITE_TABLE")
+    } finally spark.sql(s"DROP TABLE $tbl")
   }
 
   test("randomized: delete view == exactly the randomly deleted rows") {

@@ -126,6 +126,19 @@ object SparkEntry {
     // source values + not-matched re-insert of previously deleted keys).
     "q_sql_merge" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.sqlDmlDir(s, d)))),
+    // q_key_lookup (r7): record-key point lookup served by the column-stats
+    // skipping index — the pushed key predicate drops every file whose
+    // recorded [min,max] key range excludes it at LISTING time (one file
+    // per table planned, not one per file group; plan-asserted in
+    // FileIndexSpec).
+    "q_key_lookup" -> ((s, d) => {
+      val dir = Fixtures.cowDir(s, d)
+      val k = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 11 =!= 5)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      payload(SnapshotReader.read(s, dir)
+        .filter(col(graft.format.MetaCols.RecordKey) === k.toString))
+    }),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -718,6 +731,12 @@ object SparkEntry {
         "ELSE o_totalprice END AS o_totalprice, " +
         "o_orderdate, o_orderpriority FROM orders " +
         "WHERE o_orderkey % 7 <> 0 OR o_orderkey % 11 = 5 ORDER BY o_orderkey"),
+    "q_key_lookup" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey = " +
+        "(SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5) " +
+        "ORDER BY o_orderkey"),
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_incremental_cow" ->

@@ -27,6 +27,15 @@ object JsonCodec {
         n.put("numDeletes", s.numDeletes)
         n.put("numUpdateWrites", s.numUpdateWrites)
         n.put("numInserts", s.numInserts)
+        if (s.colStats.nonEmpty) {
+          val cs = n.putObject("colStats")
+          s.colStats.toSeq.sortBy(_._1).foreach { case (c, st) =>
+            val o = cs.putObject(c)
+            st.min.fold[Unit](o.putNull("min"))(v => o.put("min", v))
+            st.max.fold[Unit](o.putNull("max"))(v => o.put("max", v))
+            st.nulls.foreach(o.put("nulls", _))
+          }
+        }
       }
     }
     root.put("operationType", m.operationType)
@@ -56,7 +65,18 @@ object JsonCodec {
           numWrites = n.get("numWrites").asLong(),
           numDeletes = n.get("numDeletes").asLong(),
           numUpdateWrites = n.get("numUpdateWrites").asLong(),
-          numInserts = n.get("numInserts").asLong())
+          numInserts = n.get("numInserts").asLong(),
+          colStats = n.get("colStats") match {
+            case cs: ObjectNode => cs.fields().asScala.map { c =>
+              val o = c.getValue
+              c.getKey -> ColStat(
+                min = optStr(o, "min"),
+                max = optStr(o, "max"),
+                nulls = Option(o.get("nulls")).filterNot(_.isNull)
+                  .map(_.asLong()))
+            }.toMap
+            case _ => Map.empty // pre-stats commits
+          })
       }.toSeq
       e.getKey -> stats
     }.toMap

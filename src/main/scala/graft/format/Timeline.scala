@@ -190,6 +190,31 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
       }
     slices.toMap
   }
+
+  /** Recorded column stats for every file of the given slices (base file +
+    * MOR delta files), keyed by FILE NAME (slice names are table-unique:
+    * `<fileId>_<ts>[.delta].parquet`). Pure metadata: one (memoized)
+    * commit decode per distinct writing commit; files whose commit predates
+    * stats recording simply map to empty (no skipping for them). Feeds
+    * [[graft.read.GraftFileIndex]] data-filter file skipping. */
+  def fileColStats(slices: Seq[FileSlice])
+      : Map[String, Map[String, ColStat]] = {
+    val byCommit: Map[String, Seq[(String, FileSlice)]] =
+      slices.flatMap(sl => (sl.commitTs -> sl) +:
+        sl.deltas.map(d => d.commitTs -> sl)).groupBy(_._1)
+    byCommit.toSeq.flatMap { case (ts, ss) =>
+      val byFid = metadata(ts).allStats.map { case (_, s) =>
+        s.fileId -> s
+      }.toMap
+      ss.flatMap { case (_, sl) =>
+        byFid.get(sl.fileId).toSeq.flatMap { st =>
+          st.path.filter(_.nonEmpty).map { rel =>
+            rel.substring(rel.lastIndexOf('/') + 1) -> st.colStats
+          }
+        }
+      }
+    }.toMap
+  }
 }
 
 object Timeline {

@@ -38,7 +38,25 @@ final case class WriteStat(
     numWrites: Long,
     numDeletes: Long,
     numUpdateWrites: Long,
-    numInserts: Long)
+    numInserts: Long,
+    colStats: Map[String, ColStat] = Map.empty)
+
+/** Per-file, per-column statistics recorded at write time (Hudi's
+  * column-stats index analog, kept inline in the commit metadata — the
+  * timeline IS this engine's metadata table, and the stats are
+  * metadata-sized: #files × #tracked columns).
+  *
+  * `min`/`max` are the column's typed min/max rendered through Spark's
+  * `CAST(x AS STRING)` (round-trippable for every supported atomic type);
+  * `None` means the file has no non-null value in the column. `nulls` is
+  * the file's null count for the column. Readers parse the strings back
+  * through `CAST(STRING AS <colType>)` with the commit schema's type —
+  * see [[graft.read.GraftFileIndex]] file skipping.
+  */
+final case class ColStat(
+    min: Option[String],
+    max: Option[String],
+    nulls: Option[Long] = None)
 
 /** Decoded commit file. Ref: HoodieCommitMetadata — the reference consumes
   * getPartitionToWriteStats and getTotalRecordsDeleted

@@ -1,29 +1,40 @@
 package graft.read
 
-import graft.format.MetaCols
+import graft.format.{ColStat, MetaCols}
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Catalyst-automatic partition pruning for snapshot scans.
+/** Catalyst-automatic partition pruning AND column-stats file skipping for
+  * snapshot scans.
   *
-  * The snapshot planner already knows each slice's partition path from
-  * commit metadata; this `FileIndex` hands that knowledge to Catalyst by
-  * declaring `_hoodie_partition_path` as a PARTITION column of the
-  * relation. `PruneFileSourcePartitions` then routes any predicate on it
-  * into [[listFiles]]' `partitionFilters`, so the normal user idiom
-  * `snapshot.filter($"_hoodie_partition_path" === "p0")` plans ONLY the
-  * matching partitions' slices — listing-time pruning, before a single
-  * footer or row group is touched. (The reference delegates exactly this to
-  * Hudi's file-system view, ref: DeleteSupport.java:42-46.) At 100 TB this
-  * is the difference between planning one partition and planning every
-  * file group on each filtered query.
+  * Partition pruning: the snapshot planner already knows each slice's
+  * partition path from commit metadata; this `FileIndex` hands that
+  * knowledge to Catalyst by declaring `_hoodie_partition_path` as a
+  * PARTITION column of the relation. `PruneFileSourcePartitions` then routes
+  * any predicate on it into [[listFiles]]' `partitionFilters`, so the normal
+  * user idiom `snapshot.filter($"_hoodie_partition_path" === "p0")` plans
+  * ONLY the matching partitions' slices — listing-time pruning, before a
+  * single footer or row group is touched. (The reference delegates exactly
+  * this to Hudi's file-system view, ref: DeleteSupport.java:42-46.)
+  *
+  * File skipping (the Hudi column-stats-index analog): commits record
+  * per-file min/max/null-count for the record key and writer-declared hot
+  * columns ([[graft.format.ColStat]]); `listFiles` evaluates the pushed
+  * `dataFilters` against each candidate file's ranges and DROPS files whose
+  * recorded range proves no row can match — a key point-lookup plans one
+  * file per partition instead of every file group, before any footer read.
+  * Evaluation is strictly conservative: unsupported predicate shapes,
+  * untracked columns, and pre-stats files all keep the file. At 100 TB this
+  * turns key lookups and time-range queries from full-partition scans into
+  * O(1)-file plans — the same metadata-first skipping Hudi's column-stats
+  * index and Delta's data skipping perform.
   *
   * The data files carry `_hoodie_partition_path` as a regular column too;
   * the relation's data schema EXCLUDES it, so each row's value comes from
@@ -33,13 +44,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * No directory listing ever happens here: the slice list IS the file
   * list (one `getFileStatus` per planned file, driver metadata-scale, no
   * footer reads — the table schema comes from commit metadata).
+  *
+  * @param fileStats recorded column stats keyed by FILE NAME then column
+  *                  name (from [[graft.format.Timeline.fileColStats]]);
+  *                  empty disables skipping.
+  * @param dataSchema types for parsing the stats' string-rendered min/max
+  *                   back to comparable values.
   */
 final class GraftFileIndex(
     override val rootPaths: Seq[Path],
-    partFiles: Seq[(String, Seq[FileStatus])])
+    partFiles: Seq[(String, Seq[FileStatus])],
+    dataSchema: StructType = new StructType(),
+    fileStats: Map[String, Map[String, ColStat]] = Map.empty)
   extends FileIndex {
 
   override val partitionSchema: StructType = GraftFileIndex.PartitionSchema
+
+  /** String-rendered stats parsed back to typed (comparable) values, once
+    * per index instance — metadata-sized (#files × #tracked columns). */
+  private lazy val parsedStats
+      : Map[String, Map[String, GraftFileIndex.FileColStat]] =
+    fileStats.view.mapValues(GraftFileIndex.parse(_, dataSchema))
+      .filter(_._2.nonEmpty).toMap
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -68,7 +94,15 @@ final class GraftFileIndex(
         bound.eval(InternalRow(UTF8String.fromString(part)))
       }
     }
-    selected.map { case (part, files) =>
+    val skipped =
+      if (dataFilters.isEmpty || parsedStats.isEmpty) selected
+      else selected
+        .map { case (part, files) =>
+          part -> files.filter(f => GraftFileIndex.mayMatchFile(
+            dataFilters, parsedStats.get(f.getPath.getName)))
+        }
+        .filter(_._2.nonEmpty)
+    skipped.map { case (part, files) =>
       PartitionDirectory(InternalRow(UTF8String.fromString(part)),
         files.toArray)
     }
@@ -110,6 +144,134 @@ object GraftFileIndex {
   val PartitionSchema: StructType = StructType(Seq(
     StructField(MetaCols.PartitionPath, StringType, nullable = true)))
 
+  /** One column's parsed stats for one file: typed min/max (internal
+    * representation — UTF8String/Int/Long/...), null count, and the
+    * ordering that compares them. min/max `None` with `nulls > 0` means
+    * the file's column is entirely null. */
+  private[read] final case class FileColStat(
+      dataType: DataType,
+      min: Option[Any],
+      max: Option[Any],
+      nulls: Option[Long],
+      ord: Ordering[Any])
+
+  /** Parse one file's recorded stats against the relation's data schema.
+    * Columns missing from the schema (or failing to parse) are dropped —
+    * skipping stays conservative. */
+  private[read] def parse(stats: Map[String, ColStat],
+      schema: StructType): Map[String, FileColStat] = {
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get
+      .sessionLocalTimeZone)
+    def typed(s: String, dt: DataType): Option[Any] =
+      try Option(Cast(Literal(UTF8String.fromString(s), StringType), dt, tz)
+        .eval(null))
+      catch { case scala.util.control.NonFatal(_) => None }
+    stats.flatMap { case (name, st) =>
+      schema.fields.find(_.name == name).flatMap { f =>
+        val ord = try Some(org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(f.dataType))
+        catch { case scala.util.control.NonFatal(_) => None }
+        ord.flatMap { o =>
+          val mn = st.min.flatMap(typed(_, f.dataType))
+          val mx = st.max.flatMap(typed(_, f.dataType))
+          // a recorded non-null min/max that fails to parse disables this
+          // column's stat (conservative) rather than masquerading as
+          // "all null"
+          if (st.min.isDefined != mn.isDefined ||
+              st.max.isDefined != mx.isDefined) None
+          else Some(name -> FileColStat(f.dataType, mn, mx, st.nulls, o))
+        }
+      }
+    }
+  }
+
+  /** Can any row of a file with these stats match ALL the filters?
+    * `None`/empty stats → yes (no skipping evidence). */
+  private[read] def mayMatchFile(filters: Seq[Expression],
+      stats: Option[Map[String, FileColStat]]): Boolean =
+    stats match {
+      case Some(s) if s.nonEmpty => filters.forall(mayMatch(_, s))
+      case _ => true
+    }
+
+  /** Conservative range evaluation of one predicate against per-column
+    * file stats: `false` only when the stats PROVE no row can match.
+    * Unsupported shapes, untracked columns, type mismatches → `true`. */
+  private[read] def mayMatch(e: Expression,
+      stats: Map[String, FileColStat]): Boolean = {
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    def statOf(a: Attribute, expect: DataType): Option[FileColStat] =
+      stats.collectFirst {
+        case (n, st) if resolver(n, a.name) && st.dataType == expect => st
+      }
+    // possible iff some non-null value v in [min,max] satisfies test
+    def rangeCheck(a: Attribute, v: Any, dt: DataType)(
+        test: (FileColStat, Any) => Boolean): Boolean =
+      if (v == null) true // null-literal compares match nothing; keep (safe)
+      else statOf(a, dt).forall(st => test(st, v))
+    def eqPossible(st: FileColStat, v: Any): Boolean =
+      st.min.exists(m => st.ord.lteq(m, v)) &&
+        st.max.exists(x => st.ord.gteq(x, v))
+    e match {
+      case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
+      case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
+
+      case EqualTo(a: Attribute, Literal(v, dt)) =>
+        rangeCheck(a, v, dt)(eqPossible)
+      case EqualTo(Literal(v, dt), a: Attribute) =>
+        rangeCheck(a, v, dt)(eqPossible)
+      case EqualNullSafe(a: Attribute, Literal(v, dt)) =>
+        if (v == null) mayMatch(IsNull(a), stats)
+        else rangeCheck(a, v, dt)(eqPossible)
+      case EqualNullSafe(Literal(v, dt), a: Attribute) =>
+        mayMatch(EqualNullSafe(a, Literal(v, dt)), stats)
+
+      case LessThan(a: Attribute, Literal(v, dt)) => // a < v
+        rangeCheck(a, v, dt)((st, x) => st.min.exists(st.ord.lt(_, x)))
+      case LessThan(Literal(v, dt), a: Attribute) => // a > v
+        rangeCheck(a, v, dt)((st, x) => st.max.exists(st.ord.gt(_, x)))
+      case LessThanOrEqual(a: Attribute, Literal(v, dt)) =>
+        rangeCheck(a, v, dt)((st, x) => st.min.exists(st.ord.lteq(_, x)))
+      case LessThanOrEqual(Literal(v, dt), a: Attribute) =>
+        rangeCheck(a, v, dt)((st, x) => st.max.exists(st.ord.gteq(_, x)))
+      case GreaterThan(a: Attribute, Literal(v, dt)) => // a > v
+        rangeCheck(a, v, dt)((st, x) => st.max.exists(st.ord.gt(_, x)))
+      case GreaterThan(Literal(v, dt), a: Attribute) =>
+        rangeCheck(a, v, dt)((st, x) => st.min.exists(st.ord.lt(_, x)))
+      case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) =>
+        rangeCheck(a, v, dt)((st, x) => st.max.exists(st.ord.gteq(_, x)))
+      case GreaterThanOrEqual(Literal(v, dt), a: Attribute) =>
+        rangeCheck(a, v, dt)((st, x) => st.min.exists(st.ord.lteq(_, x)))
+
+      case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+        list.exists { case Literal(v, dt) =>
+          rangeCheck(a, v, dt)(eqPossible) }
+      case InSet(a: Attribute, hset) =>
+        hset.exists(v => rangeCheck(a, v, a.dataType)(eqPossible))
+
+      case StartsWith(a: Attribute, Literal(p: UTF8String, StringType)) =>
+        // rows starting with prefix p exist only if [min, max] intersects
+        // [p, p·∞): max >= p and min truncated to |p| chars <= p
+        statOf(a, StringType).forall { st =>
+          st.max.exists(x => x.asInstanceOf[UTF8String].compareTo(p) >= 0) &&
+            st.min.exists(m => m.asInstanceOf[UTF8String]
+              .substring(0, p.numChars()).compareTo(p) <= 0)
+        }
+
+      case IsNull(a: Attribute) =>
+        stats.collectFirst { case (n, st) if resolver(n, a.name) => st }
+          .forall(_.nulls.forall(_ > 0))
+      case IsNotNull(a: Attribute) =>
+        // skip only a provably all-null file: no non-null min/max AND a
+        // recorded positive null count
+        stats.collectFirst { case (n, st) if resolver(n, a.name) => st }
+          .forall(st => st.min.nonEmpty || st.max.nonEmpty ||
+            !st.nulls.exists(_ > 0))
+
+      case _ => true
+    }
+  }
+
   /** Mount a pruning parquet relation over concrete slice files.
     *
     * @param fullSchema the table schema (commit-metadata-resolved — MUST
@@ -119,12 +281,16 @@ object GraftFileIndex {
     *                   `fullSchema`'s column order so the scan is a drop-in
     *                   for a plain multi-path parquet read.
     * @param partFiles  (partitionPath, absolute file paths) per partition.
+    * @param fileStats  per-file column stats by file name (enables data-
+    *                   filter file skipping); empty disables.
     */
   def scan(spark: SparkSession, basePath: String,
       partFiles: Seq[(String, Seq[String])],
-      fullSchema: StructType): DataFrame = {
+      fullSchema: StructType,
+      fileStats: Map[String, Map[String, ColStat]] = Map.empty): DataFrame = {
     val df = Bridge.ofRows(spark,
-      LogicalRelation(relation(spark, basePath, partFiles, fullSchema)))
+      LogicalRelation(relation(spark, basePath, partFiles, fullSchema,
+        fileStats)))
     // restore the canonical column order (partition cols mount at the end)
     df.select(fullSchema.fieldNames.map(org.apache.spark.sql.functions.col)
       .toIndexedSeq: _*)
@@ -135,7 +301,9 @@ object GraftFileIndex {
     * [[graft.streaming.GraftSourceProvider]]). */
   def relation(spark: SparkSession, basePath: String,
       partFiles: Seq[(String, Seq[String])],
-      fullSchema: StructType): HadoopFsRelation = {
+      fullSchema: StructType,
+      fileStats: Map[String, Map[String, ColStat]] = Map.empty)
+      : HadoopFsRelation = {
     require(fullSchema.fieldNames.contains(MetaCols.PartitionPath),
       s"table schema must carry ${MetaCols.PartitionPath}")
     val fs = new Path(basePath).getFileSystem(
@@ -146,7 +314,8 @@ object GraftFileIndex {
     val dataSchema = StructType(
       fullSchema.filterNot(_.name == MetaCols.PartitionPath))
     HadoopFsRelation(
-      location = new GraftFileIndex(Seq(new Path(basePath)), statuses),
+      location = new GraftFileIndex(Seq(new Path(basePath)), statuses,
+        dataSchema, fileStats),
       partitionSchema = PartitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,

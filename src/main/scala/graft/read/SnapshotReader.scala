@@ -155,7 +155,11 @@ object SnapshotReader {
             .map { case (p, ss) => p -> ss.flatMap(_.relPath).map(abs) }
           Some(GraftFileIndex.scan(spark, basePath, partFiles,
             org.apache.spark.sql.types.DataType.fromJson(sj)
-              .asInstanceOf[org.apache.spark.sql.types.StructType]))
+              .asInstanceOf[org.apache.spark.sql.types.StructType],
+            // column-stats skipping index: metadata-recorded per-file
+            // min/max ranges let pushed data filters drop files at
+            // listing time
+            fileStats = tl.fileColStats(baseOnly)))
         case None => Some(evolvedRead(spark, basePaths))
       }
 

@@ -153,13 +153,18 @@ private[graft] object GraftDml {
         s"table ${ct.identifier} has no recorded bucket count; declare " +
           "OPTIONS (buckets 'N') matching the writer that created it"))
     val tpe = tableProp(ct, tl, FormatWriter.TypeKey).getOrElse("cow")
+    val sc = tableProp(ct, tl, FormatWriter.StatsColsKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     val ts = FormatWriter.nextTs(tl)
     val k = col(MetaCols.RecordKey)
     val p = col(MetaCols.PartitionPath)
     if (tpe == "mor")
-      new MorWriter(spark, basePath, nb).upsertDelta(updates, deletes, k, p, ts)
+      new MorWriter(spark, basePath, nb, statsCols = sc)
+        .upsertDelta(updates, deletes, k, p, ts)
     else
-      new CowWriter(spark, basePath, nb).commit(updates, deletes, k, p, ts)
+      new CowWriter(spark, basePath, nb, statsCols = sc)
+        .commit(updates, deletes, k, p, ts)
   }
 
   /** Drop-or-keep emptiness probe: None when the frame has no rows (the

@@ -139,7 +139,8 @@ final class GraftSourceProvider extends StreamSourceProvider
         .map(sj => DataType.fromJson(sj).asInstanceOf[StructType])
         .getOrElse(SnapshotReader.evolvedRead(spark,
           partFiles.flatMap(_._2)).schema)
-      GraftFileIndex.relation(spark, basePath, partFiles, schema)
+      GraftFileIndex.relation(spark, basePath, partFiles, schema,
+        fileStats = timeline.fileColStats(slices))
     } else {
       // Outstanding deltas: the merged snapshot's schema is the table
       // schema minus the delta-side delete marker — REORDERED to the same

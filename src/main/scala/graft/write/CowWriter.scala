@@ -27,11 +27,16 @@ import org.apache.spark.sql.functions._
   *
   * @param numBuckets file groups per partition (deterministic bucketing of
   *                   record keys via xxhash64)
+  * @param statsCols  payload columns to track per-file min/max/null stats
+  *                   for (the column-stats skipping index); the record key
+  *                   is ALWAYS tracked. Names not in the written frame (or
+  *                   of non-orderable type) are ignored per write.
   */
 final class CowWriter(
     spark: SparkSession,
     basePath: String,
-    numBuckets: Int) {
+    numBuckets: Int,
+    statsCols: Seq[String] = Seq.empty) {
 
   import CowWriter._
 
@@ -74,9 +79,10 @@ final class CowWriter(
     val written = writeSlices(data, ts)
     // NB: .toSeq before .map — mapping the Map directly would collapse
     // same-partition stats onto one key.
-    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
-      part -> WriteStat(fid, Some(relPath), prevCommit = None,
-        numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = n)
+    val stats = written.toSeq.map { case ((part, fid), w) =>
+      part -> WriteStat(fid, Some(w.relPath), prevCommit = None,
+        numWrites = w.rows, numDeletes = 0, numUpdateWrites = 0,
+        numInserts = w.rows, colStats = w.colStats)
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
       schema = data.drop(FidCol).schema, extra = extra)
@@ -175,13 +181,13 @@ final class CowWriter(
       !writtenFids.contains(fid) && prevByFid.contains(fid)
     }
 
-    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
-      part -> WriteStat(fid, Some(relPath),
+    val stats = written.toSeq.map { case ((part, fid), w) =>
+      part -> WriteStat(fid, Some(w.relPath),
         prevCommit = prevByFid.get(fid).map(_.commitTs),
-        numWrites = n,
+        numWrites = w.rows,
         numDeletes = deletedPerFid.getOrElse(fid, 0L),
         numUpdateWrites = updatedPerFid.getOrElse(fid, 0L),
-        numInserts = 0)
+        numInserts = 0, colStats = w.colStats)
     } ++ emptied.map { case (part, fid) =>
       part -> WriteStat(fid, None,
         prevCommit = prevByFid.get(fid).map(_.commitTs),
@@ -223,10 +229,11 @@ final class CowWriter(
     val prior = timeline.latestSlices(None)
     val writtenFids = written.keys.map(_._2).toSet
     val replaced = prior.values.filterNot(s => writtenFids.contains(s.fileId))
-    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
-      part -> WriteStat(fid, Some(relPath),
+    val stats = written.toSeq.map { case ((part, fid), w) =>
+      part -> WriteStat(fid, Some(w.relPath),
         prevCommit = prior.get(fid).map(_.commitTs),
-        numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = n)
+        numWrites = w.rows, numDeletes = 0, numUpdateWrites = 0,
+        numInserts = w.rows, colStats = w.colStats)
     } ++ replaced.map { s =>
       s.partitionPath -> WriteStat(s.fileId, None,
         prevCommit = Some(s.commitTs),
@@ -245,9 +252,10 @@ final class CowWriter(
     commit(None, Some(rows), keyCol, partCol, ts, extra)
 
   private def writeSlices(data: DataFrame, ts: String)
-      : Map[(String, String), (String, Long)] =
+      : Map[(String, String), SliceFiles.Written] =
     SliceFiles.write(fs, basePath, data, ts,
-      (fid, t) => s"${fid}_$t.parquet")
+      (fid, t) => s"${fid}_$t.parquet",
+      statsCols = MetaCols.RecordKey +: statsCols)
 
   private def saveCommit(ts: String, stats: Iterable[(String, WriteStat)],
       totalDeleted: Long, op: String,

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions.col
   * appends are DELTA commits — no file-group rewrite; the
   * streaming-ingest shape), `buckets`
   * (file groups per partition; defaults to the count recorded in the
-  * table's commit metadata, else 8), `compactEvery` (MOR only: compact
+  * table's commit metadata, else 8), `stats` (comma-separated hot payload
+  * columns for the column-stats skipping index — the record key is always
+  * tracked), `compactEvery` (MOR only: compact
   * file groups holding ≥ N outstanding deltas after each append — bounds
   * snapshot merge cost without a separate maintenance job), `ts` (explicit
   * commit timestamp — tests/fixtures; defaults to a wall-clock timestamp
@@ -69,6 +71,22 @@ private[graft] object FormatWriter {
     * options) resolve the table's identity columns from metadata. */
   val KeyColKey = "key"
   val PartColKey = "partition"
+
+  /** Commit-extra key recording the comma-separated HOT payload columns
+    * tracked by the column-stats skipping index (the record key is always
+    * tracked). Declared at creation via `.option("stats", "c1,c2")`,
+    * resolved from metadata for later appends; may be changed per write
+    * (stats are per-file — new files simply record the new set). */
+  val StatsColsKey = "stats"
+
+  /** Hot stats columns: explicit option, else the set recorded at
+    * creation/overwrite. */
+  private def statsCols(parameters: Map[String, String],
+      timeline: Timeline): Seq[String] =
+    parameters.get(StatsColsKey)
+      .orElse(recordedExtra(timeline, StatsColsKey))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 
   private def required(parameters: Map[String, String], name: String): String =
     parameters.getOrElse(name, throw new IllegalArgumentException(
@@ -191,9 +209,12 @@ private[graft] object FormatWriter {
       .orElse(recordedExtra(timeline, BucketsKey).map(_.toInt)).getOrElse(8)
     require(nb >= 1, "buckets must be >= 1")
     val ts = parameters.getOrElse("ts", nextTs(timeline))
-    new CowWriter(spark, basePath, nb).overwriteTable(df, col(key), col(part),
-      ts, extra = Map(BucketsKey -> nb.toString, TypeKey -> tpe,
-        KeyColKey -> key, PartColKey -> part))
+    val sc = statsCols(parameters, timeline)
+    new CowWriter(spark, basePath, nb, statsCols = sc)
+      .overwriteTable(df, col(key), col(part),
+        ts, extra = Map(BucketsKey -> nb.toString, TypeKey -> tpe,
+          KeyColKey -> key, PartColKey -> part) ++
+          (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty))
   }
 
   /** Table type: explicit option, else the type recorded at creation (or
@@ -233,10 +254,12 @@ private[graft] object FormatWriter {
       s"""graft operation must be "upsert" or "delete", got "$op"""")
     require(!(isNew && op == "delete"),
       s"cannot delete from a table that does not exist at $basePath")
+    val sc = statsCols(parameters, timeline)
     val createExtra = extra + (BucketsKey -> nb.toString) +
-      (TypeKey -> tpe) + (KeyColKey -> key) + (PartColKey -> part)
+      (TypeKey -> tpe) + (KeyColKey -> key) + (PartColKey -> part) ++
+      (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty)
     if (tpe == "mor") {
-      val w = new MorWriter(spark, basePath, nb)
+      val w = new MorWriter(spark, basePath, nb, statsCols = sc)
       if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
       else {
         if (op == "delete") // delta with delete markers, no rewrite
@@ -248,7 +271,7 @@ private[graft] object FormatWriter {
         }
       }
     } else {
-      val w = new CowWriter(spark, basePath, nb)
+      val w = new CowWriter(spark, basePath, nb, statsCols = sc)
       if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
       else if (op == "delete")
         w.delete(df, col(key), col(part), ts, extra = extra)

@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
 final class MorWriter(
     spark: SparkSession,
     basePath: String,
-    numBuckets: Int) {
+    numBuckets: Int,
+    statsCols: Seq[String] = Seq.empty) {
 
   import CowWriter.FidCol
 
@@ -62,10 +63,12 @@ final class MorWriter(
       s"insert() creates a table; $basePath already has commits")
     val data = withMeta(df, keyCol, partCol, ts)
     val written = SliceFiles.write(fs, basePath, data, ts,
-      (fid, t) => s"${fid}_$t.parquet")
-    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
-      part -> WriteStat(fid, Some(relPath), prevCommit = None,
-        numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = n)
+      (fid, t) => s"${fid}_$t.parquet",
+      statsCols = MetaCols.RecordKey +: statsCols)
+    val stats = written.toSeq.map { case ((part, fid), w) =>
+      part -> WriteStat(fid, Some(w.relPath), prevCommit = None,
+        numWrites = w.rows, numDeletes = 0, numUpdateWrites = 0,
+        numInserts = w.rows, colStats = w.colStats)
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
       action = Instant.CommitAction, schema = data.drop(FidCol).schema,
@@ -94,7 +97,8 @@ final class MorWriter(
         "empty delta commit: no updates and no deletes"))
 
     val written = SliceFiles.write(fs, basePath, deltaRows, ts,
-      (fid, t) => s"${fid}_$t.delta.parquet")
+      (fid, t) => s"${fid}_$t.delta.parquet",
+      statsCols = MetaCols.RecordKey +: statsCols)
 
     // Exact per-group op counters in ONE snapshot join: a delete/update only
     // counts if its key actually lives in the pre-commit snapshot (ref
@@ -119,13 +123,13 @@ final class MorWriter(
     val deletedPerFid = opCounts.collect { case ((f, "d"), n) => f -> n }
     val updatedPerFid = opCounts.collect { case ((f, "u"), n) => f -> n }
 
-    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
-      part -> WriteStat(fid, Some(relPath),
+    val stats = written.toSeq.map { case ((part, fid), w) =>
+      part -> WriteStat(fid, Some(w.relPath),
         prevCommit = slices.get(fid).map(_.commitTs),
-        numWrites = n,
+        numWrites = w.rows,
         numDeletes = deletedPerFid.getOrElse(fid, 0L),
         numUpdateWrites = updatedPerFid.getOrElse(fid, 0L),
-        numInserts = 0)
+        numInserts = 0, colStats = w.colStats)
     }
     saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
       op = "UPSERT_DELTA", action = Instant.DeltaCommitAction,
@@ -164,15 +168,17 @@ final class MorWriter(
       .withColumn(MetaCols.FileName,
         concat(col(FidCol), lit("_"), lit(ts), lit(".parquet")))
     val written = SliceFiles.write(fs, basePath, merged, ts,
-      (fid, t) => s"${fid}_$t.parquet")
+      (fid, t) => s"${fid}_$t.parquet",
+      statsCols = MetaCols.RecordKey +: statsCols)
     // A group whose rows were all deleted writes no file: record a 0-row
     // stat so the slice is still superseded on the timeline.
     val writtenFids = written.keys.map(_._2).toSet
     val emptied = dirty.filterNot(s => writtenFids.contains(s.fileId))
-    val stats = written.toSeq.map { case ((part, fid), (relPath, n)) =>
-      part -> WriteStat(fid, Some(relPath),
+    val stats = written.toSeq.map { case ((part, fid), w) =>
+      part -> WriteStat(fid, Some(w.relPath),
         prevCommit = slices.get(fid).map(_.commitTs),
-        numWrites = n, numDeletes = 0, numUpdateWrites = 0, numInserts = 0)
+        numWrites = w.rows, numDeletes = 0, numUpdateWrites = 0,
+        numInserts = 0, colStats = w.colStats)
     } ++ emptied.map { s =>
       s.partitionPath -> WriteStat(s.fileId, None,
         prevCommit = Some(s.commitTs),

@@ -1,9 +1,10 @@
 package graft.write
 
-import graft.format.MetaCols
+import graft.format.{ColStat, MetaCols}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Shared file-slice materialization for the COW and MOR writers.
   *
@@ -12,15 +13,41 @@ import org.apache.spark.sql.functions._
   * to a temp dir, then driver-side renames (metadata-only FS ops, one per
   * written group — the same O(#touched file groups) driver scale Hudi plans
   * at) into `<part>/<fileName(fid, ts)>`.
+  *
+  * The same job's stats aggregate (map-side combined, metadata-sized
+  * result) also records per-file min/max/null-count for the record key and
+  * any writer-declared hot columns — the column-stats skipping index
+  * consumed by [[graft.read.GraftFileIndex]]. One pass over the data,
+  * no extra job.
   */
 private[write] object SliceFiles {
   import CowWriter.FidCol
   private val PartDirCol = "__graft_part"
 
-  /** Returns (partition, fileId) -> (relative path, row count). */
+  /** Per-written-file result: relative path, row count, column stats. */
+  final case class Written(relPath: String, rows: Long,
+      colStats: Map[String, ColStat])
+
+  /** Column types the stats index can order and round-trip through a
+    * string cast. Binary/array/map/struct columns are excluded (no total
+    * order worth indexing). */
+  private[write] def statsSupported(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | DateType | TimestampType |
+         TimestampNTZType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Returns (partition, fileId) -> Written.
+    *
+    * @param statsCols columns of `data` to record min/max/nulls for; names
+    *                  not present in `data` or of unsupported type are
+    *                  skipped (callers validate user-declared ones).
+    */
   def write(fs: FileSystem, basePath: String, data: DataFrame, ts: String,
-      fileName: (String, String) => String)
-      : Map[(String, String), (String, Long)] = {
+      fileName: (String, String) => String,
+      statsCols: Seq[String] = Seq.empty)
+      : Map[(String, String), Written] = {
     val tmp = new Path(basePath, s".tmp_$ts")
     fs.delete(tmp, true)
 
@@ -34,12 +61,32 @@ private[write] object SliceFiles {
       .partitionBy(PartDirCol, FidCol)
       .parquet(tmp.toString)
 
-    // Row counts per group — distributed agg with map-side combine; result is
-    // metadata-sized (#groups rows).
-    val counts = data.groupBy(MetaCols.PartitionPath, FidCol).count()
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // Row counts + column stats per group — ONE distributed agg with
+    // map-side combine; result is metadata-sized (#groups rows). min/max
+    // compute on the NATIVE type (string ordering of numerics would be
+    // wrong) and only the result is cast to string for storage.
+    val tracked = statsCols.distinct.filter(c =>
+      data.schema.fields.exists(f =>
+        f.name == c && statsSupported(f.dataType)))
+    val aggs = count(lit(1L)).as("__graft_cnt") +: tracked.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"__min__$c"),
+        max(col(c)).cast("string").as(s"__max__$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul__$c"))
+    }
+    val counts = data.groupBy(MetaCols.PartitionPath, FidCol)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val stats = tracked.map { c =>
+          c -> ColStat(
+            min = Option(r.getAs[String](s"__min__$c")),
+            max = Option(r.getAs[String](s"__max__$c")),
+            nulls = Some(r.getAs[Long](s"__nul__$c")))
+        }.toMap
+        (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("__graft_cnt"), stats)
+      }.toMap
 
-    val out = scala.collection.mutable.Map.empty[(String, String), (String, Long)]
+    val out = scala.collection.mutable.Map.empty[(String, String), Written]
     val partDirs = if (fs.exists(tmp)) fs.listStatus(tmp).filter(_.isDirectory)
       else Array.empty[org.apache.hadoop.fs.FileStatus]
     partDirs.foreach { pd =>
@@ -58,7 +105,9 @@ private[write] object SliceFiles {
         fs.delete(dest, false)
         require(fs.rename(files.head.getPath, dest), s"rename to $dest failed")
         val rel = if (part.isEmpty) name else s"$part/$name"
-        out((part, fid)) = (rel, counts.getOrElse((part, fid), 0L))
+        val (n, stats) = counts.getOrElse((part, fid),
+          (0L, Map.empty[String, ColStat]))
+        out((part, fid)) = Written(rel, n, stats)
       }
     }
     fs.delete(tmp, true)

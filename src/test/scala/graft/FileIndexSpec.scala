@@ -461,4 +461,94 @@ class FileIndexSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(SnapshotReader.read(spark, dir).schema == recorded)
   }
+
+  // ---- column-stats file-skipping index (r7) ----
+
+  /** Files the scan would actually plan, honoring partition pruning AND
+    * data-filter skipping (the same listFiles call FileSourceScanExec
+    * makes). */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected one file scan, got ${scans.size}")
+    scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
+      .map(_.files.length).sum
+  }
+
+  test("column-stats index: key point lookup plans ONE file, not the table") {
+    val dir = freshDir("orders_colstats")
+    val w = new CowWriter(spark, dir, numBuckets = 4,
+      statsCols = Seq("o_totalprice"))
+    w.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    val snap = SnapshotReader.read(spark, dir)
+    val total = snap.inputFiles.length
+    assert(total > 2, s"need a multi-file table, got $total")
+
+    // positive control FIRST: a data filter on an UNTRACKED column must
+    // plan every file — proves the counting method detects non-skipping
+    assert(plannedFiles(snap.filter($"o_custkey" >= 0)) == total)
+
+    // key point lookup: exactly one file's [minKey, maxKey] covers the key
+    val k = orders.agg(min($"o_orderkey")).as[Long].head()
+    val lookup = snap.filter(col(MetaCols.RecordKey) === k.toString)
+    assert(lookup.count() == 1)
+    assert(plannedFiles(lookup) == 1,
+      s"key lookup planned ${plannedFiles(lookup)} of $total files")
+
+    // declared hot column: impossible range plans ZERO files
+    val none = snap.filter($"o_totalprice" > 1e15)
+    assert(none.count() == 0 && plannedFiles(none) == 0)
+
+    // range + partition predicates compose (both pruning layers)
+    val both = snap.filter(col(MetaCols.PartitionPath) === "F" &&
+      col(MetaCols.RecordKey) === k.toString)
+    assert(plannedFiles(both) <= 1)
+
+    // correctness under skipping: selective tracked-column filter returns
+    // exactly the raw scan's rows
+    val median = orders.agg(min($"o_totalprice")).head().getDouble(0) + 1000
+    val sel = snap.filter($"o_totalprice" < median)
+    val raw = SnapshotReader.evolvedRead(spark, snap.inputFiles.toSeq)
+      .filter($"o_totalprice" < median)
+    assert(sel.count() == raw.count())
+  }
+
+  test("column-stats index: rewrites keep stats; In/null semantics conservative-correct") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = freshDir("colstats_nulls")
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("p", StringType), StructField("v", DoubleType)))
+    val rows = (1L to 40L).map(i => Row(i, if (i % 2 == 0) "a" else "b",
+      if (i % 5 == 0) null else i.toDouble))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val w = new CowWriter(spark, dir, numBuckets = 2, statsCols = Seq("v"))
+    w.insert(df, col("k"), col("p"), Fixtures.C1)
+    // an UPDATE commit rewrites slices — new slices carry new stats
+    w.upsert(df.filter($"k" <= 4).withColumn("v", lit(1000.0)),
+      col("k"), col("p"), Fixtures.C2)
+    val snap = SnapshotReader.read(spark, dir)
+    val total = snap.inputFiles.length
+
+    // rewritten slice's range covers the new value; lookup finds it
+    val hot = snap.filter($"v" === 1000.0)
+    assert(hot.count() == 4)
+    assert(plannedFiles(hot) < total, "post-rewrite stats must skip")
+
+    // In() with all values out of range plans zero files
+    assert(plannedFiles(snap.filter($"v".isin(5000.0, 6000.0))) == 0)
+    assert(snap.filter($"v".isin(5000.0, 6000.0)).count() == 0)
+
+    // null semantics: isNull keeps files with nulls and finds every row
+    assert(snap.filter($"v".isNull).count() ==
+      (1L to 40L).count(i => i % 5 == 0 && i > 4))
+    // key ranges survive a DELETE commit's rewrite too
+    w.delete(df.filter($"k" % 3 === 0), col("k"), col("p"), Fixtures.C3)
+    val snap3 = SnapshotReader.read(spark, dir)
+    val one = snap3.filter(col(MetaCols.RecordKey) === "1")
+    assert(one.count() == 1 && plannedFiles(one) == 1)
+  }
 }

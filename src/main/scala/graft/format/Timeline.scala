@@ -122,9 +122,110 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
     try out.write(JsonCodec.toJson(meta).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     require(fs.rename(tmp, fin), s"atomic commit rename failed for $fin")
+    // a reservation for this ts (see [[reserve]]) is now superseded by the
+    // completed instant
+    fs.delete(new Path(hoodieDir, ts + Timeline.ReservedSuffix), false)
     memo.remove(ts)
     instantsMemo = None
   }
+
+  /** OPTIMISTIC-CONCURRENCY commit: the same atomic publish as
+    * [[saveCommit]], preceded — inside the table's commit lock — by
+    * conflict detection against every instant that COMPLETED after this
+    * writer's read point (Hudi's `SimpleConcurrentFileWritesConflict
+    * ResolutionStrategy` analog):
+    *
+    *  - group-overlap conflict: a since-completed instant wrote one of the
+    *    file groups this commit writes → [[CommitConflictException]] naming
+    *    the conflicting group(s) and instant(s). The loser re-plans from
+    *    the new table state and retries with a fresh ts; its already-
+    *    written data files are unreferenced (no commit records them) and
+    *    are reclaimed like any superseded slice.
+    *  - `conflictOnAny`: create/overwrite semantics — ANY since-completed
+    *    instant conflicts (an overwrite replaces the table as of its read
+    *    point; a concurrent commit's file group would survive it and
+    *    resurrect stale rows).
+    *  - head-ordering guard: the new commit's ts must sort after every
+    *    since-completed instant — landing a LOWER ts behind a completed
+    *    higher one would retroactively change already-served time-travel
+    *    snapshots (commits are immutable history, not just files).
+    *
+    * Disjoint-group writers both land; overlapping writers get exactly one
+    * winner. The JVM-wide per-table lock serializes only the metadata
+    * check + commit rename (O(#instants-since) decode, no data I/O) among
+    * writers in THIS process — the local-mode deployment. Multi-DRIVER
+    * deployments must serialize the same critical section with an external
+    * lock provider, exactly Hudi's OCC lock-provider requirement; conflict
+    * DETECTION itself is storage-based and driver-agnostic.
+    *
+    * @param readPoint newest completed instant the writer planned against
+    *                  (None = table was empty at read)
+    */
+  def saveCommitOcc(ts: String, meta: CommitMetadata,
+      action: String = Instant.CommitAction,
+      readPoint: Option[String] = None,
+      conflictOnAny: Boolean = false): Unit =
+    Timeline.lockFor(fs.makeQualified(basePath).toString).synchronized {
+      refresh()
+      val floor = readPoint.getOrElse("")
+      val newSince = completedInstants()
+        .filter(i => floor.isEmpty || i.ts > floor)
+      if (newSince.nonEmpty) {
+        if (conflictOnAny)
+          throw new CommitConflictException(
+            s"commit $ts conflicts: instant(s) " +
+              s"${newSince.map(_.ts).mkString(", ")} completed after this " +
+              s"writer's read point ${readPoint.getOrElse("<empty table>")} " +
+              "and this operation (create/overwrite) replaces the whole " +
+              "table; re-plan from the current state and retry")
+        val mine = meta.allStats.map(_._2.fileId).toSet
+        val conflicts = newSince.flatMap(i =>
+          metadata(i.ts).allStats.map(_._2.fileId)
+            .filter(mine.contains).map(i.ts -> _))
+        if (conflicts.nonEmpty)
+          throw new CommitConflictException(
+            s"commit $ts conflicts: file group(s) " +
+              conflicts.map(_._2).distinct.mkString(", ") +
+              s" were concurrently written by instant(s) " +
+              conflicts.map(_._1).distinct.mkString(", ") +
+              s" after this writer's read point " +
+              s"${readPoint.getOrElse("<empty table>")}; " +
+              "re-plan from the current state and retry")
+        if (!newSince.forall(_.ts < ts))
+          throw new CommitConflictException(
+            s"commit $ts would land BEHIND concurrently completed instant " +
+              s"${newSince.map(_.ts).max} (already-served time-travel " +
+              "snapshots must stay immutable); retry with a fresh ts")
+      }
+      saveCommit(ts, meta, action)
+    }
+
+  /** Atomically reserve commit ts `ts` for a writer about to stamp data
+    * files with it: a `<ts>.reserved` marker created without overwrite —
+    * at most one concurrent writer wins a given ts (Hudi's requested-
+    * instant analog). Cleared by the eventual [[saveCommit]]; a marker
+    * orphaned by a crashed writer merely makes [[reservedTss]] skip that
+    * ts forever (harmless — the ts space is unbounded). */
+  def reserve(ts: String): Boolean = {
+    require(ts.nonEmpty && ts.forall(_.isDigit),
+      s"commit ts must be numeric (digits only), got '$ts'")
+    if (instantAt(ts).nonEmpty) return false
+    try {
+      fs.mkdirs(hoodieDir)
+      fs.create(new Path(hoodieDir, ts + Timeline.ReservedSuffix),
+        false).close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Currently reserved (not yet completed) commit timestamps. */
+  def reservedTss(): Seq[String] =
+    if (!Timeline.retryOnce(fs.exists(hoodieDir))) Seq.empty
+    else Timeline.retryOnce(fs.listStatus(hoodieDir)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.endsWith(Timeline.ReservedSuffix) =>
+        n.stripSuffix(Timeline.ReservedSuffix) }
+      .sorted
 
   /** Remove a completed instant's commit file from the timeline (rollback
     * support — data-file deletion is the caller's job, see
@@ -221,6 +322,15 @@ object Timeline {
   val MetaDir = ".hoodie"
   val CommitSuffix = ".commit"
   val DeltaCommitSuffix = ".deltacommit"
+  val ReservedSuffix = ".reserved"
+
+  // Per-table commit locks for the OCC check+publish critical section
+  // (same-JVM writers; see saveCommitOcc scaladoc for the multi-driver
+  // contract).
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[format] def lockFor(key: String): Object =
+    commitLocks.computeIfAbsent(key, _ => new Object)
 
   /** One bounded retry around a metadata FS read (parity with the
     * reference's transient-failure retry, ref: DeleteView.java:74-96:

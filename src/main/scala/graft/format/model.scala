@@ -96,6 +96,14 @@ final case class CommitMetadata(
     allStats.find(_._2.fileId == fileId)
 }
 
+/** A commit lost the optimistic-concurrency race: an instant that COMPLETED
+  * after the writer's read point touched one of the file groups this commit
+  * writes (or, for create/overwrite, touched the table at all). The
+  * operation is RETRYABLE from the new table state — re-plan against the
+  * current snapshot and re-commit with a fresh ts. */
+final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
 /** A delta (log) file appended to a file slice by a MOR delta commit. */
 final case class DeltaFile(commitTs: String, relPath: String)
 

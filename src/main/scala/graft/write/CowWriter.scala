@@ -77,6 +77,8 @@ final class CowWriter(
       s"insert() creates a table; $basePath already has commits")
     val data = withMeta(df, keyCol, partCol, ts)
     val written = writeSlices(data, ts)
+    // OCC: a concurrent creator completing between the check above and our
+    // publish loses/wins exactly once (conflictOnAny under the commit lock)
     // NB: .toSeq before .map — mapping the Map directly would collapse
     // same-partition stats onto one key.
     val stats = written.toSeq.map { case ((part, fid), w) =>
@@ -85,7 +87,8 @@ final class CowWriter(
         numInserts = w.rows, colStats = w.colStats)
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
-      schema = data.drop(FidCol).schema, extra = extra)
+      schema = data.drop(FidCol).schema, extra = extra,
+      readPoint = None, conflictOnAny = true)
   }
 
   /** Upsert + delete in one commit (COW: affected file groups are fully
@@ -101,6 +104,9 @@ final class CowWriter(
       extra: Map[String, String] = Map.empty): Unit = {
     require(timeline.completedInstants().nonEmpty,
       s"commit() needs an existing table at $basePath; call insert() first")
+    // OCC read point: the newest instant this writer's plan is based on
+    // (the memoized listing latestSlices below reads from)
+    val readPoint = timeline.completedInstants().lastOption.map(_.ts)
 
     val up = updates.map(withMeta(_, keyCol, partCol, ts))
     val del = deletes.map(withMeta(_, keyCol, partCol, ts)
@@ -197,7 +203,8 @@ final class CowWriter(
     }
 
     saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
-      op = "UPSERT", schema = newData.drop(FidCol).schema, extra = extra)
+      op = "UPSERT", schema = newData.drop(FidCol).schema, extra = extra,
+      readPoint = readPoint)
   }
 
   /** INSERT_OVERWRITE_TABLE as ONE atomic commit: `df` becomes the table's
@@ -224,6 +231,7 @@ final class CowWriter(
       ts: String, extra: Map[String, String] = Map.empty): Unit = {
     require(timeline.completedInstants().nonEmpty,
       s"overwriteTable() replaces a table; $basePath has none — use insert()")
+    val readPoint = timeline.completedInstants().lastOption.map(_.ts)
     val data = withMeta(df, keyCol, partCol, ts)
     val written = writeSlices(data, ts)
     val prior = timeline.latestSlices(None)
@@ -239,8 +247,11 @@ final class CowWriter(
         prevCommit = Some(s.commitTs),
         numWrites = 0, numDeletes = 0, numUpdateWrites = 0, numInserts = 0)
     }
+    // conflictOnAny: a concurrent commit's file group would survive the
+    // replace and resurrect rows the overwrite never saw
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT_OVERWRITE_TABLE",
-      schema = data.drop(FidCol).schema, extra = extra)
+      schema = data.drop(FidCol).schema, extra = extra,
+      readPoint = readPoint, conflictOnAny = true)
   }
 
   def upsert(updates: DataFrame, keyCol: Column, partCol: Column, ts: String,
@@ -260,16 +271,19 @@ final class CowWriter(
   private def saveCommit(ts: String, stats: Iterable[(String, WriteStat)],
       totalDeleted: Long, op: String,
       schema: org.apache.spark.sql.types.StructType,
-      extra: Map[String, String] = Map.empty): Unit = {
+      extra: Map[String, String] = Map.empty,
+      readPoint: Option[String] = None,
+      conflictOnAny: Boolean = false): Unit = {
     val byPart = stats.groupBy(_._1).view
       .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
-    timeline.saveCommit(ts, CommitMetadata(
+    timeline.saveCommitOcc(ts, CommitMetadata(
       partitionToWriteStats = byPart,
       operationType = op,
       totalRecordsDeleted = totalDeleted,
       totalRecordsWritten = stats.map(_._2.numWrites).sum,
       schemaJson = Some(MetaCols.canonicalSchema(schema).json),
-      extra = extra))
+      extra = extra),
+      readPoint = readPoint, conflictOnAny = conflictOnAny)
   }
 }
 

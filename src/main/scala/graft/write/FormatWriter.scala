@@ -144,20 +144,32 @@ private[graft] object FormatWriter {
   /** Next commit ts: wall clock (14-digit yyyyMMddHHmmss, UTC) when it
     * sorts after the newest commit at the table's ts width; otherwise the
     * newest commit numerically +1 at fixed width (sub-second successive
-    * commits, or tables on a different ts convention). */
+    * commits, or tables on a different ts convention).
+    *
+    * The returned ts is RESERVED on the timeline (`<ts>.reserved` marker,
+    * atomic create) before data files are stamped with it, so two
+    * concurrent auto-ts writers always mint DISTINCT timestamps — the
+    * multi-writer entry ticket (Hudi's requested-instant analog); the
+    * marker is cleared by the eventual commit. Minting considers both
+    * completed and currently-reserved instants. */
   private[graft] def nextTs(timeline: Timeline): String = {
+    def bump(ts: String): String = {
+      val b = (BigInt(ts) + 1).toString
+      require(b.length <= ts.length, s"commit ts overflow bumping past $ts")
+      ("0" * (ts.length - b.length)) + b
+    }
     val clock = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now())
-    timeline.completedInstants().lastOption.map(_.ts) match {
+    val newest = (timeline.completedInstants().map(_.ts) ++
+      timeline.reservedTss()).maxOption
+    var c = newest match {
       case None => clock
       case Some(last) if clock.length == last.length && clock > last => clock
-      case Some(last) =>
-        val bumped = (BigInt(last) + 1).toString
-        require(bumped.length <= last.length,
-          s"commit ts overflow bumping past $last")
-        ("0" * (last.length - bumped.length)) + bumped
+      case Some(last) => bump(last)
     }
+    while (!timeline.reserve(c)) c = bump(c)
+    c
   }
 
   /** Batch write (`df.write.format("graft").mode(...)`). */
@@ -240,6 +252,26 @@ private[graft] object FormatWriter {
     * rewrite touched groups; MOR appends are delta commits, optionally
     * followed by threshold compaction (`compactEvery`). */
   def append(spark: SparkSession, basePath: String,
+      parameters: Map[String, String], df: DataFrame,
+      extra: Map[String, String]): Unit = {
+    // OCC retry: when the commit ts is auto-minted, a lost race
+    // (CommitConflictException — overlapping groups or ordering) re-plans
+    // the WHOLE append against the new table state with a fresh reserved
+    // ts; the failed attempt's data files are unreferenced and harmless.
+    // An explicit .option("ts", ...) fails loudly instead (the caller
+    // pinned history).
+    val auto = !parameters.contains("ts")
+    var attempts = 0
+    while (true) {
+      try { appendOnce(spark, basePath, parameters, df, extra); return }
+      catch {
+        case _: graft.format.CommitConflictException
+            if auto && attempts < 4 => attempts += 1
+      }
+    }
+  }
+
+  private def appendOnce(spark: SparkSession, basePath: String,
       parameters: Map[String, String], df: DataFrame,
       extra: Map[String, String]): Unit = {
     val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)

@@ -72,7 +72,7 @@ final class MorWriter(
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
       action = Instant.CommitAction, schema = data.drop(FidCol).schema,
-      extra = extra)
+      extra = extra, readPoint = None, conflictOnAny = true)
   }
 
   /** MOR delta commit: append upserts + delete markers as delta files —
@@ -86,6 +86,8 @@ final class MorWriter(
       extra: Map[String, String] = Map.empty): Unit = {
     require(timeline.completedInstants().nonEmpty,
       s"upsertDelta() needs an existing table at $basePath; call insert() first")
+    // OCC read point: the newest instant this delta's plan/counters see
+    val readPoint = timeline.completedInstants().lastOption.map(_.ts)
 
     val up = updates.map(withMeta(_, keyCol, partCol, ts)
       .withColumn(SnapshotReader.IsDeleted, lit(false)))
@@ -133,7 +135,8 @@ final class MorWriter(
     }
     saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
       op = "UPSERT_DELTA", action = Instant.DeltaCommitAction,
-      schema = deltaRows.drop(FidCol).schema, extra = extra)
+      schema = deltaRows.drop(FidCol).schema, extra = extra,
+      readPoint = readPoint)
   }
 
   def upsert(updates: DataFrame, keyCol: Column, partCol: Column, ts: String,
@@ -160,6 +163,10 @@ final class MorWriter(
 
   private def compactWhere(ts: String,
       shouldCompact: FileSlice => Boolean): Unit = {
+    // OCC read point: a delta landing in a group AFTER this merge planned
+    // would be silently swallowed by the compacted slice — group-overlap
+    // conflict detection makes the compaction lose instead
+    val readPoint = timeline.completedInstants().lastOption.map(_.ts)
     val slices = timeline.latestSlices(None)
     val dirty = slices.values.filter(shouldCompact).toSeq
     if (dirty.isEmpty) return
@@ -185,16 +192,19 @@ final class MorWriter(
         numWrites = 0, numDeletes = 0, numUpdateWrites = 0, numInserts = 0)
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "COMPACT",
-      action = Instant.CommitAction, schema = merged.drop(FidCol).schema)
+      action = Instant.CommitAction, schema = merged.drop(FidCol).schema,
+      readPoint = readPoint)
   }
 
   private def saveCommit(ts: String, stats: Iterable[(String, WriteStat)],
       totalDeleted: Long, op: String, action: String,
       schema: org.apache.spark.sql.types.StructType,
-      extra: Map[String, String] = Map.empty): Unit = {
+      extra: Map[String, String] = Map.empty,
+      readPoint: Option[String] = None,
+      conflictOnAny: Boolean = false): Unit = {
     val byPart = stats.groupBy(_._1).view
       .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
-    timeline.saveCommit(ts, CommitMetadata(
+    timeline.saveCommitOcc(ts, CommitMetadata(
       partitionToWriteStats = byPart,
       operationType = op,
       totalRecordsDeleted = totalDeleted,
@@ -202,7 +212,7 @@ final class MorWriter(
       schemaJson = Some(MetaCols.canonicalSchema(
         MorWriter.monotonicSchema(timeline, action, schema)).json),
       extra = extra),
-      action)
+      action, readPoint = readPoint, conflictOnAny = conflictOnAny)
   }
 }
 

@@ -91,4 +91,141 @@ class MaintenanceSpec extends SparkSpec {
     // retention >= #commits is a no-op
     assert(TableMaintenance.clean(spark, dir, retainCommits = 10).isEmpty)
   }
+
+  // ---- multi-writer optimistic concurrency (r7) ----
+  //
+  // Staleness is simulated deterministically: a writer's Timeline memoizes
+  // its instant listing on first use, so forcing the listing BEFORE a rival
+  // commits gives the writer an old read point — exactly the concurrent-
+  // writer interleaving, without thread-timing flakiness. A threaded smoke
+  // test covers the real thing.
+
+  import graft.format.CommitConflictException
+
+  test("OCC: disjoint-group concurrent writers BOTH land") {
+    val dir = freshDir("occ_disjoint")
+    val wA = new CowWriter(spark, dir, numBuckets = 2)
+    wA.insert(orders, col("o_orderkey"), col("o_orderstatus"), C1)
+
+    val wB = new CowWriter(spark, dir, numBuckets = 2)
+    wB.timeline.completedInstants() // pin B's read point at C1
+    // A lands first, touching ONLY partition F's groups
+    wA.upsert(orders.filter($"o_orderstatus" === "F")
+        .withColumn("o_totalprice", $"o_totalprice" + 1),
+      col("o_orderkey"), col("o_orderstatus"), C2)
+    // B (stale read point) touches ONLY partition O's groups — no overlap,
+    // so B lands too
+    wB.upsert(orders.filter($"o_orderstatus" === "O")
+        .withColumn("o_totalprice", $"o_totalprice" + 2),
+      col("o_orderkey"), col("o_orderstatus"), C3)
+
+    val tl = Timeline(spark.sessionState.newHadoopConf(), dir)
+    assert(tl.completedInstants().map(_.ts) == Seq(C1, C2, C3))
+    val snap = SnapshotReader.read(spark, dir)
+    assert(snap.count() == orders.count())
+  }
+
+  test("OCC: overlapping writers get exactly ONE winner; loser's error names the group") {
+    val dir = freshDir("occ_overlap")
+    val wA = new CowWriter(spark, dir, numBuckets = 2)
+    wA.insert(orders, col("o_orderkey"), col("o_orderstatus"), C1)
+
+    val wB = new CowWriter(spark, dir, numBuckets = 2)
+    wB.timeline.completedInstants() // pin B's read point at C1
+    val rows = orders.filter($"o_orderstatus" === "F").limit(20)
+    wA.upsert(rows.withColumn("o_totalprice", $"o_totalprice" + 1),
+      col("o_orderkey"), col("o_orderstatus"), C2)
+    val err = intercept[CommitConflictException] {
+      wB.upsert(rows.withColumn("o_totalprice", $"o_totalprice" + 2),
+        col("o_orderkey"), col("o_orderstatus"), C3)
+    }
+    assert(err.getMessage.contains(C2), s"loser must name the winner: $err")
+    assert(err.getMessage.contains("F-"),
+      s"loser must name the conflicting file group: $err")
+    // the loser's commit never landed; A's update is the live state
+    val tl = Timeline(spark.sessionState.newHadoopConf(), dir)
+    assert(tl.completedInstants().map(_.ts) == Seq(C1, C2))
+  }
+
+  test("OCC: a commit cannot land BEHIND a concurrently completed instant") {
+    val dir = freshDir("occ_ordering")
+    val wA = new CowWriter(spark, dir, numBuckets = 2)
+    wA.insert(orders, col("o_orderkey"), col("o_orderstatus"), C1)
+    val wB = new CowWriter(spark, dir, numBuckets = 2)
+    wB.timeline.completedInstants() // stale read point
+    wA.upsert(orders.filter($"o_orderstatus" === "F").limit(5)
+        .withColumn("o_totalprice", lit(0.0)),
+      col("o_orderkey"), col("o_orderstatus"), C3) // A lands at C3
+    // B's ts C2 < C3, disjoint partition — immutable-history guard refuses
+    intercept[CommitConflictException] {
+      wB.upsert(orders.filter($"o_orderstatus" === "O").limit(5)
+          .withColumn("o_totalprice", lit(0.0)),
+        col("o_orderkey"), col("o_orderstatus"), C2)
+    }
+  }
+
+  test("OCC: compaction loses to a delta that landed after its read point") {
+    import graft.write.MorWriter
+    val dir = freshDir("occ_compact")
+    val wA = new MorWriter(spark, dir, numBuckets = 2)
+    wA.insert(orders, col("o_orderkey"), col("o_orderstatus"), C1)
+    wA.upsert(orders.limit(10).withColumn("o_totalprice", lit(1.0)),
+      col("o_orderkey"), col("o_orderstatus"), C2)
+    val compactor = new MorWriter(spark, dir, numBuckets = 2)
+    compactor.timeline.completedInstants() // compactor plans as of C2
+    // a delta lands AFTER the compactor's read point, in a group it will
+    // rewrite — compacting anyway would silently swallow this delta
+    wA.upsert(orders.limit(10).withColumn("o_totalprice", lit(2.0)),
+      col("o_orderkey"), col("o_orderstatus"), C3)
+    intercept[CommitConflictException] {
+      compactor.compact(Fixtures.C3x)
+    }
+    // the delta survives: head snapshot serves its values
+    assert(SnapshotReader.read(spark, dir)
+      .filter($"o_totalprice" === 2.0).count() == 10)
+    // a FRESH compactor (current read point) succeeds
+    new MorWriter(spark, dir, numBuckets = 2).compact(Fixtures.C4)
+    assert(SnapshotReader.read(spark, dir)
+      .filter($"o_totalprice" === 2.0).count() == 10)
+  }
+
+  test("OCC: concurrent auto-ts writers mint DISTINCT reserved timestamps") {
+    val dir = freshDir("occ_reserve")
+    orders.write.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+      .option("buckets", "2").option("ts", C1).save(dir)
+    val tlA = Timeline(spark.sessionState.newHadoopConf(), dir)
+    val tlB = Timeline(spark.sessionState.newHadoopConf(), dir)
+    val tA = graft.write.FormatWriter.nextTs(tlA)
+    val tB = graft.write.FormatWriter.nextTs(tlB)
+    assert(tA != tB, "two writers minted the same commit ts")
+    assert(tlA.reservedTss().toSet == Set(tA, tB))
+    // reserving an explicitly taken ts fails
+    assert(!tlB.reserve(tA))
+    assert(!tlB.reserve(C1), "a completed instant's ts must not be reservable")
+  }
+
+  test("OCC threaded smoke: concurrent disjoint appends all land (auto-retry)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir("occ_threads")
+    orders.write.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+      .option("buckets", "2").option("ts", C1).save(dir)
+    val parts = Seq("F", "O", "P")
+    val fs = parts.map { p => Future {
+      orders.filter($"o_orderstatus" === p)
+        .withColumn("o_totalprice", $"o_totalprice" + 7)
+        .write.format("graft").mode("append").save(dir)
+    }}
+    Await.result(Future.sequence(fs), 5.minutes)
+    val tl = Timeline(spark.sessionState.newHadoopConf(), dir)
+    assert(tl.completedInstants().size == 4,
+      s"expected 4 commits, got ${tl.completedInstants().map(_.ts)}")
+    val snap = SnapshotReader.read(spark, dir)
+    assert(snap.count() == orders.count())
+    assert(snap.filter($"o_orderstatus".isin(parts: _*) &&
+      !($"o_totalprice" > 7)).count() == 0, "every partition's bump landed")
+  }
 }

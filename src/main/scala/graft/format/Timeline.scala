@@ -218,6 +218,14 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
     } catch { case _: java.io.IOException => false }
   }
 
+  /** Release a reservation that will not complete (a no-op write — e.g. an
+    * empty streaming micro-batch — or a failed/conflicted attempt);
+    * completed instants' markers are cleared by [[saveCommit]] itself.
+    * No-op when the instant DID complete or was never reserved. */
+  def unreserve(ts: String): Unit =
+    if (instantAt(ts).isEmpty)
+      fs.delete(new Path(hoodieDir, ts + Timeline.ReservedSuffix), false)
+
   /** Currently reserved (not yet completed) commit timestamps. */
   def reservedTss(): Seq[String] =
     if (!Timeline.retryOnce(fs.exists(hoodieDir))) Seq.empty

@@ -76,7 +76,8 @@ final class GraftMorRelation(
     protected val session: SparkSession,
     basePath: String,
     asOf: Option[String],
-    override val schema: StructType) extends GraftFilteredScan {
+    override val schema: StructType,
+    presetPartitions: Seq[String] = Seq.empty) extends GraftFilteredScan {
 
   /** Absolute data-file paths the last `buildScan` planned (base + delta) —
     * observability/test hook for the metadata-pruning contract; the V1 RDD
@@ -86,6 +87,9 @@ final class GraftMorRelation(
   override protected def planScan(filters: Array[Filter]): DataFrame = {
     val timeline = Timeline(session.sessionState.newHadoopConf(), basePath)
     val all = timeline.latestSlices(asOf).values.toSeq
+      // the engine API's explicit `partitions` parameter, pre-applied
+      .filter(s => presetPartitions.isEmpty ||
+        presetPartitions.contains(s.partitionPath))
     val slices = GraftMorRelation.partitionValues(filters) match {
       case Some(parts) => all.filter(s => parts.contains(s.partitionPath))
       case None => all

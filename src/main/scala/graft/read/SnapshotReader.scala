@@ -64,6 +64,14 @@ object SnapshotReader {
 
   /** Snapshot (or time-travel, via `asOf`) read.
     *
+    * Delta-free states plan directly ([[merge]]'s pruning-FileIndex scan).
+    * States with OUTSTANDING MOR deltas return the
+    * [[GraftMorRelation]]-backed frame — the SAME lazy planning point the
+    * format surface uses — so the normal user idiom
+    * `snapshot().filter($"_hoodie_partition_path" === …)` prunes the
+    * file-GROUP set on BOTH merge sides at metadata level before the
+    * window merge is planned (engine API ≡ format surface; r7 parity).
+    *
     * @param partitions non-empty → METADATA-level partition pruning: only
     *                   slices under the named partition paths are listed,
     *                   scanned, or merged. At 100 TB this is the difference
@@ -82,7 +90,18 @@ object SnapshotReader {
       asOf.fold("")(t => s" as of $t") +
       (if (partitions.nonEmpty) s" partitions=${partitions.mkString(",")}"
        else ""))
-    merge(spark, basePath, slices, Some(timeline), asOf)
+    val schemaJson =
+      if (slices.exists(_.deltas.nonEmpty)) timeline.latestSchemaJson(asOf)
+      else None
+    schemaJson match {
+      case Some(sj) => // outstanding deltas: lazy merge behind the relation
+        org.apache.spark.sql.graft.Bridge.ofRows(spark,
+          org.apache.spark.sql.execution.datasources.LogicalRelation(
+            new GraftMorRelation(spark, basePath, asOf,
+              tableSchemaFromJson(sj), presetPartitions = partitions)))
+      case None => // delta-free (or legacy pre-schema table): direct plan
+        merge(spark, basePath, slices, Some(timeline), asOf)
+    }
   }
 
   /** Empty relation carrying the table's schema, for states where every

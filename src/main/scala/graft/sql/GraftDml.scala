@@ -159,12 +159,14 @@ private[graft] object GraftDml {
     val ts = FormatWriter.nextTs(tl)
     val k = col(MetaCols.RecordKey)
     val p = col(MetaCols.PartitionPath)
-    if (tpe == "mor")
-      new MorWriter(spark, basePath, nb, statsCols = sc)
-        .upsertDelta(updates, deletes, k, p, ts)
-    else
-      new CowWriter(spark, basePath, nb, statsCols = sc)
-        .commit(updates, deletes, k, p, ts)
+    try {
+      if (tpe == "mor")
+        new MorWriter(spark, basePath, nb, statsCols = sc)
+          .upsertDelta(updates, deletes, k, p, ts)
+      else
+        new CowWriter(spark, basePath, nb, statsCols = sc)
+          .commit(updates, deletes, k, p, ts)
+    } finally tl.unreserve(ts) // no-op when the commit landed
   }
 
   /** Drop-or-keep emptiness probe: None when the frame has no rows (the

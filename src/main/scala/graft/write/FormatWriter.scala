@@ -290,25 +290,32 @@ private[graft] object FormatWriter {
     val createExtra = extra + (BucketsKey -> nb.toString) +
       (TypeKey -> tpe) + (KeyColKey -> key) + (PartColKey -> part) ++
       (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty)
-    if (tpe == "mor") {
-      val w = new MorWriter(spark, basePath, nb, statsCols = sc)
-      if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
-      else {
-        if (op == "delete") // delta with delete markers, no rewrite
+    // unreserve on every exit: a completed commit already cleared its
+    // marker (no-op there); a no-op write (empty micro-batch) or a failed/
+    // conflicted attempt releases its ts instead of orphaning the marker
+    try {
+      if (tpe == "mor") {
+        val w = new MorWriter(spark, basePath, nb, statsCols = sc)
+        if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
+        else {
+          if (op == "delete") // delta with delete markers, no rewrite
+            w.delete(df, col(key), col(part), ts, extra = extra)
+          else w.upsert(df, col(key), col(part), ts, extra = extra)
+          parameters.get("compactEvery").map(_.toInt).foreach { n =>
+            require(n >= 1, "compactEvery must be >= 1")
+            val cts = nextTs(w.timeline)
+            try w.compactIf(cts, minDeltas = n)
+            finally w.timeline.unreserve(cts) // no dirty groups → no commit
+          }
+        }
+      } else {
+        val w = new CowWriter(spark, basePath, nb, statsCols = sc)
+        if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
+        else if (op == "delete")
           w.delete(df, col(key), col(part), ts, extra = extra)
         else w.upsert(df, col(key), col(part), ts, extra = extra)
-        parameters.get("compactEvery").map(_.toInt).foreach { n =>
-          require(n >= 1, "compactEvery must be >= 1")
-          w.compactIf(nextTs(w.timeline), minDeltas = n)
-        }
       }
-    } else {
-      val w = new CowWriter(spark, basePath, nb, statsCols = sc)
-      if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
-      else if (op == "delete")
-        w.delete(df, col(key), col(part), ts, extra = extra)
-      else w.upsert(df, col(key), col(part), ts, extra = extra)
-    }
+    } finally timeline.unreserve(ts)
   }
 }
 
@@ -323,9 +330,10 @@ private[graft] object FormatWriter {
   * never lands twice (the commit log IS the sink's batch log, no
   * `_spark_metadata` sidecar). A DIFFERENT query writing to the same
   * table — fresh checkpoint, batch ids restarting at 0 — is a different
-  * query id and lands normally. Empty micro-batches are skipped entirely
-  * (no empty commits; a replayed empty batch skips again — the `isEmpty`
-  * probe costs one bounded extra execution of the micro-batch plan).
+  * query id and lands normally. Empty micro-batches land no commit and are
+  * detected INSIDE the write itself (the delta write job finds no groups /
+  * the COW path refuses the empty commit) — no pre-probe, so the batch
+  * plan is never executed just to test emptiness.
   *
   * Pairs with the r5 source: `readStream.format("graft")` →
   * `writeStream.format("graft")` tails one table into another with
@@ -381,10 +389,19 @@ private[graft] final class GraftStreamSink(spark: SparkSession,
     // a batch frame so the writer can run ordinary batch jobs over it.
     val batch = org.apache.spark.sql.graft.Bridge
       .sinkBatchDataFrame(spark, data)
-    if (batch.isEmpty) return
-    FormatWriter.append(spark, basePath, parameters, batch,
+    // Empty micro-batches are handled INSIDE the write (no pre-probe — an
+    // `isEmpty` check here would execute the batch plan once more): the MOR
+    // delta path no-ops after its write job finds no groups; the COW path
+    // refuses the empty commit, caught here. Either way no commit lands, so
+    // a replayed empty batch skips again.
+    try FormatWriter.append(spark, basePath, parameters, batch,
       extra = Map(FormatWriter.BatchIdKey -> batchId.toString) ++
         qid.map(FormatWriter.QueryIdKey -> _))
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("empty commit") =>
+        () // empty COW micro-batch: nothing to land
+    }
   }
 
   override def toString: String = s"GraftStreamSink[$basePath]"

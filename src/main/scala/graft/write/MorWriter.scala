@@ -101,6 +101,11 @@ final class MorWriter(
     val written = SliceFiles.write(fs, basePath, deltaRows, ts,
       (fid, t) => s"${fid}_$t.delta.parquet",
       statsCols = MetaCols.RecordKey +: statsCols)
+    // A present-but-EMPTY frame (e.g. an empty streaming micro-batch) wrote
+    // nothing: no-op, no empty deltacommit on the timeline — and the op
+    // counters below are never computed. This is what lets the streaming
+    // sink skip its pre-probe and run the batch plan once.
+    if (written.isEmpty) return
 
     // Exact per-group op counters in ONE snapshot join: a delete/update only
     // counts if its key actually lives in the pre-commit snapshot (ref

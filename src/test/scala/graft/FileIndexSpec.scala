@@ -63,6 +63,44 @@ class FileIndexSpec extends SparkSpec {
       viaParam.exceptAll(viaFilter).isEmpty)
   }
 
+  test("engine-API MOR snapshot: partition filter prunes BOTH merge sides (format parity)") {
+    val dir = freshDir("orders_mor_parity")
+    val mw = new graft.write.MorWriter(spark, dir, numBuckets = 2)
+    mw.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    mw.upsert(orders.filter($"o_orderkey" % 5 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1),
+      col("o_orderkey"), col("o_orderstatus"), Fixtures.C2) // deltas remain
+
+    def plannedVia(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val rels = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if l.relation.isInstanceOf[graft.read.GraftMorRelation] =>
+          l.relation.asInstanceOf[graft.read.GraftMorRelation]
+      }
+      assert(rels.size == 1,
+        "delta-carrying snapshot must be GraftMorRelation-backed")
+      df.count() // execute → the relation records its planned files
+      rels.head.lastPlannedFiles.toSet
+    }
+
+    val api = SnapshotReader.read(spark, dir)
+      .filter(col(MetaCols.PartitionPath) === "F")
+    val apiFiles = plannedVia(api)
+    val fmt = spark.read.format("graft").load(dir)
+      .filter(col(MetaCols.PartitionPath) === "F")
+    val fmtFiles = plannedVia(fmt)
+    assert(apiFiles == fmtFiles,
+      s"engine API planned ${apiFiles.size} files, format ${fmtFiles.size}" +
+        " — the two idioms must plan the SAME metadata-pruned subset")
+    assert(apiFiles.nonEmpty && apiFiles.forall(_.contains("/F/")),
+      s"planned files leaked other partitions: $apiFiles")
+    val allFiles = plannedVia(SnapshotReader.read(spark, dir))
+    assert(apiFiles.size < allFiles.size, "pruning must be a strict subset")
+    // and the filter idiom serves the same rows as the explicit parameter
+    assert(api.count() ==
+      SnapshotReader.read(spark, dir, partitions = Seq("F")).count())
+  }
+
   test("MOR with outstanding deltas: filter == partitions param (merge side unpruned but exact)") {
     val dir = freshDir("orders_prune_mor")
     val w = new graft.write.MorWriter(spark, dir, numBuckets = 2)

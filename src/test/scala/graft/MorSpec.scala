@@ -181,13 +181,21 @@ class MorSpec extends SparkSpec {
     val part = orders.select(partCol).distinct()
       .as[String].collect().sorted.head
     val snap = SnapshotReader.read(spark, base, partitions = Seq(part))
-    val files = snap.inputFiles.toSeq
-    assert(files.nonEmpty)
-    assert(files.forall(_.contains(s"/$part/")),
-      s"scan leaked outside partition $part: $files")
     val expected = expectedAfterC2
       .filter($"o_orderkey" % 11 =!= 5 && partCol === part)
     assert(snap.count() == expected.count())
+    // outstanding deltas → the snapshot is GraftMorRelation-backed (r7
+    // format parity); the relation records the files its scan planned
+    // (inputFiles is hidden by the V1 RDD)
+    val rel = snap.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.read.GraftMorRelation] =>
+        l.relation.asInstanceOf[graft.read.GraftMorRelation]
+    }.head
+    val files = rel.lastPlannedFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains(s"/$part/")),
+      s"scan leaked outside partition $part: $files")
   }
 
   test("incremental over an empty commit range is empty but keeps the schema") {

@@ -240,6 +240,65 @@ class TableTailSpec extends SparkSpec {
       srcPayload.exceptAll(dstPayload).isEmpty)
   }
 
+  test("sink: EMPTY micro-batch lands no commit and adds NO plan execution (no pre-probe)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dst = freshDir("sink_empty_dst")
+    val payloadSchema = StructType(Seq(
+      StructField("k", LongType), StructField("p", StringType)))
+    val seed = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(2L, "b")), 2),
+      payloadSchema)
+    seed.write.format("graft").option("key", "k").option("partition", "p")
+      .option("buckets", "2").option("type", "mor")
+      .option("ts", Fixtures.C1).save(dst)
+    def commits() = graft.format.Timeline(
+      spark.sessionState.newHadoopConf(), dst).completedInstants()
+
+    // an empty frame whose PLAN EXECUTIONS are observable: every run of the
+    // plan evaluates both (empty) partitions, adding 2 to the accumulator
+    val acc = spark.sparkContext.longAccumulator("graft-test-evals")
+    def emptyCounted() = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 2)
+        .mapPartitions { it => acc.add(1); it }, payloadSchema)
+
+    val params = Map("key" -> "k", "partition" -> "p", "type" -> "mor")
+    // baseline: the bare write path on an empty frame — however many times
+    // the WRITER itself executes its input
+    graft.write.FormatWriter.append(spark, dst, params, emptyCounted(),
+      Map.empty)
+    assert(commits().size == 1, "empty append must land no commit")
+    val baseline = acc.value
+
+    // the sink must add NOTHING on top of the bare write (the old isEmpty
+    // pre-probe executed the micro-batch plan once more)
+    acc.reset()
+    val sink = new graft.write.GraftStreamSink(spark, dst, params)
+    sink.addBatch(0L, emptyCounted())
+    assert(commits().size == 1, "empty micro-batch landed a commit")
+    assert(acc.value <= baseline,
+      s"sink executed the batch plan more than the bare write " +
+        s"(${acc.value} vs $baseline partition evaluations): pre-probe is back")
+    // no orphaned ts reservation either (the no-op released its mint)
+    assert(graft.format.Timeline(spark.sessionState.newHadoopConf(), dst)
+      .reservedTss().isEmpty, "no-op writes must release their reserved ts")
+
+    // a NON-empty batch lands exactly one commit carrying its batch id
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(3L, "a")), 1), payloadSchema)
+    sink.addBatch(1L, rows)
+    val after = commits()
+    assert(after.size == 2)
+    val tl = graft.format.Timeline(spark.sessionState.newHadoopConf(), dst)
+    assert(tl.metadata(after.last.ts).extra.get("streaming.batchId")
+      .contains("1"))
+    // a replayed empty batch of an already-landed id skips with ZERO plan
+    // executions (replay gate fires before any job)
+    acc.reset()
+    sink.addBatch(1L, emptyCounted())
+    assert(commits().size == 2 && acc.value == 0)
+  }
+
   test("graft stream source: option(\"from\") tails only commits strictly after it") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = freshDir("tail_from_cow")

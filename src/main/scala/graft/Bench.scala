@@ -29,68 +29,103 @@ object Bench {
     // count() would let Catalyst prune projections and sorts and
     // under-report). A failed query records the sentinel -1.0, never a
     // small elapsed time.
-    def runAll(timed: Boolean): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            if (timed) System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        timed: Boolean): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          if (timed) System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
     // Host-speed calibration: the build VM's multi-core throughput drifts
-    // ~3× between windows (PLANS.md §benchmark-methodology), making raw
-    // totals incomparable across runs. A fixed CPU-bound workload measured
-    // alongside each bench run lets readers normalize: true_cost ≈
-    // raw_time · (spin_par_ref / spin_par_run). spin1 = one xorshift spin on
-    // one thread (single-core speed); spin_par = the same spin on every
-    // worker ("workers" in the output) in parallel via an RDD job (aggregate
-    // throughput under full load — what the queries actually experience).
-    // min-of-2 (before/after the timed passes), like the per-query times.
+    // ~3× between windows (and ±10% WITHIN a run — the r6 artifact's
+    // largest error bar), making raw totals incomparable. A fixed CPU-bound
+    // workload measured alongside the queries lets readers normalize:
+    // true_cost ≈ raw_time · (spin_par_ref / spin_par_run). spin1 = one
+    // xorshift spin on one thread; spin_par = the same spin on every worker
+    // in parallel via an RDD job (aggregate throughput under full load —
+    // what the queries actually experience). r7: shorter spin samples are
+    // INTERLEAVED between query groups during both timed passes, so the
+    // normalization tracks intra-run drift group by group instead of
+    // assuming one speed for the whole run.
     val SpinIters = 400000000L
+    val SampleDiv = 4L // interleaved samples run SpinIters/4, scaled back
     def spin(iters: Long): Long = {
       var x = 0x9E3779B97F4A7C15L
       var i = 0L
       while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
       x
     }
-    def calibrate(): (Double, Double) = {
+    def spinPar(iters: Long): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      spark.sparkContext.parallelize(1 to n, n).map(_ => spin(iters)).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def spin1(): Double = {
       val t0 = System.nanoTime()
       spin(SpinIters)
-      val t1 = (System.nanoTime() - t0) / 1e9
-      val n = cpus.toInt
-      val t2 = System.nanoTime()
-      spark.sparkContext.parallelize(1 to n, n).map(_ => spin(SpinIters))
-        .count()
-      (t1, (System.nanoTime() - t2) / 1e9)
+      (System.nanoTime() - t0) / 1e9
     }
-    runAll(timed = false)
-    val calibA = calibrate()
-    val results = runAll(timed = true).zip(runAll(timed = true)).map {
-      case ((name, a), (_, b)) =>
-        name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    // queries in stable sorted order, chunked into calibration groups
+    val GroupSize = 8
+    val groups = named.grouped(GroupSize).toSeq
+    def sample(): Double = spinPar(SpinIters / SampleDiv) * SampleDiv
+
+    named.foreach { case (n, f) => runOne(n, f, timed = false) } // warmup
+    val spin1A = spin1()
+    val calibA = spinPar(SpinIters)
+    // a timed pass returns per-query times plus the spin sample taken
+    // after each query group
+    def timedPass(): (Seq[(String, Double)], Seq[Double]) = {
+      val times = Seq.newBuilder[(String, Double)]
+      val samples = Seq.newBuilder[Double]
+      groups.foreach { g =>
+        g.foreach { case (n, f) => times += (n -> runOne(n, f, timed = true)) }
+        samples += sample()
+      }
+      (times.result(), samples.result())
     }
-    val calibB = calibrate()
-    val spin1 = math.min(calibA._1, calibB._1)
-    val spinPar = math.min(calibA._2, calibB._2)
+    val (pass1, samples1) = timedPass()
+    val (pass2, samples2) = timedPass()
+    val spin1B = spin1()
+    val calibB = spinPar(SpinIters)
+
+    val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
+      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    }
+    // Per-GROUP normalization: each group's cost scales by the fastest
+    // spin sample observed adjacent to it (before/after, either pass) —
+    // min for the same reason as the per-query min (additive noise).
+    def groupSpin(i: Int): Double = {
+      val p1 = Seq(if (i == 0) calibA else samples1(i - 1), samples1(i))
+      val p2 = Seq(if (i == 0) samples1.last else samples2(i - 1), samples2(i))
+      (p1 ++ p2).min
+    }
+    val SpinParRef = 0.932
+    val byName = results.toMap
+    val totalNorm = groups.zipWithIndex.map { case (g, i) =>
+      val gTotal = g.map(q => byName(q._1)).filter(_ >= 0).sum
+      gTotal * (SpinParRef / groupSpin(i))
+    }.sum
+    val spin1Min = math.min(spin1A, spin1B)
+    val spinParMin = (Seq(calibA, calibB) ++ samples1 ++ samples2).min
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums successful queries; failures stay visible as -1 entries
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    // Host-normalized total, printed ALONGSIDE raw so a single artifact is
-    // interpretable without cross-referencing other runs' calibrations:
-    // normalized = raw · (spin_par_ref / spin_par_run), i.e. the total this
-    // run would have cost on a host at the REFERENCE speed. The reference
-    // constant is the round-4 driver artifact's spin_par (the round where
-    // cross-round comparison started), so normalized totals are directly
-    // comparable across rounds regardless of the ~3× host-speed drift
-    // (PLANS.md §benchmark-methodology).
-    val SpinParRef = 0.932
-    val totalNorm = total * (SpinParRef / spinPar)
-    val calib = s"""{"spin1_sec":$spin1,"spin_par_sec":$spinPar,""" +
+    def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    val calib = s"""{"spin1_sec":$spin1Min,"spin_par_sec":$spinParMin,""" +
       s""""spin_par_ref":$SpinParRef,""" +
+      s""""spin_par_before":$calibA,"spin_par_after":$calibB,""" +
+      s""""spin_par_samples_pass1":${arr(samples1)},""" +
+      s""""spin_par_samples_pass2":${arr(samples2)},""" +
+      s""""group_size":$GroupSize,""" +
       s""""spin_iters":$SpinIters,"workers":$cpus}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_normalized":$totalNorm,"queries":$qs,"sf":"$sfDir","calibration":$calib}""")
     spark.stop()

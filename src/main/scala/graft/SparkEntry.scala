@@ -139,6 +139,18 @@ object SparkEntry {
       payload(SnapshotReader.read(s, dir)
         .filter(col(graft.format.MetaCols.RecordKey) === k.toString))
     }),
+    // q_key_lookup_mor (r7): the same point lookup against the MOR head
+    // state with OUTSTANDING deltas — served by SLICE-level stats skipping
+    // (a whole file group is dropped only when its base AND every delta
+    // prove exclusion; base/delta share fate for merge correctness).
+    "q_key_lookup_mor" -> ((s, d) => {
+      val dir = Fixtures.morDir(s, d)
+      val k = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 11 =!= 5)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      payload(SnapshotReader.read(s, dir)
+        .filter(col(graft.format.MetaCols.RecordKey) === k.toString))
+    }),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -732,6 +744,14 @@ object SparkEntry {
         "o_orderdate, o_orderpriority FROM orders " +
         "WHERE o_orderkey % 7 <> 0 OR o_orderkey % 11 = 5 ORDER BY o_orderkey"),
     "q_key_lookup" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey = " +
+        "(SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5) " +
+        "ORDER BY o_orderkey"),
+    // same oracle row: the MOR head state (C4 delete deltas outstanding)
+    // holds the identical current version of this key
+    "q_key_lookup_mor" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
         "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey = " +

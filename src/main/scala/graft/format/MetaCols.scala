@@ -16,6 +16,11 @@ object MetaCols {
   val all: Seq[String] =
     Seq(CommitTime, CommitSeqno, RecordKey, PartitionPath, FileName)
 
+  /** Standard Hudi delete-marker column carried by MOR delta files (an
+    * implementation detail of delta records — base-commit schemas never
+    * record it; see [[graft.read.SnapshotReader.IsDeleted]]). */
+  val IsDeleted = "_hoodie_is_deleted"
+
   /** The STABLE form every commit records: meta columns first (canonical
     * order), payload columns after (input order), all top-level fields
     * nullable. Writers' internal plans reorder columns (a using-column

@@ -197,8 +197,40 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
               s"${newSince.map(_.ts).max} (already-served time-travel " +
               "snapshots must stay immutable); retry with a fresh ts")
       }
-      saveCommit(ts, meta, action)
+      saveCommit(ts, reUnionSchema(meta, newSince, action), action)
     }
+
+  /** Post-lock schema re-union: this commit's recorded writer schema was
+    * computed BEFORE the lock, from the writer's (possibly stale) timeline
+    * memo — a conflict-FREE concurrent writer that added a different column
+    * would otherwise be erased from the "newest schema is a superset of
+    * every live slice" invariant the readers rely on
+    * ([[latestSchemaJson]]). Inside the lock the since-completed instants
+    * are known exactly: append any of their fields this commit's schema is
+    * missing (this commit's fields keep their order and types — it is the
+    * newest writer; add-only evolution makes same-name/different-type
+    * divergence a caller contract violation, resolved newest-wins). The MOR
+    * delete marker stays delta-only, as in `MorWriter.monotonicSchema`.
+    * Only reached on the disjoint-group append path: create/overwrite
+    * (`conflictOnAny`) has already thrown when anything completed since. */
+  private def reUnionSchema(meta: CommitMetadata, since: Seq[Instant],
+      action: String): CommitMetadata = meta.schemaJson match {
+    case Some(sj) if since.nonEmpty =>
+      def parse(j: String) = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val mine = parse(sj)
+      val mineNames = mine.fieldNames.toSet
+      val missing = since.flatMap(i => metadata(i.ts).schemaJson)
+        .flatMap(parse(_).fields)
+        .filterNot(f => mineNames(f.name) ||
+          (action != Instant.DeltaCommitAction && f.name == MetaCols.IsDeleted))
+        .groupBy(_.name).toSeq.sortBy(_._1)
+        .map(_._2.last.copy(nullable = true))
+      if (missing.isEmpty) meta
+      else meta.copy(schemaJson = Some(MetaCols.canonicalSchema(
+        org.apache.spark.sql.types.StructType(mine.fields ++ missing)).json))
+    case _ => meta
+  }
 
   /** Atomically reserve commit ts `ts` for a writer about to stamp data
     * files with it: a `<ts>.reserved` marker created without overwrite —
@@ -209,13 +241,23 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
   def reserve(ts: String): Boolean = {
     require(ts.nonEmpty && ts.forall(_.isDigit),
       s"commit ts must be numeric (digits only), got '$ts'")
-    if (instantAt(ts).nonEmpty) return false
-    try {
-      fs.mkdirs(hoodieDir)
-      fs.create(new Path(hoodieDir, ts + Timeline.ReservedSuffix),
-        false).close()
-      true
-    } catch { case _: java.io.IOException => false }
+    // Same-JVM serialization (the commit lock): create-without-overwrite is
+    // only atomic on real distributed stores (HDFS create, S3 conditional
+    // put) — the local filesystem's is exists-then-create, so two local
+    // threads could both "win" a ts without this. Multi-DRIVER mints rely
+    // on the storage's atomic create, like the commit rename itself.
+    Timeline.lockFor(fs.makeQualified(basePath).toString).synchronized {
+      if (instantAt(ts).nonEmpty ||
+        Timeline.retryOnce(
+          fs.exists(new Path(hoodieDir, ts + Timeline.ReservedSuffix))))
+        return false
+      try {
+        fs.mkdirs(hoodieDir)
+        fs.create(new Path(hoodieDir, ts + Timeline.ReservedSuffix),
+          false).close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
   }
 
   /** Release a reservation that will not complete (a no-op write — e.g. an

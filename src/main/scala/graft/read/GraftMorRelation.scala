@@ -90,14 +90,39 @@ final class GraftMorRelation(
       // the engine API's explicit `partitions` parameter, pre-applied
       .filter(s => presetPartitions.isEmpty ||
         presetPartitions.contains(s.partitionPath))
-    val slices = GraftMorRelation.partitionValues(filters) match {
+    val partPruned = GraftMorRelation.partitionValues(filters) match {
       case Some(parts) => all.filter(s => parts.contains(s.partitionPath))
       case None => all
     }
+    // SLICE-level column-stats skipping (the MOR analog of the delta-free
+    // FileIndex's per-file skipping): drop a whole file GROUP only when the
+    // base file AND every delta file each PROVE exclusion of the pushed
+    // filters — base and deltas share fate, because if every version of
+    // every row excludes the predicate, so does the merged current version
+    // (updates replace values from an excluded range with values from an
+    // excluded range; delete markers only remove rows). Any file without
+    // usable stats keeps its whole slice (conservative).
+    val statsFilters = filters.toSeq
+      .flatMap(GraftMorRelation.statsPredicate(_, schema))
+    val slices =
+      if (statsFilters.isEmpty) partPruned
+      else {
+        val parsed = timeline.fileColStats(partPruned).view
+          .mapValues(GraftFileIndex.parse(_, schema))
+          .filter(_._2.nonEmpty).toMap
+        if (parsed.isEmpty) partPruned
+        else partPruned.filter { sl =>
+          val names = (sl.relPath.toSeq ++ sl.deltas.map(_.relPath))
+            .map(rp => rp.substring(rp.lastIndexOf('/') + 1))
+          names.isEmpty ||
+            names.exists(n =>
+              GraftFileIndex.mayMatchFile(statsFilters, parsed.get(n)))
+        }
+      }
     lastPlannedFiles = slices.flatMap(s =>
       (s.relPath.toSeq ++ s.deltas.map(_.relPath))
         .map(rp => s"$basePath/$rp"))
-    if (slices.isEmpty) // filters selected no partition: empty, not error
+    if (slices.isEmpty) // filters selected no partition/range: empty, not error
       session.createDataFrame(session.sparkContext.emptyRDD[Row], schema)
     else SnapshotReader.merge(session, basePath, slices, Some(timeline), asOf)
   }
@@ -176,6 +201,53 @@ object GraftMorRelation {
     case AlwaysTrue() => Some(lit(true))
     case AlwaysFalse() => Some(lit(false))
     case _ => None
+  }
+
+  /** Translate a pushed source filter into a Catalyst predicate typed by
+    * the relation schema, for evaluation against recorded per-file column
+    * stats ([[GraftFileIndex.mayMatch]]) — slice-level skipping of MOR
+    * file groups. Only shapes the stats evaluator understands translate;
+    * `None` (and any value-conversion failure) keeps the file. Dropping an
+    * untranslatable AND side is sound (fewer constraints → keep more); an
+    * OR needs both sides. */
+  private[read] def statsPredicate(f: Filter, schema: StructType)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def attrOf(name: String): Option[ce.AttributeReference] =
+      schema.fields.find(_.name == name)
+        .map(fd => ce.AttributeReference(fd.name, fd.dataType)())
+    def cmp(a: String, v: Any)(
+        mk: (ce.Expression, ce.Expression) => ce.Expression)
+        : Option[ce.Expression] =
+      attrOf(a).flatMap(ar =>
+        scala.util.Try(mk(ar, ce.Literal.create(v, ar.dataType))).toOption)
+    f match {
+      case EqualTo(a, v) => cmp(a, v)(ce.EqualTo)
+      case EqualNullSafe(a, v) => cmp(a, v)(ce.EqualNullSafe)
+      case GreaterThan(a, v) => cmp(a, v)(ce.GreaterThan)
+      case GreaterThanOrEqual(a, v) => cmp(a, v)(ce.GreaterThanOrEqual)
+      case LessThan(a, v) => cmp(a, v)(ce.LessThan)
+      case LessThanOrEqual(a, v) => cmp(a, v)(ce.LessThanOrEqual)
+      case In(a, vs) => attrOf(a).flatMap(ar => scala.util.Try(
+        ce.In(ar, vs.toSeq.map(v => ce.Literal.create(v, ar.dataType))))
+        .toOption)
+      case IsNull(a) => attrOf(a).map(ce.IsNull)
+      case IsNotNull(a) => attrOf(a).map(ce.IsNotNull)
+      case StringStartsWith(a, p) => attrOf(a).flatMap(ar =>
+        scala.util.Try(ce.StartsWith(ar,
+          ce.Literal.create(p, org.apache.spark.sql.types.StringType)))
+          .toOption)
+      case And(l, r) =>
+        (statsPredicate(l, schema), statsPredicate(r, schema)) match {
+          case (Some(x), Some(y)) => Some(ce.And(x, y))
+          case (x, y) => x.orElse(y)
+        }
+      case Or(l, r) => for {
+        x <- statsPredicate(l, schema)
+        y <- statsPredicate(r, schema)
+      } yield ce.Or(x, y)
+      case _ => None
+    }
   }
 
   /** Partition paths provably REQUIRED by the pushed filter set, for

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object SnapshotReader {
 
   /** Standard Hudi delete-marker column carried by MOR delta files. */
-  val IsDeleted = "_hoodie_is_deleted"
+  val IsDeleted: String = MetaCols.IsDeleted
 
   /** Decode a recorded writer-schema JSON to the READER-facing table
     * schema: the struct minus the MOR delete marker (an implementation

@@ -80,6 +80,11 @@ final class GraftTable(spark: SparkSession, basePath: String) {
   /** Reclaim storage unreachable by the newest `retainCommits` snapshots. */
   def clean(retainCommits: Int): Seq[String] =
     graft.write.TableMaintenance.clean(spark, basePath, retainCommits)
+
+  /** Delete data files no commit references (failed/conflicted write
+    * attempts' debris) older than `olderThanMs`. */
+  def sweepOrphans(olderThanMs: Long = 60L * 60 * 1000): Seq[String] =
+    graft.write.TableMaintenance.sweepOrphans(spark, basePath, olderThanMs)
 }
 
 object GraftTable {

@@ -48,7 +48,13 @@ private[write] object SliceFiles {
       fileName: (String, String) => String,
       statsCols: Seq[String] = Seq.empty)
       : Map[(String, String), Written] = {
-    val tmp = new Path(basePath, s".tmp_$ts")
+    // Unique per ATTEMPT, not just per ts: concurrent writers that raced to
+    // the same ts (possible across drivers on stores without atomic
+    // create-no-overwrite) must never stage into each other's directory —
+    // the loser's commit is refused later by the OCC ordering guard, but
+    // its staging must not corrupt the winner's.
+    val tmp = new Path(basePath,
+      s".tmp_${ts}_${java.util.UUID.randomUUID().toString.take(8)}")
     fs.delete(tmp, true)
 
     val withDirs = data

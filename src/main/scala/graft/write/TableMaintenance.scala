@@ -64,4 +64,71 @@ object TableMaintenance {
     doomed.foreach(rel => fs.delete(new Path(s"$basePath/$rel"), false))
     doomed
   }
+
+  /** Sweep ORPHANED data files: parquet files under the table's partition
+    * directories that NO commit on the timeline references — the debris of
+    * failed or OCC-conflicted write attempts (a loser's already-written
+    * files are never recorded by any commit, so [[clean]] — which walks
+    * commit metadata — can never reclaim them; this is the storage-listing
+    * complement, Hudi's marker-based rollback analog).
+    *
+    * Safety: a file is swept only if (a) its name's embedded commit ts is
+    * not currently RESERVED on the timeline (an in-flight writer holds a
+    * `<ts>.reserved` marker while its data job runs — its files are not
+    * orphans yet), and (b) it is older than `olderThanMs` (belt-and-braces
+    * for writers outside the reservation protocol). Metadata dirs
+    * (`.hoodie/`, the `.delete/` view cache) are never touched.
+    *
+    * Cost: one recursive storage listing (O(#files), driver-side — a
+    * maintenance job, not a query path) plus the usual O(#commits)
+    * metadata walk. Returns the deleted table-relative paths. */
+  def sweepOrphans(spark: SparkSession, basePath: String,
+      olderThanMs: Long = 60L * 60 * 1000): Seq[String] = {
+    val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val fs = tl.fs
+    val base = fs.makeQualified(new Path(basePath))
+    if (!fs.exists(base)) return Seq.empty
+    val referenced: Set[String] = tl.completedInstants()
+      .flatMap(i => tl.metadata(i.ts).allStats.flatMap(_._2.path)).toSet
+    val reserved = tl.reservedTss().toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val prefix = base.toString + "/"
+    // Dot-directories are never descended: `.hoodie` and the `.delete`
+    // cache are live metadata, and a `.tmp_*` staging dir may belong to an
+    // IN-FLIGHT writer mid-job (stale ones are reclaimed whole, below).
+    def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name.startsWith(".")) Seq.empty
+          else walk(st.getPath)
+        } else if (name.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      }
+    // `<fileId>_<ts>[.delta].parquet` → the commit ts the writer stamped
+    def tsOf(name: String): String = {
+      val stem = name.stripSuffix(".parquet").stripSuffix(".delta")
+      stem.substring(stem.lastIndexOf('_') + 1)
+    }
+    val doomed = walk(base)
+      .filter { st =>
+        val rel = st.getPath.toString.stripPrefix(prefix)
+        !referenced.contains(rel) && !reserved.contains(tsOf(st.getPath.getName)) &&
+          st.getModificationTime < cutoff
+      }
+      .map(_.getPath.toString.stripPrefix(prefix)).sorted
+    doomed.foreach(rel => fs.delete(new Path(s"$basePath/$rel"), false))
+    // Stale staging dirs (`.tmp_<ts>_<attempt>`) from crashed writers:
+    // reclaimed whole once their ts is neither reserved (writer gone) nor
+    // needed (a completed commit's staging was already deleted by the
+    // writer) and the dir has aged past the cutoff.
+    val staleTmp = fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".tmp_") &&
+        st.getModificationTime < cutoff &&
+        !reserved.contains(
+          st.getPath.getName.stripPrefix(".tmp_").takeWhile(_.isDigit)))
+      .map(_.getPath)
+    staleTmp.foreach(p => fs.delete(p, true))
+    doomed ++ staleTmp.map(_.getName)
+  }
 }

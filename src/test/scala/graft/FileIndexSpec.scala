@@ -589,4 +589,63 @@ class FileIndexSpec extends SparkSpec {
     val one = snap3.filter(col(MetaCols.RecordKey) === "1")
     assert(one.count() == 1 && plannedFiles(one) == 1)
   }
+
+  test("column-stats index: MOR slice-level skipping — base and deltas share fate") {
+    val dir = freshDir("colstats_mor_slice")
+    val mw = new graft.write.MorWriter(spark, dir, numBuckets = 4,
+      statsCols = Seq("o_totalprice"))
+    mw.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    // outstanding deltas on the %5 keys' groups → snapshot plans the
+    // GraftMorRelation, where skipping is per-SLICE, not per-file
+    mw.upsert(orders.filter($"o_orderkey" % 5 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1),
+      col("o_orderkey"), col("o_orderstatus"), Fixtures.C2)
+
+    val df = SnapshotReader.read(spark, dir)
+    def rel = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.collectFirst { case r: graft.read.GraftMorRelation => r }.get
+
+    df.count() // unfiltered planning: every slice's files
+    val allFiles = rel.lastPlannedFiles
+    assert(allFiles.exists(_.contains(".delta.")), "need outstanding deltas")
+
+    // key point lookup: every other group's base AND deltas exclude the
+    // key, so only ONE file group survives planning
+    val k = orders.agg(min($"o_orderkey")).as[Long].head()
+    val lookup = df.filter(col(MetaCols.RecordKey) === k.toString)
+    assert(lookup.count() == 1)
+    val planned = rel.lastPlannedFiles
+    assert(planned.nonEmpty && planned.size < allFiles.size,
+      s"slice skipping planned ${planned.size}/${allFiles.size} files")
+    val fids = planned.map(_.split('/').last.takeWhile(_ != '_'))
+    assert(fids.distinct.size == 1,
+      s"lookup must plan one file GROUP, planned $planned")
+
+    // impossible range on the tracked hot column: zero groups, empty result
+    val none = df.filter($"o_totalprice" > 1e15)
+    assert(none.count() == 0)
+    assert(rel.lastPlannedFiles.isEmpty, "impossible range must plan no slice")
+
+    // share-fate conservatism: a delta WIDENS its group's range past the
+    // base's — the group must stay planned when only the delta can match
+    mw.upsert(orders.filter($"o_orderkey" === k)
+        .withColumn("o_totalprice", lit(9e9)),
+      col("o_orderkey"), col("o_orderstatus"), Fixtures.C3)
+    val df3 = SnapshotReader.read(spark, dir) // fresh relation: new timeline
+    val hot = df3.filter($"o_totalprice" === 9e9)
+    assert(hot.count() == 1, "delta-side match must not be skipped away")
+
+    // correctness under skipping: a moderate tracked-column filter returns
+    // exactly the in-memory oracle's rows
+    val expected = orders
+      .withColumn("o_totalprice",
+        when($"o_orderkey" === k, lit(9e9))
+          .when($"o_orderkey" % 5 === 0, $"o_totalprice" + 1)
+          .otherwise($"o_totalprice"))
+    val cut = orders.agg(avg($"o_totalprice")).head().getDouble(0)
+    assert(df3.filter($"o_totalprice" < cut).count() ==
+      expected.filter($"o_totalprice" < cut).count())
+  }
 }

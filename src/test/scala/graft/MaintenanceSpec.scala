@@ -12,6 +12,7 @@ class MaintenanceSpec extends SparkSpec {
   private val C1 = Fixtures.C1
   private val C2 = Fixtures.C2
   private val C3 = Fixtures.C3
+  private val C4 = Fixtures.C4
 
   private lazy val orders =
     spark.read.parquet(s"$sf0001/orders.parquet").limit(400)
@@ -227,5 +228,114 @@ class MaintenanceSpec extends SparkSpec {
     assert(snap.count() == orders.count())
     assert(snap.filter($"o_orderstatus".isin(parts: _*) &&
       !($"o_totalprice" > 7)).count() == 0, "every partition's bump landed")
+  }
+
+  test("OCC: disjoint writers adding DIFFERENT columns both survive in the schema") {
+    val dir = freshDir("occ_schema_evo")
+    val wA = new CowWriter(spark, dir, numBuckets = 2)
+    wA.insert(orders, col("o_orderkey"), col("o_orderstatus"), C1)
+
+    val wB = new CowWriter(spark, dir, numBuckets = 2)
+    wB.timeline.completedInstants() // pin B's read point (and schema memo) at C1
+    // A lands first, adding col_a on partition F only
+    wA.upsert(orders.filter($"o_orderstatus" === "F")
+        .withColumn("col_a", lit(1L)),
+      col("o_orderkey"), col("o_orderstatus"), C2)
+    // B's pre-lock schema union was computed from its STALE memo (no
+    // col_a); the post-lock re-union must restore it, or readers lose the
+    // "newest schema is a superset of every live slice" invariant
+    wB.upsert(orders.filter($"o_orderstatus" === "O")
+        .withColumn("col_b", lit(2L)),
+      col("o_orderkey"), col("o_orderstatus"), C3)
+
+    val tl = Timeline(spark.sessionState.newHadoopConf(), dir)
+    val recorded = org.apache.spark.sql.types.DataType
+      .fromJson(tl.latestSchemaJson(None).get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(recorded.contains("col_a") && recorded.contains("col_b"),
+      s"newest recorded schema lost a concurrent column: $recorded")
+
+    val snap = SnapshotReader.read(spark, dir)
+    assert(snap.columns.contains("col_a") && snap.columns.contains("col_b"))
+    assert(snap.filter($"o_orderstatus" === "F" && $"col_a" === 1L).count() ==
+      orders.filter($"o_orderstatus" === "F").count())
+    assert(snap.filter($"o_orderstatus" === "O" && $"col_b" === 2L).count() ==
+      orders.filter($"o_orderstatus" === "O").count())
+    // untouched partitions read both columns as null
+    assert(snap.filter($"o_orderstatus" === "P" &&
+      ($"col_a".isNotNull || $"col_b".isNotNull)).count() == 0)
+  }
+
+  test("OCC schema re-union on the MOR delta path keeps both concurrent columns") {
+    val dir = freshDir("occ_schema_evo_mor")
+    val wA = new graft.write.MorWriter(spark, dir, numBuckets = 2)
+    wA.insert(orders, col("o_orderkey"), col("o_orderstatus"), C1)
+
+    val wB = new graft.write.MorWriter(spark, dir, numBuckets = 2)
+    wB.timeline.completedInstants() // stale read point at C1
+    wA.upsert(orders.filter($"o_orderstatus" === "F")
+        .withColumn("col_a", lit(1L)),
+      col("o_orderkey"), col("o_orderstatus"), C2)
+    wB.upsert(orders.filter($"o_orderstatus" === "O")
+        .withColumn("col_b", lit(2L)),
+      col("o_orderkey"), col("o_orderstatus"), C3)
+
+    val snap = SnapshotReader.read(spark, dir)
+    assert(snap.columns.contains("col_a") && snap.columns.contains("col_b"),
+      s"merged MOR snapshot lost a concurrent column: ${snap.columns.toSeq}")
+    assert(snap.filter($"col_a" === 1L).count() ==
+      orders.filter($"o_orderstatus" === "F").count())
+    assert(snap.filter($"col_b" === 2L).count() ==
+      orders.filter($"o_orderstatus" === "O").count())
+    // the delete marker stays a delta-file implementation detail
+    assert(!snap.columns.contains(SnapshotReader.IsDeleted))
+  }
+
+  test("sweepOrphans reclaims an OCC loser's files; referenced and reserved-ts files survive") {
+    val dir = freshDir("orphan_sweep")
+    val wA = new CowWriter(spark, dir, numBuckets = 2)
+    wA.insert(orders, col("o_orderkey"), col("o_orderstatus"), C1)
+
+    val wB = new CowWriter(spark, dir, numBuckets = 2)
+    wB.timeline.completedInstants() // pin B's read point at C1
+    val rows = orders.filter($"o_orderstatus" === "F").limit(20)
+    wA.upsert(rows.withColumn("o_totalprice", lit(1.0)),
+      col("o_orderkey"), col("o_orderstatus"), C2)
+    // B loses the race AFTER writing its data files: they are on disk,
+    // referenced by no commit — invisible to clean(), reclaimed only here
+    intercept[CommitConflictException] {
+      wB.upsert(rows.withColumn("o_totalprice", lit(2.0)),
+        col("o_orderkey"), col("o_orderstatus"), C3)
+    }
+    val tl = Timeline(spark.sessionState.newHadoopConf(), dir)
+    val fs = tl.fs
+    def filesStamped(ts: String): Int = {
+      var n = 0
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      while (it.hasNext) if (it.next().getPath.getName.contains(s"_$ts"))
+        n += 1
+      n
+    }
+    assert(filesStamped(C3) > 0, "expected the loser's files on disk")
+
+    val swept = TableMaintenance.sweepOrphans(spark, dir, olderThanMs = 0)
+    assert(swept.nonEmpty && swept.forall(_.contains(s"_$C3")),
+      s"sweep must reclaim exactly the loser's files, got $swept")
+    assert(filesStamped(C3) == 0)
+    // nothing referenced was touched; the table still serves
+    assert(SnapshotReader.read(spark, dir).count() == orders.count())
+    assert(TableMaintenance.sweepOrphans(spark, dir, 0).isEmpty)
+
+    // a file stamped with a currently-RESERVED ts is an in-flight writer's,
+    // not an orphan — protected even at age 0
+    assert(tl.reserve(C4))
+    val inflight = new org.apache.hadoop.fs.Path(s"$dir/F/F-0_$C4.parquet")
+    fs.create(inflight, true).close()
+    assert(TableMaintenance.sweepOrphans(spark, dir, 0).isEmpty,
+      "a reserved ts's files must survive the sweep")
+    // once the reservation is released without a commit, it IS an orphan
+    tl.unreserve(C4)
+    assert(TableMaintenance.sweepOrphans(spark, dir, 0) ==
+      Seq(s"F/F-0_$C4.parquet"))
   }
 }

@@ -139,6 +139,21 @@ object SparkEntry {
       payload(SnapshotReader.read(s, dir)
         .filter(col(graft.format.MetaCols.RecordKey) === k.toString))
     }),
+    // q_key_lookup_in (r7 tail): multi-key IN-list lookup served by the
+    // BUCKET index — pmod(xxhash64(key), buckets) names each key's one
+    // candidate file group per partition, exact at any key density (dense
+    // keys defeat min/max range skipping: every hash bucket's range spans
+    // the key space). Plan-asserted in BucketPruningSpec.
+    "q_key_lookup_in" -> ((s, d) => {
+      val dir = Fixtures.cowDir(s, d)
+      val ks = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 11 =!= 5)
+        .orderBy(col("o_orderkey")).limit(3)
+        .select(col("o_orderkey").cast("string"))
+        .collect().map(_.getString(0)).toSeq
+      payload(SnapshotReader.read(s, dir)
+        .filter(col(graft.format.MetaCols.RecordKey).isin(ks: _*)))
+    }),
     // q_key_lookup_mor (r7): the same point lookup against the MOR head
     // state with OUTSTANDING deltas — served by SLICE-level stats skipping
     // (a whole file group is dropped only when its base AND every delta
@@ -748,6 +763,12 @@ object SparkEntry {
         "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
         "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey = " +
         "(SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5) " +
+        "ORDER BY o_orderkey"),
+    "q_key_lookup_in" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey LIMIT 3) " +
         "ORDER BY o_orderkey"),
     // same oracle row: the MOR head state (C4 delete deltas outstanding)
     // holds the identical current version of this key

@@ -302,6 +302,18 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
         s"table's commit-ts width ${first.ts.length} (e.g. '${first.ts}')"))
   }
 
+  /** Newest commit-extra value for `key` recorded at or before `asOf` —
+    * table properties (bucket count, type, identity columns) are recorded
+    * at CREATION and at every OVERWRITE (a re-creation point), so the
+    * newest carrier ≤ `asOf` is the property era every slice of that
+    * snapshot was written under. Metadata-scale walk over memoized commit
+    * decodes; stops at the first carrier. */
+  def recordedExtraAsOf(key: String, asOf: Option[String]): Option[String] =
+    completedInstants().reverseIterator
+      .filter(i => asOf.forall(i.ts <= _))
+      .map(i => metadata(i.ts).extra.get(key))
+      .collectFirst { case Some(v) => v }
+
   /** Writer schema (StructType JSON) of the NEWEST completed instant ≤
     * `asOf` (optionally restricted to one action) that recorded one — O(1)
     * metadata resolution of the table schema: under add-only evolution the

@@ -45,17 +45,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * list (one `getFileStatus` per planned file, driver metadata-scale, no
   * footer reads — the table schema comes from commit metadata).
   *
+  * Bucket-index pruning (the Hudi bucket-index analog): the writers route
+  * each record to file group `<part>-<pmod(xxhash64(key), buckets)>` with
+  * the bucket count PINNED in commit metadata at table creation, so a
+  * pushed `_hoodie_record_key = k` (or IN-list) predicate identifies
+  * exactly ONE candidate bucket per partition — the same hash that routed
+  * the key on write locates it on read. Unlike min/max skipping this stays
+  * exact at ANY key density: once keys are dense every hash bucket's
+  * [min,max] spans the whole key space and range stats prune nothing,
+  * while the bucket check still plans one file per partition.
+  *
   * @param fileStats recorded column stats keyed by FILE NAME then column
   *                  name (from [[graft.format.Timeline.fileColStats]]);
   *                  empty disables skipping.
   * @param dataSchema types for parsing the stats' string-rendered min/max
   *                   back to comparable values.
+  * @param buckets   the table's pinned bucket count (from commit metadata,
+  *                  resolved as-of the snapshot's instant); None disables
+  *                  bucket pruning (tables created before bucket recording).
   */
 final class GraftFileIndex(
     override val rootPaths: Seq[Path],
     partFiles: Seq[(String, Seq[FileStatus])],
     dataSchema: StructType = new StructType(),
-    fileStats: Map[String, Map[String, ColStat]] = Map.empty)
+    fileStats: Map[String, Map[String, ColStat]] = Map.empty,
+    buckets: Option[Int] = None)
   extends FileIndex {
 
   override val partitionSchema: StructType = GraftFileIndex.PartitionSchema
@@ -94,7 +108,7 @@ final class GraftFileIndex(
         bound.eval(InternalRow(UTF8String.fromString(part)))
       }
     }
-    val skipped =
+    val statsSkipped =
       if (dataFilters.isEmpty || parsedStats.isEmpty) selected
       else selected
         .map { case (part, files) =>
@@ -102,6 +116,23 @@ final class GraftFileIndex(
             dataFilters, parsedStats.get(f.getPath.getName)))
         }
         .filter(_._2.nonEmpty)
+    // Bucket-index pruning, AND-composed with stats skipping (each is
+    // independently conservative). A file whose name doesn't parse to a
+    // bucket < the pinned count is kept (pre-bucketing layouts, null-key
+    // groups).
+    val skipped = buckets match {
+      case Some(n) if dataFilters.nonEmpty && n > 0 =>
+        statsSkipped
+          .map { case (part, files) =>
+            part -> files.filter { f =>
+              GraftFileIndex.bucketOfFileName(f.getPath.getName, n).forall(
+                b => dataFilters.forall(
+                  GraftFileIndex.mayMatchBucket(_, b, n)))
+            }
+          }
+          .filter(_._2.nonEmpty)
+      case _ => statsSkipped
+    }
     skipped.map { case (part, files) =>
       PartitionDirectory(InternalRow(UTF8String.fromString(part)),
         files.toArray)
@@ -272,6 +303,71 @@ object GraftFileIndex {
     }
   }
 
+  /** The write-side bucket of a record key: `pmod(xxhash64(key), n)` —
+    * computed through the SAME Catalyst hash the writers' `fileIdCol`
+    * evaluates ([[graft.write.CowWriter]]), so driver-side routing is
+    * bit-identical to the distributed write (identity pinned in
+    * BucketPruningSpec). */
+  private[graft] def keyBucket(key: UTF8String, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(key, StringType, 42L)
+    (((h % n) + n) % n).toInt
+  }
+
+  /** The bucket encoded in a slice file name
+    * `<partition>-<bucket>_<ts>[.delta].parquet`; None (→ no pruning for
+    * the file) when the name doesn't parse or the bucket is outside the
+    * pinned count. */
+  private[graft] def bucketOfFileName(name: String, n: Int): Option[Int] = {
+    val stem = name.stripSuffix(".parquet").stripSuffix(".delta")
+    val us = stem.lastIndexOf('_')
+    if (us <= 0) None else bucketOfFileId(stem.substring(0, us), n)
+  }
+
+  /** The bucket suffix of a file-group id `<partition>-<bucket>`. */
+  private[graft] def bucketOfFileId(fid: String, n: Int): Option[Int] = {
+    val dash = fid.lastIndexOf('-')
+    if (dash < 0) None
+    else fid.substring(dash + 1).toIntOption.filter(b => b >= 0 && b < n)
+  }
+
+  /** Can any row of a file in bucket `fileBucket` (of `n`) match this
+    * predicate? Conservative: only key-equality shapes restrict —
+    * a `_hoodie_record_key = k` conjunct restricts to `keyBucket(k, n)`,
+    * IN-lists to the union of their literals' buckets; every other shape
+    * (ranges, other columns, NOT, null literals) returns true. Sound
+    * because the writers route EVERY version of a key — inserts, updates,
+    * MOR delete markers — to the same bucket. */
+  private[read] def mayMatchBucket(e: Expression, fileBucket: Int,
+      n: Int): Boolean = {
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    def isKey(a: Attribute): Boolean = resolver(a.name, MetaCols.RecordKey)
+    def eqKey(v: Any): Boolean = v match {
+      case s: UTF8String => keyBucket(s, n) == fileBucket
+      case _ => true // null literal / non-string: no bucket evidence
+    }
+    e match {
+      case And(l, r) =>
+        mayMatchBucket(l, fileBucket, n) && mayMatchBucket(r, fileBucket, n)
+      case Or(l, r) =>
+        mayMatchBucket(l, fileBucket, n) || mayMatchBucket(r, fileBucket, n)
+      case EqualTo(a: Attribute, Literal(v, StringType)) if isKey(a) =>
+        eqKey(v)
+      case EqualTo(Literal(v, StringType), a: Attribute) if isKey(a) =>
+        eqKey(v)
+      case EqualNullSafe(a: Attribute, Literal(v, StringType))
+          if isKey(a) && v != null => eqKey(v)
+      case EqualNullSafe(Literal(v, StringType), a: Attribute)
+          if isKey(a) && v != null => eqKey(v)
+      case In(a: Attribute, list)
+          if isKey(a) && list.forall(_.isInstanceOf[Literal]) =>
+        list.exists { case Literal(v, _) => eqKey(v) }
+      case InSet(a: Attribute, hset) if isKey(a) =>
+        hset.exists(eqKey)
+      case _ => true
+    }
+  }
+
   /** Mount a pruning parquet relation over concrete slice files.
     *
     * @param fullSchema the table schema (commit-metadata-resolved — MUST
@@ -287,10 +383,11 @@ object GraftFileIndex {
   def scan(spark: SparkSession, basePath: String,
       partFiles: Seq[(String, Seq[String])],
       fullSchema: StructType,
-      fileStats: Map[String, Map[String, ColStat]] = Map.empty): DataFrame = {
+      fileStats: Map[String, Map[String, ColStat]] = Map.empty,
+      buckets: Option[Int] = None): DataFrame = {
     val df = Bridge.ofRows(spark,
       LogicalRelation(relation(spark, basePath, partFiles, fullSchema,
-        fileStats)))
+        fileStats, buckets)))
     // restore the canonical column order (partition cols mount at the end)
     df.select(fullSchema.fieldNames.map(org.apache.spark.sql.functions.col)
       .toIndexedSeq: _*)
@@ -302,7 +399,8 @@ object GraftFileIndex {
   def relation(spark: SparkSession, basePath: String,
       partFiles: Seq[(String, Seq[String])],
       fullSchema: StructType,
-      fileStats: Map[String, Map[String, ColStat]] = Map.empty)
+      fileStats: Map[String, Map[String, ColStat]] = Map.empty,
+      buckets: Option[Int] = None)
       : HadoopFsRelation = {
     require(fullSchema.fieldNames.contains(MetaCols.PartitionPath),
       s"table schema must carry ${MetaCols.PartitionPath}")
@@ -315,7 +413,7 @@ object GraftFileIndex {
       fullSchema.filterNot(_.name == MetaCols.PartitionPath))
     HadoopFsRelation(
       location = new GraftFileIndex(Seq(new Path(basePath)), statuses,
-        dataSchema, fileStats),
+        dataSchema, fileStats, buckets),
       partitionSchema = PartitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,

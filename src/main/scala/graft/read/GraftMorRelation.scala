@@ -104,7 +104,7 @@ final class GraftMorRelation(
     // usable stats keeps its whole slice (conservative).
     val statsFilters = filters.toSeq
       .flatMap(GraftMorRelation.statsPredicate(_, schema))
-    val slices =
+    val statsPruned =
       if (statsFilters.isEmpty) partPruned
       else {
         val parsed = timeline.fileColStats(partPruned).view
@@ -119,6 +119,20 @@ final class GraftMorRelation(
               GraftFileIndex.mayMatchFile(statsFilters, parsed.get(n)))
         }
       }
+    // Bucket-index pruning at the file-GROUP level: every version of a key
+    // — base row, delta upsert, delete marker — is routed to the group
+    // whose bucket the pinned-count hash names, so a key-equality filter
+    // keeps exactly that group per partition. Sound under the same
+    // share-fate argument as slice stats skipping; exact at any key
+    // density (where dense keys defeat min/max ranges).
+    val slices = SnapshotReader.recordedBuckets(timeline, asOf) match {
+      case Some(n) if statsFilters.nonEmpty && n > 0 =>
+        statsPruned.filter { sl =>
+          GraftFileIndex.bucketOfFileId(sl.fileId, n).forall(b =>
+            statsFilters.forall(GraftFileIndex.mayMatchBucket(_, b, n)))
+        }
+      case _ => statsPruned
+    }
     lastPlannedFiles = slices.flatMap(s =>
       (s.relPath.toSeq ++ s.deltas.map(_.relPath))
         .map(rp => s"$basePath/$rp"))

@@ -136,6 +136,16 @@ object SnapshotReader {
         schema.filterNot(_.name == IsDeleted)))
   }
 
+  /** The table's pinned bucket count as of `asOf` — an overwrite may
+    * re-declare the count, but it also supersedes every older slice, so
+    * the newest recording ≤ `asOf` governs exactly the slices a snapshot
+    * at `asOf` can list. None (→ no bucket pruning) for tables created
+    * before bucket recording. */
+  private[graft] def recordedBuckets(tl: Timeline,
+      asOf: Option[String]): Option[Int] =
+    tl.recordedExtraAsOf(graft.write.FormatWriter.BucketsKey, asOf)
+      .flatMap(_.toIntOption)
+
   /** Merge a concrete set of file slices into their current-state rows.
     *
     * Schema resolution is O(1) timeline metadata when the commits recorded
@@ -178,7 +188,10 @@ object SnapshotReader {
             // column-stats skipping index: metadata-recorded per-file
             // min/max ranges let pushed data filters drop files at
             // listing time
-            fileStats = tl.fileColStats(baseOnly)))
+            fileStats = tl.fileColStats(baseOnly),
+            // bucket-index pruning: the pinned count of the era every
+            // planned slice was written under (creation/overwrite ≤ asOf)
+            buckets = recordedBuckets(tl, asOf)))
         case None => Some(evolvedRead(spark, basePaths))
       }
 

@@ -140,7 +140,8 @@ final class GraftSourceProvider extends StreamSourceProvider
         .getOrElse(SnapshotReader.evolvedRead(spark,
           partFiles.flatMap(_._2)).schema)
       GraftFileIndex.relation(spark, basePath, partFiles, schema,
-        fileStats = timeline.fileColStats(slices))
+        fileStats = timeline.fileColStats(slices),
+        buckets = SnapshotReader.recordedBuckets(timeline, asOf))
     } else {
       // Outstanding deltas: the merged snapshot's schema is the table
       // schema minus the delta-side delete marker — REORDERED to the same

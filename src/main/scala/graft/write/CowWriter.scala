@@ -87,9 +87,18 @@ final class CowWriter(
         numInserts = w.rows, colStats = w.colStats)
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
-      schema = data.drop(FidCol).schema, extra = extra,
+      schema = data.drop(FidCol).schema, extra = withBuckets(extra),
       readPoint = None, conflictOnAny = true)
   }
+
+  /** Every table-creating commit records the bucket count (caller-supplied
+    * extra wins — the format surface records the same resolved value): it
+    * pins the key→file-group routing for later appends AND enables exact
+    * bucket-index pruning of key lookups at read time
+    * ([[graft.read.GraftFileIndex]] — the hash that routes a key on write
+    * identifies its one candidate file group per partition on read). */
+  private def withBuckets(extra: Map[String, String]): Map[String, String] =
+    Map(FormatWriter.BucketsKey -> numBuckets.toString) ++ extra
 
   /** Upsert + delete in one commit (COW: affected file groups are fully
     * rewritten as new slices).
@@ -250,7 +259,7 @@ final class CowWriter(
     // conflictOnAny: a concurrent commit's file group would survive the
     // replace and resurrect rows the overwrite never saw
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT_OVERWRITE_TABLE",
-      schema = data.drop(FidCol).schema, extra = extra,
+      schema = data.drop(FidCol).schema, extra = withBuckets(extra),
       readPoint = readPoint, conflictOnAny = true)
   }
 

@@ -115,9 +115,7 @@ private[graft] object FormatWriter {
     * per Timeline; stops at the first carrier. */
   private[graft] def recordedExtra(timeline: Timeline,
       key: String): Option[String] =
-    timeline.completedInstants().reverseIterator
-      .map(i => timeline.metadata(i.ts).extra.get(key))
-      .collectFirst { case Some(v) => v }
+    timeline.recordedExtraAsOf(key, None)
 
   /** Bucket count: explicit option, else the count recorded at table
     * creation (or the newest overwrite), else (for a NEW table only) 8. An

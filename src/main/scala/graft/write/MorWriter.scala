@@ -72,7 +72,8 @@ final class MorWriter(
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
       action = Instant.CommitAction, schema = data.drop(FidCol).schema,
-      extra = extra, readPoint = None, conflictOnAny = true)
+      extra = Map(FormatWriter.BucketsKey -> numBuckets.toString) ++ extra,
+      readPoint = None, conflictOnAny = true)
   }
 
   /** MOR delta commit: append upserts + delete markers as delta files —

@@ -213,24 +213,44 @@ class FileIndexSpec extends SparkSpec {
     assert(df.filter(col(MetaCols.PartitionPath) === "NOPE").count() == 0)
   }
 
-  test("format append to a table with no recorded bucket count requires explicit buckets") {
+  test("format append resolves raw writers' recorded bucket count; refuses unrecorded") {
     val dir = freshDir("orders_format_rawtable")
-    val w = new CowWriter(spark, dir, numBuckets = 2) // raw writer: no record
+    // raw writers now RECORD their bucket count at creation (r7 tail), so
+    // the format surface interoperates without re-declaring it
+    val w = new CowWriter(spark, dir, numBuckets = 2)
     w.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
     val upd = orders.limit(10)
       .withColumn("o_totalprice", $"o_totalprice" + 1)
-    def append(df: org.apache.spark.sql.DataFrame) = df.write.format("graft")
-      .option("key", "o_orderkey").option("partition", "o_orderstatus")
-      .option("ts", Fixtures.C2).mode("append")
-    // guessing a bucket count would re-bucket keys across file groups and
-    // strand old row versions (silent duplicate keys) — must refuse
-    val err = intercept[IllegalArgumentException](append(upd).save(dir))
-    assert(err.getMessage.contains("no recorded bucket count"))
-    // the writer's true count, passed explicitly, goes through
-    append(upd).option("buckets", "2").save(dir)
+    def append(df: org.apache.spark.sql.DataFrame, ts: String) =
+      df.write.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+        .option("ts", ts).mode("append")
+    // a CONTRADICTING explicit count would re-bucket keys across file
+    // groups and strand old row versions (silent duplicate keys) — refused
+    val err = intercept[IllegalArgumentException](
+      append(upd, Fixtures.C2).option("buckets", "4").save(dir))
+    assert(err.getMessage.contains("contradicts"))
+    // option-less append resolves the recorded count
+    append(upd, Fixtures.C2).save(dir)
     val snap = spark.read.format("graft").load(dir)
     assert(snap.count() == orders.count(),
-      "matching-bucket append must not duplicate keys")
+      "recorded-bucket append must not duplicate keys")
+
+    // a PRE-recording table (bucket extra stripped): guessing would be
+    // unsafe — must refuse without an explicit option
+    val tl = graft.format.Timeline(spark.sessionState.newHadoopConf(), dir)
+    Seq(Fixtures.C1, Fixtures.C2).foreach { ts =>
+      val meta = tl.metadata(ts)
+      tl.deleteCommit(ts)
+      tl.saveCommit(ts, meta.copy(extra = meta.extra - "buckets"))
+    }
+    tl.refresh()
+    val err2 = intercept[IllegalArgumentException](
+      append(upd, Fixtures.C3).save(dir))
+    assert(err2.getMessage.contains("no recorded bucket count"))
+    // the writer's true count, passed explicitly, goes through
+    append(upd, Fixtures.C3).option("buckets", "2").save(dir)
+    assert(spark.read.format("graft").load(dir).count() == orders.count())
   }
 
   test("format read of a fully-EMPTIED table is zero rows with the table schema") {

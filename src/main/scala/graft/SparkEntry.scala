@@ -166,6 +166,44 @@ object SparkEntry {
       payload(SnapshotReader.read(s, dir)
         .filter(col(graft.format.MetaCols.RecordKey) === k.toString))
     }),
+    // q_cdc (r7 tail): CHANGE-DATA FEED over (C1, C4] — every row-level
+    // change tagged _change_type/_change_commit_ts. The delete side IS the
+    // reference's delete view per commit (pre-image payload); inserts/
+    // updates are each commit's written rows split by a key-only existence
+    // probe against only the touched groups' previous slices (per-commit
+    // churn-bounded plans, never a table scan).
+    "q_cdc" -> ((s, d) => {
+      val dir = Fixtures.cowDir(s, d)
+      graft.read.ChangeFeed.read(s, dir, C1, C4)
+        .select((OrdersCols.map(col) :+ col("_change_type") :+
+          col("_change_commit_ts")): _*)
+        .orderBy(col("_change_commit_ts"), col("o_orderkey"))
+    }),
+    // q_cdc_mor_format: the same change range on the MOR twin, through the
+    // format surface (option cdc=true) — the C3x COMPACTION between C3 and
+    // C4 must contribute ZERO rows (it rewrites bytes, not rows), so the
+    // oracle rows are identical to q_cdc's.
+    "q_cdc_mor_format" -> ((s, d) => {
+      val dir = Fixtures.morDir(s, d)
+      s.read.format("graft").option("from", C1).option("to", C4)
+        .option("cdc", "true").load(dir)
+        .select((OrdersCols.map(col) :+ col("_change_type") :+
+          col("_change_commit_ts")): _*)
+        .orderBy(col("_change_commit_ts"), col("o_orderkey"))
+    }),
+    // q_cdc_sqldml: full-history feed (from=0) of the SQL-DML-mutated
+    // table — exercises insert tagging through the existence probe: the
+    // MERGE re-INSERTs keys the earlier DELETE removed (delete then insert
+    // for one key), and its matched side updates. DML commit ts are
+    // writer-minted, so the oracle compares payload + type only.
+    "q_cdc_sqldml" -> ((s, d) => {
+      val dir = Fixtures.sqlDmlDir(s, d)
+      s.read.format("graft").option("from", "0").option("cdc", "true")
+        .load(dir)
+        .select((OrdersCols.map(col) :+ col("_change_type")): _*)
+        .orderBy(col("o_orderkey"), col("_change_type"),
+          col("o_totalprice"))
+    }),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -778,6 +816,49 @@ object SparkEntry {
         "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey = " +
         "(SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5) " +
         "ORDER BY o_orderkey"),
+    // change feed over (C1, C4]: C2 deletes (pre-image = original payload),
+    // C3 updates (post-image = +100000), C4 deletes (pre-image = the C3
+    // state: +100000 iff %10==3)
+    "q_cdc" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, " +
+        s"'delete' AS _change_type, '${Fixtures.C2}' AS _change_commit_ts FROM orders WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100000 AS o_totalprice, o_orderdate, o_orderpriority, " +
+        s"'update' AS _change_type, '${Fixtures.C3}' AS _change_commit_ts FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 7 <> 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority, " +
+        s"'delete' AS _change_type, '${Fixtures.C4}' AS _change_commit_ts FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 <> 0 " +
+        "ORDER BY _change_commit_ts, o_orderkey"),
+    // the MOR twin's feed is row-identical (its compaction emits nothing)
+    "q_cdc_mor_format" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, " +
+        s"'delete' AS _change_type, '${Fixtures.C2}' AS _change_commit_ts FROM orders WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100000 AS o_totalprice, o_orderdate, o_orderpriority, " +
+        s"'update' AS _change_type, '${Fixtures.C3}' AS _change_commit_ts FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 7 <> 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority, " +
+        s"'delete' AS _change_type, '${Fixtures.C4}' AS _change_commit_ts FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 <> 0 " +
+        "ORDER BY _change_commit_ts, o_orderkey"),
+    // full DML history: C1 inserts all; DELETE removes %7 keys (pre-image);
+    // UPDATE posts +100000 on %10==3 survivors; MERGE updates %11==5
+    // survivors to source*2 and re-INSERTs the %11==5 keys the DELETE
+    // removed (delete→insert for one key, via the existence probe)
+    "q_cdc_sqldml" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, 'insert' AS _change_type FROM orders " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, 'delete' AS _change_type FROM orders WHERE o_orderkey % 7 = 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100000 AS o_totalprice, o_orderdate, o_orderpriority, 'update' AS _change_type FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 7 <> 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority, 'update' AS _change_type FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 <> 0 " +
+        "UNION ALL " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, 'insert' AS _change_type FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 = 0 " +
+        "ORDER BY o_orderkey, _change_type, o_totalprice"),
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_incremental_cow" ->

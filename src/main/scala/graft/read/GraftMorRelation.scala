@@ -163,6 +163,26 @@ final class GraftIncrementalRelation(
   }
 }
 
+/** Change feed behind the format surface:
+  * `spark.read.format("graft").option("from", c1).option("to", c2)
+  * .option("cdc", "true")` — every row-level change in `(from, to]`
+  * tagged `_change_type`/`_change_commit_ts`, planned by [[ChangeFeed]]
+  * (per-commit touched-group-bounded plans; the delete side is the
+  * reference's delete view). Pushed filters apply row-level via the
+  * shared scan trait (CDC rows span commits and change types — no
+  * metadata pruning shape to exploit beyond what each per-commit plan
+  * already does). */
+final class GraftChangeFeedRelation(
+    protected val session: SparkSession,
+    basePath: String,
+    fromExclusive: String,
+    toInclusive: String,
+    override val schema: StructType) extends GraftFilteredScan {
+
+  override protected def planScan(filters: Array[Filter]): DataFrame =
+    ChangeFeed.read(session, basePath, fromExclusive, toInclusive)
+}
+
 /** The DELETE VIEW — the reference's core capability
   * (`DeleteSupport(path, ts).getDeleteDataset()`) — behind the format
   * surface: `spark.read.format("graft").option("deleteView", ts)`. The

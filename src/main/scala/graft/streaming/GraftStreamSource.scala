@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
 /** `spark.readStream.format("graft").load(tablePath)` — the table
   * change-stream as a FIRST-CLASS Structured Streaming source (registered
@@ -108,11 +108,28 @@ final class GraftSourceProvider extends StreamSourceProvider
     require(parameters.contains("from") || !parameters.contains("to"),
       """option "to" requires option "from" (the incremental range is """ +
         "(from, to]); for a historical snapshot use asOf")
+    // `cdc=true` (+ from/to) = CHANGE feed: every row-level change in
+    // (from, to] tagged _change_type/_change_commit_ts — r7 tail.
+    val cdc = parameters.get("cdc").exists(_.toBoolean)
+    require(!cdc || parameters.contains("from"),
+      """option "cdc" requires option "from" (the change range is (from, to])""")
     parameters.get("from").foreach { from =>
       require(asOf.isEmpty, "asOf and from/to are mutually exclusive")
       val to = parameters.getOrElse("to",
         timeline.completedInstants().lastOption.map(_.ts).getOrElse(
           throw new IllegalArgumentException(s"empty table at $basePath")))
+      if (cdc)
+        return new graft.read.GraftChangeFeedRelation(spark, basePath,
+          from, to,
+          timeline.latestSchemaJson(Some(to))
+            .map(sj => org.apache.spark.sql.types.StructType(
+              SnapshotReader.tableSchemaFromJson(sj).fields.toSeq :+
+                org.apache.spark.sql.types.StructField(
+                  graft.read.ChangeFeed.ChangeType, StringType) :+
+                org.apache.spark.sql.types.StructField(
+                  graft.read.ChangeFeed.ChangeCommitTs, StringType)))
+            .getOrElse(graft.read.ChangeFeed
+              .read(spark, basePath, from, to).schema))
       // Schema from commit metadata when recorded (O(1) — the writers keep
       // the newest record a superset of every live file's schema, and the
       // range plan's columns equal that union minus the delete marker);

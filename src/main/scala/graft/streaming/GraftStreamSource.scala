@@ -176,11 +176,28 @@ final class GraftSourceProvider extends StreamSourceProvider
     }
   }
 
+  /** Streaming source schema: the table schema, plus the two CDC tag
+    * columns when `cdc=true` (each micro-batch is then the CHANGE feed of
+    * its commit range instead of the incremental current-state read). */
+  private def streamSchema(sqlContext: SQLContext,
+      schema: Option[StructType],
+      parameters: Map[String, String]): StructType = {
+    val base = schema.getOrElse(GraftSourceProvider.tableSchema(
+      sqlContext.sparkSession, GraftSourceProvider.path(parameters)))
+    if (parameters.get("cdc").exists(_.toBoolean) &&
+        !base.fieldNames.contains(graft.read.ChangeFeed.ChangeType))
+      StructType(base.fields.toSeq :+
+        org.apache.spark.sql.types.StructField(
+          graft.read.ChangeFeed.ChangeType, StringType) :+
+        org.apache.spark.sql.types.StructField(
+          graft.read.ChangeFeed.ChangeCommitTs, StringType))
+    else base
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(GraftSourceProvider.tableSchema(
-      sqlContext.sparkSession, GraftSourceProvider.path(parameters))))
+    (shortName(), streamSchema(sqlContext, schema, parameters))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -193,8 +210,8 @@ final class GraftSourceProvider extends StreamSourceProvider
         GraftSourceProvider.path(parameters)).validateTsParam("from", f))
     new GraftTailSource(sqlContext.sparkSession,
       GraftSourceProvider.path(parameters),
-      schema.getOrElse(GraftSourceProvider.tableSchema(
-        sqlContext.sparkSession, GraftSourceProvider.path(parameters))),
+      streamSchema(sqlContext, schema, parameters),
+      cdc = parameters.get("cdc").exists(_.toBoolean),
       maxCommitsPerBatch = parameters.get("maxCommitsPerBatch").map { s =>
         val n = s.toInt
         require(n >= 1, "maxCommitsPerBatch must be >= 1")
@@ -253,6 +270,7 @@ object CommitOffset {
   *        first batch AND across restarts. */
 private[streaming] final class GraftTailSource(spark: SparkSession,
     basePath: String, override val schema: StructType,
+    cdc: Boolean = false,
     maxCommitsPerBatch: Option[Int] = None,
     startAfter: String = "0") extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -312,7 +330,13 @@ private[streaming] final class GraftTailSource(spark: SparkSession,
     // `from` option's ts (default "0" = the whole history)
     val from = start.map(CommitOffset.tsOf).getOrElse(startAfter)
     val to = CommitOffset.tsOf(end)
-    val ranged = IncrementalReader.read(spark, basePath, from, to)
+    // cdc=true: the micro-batch is the CHANGE feed of its commit range
+    // (insert/update/delete tags, delete pre-images) — the streaming shape
+    // of propagating removals downstream; otherwise the incremental
+    // current-state read. Same (from, to] exactly-once offset contract.
+    val ranged =
+      if (cdc) graft.read.ChangeFeed.read(spark, basePath, from, to)
+      else IncrementalReader.read(spark, basePath, from, to)
     // Rate-limited catch-up over schema-evolved history: this batch's
     // range plan resolves schemas as of ITS `to`, which may predate
     // later-added columns the stream's (newest) schema carries — pad

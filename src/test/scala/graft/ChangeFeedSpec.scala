@@ -80,6 +80,49 @@ class ChangeFeedSpec extends SparkSpec {
       (9L, 90, "insert", Fixtures.C2)), s"got $f")
   }
 
+  test("streaming CDC: each micro-batch is its commit range's change feed, exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = freshDir("cdc_stream")
+    val ckpt = freshDir("cdc_stream_ckpt")
+    val w = new CowWriter(spark, dir, numBuckets = 2)
+    w.insert(rows((1, "a", 10), (2, "a", 20)), $"k", $"p", Fixtures.C1)
+    w.upsert(rows((2, "a", 21), (3, "a", 30)), $"k", $"p", Fixtures.C2)
+    w.delete(rows((1, "a", 0)), $"k", $"p", Fixtures.C3)
+
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, String, String)]
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("cdc", "true").option("maxCommitsPerBatch", "1").load(dir)
+        .select($"k", $"v", col(ChangeFeed.ChangeType),
+          col(ChangeFeed.ChangeCommitTs))
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rs = batch.collect().map(r => (r.getLong(0), r.getInt(1),
+              r.getString(2), r.getString(3)))
+            got.synchronized { got ++= rs }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(got.toSet == Set(
+      (1L, 10, "insert", Fixtures.C1), (2L, 20, "insert", Fixtures.C1),
+      (2L, 21, "update", Fixtures.C2), (3L, 30, "insert", Fixtures.C2),
+      (1L, 10, "delete", Fixtures.C3)), s"got $got")
+    val afterFirst = got.size
+
+    // restart with MORE commits: only the NEW changes arrive (exactly-once
+    // per commit range across restarts — same offset contract as the
+    // incremental tail)
+    w.upsert(rows((3, "a", 31)), $"k", $"p", Fixtures.C4)
+    runOnce()
+    assert(got.size == afterFirst + 1 &&
+      got.contains((3L, 31, "update", Fixtures.C4)), s"got $got")
+  }
+
   test("format surface: cdc option equals the API and validates its inputs") {
     val dir = freshDir("cdc_fmt")
     val w = new CowWriter(spark, dir, numBuckets = 2)

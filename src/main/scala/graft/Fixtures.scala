@@ -85,6 +85,26 @@ object Fixtures {
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
     formatRtDir(spark, sfDir); sqlDmlDir(spark, sfDir)
+    sortedDir(spark, sfDir)
+  }
+
+  /** Table whose head state is a SORT-LAYOUT rewrite (CLUSTER commit):
+    * C1 inserts all orders, C2 deletes keys %7==0, C3 rewrites every live
+    * group sorted by o_totalprice within each file — layout-only, so the
+    * snapshot must equal the post-C2 state exactly (the oracle's check). */
+  def sortedDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_sorted"
+    if (!complete(spark, dir, 3)) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = col("o_orderkey")
+      val w = new CowWriter(spark, dir, numBuckets = 8)
+      w.insert(orders, k, col("o_orderstatus"), C1)
+      w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C2)
+      graft.write.TableMaintenance.sortLayout(spark, dir, C3,
+        Seq("o_totalprice"))
+    }
+    dir
   }
 
   /** Table mutated ENTIRELY through SQL DML (requires the

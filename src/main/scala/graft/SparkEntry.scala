@@ -204,6 +204,12 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("_change_type"),
           col("o_totalprice"))
     }),
+    // q_sorted_snapshot (r7 tail): snapshot THROUGH a sort-layout CLUSTER
+    // commit (every live group rewritten sorted by o_totalprice within
+    // each file — row-group pruning becomes effective on it). Layout-only:
+    // the rows must equal the pre-cluster state exactly.
+    "q_sorted_snapshot" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.sortedDir(s, d)))),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -859,6 +865,9 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, 'insert' AS _change_type FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 = 0 " +
         "ORDER BY o_orderkey, _change_type, o_totalprice"),
+    // layout-only CLUSTER commit: rows equal the post-delete state
+    "q_sorted_snapshot" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_incremental_cow" ->

@@ -57,7 +57,10 @@ object ChangeFeed {
 
     val frames = inRange.flatMap { i =>
       val meta = tl.metadata(i.ts)
-      if (meta.operationType == "COMPACT") Seq.empty
+      // layout-only commits rewrite bytes, not rows (merged rows keep
+      // their original commit time): no changes to report
+      if (meta.operationType == "COMPACT" ||
+          meta.operationType == "CLUSTER") Seq.empty
       else {
         val prevTs = instants.takeWhile(_.ts < i.ts).lastOption.map(_.ts)
         val deletes =

@@ -69,6 +69,14 @@ final class GraftTable(spark: SparkSession, basePath: String) {
   def deleteView(ts: String): DataFrame =
     DeleteView(spark, basePath, ts).toDF()
 
+  /** Change-data feed of `(fromExclusive, toInclusive]`: every row-level
+    * change tagged `_change_type` (insert/update/delete) +
+    * `_change_commit_ts`, deletes with full pre-image payload (the delete
+    * view per commit). Per-commit plans are bounded by the commits' own
+    * churn — see [[graft.read.ChangeFeed]]. */
+  def changeFeed(fromExclusive: String, toInclusive: String): DataFrame =
+    graft.read.ChangeFeed.read(spark, basePath, fromExclusive, toInclusive)
+
   /** Register `snapshot()` as a SQL temp view. */
   def register(name: String): Unit =
     snapshot().createOrReplaceTempView(name)
@@ -80,6 +88,13 @@ final class GraftTable(spark: SparkSession, basePath: String) {
   /** Reclaim storage unreachable by the newest `retainCommits` snapshots. */
   def clean(retainCommits: Int): Seq[String] =
     graft.write.TableMaintenance.clean(spark, basePath, retainCommits)
+
+  /** Layout-only rewrite: every live group's current rows re-written
+    * sorted by `sortCols` within each file (row-group pruning becomes
+    * effective on them); fileIds, row identities, and commit times are
+    * preserved — see [[graft.write.TableMaintenance.sortLayout]]. */
+  def sortLayout(ts: String, sortCols: Seq[String]): Seq[String] =
+    graft.write.TableMaintenance.sortLayout(spark, basePath, ts, sortCols)
 
   /** Delete data files no commit references (failed/conflicted write
     * attempts' debris) older than `olderThanMs`. */

@@ -65,6 +65,83 @@ object TableMaintenance {
     doomed
   }
 
+  /** Sort-layout rewrite (the sort half of Hudi clustering, within this
+    * engine's bucket-routing constraint): rewrite every live file group's
+    * CURRENT rows sorted by `sortCols` within each file — a LAYOUT-ONLY
+    * commit (op `CLUSTER`): rows keep their `_hoodie_commit_time`/seqno,
+    * the change feed emits nothing for it, incremental reads select no
+    * rows from it, and each key stays in its hash-routed group (fileIds
+    * preserved), so upsert routing and bucket-index pruning are untouched.
+    * Outstanding MOR deltas fold in (a layout rewrite of current state IS
+    * a compaction of the touched groups).
+    *
+    * Why at 100 TB: file-level min/max on a hash-bucketed table can't
+    * order keys ACROSS files, but within a file the parquet reader prunes
+    * ROW GROUPS (~128 MB units) by min/max — on sorted data those ranges
+    * are disjoint, so a range predicate on the sort columns reads one row
+    * group instead of the whole file. The sort columns are also recorded
+    * in the file-level stats index. Returns the rewritten fileIds. */
+  def sortLayout(spark: SparkSession, basePath: String, ts: String,
+      sortCols: Seq[String]): Seq[String] = {
+    import graft.format._
+    import org.apache.spark.sql.functions._
+    require(sortCols.nonEmpty, "sortLayout needs at least one sort column")
+    val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val readPoint = tl.completedInstants().lastOption.map(_.ts)
+    val n = graft.read.SnapshotReader.recordedBuckets(tl, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"$basePath records no bucket count; sortLayout preserves the " +
+          "key→group routing and needs it recorded (re-create the table " +
+          "with a bucket-recording writer)"))
+    val slices = tl.latestSlices(None).values
+      .filter(sl => sl.relPath.nonEmpty || sl.deltas.nonEmpty).toSeq
+    require(slices.nonEmpty, s"empty table at $basePath")
+    val merged = graft.read.SnapshotReader
+      .merge(spark, basePath, slices, Some(tl))
+    sortCols.foreach(c => require(merged.columns.contains(c),
+      s"sort column '$c' is not a table column"))
+    val data = merged
+      .withColumn(CowWriter.FidCol,
+        concat(col(MetaCols.PartitionPath), lit("-"),
+          pmod(xxhash64(col(MetaCols.RecordKey)), lit(n)).cast("string")))
+      .withColumn(MetaCols.FileName,
+        concat(col(CowWriter.FidCol), lit("_"), lit(ts), lit(".parquet")))
+    val fs = tl.fs
+    val statsCols = MetaCols.RecordKey +: (sortCols ++
+      FormatWriter.recordedExtra(tl, FormatWriter.StatsColsKey)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)).distinct
+    val written = SliceFiles.write(fs, basePath, data, ts,
+      (fid, t) => s"${fid}_$t.parquet",
+      statsCols = statsCols, sortCols = sortCols)
+    val prior = slices.map(sl => sl.fileId -> sl).toMap
+    val writtenFids = written.keys.map(_._2).toSet
+    // groups whose every current row was a delete marker write no file:
+    // superseded with an empty stat, exactly like compaction
+    val emptied = slices.filterNot(sl => writtenFids.contains(sl.fileId))
+    val stats = written.toSeq.map { case ((part, fid), w) =>
+      part -> WriteStat(fid, Some(w.relPath),
+        prevCommit = prior.get(fid).map(_.commitTs),
+        numWrites = w.rows, numDeletes = 0, numUpdateWrites = 0,
+        numInserts = 0, colStats = w.colStats)
+    } ++ emptied.map { sl =>
+      sl.partitionPath -> WriteStat(sl.fileId, None,
+        prevCommit = Some(sl.commitTs),
+        numWrites = 0, numDeletes = 0, numUpdateWrites = 0, numInserts = 0)
+    }
+    val byPart = stats.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
+    tl.saveCommitOcc(ts, CommitMetadata(
+      partitionToWriteStats = byPart,
+      operationType = "CLUSTER",
+      totalRecordsDeleted = 0,
+      totalRecordsWritten = written.values.map(_.rows).sum,
+      schemaJson = Some(MetaCols.canonicalSchema(
+        data.drop(CowWriter.FidCol).schema).json)),
+      readPoint = readPoint)
+    written.keys.map(_._2).toSeq.sorted
+  }
+
   /** Sweep ORPHANED data files: parquet files under the table's partition
     * directories that NO commit on the timeline references — the debris of
     * failed or OCC-conflicted write attempts (a loser's already-written

@@ -85,7 +85,28 @@ object Fixtures {
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
     formatRtDir(spark, sfDir); sqlDmlDir(spark, sfDir)
-    sortedDir(spark, sfDir)
+    sortedDir(spark, sfDir); mirrorDir(spark, sfDir)
+  }
+
+  /** CDC MIRROR of the COW fixture: its full change feed (one
+    * multi-commit batch) applied to a fresh table via
+    * `operation=cdc` — the newest change per key wins, deletes remove
+    * their keys. The mirror's snapshot must equal the source's final
+    * state exactly (the oracle's check). */
+  def mirrorDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_mirror"
+    if (!complete(spark, dir, 1)) {
+      rm(spark, dir)
+      val src = cowDir(spark, sfDir)
+      spark.read.format("graft")
+        .option("from", "0").option("cdc", "true").load(src)
+        .write.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+        .option("operation", "cdc")
+        .option("buckets", "8").option("ts", C1)
+        .mode("append").save(dir)
+    }
+    dir
   }
 
   /** Table whose head state is a SORT-LAYOUT rewrite (CLUSTER commit):

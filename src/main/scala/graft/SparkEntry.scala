@@ -204,6 +204,14 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("_change_type"),
           col("o_totalprice"))
     }),
+    // q_cdc_mirror (r7 tail): SNAPSHOT of a table built ENTIRELY by
+    // applying the source's full change feed (from=0, cdc=true) through
+    // the operation=cdc writer — the CDC loop closed. The newest change
+    // per key wins across the multi-commit batch (update-then-delete,
+    // delete-then-nothing chains collapse to their net effect), so the
+    // mirror must equal the source's final snapshot exactly.
+    "q_cdc_mirror" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.mirrorDir(s, d)))),
     // q_sorted_snapshot (r7 tail): snapshot THROUGH a sort-layout CLUSTER
     // commit (every live group rewritten sorted by o_totalprice within
     // each file — row-group pruning becomes effective on it). Layout-only:
@@ -865,6 +873,10 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, 'insert' AS _change_type FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 = 0 " +
         "ORDER BY o_orderkey, _change_type, o_totalprice"),
+    // the CDC mirror equals the source's final snapshot (same SQL as
+    // q_snapshot_cow): C2/C4 deletes removed, C3 updates applied
+    "q_cdc_mirror" ->
+      s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
     // layout-only CLUSTER commit: rows equal the post-delete state
     "q_sorted_snapshot" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",

@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions.col
   * Options: `key` (record-key column, REQUIRED), `partition` (partition
   * column, REQUIRED), `operation` (`upsert` default | `delete`: Append
   * mode removes the frame's keys instead of upserting them — COW rewrites
-  * survivors, MOR appends delete markers), `type` (`cow` default | `mor`:
+  * survivors, MOR appends delete markers | `cdc`: the frame is a CHANGE
+  * feed — `_change_type`/`_change_commit_ts`-tagged rows as produced by
+  * [[graft.read.ChangeFeed]]; the newest change per key wins, deletes
+  * remove their keys, inserts/updates upsert post-images, all in ONE
+  * commit — `readStream(cdc=true) → writeStream(operation=cdc)` mirrors a
+  * table INCLUDING deletes), `type` (`cow` default | `mor`:
   * appends are DELTA commits — no file-group rewrite; the
   * streaming-ingest shape), `buckets`
   * (file groups per partition; defaults to the count recorded in the
@@ -280,10 +285,36 @@ private[graft] object FormatWriter {
     val ts = parameters.getOrElse("ts", nextTs(timeline))
     val isNew = timeline.completedInstants().isEmpty
     val op = parameters.getOrElse("operation", "upsert").toLowerCase
-    require(op == "upsert" || op == "delete",
-      s"""graft operation must be "upsert" or "delete", got "$op"""")
+    require(op == "upsert" || op == "delete" || op == "cdc",
+      s"""graft operation must be "upsert", "delete" or "cdc", got "$op"""")
     require(!(isNew && op == "delete"),
       s"cannot delete from a table that does not exist at $basePath")
+
+    // operation=cdc: split the tagged change frame into (upserts, deletes)
+    // with the NEWEST change per key winning — a multi-commit batch can
+    // carry e.g. update-then-delete or delete-then-reinsert for one key,
+    // and only the final state may apply (a fixed delete-wins tiebreak
+    // would resurrect or lose rows depending on order). Within one source
+    // commit a key appears at most once (the feed's own delete-wins
+    // dedupe), so ordering by _change_commit_ts is total per key.
+    val cdcSplit: Option[(DataFrame, DataFrame)] =
+      if (op != "cdc") None
+      else {
+        val ct = graft.read.ChangeFeed.ChangeType
+        val cc = graft.read.ChangeFeed.ChangeCommitTs
+        require(df.columns.contains(ct) && df.columns.contains(cc),
+          s"operation=cdc needs a change frame carrying $ct and $cc " +
+            "(spark.read/readStream option cdc=true produces one)")
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.row_number
+        val w = Window.partitionBy(col(key))
+          .orderBy(col(cc).desc)
+        val latest = df
+          .withColumn("__cdc_rn", row_number().over(w))
+          .filter(col("__cdc_rn") === 1).drop("__cdc_rn")
+        Some((latest.filter(col(ct) =!= "delete").drop(ct, cc),
+          latest.filter(col(ct) === "delete").drop(ct, cc)))
+      }
     val sc = statsCols(parameters, timeline)
     val createExtra = extra + (BucketsKey -> nb.toString) +
       (TypeKey -> tpe) + (KeyColKey -> key) + (PartColKey -> part) ++
@@ -294,11 +325,23 @@ private[graft] object FormatWriter {
     try {
       if (tpe == "mor") {
         val w = new MorWriter(spark, basePath, nb, statsCols = sc)
-        if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
-        else {
-          if (op == "delete") // delta with delete markers, no rewrite
-            w.delete(df, col(key), col(part), ts, extra = extra)
-          else w.upsert(df, col(key), col(part), ts, extra = extra)
+        if (isNew) cdcSplit match {
+          // bootstrapping a mirror: deletes of keys that never existed
+          // are no-ops — only the net-surviving rows insert
+          case Some((ups, _)) =>
+            w.insert(ups, col(key), col(part), ts, extra = createExtra)
+          case None =>
+            w.insert(df, col(key), col(part), ts, extra = createExtra)
+        } else {
+          cdcSplit match {
+            case Some((ups, dels)) => // one delta commit for both effects
+              w.upsertDelta(Some(ups), Some(dels), col(key), col(part), ts,
+                extra = extra)
+            case None if op == "delete" => // delete markers, no rewrite
+              w.delete(df, col(key), col(part), ts, extra = extra)
+            case None =>
+              w.upsert(df, col(key), col(part), ts, extra = extra)
+          }
           parameters.get("compactEvery").map(_.toInt).foreach { n =>
             require(n >= 1, "compactEvery must be >= 1")
             val cts = nextTs(w.timeline)
@@ -308,10 +351,20 @@ private[graft] object FormatWriter {
         }
       } else {
         val w = new CowWriter(spark, basePath, nb, statsCols = sc)
-        if (isNew) w.insert(df, col(key), col(part), ts, extra = createExtra)
-        else if (op == "delete")
-          w.delete(df, col(key), col(part), ts, extra = extra)
-        else w.upsert(df, col(key), col(part), ts, extra = extra)
+        if (isNew) cdcSplit match {
+          case Some((ups, _)) =>
+            w.insert(ups, col(key), col(part), ts, extra = createExtra)
+          case None =>
+            w.insert(df, col(key), col(part), ts, extra = createExtra)
+        } else cdcSplit match {
+          case Some((ups, dels)) => // one commit for both effects
+            w.commit(Some(ups), Some(dels), col(key), col(part), ts,
+              extra = extra)
+          case None if op == "delete" =>
+            w.delete(df, col(key), col(part), ts, extra = extra)
+          case None =>
+            w.upsert(df, col(key), col(part), ts, extra = extra)
+        }
       }
     } finally timeline.unreserve(ts)
   }

@@ -123,6 +123,62 @@ class ChangeFeedSpec extends SparkSpec {
       got.contains((3L, 31, "update", Fixtures.C4)), s"got $got")
   }
 
+  test("CDC mirror loop: stream cdc source → operation=cdc sink replicates deletes") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = freshDir("cdc_mirror_src")
+    val dst = freshDir("cdc_mirror_dst")
+    val ckpt = freshDir("cdc_mirror_ckpt")
+    val w = new CowWriter(spark, src, numBuckets = 2)
+    w.insert(rows((1, "a", 10), (2, "a", 20), (3, "b", 30)),
+      $"k", $"p", Fixtures.C1)
+    w.upsert(rows((2, "a", 21), (4, "b", 40)), $"k", $"p", Fixtures.C2)
+    w.delete(rows((1, "a", 0)), $"k", $"p", Fixtures.C3)
+
+    def mirrorOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("cdc", "true").load(src)
+        .select($"k", $"p", $"v", col(ChangeFeed.ChangeType),
+          col(ChangeFeed.ChangeCommitTs))
+        .writeStream.format("graft")
+        .option("key", "k").option("partition", "p")
+        .option("operation", "cdc").option("buckets", "2")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination(120000)
+    }
+    mirrorOnce()
+    def snap(dir: String) = graft.read.SnapshotReader.read(spark, dir)
+      .select($"k", $"v").as[(Long, Int)].collect().toSet
+    // the mirror equals the source snapshot — INCLUDING the delete of key 1
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Set((2L, 21), (3L, 30), (4L, 40)))
+
+    // more source churn (incl. a delete and a re-insert), mirror again
+    w.delete(rows((2, "a", 0)), $"k", $"p", Fixtures.C4)
+    w.upsert(rows((1, "a", 12)), $"k", $"p", "20260105000000")
+    mirrorOnce()
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Set((1L, 12), (3L, 30), (4L, 40)))
+
+    // a single multi-commit batch must apply the NEWEST change per key:
+    // fresh mirror, no rate limit → ONE batch carries insert+update+delete
+    // chains; the net state must land (not a fixed delete-wins collapse)
+    val dst2 = freshDir("cdc_mirror_dst2")
+    val ckpt2 = freshDir("cdc_mirror_ckpt2")
+    val q2 = spark.readStream.format("graft")
+      .option("cdc", "true").load(src)
+      .select($"k", $"p", $"v", col(ChangeFeed.ChangeType),
+        col(ChangeFeed.ChangeCommitTs))
+      .writeStream.format("graft")
+      .option("key", "k").option("partition", "p")
+      .option("operation", "cdc").option("buckets", "2")
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start(dst2)
+    q2.awaitTermination(120000)
+    assert(snap(dst2) == snap(src),
+      "bootstrap mirror from one multi-commit batch must match the source")
+  }
+
   test("format surface: cdc option equals the API and validates its inputs") {
     val dir = freshDir("cdc_fmt")
     val w = new CowWriter(spark, dir, numBuckets = 2)

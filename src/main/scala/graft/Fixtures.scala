@@ -86,6 +86,7 @@ object Fixtures {
     cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
     formatRtDir(spark, sfDir); sqlDmlDir(spark, sfDir)
     sortedDir(spark, sfDir); mirrorDir(spark, sfDir)
+    zorderDir(spark, sfDir)
   }
 
   /** CDC MIRROR of the COW fixture: its full change feed (one
@@ -124,6 +125,26 @@ object Fixtures {
       w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C2)
       graft.write.TableMaintenance.sortLayout(spark, dir, C3,
         Seq("o_totalprice"))
+    }
+    dir
+  }
+
+  /** Table whose head state is a Z-ORDER rewrite (CLUSTER commit): same
+    * script as [[sortedDir]] but C3 is `zorderLayout(o_custkey,
+    * o_totalprice)` — multi-dimensional locality instead of a
+    * lexicographic sort. Layout-only: the snapshot must equal the post-C2
+    * state exactly, and range predicates on EITHER column prune. */
+  def zorderDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_zorder"
+    if (!complete(spark, dir, 3)) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = col("o_orderkey")
+      val w = new CowWriter(spark, dir, numBuckets = 8)
+      w.insert(orders, k, col("o_orderstatus"), C1)
+      w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C2)
+      graft.write.TableMaintenance.zorderLayout(spark, dir, C3,
+        Seq("o_custkey", "o_totalprice"))
     }
     dir
   }

@@ -218,6 +218,21 @@ object SparkEntry {
     // the rows must equal the pre-cluster state exactly.
     "q_sorted_snapshot" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.sortedDir(s, d)))),
+    // q_zorder_snapshot (r7 tail): snapshot THROUGH a Z-ORDER CLUSTER
+    // commit (rows interleave-bucketed over (o_custkey, o_totalprice) so
+    // row-group pruning serves range predicates on EITHER column).
+    // Layout-only: the rows must equal the pre-cluster state exactly.
+    "q_zorder_snapshot" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.zorderDir(s, d)))),
+    // q_zorder_range: a two-sided range predicate on BOTH z-ordered
+    // columns against the z-ordered table — the query shape the layout
+    // exists for (each ~128 MB row group covers a narrow range in EVERY
+    // z column, so the parquet reader prunes on both predicates at once).
+    "q_zorder_range" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.zorderDir(s, d)))
+        .filter(col("o_custkey") < 1000 &&
+          col("o_totalprice").between(50000, 150000))
+        .orderBy(col("o_orderkey"))),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -880,6 +895,13 @@ object SparkEntry {
     // layout-only CLUSTER commit: rows equal the post-delete state
     "q_sorted_snapshot" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    // layout-only Z-ORDER commit: rows equal the post-delete state
+    "q_zorder_snapshot" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "q_zorder_range" ->
+      (s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 " +
+        "AND o_custkey < 1000 AND o_totalprice BETWEEN 50000 AND 150000 " +
+        "ORDER BY o_orderkey"),
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_incremental_cow" ->

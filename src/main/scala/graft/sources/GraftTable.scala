@@ -96,6 +96,15 @@ final class GraftTable(spark: SparkSession, basePath: String) {
   def sortLayout(ts: String, sortCols: Seq[String]): Seq[String] =
     graft.write.TableMaintenance.sortLayout(spark, basePath, ts, sortCols)
 
+  /** Layout-only Z-ORDER rewrite: rows close in EVERY `zCols` dimension
+    * are placed near each other, so row-group pruning serves range
+    * predicates on ANY of them — see
+    * [[graft.write.TableMaintenance.zorderLayout]]. */
+  def zorderLayout(ts: String, zCols: Seq[String],
+      bits: Int = 8): Seq[String] =
+    graft.write.TableMaintenance.zorderLayout(spark, basePath, ts, zCols,
+      bits)
+
   /** Delete data files no commit references (failed/conflicted write
     * attempts' debris) older than `olderThanMs`. */
   def sweepOrphans(olderThanMs: Long = 60L * 60 * 1000): Seq[String] =

@@ -43,20 +43,22 @@ private[write] object SliceFiles {
     * @param statsCols columns of `data` to record min/max/nulls for; names
     *                  not present in `data` or of unsupported type are
     *                  skipped (callers validate user-declared ones).
-    * @param sortCols  non-empty → rows are sorted by these columns WITHIN
-    *                  each written file (sortWithinPartitions after the
-    *                  group repartition; the partitioned write's required
-    *                  ordering is a prefix of ours, so no extra sort is
-    *                  inserted and the order survives into the file).
-    *                  Sorted files make the parquet reader's row-group
-    *                  min/max pruning effective on the sort columns — the
-    *                  layout half of data skipping, complementing the
-    *                  file-level stats index.
+    * @param sortBy    non-empty → rows are sorted by these expressions
+    *                  WITHIN each written file (sortWithinPartitions after
+    *                  the group repartition; the partitioned write's
+    *                  required ordering is a prefix of ours, so no extra
+    *                  sort is inserted and the order survives into the
+    *                  file). Expressions over `data`'s columns — an
+    *                  ephemeral sort key (e.g. a z-value) orders the rows
+    *                  without ever being written. Sorted files make the
+    *                  parquet reader's row-group min/max pruning effective
+    *                  on the sort columns — the layout half of data
+    *                  skipping, complementing the file-level stats index.
     */
   def write(fs: FileSystem, basePath: String, data: DataFrame, ts: String,
       fileName: (String, String) => String,
       statsCols: Seq[String] = Seq.empty,
-      sortCols: Seq[String] = Seq.empty)
+      sortBy: Seq[org.apache.spark.sql.Column] = Seq.empty)
       : Map[(String, String), Written] = {
     // Unique per ATTEMPT, not just per ts: concurrent writers that raced to
     // the same ts (possible across drivers on stores without atomic
@@ -73,9 +75,9 @@ private[write] object SliceFiles {
       // contents by partitionBy, which is what we want (helper only).
       .repartition(col(PartDirCol), col(FidCol))
     val withDirs =
-      if (sortCols.isEmpty) repart
+      if (sortBy.isEmpty) repart
       else repart.sortWithinPartitions(
-        (Seq(PartDirCol, FidCol) ++ sortCols).map(col): _*)
+        Seq(PartDirCol, FidCol).map(col) ++ sortBy: _*)
 
     withDirs.write
       .partitionBy(PartDirCol, FidCol)

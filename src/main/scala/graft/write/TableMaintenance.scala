@@ -83,23 +83,95 @@ object TableMaintenance {
     * in the file-level stats index. Returns the rewritten fileIds. */
   def sortLayout(spark: SparkSession, basePath: String, ts: String,
       sortCols: Seq[String]): Seq[String] = {
+    require(sortCols.nonEmpty, "sortLayout needs at least one sort column")
+    layoutCommit(spark, basePath, ts, sortCols,
+      merged => sortCols.map(org.apache.spark.sql.functions.col))
+  }
+
+  /** Z-ORDER layout rewrite: like [[sortLayout]] — ONE layout-only CLUSTER
+    * commit, identity/fileIds/commit times preserved, MOR deltas fold in,
+    * CDC and incremental emit nothing — but each file's rows are sorted by
+    * their MORTON (Z-curve) value over `zCols` instead of
+    * lexicographically: per column, rows are bucketed into ≤ 2^`bits`
+    * quantile buckets (equi-populated under skew; boundaries from one
+    * approx-quantile sketch pass), and the bucket ids' bits interleave
+    * into the sort key ([[graft.functions.ZValue]], codegen'd native).
+    *
+    * Why at 100 TB: a lexicographic sort serves range predicates on its
+    * LEADING column only — row groups are unordered in every other
+    * dimension. The Z-curve keeps rows close in ALL `zCols` near each
+    * other, so each ~128 MB row group covers a narrow min/max range in
+    * EVERY z-ordered column simultaneously and the parquet reader prunes
+    * row groups for predicates on ANY of them (the multi-dimensional half
+    * of Hudi/Delta clustering). The ephemeral z-value is the SORT KEY
+    * only — it is never written to the files.
+    *
+    * Supported `zCols` types: numerics, date, timestamp (normalized to
+    * double through monotone casts). Strings are rejected — their parquet
+    * stats order is lexicographic and a double normalization can't
+    * preserve it. */
+  def zorderLayout(spark: SparkSession, basePath: String, ts: String,
+      zCols: Seq[String], bits: Int = 8): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(zCols.size >= 2,
+      "zorderLayout needs ≥ 2 columns (use sortLayout for one)")
+    require(bits >= 1 && bits * zCols.size <= 63,
+      s"bits=$bits × ${zCols.size} columns must fit in 63 bits")
+    layoutCommit(spark, basePath, ts, zCols, { merged =>
+      val schema = merged.schema
+      val coords = zCols.map { c =>
+        schema(c).dataType match {
+          case _: NumericType => col(c).cast(DoubleType)
+          case DateType | TimestampNTZType =>
+            col(c).cast(TimestampType).cast(DoubleType)
+          case TimestampType => col(c).cast(DoubleType)
+          case other => throw new IllegalArgumentException(
+            s"zorderLayout column '$c' has unsupported type " +
+              s"${other.catalogString} (numeric/date/timestamp only)")
+        }
+      }
+      // Quantile cut points per coordinate: ONE bounded-memory sketch pass
+      // (Greenwald-Khanna via approxQuantile) over the current state —
+      // driver receives ≤ (2^bits - 1) doubles per column.
+      val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+      val named = coords.zipWithIndex.map { case (e, i) => e.as(s"__z$i") }
+      val proj = merged.select(named: _*)
+      val bounds = proj.stat
+        .approxQuantile(zCols.indices.map(i => s"__z$i").toArray, probes,
+          0.001)
+        .map(_.distinct.sorted)
+      Seq(graft.functions.ZValue.zvalue(coords, bounds.toSeq))
+    })
+  }
+
+  /** Shared body of the layout rewrites: plan the current snapshot, keep
+    * bucket routing (fileIds) intact, rewrite every live group sorted
+    * within each file by `sortBy(merged)`, land ONE `CLUSTER` commit.
+    * `statCols` are validated as table columns and recorded in the
+    * file-stats index alongside the record key and the table's declared
+    * hot columns. */
+  private def layoutCommit(spark: SparkSession, basePath: String,
+      ts: String, statCols: Seq[String],
+      sortBy: org.apache.spark.sql.DataFrame =>
+        Seq[org.apache.spark.sql.Column]): Seq[String] = {
     import graft.format._
     import org.apache.spark.sql.functions._
-    require(sortCols.nonEmpty, "sortLayout needs at least one sort column")
     val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
     val readPoint = tl.completedInstants().lastOption.map(_.ts)
     val n = graft.read.SnapshotReader.recordedBuckets(tl, None).getOrElse(
       throw new IllegalArgumentException(
-        s"$basePath records no bucket count; sortLayout preserves the " +
-          "key→group routing and needs it recorded (re-create the table " +
-          "with a bucket-recording writer)"))
+        s"$basePath records no bucket count; a layout rewrite preserves " +
+          "the key→group routing and needs it recorded (re-create the " +
+          "table with a bucket-recording writer)"))
     val slices = tl.latestSlices(None).values
       .filter(sl => sl.relPath.nonEmpty || sl.deltas.nonEmpty).toSeq
     require(slices.nonEmpty, s"empty table at $basePath")
     val merged = graft.read.SnapshotReader
       .merge(spark, basePath, slices, Some(tl))
-    sortCols.foreach(c => require(merged.columns.contains(c),
-      s"sort column '$c' is not a table column"))
+    statCols.foreach(c => require(merged.columns.contains(c),
+      s"layout column '$c' is not a table column"))
+    val sortExprs = sortBy(merged)
     val data = merged
       .withColumn(CowWriter.FidCol,
         concat(col(MetaCols.PartitionPath), lit("-"),
@@ -107,13 +179,13 @@ object TableMaintenance {
       .withColumn(MetaCols.FileName,
         concat(col(CowWriter.FidCol), lit("_"), lit(ts), lit(".parquet")))
     val fs = tl.fs
-    val statsCols = MetaCols.RecordKey +: (sortCols ++
+    val statsCols = MetaCols.RecordKey +: (statCols ++
       FormatWriter.recordedExtra(tl, FormatWriter.StatsColsKey)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)).distinct
     val written = SliceFiles.write(fs, basePath, data, ts,
       (fid, t) => s"${fid}_$t.parquet",
-      statsCols = statsCols, sortCols = sortCols)
+      statsCols = statsCols, sortBy = sortExprs)
     val prior = slices.map(sl => sl.fileId -> sl).toMap
     val writtenFids = written.keys.map(_._2).toSet
     // groups whose every current row was a delete marker write no file:

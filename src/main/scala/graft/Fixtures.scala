@@ -86,7 +86,7 @@ object Fixtures {
     cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
     formatRtDir(spark, sfDir); sqlDmlDir(spark, sfDir)
     sortedDir(spark, sfDir); mirrorDir(spark, sfDir)
-    zorderDir(spark, sfDir)
+    zorderDir(spark, sfDir); archivedDir(spark, sfDir)
   }
 
   /** CDC MIRROR of the COW fixture: its full change feed (one
@@ -145,6 +145,34 @@ object Fixtures {
       w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C2)
       graft.write.TableMaintenance.zorderLayout(spark, dir, C3,
         Seq("o_custkey", "o_totalprice"))
+    }
+    dir
+  }
+
+  /** COW fixture history (same script as [[cowDir]]) with the timeline
+    * ARCHIVED down to one active commit: C1–C3 live only in an archive
+    * manifest. Snapshots, time travel and incremental reads must be
+    * byte-identical to the unarchived table (the oracle's check). */
+  def archivedDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_archived"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hasArchive = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/.hoodie/${Timeline.ArchiveDir}"))
+    if (!complete(spark, dir, 4) || !hasArchive) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = col("o_orderkey")
+      val w = new CowWriter(spark, dir, numBuckets = 8)
+      w.insert(orders, k, col("o_orderstatus"), C1)
+      w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C2)
+      w.upsert(orders.filter(k % 10 === 3 && k % 7 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000),
+        k, col("o_orderstatus"), C3)
+      w.delete(orders.filter(k % 11 === 5 && k % 7 =!= 0),
+        k, col("o_orderstatus"), C4)
+      graft.write.TableMaintenance.archiveTimeline(spark, dir,
+        keepActive = 1)
     }
     dir
   }

@@ -233,6 +233,15 @@ object SparkEntry {
         .filter(col("o_custkey") < 1000 &&
           col("o_totalprice").between(50000, 150000))
         .orderBy(col("o_orderkey"))),
+    // q_archive_snapshot / q_archive_time_travel (r7 tail): the COW
+    // fixture history with C1–C3 relocated into an archive manifest
+    // (keepActive=1) — snapshot AND time travel to an archived instant
+    // must be byte-identical to the unarchived table: archival changes
+    // where commit metadata is stored, never what history exists.
+    "q_archive_snapshot" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.archivedDir(s, d)))),
+    "q_archive_time_travel" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.archivedDir(s, d), Some(C2)))),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -902,6 +911,11 @@ object SparkEntry {
       (s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 " +
         "AND o_custkey < 1000 AND o_totalprice BETWEEN 50000 AND 150000 " +
         "ORDER BY o_orderkey"),
+    // archived timeline serves the SAME states as the unarchived table
+    "q_archive_snapshot" ->
+      s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
+    "q_archive_time_travel" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_incremental_cow" ->

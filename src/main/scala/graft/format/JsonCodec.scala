@@ -93,4 +93,27 @@ object JsonCodec {
       schemaJson = optStr(root, "schema"),
       extra = extra)
   }
+
+  /** Archive manifest: MANY completed instants' metadata in ONE file
+    * (`[{ts, action, meta}, …]`), the storage shape that keeps the active
+    * timeline directory small — see [[Timeline.archive]]. Entries nest the
+    * exact per-instant commit JSON, so archived and active metadata decode
+    * through the same path. */
+  def toArchiveJson(entries: Seq[(String, String, CommitMetadata)]): String = {
+    val root = mapper.createArrayNode()
+    entries.foreach { case (ts, action, meta) =>
+      val n = root.addObject()
+      n.put("ts", ts)
+      n.put("action", action)
+      n.set[JsonNode]("meta", mapper.readTree(toJson(meta)))
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def fromArchiveJson(json: String): Seq[(String, String, CommitMetadata)] =
+    mapper.readTree(json).asInstanceOf[ArrayNode].elements().asScala.map {
+      n =>
+        (n.get("ts").asText(), n.get("action").asText(),
+          fromJson(mapper.writeValueAsString(n.get("meta"))))
+    }.toSeq
 }

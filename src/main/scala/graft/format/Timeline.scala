@@ -32,9 +32,16 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
   // writers are picked up by the next operation, same staleness window as
   // Hudi's own timeline snapshot.
   private var instantsMemo: Option[Seq[Instant]] = None
+  // ts of instants whose commit file is in the ACTIVE directory (vs only
+  // in an archive manifest); populated alongside instantsMemo.
+  private var activeTsMemo: Set[String] = Set.empty
+  private var archiveMemo: Option[Map[String, (String, CommitMetadata)]] =
+    None
 
   /** Completed instants in timestamp order (memoized; one FS listing per
-    * instance — call [[refresh]] to force a re-list). */
+    * instance — call [[refresh]] to force a re-list). Includes ARCHIVED
+    * instants (see [[archive]]) — archival changes where metadata is
+    * stored, never what history exists. */
   def completedInstants(): Seq[Instant] = instantsMemo match {
     case Some(cached) => cached
     case None =>
@@ -44,11 +51,11 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
   }
 
   /** Drop the instant-listing memo (next call re-lists the FS). */
-  def refresh(): Unit = instantsMemo = None
+  def refresh(): Unit = { instantsMemo = None; archiveMemo = None }
 
   private def listInstants(): Seq[Instant] = {
     if (!Timeline.retryOnce(fs.exists(hoodieDir))) return Seq.empty
-    Timeline.retryOnce(fs.listStatus(hoodieDir)).toSeq
+    val active = Timeline.retryOnce(fs.listStatus(hoodieDir)).toSeq
       .map(_.getPath.getName)
       .collect {
         case n if n.endsWith(Timeline.CommitSuffix) =>
@@ -58,31 +65,69 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
           Instant(n.stripSuffix(Timeline.DeltaCommitSuffix),
             Instant.DeltaCommitAction, Instant.Completed)
       }
-      .sortBy(_.ts)
+    activeTsMemo = active.map(_.ts).toSet
+    // an instant present in BOTH (crash between archive publish and active
+    // delete) counts once — the copies are identical; active is preferred
+    // so a half-finished archive pass never changes reads
+    val fromArchive = archived().collect {
+      case (ts, (action, _)) if !activeTsMemo.contains(ts) =>
+        Instant(ts, action, Instant.Completed)
+    }
+    (active ++ fromArchive).sortBy(_.ts)
   }
+
+  /** Archived instants: ts → (action, metadata), one sequential read per
+    * archive manifest (JVM-cached — manifests are immutable once
+    * published). Empty for never-archived tables: ONE existence probe. */
+  private def archived(): Map[String, (String, CommitMetadata)] =
+    archiveMemo match {
+      case Some(m) => m
+      case None =>
+        val dir = new Path(hoodieDir, Timeline.ArchiveDir)
+        val m: Map[String, (String, CommitMetadata)] =
+          if (!Timeline.retryOnce(fs.exists(dir))) Map.empty
+          else Timeline.retryOnce(fs.listStatus(dir)).toSeq
+            .filter(_.getPath.getName.endsWith(".json"))
+            .flatMap(st => Timeline.archiveEntries(fs, st))
+            .map { case (ts, action, meta) => ts -> (action, meta) }
+            .toMap
+        archiveMemo = Some(m)
+        m
+    }
 
   /** Point lookup of a completed instant (ref: DeleteView.java:51-55). */
   def instantAt(ts: String): Option[Instant] =
     completedInstants().find(_.ts == ts)
+
+  /** Whether `ts` is completed AND its commit file is on the ACTIVE
+    * timeline (not relocated into an archive manifest). */
+  def isActive(ts: String): Boolean = {
+    completedInstants() // populates the active-ts memo
+    activeTsMemo.contains(ts)
+  }
 
   private def suffixOf(action: String): String = action match {
     case Instant.DeltaCommitAction => Timeline.DeltaCommitSuffix
     case _ => Timeline.CommitSuffix
   }
 
-  /** Decode the commit metadata for instant `ts` (memoized). */
+  /** Decode the commit metadata for instant `ts` (memoized; archived
+    * instants resolve from their archive manifest — same decode path). */
   def metadata(ts: String): CommitMetadata =
     memo.getOrElseUpdate(ts, {
       val i = instantAt(ts).getOrElse(
         throw new IllegalArgumentException(
           s"no completed instant at ts=$ts under $hoodieDir"))
-      val p = new Path(hoodieDir, ts + suffixOf(i.action))
-      Timeline.retryOnce {
-        val in = fs.open(p)
-        try JsonCodec.fromJson(
-          new String(org.apache.commons.io.IOUtils.toByteArray(in),
-            StandardCharsets.UTF_8))
-        finally in.close()
+      if (!activeTsMemo.contains(ts)) archived()(ts)._2
+      else {
+        val p = new Path(hoodieDir, ts + suffixOf(i.action))
+        Timeline.retryOnce {
+          val in = fs.open(p)
+          try JsonCodec.fromJson(
+            new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              StandardCharsets.UTF_8))
+          finally in.close()
+        }
       }
     })
 
@@ -279,13 +324,72 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
 
   /** Remove a completed instant's commit file from the timeline (rollback
     * support — data-file deletion is the caller's job, see
-    * graft.write.TableMaintenance). No-op if the instant doesn't exist. */
+    * graft.write.TableMaintenance). No-op if the instant doesn't exist.
+    * ARCHIVED instants refuse: archive manifests are immutable and shared
+    * by many instants — rollback must stay within the active timeline
+    * (the same restore-window contract as [[graft.write.TableMaintenance
+    * .clean]]). */
   def deleteCommit(ts: String): Unit =
     instantAt(ts).foreach { i =>
+      if (!activeTsMemo.contains(ts))
+        throw new IllegalStateException(
+          s"instant $ts is ARCHIVED; archived history is immutable — " +
+            "only commits still on the active timeline can be rolled back")
       fs.delete(new Path(hoodieDir, ts + suffixOf(i.action)), false)
       memo.remove(ts)
       instantsMemo = None
     }
+
+  /** ARCHIVE the timeline: move every completed instant except the newest
+    * `keepActive` into ONE immutable manifest under
+    * `.hoodie/${Timeline.ArchiveDir}/` (`<firstTs>_<lastTs>.json`,
+    * published by atomic rename), then delete the individual instant
+    * files. Pure metadata relocation: [[completedInstants]] and
+    * [[metadata]] serve archived instants transparently, so snapshots,
+    * time travel, incremental reads, CDC, recorded table properties and
+    * schema resolution are all unchanged — only ROLLBACK is restricted to
+    * the active tail.
+    *
+    * Why at 100 TB: a long-lived table commits continuously; after a year
+    * of 5-minute commits the `.hoodie` directory holds ~100k instant
+    * files, and EVERY reader's planning starts by listing it — on object
+    * storage that is the dominant metadata cost (and listings page). With
+    * archival the active directory stays O(`keepActive`) and history is
+    * read as a handful of sequential manifest files, decoded once per JVM
+    * ([[Timeline.archiveEntries]] cache) — Hudi's archived-timeline
+    * contract. Crash-safe: a crash between manifest publish and instant-
+    * file deletion leaves instants in both places; listing dedupes
+    * (active wins) and the next archive pass re-collects them.
+    *
+    * Returns the archived instant timestamps. */
+  def archive(keepActive: Int): Seq[String] = {
+    require(keepActive >= 1, "must keep at least the newest commit active")
+    Timeline.lockFor(fs.makeQualified(basePath).toString).synchronized {
+      refresh()
+      val activeInstants = completedInstants()
+        .filter(i => activeTsMemo.contains(i.ts))
+      if (activeInstants.size <= keepActive) return Seq.empty
+      val doomed = activeInstants.dropRight(keepActive)
+      val entries = doomed.map(i => (i.ts, i.action, metadata(i.ts)))
+      val dir = new Path(hoodieDir, Timeline.ArchiveDir)
+      fs.mkdirs(dir)
+      val name = s"${doomed.head.ts}_${doomed.last.ts}.json"
+      val tmp = new Path(dir, name + ".inflight")
+      val fin = new Path(dir, name)
+      val out = fs.create(tmp, true)
+      try out.write(JsonCodec.toArchiveJson(entries)
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // re-archival after a crash may rewrite the same range: identical
+      // content, so replacing the manifest is safe
+      fs.delete(fin, false)
+      require(fs.rename(tmp, fin), s"atomic archive rename failed for $fin")
+      doomed.foreach(i =>
+        fs.delete(new Path(hoodieDir, i.ts + suffixOf(i.action)), false))
+      refresh()
+      doomed.map(_.ts)
+    }
+  }
 
   /** Validate a USER-SUPPLIED commit-ts parameter (asOf / from / to /
     * deleteView / streaming from) against the table's fixed ts width:
@@ -385,6 +489,27 @@ object Timeline {
   val CommitSuffix = ".commit"
   val DeltaCommitSuffix = ".deltacommit"
   val ReservedSuffix = ".reserved"
+  val ArchiveDir = "archive"
+
+  // Parsed archive manifests, JVM-wide: manifests are immutable once
+  // published, so one decode serves every Timeline instance. Keyed by
+  // (qualified path, mtime, length) — a table recreated at the same path
+  // (tests, dev) can never serve a stale manifest.
+  private val archiveCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Seq[(String, String, CommitMetadata)]]()
+
+  private[format] def archiveEntries(fs: FileSystem,
+      st: org.apache.hadoop.fs.FileStatus)
+      : Seq[(String, String, CommitMetadata)] =
+    archiveCache.computeIfAbsent(
+      (st.getPath.toString, st.getModificationTime, st.getLen), _ =>
+        retryOnce {
+          val in = fs.open(st.getPath)
+          try JsonCodec.fromArchiveJson(
+            new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              StandardCharsets.UTF_8))
+          finally in.close()
+        })
 
   // Per-table commit locks for the OCC check+publish critical section
   // (same-JVM writers; see saveCommitOcc scaladoc for the multi-driver

@@ -109,6 +109,12 @@ final class GraftTable(spark: SparkSession, basePath: String) {
     * attempts' debris) older than `olderThanMs`. */
   def sweepOrphans(olderThanMs: Long = 60L * 60 * 1000): Seq[String] =
     graft.write.TableMaintenance.sweepOrphans(spark, basePath, olderThanMs)
+
+  /** Move all but the newest `keepActive` commits into immutable archive
+    * manifests — reads unchanged, `.hoodie` listings stay bounded on a
+    * long-lived table; see [[graft.format.Timeline.archive]]. */
+  def archiveTimeline(keepActive: Int): Seq[String] =
+    graft.write.TableMaintenance.archiveTimeline(spark, basePath, keepActive)
 }
 
 object GraftTable {

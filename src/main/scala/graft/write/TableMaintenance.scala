@@ -30,6 +30,11 @@ object TableMaintenance {
     val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
     val fs = tl.fs
     val doomed = tl.completedInstants().filter(_.ts > toTs).reverse
+    // validate BEFORE deleting anything: a doomed instant inside the
+    // archive would refuse mid-walk and leave a half-applied rollback
+    doomed.foreach(i => require(tl.isActive(i.ts),
+      s"instant ${i.ts} is ARCHIVED; archived history is immutable — " +
+        s"rollback target $toTs reaches past the active timeline"))
     doomed.foreach { i =>
       tl.metadata(i.ts).allStats.foreach { case (_, s) =>
         s.path.foreach(rel => fs.delete(new Path(s"$basePath/$rel"), false))
@@ -213,6 +218,16 @@ object TableMaintenance {
       readPoint = readPoint)
     written.keys.map(_._2).toSeq.sorted
   }
+
+  /** Archive the timeline: relocate all but the newest `keepActive`
+    * completed instants into immutable archive manifests — every read
+    * surface unchanged, rollback restricted to the active tail; see
+    * [[graft.format.Timeline.archive]] for the full contract and the
+    * 100 TB rationale (bounded `.hoodie` listings on object storage). */
+  def archiveTimeline(spark: SparkSession, basePath: String,
+      keepActive: Int): Seq[String] =
+    Timeline(spark.sessionState.newHadoopConf(), basePath)
+      .archive(keepActive)
 
   /** Sweep ORPHANED data files: parquet files under the table's partition
     * directories that NO commit on the timeline references — the debris of

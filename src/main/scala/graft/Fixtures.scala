@@ -87,6 +87,7 @@ object Fixtures {
     formatRtDir(spark, sfDir); sqlDmlDir(spark, sfDir)
     sortedDir(spark, sfDir); mirrorDir(spark, sfDir)
     zorderDir(spark, sfDir); archivedDir(spark, sfDir)
+    bloomDir(spark, sfDir)
   }
 
   /** CDC MIRROR of the COW fixture: its full change feed (one
@@ -173,6 +174,27 @@ object Fixtures {
         k, col("o_orderstatus"), C4)
       graft.write.TableMaintenance.archiveTimeline(spark, dir,
         keepActive = 1)
+    }
+    dir
+  }
+
+  /** Table with a per-file BLOOM skipping index on `o_custkey` (a non-key
+    * high-cardinality column whose values interleave across every file —
+    * min/max ranges are blind there): C1 format-create with
+    * `blooms=o_custkey`, C2 delete keys %7==0 (rewrites carry fresh
+    * blooms). Customer point-lookups plan only bloom-hit files. */
+  def bloomDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_bloom"
+    if (!complete(spark, dir, 2)) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      orders.write.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+        .option("buckets", "8").option("blooms", "o_custkey")
+        .option("ts", C1).save(dir)
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .write.format("graft").mode("append")
+        .option("operation", "delete").option("ts", C2).save(dir)
     }
     dir
   }

@@ -139,6 +139,19 @@ object SparkEntry {
       payload(SnapshotReader.read(s, dir)
         .filter(col(graft.format.MetaCols.RecordKey) === k.toString))
     }),
+    // q_bloom_lookup (r7 tail): equality lookup on a NON-key
+    // high-cardinality column (o_custkey) served by the per-file BLOOM
+    // index — custkey values interleave across every file so min/max
+    // ranges are blind and bucket routing doesn't apply (it serves the
+    // record key); the bloom proves absence per file at listing time
+    // (plan-asserted in BloomSpec).
+    "q_bloom_lookup" -> ((s, d) => {
+      val dir = Fixtures.bloomDir(s, d)
+      val c = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      payload(SnapshotReader.read(s, dir).filter(col("o_custkey") === c))
+    }),
     // q_key_lookup_in (r7 tail): multi-key IN-list lookup served by the
     // BUCKET index — pmod(xxhash64(key), buckets) names each key's one
     // candidate file group per partition, exact at any key density (dense
@@ -840,6 +853,10 @@ object SparkEntry {
         "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey = " +
         "(SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5) " +
         "ORDER BY o_orderkey"),
+    "q_bloom_lookup" ->
+      (s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 " +
+        "AND o_custkey = (SELECT min(o_custkey) FROM orders " +
+        "WHERE o_orderkey % 7 <> 0) ORDER BY o_orderkey"),
     "q_key_lookup_in" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +

@@ -34,6 +34,7 @@ object JsonCodec {
             st.min.fold[Unit](o.putNull("min"))(v => o.put("min", v))
             st.max.fold[Unit](o.putNull("max"))(v => o.put("max", v))
             st.nulls.foreach(o.put("nulls", _))
+            st.bloom.foreach(o.put("bloom", _))
           }
         }
       }
@@ -73,7 +74,8 @@ object JsonCodec {
                 min = optStr(o, "min"),
                 max = optStr(o, "max"),
                 nulls = Option(o.get("nulls")).filterNot(_.isNull)
-                  .map(_.asLong()))
+                  .map(_.asLong()),
+                bloom = optStr(o, "bloom"))
             }.toMap
             case _ => Map.empty // pre-stats commits
           })

@@ -56,7 +56,11 @@ final case class WriteStat(
 final case class ColStat(
     min: Option[String],
     max: Option[String],
-    nulls: Option[Long] = None)
+    nulls: Option[Long] = None,
+    /** base64(DEFLATE(k | bitset)) per-file bloom over the column's
+      * cast-to-string values — see [[Bloom]]. Recorded only for
+      * writer-declared bloom columns. */
+    bloom: Option[String] = None)
 
 /** Decoded commit file. Ref: HoodieCommitMetadata — the reference consumes
   * getPartitionToWriteStats and getTotalRecordsDeleted

@@ -178,13 +178,16 @@ object GraftFileIndex {
   /** One column's parsed stats for one file: typed min/max (internal
     * representation — UTF8String/Int/Long/...), null count, and the
     * ordering that compares them. min/max `None` with `nulls > 0` means
-    * the file's column is entirely null. */
+    * the file's column is entirely null. `bloom` is the decoded
+    * k-prefixed bitset payload when the writer recorded one
+    * ([[graft.format.Bloom]]). */
   private[read] final case class FileColStat(
       dataType: DataType,
       min: Option[Any],
       max: Option[Any],
       nulls: Option[Long],
-      ord: Ordering[Any])
+      ord: Ordering[Any],
+      bloom: Option[Array[Byte]] = None)
 
   /** Parse one file's recorded stats against the relation's data schema.
     * Columns missing from the schema (or failing to parse) are dropped —
@@ -210,7 +213,8 @@ object GraftFileIndex {
           // "all null"
           if (st.min.isDefined != mn.isDefined ||
               st.max.isDefined != mx.isDefined) None
-          else Some(name -> FileColStat(f.dataType, mn, mx, st.nulls, o))
+          else Some(name -> FileColStat(f.dataType, mn, mx, st.nulls, o,
+            bloom = st.bloom.flatMap(graft.format.Bloom.decode)))
         }
       }
     }
@@ -240,9 +244,24 @@ object GraftFileIndex {
         test: (FileColStat, Any) => Boolean): Boolean =
       if (v == null) true // null-literal compares match nothing; keep (safe)
       else statOf(a, dt).forall(st => test(st, v))
+    // bloom membership AND-composes with the range test: the bloom hashes
+    // the value's cast-to-string rendering — the same canonical form the
+    // writer's aggregate hashed — so a clear miss PROVES absence (no false
+    // negatives); rendering failure keeps the file (conservative)
+    def bloomPossible(st: FileColStat, v: Any): Boolean =
+      st.bloom.forall { bl =>
+        (try Option(Cast(Literal(v, st.dataType), StringType,
+          Some(org.apache.spark.sql.internal.SQLConf.get
+            .sessionLocalTimeZone)).eval(null))
+        catch { case scala.util.control.NonFatal(_) => None }) match {
+          case Some(s: UTF8String) => graft.format.Bloom.mightContain(bl, s)
+          case _ => true
+        }
+      }
     def eqPossible(st: FileColStat, v: Any): Boolean =
       st.min.exists(m => st.ord.lteq(m, v)) &&
-        st.max.exists(x => st.ord.gteq(x, v))
+        st.max.exists(x => st.ord.gteq(x, v)) &&
+        bloomPossible(st, v)
     e match {
       case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
       case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)

@@ -36,7 +36,9 @@ final class CowWriter(
     spark: SparkSession,
     basePath: String,
     numBuckets: Int,
-    statsCols: Seq[String] = Seq.empty) {
+    statsCols: Seq[String] = Seq.empty,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = graft.format.Bloom.DefaultBits) {
 
   import CowWriter._
 
@@ -275,7 +277,8 @@ final class CowWriter(
       : Map[(String, String), SliceFiles.Written] =
     SliceFiles.write(fs, basePath, data, ts,
       (fid, t) => s"${fid}_$t.parquet",
-      statsCols = MetaCols.RecordKey +: statsCols)
+      statsCols = MetaCols.RecordKey +: statsCols,
+      bloomCols = bloomCols, bloomBits = bloomBits)
 
   private def saveCommit(ts: String, stats: Iterable[(String, WriteStat)],
       totalDeleted: Long, op: String,

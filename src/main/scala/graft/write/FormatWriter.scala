@@ -84,6 +84,18 @@ private[graft] object FormatWriter {
     * (stats are per-file — new files simply record the new set). */
   val StatsColsKey = "stats"
 
+  /** Commit-extra key recording the comma-separated columns tracked by the
+    * per-file BLOOM skipping index (equality/IN lookups on
+    * high-cardinality payload columns, where min/max ranges go blind —
+    * see [[graft.format.Bloom]]). Declared via `.option("blooms",
+    * "c1,c2")`; bloom columns are implicitly stats columns too. */
+  val BloomColsKey = "blooms"
+
+  /** Commit-extra key for the per-file bloom size in bits
+    * (`.option("bloomBits", n)`; size to ~7× the expected per-file
+    * distinct count — undersized blooms keep files, never drop wrongly). */
+  val BloomBitsKey = "bloomBits"
+
   /** Hot stats columns: explicit option, else the set recorded at
     * creation/overwrite. */
   private def statsCols(parameters: Map[String, String],
@@ -92,6 +104,21 @@ private[graft] object FormatWriter {
       .orElse(recordedExtra(timeline, StatsColsKey))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+
+  /** Bloom-tracked columns: explicit option, else the set recorded at
+    * creation/overwrite. */
+  private def bloomCols(parameters: Map[String, String],
+      timeline: Timeline): Seq[String] =
+    parameters.get(BloomColsKey)
+      .orElse(recordedExtra(timeline, BloomColsKey))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  private def bloomBits(parameters: Map[String, String],
+      timeline: Timeline): Int =
+    parameters.get(BloomBitsKey)
+      .orElse(recordedExtra(timeline, BloomBitsKey))
+      .map(_.toInt).getOrElse(graft.format.Bloom.DefaultBits)
 
   private def required(parameters: Map[String, String], name: String): String =
     parameters.getOrElse(name, throw new IllegalArgumentException(
@@ -225,11 +252,16 @@ private[graft] object FormatWriter {
     require(nb >= 1, "buckets must be >= 1")
     val ts = parameters.getOrElse("ts", nextTs(timeline))
     val sc = statsCols(parameters, timeline)
-    new CowWriter(spark, basePath, nb, statsCols = sc)
+    val bc = bloomCols(parameters, timeline)
+    val bb = bloomBits(parameters, timeline)
+    new CowWriter(spark, basePath, nb, statsCols = sc,
+      bloomCols = bc, bloomBits = bb)
       .overwriteTable(df, col(key), col(part),
         ts, extra = Map(BucketsKey -> nb.toString, TypeKey -> tpe,
           KeyColKey -> key, PartColKey -> part) ++
-          (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty))
+          (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty) ++
+          (if (bc.nonEmpty) Map(BloomColsKey -> bc.mkString(","),
+            BloomBitsKey -> bb.toString) else Map.empty))
   }
 
   /** Table type: explicit option, else the type recorded at creation (or
@@ -316,15 +348,20 @@ private[graft] object FormatWriter {
           latest.filter(col(ct) === "delete").drop(ct, cc)))
       }
     val sc = statsCols(parameters, timeline)
+    val bc = bloomCols(parameters, timeline)
+    val bb = bloomBits(parameters, timeline)
     val createExtra = extra + (BucketsKey -> nb.toString) +
       (TypeKey -> tpe) + (KeyColKey -> key) + (PartColKey -> part) ++
-      (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty)
+      (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty) ++
+      (if (bc.nonEmpty) Map(BloomColsKey -> bc.mkString(","),
+        BloomBitsKey -> bb.toString) else Map.empty)
     // unreserve on every exit: a completed commit already cleared its
     // marker (no-op there); a no-op write (empty micro-batch) or a failed/
     // conflicted attempt releases its ts instead of orphaning the marker
     try {
       if (tpe == "mor") {
-        val w = new MorWriter(spark, basePath, nb, statsCols = sc)
+        val w = new MorWriter(spark, basePath, nb, statsCols = sc,
+          bloomCols = bc, bloomBits = bb)
         if (isNew) cdcSplit match {
           // bootstrapping a mirror: deletes of keys that never existed
           // are no-ops — only the net-surviving rows insert
@@ -350,7 +387,8 @@ private[graft] object FormatWriter {
           }
         }
       } else {
-        val w = new CowWriter(spark, basePath, nb, statsCols = sc)
+        val w = new CowWriter(spark, basePath, nb, statsCols = sc,
+          bloomCols = bc, bloomBits = bb)
         if (isNew) cdcSplit match {
           case Some((ups, _)) =>
             w.insert(ups, col(key), col(part), ts, extra = createExtra)

@@ -27,7 +27,9 @@ final class MorWriter(
     spark: SparkSession,
     basePath: String,
     numBuckets: Int,
-    statsCols: Seq[String] = Seq.empty) {
+    statsCols: Seq[String] = Seq.empty,
+    bloomCols: Seq[String] = Seq.empty,
+    bloomBits: Int = graft.format.Bloom.DefaultBits) {
 
   import CowWriter.FidCol
 
@@ -64,7 +66,8 @@ final class MorWriter(
     val data = withMeta(df, keyCol, partCol, ts)
     val written = SliceFiles.write(fs, basePath, data, ts,
       (fid, t) => s"${fid}_$t.parquet",
-      statsCols = MetaCols.RecordKey +: statsCols)
+      statsCols = MetaCols.RecordKey +: statsCols,
+      bloomCols = bloomCols, bloomBits = bloomBits)
     val stats = written.toSeq.map { case ((part, fid), w) =>
       part -> WriteStat(fid, Some(w.relPath), prevCommit = None,
         numWrites = w.rows, numDeletes = 0, numUpdateWrites = 0,
@@ -101,7 +104,8 @@ final class MorWriter(
 
     val written = SliceFiles.write(fs, basePath, deltaRows, ts,
       (fid, t) => s"${fid}_$t.delta.parquet",
-      statsCols = MetaCols.RecordKey +: statsCols)
+      statsCols = MetaCols.RecordKey +: statsCols,
+      bloomCols = bloomCols, bloomBits = bloomBits)
     // A present-but-EMPTY frame (e.g. an empty streaming micro-batch) wrote
     // nothing: no-op, no empty deltacommit on the timeline — and the op
     // counters below are never computed. This is what lets the streaming
@@ -182,7 +186,8 @@ final class MorWriter(
         concat(col(FidCol), lit("_"), lit(ts), lit(".parquet")))
     val written = SliceFiles.write(fs, basePath, merged, ts,
       (fid, t) => s"${fid}_$t.parquet",
-      statsCols = MetaCols.RecordKey +: statsCols)
+      statsCols = MetaCols.RecordKey +: statsCols,
+      bloomCols = bloomCols, bloomBits = bloomBits)
     // A group whose rows were all deleted writes no file: record a 0-row
     // stat so the slice is still superseded on the timeline.
     val writtenFids = written.keys.map(_._2).toSet

@@ -55,10 +55,17 @@ private[write] object SliceFiles {
     *                  on the sort columns — the layout half of data
     *                  skipping, complementing the file-level stats index.
     */
+  /** @param bloomCols columns to ALSO record a per-file bloom filter for
+    *                   (each is implicitly a stats column too — a bloom
+    *                   without min/max would read as "all null" to the
+    *                   skipping index); see [[graft.format.Bloom]].
+    *  @param bloomBits bloom bitset size in bits per file per column. */
   def write(fs: FileSystem, basePath: String, data: DataFrame, ts: String,
       fileName: (String, String) => String,
       statsCols: Seq[String] = Seq.empty,
-      sortBy: Seq[org.apache.spark.sql.Column] = Seq.empty)
+      sortBy: Seq[org.apache.spark.sql.Column] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      bloomBits: Int = graft.format.Bloom.DefaultBits)
       : Map[(String, String), Written] = {
     // Unique per ATTEMPT, not just per ts: concurrent writers that raced to
     // the same ts (possible across drivers on stores without atomic
@@ -87,22 +94,33 @@ private[write] object SliceFiles {
     // map-side combine; result is metadata-sized (#groups rows). min/max
     // compute on the NATIVE type (string ordering of numerics would be
     // wrong) and only the result is cast to string for storage.
-    val tracked = statsCols.distinct.filter(c =>
+    val blooms = bloomCols.distinct.filter(c =>
       data.schema.fields.exists(f =>
         f.name == c && statsSupported(f.dataType)))
-    val aggs = count(lit(1L)).as("__graft_cnt") +: tracked.flatMap { c =>
+    val tracked = (statsCols ++ blooms).distinct.filter(c =>
+      data.schema.fields.exists(f =>
+        f.name == c && statsSupported(f.dataType)))
+    val aggs = (count(lit(1L)).as("__graft_cnt") +: tracked.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"__min__$c"),
         max(col(c)).cast("string").as(s"__max__$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul__$c"))
+    }) ++ blooms.map { c =>
+      graft.functions.BloomAgg.bloom(col(c).cast("string"), bloomBits,
+        graft.format.Bloom.DefaultHashes).as(s"__blm__$c")
     }
     val counts = data.groupBy(MetaCols.PartitionPath, FidCol)
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
+        val bloomSet = blooms.toSet
         val stats = tracked.map { c =>
           c -> ColStat(
             min = Option(r.getAs[String](s"__min__$c")),
             max = Option(r.getAs[String](s"__max__$c")),
-            nulls = Some(r.getAs[Long](s"__nul__$c")))
+            nulls = Some(r.getAs[Long](s"__nul__$c")),
+            bloom = if (bloomSet(c))
+              Some(graft.format.Bloom.encode(
+                r.getAs[Array[Byte]](s"__blm__$c")))
+            else None)
         }.toMap
         (r.getString(0), r.getString(1)) ->
           (r.getAs[Long]("__graft_cnt"), stats)

@@ -188,9 +188,17 @@ object TableMaintenance {
       FormatWriter.recordedExtra(tl, FormatWriter.StatsColsKey)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)).distinct
+    // a layout rewrite must not LOSE the bloom index: rewritten files
+    // re-record blooms for the table's declared bloom columns
+    val bloomCols = FormatWriter.recordedExtra(tl, FormatWriter.BloomColsKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val bloomBits = FormatWriter.recordedExtra(tl, FormatWriter.BloomBitsKey)
+      .map(_.toInt).getOrElse(graft.format.Bloom.DefaultBits)
     val written = SliceFiles.write(fs, basePath, data, ts,
       (fid, t) => s"${fid}_$t.parquet",
-      statsCols = statsCols, sortBy = sortExprs)
+      statsCols = statsCols, sortBy = sortExprs,
+      bloomCols = bloomCols, bloomBits = bloomBits)
     val prior = slices.map(sl => sl.fileId -> sl).toMap
     val writtenFids = written.keys.map(_._2).toSet
     // groups whose every current row was a delete marker write no file:

@@ -76,6 +76,9 @@ private[write] object SliceFiles {
       s".tmp_${ts}_${java.util.UUID.randomUUID().toString.take(8)}")
     fs.delete(tmp, true)
 
+    val blooms = bloomCols.distinct.filter(c =>
+      data.schema.fields.exists(f =>
+        f.name == c && statsSupported(f.dataType)))
     val repart = data
       .withColumn(PartDirCol, col(MetaCols.PartitionPath))
       // FidCol doubles as the partitionBy column; it is dropped from file
@@ -86,7 +89,28 @@ private[write] object SliceFiles {
       else repart.sortWithinPartitions(
         Seq(PartDirCol, FidCol).map(col) ++ sortBy: _*)
 
-    withDirs.write
+    // Declared bloom columns ALSO get PARQUET-NATIVE bloom filters inside
+    // each written file (standard parquet write options, consumed by
+    // parquet-mr): the file-level index (commit-JSON blooms) drops whole
+    // files at PLANNING time; these drop ~128 MB ROW GROUPS inside the
+    // files it keeps — any parquet reader with filter pushdown (Spark's
+    // included) consults them, no engine code on the read path. Expected
+    // NDV mirrors the file-level sizing contract (`bloomBits` ≈ 7× the
+    // expected per-file distinct count); parquet sizes its bitset from it
+    // and caps at parquet.bloom.filter.max.bytes, so an underestimate only
+    // raises the false-positive rate (kept row groups, never wrong rows).
+    // Note parquet-mr SKIPS the bloom for a chunk that stays fully
+    // dictionary-encoded (verified on parquet 1.16): the dictionary already
+    // answers equality-membership per row group EXACTLY, so the bloom only
+    // materializes on the plain-encoding fallback — precisely the
+    // high-cardinality regime where membership pruning needs it.
+    val nativeBloomNdv = math.max(64L, bloomBits.toLong / 7L)
+    val writer = blooms.foldLeft(withDirs.write) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c",
+          nativeBloomNdv.toString)
+    }
+    writer
       .partitionBy(PartDirCol, FidCol)
       .parquet(tmp.toString)
 
@@ -94,9 +118,6 @@ private[write] object SliceFiles {
     // map-side combine; result is metadata-sized (#groups rows). min/max
     // compute on the NATIVE type (string ordering of numerics would be
     // wrong) and only the result is cast to string for storage.
-    val blooms = bloomCols.distinct.filter(c =>
-      data.schema.fields.exists(f =>
-        f.name == c && statsSupported(f.dataType)))
     val tracked = (statsCols ++ blooms).distinct.filter(c =>
       data.schema.fields.exists(f =>
         f.name == c && statsSupported(f.dataType)))

@@ -124,6 +124,43 @@ class BloomSpec extends SparkSpec {
       (1 to 300).count(_ % 11 == 0))
   }
 
+  test("declared bloom columns get PARQUET-NATIVE blooms in every file") {
+    import scala.jdk.CollectionConverters._
+    val dir = freshDir("bloom_native")
+    val w = new CowWriter(spark, dir, numBuckets = 2,
+      statsCols = Seq("c"), bloomCols = Seq("c"), bloomBits = 1 << 14)
+    w.insert(rowsC(200), $"k", $"p", Fixtures.C1)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = SnapshotReader.read(spark, dir).inputFiles
+    assert(files.length == 4)
+    files.foreach { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        val block = r.getFooter.getBlocks.get(0)
+        val byName = block.getColumns.asScala
+          .map(c => c.getPath.toDotString -> c).toMap
+        // declared column: a native bloom is written into the file — any
+        // parquet reader with filter pushdown prunes row groups by it.
+        // (This data's chunks are plain-encoded; parquet deliberately
+        // omits the bloom for fully dictionary-encoded chunks, where the
+        // dictionary already answers membership exactly.)
+        assert(byName("c").getBloomFilterOffset >= 0,
+          s"no native bloom for 'c' in $f")
+        assert(r.getBloomFilterDataReader(block)
+          .readBloomFilter(byName("c")) != null)
+        // undeclared column: no bloom (no per-column write cost paid)
+        assert(byName("k").getBloomFilterOffset < 0)
+      } finally r.close()
+    }
+    // behavioral: equality reads through the native-bloom files stay exact
+    val snap = SnapshotReader.read(spark, dir)
+    val some = rowsC(200).select("c").as[Int].head()
+    assert(snap.filter($"c" === some).count() ==
+      rowsC(200).filter($"c" === some).count())
+  }
+
   test("MOR: bloom skipping composes with slice share-fate") {
     val dir = freshDir("bloom_mor")
     val w = new MorWriter(spark, dir, numBuckets = 4,

@@ -87,7 +87,7 @@ object Fixtures {
     formatRtDir(spark, sfDir); sqlDmlDir(spark, sfDir)
     sortedDir(spark, sfDir); mirrorDir(spark, sfDir)
     zorderDir(spark, sfDir); archivedDir(spark, sfDir)
-    bloomDir(spark, sfDir)
+    bloomDir(spark, sfDir); savepointDir(spark, sfDir)
   }
 
   /** CDC MIRROR of the COW fixture: its full change feed (one
@@ -177,6 +177,32 @@ object Fixtures {
     }
     dir
   }
+
+  /** COW fixture history (same script as [[cowDir]]) with C2 SAVEPOINTED
+    * and the cleaner run at `retainCommits = 1`: every slice outside the
+    * head snapshot is reclaimed EXCEPT what the pinned C2 snapshot
+    * reaches. Time travel to C2 must still serve exactly (the oracle's
+    * check) — without the savepoint the same clean breaks it. */
+  def savepointDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/orders_savepoint"
+      if (!complete(spark, dir, 4)) {
+        rm(spark, dir)
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        val k = col("o_orderkey")
+        val w = new CowWriter(spark, dir, numBuckets = 8)
+        w.insert(orders, k, col("o_orderstatus"), C1)
+        w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C2)
+        w.upsert(orders.filter(k % 10 === 3 && k % 7 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100000),
+          k, col("o_orderstatus"), C3)
+        w.delete(orders.filter(k % 11 === 5 && k % 7 =!= 0),
+          k, col("o_orderstatus"), C4)
+        graft.write.TableMaintenance.savepoint(spark, dir, C2)
+        graft.write.TableMaintenance.clean(spark, dir, retainCommits = 1)
+      }
+      dir
+    }
 
   /** Table with a per-file BLOOM skipping index on `o_custkey` (a non-key
     * high-cardinality column whose values interleave across every file —

@@ -255,6 +255,13 @@ object SparkEntry {
       payload(SnapshotReader.read(s, Fixtures.archivedDir(s, d)))),
     "q_archive_time_travel" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.archivedDir(s, d), Some(C2)))),
+    // q_savepoint_read (r7 tail): time travel to a SAVEPOINTED instant
+    // AFTER clean(retainCommits=1) reclaimed everything else outside the
+    // head snapshot — the pinned C2 snapshot must serve exactly (without
+    // the savepoint the same clean deletes slices C2 needs).
+    "q_savepoint_read" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.savepointDir(s, d),
+        Some(C2)))),
     "q_time_travel_cow" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.cowDir(s, d), Some(C2)))),
     "q_incremental_cow" -> ((s, d) =>
@@ -932,6 +939,9 @@ object SparkEntry {
     "q_archive_snapshot" ->
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
     "q_archive_time_travel" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    // savepointed C2 snapshot after clean(1): post-C2-delete state intact
+    "q_savepoint_read" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_time_travel_cow" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",

@@ -322,6 +322,42 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
         n.stripSuffix(Timeline.ReservedSuffix) }
       .sorted
 
+  /** SAVEPOINT a completed instant: a `<ts>.savepoint` marker pinning that
+    * snapshot against reclamation — [[graft.write.TableMaintenance.clean]]
+    * keeps every file the savepointed snapshot reaches (however old), and
+    * [[archive]] stops BEFORE the oldest savepoint so the instant stays on
+    * the active timeline (restorable — rollback needs active instants).
+    * The Hudi savepoint analog: long-term retention points (month-end
+    * snapshots, pre-migration states) on a table whose cleaner otherwise
+    * bounds history to a short window. Markers are tiny metadata files;
+    * re-savepointing an already-pinned instant is a no-op. */
+  def savepoint(ts: String): Unit = {
+    require(instantAt(ts).nonEmpty,
+      s"cannot savepoint $ts: no completed instant at $hoodieDir")
+    require(isActive(ts),
+      s"cannot savepoint $ts: instant is ARCHIVED (archival keeps only " +
+        "metadata; the snapshot's files may already be cleaned)")
+    fs.create(new Path(hoodieDir, ts + Timeline.SavepointSuffix), true)
+      .close()
+  }
+
+  /** Release a savepoint: the pinned snapshot becomes reclaimable by the
+    * next [[graft.write.TableMaintenance.clean]] like any other old
+    * instant. No-op when `ts` was never savepointed. */
+  def releaseSavepoint(ts: String): Unit =
+    fs.delete(new Path(hoodieDir, ts + Timeline.SavepointSuffix), false)
+
+  /** Currently savepointed instants (markers whose instant still exists),
+    * in timestamp order. */
+  def savepoints(): Seq[String] = {
+    if (!Timeline.retryOnce(fs.exists(hoodieDir))) return Seq.empty
+    val marked = Timeline.retryOnce(fs.listStatus(hoodieDir)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.endsWith(Timeline.SavepointSuffix) =>
+        n.stripSuffix(Timeline.SavepointSuffix) }
+    marked.filter(ts => instantAt(ts).nonEmpty).sorted
+  }
+
   /** Remove a completed instant's commit file from the timeline (rollback
     * support — data-file deletion is the caller's job, see
     * graft.write.TableMaintenance). No-op if the instant doesn't exist.
@@ -369,7 +405,14 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
       val activeInstants = completedInstants()
         .filter(i => activeTsMemo.contains(i.ts))
       if (activeInstants.size <= keepActive) return Seq.empty
+      // archival stops BEFORE the oldest savepoint: a savepointed instant
+      // (and everything after it) stays on the active timeline so the
+      // pinned snapshot remains restorable — rollback refuses archived
+      // instants. Instants are sorted, so the filter keeps a prefix.
+      val firstSavepoint = savepoints().minOption
       val doomed = activeInstants.dropRight(keepActive)
+        .filter(i => firstSavepoint.forall(i.ts < _))
+      if (doomed.isEmpty) return Seq.empty
       val entries = doomed.map(i => (i.ts, i.action, metadata(i.ts)))
       val dir = new Path(hoodieDir, Timeline.ArchiveDir)
       fs.mkdirs(dir)
@@ -489,6 +532,7 @@ object Timeline {
   val CommitSuffix = ".commit"
   val DeltaCommitSuffix = ".deltacommit"
   val ReservedSuffix = ".reserved"
+  val SavepointSuffix = ".savepoint"
   val ArchiveDir = "archive"
 
   // Parsed archive manifests, JVM-wide: manifests are immutable once

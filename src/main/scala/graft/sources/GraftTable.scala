@@ -85,9 +85,30 @@ final class GraftTable(spark: SparkSession, basePath: String) {
   def rollback(toTs: String): Seq[String] =
     graft.write.TableMaintenance.rollback(spark, basePath, toTs)
 
-  /** Reclaim storage unreachable by the newest `retainCommits` snapshots. */
+  /** Reclaim storage unreachable by the newest `retainCommits` snapshots
+    * (savepointed snapshots are always kept). */
   def clean(retainCommits: Int): Seq[String] =
     graft.write.TableMaintenance.clean(spark, basePath, retainCommits)
+
+  /** Pin instant `ts`'s snapshot against [[clean]] and timeline archival —
+    * a long-term retention point; see
+    * [[graft.write.TableMaintenance.savepoint]]. */
+  def savepoint(ts: String): Unit =
+    graft.write.TableMaintenance.savepoint(spark, basePath, ts)
+
+  /** Release a savepoint (the snapshot becomes reclaimable again). */
+  def releaseSavepoint(ts: String): Unit =
+    graft.write.TableMaintenance.releaseSavepoint(spark, basePath, ts)
+
+  /** Currently savepointed instants, in timestamp order. */
+  def savepoints: Seq[String] = graft.format.Timeline(
+    spark.sessionState.newHadoopConf(), basePath).savepoints()
+
+  /** Roll the table back to savepointed instant `ts` — the guaranteed-
+    * servable form of [[rollback]]; see
+    * [[graft.write.TableMaintenance.restore]]. */
+  def restore(ts: String): Seq[String] =
+    graft.write.TableMaintenance.restore(spark, basePath, ts)
 
   /** Layout-only rewrite: every live group's current rows re-written
     * sorted by `sortCols` within each file (row-group pruning becomes

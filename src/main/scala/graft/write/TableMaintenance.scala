@@ -35,6 +35,12 @@ object TableMaintenance {
     doomed.foreach(i => require(tl.isActive(i.ts),
       s"instant ${i.ts} is ARCHIVED; archived history is immutable — " +
         s"rollback target $toTs reaches past the active timeline"))
+    // a SAVEPOINTED instant is an explicit retention promise — deleting it
+    // must be a two-step, deliberate act (release first), like Hudi
+    val pinned = tl.savepoints().toSet
+    doomed.foreach(i => require(!pinned.contains(i.ts),
+      s"instant ${i.ts} is SAVEPOINTED; release the savepoint before " +
+        s"rolling back past it"))
     doomed.foreach { i =>
       tl.metadata(i.ts).allStats.foreach { case (_, s) =>
         s.path.foreach(rel => fs.delete(new Path(s"$basePath/$rel"), false))
@@ -58,9 +64,14 @@ object TableMaintenance {
     val fs = tl.fs
     val instants = tl.completedInstants()
     if (instants.size <= retainCommits) return Seq.empty
+    // the retention window PLUS every savepointed snapshot: a savepoint
+    // pins its instant's reachable files against reclamation no matter how
+    // far outside the window it falls (long-term retention points on a
+    // table whose cleaner otherwise bounds history tightly)
     val retained = instants.takeRight(retainCommits)
-    val referenced: Set[String] = retained.flatMap { i =>
-      tl.latestSlices(Some(i.ts)).values.flatMap(sl =>
+    val protectedTss = retained.map(_.ts) ++ tl.savepoints()
+    val referenced: Set[String] = protectedTss.distinct.flatMap { ts =>
+      tl.latestSlices(Some(ts)).values.flatMap(sl =>
         sl.relPath.toSeq ++ sl.deltas.map(_.relPath))
     }.toSet
     val all: Seq[String] = instants
@@ -68,6 +79,37 @@ object TableMaintenance {
     val doomed = all.distinct.filterNot(referenced).sorted
     doomed.foreach(rel => fs.delete(new Path(s"$basePath/$rel"), false))
     doomed
+  }
+
+  /** SAVEPOINT instant `ts`: pin its snapshot against [[clean]] (its
+    * reachable files are always retained) and [[Timeline.archive]] (it
+    * stays on the active timeline, so [[restore]] keeps working). The Hudi
+    * savepoint analog — long-term retention points on a table whose
+    * cleaner otherwise bounds history to a short window. Metadata-only. */
+  def savepoint(spark: SparkSession, basePath: String, ts: String): Unit =
+    Timeline(spark.sessionState.newHadoopConf(), basePath).savepoint(ts)
+
+  /** Release a savepoint: the pinned snapshot becomes reclaimable by the
+    * next [[clean]]. */
+  def releaseSavepoint(spark: SparkSession, basePath: String,
+      ts: String): Unit =
+    Timeline(spark.sessionState.newHadoopConf(), basePath)
+      .releaseSavepoint(ts)
+
+  /** RESTORE the table to savepointed instant `ts`: a [[rollback]] whose
+    * target is GUARANTEED servable — the savepoint pinned every file the
+    * snapshot reaches against [[clean]] (plain rollback to an unpinned old
+    * commit may land on a snapshot whose slices the cleaner already
+    * reclaimed). Savepoints NEWER than `ts` must be released first
+    * (rollback refuses to delete a pinned instant). Returns the removed
+    * commit timestamps, newest first. */
+  def restore(spark: SparkSession, basePath: String,
+      ts: String): Seq[String] = {
+    val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    require(tl.savepoints().contains(ts),
+      s"$ts is not a savepoint on $basePath; use rollback(toTs) for " +
+        "unpinned targets (only within the cleaner's retention window)")
+    rollback(spark, basePath, ts)
   }
 
   /** Sort-layout rewrite (the sort half of Hudi clustering, within this

@@ -88,6 +88,7 @@ object Fixtures {
     sortedDir(spark, sfDir); mirrorDir(spark, sfDir)
     zorderDir(spark, sfDir); archivedDir(spark, sfDir)
     bloomDir(spark, sfDir); savepointDir(spark, sfDir)
+    rebucketDir(spark, sfDir)
   }
 
   /** CDC MIRROR of the COW fixture: its full change feed (one
@@ -177,6 +178,34 @@ object Fixtures {
     }
     dir
   }
+
+  /** Table REBUCKETED mid-history: C1 format-create of all orders at 4
+    * buckets, C2 delete keys %7==0, C3 `rebucket` to 9 (layout-only
+    * CLUSTER commit re-recording the count), C4 format append upserting
+    * keys %10==3 with o_totalprice += 100000 — routed by the RESCALED
+    * count resolved from commit metadata. Head snapshot must equal the
+    * same script without the rescale (the oracle's check). */
+  def rebucketDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/orders_rebucket"
+      if (!complete(spark, dir, 4)) {
+        rm(spark, dir)
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        val k = col("o_orderkey")
+        orders.write.format("graft")
+          .option("key", "o_orderkey").option("partition", "o_orderstatus")
+          .option("buckets", "4").option("ts", C1).save(dir)
+        orders.filter(k % 7 === 0).write.format("graft").mode("append")
+          .option("operation", "delete").option("ts", C2).save(dir)
+        graft.write.TableMaintenance.rebucket(spark, dir, C3,
+          newBuckets = 9)
+        orders.filter(k % 10 === 3 && k % 7 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100000)
+          .write.format("graft").mode("append")
+          .option("ts", C4).save(dir) // no buckets: rescaled count applies
+      }
+      dir
+    }
 
   /** COW fixture history (same script as [[cowDir]]) with C2 SAVEPOINTED
     * and the cleaner run at `retainCommits = 1`: every slice outside the

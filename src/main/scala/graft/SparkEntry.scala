@@ -255,6 +255,21 @@ object SparkEntry {
       payload(SnapshotReader.read(s, Fixtures.archivedDir(s, d)))),
     "q_archive_time_travel" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.archivedDir(s, d), Some(C2)))),
+    // q_rebucket_snapshot / q_rebucket_lookup (r7 tail): table RESCALED
+    // from 4 to 9 buckets mid-history (layout-only CLUSTER commit), then
+    // appended to through the rescaled routing — the snapshot must equal
+    // the same script without the rescale, and a key point-lookup prunes
+    // at the NEW grain (count resolved as of the snapshot instant).
+    "q_rebucket_snapshot" -> ((s, d) =>
+      payload(s.read.format("graft").load(Fixtures.rebucketDir(s, d)))),
+    "q_rebucket_lookup" -> ((s, d) => {
+      val dir = Fixtures.rebucketDir(s, d)
+      val k = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      payload(s.read.format("graft").load(dir)
+        .filter(col(graft.format.MetaCols.RecordKey) === k.toString))
+    }),
     // q_savepoint_read (r7 tail): time travel to a SAVEPOINTED instant
     // AFTER clean(retainCommits=1) reclaimed everything else outside the
     // head snapshot — the pinned C2 snapshot must serve exactly (without
@@ -940,6 +955,16 @@ object SparkEntry {
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
     "q_archive_time_travel" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    // rescaled table: rows equal the no-rescale script (C2 deletes out,
+    // C4 price bumps in)
+    "q_rebucket_snapshot" ->
+      s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    "q_rebucket_lookup" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey = " +
+        "(SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 7 <> 0) " +
+        "ORDER BY o_orderkey"),
     // savepointed C2 snapshot after clean(1): post-C2-delete state intact
     "q_savepoint_read" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",

@@ -126,6 +126,12 @@ final class GraftTable(spark: SparkSession, basePath: String) {
     graft.write.TableMaintenance.zorderLayout(spark, basePath, ts, zCols,
       bits)
 
+  /** Change the table's bucket count in one layout-only rewrite — the
+    * escape hatch for a table that outgrew (or never needed) its creation
+    * grain; see [[graft.write.TableMaintenance.rebucket]]. */
+  def rebucket(ts: String, newBuckets: Int): Seq[String] =
+    graft.write.TableMaintenance.rebucket(spark, basePath, ts, newBuckets)
+
   /** Delete data files no commit references (failed/conflicted write
     * attempts' debris) older than `olderThanMs`. */
   def sweepOrphans(olderThanMs: Long = 60L * 60 * 1000): Seq[String] =

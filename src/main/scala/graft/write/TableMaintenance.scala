@@ -192,25 +192,56 @@ object TableMaintenance {
     })
   }
 
+  /** REBUCKET: change the table's bucket count (file groups per partition)
+    * to `newBuckets` in ONE layout-only `CLUSTER` commit — every live
+    * group's CURRENT rows are re-routed by `pmod(xxhash64(key),
+    * newBuckets)` and rewritten; old groups that receive no rows under the
+    * new routing are superseded in the same commit. Row identity, commit
+    * times, and history are untouched (CDC and incremental reads emit
+    * nothing; time travel BEFORE this commit resolves the old count — the
+    * bucket count is re-recorded in this commit's metadata, and every
+    * reader/writer resolves it AS OF its snapshot instant, so pruning and
+    * upsert routing stay exact on both sides of the rescale).
+    *
+    * Why at 100 TB: the bucket count fixes the file-group grain at table
+    * creation, but tables grow — a count right at 1 TB leaves 100 GB file
+    * groups at 100 TB (each upsert rewrites one, each lookup reads one),
+    * while a count sized for 100 TB makes a small table all tiny files.
+    * This is the escape hatch (Hudi's bucket-rescale analog): one bounded
+    * rewrite, after which appends and bucket pruning run at the new grain.
+    * MOR deltas fold in (the rewrite of current state IS a compaction).
+    * Returns the NEW fileIds written. */
+  def rebucket(spark: SparkSession, basePath: String, ts: String,
+      newBuckets: Int): Seq[String] = {
+    require(newBuckets >= 1, "buckets must be >= 1")
+    layoutCommit(spark, basePath, ts, Seq.empty, _ => Seq.empty,
+      buckets = Some(newBuckets),
+      extraMeta = Map(FormatWriter.BucketsKey -> newBuckets.toString))
+  }
+
   /** Shared body of the layout rewrites: plan the current snapshot, keep
-    * bucket routing (fileIds) intact, rewrite every live group sorted
-    * within each file by `sortBy(merged)`, land ONE `CLUSTER` commit.
-    * `statCols` are validated as table columns and recorded in the
-    * file-stats index alongside the record key and the table's declared
-    * hot columns. */
+    * bucket routing (fileIds) intact — or re-route by `buckets` when a
+    * rescale overrides it — rewrite every live group sorted within each
+    * file by `sortBy(merged)`, land ONE `CLUSTER` commit carrying
+    * `extraMeta`. `statCols` are validated as table columns and recorded
+    * in the file-stats index alongside the record key and the table's
+    * declared hot columns. */
   private def layoutCommit(spark: SparkSession, basePath: String,
       ts: String, statCols: Seq[String],
       sortBy: org.apache.spark.sql.DataFrame =>
-        Seq[org.apache.spark.sql.Column]): Seq[String] = {
+        Seq[org.apache.spark.sql.Column],
+      buckets: Option[Int] = None,
+      extraMeta: Map[String, String] = Map.empty): Seq[String] = {
     import graft.format._
     import org.apache.spark.sql.functions._
     val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
     val readPoint = tl.completedInstants().lastOption.map(_.ts)
-    val n = graft.read.SnapshotReader.recordedBuckets(tl, None).getOrElse(
+    val n = buckets.orElse(
+      graft.read.SnapshotReader.recordedBuckets(tl, None)).getOrElse(
       throw new IllegalArgumentException(
         s"$basePath records no bucket count; a layout rewrite preserves " +
           "the key→group routing and needs it recorded (re-create the " +
-          "table with a bucket-recording writer)"))
+          "table with a bucket-recording writer, or rebucket)"))
     val slices = tl.latestSlices(None).values
       .filter(sl => sl.relPath.nonEmpty || sl.deltas.nonEmpty).toSeq
     require(slices.nonEmpty, s"empty table at $basePath")
@@ -264,7 +295,8 @@ object TableMaintenance {
       totalRecordsDeleted = 0,
       totalRecordsWritten = written.values.map(_.rows).sum,
       schemaJson = Some(MetaCols.canonicalSchema(
-        data.drop(CowWriter.FidCol).schema).json)),
+        data.drop(CowWriter.FidCol).schema).json),
+      extra = extraMeta),
       readPoint = readPoint)
     written.keys.map(_._2).toSeq.sorted
   }

@@ -89,6 +89,7 @@ object Fixtures {
     zorderDir(spark, sfDir); archivedDir(spark, sfDir)
     bloomDir(spark, sfDir); savepointDir(spark, sfDir)
     rebucketDir(spark, sfDir)
+    precombineDir(spark, sfDir, "cow"); precombineDir(spark, sfDir, "mor")
   }
 
   /** CDC MIRROR of the COW fixture: its full change feed (one
@@ -206,6 +207,39 @@ object Fixtures {
       }
       dir
     }
+
+  /** Table with an EVENT-TIME ordering column (`precombine=o_orderdate`):
+    * C1 format-create of all orders, C2 upsert of keys %10==3 where the
+    * %20==3 half is STALE (o_orderdate shifted 10000 days back, price
+    * +555555 — must NOT apply) and the %20==13 half is FRESH (o_orderdate
+    * +1 day, price +100000 — must apply). `tpe` picks COW (write-time
+    * resolution) or MOR with the delta left un-compacted (merge-time
+    * resolution). All arithmetic key-derived → exactly mirrorable in the
+    * DuckDB oracle. */
+  def precombineDir(spark: SparkSession, sfDir: String,
+      tpe: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_precombine_$tpe"
+    if (!complete(spark, dir, 2)) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = col("o_orderkey")
+      orders.write.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+        .option("type", tpe).option("buckets", "8")
+        .option("precombine", "o_orderdate")
+        .option("ts", C1).save(dir)
+      orders.filter(k % 10 === 3)
+        .withColumn("o_orderdate",
+          when(k % 20 === 3,
+            col("o_orderdate") - expr("INTERVAL 10000 DAYS"))
+            .otherwise(col("o_orderdate") + expr("INTERVAL 1 DAY")))
+        .withColumn("o_totalprice",
+          when(k % 20 === 3, col("o_totalprice") + 555555)
+            .otherwise(col("o_totalprice") + 100000))
+        .write.format("graft").mode("append").option("ts", C2).save(dir)
+    }
+    dir
+  }
 
   /** COW fixture history (same script as [[cowDir]]) with C2 SAVEPOINTED
     * and the cleaner run at `retainCommits = 1`: every slice outside the

@@ -255,6 +255,18 @@ object SparkEntry {
       payload(SnapshotReader.read(s, Fixtures.archivedDir(s, d)))),
     "q_archive_time_travel" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.archivedDir(s, d), Some(C2)))),
+    // q_precombine_cow / q_precombine_mor (r7 tail): EVENT-TIME ordering
+    // (the Hudi precombine analog) — an upsert batch carrying half STALE
+    // rows (older o_orderdate; must not apply) and half FRESH rows (newer;
+    // must apply). COW resolves at write time, MOR at merge time (the
+    // delta is left un-compacted so the format read plans the ordering-
+    // aware window merge).
+    "q_precombine_cow" -> ((s, d) =>
+      payload(s.read.format("graft")
+        .load(Fixtures.precombineDir(s, d, "cow")))),
+    "q_precombine_mor" -> ((s, d) =>
+      payload(s.read.format("graft")
+        .load(Fixtures.precombineDir(s, d, "mor")))),
     // q_rebucket_snapshot / q_rebucket_lookup (r7 tail): table RESCALED
     // from 4 to 9 buckets mid-history (layout-only CLUSTER commit), then
     // appended to through the rescaled routing — the snapshot must equal
@@ -955,6 +967,17 @@ object SparkEntry {
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
     "q_archive_time_travel" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    // event-time ordering: only the FRESH half of the upsert applied
+    "q_precombine_cow" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 20 = 13 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 20 = 13 THEN o_orderdate + INTERVAL 1 DAY ELSE o_orderdate END AS o_orderdate, " +
+        "o_orderpriority FROM orders ORDER BY o_orderkey"),
+    "q_precombine_mor" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 20 = 13 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "CASE WHEN o_orderkey % 20 = 13 THEN o_orderdate + INTERVAL 1 DAY ELSE o_orderdate END AS o_orderdate, " +
+        "o_orderpriority FROM orders ORDER BY o_orderkey"),
     // rescaled table: rows equal the no-rescale script (C2 deletes out,
     // C4 price bumps in)
     "q_rebucket_snapshot" ->

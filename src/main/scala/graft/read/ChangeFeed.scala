@@ -109,14 +109,28 @@ object ChangeFeed {
       .fold(SnapshotReader.evolvedRead(spark, paths))(
         SnapshotReader.schemaRead(spark, paths, _))
 
+    // EVENT-TIME ordering tables (precombine): a stale delta row LOSES the
+    // merge and changes nothing — it must not surface as a change either.
+    // Base commits need no handling (a losing incoming row is never
+    // stamped with the commit's ts — the carried old winner keeps its
+    // original commit time); delta commits compare against the pre-commit
+    // state's ordering value below.
+    val pcOpt =
+      if (i.action == Instant.DeltaCommitAction)
+        tl.recordedExtraAsOf(graft.write.FormatWriter.PrecombineKey,
+          Some(i.ts)).filter(raw.columns.contains)
+      else None
+
     val changed =
       if (i.action == Instant.DeltaCommitAction) {
         // within-commit dedupe, delete-wins (same tiebreak as the snapshot
         // merge): an upsert+delete of one key in one commit is a delete —
-        // it must not ALSO surface as an update
+        // it must not ALSO surface as an update; with ordering declared,
+        // the greatest ordering value wins among the commit's upserts
         val w = Window.partitionBy(MetaCols.RecordKey)
-          .orderBy(col(SnapshotReader.IsDeleted).desc,
-            col(MetaCols.CommitSeqno).desc)
+          .orderBy((col(SnapshotReader.IsDeleted).desc +:
+            pcOpt.map(pc => col(pc).desc_nulls_last).toSeq :+
+            col(MetaCols.CommitSeqno).desc): _*)
         raw.withColumn("__cf_rn", row_number().over(w))
           .filter(col("__cf_rn") === 1 &&
             !col(SnapshotReader.IsDeleted))
@@ -128,27 +142,39 @@ object ChangeFeed {
         raw.filter(col(MetaCols.CommitTime) === i.ts)
       }
 
-    val prevKeys: Option[DataFrame] = prevTs.flatMap { p =>
+    val prevState: Option[DataFrame] = prevTs.flatMap { p =>
       val touched = meta.allStats.map(_._2.fileId).toSet
       val prevSlices = tl.latestSlices(Some(p)).values
         .filter(sl => touched.contains(sl.fileId)).toSeq
       if (prevSlices.forall(sl =>
           sl.relPath.isEmpty && sl.deltas.isEmpty) || prevSlices.isEmpty)
         None
-      else Some(SnapshotReader
-        .merge(spark, basePath, prevSlices, Some(tl), Some(p))
-        .select(MetaCols.RecordKey))
+      else {
+        val prev = SnapshotReader
+          .merge(spark, basePath, prevSlices, Some(tl), Some(p))
+        // key-only probe, plus the previous ordering value when declared
+        Some(prev.select((col(MetaCols.RecordKey) +:
+          pcOpt.map(pc => col(pc).as("__cf_prev_ord")).toSeq): _*))
+      }
     }
 
-    Some(prevKeys match {
+    Some(prevState match {
       case Some(pk) =>
         // keys in a snapshot are unique (the table's Hudi-parity key
         // guarantee), so no distinct — the probe side stays shuffle-free
-        changed.join(pk.withColumn("__cf_existed", lit(1)),
+        val joined = changed.join(pk.withColumn("__cf_existed", lit(1)),
             Seq(MetaCols.RecordKey), "left_outer")
           .withColumn(ChangeType,
             when(col("__cf_existed").isNull, "insert").otherwise("update"))
-          .drop("__cf_existed")
+        val resolved = pcOpt match {
+          case Some(pc) => joined // stale delta (loses the merge): no change
+            .filter(col("__cf_existed").isNull ||
+              col("__cf_prev_ord").isNull ||
+              col(pc) >= col("__cf_prev_ord"))
+            .drop("__cf_prev_ord")
+          case None => joined
+        }
+        resolved.drop("__cf_existed")
       case None => changed.withColumn(ChangeType, lit("insert"))
     })
   }

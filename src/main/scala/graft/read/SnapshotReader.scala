@@ -209,16 +209,45 @@ object SnapshotReader {
         Seq(baseRead(mergeBase)
           .withColumn(IsDeleted, lit(false))) else Seq.empty) :+ deltas
       val all = unioned.reduce(_.unionByName(_, allowMissingColumns = true))
-      // Tiebreak: within one commit a delete marker beats an upsert of the
-      // same key (deterministic delete-wins semantics; SURVEY.md §7.5 #2 —
-      // same key written twice in one commit must not be order-dependent).
-      val w = Window.partitionBy(MetaCols.RecordKey)
-        .orderBy(col(MetaCols.CommitTime).desc, col(IsDeleted).desc,
-          col(MetaCols.CommitSeqno).desc)
-      Some(all
-        .withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") === 1 && !col(IsDeleted))
-        .select(cols.map(col).toIndexedSeq: _*))
+      // EVENT-TIME ordering (precombine): when the table declared an
+      // ordering column, the row version with the GREATEST ordering value
+      // wins regardless of arrival order — a late-arriving stale delta
+      // cannot shadow newer data. Deletes stay ABSOLUTE (commit-ordered):
+      // the newest delete marker cuts the key's history at its commit, rows
+      // written after it resurrect, rows at/before it are dead (within one
+      // commit the marker still beats the upsert — delete-wins preserved).
+      // Both window functions share one partitioning → ONE shuffle.
+      val pcCol = tl.recordedExtraAsOf(
+        graft.write.FormatWriter.PrecombineKey, asOf)
+        .filter(all.columns.contains)
+      val resolved = pcCol match {
+        case Some(pc) =>
+          val kw = Window.partitionBy(MetaCols.RecordKey)
+          val delCut = max(when(col(IsDeleted), col(MetaCols.CommitTime)))
+            .over(kw)
+          // rank only LIVE rows (post-cut survivors): a dead stale row with
+          // the max ordering value must not steal rn=1 from a resurrected
+          // key. Both windows partition by the key → one shuffle (the
+          // filter preserves the exchange's partitioning).
+          val live = all.withColumn("__graft_delcut", delCut)
+            .filter(!col(IsDeleted) && (col("__graft_delcut").isNull ||
+              col(MetaCols.CommitTime) > col("__graft_delcut")))
+          val w = kw.orderBy(col(pc).desc_nulls_last,
+            col(MetaCols.CommitTime).desc, col(MetaCols.CommitSeqno).desc)
+          live.withColumn("__graft_rn", row_number().over(w))
+            .filter(col("__graft_rn") === 1)
+        case None =>
+          // Tiebreak: within one commit a delete marker beats an upsert of
+          // the same key (deterministic delete-wins semantics; SURVEY.md
+          // §7.5 #2 — same key written twice in one commit must not be
+          // order-dependent).
+          val w = Window.partitionBy(MetaCols.RecordKey)
+            .orderBy(col(MetaCols.CommitTime).desc, col(IsDeleted).desc,
+              col(MetaCols.CommitSeqno).desc)
+          all.withColumn("__graft_rn", row_number().over(w))
+            .filter(col("__graft_rn") === 1 && !col(IsDeleted))
+      }
+      Some(resolved.select(cols.map(col).toIndexedSeq: _*))
     } else None
 
     (plainScan.toSeq ++ merged.toSeq)

@@ -38,7 +38,8 @@ final class CowWriter(
     numBuckets: Int,
     statsCols: Seq[String] = Seq.empty,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = graft.format.Bloom.DefaultBits) {
+    bloomBits: Int = graft.format.Bloom.DefaultBits,
+    precombine: Option[String] = None) {
 
   import CowWriter._
 
@@ -152,6 +153,41 @@ final class CowWriter(
     val changeKeys = (up.map(_.select(MetaCols.RecordKey)).toSeq ++
       del.map(_.select(MetaCols.RecordKey))).reduce(_ unionByName _).distinct()
 
+    // EVENT-TIME resolution (precombine declared, and this commit carries
+    // updates): instead of incoming-always-wins, each key keeps the
+    // version with the GREATEST ordering value — ties go to the incoming
+    // row (newer commit). An old row that wins is carried over with its
+    // ORIGINAL meta columns, exactly like a survivor; a losing incoming
+    // row lands nowhere. Deletes stay absolute (anti-joined out first).
+    // Costs one window shuffle over the touched groups' rows — only paid
+    // on tables that opted into ordering.
+    val resolvedPc: Option[DataFrame] = (precombine, old, up) match {
+      case (Some(pc), Some(o), Some(u)) =>
+        require(u.columns.contains(pc),
+          s"this table orders upserts by '$pc' (precombine); the update " +
+            "frame does not carry that column")
+        val oldKept = del.fold(o)(d =>
+          o.join(d.select(MetaCols.RecordKey).distinct(),
+            Seq(MetaCols.RecordKey), "left_anti"))
+          .withColumn(FidCol, fileIdCol)
+          .withColumn(MetaCols.FileName,
+            concat(col(FidCol), lit("_"), lit(ts), lit(".parquet")))
+          .withColumn(NewCol, lit(0))
+        val cand = oldKept
+          .unionByName(u.withColumn(NewCol, lit(1)),
+            allowMissingColumns = true)
+        val kw = org.apache.spark.sql.expressions.Window
+          .partitionBy(MetaCols.RecordKey)
+        val w = kw.orderBy(col(pc).desc_nulls_last, col(NewCol).desc,
+          col(MetaCols.CommitSeqno).desc)
+        Some(cand
+          .withColumn(HadOldCol,
+            max(when(col(NewCol) === 0, 1).otherwise(0)).over(kw))
+          .withColumn(RnCol, row_number().over(w))
+          .filter(col(RnCol) === 1))
+      case _ => None
+    }
+
     // Survivors keep their original _hoodie_commit_time/_seqno (COW
     // semantics: unchanged rows are carried over), but move to the new file.
     val survivors = old.map { o =>
@@ -163,8 +199,11 @@ final class CowWriter(
 
     // allowMissingColumns: an upsert may ADD payload columns (schema
     // evolution) — carried-over survivors read them as null.
-    val newData = (survivors.toSeq ++ up.toSeq)
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val newData = resolvedPc match {
+      case Some(r) => r.drop(RnCol, NewCol, HadOldCol)
+      case None => (survivors.toSeq ++ up.toSeq)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
 
     val written = writeSlices(newData, ts)
 
@@ -174,9 +213,13 @@ final class CowWriter(
     // Distinct per (key, op): duplicate keys in the user-supplied frames must
     // not inflate the counters (survivors already use distinct changeKeys).
     // Ref invariant: totalRecordsDeleted must be exact (DeleteView.java:186).
+    // precombine mode: update counts come from the resolved winners below
+    // (a losing incoming row is NOT an update — the snapshot is unchanged),
+    // so only deletes go through the existence join.
     val tagged = (del.map(_.select(col(MetaCols.RecordKey))
         .withColumn(OpCol, lit("d"))).toSeq ++
-      up.map(_.select(col(MetaCols.RecordKey)).withColumn(OpCol, lit("u"))))
+      (if (resolvedPc.isEmpty) up else None)
+        .map(_.select(col(MetaCols.RecordKey)).withColumn(OpCol, lit("u"))))
       .reduceOption(_ unionByName _)
       .map(_.distinct())
     val opCounts: Map[(String, String), Long] = (old, tagged) match {
@@ -189,7 +232,13 @@ final class CowWriter(
       case _ => Map.empty
     }
     val deletedPerFid = opCounts.collect { case ((f, "d"), n) => f -> n }
-    val updatedPerFid = opCounts.collect { case ((f, "u"), n) => f -> n }
+    val updatedPerFid: Map[String, Long] = resolvedPc match {
+      case Some(r) => r
+        .filter(col(NewCol) === 1 && col(HadOldCol) === 1)
+        .groupBy(col(FidCol)).count().collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      case None => opCounts.collect { case ((f, "u"), n) => f -> n }.toMap
+    }
 
     // Groups fully emptied by deletes produce no file: record a 0-row stat so
     // the delete view still sees prevCommit + numDeletes for them.
@@ -304,4 +353,9 @@ object CowWriter {
   private[graft] val FidCol = "__graft_fid"
   /** Helper column tagging change rows with their operation (d/u). */
   private val OpCol = "__graft_op"
+  /** Precombine-resolution helper columns (incoming flag, window rank,
+    * key-had-an-old-row flag). */
+  private val NewCol = "__graft_new"
+  private val RnCol = "__graft_rn"
+  private val HadOldCol = "__graft_had_old"
 }

@@ -77,6 +77,16 @@ private[graft] object FormatWriter {
   val KeyColKey = "key"
   val PartColKey = "partition"
 
+  /** Commit-extra key recording the table's EVENT-TIME ordering column
+    * (Hudi's precombine field): when declared at creation/overwrite via
+    * `.option("precombine", col)`, the row version with the GREATEST
+    * ordering value wins an upsert regardless of arrival order — COW
+    * resolves at write time, MOR at merge time — so late-arriving stale
+    * updates cannot shadow newer data (out-of-order ingest, replayed
+    * batches, backfills). Deletes stay ABSOLUTE (commit-ordered). Null
+    * ordering values lose to any non-null; ties go to the newer commit. */
+  val PrecombineKey = "precombine"
+
   /** Commit-extra key recording the comma-separated HOT payload columns
     * tracked by the column-stats skipping index (the record key is always
     * tracked). Declared at creation via `.option("stats", "c1,c2")`,
@@ -148,6 +158,26 @@ private[graft] object FormatWriter {
   private[graft] def recordedExtra(timeline: Timeline,
       key: String): Option[String] =
     timeline.recordedExtraAsOf(key, None)
+
+  /** Event-time ordering column: recorded at creation/overwrite; appends
+    * resolve it from metadata. A contradicting explicit option is an
+    * error, and declaring one on an EXISTING table without a recorded
+    * column is too (rows written before the declaration would carry
+    * arbitrary ordering — re-create or overwrite to declare). */
+  private def precombineCol(parameters: Map[String, String],
+      timeline: Timeline): Option[String] = {
+    val recorded = recordedExtra(timeline, PrecombineKey)
+    val opt = parameters.get(PrecombineKey)
+    val exists = timeline.completedInstants().nonEmpty
+    (opt, recorded) match {
+      case (Some(o), Some(r)) if o != r => throw new IllegalArgumentException(
+        s"""precombine=$o contradicts the table's recorded ordering column "$r"""")
+      case (Some(_), None) if exists => throw new IllegalArgumentException(
+        "precombine is declared at table creation or overwrite; this " +
+          "table records none (existing rows would carry arbitrary ordering)")
+      case (o, r) => o.orElse(r)
+    }
+  }
 
   /** Bucket count: explicit option, else the count recorded at table
     * creation (or the newest overwrite), else (for a NEW table only) 8. An
@@ -254,14 +284,18 @@ private[graft] object FormatWriter {
     val sc = statsCols(parameters, timeline)
     val bc = bloomCols(parameters, timeline)
     val bb = bloomBits(parameters, timeline)
+    // re-creation point: the ordering column may be (re)declared here
+    val pc = parameters.get(PrecombineKey)
+      .orElse(recordedExtra(timeline, PrecombineKey))
     new CowWriter(spark, basePath, nb, statsCols = sc,
-      bloomCols = bc, bloomBits = bb)
+      bloomCols = bc, bloomBits = bb, precombine = pc)
       .overwriteTable(df, col(key), col(part),
         ts, extra = Map(BucketsKey -> nb.toString, TypeKey -> tpe,
           KeyColKey -> key, PartColKey -> part) ++
           (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty) ++
           (if (bc.nonEmpty) Map(BloomColsKey -> bc.mkString(","),
-            BloomBitsKey -> bb.toString) else Map.empty))
+            BloomBitsKey -> bb.toString) else Map.empty) ++
+          pc.map(PrecombineKey -> _))
   }
 
   /** Table type: explicit option, else the type recorded at creation (or
@@ -350,16 +384,20 @@ private[graft] object FormatWriter {
     val sc = statsCols(parameters, timeline)
     val bc = bloomCols(parameters, timeline)
     val bb = bloomBits(parameters, timeline)
+    val pc = precombineCol(parameters, timeline)
     val createExtra = extra + (BucketsKey -> nb.toString) +
       (TypeKey -> tpe) + (KeyColKey -> key) + (PartColKey -> part) ++
       (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty) ++
       (if (bc.nonEmpty) Map(BloomColsKey -> bc.mkString(","),
-        BloomBitsKey -> bb.toString) else Map.empty)
+        BloomBitsKey -> bb.toString) else Map.empty) ++
+      pc.map(PrecombineKey -> _)
     // unreserve on every exit: a completed commit already cleared its
     // marker (no-op there); a no-op write (empty micro-batch) or a failed/
     // conflicted attempt releases its ts instead of orphaning the marker
     try {
       if (tpe == "mor") {
+        // MOR needs no writer-side ordering: deltas append as written and
+        // the snapshot merge resolves by the recorded ordering column
         val w = new MorWriter(spark, basePath, nb, statsCols = sc,
           bloomCols = bc, bloomBits = bb)
         if (isNew) cdcSplit match {
@@ -388,7 +426,7 @@ private[graft] object FormatWriter {
         }
       } else {
         val w = new CowWriter(spark, basePath, nb, statsCols = sc,
-          bloomCols = bc, bloomBits = bb)
+          bloomCols = bc, bloomBits = bb, precombine = pc)
         if (isNew) cdcSplit match {
           case Some((ups, _)) =>
             w.insert(ups, col(key), col(part), ts, extra = createExtra)

@@ -90,6 +90,7 @@ object Fixtures {
     bloomDir(spark, sfDir); savepointDir(spark, sfDir)
     rebucketDir(spark, sfDir)
     precombineDir(spark, sfDir, "cow"); precombineDir(spark, sfDir, "mor")
+    pdropDir(spark, sfDir)
   }
 
   /** CDC MIRROR of the COW fixture: its full change feed (one
@@ -237,6 +238,29 @@ object Fixtures {
           when(k % 20 === 3, col("o_totalprice") + 555555)
             .otherwise(col("o_totalprice") + 100000))
         .write.format("graft").mode("append").option("ts", C2).save(dir)
+    }
+    dir
+  }
+
+  /** Table with a METADATA-ONLY partition drop in its history: C1
+    * format-create of all orders, C2 upsert keys %10==3 (price +100000),
+    * C3 `deletePartitions("F")` — no data job, the F groups are
+    * superseded filelessly. Snapshot serves only the surviving
+    * partitions; time travel to C2 still serves F. */
+  def pdropDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_pdrop"
+    if (!complete(spark, dir, 3)) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = col("o_orderkey")
+      orders.write.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+        .option("buckets", "8").option("ts", C1).save(dir)
+      orders.filter(k % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000)
+        .write.format("graft").mode("append").option("ts", C2).save(dir)
+      graft.write.TableMaintenance.deletePartitions(spark, dir, C3,
+        Seq("F"))
     }
     dir
   }

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // INSERT — resolved-plan rewrites into commit-producing commands
     // (see [[graft.sql.GraftDmlRule]]).
     ext.injectResolutionRule(new graft.sql.GraftDmlRule(_))
+    // TIME TRAVEL resolves in the hint batch — before ResolveRelations
+    // rejects commit-ts literals it cannot cast to TIMESTAMP
+    ext.injectHintResolutionRule(new graft.sql.GraftTimeTravelRule(_))
   }
 }
 

@@ -255,6 +255,25 @@ object SparkEntry {
       payload(SnapshotReader.read(s, Fixtures.archivedDir(s, d)))),
     "q_archive_time_travel" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.archivedDir(s, d), Some(C2)))),
+    // q_partition_delete / q_partition_delete_tt (r7 tail): METADATA-ONLY
+    // partition drop — the snapshot stops serving partition F with zero
+    // data IO; time travel before the drop still serves it.
+    "q_partition_delete" -> ((s, d) =>
+      payload(s.read.format("graft").load(Fixtures.pdropDir(s, d)))),
+    "q_partition_delete_tt" -> ((s, d) =>
+      payload(SnapshotReader.read(s, Fixtures.pdropDir(s, d), Some(C2)))),
+    // q_sql_time_travel (r7 tail): `TIMESTAMP AS OF` SQL on a graft
+    // catalog table resolves to the same planned as-of snapshot.
+    "q_sql_time_travel" -> ((s, d) => {
+      val dir = Fixtures.cowDir(s, d)
+      val tbl = "graft_tt_fixture"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$dir')")
+      // the analyzed plan is a self-contained file relation — dropping the
+      // catalog entry afterwards does not invalidate it
+      try payload(s.sql(s"SELECT * FROM $tbl TIMESTAMP AS OF '$C2'"))
+      finally s.sql(s"DROP TABLE $tbl")
+    }),
     // q_precombine_cow / q_precombine_mor (r7 tail): EVENT-TIME ordering
     // (the Hudi precombine analog) — an upsert batch carrying half STALE
     // rows (older o_orderdate; must not apply) and half FRESH rows (newer;
@@ -966,6 +985,20 @@ object SparkEntry {
     "q_archive_snapshot" ->
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
     "q_archive_time_travel" ->
+      s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
+    // metadata-only partition drop: F gone from the head snapshot, intact
+    // at the pre-drop instant; the %10==3 price bump (C2) applies in both
+    "q_partition_delete" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders " +
+        "WHERE o_orderstatus <> 'F' ORDER BY o_orderkey"),
+    "q_partition_delete_tt" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders ORDER BY o_orderkey"),
+    // SQL TIMESTAMP AS OF over the COW fixture: the post-C2-delete state
+    "q_sql_time_travel" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     // event-time ordering: only the FRESH half of the upsert applied
     "q_precombine_cow" ->

@@ -126,6 +126,12 @@ final class GraftTable(spark: SparkSession, basePath: String) {
     graft.write.TableMaintenance.zorderLayout(spark, basePath, ts, zCols,
       bits)
 
+  /** Drop whole partitions in one METADATA-ONLY commit (no data rewrite);
+    * see [[graft.write.TableMaintenance.deletePartitions]]. */
+  def deletePartitions(ts: String, partitions: Seq[String]): Seq[String] =
+    graft.write.TableMaintenance.deletePartitions(spark, basePath, ts,
+      partitions)
+
   /** Change the table's bucket count in one layout-only rewrite — the
     * escape hatch for a table that outgrew (or never needed) its creation
     * grain; see [[graft.write.TableMaintenance.rebucket]]. */

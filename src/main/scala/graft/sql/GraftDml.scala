@@ -85,6 +85,36 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 }
 
+/** SQL TIME TRAVEL: `SELECT ... FROM t TIMESTAMP AS OF '<commitTs>'` (or
+  * `VERSION AS OF '<commitTs>'` — commit timestamps ARE this engine's
+  * versions). Spark only resolves time travel for DSv2 catalogs, and its
+  * `ResolveRelations` eagerly rejects timestamp literals that don't cast
+  * to TIMESTAMP (a bare 14-digit commit ts doesn't) — so this rule runs in
+  * the HINT-resolution batch, BEFORE the main resolution batch, replacing
+  * the unresolved node with the planned as-of snapshot (the same
+  * pruning/merge plan the programmatic `asOf` read uses). Non-graft
+  * tables fall through untouched to Spark's own handling. */
+class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          ur: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation,
+          tsExpr, version) =>
+        graftPathByName(session, ur.multipartIdentifier) match {
+          case Some(path) =>
+            val asOf = timeTravelTs(tsExpr, version)
+            Timeline(session.sessionState.newHadoopConf(), path)
+              .validateTsParam("TIMESTAMP/VERSION AS OF", asOf)
+            graft.read.SnapshotReader.read(session, path, Some(asOf))
+              .queryExecution.analyzed
+          case None => tt
+        }
+    }
+}
+
 private[graft] object GraftDml {
 
   /** Match a (possibly aliased) catalog relation whose provider is graft;
@@ -100,6 +130,57 @@ private[graft] object GraftDml {
               .orElse(ct.storage.locationUri.map(_.toString))
               .map(ct -> _))
         case _ => None
+      }
+  }
+
+  /** Catalog lookup by (possibly qualified) name: the graft table's base
+    * path, or None when the name is not a graft catalog table (temp views
+    * and other providers fall through to Spark's own resolution). */
+  def graftPathByName(session: SparkSession,
+      ident: Seq[String]): Option[String] = {
+    val catalog = session.sessionState.catalog
+    val ti = ident match {
+      case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+      case Seq(db, t) =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    if (!catalog.tableExists(ti)) return None
+    val ct = catalog.getTableMetadata(ti)
+    if (!ct.provider.exists(_.equalsIgnoreCase("graft"))) None
+    else ct.storage.properties.get("path")
+      .orElse(ct.storage.locationUri.map(_.toString))
+  }
+
+  /** The commit ts a TIMESTAMP/VERSION AS OF clause names: a digit string
+    * is a commit ts verbatim; a timestamp literal converts to the UTC
+    * `yyyyMMddHHmmss` the auto-minting writer stamps. */
+  def timeTravelTs(tsExpr: Option[Expression],
+      version: Option[String]): String = version match {
+    case Some(v) => v
+    case None =>
+      val e = tsExpr.getOrElse(throw new IllegalArgumentException(
+        "time travel needs TIMESTAMP AS OF or VERSION AS OF"))
+      require(e.foldable,
+        s"TIMESTAMP AS OF must be a literal, got ${e.sql}")
+      e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String
+            if s.toString.forall(_.isDigit) => s.toString
+        case s: org.apache.spark.unsafe.types.UTF8String
+            if s.toString.matches(
+              """\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2})?""") =>
+          // '2026-01-02[ 00:00:00]' → the 14-digit commit-ts form
+          s.toString.filter(_.isDigit).padTo(14, '0')
+        case micros: java.lang.Long =>
+          java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+            .withZone(java.time.ZoneOffset.UTC)
+            .format(java.time.Instant.EPOCH.plus(
+              micros, java.time.temporal.ChronoUnit.MICROS))
+        case other => throw new IllegalArgumentException(
+          "TIMESTAMP AS OF on a graft table takes a commit-ts string " +
+            s"(digits) or a timestamp literal, got $other")
       }
   }
 

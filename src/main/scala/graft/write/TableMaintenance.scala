@@ -81,6 +81,57 @@ object TableMaintenance {
     doomed
   }
 
+  /** DROP whole partitions in ONE metadata-only commit (Hudi's
+    * delete_partition analog): every live file group under the named
+    * partition paths is superseded with a fileless stat (`path = None`) —
+    * the same shape an all-rows-deleted rewrite records — so the snapshot
+    * stops serving them instantly while history stays intact (time travel
+    * BEFORE this commit still reads the partitions; the superseded files
+    * are reclaimed later by [[clean]]).
+    *
+    * Why at 100 TB: retiring an expired date/tenant partition through
+    * row-level deletes means rewriting every file group in it (COW) or
+    * appending markers for every row (MOR) — terabytes of IO for a purely
+    * organizational change. This commit writes NOTHING but metadata:
+    * O(#groups in the partitions) driver work, no data job at all.
+    *
+    * Like `INSERT_OVERWRITE_TABLE`, a partition drop replaces table
+    * structure rather than deleting tracked records: `numDeletes`/
+    * `totalRecordsDeleted` are 0, its delete view is empty, and the change
+    * feed emits nothing for it (enumerating the dropped rows would cost
+    * the full-partition scan this operation exists to avoid).
+    *
+    * Returns the superseded fileIds. */
+  def deletePartitions(spark: SparkSession, basePath: String, ts: String,
+      partitions: Seq[String]): Seq[String] = {
+    import graft.format._
+    require(partitions.nonEmpty, "deletePartitions needs partition paths")
+    val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val readPoint = tl.completedInstants().lastOption.map(_.ts)
+    val targets = partitions.toSet
+    val live = tl.latestSlices(None).values
+      .filter(sl => targets.contains(sl.partitionPath))
+      .filter(sl => sl.relPath.nonEmpty || sl.deltas.nonEmpty).toSeq
+    require(live.nonEmpty,
+      s"no live file groups under partition(s) " +
+        s"${partitions.mkString(", ")} at $basePath")
+    val stats = live.map(sl => sl.partitionPath -> WriteStat(sl.fileId,
+      None, prevCommit = Some(sl.commitTs),
+      numWrites = 0, numDeletes = 0, numUpdateWrites = 0, numInserts = 0))
+    val byPart = stats.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
+    tl.saveCommitOcc(ts, CommitMetadata(
+      partitionToWriteStats = byPart,
+      operationType = "DELETE_PARTITION",
+      totalRecordsDeleted = 0,
+      totalRecordsWritten = 0,
+      // carry the schema forward: a later schema resolution landing on
+      // this commit must not lose the table shape
+      schemaJson = tl.latestSchemaJson(None)),
+      readPoint = readPoint)
+    live.map(_.fileId).sorted
+  }
+
   /** SAVEPOINT instant `ts`: pin its snapshot against [[clean]] (its
     * reachable files are always retained) and [[Timeline.archive]] (it
     * stays on the active timeline, so [[restore]] keeps working). The Hudi

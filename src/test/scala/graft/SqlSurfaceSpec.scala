@@ -346,6 +346,37 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("SQL TIME TRAVEL: TIMESTAMP/VERSION AS OF on a graft catalog table") {
+    val dir = Fixtures.cowDir(spark, sf0001)
+    spark.sql("DROP TABLE IF EXISTS g_tt")
+    spark.sql(s"CREATE TABLE g_tt USING graft OPTIONS (path '$dir')")
+    try {
+      val c2 = Fixtures.C2
+      val api = graft.read.SnapshotReader.read(spark, dir, Some(c2))
+        .select("o_orderkey").orderBy("o_orderkey")
+      // commit-ts string, VERSION AS OF, and a datetime literal all name
+      // the same instant
+      Seq(s"TIMESTAMP AS OF '$c2'", s"VERSION AS OF '$c2'",
+        "TIMESTAMP AS OF '2026-01-02 00:00:00'").foreach { clause =>
+        val viaSql = spark.sql(
+          s"SELECT o_orderkey FROM g_tt $clause ORDER BY o_orderkey")
+        assert(viaSql.exceptAll(api).isEmpty && api.exceptAll(viaSql).isEmpty,
+          s"time travel mismatch for $clause")
+      }
+      // head snapshot (no clause) differs from the C2 state (C3 updated)
+      assert(spark.sql("SELECT count(*) FROM g_tt").head().getLong(0) !=
+        api.count() ||
+        spark.sql(s"SELECT sum(o_totalprice) FROM g_tt").head().getDouble(0)
+          != graft.read.SnapshotReader.read(spark, dir, Some(c2))
+            .agg(org.apache.spark.sql.functions.sum("o_totalprice"))
+            .head().getDouble(0))
+      // a malformed ts fails loudly (width validation), not silently
+      assertThrows[Exception] {
+        spark.sql("SELECT * FROM g_tt TIMESTAMP AS OF '999'").collect()
+      }
+    } finally spark.sql("DROP TABLE g_tt")
+  }
+
   test("randomized: delete view == exactly the randomly deleted rows") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .limit(300).cache()

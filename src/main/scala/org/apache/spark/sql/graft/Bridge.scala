@@ -39,6 +39,12 @@ object Bridge {
       dir: Option[String]): Unit =
     sc.checkpointDir = dir
 
+  /** Drain the listener bus (private[spark]) — lets tests assert on
+    * listener-observed facts (e.g. "this operation launched zero jobs")
+    * without sleeps. */
+  def waitForListeners(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** The inverse direction, for V1 STREAMING SINKS: `Sink.addBatch` hands
     * over a frame wrapping the already-planned IncrementalExecution whose
     * LOGICAL plan still carries streaming sources, so any new

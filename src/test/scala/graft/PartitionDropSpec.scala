@@ -28,8 +28,23 @@ class PartitionDropSpec extends SparkSpec {
     val total = before.count()
     assert(fCount > 0)
 
-    val superseded = TableMaintenance.deletePartitions(spark, dir, C2,
-      Seq("F"))
+    // the drop is METADATA-ONLY: zero Spark jobs may launch
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val superseded =
+      try {
+        val s = TableMaintenance.deletePartitions(spark, dir, C2, Seq("F"))
+        org.apache.spark.sql.graft.Bridge
+          .waitForListeners(spark.sparkContext)
+        s
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0,
+      s"partition drop launched ${jobs.get()} Spark job(s); must be 0")
     assert(superseded.nonEmpty && superseded.forall(_.startsWith("F-")))
     val after = SnapshotReader.read(spark, dir)
     assert(after.filter($"o_orderstatus" === "F").count() == 0)

@@ -237,15 +237,27 @@ private[graft] object GraftDml {
     val sc = tableProp(ct, tl, FormatWriter.StatsColsKey)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // DML rewrites must keep the table's full write contract: re-record
+    // per-file blooms for the declared columns and resolve upserts by the
+    // recorded event-time ordering column (a stale SQL UPDATE/MERGE loses
+    // exactly like a stale batch upsert would)
+    val bc = tableProp(ct, tl, FormatWriter.BloomColsKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val bb = tableProp(ct, tl, FormatWriter.BloomBitsKey)
+      .map(_.toInt).getOrElse(graft.format.Bloom.DefaultBits)
+    val pc = tableProp(ct, tl, FormatWriter.PrecombineKey)
     val ts = FormatWriter.nextTs(tl)
     val k = col(MetaCols.RecordKey)
     val p = col(MetaCols.PartitionPath)
     try {
       if (tpe == "mor")
-        new MorWriter(spark, basePath, nb, statsCols = sc)
+        new MorWriter(spark, basePath, nb, statsCols = sc,
+          bloomCols = bc, bloomBits = bb)
           .upsertDelta(updates, deletes, k, p, ts)
       else
-        new CowWriter(spark, basePath, nb, statsCols = sc)
+        new CowWriter(spark, basePath, nb, statsCols = sc,
+          bloomCols = bc, bloomBits = bb, precombine = pc)
           .commit(updates, deletes, k, p, ts)
     } finally tl.unreserve(ts) // no-op when the commit landed
   }

@@ -83,6 +83,10 @@ class PartitionDropSpec extends SparkSpec {
       k, col("o_orderstatus"), C2)
     TableMaintenance.deletePartitions(spark, dir, C3, Seq("F"))
     val after = SnapshotReader.read(spark, dir)
+    // the drop commit re-records the schema from the NEWEST recorder —
+    // here a deltacommit — and must strip the MOR delete marker rather
+    // than leak it into base-side schema resolution
+    assert(!after.columns.contains(SnapshotReader.IsDeleted))
     assert(after.filter($"o_orderstatus" === "F").count() == 0)
     assert(after.count() ==
       orders.filter($"o_orderstatus" =!= "F").count())

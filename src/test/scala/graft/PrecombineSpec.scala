@@ -123,6 +123,29 @@ class PrecombineSpec extends SparkSpec {
     feed.unpersist()
   }
 
+  test("SQL UPDATE resolves by the recorded ordering column too") {
+    val dir = freshDir("pc_sqldml")
+    rows(30, 5, "base").write.format("graft")
+      .option("key", "k").option("partition", "p")
+      .option("precombine", "ev").option("buckets", "2")
+      .option("ts", C1).save(dir)
+    spark.sql("DROP TABLE IF EXISTS g_pc")
+    spark.sql(s"CREATE TABLE g_pc USING graft OPTIONS (path '$dir')")
+    try {
+      // back-dating the event time makes the UPDATE a stale write: it
+      // loses the resolution exactly like a stale batch upsert
+      spark.sql("UPDATE g_pc SET ev = 1, v = 'stale' WHERE k <= 10")
+      assert(spark.sql(
+        "SELECT count(*) FROM g_pc WHERE v = 'stale'").head().getLong(0)
+        == 0)
+      // keeping the event time (tie) applies — ties go to the newer commit
+      spark.sql("UPDATE g_pc SET v = 'bumped' WHERE k <= 10")
+      assert(spark.sql(
+        "SELECT count(*) FROM g_pc WHERE v = 'bumped'").head().getLong(0)
+        == 10)
+    } finally spark.sql("DROP TABLE g_pc")
+  }
+
   test("declaration rules: append resolves recorded column; contradiction " +
     "and late declaration refuse; update frame must carry the column") {
     val dir = freshDir("pc_rules")

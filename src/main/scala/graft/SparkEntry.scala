@@ -2,7 +2,7 @@ package graft
 
 import graft.deleteview.DeleteView
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.read.{IncrementalReader, SnapshotReader}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -666,6 +666,35 @@ object SparkEntry {
       TextAnalysis.withQuality(tp(s, d, "documents"), col("text"))
         .filter(col("quality_score") >= 700)
         .select(col("doc_id")).orderBy(col("doc_id"))),
+    // Deterministic hash-range train/val/test split: membership is a pure
+    // function of (key, salt) — per-row, zero shuffle (Curation.splitAssign).
+    "q_split" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          Curation.splitAssign(col("doc_id"), "graft7",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy(col("doc_id"))),
+    // Concat-and-chunk sequence packing: per-shard (lang) token stream
+    // chunked into 512-token training sequences; each doc's interval and
+    // sequence span (Curation.packSequences — one shuffle by shard).
+    "q_pack" -> ((s, d) =>
+      Curation.packSequences(
+          tp(s, d, "documents").select(col("doc_id"), col("lang"),
+            TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+              .as("n_tok")),
+          col("lang"), col("doc_id"), col("n_tok"), cap = 512L)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("tok_start"),
+          col("tok_end"), col("seq_first"), col("seq_last"), col("n_seqs"))
+        .orderBy(col("doc_id"))),
+    // Eval-set decontamination: drop every training doc sharing any word
+    // 5-gram with the eval subset (doc_id % 17 == 0) — broadcast-probe
+    // semi-join on exact gram strings (Curation.decontaminate).
+    "q_decontam" -> ((s, d) => {
+      val docs = tp(s, d, "documents")
+      Curation.decontaminate(
+          docs.filter(col("doc_id") % 17 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 17 === 0), col("text"), n = 5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     // End-to-end fuzzy dedup: MinHash pairs → drop-list → anti-join keep set.
     "q_dedup_fuzzy" -> ((s, d) => {
       val docs = tp(s, d, "documents")
@@ -1278,6 +1307,33 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "q_quality_filter" ->
       (s"SELECT doc_id FROM documents WHERE CAST($QualitySql AS BIGINT) >= 700 ORDER BY doc_id"),
+    // Hash-range split: md5 hex prefix vs cumulative-fraction boundaries
+    // (0.8 -> cccccccc, 0.9 -> e6666666) — fixed-width lower-case hex, so
+    // lexicographic < IS the numeric comparison in both engines.
+    "q_split" ->
+      ("SELECT doc_id, CASE " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|graft7'), 1, 8) < 'cccccccc' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|graft7'), 1, 8) < 'e6666666' THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+    "q_pack" ->
+      ("WITH c AS (SELECT doc_id, lang, " +
+        "CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])')) AS BIGINT) AS n_tok FROM documents), " +
+        "w AS (SELECT doc_id, lang, n_tok, " +
+        "CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS tok_end FROM c) " +
+        "SELECT doc_id, lang, n_tok, tok_end - n_tok AS tok_start, tok_end, " +
+        "(tok_end - n_tok) // 512 AS seq_first, " +
+        "CASE WHEN n_tok > 0 THEN (tok_end - 1) // 512 ELSE (tok_end - n_tok) // 512 END AS seq_last, " +
+        "(CASE WHEN n_tok > 0 THEN (tok_end - 1) // 512 ELSE (tok_end - n_tok) // 512 END) - ((tok_end - n_tok) // 512) + 1 AS n_seqs " +
+        "FROM w ORDER BY doc_id"),
+    "q_decontam" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), " +
+        "g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 5, 0) + 1), " +
+        "i -> array_to_string(t[i+1:i+5], ' '))) AS gs FROM toks), " +
+        "ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 17 = 0), " +
+        "bad AS (SELECT DISTINCT tg.doc_id FROM (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 17 <> 0) tg " +
+        "JOIN ev ON tg.gram = ev.gram) " +
+        "SELECT doc_id FROM documents WHERE doc_id % 17 <> 0 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
     "q_dedup_fuzzy" ->
       (s"$ShinglesCte " +
         "SELECT doc_id FROM documents WHERE doc_id NOT IN (" +

@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * train/val/test splitting, GPT-style sequence packing, and eval-set
+  * decontamination.
+  *
+  * Like [[TextAnalysis]], everything here is built from
+  * `org.apache.spark.sql.functions` (whole-stage codegen, no UDFs) and each
+  * computation has an exact ANSI-SQL twin used as the DuckDB oracle
+  * (SparkEntry.oracleSql) — md5 hex, window sums, and integer division are
+  * bit-identical across engines, so the assignments are not just "similar",
+  * they hash-match.
+  *
+  * Scale shapes (the part that matters at 100 TB):
+  *  - split: per-row, zero shuffle — a pure projection that fuses into
+  *    whatever scan precedes it.
+  *  - packing: ONE shuffle (hash by shard) + an in-partition sort; shards
+  *    (source, crawl date, language...) bound the window so no global
+  *    ordering is ever materialized.
+  *  - decontamination: the eval side is tiny by construction (a benchmark
+  *    suite, not a corpus) — its distinct-gram set broadcasts, and the
+  *    train side streams through one codegen'd explode + broadcast-hash
+  *    semi-join probe. No shuffle of the corpus.
+  */
+object Curation {
+
+  /** 8-hex-digit lower-case boundary for a cumulative fraction of the
+    * 32-bit hash space: floor(cum · 2³²) rendered like md5's own hex. */
+  private[graft] def hexBound(cum: Double): String =
+    f"${math.min((cum * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+
+  /** Deterministic hash-range split assignment: the first 8 hex chars of
+    * md5(key ⊕ salt) land in [0, 2³²) uniformly; cumulative fraction
+    * boundaries carve that space into named splits. Lexicographic
+    * comparison of the fixed-width lower-case hex prefix IS the numeric
+    * comparison, so the same expression runs unchanged in any engine with
+    * md5 — membership is a property of (key, salt) alone: stable across
+    * runs, machines, partitionings, and engine versions, and new data
+    * lands in splits at the declared rates without any coordination.
+    *
+    * `fractions` are (name, fraction) in declaration order and must sum to
+    * 1; the last split takes everything at-or-after its lower boundary.
+    */
+  def splitAssign(key: Column, salt: String,
+      fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val prefix = substring(md5(concat(key.cast("string"), lit("|" + salt))), 1, 8)
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    // when-chain over upper boundaries; the final split is the otherwise.
+    fractions.init.zip(cums.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), cum)) =>
+        val cond = prefix < lit(hexBound(cum))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+      }
+      .fold(lit(fractions.head._1))(_.otherwise(lit(fractions.last._1)))
+  }
+
+  /** Concat-and-chunk sequence packing (the standard LLM-pretraining
+    * layout): documents are concatenated in (shard, id) order into one
+    * token stream per shard, which is then chunked into fixed-`cap`
+    * training sequences. Each document gets its token interval
+    * [tok_start, tok_end) in the shard's stream and the range of sequence
+    * ids it lands in — `seq_first`..`seq_last` (a document longer than
+    * `cap` spans several sequences; a document whose interval straddles a
+    * chunk boundary contributes its tail to the next sequence, exactly
+    * like the real packing loop).
+    *
+    * All arithmetic is exact integer (window sum + integer division), so
+    * the window-SQL oracle matches bit-for-bit. Zero-token documents get
+    * the empty interval at their stream position (`seq_last = seq_first`,
+    * `n_seqs = 1` — they "land" in the sequence open at that offset).
+    */
+  def packSequences(df: DataFrame, shard: Column, id: Column,
+      nTokens: Column, cap: Long): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy("__shard").orderBy(col("__id").asc)
+    df.withColumn("__shard", shard)
+      .withColumn("__id", id)
+      .withColumn("__n", nTokens.cast("long"))
+      .withColumn("tok_end", sum(col("__n")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("__n"))
+      .withColumn("seq_first", expr(s"tok_start div ${cap}L"))
+      .withColumn("seq_last",
+        when(col("__n") > 0, expr(s"(tok_end - 1) div ${cap}L"))
+          .otherwise(col("seq_first")))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .drop("__shard", "__id", "__n")
+  }
+
+  /** Distinct word `n`-grams of a text column as strings (space-joined
+    * lower-cased whitespace tokens). Documents with fewer than `n` tokens
+    * yield their whole token sequence as one gram — same convention as the
+    * shingle oracles. */
+  def wordGrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Ids of training documents CONTAMINATED by the eval set: any shared
+    * word `n`-gram with any eval document. Joining on the gram STRING
+    * keeps the predicate exact (no hash-collision caveat); at corpus scale
+    * the equality probe is a broadcast-hash lookup against the eval side's
+    * distinct grams, so the corpus never shuffles. (If the eval side ever
+    * outgrew broadcast, hashing both sides with xxhash64 before the join
+    * shrinks the shuffle — candidate generation only; re-verify on
+    * strings.) */
+  def contaminatedIds(train: DataFrame, id: Column, text: Column,
+      evalDf: DataFrame, evalText: Column, n: Int): DataFrame = {
+    // explode_outer: see the explode note in Dedup — plain explode makes
+    // Catalyst infer a size()>0 filter that re-evaluates the gram
+    // expression below the widening exchange.
+    val evalGrams = evalDf
+      .select(explode_outer(wordGrams(evalText, n)).as("__g"))
+      .distinct()
+    train
+      .select(id.cast("long").as("__cid"),
+        explode_outer(wordGrams(text, n)).as("__g"))
+      .join(broadcast(evalGrams), "__g")
+      .select(col("__cid"))
+      .distinct()
+  }
+
+  /** Training rows with every document that shares an `n`-gram with the
+    * eval set removed — benchmark decontamination as one anti-join. */
+  def decontaminate(train: DataFrame, id: Column, text: Column,
+      evalDf: DataFrame, evalText: Column, n: Int): DataFrame =
+    train.join(contaminatedIds(train, id, text, evalDf, evalText, n),
+      id.cast("long") === col("__cid"), "left_anti")
+}

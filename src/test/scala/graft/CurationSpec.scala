@@ -1,0 +1,97 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitAssign: deterministic, total, and near the declared rates") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = docs.select(col("doc_id"),
+      Curation.splitAssign(col("doc_id"), "s1", fr).as("split"))
+    val counts = assigned.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    val n = docs.count().toDouble
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == n.toLong) // total: every row assigned
+    // 500 docs, binomial noise ~ ±4.5σ bounds — loose but catches a wrong
+    // boundary (0.8 vs 0.9) outright
+    assert(math.abs(counts("train") / n - 0.8) < 0.1)
+    assert(counts.getOrElse("val", 0L) / n < 0.2)
+    // determinism: a second evaluation is row-identical
+    val again = docs.select(col("doc_id"),
+      Curation.splitAssign(col("doc_id"), "s1", fr).as("split"))
+    assert(assigned.except(again).count() == 0 &&
+      again.except(assigned).count() == 0)
+    // a different salt reshuffles membership (not all rows same split)
+    val other = docs.select(col("doc_id"),
+      Curation.splitAssign(col("doc_id"), "s2", fr).as("split"))
+    assert(assigned.join(other, "doc_id")
+      .filter(assigned("split") =!= other("split")).count() > 0)
+  }
+
+  test("splitAssign: hex boundaries cover the space and stay 8-wide") {
+    assert(Curation.hexBound(0.0) == "00000000")
+    assert(Curation.hexBound(1.0) == "ffffffff")
+    assert(Curation.hexBound(0.8) == "cccccccc")
+    val bs = Seq(0.1, 0.25, 0.5, 0.75, 0.9).map(Curation.hexBound)
+    assert(bs == bs.sorted && bs.forall(_.length == 8))
+  }
+
+  test("packSequences: contiguous intervals, exact chunk spans, " +
+    "zero-token and longer-than-cap docs") {
+    // shard A: 100 + 600 (spans 2 seqs) + 0-token + 30; shard B: 5
+    val df = Seq(
+      ("A", 1L, 100L), ("A", 2L, 600L), ("A", 3L, 0L), ("A", 4L, 30L),
+      ("B", 9L, 5L)).toDF("shard", "id", "n")
+    val out = Curation.packSequences(df, col("shard"), col("id"), col("n"),
+      cap = 256L).orderBy("shard", "id")
+      .select("shard", "id", "tok_start", "tok_end", "seq_first",
+        "seq_last", "n_seqs")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("A", 1L, 0L, 100L, 0L, 0L, 1L), // fits in seq 0
+      ("A", 2L, 100L, 700L, 0L, 2L, 3L), // straddles 0,1,2
+      ("A", 3L, 700L, 700L, 2L, 2L, 1L), // empty doc at offset 700
+      ("A", 4L, 700L, 730L, 2L, 2L, 1L),
+      ("B", 9L, 0L, 5L, 0L, 0L, 1L))) // shard B is its own stream
+    // invariant on real data: within each shard, tok_start == previous
+    // tok_end and seq bounds are exact integer division
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        graft.pipeline.TextAnalysis.bpeishTokenCount(col("text"))
+          .cast("long").as("n"))
+    val packed = Curation.packSequences(docs, col("lang"), col("doc_id"),
+      col("n"), cap = 512L)
+    assert(packed.filter(
+      col("seq_first") =!= expr("tok_start div 512L") ||
+        col("tok_end") - col("tok_start") =!= col("n")).count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    assert(packed.withColumn("prev_end", lag("tok_end", 1, 0L).over(w))
+      .filter(col("tok_start") =!= col("prev_end")).count() == 0)
+  }
+
+  test("decontaminate: shared n-gram drops the doc; disjoint text survives") {
+    val evalDf = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val train = Seq(
+      (1L, "totally unrelated text about spark and parquet files here"),
+      // shares the 5-gram "quick brown fox jumps over"
+      (2L, "she saw a quick brown fox jumps over fences daily"),
+      // shares words but never 5 in a row
+      (3L, "the dog jumps and the fox is lazy but quick"),
+      (4L, "short doc")).toDF("id", "text")
+    val kept = Curation.decontaminate(train, col("id"), col("text"),
+      evalDf, col("text"), n = 5).select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+    // short-doc convention: a <n-token doc is its own single gram, and an
+    // identical short eval doc catches it
+    val kept2 = Curation.decontaminate(train, col("id"), col("text"),
+      Seq((200L, "short  DOC")).toDF("id", "text"), col("text"), n = 5)
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 2L, 3L)) // 4 contaminated (normalized match)
+  }
+}

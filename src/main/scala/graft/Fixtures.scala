@@ -90,8 +90,29 @@ object Fixtures {
     bloomDir(spark, sfDir); savepointDir(spark, sfDir)
     rebucketDir(spark, sfDir)
     precombineDir(spark, sfDir, "cow"); precombineDir(spark, sfDir, "mor")
-    pdropDir(spark, sfDir)
+    pdropDir(spark, sfDir); dedupIndexDir(spark, sfDir)
   }
+
+  /** Incremental-dedup SIGNATURE INDEX over `documents`, ingested in three
+    * doc_id-ordered batches (see [[graft.pipeline.Dedup.ingestDedup]]).
+    * The final kept set must equal batch-mode fuzzy dedup of the whole
+    * corpus — q_dedup_incremental reuses q_dedup_fuzzy's oracle SQL. */
+  def dedupIndexDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/dedup_index"
+      if (!complete(spark, dir, 3)) {
+        rm(spark, dir)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val n = docs.count()
+        def ingest(i: Int, ts: String): Unit =
+          graft.pipeline.Dedup.ingestDedup(spark, dir,
+            docs.filter(col("doc_id") * 3 >= lit(i * n) &&
+              col("doc_id") * 3 < lit((i + 1) * n)),
+            col("doc_id"), col("text"), ts = Some(ts))
+        ingest(0, C1); ingest(1, C2); ingest(2, C3)
+      }
+      dir
+    }
 
   /** CDC MIRROR of the COW fixture: its full change feed (one
     * multi-commit batch) applied to a fresh table via

@@ -704,6 +704,13 @@ object SparkEntry {
       docs.join(drops, col("doc_id") === col("drop_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    // Incremental fuzzy dedup: the corpus ingested in three batches against
+    // a graft-format signature index (Dedup.ingestDedup) — the final kept
+    // set must equal ONE batch-mode dedup of everything, so it shares
+    // q_dedup_fuzzy's oracle SQL.
+    "q_dedup_incremental" -> ((s, d) =>
+      read.SnapshotReader.read(s, Fixtures.dedupIndexDir(s, d))
+        .filter(col("kept")).select(col("doc_id")).orderBy(col("doc_id"))),
     // Transitive dedup clusters: connected components over verified MinHash
     // pairs via distributed min-label propagation (pointer-jumped; see
     // Dedup.clusters) — one smallest-id representative per component.
@@ -857,6 +864,16 @@ object SparkEntry {
       "i -> array_to_string(t[i+1:i+3], ' '))) AS s FROM toks)"
   private val JaccPermilleSql =
     "floor(len(list_intersect(a.s, b.s)) * 1000 / greatest(len(list_distinct(list_cat(a.s, b.s))), 1))"
+
+  /** Pairwise fuzzy-dedup keep set (drop the LATER member of every
+    * Jaccard≥0.5 pair) — shared by q_dedup_fuzzy (batch mode) and
+    * q_dedup_incremental (three-batch ingest through the signature index),
+    * which must converge to the same answer. */
+  private val FuzzyKeepSql =
+    s"$ShinglesCte " +
+      "SELECT doc_id FROM documents WHERE doc_id NOT IN (" +
+      s"SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE $JaccPermilleSql >= 500) " +
+      "ORDER BY doc_id"
 
   /** Seeded 32×8 coordinate choices for the high-recall embed blocking —
     * ONE constant shared by the Spark query and the generated oracle SQL. */
@@ -1334,11 +1351,9 @@ object SparkEntry {
         "JOIN ev ON tg.gram = ev.gram) " +
         "SELECT doc_id FROM documents WHERE doc_id % 17 <> 0 " +
         "AND doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
-    "q_dedup_fuzzy" ->
-      (s"$ShinglesCte " +
-        "SELECT doc_id FROM documents WHERE doc_id NOT IN (" +
-        s"SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE $JaccPermilleSql >= 500) " +
-        "ORDER BY doc_id"),
+    "q_dedup_fuzzy" -> FuzzyKeepSql,
+    // Incremental ingest reaches the same kept set as one batch pass.
+    "q_dedup_incremental" -> FuzzyKeepSql,
     // Connected components as a recursive CTE: enumerate every (vertex,
     // reachable-vertex) pair over the symmetric brute-force-Jaccard edge
     // set, then min per vertex — an independent formulation of the same

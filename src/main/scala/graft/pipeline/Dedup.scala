@@ -654,6 +654,87 @@ object Dedup {
     clusterLabels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("drop_id"))
 
+  /** Incremental corpus dedup against a graft-format SIGNATURE INDEX table:
+    * each ingested batch is deduplicated against every document ever seen
+    * (kept or dropped) plus its own earlier rows, then appended to the
+    * index — so a corpus ingested in arrival order reaches exactly the
+    * same kept set as one batch-mode `minhashPairs` pass over everything
+    * (the oracle's check), without ever re-shingling history.
+    *
+    * The index row is (doc_id, sig, shingles, kept): the MinHash signature
+    * feeds LSH candidate generation against future batches, the distinct
+    * shingle-hash set feeds exact-Jaccard verification, and `kept` records
+    * the verdict. Storing the sketch instead of recomputing it is the
+    * scale play — ingest cost is one index scan plus banding over
+    * seen ∪ batch; the 100 TB of original text never gets touched again.
+    * Because the index is a graft table, the dedup state itself gets
+    * time travel, incremental reads, OCC, and cleaning for free.
+    *
+    * Semantics contract: `id` must be strictly increasing across batches
+    * (arrival order). "Dropped" means some EARLIER doc (any batch,
+    * including dropped ones) has exact shingle-Jaccard ≥ threshold — the
+    * same pairwise drop-list rule as `dropIdsFromPairs`.
+    *
+    * Returns the updated index snapshot (lazy read of the table).
+    */
+  def ingestDedup(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      batch: DataFrame, id: Column, text: Column,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      thresholdPermille: Int = 500, maxBucket: Int = 1000,
+      numBuckets: Int = 8, ts: Option[String] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val base = graft.util.ParallelScan.widen(
+        batch.select(id.cast("long").as("id"), text.as("__text"))
+          .filter(col("__text").isNotNull))
+      .select(col("id"), shingleSet(col("__text"), n).as("shingles"))
+    base.persist()
+    try {
+      // explode_outer: see the object-level note above minhashPairs.
+      val exploded = base.select(col("id"),
+        explode_outer(col("shingles")).as("sh"))
+      val sigs = exploded.groupBy("id").agg(
+        graft.functions.MinHashAgg.minhashSig(col("sh"), numHashes).as("sig"))
+      val batchRows = sigs.join(base, "id") // (id, sig, shingles)
+      val tl = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), indexDir)
+      val seen =
+        if (tl.completedInstants().nonEmpty)
+          graft.read.SnapshotReader.read(spark, indexDir)
+            .select(col("doc_id").as("id"), col("sig"), col("shingles"))
+        else batchRows.select("id", "sig", "shingles").limit(0)
+      // One banding pass over seen ∪ batch — identical bucket function to
+      // minhashPairs, so candidate recall is the same measured property.
+      val union = batchRows.select("id", "sig", "shingles").unionByName(seen)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)).as("bucket"))
+      }
+      val bucketed = union
+        .select(col("id"), explode(array(bandCols: _*)).as("bc"))
+        .select(col("id"), col("bc.band").as("band"),
+          col("bc.bucket").as("bucket"))
+      // Only pairs whose LATER member is in this batch matter (history is
+      // already settled); the earlier member may be anywhere.
+      val cand = candidatePairs(capBuckets(bucketed, maxBucket))
+        .join(batchRows.select(col("id").as("id_b")), Seq("id_b"), "leftsemi")
+      val drops = verifyJaccardArrays(cand,
+          union.select(col("id"), col("shingles")), thresholdPermille)
+        .select(col("id_b").as("__drop")).distinct()
+      val out = batchRows
+        .join(drops, col("id") === col("__drop"), "left")
+        .select(col("id").as("doc_id"), col("sig"), col("shingles"),
+          col("__drop").isNull.as("kept"))
+        .withColumn("pt", lit("all"))
+      val writer = out.write.format("graft")
+        .option("key", "doc_id").option("partition", "pt")
+        .option("buckets", numBuckets.toString)
+        .mode(org.apache.spark.sql.SaveMode.Append)
+      ts.fold(writer)(t => writer.option("ts", t)).save(indexDir)
+    } finally base.unpersist(blocking = true)
+    graft.read.SnapshotReader.read(spark, indexDir)
+  }
+
   // ---- shared internals ----
 
   /** Exact-Jaccard verification of candidate pairs against the per-doc

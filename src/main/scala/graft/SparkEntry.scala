@@ -685,6 +685,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tok"), col("tok_start"),
           col("tok_end"), col("seq_first"), col("seq_last"), col("n_seqs"))
         .orderBy(col("doc_id"))),
+    // Intra-doc repetition signal (Gopher duplicate-n-gram fraction):
+    // per-row arithmetic, zero shuffle (TextAnalysis.dupNgramPermille).
+    "q_repetition" -> ((s, d) =>
+      tp(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.dupNgramPermille(col("text"), 2).as("dup2_permille"),
+          TextAnalysis.dupNgramPermille(col("text"), 3).as("dup3_permille"))
+        .orderBy(col("doc_id"))),
+    // Corpus-level boilerplate score: per-mille of each doc's 2-gram
+    // occurrences that appear in >= 8% of all documents — relative
+    // threshold computed in-plan (Curation.boilerplateScore).
+    "q_boilerplate" -> ((s, d) =>
+      Curation.boilerplateScore(tp(s, d, "documents"), col("doc_id"),
+          col("text"), n = 2, minDfPermille = 80)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
     // Eval-set decontamination: drop every training doc sharing any word
     // 5-gram with the eval subset (doc_id % 17 == 0) — broadcast-probe
     // semi-join on exact gram strings (Curation.decontaminate).
@@ -1342,6 +1357,26 @@ object SparkEntry {
         "CASE WHEN n_tok > 0 THEN (tok_end - 1) // 512 ELSE (tok_end - n_tok) // 512 END AS seq_last, " +
         "(CASE WHEN n_tok > 0 THEN (tok_end - 1) // 512 ELSE (tok_end - n_tok) // 512 END) - ((tok_end - n_tok) // 512) + 1 AS n_seqs " +
         "FROM w ORDER BY doc_id"),
+    "q_repetition" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), " +
+        "g AS (SELECT doc_id, " +
+        "list_transform(range(0, greatest(len(t) - 2, 0) + 1), i -> array_to_string(t[i+1:i+2], ' ')) AS g2, " +
+        "list_transform(range(0, greatest(len(t) - 3, 0) + 1), i -> array_to_string(t[i+1:i+3], ' ')) AS g3 FROM toks) " +
+        "SELECT doc_id, " +
+        "CAST(floor((len(g2) - len(list_distinct(g2))) * 1000 / len(g2)) AS BIGINT) AS dup2_permille, " +
+        "CAST(floor((len(g3) - len(list_distinct(g3))) * 1000 / len(g3)) AS BIGINT) AS dup3_permille " +
+        "FROM g ORDER BY doc_id"),
+    "q_boilerplate" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), " +
+        "ga AS (SELECT doc_id, list_transform(range(0, greatest(len(t) - 2, 0) + 1), " +
+        "i -> array_to_string(t[i+1:i+2], ' ')) AS gs FROM toks), " +
+        "df AS (SELECT gram, count(*) AS df FROM (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM ga) GROUP BY gram), " +
+        "hot AS (SELECT gram FROM df WHERE df * 1000 >= 80 * (SELECT count(*) FROM documents)), " +
+        "occ AS (SELECT doc_id, unnest(gs) AS gram FROM ga), " +
+        "hotc AS (SELECT o.doc_id, count(*) AS h FROM occ o JOIN hot ON o.gram = hot.gram GROUP BY o.doc_id) " +
+        "SELECT ga.doc_id, CAST(len(gs) AS BIGINT) AS n_grams, " +
+        "CAST(floor(coalesce(h, 0) * 1000 / len(gs)) AS BIGINT) AS boilerplate_permille " +
+        "FROM ga LEFT JOIN hotc ON ga.doc_id = hotc.doc_id ORDER BY ga.doc_id"),
     "q_decontam" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), " +
         "g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 5, 0) + 1), " +

@@ -93,16 +93,20 @@ object Curation {
       .drop("__shard", "__id", "__n")
   }
 
-  /** Distinct word `n`-grams of a text column as strings (space-joined
-    * lower-cased whitespace tokens). Documents with fewer than `n` tokens
-    * yield their whole token sequence as one gram — same convention as the
-    * shingle oracles. */
-  def wordGrams(text: Column, n: Int): Column = {
+  /** ALL word `n`-grams of a text column as strings (space-joined
+    * lower-cased whitespace tokens), in document order WITH repeats.
+    * Documents with fewer than `n` tokens yield their whole token sequence
+    * as one gram — same convention as the shingle oracles. */
+  def wordGramsAll(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
-    array_distinct(transform(
+    transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
   }
+
+  /** Distinct word `n`-grams of a text column as strings. */
+  def wordGrams(text: Column, n: Int): Column =
+    array_distinct(wordGramsAll(text, n))
 
   /** Ids of training documents CONTAMINATED by the eval set: any shared
     * word `n`-gram with any eval document. Joining on the gram STRING
@@ -134,4 +138,45 @@ object Curation {
       evalDf: DataFrame, evalText: Column, n: Int): DataFrame =
     train.join(contaminatedIds(train, id, text, evalDf, evalText, n),
       id.cast("long") === col("__cid"), "left_anti")
+
+  /** Corpus-level BOILERPLATE score (the RefinedWeb/CCNet-style signal):
+    * per document, the per-mille of its `n`-gram OCCURRENCES that are
+    * corpus-frequent — appearing in at least `minDfPermille`‰ of all
+    * documents. Headers, navigation chrome, and license blurbs repeat
+    * across a crawl; a high score marks a document that is mostly such
+    * furniture.
+    *
+    * Shape at scale: document frequency is ONE shuffle of the
+    * distinct-gram stream; the "hot" set is tiny BY CONSTRUCTION (grams
+    * in ≥ minDfPermille‰ of documents — the threshold bounds it at
+    * 1000/minDfPermille × the mean distinct grams per doc) so it
+    * broadcasts; the hot-occurrence count shuffles only the hot rows of
+    * the gram stream; and the final per-doc join is id-keyed. The corpus
+    * text itself is read once. Thresholding is RELATIVE (per-mille of the
+    * corpus doc count, computed in-plan) so the semantics are
+    * scale-invariant.
+    *
+    * Returns (id, n_grams, boilerplate_permille) — integer-exact, so the
+    * SQL oracle hash-matches. */
+  def boilerplateScore(df: DataFrame, id: Column, text: Column,
+      n: Int = 2, minDfPermille: Int = 80): DataFrame = {
+    val ga = df.select(id.cast("long").as("id"),
+      wordGramsAll(text, n).as("__gs"))
+    // explode_outer: see the explode note in Dedup.
+    val occ = ga.select(col("id"), explode_outer(col("__gs")).as("__g"))
+    val docFreq = ga
+      .select(explode_outer(array_distinct(col("__gs"))).as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
+    val total = ga.agg(count(lit(1)).as("__total"))
+    val hot = docFreq.crossJoin(broadcast(total))
+      .filter(col("__df") * 1000 >= col("__total") * minDfPermille)
+      .select("__g")
+    val hotCounts = occ.join(broadcast(hot), "__g")
+      .groupBy("id").agg(count(lit(1)).as("__h"))
+    ga.select(col("id"), size(col("__gs")).cast("long").as("n_grams"))
+      .join(hotCounts, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        floor(coalesce(col("__h"), lit(0L)) * lit(1000) / col("n_grams"))
+          .cast("long").as("boilerplate_permille"))
+  }
 }

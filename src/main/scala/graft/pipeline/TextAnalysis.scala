@@ -90,6 +90,23 @@ object TextAnalysis {
     df.withColumn("lang_pred", pred)
   }
 
+  /** Intra-document REPETITION signal (the Gopher/MassiveText quality
+    * filter): the per-mille of word `n`-gram occurrences that are repeats
+    * of an earlier occurrence in the same document —
+    * floor(1000·(count − distinct)/count). "batch batch batch" scores
+    * high; natural prose scores near zero. Pure per-row arithmetic (no
+    * shuffle, fuses into the scan); integer-exact so the SQL oracle
+    * hash-matches. Documents shorter than `n` tokens are one whole-doc
+    * gram (repetition 0) — the shingle convention. */
+  def dupNgramPermille(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    floor((size(grams) - size(array_distinct(grams))) * lit(1000) /
+      size(grams)).cast("long")
+  }
+
   /** Exact document fingerprint: md5 of whitespace-normalized lower-cased
     * text (md5 is bit-identical across engines → oracle-matchable). */
   def fingerprint(text: Column): Column =

@@ -74,6 +74,43 @@ class CurationSpec extends SparkSpec {
       .filter(col("tok_start") =!= col("prev_end")).count() == 0)
   }
 
+  test("dupNgramPermille: repeats score, prose scores zero, short docs zero") {
+    import graft.pipeline.TextAnalysis
+    val df = Seq(
+      (1L, "batch batch batch batch batch"), // 4 bigrams, 1 distinct
+      (2L, "one two three four five"), // no repeats
+      (3L, "hi")) // shorter than n: single whole-doc gram
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.dupNgramPermille(col("text"), 2).as("p"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 750L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("boilerplateScore: corpus-frequent grams score; unique docs zero; " +
+    "threshold is relative to corpus size") {
+    // "common gram" appears in 3/4 docs (750 permille >= 500), doc 4 is
+    // all-unique text
+    val df = Seq(
+      (1L, "common gram common gram filler"),
+      (2L, "common gram other words here"),
+      (3L, "common gram more unique stuff"),
+      (4L, "entirely different text body now")).toDF("id", "text")
+    val out = Curation.boilerplateScore(df, col("id"), col("text"),
+        n = 2, minDfPermille = 500)
+      .orderBy("id")
+      .select("id", "n_grams", "boilerplate_permille")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1: grams = [common gram, gram common, common gram, gram filler];
+    // hot = {common gram} (df 3) -> 2/4 = 500 permille
+    assert(out == Seq((1L, 4L, 500L), (2L, 4L, 250L), (3L, 4L, 250L),
+      (4L, 4L, 0L)))
+    // raising the relative threshold above 3/4 empties the hot set
+    val none = Curation.boilerplateScore(df, col("id"), col("text"),
+      n = 2, minDfPermille = 900)
+    assert(none.filter(col("boilerplate_permille") > 0).count() == 0)
+  }
+
   test("decontaminate: shared n-gram drops the doc; disjoint text survives") {
     val evalDf = Seq(
       (100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")

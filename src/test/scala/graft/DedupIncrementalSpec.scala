@@ -57,6 +57,35 @@ class DedupIncrementalSpec extends SparkSpec {
       .collect().toSet == Set(1L))
   }
 
+  test("streaming ingest: foreachBatch + ingestDedup dedups a document " +
+    "stream batch by batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshDir("incdedup_stream")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Dedup.ingestDedup(spark, dir, batch, col("doc_id"), col("text"))
+        ()
+      }
+      .start()
+    try {
+      mem.addData(1L -> lorem, 2L -> (lorem + " extra"))
+      q.processAllAvailable()
+      mem.addData(11L -> lorem,
+        12L -> "unrelated words forming a genuinely different document body")
+      q.processAllAvailable()
+    } finally q.stop()
+    // within-batch dup 2 and cross-batch dup 11 dropped; two index commits
+    val snap = SnapshotReader.read(spark, dir)
+    assert(snap.count() == 4)
+    assert(snap.filter(col("kept")).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 12L))
+    assert(graft.format.Timeline(spark.sessionState.newHadoopConf(), dir)
+      .completedInstants().size == 2)
+  }
+
   test("the index is a real graft table: sketch columns round-trip and " +
     "the change feed sees each batch") {
     val dir = freshDir("incdedup_table")

@@ -73,6 +73,11 @@ object SparkEntry {
     // MOR snapshot with OUTSTANDING deltas through the format surface (r6):
     // the C4 delta delete is un-compacted, so this read plans the window
     // merge behind spark.read.format("graft") (GraftMorRelation).
+    // READ-OPTIMIZED view of the MOR fixture (Hudi RO query): base files
+    // only — the C3x compaction state; the C4 delta delete is invisible.
+    "q_read_optimized" -> ((s, d) =>
+      payload(s.read.format("graft").option("readOptimized", "true")
+        .load(Fixtures.morDir(s, d)))),
     "q_snapshot_format_mor" -> ((s, d) =>
       payload(s.read.format("graft").load(Fixtures.morDir(s, d)))),
     // Partition-filtered MOR format read (r6): the pushed `=` predicate on
@@ -933,6 +938,10 @@ object SparkEntry {
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
     "q_snapshot_format_mor" ->
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 ORDER BY o_orderkey",
+    // RO = the C3x compaction state: C3's price updates applied, C4's
+    // delta-only delete NOT visible.
+    "q_read_optimized" ->
+      s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey",
     "q_snapshot_format_mor_part" ->
       s"SELECT $OrdersColsAfterC3 FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 5 AND o_orderstatus = 'F' ORDER BY o_orderkey",
     // no delete precedes the C2 update in this fixture (every %10==3 key is

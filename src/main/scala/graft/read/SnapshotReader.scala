@@ -81,11 +81,28 @@ object SnapshotReader {
     *                   kicks in after every file is already in the plan. */
   def read(spark: SparkSession, basePath: String,
       asOf: Option[String] = None,
-      partitions: Seq[String] = Seq.empty): DataFrame = {
+      partitions: Seq[String] = Seq.empty): DataFrame =
+    read(spark, basePath, asOf, partitions, readOptimized = false)
+
+  /** Snapshot read with an optional READ-OPTIMIZED mode (Hudi's RO query on
+    * MOR tables): serve each file group's BASE file only — the state as of
+    * its last compaction/base write — skipping outstanding delta files
+    * entirely. No merge window, no shuffle: the plan is the COW fast path
+    * (pruning FileIndex scan with stats/bucket skipping) regardless of how
+    * much un-compacted delta data exists. The trade is staleness bounded
+    * by compaction lag — Hudi's RO/RT dichotomy exactly. Groups that are
+    * still delta-only (never compacted) serve nothing. On COW tables (or a
+    * fully compacted MOR state) RO ≡ the snapshot. */
+  def read(spark: SparkSession, basePath: String,
+      asOf: Option[String],
+      partitions: Seq[String],
+      readOptimized: Boolean): DataFrame = {
     val timeline = Timeline(spark.sessionState.newHadoopConf(), basePath)
-    val slices = timeline.latestSlices(asOf).values.toSeq
+    val listed = timeline.latestSlices(asOf).values.toSeq
       .filter(sl => partitions.isEmpty ||
         partitions.contains(sl.partitionPath))
+    val slices =
+      if (readOptimized) listed.map(_.copy(deltas = Seq.empty)) else listed
     require(slices.nonEmpty, s"empty table (no matching slices) at $basePath" +
       asOf.fold("")(t => s" as of $t") +
       (if (partitions.nonEmpty) s" partitions=${partitions.mkString(",")}"

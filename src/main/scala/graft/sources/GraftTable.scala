@@ -57,6 +57,16 @@ final class GraftTable(spark: SparkSession, basePath: String) {
   def asOf(ts: String, partitions: Seq[String] = Seq.empty): DataFrame =
     SnapshotReader.read(spark, basePath, Some(ts), partitions)
 
+  /** READ-OPTIMIZED view (Hudi RO query): base files only — each group's
+    * state as of its last compaction/base write, outstanding deltas
+    * skipped. Always the COW-fast-path plan (no merge window, no
+    * shuffle); staleness bounded by compaction lag. Also reachable as
+    * `spark.read.format("graft").option("readOptimized", "true")`. */
+  def readOptimized(asOf: Option[String] = None,
+      partitions: Seq[String] = Seq.empty): DataFrame =
+    SnapshotReader.read(spark, basePath, asOf, partitions,
+      readOptimized = true)
+
   /** Current state of records written in `(fromExclusive, toInclusive]` —
     * plans only the file groups those commits actually wrote. */
   def incremental(fromExclusive: String, toInclusive: String,

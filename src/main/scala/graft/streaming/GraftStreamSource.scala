@@ -94,6 +94,14 @@ final class GraftSourceProvider extends StreamSourceProvider
     // lexicographic range comparisons silently misorder mixed widths.
     Seq("asOf", "from", "to", "deleteView").foreach(n =>
       parameters.get(n).foreach(timeline.validateTsParam(n, _)))
+    // `readOptimized=true` (r7 tail) = Hudi's RO query: base files only,
+    // outstanding deltas skipped — snapshot/asOf shapes only.
+    val readOptimized = parameters.get("readOptimized").exists(_.toBoolean)
+    require(!readOptimized || (!parameters.contains("from") &&
+      !parameters.contains("to") && !parameters.contains("cdc") &&
+      !parameters.contains("deleteView")),
+      "readOptimized applies to snapshot/asOf reads only " +
+        "(not deleteView/from/to/cdc)")
     // `deleteView` = the rows DELETED by that commit (the reference's core
     // capability, materialized-once/served-cached) — r6.
     parameters.get("deleteView").foreach { ts =>
@@ -141,7 +149,9 @@ final class GraftSourceProvider extends StreamSourceProvider
       return new graft.read.GraftIncrementalRelation(spark, basePath,
         from, to, schema)
     }
-    val slices = timeline.latestSlices(asOf).values.toSeq
+    val listed = timeline.latestSlices(asOf).values.toSeq
+    val slices =
+      if (readOptimized) listed.map(_.copy(deltas = Seq.empty)) else listed
     require(slices.nonEmpty, s"empty table (no slices) at $basePath")
     if (slices.forall(_.deltas.isEmpty)) {
       val partFiles = slices.filter(_.relPath.nonEmpty)

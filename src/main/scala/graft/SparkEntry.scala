@@ -690,6 +690,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tok"), col("tok_start"),
           col("tok_end"), col("seq_first"), col("seq_last"), col("n_seqs"))
         .orderBy(col("doc_id"))),
+    // Segment manifest of the packing: one row per (doc, sequence) pair
+    // with the doc's offset and length inside that sequence — what a
+    // training-data loader consumes (Curation.packSegments).
+    "q_pack_segments" -> ((s, d) =>
+      Curation.packSegments(
+          tp(s, d, "documents").select(col("doc_id"), col("lang"),
+            TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+              .as("n_tok")),
+          col("lang"), col("doc_id"), col("n_tok"), cap = 512L)
+        .select(col("doc_id"), col("lang"), col("seq"), col("seg_start"),
+          col("seg_len"))
+        .orderBy(col("doc_id"), col("seq"))),
     // Intra-doc repetition signal (Gopher duplicate-n-gram fraction):
     // per-row arithmetic, zero shuffle (TextAnalysis.dupNgramPermille).
     "q_repetition" -> ((s, d) =>

@@ -104,6 +104,29 @@ object Curation {
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
   }
 
+  /** Segment manifest of [[packSequences]]: ONE ROW PER (document,
+    * training sequence) pair — for every sequence a document's token
+    * interval touches, the offset inside that sequence where the
+    * document's tokens land (`seg_start`) and how many land there
+    * (`seg_len`). This is the table a training-data loader actually
+    * consumes: group by (shard, seq) and you have each sequence's
+    * composition; sum(seg_len) per sequence is exactly `cap` for every
+    * sequence except each shard's last. Zero-token documents emit one
+    * zero-length segment at their stream position.
+    *
+    * Same single shuffle as packSequences plus a per-row explode of the
+    * (tiny) per-doc sequence span — no additional wide operation. */
+  def packSegments(df: DataFrame, shard: Column, id: Column,
+      nTokens: Column, cap: Long): DataFrame =
+    packSequences(df, shard, id, nTokens, cap)
+      .withColumn("seq", explode(sequence(col("seq_first"), col("seq_last"))))
+      .withColumn("seg_start",
+        greatest(col("tok_start"), col("seq") * cap) - col("seq") * cap)
+      .withColumn("seg_len",
+        least(col("tok_end"), (col("seq") + 1) * cap) -
+          greatest(col("tok_start"), col("seq") * cap))
+      .drop("seq_first", "seq_last", "n_seqs")
+
   /** Distinct word `n`-grams of a text column as strings. */
   def wordGrams(text: Column, n: Int): Column =
     array_distinct(wordGramsAll(text, n))

@@ -26,8 +26,39 @@ object Fixtures {
   val C3x = "20260103120000"
   val C4 = "20260104000000"
 
-  private def root(sfDir: String): String =
-    "/tmp/graft_tables/" + sfDir.replaceAll("[^0-9a-zA-Z.]", "_")
+  /** Fixture cache root for a scale factor — STAMPED against the source
+    * testdata (name:size:mtime of every parquet): the driver regenerates
+    * /root/testdata in place between rounds, and a cached fixture built
+    * from the previous generation would silently serve stale values
+    * against an oracle computed on the fresh files (caught live when the
+    * r7 regen switched events.ts from NANOS to MICROS). A stamp mismatch
+    * wipes the whole cache root once per JVM. */
+  private val stampChecked = scala.collection.mutable.Set[String]()
+  private def root(sfDir: String): String = {
+    val dir = "/tmp/graft_tables/" + sfDir.replaceAll("[^0-9a-zA-Z.]", "_")
+    synchronized {
+      if (!stampChecked(dir)) {
+        val stamp = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          .mkString("\n")
+        val sf = new java.io.File(dir, "SOURCE_STAMP")
+        val cur =
+          if (sf.exists()) java.nio.file.Files.readString(sf.toPath) else null
+        if (cur != stamp) {
+          def rmRec(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmRec)
+            f.delete(); ()
+          }
+          rmRec(new java.io.File(dir))
+          new java.io.File(dir).mkdirs()
+          java.nio.file.Files.writeString(sf.toPath, stamp)
+        }
+        stampChecked += dir
+      }
+    }
+    dir
+  }
 
   // A cached table is reusable only if it has all n commits AND was built
   // by a schema-recording writer (r5) AND a column-stats-recording writer

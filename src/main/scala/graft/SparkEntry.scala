@@ -24,8 +24,15 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
   import Fixtures.{C1, C2, C3, C4}
 
-  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts arrives as parquet TIMESTAMP(MICROS) (NTZ); every events
+    // query below does exact integer time math on epoch-NANOS longs, so
+    // lift at the single load point (µs→ns is ×1000, lossless; NTZ wall
+    // clock read as UTC — sessions run timeZone=UTC, same as the DuckDB
+    // oracle's native reading of the column).
+    if (name == "events") graft.streaming.EventStream.tsNanos(df) else df
+  }
 
   /** Table scan widened to cluster parallelism: the testdata parquet files
     * are single row-groups, i.e. ONE split, so without this every per-row
@@ -419,10 +426,11 @@ object SparkEntry {
         .orderBy(col("day"))),
 
     // ---- events: time-window agg + gap-based sessionization ----
-    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a nanos-long
-    // (spark.sql.legacy.parquet.nanosAsLong, set by Verify/Bench); all time
-    // math below is integer arithmetic on epoch nanos — exact and
-    // engine-portable (DuckDB reads the same column natively as TIMESTAMP).
+    // events.ts is lifted to an epoch-NANOS long at the load point (`t`,
+    // via EventStream.tsNanos — the stored column is TIMESTAMP(MICROS)
+    // NTZ); all time math below is integer arithmetic on epoch nanos —
+    // exact and engine-portable (DuckDB reads the column natively as
+    // TIMESTAMP).
     // `ts div N` (integer division) NOT `/` — double division of epoch-nanos
     // longs (> 2⁵³) rounds, and a ts within ~256ns of a unit boundary could
     // truncate to the wrong bucket vs the oracle's exact integer math.
@@ -839,6 +847,38 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
+    // PII redaction: emails/IPs/ids/phones → category tokens, with audit
+    // counts. The synthetic docs carry no PII, so each row derives a
+    // deterministic PII suffix from doc_id in-plan (mirrored verbatim in
+    // the oracle SQL) — the query cross-checks the regex SEMANTICS of the
+    // redaction chain between engines, per-row/zero-shuffle.
+    "q_pii_redact" -> ((s, d) => {
+      val id = col("doc_id")
+      def cs(c: Column): Column = c.cast("string")
+      val pii = concat_ws(" ", col("text"),
+        concat(lit("user"), cs(id), lit("@mail-"), cs(id % 7),
+          lit(".example.com")),
+        concat(lit("10."), cs(id % 250), lit("."), cs(id % 100), lit("."),
+          cs(id % 200 + 1)),
+        concat(cs(id % 900 + 100), lit("-"), cs(id % 90 + 10), lit("-"),
+          cs(id % 9000 + 1000)),
+        concat(cs(id % 800 + 200), lit(" "), cs(id % 700 + 300), lit(" "),
+          cs(id % 9000 + 1000)))
+      TextAnalysis.piiCounts(
+          tp(s, d, "documents").select(id, pii.as("pii_text")),
+          col("pii_text"))
+        .select(id, TextAnalysis.redactPii(col("pii_text")).as("red_text"),
+          col("n_email"), col("n_ip"), col("n_id"), col("n_phone"))
+        .orderBy(id)
+    }),
+    // Per-doc salient terms: top-5 tokens by integer tf·idf salience
+    // (Curation.salientTerms — one text pass, df over the reduced tf set,
+    // token-keyed join, one top-k window by doc).
+    "q_salient_terms" -> ((s, d) =>
+      Curation.salientTerms(tp(s, d, "documents"), col("doc_id"),
+          col("text"), k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("rnk"))),
   )
 
   // ---- DuckDB oracles ----
@@ -1461,5 +1501,40 @@ object SparkEntry {
     "q_top_tokens" ->
       (s"SELECT token, count(*) AS n FROM (SELECT unnest($Toks) AS token FROM documents) " +
         "GROUP BY token ORDER BY n DESC, token ASC LIMIT 20"),
+    // PII redaction: the same doc_id-derived PII suffix, the same four
+    // patterns (Java-regex ∩ RE2 common subset) — DuckDB needs the 'g'
+    // flag for replace-ALL to match Spark's regexp_replace.
+    "q_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+      def v(e: String) = s"CAST($e AS VARCHAR)"
+      val piiText = "text || ' ' || " +
+        s"'user' || ${v("doc_id")} || '@mail-' || ${v("doc_id % 7")} || '.example.com' || ' ' || " +
+        s"'10.' || ${v("doc_id % 250")} || '.' || ${v("doc_id % 100")} || '.' || ${v("doc_id % 200 + 1")} || ' ' || " +
+        s"${v("doc_id % 900 + 100")} || '-' || ${v("doc_id % 90 + 10")} || '-' || ${v("doc_id % 9000 + 1000")} || ' ' || " +
+        s"${v("doc_id % 800 + 200")} || ' ' || ${v("doc_id % 700 + 300")} || ' ' || ${v("doc_id % 9000 + 1000")}"
+      s"WITH p AS (SELECT doc_id, $piiText AS pii_text FROM documents) " +
+        "SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"pii_text, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), " +
+        s"'$ssn', '<ID>', 'g'), '$phone', '<PHONE>', 'g') AS red_text, " +
+        s"CAST(len(regexp_extract_all(pii_text, '$email')) AS BIGINT) AS n_email, " +
+        s"CAST(len(regexp_extract_all(pii_text, '$ip')) AS BIGINT) AS n_ip, " +
+        s"CAST(len(regexp_extract_all(pii_text, '$ssn')) AS BIGINT) AS n_id, " +
+        s"CAST(len(regexp_extract_all(pii_text, '$phone')) AS BIGINT) AS n_phone " +
+        "FROM p ORDER BY doc_id"
+    },
+    // Salient terms: integer tf·idf surrogate floor(tf·1e6/df); tf over
+    // the token stream, df over the reduced (doc, token) set; ties by
+    // token asc make row_number deterministic.
+    "q_salient_terms" ->
+      (s"WITH toks AS (SELECT doc_id, unnest($Toks) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2), " +
+        "dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT doc_id, token, tf, df, CAST(floor(tf * 1000000 / df) AS BIGINT) AS salience_ppm FROM tf JOIN dfreq USING (token)), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY salience_ppm DESC, token ASC) AS BIGINT) AS rnk FROM sc) " +
+        "SELECT doc_id, token, tf, df, salience_ppm, rnk FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk"),
   )
 }

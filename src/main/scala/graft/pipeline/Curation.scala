@@ -202,4 +202,37 @@ object Curation {
         floor(coalesce(col("__h"), lit(0L)) * lit(1000) / col("n_grams"))
           .cast("long").as("boilerplate_permille"))
   }
+
+  /** Per-document SALIENT TERMS — the tf-idf shape in integer-exact form:
+    * each doc's top-`k` tokens ranked by salience_ppm =
+    * floor(tf · 10⁶ / df), term frequency in the doc over document
+    * frequency in the corpus (rare-everywhere-but-frequent-here wins, the
+    * tf-idf ordering rationale with the log dropped so every value is a
+    * deterministic integer — no libm/rounding drift between engines).
+    *
+    * Plan shape at 100 TB: ONE pass over the text — explode to a token
+    * stream, map-side-combined groupBy (id, token) for tf; df aggregates
+    * the ALREADY-REDUCED tf rows (distinct (doc, token) pairs), never the
+    * raw stream; the tf⋈df join is token-keyed (AQE broadcasts the
+    * vocabulary side when it fits); the top-k window shuffles by doc id
+    * once. Ties break by token asc, so ranks are deterministic.
+    *
+    * Returns (id, token, tf, df, salience_ppm, rnk ≤ k). */
+  def salientTerms(df: DataFrame, id: Column, text: Column,
+      k: Int = 5): DataFrame = {
+    val toks = df.select(id.cast("long").as("id"),
+        explode(TextAnalysis.tokens(text)).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("salience_ppm").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("salience_ppm",
+        floor(col("tf") * lit(1000000L) / col("df")).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        col("salience_ppm"), col("rnk"))
+  }
 }

@@ -107,6 +107,41 @@ object TextAnalysis {
       size(grams)).cast("long")
   }
 
+  /** PII pattern → replacement token, applied in this order. Patterns stay
+    * inside the Java-regex ∩ RE2 common subset (classes, bounded repeats,
+    * `\b`, alternation-free) so the DuckDB oracle's `regexp_replace(…,'g')`
+    * is character-identical. The four categories are disjoint by
+    * construction: IP needs three dots, ID is 3-2-4 digits, PHONE is 3-3-4
+    * — no pattern can match another's replacement or remainder, so the
+    * chain is order-insensitive (order fixed anyway for determinism). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<ID>",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>")
+
+  /** PII redaction: emails, IPv4 addresses, SSN-shaped ids, and US-shaped
+    * phone numbers replaced by category tokens. A chain of codegen'd
+    * `regexp_replace` calls — per-row, zero shuffle, fuses into the scan;
+    * the per-executor compiled-regex cache makes the chain four pattern
+    * executions per row, no recompilation. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-category PII match counts (computed on the UNredacted text) —
+    * the audit twin of [[redactPii]]: count columns n_email, n_ip, n_id,
+    * n_phone. Counting runs the same four patterns, so
+    * `redactPii(text) == text ⇔ all counts 0`. */
+  def piiCounts(df: DataFrame, text: Column): DataFrame = {
+    val names = Seq("n_email", "n_ip", "n_id", "n_phone")
+    names.zip(PiiPatterns).foldLeft(df) { case (d, (name, (pat, _))) =>
+      d.withColumn(name,
+        size(regexp_extract_all(text, lit(pat), lit(0))).cast("long"))
+    }
+  }
+
   /** Exact document fingerprint: md5 of whitespace-normalized lower-cased
     * text (md5 is bit-identical across engines → oracle-matchable). */
   def fingerprint(text: Column): Column =

@@ -26,25 +26,39 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Schema of the driver's events table with `ts` read as epoch nanos
-    * (spark.sql.legacy.parquet.nanosAsLong=true). Needed by
+  /** Schema of the driver's events table as stored: `ts` is parquet
+    * TIMESTAMP(MICROS) without UTC adjustment → TIMESTAMP_NTZ. Needed by
     * `spark.readStream.schema(...)` — streaming file sources require an
     * explicit schema. */
-  val schemaNanos: StructType = StructType(Seq(
+  val schemaMicros: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open the events table as a micro-batch file stream. */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schemaNanos).parquet(dir)
+  /** Lift `ts` to this module's epoch-NANOS-long contract from whatever
+    * the source carries: already-long ts passes through; timestamp ts
+    * (µs precision) converts exactly (×1000). NTZ wall-clock is taken as
+    * UTC — every session here runs spark.sql.session.timeZone=UTC, which
+    * matches how DuckDB's oracle reads the same NTZ column natively. All
+    * downstream time math stays exact integer arithmetic on the long. */
+  def tsNanos(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df
+    case _ => df.withColumn("ts",
+      unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+  }
 
-  /** Epoch-nanos `ts` → proper event-time timestamp column. */
+  /** Open the events table as a micro-batch file stream (ts lifted to the
+    * epoch-nanos contract). */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    tsNanos(spark.readStream.schema(schemaMicros).parquet(dir))
+
+  /** Epoch-nanos `ts` → proper event-time timestamp column (lifting ts
+    * first if the caller hands a raw timestamp-typed frame). */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time",
+    tsNanos(df).withColumn("event_time",
       timestamp_micros((col("ts") / lit(1000L)).cast("long")))
 
   /** Watermarked tumbling-window aggregate: events per (type, hour).

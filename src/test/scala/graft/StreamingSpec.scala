@@ -48,7 +48,7 @@ class TableTailSpec extends SparkSpec {
     // a 3-commit versioned EVENTS table (disjoint key ranges per commit)
     val dir = freshDir("tail_events_cow")
     val events = spark.read.parquet(s"$sf0001/events.parquet").limit(3000)
-    val payloadCols = EventStream.schemaNanos.fieldNames.toSeq
+    val payloadCols = EventStream.schemaMicros.fieldNames.toSeq
     val w = new CowWriter(spark, dir, numBuckets = 2)
     val k = col("event_id")
     w.insert(events.filter(k % 3 === 0), k, col("event_type"), Fixtures.C1)
@@ -580,14 +580,14 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stateful sessionization: batch flush matches window-lag oracle") {
     import spark.implicits._
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = EventStream.tsNanos(spark.read.parquet(s"$sf/events.parquet"))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventStream.Event]
     val sessions = EventStream.sessionizeStateful(spark, events, gapSec = 1800L)
     // oracle: n_sessions per user via lag() (same logic as q_events_sessions)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc)
-    val oracle = spark.read.parquet(s"$sf/events.parquet")
+    val oracle = EventStream.tsNanos(spark.read.parquet(s"$sf/events.parquet"))
       .withColumn("sec", (col("ts") / lit(1000000000L)).cast("long"))
       .withColumn("prev", lag("sec", 1).over(w))
       .withColumn("ns", when(col("prev").isNull ||

@@ -1418,6 +1418,22 @@ object SparkEntry {
         "CASE WHEN n_tok > 0 THEN (tok_end - 1) // 512 ELSE (tok_end - n_tok) // 512 END AS seq_last, " +
         "(CASE WHEN n_tok > 0 THEN (tok_end - 1) // 512 ELSE (tok_end - n_tok) // 512 END) - ((tok_end - n_tok) // 512) + 1 AS n_seqs " +
         "FROM w ORDER BY doc_id"),
+    // Segment manifest: one row per (doc, sequence) pair — each doc's
+    // offset and length inside every sequence its interval touches
+    // (zero-token docs emit one zero-length segment at their position).
+    "q_pack_segments" ->
+      ("WITH c AS (SELECT doc_id, lang, " +
+        "CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])')) AS BIGINT) AS n_tok FROM documents), " +
+        "w AS (SELECT doc_id, lang, n_tok, " +
+        "CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS tok_end FROM c), " +
+        "b AS (SELECT doc_id, lang, n_tok, tok_end - n_tok AS tok_start, tok_end, " +
+        "(tok_end - n_tok) // 512 AS seq_first, " +
+        "CASE WHEN n_tok > 0 THEN (tok_end - 1) // 512 ELSE (tok_end - n_tok) // 512 END AS seq_last FROM w), " +
+        "s AS (SELECT doc_id, lang, tok_start, tok_end, unnest(range(seq_first, seq_last + 1)) AS seq FROM b) " +
+        "SELECT doc_id, lang, seq, " +
+        "greatest(tok_start, seq * 512) - seq * 512 AS seg_start, " +
+        "least(tok_end, (seq + 1) * 512) - greatest(tok_start, seq * 512) AS seg_len " +
+        "FROM s ORDER BY doc_id, seq"),
     "q_repetition" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), " +
         "g AS (SELECT doc_id, " +

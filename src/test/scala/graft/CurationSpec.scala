@@ -111,6 +111,56 @@ class CurationSpec extends SparkSpec {
     assert(none.filter(col("boilerplate_permille") > 0).count() == 0)
   }
 
+  test("salientTerms: a doc-unique token outranks corpus-wide tokens; " +
+      "ranks dense from 1; k bounds output") {
+    // 3 docs sharing "common"; each carries a unique marker with higher tf
+    val docs = Seq(
+      (1L, "common common alpha alpha alpha"),
+      (2L, "common common beta beta beta"),
+      (3L, "common common gamma gamma gamma")).toDF("id", "text")
+    val out = Curation.salientTerms(docs, col("id"), col("text"), k = 2)
+      .orderBy("id", "rnk").as[(Long, String, Long, Long, Long, Long)]
+      .collect()
+    // unique marker: tf=3, df=1 → 3e6 ppm; common: tf=2, df=3 → 666666
+    assert(out.length == 6)
+    val byDoc = out.groupBy(_._1)
+    Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma").foreach {
+      case (id, marker) =>
+        val rows = byDoc(id).sortBy(_._6)
+        assert(rows.map(_._6).toSeq == Seq(1L, 2L)) // dense ranks from 1
+        assert(rows.head._2 == marker &&
+          rows.head._5 == 3000000L, s"doc $id top term")
+        assert(rows(1)._2 == "common" && rows(1)._5 == 666666L)
+    }
+    // k bounds: k=1 keeps exactly one row per doc
+    assert(Curation.salientTerms(docs, col("id"), col("text"), k = 1)
+      .count() == 3)
+  }
+
+  test("redactPii: each category redacts and counts; clean text untouched") {
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "mail me at a.user+x@sub.example.org today"),
+      (2L, "server 192.168.0.17 timed out"),
+      (3L, "ssn 123-45-6789 on file"),
+      (4L, "call 555-123-4567 or 555 987 6543"),
+      (5L, "no personal data here"),
+      (6L, "v1.2.3 released; section 12-34 unchanged")) // lookalikes stay
+      .toDF("id", "text")
+    val got = TextAnalysis.piiCounts(rows, col("text"))
+      .withColumn("red", TextAnalysis.redactPii(col("text")))
+      .orderBy("id")
+      .select("red", "n_email", "n_ip", "n_id", "n_phone")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got(0) == (("mail me at <EMAIL> today", 1L, 0L, 0L, 0L)))
+    assert(got(1) == (("server <IP> timed out", 0L, 1L, 0L, 0L)))
+    assert(got(2) == (("ssn <ID> on file", 0L, 0L, 1L, 0L)))
+    assert(got(3) == (("call <PHONE> or <PHONE>", 0L, 0L, 0L, 2L)))
+    assert(got(4) == (("no personal data here", 0L, 0L, 0L, 0L)))
+    assert(got(5) == (("v1.2.3 released; section 12-34 unchanged",
+      0L, 0L, 0L, 0L)))
+  }
+
   test("decontaminate: shared n-gram drops the doc; disjoint text survives") {
     val evalDf = Seq(
       (100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")

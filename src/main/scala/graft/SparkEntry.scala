@@ -879,6 +879,34 @@ object SparkEntry {
           col("text"), k = 5)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("rnk"))),
+    // Stratified hash sampling: per-language keep rates as a pure per-row
+    // predicate (Curation.sampleStratified — zero shuffle, fuses into the
+    // scan; same md5-prefix space as q_split).
+    "q_sample_strat" -> ((s, d) =>
+      tp(s, d, "documents")
+        .filter(Curation.sampleStratified(col("lang"), col("doc_id"), "mix7",
+          Seq("en" -> 0.5, "de" -> 0.8, "es" -> 0.25, "fr" -> 0.1,
+            "zh" -> 0.9)))
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    // Deterministic fixed-size sample: the 20 lowest-hash docs per language
+    // (Curation.reservoir — one shuffle by stratum, run-and-engine-stable).
+    "q_sample_topk" -> ((s, d) =>
+      Curation.reservoir(tp(s, d, "documents"), col("lang"), col("doc_id"),
+          "mix7", k = 20)
+        .select(col("doc_id"), col("lang"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))),
+    // Token-budget corpus mixture: per-language token budgets filled in
+    // hash order (Curation.mixByBudget — one shuffle by domain; zh has no
+    // budget and drops entirely).
+    "q_mix_budget" -> ((s, d) =>
+      Curation.mixByBudget(
+          tp(s, d, "documents").select(col("doc_id"), col("lang"),
+            TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+              .as("n_tok")),
+          col("lang"), col("doc_id"), "mix7", col("n_tok"),
+          Seq("en" -> 5000L, "de" -> 2000L, "es" -> 1500L, "fr" -> 800L))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("tok_before"))
+        .orderBy(col("doc_id"))),
   )
 
   // ---- DuckDB oracles ----
@@ -1552,5 +1580,30 @@ object SparkEntry {
         "sc AS (SELECT doc_id, token, tf, df, CAST(floor(tf * 1000000 / df) AS BIGINT) AS salience_ppm FROM tf JOIN dfreq USING (token)), " +
         "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY salience_ppm DESC, token ASC) AS BIGINT) AS rnk FROM sc) " +
         "SELECT doc_id, token, tf, df, salience_ppm, rnk FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk"),
+    // Stratified sampling: the per-lang keep rate only picks the hex
+    // boundary the row's md5 prefix is compared against (0.5→80000000,
+    // 0.8→cccccccc, 0.25→40000000, 0.1→19999999, 0.9→e6666666).
+    "q_sample_strat" ->
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|mix7'), 1, 8) < CASE lang " +
+        "WHEN 'en' THEN '80000000' WHEN 'de' THEN 'cccccccc' " +
+        "WHEN 'es' THEN '40000000' WHEN 'fr' THEN '19999999' " +
+        "WHEN 'zh' THEN 'e6666666' ELSE '00000000' END ORDER BY doc_id"),
+    "q_sample_topk" ->
+      ("SELECT doc_id, lang, sample_rank FROM (SELECT doc_id, lang, " +
+        "CAST(row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR) || '|mix7'), doc_id) AS BIGINT) AS sample_rank " +
+        "FROM documents) WHERE sample_rank <= 20 ORDER BY lang, sample_rank"),
+    // Token-budget mixture: greedy fill in hash order — keep iff the
+    // domain's cumulative tokens BEFORE this doc are under its budget.
+    "q_mix_budget" ->
+      ("WITH c AS (SELECT doc_id, lang, " +
+        "CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])')) AS BIGINT) AS n_tok, " +
+        "md5(CAST(doc_id AS VARCHAR) || '|mix7') AS hk FROM documents), " +
+        "w AS (SELECT doc_id, lang, n_tok, " +
+        "CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) - n_tok AS tok_before FROM c) " +
+        "SELECT doc_id, lang, n_tok, tok_before FROM w " +
+        "WHERE tok_before < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 " +
+        "WHEN 'es' THEN 1500 WHEN 'fr' THEN 800 ELSE 0 END ORDER BY doc_id"),
   )
 }

@@ -61,6 +61,95 @@ object Curation {
       .fold(lit(fractions.head._1))(_.otherwise(lit(fractions.last._1)))
   }
 
+  /** Deterministic hash-sample membership: true iff md5(key ⊕ salt) lands
+    * in the first `fraction` of the 32-bit hash space — the same
+    * fixed-width-hex comparison as [[splitAssign]], so membership is a pure
+    * per-row function of (key, salt): zero shuffle, stable across runs and
+    * engines, and composable (a 10% sample of a 50% sample under different
+    * salts is an independent 5%). */
+  def sampleByHash(key: Column, salt: String, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    if (fraction >= 1.0) lit(true)
+    else substring(md5(concat(key.cast("string"), lit("|" + salt))), 1, 8) <
+      lit(hexBound(fraction))
+  }
+
+  /** Per-stratum hash-sample membership — the stratified-sampling filter a
+    * mixture pipeline applies before training (CCNet-style per-language /
+    * per-source rates). `fractions` maps stratum values to keep rates;
+    * strata not listed keep at `default`. Still per-row and zero-shuffle:
+    * the stratum only selects WHICH boundary the row's hash is compared
+    * against, so the filter fuses into the scan like any other predicate. */
+  def sampleStratified(stratum: Column, key: Column, salt: String,
+      fractions: Seq[(String, Double)], default: Double = 0.0): Column = {
+    require(fractions.nonEmpty, "at least one stratum")
+    val prefix = substring(md5(concat(key.cast("string"), lit("|" + salt))), 1, 8)
+    def keep(f: Double): Column = {
+      require(f >= 0.0 && f <= 1.0, "fraction in [0,1]")
+      if (f >= 1.0) lit(true) else prefix < lit(hexBound(f))
+    }
+    fractions.foldLeft(Option.empty[Column]) { case (acc, (name, f)) =>
+      val arm = when(stratum === name, keep(f))
+      Some(acc.fold(arm)(c => c.when(stratum === name, keep(f))))
+    }.get.otherwise(keep(default))
+  }
+
+  /** Deterministic "reservoir": the `k` rows of each stratum whose hash
+    * ranks lowest — a fixed-size uniform sample per stratum that any two
+    * runs (or engines) agree on exactly. Adds `sample_rank` (1-based hash
+    * rank within the stratum; ties broken by key).
+    *
+    * ONE shuffle by stratum. The window sorts within each stratum, so a
+    * stratum must fit a task's spill budget — at 100 TB with few huge
+    * strata, pre-filter with [[sampleByHash]] at a generous fraction
+    * (≥ k / expected-stratum-rows) first: membership is hash-prefix
+    * monotone, so the top-k by hash of the pre-filtered stratum is the
+    * top-k of the whole stratum whenever the filter keeps ≥ k rows. */
+  def reservoir(df: DataFrame, stratum: Column, key: Column, salt: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col("__stratum"))
+      .orderBy(col("__hk").asc, col("__key").asc)
+    df.withColumn("__stratum", stratum)
+      .withColumn("__key", key)
+      .withColumn("__hk", md5(concat(key.cast("string"), lit("|" + salt))))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("__stratum", "__key", "__hk")
+  }
+
+  /** Token-budget corpus mixture (the data-mixing step of a pretraining
+    * run): per domain, take documents in deterministic hash order until the
+    * domain's token budget is met — a document is kept iff the tokens
+    * BEFORE it in its domain's hash-ordered stream are under the budget
+    * (so each domain overshoots by at most one document, exactly like the
+    * greedy fill loop). Domains without a budget default to `default`
+    * (0 = drop). Adds `tok_before` (tokens ahead of this doc in its
+    * domain's stream) and keeps only budgeted rows.
+    *
+    * ONE shuffle by domain; the cumulative sum is a window over the
+    * domain's hash order, never a global sort. Budgets are data, not plan
+    * shape — rescaling the mixture re-runs the same plan. */
+  def mixByBudget(df: DataFrame, domain: Column, key: Column, salt: String,
+      nTokens: Column, budgets: Seq[(String, Long)],
+      default: Long = 0L): DataFrame = {
+    require(budgets.nonEmpty, "at least one domain budget")
+    val budget = budgets.foldLeft(Option.empty[Column]) {
+      case (acc, (name, b)) =>
+        val arm = when(col("__dom") === name, lit(b))
+        Some(acc.fold(arm)(c => c.when(col("__dom") === name, lit(b))))
+    }.get.otherwise(lit(default))
+    val w = Window.partitionBy(col("__dom"))
+      .orderBy(col("__hk").asc, col("__key").asc)
+    df.withColumn("__dom", domain)
+      .withColumn("__key", key)
+      .withColumn("__hk", md5(concat(key.cast("string"), lit("|" + salt))))
+      .withColumn("__n", nTokens.cast("long"))
+      .withColumn("tok_before", sum(col("__n")).over(w) - col("__n"))
+      .filter(col("tok_before") < budget)
+      .drop("__dom", "__key", "__hk", "__n")
+  }
+
   /** Concat-and-chunk sequence packing (the standard LLM-pretraining
     * layout): documents are concatenated in (shard, id) order into one
     * token stream per shard, which is then chunked into fixed-`cap`

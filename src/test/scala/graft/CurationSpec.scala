@@ -161,6 +161,84 @@ class CurationSpec extends SparkSpec {
       0L, 0L, 0L, 0L)))
   }
 
+  test("sampleByHash: fraction bounds, determinism, monotone nesting, " +
+    "salt independence") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val n = docs.count().toDouble
+    // edge fractions are exact
+    assert(docs.filter(Curation.sampleByHash(col("doc_id"), "s", 1.0))
+      .count() == n.toLong)
+    assert(docs.filter(Curation.sampleByHash(col("doc_id"), "s", 0.0))
+      .count() == 0)
+    val half = docs.filter(Curation.sampleByHash(col("doc_id"), "s", 0.5))
+    assert(math.abs(half.count() / n - 0.5) < 0.12)
+    // monotone: the 20% sample is a subset of the 50% sample (same salt)
+    val fifth = docs.filter(Curation.sampleByHash(col("doc_id"), "s", 0.2))
+    assert(fifth.join(half, Seq("doc_id"), "left_anti").count() == 0)
+    // different salts draw different members
+    val other = docs.filter(Curation.sampleByHash(col("doc_id"), "t", 0.5))
+    assert(other.join(half, Seq("doc_id"), "left_anti").count() > 0)
+  }
+
+  test("sampleStratified: per-stratum rates, default drops unlisted strata") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val kept = docs.filter(Curation.sampleStratified(col("lang"),
+      col("doc_id"), "s", Seq("en" -> 1.0, "de" -> 0.0), default = 0.0))
+    val langs = kept.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val enTotal = docs.filter(col("lang") === "en").count()
+    assert(langs == Map("en" -> enTotal)) // de at 0, others defaulted out
+    // default keeps unlisted strata at its rate
+    val all = docs.filter(Curation.sampleStratified(col("lang"),
+      col("doc_id"), "s", Seq("en" -> 1.0), default = 1.0))
+    assert(all.count() == docs.count())
+  }
+
+  test("reservoir: exactly k per stratum, ranks 1..k, stable across runs, " +
+    "hash-prefilter composes") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = Curation.reservoir(docs, col("lang"), col("doc_id"), "s", 7)
+    val perLang = got.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(perLang.values.forall(_ == 7L))
+    assert(got.filter(col("sample_rank") < 1 || col("sample_rank") > 7)
+      .count() == 0)
+    // deterministic: same members and ranks on re-evaluation
+    val again = Curation.reservoir(docs, col("lang"), col("doc_id"), "s", 7)
+      .select("doc_id", "sample_rank")
+    assert(got.select("doc_id", "sample_rank").except(again).count() == 0)
+    // membership is hash-prefix monotone: pre-filtering at a generous
+    // fraction leaves the same top-k (the documented 100 TB shape)
+    val pre = docs.filter(Curation.sampleByHash(col("doc_id"), "s", 0.5))
+    val viaPre = Curation.reservoir(pre, col("lang"), col("doc_id"), "s", 7)
+      .select("doc_id", "sample_rank")
+    assert(got.select("doc_id", "sample_rank").except(viaPre).count() == 0)
+  }
+
+  test("mixByBudget: budget bounds hold, greedy-fill overshoot <= one doc, " +
+    "unbudgeted domains drop") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        graft.pipeline.TextAnalysis.bpeishTokenCount(col("text"))
+          .cast("long").as("n_tok"))
+    val budgets = Seq("en" -> 1000L, "de" -> 500L)
+    val got = Curation.mixByBudget(docs, col("lang"), col("doc_id"), "s",
+      col("n_tok"), budgets)
+    val sums = got.groupBy("lang")
+      .agg(sum("n_tok").as("tok"), max("n_tok").as("mx"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(sums.keySet == Set("en", "de")) // es/fr/zh unbudgeted -> dropped
+    budgets.foreach { case (lang, b) =>
+      val (tot, mx) = sums(lang)
+      assert(tot - mx < b, s"$lang under budget before its last doc")
+      assert(tot >= b, s"$lang budget actually filled")
+    }
+    // every kept doc's tok_before is under its domain budget
+    assert(got.filter(col("lang") === "en" && col("tok_before") >= 1000L)
+      .count() == 0)
+  }
+
   test("decontaminate: shared n-gram drops the doc; disjoint text survives") {
     val evalDf = Seq(
       (100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")

@@ -116,6 +116,7 @@ object Fixtures {
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
     formatRtDir(spark, sfDir); sqlDmlDir(spark, sfDir)
+    sqlAlterDir(spark, sfDir)
     sortedDir(spark, sfDir); mirrorDir(spark, sfDir)
     zorderDir(spark, sfDir); archivedDir(spark, sfDir)
     bloomDir(spark, sfDir); savepointDir(spark, sfDir)
@@ -395,6 +396,31 @@ object Fixtures {
              |ON t.o_orderkey = s.o_orderkey
              |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      } finally spark.sql(s"DROP TABLE $tbl")
+    }
+    dir
+  }
+
+  /** Table whose schema EVOLVES through SQL: C1 format-writer create of all
+    * orders, then `ALTER TABLE ... ADD COLUMNS (score BIGINT)` (an empty
+    * schema-evolution commit) and an `UPDATE` writing the new column for
+    * keys %10==3 — the final snapshot mixes pre-evolution files (score
+    * null-padded at read) with rewritten groups that carry it. */
+  def sqlAlterDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_sqlalter"
+    if (!complete(spark, dir, 3)) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      orders.write.format("graft")
+        .option("key", "o_orderkey").option("partition", "o_orderstatus")
+        .option("buckets", "8").option("ts", C1).save(dir)
+      val tbl = "graft_sqlalter_fixture"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl USING graft OPTIONS (path '$dir')")
+      try {
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (score BIGINT)")
+        spark.sql(s"UPDATE $tbl SET score = o_orderkey % 100 " +
+          "WHERE o_orderkey % 10 = 3")
       } finally spark.sql(s"DROP TABLE $tbl")
     }
     dir

@@ -138,6 +138,14 @@ object SparkEntry {
     // source values + not-matched re-insert of previously deleted keys).
     "q_sql_merge" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.sqlDmlDir(s, d)))),
+    // q_sql_alter: snapshot after `ALTER TABLE ... ADD COLUMNS` (a
+    // schema-evolution COMMIT) + an UPDATE writing the new column — files
+    // that predate the evolution null-pad `score` at read, rewritten
+    // groups carry it (graft.sql.GraftAddColumnsCommand).
+    "q_sql_alter" -> ((s, d) =>
+      SnapshotReader.read(s, Fixtures.sqlAlterDir(s, d))
+        .select(col("o_orderkey"), col("o_totalprice"), col("score"))
+        .orderBy(col("o_orderkey"))),
     // q_key_lookup (r7): record-key point lookup served by the column-stats
     // skipping index — the pushed key predicate drops every file whose
     // recorded [min,max] key range excludes it at LISTING time (one file
@@ -1050,6 +1058,12 @@ object SparkEntry {
         "ELSE o_totalprice END AS o_totalprice, " +
         "o_orderdate, o_orderpriority FROM orders " +
         "WHERE o_orderkey % 7 <> 0 OR o_orderkey % 11 = 5 ORDER BY o_orderkey"),
+    // schema evolution: score exists only where the post-ALTER UPDATE
+    // rewrote the row; every other row reads null from pre-evolution files
+    "q_sql_alter" ->
+      ("SELECT o_orderkey, o_totalprice, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_orderkey % 100 END AS score " +
+        "FROM orders ORDER BY o_orderkey"),
     "q_key_lookup" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100000 ELSE o_totalprice END AS o_totalprice, " +

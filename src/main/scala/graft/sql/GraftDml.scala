@@ -82,6 +82,19 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             "with their partition values")
         GraftInsertCommand(path, ct, i.table, query, userCols, overwrite,
           byName)
+
+      // ALTER TABLE ... ADD COLUMNS: Spark's V1 command only supports the
+      // built-in file sources (its run() rejects other providers), so
+      // intercept the already-converted command for graft catalog tables
+      // and record the evolution as a COMMIT instead.
+      case a @ org.apache.spark.sql.execution.command
+          .AlterTableAddColumnsCommand(ident, cols) =>
+        graftPathByName(session, ident.database.toSeq :+ ident.table) match {
+          case Some(path) =>
+            val ct = session.sessionState.catalog.getTableMetadata(ident)
+            GraftAddColumnsCommand(path, ct, cols)
+          case None => a // other providers: Spark's own command runs
+        }
     }
 }
 
@@ -520,6 +533,67 @@ case class GraftInsertCommand(basePath: String, ct: CatalogTable,
       FormatWriter.write(spark, basePath, SaveMode.Overwrite, params, rows)
     else
       FormatWriter.append(spark, basePath, params, rows, Map.empty)
+    spark.catalog.refreshTable(ct.identifier.quotedString)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE <graft table> ADD COLUMNS (c TYPE, ...)` → schema evolution
+  * AS A COMMIT: one empty commit whose recorded schema is the table's
+  * current schema plus the new (nullable) columns, published through the
+  * same OCC gate as a data commit — zero data IO, versioned like everything
+  * else (time travel before the ALTER serves the old schema; existing files
+  * null-pad the new columns at read, the same add-only contract a widening
+  * Append write records). The catalog's stored schema is updated in the
+  * same statement so catalog resolution (which verifies the relation's
+  * schema against the stored one) stays consistent. */
+case class GraftAddColumnsCommand(basePath: String, ct: CatalogTable,
+    cols: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val resolver = spark.sessionState.conf.resolver
+    val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val current = tl.latestSchemaJson(None).map(sj =>
+      DataType.fromJson(sj).asInstanceOf[StructType]).getOrElse(
+      throw new IllegalStateException(
+        s"table ${ct.identifier} has no commit-recorded schema to evolve " +
+          "(empty or pre-schema-recording table)"))
+    cols.foreach { f =>
+      require(!MetaCols.all.contains(f.name) && f.name != MetaCols.IsDeleted,
+        s"cannot add column '${f.name}': the name is reserved for " +
+          "engine meta columns")
+      require(!current.fields.exists(e => resolver(e.name, f.name)),
+        s"cannot add column '${f.name}': it already exists in " +
+          s"${ct.identifier}")
+    }
+    require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
+      "duplicate column names in ADD COLUMNS")
+    // base ("commit") action: the recorded schema keeps the MOR delete
+    // marker off, like every base-file commit (delta commits re-add it)
+    val evolved = MetaCols.canonicalSchema(StructType(
+      current.fields.filterNot(_.name == MetaCols.IsDeleted) ++
+        cols.map(_.copy(nullable = true))))
+    val readPoint = tl.completedInstants().lastOption.map(_.ts)
+    val ts = FormatWriter.nextTs(tl)
+    try {
+      tl.saveCommitOcc(ts, graft.format.CommitMetadata(
+        partitionToWriteStats = Map.empty,
+        operationType = "altertable",
+        totalRecordsDeleted = 0L, totalRecordsWritten = 0L,
+        schemaJson = Some(evolved.json)), readPoint = readPoint)
+    } finally tl.unreserve(ts)
+    // catalog schema = dataSchema ++ partitionSchema, and the relation
+    // serves `_hoodie_partition_path` LAST either way — as a Hive-style
+    // partition column (delta-free scan relation; pp not in dataSchema) or
+    // as the final ordinary column (MOR merged relation; pp in dataSchema).
+    // New columns go before a trailing pp so the stored schema keeps
+    // matching what the relation resolves.
+    val (ppTail, dataHead) = ct.dataSchema.fields
+      .partition(_.name == MetaCols.PartitionPath)
+    spark.sessionState.catalog.alterTableDataSchema(ct.identifier,
+      StructType(dataHead ++ cols.map(_.copy(nullable = true)) ++ ppTail))
     spark.catalog.refreshTable(ct.identifier.quotedString)
     Seq.empty
   }

@@ -133,6 +133,76 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE g_orders")
   }
 
+  test("SQL ALTER TABLE ADD COLUMNS: schema evolution as a commit — " +
+    "old files null-pad, DML writes the new column, time travel pre-ALTER") {
+    val dir = freshDir("sql_alter_cow")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(100)
+    orders.write.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+      .option("buckets", "2").option("ts", Fixtures.C1).save(dir)
+    spark.sql("DROP TABLE IF EXISTS g_alter")
+    spark.sql(s"CREATE TABLE g_alter USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("ALTER TABLE g_alter ADD COLUMNS (score BIGINT, tag STRING)")
+      // catalog resolution serves the widened schema; existing rows null
+      val widened = spark.sql("SELECT o_orderkey, score, tag FROM g_alter")
+      assert(widened.schema("score").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(widened.filter(col("score").isNotNull ||
+        col("tag").isNotNull).count() == 0)
+      // the evolution is a COMMIT: one new instant, zero data files
+      val tl = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), dir)
+      val instants = tl.completedInstants()
+      assert(instants.size == 2 &&
+        tl.metadata(instants.last.ts).allStats.isEmpty)
+      // DML can write the new column
+      spark.sql("UPDATE g_alter SET score = o_orderkey % 100, tag = 'hot' " +
+        "WHERE o_orderkey % 10 = 3")
+      val scored = spark.sql(
+        "SELECT o_orderkey, score FROM g_alter WHERE tag = 'hot'")
+      assert(scored.count() > 0 &&
+        scored.filter(col("score") =!= col("o_orderkey") % 100).count() == 0)
+      // rows the UPDATE did not touch stay null in the same snapshot
+      assert(spark.sql("SELECT count(*) FROM g_alter " +
+        "WHERE tag IS NULL AND o_orderkey % 10 <> 3").as[Long].head() > 0)
+      // time travel BEFORE the alter serves the old schema
+      val pre = graft.read.SnapshotReader.read(spark, dir, Some(Fixtures.C1))
+      assert(!pre.schema.fieldNames.contains("score"))
+      // invalid adds fail loudly without committing
+      val dup = intercept[Exception] {
+        spark.sql("ALTER TABLE g_alter ADD COLUMNS (score BIGINT)") }
+      assert(dup.getMessage.contains("already exists"))
+      val meta = intercept[Exception] {
+        spark.sql("ALTER TABLE g_alter ADD COLUMNS " +
+          s"(${graft.format.MetaCols.RecordKey} STRING)") }
+      assert(meta.getMessage.contains("reserved"))
+      tl.refresh()
+      assert(tl.completedInstants().size == 3) // create + alter + update
+    } finally spark.sql("DROP TABLE g_alter")
+  }
+
+  test("SQL ALTER TABLE ADD COLUMNS on MOR: merged snapshot pads deltas") {
+    val dir = freshDir("sql_alter_mor")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(100)
+    val mw = new graft.write.MorWriter(spark, dir, numBuckets = 2)
+    mw.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    mw.upsert(orders.limit(20).withColumn("o_totalprice", lit(1.0)),
+      col("o_orderkey"), col("o_orderstatus"), Fixtures.C2)
+    spark.sql("DROP TABLE IF EXISTS g_alter_mor")
+    spark.sql(s"CREATE TABLE g_alter_mor USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("ALTER TABLE g_alter_mor ADD COLUMNS (score BIGINT)")
+      // outstanding deltas: the MERGED relation serves the widened schema
+      val df = spark.sql("SELECT o_orderkey, o_totalprice, score " +
+        "FROM g_alter_mor")
+      assert(df.count() == orders.count())
+      assert(df.filter(col("score").isNotNull).count() == 0)
+      // the delta rows still win the merge (score padded, payload merged)
+      assert(df.filter(col("o_totalprice") === 1.0).count() == 20)
+    } finally spark.sql("DROP TABLE g_alter_mor")
+  }
+
   test("SQL CTAS: CREATE TABLE ... USING graft AS SELECT creates a real versioned table") {
     val dir = freshDir("sql_ctas")
     val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(200)

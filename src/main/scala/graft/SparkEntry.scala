@@ -138,6 +138,15 @@ object SparkEntry {
     // source values + not-matched re-insert of previously deleted keys).
     "q_sql_merge" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.sqlDmlDir(s, d)))),
+    // q_table_history: the commit log as data (DESCRIBE HISTORY shape) —
+    // pure timeline metadata; the layout-independent counters (action,
+    // operation, delete/update/insert row counts) are oracle-exact, the
+    // file/rewrite counters depend on bucket layout and stay API-only.
+    "q_table_history" -> ((s, d) =>
+      sources.GraftTable(s, Fixtures.cowDir(s, d)).history
+        .select(col("commit_ts"), col("action"), col("operation"),
+          col("n_deleted"), col("n_updated"), col("n_inserted"))
+        .orderBy(col("commit_ts"))),
     // q_sql_alter: snapshot after `ALTER TABLE ... ADD COLUMNS` (a
     // schema-evolution COMMIT) + an UPDATE writing the new column — files
     // that predate the evolution null-pad `score` at read, rewritten
@@ -1058,6 +1067,19 @@ object SparkEntry {
         "ELSE o_totalprice END AS o_totalprice, " +
         "o_orderdate, o_orderpriority FROM orders " +
         "WHERE o_orderkey % 7 <> 0 OR o_orderkey % 11 = 5 ORDER BY o_orderkey"),
+    // history: counters recomputed from the fixture script (C1 insert all,
+    // C2 delete %7, C3 upsert %10==3 of the survivors, C4 delete %11==5)
+    "q_table_history" ->
+      ("SELECT * FROM (" +
+        "SELECT '20260101000000' AS commit_ts, 'commit' AS action, 'INSERT' AS operation, " +
+        "CAST(0 AS BIGINT) AS n_deleted, CAST(0 AS BIGINT) AS n_updated, (SELECT count(*) FROM orders) AS n_inserted " +
+        "UNION ALL SELECT '20260102000000', 'commit', 'UPSERT', " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0), CAST(0 AS BIGINT), CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT '20260103000000', 'commit', 'UPSERT', CAST(0 AS BIGINT), " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 7 <> 0), CAST(0 AS BIGINT) " +
+        "UNION ALL SELECT '20260104000000', 'commit', 'UPSERT', " +
+        "(SELECT count(*) FROM orders WHERE o_orderkey % 11 = 5 AND o_orderkey % 7 <> 0), CAST(0 AS BIGINT), CAST(0 AS BIGINT)" +
+        ") ORDER BY commit_ts"),
     // schema evolution: score exists only where the post-ALTER UPDATE
     // rewrote the row; every other row reads null from pre-evolution files
     "q_sql_alter" ->

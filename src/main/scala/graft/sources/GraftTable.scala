@@ -43,6 +43,33 @@ final class GraftTable(spark: SparkSession, basePath: String) {
   /** Completed commit timestamps, oldest first. */
   def commits: Seq[String] = timeline.completedInstants().map(_.ts)
 
+  /** Commit history as a DataFrame (the DESCRIBE-HISTORY shape): one row
+    * per completed instant, oldest first — action, recorded operation, and
+    * the commit's file/row counters from its write stats. Pure timeline
+    * metadata (memoized decodes, no data IO): #commits rows built on the
+    * driver, exactly like the planning walk every query already does. */
+  def history: DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tl = timeline
+    val rows = tl.completedInstants().map { i =>
+      val m = tl.metadata(i.ts)
+      val ss = m.allStats.map(_._2)
+      Row(i.ts, i.action, m.operationType,
+        ss.count(_.path.nonEmpty).toLong,
+        m.totalRecordsWritten, m.totalRecordsDeleted,
+        ss.map(_.numUpdateWrites).sum, ss.map(_.numInserts).sum)
+    }
+    val schema = StructType(Seq(
+      StructField("commit_ts", StringType), StructField("action", StringType),
+      StructField("operation", StringType),
+      StructField("n_files", LongType), StructField("n_written", LongType),
+      StructField("n_deleted", LongType), StructField("n_updated", LongType),
+      StructField("n_inserted", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Latest-state snapshot (COW: pure multi-path scan; MOR: window merge of
     * dirty groups only). Partition pruning is Catalyst-automatic on the
     * base-file side: `snapshot().filter($"_hoodie_partition_path" === …)`

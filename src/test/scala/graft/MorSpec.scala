@@ -67,6 +67,21 @@ class MorSpec extends SparkSpec {
       orders.filter($"o_orderkey" % 10 === 3 && $"o_orderkey" % 7 =!= 0).count())
   }
 
+  test("history: one row per instant with actions and exact row counters") {
+    val h = sources.GraftTable(spark, base).history.collect()
+    assert(h.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      C1 -> Instant.CommitAction, C2 -> Instant.DeltaCommitAction,
+      C3 -> Instant.CommitAction, C4 -> Instant.DeltaCommitAction))
+    val byTs = h.map(r => r.getString(0) -> r).toMap
+    assert(byTs(C2).getAs[Long]("n_deleted") ==
+      orders.filter($"o_orderkey" % 7 === 0).count())
+    assert(byTs(C2).getAs[Long]("n_updated") ==
+      orders.filter($"o_orderkey" % 10 === 3 && $"o_orderkey" % 7 =!= 0)
+        .count())
+    assert(byTs(C1).getAs[Long]("n_inserted") == orders.count())
+    assert(byTs(C3).getAs[Long]("n_deleted") == 0) // compaction is silent
+  }
+
   test("compaction folds deltas; snapshot unchanged; slices reset") {
     val tl = Timeline(spark.sessionState.newHadoopConf(), base)
     val afterC3 = tl.latestSlices(Some(C3))

@@ -403,12 +403,14 @@ object Fixtures {
 
   /** Table whose schema EVOLVES through SQL: C1 format-writer create of all
     * orders, then `ALTER TABLE ... ADD COLUMNS (score BIGINT)` (an empty
-    * schema-evolution commit) and an `UPDATE` writing the new column for
-    * keys %10==3 — the final snapshot mixes pre-evolution files (score
-    * null-padded at read) with rewritten groups that carry it. */
+    * schema-evolution commit), an `UPDATE` writing the new column for keys
+    * %10==3, and `ALTER TABLE ... DROP COLUMNS (o_orderpriority)` (an empty
+    * schema-narrowing commit) — the final snapshot mixes pre-evolution
+    * files (score null-padded, o_orderpriority bytes present but no longer
+    * requested) with rewritten groups. */
   def sqlAlterDir(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = s"${root(sfDir)}/orders_sqlalter"
-    if (!complete(spark, dir, 3)) {
+    if (!complete(spark, dir, 4)) {
       rm(spark, dir)
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       orders.write.format("graft")
@@ -421,6 +423,7 @@ object Fixtures {
         spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (score BIGINT)")
         spark.sql(s"UPDATE $tbl SET score = o_orderkey % 100 " +
           "WHERE o_orderkey % 10 = 3")
+        spark.sql(s"ALTER TABLE $tbl DROP COLUMNS (o_orderpriority)")
       } finally spark.sql(s"DROP TABLE $tbl")
     }
     dir

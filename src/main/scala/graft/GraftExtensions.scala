@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // TIME TRAVEL resolves in the hint batch — before ResolveRelations
     // rejects commit-ts literals it cannot cast to TIMESTAMP
     ext.injectHintResolutionRule(new graft.sql.GraftTimeTravelRule(_))
+    // ALTER TABLE DROP COLUMNS also in the hint batch — the session
+    // catalog rejects V1 DROP COLUMNS during resolution, before custom
+    // resolution rules would run
+    ext.injectHintResolutionRule(new graft.sql.GraftAlterRule(_))
   }
 }
 

@@ -155,6 +155,18 @@ object SparkEntry {
       SnapshotReader.read(s, Fixtures.sqlAlterDir(s, d))
         .select(col("o_orderkey"), col("o_totalprice"), col("score"))
         .orderBy(col("o_orderkey"))),
+    // q_sql_alter_drop: the FULL payload after `ALTER ... DROP COLUMNS
+    // (o_orderpriority)` — the dropped column is absent from the snapshot
+    // schema (zero data IO; old files keep the bytes, readers stop
+    // requesting them); the oracle simply never selects it.
+    "q_sql_alter_drop" -> ((s, d) => {
+      val df = SnapshotReader.read(s, Fixtures.sqlAlterDir(s, d))
+      require(!df.schema.fieldNames.contains("o_orderpriority"),
+        "dropped column leaked back into the snapshot schema")
+      df.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("score"))
+        .orderBy(col("o_orderkey"))
+    }),
     // q_key_lookup (r7): record-key point lookup served by the column-stats
     // skipping index — the pushed key predicate drops every file whose
     // recorded [min,max] key range excludes it at LISTING time (one file
@@ -1084,6 +1096,11 @@ object SparkEntry {
     // rewrote the row; every other row reads null from pre-evolution files
     "q_sql_alter" ->
       ("SELECT o_orderkey, o_totalprice, " +
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_orderkey % 100 END AS score " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q_sql_alter_drop" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate, " +
         "CASE WHEN o_orderkey % 10 = 3 THEN o_orderkey % 100 END AS score " +
         "FROM orders ORDER BY o_orderkey"),
     "q_key_lookup" ->

@@ -98,6 +98,36 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 }
 
+/** SQL `ALTER TABLE ... DROP COLUMNS` on graft tables. Spark's session
+  * catalog rejects DROP COLUMNS for every V1 table DURING RESOLUTION
+  * (`ResolveSessionCatalog` throws before custom resolution rules run), so
+  * this rule lives in the HINT batch and replaces the still-unresolved
+  * `DropColumns` node for graft tables; non-graft tables fall through to
+  * Spark's own (refusing) handling. */
+class GraftAlterRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  import GraftDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case d @ DropColumns(
+          ur: org.apache.spark.sql.catalyst.analysis.UnresolvedTable,
+          cols, ifExists) =>
+        graftTableByName(session, ur.multipartIdentifier) match {
+          case Some((ct, path)) =>
+            val names = cols.map {
+              case org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedFieldName(Seq(n)) => n
+              case other => throw new IllegalArgumentException(
+                "graft tables support dropping top-level columns only, " +
+                  s"got ${other.name.mkString(".")}")
+            }
+            GraftDropColumnsCommand(path, ct, names, ifExists)
+          case None => d
+        }
+    }
+}
+
 /** SQL TIME TRAVEL: `SELECT ... FROM t TIMESTAMP AS OF '<commitTs>'` (or
   * `VERSION AS OF '<commitTs>'` — commit timestamps ARE this engine's
   * versions). Spark only resolves time travel for DSv2 catalogs, and its
@@ -150,7 +180,12 @@ private[graft] object GraftDml {
     * path, or None when the name is not a graft catalog table (temp views
     * and other providers fall through to Spark's own resolution). */
   def graftPathByName(session: SparkSession,
-      ident: Seq[String]): Option[String] = {
+      ident: Seq[String]): Option[String] =
+    graftTableByName(session, ident).map(_._2)
+
+  /** Like [[graftPathByName]] but also yields the catalog table. */
+  def graftTableByName(session: SparkSession,
+      ident: Seq[String]): Option[(CatalogTable, String)] = {
     val catalog = session.sessionState.catalog
     val ti = ident match {
       case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
@@ -165,7 +200,17 @@ private[graft] object GraftDml {
     if (!ct.provider.exists(_.equalsIgnoreCase("graft"))) None
     else ct.storage.properties.get("path")
       .orElse(ct.storage.locationUri.map(_.toString))
+      .map(ct -> _)
   }
+
+  /** Every column name ANY commit's recorded schema ever contained —
+    * metadata-scale walk over memoized decodes; the re-add resurrection
+    * guard ([[GraftAddColumnsCommand]]) checks against it. */
+  def historicalColumnNames(tl: Timeline): Set[String] =
+    tl.completedInstants().flatMap(i => tl.metadata(i.ts).schemaJson)
+      .flatMap(sj => org.apache.spark.sql.types.DataType.fromJson(sj)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames)
+      .toSet
 
   /** The commit ts a TIMESTAMP/VERSION AS OF clause names: a digit string
     * is a commit ts verbatim; a timestamp literal converts to the UTC
@@ -560,6 +605,7 @@ case class GraftAddColumnsCommand(basePath: String, ct: CatalogTable,
       throw new IllegalStateException(
         s"table ${ct.identifier} has no commit-recorded schema to evolve " +
           "(empty or pre-schema-recording table)"))
+    val historical = GraftDml.historicalColumnNames(tl)
     cols.foreach { f =>
       require(!MetaCols.all.contains(f.name) && f.name != MetaCols.IsDeleted,
         s"cannot add column '${f.name}': the name is reserved for " +
@@ -567,6 +613,13 @@ case class GraftAddColumnsCommand(basePath: String, ct: CatalogTable,
       require(!current.fields.exists(e => resolver(e.name, f.name)),
         s"cannot add column '${f.name}': it already exists in " +
           s"${ct.identifier}")
+      // resurrection guard: files written before a DROP still carry the
+      // old values, and re-adding the name would silently surface them in
+      // every not-yet-rewritten row
+      require(!historical.contains(f.name),
+        s"cannot re-add previously dropped column '${f.name}': files " +
+          "written before the drop may still carry its values and would " +
+          "resurrect them; rewrite the table (overwrite) under a new name")
     }
     require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
       "duplicate column names in ADD COLUMNS")
@@ -594,6 +647,80 @@ case class GraftAddColumnsCommand(basePath: String, ct: CatalogTable,
       .partition(_.name == MetaCols.PartitionPath)
     spark.sessionState.catalog.alterTableDataSchema(ct.identifier,
       StructType(dataHead ++ cols.map(_.copy(nullable = true)) ++ ppTail))
+    spark.catalog.refreshTable(ct.identifier.quotedString)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE <graft table> DROP COLUMNS (c, ...)` → schema NARROWING as
+  * a commit: one empty commit whose recorded schema omits the dropped
+  * columns — zero data IO (existing files keep the bytes; readers simply
+  * stop requesting the column), versioned (time travel before the DROP
+  * still serves it). Identity and index columns (key, partition,
+  * precombine, declared stats/bloom columns) refuse to drop — recorded
+  * writer contracts reference them by name. Re-ADDING a dropped name is
+  * refused by [[GraftAddColumnsCommand]]'s resurrection guard. Note the
+  * OCC schema re-union: a conflict-free writer landing concurrently with
+  * the DROP re-adds any column its commit recorded — concurrent-add wins
+  * over drop, the safe direction (no data silently hidden). */
+case class GraftDropColumnsCommand(basePath: String, ct: CatalogTable,
+    names: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val resolver = spark.sessionState.conf.resolver
+    val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val current = tl.latestSchemaJson(None).map(sj =>
+      DataType.fromJson(sj).asInstanceOf[StructType]).getOrElse(
+      throw new IllegalStateException(
+        s"table ${ct.identifier} has no commit-recorded schema to evolve " +
+          "(empty or pre-schema-recording table)"))
+    val protectedCols: Map[String, String] = (
+      (MetaCols.all :+ MetaCols.IsDeleted).map(_ -> "engine meta column") ++
+      Seq(FormatWriter.KeyColKey -> "record-key column",
+        FormatWriter.PartColKey -> "partition column",
+        FormatWriter.PrecombineKey -> "precombine ordering column")
+        .flatMap { case (k, what) =>
+          GraftDml.tableProp(ct, tl, k).map(_ -> what) } ++
+      Seq(FormatWriter.StatsColsKey -> "declared stats column",
+        FormatWriter.BloomColsKey -> "declared bloom column")
+        .flatMap { case (k, what) =>
+          GraftDml.tableProp(ct, tl, k).toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+            .map(_ -> what) }).toMap
+    val present = names.filter { n =>
+      val exists = current.fields.exists(e => resolver(e.name, n))
+      require(exists || ifExists,
+        s"cannot drop column '$n': no such column in ${ct.identifier}")
+      exists
+    }
+    present.foreach { n =>
+      protectedCols.find { case (p, _) => resolver(p, n) }.foreach {
+        case (_, what) => throw new IllegalArgumentException(
+          s"cannot drop column '$n': it is the table's $what")
+      }
+    }
+    if (present.isEmpty) return Seq.empty // IF EXISTS and nothing matched
+    val dropped = present.toSet
+    val narrowed = MetaCols.canonicalSchema(StructType(
+      current.fields.filterNot(f => f.name == MetaCols.IsDeleted ||
+        dropped.exists(d => resolver(f.name, d)))))
+    val readPoint = tl.completedInstants().lastOption.map(_.ts)
+    val ts = FormatWriter.nextTs(tl)
+    try {
+      tl.saveCommitOcc(ts, graft.format.CommitMetadata(
+        partitionToWriteStats = Map.empty,
+        operationType = "altertable",
+        totalRecordsDeleted = 0L, totalRecordsWritten = 0L,
+        schemaJson = Some(narrowed.json)), readPoint = readPoint)
+    } finally tl.unreserve(ts)
+    // alterTableDataSchema refuses narrowing ("dropping columns not
+    // supported") — replace the stored schema wholesale; the commit above
+    // is the source of truth and the catalog must mirror it
+    val fresh = spark.sessionState.catalog.getTableMetadata(ct.identifier)
+    spark.sessionState.catalog.alterTable(fresh.copy(schema =
+      StructType(fresh.schema.fields.filterNot(f =>
+        dropped.exists(d => resolver(f.name, d))))))
     spark.catalog.refreshTable(ct.identifier.quotedString)
     Seq.empty
   }

@@ -182,6 +182,72 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE g_alter")
   }
 
+  test("SQL ALTER TABLE DROP COLUMNS: schema narrows as a commit; " +
+    "identity columns protected; re-add refused (resurrection guard)") {
+    val dir = freshDir("sql_drop_cow")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(100)
+    orders.write.format("graft")
+      .option("key", "o_orderkey").option("partition", "o_orderstatus")
+      .option("buckets", "2").option("ts", Fixtures.C1).save(dir)
+    spark.sql("DROP TABLE IF EXISTS g_drop")
+    spark.sql(s"CREATE TABLE g_drop USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("ALTER TABLE g_drop DROP COLUMNS (o_orderpriority)")
+      // gone from catalog resolution and from the relation schema
+      val snap = spark.sql("SELECT * FROM g_drop")
+      assert(!snap.schema.fieldNames.contains("o_orderpriority"))
+      assert(snap.count() == 100)
+      // zero data IO: one new empty instant
+      val tl = graft.format.Timeline(spark.sessionState.newHadoopConf(), dir)
+      val instants = tl.completedInstants()
+      assert(instants.size == 2 &&
+        tl.metadata(instants.last.ts).allStats.isEmpty)
+      // time travel BEFORE the drop still serves the column
+      assert(graft.read.SnapshotReader.read(spark, dir, Some(Fixtures.C1))
+        .schema.fieldNames.contains("o_orderpriority"))
+      // identity/meta columns refuse to drop
+      val key = intercept[Exception] {
+        spark.sql("ALTER TABLE g_drop DROP COLUMNS (o_orderkey)") }
+      assert(key.getMessage.contains("record-key"))
+      val part = intercept[Exception] {
+        spark.sql("ALTER TABLE g_drop DROP COLUMNS (o_orderstatus)") }
+      assert(part.getMessage.contains("partition"))
+      // missing column: plain form errors, IF EXISTS is a silent no-op
+      val missing = intercept[Exception] {
+        spark.sql("ALTER TABLE g_drop DROP COLUMNS (nope)") }
+      assert(missing.getMessage.contains("no such column"))
+      spark.sql("ALTER TABLE g_drop DROP COLUMNS IF EXISTS (nope)")
+      tl.refresh()
+      assert(tl.completedInstants().size == 2) // no-op minted no commit
+      // resurrection guard: re-adding the dropped name is refused
+      val readd = intercept[Exception] {
+        spark.sql("ALTER TABLE g_drop ADD COLUMNS (o_orderpriority STRING)") }
+      assert(readd.getMessage.contains("previously dropped"))
+      // a FRESH name still adds fine after the drop
+      spark.sql("ALTER TABLE g_drop ADD COLUMNS (note STRING)")
+      assert(spark.sql("SELECT note FROM g_drop").count() == 100)
+    } finally spark.sql("DROP TABLE g_drop")
+  }
+
+  test("SQL ALTER TABLE DROP COLUMNS on MOR with outstanding deltas") {
+    val dir = freshDir("sql_drop_mor")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(100)
+    val mw = new graft.write.MorWriter(spark, dir, numBuckets = 2)
+    mw.insert(orders, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    mw.upsert(orders.limit(20).withColumn("o_totalprice", lit(1.0)),
+      col("o_orderkey"), col("o_orderstatus"), Fixtures.C2)
+    spark.sql("DROP TABLE IF EXISTS g_drop_mor")
+    spark.sql(s"CREATE TABLE g_drop_mor USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("ALTER TABLE g_drop_mor DROP COLUMNS (o_orderpriority)")
+      val df = spark.sql("SELECT * FROM g_drop_mor")
+      assert(!df.schema.fieldNames.contains("o_orderpriority"))
+      assert(df.count() == 100)
+      // the delta rows still win the merge after the narrow
+      assert(df.filter(col("o_totalprice") === 1.0).count() == 20)
+    } finally spark.sql("DROP TABLE g_drop_mor")
+  }
+
   test("SQL ALTER TABLE ADD COLUMNS on MOR: merged snapshot pads deltas") {
     val dir = freshDir("sql_alter_mor")
     val orders = spark.read.parquet(s"$sf0001/orders.parquet").limit(100)

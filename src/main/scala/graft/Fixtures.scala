@@ -116,7 +116,7 @@ object Fixtures {
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
     formatRtDir(spark, sfDir); sqlDmlDir(spark, sfDir)
-    sqlAlterDir(spark, sfDir)
+    sqlAlterDir(spark, sfDir); matViewDir(spark, sfDir)
     sortedDir(spark, sfDir); mirrorDir(spark, sfDir)
     zorderDir(spark, sfDir); archivedDir(spark, sfDir)
     bloomDir(spark, sfDir); savepointDir(spark, sfDir)
@@ -427,6 +427,38 @@ object Fixtures {
       } finally spark.sql(s"DROP TABLE $tbl")
     }
     dir
+  }
+
+  /** Incrementally maintained MATERIALIZED AGGREGATE (see
+    * [[graft.views.MaterializedAgg]]): source table scripted C1 insert /
+    * C2 upsert (%10==3, +100000) / C3 delete (%7==0) with a view refresh
+    * after EVERY commit — bootstrap then two incremental (CDC-driven)
+    * refreshes, the second covering a delete commit. The view must equal
+    * a full GROUP BY of the final source snapshot (q_mat_view's oracle).
+    * Returns the VIEW directory. */
+  def matViewDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = s"${root(sfDir)}/orders_matview"
+    val src = s"$dir/src"; val view = s"$dir/view"
+    if (!complete(spark, src, 3) ||
+      Timeline(spark.sessionState.newHadoopConf(), view)
+        .completedInstants().size != 3) {
+      rm(spark, dir)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = col("o_orderkey")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      def refresh(): Unit = graft.views.MaterializedAgg.refresh(
+        spark, src, view, "o_custkey", cents, buckets = 8)
+      val w = new CowWriter(spark, src, numBuckets = 8)
+      w.insert(orders, k, col("o_orderstatus"), C1)
+      refresh()
+      w.upsert(orders.filter(k % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000),
+        k, col("o_orderstatus"), C2)
+      refresh()
+      w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C3)
+      refresh()
+    }
+    view
   }
 
   /** Table created ENTIRELY through the write format surface

@@ -138,6 +138,15 @@ object SparkEntry {
     // source values + not-matched re-insert of previously deleted keys).
     "q_sql_merge" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.sqlDmlDir(s, d)))),
+    // q_mat_view: incrementally maintained materialized aggregate — the
+    // view table is refreshed from the source's CHANGE FEED (update
+    // pre-images subtract old contributions; deletes empty groups out of
+    // the view), never recomputed, yet must hash-match a full GROUP BY of
+    // the final source snapshot (graft.views.MaterializedAgg).
+    "q_mat_view" -> ((s, d) =>
+      views.MaterializedAgg.read(s, Fixtures.matViewDir(s, d))
+        .select(col("o_custkey"), col("n_rows"), col("sum_val"))
+        .orderBy(col("o_custkey"))),
     // q_table_history: the commit log as data (DESCRIBE HISTORY shape) —
     // pure timeline metadata; the layout-independent counters (action,
     // operation, delete/update/insert row counts) are oracle-exact, the
@@ -1079,6 +1088,14 @@ object SparkEntry {
         "ELSE o_totalprice END AS o_totalprice, " +
         "o_orderdate, o_orderpriority FROM orders " +
         "WHERE o_orderkey % 7 <> 0 OR o_orderkey % 11 = 5 ORDER BY o_orderkey"),
+    // maintained view ≡ full GROUP BY of the final source state (the
+    // fixture's C2 update + C3 delete arithmetic replayed directly)
+    "q_mat_view" ->
+      ("SELECT o_custkey, count(*) AS n_rows, " +
+        "CAST(sum(CAST(round((CASE WHEN o_orderkey % 10 = 3 " +
+        "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS sum_val " +
+        "FROM orders WHERE o_orderkey % 7 <> 0 AND o_custkey IS NOT NULL " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
     // history: counters recomputed from the fixture script (C1 insert all,
     // C2 delete %7, C3 upsert %10==3 of the survivors, C4 delete %11==5)
     "q_table_history" ->

@@ -48,8 +48,18 @@ object ChangeFeed {
   val ChangeType = "_change_type"
   val ChangeCommitTs = "_change_commit_ts"
 
+  /** @param preImages also emit an `update_preimage` row for every
+    *                  `update` — the updated key's full PRE-commit row,
+    *                  stamped with the updating commit (Delta CDF's
+    *                  update_preimage). Costs one full-row (instead of
+    *                  key-only) read of the touched groups' previous
+    *                  slices per commit — still churn-bounded, never a
+    *                  table scan. What sum/avg-maintaining consumers
+    *                  (e.g. [[graft.views.MaterializedAgg]]) need to
+    *                  subtract the old contribution. */
   def read(spark: SparkSession, basePath: String,
-      fromExclusive: String, toInclusive: String): DataFrame = {
+      fromExclusive: String, toInclusive: String,
+      preImages: Boolean = false): DataFrame = {
     val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
     val instants = tl.completedInstants()
     val inRange = instants.filter(i =>
@@ -68,7 +78,7 @@ object ChangeFeed {
             Seq(DeleteView(spark, basePath, i.ts).toDF()
               .withColumn(ChangeType, lit("delete")))
           else Seq.empty
-        deletes ++ written(spark, basePath, tl, i, prevTs).toSeq
+        deletes ++ written(spark, basePath, tl, i, prevTs, preImages).toSeq
       }
     }
 
@@ -100,7 +110,8 @@ object ChangeFeed {
     * key-only existence probe against the touched groups' pre-commit
     * slices. None when the commit wrote no rows (pure delete). */
   private def written(spark: SparkSession, basePath: String, tl: Timeline,
-      i: Instant, prevTs: Option[String]): Option[DataFrame] = {
+      i: Instant, prevTs: Option[String],
+      preImages: Boolean = false): Option[DataFrame] = {
     val meta = tl.metadata(i.ts)
     val paths = meta.allStats.flatMap(_._2.path).map(rp => s"$basePath/$rp")
     if (paths.isEmpty) return None
@@ -142,21 +153,22 @@ object ChangeFeed {
         raw.filter(col(MetaCols.CommitTime) === i.ts)
       }
 
-    val prevState: Option[DataFrame] = prevTs.flatMap { p =>
+    // previous state of ONLY the touched groups: full rows when pre-images
+    // are requested, key(+ordering)-only for the plain existence probe
+    val prevFull: Option[DataFrame] = prevTs.flatMap { p =>
       val touched = meta.allStats.map(_._2.fileId).toSet
       val prevSlices = tl.latestSlices(Some(p)).values
         .filter(sl => touched.contains(sl.fileId)).toSeq
       if (prevSlices.forall(sl =>
           sl.relPath.isEmpty && sl.deltas.isEmpty) || prevSlices.isEmpty)
         None
-      else {
-        val prev = SnapshotReader
-          .merge(spark, basePath, prevSlices, Some(tl), Some(p))
-        // key-only probe, plus the previous ordering value when declared
-        Some(prev.select((col(MetaCols.RecordKey) +:
-          pcOpt.map(pc => col(pc).as("__cf_prev_ord")).toSeq): _*))
-      }
+      else Some(SnapshotReader
+        .merge(spark, basePath, prevSlices, Some(tl), Some(p)))
     }
+    val prevState: Option[DataFrame] = prevFull.map(prev =>
+      // key-only probe, plus the previous ordering value when declared
+      prev.select((col(MetaCols.RecordKey) +:
+        pcOpt.map(pc => col(pc).as("__cf_prev_ord")).toSeq): _*))
 
     Some(prevState match {
       case Some(pk) =>
@@ -174,7 +186,21 @@ object ChangeFeed {
             .drop("__cf_prev_ord")
           case None => joined
         }
-        resolved.drop("__cf_existed")
+        val tagged = resolved.drop("__cf_existed")
+        if (!preImages) tagged
+        else {
+          // the updated keys' full PRE-commit rows, restamped to the
+          // updating commit (the same restamp contract as the delete
+          // view's pre-images); semi-join against the SURVIVING updates
+          // so precombine-stale deltas contribute no pre-image either
+          val updatedKeys = tagged.filter(col(ChangeType) === "update")
+            .select(MetaCols.RecordKey)
+          val pre = prevFull.get
+            .join(updatedKeys, Seq(MetaCols.RecordKey), "left_semi")
+            .withColumn(MetaCols.CommitTime, lit(i.ts))
+            .withColumn(ChangeType, lit("update_preimage"))
+          tagged.unionByName(pre, allowMissingColumns = true)
+        }
       case None => changed.withColumn(ChangeType, lit("insert"))
     })
   }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.read.ChangeFeed
+import graft.views.MaterializedAgg
+import graft.write.CowWriter
+import org.apache.spark.sql.functions._
+
+/** Change-feed pre-images and the incrementally maintained materialized
+  * aggregate built on them. */
+class ViewsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val C1 = "20260101000000"
+  private val C2 = "20260102000000"
+  private val C3 = "20260103000000"
+
+  private lazy val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    .limit(300)
+
+  /** src table: C1 insert, C2 update %10==3 (+100000), C3 delete %7==0. */
+  private def buildSrc(dir: String): Unit = {
+    val w = new CowWriter(spark, dir, numBuckets = 4)
+    val k = col("o_orderkey")
+    w.insert(orders, k, col("o_orderstatus"), C1)
+    w.upsert(orders.filter(k % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000),
+      k, col("o_orderstatus"), C2)
+    w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C3)
+  }
+
+  test("change feed preImages: one full pre-commit row per surviving " +
+    "update, restamped to the updating commit; plain mode unchanged") {
+    val dir = freshDir("cf_preimages")
+    buildSrc(dir)
+    val ch = ChangeFeed.read(spark, dir, C1, C2, preImages = true)
+    val updates = ch.filter(col(ChangeFeed.ChangeType) === "update")
+    val pres = ch.filter(col(ChangeFeed.ChangeType) === "update_preimage")
+    assert(updates.count() > 0 && pres.count() == updates.count())
+    // pre-image payload is the C1 value; post-image carries the +100000
+    val joined = updates.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("post"))
+      .join(pres.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("pre")), "k")
+    assert(joined.filter(col("post") =!= col("pre") + 100000).count() == 0)
+    // restamp: pre-images carry the UPDATING commit's ts
+    assert(pres.filter(col(ChangeFeed.ChangeCommitTs) =!= C2).count() == 0)
+    // plain mode emits no pre-images and is otherwise identical
+    val plain = ChangeFeed.read(spark, dir, C1, C2)
+    assert(plain.filter(col(ChangeFeed.ChangeType) === "update_preimage")
+      .count() == 0)
+    assert(plain.count() == ch.count() - pres.count())
+  }
+
+  test("materialized agg: bootstrap + two incremental refreshes track the " +
+    "snapshot GROUP BY exactly; idempotent when nothing changed") {
+    val dir = freshDir("matview")
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val w = new CowWriter(spark, src, numBuckets = 4)
+    val k = col("o_orderkey")
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    def expected() = SnapshotReader_read(src)
+      .filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_rows"), sum(cents).as("sum_val"))
+    def viewPayload() = MaterializedAgg.read(spark, view)
+      .select("o_custkey", "n_rows", "sum_val")
+    def assertInSync(): Unit = {
+      val e = expected(); val v = viewPayload()
+      assert(v.exceptAll(e).isEmpty && e.exceptAll(v).isEmpty)
+    }
+    w.insert(orders, k, col("o_orderstatus"), C1)
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents,
+      buckets = 2)
+    assertInSync()
+    // incremental: updates need pre-images to subtract the old value
+    w.upsert(orders.filter(k % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000),
+      k, col("o_orderstatus"), C2)
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents)
+    assertInSync()
+    // deletes can empty a group: its row leaves the view
+    w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C3)
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents)
+    assertInSync()
+    val vanished = orders.filter(k % 7 === 0).select("o_custkey")
+      .except(orders.filter(k % 7 =!= 0).select("o_custkey")).count()
+    if (vanished > 0) // groups whose every order was deleted
+      assert(MaterializedAgg.read(spark, view).count() ==
+        orders.filter(k % 7 =!= 0).select("o_custkey").distinct().count())
+    // idempotent: a refresh with no new source commits mints NO view commit
+    val tl = graft.format.Timeline(spark.sessionState.newHadoopConf(), view)
+    val before = tl.completedInstants().size
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents)
+    tl.refresh()
+    assert(tl.completedInstants().size == before)
+  }
+
+  test("materialized agg: a structural commit (overwrite) in the range " +
+    "triggers the recompute path and stays exact") {
+    val dir = freshDir("matview_ow")
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val k = col("o_orderkey")
+    val w = new CowWriter(spark, src, numBuckets = 4)
+    w.insert(orders, k, col("o_orderstatus"), C1)
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents,
+      buckets = 2)
+    // overwrite replaces the table with a disjoint-ish subset: CDC does
+    // not enumerate the dropped rows, so refresh must recompute
+    val replacement = orders.filter(k % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 7)
+    w.overwriteTable(replacement, k, col("o_orderstatus"), C2)
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents)
+    val e = replacement.filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_rows"), sum(cents).as("sum_val"))
+    val v = MaterializedAgg.read(spark, view)
+      .select("o_custkey", "n_rows", "sum_val")
+    assert(v.exceptAll(e).isEmpty && e.exceptAll(v).isEmpty)
+  }
+
+  private def SnapshotReader_read(path: String) =
+    graft.read.SnapshotReader.read(spark, path)
+}

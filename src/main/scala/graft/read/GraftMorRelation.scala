@@ -177,10 +177,11 @@ final class GraftChangeFeedRelation(
     basePath: String,
     fromExclusive: String,
     toInclusive: String,
-    override val schema: StructType) extends GraftFilteredScan {
+    override val schema: StructType,
+    preImages: Boolean = false) extends GraftFilteredScan {
 
   override protected def planScan(filters: Array[Filter]): DataFrame =
-    ChangeFeed.read(session, basePath, fromExclusive, toInclusive)
+    ChangeFeed.read(session, basePath, fromExclusive, toInclusive, preImages)
 }
 
 /** The DELETE VIEW — the reference's core capability

@@ -109,10 +109,14 @@ final class GraftTable(spark: SparkSession, basePath: String) {
   /** Change-data feed of `(fromExclusive, toInclusive]`: every row-level
     * change tagged `_change_type` (insert/update/delete) +
     * `_change_commit_ts`, deletes with full pre-image payload (the delete
-    * view per commit). Per-commit plans are bounded by the commits' own
-    * churn — see [[graft.read.ChangeFeed]]. */
-  def changeFeed(fromExclusive: String, toInclusive: String): DataFrame =
-    graft.read.ChangeFeed.read(spark, basePath, fromExclusive, toInclusive)
+    * view per commit). `preImages=true` also emits each surviving
+    * update's full pre-commit row as `update_preimage`. Per-commit plans
+    * are bounded by the commits' own churn — see
+    * [[graft.read.ChangeFeed]]. */
+  def changeFeed(fromExclusive: String, toInclusive: String,
+      preImages: Boolean = false): DataFrame =
+    graft.read.ChangeFeed.read(spark, basePath, fromExclusive, toInclusive,
+      preImages)
 
   /** Register `snapshot()` as a SQL temp view. */
   def register(name: String): Unit =

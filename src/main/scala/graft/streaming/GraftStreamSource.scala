@@ -118,9 +118,13 @@ final class GraftSourceProvider extends StreamSourceProvider
         "(from, to]); for a historical snapshot use asOf")
     // `cdc=true` (+ from/to) = CHANGE feed: every row-level change in
     // (from, to] tagged _change_type/_change_commit_ts — r7 tail.
+    // `cdcPreImages=true` also emits update_preimage rows (Delta CDF
+    // analog; what sum-maintaining consumers subtract).
     val cdc = parameters.get("cdc").exists(_.toBoolean)
+    val cdcPre = parameters.get("cdcPreImages").exists(_.toBoolean)
     require(!cdc || parameters.contains("from"),
       """option "cdc" requires option "from" (the change range is (from, to])""")
+    require(!cdcPre || cdc, """option "cdcPreImages" requires "cdc"""")
     parameters.get("from").foreach { from =>
       require(asOf.isEmpty, "asOf and from/to are mutually exclusive")
       val to = parameters.getOrElse("to",
@@ -137,7 +141,8 @@ final class GraftSourceProvider extends StreamSourceProvider
                 org.apache.spark.sql.types.StructField(
                   graft.read.ChangeFeed.ChangeCommitTs, StringType)))
             .getOrElse(graft.read.ChangeFeed
-              .read(spark, basePath, from, to).schema))
+              .read(spark, basePath, from, to, cdcPre).schema),
+          preImages = cdcPre)
       // Schema from commit metadata when recorded (O(1) — the writers keep
       // the newest record a superset of every live file's schema, and the
       // range plan's columns equal that union minus the delete marker);

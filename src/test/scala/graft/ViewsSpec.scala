@@ -49,6 +49,17 @@ class ViewsSpec extends SparkSpec {
     assert(plain.filter(col(ChangeFeed.ChangeType) === "update_preimage")
       .count() == 0)
     assert(plain.count() == ch.count() - pres.count())
+    // format surface: cdcPreImages rides the cdc option
+    val viaFmt = spark.read.format("graft").option("from", C1)
+      .option("to", C2).option("cdc", "true")
+      .option("cdcPreImages", "true").load(dir)
+    assert(viaFmt.filter(col(ChangeFeed.ChangeType) === "update_preimage")
+      .count() == pres.count())
+    val badOpt = intercept[Exception] {
+      spark.read.format("graft").option("from", C1)
+        .option("cdcPreImages", "true").load(dir)
+    }
+    assert(badOpt.getMessage.contains("cdcPreImages"))
   }
 
   test("materialized agg: bootstrap + two incremental refreshes track the " +

@@ -717,6 +717,15 @@ object SparkEntry {
       TextAnalysis.withQuality(tp(s, d, "documents"), col("text"))
         .filter(col("quality_score") >= 700)
         .select(col("doc_id")).orderBy(col("doc_id"))),
+    // Corpus-relative quality cut: keep the top 20% by integer score via a
+    // histogram-resolved threshold — no global sort, ties kept
+    // (Curation.keepTopQuantile).
+    "q_quality_topfrac" -> ((s, d) =>
+      Curation.keepTopQuantile(
+          TextAnalysis.withQuality(tp(s, d, "documents"), col("text")),
+          col("quality_score"), 0.2)
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy(col("doc_id"))),
     // Deterministic hash-range train/val/test split: membership is a pure
     // function of (key, salt) — per-row, zero shuffle (Curation.splitAssign).
     "q_split" -> ((s, d) =>
@@ -1498,6 +1507,14 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "q_quality_filter" ->
       (s"SELECT doc_id FROM documents WHERE CAST($QualitySql AS BIGINT) >= 700 ORDER BY doc_id"),
+    // top-20% threshold from the descending score histogram (ties kept:
+    // the smallest threshold whose tail covers ceil(0.2·N) rows)
+    "q_quality_topfrac" ->
+      (s"WITH q AS (SELECT doc_id, CAST($QualitySql AS BIGINT) AS quality_score FROM documents), " +
+        "h AS (SELECT quality_score AS s, count(*) AS c FROM q GROUP BY 1), " +
+        "w AS (SELECT s, CAST(sum(c) OVER (ORDER BY s DESC) AS BIGINT) AS cum FROM h), " +
+        "t AS (SELECT max(s) AS thr FROM w WHERE cum >= CAST(ceil(0.2 * (SELECT count(*) FROM q)) AS BIGINT)) " +
+        "SELECT doc_id, quality_score FROM q, t WHERE quality_score >= thr ORDER BY doc_id"),
     // Hash-range split: md5 hex prefix vs cumulative-fraction boundaries
     // (0.8 -> cccccccc, 0.9 -> e6666666) — fixed-width lower-case hex, so
     // lexicographic < IS the numeric comparison in both engines.

@@ -150,6 +150,34 @@ object Curation {
       .drop("__dom", "__key", "__hk", "__n")
   }
 
+  /** Keep the rows whose INTEGER score ranks in the top `frac` of the
+    * corpus — WITHOUT a global sort. The quantile threshold resolves from
+    * a per-score-value histogram: scores are bounded integers (quality
+    * permille, length buckets, …), so the groupBy collapses the corpus to
+    * at most |score range| rows map-side, the descending cumulative sum
+    * runs over that TINY set, and the resulting threshold broadcasts back
+    * as a filter. Ties at the threshold are all kept (the smallest
+    * threshold whose tail covers ⌈frac·N⌉ rows), so the result is
+    * deterministic and engine-exact — unlike `ORDER BY score LIMIT k`,
+    * which is both a global sort and tie-ambiguous.
+    *
+    * 100 TB shape: one map-side-combined aggregate over the corpus + one
+    * broadcast-compare filter; nothing ever sorts or shuffles the data
+    * rows themselves. */
+  def keepTopQuantile(df: DataFrame, score: Column, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac in (0, 1]")
+    val hist = df.select(score.cast("long").as("__s"))
+      .groupBy("__s").agg(count(lit(1)).as("__c"))
+    val n = df.select(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__s").desc) // ≤ |score range| rows
+    val thr = hist.withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(n))
+      .filter(col("__cum") >= ceil(lit(frac) * col("__n")).cast("long"))
+      .agg(max(col("__s")).as("__thr"))
+    df.crossJoin(broadcast(thr)).filter(score.cast("long") >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Concat-and-chunk sequence packing (the standard LLM-pretraining
     * layout): documents are concatenated in (shard, id) order into one
     * token stream per shard, which is then chunked into fixed-`cap`

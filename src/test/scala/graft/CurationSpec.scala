@@ -239,6 +239,35 @@ class CurationSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("keepTopQuantile: histogram threshold covers the fraction, keeps " +
+    "ties, never sorts the corpus") {
+    // scores: 10×90, 5×80, 85×lower — top 10% of 100 rows lands INSIDE the
+    // 90-tie block: all ten 90s kept, nothing else
+    val df = ((1 to 10).map(i => (i.toLong, 90L)) ++
+      (11 to 15).map(i => (i.toLong, 80L)) ++
+      (16 to 100).map(i => (i.toLong, i % 50L))).toDF("id", "s")
+    val top10 = Curation.keepTopQuantile(df, col("s"), 0.10)
+      .select("id").as[Long].collect().toSet
+    assert(top10 == (1 to 10).map(_.toLong).toSet)
+    // a cut that lands mid-tie keeps the WHOLE tie block: target 12 rows
+    // needs the 80s, and all five 80s come along
+    val top12 = Curation.keepTopQuantile(df, col("s"), 0.12)
+      .select("id").as[Long].collect().toSet
+    assert(top12 == (1 to 15).map(_.toLong).toSet)
+    // frac = 1 keeps every row
+    assert(Curation.keepTopQuantile(df, col("s"), 1.0).count() == 100)
+    // real corpus: kept count >= ceil(frac·N), and every kept score >=
+    // every dropped score
+    val docs = graft.pipeline.TextAnalysis.withQuality(
+      spark.read.parquet(s"$sf0001/documents.parquet"), col("text"))
+    val kept = Curation.keepTopQuantile(docs, col("quality_score"), 0.2)
+    val n = docs.count()
+    assert(kept.count() >= math.ceil(0.2 * n).toLong)
+    val minKept = kept.agg(min("quality_score")).head().getLong(0)
+    assert(docs.filter(col("quality_score") > minKept).count() <=
+      kept.count())
+  }
+
   test("decontaminate: shared n-gram drops the doc; disjoint text survives") {
     val evalDf = Seq(
       (100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")

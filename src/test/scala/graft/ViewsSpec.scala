@@ -106,6 +106,45 @@ class ViewsSpec extends SparkSpec {
     assert(tl.completedInstants().size == before)
   }
 
+  test("materialized agg on a MOR source: delta commits and a silent " +
+    "compaction refresh exactly") {
+    val dir = freshDir("matview_mor")
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val k = col("o_orderkey")
+    val w = new graft.write.MorWriter(spark, src, numBuckets = 4)
+    w.insert(orders, k, col("o_orderstatus"), C1)
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents,
+      buckets = 2)
+    // one delta commit carrying updates AND deletes
+    w.upsertDelta(
+      updates = Some(orders.filter(k % 10 === 3 && k % 7 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100000)),
+      deletes = Some(orders.filter(k % 7 === 0)),
+      k, col("o_orderstatus"), C2)
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents)
+    def assertInSync(): Unit = {
+      val e = graft.read.SnapshotReader.read(spark, src)
+        .filter(col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("sum_val"))
+      val v = MaterializedAgg.read(spark, view)
+        .select("o_custkey", "n_rows", "sum_val")
+      assert(v.exceptAll(e).isEmpty && e.exceptAll(v).isEmpty)
+    }
+    assertInSync()
+    // compaction rewrites bytes, not rows: the refresh after it must be a
+    // no-op commit-wise (CDC is silent on layout commits)
+    w.compact(C3)
+    val tl = graft.format.Timeline(spark.sessionState.newHadoopConf(), view)
+    val before = tl.completedInstants().size
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents)
+    tl.refresh()
+    assert(tl.completedInstants().size == before,
+      "a layout-only source commit must not mint a view commit")
+    assertInSync()
+  }
+
   test("materialized agg: a structural commit (overwrite) in the range " +
     "triggers the recompute path and stays exact") {
     val dir = freshDir("matview_ow")

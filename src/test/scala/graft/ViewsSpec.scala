@@ -169,6 +169,50 @@ class ViewsSpec extends SparkSpec {
     assert(v.exceptAll(e).isEmpty && e.exceptAll(v).isEmpty)
   }
 
+  test("streaming view maintenance: a table tail drives refresh per " +
+    "micro-batch and the view tracks the source") {
+    val dir = freshDir("matview_stream")
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val k = col("o_orderkey")
+    val w = new CowWriter(spark, src, numBuckets = 4)
+    w.insert(orders, k, col("o_orderstatus"), C1)
+    def drain(): Unit = {
+      // tail the source's commit stream; each micro-batch triggers ONE
+      // refresh (the batch content is the trigger — refresh itself reads
+      // the CDC range, so the pipeline is exactly-once by the view's
+      // recorded srcAsOf regardless of batch boundaries)
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          MaterializedAgg.refresh(spark, src, view, "o_custkey", cents,
+            buckets = 2): Unit
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    def assertInSync(): Unit = {
+      val e = SnapshotReader_read(src).filter(col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("sum_val"))
+      val v = MaterializedAgg.read(spark, view)
+        .select("o_custkey", "n_rows", "sum_val")
+      assert(v.exceptAll(e).isEmpty && e.exceptAll(v).isEmpty)
+    }
+    assertInSync()
+    // more source commits; the restarted stream catches up from its
+    // checkpoint and the refreshes fold the new range
+    w.upsert(orders.filter(k % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000),
+      k, col("o_orderstatus"), C2)
+    w.delete(orders.filter(k % 7 === 0), k, col("o_orderstatus"), C3)
+    drain()
+    assertInSync()
+  }
+
   private def SnapshotReader_read(path: String) =
     graft.read.SnapshotReader.read(spark, path)
 }

@@ -203,14 +203,23 @@ private[graft] object GraftDml {
       .map(ct -> _)
   }
 
-  /** Every column name ANY commit's recorded schema ever contained —
-    * metadata-scale walk over memoized decodes; the re-add resurrection
-    * guard ([[GraftAddColumnsCommand]]) checks against it. */
-  def historicalColumnNames(tl: Timeline): Set[String] =
-    tl.completedInstants().flatMap(i => tl.metadata(i.ts).schemaJson)
+  /** Every column name a LIVE file could still carry: the union of
+    * recorded schemas since the table's last OVERWRITE (an overwrite
+    * supersedes every slice, so columns dropped before it cannot
+    * resurrect — their bytes live only in unreferenced files). The
+    * re-add resurrection guard ([[GraftAddColumnsCommand]]) checks
+    * against this; metadata-scale walk over memoized decodes. */
+  def historicalColumnNames(tl: Timeline): Set[String] = {
+    val instants = tl.completedInstants()
+    val floor = instants.reverseIterator.find(i =>
+      tl.metadata(i.ts).operationType == "INSERT_OVERWRITE_TABLE")
+      .map(_.ts).getOrElse("")
+    instants.filter(_.ts >= floor)
+      .flatMap(i => tl.metadata(i.ts).schemaJson)
       .flatMap(sj => org.apache.spark.sql.types.DataType.fromJson(sj)
         .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames)
       .toSet
+  }
 
   /** The commit ts a TIMESTAMP/VERSION AS OF clause names: a digit string
     * is a commit ts verbatim; a timestamp literal converts to the UTC

@@ -226,6 +226,13 @@ class SqlSurfaceSpec extends SparkSpec {
       // a FRESH name still adds fine after the drop
       spark.sql("ALTER TABLE g_drop ADD COLUMNS (note STRING)")
       assert(spark.sql("SELECT note FROM g_drop").count() == 100)
+      // an OVERWRITE supersedes every slice — no old file can resurrect
+      // values, so the dropped name becomes free again
+      spark.sql("INSERT OVERWRITE g_drop SELECT o_orderkey, o_custkey, " +
+        "o_orderstatus, o_totalprice, o_orderdate, note FROM g_drop")
+      spark.sql("ALTER TABLE g_drop ADD COLUMNS (o_orderpriority STRING)")
+      assert(spark.sql("SELECT o_orderpriority FROM g_drop")
+        .filter(col("o_orderpriority").isNotNull).count() == 0)
     } finally spark.sql("DROP TABLE g_drop")
   }
 

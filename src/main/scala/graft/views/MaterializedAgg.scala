@@ -54,7 +54,13 @@ object MaterializedAgg {
   private val StructuralOps = Set("INSERT_OVERWRITE_TABLE", "DELETE_PARTITION")
 
   /** Refresh (or bootstrap) the view; returns the source commit ts the
-    * view now reflects. */
+    * view now reflects.
+    *
+    * The churn-bounded delta plan executes a bounded handful of times per
+    * refresh (group-key collect, emptiness probes, the write) — the same
+    * documented trade as the SQL DML commands' `nonEmpty`: refreshes are
+    * infrequent table-maintenance operations where re-running a
+    * churn-sized plan is noise next to the source scan it replaces. */
   def refresh(spark: SparkSession, srcPath: String, viewPath: String,
       groupCol: String, valueExpr: Column, buckets: Int = 8,
       maxPushdownGroups: Int = 10000): String = {

@@ -439,15 +439,22 @@ object Fixtures {
   def matViewDir(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = s"${root(sfDir)}/orders_matview"
     val src = s"$dir/src"; val view = s"$dir/view"
-    if (!complete(spark, src, 3) ||
-      Timeline(spark.sessionState.newHadoopConf(), view)
-        .completedInstants().size != 3) {
+    val view2 = s"$dir/view2" // multi-measure twin (sum_cents + sum_keymod)
+    def instants(d: String) = Timeline(
+      spark.sessionState.newHadoopConf(), d).completedInstants().size
+    if (!complete(spark, src, 3) || instants(view) != 3 ||
+      instants(view2) != 3) {
       rm(spark, dir)
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       val k = col("o_orderkey")
       val cents = round(col("o_totalprice") * 100).cast("long")
-      def refresh(): Unit = graft.views.MaterializedAgg.refresh(
-        spark, src, view, "o_custkey", cents, buckets = 8)
+      def refresh(): Unit = {
+        graft.views.MaterializedAgg.refresh(
+          spark, src, view, "o_custkey", cents, buckets = 8)
+        graft.views.MaterializedAgg.refresh(
+          spark, src, view2, "o_custkey",
+          Seq("cents" -> cents, "keymod" -> (k % 100)), buckets = 8)
+      }
       val w = new CowWriter(spark, src, numBuckets = 8)
       w.insert(orders, k, col("o_orderstatus"), C1)
       refresh()
@@ -459,6 +466,12 @@ object Fixtures {
       refresh()
     }
     view
+  }
+
+  /** Multi-measure twin of [[matViewDir]]'s view (built together). */
+  def matViewMultiDir(spark: SparkSession, sfDir: String): String = {
+    matViewDir(spark, sfDir)
+    s"${root(sfDir)}/orders_matview/view2"
   }
 
   /** Table created ENTIRELY through the write format surface

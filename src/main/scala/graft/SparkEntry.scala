@@ -147,6 +147,13 @@ object SparkEntry {
       views.MaterializedAgg.read(s, Fixtures.matViewDir(s, d))
         .select(col("o_custkey"), col("n_rows"), col("sum_val"))
         .orderBy(col("o_custkey"))),
+    // q_mat_view_multi: the multi-measure twin — two sums maintained in
+    // one view table from the same CDC folds.
+    "q_mat_view_multi" -> ((s, d) =>
+      views.MaterializedAgg.read(s, Fixtures.matViewMultiDir(s, d))
+        .select(col("o_custkey"), col("n_rows"), col("sum_cents"),
+          col("sum_keymod"))
+        .orderBy(col("o_custkey"))),
     // q_table_history: the commit log as data (DESCRIBE HISTORY shape) —
     // pure timeline metadata; the layout-independent counters (action,
     // operation, delete/update/insert row counts) are oracle-exact, the
@@ -1103,6 +1110,13 @@ object SparkEntry {
       ("SELECT o_custkey, count(*) AS n_rows, " +
         "CAST(sum(CAST(round((CASE WHEN o_orderkey % 10 = 3 " +
         "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS sum_val " +
+        "FROM orders WHERE o_orderkey % 7 <> 0 AND o_custkey IS NOT NULL " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_mat_view_multi" ->
+      ("SELECT o_custkey, count(*) AS n_rows, " +
+        "CAST(sum(CAST(round((CASE WHEN o_orderkey % 10 = 3 " +
+        "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
+        "CAST(sum(o_orderkey % 100) AS BIGINT) AS sum_keymod " +
         "FROM orders WHERE o_orderkey % 7 <> 0 AND o_custkey IS NOT NULL " +
         "GROUP BY o_custkey ORDER BY o_custkey"),
     // history: counters recomputed from the fixture script (C1 insert all,

@@ -7,12 +7,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally maintained MATERIALIZED AGGREGATE over a graft table —
-  * per-group `count(*)` + `sum(valueExpr)` kept in its own graft table and
-  * refreshed from the source's CHANGE FEED instead of recomputed:
+  * per-group `count(*)` + one `sum` per declared measure, kept in its own
+  * graft table and refreshed from the source's CHANGE FEED instead of
+  * recomputed:
   *
   * {{{
   *   MaterializedAgg.refresh(spark, src, view, "o_custkey",
-  *     round(col("o_totalprice") * 100).cast("long"))
+  *     Seq("cents" -> round(col("o_totalprice") * 100).cast("long"),
+  *         "items" -> lit(1L)))
+  *   // view payload: (o_custkey, n_rows, sum_cents, sum_items)
   * }}}
   *
   * Each refresh reads the source's CDC range `(lastReflectedCommit, head]`
@@ -42,6 +45,8 @@ import org.apache.spark.sql.functions._
   *
   * Null group values are excluded (a graft record key cannot be null);
   * the oracle GROUP BY mirrors that with a WHERE groupCol IS NOT NULL.
+  * avg = sum/count falls out; min/max are NOT incrementally maintainable
+  * under deletes without per-group state — out of scope, documented.
   */
 object MaterializedAgg {
 
@@ -53,8 +58,25 @@ object MaterializedAgg {
     * enumerate — a range containing one forces the recompute path. */
   private val StructuralOps = Set("INSERT_OVERWRITE_TABLE", "DELETE_PARTITION")
 
+  /** Single-measure refresh: view payload (group, n_rows, sum_val). */
+  def refresh(spark: SparkSession, srcPath: String, viewPath: String,
+      groupCol: String, valueExpr: Column, buckets: Int,
+      maxPushdownGroups: Int): String =
+    refresh(spark, srcPath, viewPath, groupCol, Seq("val" -> valueExpr),
+      buckets, maxPushdownGroups)
+
+  def refresh(spark: SparkSession, srcPath: String, viewPath: String,
+      groupCol: String, valueExpr: Column): String =
+    refresh(spark, srcPath, viewPath, groupCol, valueExpr, 8, 10000)
+
+  def refresh(spark: SparkSession, srcPath: String, viewPath: String,
+      groupCol: String, valueExpr: Column, buckets: Int): String =
+    refresh(spark, srcPath, viewPath, groupCol, valueExpr, buckets, 10000)
+
   /** Refresh (or bootstrap) the view; returns the source commit ts the
-    * view now reflects.
+    * view now reflects. `values` declares the maintained measures:
+    * each (name, integer expression over the source payload) becomes a
+    * `sum_<name>` view column.
     *
     * The churn-bounded delta plan executes a bounded handful of times per
     * refresh (group-key collect, emptiness probes, the write) — the same
@@ -62,8 +84,10 @@ object MaterializedAgg {
     * infrequent table-maintenance operations where re-running a
     * churn-sized plan is noise next to the source scan it replaces. */
   def refresh(spark: SparkSession, srcPath: String, viewPath: String,
-      groupCol: String, valueExpr: Column, buckets: Int = 8,
+      groupCol: String, values: Seq[(String, Column)], buckets: Int = 8,
       maxPushdownGroups: Int = 10000): String = {
+    require(values.nonEmpty && values.map(_._1).distinct.size == values.size,
+      "measures need distinct names")
     val conf = spark.sessionState.newHadoopConf()
     val srcTl = Timeline(conf, srcPath)
     val srcHead = srcTl.completedInstants().lastOption.map(_.ts).getOrElse(
@@ -74,7 +98,7 @@ object MaterializedAgg {
       // bootstrap: one full GROUP BY of the source snapshot (the only
       // source-sized scan this view ever costs)
       val agg = aggregate(SnapshotReader.read(spark, srcPath), groupCol,
-        valueExpr)
+        values)
       new CowWriter(spark, viewPath, buckets).insert(agg, col(groupCol),
         lit("all"), FormatWriter.nextTs(viewTl),
         extra = Map(AsOfKey -> srcHead,
@@ -94,8 +118,8 @@ object MaterializedAgg {
     val viewSnap = SnapshotReader.read(spark, viewPath)
     val (ups, dels) =
       if (structural) recomputeDiff(spark, srcPath, viewSnap, groupCol,
-        valueExpr)
-      else incrementalDiff(spark, srcPath, viewSnap, groupCol, valueExpr,
+        values)
+      else incrementalDiff(spark, srcPath, viewSnap, groupCol, values,
         asOf, srcHead, maxPushdownGroups)
 
     val up = Option(ups).filter(!_.isEmpty)
@@ -110,34 +134,41 @@ object MaterializedAgg {
     srcHead
   }
 
-  /** Read the maintained view (group, n_rows, sum_val payload). */
+  /** Read the maintained view (group, n_rows, sum_* payload). */
   def read(spark: SparkSession, viewPath: String): DataFrame =
     SnapshotReader.read(spark, viewPath)
 
+  private def sumCol(name: String): String = s"sum_$name"
+
   private def aggregate(src: DataFrame, groupCol: String,
-      valueExpr: Column): DataFrame =
+      values: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      values.map { case (n, e) => sum(e.cast("long")).as(sumCol(n)) }
     src.filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(valueExpr.cast("long")).as("sum_val"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Incremental path: group deltas from the CDC range, merged against the
     * view's current rows for exactly the touched groups. */
   private def incrementalDiff(spark: SparkSession, srcPath: String,
-      viewSnap: DataFrame, groupCol: String, valueExpr: Column,
+      viewSnap: DataFrame, groupCol: String, values: Seq[(String, Column)],
       fromExclusive: String, toInclusive: String,
       maxPushdownGroups: Int): (DataFrame, DataFrame) = {
     val ch = ChangeFeed.read(spark, srcPath, fromExclusive, toInclusive,
       preImages = true)
     val sign = when(col(ChangeFeed.ChangeType).isin("insert", "update"), 1L)
       .otherwise(-1L)
+    val dAggs = sum(col("__s")).as("__dn") +:
+      values.map { case (n, _) =>
+        sum(col("__s") * col(s"__v_$n")).as(s"__dv_$n") }
     val deltas = ch.filter(col(groupCol).isNotNull)
-      .select(col(groupCol).as("__g"), sign.as("__s"),
-        valueExpr.cast("long").as("__v"))
+      .select((col(groupCol).as("__g") +: sign.as("__s") +:
+        values.map { case (n, e) => e.cast("long").as(s"__v_$n") }): _*)
       .groupBy("__g")
-      .agg(sum(col("__s")).as("__dn"),
-        sum(col("__s") * col("__v")).as("__dv"))
-      .filter(col("__dn") =!= 0 || col("__dv") =!= 0)
+      .agg(dAggs.head, dAggs.tail: _*)
+      .filter(values.map(v => col(s"__dv_${v._1}") =!= 0)
+        .foldLeft(col("__dn") =!= 0)(_ || _))
 
     // small churn: prune the view read to the touched groups' files via a
     // record-key IN filter (bucket pruning + col-stats skipping) so the
@@ -149,38 +180,43 @@ object MaterializedAgg {
         viewSnap.filter(col(MetaCols.RecordKey)
           .isin(touched.toIndexedSeq: _*))
       else viewSnap)
-        .select(col(groupCol).as("__g"), col("n_rows"), col("sum_val"))
+        .select((col(groupCol).as("__g") +: col("n_rows").as("__on") +:
+          values.map(v => col(sumCol(v._1)).as(s"__ov_${v._1}"))): _*)
 
     val merged = deltas.join(viewRows, Seq("__g"), "left_outer")
-      .select(col("__g"),
-        (coalesce(col("n_rows"), lit(0L)) + col("__dn")).as("__nn"),
-        (coalesce(col("sum_val"), lit(0L)) + col("__dv")).as("__nv"))
-    (merged.filter(col("__nn") > 0)
-       .select(col("__g").as(groupCol), col("__nn").as("n_rows"),
-         col("__nv").as("sum_val")),
-     merged.filter(col("__nn") <= 0)
-       .select(col("__g").as(groupCol), lit(0L).as("n_rows"),
-         lit(0L).as("sum_val")))
+      .select((col("__g") +:
+        (coalesce(col("__on"), lit(0L)) + col("__dn")).as("__nn") +:
+        values.map(v =>
+          (coalesce(col(s"__ov_${v._1}"), lit(0L)) + col(s"__dv_${v._1}"))
+            .as(s"__nv_${v._1}"))): _*)
+    def out(df: DataFrame): DataFrame =
+      df.select((col("__g").as(groupCol) +: col("__nn").as("n_rows") +:
+        values.map(v => col(s"__nv_${v._1}").as(sumCol(v._1)))): _*)
+    (out(merged.filter(col("__nn") > 0)),
+     out(merged.filter(col("__nn") <= 0)
+       .withColumn("__nn", lit(0L))))
   }
 
   /** Structural-commit fallback: recompute the aggregate and diff it
     * against the current view — upsert changed/new groups, delete groups
     * that vanished. One source scan, like bootstrap. */
   private def recomputeDiff(spark: SparkSession, srcPath: String,
-      viewSnap: DataFrame, groupCol: String, valueExpr: Column)
+      viewSnap: DataFrame, groupCol: String, values: Seq[(String, Column)])
       : (DataFrame, DataFrame) = {
     val fresh = aggregate(SnapshotReader.read(spark, srcPath), groupCol,
-      valueExpr)
-    val current = viewSnap.select(col(groupCol).as("__g"),
-      col("n_rows").as("__on"), col("sum_val").as("__ov"))
+      values)
+    val current = viewSnap.select((col(groupCol).as("__g") +:
+      col("n_rows").as("__on") +:
+      values.map(v => col(sumCol(v._1)).as(s"__ov_${v._1}"))): _*)
     val joined = fresh.join(current, fresh(groupCol) === col("__g"),
       "full_outer")
-    (joined.filter(fresh(groupCol).isNotNull &&
-        (col("__on").isNull || col("__on") =!= col("n_rows") ||
-          col("__ov") =!= col("sum_val")))
-       .select(fresh(groupCol), col("n_rows"), col("sum_val")),
+    val changed = values.map(v => col(s"__ov_${v._1}") =!= col(sumCol(v._1)))
+      .foldLeft(col("__on").isNull || col("__on") =!= col("n_rows"))(_ || _)
+    (joined.filter(fresh(groupCol).isNotNull && changed)
+       .select((fresh(groupCol) +: col("n_rows") +:
+         values.map(v => col(sumCol(v._1)))): _*),
      joined.filter(fresh(groupCol).isNull)
-       .select(col("__g").as(groupCol), lit(0L).as("n_rows"),
-         lit(0L).as("sum_val")))
+       .select((col("__g").as(groupCol) +: lit(0L).as("n_rows") +:
+         values.map(v => lit(0L).as(sumCol(v._1)))): _*))
   }
 }

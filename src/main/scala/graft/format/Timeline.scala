@@ -17,8 +17,17 @@ import scala.collection.mutable
   * (temp file + rename) per SURVEY.md §7.5. All driver-side, metadata-scale:
   * O(#commits) listing, never a data-dir scan.
   */
-final class Timeline(val fs: FileSystem, val basePath: Path) {
+final class Timeline(val fs: FileSystem, val basePath: Path,
+    lock: TableLock = TableLock.JvmOnly) {
   val hoodieDir = new Path(basePath, Timeline.MetaDir)
+
+  /** Commit critical section: the JVM per-table lock (same-driver
+    * writers) composed with the configured inter-process [[TableLock]]
+    * (multi-driver deployments — `graft.lock.provider=fs`). */
+  private def withTableLock[T](f: => T): T =
+    Timeline.lockFor(fs.makeQualified(basePath).toString).synchronized {
+      lock.withLock(f)
+    }
 
   // Decoded-metadata memo, one parse per timestamp per Timeline instance
   // (ref: cacheMetadata, DeleteView.java:65, 192-217).
@@ -210,7 +219,7 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
       action: String = Instant.CommitAction,
       readPoint: Option[String] = None,
       conflictOnAny: Boolean = false): Unit =
-    Timeline.lockFor(fs.makeQualified(basePath).toString).synchronized {
+    withTableLock {
       refresh()
       val floor = readPoint.getOrElse("")
       val newSince = completedInstants()
@@ -291,7 +300,7 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
     // put) — the local filesystem's is exists-then-create, so two local
     // threads could both "win" a ts without this. Multi-DRIVER mints rely
     // on the storage's atomic create, like the commit rename itself.
-    Timeline.lockFor(fs.makeQualified(basePath).toString).synchronized {
+    withTableLock {
       if (instantAt(ts).nonEmpty ||
         Timeline.retryOnce(
           fs.exists(new Path(hoodieDir, ts + Timeline.ReservedSuffix))))
@@ -400,7 +409,7 @@ final class Timeline(val fs: FileSystem, val basePath: Path) {
     * Returns the archived instant timestamps. */
   def archive(keepActive: Int): Seq[String] = {
     require(keepActive >= 1, "must keep at least the newest commit active")
-    Timeline.lockFor(fs.makeQualified(basePath).toString).synchronized {
+    withTableLock {
       refresh()
       val activeInstants = completedInstants()
         .filter(i => activeTsMemo.contains(i.ts))
@@ -571,6 +580,7 @@ object Timeline {
 
   def apply(conf: Configuration, basePath: String): Timeline = {
     val p = new Path(basePath)
-    new Timeline(p.getFileSystem(conf), p)
+    val fs = p.getFileSystem(conf)
+    new Timeline(fs, p, TableLock.fromConf(conf, fs, p))
   }
 }

@@ -808,6 +808,19 @@ object SparkEntry {
     // Transitive dedup clusters: connected components over verified MinHash
     // pairs via distributed min-label propagation (pointer-jumped; see
     // Dedup.clusters) — one smallest-id representative per component.
+    // Best-of-cluster dedup: per duplicate cluster keep the member with
+    // the highest quality score (ties by smallest id) plus all unclustered
+    // docs — the quality-ranked representative policy
+    // (Dedup.keepBestPerCluster over the same MinHash pair set).
+    "q_dedup_best" -> ((s, d) => {
+      val docs = tp(s, d, "documents")
+      Dedup.keepBestPerCluster(
+          TextAnalysis.withQuality(docs, col("text")), col("doc_id"),
+          Dedup.minhashPairs(docs, col("doc_id"), col("text"), n = 3,
+            numHashes = 32, bands = 16, thresholdPermille = 500),
+          col("id_a"), col("id_b"), col("quality_score"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.clusters(
           Dedup.minhashPairs(tp(s, d, "documents"), col("doc_id"),
@@ -1609,6 +1622,23 @@ object SparkEntry {
         "UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src) " +
         "SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach " +
         "GROUP BY id ORDER BY doc_id"),
+    // best-of-cluster keep set: same recursive-CTE clusters, winners by
+    // (quality desc, doc_id asc) per cluster, losers anti-joined away
+    "q_dedup_best" ->
+      ("WITH RECURSIVE " + ShinglesCte.stripPrefix("WITH ") + ", " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a " +
+        s"JOIN sh b ON a.doc_id < b.doc_id WHERE $JaccPermilleSql >= 500), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM pairs), " +
+        "reach(id, lbl) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src), " +
+        "cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id), " +
+        s"q AS (SELECT doc_id, CAST($QualitySql AS BIGINT) AS qs FROM documents), " +
+        "r AS (SELECT cl.doc_id, row_number() OVER (PARTITION BY cluster_id " +
+        "ORDER BY qs DESC, cl.doc_id ASC) AS rn FROM cl JOIN q ON cl.doc_id = q.doc_id) " +
+        "SELECT doc_id FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM r WHERE rn > 1) " +
+        "ORDER BY doc_id"),
     "q_dedup_transitive" ->
       ("WITH RECURSIVE " + ShinglesCte.stripPrefix("WITH ") + ", " +
         "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a " +

@@ -654,6 +654,29 @@ object Dedup {
     clusterLabels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("drop_id"))
 
+  /** BEST-of-cluster dedup: keep, per duplicate cluster, the member with
+    * the highest `score` (ties by smallest id — deterministic), plus every
+    * unclustered doc — the production dedup policy (quality-ranked
+    * representative) rather than the smallest-id convention. Composition:
+    * [[clusters]] labels the clustered docs, one per-cluster top-1 window
+    * over the (cluster-count-sized) labeled set picks winners, and the
+    * corpus anti-joins the losers. The window runs over clustered docs
+    * only — duplicate clusters, not the corpus — so the extra cost over
+    * smallest-id dedup is one join against the cluster labels. */
+  def keepBestPerCluster(df: DataFrame, id: Column, pairs: DataFrame,
+      idA: Column, idB: Column, score: Column,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val labels = clusters(pairs, idA, idB, checkpointDir)
+    val scored = df.select(id.cast("long").as("__kid"), score.as("__q"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("__q").desc, col("doc_id").asc)
+    val losers = labels.join(scored, col("doc_id") === col("__kid"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id").as("__loser"))
+    df.join(losers, id.cast("long") === col("__loser"), "left_anti")
+  }
+
   /** Incremental corpus dedup against a graft-format SIGNATURE INDEX table:
     * each ingested batch is deduplicated against every document ever seen
     * (kept or dropped) plus its own earlier rows, then appended to the

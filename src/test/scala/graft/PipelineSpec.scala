@@ -243,6 +243,20 @@ class PipelineSpec extends SparkSpec {
       "checkpointDir mode wrote no checkpoint data")
   }
 
+  test("keepBestPerCluster: quality-ranked winner beats smallest id; " +
+    "ties break by id; unclustered docs survive") {
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2,3}: best quality is 2; cluster {10,11}: tie -> 10;
+    // 20 is unpaired and must survive with any score
+    val docs = Seq((1L, 50L), (2L, 90L), (3L, 70L), (10L, 40L), (11L, 40L),
+      (20L, 1L)).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(docs, col("id"), pairs,
+        col("id_a"), col("id_b"), col("q"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L))
+  }
+
   test("native float_cosine == HOF reference form, bit-identical incl. edges") {
     import org.apache.spark.sql.functions.col
     // real embeddings against themselves and against a rolled copy

@@ -47,15 +47,32 @@ object TableLock {
 /** Filesystem lock file with a LEASE: `.hoodie/.lock` created
   * without-overwrite, body `<ownerToken> <expiryEpochMs>`. Acquire spins
   * (50 ms backoff) until it creates the file, breaking a lock whose lease
-  * expired (crashed holder); gives up past `timeoutMs`. Release deletes
+  * expired (crashed holder); gives up past `timeoutMs`. Release removes
   * only a lock it still owns — a broken-and-retaken lock is left alone.
   *
   * Atomicity rides the store's create-no-overwrite, exactly like the
   * timeline's own `<ts>.reserved` markers (HDFS create, S3 conditional
   * put; plain local filesystems approximate it — single-driver local
   * deployments are already covered by the JVM lock this composes with).
-  * The critical sections it guards are metadata-only (decode + rename),
-  * far shorter than the lease. Hudi's FileSystemBasedLockProvider analog.
+  *
+  * BREAKING is arbitrated, not a bare delete: a bare `delete(lockPath)`
+  * lets two waiters that both observed the same expired lease each
+  * delete — the second delete removing the FIRST breaker's freshly
+  * created lock, so two drivers hold the lock at once. Instead a breaker
+  * CAPTURES the incarnation it observed by atomically renaming the lock
+  * file to a waiter-unique name: rename succeeds for exactly one caller
+  * (delete-if-match over the rename primitive), the loser re-loops. The
+  * winner verifies the captured body is the expired incarnation it
+  * observed and only then deletes it; a live lock that slipped into the
+  * read→rename window is renamed back untouched. Release uses the same
+  * capture-verify protocol (its window is lease-scale: a critical
+  * section that overran `ttlMs`). Residual window: a full break+retake
+  * by another waiter inside the µs between the breaker's verify re-read
+  * and its rename — entered only after lease expiry plus a randomized
+  * backoff; on stores with conditional delete, swap the rename for
+  * delete-if-etag. The critical sections guarded are metadata-only
+  * (decode + rename), far shorter than the lease. Hudi's
+  * FileSystemBasedLockProvider analog.
   */
 final class FsLock(fs: FileSystem, lockPath: Path, ttlMs: Long,
     timeoutMs: Long) extends TableLock {
@@ -65,9 +82,9 @@ final class FsLock(fs: FileSystem, lockPath: Path, ttlMs: Long,
     try f finally release(token)
   }
 
-  private def body(): Option[(String, Long)] =
+  private def body(p: Path): Option[(String, Long)] =
     try {
-      val in = fs.open(lockPath)
+      val in = fs.open(p)
       val s = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8)
@@ -78,9 +95,37 @@ final class FsLock(fs: FileSystem, lockPath: Path, ttlMs: Long,
       }
     } catch { case _: java.io.IOException => None } // vanished or unreadable
 
+  /** Atomically capture the current lock file under a caller-unique name
+    * and remove it ONLY if its body satisfies `owned`; otherwise restore
+    * it. Rename is the arbiter: for a given lock-file incarnation exactly
+    * one caller's rename succeeds. Returns true iff this caller removed
+    * the incarnation it was entitled to remove. */
+  private def captureAndRemove(unique: Path,
+      owned: ((String, Long)) => Boolean): Boolean = {
+    val renamed =
+      try fs.rename(lockPath, unique)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) false
+    else if (body(unique).exists(owned)) { fs.delete(unique, false); true }
+    else {
+      // captured somebody else's live lock (it replaced the one we
+      // observed inside the read→rename window): put it back untouched
+      if (!fs.rename(unique, lockPath)) {
+        // a third waiter created a new lock meanwhile — surface loudly
+        // rather than leave two lock files on disk
+        fs.delete(unique, false)
+        throw new IllegalStateException(
+          s"lock-break restore collision on $lockPath: a live lock was " +
+            "captured and could not be restored; manual inspection needed")
+      }
+      false
+    }
+  }
+
   private def acquire(): String = {
     val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + timeoutMs
+    val rnd = new java.util.Random()
     while (true) {
       val now = System.currentTimeMillis()
       try {
@@ -92,10 +137,16 @@ final class FsLock(fs: FileSystem, lockPath: Path, ttlMs: Long,
         return token
       } catch {
         case _: java.io.IOException =>
-          body() match {
-            case Some((_, exp)) if now > exp =>
-              // expired lease (crashed holder): break it and re-race
-              fs.delete(lockPath, false)
+          body(lockPath) match {
+            case Some((tok, exp)) if now > exp =>
+              // expired lease (crashed holder): randomized backoff so
+              // concurrent breakers de-synchronize, re-verify the SAME
+              // incarnation is still there, then capture-and-break it
+              Thread.sleep(rnd.nextInt(100).toLong)
+              if (body(lockPath).contains(tok -> exp))
+                captureAndRemove(
+                  new Path(lockPath.getParent, s".lock.broken.$token"),
+                  b => b == (tok -> exp))
             case None => () // holder released between probe and read
             case _ =>
               if (now > deadline) throw new IllegalStateException(
@@ -110,7 +161,11 @@ final class FsLock(fs: FileSystem, lockPath: Path, ttlMs: Long,
   }
 
   private def release(token: String): Unit =
-    // delete only while still owned — if the lease expired and another
-    // writer broke + retook the lock, their file must survive
-    if (body().exists(_._1 == token)) fs.delete(lockPath, false)
+    // remove only while still owned — if the lease expired and another
+    // writer broke + retook the lock, their file must survive (the
+    // capture-verify restores it if the pre-check read raced a break)
+    if (body(lockPath).exists(_._1 == token))
+      captureAndRemove(
+        new Path(lockPath.getParent, s".lock.released.$token"),
+        _._1 == token)
 }

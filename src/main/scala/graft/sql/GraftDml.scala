@@ -625,7 +625,10 @@ case class GraftAddColumnsCommand(basePath: String, ct: CatalogTable,
       // resurrection guard: files written before a DROP still carry the
       // old values, and re-adding the name would silently surface them in
       // every not-yet-rewritten row
-      require(!historical.contains(f.name),
+      // compared with the SAME resolver as the exists check: under
+      // default case-insensitive resolution, ADD COLUMNS (Score) after
+      // DROP COLUMNS (score) must hit the guard too
+      require(!historical.exists(h => resolver(h, f.name)),
         s"cannot re-add previously dropped column '${f.name}': files " +
           "written before the drop may still carry its values and would " +
           "resurrect them; rewrite the table (overwrite) under a new name")

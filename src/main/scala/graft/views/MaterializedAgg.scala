@@ -99,10 +99,12 @@ object MaterializedAgg {
       // source-sized scan this view ever costs)
       val agg = aggregate(SnapshotReader.read(spark, srcPath), groupCol,
         values)
-      new CowWriter(spark, viewPath, buckets).insert(agg, col(groupCol),
-        lit("all"), FormatWriter.nextTs(viewTl),
+      val ts0 = FormatWriter.nextTs(viewTl)
+      try new CowWriter(spark, viewPath, buckets).insert(agg, col(groupCol),
+        lit("all"), ts0,
         extra = Map(AsOfKey -> srcHead,
           FormatWriter.KeyColKey -> groupCol))
+      finally viewTl.unreserve(ts0)
       return srcHead
     }
 
@@ -140,10 +142,17 @@ object MaterializedAgg {
 
   private def sumCol(name: String): String = s"sum_$name"
 
+  /** Measure convention: a NULL measure value contributes 0 — enforced
+    * identically in the bootstrap aggregate and the incremental delta fold
+    * (a null value in the fold would otherwise poison the whole maintained
+    * sum: +1 row with sum(+1*null)=null overwrites the group's sum with
+    * null). The oracle GROUP BY mirrors it with sum(coalesce(v, 0)). */
+  private def measure(e: Column): Column = coalesce(e.cast("long"), lit(0L))
+
   private def aggregate(src: DataFrame, groupCol: String,
       values: Seq[(String, Column)]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
-      values.map { case (n, e) => sum(e.cast("long")).as(sumCol(n)) }
+      values.map { case (n, e) => sum(measure(e)).as(sumCol(n)) }
     src.filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -164,7 +173,7 @@ object MaterializedAgg {
         sum(col("__s") * col(s"__v_$n")).as(s"__dv_$n") }
     val deltas = ch.filter(col(groupCol).isNotNull)
       .select((col(groupCol).as("__g") +: sign.as("__s") +:
-        values.map { case (n, e) => e.cast("long").as(s"__v_$n") }): _*)
+        values.map { case (n, e) => measure(e).as(s"__v_$n") }): _*)
       .groupBy("__g")
       .agg(dAggs.head, dAggs.tail: _*)
       .filter(values.map(v => col(s"__dv_${v._1}") =!= 0)
@@ -210,8 +219,8 @@ object MaterializedAgg {
       values.map(v => col(sumCol(v._1)).as(s"__ov_${v._1}"))): _*)
     val joined = fresh.join(current, fresh(groupCol) === col("__g"),
       "full_outer")
-    val changed = values.map(v => col(s"__ov_${v._1}") =!= col(sumCol(v._1)))
-      .foldLeft(col("__on").isNull || col("__on") =!= col("n_rows"))(_ || _)
+    val changed = values.map(v => !(col(s"__ov_${v._1}") <=> col(sumCol(v._1))))
+      .foldLeft(!(col("__on") <=> col("n_rows")))(_ || _)
     (joined.filter(fresh(groupCol).isNotNull && changed)
        .select((fresh(groupCol) +: col("n_rows") +:
          values.map(v => col(sumCol(v._1)))): _*),

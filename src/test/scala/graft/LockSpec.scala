@@ -54,6 +54,70 @@ class LockSpec extends SparkSpec {
     f.delete(p, false)
   }
 
+  /** Local fs with HDFS-like ATOMIC create-no-overwrite — the store
+    * contract FsLock rides on (HDFS create, S3 conditional put). The raw
+    * local fs approximates it with a racy check-then-create, which is the
+    * already-documented local-deployment caveat, not what this test is
+    * probing. Rename is atomic on the local fs as-is. */
+  private class AtomicCreateFs(u: org.apache.hadoop.fs.FileSystem)
+      extends org.apache.hadoop.fs.FilterFileSystem(u) {
+    private val gate = new Object
+    override def create(f: Path,
+        permission: org.apache.hadoop.fs.permission.FsPermission,
+        overwrite: Boolean, bufferSize: Int, replication: Short,
+        blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+        : org.apache.hadoop.fs.FSDataOutputStream =
+      if (overwrite)
+        super.create(f, permission, overwrite, bufferSize, replication,
+          blockSize, progress)
+      else gate.synchronized {
+        if (fs.exists(f))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            f.toString)
+        super.create(f, permission, false, bufferSize, replication,
+          blockSize, progress)
+      }
+  }
+
+  test("FsLock: concurrent breakers of one expired lease still mutually " +
+    "exclude (rename-arbitrated break, no double-delete)") {
+    val dir = freshDir("lock_break_race")
+    val f: org.apache.hadoop.fs.FileSystem = new AtomicCreateFs(fs(dir))
+    val p = new Path(dir, ".hoodie/.lock")
+    // crashed holder with an expired lease
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(s"dead-owner ${System.currentTimeMillis() - 5000}"
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // many waiters race to break it; the critical section asserts it is
+    // never concurrently entered
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        val l = new FsLock(f, p, ttlMs = 60000, timeoutMs = 30000)
+        l.withLock {
+          val n = inside.incrementAndGet()
+          maxInside.updateAndGet(m => math.max(m, n))
+          Thread.sleep(20)
+          inside.decrementAndGet()
+        }
+        done.incrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(done.get() == 8, s"only ${done.get()}/8 waiters acquired")
+    assert(maxInside.get() == 1,
+      s"mutual exclusion violated: ${maxInside.get()} holders at once")
+    assert(!f.exists(p), "lock file must be gone after the last release")
+    // no capture temp files leaked
+    val leftovers = f.listStatus(p.getParent)
+      .map(_.getPath.getName).filter(_.startsWith(".lock"))
+    assert(leftovers.isEmpty, s"leaked lock artifacts: ${leftovers.toSeq}")
+  }
+
   test("conf wiring: provider=fs guards a real commit; unknown provider " +
     "refuses; default stays jvm-only") {
     val dir = freshDir("lock_conf")

@@ -223,6 +223,11 @@ class SqlSurfaceSpec extends SparkSpec {
       val readd = intercept[Exception] {
         spark.sql("ALTER TABLE g_drop ADD COLUMNS (o_orderpriority STRING)") }
       assert(readd.getMessage.contains("previously dropped"))
+      // ... and the guard resolves names like the analyzer does (default
+      // case-insensitive): a case-twiddled re-add is refused too
+      val readdCase = intercept[Exception] {
+        spark.sql("ALTER TABLE g_drop ADD COLUMNS (O_OrderPriority STRING)") }
+      assert(readdCase.getMessage.contains("previously dropped"))
       // a FRESH name still adds fine after the drop
       spark.sql("ALTER TABLE g_drop ADD COLUMNS (note STRING)")
       assert(spark.sql("SELECT note FROM g_drop").count() == 100)

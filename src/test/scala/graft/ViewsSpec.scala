@@ -106,6 +106,47 @@ class ViewsSpec extends SparkSpec {
     assert(tl.completedInstants().size == before)
   }
 
+  test("materialized agg: NULL measure values contribute 0 in bootstrap " +
+    "AND in the incremental fold (no sum poisoning)") {
+    val dir = freshDir("matview_null")
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val k = col("o_orderkey")
+    // measure is NULL for every third order — from the first commit on
+    val cents = when(k % 3 === 0, lit(null))
+      .otherwise(round(col("o_totalprice") * 100)).cast("long")
+    val w = new CowWriter(spark, src, numBuckets = 4)
+    w.insert(orders, k, col("o_orderstatus"), C1)
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents,
+      buckets = 2)
+    def expected() = SnapshotReader_read(src)
+      .filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(cents, lit(0L))).as("sum_val"))
+    def assertInSync(): Unit = {
+      val e = expected()
+      val v = MaterializedAgg.read(spark, view)
+        .select("o_custkey", "n_rows", "sum_val")
+      assert(v.exceptAll(e).isEmpty && e.exceptAll(v).isEmpty)
+      assert(v.filter(col("sum_val").isNull).count() == 0,
+        "a NULL measure must never poison a maintained sum")
+    }
+    assertInSync()
+    // incremental: an UPDATE that nulls a previously non-null measure
+    // (delta = 0 - old) and an update that un-nulls one (delta = new - 0)
+    w.upsert(orders.filter(k % 10 === 3)
+      .withColumn("o_orderkey", k + 1000000) // new keys into old groups
+      .withColumn("o_totalprice", lit(null).cast("double")),
+      col("o_orderkey"), col("o_orderstatus"), C2)
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents)
+    assertInSync()
+    w.upsert(orders.filter(k % 3 === 0) // null -> stays null measure rows
+      .withColumn("o_totalprice", col("o_totalprice") + 5),
+      k, col("o_orderstatus"), C3)
+    MaterializedAgg.refresh(spark, src, view, "o_custkey", cents)
+    assertInSync()
+  }
+
   test("materialized agg on a MOR source: delta commits and a silent " +
     "compaction refresh exactly") {
     val dir = freshDir("matview_mor")

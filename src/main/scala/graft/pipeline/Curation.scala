@@ -152,30 +152,77 @@ object Curation {
 
   /** Keep the rows whose INTEGER score ranks in the top `frac` of the
     * corpus — WITHOUT a global sort. The quantile threshold resolves from
-    * a per-score-value histogram: scores are bounded integers (quality
-    * permille, length buckets, …), so the groupBy collapses the corpus to
-    * at most |score range| rows map-side, the descending cumulative sum
-    * runs over that TINY set, and the resulting threshold broadcasts back
-    * as a filter. Ties at the threshold are all kept (the smallest
-    * threshold whose tail covers ⌈frac·N⌉ rows), so the result is
-    * deterministic and engine-exact — unlike `ORDER BY score LIMIT k`,
-    * which is both a global sort and tie-ambiguous.
+    * a per-score-value histogram (one map-side-combined aggregate), whose
+    * descending cumulative sum is computed as a DISTRIBUTED two-level
+    * prefix sum: the histogram is range-repartitioned on the score, each
+    * range partition cumulates locally, and the per-partition totals
+    * (≤ `histPartitions` rows, bounded BY CONSTRUCTION — this is the only
+    * unpartitioned window in the plan) provide the cross-partition
+    * offsets. The resulting threshold broadcasts back as a filter. Ties
+    * at the threshold are all kept (the smallest threshold whose tail
+    * covers ⌈frac·N⌉ rows), so the result is deterministic and
+    * engine-exact — unlike `ORDER BY score LIMIT k`, which is both a
+    * global sort and tie-ambiguous.
     *
-    * 100 TB shape: one map-side-combined aggregate over the corpus + one
-    * broadcast-compare filter; nothing ever sorts or shuffles the data
-    * rows themselves. */
-  def keepTopQuantile(df: DataFrame, score: Column, frac: Double): DataFrame = {
+    * The bucket boundaries come from one eager metadata-sized aggregate
+    * (corpus count + `percentile_approx` split points, collected and
+    * baked into the plan as literals) — so the bucket id is a PURE
+    * FUNCTION of the score, never a physical-partition artifact, and the
+    * approximation only shapes load balance, never the result.
+    *
+    * 100 TB shape: two aggregates over the corpus (boundary probe +
+    * histogram), a histogram-sized (distinct score values — possibly
+    * corpus-sized for unique scores, but never wider than the data)
+    * shuffle with partition-local windows, and one broadcast-compare
+    * filter; no step ever sorts the corpus in a single partition, for ANY
+    * score distribution — a per-row-unique score (timestamp, byte
+    * length) degrades to a plain extra shuffle, not a one-task sort. */
+  def keepTopQuantile(df: DataFrame, score: Column, frac: Double,
+      histPartitions: Int = 64): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, "frac in (0, 1]")
-    val hist = df.select(score.cast("long").as("__s"))
+    require(histPartitions > 0, "histPartitions must be positive")
+    val s = score.cast("long")
+    val probs = (1 until histPartitions)
+      .map(i => lit(i.toDouble / histPartitions))
+    // distinct DESCENDING boundaries; duplicate split points (heavy score
+    // mass) collapse — that mass is a single histogram row anyway
+    val (n, bounds) =
+      if (probs.isEmpty) (df.count(), Seq.empty[Long])
+      else {
+        val head = df.agg(count(lit(1)).as("__n"),
+          percentile_approx(s, array(probs: _*),
+            lit(math.max(1000, 10 * histPartitions))).as("__b")).first()
+        (head.getLong(0),
+          Option(head.get(1)).map(_ => head.getSeq[Long](1).distinct
+            .sorted(Ordering[Long].reverse)).getOrElse(Seq.empty))
+      }
+    if (n == 0L) return df.filter(lit(false))
+    val target = math.ceil(frac * n).toLong
+    // bucket 0 holds the highest scores; null scores fall past every
+    // boundary into the last bucket (ordered after values, like DESC)
+    val bucketOf: Column => Column = c => bounds.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (b, i)) =>
+        Some(acc.fold(when(c >= lit(b), lit(i)))(_.when(c >= lit(b), lit(i))))
+      }.map(_.otherwise(lit(bounds.length))).getOrElse(lit(0))
+    val hist = df.select(s.as("__s"))
       .groupBy("__s").agg(count(lit(1)).as("__c"))
-    val n = df.select(count(lit(1)).as("__n"))
-    val w = Window.orderBy(col("__s").desc) // ≤ |score range| rows
-    val thr = hist.withColumn("__cum", sum(col("__c")).over(w))
-      .crossJoin(broadcast(n))
-      .filter(col("__cum") >= ceil(lit(frac) * col("__n")).cast("long"))
+      .withColumn("__p", bucketOf(col("__s")))
+    // two-level descending prefix sum: local cumsum per bucket + bucket
+    // offsets (≤ histPartitions rows — the ONLY unpartitioned window,
+    // bounded by construction)
+    val local = hist.withColumn("__lcum", sum(col("__c"))
+      .over(Window.partitionBy(col("__p")).orderBy(col("__s").desc)))
+    val offsets = hist.groupBy(col("__p"))
+      .agg(sum(col("__c")).as("__pt"))
+      .withColumn("__off", coalesce(
+        sum(col("__pt")).over(Window.orderBy(col("__p").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__p", "__off")
+    val thr = local.join(broadcast(offsets), Seq("__p"))
+      .withColumn("__cum", col("__lcum") + col("__off"))
+      .filter(col("__cum") >= lit(target))
       .agg(max(col("__s")).as("__thr"))
-    df.crossJoin(broadcast(thr)).filter(score.cast("long") >= col("__thr"))
-      .drop("__thr")
+    df.crossJoin(broadcast(thr)).filter(s >= col("__thr")).drop("__thr")
   }
 
   /** Concat-and-chunk sequence packing (the standard LLM-pretraining

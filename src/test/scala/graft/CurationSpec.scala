@@ -268,6 +268,42 @@ class CurationSpec extends SparkSpec {
       kept.count())
   }
 
+  test("keepTopQuantile: a WIDE-RANGE (per-row-unique) score stays exact " +
+    "and never plans a corpus-sized single-partition window") {
+    // every score distinct over a huge range — the case that used to
+    // degrade to a one-task global sort of the whole histogram
+    val df = (1 to 5000)
+      .map(i => (i.toLong, i.toLong * 1000003L - 2500000000L))
+      .toDF("id", "s")
+    val res = Curation.keepTopQuantile(df, col("s"), 0.13)
+    // unique scores: exactly ceil(0.13*5000)=650 rows, the highest ids
+    val got = res.select("id").as[Long].collect().toSet
+    assert(got == ((5000 - 649) to 5000).map(_.toLong).toSet)
+    // plan audit: every unpartitioned Window must sit over the bucket
+    // OFFSETS aggregate (≤ histPartitions rows by construction), never
+    // over the raw histogram
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    val globals = res.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty, "expected the bounded offsets window")
+    globals.foreach { w =>
+      val overOffsets = w.child.collectFirst {
+        case a: Aggregate
+          if a.groupingExpressions.exists(_.toString.contains("__p")) => a
+      }
+      assert(overOffsets.isDefined,
+        s"unpartitioned window over an unbounded frame:\n$w")
+    }
+    // nulls in the score column don't shift the threshold
+    val withNulls = df.union(Seq((-1L, 0L), (-2L, 0L)).toDF("id", "s")
+      .withColumn("s", lit(null).cast("long")))
+    val gotN = Curation.keepTopQuantile(withNulls, col("s"), 0.13)
+      .select("id").as[Long].collect().toSet
+    assert(gotN == ((5000 - 650) to 5000).map(_.toLong).toSet)
+  }
+
   test("decontaminate: shared n-gram drops the doc; disjoint text survives") {
     val evalDf = Seq(
       (100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")

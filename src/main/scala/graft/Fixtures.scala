@@ -117,6 +117,7 @@ object Fixtures {
     cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
     formatRtDir(spark, sfDir); sqlDmlDir(spark, sfDir)
     sqlAlterDir(spark, sfDir); matViewDir(spark, sfDir)
+    matViewMinmaxDir(spark, sfDir)
     sortedDir(spark, sfDir); mirrorDir(spark, sfDir)
     zorderDir(spark, sfDir); archivedDir(spark, sfDir)
     bloomDir(spark, sfDir); savepointDir(spark, sfDir)
@@ -473,6 +474,40 @@ object Fixtures {
     matViewDir(spark, sfDir)
     s"${root(sfDir)}/orders_matview/view2"
   }
+
+  /** Maintained MIN/MAX view (see [[graft.views.MaterializedExtrema]])
+    * over a DELETE-HEAVY history: C1 insert, C2 upsert (%10==3, +100000 —
+    * retracts the pre-update value, often a group extremum), C3 delete of
+    * HALF the rows (%2==0), refreshing after every commit. The view must
+    * equal a full GROUP BY min/max of the final snapshot
+    * (q_mat_view_minmax's oracle). Returns the VIEW directory. */
+  def matViewMinmaxDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/orders_matview_minmax"
+      val src = s"$dir/src"; val view = s"$dir/view"
+      def instants(d: String) = Timeline(
+        spark.sessionState.newHadoopConf(), d).completedInstants().size
+      if (!complete(spark, src, 3) || instants(view) != 3) {
+        rm(spark, dir)
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        val k = col("o_orderkey")
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        def refresh(): Unit = {
+          graft.views.MaterializedExtrema.refresh(
+            spark, src, view, "o_custkey", cents, buckets = 8): Unit
+        }
+        val w = new CowWriter(spark, src, numBuckets = 8)
+        w.insert(orders, k, col("o_orderstatus"), C1)
+        refresh()
+        w.upsert(orders.filter(k % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 100000),
+          k, col("o_orderstatus"), C2)
+        refresh()
+        w.delete(orders.filter(k % 2 === 0), k, col("o_orderstatus"), C3)
+        refresh()
+      }
+      view
+    }
 
   /** Table created ENTIRELY through the write format surface
     * (`df.write.format("graft")`): C1 bulk insert of orders, C2 append

@@ -154,6 +154,16 @@ object SparkEntry {
         .select(col("o_custkey"), col("n_rows"), col("sum_cents"),
           col("sum_keymod"))
         .orderBy(col("o_custkey"))),
+    // q_mat_view_minmax: maintained per-group MIN/MAX over a delete-heavy
+    // history — extrema are not invertible under deletes, so the refresh
+    // re-aggregates ONLY the groups whose recorded extremum was retracted
+    // (source scan filtered to those group values), yet must hash-match a
+    // full GROUP BY min/max (graft.views.MaterializedExtrema).
+    "q_mat_view_minmax" -> ((s, d) =>
+      views.MaterializedExtrema.read(s, Fixtures.matViewMinmaxDir(s, d))
+        .select(col("o_custkey"), col("n_rows"), col("min_val"),
+          col("max_val"))
+        .orderBy(col("o_custkey"))),
     // q_table_history: the commit log as data (DESCRIBE HISTORY shape) —
     // pure timeline metadata; the layout-independent counters (action,
     // operation, delete/update/insert row counts) are oracle-exact, the
@@ -1131,6 +1141,17 @@ object SparkEntry {
         "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS sum_cents, " +
         "CAST(sum(o_orderkey % 100) AS BIGINT) AS sum_keymod " +
         "FROM orders WHERE o_orderkey % 7 <> 0 AND o_custkey IS NOT NULL " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
+    // maintained min/max ≡ full GROUP BY extrema of the final source
+    // state (C2's +100000 on %10==3 keys — all odd, so they survive C3's
+    // even-key delete)
+    "q_mat_view_minmax" ->
+      ("SELECT o_custkey, count(*) AS n_rows, " +
+        "CAST(min(CAST(round((CASE WHEN o_orderkey % 10 = 3 " +
+        "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS min_val, " +
+        "CAST(max(CAST(round((CASE WHEN o_orderkey % 10 = 3 " +
+        "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS max_val " +
+        "FROM orders WHERE o_orderkey % 2 <> 0 AND o_custkey IS NOT NULL " +
         "GROUP BY o_custkey ORDER BY o_custkey"),
     // history: counters recomputed from the fixture script (C1 insert all,
     // C2 delete %7, C3 upsert %10==3 of the survivors, C4 delete %11==5)

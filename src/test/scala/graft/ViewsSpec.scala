@@ -186,6 +186,60 @@ class ViewsSpec extends SparkSpec {
     assertInSync()
   }
 
+  test("materialized extrema: min/max maintained under retractions — " +
+    "only extremum-retracting groups recompute; idempotent; groups vanish") {
+    import graft.views.MaterializedExtrema
+    val dir = freshDir("matview_minmax")
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val k = col("o_orderkey")
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val w = new CowWriter(spark, src, numBuckets = 4)
+    def expected() = SnapshotReader_read(src)
+      .filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_rows"), min(cents).as("min_val"),
+        max(cents).as("max_val"))
+    def assertInSync(): Unit = {
+      val e = expected()
+      val v = MaterializedExtrema.read(spark, view)
+        .select("o_custkey", "n_rows", "min_val", "max_val")
+      assert(v.exceptAll(e).isEmpty && e.exceptAll(v).isEmpty)
+    }
+    w.insert(orders, k, col("o_orderstatus"), C1)
+    MaterializedExtrema.refresh(spark, src, view, "o_custkey", cents,
+      buckets = 2)
+    assertInSync()
+    // updates move values both ways: some become new maxima (fast path),
+    // the pre-image retraction of an old extremum forces that group's
+    // re-aggregation (recompute path) — both folds must stay exact
+    w.upsert(orders.filter(k % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000),
+      k, col("o_orderstatus"), C2)
+    MaterializedExtrema.refresh(spark, src, view, "o_custkey", cents)
+    assertInSync()
+    // delete-heavy history: half the rows go, retracting many extrema;
+    // groups emptied entirely must leave the view
+    w.delete(orders.filter(k % 2 === 0), k, col("o_orderstatus"), C3)
+    MaterializedExtrema.refresh(spark, src, view, "o_custkey", cents)
+    assertInSync()
+    val live = orders.filter(k % 2 =!= 0).filter(col("o_custkey").isNotNull)
+      .select("o_custkey").distinct().count()
+    assert(MaterializedExtrema.read(spark, view).count() == live,
+      "emptied groups must vanish from the view")
+    // idempotent: nothing new → no view commit
+    val tl = graft.format.Timeline(spark.sessionState.newHadoopConf(), view)
+    val before = tl.completedInstants().size
+    MaterializedExtrema.refresh(spark, src, view, "o_custkey", cents)
+    tl.refresh()
+    assert(tl.completedInstants().size == before)
+    // structural commit (overwrite) → recompute fallback stays exact
+    val replacement = orders.filter(k % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 7)
+    w.overwriteTable(replacement, k, col("o_orderstatus"), "20260104000000")
+    MaterializedExtrema.refresh(spark, src, view, "o_custkey", cents)
+    assertInSync()
+  }
+
   test("materialized agg: a structural commit (overwrite) in the range " +
     "triggers the recompute path and stays exact") {
     val dir = freshDir("matview_ow")

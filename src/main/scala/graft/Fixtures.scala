@@ -485,16 +485,20 @@ object Fixtures {
     synchronized {
       val dir = s"${root(sfDir)}/orders_matview_minmax"
       val src = s"$dir/src"; val view = s"$dir/view"
+      val viewk = s"$dir/viewk" // top-3 twin off the same source script
       def instants(d: String) = Timeline(
         spark.sessionState.newHadoopConf(), d).completedInstants().size
-      if (!complete(spark, src, 3) || instants(view) != 3) {
+      if (!complete(spark, src, 3) || instants(view) != 3 ||
+        instants(viewk) != 3) {
         rm(spark, dir)
         val orders = spark.read.parquet(s"$sfDir/orders.parquet")
         val k = col("o_orderkey")
         val cents = round(col("o_totalprice") * 100).cast("long")
         def refresh(): Unit = {
           graft.views.MaterializedExtrema.refresh(
-            spark, src, view, "o_custkey", cents, buckets = 8): Unit
+            spark, src, view, "o_custkey", cents, buckets = 8)
+          graft.views.MaterializedTopK.refresh(
+            spark, src, viewk, "o_custkey", cents, k = 3, buckets = 8): Unit
         }
         val w = new CowWriter(spark, src, numBuckets = 8)
         w.insert(orders, k, col("o_orderstatus"), C1)
@@ -508,6 +512,13 @@ object Fixtures {
       }
       view
     }
+
+  /** Maintained TOP-3 values view (see [[graft.views.MaterializedTopK]])
+    * built with [[matViewMinmaxDir]] off the same delete-heavy source. */
+  def matViewTopkDir(spark: SparkSession, sfDir: String): String = {
+    matViewMinmaxDir(spark, sfDir)
+    s"${root(sfDir)}/orders_matview_minmax/viewk"
+  }
 
   /** Table created ENTIRELY through the write format surface
     * (`df.write.format("graft")`): C1 bulk insert of orders, C2 append

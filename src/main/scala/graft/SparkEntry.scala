@@ -164,6 +164,15 @@ object SparkEntry {
         .select(col("o_custkey"), col("n_rows"), col("min_val"),
           col("max_val"))
         .orderBy(col("o_custkey"))),
+    // q_mat_view_topk: maintained per-group TOP-3 values over the same
+    // delete-heavy history, served exploded as (group, rnk, val) — the
+    // deterministic row-set shape a row_number-per-group SQL reproduces
+    // (graft.views.MaterializedTopK).
+    "q_mat_view_topk" -> ((s, d) =>
+      views.MaterializedTopK.readExploded(s, Fixtures.matViewTopkDir(s, d))
+        .select(col("o_custkey"), col("rnk").cast("long").as("rnk"),
+          col("val"))
+        .orderBy(col("o_custkey"), col("rnk"))),
     // q_table_history: the commit log as data (DESCRIBE HISTORY shape) —
     // pure timeline metadata; the layout-independent counters (action,
     // operation, delete/update/insert row counts) are oracle-exact, the
@@ -1153,6 +1162,17 @@ object SparkEntry {
         "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS max_val " +
         "FROM orders WHERE o_orderkey % 2 <> 0 AND o_custkey IS NOT NULL " +
         "GROUP BY o_custkey ORDER BY o_custkey"),
+    // maintained top-3 ≡ row_number-per-group of the final source state
+    "q_mat_view_topk" ->
+      ("SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, val FROM (" +
+        "SELECT o_custkey, " +
+        "CAST(round((CASE WHEN o_orderkey % 10 = 3 " +
+        "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) AS BIGINT) AS val, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY " +
+        "CAST(round((CASE WHEN o_orderkey % 10 = 3 " +
+        "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) AS BIGINT) DESC) AS rnk " +
+        "FROM orders WHERE o_orderkey % 2 <> 0 AND o_custkey IS NOT NULL" +
+        ") WHERE rnk <= 3 ORDER BY o_custkey, rnk, val"),
     // history: counters recomputed from the fixture script (C1 insert all,
     // C2 delete %7, C3 upsert %10==3 of the survivors, C4 delete %11==5)
     "q_table_history" ->

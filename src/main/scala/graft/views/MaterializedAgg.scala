@@ -1,8 +1,7 @@
 package graft.views
 
-import graft.format.{MetaCols, Timeline}
+import graft.format.MetaCols
 import graft.read.{ChangeFeed, SnapshotReader}
-import graft.write.{CowWriter, FormatWriter}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,18 +44,15 @@ import org.apache.spark.sql.functions._
   *
   * Null group values are excluded (a graft record key cannot be null);
   * the oracle GROUP BY mirrors that with a WHERE groupCol IS NOT NULL.
-  * avg = sum/count falls out; min/max are NOT incrementally maintainable
-  * under deletes without per-group state — out of scope, documented.
+  * avg = sum/count falls out; min/max and top-k are NOT invertible under
+  * deletes and live in [[MaterializedExtrema]] / [[MaterializedTopK]]
+  * (retraction-bounded per-group recompute).
   */
 object MaterializedAgg {
 
   /** Commit-extra key on the VIEW table: the newest source commit ts this
     * view state reflects. */
   val AsOfKey = "graft.view.srcAsOf"
-
-  /** Source operation types whose row deletions the change feed does NOT
-    * enumerate — a range containing one forces the recompute path. */
-  private val StructuralOps = Set("INSERT_OVERWRITE_TABLE", "DELETE_PARTITION")
 
   /** Single-measure refresh: view payload (group, n_rows, sum_val). */
   def refresh(spark: SparkSession, srcPath: String, viewPath: String,
@@ -88,52 +84,13 @@ object MaterializedAgg {
       maxPushdownGroups: Int = 10000): String = {
     require(values.nonEmpty && values.map(_._1).distinct.size == values.size,
       "measures need distinct names")
-    val conf = spark.sessionState.newHadoopConf()
-    val srcTl = Timeline(conf, srcPath)
-    val srcHead = srcTl.completedInstants().lastOption.map(_.ts).getOrElse(
-      throw new IllegalArgumentException(s"source table $srcPath is empty"))
-    val viewTl = Timeline(conf, viewPath)
-
-    if (viewTl.completedInstants().isEmpty) {
-      // bootstrap: one full GROUP BY of the source snapshot (the only
-      // source-sized scan this view ever costs)
-      val agg = aggregate(SnapshotReader.read(spark, srcPath), groupCol,
-        values)
-      val ts0 = FormatWriter.nextTs(viewTl)
-      try new CowWriter(spark, viewPath, buckets).insert(agg, col(groupCol),
-        lit("all"), ts0,
-        extra = Map(AsOfKey -> srcHead,
-          FormatWriter.KeyColKey -> groupCol))
-      finally viewTl.unreserve(ts0)
-      return srcHead
-    }
-
-    val asOf = viewTl.recordedExtraAsOf(AsOfKey, None).getOrElse(
-      throw new IllegalStateException(
-        s"$viewPath is not a MaterializedAgg view (no recorded $AsOfKey)"))
-    if (srcHead <= asOf) return asOf // nothing new: no view commit
-
-    val structural = srcTl.completedInstants()
-      .filter(i => i.ts > asOf && i.ts <= srcHead)
-      .exists(i => StructuralOps.contains(srcTl.metadata(i.ts).operationType))
-
-    val viewSnap = SnapshotReader.read(spark, viewPath)
-    val (ups, dels) =
-      if (structural) recomputeDiff(spark, srcPath, viewSnap, groupCol,
-        values)
-      else incrementalDiff(spark, srcPath, viewSnap, groupCol, values,
-        asOf, srcHead, maxPushdownGroups)
-
-    val up = Option(ups).filter(!_.isEmpty)
-    val del = Option(dels).filter(!_.isEmpty)
-    if (up.isEmpty && del.isEmpty) return asOf // net-zero churn: no commit
-
-    val nb = SnapshotReader.recordedBuckets(viewTl, None).getOrElse(buckets)
-    val ts = FormatWriter.nextTs(viewTl)
-    try new CowWriter(spark, viewPath, nb).commit(up, del, col(groupCol),
-      lit("all"), ts, extra = Map(AsOfKey -> srcHead))
-    finally viewTl.unreserve(ts)
-    srcHead
+    ViewRefresh.run(spark, srcPath, viewPath, groupCol, buckets,
+      bootstrap = src => aggregate(src, groupCol, values),
+      diff = (viewSnap, structural, from, to) =>
+        if (structural) recomputeDiff(spark, srcPath, viewSnap, groupCol,
+          values)
+        else incrementalDiff(spark, srcPath, viewSnap, groupCol, values,
+          from, to, maxPushdownGroups))
   }
 
   /** Read the maintained view (group, n_rows, sum_* payload). */

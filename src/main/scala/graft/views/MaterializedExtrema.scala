@@ -1,8 +1,7 @@
 package graft.views
 
-import graft.format.{MetaCols, Timeline}
+import graft.format.MetaCols
 import graft.read.{ChangeFeed, SnapshotReader}
-import graft.write.{CowWriter, FormatWriter}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,9 +36,9 @@ import org.apache.spark.sql.functions._
   * NULL measure values are ignored by the extrema (SQL min/max
   * semantics) but counted by `n_rows`; a group whose every value is NULL
   * carries NULL extrema, matching the full GROUP BY the view must stay
-  * bit-identical to. Top-k per group is this same algebra with a k-element
-  * sorted list in place of the scalar extremum — served via [[topK]] as a
-  * read-side expansion of a k-widened view.
+  * bit-identical to. Top-k per group is this same algebra with a
+  * k-element sorted list in place of the scalar extremum —
+  * [[MaterializedTopK]].
   */
 object MaterializedExtrema {
 
@@ -47,53 +46,14 @@ object MaterializedExtrema {
     * max_val). Returns the source commit ts the view now reflects. */
   def refresh(spark: SparkSession, srcPath: String, viewPath: String,
       groupCol: String, valueExpr: Column, buckets: Int = 8,
-      maxPushdownGroups: Int = 10000): String = {
-    val conf = spark.sessionState.newHadoopConf()
-    val srcTl = Timeline(conf, srcPath)
-    val srcHead = srcTl.completedInstants().lastOption.map(_.ts).getOrElse(
-      throw new IllegalArgumentException(s"source table $srcPath is empty"))
-    val viewTl = Timeline(conf, viewPath)
-
-    if (viewTl.completedInstants().isEmpty) {
-      val agg = aggregate(SnapshotReader.read(spark, srcPath), groupCol,
-        valueExpr)
-      val ts0 = FormatWriter.nextTs(viewTl)
-      try new CowWriter(spark, viewPath, buckets).insert(agg, col(groupCol),
-        lit("all"), ts0,
-        extra = Map(MaterializedAgg.AsOfKey -> srcHead,
-          FormatWriter.KeyColKey -> groupCol))
-      finally viewTl.unreserve(ts0)
-      return srcHead
-    }
-
-    val asOf = viewTl.recordedExtraAsOf(MaterializedAgg.AsOfKey, None)
-      .getOrElse(throw new IllegalStateException(
-        s"$viewPath is not a maintained view (no recorded srcAsOf)"))
-    if (srcHead <= asOf) return asOf
-
-    val structural = srcTl.completedInstants()
-      .filter(i => i.ts > asOf && i.ts <= srcHead)
-      .exists(i => Set("INSERT_OVERWRITE_TABLE", "DELETE_PARTITION")
-        .contains(srcTl.metadata(i.ts).operationType))
-
-    val viewSnap = SnapshotReader.read(spark, viewPath)
-    val (ups, dels) =
-      if (structural) recomputeDiff(spark, srcPath, viewSnap, groupCol,
-        valueExpr)
-      else incrementalDiff(spark, srcPath, viewSnap, groupCol, valueExpr,
-        asOf, srcHead, maxPushdownGroups)
-
-    val up = Option(ups).filter(!_.isEmpty)
-    val del = Option(dels).filter(!_.isEmpty)
-    if (up.isEmpty && del.isEmpty) return asOf
-
-    val nb = SnapshotReader.recordedBuckets(viewTl, None).getOrElse(buckets)
-    val ts = FormatWriter.nextTs(viewTl)
-    try new CowWriter(spark, viewPath, nb).commit(up, del, col(groupCol),
-      lit("all"), ts, extra = Map(MaterializedAgg.AsOfKey -> srcHead))
-    finally viewTl.unreserve(ts)
-    srcHead
-  }
+      maxPushdownGroups: Int = 10000): String =
+    ViewRefresh.run(spark, srcPath, viewPath, groupCol, buckets,
+      bootstrap = src => aggregate(src, groupCol, valueExpr),
+      diff = (viewSnap, structural, from, to) =>
+        if (structural) recomputeDiff(spark, srcPath, viewSnap, groupCol,
+          valueExpr)
+        else incrementalDiff(spark, srcPath, viewSnap, groupCol, valueExpr,
+          from, to, maxPushdownGroups))
 
   /** Read the maintained view (group, n_rows, min_val, max_val). */
   def read(spark: SparkSession, viewPath: String): DataFrame =

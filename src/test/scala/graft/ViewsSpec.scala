@@ -240,6 +240,54 @@ class ViewsSpec extends SparkSpec {
     assertInSync()
   }
 
+  test("materialized top-k: per-group k-largest maintained under " +
+    "retractions; exploded read matches a row_number oracle shape") {
+    import graft.views.MaterializedTopK
+    val dir = freshDir("matview_topk")
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val k = col("o_orderkey")
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val K = 3
+    val w = new CowWriter(spark, src, numBuckets = 4)
+    def expected() = {
+      val base = SnapshotReader_read(src)
+        .filter(col("o_custkey").isNotNull && cents.isNotNull)
+        .select(col("o_custkey"), cents.as("val"))
+      base.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey")).orderBy(col("val").desc)))
+        .filter(col("rnk") <= K)
+        .select("o_custkey", "rnk", "val")
+    }
+    def assertInSync(): Unit = {
+      val e = expected()
+      val v = MaterializedTopK.readExploded(spark, view)
+        .select("o_custkey", "rnk", "val")
+      assert(v.exceptAll(e).isEmpty && e.exceptAll(v).isEmpty)
+    }
+    w.insert(orders, k, col("o_orderstatus"), C1)
+    MaterializedTopK.refresh(spark, src, view, "o_custkey", cents, K,
+      buckets = 2)
+    assertInSync()
+    // push some values up (fast-path inserts + pre-image retractions that
+    // may evict list members) …
+    w.upsert(orders.filter(k % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 100000),
+      k, col("o_orderstatus"), C2)
+    MaterializedTopK.refresh(spark, src, view, "o_custkey", cents, K)
+    assertInSync()
+    // … then a delete-heavy commit retracting many listed values
+    w.delete(orders.filter(k % 2 === 0), k, col("o_orderstatus"), C3)
+    MaterializedTopK.refresh(spark, src, view, "o_custkey", cents, K)
+    assertInSync()
+    // idempotence
+    val tl = graft.format.Timeline(spark.sessionState.newHadoopConf(), view)
+    val before = tl.completedInstants().size
+    MaterializedTopK.refresh(spark, src, view, "o_custkey", cents, K)
+    tl.refresh()
+    assert(tl.completedInstants().size == before)
+  }
+
   test("materialized agg: a structural commit (overwrite) in the range " +
     "triggers the recompute path and stays exact") {
     val dir = freshDir("matview_ow")

@@ -375,6 +375,47 @@ object Fixtures {
     * DML commit timestamps are writer-minted, so queries locate them by
     * timeline position. All predicates are key-arithmetic → exactly
     * mirrorable in the DuckDB oracle SQL. */
+  /** DSv2-CATALOG-managed table ([[graft.sources.GraftCatalog]]): created
+    * and mutated ENTIRELY by catalog SQL on the pure DSv2 path — no
+    * extension rule involved (the no-extension `INSERT INTO` surface,
+    * VERDICT r7 next-round #1). Script: CTAS of keys %2==0 (create +
+    * insert commits), `INSERT INTO` keys %3==0 with o_totalprice+100000
+    * (upsert-by-key: %6==0 keys are REPLACED, odd %3 keys inserted), then
+    * `DELETE FROM ... WHERE o_orderstatus = 'F'` (translatable predicate →
+    * [[graft.sources.GraftV2Table]] SupportsDelete, one delete commit).
+    * Four commits, all key/partition arithmetic → DuckDB-mirrorable.
+    * Returns (table base path, catalog-qualified SQL name). */
+  def dsv2Dir(spark: SparkSession, sfDir: String): (String, String) =
+    synchronized {
+      val wh = s"${root(sfDir)}/dsv2_wh"
+      // catalog name is per-SF: CatalogManager caches the initialized
+      // plugin by name, so one session touching two SFs must not reuse a
+      // name against a different warehouse
+      val cat = "graft_fix_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val tbl = s"$cat.main.orders_ins"
+      val dir = s"$wh/main/orders_ins"
+      if (!complete(spark, dir, 4)) {
+        rm(spark, dir)
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .createOrReplaceTempView("graft_dsv2_src")
+        spark.sql(
+          s"""CREATE TABLE $tbl PARTITIONED BY (o_orderstatus)
+             |TBLPROPERTIES (key 'o_orderkey', buckets '8')
+             |AS SELECT * FROM graft_dsv2_src WHERE o_orderkey % 2 = 0"""
+            .stripMargin)
+        spark.sql(
+          s"""INSERT INTO $tbl SELECT o_orderkey, o_custkey, o_orderstatus,
+             |o_totalprice + 100000, o_orderdate, o_orderpriority
+             |FROM graft_dsv2_src WHERE o_orderkey % 3 = 0""".stripMargin)
+        spark.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'F'")
+      }
+      (dir, tbl)
+    }
+
   def sqlDmlDir(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = s"${root(sfDir)}/orders_sqldml"
     if (!complete(spark, dir, 4)) {

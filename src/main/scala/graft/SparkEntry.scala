@@ -138,6 +138,15 @@ object SparkEntry {
     // source values + not-matched re-insert of previously deleted keys).
     "q_sql_merge" -> ((s, d) =>
       payload(SnapshotReader.read(s, Fixtures.sqlDmlDir(s, d)))),
+    // q_insert_into (r8): catalog-managed DSv2 surface — the table is
+    // created by CTAS and mutated by INSERT INTO (upsert-by-key) +
+    // DELETE FROM through graft.sources.GraftCatalog, with NO extension
+    // rule involved, and read back through the catalog's V2 scan
+    // (V1-fallback onto the same planned snapshot every surface uses).
+    "q_insert_into" -> ((s, d) => {
+      val (_, tbl) = Fixtures.dsv2Dir(s, d)
+      payload(s.sql(s"SELECT * FROM $tbl"))
+    }),
     // q_mat_view: incrementally maintained materialized aggregate — the
     // view table is refreshed from the source's CHANGE FEED (update
     // pre-images subtract old contributions; deletes empty groups out of
@@ -1136,6 +1145,15 @@ object SparkEntry {
         "ELSE o_totalprice END AS o_totalprice, " +
         "o_orderdate, o_orderpriority FROM orders " +
         "WHERE o_orderkey % 7 <> 0 OR o_orderkey % 11 = 5 ORDER BY o_orderkey"),
+    // CTAS of %2==0, upsert-INSERT of %3==0 at +100000 (replacing %6==0),
+    // DELETE of the 'F' partition
+    "q_insert_into" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100000 " +
+        "ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders " +
+        "WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
+        "AND o_orderstatus <> 'F' ORDER BY o_orderkey"),
     // maintained view ≡ full GROUP BY of the final source state (the
     // fixture's C2 update + C3 delete arithmetic replayed directly)
     "q_mat_view" ->

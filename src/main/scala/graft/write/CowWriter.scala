@@ -76,8 +76,10 @@ final class CowWriter(
     * `extra` lands in the commit's extraMetadata (format-writer/sink use). */
   def insert(df: DataFrame, keyCol: Column, partCol: Column, ts: String,
       extra: Map[String, String] = Map.empty): Unit = {
-    require(timeline.completedInstants().isEmpty,
-      s"insert() creates a table; $basePath already has commits")
+    // a catalog CREATE TABLE records an EMPTY creation commit — the table
+    // may carry schema-only commits, just no data slices yet
+    require(timeline.latestSlices(None).isEmpty,
+      s"insert() creates a table's data; $basePath already has data commits")
     val data = withMeta(df, keyCol, partCol, ts)
     val written = writeSlices(data, ts)
     // OCC: a concurrent creator completing between the check above and our
@@ -91,7 +93,8 @@ final class CowWriter(
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
       schema = data.drop(FidCol).schema, extra = withBuckets(extra),
-      readPoint = None, conflictOnAny = true)
+      readPoint = timeline.completedInstants().lastOption.map(_.ts),
+      conflictOnAny = true)
   }
 
   /** Every table-creating commit records the bucket count (caller-supplied

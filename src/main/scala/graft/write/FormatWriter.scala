@@ -350,11 +350,20 @@ private[graft] object FormatWriter {
     val tpe = tableType(parameters, timeline)
     val ts = parameters.getOrElse("ts", nextTs(timeline))
     val isNew = timeline.completedInstants().isEmpty
+    // a catalog CREATE TABLE records schema/contract as an EMPTY creation
+    // commit — the table exists but holds no slices, so the first data
+    // write must still take the insert branch (an upsert would plan
+    // against nothing)
+    val noData = isNew || timeline.latestSlices(None).isEmpty
     val op = parameters.getOrElse("operation", "upsert").toLowerCase
     require(op == "upsert" || op == "delete" || op == "cdc",
       s"""graft operation must be "upsert", "delete" or "cdc", got "$op"""")
     require(!(isNew && op == "delete"),
       s"cannot delete from a table that does not exist at $basePath")
+    if (noData && !isNew && op == "delete") {
+      timeline.unreserve(ts)
+      return // deleting keys from a created-but-empty table: legal no-op
+    }
 
     // operation=cdc: split the tagged change frame into (upserts, deletes)
     // with the NEWEST change per key winning — a multi-commit batch can
@@ -400,7 +409,7 @@ private[graft] object FormatWriter {
         // the snapshot merge resolves by the recorded ordering column
         val w = new MorWriter(spark, basePath, nb, statsCols = sc,
           bloomCols = bc, bloomBits = bb)
-        if (isNew) cdcSplit match {
+        if (noData) cdcSplit match {
           // bootstrapping a mirror: deletes of keys that never existed
           // are no-ops — only the net-surviving rows insert
           case Some((ups, _)) =>
@@ -427,7 +436,7 @@ private[graft] object FormatWriter {
       } else {
         val w = new CowWriter(spark, basePath, nb, statsCols = sc,
           bloomCols = bc, bloomBits = bb, precombine = pc)
-        if (isNew) cdcSplit match {
+        if (noData) cdcSplit match {
           case Some((ups, _)) =>
             w.insert(ups, col(key), col(part), ts, extra = createExtra)
           case None =>

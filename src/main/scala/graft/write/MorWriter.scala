@@ -61,8 +61,10 @@ final class MorWriter(
     * `extra` lands in the commit's extraMetadata (format-writer/sink use). */
   def insert(df: DataFrame, keyCol: Column, partCol: Column, ts: String,
       extra: Map[String, String] = Map.empty): Unit = {
-    require(timeline.completedInstants().isEmpty,
-      s"insert() creates a table; $basePath already has commits")
+    // a catalog CREATE TABLE records an EMPTY creation commit — the table
+    // may carry schema-only commits, just no data slices yet
+    require(timeline.latestSlices(None).isEmpty,
+      s"insert() creates a table's data; $basePath already has data commits")
     val data = withMeta(df, keyCol, partCol, ts)
     val written = SliceFiles.write(fs, basePath, data, ts,
       (fid, t) => s"${fid}_$t.parquet",
@@ -76,7 +78,8 @@ final class MorWriter(
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
       action = Instant.CommitAction, schema = data.drop(FidCol).schema,
       extra = Map(FormatWriter.BucketsKey -> numBuckets.toString) ++ extra,
-      readPoint = None, conflictOnAny = true)
+      readPoint = timeline.completedInstants().lastOption.map(_.ts),
+      conflictOnAny = true)
   }
 
   /** MOR delta commit: append upserts + delete markers as delta files —

@@ -1,0 +1,204 @@
+package graft
+
+import graft.format.{MetaCols, Timeline}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** DSv2 catalog surface ([[graft.sources.GraftCatalog]]): catalog-managed
+  * CREATE / INSERT INTO / INSERT OVERWRITE / DELETE / SELECT / time travel
+  * on a plain session — no extension rule involved — plus the plan-parity
+  * and cross-surface-equivalence gates (VERDICT r7 next-round #1). */
+class Dsv2CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = "/tmp/graft_test/dsv2_wh"
+  private val cat = "graft_dsv2_test"
+
+  private def conf(): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+  }
+
+  private def freshTable(name: String): String = {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.$name")
+    s"$cat.ns.$name"
+  }
+
+  test("CREATE TABLE + INSERT INTO lands upsert commits through pure DSv2") {
+    val t = freshTable("t1")
+    spark.sql(s"""CREATE TABLE $t (
+      id BIGINT, part STRING, v BIGINT) PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '2')""")
+    // created-but-empty: readable, zero rows, payload schema only
+    val empty = spark.sql(s"SELECT * FROM $t")
+    assert(empty.columns.toSeq == Seq("id", "part", "v"))
+    assert(empty.count() == 0)
+    // the INSERT must plan as DSv2 (AppendData), NOT the extension's V1
+    // command — proving the no-extension path even in a session that has
+    // the extension installed
+    val ins = spark.sql(
+      s"INSERT INTO $t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30)")
+    assert(!ins.queryExecution.analyzed.toString.contains("GraftInsert"),
+      "catalog INSERT must take the DSv2 write path, not the V1 rule")
+    assert(spark.sql(s"SELECT * FROM $t").count() == 3)
+    // second INSERT with an existing key = upsert-by-key (table semantics)
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 99), (4, 'c', 40)")
+    val rows = spark.sql(s"SELECT id, v FROM $t ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 10L), (2L, 99L), (3L, 30L), (4L, 40L)))
+    // the commits are ordinary graft commits: same table through the
+    // format surface and the programmatic API, meta columns included
+    val path = s"$wh/ns/t1"
+    val viaFormat = spark.read.format("graft").load(path)
+    assert(viaFormat.select("id", "v").orderBy("id")
+      .as[(Long, Long)].collect().toSeq == rows)
+    assert(viaFormat.columns.contains(MetaCols.RecordKey))
+    assert(sources.GraftTable(spark, path).commits.size == 3) // create+2
+  }
+
+  test("metadata columns: _hoodie_* selectable by name, absent from *") {
+    val t = freshTable("t2")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '1')""")
+    spark.sql(s"INSERT INTO $t VALUES (7, 'x')")
+    val m = spark.sql(
+      s"SELECT ${MetaCols.RecordKey}, ${MetaCols.PartitionPath}, id FROM $t")
+      .head()
+    assert(m.getString(0) == "7" && m.getString(1) == "x" && m.getLong(2) == 7)
+    assert(!spark.sql(s"SELECT * FROM $t").columns.exists(
+      MetaCols.all.contains))
+  }
+
+  test("INSERT OVERWRITE replaces atomically; VERSION AS OF still serves history") {
+    val t = freshTable("t3")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 10), (2, 'b', 20)")
+    val preTs = sources.GraftTable(spark, s"$wh/ns/t3").commits.last
+    spark.sql(s"INSERT OVERWRITE $t VALUES (5, 'c', 50)")
+    assert(spark.sql(s"SELECT id FROM $t").as[Long].collect().toSeq ==
+      Seq(5L))
+    // native DSv2 time travel — no extension rule resolves this
+    val old = spark.sql(s"SELECT id FROM $t VERSION AS OF '$preTs' ORDER BY id")
+    assert(old.as[Long].collect().toSeq == Seq(1L, 2L))
+    // a time-travel snapshot refuses writes
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $t VERSION AS OF '$preTs' VALUES (9, 'z', 9)"))
+    assert(e.getMessage != null)
+  }
+
+  test("DELETE FROM via SupportsDelete: one delete commit, delete view works") {
+    val t = freshTable("t4")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',10), (2,'b',20), (3,'a',30)")
+    spark.sql(s"DELETE FROM $t WHERE v >= 20")
+    assert(spark.sql(s"SELECT id FROM $t").as[Long].collect().toSeq ==
+      Seq(1L))
+    // deleting nothing is a legal no-op, not a commit
+    val path = s"$wh/ns/t4"
+    val commits = sources.GraftTable(spark, path).commits
+    spark.sql(s"DELETE FROM $t WHERE v > 1000000")
+    assert(sources.GraftTable(spark, path).commits == commits)
+    // the delete commit feeds the reference capability unchanged
+    val dv = deleteview.DeleteView(spark, path, commits.last).toDF()
+    assert(dv.select("id").as[Long].collect().toSeq.sorted == Seq(2L, 3L))
+  }
+
+  test("CTAS + MOR type + cross-surface parity with GraftTable.snapshot") {
+    val t = freshTable("t5")
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "part", "v")
+      .createOrReplaceTempView("dsv2_ctas_src")
+    spark.sql(s"""CREATE TABLE $t PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '2', type 'mor')
+      AS SELECT * FROM dsv2_ctas_src""")
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 99)") // MOR delta commit
+    val viaCat = spark.sql(s"SELECT id, part, v FROM $t ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(viaCat == Seq((1L, "a", 10L), (2L, "b", 99L)))
+    val snap = sources.GraftTable(spark, s"$wh/ns/t5").snapshot()
+      .select("id", "part", "v").orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(snap == viaCat)
+    val tl = Timeline(spark.sessionState.newHadoopConf(), s"$wh/ns/t5")
+    assert(tl.recordedExtraAsOf("type", None).contains("mor"))
+  }
+
+  test("pushdown: translatable filters are claimed by the scan, pruning works") {
+    val t = freshTable("t6")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',10), (2,'b',20), (3,'a',30)")
+    val q = spark.sql(s"SELECT v FROM $t WHERE part = 'a' AND v > 15")
+    assert(q.as[Long].collect().toSeq == Seq(30L))
+    // both predicates are translatable → pushed into the inner snapshot
+    // plan (where partition pruning / parquet pushdown fire); the V2 scan
+    // reports them as its pushed filters
+    val scans = q.queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(_.toString.contains("GraftV1FallbackScan")),
+      s"expected the graft V1-fallback scan, got:\n${q.queryExecution}")
+    // column pruning reached the scan: its readSchema is just (part, v)
+    assert(!q.queryExecution.executedPlan.toString
+      .contains(MetaCols.CommitTime))
+  }
+
+  test("catalog DDL guards: reserved columns, missing key, bad partitioning") {
+    val t = freshTable("t7")
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $t (id BIGINT, ${MetaCols.RecordKey} STRING, " +
+        "part STRING) PARTITIONED BY (part) TBLPROPERTIES (key 'id')"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $t (id BIGINT, part STRING) PARTITIONED BY (part)"))
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $t (id BIGINT, part STRING, v BIGINT) " +
+        "PARTITIONED BY (part, v) TBLPROPERTIES (key 'id')"))
+    // none of the failures may leave a half-created table behind
+    assert(!spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .map(_.getString(1)).contains("t7"))
+  }
+
+  test("listTables / tableExists / DROP TABLE / rename") {
+    val t = freshTable("t8")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '1')""")
+    assert(spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .map(_.getString(1)).contains("t8"))
+    spark.sql(s"ALTER TABLE $t RENAME TO ns.t8renamed")
+    assert(spark.sql(s"SELECT * FROM $cat.ns.t8renamed").columns.nonEmpty)
+    spark.sql(s"DROP TABLE $cat.ns.t8renamed")
+    assert(spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .map(_.getString(1)).forall(n => n != "t8" && n != "t8renamed"))
+  }
+
+  test("plan parity: configuring the catalog changes no existing plan") {
+    conf()
+    // representative existing surfaces, planned with the catalog
+    // registered: V1 format read, programmatic snapshot, extension DML
+    // target — their plans must be the same classes as always (catalog
+    // code is additive; nothing intercepts non-catalog plans)
+    val dir = Fixtures.cowDir(spark, sf0001)
+    val viaFormat = spark.read.format("graft").load(dir)
+    assert(viaFormat.queryExecution.optimizedPlan.collectLeaves()
+      .forall(l => !l.toString.contains("GraftV1FallbackScan")))
+    val viaApi = read.SnapshotReader.read(spark, dir)
+    assert(viaApi.collect().length == viaFormat.collect().length)
+  }
+
+  test("a format-written table in the warehouse is immediately catalog-visible") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    val path = s"$wh/ns/t9"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    Seq((1L, "a", 5L)).toDF("id", "part", "v").write.format("graft")
+      .option("key", "id").option("partition", "part")
+      .option("buckets", "1").save(path)
+    assert(spark.sql(s"SELECT id, v FROM $cat.ns.t9").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 5L)))
+    spark.sql(s"INSERT INTO $cat.ns.t9 VALUES (2, 'b', 6)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t9").as[Long].head == 2L)
+  }
+}

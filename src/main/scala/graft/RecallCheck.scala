@@ -84,13 +84,36 @@ object RecallCheck {
     // empty brute-force top set (no queries at this SF) => vacuous recall 1
     val lshTopkRecall = if (bruteTop.isEmpty) 1.0
       else (bruteTop & lshTop).size.toDouble / bruteTop.size
-    val (nlist, nprobe) = (8, 2)
-    val ivfTop = pairSet(Similarity.ivfTopK(
-      embs, col("vec_id"), col("embedding"),
-      queries, col("vec_id"), col("embedding"), k, nlist = nlist,
-      nprobe = nprobe))
-    val ivfRecall = if (bruteTop.isEmpty) 1.0
+    // IVF recall-vs-nprobe sweep (r8): the cost/recall knob measured at
+    // nprobe ∈ {1, nlist/2, nlist} — nlist must be EXACTLY 1.0 (the
+    // q_ivf_topk exactness precondition), the low settings are the
+    // serving trade-off a user tunes.
+    val nlist = 8
+    def ivfRecallAt(nprobe: Int): Double = {
+      val ivfTop = pairSet(Similarity.ivfTopK(
+        embs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k, nlist = nlist,
+        nprobe = nprobe))
+      if (bruteTop.isEmpty) 1.0
       else (bruteTop & ivfTop).size.toDouble / bruteTop.size
+    }
+    val ivfR1 = ivfRecallAt(1)
+    val ivfR4 = ivfRecallAt(nlist / 2)
+    val ivfRFull = ivfRecallAt(nlist)
+
+    // PQ recall (r8): pure compressed-domain ADC ranking, and the
+    // realistic small-multiple rerank (4k candidates re-scored exactly);
+    // rerank ≥ corpus is exact and oracle-gated as q_pq_topk.
+    def pqRecallAt(rerank: Int): Double = {
+      val pqTop = pairSet(Similarity.pqTopK(
+        embs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k, dim = 64, m = 8,
+        ksub = 16, rerank = rerank))
+      if (bruteTop.isEmpty) 1.0
+      else (bruteTop & pqTop).size.toDouble / bruteTop.size
+    }
+    val pqAdcRecall = pqRecallAt(0)
+    val pqRerankRecall = pqRecallAt(4 * k)
 
     val minhashOk = missed == 0 && extra == 0
     val embOk = falsePos == 0
@@ -107,8 +130,12 @@ object RecallCheck {
       s""""target":"32 seeded bands: recall 1-(1-p)^32 at precision 1.0 — the recall knob","pass":${hiFalsePos == 0}},""" +
       s""""lsh_topk":{"k":$k,"planes":6,"recall_at_k":$lshTopkRecall,""" +
       s""""target":"< 1 by design, tuned by planes"},""" +
-      s""""ivf_topk":{"k":$k,"nlist":$nlist,"nprobe":$nprobe,"recall_at_k":$ivfRecall,""" +
-      s""""target":"< 1 by design at low nprobe; nprobe == nlist is exact (q_ivf_topk)"}}"""
+      s""""ivf_topk":{"k":$k,"nlist":$nlist,""" +
+      s""""recall_at_k_by_nprobe":{"1":$ivfR1,"${nlist / 2}":$ivfR4,"$nlist":$ivfRFull},""" +
+      s""""target":"< 1 by design at low nprobe; nprobe == nlist must be exactly 1.0 (q_ivf_topk)","pass":${ivfRFull == 1.0}},""" +
+      s""""pq_topk":{"k":$k,"m":8,"ksub":16,"recall_at_k_adc":$pqAdcRecall,""" +
+      s""""recall_at_k_rerank${4 * k}":$pqRerankRecall,""" +
+      s""""target":"ADC < 1 by design; rerank >= corpus is exact (q_pq_topk); rerank must not lose recall vs pure ADC","pass":${pqRerankRecall >= pqAdcRecall}}}"""
     println(json)
     outFile.foreach(f => java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f), json + "\n"))
@@ -116,6 +143,10 @@ object RecallCheck {
     require(embOk, s"embed blocking emitted $falsePos false positives")
     require(hiFalsePos == 0,
       s"hi-recall embed blocking emitted $hiFalsePos false positives")
+    require(ivfRFull == 1.0,
+      s"IVF at nprobe == nlist must be exact, recall was $ivfRFull")
+    require(pqRerankRecall >= pqAdcRecall,
+      s"PQ rerank recall $pqRerankRecall < pure-ADC recall $pqAdcRecall")
     } finally spark.stop() // gates may throw: never leave the session running
   }
 }

@@ -598,6 +598,19 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // q_pq_topk (r8): the product-quantization path's EXACTNESS gate —
+    // rerank ≥ corpus size means ADC only generates candidates and the
+    // exact-cosine rerank reproduces brute force (the PQ analog of
+    // q_ivf_topk's nprobe=nlist). Realistic compressed-domain modes are
+    // recall-gated in RECALL_r8.json instead (approximate by design).
+    "q_pq_topk" -> ((s, d) => {
+      val e = tp(s, d, "embeddings")
+      Similarity.pqTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5, dim = 64, m = 8, ksub = 16, rerank = 1 << 30)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(tp(s, d, "documents"), col("doc_id"), col("text"),
           n = 3, numHashes = 32, bands = 16, thresholdPermille = 500)
@@ -1472,6 +1485,14 @@ object SparkEntry {
         "WHERE floor(len(list_intersect(a.shingles, b.shingles)) * 1000 / greatest(len(list_distinct(list_cat(a.shingles, b.shingles))), 1)) >= 200 " +
         "ORDER BY id_a, id_b"),
     "q_sim_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // rerank ≥ corpus ⇒ the PQ path degenerates to exact brute force —
+    // same oracle as q_sim_topk.
+    "q_pq_topk" ->
       ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +

@@ -139,6 +139,55 @@ class PipelineSpec extends SparkSpec {
     assert(self.filter($"cosine_micro" < 999999).isEmpty)
   }
 
+  test("PQ ADC score == dot against the reconstructed vector (independent form)") {
+    val dim = 64; val m = 8; val dsub = dim / m
+    val books = Similarity.pqTrain(embs, $"vec_id", $"embedding", dim, m,
+      ksub = 16, iters = 2)
+    assert(books.size == m && books.forall(_.forall(_.size == dsub)))
+    val enc = Similarity.pqEncode(embs, $"vec_id", $"embedding", books, dim)
+      .filter($"corpus_id" < 20)
+    val qs = embs.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .withColumn("lut", Similarity.pqLut($"qv", books, dim))
+    val sparkSide = enc.crossJoin(qs)
+      .select($"corpus_id", $"query_id", $"codes", $"qv",
+        Similarity.adcDot($"codes", $"lut").as("adc"))
+      .collect()
+    assert(sparkSide.nonEmpty)
+    sparkSide.foreach { r =>
+      val codes = r.getSeq[Int](2)
+      val qv = r.getSeq[Float](3)
+      // independent formulation: reconstruct the full vector from the
+      // codebooks, dot in coordinate order
+      val recon = codes.zipWithIndex.flatMap { case (code, s) =>
+        books(s)(code)
+      }
+      val expected = qv.zip(recon)
+        .map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val adc = r.getDouble(4)
+      assert(math.abs(adc - expected) <= 1e-9 * math.max(1.0,
+        math.abs(expected)),
+        s"ADC $adc != reconstructed dot $expected for corpus ${r.getLong(0)}")
+    }
+  }
+
+  test("PQ top-k with full rerank == brute force; pure ADC is deterministic") {
+    val queries = embs.filter($"vec_id" < 5)
+    val exact = Similarity.pqTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5, dim = 64, m = 8, ksub = 16,
+      rerank = 1 << 30)
+    val brute = Similarity.bruteForceTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5)
+    assert(exact.exceptAll(brute).isEmpty && brute.exceptAll(exact).isEmpty)
+    // pure compressed-domain ranking: k rows per query, deterministic
+    val adc1 = Similarity.pqTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5, dim = 64, m = 8, ksub = 16)
+    assert(adc1.groupBy("query_id").count().filter($"count" =!= 5).isEmpty)
+    val adc2 = Similarity.pqTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5, dim = 64, m = 8, ksub = 16)
+    assert(adc1.exceptAll(adc2).isEmpty && adc2.exceptAll(adc1).isEmpty)
+  }
+
   test("IVF top-k: corpus queries retrieve themselves at rank 1") {
     val queries = embs.filter($"vec_id" < 5)
     val topk = Similarity.ivfTopK(

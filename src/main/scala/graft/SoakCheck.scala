@@ -1,0 +1,201 @@
+package graft
+
+import graft.deleteview.DeleteView
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak (VERDICT r7 next-round #5): synthetic stress of the three
+  * headline paths at ~20× the bench SF's row counts, with the shared
+  * local-mode heap CAPPED (`SPARK_DRIVER_MEM=4g` — a data-sized driver
+  * collect or an unbounded single-partition operator dies here instead of
+  * coasting on the default 8g), measuring per path:
+  *
+  *  - wall seconds, and PLANNING milliseconds separately (resolve +
+  *    optimize + physical planning before any job) — planning must stay
+  *    metadata-sized while data grows 20×;
+  *  - Spark jobs + stages launched (a path whose job count scales with
+  *    rows is driver-bound at 100 TB);
+  *  - the LARGEST single-task input and shuffle-read — the per-task memory
+  *    proxy; the gate requires max task input < 2 GiB (a task that reads
+  *    more than an executor's share of memory spills or dies on a real
+  *    cluster).
+  *
+  * Paths: (1) COW write → 5% delete commit → the reference's delete view;
+  * (2) MOR write → partition-confined delta upserts → full merged snapshot
+  * AND partition-pruned snapshot (the merge must stay bounded by DIRTY
+  * groups); (3) three-batch `ingestDedup` over 100k synthetic docs with
+  * planted cross-batch duplicates (the production incremental-dedup shape).
+  *
+  * Usage: SPARK_DRIVER_MEM=4g sbt "runMain graft.SoakCheck [outJson]"
+  * Prints one JSON line (also written to outJson when given); `require`s
+  * the gates so a regression fails the run loudly.
+  */
+object SoakCheck {
+
+  /** Rows for the table paths (~20× the sf0.1 bench orders count). */
+  val TableRows = 3000000L
+  /** Docs for the dedup path (~20× the sf0.1 documents count). */
+  val DocRows = 100000L
+
+  private final class Metrics extends SparkListener {
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var maxTaskInput = 0L
+    @volatile var maxTaskShuffleRead = 0L
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      synchronized { jobs += 1 }
+    override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+      synchronized { stages += 1 }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+      val m = t.taskMetrics
+      if (m != null) {
+        maxTaskInput = math.max(maxTaskInput, m.inputMetrics.bytesRead)
+        maxTaskShuffleRead = math.max(maxTaskShuffleRead,
+          m.shuffleReadMetrics.localBytesRead +
+            m.shuffleReadMetrics.remoteBytesRead)
+      }
+    }
+  }
+
+  private final case class PathResult(name: String, rowsOut: Long,
+      wallSec: Double, planMs: Long, jobs: Int, stages: Int,
+      maxTaskInputMB: Long, maxTaskShuffleMB: Long) {
+    def json: String =
+      s"""{"rows_out":$rowsOut,"wall_sec":$wallSec,"plan_ms":$planMs,""" +
+        s""""jobs":$jobs,"stages":$stages,""" +
+        s""""max_task_input_mb":$maxTaskInputMB,""" +
+        s""""max_task_shuffle_mb":$maxTaskShuffleMB}"""
+  }
+
+  /** Run `df`'s planning, then `action` under a fresh listener. */
+  private def measure(spark: SparkSession, name: String)(
+      plan: () => DataFrame)(action: DataFrame => Long): PathResult = {
+    val m = new Metrics
+    spark.sparkContext.addSparkListener(m)
+    try {
+      val t0 = System.nanoTime()
+      val df = plan()
+      df.queryExecution.executedPlan // force resolve+optimize+planning
+      val t1 = System.nanoTime()
+      val rows = action(df)
+      val t2 = System.nanoTime()
+      // listener events post async (no public drain hook) — settle briefly
+      Thread.sleep(1500)
+      PathResult(name, rows, (t2 - t0) / 1e9, (t1 - t0) / 1000000L,
+        m.jobs, m.stages, m.maxTaskInput >> 20, m.maxTaskShuffleRead >> 20)
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+
+  /** Synthetic wide orders-like frame: 8 partitions, key = id. */
+  private def synthTable(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n, 1, 64)
+      .withColumn("part", concat(lit("p"), pmod(col("id"), lit(8))))
+      .withColumn("v1", pmod(xxhash64(col("id"), lit(1)), lit(100000)))
+      .withColumn("v2", pmod(xxhash64(col("id"), lit(2)), lit(1000)))
+      .withColumn("s1", conv(pmod(xxhash64(col("id"), lit(3)),
+        lit(1000000000)), 10, 36))
+      .withColumn("s2", conv(pmod(xxhash64(col("id"), lit(4)),
+        lit(1000000000)), 10, 36))
+
+  /** Synthetic ~40-word doc text, deterministic in `gid` — docs sharing a
+    * gid share text exactly (the planted duplicates). */
+  private def synthText(gid: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat_ws(" ", (0 until 40).map(w =>
+      conv(pmod(xxhash64(gid, lit(w)), lit(99991L)), 10, 36)): _*)
+
+  def main(args: Array[String]): Unit = {
+    val outFile = args.headOption
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val heapMb = Runtime.getRuntime.maxMemory() >> 20
+    val root = "/tmp/graft_soak"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    try {
+
+    // ---- path 1: COW write → 5% delete commit → delete view ------------
+    val cowDir = s"$root/cow"
+    val data = synthTable(spark, TableRows)
+    data.write.format("graft")
+      .option("key", "id").option("partition", "part")
+      .option("buckets", "16").option("ts", "1000").save(cowDir)
+    new graft.write.CowWriter(spark, cowDir, 16)
+      .delete(data.filter(pmod(col("id"), lit(20)) === 0),
+        col("id"), col("part"), "2000")
+    val dv = measure(spark, "delete_view")(
+      () => DeleteView(spark, cowDir, "2000").toDF())(_.count())
+    require(dv.rowsOut == TableRows / 20,
+      s"delete view returned ${dv.rowsOut}, expected ${TableRows / 20}")
+
+    // ---- path 2: MOR write → confined deltas → merged snapshot ---------
+    val morDir = s"$root/mor"
+    data.write.format("graft")
+      .option("key", "id").option("partition", "part")
+      .option("buckets", "16").option("type", "mor")
+      .option("ts", "1000").save(morDir)
+    // two delta commits confined to partition p0 (1/8 of the groups dirty)
+    val w = new graft.write.MorWriter(spark, morDir, 16)
+    w.upsert(data.filter(col("part") === "p0" &&
+      pmod(col("id"), lit(16)) === 0).withColumn("v1", col("v1") + 1),
+      col("id"), col("part"), "3000")
+    w.upsert(data.filter(col("part") === "p0" &&
+      pmod(col("id"), lit(16)) === 8).withColumn("v1", col("v1") + 2),
+      col("id"), col("part"), "4000")
+    val mor = measure(spark, "mor_snapshot")(
+      () => read.SnapshotReader.read(spark, morDir))(_.count())
+    require(mor.rowsOut == TableRows,
+      s"MOR snapshot returned ${mor.rowsOut}, expected $TableRows")
+    // partition-pruned merged read: only p3's (clean) groups planned
+    val morPart = measure(spark, "mor_snapshot_pruned")(
+      () => read.SnapshotReader.read(spark, morDir)
+        .filter(col(graft.format.MetaCols.PartitionPath) === "p3"))(_.count())
+    require(morPart.rowsOut == TableRows / 8,
+      s"pruned MOR snapshot returned ${morPart.rowsOut}")
+
+    // ---- path 3: three-batch incremental dedup over 100k docs ----------
+    val idxDir = s"$root/dedup_index"
+    val b = DocRows / 3
+    def batch(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi, 1, 32)
+        .withColumn("gid", pmod(col("id"), lit(DocRows * 9 / 10)))
+        .select(col("id"), synthText(col("gid")).as("text"))
+    var kept = 0L
+    val dd = measure(spark, "ingest_dedup")(() => {
+      pipeline.Dedup.ingestDedup(spark, idxDir, batch(0, b),
+        col("id"), col("text"), ts = Some("1000"))
+      pipeline.Dedup.ingestDedup(spark, idxDir, batch(b, 2 * b),
+        col("id"), col("text"), ts = Some("2000"))
+      pipeline.Dedup.ingestDedup(spark, idxDir, batch(2 * b, DocRows),
+        col("id"), col("text"), ts = Some("3000"))
+    })(df => { kept = df.filter(col("kept")).count(); df.count() })
+    require(dd.rowsOut == DocRows,
+      s"dedup index holds ${dd.rowsOut} docs, expected $DocRows")
+    // planted duplicates: ids >= 90% of DocRows repeat earlier gids, so
+    // kept must be exactly the distinct gid count
+    require(kept == DocRows * 9 / 10,
+      s"kept $kept docs, expected ${DocRows * 9 / 10}")
+
+    // ---- gates ---------------------------------------------------------
+    val all = Seq(dv, mor, morPart, dd)
+    all.foreach(r => require(r.maxTaskInputMB < 2048,
+      s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
+    all.foreach(r => require(r.maxTaskShuffleMB < 2048,
+      s"${r.name}: a task shuffle-read ${r.maxTaskShuffleMB} MB"))
+    // planning is a driver metadata walk — it must not scale with data
+    all.foreach(r => require(r.planMs < 30000,
+      s"${r.name}: planning took ${r.planMs} ms"))
+
+    val json = s"""{"table_rows":$TableRows,"doc_rows":$DocRows,""" +
+      s""""heap_mb":$heapMb,""" +
+      all.map(r => s""""${r.name}":${r.json}""").mkString(",") + "}"
+    println(json)
+    outFile.foreach(f => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(f), json + "\n"))
+    } finally spark.stop()
+  }
+}

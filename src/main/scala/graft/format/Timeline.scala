@@ -220,6 +220,34 @@ final class Timeline(val fs: FileSystem, val basePath: Path,
       readPoint: Option[String] = None,
       conflictOnAny: Boolean = false): Unit =
     withTableLock {
+      saveCommitOccLocked(ts, meta, action, readPoint, conflictOnAny)
+    }
+
+  /** Run `f` inside THIS table's commit critical section (JVM per-table
+    * monitor + configured inter-process lock) — the composition point for
+    * multi-table transactions ([[graft.write.MultiTableTxn]]), which nest
+    * several tables' sections in canonical path order and then use the
+    * `*Locked` verbs below. Reentrant on the JVM monitor, NOT on an `fs`
+    * lock provider — never nest the same table twice. */
+  private[graft] def withLock[T](f: => T): T = withTableLock(f)
+
+  /** [[saveCommitOcc]]'s body without taking the lock — caller MUST hold
+    * this table's critical section (see [[withLock]]). */
+  private[graft] def saveCommitOccLocked(ts: String, meta: CommitMetadata,
+      action: String = Instant.CommitAction,
+      readPoint: Option[String] = None,
+      conflictOnAny: Boolean = false): Unit = {
+    val newSince = validateOccLocked(ts, meta, readPoint, conflictOnAny)
+    saveCommit(ts, reUnionSchema(meta, newSince, action), action)
+  }
+
+  /** OCC conflict check ONLY (no publish) — caller must hold the critical
+    * section. Returns the instants completed since `readPoint` (what
+    * [[reUnionSchema]] needs at publish); throws
+    * [[CommitConflictException]] on any conflict. */
+  private[graft] def validateOccLocked(ts: String, meta: CommitMetadata,
+      readPoint: Option[String],
+      conflictOnAny: Boolean): Seq[Instant] = {
       refresh()
       val floor = readPoint.getOrElse("")
       val newSince = completedInstants()
@@ -251,7 +279,7 @@ final class Timeline(val fs: FileSystem, val basePath: Path,
               s"${newSince.map(_.ts).max} (already-served time-travel " +
               "snapshots must stay immutable); retry with a fresh ts")
       }
-      saveCommit(ts, reUnionSchema(meta, newSince, action), action)
+      newSince
     }
 
   /** Post-lock schema re-union: this commit's recorded writer schema was

@@ -39,7 +39,12 @@ final class CowWriter(
     statsCols: Seq[String] = Seq.empty,
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = graft.format.Bloom.DefaultBits,
-    precombine: Option[String] = None) {
+    precombine: Option[String] = None,
+    // publish hook: None = publish through timeline.saveCommitOcc as
+    // always; Some = hand the fully-built commit to the caller instead
+    // (multi-table transactions STAGE here and publish later inside the
+    // composed critical section — see [[MultiTableTxn]])
+    publish: Option[MultiTableTxn.CommitPublisher] = None) {
 
   import CowWriter._
 
@@ -340,14 +345,20 @@ final class CowWriter(
       conflictOnAny: Boolean = false): Unit = {
     val byPart = stats.groupBy(_._1).view
       .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
-    timeline.saveCommitOcc(ts, CommitMetadata(
+    val meta = CommitMetadata(
       partitionToWriteStats = byPart,
       operationType = op,
       totalRecordsDeleted = totalDeleted,
       totalRecordsWritten = stats.map(_._2.numWrites).sum,
       schemaJson = Some(MetaCols.canonicalSchema(schema).json),
-      extra = extra),
-      readPoint = readPoint, conflictOnAny = conflictOnAny)
+      extra = extra)
+    publish match {
+      case Some(p) =>
+        p(ts, meta, graft.format.Instant.CommitAction, readPoint,
+          conflictOnAny)
+      case None => timeline.saveCommitOcc(ts, meta,
+        readPoint = readPoint, conflictOnAny = conflictOnAny)
+    }
   }
 }
 

@@ -29,7 +29,9 @@ final class MorWriter(
     numBuckets: Int,
     statsCols: Seq[String] = Seq.empty,
     bloomCols: Seq[String] = Seq.empty,
-    bloomBits: Int = graft.format.Bloom.DefaultBits) {
+    bloomBits: Int = graft.format.Bloom.DefaultBits,
+    // publish hook — see [[CowWriter]]'s parameter of the same name
+    publish: Option[MultiTableTxn.CommitPublisher] = None) {
 
   import CowWriter.FidCol
 
@@ -218,15 +220,19 @@ final class MorWriter(
       conflictOnAny: Boolean = false): Unit = {
     val byPart = stats.groupBy(_._1).view
       .mapValues(_.map(_._2).toSeq.sortBy(_.fileId)).toMap
-    timeline.saveCommitOcc(ts, CommitMetadata(
+    val meta = CommitMetadata(
       partitionToWriteStats = byPart,
       operationType = op,
       totalRecordsDeleted = totalDeleted,
       totalRecordsWritten = stats.map(_._2.numWrites).sum,
       schemaJson = Some(MetaCols.canonicalSchema(
         MorWriter.monotonicSchema(timeline, action, schema)).json),
-      extra = extra),
-      action, readPoint = readPoint, conflictOnAny = conflictOnAny)
+      extra = extra)
+    publish match {
+      case Some(p) => p(ts, meta, action, readPoint, conflictOnAny)
+      case None => timeline.saveCommitOcc(ts, meta, action,
+        readPoint = readPoint, conflictOnAny = conflictOnAny)
+    }
   }
 }
 

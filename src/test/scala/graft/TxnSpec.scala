@@ -1,0 +1,127 @@
+package graft
+
+import graft.format.{CommitConflictException, Timeline}
+import graft.write.{CowWriter, MultiTableTxn}
+import org.apache.spark.sql.functions._
+
+/** Multi-table transactional commit ([[graft.write.MultiTableTxn]]):
+  * all-or-nothing across tables, OCC-failure atomicity, lock composition. */
+class TxnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(dir: String, rows: Seq[(Long, String, Long)],
+      tpe: String = "cow"): Unit =
+    rows.toDF("id", "part", "v").write.format("graft")
+      .option("key", "id").option("partition", "part")
+      .option("buckets", "2").option("type", tpe)
+      .option("ts", "1000").save(dir)
+
+  private def snap(dir: String): Map[Long, Long] =
+    read.SnapshotReader.read(spark, dir).select("id", "v")
+      .as[(Long, Long)].collect().toMap
+
+  test("two-table txn: both commits land, reader sees both effects") {
+    val a = freshDir("txn_a"); val b = freshDir("txn_b")
+    mkTable(a, Seq((1L, "x", 10L), (2L, "y", 20L)))
+    mkTable(b, Seq((1L, "x", 100L)), tpe = "mor")
+    val ts = MultiTableTxn.commit(spark, Seq(
+      MultiTableTxn.TableWrite(a,
+        updates = Some(Seq((2L, "y", 21L)).toDF("id", "part", "v")),
+        deletes = Some(Seq((1L, "x", 0L)).toDF("id", "part", "v"))),
+      MultiTableTxn.TableWrite(b,
+        updates = Some(Seq((2L, "z", 200L)).toDF("id", "part", "v")))))
+    assert(ts.size == 2)
+    assert(snap(a) == Map(2L -> 21L))
+    assert(snap(b) == Map(1L -> 100L, 2L -> 200L))
+    // ordinary commits: delete view / incremental / history all work
+    assert(deleteview.DeleteView(spark, a, ts.head).toDF().count() == 1)
+    assert(sources.GraftTable(spark, b).commits.last == ts(1))
+  }
+
+  test("conflict on ONE table rolls back the WHOLE txn: reader sees neither") {
+    val a = freshDir("txn_c"); val b = freshDir("txn_d")
+    mkTable(a, Seq((1L, "x", 10L)))
+    mkTable(b, Seq((1L, "x", 100L)))
+    val beforeA = snap(a); val beforeB = snap(b)
+    val commitsA = sources.GraftTable(spark, a).commits
+    val commitsB = sources.GraftTable(spark, b).commits
+    // fault injection: AFTER the txn staged both writes (read points
+    // pinned), land a conflicting commit on b's file group — the txn's
+    // validate phase must fail the whole transaction
+    val e = intercept[CommitConflictException] {
+      MultiTableTxn.commitHook(spark, Seq(
+        MultiTableTxn.TableWrite(a,
+          updates = Some(Seq((1L, "x", 11L)).toDF("id", "part", "v"))),
+        MultiTableTxn.TableWrite(b,
+          updates = Some(Seq((1L, "x", 101L)).toDF("id", "part", "v")))),
+        beforePublish = () =>
+          new CowWriter(spark, b, 2).upsert(
+            Seq((1L, "x", 999L)).toDF("id", "part", "v"),
+            col("id"), col("part"), "2000"))
+    }
+    assert(e.getMessage.contains("conflicts"))
+    // ALL-OR-NOTHING: table a shows NO txn effect (its own validate
+    // passed, but b's conflict vetoed the publish of both)
+    assert(snap(a) == beforeA)
+    assert(sources.GraftTable(spark, a).commits == commitsA)
+    // b shows only the interloper's commit
+    assert(snap(b) == Map(1L -> 999L))
+    assert(sources.GraftTable(spark, b).commits == commitsB :+ "2000")
+    // no reservation markers leaked on either timeline
+    Seq(a, b).foreach { d =>
+      val tl = Timeline(spark.sessionState.newHadoopConf(), d)
+      assert(tl.reservedTss().isEmpty, s"leaked reservation at $d")
+    }
+    // the failed txn's staged data files are unreferenced debris —
+    // sweepOrphans reclaims them and the tables stay fully readable
+    graft.write.TableMaintenance.sweepOrphans(spark, a, olderThanMs = 0L)
+    assert(snap(a) == beforeA)
+    // a RETRY of the same transaction (fresh plan) succeeds
+    MultiTableTxn.commit(spark, Seq(
+      MultiTableTxn.TableWrite(a,
+        updates = Some(Seq((1L, "x", 11L)).toDF("id", "part", "v"))),
+      MultiTableTxn.TableWrite(b,
+        updates = Some(Seq((1L, "x", 101L)).toDF("id", "part", "v")))))
+    assert(snap(a) == Map(1L -> 11L) && snap(b) == Map(1L -> 101L))
+  }
+
+  test("concurrent txns on overlapping tables: exactly one winner per race") {
+    val a = freshDir("txn_e"); val b = freshDir("txn_f")
+    mkTable(a, Seq((1L, "x", 0L)))
+    mkTable(b, Seq((1L, "x", 0L)))
+    // two threads each running a txn over (a, b) touching the same key:
+    // the locks serialize them; both succeed sequentially (second plans
+    // after the first committed? No — both staged against the ORIGINAL
+    // read point, so the loser must CONFLICT, not silently stomp)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val results = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Seq[String]]] {
+        override def call() =
+          try Right(MultiTableTxn.commit(spark, Seq(
+            MultiTableTxn.TableWrite(a,
+              updates = Some(Seq((1L, "x", i.toLong)).toDF("id", "part", "v"))),
+            MultiTableTxn.TableWrite(b,
+              updates = Some(Seq((1L, "x", i.toLong)).toDF("id", "part", "v"))))))
+          catch { case t: Throwable => Left(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    val outcomes = results.map(_.get())
+    val wins = outcomes.count(_.isRight)
+    // both may win (serialized, disjoint read windows by luck of timing)
+    // only if the loser re-staged after the winner — commit() does NOT
+    // retry, so: exactly one winner, or two winners is impossible on the
+    // same file group with pinned read points unless fully serialized
+    // before staging. Accept 1 winner + 1 CommitConflictException, or 2
+    // winners when the first txn completed before the second STAGED.
+    assert(wins >= 1, s"no txn won: $outcomes")
+    outcomes.filter(_.isLeft).foreach { l =>
+      assert(l.swap.toOption.get.isInstanceOf[CommitConflictException],
+        s"loser failed with the wrong error: $l")
+    }
+    // final state consistent: SAME value in both tables (no torn txn)
+    assert(snap(a) == snap(b))
+  }
+}

@@ -230,12 +230,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftV2Table(ident.toString, path, asOf = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER on a graft catalog table: use the session-catalog surface " +
-        "(CREATE TABLE ... USING graft OPTIONS (path ...) + ALTER TABLE " +
-        "ADD/DROP COLUMNS with graft.GraftExtensions installed); both " +
-        "surfaces share the table's commit-recorded schema")
+  /** `ALTER TABLE cat.ns.t ADD COLUMNS / DROP COLUMN(S)` — schema
+    * evolution as an empty OCC-gated commit, via the SAME core (guards
+    * included: reserved names, resurrection, identity/index protection)
+    * as the extension commands ([[graft.sql.SchemaEvolution]]). No
+    * catalog-state sync needed: commit metadata IS this catalog's schema. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTableDir(path)) throw new NoSuchTableException(ident)
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"graft tables support $what of top-level columns only, got " +
+          fieldNames.mkString("."))
+      fieldNames.head
+    }
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    require(adds.size + drops.size == changes.size,
+      "graft catalog tables support ALTER TABLE ADD COLUMNS and DROP " +
+        "COLUMN(S) only, got: " + changes.mkString(", "))
+    adds.foreach(a => require(a.position() == null,
+      "column positions are not supported (new columns append after the " +
+        "existing payload)"))
+    if (adds.nonEmpty)
+      graft.sql.SchemaEvolution.addColumns(spark, path,
+        adds.map(a => StructField(topLevel(a.fieldNames(), "ADD COLUMNS"),
+          a.dataType(), nullable = true)),
+        ident.toString)
+    if (drops.nonEmpty)
+      graft.sql.SchemaEvolution.dropColumns(spark, path,
+        drops.map(d => topLevel(d.fieldNames(), "DROP COLUMN")).toSeq,
+        ifExists = drops.forall(_.ifExists()),
+        k => Timeline(spark.sessionState.newHadoopConf(), path)
+          .recordedExtraAsOf(k, None),
+        ident.toString)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)

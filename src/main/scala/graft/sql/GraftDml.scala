@@ -606,49 +606,9 @@ case class GraftAddColumnsCommand(basePath: String, ct: CatalogTable,
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.types.{DataType, StructType}
-    val resolver = spark.sessionState.conf.resolver
-    val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
-    val current = tl.latestSchemaJson(None).map(sj =>
-      DataType.fromJson(sj).asInstanceOf[StructType]).getOrElse(
-      throw new IllegalStateException(
-        s"table ${ct.identifier} has no commit-recorded schema to evolve " +
-          "(empty or pre-schema-recording table)"))
-    val historical = GraftDml.historicalColumnNames(tl)
-    cols.foreach { f =>
-      require(!MetaCols.all.contains(f.name) && f.name != MetaCols.IsDeleted,
-        s"cannot add column '${f.name}': the name is reserved for " +
-          "engine meta columns")
-      require(!current.fields.exists(e => resolver(e.name, f.name)),
-        s"cannot add column '${f.name}': it already exists in " +
-          s"${ct.identifier}")
-      // resurrection guard: files written before a DROP still carry the
-      // old values, and re-adding the name would silently surface them in
-      // every not-yet-rewritten row
-      // compared with the SAME resolver as the exists check: under
-      // default case-insensitive resolution, ADD COLUMNS (Score) after
-      // DROP COLUMNS (score) must hit the guard too
-      require(!historical.exists(h => resolver(h, f.name)),
-        s"cannot re-add previously dropped column '${f.name}': files " +
-          "written before the drop may still carry its values and would " +
-          "resurrect them; rewrite the table (overwrite) under a new name")
-    }
-    require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
-      "duplicate column names in ADD COLUMNS")
-    // base ("commit") action: the recorded schema keeps the MOR delete
-    // marker off, like every base-file commit (delta commits re-add it)
-    val evolved = MetaCols.canonicalSchema(StructType(
-      current.fields.filterNot(_.name == MetaCols.IsDeleted) ++
-        cols.map(_.copy(nullable = true))))
-    val readPoint = tl.completedInstants().lastOption.map(_.ts)
-    val ts = FormatWriter.nextTs(tl)
-    try {
-      tl.saveCommitOcc(ts, graft.format.CommitMetadata(
-        partitionToWriteStats = Map.empty,
-        operationType = "altertable",
-        totalRecordsDeleted = 0L, totalRecordsWritten = 0L,
-        schemaJson = Some(evolved.json)), readPoint = readPoint)
-    } finally tl.unreserve(ts)
+    import org.apache.spark.sql.types.StructType
+    SchemaEvolution.addColumns(spark, basePath, cols,
+      ct.identifier.toString)
     // catalog schema = dataSchema ++ partitionSchema, and the relation
     // serves `_hoodie_partition_path` LAST either way — as a Hive-style
     // partition column (delta-free scan relation; pp not in dataSchema) or
@@ -679,53 +639,13 @@ case class GraftDropColumnsCommand(basePath: String, ct: CatalogTable,
     names: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.types.{DataType, StructType}
+    import org.apache.spark.sql.types.StructType
     val resolver = spark.sessionState.conf.resolver
     val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
-    val current = tl.latestSchemaJson(None).map(sj =>
-      DataType.fromJson(sj).asInstanceOf[StructType]).getOrElse(
-      throw new IllegalStateException(
-        s"table ${ct.identifier} has no commit-recorded schema to evolve " +
-          "(empty or pre-schema-recording table)"))
-    val protectedCols: Map[String, String] = (
-      (MetaCols.all :+ MetaCols.IsDeleted).map(_ -> "engine meta column") ++
-      Seq(FormatWriter.KeyColKey -> "record-key column",
-        FormatWriter.PartColKey -> "partition column",
-        FormatWriter.PrecombineKey -> "precombine ordering column")
-        .flatMap { case (k, what) =>
-          GraftDml.tableProp(ct, tl, k).map(_ -> what) } ++
-      Seq(FormatWriter.StatsColsKey -> "declared stats column",
-        FormatWriter.BloomColsKey -> "declared bloom column")
-        .flatMap { case (k, what) =>
-          GraftDml.tableProp(ct, tl, k).toSeq
-            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-            .map(_ -> what) }).toMap
-    val present = names.filter { n =>
-      val exists = current.fields.exists(e => resolver(e.name, n))
-      require(exists || ifExists,
-        s"cannot drop column '$n': no such column in ${ct.identifier}")
-      exists
-    }
-    present.foreach { n =>
-      protectedCols.find { case (p, _) => resolver(p, n) }.foreach {
-        case (_, what) => throw new IllegalArgumentException(
-          s"cannot drop column '$n': it is the table's $what")
-      }
-    }
-    if (present.isEmpty) return Seq.empty // IF EXISTS and nothing matched
-    val dropped = present.toSet
-    val narrowed = MetaCols.canonicalSchema(StructType(
-      current.fields.filterNot(f => f.name == MetaCols.IsDeleted ||
-        dropped.exists(d => resolver(f.name, d)))))
-    val readPoint = tl.completedInstants().lastOption.map(_.ts)
-    val ts = FormatWriter.nextTs(tl)
-    try {
-      tl.saveCommitOcc(ts, graft.format.CommitMetadata(
-        partitionToWriteStats = Map.empty,
-        operationType = "altertable",
-        totalRecordsDeleted = 0L, totalRecordsWritten = 0L,
-        schemaJson = Some(narrowed.json)), readPoint = readPoint)
-    } finally tl.unreserve(ts)
+    val dropped = SchemaEvolution.dropColumns(spark, basePath, names,
+      ifExists, k => GraftDml.tableProp(ct, tl, k),
+      ct.identifier.toString).toSet
+    if (dropped.isEmpty) return Seq.empty // IF EXISTS and nothing matched
     // alterTableDataSchema refuses narrowing ("dropping columns not
     // supported") — replace the stored schema wholesale; the commit above
     // is the source of truth and the catalog must mirror it
@@ -735,5 +655,115 @@ case class GraftDropColumnsCommand(basePath: String, ct: CatalogTable,
         dropped.exists(d => resolver(f.name, d))))))
     spark.catalog.refreshTable(ct.identifier.quotedString)
     Seq.empty
+  }
+}
+
+/** The schema-evolution CORE shared by the V1 extension commands above and
+  * the DSv2 catalog's `alterTable` ([[graft.sources.GraftCatalog]]): all
+  * guards + the empty OCC-gated evolution commit live HERE, so both SQL
+  * surfaces enforce identical contracts; only catalog-state sync differs
+  * (session catalog mirrors its stored schema; the V2 catalog has no
+  * side-car state — commit metadata IS its schema). */
+private[graft] object SchemaEvolution {
+
+  /** Widening: validate (reserved names, duplicates, exists,
+    * resurrection guard) and publish the ADD COLUMNS evolution commit. */
+  def addColumns(spark: SparkSession, basePath: String,
+      cols: Seq[org.apache.spark.sql.types.StructField],
+      what: String): Unit = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val resolver = spark.sessionState.conf.resolver
+    val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val current = tl.latestSchemaJson(None).map(sj =>
+      DataType.fromJson(sj).asInstanceOf[StructType]).getOrElse(
+      throw new IllegalStateException(
+        s"table $what has no commit-recorded schema to evolve " +
+          "(empty or pre-schema-recording table)"))
+    val historical = GraftDml.historicalColumnNames(tl)
+    cols.foreach { f =>
+      require(!MetaCols.all.contains(f.name) && f.name != MetaCols.IsDeleted,
+        s"cannot add column '${f.name}': the name is reserved for " +
+          "engine meta columns")
+      require(!current.fields.exists(e => resolver(e.name, f.name)),
+        s"cannot add column '${f.name}': it already exists in $what")
+      // resurrection guard: files written before a DROP still carry the
+      // old values, and re-adding the name would silently surface them in
+      // every not-yet-rewritten row
+      // compared with the SAME resolver as the exists check: under
+      // default case-insensitive resolution, ADD COLUMNS (Score) after
+      // DROP COLUMNS (score) must hit the guard too
+      require(!historical.exists(h => resolver(h, f.name)),
+        s"cannot re-add previously dropped column '${f.name}': files " +
+          "written before the drop may still carry its values and would " +
+          "resurrect them; rewrite the table (overwrite) under a new name")
+    }
+    require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
+      "duplicate column names in ADD COLUMNS")
+    // base ("commit") action: the recorded schema keeps the MOR delete
+    // marker off, like every base-file commit (delta commits re-add it)
+    val evolved = MetaCols.canonicalSchema(StructType(
+      current.fields.filterNot(_.name == MetaCols.IsDeleted) ++
+        cols.map(_.copy(nullable = true))))
+    publishEvolution(tl, evolved)
+  }
+
+  /** Narrowing: validate (existence unless `ifExists`, identity/index
+    * protection via `prop`) and publish the DROP COLUMNS commit; returns
+    * the column names actually dropped (empty = IF EXISTS no-op). */
+  def dropColumns(spark: SparkSession, basePath: String,
+      names: Seq[String], ifExists: Boolean,
+      prop: String => Option[String], what: String): Seq[String] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val resolver = spark.sessionState.conf.resolver
+    val tl = Timeline(spark.sessionState.newHadoopConf(), basePath)
+    val current = tl.latestSchemaJson(None).map(sj =>
+      DataType.fromJson(sj).asInstanceOf[StructType]).getOrElse(
+      throw new IllegalStateException(
+        s"table $what has no commit-recorded schema to evolve " +
+          "(empty or pre-schema-recording table)"))
+    val protectedCols: Map[String, String] = (
+      (MetaCols.all :+ MetaCols.IsDeleted).map(_ -> "engine meta column") ++
+      Seq(FormatWriter.KeyColKey -> "record-key column",
+        FormatWriter.PartColKey -> "partition column",
+        FormatWriter.PrecombineKey -> "precombine ordering column")
+        .flatMap { case (k, w) => prop(k).map(_ -> w) } ++
+      Seq(FormatWriter.StatsColsKey -> "declared stats column",
+        FormatWriter.BloomColsKey -> "declared bloom column")
+        .flatMap { case (k, w) =>
+          prop(k).toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+            .map(_ -> w) }).toMap
+    val present = names.filter { n =>
+      val exists = current.fields.exists(e => resolver(e.name, n))
+      require(exists || ifExists,
+        s"cannot drop column '$n': no such column in $what")
+      exists
+    }
+    present.foreach { n =>
+      protectedCols.find { case (p, _) => resolver(p, n) }.foreach {
+        case (_, w) => throw new IllegalArgumentException(
+          s"cannot drop column '$n': it is the table's $w")
+      }
+    }
+    if (present.isEmpty) return Seq.empty
+    val dropped = present.toSet
+    val narrowed = MetaCols.canonicalSchema(StructType(
+      current.fields.filterNot(f => f.name == MetaCols.IsDeleted ||
+        dropped.exists(d => resolver(f.name, d)))))
+    publishEvolution(tl, narrowed)
+    present
+  }
+
+  private def publishEvolution(tl: Timeline,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val readPoint = tl.completedInstants().lastOption.map(_.ts)
+    val ts = FormatWriter.nextTs(tl)
+    try {
+      tl.saveCommitOcc(ts, graft.format.CommitMetadata(
+        partitionToWriteStats = Map.empty,
+        operationType = "altertable",
+        totalRecordsDeleted = 0L, totalRecordsWritten = 0L,
+        schemaJson = Some(schema.json)), readPoint = readPoint)
+    } finally tl.unreserve(ts)
   }
 }

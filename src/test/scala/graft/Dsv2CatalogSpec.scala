@@ -173,6 +173,34 @@ class Dsv2CatalogSpec extends SparkSpec {
       .map(_.getString(1)).forall(n => n != "t8" && n != "t8renamed"))
   }
 
+  test("ALTER TABLE through the catalog: add/drop as evolution commits, guards shared") {
+    val t = freshTable("t10")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '1')""")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a', 10)")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (score BIGINT)")
+    // pre-evolution rows null-pad; new inserts carry the column
+    spark.sql(s"INSERT INTO $t VALUES (2, 'b', 20, 7)")
+    val rows = spark.sql(s"SELECT id, score FROM $t ORDER BY id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, -1L), (2L, 7L)))
+    spark.sql(s"ALTER TABLE $t DROP COLUMN score")
+    assert(spark.sql(s"SELECT * FROM $t").columns.toSeq ==
+      Seq("id", "part", "v"))
+    // SAME guards as the extension surface: resurrection + identity
+    val e1 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (score BIGINT)"))
+    assert(e1.getMessage.contains("re-add previously dropped"))
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t DROP COLUMN id"))
+    assert(e2.getMessage.contains("record-key column"))
+    // the evolution commits are ordinary history: time travel serves the
+    // pre-ALTER schema
+    val preAlter = sources.GraftTable(spark, s"$wh/ns/t10").commits(1)
+    assert(!spark.sql(s"SELECT * FROM $t VERSION AS OF '$preAlter'")
+      .columns.contains("score"))
+  }
+
   test("plan parity: configuring the catalog changes no existing plan") {
     conf()
     // representative existing surfaces, planned with the catalog

@@ -117,7 +117,7 @@ object Fixtures {
     cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
     formatRtDir(spark, sfDir); sqlDmlDir(spark, sfDir)
     sqlAlterDir(spark, sfDir); matViewDir(spark, sfDir)
-    matViewMinmaxDir(spark, sfDir)
+    matViewMinmaxDir(spark, sfDir); dsv2Dir(spark, sfDir)
     sortedDir(spark, sfDir); mirrorDir(spark, sfDir)
     zorderDir(spark, sfDir); archivedDir(spark, sfDir)
     bloomDir(spark, sfDir); savepointDir(spark, sfDir)
@@ -619,6 +619,47 @@ object Fixtures {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
       .sortBy(_._1).toSeq
     (dataDir, cents)
+  }
+
+  /** IVF-PQ serving index over `embeddings` (cells + compressed codes +
+    * stored norms; see [[graft.pipeline.Similarity.ivfPqWrite]]), with the
+    * centroids AND per-subspace codebooks persisted beside the data — the
+    * deployment shape where queries re-load both as metadata. */
+  def ivfPqDir(spark: SparkSession, sfDir: String, nlist: Int = 8,
+      m: Int = 8, ksub: Int = 16)
+      : (String, Seq[(Int, Seq[Float])],
+         graft.pipeline.Similarity.PqCodebooks) = synchronized {
+    val dir = s"${root(sfDir)}/embeddings_ivfpq"
+    val dataDir = s"$dir/data"
+    val centDir = s"$dir/centroids"
+    val bookDir = s"$dir/codebooks"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def done(d: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS"))
+    if (!done(centDir) || !done(bookDir)) {
+      rm(spark, dir)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val (centroids, books) = graft.pipeline.Similarity.ivfPqWrite(
+        emb, col("vec_id"), col("embedding"), dataDir, dim = 64,
+        nlist = nlist, m = m, ksub = ksub)
+      import spark.implicits._
+      centroids.toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(centDir)
+      books.zipWithIndex.flatMap { case (cents, s) =>
+        cents.zipWithIndex.map { case (c, code) => (s, code, c) }
+      }.toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(bookDir)
+    }
+    val cents = spark.read.parquet(centDir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
+      .sortBy(_._1).toSeq
+    val books = spark.read.parquet(bookDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Float](2).toList: Seq[Float]))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    (dataDir, cents, books)
   }
 
   private def rm(spark: SparkSession, dir: String): Unit = {

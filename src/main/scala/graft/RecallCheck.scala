@@ -115,6 +115,21 @@ object RecallCheck {
     val pqAdcRecall = pqRecallAt(0)
     val pqRerankRecall = pqRecallAt(4 * k)
 
+    // IVF-PQ composed serving path (r8): realistic nprobe + rerank, and
+    // the exhaustive setting that must reproduce brute force exactly.
+    val ivfpqDir = "/tmp/graft_recall_ivfpq"
+    val (pqCents, pqBooks) = Similarity.ivfPqWrite(embs, col("vec_id"),
+      col("embedding"), ivfpqDir, dim = 64, nlist = nlist)
+    def ivfpqRecallAt(nprobe: Int, rerank: Int): Double = {
+      val top = pairSet(Similarity.ivfPqTopKFromTable(spark, ivfpqDir,
+        pqCents, pqBooks, queries, col("vec_id"), col("embedding"), k,
+        dim = 64, nprobe = nprobe, rerank = rerank))
+      if (bruteTop.isEmpty) 1.0
+      else (bruteTop & top).size.toDouble / bruteTop.size
+    }
+    val ivfpqRealistic = ivfpqRecallAt(nlist / 2, 4 * k)
+    val ivfpqExact = ivfpqRecallAt(nlist, 1 << 30)
+
     val minhashOk = missed == 0 && extra == 0
     val embOk = falsePos == 0
     val json =
@@ -135,7 +150,11 @@ object RecallCheck {
       s""""target":"< 1 by design at low nprobe; nprobe == nlist must be exactly 1.0 (q_ivf_topk)","pass":${ivfRFull == 1.0}},""" +
       s""""pq_topk":{"k":$k,"m":8,"ksub":16,"recall_at_k_adc":$pqAdcRecall,""" +
       s""""recall_at_k_rerank${4 * k}":$pqRerankRecall,""" +
-      s""""target":"ADC < 1 by design; rerank >= corpus is exact (q_pq_topk); rerank must not lose recall vs pure ADC","pass":${pqRerankRecall >= pqAdcRecall}}}"""
+      s""""target":"ADC < 1 by design; rerank >= corpus is exact (q_pq_topk); rerank must not lose recall vs pure ADC","pass":${pqRerankRecall >= pqAdcRecall}},""" +
+      s""""ivfpq_topk":{"k":$k,"nlist":$nlist,""" +
+      s""""recall_at_k_nprobe${nlist / 2}_rerank${4 * k}":$ivfpqRealistic,""" +
+      s""""recall_at_k_exhaustive":$ivfpqExact,""" +
+      s""""target":"exhaustive (nprobe=nlist, full rerank) must be exactly 1.0 (q_ivfpq_topk)","pass":${ivfpqExact == 1.0}}}"""
     println(json)
     outFile.foreach(f => java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f), json + "\n"))
@@ -147,6 +166,8 @@ object RecallCheck {
       s"IVF at nprobe == nlist must be exact, recall was $ivfRFull")
     require(pqRerankRecall >= pqAdcRecall,
       s"PQ rerank recall $pqRerankRecall < pure-ADC recall $pqAdcRecall")
+    require(ivfpqExact == 1.0,
+      s"exhaustive IVF-PQ must be exact, recall was $ivfpqExact")
     } finally spark.stop() // gates may throw: never leave the session running
   }
 }

@@ -589,6 +589,19 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // q_ivfpq_topk (r8): the COMPOSED serving layout — IVF cells for
+    // selection, PQ codes for compressed-domain ADC scoring, exact rerank
+    // joined back by id. nprobe=nlist + rerank ≥ corpus ⇒ exact ≡ brute
+    // force (hash-gated); realistic settings are recall-gated in RECALL_r8.
+    "q_ivfpq_topk" -> ((s, d) => {
+      val (path, cents, books) = Fixtures.ivfPqDir(s, d)
+      Similarity.ivfPqTopKFromTable(s, path, cents, books,
+          t(s, d, "embeddings").filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), k = 5, dim = 64,
+          nprobe = cents.size, rerank = 1 << 30)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_sim_topk" -> ((s, d) => {
       val e = tp(s, d, "embeddings")
       Similarity.bruteForceTopK(
@@ -1485,6 +1498,14 @@ object SparkEntry {
         "WHERE floor(len(list_intersect(a.shingles, b.shingles)) * 1000 / greatest(len(list_distinct(list_cat(a.shingles, b.shingles))), 1)) >= 200 " +
         "ORDER BY id_a, id_b"),
     "q_sim_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // nprobe=nlist + rerank ≥ corpus ⇒ IVF-PQ degenerates to exact brute
+    // force — same oracle as q_sim_topk.
+    "q_ivfpq_topk" ->
       ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +

@@ -480,6 +480,107 @@ object Similarity {
     }
   }
 
+  // ---- IVF-PQ: the composed 100 TB serving layout ----------------------
+  //
+  // IVF gives SELECTION (probes read only their cells' directories);
+  // PQ gives per-row COMPRESSION (ADC scores m codes, never the vector).
+  // Composed, a query reads nprobe cells' (codes, vnorm) columns — the
+  // full vectors enter exactly one plan: the exact-cosine rerank of the
+  // ADC top-`rerank` candidates, joined back by id. At dim 1024 / m 16 /
+  // nprobe 1/32 of cells that is a ~8000× reduction in bytes scanned per
+  // query vs brute force. Codebooks quantize RAW vectors (not IVF
+  // residuals — simpler, one codebook set for all cells; residual PQ is a
+  // recall refinement, not a structural change).
+
+  /** Materialize the IVF-PQ serving index at `path`: one partition
+    * directory per centroid cell, rows (corpus_id, codes, vnorm, cv).
+    * Returns (centroids, codebooks) — persist both app-side (or re-derive
+    * with the same seed); [[graft.Fixtures.ivfPqDir]] shows the shape. */
+  def ivfPqWrite(corpus: DataFrame, id: Column, vec: Column, path: String,
+      dim: Int, nlist: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      seed: Long = 42L): (Seq[(Int, Seq[Float])], PqCodebooks) = {
+    val centroids = ivfTrain(corpus, id, vec, nlist, iters, seed)
+    val books = pqTrain(corpus, id, vec, dim, m, ksub, iters, seed)
+    val enc = pqEncode(corpus, id, vec, books, dim)
+    assignToCentroid(enc.withColumnRenamed("cv", "v"), centroids)
+      .withColumnRenamed("v", "cv")
+      .select("corpus_id", "codes", "vnorm", "cv", "__cluster")
+      .write.mode("overwrite").partitionBy("__cluster").parquet(path)
+    (centroids, books)
+  }
+
+  /** Approximate top-k against an [[ivfPqWrite]] index. Two phases:
+    *
+    *  1. ADC: scan ONLY the query batch's probe cells (driver-resolved
+    *     static path list, like [[ivfTopKFromTable]]), reading ONLY
+    *     (corpus_id, codes, vnorm) — column pruning keeps the vectors out
+    *     of this scan entirely — and take the ADC-cosine top-`rerank` per
+    *     query.
+    *  2. rerank: join the candidate ids (broadcast — O(|q|·rerank) rows)
+    *     back to the same cells for their FULL vectors and take the exact
+    *     cosine top-k.
+    *
+    * `nprobe = nlist` with `rerank ≥ corpus` is EXACT ≡ bruteForceTopK
+    * (the q_ivfpq_topk oracle gate); realistic settings trade recall for
+    * the ~(nprobe/nlist)·(m/dim) scan fraction. Same output shape as the
+    * other top-k paths. */
+  def ivfPqTopKFromTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, centroids: Seq[(Int, Seq[Float])], books: PqCodebooks,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, dim: Int, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+    val qd = queries.select(queryId.cast("long").as("query_id"),
+        queryVec.as("qv"))
+      .withColumn("__cluster",
+        explode(probeClusters(centroids, nprobe)(col("qv"))))
+      .withColumn("lut", pqLut(col("qv"), books, dim))
+      .withColumn("qnorm", norm(col("qv")))
+    val tableDir = new org.apache.hadoop.fs.Path(path)
+    val existing = tableDir.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      .listStatus(tableDir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("__cluster=") =>
+        n.stripPrefix("__cluster=").toInt
+      }.toSet
+    val cells = qd.select("__cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq.filter(existing)
+    if (cells.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("corpus_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("cosine_micro",
+            org.apache.spark.sql.types.LongType))))
+    def cellScan() = spark.read.option("basePath", path)
+      .parquet(cells.map(c => s"$path/__cluster=$c"): _*)
+    // phase 1: compressed-domain scoring — vectors never enter this plan
+    val adc = cellScan().select("corpus_id", "codes", "vnorm", "__cluster")
+      .join(broadcast(qd), Seq("__cluster"))
+      .withColumn("adc",
+        when(col("qnorm") === 0.0d || col("vnorm") === 0.0d, lit(0.0d))
+          .otherwise(adcDot(col("codes"), col("lut")) /
+            (col("qnorm") * col("vnorm"))))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("corpus_id").asc)
+    val cand = adc.withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= math.max(rerank, k))
+      .select(col("query_id"), col("corpus_id"), col("qv"))
+    // phase 2: exact rerank — only candidate rows' vectors are read
+    val scored = cellScan().select(col("corpus_id"), col("cv"))
+      .join(broadcast(cand), Seq("corpus_id"))
+      .withColumn("cos", cosine(col("cv"), col("qv")))
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .withColumn("cosine_micro", floor(col("cos") * 1000000).cast("long"))
+      .select("query_id", "corpus_id", "rank", "cosine_micro")
+  }
+
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nlist: Int, nprobe: Int = 2, seed: Long = 42L): DataFrame = {

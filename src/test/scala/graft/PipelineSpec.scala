@@ -188,6 +188,38 @@ class PipelineSpec extends SparkSpec {
     assert(adc1.exceptAll(adc2).isEmpty && adc2.exceptAll(adc1).isEmpty)
   }
 
+  test("IVF-PQ table path: exhaustive probe + full rerank == brute force; " +
+      "ADC scan never reads vectors") {
+    val path = "/tmp/graft_test/ivfpq_table"
+    val (cents, books) = Similarity.ivfPqWrite(embs, $"vec_id", $"embedding",
+      path, dim = 64, nlist = 8, m = 8, ksub = 16)
+    val queries = embs.filter($"vec_id" < 5)
+    val exact = Similarity.ivfPqTopKFromTable(spark, path, cents, books,
+      queries, $"vec_id", $"embedding", k = 5, dim = 64, nprobe = 8,
+      rerank = 1 << 30)
+    val brute = Similarity.bruteForceTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5)
+    assert(exact.exceptAll(brute).isEmpty && brute.exceptAll(exact).isEmpty)
+    // the compressed-domain phase reads (codes, vnorm), never cv: the plan
+    // must contain a parquet scan over codes WITHOUT cv in its ReadSchema
+    val plan = exact.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(l => l.contains("codes") && !l.contains("cv")),
+      s"no vector-free ADC scan found in:\n$plan")
+    // low-nprobe probes read ONLY their cells' files
+    val low = Similarity.ivfPqTopKFromTable(spark, path, cents, books,
+      embs.filter($"vec_id" === 3), $"vec_id", $"embedding", k = 3,
+      dim = 64, nprobe = 1, rerank = 10)
+    assert(low.count() == 3)
+    val indexFiles = low.inputFiles.filter(_.contains("ivfpq_table"))
+    assert(indexFiles.nonEmpty &&
+      indexFiles.forall(_.contains("__cluster=")),
+      "IVF-PQ probe read a non-cell index file")
+    assert(indexFiles.map(f =>
+      f.split("__cluster=")(1).split("/")(0)).distinct.size <= 1,
+      "nprobe=1 single-query probe touched more than its cell")
+  }
+
   test("IVF top-k: corpus queries retrieve themselves at rank 1") {
     val queries = embs.filter($"vec_id" < 5)
     val topk = Similarity.ivfTopK(

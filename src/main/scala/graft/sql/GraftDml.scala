@@ -51,7 +51,12 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // MERGE star actions must expand BEFORE generic resolution chokes on
       // the target's meta columns (INSERT * would demand a
       // `_hoodie_commit_time` source column): map the PAYLOAD columns only.
+      // (V2 catalog targets expand identically — their output IS the
+      // payload, so the meta-column filter is a no-op.)
       case m @ MergeIntoTable(GraftTable(_, _), source, _, _, _, _, _)
+          if m.targetTable.resolved && source.resolved && hasStar(m) =>
+        expandStars(m, session)
+      case m @ MergeIntoTable(GraftV2Rel(_, _), source, _, _, _, _, _)
           if m.targetTable.resolved && source.resolved && hasStar(m) =>
         expandStars(m, session)
 
@@ -68,6 +73,53 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft " +
             "tables; add columns through an Append write instead")
         GraftMergeCommand(path, ct, m)
+
+      // ---- DSv2 catalog targets (graft.sources.GraftCatalog) ----------
+      // The V2 relation serves the PAYLOAD schema; the row-level commands
+      // need the meta-column-carrying snapshot (identity re-derivation).
+      // Remap the resolved statement's target attributes by name onto the
+      // analyzed V1 snapshot plan of the same table, then reuse the SAME
+      // commands — with the extension installed, a V2 catalog table gets
+      // full DML: arbitrary-predicate DELETE (beyond SupportsDelete's
+      // translatable filters), UPDATE, and MERGE.
+      case d @ DeleteFromTable(GraftV2Rel(rel, path), cond) if d.resolved =>
+        val (snap, m) = snapshotRemap(session, path, rel.output)
+        GraftDeleteCommand(path, syntheticCt(rel, path), snap,
+          remapAttrs(cond, m))
+
+      case u @ UpdateTable(GraftV2Rel(rel, path), assignments, cond)
+          if u.resolved =>
+        val (snap, m) = snapshotRemap(session, path, rel.output)
+        GraftUpdateCommand(path, syntheticCt(rel, path), snap,
+          assignments.map(a => Assignment(remapAttrs(a.key, m),
+            remapAttrs(a.value, m))),
+          cond.map(remapAttrs(_, m)))
+
+      case mg @ MergeIntoTable(GraftV2Rel(rel, path), _, _, _, _, _, _)
+          if mg.resolved =>
+        require(!mg.withSchemaEvolution,
+          "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft " +
+            "tables; add columns through an Append write instead")
+        val (snap, m) = snapshotRemap(session, path, rel.output)
+        def rmA(a: MergeAction): MergeAction = a match {
+          case UpdateAction(c, assigns, fromStar) =>
+            UpdateAction(c.map(remapAttrs(_, m)),
+              assigns.map(x => Assignment(remapAttrs(x.key, m),
+                remapAttrs(x.value, m))), fromStar)
+          case DeleteAction(c) => DeleteAction(c.map(remapAttrs(_, m)))
+          case InsertAction(c, assigns) =>
+            // INSERT assignment keys reference the TARGET's columns but
+            // values only the source — keys remap, values pass through
+            InsertAction(c.map(remapAttrs(_, m)),
+              assigns.map(x => Assignment(remapAttrs(x.key, m), x.value)))
+          case other => other
+        }
+        GraftMergeCommand(path, syntheticCt(rel, path), mg.copy(
+          targetTable = snap,
+          mergeCondition = remapAttrs(mg.mergeCondition, m),
+          matchedActions = mg.matchedActions.map(rmA),
+          notMatchedActions = mg.notMatchedActions.map(rmA),
+          notMatchedBySourceActions = mg.notMatchedBySourceActions.map(rmA)))
 
       // INSERT INTO/OVERWRITE: intercepted before PreprocessTableInsertion
       // would demand the meta columns; routed through FormatWriter so the
@@ -175,6 +227,72 @@ private[graft] object GraftDml {
         case _ => None
       }
   }
+
+  /** Match a (possibly aliased) DSv2 relation whose table is a graft
+    * catalog table ([[graft.sources.GraftCatalog]]); yields the relation
+    * and the table base path. */
+  object GraftV2Rel {
+    def unapply(plan: LogicalPlan): Option[
+        (org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+         String)] =
+      plan match {
+        case SubqueryAlias(_, child) => unapply(child)
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation =>
+          r.table match {
+            case t: graft.sources.GraftV2Table => Some((r, t.path))
+            case _ => None
+          }
+        case _ => None
+      }
+  }
+
+  /** The analyzed V1 snapshot plan of `path` plus the name-resolved map
+    * from a V2 relation's attribute ids onto it — what lets a resolved
+    * DML statement over the payload-schema V2 relation re-root on the
+    * meta-column-carrying snapshot the row-level commands need. */
+  def snapshotRemap(session: SparkSession, path: String,
+      relOutput: Seq[Attribute])
+      : (LogicalPlan, Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+         Attribute]) = {
+    val snap = graft.read.SnapshotReader.read(session, path)
+      .queryExecution.analyzed
+    val resolver = session.sessionState.conf.resolver
+    val m = relOutput.flatMap(a =>
+      snap.output.find(s => resolver(s.name, a.name)).map(a.exprId -> _))
+      .toMap
+    require(m.size == relOutput.size,
+      s"cannot map V2 relation columns ${relOutput.map(_.name)} onto the " +
+        s"snapshot of $path (columns ${snap.output.map(_.name)})")
+    (snap, m)
+  }
+
+  def remapAttrs(e: Expression,
+      m: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+        Attribute]): Expression =
+    e.transform { case a: AttributeReference => m.getOrElse(a.exprId, a) }
+
+  /** Minimal CatalogTable stand-in for a V2 catalog target: the DML
+    * commands only consult `storage.properties` (recorded commit extras
+    * supply the rest) and use the identifier in messages; there is no
+    * session-catalog entry to refresh ([[refreshIfCataloged]]). */
+  def syntheticCt(rel: org.apache.spark.sql.execution.datasources.v2
+      .DataSourceV2Relation, path: String): CatalogTable =
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        rel.table.name()),
+      tableType = org.apache.spark.sql.catalyst.catalog
+        .CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat
+        .empty.copy(properties = Map("path" -> path)),
+      schema = rel.schema,
+      provider = Some("graft"))
+
+  /** Refresh the session-catalog entry when one exists; V2 catalog
+    * targets have none (their reads re-plan from commit metadata). */
+  def refreshIfCataloged(spark: SparkSession, ct: CatalogTable): Unit =
+    if (spark.sessionState.catalog.tableExists(ct.identifier))
+      spark.catalog.refreshTable(ct.identifier.quotedString)
 
   /** Catalog lookup by (possibly qualified) name: the graft table's base
     * path, or None when the name is not a graft catalog table (temp views
@@ -407,7 +525,7 @@ case class GraftDeleteCommand(basePath: String, ct: CatalogTable,
       .filter(Bridge.column(condition))
     GraftDml.nonEmpty(doomed).foreach(d =>
       GraftDml.commitOnce(spark, basePath, ct, None, Some(d)))
-    spark.catalog.refreshTable(ct.identifier.quotedString)
+    GraftDml.refreshIfCataloged(spark, ct)
     Seq.empty
   }
 }
@@ -428,7 +546,7 @@ case class GraftUpdateCommand(basePath: String, ct: CatalogTable,
       assignments)
     GraftDml.nonEmpty(updated).foreach(u =>
       GraftDml.commitOnce(spark, basePath, ct, Some(u), None))
-    spark.catalog.refreshTable(ct.identifier.quotedString)
+    GraftDml.refreshIfCataloged(spark, ct)
     Seq.empty
   }
 }
@@ -534,7 +652,7 @@ case class GraftMergeCommand(basePath: String, ct: CatalogTable,
       .flatMap(nonEmpty)
     if (up.nonEmpty || del.nonEmpty)
       commitOnce(spark, basePath, ct, up, del)
-    spark.catalog.refreshTable(ct.identifier.quotedString)
+    refreshIfCataloged(spark, ct)
     Seq.empty
   }
 }

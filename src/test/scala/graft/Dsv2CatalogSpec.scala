@@ -201,6 +201,41 @@ class Dsv2CatalogSpec extends SparkSpec {
       .columns.contains("score"))
   }
 
+  test("full DML on V2 catalog tables with the extension: arbitrary DELETE, UPDATE, MERGE") {
+    val t = freshTable("t11")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      (1 to 10).map(i => s"($i, 'p${i % 2}', ${i * 10})").mkString(", "))
+    // DELETE with a NON-translatable predicate (modulo) — impossible via
+    // SupportsDelete, handled by the extension's row-level path
+    spark.sql(s"DELETE FROM $t WHERE id % 5 = 0")
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head == 8L)
+    // UPDATE with expression assignment
+    spark.sql(s"UPDATE $t SET v = v + 1000 WHERE id % 3 = 1")
+    val afterUpd = spark.sql(s"SELECT id, v FROM $t ORDER BY id")
+      .as[(Long, Long)].collect().toMap
+    assert(afterUpd(1L) == 1010L && afterUpd(4L) == 1040L &&
+      afterUpd(2L) == 20L)
+    // MERGE with update + insert (star expansion over the payload schema)
+    Seq((2L, "p0", 999L), (50L, "p0", 500L)).toDF("id", "part", "v")
+      .createOrReplaceTempView("dsv2_merge_src")
+    spark.sql(
+      s"""MERGE INTO $t tt USING dsv2_merge_src s ON tt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterMerge = spark.sql(s"SELECT id, v FROM $t ORDER BY id")
+      .as[(Long, Long)].collect().toMap
+    assert(afterMerge(2L) == 999L && afterMerge(50L) == 500L &&
+      afterMerge.size == 9)
+    // row identity is immutable: meta assignment refused
+    val e = intercept[Exception](spark.sql(
+      s"UPDATE $t SET ${graft.format.MetaCols.RecordKey} = 'x'"))
+    assert(e.getMessage != null)
+    // all of it is ordinary commit history on the same table
+    assert(sources.GraftTable(spark, s"$wh/ns/t11").commits.size == 5)
+  }
+
   test("plan parity: configuring the catalog changes no existing plan") {
     conf()
     // representative existing surfaces, planned with the catalog

@@ -391,6 +391,24 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  /** Row count from COMMIT METADATA alone — the 100 TB `SELECT count(*)`:
+    * on a delta-free state (COW, or compacted MOR) every live base file's
+    * recorded `numWrites` IS its row count, so the total is a memoized
+    * driver metadata walk, zero data IO. None when any group carries
+    * outstanding deltas (delta rows update/delete base rows — only the
+    * merge knows the live count) or a pre-stats file is live. */
+  private[sources] def metadataRowCount: Option[Long] = {
+    val tl = timeline
+    val slices = tl.latestSlices(asOf).values.toSeq
+    if (slices.exists(_.deltas.nonEmpty)) None
+    else {
+      val counts = slices.filter(_.relPath.nonEmpty).map(sl =>
+        tl.metadata(sl.commitTs).statByFileId(sl.fileId)
+          .map(_._2.numWrites))
+      if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    }
+  }
+
   /** The planned snapshot every read/delete verb roots at: the SAME frame
     * [[GraftTable.snapshot]] serves (COW fast path / MOR window merge,
     * skipping indexes, partition-pruning FileIndex); a created-but-empty
@@ -439,10 +457,12 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
   * stay with Spark. */
 private final class GraftScanBuilder(table: GraftV2Table,
     defaultSchema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = defaultSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countAnswer: Option[Long] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) =
@@ -456,7 +476,65 @@ private final class GraftScanBuilder(table: GraftV2Table,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftV1FallbackScan(table, required, pushed)
+  /** Ungrouped, unfiltered COUNT(*) answered ENTIRELY from commit
+    * metadata when the table state allows it ([[GraftV2Table
+    * .metadataRowCount]]): the scan becomes one in-memory row — at 100 TB
+    * a `SELECT count(*)` never touches storage. Everything else declines
+    * (Spark aggregates the ordinary scan as usual). */
+  private def countOnly(agg: org.apache.spark.sql.connector.expressions
+      .aggregate.Aggregation): Option[Long] =
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty ||
+        agg.aggregateExpressions().isEmpty ||
+        !agg.aggregateExpressions().forall(
+          _.isInstanceOf[org.apache.spark.sql.connector.expressions
+            .aggregate.CountStar]))
+      None
+    else table.metadataRowCount
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = countOnly(agg).nonEmpty
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    countOnly(agg) match {
+      case Some(n) =>
+        countAnswer = Some(n)
+        required = StructType(agg.aggregateExpressions().indices.map(i =>
+          StructField(s"count(*)#$i", org.apache.spark.sql.types.LongType,
+            nullable = false)))
+        true
+      case None => false
+    }
+
+  override def build(): Scan = countAnswer match {
+    case Some(n) => new GraftMetaCountScan(table, required, n)
+    case None => new GraftV1FallbackScan(table, required, pushed)
+  }
+}
+
+/** The metadata-answered COUNT(*) scan: one in-memory row, no storage. */
+private final class GraftMetaCountScan(table: GraftV2Table,
+    required: StructType, count: Long) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] =
+        context.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+            Seq.fill(required.size)(count))), 1)
+          .asInstanceOf[RDD[Row]]
+    }.asInstanceOf[T]
+
+  override def description(): String =
+    s"GraftMetaCountScan(${table.path}, count=$count)"
 }
 
 /** V1-fallback scan: execution delegates to the engine's declarative

@@ -236,6 +236,38 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(sources.GraftTable(spark, s"$wh/ns/t11").commits.size == 5)
   }
 
+  test("COUNT(*) pushdown: answered from commit metadata, zero file reads") {
+    val t = freshTable("t12")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
+    // empty table counts 0 from metadata
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head == 0L)
+    spark.sql(s"INSERT INTO $t VALUES " +
+      (1 to 9).map(i => s"($i, 'p${i % 3}', $i)").mkString(", "))
+    spark.sql(s"DELETE FROM $t WHERE v >= 8") // COW rewrite: counts stay live
+    val q = spark.sql(s"SELECT count(*) FROM $t")
+    assert(q.as[Long].head == 7L)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("GraftMetaCountScan"),
+      s"count(*) not metadata-answered:\n${q.queryExecution.executedPlan}")
+    assert(q.inputFiles.isEmpty, "metadata count must read no files")
+    // filtered counts are NOT pushed (still correct through the scan)
+    val qf = spark.sql(s"SELECT count(*) FROM $t WHERE part = 'p1'")
+    assert(!qf.queryExecution.executedPlan.toString
+      .contains("GraftMetaCountScan"))
+    assert(qf.as[Long].head == 3L)
+    // MOR with outstanding deltas: declined, merged count still correct
+    val m = freshTable("t13")
+    spark.sql(s"""CREATE TABLE $m (id BIGINT, part STRING)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '1', type 'mor')""")
+    spark.sql(s"INSERT INTO $m VALUES (1, 'a'), (2, 'a')")
+    spark.sql(s"INSERT INTO $m VALUES (2, 'a'), (3, 'a')") // delta upsert
+    val qm = spark.sql(s"SELECT count(*) FROM $m")
+    assert(!qm.queryExecution.executedPlan.toString
+      .contains("GraftMetaCountScan"))
+    assert(qm.as[Long].head == 3L)
+  }
+
   test("plan parity: configuring the catalog changes no existing plan") {
     conf()
     // representative existing surfaces, planned with the catalog

@@ -147,6 +147,13 @@ object SparkEntry {
       val (_, tbl) = Fixtures.dsv2Dir(s, d)
       payload(s.sql(s"SELECT * FROM $tbl"))
     }),
+    // q_v2_meta_count (r8): ungrouped COUNT(*) on the delta-free catalog
+    // table — answered from commit metadata (GraftMetaCountScan, zero file
+    // reads; plan-asserted in Dsv2CatalogSpec), value hash-gated here.
+    "q_v2_meta_count" -> ((s, d) => {
+      val (_, tbl) = Fixtures.dsv2Dir(s, d)
+      s.sql(s"SELECT count(*) AS n FROM $tbl")
+    }),
     // q_mat_view: incrementally maintained materialized aggregate — the
     // view table is refreshed from the source's CHANGE FEED (update
     // pre-images subtract old contributions; deletes empty groups out of
@@ -1180,6 +1187,10 @@ object SparkEntry {
         "o_orderdate, o_orderpriority FROM orders " +
         "WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
         "AND o_orderstatus <> 'F' ORDER BY o_orderkey"),
+    "q_v2_meta_count" ->
+      ("SELECT count(*) AS n FROM orders " +
+        "WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
+        "AND o_orderstatus <> 'F'"),
     // maintained view ≡ full GROUP BY of the final source state (the
     // fixture's C2 update + C3 delete arithmetic replayed directly)
     "q_mat_view" ->

@@ -152,6 +152,19 @@ final class Timeline(val fs: FileSystem, val basePath: Path,
     * honest. */
   def saveCommit(ts: String, meta: CommitMetadata,
       action: String = Instant.CommitAction): Unit = {
+    stageCommitLocked(ts, meta, action)
+    promoteStagedLocked(ts, action)
+  }
+
+  /** First half of [[saveCommit]]: validate and write the commit BODY as
+    * `<ts>.<action>.inflight` — nothing becomes visible until
+    * [[promoteStagedLocked]] renames it. Multi-table transactions stage
+    * every member first, journal the member list, then promote
+    * ([[graft.write.MultiTableTxn]]); a crash between stage and promote is
+    * rolled forward or back from the journal. Caller holds the table's
+    * critical section. */
+  private[graft] def stageCommitLocked(ts: String, meta: CommitMetadata,
+      action: String = Instant.CommitAction): Unit = {
     require(ts.nonEmpty && ts.forall(_.isDigit),
       s"commit ts must be numeric (digits only), got '$ts'")
     completedInstants().headOption.foreach(first => require(
@@ -175,12 +188,44 @@ final class Timeline(val fs: FileSystem, val basePath: Path,
     val out = fs.create(tmp, true)
     try out.write(JsonCodec.toJson(meta).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    require(fs.rename(tmp, fin), s"atomic commit rename failed for $fin")
+  }
+
+  /** Second half of [[saveCommit]]: atomically publish a staged commit.
+    * IDEMPOTENT (journal recovery re-runs it): an already-promoted instant
+    * only cleans up the leftover inflight. */
+  private[graft] def promoteStagedLocked(ts: String,
+      action: String = Instant.CommitAction): Unit = {
+    val suffix = suffixOf(action)
+    val tmp = new Path(hoodieDir, ts + suffix + ".inflight")
+    val fin = new Path(hoodieDir, ts + suffix)
+    if (Timeline.retryOnce(fs.exists(fin))) fs.delete(tmp, false)
+    else require(fs.rename(tmp, fin),
+      s"atomic commit rename failed for $fin")
     // a reservation for this ts (see [[reserve]]) is now superseded by the
     // completed instant
     fs.delete(new Path(hoodieDir, ts + Timeline.ReservedSuffix), false)
     memo.remove(ts)
     instantsMemo = None
+  }
+
+  /** Discard a staged-but-never-promoted commit (rollback of an
+    * unpublished transaction member): remove the inflight body and the ts
+    * reservation. No-op when nothing is staged. */
+  private[graft] def discardStagedLocked(ts: String,
+      action: String = Instant.CommitAction): Unit = {
+    fs.delete(new Path(hoodieDir, ts + suffixOf(action) + ".inflight"),
+      false)
+    fs.delete(new Path(hoodieDir, ts + Timeline.ReservedSuffix), false)
+  }
+
+  /** OCC validate + STAGE (no publish) — the multi-table transaction's
+    * per-member first phase; caller holds the critical section. */
+  private[graft] def stageCommitOccLocked(ts: String, meta: CommitMetadata,
+      action: String = Instant.CommitAction,
+      readPoint: Option[String] = None,
+      conflictOnAny: Boolean = false): Unit = {
+    val newSince = validateOccLocked(ts, meta, readPoint, conflictOnAny)
+    stageCommitLocked(ts, reUnionSchema(meta, newSince, action), action)
   }
 
   /** OPTIMISTIC-CONCURRENCY commit: the same atomic publish as

@@ -33,14 +33,18 @@ import org.apache.spark.sql.functions.col
   *     by the locks, so validation cannot be invalidated mid-publish.
   *
   * Atomicity contract, stated honestly: transactions are atomic against
-  * every FAILURE mode (conflict, error, crash before the first rename —
-  * nothing published in all cases) and serialized against all OTHER
-  * WRITERS. Lock-free snapshot READERS of two tables can still observe the
-  * microseconds-wide window between two renames (and a crash INSIDE the
-  * rename sequence leaves earlier tables published); a global cross-table
-  * timeline would be the fix, at the cost of coupling every table's reads
-  * — the same trade Hudi 1.0 ships. The publish sequence is metadata-only
-  * (one rename per table), so the window does not grow with data size.
+  * every FAILURE mode — conflict/error publish nothing, and a CRASH at any
+  * point is recovered from the transaction JOURNAL (`.hoodie/txn/<id>.txn`
+  * on every member, written after all commit bodies are staged and before
+  * the first publish): [[recover]] rolls the transaction FORWARD when any
+  * member already promoted, BACK otherwise, under the same composed locks
+  * — so the crash-permanent outcome is always all-or-nothing. Writers are
+  * fully serialized. The one residual is the LIVE microseconds-wide window
+  * between two renames that a lock-free snapshot reader of two tables can
+  * observe mid-flight; a global cross-table timeline would close it, at
+  * the cost of coupling every table's reads — the same trade Hudi 1.0
+  * ships. The publish sequence is metadata-only (one rename per table), so
+  * neither the window nor recovery grows with data size.
   */
 object MultiTableTxn {
 
@@ -131,24 +135,33 @@ object MultiTableTxn {
       }
       beforePublish()
 
-      // -- 2 + 3. composed critical section: validate ALL, then publish --
-      // canonical path order makes concurrent transactions acquire in the
-      // same total order — no deadlock
+      // -- 2 + 3. composed critical section: validate ALL, stage ALL,
+      // journal, then promote — canonical path order makes concurrent
+      // transactions acquire in the same total order (no deadlock), and
+      // the journal makes a crash INSIDE the publish sequence recoverable
+      // (roll forward once any member promoted, roll back otherwise —
+      // [[recover]]).
       val order = staged.sortBy(s =>
         new org.apache.hadoop.fs.Path(s.path).toString).toSeq
+      val txnId = java.util.UUID.randomUUID().toString
+      val members = order.map(s => Member(s.path, s.ts, s.action))
       def nest(i: Int): Unit =
         if (i == order.size) {
-          // validate everything BEFORE the first publish: a conflict on
-          // table N must leave tables 0..N-1 unpublished too
+          // validate everything BEFORE anything becomes visible: a
+          // conflict on table N must leave tables 0..N-1 unpublished too
           order.foreach(s =>
             s.tl.validateOccLocked(s.ts, s.meta, s.readPoint,
               s.conflictOnAny))
-          // nothing can invalidate the checks now (all locks held):
-          // publish each commit (saveCommitOccLocked re-checks and does
-          // the schema re-union — both no-ops-by-construction here)
+          // stage every member's commit BODY (validate re-runs under the
+          // held locks — free of races by construction), then journal the
+          // member list on EVERY member before the first promote
           order.foreach(s =>
-            s.tl.saveCommitOccLocked(s.ts, s.meta, s.action, s.readPoint,
+            s.tl.stageCommitOccLocked(s.ts, s.meta, s.action, s.readPoint,
               s.conflictOnAny))
+          val hconf = spark.sessionState.newHadoopConf()
+          order.foreach(s => writeManifest(hconf, s.tl, txnId, members))
+          order.foreach(s => s.tl.promoteStagedLocked(s.ts, s.action))
+          order.foreach(s => clearManifest(hconf, s.tl, txnId))
         } else order(i).tl.withLock(nest(i + 1))
       nest(0)
 
@@ -161,7 +174,98 @@ object MultiTableTxn {
       reserved.foreach { case (tl, ts) => tl.unreserve(ts) }
   }
 
-  /** Apply all `writes` in one all-or-nothing transaction. */
-  def commit(spark: SparkSession, writes: Seq[TableWrite]): Seq[String] =
+  /** Apply all `writes` in one all-or-nothing transaction. Any journaled
+    * crash debris on the target tables is recovered first. */
+  def commit(spark: SparkSession, writes: Seq[TableWrite]): Seq[String] = {
+    writes.foreach(w => recover(spark, w.basePath))
     commitHook(spark, writes, () => ())
+  }
+
+  // ---- transaction journal (roll-forward/-back after a crash) ----------
+
+  /** One journaled member: (table path, commit ts, timeline action). */
+  private[graft] final case class Member(path: String, ts: String,
+      action: String)
+
+  private def txnDir(tl: Timeline) =
+    new org.apache.hadoop.fs.Path(tl.hoodieDir, "txn")
+
+  private def manifestPath(tl: Timeline, id: String) =
+    new org.apache.hadoop.fs.Path(txnDir(tl), s"$id.txn")
+
+  /** Journal the member list on `tl`'s table (atomic create+rename; one
+    * copy per member table, so recovery can start from ANY of them). Body:
+    * one tab-separated `path ts action` line per member. */
+  private[graft] def writeManifest(conf: org.apache.hadoop.conf.Configuration,
+      tl: Timeline, id: String, members: Seq[Member]): Unit = {
+    val dir = txnDir(tl)
+    val f = dir.getFileSystem(conf)
+    f.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"$id.txn.tmp")
+    val out = f.create(tmp, true)
+    try out.write(members.map(m => s"${m.path}\t${m.ts}\t${m.action}")
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(f.rename(tmp, manifestPath(tl, id)),
+      s"txn manifest publish failed at ${manifestPath(tl, id)}")
+  }
+
+  private[graft] def clearManifest(
+      conf: org.apache.hadoop.conf.Configuration,
+      tl: Timeline, id: String): Unit = {
+    val p = manifestPath(tl, id)
+    p.getFileSystem(conf).delete(p, false)
+  }
+
+  /** Complete or undo transactions a crashed driver left mid-publish on
+    * `basePath`'s table: for each journaled member list, take every
+    * member's commit lock (canonical order), then — if ANY member's commit
+    * already promoted — promote the rest (roll FORWARD: the staged bodies
+    * were all written before the journal existed), else discard all staged
+    * bodies (roll BACK: nothing was visible). Clears the journal copies on
+    * every member either way. Idempotent; a no-op on clean tables (one
+    * directory probe). Runs automatically at the start of every
+    * [[commit]]; callable directly for read-side healing. Returns one
+    * `forward:`/`back:` line per recovered transaction. */
+  def recover(spark: SparkSession, basePath: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tl = Timeline(conf, basePath)
+    val dir = txnDir(tl)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".txn")).toSeq
+      .flatMap { st =>
+        val id = st.getPath.getName.stripSuffix(".txn")
+        val body = {
+          val in = fs.open(st.getPath)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        }
+        val members = body.linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(p, ts, a) = l.split('\t')
+          Member(p, ts, a)
+        }.toSeq
+        val tls = members.map(m => m -> Timeline(conf, m.path))
+          .sortBy(_._1.path)
+        var action: Option[String] = None
+        def nest(i: Int): Unit =
+          if (i == tls.size) {
+            // re-check under the locks: a concurrent recover (or the
+            // original transaction completing) may have cleared it
+            if (!fs.exists(st.getPath)) return
+            val done = tls.count { case (m, t) => t.instantAt(m.ts).nonEmpty }
+            if (done > 0) {
+              tls.foreach { case (m, t) => t.promoteStagedLocked(m.ts, m.action) }
+              action = Some(s"forward:$id")
+            } else {
+              tls.foreach { case (m, t) => t.discardStagedLocked(m.ts, m.action) }
+              action = Some(s"back:$id")
+            }
+            tls.foreach { case (_, t) => clearManifest(conf, t, id) }
+          } else tls(i)._2.withLock(nest(i + 1))
+        nest(0)
+        action
+      }
+  }
 }

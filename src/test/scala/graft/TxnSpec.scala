@@ -85,6 +85,67 @@ class TxnSpec extends SparkSpec {
     assert(snap(a) == Map(1L -> 11L) && snap(b) == Map(1L -> 101L))
   }
 
+  test("journal recovery: crash mid-publish rolls FORWARD, crash pre-publish rolls BACK") {
+    import graft.write.MultiTableTxn
+    val a = freshDir("txn_g"); val b = freshDir("txn_h")
+    mkTable(a, Seq((1L, "x", 10L)))
+    mkTable(b, Seq((1L, "x", 100L)))
+    val hconf = spark.sessionState.newHadoopConf()
+    def tl(d: String) = Timeline(hconf, d)
+
+    // --- simulate a crash AFTER table a promoted, before b did ---------
+    // stage both commit bodies + journal on both, promote only a
+    val (tsA, tsB) = ("3000", "3001")
+    val metaFor = (d: String, ts: String, v: Long) => {
+      // build a real staged commit by running the writer with a capturing
+      // publisher, then hand-stage it
+      var captured: Option[(String, graft.format.CommitMetadata, String,
+        Option[String], Boolean)] = None
+      new CowWriter(spark, d, 2, publish = Some(
+        (cts, m, act, rp, coa) => captured = Some((cts, m, act, rp, coa))))
+        .commit(Some(Seq((1L, "x", v)).toDF("id", "part", "v")), None,
+          col("id"), col("part"), ts)
+      captured.get
+    }
+    val ca = metaFor(a, tsA, 11L); val cb = metaFor(b, tsB, 101L)
+    tl(a).stageCommitLocked(ca._1, ca._2, ca._3)
+    tl(b).stageCommitLocked(cb._1, cb._2, cb._3)
+    val members = Seq(MultiTableTxn.Member(a, tsA, ca._3),
+      MultiTableTxn.Member(b, tsB, cb._3))
+    MultiTableTxn.writeManifest(hconf, tl(a), "crash1", members)
+    MultiTableTxn.writeManifest(hconf, tl(b), "crash1", members)
+    tl(a).promoteStagedLocked(tsA, ca._3) // "crash" here: b never promoted
+    // recovery from EITHER table completes the transaction
+    val actions = MultiTableTxn.recover(spark, b)
+    assert(actions == Seq("forward:crash1"), s"got $actions")
+    assert(snap(a) == Map(1L -> 11L) && snap(b) == Map(1L -> 101L))
+    assert(sources.GraftTable(spark, b).commits.contains(tsB))
+    assert(MultiTableTxn.recover(spark, a).isEmpty, "journal not cleared")
+
+    // --- simulate a crash BEFORE any promote: roll back ----------------
+    val (tsA2, tsB2) = ("4000", "4001")
+    val ca2 = metaFor(a, tsA2, 12L); val cb2 = metaFor(b, tsB2, 102L)
+    tl(a).stageCommitLocked(ca2._1, ca2._2, ca2._3)
+    tl(b).stageCommitLocked(cb2._1, cb2._2, cb2._3)
+    val members2 = Seq(MultiTableTxn.Member(a, tsA2, ca2._3),
+      MultiTableTxn.Member(b, tsB2, cb2._3))
+    MultiTableTxn.writeManifest(hconf, tl(a), "crash2", members2)
+    MultiTableTxn.writeManifest(hconf, tl(b), "crash2", members2)
+    // "crash" before any rename → recovery must discard both stagings
+    val actions2 = MultiTableTxn.recover(spark, a)
+    assert(actions2 == Seq("back:crash2"), s"got $actions2")
+    assert(snap(a) == Map(1L -> 11L) && snap(b) == Map(1L -> 101L))
+    assert(!sources.GraftTable(spark, a).commits.contains(tsA2))
+    assert(tl(a).reservedTss().isEmpty && tl(b).reservedTss().isEmpty)
+    // tables remain fully writable afterwards
+    MultiTableTxn.commit(spark, Seq(
+      MultiTableTxn.TableWrite(a,
+        updates = Some(Seq((1L, "x", 13L)).toDF("id", "part", "v"))),
+      MultiTableTxn.TableWrite(b,
+        updates = Some(Seq((1L, "x", 103L)).toDF("id", "part", "v")))))
+    assert(snap(a) == Map(1L -> 13L) && snap(b) == Map(1L -> 103L))
+  }
+
   test("concurrent txns on overlapping tables: exactly one winner per race") {
     val a = freshDir("txn_e"); val b = freshDir("txn_f")
     mkTable(a, Seq((1L, "x", 0L)))

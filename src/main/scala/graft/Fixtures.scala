@@ -629,7 +629,7 @@ object Fixtures {
       m: Int = 8, ksub: Int = 16)
       : (String, Seq[(Int, Seq[Float])],
          graft.pipeline.Similarity.PqCodebooks) = synchronized {
-    val dir = s"${root(sfDir)}/embeddings_ivfpq"
+    val dir = s"${root(sfDir)}/embeddings_ivfpq_res"  // _res: residual-PQ index (r8 tail)
     val dataDir = s"$dir/data"
     val centDir = s"$dir/centroids"
     val bookDir = s"$dir/codebooks"

@@ -117,18 +117,23 @@ object RecallCheck {
 
     // IVF-PQ composed serving path (r8): realistic nprobe + rerank, and
     // the exhaustive setting that must reproduce brute force exactly.
-    val ivfpqDir = "/tmp/graft_recall_ivfpq"
-    val (pqCents, pqBooks) = Similarity.ivfPqWrite(embs, col("vec_id"),
-      col("embedding"), ivfpqDir, dim = 64, nlist = nlist)
-    def ivfpqRecallAt(nprobe: Int, rerank: Int): Double = {
-      val top = pairSet(Similarity.ivfPqTopKFromTable(spark, ivfpqDir,
+    def ivfpqRecallAt(residual: Boolean)(nprobe: Int,
+        rerank: Int): Double = {
+      val dir = s"/tmp/graft_recall_ivfpq_$residual"
+      val (pqCents, pqBooks) = Similarity.ivfPqWrite(embs, col("vec_id"),
+        col("embedding"), dir, dim = 64, nlist = nlist,
+        residual = residual)
+      val top = pairSet(Similarity.ivfPqTopKFromTable(spark, dir,
         pqCents, pqBooks, queries, col("vec_id"), col("embedding"), k,
-        dim = 64, nprobe = nprobe, rerank = rerank))
+        dim = 64, nprobe = nprobe, rerank = rerank, residual = residual))
       if (bruteTop.isEmpty) 1.0
       else (bruteTop & top).size.toDouble / bruteTop.size
     }
-    val ivfpqRealistic = ivfpqRecallAt(nlist / 2, 4 * k)
-    val ivfpqExact = ivfpqRecallAt(nlist, 1 << 30)
+    // residual quantization (the shipped default) vs raw-vector PQ at the
+    // same code budget — the recall lift residual encoding buys
+    val ivfpqRealistic = ivfpqRecallAt(residual = true)(nlist / 2, 4 * k)
+    val ivfpqRaw = ivfpqRecallAt(residual = false)(nlist / 2, 4 * k)
+    val ivfpqExact = ivfpqRecallAt(residual = true)(nlist, 1 << 30)
 
     val minhashOk = missed == 0 && extra == 0
     val embOk = falsePos == 0
@@ -153,6 +158,7 @@ object RecallCheck {
       s""""target":"ADC < 1 by design; rerank >= corpus is exact (q_pq_topk); rerank must not lose recall vs pure ADC","pass":${pqRerankRecall >= pqAdcRecall}},""" +
       s""""ivfpq_topk":{"k":$k,"nlist":$nlist,""" +
       s""""recall_at_k_nprobe${nlist / 2}_rerank${4 * k}":$ivfpqRealistic,""" +
+      s""""recall_raw_pq_same_setting":$ivfpqRaw,""" +
       s""""recall_at_k_exhaustive":$ivfpqExact,""" +
       s""""target":"exhaustive (nprobe=nlist, full rerank) must be exactly 1.0 (q_ivfpq_topk)","pass":${ivfpqExact == 1.0}}}"""
     println(json)

@@ -495,15 +495,45 @@ object Similarity {
   /** Materialize the IVF-PQ serving index at `path`: one partition
     * directory per centroid cell, rows (corpus_id, codes, vnorm, cv).
     * Returns (centroids, codebooks) — persist both app-side (or re-derive
-    * with the same seed); [[graft.Fixtures.ivfPqDir]] shows the shape. */
+    * with the same seed); [[graft.Fixtures.ivfPqDir]] shows the shape.
+    *
+    * `residual = true` (default, the FAISS-standard refinement): the
+    * codebooks quantize x − centroid(cell) instead of x, so the code
+    * budget spends its precision on what differs WITHIN a cell. The
+    * benefit is data-dependent: on clustered corpora (where the centroid
+    * explains much of each vector) residuals are far smaller than raw
+    * vectors and recall rises; on the near-uniform synthetic bench
+    * embeddings the two modes measure within noise — RECALL_r8.json
+    * reports BOTH at the same setting, so the trade is visible, not
+    * asserted. Storage/scan cost is identical either way. The read path
+    * must be called with the SAME `residual` flag the index was written
+    * with. */
   def ivfPqWrite(corpus: DataFrame, id: Column, vec: Column, path: String,
       dim: Int, nlist: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
-      seed: Long = 42L): (Seq[(Int, Seq[Float])], PqCodebooks) = {
+      seed: Long = 42L,
+      residual: Boolean = true): (Seq[(Int, Seq[Float])], PqCodebooks) = {
     val centroids = ivfTrain(corpus, id, vec, nlist, iters, seed)
-    val books = pqTrain(corpus, id, vec, dim, m, ksub, iters, seed)
-    val enc = pqEncode(corpus, id, vec, books, dim)
-    assignToCentroid(enc.withColumnRenamed("cv", "v"), centroids)
+    val centsF: Seq[Seq[Float]] = centroids.sortBy(_._1).map(_._2)
+    val assigned = assignToCentroid(
+        corpus.select(id.cast("long").as("corpus_id"), vec.as("v")),
+        centroids)
       .withColumnRenamed("v", "cv")
+    // what the codebooks see: the residual against the row's own cell
+    // centroid, or the raw vector
+    val encIn = assigned.withColumn("enc",
+      if (residual)
+        zip_with(col("cv"),
+          element_at(typedLit(centsF), col("__cluster") + 1),
+          (a, b) => a - b)
+      else col("cv"))
+    val books = pqTrain(encIn, col("corpus_id"), col("enc"), dim, m, ksub,
+      iters, seed)
+    val dsub = dim / m
+    encIn
+      .withColumn("codes", array((0 until m).map(s =>
+        element_at(nearestL2(subCol(col("enc"), s, dsub), books(s), 1),
+          1)): _*))
+      .withColumn("vnorm", norm(col("cv"))) // TRUE norm, not the residual's
       .select("corpus_id", "codes", "vnorm", "cv", "__cluster")
       .write.mode("overwrite").partitionBy("__cluster").parquet(path)
     (centroids, books)
@@ -527,13 +557,25 @@ object Similarity {
   def ivfPqTopKFromTable(spark: org.apache.spark.sql.SparkSession,
       path: String, centroids: Seq[(Int, Seq[Float])], books: PqCodebooks,
       queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, dim: Int, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+      k: Int, dim: Int, nprobe: Int = 2, rerank: Int = 50,
+      residual: Boolean = true): DataFrame = {
+    // residual decomposition: ⟨q, x̂⟩ = ⟨q, c_cell⟩ + ⟨q, r̂⟩ — the first
+    // term is one dot per (query, probed cell) against the centroid
+    // literal, the second the usual LUT sum over the codes
+    val centsD: Seq[Seq[Double]] =
+      centroids.sortBy(_._1).map(_._2.map(_.toDouble))
     val qd = queries.select(queryId.cast("long").as("query_id"),
         queryVec.as("qv"))
       .withColumn("__cluster",
         explode(probeClusters(centroids, nprobe)(col("qv"))))
       .withColumn("lut", pqLut(col("qv"), books, dim))
       .withColumn("qnorm", norm(col("qv")))
+      .withColumn("qc",
+        if (residual)
+          aggregate(zip_with(col("qv"),
+            element_at(typedLit(centsD), col("__cluster") + 1),
+            (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+        else lit(0.0d))
     val tableDir = new org.apache.hadoop.fs.Path(path)
     val existing = tableDir.getFileSystem(
         spark.sessionState.newHadoopConf())
@@ -562,7 +604,7 @@ object Similarity {
       .join(broadcast(qd), Seq("__cluster"))
       .withColumn("adc",
         when(col("qnorm") === 0.0d || col("vnorm") === 0.0d, lit(0.0d))
-          .otherwise(adcDot(col("codes"), col("lut")) /
+          .otherwise((col("qc") + adcDot(col("codes"), col("lut"))) /
             (col("qnorm") * col("vnorm"))))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("corpus_id").asc)

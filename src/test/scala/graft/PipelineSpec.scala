@@ -210,6 +210,16 @@ class PipelineSpec extends SparkSpec {
     val low = Similarity.ivfPqTopKFromTable(spark, path, cents, books,
       embs.filter($"vec_id" === 3), $"vec_id", $"embedding", k = 3,
       dim = 64, nprobe = 1, rerank = 10)
+    // RAW-vector mode (residual=false) must be exact under the exhaustive
+    // setting too — both quantization modes share the rerank gate
+    val rawPath = "/tmp/graft_test/ivfpq_table_raw"
+    val (rc, rb) = Similarity.ivfPqWrite(embs, $"vec_id", $"embedding",
+      rawPath, dim = 64, nlist = 8, m = 8, ksub = 16, residual = false)
+    val rawExact = Similarity.ivfPqTopKFromTable(spark, rawPath, rc, rb,
+      queries, $"vec_id", $"embedding", k = 5, dim = 64, nprobe = 8,
+      rerank = 1 << 30, residual = false)
+    assert(rawExact.exceptAll(brute).isEmpty &&
+      brute.exceptAll(rawExact).isEmpty)
     assert(low.count() == 3)
     val indexFiles = low.inputFiles.filter(_.contains("ivfpq_table"))
     assert(indexFiles.nonEmpty &&

@@ -362,12 +362,18 @@ object Similarity {
       n)
 
   /** Train the `m` per-subspace codebooks (ksub entries each, `iters`
-    * Lloyd steps, L2 metric). Same distributed shape as [[ivfTrain]]:
-    * assignment is a broadcast-literal kernel pass, means are ONE
-    * map-side-combined [[graft.functions.VectorMeanAgg]] per step; the
-    * driver holds only the codebooks — O(m·ksub·dsub) floats. At 100 TB
-    * train on a hash-sample (`corpus.filter(xxhash64(id) % N === 0)`) —
-    * codebook quality needs thousands of points per entry, not the corpus. */
+    * Lloyd steps, L2 metric) — ALL subspaces in ONE distributed pass per
+    * phase, not a per-subspace job loop: the corpus explodes once into
+    * (id, subspace, subvector) rows, initialization is one windowed
+    * smallest-hash pick per subspace, and each Lloyd step is ONE
+    * assignment-fold (nearest entry via the per-subspace codebook carried
+    * as a plan literal) feeding ONE map-side-combined
+    * [[graft.functions.VectorMeanAgg]] grouped by (subspace, code). The
+    * driver holds only the codebooks — O(m·ksub·dsub) floats — and the
+    * job count is O(iters), independent of m (the r8 per-subspace loop
+    * was O(m·iters) scheduler round trips). At 100 TB train on a
+    * hash-sample (`corpus.filter(xxhash64(id) % N === 0)`) — codebook
+    * quality needs thousands of points per entry, not the corpus. */
   def pqTrain(corpus: DataFrame, id: Column, vec: Column, dim: Int,
       m: Int, ksub: Int = 16, iters: Int = 2,
       seed: Long = 42L): PqCodebooks = {
@@ -375,23 +381,52 @@ object Similarity {
     val dsub = dim / m
     val c = graft.util.ParallelScan.widen(
       corpus.select(id.cast("long").as("id"), vec.as("v")))
-    (0 until m).map { s =>
-      val sub = c.select(col("id"), subCol(col("v"), s, dsub).as("v"))
-      // deterministic seeded init, one subspace-distinct stream per s
-      var cents: Seq[Seq[Float]] = sub
-        .withColumn("__h", xxhash64(col("id"), lit(seed + s)))
-        .orderBy(col("__h")).limit(ksub)
-        .select("v").collect().map(_.getSeq[Float](0).toSeq).toSeq
-      for (_ <- 0 until iters) {
-        val assigned = sub.withColumn("__cluster",
-          element_at(nearestL2(col("v"), cents, 1), 1))
-        val updated = clusterMeans(assigned, dsub)
-        cents = cents.zipWithIndex.map { case (v, i) =>
-          updated.getOrElse(i, v) // empty cell keeps its old centroid
+    // one row per (id, subspace): the exploded training frame every phase
+    // below reuses — m× the sample rows, each 1/m the width (same bytes)
+    val sub = c.select(col("id"), explode(array((0 until m).map(s =>
+      struct(lit(s).as("s"), subCol(col("v"), s, dsub).as("sv"))): _*))
+      .as("e"))
+      .select(col("id"), col("e.s").as("s"), col("e.sv").as("sv"))
+    // deterministic seeded init, one subspace-distinct hash stream each,
+    // picked with ONE ranked window over all subspaces
+    val wInit = Window.partitionBy("s")
+      .orderBy(col("__h"), col("id")) // id tiebreak: total order
+    var books: Seq[Seq[Seq[Float]]] = {
+      val picked = sub
+        .withColumn("__h", xxhash64(col("id"), col("s") + lit(seed)))
+        .withColumn("__r", row_number().over(wInit))
+        .filter(col("__r") <= ksub)
+        .select("s", "__r", "sv").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+      (0 until m).map(s => picked.filter(_._1 == s).sortBy(_._2).map(_._3)
+        .toSeq)
+    }
+    for (_ <- 0 until iters) {
+      // nearest codebook entry per (row, subspace): the m codebooks ride
+      // the plan as literals; the CASE chain evaluates ONLY the row's own
+      // subspace kernel (an array-of-all-m would run every kernel per row)
+      val assigned = sub.withColumn("__cluster",
+        (0 until m).map(s =>
+            (s, element_at(nearestL2(col("sv"), books(s), 1), 1)))
+          .foldLeft(lit(-1)) { case (acc, (s, e)) =>
+            when(col("s") === s, e).otherwise(acc)
+          })
+      // one shuffle: (subspace, code) → mean subvector
+      val updated = assigned.filter(col("sv").isNotNull)
+        .groupBy("s", "__cluster")
+        .agg(graft.functions.VectorMeanAgg.vectorMean(col("sv"), dsub)
+          .as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getSeq[Double](2).map(_.toFloat): Seq[Float]))
+        .toMap
+      books = books.zipWithIndex.map { case (cents, s) =>
+        cents.zipWithIndex.map { case (v, code) =>
+          updated.getOrElse((s, code), v) // empty cell keeps its centroid
         }
       }
-      cents
     }
+    books
   }
 
   /** Encode the corpus against trained codebooks:

@@ -117,23 +117,29 @@ object RecallCheck {
 
     // IVF-PQ composed serving path (r8): realistic nprobe + rerank, and
     // the exhaustive setting that must reproduce brute force exactly.
-    def ivfpqRecallAt(residual: Boolean)(nprobe: Int,
-        rerank: Int): Double = {
+    // Each index is built ONCE per quantization mode; nprobe/rerank are
+    // pure read-path knobs probed against the same index.
+    def ivfpqIndex(residual: Boolean)
+        : (Int, Int) => Double = {
       val dir = s"/tmp/graft_recall_ivfpq_$residual"
       val (pqCents, pqBooks) = Similarity.ivfPqWrite(embs, col("vec_id"),
         col("embedding"), dir, dim = 64, nlist = nlist,
         residual = residual)
-      val top = pairSet(Similarity.ivfPqTopKFromTable(spark, dir,
-        pqCents, pqBooks, queries, col("vec_id"), col("embedding"), k,
-        dim = 64, nprobe = nprobe, rerank = rerank, residual = residual))
-      if (bruteTop.isEmpty) 1.0
-      else (bruteTop & top).size.toDouble / bruteTop.size
+      (nprobe: Int, rerank: Int) => {
+        val top = pairSet(Similarity.ivfPqTopKFromTable(spark, dir,
+          pqCents, pqBooks, queries, col("vec_id"), col("embedding"), k,
+          dim = 64, nprobe = nprobe, rerank = rerank,
+          residual = residual))
+        if (bruteTop.isEmpty) 1.0
+        else (bruteTop & top).size.toDouble / bruteTop.size
+      }
     }
     // residual quantization (the shipped default) vs raw-vector PQ at the
     // same code budget — the recall lift residual encoding buys
-    val ivfpqRealistic = ivfpqRecallAt(residual = true)(nlist / 2, 4 * k)
-    val ivfpqRaw = ivfpqRecallAt(residual = false)(nlist / 2, 4 * k)
-    val ivfpqExact = ivfpqRecallAt(residual = true)(nlist, 1 << 30)
+    val ivfpqRes = ivfpqIndex(residual = true)
+    val ivfpqRealistic = ivfpqRes(nlist / 2, 4 * k)
+    val ivfpqRaw = ivfpqIndex(residual = false)(nlist / 2, 4 * k)
+    val ivfpqExact = ivfpqRes(nlist, 1 << 30)
 
     val minhashOk = missed == 0 && extra == 0
     val embOk = falsePos == 0

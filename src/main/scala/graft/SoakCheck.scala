@@ -186,9 +186,12 @@ object SoakCheck {
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
       s"${r.name}: a task shuffle-read ${r.maxTaskShuffleMB} MB"))
-    // planning is a driver metadata walk — it must not scale with data
-    all.foreach(r => require(r.planMs < 30000,
-      s"${r.name}: planning took ${r.planMs} ms"))
+    // planning is a driver metadata walk — it must not scale with data.
+    // ingest_dedup is excluded: its "plan" thunk RUNS the three ingest
+    // commits (an eager multi-commit operator has no separable planning
+    // phase), so its plan_ms is workload wall time, not planning.
+    all.filter(_.name != "ingest_dedup").foreach(r =>
+      require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))
 
     val json = s"""{"table_rows":$TableRows,"doc_rows":$DocRows,""" +
       s""""heap_mb":$heapMb,""" +

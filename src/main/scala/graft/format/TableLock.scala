@@ -128,6 +128,14 @@ final class FsLock(fs: FileSystem, lockPath: Path, ttlMs: Long,
     val rnd = new java.util.Random()
     while (true) {
       val now = System.currentTimeMillis()
+      // deadline applies to EVERY retry path — a persistently failing
+      // break (rename-poor store) or an unreadable lock file must hit the
+      // timeout too, not loop forever
+      if (now > deadline) throw new IllegalStateException(
+        s"timed out after ${timeoutMs}ms waiting for table lock " +
+          s"$lockPath (live lease, unbreakable expired lease, or " +
+          s"unreadable lock file; raise ${TableLock.TimeoutKey} or " +
+          "investigate the holder)")
       try {
         fs.mkdirs(lockPath.getParent)
         val out = fs.create(lockPath, false) // create-no-overwrite
@@ -147,13 +155,8 @@ final class FsLock(fs: FileSystem, lockPath: Path, ttlMs: Long,
                 captureAndRemove(
                   new Path(lockPath.getParent, s".lock.broken.$token"),
                   b => b == (tok -> exp))
-            case None => () // holder released between probe and read
-            case _ =>
-              if (now > deadline) throw new IllegalStateException(
-                s"timed out after ${timeoutMs}ms waiting for table lock " +
-                  s"$lockPath (held with a live lease; raise " +
-                  s"${TableLock.TimeoutKey} or investigate the holder)")
-              Thread.sleep(50)
+            case None => Thread.sleep(20) // released or unreadable: re-probe
+            case _ => Thread.sleep(50) // live lease: wait it out
           }
       }
     }

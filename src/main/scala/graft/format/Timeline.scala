@@ -191,15 +191,23 @@ final class Timeline(val fs: FileSystem, val basePath: Path,
   }
 
   /** Second half of [[saveCommit]]: atomically publish a staged commit.
-    * IDEMPOTENT (journal recovery re-runs it): an already-promoted instant
-    * only cleans up the leftover inflight. */
+    * `allowAlreadyPromoted = true` (journal RECOVERY re-running the
+    * publish) makes an already-completed instant a cleanup no-op; the
+    * default keeps the original loud failure — a completed file appearing
+    * between stage and promote outside recovery means a racing writer of
+    * the same ts, which must never be silently swallowed. */
   private[graft] def promoteStagedLocked(ts: String,
-      action: String = Instant.CommitAction): Unit = {
+      action: String = Instant.CommitAction,
+      allowAlreadyPromoted: Boolean = false): Unit = {
     val suffix = suffixOf(action)
     val tmp = new Path(hoodieDir, ts + suffix + ".inflight")
     val fin = new Path(hoodieDir, ts + suffix)
-    if (Timeline.retryOnce(fs.exists(fin))) fs.delete(tmp, false)
-    else require(fs.rename(tmp, fin),
+    if (Timeline.retryOnce(fs.exists(fin))) {
+      require(allowAlreadyPromoted,
+        s"instant $ts completed concurrently at $hoodieDir (racing " +
+          "writer of the same ts); refusing to drop this staged commit")
+      fs.delete(tmp, false)
+    } else require(fs.rename(tmp, fin),
       s"atomic commit rename failed for $fin")
     // a reservation for this ts (see [[reserve]]) is now superseded by the
     // completed instant

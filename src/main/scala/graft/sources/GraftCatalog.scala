@@ -93,11 +93,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** Identifier segments become DIRECTORY names — validate them so a
+    * backquoted identifier carrying `/` or `..` cannot escape the
+    * warehouse root (dropTable is a recursive delete; containment is a
+    * hard safety property, not cosmetics). */
+  private def safeSegment(s: String): String = {
+    require(s.nonEmpty && s != "." && s != ".." &&
+      !s.contains("/") && !s.contains("\\"),
+      s"illegal catalog identifier segment '$s' (would escape the " +
+        "warehouse directory)")
+    s
+  }
+
   private def nsPath(ns: Array[String]): String =
-    (warehouse +: ns.toSeq).mkString("/")
+    (warehouse +: ns.toSeq.map(safeSegment)).mkString("/")
 
   private def tablePath(ident: Identifier): String =
-    nsPath(ident.namespace()) + "/" + ident.name()
+    nsPath(ident.namespace()) + "/" + safeSegment(ident.name())
 
   /** A directory IS a graft table iff it carries a commit timeline. */
   private def isTableDir(path: String): Boolean = {
@@ -413,7 +425,7 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
     * [[GraftTable.snapshot]] serves (COW fast path / MOR window merge,
     * skipping indexes, partition-pruning FileIndex); a created-but-empty
     * table serves zero rows of the recorded schema. */
-  private[sources] def snapshotDf(spark: SparkSession): DataFrame =
+  private[graft] def snapshotDf(spark: SparkSession): DataFrame =
     if (timeline.latestSlices(asOf).isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(fullSchema.filterNot(_.name == MetaCols.IsDeleted)))
@@ -463,6 +475,9 @@ private final class GraftScanBuilder(table: GraftV2Table,
   private var required: StructType = defaultSchema
   private var pushed: Array[Filter] = Array.empty
   private var countAnswer: Option[Long] = None
+  // Spark probes supportCompletePushDown then pushAggregation — compute
+  // the driver metadata walk at most once per scan build
+  private lazy val metaCount: Option[Long] = table.metadataRowCount
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) =
@@ -489,7 +504,7 @@ private final class GraftScanBuilder(table: GraftV2Table,
           _.isInstanceOf[org.apache.spark.sql.connector.expressions
             .aggregate.CountStar]))
       None
-    else table.metadataRowCount
+    else metaCount
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate

@@ -83,13 +83,13 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // full DML: arbitrary-predicate DELETE (beyond SupportsDelete's
       // translatable filters), UPDATE, and MERGE.
       case d @ DeleteFromTable(GraftV2Rel(rel, path), cond) if d.resolved =>
-        val (snap, m) = snapshotRemap(session, path, rel.output)
+        val (snap, m) = snapshotRemap(session, rel)
         GraftDeleteCommand(path, syntheticCt(rel, path), snap,
           remapAttrs(cond, m))
 
       case u @ UpdateTable(GraftV2Rel(rel, path), assignments, cond)
           if u.resolved =>
-        val (snap, m) = snapshotRemap(session, path, rel.output)
+        val (snap, m) = snapshotRemap(session, rel)
         GraftUpdateCommand(path, syntheticCt(rel, path), snap,
           assignments.map(a => Assignment(remapAttrs(a.key, m),
             remapAttrs(a.value, m))),
@@ -100,7 +100,7 @@ class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         require(!mg.withSchemaEvolution,
           "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft " +
             "tables; add columns through an Append write instead")
-        val (snap, m) = snapshotRemap(session, path, rel.output)
+        val (snap, m) = snapshotRemap(session, rel)
         def rmA(a: MergeAction): MergeAction = a match {
           case UpdateAction(c, assigns, fromStar) =>
             UpdateAction(c.map(remapAttrs(_, m)),
@@ -247,23 +247,29 @@ private[graft] object GraftDml {
       }
   }
 
-  /** The analyzed V1 snapshot plan of `path` plus the name-resolved map
-    * from a V2 relation's attribute ids onto it — what lets a resolved
-    * DML statement over the payload-schema V2 relation re-root on the
-    * meta-column-carrying snapshot the row-level commands need. */
-  def snapshotRemap(session: SparkSession, path: String,
-      relOutput: Seq[Attribute])
+  /** The analyzed V1 snapshot plan of the V2 relation's table plus the
+    * name-resolved map from the relation's attribute ids onto it — what
+    * lets a resolved DML statement over the payload-schema V2 relation
+    * re-root on the meta-column-carrying snapshot the row-level commands
+    * need. Uses the TABLE's empty-state-aware snapshot (a DML statement
+    * against a created-but-empty table is a legal no-op, not a planning
+    * error). */
+  def snapshotRemap(session: SparkSession,
+      rel: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2Relation)
       : (LogicalPlan, Map[org.apache.spark.sql.catalyst.expressions.ExprId,
          Attribute]) = {
-    val snap = graft.read.SnapshotReader.read(session, path)
-      .queryExecution.analyzed
+    val relOutput = rel.output
+    val snap = rel.table.asInstanceOf[graft.sources.GraftV2Table]
+      .snapshotDf(session).queryExecution.analyzed
     val resolver = session.sessionState.conf.resolver
     val m = relOutput.flatMap(a =>
       snap.output.find(s => resolver(s.name, a.name)).map(a.exprId -> _))
       .toMap
     require(m.size == relOutput.size,
       s"cannot map V2 relation columns ${relOutput.map(_.name)} onto the " +
-        s"snapshot of $path (columns ${snap.output.map(_.name)})")
+        s"snapshot of ${rel.table.name()} (columns " +
+        s"${snap.output.map(_.name)})")
     (snap, m)
   }
 

@@ -132,6 +132,13 @@ object MultiTableTxn {
             bloomCols = bc, bloomBits = bb, precombine = pc,
             publish = Some(capture))
             .commit(w.updates, w.deletes, col(key), col(part), ts)
+        // a no-op member never invoked the publish hook (the MOR delta
+        // path returns silently on empty frames; COW throws): refuse the
+        // WHOLE transaction loudly before anything publishes, instead of
+        // committing the other members and then failing the ts lookup
+        require(staged.exists(_.path == w.basePath),
+          s"transaction member ${w.basePath} produced no effects (empty " +
+            "frames?); drop the member or give it rows")
       }
       beforePublish()
 
@@ -141,8 +148,11 @@ object MultiTableTxn {
       // the journal makes a crash INSIDE the publish sequence recoverable
       // (roll forward once any member promoted, roll back otherwise —
       // [[recover]]).
-      val order = staged.sortBy(s =>
-        new org.apache.hadoop.fs.Path(s.path).toString).toSeq
+      // order by the QUALIFIED path — the same key the per-table monitors
+      // use — so two txns naming the same tables under different spellings
+      // still acquire in one total order (raw-string order could deadlock)
+      val qualify = writes.map(_.basePath).zip(qualified).toMap
+      val order = staged.sortBy(s => qualify(s.path)).toSeq
       val txnId = java.util.UUID.randomUUID().toString
       val members = order.map(s => Member(s.path, s.ts, s.action))
       def nest(i: Int): Unit =
@@ -155,13 +165,31 @@ object MultiTableTxn {
           // stage every member's commit BODY (validate re-runs under the
           // held locks — free of races by construction), then journal the
           // member list on EVERY member before the first promote
-          order.foreach(s =>
-            s.tl.stageCommitOccLocked(s.ts, s.meta, s.action, s.readPoint,
-              s.conflictOnAny))
           val hconf = spark.sessionState.newHadoopConf()
-          order.foreach(s => writeManifest(hconf, s.tl, txnId, members))
-          order.foreach(s => s.tl.promoteStagedLocked(s.ts, s.action))
-          order.foreach(s => clearManifest(hconf, s.tl, txnId))
+          var promoted = false
+          try {
+            order.foreach(s =>
+              s.tl.stageCommitOccLocked(s.ts, s.meta, s.action, s.readPoint,
+                s.conflictOnAny))
+            order.foreach(s => writeManifest(hconf, s.tl, txnId, members))
+            order.foreach { s =>
+              s.tl.promoteStagedLocked(s.ts, s.action)
+              promoted = true
+            }
+            order.foreach(s => clearManifest(hconf, s.tl, txnId))
+          } catch {
+            case t: Throwable =>
+              // failed before anything became visible: discard the staged
+              // bodies + journal copies so nothing is left for recovery to
+              // misread (after the first promote, recovery rolls forward)
+              if (!promoted) {
+                order.foreach(s =>
+                  scala.util.Try(s.tl.discardStagedLocked(s.ts, s.action)))
+                order.foreach(s =>
+                  scala.util.Try(clearManifest(hconf, s.tl, txnId)))
+              }
+              throw t
+          }
         } else order(i).tl.withLock(nest(i + 1))
       nest(0)
 
@@ -247,7 +275,10 @@ object MultiTableTxn {
           Member(p, ts, a)
         }.toSeq
         val tls = members.map(m => m -> Timeline(conf, m.path))
-          .sortBy(_._1.path)
+          .sortBy { case (m, _) =>
+            val p = new org.apache.hadoop.fs.Path(m.path)
+            p.getFileSystem(conf).makeQualified(p).toString
+          }
         var action: Option[String] = None
         def nest(i: Int): Unit =
           if (i == tls.size) {
@@ -256,7 +287,9 @@ object MultiTableTxn {
             if (!fs.exists(st.getPath)) return
             val done = tls.count { case (m, t) => t.instantAt(m.ts).nonEmpty }
             if (done > 0) {
-              tls.foreach { case (m, t) => t.promoteStagedLocked(m.ts, m.action) }
+              tls.foreach { case (m, t) =>
+                t.promoteStagedLocked(m.ts, m.action,
+                  allowAlreadyPromoted = true) }
               action = Some(s"forward:$id")
             } else {
               tls.foreach { case (m, t) => t.discardStagedLocked(m.ts, m.action) }

@@ -236,6 +236,32 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(sources.GraftTable(spark, s"$wh/ns/t11").commits.size == 5)
   }
 
+  test("DML on a created-but-EMPTY catalog table is a legal no-op, not a crash") {
+    val t = freshTable("t14")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '1')""")
+    // row-level statements against zero rows: all no-ops (the extension's
+    // V2 remap must use the empty-state-aware snapshot, like SELECT does)
+    spark.sql(s"DELETE FROM $t WHERE id % 7 = 0")
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE id = 5")
+    Seq((1L, "a", 1L)).toDF("id", "part", "v")
+      .createOrReplaceTempView("dsv2_empty_src")
+    spark.sql(s"""MERGE INTO $t tt USING dsv2_empty_src s ON tt.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // the MERGE's not-matched insert is the only effect
+    assert(spark.sql(s"SELECT id, v FROM $t").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 1L)))
+  }
+
+  test("catalog identifiers cannot escape the warehouse directory") {
+    conf()
+    val e = intercept[Exception](
+      spark.sql(s"DROP TABLE $cat.`..`.`..`.`etc`"))
+    assert(e.getMessage.contains("illegal catalog identifier") ||
+      e.getMessage.contains("escape"), e.getMessage)
+  }
+
   test("COUNT(*) pushdown: answered from commit metadata, zero file reads") {
     val t = freshTable("t12")
     spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)

@@ -85,6 +85,29 @@ class TxnSpec extends SparkSpec {
     assert(snap(a) == Map(1L -> 11L) && snap(b) == Map(1L -> 101L))
   }
 
+  test("a no-effect MOR member fails the WHOLE txn loudly before any publish") {
+    val a = freshDir("txn_i"); val b = freshDir("txn_j")
+    mkTable(a, Seq((1L, "x", 10L)))
+    mkTable(b, Seq((1L, "x", 100L)), tpe = "mor")
+    val beforeA = snap(a)
+    // b's frames filter to zero rows: the MOR delta write no-ops without
+    // publishing — the txn must refuse BEFORE a's commit publishes
+    val e = intercept[IllegalArgumentException] {
+      MultiTableTxn.commit(spark, Seq(
+        MultiTableTxn.TableWrite(a,
+          updates = Some(Seq((1L, "x", 11L)).toDF("id", "part", "v"))),
+        MultiTableTxn.TableWrite(b,
+          updates = Some(Seq((2L, "y", 2L)).toDF("id", "part", "v")
+            .filter(col("v") > 1000)))))
+    }
+    assert(e.getMessage.contains("no effects"), e.getMessage)
+    assert(snap(a) == beforeA, "partial txn effect leaked")
+    Seq(a, b).foreach { d =>
+      val tl = Timeline(spark.sessionState.newHadoopConf(), d)
+      assert(tl.reservedTss().isEmpty, s"leaked reservation at $d")
+    }
+  }
+
   test("journal recovery: crash mid-publish rolls FORWARD, crash pre-publish rolls BACK") {
     import graft.write.MultiTableTxn
     val a = freshDir("txn_g"); val b = freshDir("txn_h")

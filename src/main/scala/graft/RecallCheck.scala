@@ -121,7 +121,15 @@ object RecallCheck {
     // pure read-path knobs probed against the same index.
     def ivfpqIndex(residual: Boolean)
         : (Int, Int) => Double = {
-      val dir = s"/tmp/graft_recall_ivfpq_$residual"
+      // per-RUN temp dir (not a fixed /tmp path): concurrent RecallCheck
+      // runs must not overwrite each other's index mid-measurement, and
+      // the JVM exit hook reclaims it
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_recall_ivfpq_$residual")
+        .toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir))))
       val (pqCents, pqBooks) = Similarity.ivfPqWrite(embs, col("vec_id"),
         col("embedding"), dir, dim = 64, nlist = nlist,
         residual = residual)

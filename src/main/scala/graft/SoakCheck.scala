@@ -41,13 +41,18 @@ object SoakCheck {
   private final class Metrics extends SparkListener {
     @volatile var jobs = 0
     @volatile var stages = 0
+    @volatile var taskEnds = 0
     @volatile var maxTaskInput = 0L
     @volatile var maxTaskShuffleRead = 0L
+    /** Snapshot for stability polling (events post async). */
+    def fingerprint: (Int, Int, Int, Long, Long) =
+      (jobs, stages, taskEnds, maxTaskInput, maxTaskShuffleRead)
     override def onJobStart(j: SparkListenerJobStart): Unit =
       synchronized { jobs += 1 }
     override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
       synchronized { stages += 1 }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+      taskEnds += 1
       val m = t.taskMetrics
       if (m != null) {
         maxTaskInput = math.max(maxTaskInput, m.inputMetrics.bytesRead)
@@ -80,8 +85,19 @@ object SoakCheck {
       val t1 = System.nanoTime()
       val rows = action(df)
       val t2 = System.nanoTime()
-      // listener events post async (no public drain hook) — settle briefly
-      Thread.sleep(1500)
+      // listener events post async (no public drain hook) — poll until the
+      // event counts are STABLE instead of a fixed sleep: on a loaded host
+      // a fixed settle window misses late task-end events, undercounting
+      // maxTask* and letting the 2 GiB per-task gates pass vacuously
+      var last = m.fingerprint
+      var stableFor = 0
+      val deadline = System.currentTimeMillis() + 15000
+      while (stableFor < 3 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        val now = m.fingerprint
+        stableFor = if (now == last) stableFor + 1 else 0
+        last = now
+      }
       PathResult(name, rows, (t2 - t0) / 1e9, (t1 - t0) / 1000000L,
         m.jobs, m.stages, m.maxTaskInput >> 20, m.maxTaskShuffleRead >> 20)
     } finally spark.sparkContext.removeSparkListener(m)

@@ -146,7 +146,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROS; snapshot as of the
-    * corresponding UTC wall-clock commit ts (the auto-minted stamp form). */
+    * corresponding UTC wall-clock commit ts (the auto-minted 14-digit
+    * `yyyyMMddHHmmss` stamp form — SECOND granularity: sub-second micros
+    * truncate toward the earlier second, matching the stamps' own grain).
+    * Validated here like `VERSION AS OF`: the derived ts must be
+    * comparable against this table's ts width and not predate its first
+    * commit — otherwise the failure would surface later as a misleading
+    * "records no schema" state error. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val path = tablePath(ident)
     if (!isTableDir(path)) throw new NoSuchTableException(ident)
@@ -154,6 +160,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.EPOCH.plus(
         timestamp, java.time.temporal.ChronoUnit.MICROS))
+    Timeline(hconf, path).completedInstants().headOption.foreach { first =>
+      require(first.ts.length == ts.length,
+        s"TIMESTAMP AS OF needs wall-clock (${ts.length}-digit) commit " +
+          s"timestamps; table $ident stamps at width ${first.ts.length} " +
+          s"(e.g. '${first.ts}') — use VERSION AS OF '<commitTs>' instead")
+      require(first.ts <= ts,
+        s"TIMESTAMP AS OF $ts predates table $ident's first commit " +
+          s"${first.ts}; no snapshot exists that early")
+    }
     new GraftV2Table(ident.toString, path, asOf = Some(ts))
   }
 
@@ -335,6 +350,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
       metadata: JMap[String, String]): Unit = {
+    // a TABLE directory must never double as a namespace (its files would
+    // become phantom "tables"/"namespaces" and dropNamespace a table wipe)
+    require(!isTableDir(nsPath(namespace)),
+      s"${namespace.mkString(".")} is a table, not a namespace")
     val p = new org.apache.hadoop.fs.Path(nsPath(namespace))
     fs(p).mkdirs(p)
   }
@@ -346,6 +365,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
+    // guard directly (not only via Spark's namespaceExists pre-check):
+    // a raw API call dropNamespace(Array("ns","tbl"), cascade=true) must
+    // not recursively delete a TABLE directory
+    require(!isTableDir(nsPath(namespace)),
+      s"${namespace.mkString(".")} is a table, not a namespace " +
+        "(use dropTable)")
     val p = new org.apache.hadoop.fs.Path(nsPath(namespace))
     val f = fs(p)
     if (!f.exists(p)) return false
@@ -452,10 +477,12 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
     val s = spark
     val victims = filters.flatMap(f => GraftMorRelation.toColumn(f))
       .foldLeft(snapshotDf(s))(_ filter _)
-    // matching nothing is a legal no-op (the writers refuse empty commits)
-    if (victims.isEmpty) return
-    FormatWriter.append(s, path, Map("operation" -> "delete"), victims,
+    // matching nothing is a legal no-op: the writer detects the empty
+    // commit INSIDE its own job (no separate `victims.isEmpty` pre-probe —
+    // that would execute the filtered snapshot plan twice per DELETE)
+    try FormatWriter.append(s, path, Map("operation" -> "delete"), victims,
       Map.empty)
+    catch { case _: FormatWriter.EmptyCommitException => () }
   }
 
   override def toString: String = s"GraftV2Table($ident)"
@@ -605,9 +632,7 @@ private final class GraftV2WriteBuilder(path: String) extends WriteBuilder
           try FormatWriter.write(spark, path, mode, Map("path" -> path), data)
           catch {
             // inserting zero rows is a legal no-op, not a commit
-            case e: IllegalArgumentException
-                if e.getMessage != null &&
-                  e.getMessage.contains("empty commit") => ()
+            case _: FormatWriter.EmptyCommitException => ()
           }
         }
       }

@@ -140,7 +140,8 @@ final class CowWriter(
         .reduceOption(_ unionByName _)
         .map(_.distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq)
         .getOrElse(Seq.empty)
-    require(touched.nonEmpty, "empty commit: no updates and no deletes")
+    if (touched.isEmpty) throw new FormatWriter.EmptyCommitException(
+      "empty commit: no updates and no deletes")
 
     val slices = timeline.latestSlices(None)
     val prevByFid: Map[String, FileSlice] =

@@ -51,6 +51,15 @@ import org.apache.spark.sql.functions.col
   */
 private[graft] object FormatWriter {
 
+  /** Thrown by the writers when a commit would record NO effects (a frame
+    * matching zero rows). Callers for whom an empty write is a legal no-op
+    * (streaming sinks on empty micro-batches, catalog INSERT of zero rows,
+    * DELETE matching nothing) catch THIS type — never a message substring,
+    * which rewording would silently break. Extends IllegalArgumentException
+    * so callers treating it as a caller error keep working unchanged. */
+  final class EmptyCommitException(msg: String)
+      extends IllegalArgumentException(msg)
+
   /** Commit-extra key carrying the micro-batch id a streaming-sink commit
     * belongs to — the exactly-once replay gate (the commit log plays the
     * role of the file sink's `_spark_metadata` batch log). */
@@ -534,8 +543,7 @@ private[graft] final class GraftStreamSink(spark: SparkSession,
       extra = Map(FormatWriter.BatchIdKey -> batchId.toString) ++
         qid.map(FormatWriter.QueryIdKey -> _))
     catch {
-      case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("empty commit") =>
+      case _: FormatWriter.EmptyCommitException =>
         () // empty COW micro-batch: nothing to land
     }
   }

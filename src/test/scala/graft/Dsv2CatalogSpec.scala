@@ -262,6 +262,31 @@ class Dsv2CatalogSpec extends SparkSpec {
       e.getMessage.contains("escape"), e.getMessage)
   }
 
+  test("namespace verbs refuse TABLE directories; TIMESTAMP AS OF is validated") {
+    val t = freshTable("t15")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '1')""")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a')")
+    val catalog = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.sources.GraftCatalog]
+    // a direct API dropNamespace(ns=the table dir, cascade) must refuse —
+    // containment must not depend on Spark's namespaceExists pre-check
+    val d = intercept[IllegalArgumentException](
+      catalog.dropNamespace(Array("ns", "t15"), true))
+    assert(d.getMessage.contains("is a table"), d.getMessage)
+    val c = intercept[IllegalArgumentException](
+      catalog.createNamespace(Array("ns", "t15"),
+        java.util.Collections.emptyMap[String, String]()))
+    assert(c.getMessage.contains("is a table"), c.getMessage)
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head == 1L)
+    // TIMESTAMP AS OF before the table existed: a clear time-travel error
+    // at resolution, not a late "records no schema" state error
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect())
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
   test("COUNT(*) pushdown: answered from commit metadata, zero file reads") {
     val t = freshTable("t12")
     spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)

@@ -18,7 +18,8 @@ import scala.collection.mutable
   * O(#commits) listing, never a data-dir scan.
   */
 final class Timeline(val fs: FileSystem, val basePath: Path,
-    lock: TableLock = TableLock.JvmOnly) {
+    lock: TableLock = TableLock.JvmOnly,
+    val reserveTtlMs: Long = Timeline.DefaultReserveTtlMs) {
   val hoodieDir = new Path(basePath, Timeline.MetaDir)
 
   /** Commit critical section: the JVM per-table lock (same-driver
@@ -370,9 +371,19 @@ final class Timeline(val fs: FileSystem, val basePath: Path,
   /** Atomically reserve commit ts `ts` for a writer about to stamp data
     * files with it: a `<ts>.reserved` marker created without overwrite —
     * at most one concurrent writer wins a given ts (Hudi's requested-
-    * instant analog). Cleared by the eventual [[saveCommit]]; a marker
-    * orphaned by a crashed writer merely makes [[reservedTss]] skip that
-    * ts forever (harmless — the ts space is unbounded). */
+    * instant analog). Cleared by the eventual [[saveCommit]].
+    *
+    * The marker body is a LEASE EXPIRY epoch-ms (`now + reserveTtlMs`,
+    * mirroring [[FsLock]]'s lease): a marker orphaned by a crashed writer
+    * stops shielding that writer's debris once the lease runs out, so
+    * [[graft.write.TableMaintenance.sweepOrphans]] can reclaim the
+    * crash's data files, staging dirs, and staged commit bodies instead
+    * of protecting them forever. The lease must outlast any data job
+    * that stamps files with the ts (default 24 h; raise
+    * `graft.reserve.ttlMs` for longer jobs). Minting ([[reservedTss]])
+    * still skips EXPIRED markers' timestamps — only the sweep, which
+    * deletes the debris in the same pass, clears them; re-minting a
+    * crashed ts before its debris is gone could collide file names. */
   def reserve(ts: String): Boolean = {
     require(ts.nonEmpty && ts.forall(_.isDigit),
       s"commit ts must be numeric (digits only), got '$ts'")
@@ -388,8 +399,11 @@ final class Timeline(val fs: FileSystem, val basePath: Path,
         return false
       try {
         fs.mkdirs(hoodieDir)
-        fs.create(new Path(hoodieDir, ts + Timeline.ReservedSuffix),
-          false).close()
+        val out = fs.create(
+          new Path(hoodieDir, ts + Timeline.ReservedSuffix), false)
+        try out.write((System.currentTimeMillis() + reserveTtlMs).toString
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
         true
       } catch { case _: java.io.IOException => false }
     }
@@ -403,14 +417,33 @@ final class Timeline(val fs: FileSystem, val basePath: Path,
     if (instantAt(ts).isEmpty)
       fs.delete(new Path(hoodieDir, ts + Timeline.ReservedSuffix), false)
 
-  /** Currently reserved (not yet completed) commit timestamps. */
-  def reservedTss(): Seq[String] =
-    if (!Timeline.retryOnce(fs.exists(hoodieDir))) Seq.empty
+  /** Currently reserved (not yet completed) commit timestamps — EXPIRED
+    * leases included (minting must keep skipping a crashed ts until the
+    * sweep reclaims its debris; see [[reserve]]). */
+  def reservedTss(): Seq[String] = reservationExpiries().keys.toSeq.sorted
+
+  /** Reservation lease expiries: ts → expiry epoch-ms. Markers whose body
+    * predates lease recording (or is unreadable) fall back to the marker
+    * file's mtime + this table's ttl — conservative for live writers,
+    * still finitely reclaimable. One listing + one tiny read per marker
+    * (there are O(#concurrent writers) of them). */
+  def reservationExpiries(): Map[String, Long] =
+    if (!Timeline.retryOnce(fs.exists(hoodieDir))) Map.empty
     else Timeline.retryOnce(fs.listStatus(hoodieDir)).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.endsWith(Timeline.ReservedSuffix) =>
-        n.stripSuffix(Timeline.ReservedSuffix) }
-      .sorted
+      .filter(_.getPath.getName.endsWith(Timeline.ReservedSuffix))
+      .map { st =>
+        val ts = st.getPath.getName.stripSuffix(Timeline.ReservedSuffix)
+        val fromBody: Option[Long] =
+          try {
+            val in = fs.open(st.getPath)
+            val s = try new String(
+              org.apache.commons.io.IOUtils.toByteArray(in),
+              StandardCharsets.UTF_8)
+            finally in.close()
+            s.trim.toLongOption
+          } catch { case _: java.io.IOException => None }
+        ts -> fromBody.getOrElse(st.getModificationTime + reserveTtlMs)
+      }.toMap
 
   /** SAVEPOINT a completed instant: a `<ts>.savepoint` marker pinning that
     * snapshot against reclamation — [[graft.write.TableMaintenance.clean]]
@@ -625,6 +658,14 @@ object Timeline {
   val SavepointSuffix = ".savepoint"
   val ArchiveDir = "archive"
 
+  /** Hadoop-conf key for the reservation lease (`spark.hadoop.` prefixed
+    * in Spark confs), and its default: long enough to outlast any data
+    * job that stamps files with a reserved ts — the lease gates DEBRIS
+    * RECLAMATION after a crash, not liveness, so erring long only delays
+    * cleanup. */
+  val ReserveTtlKey = "graft.reserve.ttlMs"
+  val DefaultReserveTtlMs: Long = 24L * 60 * 60 * 1000
+
   // Parsed archive manifests, JVM-wide: manifests are immutable once
   // published, so one decode serves every Timeline instance. Keyed by
   // (qualified path, mtime, length) — a table recreated at the same path
@@ -662,6 +703,7 @@ object Timeline {
   def apply(conf: Configuration, basePath: String): Timeline = {
     val p = new Path(basePath)
     val fs = p.getFileSystem(conf)
-    new Timeline(fs, p, TableLock.fromConf(conf, fs, p))
+    new Timeline(fs, p, TableLock.fromConf(conf, fs, p),
+      conf.getLong(ReserveTtlKey, DefaultReserveTtlMs))
   }
 }

@@ -338,4 +338,76 @@ class MaintenanceSpec extends SparkSpec {
     assert(TableMaintenance.sweepOrphans(spark, dir, 0) ==
       Seq(s"F/F-0_$C4.parquet"))
   }
+
+  test("reservation lease expiry: a crashed writer's debris is reclaimed; a live lease survives") {
+    val dir = freshDir("lease_sweep")
+    new CowWriter(spark, dir, numBuckets = 2)
+      .insert(orders, col("o_orderkey"), col("o_orderstatus"), C1)
+    val tlBase = Timeline(spark.sessionState.newHadoopConf(), dir)
+    val fs = tlBase.fs
+    def p(rel: String) = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+
+    // "crashed writer": reserved under a 50 ms lease, then hard-killed —
+    // nothing ever releases the marker; it left a stamped data file, a
+    // staging dir, and a staged commit body
+    val tlShort = new graft.format.Timeline(fs, tlBase.basePath,
+      reserveTtlMs = 50)
+    assert(tlShort.reserve(C2))
+    fs.create(p(s"F/F-0_$C2.parquet"), true).close()
+    fs.mkdirs(p(s".tmp_${C2}_0"))
+    fs.create(p(s".hoodie/$C2.commit.inflight"), true).close()
+
+    // "live writer": reserved under the default (24 h) lease mid-data-job
+    assert(tlBase.reserve(C3))
+    fs.create(p(s"O/O-1_$C3.parquet"), true).close()
+    fs.mkdirs(p(s".tmp_${C3}_0"))
+
+    Thread.sleep(120) // the short lease runs out; the default one cannot
+    val swept = TableMaintenance.sweepOrphans(spark, dir, olderThanMs = 0)
+    assert(swept.toSet == Set(s"F/F-0_$C2.parquet", s".tmp_${C2}_0",
+      s"$C2.commit.inflight",
+      s"$C2${graft.format.Timeline.ReservedSuffix}"),
+      s"expected exactly the crashed writer's debris, got $swept")
+    assert(!fs.exists(p(s".hoodie/$C2${graft.format.Timeline.ReservedSuffix}")))
+    // the live writer's artifacts all survive, and its reservation holds
+    assert(fs.exists(p(s"O/O-1_$C3.parquet")))
+    assert(fs.exists(p(s".tmp_${C3}_0")))
+    assert(tlBase.reservedTss().contains(C3))
+    // the table itself is untouched
+    assert(SnapshotReader.read(spark, dir).count() == orders.count())
+    tlBase.unreserve(C3)
+    fs.delete(p(s"O/O-1_$C3.parquet"), false)
+    fs.delete(p(s".tmp_${C3}_0"), true)
+  }
+
+  test("sweep skips txn-JOURNALED staged bodies (recovery owns them) and clears superseded markers") {
+    val dir = freshDir("journal_sweep")
+    new CowWriter(spark, dir, numBuckets = 2)
+      .insert(orders, col("o_orderkey"), col("o_orderstatus"), C1)
+    val tl = Timeline(spark.sessionState.newHadoopConf(), dir)
+    val fs = tl.fs
+    def p(rel: String) = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+
+    // a JOURNALED staged body (crash mid-publish): sweep must leave it for
+    // MultiTableTxn.recover no matter how old it is
+    fs.create(p(s".hoodie/$C2.commit.inflight"), true).close()
+    fs.mkdirs(p(".hoodie/txn"))
+    val out = fs.create(p(".hoodie/txn/t1.txn"), true)
+    out.write(s"$dir\t$C2\tcommit".getBytes("UTF-8")); out.close()
+    assert(TableMaintenance.sweepOrphans(spark, dir, 0).isEmpty,
+      "journaled staged bodies belong to recovery, not the sweep")
+    assert(fs.exists(p(s".hoodie/$C2.commit.inflight")))
+    // journal gone (recovery completed) → the body is sweepable debris
+    fs.delete(p(".hoodie/txn/t1.txn"), false)
+    assert(TableMaintenance.sweepOrphans(spark, dir, 0) ==
+      Seq(s"$C2.commit.inflight"))
+
+    // a marker whose instant COMPLETED (crash between commit rename and
+    // marker delete): pure debris, cleared even inside its lease
+    fs.create(p(s".hoodie/$C1${graft.format.Timeline.ReservedSuffix}"),
+      true).close()
+    assert(TableMaintenance.sweepOrphans(spark, dir, 0) ==
+      Seq(s"$C1${graft.format.Timeline.ReservedSuffix}"))
+    assert(SnapshotReader.read(spark, dir).count() == orders.count())
+  }
 }

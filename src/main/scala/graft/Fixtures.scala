@@ -397,14 +397,22 @@ object Fixtures {
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       val tbl = s"$cat.main.orders_ins"
       val dir = s"$wh/main/orders_ins"
-      if (!complete(spark, dir, 4)) {
+      // r9: o_totalprice is a DECLARED stats column (feeds the DSv2
+      // min/max metadata pushdown, q_v2_minmax) — rebuild a cached
+      // fixture from before the declaration
+      def statsDeclared = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), dir)
+        .recordedExtraAsOf(graft.write.FormatWriter.StatsColsKey, None)
+        .contains("o_totalprice")
+      if (!complete(spark, dir, 4) || !statsDeclared) {
         rm(spark, dir)
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
         spark.read.parquet(s"$sfDir/orders.parquet")
           .createOrReplaceTempView("graft_dsv2_src")
         spark.sql(
           s"""CREATE TABLE $tbl PARTITIONED BY (o_orderstatus)
-             |TBLPROPERTIES (key 'o_orderkey', buckets '8')
+             |TBLPROPERTIES (key 'o_orderkey', buckets '8',
+             |  stats 'o_totalprice')
              |AS SELECT * FROM graft_dsv2_src WHERE o_orderkey % 2 = 0"""
             .stripMargin)
         spark.sql(

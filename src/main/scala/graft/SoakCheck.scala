@@ -85,15 +85,18 @@ object SoakCheck {
       val t1 = System.nanoTime()
       val rows = action(df)
       val t2 = System.nanoTime()
-      // listener events post async (no public drain hook) — poll until the
-      // event counts are STABLE instead of a fixed sleep: on a loaded host
-      // a fixed settle window misses late task-end events, undercounting
-      // maxTask* and letting the 2 GiB per-task gates pass vacuously
+      // listener events post async — drain the bus exactly (the same
+      // private[spark] hook Spark's own tests use), then poll briefly
+      // until the counts are stable: a fixed sleep misses late task-end
+      // events on a loaded host, undercounting maxTask* and letting the
+      // 2 GiB per-task gates pass vacuously
+      org.apache.spark.sql.graft.Bridge
+        .waitForListeners(spark.sparkContext)
       var last = m.fingerprint
       var stableFor = 0
-      val deadline = System.currentTimeMillis() + 15000
-      while (stableFor < 3 && System.currentTimeMillis() < deadline) {
-        Thread.sleep(100)
+      val deadline = System.currentTimeMillis() + 5000
+      while (stableFor < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
         val now = m.fingerprint
         stableFor = if (now == last) stableFor + 1 else 0
         last = now

@@ -154,6 +154,18 @@ object SparkEntry {
       val (_, tbl) = Fixtures.dsv2Dir(s, d)
       s.sql(s"SELECT count(*) AS n FROM $tbl")
     }),
+    // q_v2_minmax (r9): grouped MIN/MAX/COUNT answered ENTIRELY from the
+    // commit-recorded column-stats index on the delta-free catalog table
+    // (GraftMetaAggScan — zero file reads, plan-asserted in
+    // Dsv2CatalogSpec; at 100 TB `SELECT max(ts)` must be a metadata
+    // walk, not a scan), values hash-gated against the DuckDB oracle.
+    "q_v2_minmax" -> ((s, d) => {
+      val (_, tbl) = Fixtures.dsv2Dir(s, d)
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+        count(o_totalprice) AS n_price,
+        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
     // q_mat_view: incrementally maintained materialized aggregate — the
     // view table is refreshed from the source's CHANGE FEED (update
     // pre-images subtract old contributions; deletes empty groups out of
@@ -1191,6 +1203,15 @@ object SparkEntry {
       ("SELECT count(*) AS n FROM orders " +
         "WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
         "AND o_orderstatus <> 'F'"),
+    // the upserted rows (%3 == 0) carry o_totalprice + 100000
+    "q_v2_minmax" ->
+      ("SELECT o_orderstatus, count(*) AS n, count(price) AS n_price, " +
+        "min(price) AS min_price, max(price) AS max_price FROM " +
+        "(SELECT o_orderstatus, CASE WHEN o_orderkey % 3 = 0 " +
+        "THEN o_totalprice + 100000 ELSE o_totalprice END AS price " +
+        "FROM orders WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
+        "AND o_orderstatus <> 'F') " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // maintained view ≡ full GROUP BY of the final source state (the
     // fixture's C2 update + C3 delete arithmetic replayed directly)
     "q_mat_view" ->

@@ -181,7 +181,7 @@ object GraftFileIndex {
     * the file's column is entirely null. `bloom` is the decoded
     * k-prefixed bitset payload when the writer recorded one
     * ([[graft.format.Bloom]]). */
-  private[read] final case class FileColStat(
+  private[graft] final case class FileColStat(
       dataType: DataType,
       min: Option[Any],
       max: Option[Any],
@@ -191,8 +191,9 @@ object GraftFileIndex {
 
   /** Parse one file's recorded stats against the relation's data schema.
     * Columns missing from the schema (or failing to parse) are dropped —
-    * skipping stays conservative. */
-  private[read] def parse(stats: Map[String, ColStat],
+    * skipping stays conservative. (Shared with the DSv2 metadata-aggregate
+    * pushdown, [[graft.sources.GraftCatalog]].) */
+  private[graft] def parse(stats: Map[String, ColStat],
       schema: StructType): Map[String, FileColStat] = {
     val tz = Some(org.apache.spark.sql.internal.SQLConf.get
       .sessionLocalTimeZone)

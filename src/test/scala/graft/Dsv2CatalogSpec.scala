@@ -299,14 +299,22 @@ class Dsv2CatalogSpec extends SparkSpec {
     val q = spark.sql(s"SELECT count(*) FROM $t")
     assert(q.as[Long].head == 7L)
     assert(q.queryExecution.executedPlan.toString
-      .contains("GraftMetaCountScan"),
+      .contains("GraftMetaAggScan"),
       s"count(*) not metadata-answered:\n${q.queryExecution.executedPlan}")
     assert(q.inputFiles.isEmpty, "metadata count must read no files")
-    // filtered counts are NOT pushed (still correct through the scan)
+    // PARTITION-only filters are evaluated against the metadata (r9)
     val qf = spark.sql(s"SELECT count(*) FROM $t WHERE part = 'p1'")
-    assert(!qf.queryExecution.executedPlan.toString
-      .contains("GraftMetaCountScan"))
+    assert(qf.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"),
+      s"partition-filtered count not metadata-answered:\n" +
+        qf.queryExecution.executedPlan)
     assert(qf.as[Long].head == 3L)
+    assert(qf.inputFiles.isEmpty)
+    // non-partition filters decline (still correct through the scan)
+    val qnf = spark.sql(s"SELECT count(*) FROM $t WHERE v <= 3")
+    assert(!qnf.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"))
+    assert(qnf.as[Long].head == 3L)
     // MOR with outstanding deltas: declined, merged count still correct
     val m = freshTable("t13")
     spark.sql(s"""CREATE TABLE $m (id BIGINT, part STRING)
@@ -315,8 +323,62 @@ class Dsv2CatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $m VALUES (2, 'a'), (3, 'a')") // delta upsert
     val qm = spark.sql(s"SELECT count(*) FROM $m")
     assert(!qm.queryExecution.executedPlan.toString
-      .contains("GraftMetaCountScan"))
+      .contains("GraftMetaAggScan"))
     assert(qm.as[Long].head == 3L)
+  }
+
+  test("MIN/MAX/COUNT(col) pushdown from the column-stats index, grouped by partition") {
+    val t = freshTable("t16")
+    // v is a DECLARED stats column; w is not (its extrema must decline)
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT, w BIGINT)
+      PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '2', stats 'v')""")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      ((1 to 9).map(i => s"($i, 'p${i % 3}', ${i * 10}, $i)") :+
+        "(10, 'p0', NULL, NULL)").mkString(", "))
+    spark.sql(s"DELETE FROM $t WHERE id = 9") // rewrite refreshes stats
+
+    // ungrouped MIN/MAX/COUNT(v): pure metadata, zero file reads
+    val q = spark.sql(
+      s"SELECT min(v) AS mn, max(v) AS mx, count(v) AS cv, count(*) AS n FROM $t")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+      s"min/max not metadata-answered:\n${q.queryExecution.executedPlan}")
+    assert(q.inputFiles.isEmpty)
+    assert(q.as[(Long, Long, Long, Long)].head == ((10L, 80L, 8L, 9L)))
+
+    // grouped by the partition column: one metadata row per partition
+    val g = spark.sql(
+      s"SELECT part, min(v) AS mn, max(v) AS mx, count(*) AS n FROM $t " +
+        "GROUP BY part ORDER BY part")
+    assert(g.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+      s"grouped min/max not metadata-answered:\n${g.queryExecution.executedPlan}")
+    assert(g.inputFiles.isEmpty)
+    assert(g.as[(String, Option[Long], Option[Long], Long)].collect().toSeq ==
+      Seq(("p0", Some(30L), Some(60L), 3L), ("p1", Some(10L), Some(70L), 3L),
+        ("p2", Some(20L), Some(80L), 3L)))
+
+    // partition-filtered + grouped composes
+    val f = spark.sql(
+      s"SELECT part, max(v) AS mx FROM $t WHERE part >= 'p1' " +
+        "GROUP BY part ORDER BY part")
+    assert(f.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"))
+    assert(f.as[(String, Long)].collect().toSeq ==
+      Seq(("p1", 70L), ("p2", 80L)))
+
+    // an UNDECLARED stats column declines to the ordinary scan, correctly
+    val u = spark.sql(s"SELECT min(w) AS mw FROM $t")
+    assert(!u.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"))
+    assert(u.as[Long].head == 1L)
+
+    // the same aggregates through the ordinary scan agree (cross-check the
+    // metadata answers against real data)
+    val real = spark.read.format("graft").load(s"$wh/ns/t16")
+      .groupBy("part")
+      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("n"))
+      .orderBy("part")
+      .as[(String, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(real == Seq(("p0", Some(30L), Some(60L), 3L),
+      ("p1", Some(10L), Some(70L), 3L), ("p2", Some(20L), Some(80L), 3L)))
   }
 
   test("plan parity: configuring the catalog changes no existing plan") {

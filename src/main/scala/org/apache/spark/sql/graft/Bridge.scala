@@ -6,6 +6,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
 
+/** Re-export of the `private[sql]` V1-streaming-fallback table hook: a
+  * DSv2 Table implementing this resolves `readStream.table(...)` /
+  * `writeStream.toTable(...)` through its [[v1Table]]'s provider (the
+  * registered V1 Source/Sink) when it lacks MICRO_BATCH_READ /
+  * STREAMING_WRITE — the exact mechanism Delta Lake ships catalog
+  * streaming through. Implemented by [[graft.sources.GraftV2Table]]. */
+trait V1FallbackTable
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
 /** Access bridge for `private[sql]` internals — the supported pattern for
   * libraries that register native Catalyst expressions and custom relations
   * without going through string-parsed surfaces. Kept to a handful of minimal

@@ -381,6 +381,66 @@ class Dsv2CatalogSpec extends SparkSpec {
       ("p1", Some(10L), Some(70L), 3L), ("p2", Some(20L), Some(80L), 3L)))
   }
 
+  test("streaming reads: readStream.table == the format-path stream, exactly-once across restarts") {
+    val t = freshTable("t17")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',10), (2,'b',20)")
+    val base = "/tmp/graft_test/dsv2_stream"
+    Seq("sinkCat", "sinkFmt", "ckpCat", "ckpFmt").foreach(n =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$base/$n")))
+    import org.apache.spark.sql.streaming.Trigger
+    def drainCat(): Unit = {
+      val q = spark.readStream.table(t)
+        .writeStream.format("parquet")
+        .option("path", s"$base/sinkCat")
+        .option("checkpointLocation", s"$base/ckpCat")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def drainFmt(): Unit = {
+      val q = spark.readStream.format("graft").load(s"$wh/ns/t17")
+        .writeStream.format("parquet")
+        .option("path", s"$base/sinkFmt")
+        .option("checkpointLocation", s"$base/ckpFmt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def rows(dir: String): Seq[(Long, Long, String)] =
+      spark.read.parquet(dir)
+        .selectExpr("id", "v", MetaCols.CommitTime)
+        .as[(Long, Long, String)].collect().toSeq.sorted
+    drainCat(); drainFmt()
+    // the catalog stream IS the format stream: same rows, same meta cols
+    assert(rows(s"$base/sinkCat") == rows(s"$base/sinkFmt"))
+    assert(rows(s"$base/sinkCat").map(r => (r._1, r._2)) ==
+      Seq((1L, 10L), (2L, 20L)))
+    // restart from the SAME checkpoints after more commits: exactly-once
+    // on both surfaces — only the new commit's rows are appended
+    spark.sql(s"INSERT INTO $t VALUES (2,'b',99), (3,'a',30)")
+    drainCat(); drainFmt()
+    assert(rows(s"$base/sinkCat") == rows(s"$base/sinkFmt"))
+    assert(rows(s"$base/sinkCat").map(r => (r._1, r._2)).sorted ==
+      Seq((1L, 10L), (2L, 20L), (2L, 99L), (3L, 30L)))
+
+    // writeStream.toTable onto a second catalog table: the V1 sink
+    // fallback lands ordinary upsert commits (exactly-once replay gate)
+    val s2 = freshTable("t18")
+    spark.sql(s"""CREATE TABLE $s2 (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
+    val q2 = spark.readStream.table(t).select("id", "part", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$base/ckpToTable")
+      .trigger(Trigger.AvailableNow()).toTable(s2)
+    q2.awaitTermination(120000)
+    // table semantics: the upsert of id=2 resolves to its newest version
+    assert(spark.sql(s"SELECT id, v FROM $s2 ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 99L), (3L, 30L)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("plan parity: configuring the catalog changes no existing plan") {
     conf()
     // representative existing surfaces, planned with the catalog

@@ -114,6 +114,16 @@ object RecallCheck {
     }
     val pqAdcRecall = pqRecallAt(0)
     val pqRerankRecall = pqRecallAt(4 * k)
+    // r9: codebooks trained on a 25% hash-sample (the 100 TB default) —
+    // quantifies the recall cost of sampled training at the same rerank
+    val pqSampledRecall = {
+      val top = pairSet(Similarity.pqTopK(
+        embs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k, dim = 64, m = 8,
+        ksub = 16, rerank = 4 * k, trainFraction = 0.25))
+      if (bruteTop.isEmpty) 1.0
+      else (bruteTop & top).size.toDouble / bruteTop.size
+    }
 
     // IVF-PQ composed serving path (r8): realistic nprobe + rerank, and
     // the exhaustive setting that must reproduce brute force exactly.
@@ -148,6 +158,14 @@ object RecallCheck {
     val ivfpqRealistic = ivfpqRes(nlist / 2, 4 * k)
     val ivfpqRaw = ivfpqIndex(residual = false)(nlist / 2, 4 * k)
     val ivfpqExact = ivfpqRes(nlist, 1 << 30)
+    // r9 Pareto sweep over the SAME residual index: (nprobe, rerank) →
+    // recall, mapping the knob space a deployment tunes (read cost grows
+    // ~linearly in nprobe and in rerank; recall is what it buys)
+    val paretoProbes = Seq(1, math.max(1, nlist / 4), nlist / 2, nlist)
+      .distinct
+    val paretoReranks = Seq(k, 4 * k, 16 * k)
+    val pareto = for (np <- paretoProbes; rr <- paretoReranks)
+      yield (np, rr, ivfpqRes(np, rr))
 
     val minhashOk = missed == 0 && extra == 0
     val embOk = falsePos == 0
@@ -169,11 +187,15 @@ object RecallCheck {
       s""""target":"< 1 by design at low nprobe; nprobe == nlist must be exactly 1.0 (q_ivf_topk)","pass":${ivfRFull == 1.0}},""" +
       s""""pq_topk":{"k":$k,"m":8,"ksub":16,"recall_at_k_adc":$pqAdcRecall,""" +
       s""""recall_at_k_rerank${4 * k}":$pqRerankRecall,""" +
+      s""""recall_sampled_train_0.25_rerank${4 * k}":$pqSampledRecall,""" +
       s""""target":"ADC < 1 by design; rerank >= corpus is exact (q_pq_topk); rerank must not lose recall vs pure ADC","pass":${pqRerankRecall >= pqAdcRecall}},""" +
       s""""ivfpq_topk":{"k":$k,"nlist":$nlist,""" +
       s""""recall_at_k_nprobe${nlist / 2}_rerank${4 * k}":$ivfpqRealistic,""" +
       s""""recall_raw_pq_same_setting":$ivfpqRaw,""" +
       s""""recall_at_k_exhaustive":$ivfpqExact,""" +
+      s""""pareto":[""" + pareto.map { case (np, rr, r) =>
+        s"""{"nprobe":$np,"rerank":$rr,"recall":$r}""" }.mkString(",") +
+      s"""],""" +
       s""""target":"exhaustive (nprobe=nlist, full rerank) must be exactly 1.0 (q_ivfpq_topk)","pass":${ivfpqExact == 1.0}}}"""
     println(json)
     outFile.foreach(f => java.nio.file.Files.writeString(

@@ -114,9 +114,11 @@ object Similarity {
     * broadcast centroid table) + one map-side-combined average — the
     * standard distributed k-means shape; cost is O(n·nlist·dim) per iter. */
   def ivfTrain(corpus: DataFrame, id: Column, vec: Column,
-      nlist: Int, iters: Int = 2, seed: Long = 42L): Seq[(Int, Seq[Float])] = {
-    val c = graft.util.ParallelScan.widen(
-      corpus.select(id.cast("long").as("id"), vec.as("v")))
+      nlist: Int, iters: Int = 2, seed: Long = 42L,
+      trainFraction: Double = 1.0): Seq[(Int, Seq[Float])] = {
+    val c = trainSample(graft.util.ParallelScan.widen(
+      corpus.select(id.cast("long").as("id"), vec.as("v"))),
+      trainFraction, seed)
     var centroids: Seq[(Int, Seq[Float])] =
       c.withColumn("__h", xxhash64(col("id"), lit(seed)))
         .orderBy(col("__h")).limit(nlist)
@@ -220,8 +222,10 @@ object Similarity {
     * O(nprobe·cell), not a corpus scan. Returns the (deterministic)
     * centroids; persist them app-side or re-derive with the same seed. */
   def ivfWrite(corpus: DataFrame, id: Column, vec: Column, path: String,
-      nlist: Int, iters: Int = 2, seed: Long = 42L): Seq[(Int, Seq[Float])] = {
-    val centroids = ivfTrain(corpus, id, vec, nlist, iters, seed)
+      nlist: Int, iters: Int = 2, seed: Long = 42L,
+      trainFraction: Double = 1.0): Seq[(Int, Seq[Float])] = {
+    val centroids = ivfTrain(corpus, id, vec, nlist, iters, seed,
+      trainFraction)
     assignToCentroid(
         corpus.select(id.cast("long").as("corpus_id"), vec.as("v")), centroids)
       .withColumnRenamed("v", "cv")
@@ -349,6 +353,21 @@ object Similarity {
   private def subCol(vec: Column, s: Int, dsub: Int): Column =
     slice(vec, s * dsub + 1, dsub)
 
+  /** Deterministic hash-sample of a (id, v) training frame: keep rows
+    * whose seeded xxhash64(id) falls under the fraction threshold.
+    * Reproducible across cluster layouts and re-runs (unlike
+    * `df.sample`'s partition-order-dependent RNG); `fraction >= 1` is
+    * the identity. Training-ONLY — encode/serve paths never sample. */
+  private def trainSample(c: DataFrame, fraction: Double,
+      seed: Long): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $fraction")
+    if (fraction >= 1.0) c
+    else c.filter(
+      pmod(xxhash64(col("id"), lit(seed + 0x54a17L): Column), lit(1000000L)) <
+        lit(math.max(1L, (fraction * 1000000L).toLong)))
+  }
+
   /** L2-nearest codebook entries via the dot-metric kernel on augmented
     * vectors: append 1 to the vector and −‖c‖²/2 to each centroid —
     * ⟨[x,1],[c,−‖c‖²/2]⟩ = ⟨x,c⟩ − ‖c‖²/2, whose argmax is the L2 argmin
@@ -371,16 +390,24 @@ object Similarity {
     * [[graft.functions.VectorMeanAgg]] grouped by (subspace, code). The
     * driver holds only the codebooks — O(m·ksub·dsub) floats — and the
     * job count is O(iters), independent of m (the r8 per-subspace loop
-    * was O(m·iters) scheduler round trips). At 100 TB train on a
-    * hash-sample (`corpus.filter(xxhash64(id) % N === 0)`) — codebook
-    * quality needs thousands of points per entry, not the corpus. */
+    * was O(m·iters) scheduler round trips).
+    *
+    * `trainFraction` < 1 trains on a DETERMINISTIC hash-sample of the
+    * corpus (seeded xxhash64 threshold — reproducible across cluster
+    * layouts, unlike `df.sample`): at 100 TB codebook quality needs
+    * thousands of points per entry, not the corpus, so sampling cuts
+    * training IO by 1/fraction while every EXACTNESS gate still holds
+    * (encode/ADC/rerank never sample — only the Lloyd input does;
+    * sampled-trained full-rerank ≡ brute force is pinned in
+    * PipelineSpec, the recall delta measured in RECALL_r9). */
   def pqTrain(corpus: DataFrame, id: Column, vec: Column, dim: Int,
       m: Int, ksub: Int = 16, iters: Int = 2,
-      seed: Long = 42L): PqCodebooks = {
+      seed: Long = 42L, trainFraction: Double = 1.0): PqCodebooks = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val dsub = dim / m
-    val c = graft.util.ParallelScan.widen(
-      corpus.select(id.cast("long").as("id"), vec.as("v")))
+    val c = trainSample(graft.util.ParallelScan.widen(
+      corpus.select(id.cast("long").as("id"), vec.as("v"))),
+      trainFraction, seed)
     // one row per (id, subspace): the exploded training frame every phase
     // below reuses — m× the sample rows, each 1/m the width (same bytes)
     val sub = c.select(col("id"), explode(array((0 until m).map(s =>
@@ -480,9 +507,10 @@ object Similarity {
   def pqTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
-      seed: Long = 42L, rerank: Int = 0): DataFrame = {
+      seed: Long = 42L, rerank: Int = 0,
+      trainFraction: Double = 1.0): DataFrame = {
     val books = pqTrain(corpus, corpusId, corpusVec, dim, m, ksub, iters,
-      seed)
+      seed, trainFraction)
     val enc = pqEncode(corpus, corpusId, corpusVec, books, dim)
     val qd = queries.select(queryId.cast("long").as("query_id"),
         queryVec.as("qv"))
@@ -546,8 +574,10 @@ object Similarity {
   def ivfPqWrite(corpus: DataFrame, id: Column, vec: Column, path: String,
       dim: Int, nlist: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
       seed: Long = 42L,
-      residual: Boolean = true): (Seq[(Int, Seq[Float])], PqCodebooks) = {
-    val centroids = ivfTrain(corpus, id, vec, nlist, iters, seed)
+      residual: Boolean = true,
+      trainFraction: Double = 1.0): (Seq[(Int, Seq[Float])], PqCodebooks) = {
+    val centroids = ivfTrain(corpus, id, vec, nlist, iters, seed,
+      trainFraction)
     val centsF: Seq[Seq[Float]] = centroids.sortBy(_._1).map(_._2)
     val assigned = assignToCentroid(
         corpus.select(id.cast("long").as("corpus_id"), vec.as("v")),
@@ -562,7 +592,7 @@ object Similarity {
           (a, b) => a - b)
       else col("cv"))
     val books = pqTrain(encIn, col("corpus_id"), col("enc"), dim, m, ksub,
-      iters, seed)
+      iters, seed, trainFraction)
     val dsub = dim / m
     encIn
       .withColumn("codes", array((0 until m).map(s =>

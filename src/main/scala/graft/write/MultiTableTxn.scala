@@ -209,6 +209,108 @@ object MultiTableTxn {
     commitHook(spark, writes, () => ())
   }
 
+  /** CROSS-TABLE-CONSISTENT snapshot reads (VERDICT r8 next-round #5):
+    * one pinned-asOf snapshot per table such that for every transaction
+    * touching the read set, either EVERY table reflects its commit or
+    * NONE does — closing the documented µs-wide window in which a
+    * lock-free reader of two tables can observe a publish mid-flight
+    * (one member renamed, the next not yet).
+    *
+    * Strategy (reader-only — never mutates, unlike [[recover]]):
+    *
+    *  1. Pin each table's newest completed instant (an explicit `asOf`,
+    *     so lazy evaluation cannot drift across later commits — ALSO the
+    *     fix for the single-table flavor of the race).
+    *  2. List the tables' transaction journals. A journal whose members
+    *     are PARTIALLY promoted is a publish (or crash) in flight:
+    *     re-poll — the publish sequence is metadata-only (one rename per
+    *     table), so the window closes in milliseconds.
+    *  3. If it persists past `waitMs` (a crashed publisher — recovery
+    *     will roll it forward eventually), EXCLUDE the transaction:
+    *     every member table's pin is lowered below its member ts, giving
+    *     the consistent PRE-transaction view. Sound because the publisher
+    *     still holds (or held) every member's commit lock through the
+    *     whole sequence — no unrelated commit can land between a txn
+    *     member and its own txn ts.
+    *
+    * Returns basePath → pinned snapshot DataFrame. Driver cost:
+    * O(#tables) timeline listings + O(#open txns) tiny journal reads per
+    * poll; no data IO. */
+  def snapshotAll(spark: SparkSession, paths: Seq[String],
+      waitMs: Long = 2000, pollMs: Long = 20): Map[String, DataFrame] = {
+    require(paths.nonEmpty, "snapshotAll needs at least one table")
+    val conf = spark.sessionState.newHadoopConf()
+    val qualified = paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      p -> hp.getFileSystem(conf).makeQualified(hp).toString
+    }.toMap
+
+    final case class TxnState(id: String, members: Seq[Member],
+        done: Int) {
+      def mixed: Boolean = done > 0 && done < members.size
+      def includeAll: Boolean = done == members.size
+    }
+    def observe(): (Map[String, Seq[String]], Seq[TxnState]) = {
+      val instants = paths.map(p =>
+        p -> Timeline(conf, p).completedInstants().map(_.ts)).toMap
+      val txns = paths.flatMap { p =>
+        val tl = Timeline(conf, p)
+        val dir = txnDir(tl)
+        val fs = dir.getFileSystem(conf)
+        if (!fs.exists(dir)) Seq.empty
+        else fs.listStatus(dir).toSeq
+          .filter(_.getPath.getName.endsWith(".txn"))
+          .map { st =>
+            val in = fs.open(st.getPath)
+            val body = try new String(
+              org.apache.commons.io.IOUtils.toByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+            val members = body.linesIterator.filter(_.nonEmpty).map { l =>
+              val Array(mp, ts, act) = l.split('\t')
+              Member(mp, ts, act)
+            }.toSeq
+            st.getPath.getName.stripSuffix(".txn") -> members
+          }
+      }.distinctBy(_._1)
+        .map { case (id, members) =>
+          val done = members.count(m =>
+            Timeline(conf, m.path).instantAt(m.ts).nonEmpty)
+          TxnState(id, members, done)
+        }
+      (instants, txns)
+    }
+
+    var (instants, txns) = observe()
+    val deadline = System.currentTimeMillis() + waitMs
+    while (txns.exists(_.mixed) && System.currentTimeMillis() < deadline) {
+      Thread.sleep(pollMs)
+      val o = observe(); instants = o._1; txns = o._2
+    }
+    val pins: Map[String, String] = paths.map { p =>
+      val all = instants(p)
+      require(all.nonEmpty, s"empty table (no commits) at $p")
+      // exclusion caps from still-unresolved (mixed or fully-unpromoted)
+      // journaled txns touching this table: pin strictly below the txn ts
+      val caps = txns.filterNot(_.includeAll).flatMap(_.members)
+        .filter(m => qualified.get(p).contains {
+          val hp = new org.apache.hadoop.fs.Path(m.path)
+          hp.getFileSystem(conf).makeQualified(hp).toString
+        })
+        .map(_.ts)
+      val below = caps.minOption match {
+        case Some(cap) => all.filter(_ < cap)
+        case None => all
+      }
+      require(below.nonEmpty,
+        s"table $p has no committed state below in-flight txn ts " +
+          s"${caps.min} (first commit is a txn member mid-recovery)")
+      p -> below.last
+    }.toMap
+    paths.map(p => p ->
+      graft.read.SnapshotReader.read(spark, p, Some(pins(p)))).toMap
+  }
+
   // ---- transaction journal (roll-forward/-back after a crash) ----------
 
   /** One journaled member: (table path, commit ts, timeline action). */

@@ -188,6 +188,37 @@ class PipelineSpec extends SparkSpec {
     assert(adc1.exceptAll(adc2).isEmpty && adc2.exceptAll(adc1).isEmpty)
   }
 
+  test("hash-sample training (trainFraction < 1): deterministic, and the exactness gates still hold") {
+    val queries = embs.filter($"vec_id" < 5)
+    // sampled-trained codebooks differ from full-trained ones (the knob
+    // does something) yet are reproducible run-to-run
+    val full = Similarity.pqTrain(embs, $"vec_id", $"embedding", 64, 8,
+      ksub = 16, iters = 2)
+    val s1 = Similarity.pqTrain(embs, $"vec_id", $"embedding", 64, 8,
+      ksub = 16, iters = 2, trainFraction = 0.25)
+    val s2 = Similarity.pqTrain(embs, $"vec_id", $"embedding", 64, 8,
+      ksub = 16, iters = 2, trainFraction = 0.25)
+    assert(s1 == s2, "hash-sample training must be deterministic")
+    assert(s1 != full, "a 25% sample should move the codebooks")
+    // full-rerank exactness is INDEPENDENT of codebook quality: the
+    // sampled-trained index still reproduces brute force exactly
+    val exact = Similarity.pqTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5, dim = 64, m = 8, ksub = 16,
+      rerank = 1 << 30, trainFraction = 0.25)
+    val brute = Similarity.bruteForceTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5)
+    assert(exact.exceptAll(brute).isEmpty && brute.exceptAll(exact).isEmpty)
+    // same for the composed IVF-PQ layout under exhaustive probing
+    val path = "/tmp/graft_test/ivfpq_sampled"
+    val (cents, books) = Similarity.ivfPqWrite(embs, $"vec_id", $"embedding",
+      path, dim = 64, nlist = 8, m = 8, ksub = 16, trainFraction = 0.25)
+    val ivfExact = Similarity.ivfPqTopKFromTable(spark, path, cents, books,
+      queries, $"vec_id", $"embedding", k = 5, dim = 64, nprobe = 8,
+      rerank = 1 << 30)
+    assert(ivfExact.exceptAll(brute).isEmpty &&
+      brute.exceptAll(ivfExact).isEmpty)
+  }
+
   test("IVF-PQ table path: exhaustive probe + full rerank == brute force; " +
       "ADC scan never reads vectors") {
     val path = "/tmp/graft_test/ivfpq_table"

@@ -208,4 +208,87 @@ class TxnSpec extends SparkSpec {
     // final state consistent: SAME value in both tables (no torn txn)
     assert(snap(a) == snap(b))
   }
+
+  test("snapshotAll: a reader never observes one table post-txn and another pre-txn") {
+    val a = freshDir("txn_s1"); val b = freshDir("txn_s2")
+    mkTable(a, Seq((1L, "x", 10L)))
+    mkTable(b, Seq((1L, "x", 100L)))
+    def vOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("v").as[Long].collect().head
+
+    // clean state: both snapshots are the current state, pinned
+    val s0 = MultiTableTxn.snapshotAll(spark, Seq(a, b))
+    assert(vOf(s0(a)) == 10L && vOf(s0(b)) == 100L)
+
+    // a completed txn: both effects visible
+    MultiTableTxn.commit(spark, Seq(
+      MultiTableTxn.TableWrite(a,
+        updates = Some(Seq((1L, "x", 11L)).toDF("id", "part", "v"))),
+      MultiTableTxn.TableWrite(b,
+        updates = Some(Seq((1L, "x", 101L)).toDF("id", "part", "v")))))
+    val s1 = MultiTableTxn.snapshotAll(spark, Seq(a, b))
+    assert(vOf(s1(a)) == 11L && vOf(s1(b)) == 101L)
+
+    // crash MID-PUBLISH (a promoted, b not): the naive per-table reads
+    // WOULD see a=12/b=101 — snapshotAll must refuse that mix and serve
+    // the consistent PRE-txn view of BOTH tables
+    val hconf = spark.sessionState.newHadoopConf()
+    def tl(d: String) = Timeline(hconf, d)
+    val (tsA, tsB) = ("5000", "5001")
+    val metaFor = (d: String, ts: String, v: Long) => {
+      var captured: Option[(String, graft.format.CommitMetadata, String,
+        Option[String], Boolean)] = None
+      new CowWriter(spark, d, 2, publish = Some(
+        (cts, m, act, rp, coa) => captured = Some((cts, m, act, rp, coa))))
+        .commit(Some(Seq((1L, "x", v)).toDF("id", "part", "v")), None,
+          col("id"), col("part"), ts)
+      captured.get
+    }
+    val ca = metaFor(a, tsA, 12L); val cb = metaFor(b, tsB, 102L)
+    tl(a).stageCommitLocked(ca._1, ca._2, ca._3)
+    tl(b).stageCommitLocked(cb._1, cb._2, cb._3)
+    val members = Seq(MultiTableTxn.Member(a, tsA, ca._3),
+      MultiTableTxn.Member(b, tsB, cb._3))
+    MultiTableTxn.writeManifest(hconf, tl(a), "mix1", members)
+    MultiTableTxn.writeManifest(hconf, tl(b), "mix1", members)
+    tl(a).promoteStagedLocked(tsA, ca._3) // "crash": b never promoted
+    // sanity: the naive reads DO expose the inconsistency snapshotAll fixes
+    assert(snap(a) == Map(1L -> 12L) && snap(b) == Map(1L -> 101L))
+    val s2 = MultiTableTxn.snapshotAll(spark, Seq(a, b), waitMs = 300)
+    assert(vOf(s2(a)) == 11L && vOf(s2(b)) == 101L,
+      s"expected the consistent pre-txn view, got a=${vOf(s2(a))} " +
+        s"b=${vOf(s2(b))}")
+
+    // after recovery rolls the txn forward, both effects appear together
+    assert(MultiTableTxn.recover(spark, a) == Seq("forward:mix1"))
+    val s3 = MultiTableTxn.snapshotAll(spark, Seq(a, b))
+    assert(vOf(s3(a)) == 12L && vOf(s3(b)) == 102L)
+
+    // racing reader: while txns bump both tables in lockstep, every
+    // snapshotAll observes a == b (the cross-table invariant)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    @volatile var writerDone = false
+    val writer = pool.submit(new java.util.concurrent.Callable[Unit] {
+      override def call(): Unit = try {
+        (13L to 15L).foreach { v =>
+          MultiTableTxn.commit(spark, Seq(
+            MultiTableTxn.TableWrite(a,
+              updates = Some(Seq((1L, "x", v)).toDF("id", "part", "v"))),
+            MultiTableTxn.TableWrite(b,
+              updates = Some(Seq((1L, "x", v + 90L)).toDF("id", "part", "v")))))
+        }
+      } finally writerDone = true
+    })
+    try {
+      while (!writerDone) {
+        val sr = MultiTableTxn.snapshotAll(spark, Seq(a, b))
+        val (va, vb) = (vOf(sr(a)), vOf(sr(b)))
+        assert(vb - va == 90L,
+          s"inconsistent cross-table read: a=$va b=$vb")
+      }
+      writer.get()
+    } finally pool.shutdownNow()
+    val sF = MultiTableTxn.snapshotAll(spark, Seq(a, b))
+    assert(vOf(sF(a)) == 15L && vOf(sF(b)) == 105L)
+  }
 }

@@ -744,25 +744,58 @@ private[sources] object MetaAggDecline
   * stay with Spark. */
 private final class GraftScanBuilder(table: GraftV2Table,
     defaultSchema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
+    with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = defaultSchema
-  private var pushed: Array[Filter] = Array.empty
+  // claimed V2 predicates, their catalyst re-application forms, and —
+  // when EVERY claimed predicate has a V1 rendering — the V1 filters the
+  // metadata-aggregate path evaluates against partition values
+  private var pushedV2: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+  private var pushedExprs: Seq[
+    org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+  private var pushedV1: Option[Array[Filter]] = Some(Array.empty)
   private var aggAnswer: Option[(StructType, Seq[InternalRow])] = None
   // Spark probes supportCompletePushDown then pushAggregation with the
   // SAME aggregation — compute the driver metadata walk at most once
   private var aggMemo: Option[(String, Option[(StructType, Seq[InternalRow])])] =
     None
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, rest) =
-      filters.partition(f => GraftMorRelation.toColumn(f).isDefined)
-    pushed = ok
+  /** V2 predicate pushdown (r9, replacing the V1 `Filter` bridge): a
+    * predicate is claimed iff it converts to a catalyst expression over
+    * this table's columns — which covers EXPRESSION predicates the V1
+    * `Filter` algebra cannot carry (substring/arithmetic/case functions),
+    * so those now evaluate INSIDE the snapshot's optimized plan (fused
+    * into whole-stage codegen with the scan, feeding the stats/bucket
+    * skipping index where translatable) instead of above the DSv2
+    * boundary. Claimed predicates that also render as V1 filters keep
+    * feeding the metadata-aggregate pushdown's partition evaluation. */
+  override def pushPredicates(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    val resolver = SparkSession.active.sessionState.conf.resolver
+    val names = table.schema().fieldNames ++ MetaCols.all
+    val (ok, rest) = predicates.partition { p =>
+      p.references().forall(r => r.fieldNames().length == 1 &&
+        names.exists(n => resolver(n, r.fieldNames()(0)))) &&
+        org.apache.spark.sql.catalyst.expressions.V2ExpressionUtils
+          .toCatalyst(p).isDefined
+    }
+    pushedV2 = ok
+    pushedExprs = ok.toSeq.map(p =>
+      org.apache.spark.sql.catalyst.expressions.V2ExpressionUtils
+        .toCatalyst(p).get)
+    val v1 = org.apache.spark.sql.graft.Bridge.predicatesToV1(ok)
+    pushedV1 = if (v1.length == ok.length) Some(v1) else None
     rest
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates(): Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    pushedV2
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -775,13 +808,15 @@ private final class GraftScanBuilder(table: GraftV2Table,
     * else declines (Spark aggregates the ordinary scan as usual). */
   private def metaAgg(agg: org.apache.spark.sql.connector.expressions
       .aggregate.Aggregation): Option[(StructType, Seq[InternalRow])] = {
-    val key = agg.toString + "|" + pushed.mkString(",")
+    val key = agg.toString + "|" + pushedV2.mkString(",")
     aggMemo match {
       case Some((k, a)) if k == key => a
       case _ =>
-        val a = translate(agg)
+        // every claimed predicate must have a V1 rendering (the partition
+        // evaluation is exact) — an expression-only predicate declines
+        val a = pushedV1.flatMap(v1 => translate(agg)
           .flatMap { case (grouped, aggs) =>
-            table.metadataAggregate(grouped, aggs, pushed) }
+            table.metadataAggregate(grouped, aggs, v1) })
         aggMemo = Some((key, a))
         a
     }
@@ -844,7 +879,7 @@ private final class GraftScanBuilder(table: GraftV2Table,
 
   override def build(): Scan = aggAnswer match {
     case Some((schema, rows)) => new GraftMetaAggScan(table, schema, rows)
-    case None => new GraftV1FallbackScan(table, required, pushed)
+    case None => new GraftV1FallbackScan(table, required, pushedExprs)
   }
 }
 
@@ -875,7 +910,9 @@ private final class GraftMetaAggScan(table: GraftV2Table,
   * the inner OPTIMIZED plan's UnsafeRows stream straight into the V2 exec
   * — full pushdown/pruning/codegen, no Row materialization. */
 private final class GraftV1FallbackScan(table: GraftV2Table,
-    required: StructType, pushed: Array[Filter]) extends V1Scan {
+    required: StructType,
+    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -888,7 +925,8 @@ private final class GraftV1FallbackScan(table: GraftV2Table,
       override def buildScan(): RDD[Row] = {
         val spark = context.sparkSession
         val base = table.snapshotDf(spark)
-        val filtered = pushed.flatMap(f => GraftMorRelation.toColumn(f))
+        val filtered = pushed
+          .map(org.apache.spark.sql.graft.Bridge.column)
           .foldLeft(base)(_ filter _)
         val projected =
           filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)

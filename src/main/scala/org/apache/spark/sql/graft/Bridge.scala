@@ -25,6 +25,15 @@ trait V1FallbackTable
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** V2 connector Predicates → their V1 `Filter` renderings (the subset
+    * that has one) — `private[sql]` in Spark; used by the DSv2 scan to
+    * keep expression predicates feeding the metadata-aggregate path's
+    * exact partition evaluation. */
+  def predicatesToV1(
+      ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(ps)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 

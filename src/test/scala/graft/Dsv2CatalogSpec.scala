@@ -145,6 +145,39 @@ class Dsv2CatalogSpec extends SparkSpec {
       .contains(MetaCols.CommitTime))
   }
 
+  test("V2 predicate pushdown: expression predicates are claimed and evaluated inside the snapshot plan") {
+    val t = freshTable("t19")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      (1 to 12).map(i => s"($i, 'p${i % 3}', ${i * 10})").mkString(", "))
+    // an EXPRESSION predicate the V1 Filter algebra cannot carry
+    // (modulo arithmetic): with the V1 bridge it stayed as a Filter node
+    // above the DSv2 scan; the V2 path claims it, so it runs inside the
+    // snapshot's optimized plan (no residual Filter in the logical plan)
+    val q = spark.sql(
+      s"SELECT id FROM $t WHERE part = 'p1' AND v % 40 = 0")
+    assert(q.as[Long].collect().toSeq.sorted == Seq(4L))
+    val optimized = q.queryExecution.optimizedPlan
+    assert(!optimized.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]),
+      s"expression predicates not fully claimed:\n$optimized")
+    assert(q.queryExecution.executedPlan.toString.contains("%"),
+      "claimed modulo predicate missing from the scan's pushed set:\n" +
+        q.queryExecution.executedPlan)
+    // classic comparison predicates still prune and still agg-push: the
+    // V1 renderings keep feeding the metadata-aggregate path
+    val c = spark.sql(s"SELECT count(*) FROM $t WHERE part = 'p1'")
+    assert(c.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"))
+    assert(c.as[Long].head == 4L)
+    // an expression predicate DECLINES the metadata aggregate (no exact
+    // partition evaluation) but stays correct through the ordinary scan
+    val ce = spark.sql(s"SELECT count(*) FROM $t WHERE v % 40 = 0")
+    assert(!ce.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"))
+    assert(ce.as[Long].head == 3L)
+  }
+
   test("catalog DDL guards: reserved columns, missing key, bad partitioning") {
     val t = freshTable("t7")
     intercept[Exception](spark.sql(

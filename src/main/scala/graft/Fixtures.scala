@@ -398,12 +398,20 @@ object Fixtures {
       val tbl = s"$cat.main.orders_ins"
       val dir = s"$wh/main/orders_ins"
       // r9: o_totalprice is a DECLARED stats column (feeds the DSv2
-      // min/max metadata pushdown, q_v2_minmax) — rebuild a cached
-      // fixture from before the declaration
-      def statsDeclared = graft.format.Timeline(
-        spark.sessionState.newHadoopConf(), dir)
-        .recordedExtraAsOf(graft.write.FormatWriter.StatsColsKey, None)
-        .contains("o_totalprice")
+      // min/max + sum metadata pushdown, q_v2_minmax/q_v2_sum) — rebuild
+      // a cached fixture from before the declaration or before per-file
+      // SUM recording
+      def statsDeclared = {
+        val tl = graft.format.Timeline(
+          spark.sessionState.newHadoopConf(), dir)
+        tl.recordedExtraAsOf(graft.write.FormatWriter.StatsColsKey, None)
+          .contains("o_totalprice") &&
+          tl.completedInstants().lastOption.exists(i =>
+            tl.metadata(i.ts).allStats.forall { case (_, st) =>
+              st.path.isEmpty ||
+                st.colStats.get("o_totalprice").exists(_.sum.isDefined)
+            })
+      }
       if (!complete(spark, dir, 4) || !statsDeclared) {
         rm(spark, dir)
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")

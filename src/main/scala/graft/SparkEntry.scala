@@ -166,6 +166,16 @@ object SparkEntry {
         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
+    // q_v2_sum (r9): grouped SUM/AVG answered from the per-file sums the
+    // writers record in the column-stats index (GraftMetaAggScan, zero
+    // file reads on the delta-free catalog table) — `SELECT sum(x)` at
+    // 100 TB is a metadata walk too.
+    "q_v2_sum" -> ((s, d) => {
+      val (_, tbl) = Fixtures.dsv2Dir(s, d)
+      s.sql(s"""SELECT o_orderstatus, sum(o_totalprice) AS sum_price,
+        avg(o_totalprice) AS avg_price
+        FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
     // q_mat_view: incrementally maintained materialized aggregate — the
     // view table is refreshed from the source's CHANGE FEED (update
     // pre-images subtract old contributions; deletes empty groups out of
@@ -1207,6 +1217,14 @@ object SparkEntry {
     "q_v2_minmax" ->
       ("SELECT o_orderstatus, count(*) AS n, count(price) AS n_price, " +
         "min(price) AS min_price, max(price) AS max_price FROM " +
+        "(SELECT o_orderstatus, CASE WHEN o_orderkey % 3 = 0 " +
+        "THEN o_totalprice + 100000 ELSE o_totalprice END AS price " +
+        "FROM orders WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
+        "AND o_orderstatus <> 'F') " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q_v2_sum" ->
+      ("SELECT o_orderstatus, sum(price) AS sum_price, " +
+        "avg(price) AS avg_price FROM " +
         "(SELECT o_orderstatus, CASE WHEN o_orderkey % 3 = 0 " +
         "THEN o_totalprice + 100000 ELSE o_totalprice END AS price " +
         "FROM orders WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +

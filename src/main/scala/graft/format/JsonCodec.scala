@@ -35,6 +35,7 @@ object JsonCodec {
             st.max.fold[Unit](o.putNull("max"))(v => o.put("max", v))
             st.nulls.foreach(o.put("nulls", _))
             st.bloom.foreach(o.put("bloom", _))
+            st.sum.foreach(o.put("sum", _))
           }
         }
       }
@@ -75,7 +76,8 @@ object JsonCodec {
                 max = optStr(o, "max"),
                 nulls = Option(o.get("nulls")).filterNot(_.isNull)
                   .map(_.asLong()),
-                bloom = optStr(o, "bloom"))
+                bloom = optStr(o, "bloom"),
+                sum = optStr(o, "sum"))
             }.toMap
             case _ => Map.empty // pre-stats commits
           })

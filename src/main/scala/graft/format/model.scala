@@ -60,7 +60,15 @@ final case class ColStat(
     /** base64(DEFLATE(k | bitset)) per-file bloom over the column's
       * cast-to-string values — see [[Bloom]]. Recorded only for
       * writer-declared bloom columns. */
-    bloom: Option[String] = None)
+    bloom: Option[String] = None,
+    /** The column's per-file SUM (Spark `sum` semantics: nulls ignored,
+      * integral sums as wrapping Long, fractional as Double), rendered
+      * through `CAST(sum(x) AS STRING)` — exact round trip for both.
+      * Recorded (r9) for NUMERIC stats columns; `None` on files written
+      * before sum recording OR whose column is entirely null (readers
+      * disambiguate via `nulls == numWrites`). Feeds the DSv2
+      * SUM/AVG metadata-aggregate pushdown. */
+    sum: Option[String] = None)
 
 /** Decoded commit file. Ref: HoodieCommitMetadata — the reference consumes
   * getPartitionToWriteStats and getTotalRecordsDeleted

@@ -187,7 +187,25 @@ object GraftFileIndex {
       max: Option[Any],
       nulls: Option[Long],
       ord: Ordering[Any],
-      bloom: Option[Array[Byte]] = None)
+      bloom: Option[Array[Byte]] = None,
+      /** Typed per-file sum (Long for integral columns, Double for
+        * fractional — Spark's `sum` result types); None when unrecorded
+        * or the column is entirely null in the file. */
+      sum: Option[Any] = None)
+
+  /** Spark's `sum(col)` result type for the recordable numeric types. */
+  private[graft] def sumResultType(dt: DataType): Option[DataType] =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        Some(org.apache.spark.sql.types.LongType)
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        Some(org.apache.spark.sql.types.DoubleType)
+      case _ => None
+    }
 
   /** Parse one file's recorded stats against the relation's data schema.
     * Columns missing from the schema (or failing to parse) are dropped —
@@ -212,10 +230,16 @@ object GraftFileIndex {
           // a recorded non-null min/max that fails to parse disables this
           // column's stat (conservative) rather than masquerading as
           // "all null"
+          val sm = for {
+            srt <- sumResultType(f.dataType)
+            raw <- st.sum
+            v <- typed(raw, srt)
+          } yield v
           if (st.min.isDefined != mn.isDefined ||
               st.max.isDefined != mx.isDefined) None
           else Some(name -> FileColStat(f.dataType, mn, mx, st.nulls, o,
-            bloom = st.bloom.flatMap(graft.format.Bloom.decode)))
+            bloom = st.bloom.flatMap(graft.format.Bloom.decode),
+            sum = sm))
         }
       }
     }

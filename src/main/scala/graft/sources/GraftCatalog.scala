@@ -640,6 +640,40 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
             }
           }
       else Seq((None, selected))
+    // per-group SUM fold with exactness gating: a file contributes its
+    // recorded typed sum (integral sums wrap exactly like Spark's
+    // non-ANSI long sum — wrapping addition is associative, so the fold
+    // equals the global sum); a file with NO recorded sum is either
+    // entirely null in the column (contributes nothing — Spark's sum
+    // ignores nulls) or predates sum recording (decline).
+    def sumOf(ss: Seq[(FileSlice, WriteStat)], c: String)
+        : (Option[Any], Long) = {
+      val f = fieldOf(c).getOrElse(throw MetaAggDecline)
+      val srt = GraftFileIndex.sumResultType(f.dataType)
+        .getOrElse(throw MetaAggDecline)
+      var nonNull = 0L
+      var acc: Option[Any] = None
+      ss.foreach { case (sl, st) =>
+        val cs = colStat(sl, c)
+        val nulls = cs.nulls.getOrElse(throw MetaAggDecline)
+        cs.sum match {
+          case Some(v) =>
+            nonNull += st.numWrites - nulls
+            acc = Some(acc match {
+              case None => v
+              case Some(prev) => srt match {
+                case LongType =>
+                  prev.asInstanceOf[Long] + v.asInstanceOf[Long]
+                case _ =>
+                  prev.asInstanceOf[Double] + v.asInstanceOf[Double]
+              }
+            })
+          case None if nulls == st.numWrites => () // all-null file
+          case None => throw MetaAggDecline // pre-sum-recording file
+        }
+      }
+      (acc, nonNull)
+    }
     val rows = groups.map { case (gv, ss) =>
       val values: Seq[Any] = aggs.map {
         case MetaCountStar => ss.map(_._2.numWrites).sum
@@ -658,6 +692,19 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
           val sts = ss.map { case (sl, _) => colStat(sl, c) }
           val maxs = sts.flatMap(_.max)
           if (maxs.isEmpty) null else maxs.max(sts.head.ord)
+        case MetaSum(c) => sumOf(ss, c)._1.orNull
+        case MetaAvg(c) =>
+          // AVG only for fractional columns, where Spark's own Average
+          // sums doubles — identical arithmetic to the recorded fold
+          // (integral columns decline: Spark averages them through a
+          // non-wrapping double sum the wrapped long stats can't mirror)
+          fieldOf(c).map(_.dataType) match {
+            case Some(org.apache.spark.sql.types.FloatType) |
+                 Some(org.apache.spark.sql.types.DoubleType) =>
+              val (acc, nonNull) = sumOf(ss, c)
+              acc.map(_.asInstanceOf[Double] / nonNull).orNull
+            case _ => throw MetaAggDecline
+          }
       }
       InternalRow.fromSeq(gv.toSeq ++ values)
     }
@@ -672,6 +719,12 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
         StructField(s"min($c)#$i", fieldOf(c).get.dataType)
       case (MetaMax(c), i) =>
         StructField(s"max($c)#$i", fieldOf(c).get.dataType)
+      case (MetaSum(c), i) =>
+        StructField(s"sum($c)#$i",
+          GraftFileIndex.sumResultType(fieldOf(c).get.dataType)
+            .getOrElse(throw MetaAggDecline))
+      case (MetaAvg(c), i) =>
+        StructField(s"avg($c)#$i", org.apache.spark.sql.types.DoubleType)
     }
     Some((StructType(gFields ++ aFields), rows))
   } catch {
@@ -729,6 +782,8 @@ private[sources] case object MetaCountStar extends MetaAgg
 private[sources] final case class MetaCount(col: String) extends MetaAgg
 private[sources] final case class MetaMin(col: String) extends MetaAgg
 private[sources] final case class MetaMax(col: String) extends MetaAgg
+private[sources] final case class MetaSum(col: String) extends MetaAgg
+private[sources] final case class MetaAvg(col: String) extends MetaAgg
 
 /** Control-flow signal: a referenced column's stats are incomplete —
   * decline the metadata aggregation (never an error: the ordinary scan
@@ -855,6 +910,14 @@ private final class GraftScanBuilder(table: GraftV2Table,
       }
       case c: Count if !c.isDistinct => col(c.column()) match {
         case Some(n) => MetaCount(n)
+        case None => return None
+      }
+      case sm: Sum if !sm.isDistinct => col(sm.column()) match {
+        case Some(c) => MetaSum(c)
+        case None => return None
+      }
+      case a: Avg if !a.isDistinct => col(a.column()) match {
+        case Some(c) => MetaAvg(c)
         case None => return None
       }
       case _ => return None

@@ -38,6 +38,17 @@ private[write] object SliceFiles {
     case _ => false
   }
 
+  /** Types whose per-file SUM is recorded (integral → wrapping Long,
+    * fractional → Double; both exact through the string round trip).
+    * Decimal sums are excluded — their result type widens with precision
+    * and the metadata fold could not reproduce Spark's overflow
+    * semantics exactly. */
+  private[write] def sumSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType => true
+    case _ => false
+  }
+
   /** Returns (partition, fileId) -> Written.
     *
     * @param statsCols columns of `data` to record min/max/nulls for; names
@@ -121,10 +132,17 @@ private[write] object SliceFiles {
     val tracked = (statsCols ++ blooms).distinct.filter(c =>
       data.schema.fields.exists(f =>
         f.name == c && statsSupported(f.dataType)))
+    // numeric stats columns additionally record their per-file SUM (r9,
+    // exact: integral sums round-trip as longs, fractional as doubles) —
+    // the DSv2 SUM/AVG metadata pushdown folds them
+    val summed = tracked.filter(c => data.schema.fields.exists(f =>
+      f.name == c && sumSupported(f.dataType))).toSet
     val aggs = (count(lit(1L)).as("__graft_cnt") +: tracked.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"__min__$c"),
         max(col(c)).cast("string").as(s"__max__$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul__$c"))
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul__$c")) ++
+        (if (summed(c))
+          Seq(sum(col(c)).cast("string").as(s"__sum__$c")) else Seq.empty)
     }) ++ blooms.map { c =>
       graft.functions.BloomAgg.bloom(col(c).cast("string"), bloomBits,
         graft.format.Bloom.DefaultHashes).as(s"__blm__$c")
@@ -141,7 +159,9 @@ private[write] object SliceFiles {
             bloom = if (bloomSet(c))
               Some(graft.format.Bloom.encode(
                 r.getAs[Array[Byte]](s"__blm__$c")))
-            else None)
+            else None,
+            sum = if (summed(c)) Option(r.getAs[String](s"__sum__$c"))
+              else None)
         }.toMap
         (r.getString(0), r.getString(1)) ->
           (r.getAs[Long]("__graft_cnt"), stats)

@@ -412,6 +412,37 @@ class Dsv2CatalogSpec extends SparkSpec {
       .as[(String, Option[Long], Option[Long], Long)].collect().toSeq
     assert(real == Seq(("p0", Some(30L), Some(60L), 3L),
       ("p1", Some(10L), Some(70L), 3L), ("p2", Some(20L), Some(80L), 3L)))
+
+    // SUM from the recorded per-file sums (r9): metadata-only, grouped,
+    // exact across the delete rewrite; the all-null-capable COUNT gates
+    val sq = spark.sql(
+      s"SELECT part, sum(v) AS sv, count(*) AS n FROM $t " +
+        "GROUP BY part ORDER BY part")
+    assert(sq.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+      s"grouped sum not metadata-answered:\n${sq.queryExecution.executedPlan}")
+    assert(sq.inputFiles.isEmpty)
+    assert(sq.as[(String, Option[Long], Long)].collect().toSeq ==
+      Seq(("p0", Some(90L), 3L), ("p1", Some(120L), 3L),
+        ("p2", Some(150L), 3L)))
+    // ungrouped sum over a column with nulls: null rows are ignored
+    val su = spark.sql(s"SELECT sum(v) AS sv FROM $t")
+    assert(su.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"))
+    assert(su.as[Long].head == 360L)
+    // AVG on an integral column: the scan DECLINES the direct AVG (the
+    // wrapped long stats can't mirror a double-summing Average), and
+    // Spark itself rewrites it to sum/count — which ARE metadata-answered,
+    // with Spark's own division on top (its exact rewrite semantics)
+    val av = spark.sql(s"SELECT avg(v) AS av FROM $t")
+    val avPlan = av.queryExecution.executedPlan.toString
+    assert(avPlan.contains("GraftMetaAggScan") &&
+      avPlan.contains("SUM(v)") && avPlan.contains("COUNT(v)"),
+      s"integral avg should push via Spark's sum/count rewrite:\n$avPlan")
+    assert(math.abs(av.as[Double].head - 45.0) < 1e-9)
+    // sum on the UNDECLARED stats column declines, correctly
+    val sw = spark.sql(s"SELECT sum(w) AS sw FROM $t")
+    assert(!sw.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"))
+    assert(sw.as[Long].head == 36L)
   }
 
   test("streaming reads: readStream.table == the format-path stream, exactly-once across restarts") {

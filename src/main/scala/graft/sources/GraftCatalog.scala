@@ -801,7 +801,9 @@ private final class GraftScanBuilder(table: GraftV2Table,
     defaultSchema: StructType) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = defaultSchema
   // claimed V2 predicates, their catalyst re-application forms, and —
@@ -854,6 +856,50 @@ private final class GraftScanBuilder(table: GraftV2Table,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // ---- LIMIT / ORDER BY n ... LIMIT n pushdown (r9) --------------------
+  // PARTIAL semantics (isPartiallyPushed stays true): the inner snapshot
+  // plan applies the limit — `LIMIT n` plans an early-stopping
+  // CollectLimit and `ORDER BY … LIMIT n` a TakeOrderedAndProject (top-n
+  // per partition, then one merge: O(n) rows cross the V2 boundary
+  // instead of the table) — and Spark's own final limit/sort stays above
+  // for exactness, costing O(n) over the already-reduced rows.
+  private var pushedLimit: Option[Int] = None
+  private var pushedSort: Seq[org.apache.spark.sql.Column] = Seq.empty
+
+  // both parent defaults return true; Scala requires the diamond resolved
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val cols = orders.toSeq.map { o =>
+      org.apache.spark.sql.catalyst.expressions.V2ExpressionUtils
+        .toCatalyst(o.expression()) match {
+        case Some(e) =>
+          val c = org.apache.spark.sql.graft.Bridge.column(e)
+          (o.direction(), o.nullOrdering()) match {
+            case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) =>
+              c.asc_nulls_first
+            case (SortDirection.ASCENDING, NullOrdering.NULLS_LAST) =>
+              c.asc_nulls_last
+            case (SortDirection.DESCENDING, NullOrdering.NULLS_FIRST) =>
+              c.desc_nulls_first
+            case (_, _) => c.desc_nulls_last
+          }
+        case None => return false
+      }
+    }
+    pushedSort = cols
+    pushedLimit = Some(limit)
+    true
+  }
 
   /** COUNT(star or col) / MIN / MAX — optionally grouped by the partition
     * column and filtered on it — answered ENTIRELY from commit metadata
@@ -942,7 +988,8 @@ private final class GraftScanBuilder(table: GraftV2Table,
 
   override def build(): Scan = aggAnswer match {
     case Some((schema, rows)) => new GraftMetaAggScan(table, schema, rows)
-    case None => new GraftV1FallbackScan(table, required, pushedExprs)
+    case None => new GraftV1FallbackScan(table, required, pushedExprs,
+      pushedSort, pushedLimit)
   }
 }
 
@@ -974,7 +1021,9 @@ private final class GraftMetaAggScan(table: GraftV2Table,
   * — full pushdown/pruning/codegen, no Row materialization. */
 private final class GraftV1FallbackScan(table: GraftV2Table,
     required: StructType,
-    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    sort: Seq[org.apache.spark.sql.Column] = Seq.empty,
+    limit: Option[Int] = None)
     extends V1Scan {
 
   override def readSchema(): StructType = required
@@ -991,8 +1040,11 @@ private final class GraftV1FallbackScan(table: GraftV2Table,
         val filtered = pushed
           .map(org.apache.spark.sql.graft.Bridge.column)
           .foldLeft(base)(_ filter _)
+        val sorted =
+          if (sort.nonEmpty) filtered.orderBy(sort: _*) else filtered
+        val limited = limit.fold(sorted)(sorted.limit)
         val projected =
-          filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+          limited.select(required.fieldNames.map(col).toIndexedSeq: _*)
         // needConversion=false contract: the RDD actually carries
         // InternalRow (the standard internal-relation fast path)
         projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
@@ -1000,7 +1052,8 @@ private final class GraftV1FallbackScan(table: GraftV2Table,
     }.asInstanceOf[T]
 
   override def description(): String =
-    s"GraftV1FallbackScan(${table.path}, filters=${pushed.mkString(",")})"
+    s"GraftV1FallbackScan(${table.path}, filters=${pushed.mkString(",")}" +
+      limit.fold("")(n => s", limit=$n") + ")"
 }
 
 /** V1-fallback write: `INSERT INTO` = upsert-by-key commit,

@@ -178,6 +178,31 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(ce.as[Long].head == 3L)
   }
 
+  test("LIMIT and ORDER BY ... LIMIT push into the inner snapshot plan") {
+    val t = freshTable("t20")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      (1 to 20).map(i => s"($i, 'p${i % 3}', ${i * 10})").mkString(", "))
+    // plain LIMIT: the scan carries it (plan-visible), result bounded
+    val l = spark.sql(s"SELECT id FROM $t LIMIT 5")
+    assert(l.queryExecution.executedPlan.toString.contains("PushedLimit"),
+      s"limit not pushed:\n${l.queryExecution.executedPlan}")
+    assert(l.collect().length == 5)
+    // TopN: ORDER BY + LIMIT — the inner plan is a TakeOrdered (top-n per
+    // partition, one merge: O(n) rows cross the V2 boundary); Spark's
+    // final sort/limit stays above for exactness (partial semantics)
+    val topn = spark.sql(s"SELECT id, v FROM $t ORDER BY v DESC LIMIT 3")
+    assert(topn.queryExecution.executedPlan.toString.contains("PushedTopN"),
+      s"topN not pushed:\n${topn.queryExecution.executedPlan}")
+    assert(topn.as[(Long, Long)].collect().toSeq ==
+      Seq((20L, 200L), (19L, 190L), (18L, 180L)))
+    // with a filter: both compose inside the inner plan
+    val fl = spark.sql(
+      s"SELECT id FROM $t WHERE part = 'p1' ORDER BY id LIMIT 2")
+    assert(fl.as[Long].collect().toSeq == Seq(1L, 4L))
+  }
+
   test("catalog DDL guards: reserved columns, missing key, bad partitioning") {
     val t = freshTable("t7")
     intercept[Exception](spark.sql(

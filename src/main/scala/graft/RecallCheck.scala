@@ -125,6 +125,19 @@ object RecallCheck {
       else (bruteTop & top).size.toDouble / bruteTop.size
     }
 
+    // OPQ (r9): learned-rotation PQ at the same serving cost — the
+    // recall lift the rotation buys, pure-ADC and at the realistic rerank
+    def opqRecallAt(rerank: Int): Double = {
+      val top = pairSet(Similarity.opqTopK(
+        embs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k, dim = 64, m = 8,
+        ksub = 16, rerank = rerank, opqIters = 3))
+      if (bruteTop.isEmpty) 1.0
+      else (bruteTop & top).size.toDouble / bruteTop.size
+    }
+    val opqAdcRecall = opqRecallAt(0)
+    val opqRerankRecall = opqRecallAt(4 * k)
+
     // IVF-PQ composed serving path (r8): realistic nprobe + rerank, and
     // the exhaustive setting that must reproduce brute force exactly.
     // Each index is built ONCE per quantization mode; nprobe/rerank are
@@ -188,6 +201,8 @@ object RecallCheck {
       s""""pq_topk":{"k":$k,"m":8,"ksub":16,"recall_at_k_adc":$pqAdcRecall,""" +
       s""""recall_at_k_rerank${4 * k}":$pqRerankRecall,""" +
       s""""recall_sampled_train_0.25_rerank${4 * k}":$pqSampledRecall,""" +
+      s""""recall_opq_adc":$opqAdcRecall,""" +
+      s""""recall_opq_rerank${4 * k}":$opqRerankRecall,""" +
       s""""target":"ADC < 1 by design; rerank >= corpus is exact (q_pq_topk); rerank must not lose recall vs pure ADC","pass":${pqRerankRecall >= pqAdcRecall}},""" +
       s""""ivfpq_topk":{"k":$k,"nlist":$nlist,""" +
       s""""recall_at_k_nprobe${nlist / 2}_rerank${4 * k}":$ivfpqRealistic,""" +

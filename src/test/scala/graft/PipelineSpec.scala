@@ -219,6 +219,38 @@ class PipelineSpec extends SparkSpec {
       brute.exceptAll(ivfExact).isEmpty)
   }
 
+  test("OPQ: learned rotation is orthogonal; exactness gates hold unchanged") {
+    val dim = 64
+    val (rot, books) = Similarity.opqTrain(embs, $"vec_id", $"embedding",
+      dim, m = 8, ksub = 16, iters = 1, opqIters = 2)
+    assert(books.size == 8)
+    // R·Rᵀ ≈ I — the Procrustes update must return an ORTHOGONAL matrix
+    // (anything else would distort the dot products ADC approximates)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val v = (0 until dim).map(t => rot(i)(t) * rot(j)(t)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(v - expect) < 1e-9,
+        s"R·Rᵀ[$i][$j] = $v, expected $expect")
+    }
+    // deterministic end to end
+    val (rot2, books2) = Similarity.opqTrain(embs, $"vec_id", $"embedding",
+      dim, m = 8, ksub = 16, iters = 1, opqIters = 2)
+    assert(rot == rot2 && books == books2)
+    // rotation preserves the dot, so full rerank is STILL exactly brute
+    val queries = embs.filter($"vec_id" < 5)
+    val exact = Similarity.opqTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5, dim = dim, m = 8, ksub = 16,
+      iters = 1, opqIters = 2, rerank = 1 << 30)
+    val brute = Similarity.bruteForceTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5)
+    assert(exact.exceptAll(brute).isEmpty && brute.exceptAll(exact).isEmpty)
+    // pure ADC stays k rows per query
+    val adc = Similarity.opqTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 5, dim = dim, m = 8, ksub = 16,
+      iters = 1, opqIters = 1)
+    assert(adc.groupBy("query_id").count().filter($"count" =!= 5).isEmpty)
+  }
+
   test("IVF-PQ table path: exhaustive probe + full rerank == brute force; " +
       "ADC scan never reads vectors") {
     val path = "/tmp/graft_test/ivfpq_table"

@@ -653,6 +653,19 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // q_opq_topk (r9): the OPQ (learned-rotation PQ) exactness gate —
+    // rotation preserves inner products, so full rerank reproduces brute
+    // force exactly regardless of the learned rotation/codebooks; the
+    // realistic modes' recall lift is measured in RECALL_r9.json.
+    "q_opq_topk" -> ((s, d) => {
+      val e = tp(s, d, "embeddings")
+      Similarity.opqTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5, dim = 64, m = 8, ksub = 16, iters = 1, opqIters = 1,
+        rerank = 1 << 30, trainFraction = 0.5)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(tp(s, d, "documents"), col("doc_id"), col("text"),
           n = 3, numHashes = 32, bands = 16, thresholdPermille = 500)
@@ -1564,6 +1577,14 @@ object SparkEntry {
     // rerank ≥ corpus ⇒ the PQ path degenerates to exact brute force —
     // same oracle as q_sim_topk.
     "q_pq_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // OPQ full rerank ⇒ exact brute force (rotation preserves the dot) —
+    // same oracle as q_pq_topk.
+    "q_opq_topk" ->
       ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +

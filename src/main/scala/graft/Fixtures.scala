@@ -397,21 +397,33 @@ object Fixtures {
       spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       val tbl = s"$cat.main.orders_ins"
       val dir = s"$wh/main/orders_ins"
-      // r9: o_totalprice is a DECLARED stats column (feeds the DSv2
-      // min/max + sum metadata pushdown, q_v2_minmax/q_v2_sum) — rebuild
-      // a cached fixture from before the declaration or before per-file
-      // SUM recording
+      // r9/r10: o_totalprice (min/max), o_cents (BIGINT) and o_price_dec
+      // (DECIMAL(20,2)) are DECLARED stats columns feeding the DSv2
+      // metadata aggregate pushdown (q_v2_minmax/q_v2_sum). The derived
+      // exact-numeric twins exist because per-file SUMs are recorded for
+      // exact types only (fp addition is order-dependent — the r9
+      // q_v2_sum lesson); both are reconstructible in DuckDB from the
+      // same integer-cents arithmetic, so sums stay oracle-exact.
+      // Rebuild a cached fixture predating the declarations.
       def statsDeclared = {
         val tl = graft.format.Timeline(
           spark.sessionState.newHadoopConf(), dir)
         tl.recordedExtraAsOf(graft.write.FormatWriter.StatsColsKey, None)
-          .contains("o_totalprice") &&
+          .contains("o_price_dec") &&
           tl.completedInstants().lastOption.exists(i =>
             tl.metadata(i.ts).allStats.forall { case (_, st) =>
               st.path.isEmpty ||
-                st.colStats.get("o_totalprice").exists(_.sum.isDefined)
+                Seq("o_cents", "o_price_dec").forall(c =>
+                  st.colStats.get(c).exists(_.sum.isDefined))
             })
       }
+      // exact integer cents (both engines round(double) half-away-from-
+      // zero) and an exact decimal price built from them by exact decimal
+      // multiplication — identical values in Spark and DuckDB
+      def derived(price: String) =
+        s"CAST(round(($price) * 100) AS BIGINT) AS o_cents, " +
+          s"CAST(CAST(round(($price) * 100) AS BIGINT) AS DECIMAL(16,0))" +
+          s" * CAST(0.01 AS DECIMAL(3,2)) AS o_price_dec"
       if (!complete(spark, dir, 4) || !statsDeclared) {
         rm(spark, dir)
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.main")
@@ -420,12 +432,14 @@ object Fixtures {
         spark.sql(
           s"""CREATE TABLE $tbl PARTITIONED BY (o_orderstatus)
              |TBLPROPERTIES (key 'o_orderkey', buckets '8',
-             |  stats 'o_totalprice')
-             |AS SELECT * FROM graft_dsv2_src WHERE o_orderkey % 2 = 0"""
+             |  stats 'o_totalprice,o_cents,o_price_dec')
+             |AS SELECT o.*, ${derived("o_totalprice")}
+             |FROM graft_dsv2_src o WHERE o_orderkey % 2 = 0"""
             .stripMargin)
         spark.sql(
           s"""INSERT INTO $tbl SELECT o_orderkey, o_custkey, o_orderstatus,
-             |o_totalprice + 100000, o_orderdate, o_orderpriority
+             |o_totalprice + 100000, o_orderdate, o_orderpriority,
+             |${derived("o_totalprice + 100000")}
              |FROM graft_dsv2_src WHERE o_orderkey % 3 = 0""".stripMargin)
         spark.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'F'")
       }

@@ -166,15 +166,28 @@ object SparkEntry {
         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
-    // q_v2_sum (r9): grouped SUM/AVG answered from the per-file sums the
-    // writers record in the column-stats index (GraftMetaAggScan, zero
-    // file reads on the delta-free catalog table) — `SELECT sum(x)` at
-    // 100 TB is a metadata walk too.
+    // q_v2_sum (r9, re-pointed r10): grouped SUM answered from the
+    // per-file sums the writers record in the column-stats index
+    // (GraftMetaAggScan, zero file reads on the delta-free catalog
+    // table) — `SELECT sum(x)` at 100 TB is a metadata walk too. EXACT
+    // numeric columns only (BIGINT cents + DECIMAL price): integral and
+    // decimal addition is associative, so the metadata fold is
+    // bit-identical to any scan order — fp sums can never be (the r9
+    // hash-mismatch) and now DECLINE to the ordinary scan. Decimal AVG
+    // (also exactly answerable) is pinned Spark-vs-Spark in
+    // Dsv2CatalogSpec: DuckDB renders avg(decimal) as a double, so an
+    // oracle string-compare would test rendering, not arithmetic.
+    // (decimal sum rendered as STRING on both sides: the driver's pandas
+    // bridge reads DuckDB decimals as float64 but Spark parquet decimals
+    // as objects — the string form compares the exact digits instead)
     "q_v2_sum" -> ((s, d) => {
       val (_, tbl) = Fixtures.dsv2Dir(s, d)
-      s.sql(s"""SELECT o_orderstatus, sum(o_totalprice) AS sum_price,
-        avg(o_totalprice) AS avg_price
-        FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+      s.sql(s"""SELECT o_orderstatus, sum_cents,
+        CAST(sum_price AS STRING) AS sum_price FROM (
+          SELECT o_orderstatus, sum(o_cents) AS sum_cents,
+            sum(o_price_dec) AS sum_price
+          FROM $tbl GROUP BY o_orderstatus)
+        ORDER BY o_orderstatus""")
     }),
     // q_mat_view: incrementally maintained materialized aggregate — the
     // view table is refreshed from the source's CHANGE FEED (update
@@ -1214,7 +1227,9 @@ object SparkEntry {
         "o_orderdate, o_orderpriority FROM orders " +
         "WHERE o_orderkey % 7 <> 0 OR o_orderkey % 11 = 5 ORDER BY o_orderkey"),
     // CTAS of %2==0, upsert-INSERT of %3==0 at +100000 (replacing %6==0),
-    // DELETE of the 'F' partition
+    // DELETE of the 'F' partition (the payload() projection keeps the
+    // comparison on the shared orders columns; the fixture's derived
+    // o_cents/o_price_dec stats columns are exercised by q_v2_sum)
     "q_insert_into" ->
       ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
         "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100000 " +
@@ -1235,13 +1250,20 @@ object SparkEntry {
         "FROM orders WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
         "AND o_orderstatus <> 'F') " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // exact-numeric sums only (see the query comment): BIGINT cents sum
+    // cast back to BIGINT (DuckDB sums bigints as HUGEINT), decimal sum
+    // compared at the shared scale-2 rendering
     "q_v2_sum" ->
-      ("SELECT o_orderstatus, sum(price) AS sum_price, " +
-        "avg(price) AS avg_price FROM " +
+      ("SELECT o_orderstatus, CAST(sum(cents) AS BIGINT) AS sum_cents, " +
+        "CAST(sum(price_dec) AS VARCHAR) AS sum_price FROM " +
+        "(SELECT o_orderstatus, " +
+        "CAST(round(price * 100) AS BIGINT) AS cents, " +
+        "CAST(CAST(round(price * 100) AS BIGINT) AS DECIMAL(16,0)) " +
+        "* CAST(0.01 AS DECIMAL(3,2)) AS price_dec FROM " +
         "(SELECT o_orderstatus, CASE WHEN o_orderkey % 3 = 0 " +
         "THEN o_totalprice + 100000 ELSE o_totalprice END AS price " +
         "FROM orders WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
-        "AND o_orderstatus <> 'F') " +
+        "AND o_orderstatus <> 'F')) " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // maintained view ≡ full GROUP BY of the final source state (the
     // fixture's C2 update + C3 delete arithmetic replayed directly)

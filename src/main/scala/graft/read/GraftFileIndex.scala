@@ -188,12 +188,18 @@ object GraftFileIndex {
       nulls: Option[Long],
       ord: Ordering[Any],
       bloom: Option[Array[Byte]] = None,
-      /** Typed per-file sum (Long for integral columns, Double for
-        * fractional — Spark's `sum` result types); None when unrecorded
-        * or the column is entirely null in the file. */
+      /** Typed per-file sum (Long for integral columns, `Decimal` at
+        * `sumResultType` precision for decimal columns — Spark's exact
+        * `sum` result types); None when unrecorded or the column is
+        * entirely null in the file. */
       sum: Option[Any] = None)
 
-  /** Spark's `sum(col)` result type for the recordable numeric types. */
+  /** Spark's `sum(col)` result type for the recordable EXACT numeric
+    * types: integral → Long, decimal(p,s) → decimal(p+10,s) bounded at 38
+    * (matching `Sum.resultType`). Float/double return None — fp addition
+    * is order-dependent, so recorded fp sums could never support an exact
+    * metadata fold (r10; the fractional path was the r9 `q_v2_sum`
+    * defect). */
   private[graft] def sumResultType(dt: DataType): Option[DataType] =
     dt match {
       case org.apache.spark.sql.types.ByteType |
@@ -201,11 +207,17 @@ object GraftFileIndex {
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType =>
         Some(org.apache.spark.sql.types.LongType)
-      case org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.DoubleType =>
-        Some(org.apache.spark.sql.types.DoubleType)
+      case d: org.apache.spark.sql.types.DecimalType =>
+        Some(boundedDecimal(d.precision + 10, d.scale))
       case _ => None
     }
+
+  /** `DecimalType.bounded` (private[sql] in Spark): precision and scale
+    * capped at MAX_PRECISION = 38. */
+  private[graft] def boundedDecimal(precision: Int, scale: Int)
+      : org.apache.spark.sql.types.DecimalType =
+    org.apache.spark.sql.types.DecimalType(
+      math.min(precision, 38), math.min(scale, 38))
 
   /** Parse one file's recorded stats against the relation's data schema.
     * Columns missing from the schema (or failing to parse) are dropped —

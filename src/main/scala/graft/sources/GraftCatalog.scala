@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{Decimal, DecimalType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -640,12 +640,17 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
             }
           }
       else Seq((None, selected))
-    // per-group SUM fold with exactness gating: a file contributes its
-    // recorded typed sum (integral sums wrap exactly like Spark's
-    // non-ANSI long sum — wrapping addition is associative, so the fold
-    // equals the global sum); a file with NO recorded sum is either
-    // entirely null in the column (contributes nothing — Spark's sum
-    // ignores nulls) or predates sum recording (decline).
+    // per-group SUM fold with exactness gating (r10, exact types only —
+    // sumResultType refuses float/double, whose order-dependent addition
+    // was the r9 q_v2_sum defect): integral sums fold with Math.addExact
+    // and DECLINE on overflow, reproducing the ordinary scan in BOTH SQL
+    // modes (the declined scan raises under ANSI / wraps under non-ANSI,
+    // whichever the session asks for) instead of silently wrapping under
+    // an exactness contract; decimal sums fold as exact BigDecimal and
+    // decline when the total exceeds Spark's sum precision bound. A file
+    // with NO recorded sum is either entirely null in the column
+    // (contributes nothing — Spark's sum ignores nulls) or predates sum
+    // recording (decline).
     def sumOf(ss: Seq[(FileSlice, WriteStat)], c: String)
         : (Option[Any], Long) = {
       val f = fieldOf(c).getOrElse(throw MetaAggDecline)
@@ -663,16 +668,37 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
               case None => v
               case Some(prev) => srt match {
                 case LongType =>
-                  prev.asInstanceOf[Long] + v.asInstanceOf[Long]
+                  try java.lang.Math.addExact(
+                    prev.asInstanceOf[Long], v.asInstanceOf[Long])
+                  catch { case _: ArithmeticException =>
+                    throw MetaAggDecline }
                 case _ =>
-                  prev.asInstanceOf[Double] + v.asInstanceOf[Double]
+                  // prev is Decimal after the first file, BigDecimal after
+                  // any addition — normalize and keep folding exactly
+                  (prev match {
+                    case d: Decimal => d.toJavaBigDecimal
+                    case b: java.math.BigDecimal => b
+                  }).add(v.asInstanceOf[Decimal].toJavaBigDecimal)
               }
             })
           case None if nulls == st.numWrites => () // all-null file
           case None => throw MetaAggDecline // pre-sum-recording file
         }
       }
-      (acc, nonNull)
+      val fitted = acc.map {
+        case bd: java.math.BigDecimal =>
+          // intermediate fold kept exact BigDecimal; bound-check once
+          val d = Decimal(bd)
+          srt match {
+            case dt: DecimalType
+                if d.changePrecision(dt.precision, dt.scale) => d
+            case _ => throw MetaAggDecline
+          }
+        case d: Decimal => // single-file group, already at srt precision
+          d
+        case other => other
+      }
+      (fitted, nonNull)
     }
     val rows = groups.map { case (gv, ss) =>
       val values: Seq[Any] = aggs.map {
@@ -694,15 +720,27 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
           if (maxs.isEmpty) null else maxs.max(sts.head.ord)
         case MetaSum(c) => sumOf(ss, c)._1.orNull
         case MetaAvg(c) =>
-          // AVG only for fractional columns, where Spark's own Average
-          // sums doubles — identical arithmetic to the recorded fold
-          // (integral columns decline: Spark averages them through a
-          // non-wrapping double sum the wrapped long stats can't mirror)
+          // AVG only for DECIMAL columns (r10): decimal avg is exactly
+          // answerable — the exact folded sum and count are the whole
+          // aggregation state, and the final division is evaluated
+          // through Spark's OWN analyzed `sum / count` expression (same
+          // DecimalPrecision promotion + HALF_UP cast Average plans), so
+          // the metadata answer is bit-identical to the scan's. Integral
+          // and fp columns decline: Spark averages both through an
+          // order-dependent double sum no exact stat can mirror.
           fieldOf(c).map(_.dataType) match {
-            case Some(org.apache.spark.sql.types.FloatType) |
-                 Some(org.apache.spark.sql.types.DoubleType) =>
+            case Some(d: DecimalType) =>
               val (acc, nonNull) = sumOf(ss, c)
-              acc.map(_.asInstanceOf[Double] / nonNull).orNull
+              acc match {
+                case None => null // zero non-null rows: avg is null
+                case Some(sumDec: Decimal) =>
+                  GraftV2Table.decimalAvg(spark, sumDec,
+                    GraftFileIndex.sumResultType(d)
+                      .get.asInstanceOf[DecimalType],
+                    GraftFileIndex.boundedDecimal(d.precision + 4, d.scale + 4),
+                    nonNull)
+                case _ => throw MetaAggDecline
+              }
             case _ => throw MetaAggDecline
           }
       }
@@ -724,7 +762,14 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
           GraftFileIndex.sumResultType(fieldOf(c).get.dataType)
             .getOrElse(throw MetaAggDecline))
       case (MetaAvg(c), i) =>
-        StructField(s"avg($c)#$i", org.apache.spark.sql.types.DoubleType)
+        // Average.resultType for decimal(p,s) — the only avg shape the
+        // metadata path answers
+        fieldOf(c).get.dataType match {
+          case d: DecimalType =>
+            StructField(s"avg($c)#$i",
+              GraftFileIndex.boundedDecimal(d.precision + 4, d.scale + 4))
+          case _ => throw MetaAggDecline
+        }
     }
     Some((StructType(gFields ++ aFields), rows))
   } catch {
@@ -774,6 +819,31 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
   }
 
   override def toString: String = s"GraftV2Table($ident)"
+}
+
+private[sources] object GraftV2Table {
+  /** Exact decimal AVG from the folded exact sum + non-null count,
+    * evaluated through Spark's OWN analyzed `sum / count` expression over
+    * a one-row local relation — the analyzer applies the identical
+    * DecimalPrecision promotion and HALF_UP result cast `Average` plans
+    * for a decimal column, so the metadata answer is bit-identical to
+    * what the declined scan would compute. Driver-only: the local
+    * relation constant-folds (no job). Returns the catalyst value
+    * (`Decimal` at `resT`, or null on division overflow — matching
+    * Average's own overflow answer). */
+  private[sources] def decimalAvg(spark: SparkSession, sum: Decimal,
+      sumT: DecimalType, resT: DecimalType, count: Long): Any = {
+    val one = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        Row(sum.toJavaBigDecimal, count)),
+      StructType(Seq(StructField("s", sumT), StructField("c", LongType))))
+    // count cast to DecimalType.LongDecimal — Average's own divisor shape
+    val r = one.select(
+      (col("s") / col("c").cast(DecimalType(20, 0))).cast(resT).as("a"))
+      .head()
+    if (r.isNullAt(0)) null
+    else Decimal(r.getDecimal(0), resT.precision, resT.scale)
+  }
 }
 
 /** Aggregate shapes [[GraftV2Table.metadataAggregate]] can answer. */

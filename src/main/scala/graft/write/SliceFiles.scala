@@ -38,14 +38,15 @@ private[write] object SliceFiles {
     case _ => false
   }
 
-  /** Types whose per-file SUM is recorded (integral → wrapping Long,
-    * fractional → Double; both exact through the string round trip).
-    * Decimal sums are excluded — their result type widens with precision
-    * and the metadata fold could not reproduce Spark's overflow
-    * semantics exactly. */
+  /** Types whose per-file SUM is recorded: integral and decimal — the
+    * types whose addition is EXACT and associative, so a metadata fold of
+    * per-file sums equals the global sum bit-for-bit in any order.
+    * Float/double are excluded (r10, the q_v2_sum lesson): fp addition is
+    * order-dependent, so a recorded-sum fold can never match an oracle's
+    * own summation order — "approximately right" fails an exactness gate. */
   private[write] def sumSupported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType => true
+         _: DecimalType => true
     case _ => false
   }
 
@@ -132,17 +133,28 @@ private[write] object SliceFiles {
     val tracked = (statsCols ++ blooms).distinct.filter(c =>
       data.schema.fields.exists(f =>
         f.name == c && statsSupported(f.dataType)))
-    // numeric stats columns additionally record their per-file SUM (r9,
-    // exact: integral sums round-trip as longs, fractional as doubles) —
-    // the DSv2 SUM/AVG metadata pushdown folds them
+    // exact-numeric stats columns additionally record their per-file SUM
+    // (integral/decimal only — see [[sumSupported]]) for the DSv2 SUM/AVG
+    // metadata pushdown to fold. The input is widened to precision-38
+    // decimal BEFORE summing so the recorded value is the TRUE per-file
+    // sum (no long wrap, no ANSI overflow error inside an unrelated
+    // write) — string round trip is exact for decimals.
     val summed = tracked.filter(c => data.schema.fields.exists(f =>
       f.name == c && sumSupported(f.dataType))).toSet
+    def sumWide(c: String): DataType = {
+      val dt = data.schema.fields.find(_.name == c).get.dataType
+      dt match {
+        case d: DecimalType => DecimalType(38, d.scale)
+        case _ => DecimalType(38, 0)
+      }
+    }
     val aggs = (count(lit(1L)).as("__graft_cnt") +: tracked.flatMap { c =>
       Seq(min(col(c)).cast("string").as(s"__min__$c"),
         max(col(c)).cast("string").as(s"__max__$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul__$c")) ++
         (if (summed(c))
-          Seq(sum(col(c)).cast("string").as(s"__sum__$c")) else Seq.empty)
+          Seq(sum(col(c).cast(sumWide(c))).cast("string")
+            .as(s"__sum__$c")) else Seq.empty)
     }) ++ blooms.map { c =>
       graft.functions.BloomAgg.bloom(col(c).cast("string"), bloomBits,
         graft.format.Bloom.DefaultHashes).as(s"__blm__$c")

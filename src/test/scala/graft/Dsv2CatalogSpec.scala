@@ -470,6 +470,73 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(sw.as[Long].head == 36L)
   }
 
+  test("decimal SUM/AVG metadata pushdown is bit-exact; fp sums DECLINE (r10)") {
+    val t = freshTable("t18")
+    // d DECIMAL (declared stats → exact per-file sums recorded),
+    // f DOUBLE (declared stats → min/max recorded but NO sum: fp
+    // addition is order-dependent, the r9 q_v2_sum defect)
+    spark.sql(s"""CREATE TABLE $t
+      (id BIGINT, part STRING, d DECIMAL(10,2), f DOUBLE)
+      PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '2', stats 'd,f')""")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      ((1 to 12).map(i =>
+        s"($i, 'p${i % 2}', CAST(${i * 7}.${10 + i} AS DECIMAL(10,2)), " +
+          s"${i}.25)") :+ "(13, 'p1', NULL, NULL)").mkString(", "))
+    spark.sql(s"DELETE FROM $t WHERE id = 12") // delete-rewrite refreshes
+
+    // grouped decimal SUM + AVG: answered from metadata, zero file reads
+    val q = spark.sql(
+      s"SELECT part, sum(d) AS sd, avg(d) AS ad, count(*) AS n FROM $t " +
+        "GROUP BY part ORDER BY part")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+      s"decimal sum/avg not metadata-answered:\n${q.queryExecution.executedPlan}")
+    assert(q.inputFiles.isEmpty)
+
+    // ... and BIT-IDENTICAL (types and values) to the same aggregate over
+    // the ordinary format-path scan, which has no V2 pushdown at all
+    val real = spark.read.format("graft").load(s"$wh/ns/t18")
+      .groupBy("part")
+      .agg(sum("d").as("sd"), avg("d").as("ad"), count(lit(1)).as("n"))
+      .orderBy("part")
+    assert(q.schema == real.schema,
+      s"pushed schema ${q.schema} != scan schema ${real.schema}")
+    assert(q.collect().toSeq == real.collect().toSeq)
+    // result types are Spark's own Sum/Average decimal result types
+    assert(q.schema("sd").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 2))
+    assert(q.schema("ad").dataType ==
+      org.apache.spark.sql.types.DecimalType(14, 6))
+
+    // ungrouped, with the all-null row contributing nothing
+    val u = spark.sql(s"SELECT sum(d) AS sd, avg(d) AS ad FROM $t")
+    assert(u.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"))
+    val realU = spark.read.format("graft").load(s"$wh/ns/t18")
+      .agg(sum("d").as("sd"), avg("d").as("ad"))
+    assert(u.collect().toSeq == realU.collect().toSeq)
+
+    // a projection ABOVE the aggregate (q_v2_sum's string-rendered outer
+    // SELECT) does not disturb the pushdown
+    val w = spark.sql(
+      s"SELECT part, CAST(sd AS STRING) AS sds FROM " +
+        s"(SELECT part, sum(d) AS sd FROM $t GROUP BY part) ORDER BY part")
+    assert(w.queryExecution.executedPlan.toString.contains("GraftMetaAggScan"),
+      s"projected sum not metadata-answered:\n${w.queryExecution.executedPlan}")
+
+    // fp SUM and AVG both DECLINE to the ordinary scan — an fp fold can
+    // never be exact against an arbitrary scan order, so the metadata
+    // path must not claim it (the r9 lesson, pinned)
+    for (agg <- Seq("sum(f)", "avg(f)")) {
+      val fq = spark.sql(s"SELECT $agg AS x FROM $t")
+      assert(!fq.queryExecution.executedPlan.toString
+        .contains("GraftMetaAggScan"),
+        s"$agg must decline the metadata path:\n${fq.queryExecution.executedPlan}")
+    }
+    // the declined answers are still served (by the real scan)
+    assert(math.abs(spark.sql(s"SELECT sum(f) FROM $t").as[Double].head -
+      (1 to 11).map(_ + 0.25).sum) < 1e-9)
+  }
+
   test("streaming reads: readStream.table == the format-path stream, exactly-once across restarts") {
     val t = freshTable("t17")
     spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)

@@ -250,10 +250,12 @@ object MultiTableTxn {
       def mixed: Boolean = done > 0 && done < members.size
       def includeAll: Boolean = done == members.size
     }
-    def observe(): (Map[String, Seq[String]], Seq[TxnState]) = {
-      val instants = paths.map(p =>
-        p -> Timeline(conf, p).completedInstants().map(_.ts)).toMap
-      val txns = paths.flatMap { p =>
+    def qual(path: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    def scanJournals(): Seq[(String, Seq[Member])] =
+      paths.flatMap { p =>
         val tl = Timeline(conf, p)
         val dir = txnDir(tl)
         val fs = dir.getFileSystem(conf)
@@ -273,20 +275,50 @@ object MultiTableTxn {
             st.getPath.getName.stripSuffix(".txn") -> members
           }
       }.distinctBy(_._1)
+    // One observation BRACKETS the instant listings with two journal
+    // scans (journals → instants → journals). Without the bracket, a
+    // full publish sequence (journal → promote all → clear manifests)
+    // completing between table A's instant listing and a trailing
+    // journal scan is invisible — the reader would see A pre-txn and B
+    // post-txn with no journal to warn it (the exact torn read the
+    // contract forbids). With it: a publish whose journal-clear precedes
+    // the first scan promoted every member before ANY instant listing
+    // (consistent); one whose clear follows the second scan is observed
+    // as a journal and resolved below; one clearing in between makes the
+    // two scans differ → `stable=false` → re-observe. Member visibility
+    // for pinned tables is judged against the SAME instant listings the
+    // pins use (not a fresh per-member probe, which could see a
+    // promotion the earlier listing missed — the other torn-read shape).
+    def observe()
+        : (Map[String, Seq[String]], Seq[TxnState], Boolean) = {
+      val before = scanJournals()
+      val instants = paths.map(p =>
+        p -> Timeline(conf, p).completedInstants().map(_.ts)).toMap
+      val after = scanJournals()
+      val stable = before.map(_._1).toSet == after.map(_._1).toSet
+      val byQual = paths.map(p => qualified(p) -> p).toMap
+      val txns = (before ++ after).distinctBy(_._1)
         .map { case (id, members) =>
-          val done = members.count(m =>
-            Timeline(conf, m.path).instantAt(m.ts).nonEmpty)
+          val done = members.count(m => byQual.get(qual(m.path)) match {
+            case Some(p) => instants(p).contains(m.ts)
+            case None => Timeline(conf, m.path).instantAt(m.ts).nonEmpty
+          })
           TxnState(id, members, done)
         }
-      (instants, txns)
+      (instants, txns, stable)
     }
 
-    var (instants, txns) = observe()
+    var (instants, txns, stable) = observe()
     val deadline = System.currentTimeMillis() + waitMs
-    while (txns.exists(_.mixed) && System.currentTimeMillis() < deadline) {
+    while ((!stable || txns.exists(_.mixed)) &&
+        System.currentTimeMillis() < deadline) {
       Thread.sleep(pollMs)
-      val o = observe(); instants = o._1; txns = o._2
+      val o = observe(); instants = o._1; txns = o._2; stable = o._3
     }
+    // deadline with an unstable journal set: treat every journal seen in
+    // either scan as unresolved — excluding a transaction that actually
+    // completed only lowers pins to the (equally consistent) pre-txn
+    // view, so instability degrades freshness, never consistency
     val pins: Map[String, String] = paths.map { p =>
       val all = instants(p)
       require(all.nonEmpty, s"empty table (no commits) at $p")

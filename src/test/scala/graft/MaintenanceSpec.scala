@@ -380,6 +380,60 @@ class MaintenanceSpec extends SparkSpec {
     fs.delete(p(s".tmp_${C3}_0"), true)
   }
 
+  test("expired marker with SURVIVING stamped debris is retained; lease break logs a WARN (r10)") {
+    val dir = freshDir("marker_gate")
+    new CowWriter(spark, dir, numBuckets = 2)
+      .insert(orders, col("o_orderkey"), col("o_orderstatus"), C1)
+    val tlBase = Timeline(spark.sessionState.newHadoopConf(), dir)
+    val fs = tlBase.fs
+    def p(rel: String) = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+    val marker = p(s".hoodie/$C2${graft.format.Timeline.ReservedSuffix}")
+
+    val tlShort = new graft.format.Timeline(fs, tlBase.basePath,
+      reserveTtlMs = 50)
+    assert(tlShort.reserve(C2))
+    fs.create(p(s"F/F-0_$C2.parquet"), true).close()
+    Thread.sleep(120) // lease expires; the stamped file is seconds young
+
+    // sweep with the default age cutoff: the stamped file is too young to
+    // reclaim, so the EXPIRED marker must survive the same pass —
+    // reserve()'s invariant (marker cleared only with its debris; a
+    // re-minted C2 would collide with the leftover bucket-deterministic
+    // file name otherwise, the ADVICE r9 finding)
+    val swept1 = TableMaintenance.sweepOrphans(spark, dir)
+    assert(!swept1.exists(_.contains(C2)),
+      s"young debris or its marker swept: $swept1")
+    assert(fs.exists(marker) && fs.exists(p(s"F/F-0_$C2.parquet")))
+    // ... and the expired-but-present marker still blocks re-minting C2
+    assert(!tlBase.reserve(C2))
+
+    // capture the maintenance WARN channel, then sweep with cutoff 0:
+    // debris and marker clear in ONE pass, loudly
+    val msgs = scala.collection.mutable.Buffer.empty[String]
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+      "graft-test-capture", null, null, true,
+      org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        msgs.synchronized { msgs += e.getMessage.getFormattedMessage }
+    }
+    app.start()
+    val lg = ctx.getLogger(TableMaintenance.getClass.getName)
+    lg.addAppender(app)
+    try {
+      val swept2 = TableMaintenance.sweepOrphans(spark, dir, olderThanMs = 0)
+      assert(swept2.toSet == Set(s"F/F-0_$C2.parquet",
+        s"$C2${graft.format.Timeline.ReservedSuffix}"))
+      assert(!fs.exists(marker))
+      val warned = msgs.synchronized(msgs.toList)
+      assert(warned.exists(m => m.contains("EXPIRED reservation") &&
+        m.contains(C2) && m.contains("reclaimed 1 stamped debris")),
+        s"expected a lease-break WARN naming $C2, got: $warned")
+    } finally { lg.removeAppender(app); app.stop() }
+    assert(SnapshotReader.read(spark, dir).count() == orders.count())
+  }
+
   test("sweep skips txn-JOURNALED staged bodies (recovery owns them) and clears superseded markers") {
     val dir = freshDir("journal_sweep")
     new CowWriter(spark, dir, numBuckets = 2)

@@ -260,12 +260,19 @@ object Dedup {
         ratioPermille.fold(minShared)(_ => 1))
     scoped(materialize, base) {
       val cand = winnowCandidates(base, minShared, ratioPermille, dfCap)
-      val arrays = base.select(col("id"), col("fps"))
+      // r10 verify shave (VERDICT r9 #8): fingerprints are DISTINCT by
+      // construction (winnow_hashes), so sorting each doc's array ONCE
+      // lets every candidate pair verify with an allocation-free merge
+      // count instead of array_intersect's per-pair hash set + result
+      // array (equality pinned in DedupProps)
+      val arrays = base.select(col("id"),
+        sort_array(col("fps")).as("fps"))
       val shared = cand
         .join(arrays.select(col("id").as("id_a"), col("fps").as("__fa")), "id_a")
         .join(arrays.select(col("id").as("id_b"), col("fps").as("__fb")), "id_b")
         .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("__fa"), col("__fb"))).cast("long")
+          graft.functions.SortedLongIntersectCount
+            .sortedIntersectCount(col("__fa"), col("__fb"))
             .as("n_shared"),
           size(col("__fa")).cast("long").as("__sza"),
           size(col("__fb")).cast("long").as("__szb"))

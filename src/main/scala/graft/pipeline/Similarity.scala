@@ -402,7 +402,8 @@ object Similarity {
     * PipelineSpec, the recall delta measured in RECALL_r9). */
   def pqTrain(corpus: DataFrame, id: Column, vec: Column, dim: Int,
       m: Int, ksub: Int = 16, iters: Int = 2,
-      seed: Long = 42L, trainFraction: Double = 1.0): PqCodebooks = {
+      seed: Long = 42L, trainFraction: Double = 1.0,
+      init: Option[PqCodebooks] = None): PqCodebooks = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val dsub = dim / m
     val c = trainSample(graft.util.ParallelScan.widen(
@@ -414,11 +415,16 @@ object Similarity {
       struct(lit(s).as("s"), subCol(col("v"), s, dsub).as("sv"))): _*))
       .as("e"))
       .select(col("id"), col("e.s").as("s"), col("e.sv").as("sv"))
-    // deterministic seeded init, one subspace-distinct hash stream each,
-    // picked with ONE ranked window over all subspaces
+    // WARM START (r10): a caller mid-alternation (OPQ) hands the previous
+    // round's codebooks — Lloyd refines them instead of re-seeding and
+    // re-converging from scratch. Cold start: deterministic seeded init,
+    // one subspace-distinct hash stream each, picked with ONE ranked
+    // window over all subspaces.
+    init.foreach(b => require(b.size == m && b.forall(_.size == ksub),
+      s"init codebooks shape ${b.map(_.size)} != ($m x $ksub)"))
     val wInit = Window.partitionBy("s")
       .orderBy(col("__h"), col("id")) // id tiebreak: total order
-    var books: Seq[Seq[Seq[Float]]] = {
+    var books: Seq[Seq[Seq[Float]]] = init.getOrElse {
       val picked = sub
         .withColumn("__h", xxhash64(col("id"), col("s") + lit(seed)))
         .withColumn("__r", row_number().over(wInit))
@@ -626,8 +632,16 @@ object Similarity {
       // maximize tr(R·A), A = U·S·Vᵀ ⇒ R = V·Uᵀ
       val r = svd.Vt.t * svd.U.t
       rot = (0 until dim).map(i => (0 until dim).map(j => r(i, j)))
-      books = pqTrain(rotated, col("id"), col("v"), dim, m, ksub, iters,
-        seed)
+      // WARM-STARTED refit (r10, VERDICT r9 what's-wrong #2): ONE Lloyd
+      // refinement of the previous codebooks on the re-rotated data —
+      // the standard OPQ alternation step — instead of re-seeding and
+      // running the full `iters` Lloyd schedule every rotation round
+      // (that was O(opqIters × iters) Lloyd shuffles; this is
+      // O(opqIters)). Exactness gates are untouched: codebook quality
+      // only moves the APPROXIMATION; full-rerank ≡ brute force holds
+      // for any codebooks.
+      books = pqTrain(rotated, col("id"), col("v"), dim, m, ksub,
+        iters = 1, seed, init = Some(books))
     }
     (rot, books)
   }

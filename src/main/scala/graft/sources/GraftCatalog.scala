@@ -77,7 +77,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * immediately visible to the catalog. No side-car catalog state exists to
   * drift or to lose.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -96,6 +97,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  // ---- functions --------------------------------------------------------
+  // The one catalog function: the engine's key->bucket arithmetic, which
+  // storage-partitioned join planning resolves BY NAME when a scan
+  // reports a `bucket(n, key)` KeyGroupedPartitioning
+  // (V2ScanPartitioningAndOrdering -> loadFunction("bucket")).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
   /** Identifier segments become DIRECTORY names — validate them so a
     * backquoted identifier carrying `/` or `..` cannot escape the
     * warehouse root (dropTable is a recursive delete; containment is a
@@ -108,8 +127,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     s
   }
 
+  /** Namespace segments re-split on '.' before becoming directories: the
+    * V1-fallback streaming identifier (`TableIdentifier` has ONE database
+    * string, so [[GraftV2Table.v1Table]] dot-joins deep namespaces) then
+    * round-trips — `cat.a.b.t` staged as database "a.b" resolves back to
+    * `<wh>/a/b/t` (r10; the trade is that a directory literally named
+    * "a.b" is not addressable as a single namespace level). */
   private def nsPath(ns: Array[String]): String =
-    (warehouse +: ns.toSeq.map(safeSegment)).mkString("/")
+    (warehouse +: ns.toSeq.flatMap { seg0 =>
+      // validate the ORIGINAL segment first: `..`/slashes must be caught
+      // here, never silently normalized away by the dot split
+      val seg = safeSegment(seg0)
+      val sub = seg.split('.')
+      require(sub.nonEmpty && sub.forall(_.nonEmpty),
+        s"illegal catalog namespace segment '$seg0'")
+      sub.toSeq.map(safeSegment)
+    }).mkString("/")
 
   private def tablePath(ident: Identifier): String =
     nsPath(ident.namespace()) + "/" + safeSegment(ident.name())
@@ -466,11 +499,13 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
     with org.apache.spark.sql.graft.V1FallbackTable {
 
   private def spark: SparkSession = SparkSession.active
-  private def timeline = Timeline(spark.sessionState.newHadoopConf(), path)
+  private[sources] def timeline =
+    Timeline(spark.sessionState.newHadoopConf(), path)
+  private[sources] def asOfOpt: Option[String] = asOf
 
   /** Full table schema (meta columns + payload) from commit metadata —
     * present from the very first commit (creation or first insert). */
-  private def fullSchema: StructType =
+  private[sources] def fullSchema: StructType =
     timeline.latestSchemaJson(asOf).map(SnapshotReader.tableSchemaFromJson)
       .getOrElse(throw new IllegalStateException(
         s"graft table at $path records no schema" +
@@ -498,6 +533,14 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
   /** The one recorded partition column (None on pre-recording tables). */
   private[sources] def partitionColumnName: Option[String] =
     timeline.recordedExtraAsOf(FormatWriter.PartColKey, asOf)
+
+  /** Recorded record-key column / bucket count (the native batch scan's
+    * partitioning advertisement needs both). */
+  private[sources] def keyColumnName: Option[String] =
+    timeline.recordedExtraAsOf(FormatWriter.KeyColKey, asOf)
+  private[sources] def bucketCount: Option[Int] =
+    timeline.recordedExtraAsOf(FormatWriter.BucketsKey, asOf)
+      .flatMap(_.toIntOption)
 
   override def properties(): JMap[String, String] =
     (Map("path" -> path) ++
@@ -908,13 +951,10 @@ private final class GraftScanBuilder(table: GraftV2Table,
     val (ok, rest) = predicates.partition { p =>
       p.references().forall(r => r.fieldNames().length == 1 &&
         names.exists(n => resolver(n, r.fieldNames()(0)))) &&
-        org.apache.spark.sql.catalyst.expressions.V2ExpressionUtils
-          .toCatalyst(p).isDefined
+        GraftV2Exprs.toCatalyst(p).isDefined
     }
     pushedV2 = ok
-    pushedExprs = ok.toSeq.map(p =>
-      org.apache.spark.sql.catalyst.expressions.V2ExpressionUtils
-        .toCatalyst(p).get)
+    pushedExprs = ok.toSeq.map(p => GraftV2Exprs.toCatalyst(p).get)
     val v1 = org.apache.spark.sql.graft.Bridge.predicatesToV1(ok)
     pushedV1 = if (v1.length == ok.length) Some(v1) else None
     rest
@@ -1058,9 +1098,43 @@ private final class GraftScanBuilder(table: GraftV2Table,
 
   override def build(): Scan = aggAnswer match {
     case Some((schema, rows)) => new GraftMetaAggScan(table, schema, rows)
-    case None => new GraftV1FallbackScan(table, required, pushedExprs,
-      pushedSort, pushedLimit)
+    case None => nativeScan().getOrElse(
+      new GraftV1FallbackScan(table, required, pushedExprs,
+        pushedSort, pushedLimit))
   }
+
+  /** The native batch scan ([[GraftBatchScan]]: reported bucket
+    * partitioning + runtime filtering) for the shapes it serves exactly:
+    * delta-free file slices, no LIMIT/TopN claim, full table identity
+    * (key/partition/buckets) recorded, bucket key of a string-renderable
+    * type. Anything else — and any planning surprise — declines to the
+    * V1-fallback scan, which is always correct. */
+  private def nativeScan(): Option[Scan] = try {
+    val session = SparkSession.active
+    if (!session.conf.get("spark.graft.catalog.nativeScan", "true")
+        .toBoolean) return None
+    if (pushedLimit.nonEmpty || pushedSort.nonEmpty) return None
+    val v1 = pushedV1 match {
+      case Some(f) => f
+      case None => return None // a claimed predicate with no V1 form
+    }
+    val slices = table.timeline.latestSlices(table.asOfOpt).values.toSeq
+    if (slices.isEmpty ||
+        slices.exists(s => s.deltas.nonEmpty || s.relPath.isEmpty))
+      return None
+    for {
+      key <- table.keyColumnName
+      part <- table.partitionColumnName
+      buckets <- table.bucketCount
+      keyField <- table.fullSchema.fields.find(f =>
+        session.sessionState.conf.resolver(f.name, key))
+      if GraftBucketFunction.renderable(keyField.dataType)
+      if slices.forall(sl => sl.fileId.lastIndexOf('-') > 0 &&
+        sl.fileId.drop(sl.fileId.lastIndexOf('-') + 1).toIntOption
+          .exists(b => b >= 0 && b < buckets))
+    } yield new GraftBatchScan(table, required, pushedExprs, v1, slices,
+      key, part, buckets, table.fullSchema): Scan
+  } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** The metadata-answered aggregate scan: a handful of in-memory rows

@@ -57,6 +57,50 @@ object Bridge {
       dir: Option[String]): Unit =
     sc.checkpointDir = dir
 
+  /** Spark's own parquet read pipeline (`private[sql]
+    * FileFormat.buildReaderWithPartitionValues`) as a serializable
+    * per-file reader function — the exact vectorized/pushdown-enabled
+    * machinery FileSourceScanExec ships to executors, reused by the
+    * native DSv2 batch scan ([[graft.sources]]) instead of
+    * re-implementing a parquet decoder. The returned iterators may yield
+    * `ColumnarBatch`es disguised as rows when the vectorized reader
+    * elects batches (the same unsafe contract FileScanRDD consumes);
+    * callers flatten via [[flattenBatches]]. */
+  def parquetReadFunc(spark: SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .buildReaderWithPartitionValues(
+        spark.asInstanceOf[classic.SparkSession], dataSchema,
+        org.apache.spark.sql.types.StructType(Nil), requiredSchema,
+        filters, options, hadoopConf)
+
+  /** The option key the parquet reader REQUIRES to know whether the
+    * caller consumes `ColumnarBatch`es or rows (`private[sql]`
+    * `FileFormat.OPTION_RETURNING_BATCH`). */
+  def returningBatchKey: String =
+    org.apache.spark.sql.execution.datasources.FileFormat
+      .OPTION_RETURNING_BATCH
+
+  /** Row-ify a reader-function output stream: vectorized parquet readers
+    * yield `ColumnarBatch` objects through the row-typed iterator (the
+    * FileScanRDD contract); downstream row consumers flatten them. */
+  def flattenBatches(
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    it.asInstanceOf[Iterator[Object]].flatMap {
+      case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator())
+          .asScala
+      case r =>
+        Iterator.single(r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+    }
+
   /** Drain the listener bus (private[spark]) — lets tests assert on
     * listener-observed facts (e.g. "this operation launched zero jobs")
     * without sleeps. */

@@ -157,4 +157,35 @@ object DedupProps extends Properties("Dedup.ngramJaccard") {
         val want = verts.map(v => v -> find(v)).toMap
         (got == want) :| s"got $got, want $want"
     }
+
+  /** The r10 winnow-verify shave: the sorted-merge intersect count must
+    * equal `size(array_intersect(...))` on sorted DISTINCT inputs, in
+    * BOTH codegen (DataFrame eval) and interpreted (direct eval) modes. */
+  property("sortedIntersectCount == array_intersect size (codegen & interpreted)") =
+    Prop.forAll(
+        Gen.zip(Gen.listOf(Gen.choose(-50L, 50L)),
+          Gen.listOf(Gen.choose(-50L, 50L)))) { case (la, lb) =>
+      import spark.implicits._
+      val a = la.distinct.sorted
+      val b = lb.distinct.sorted
+      val want = a.toSet.intersect(b.toSet).size.toLong
+      // repartition defeats local-relation constant folding, so the
+      // select genuinely runs through whole-stage codegen
+      val df = Seq((a, b)).toDF("a", "b").repartition(1)
+      val codegen = df.select(
+        graft.functions.SortedLongIntersectCount
+          .sortedIntersectCount(col("a"), col("b")).as("n"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("m"))
+        .as[(Long, Long)].head()
+      val interpreted = graft.functions.SortedLongIntersectCount(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType))).eval(null)
+        .asInstanceOf[Long]
+      (codegen == ((want, want)) && interpreted == want) :|
+        s"a=$a b=$b codegen=$codegen interpreted=$interpreted want=$want"
+    }
 }

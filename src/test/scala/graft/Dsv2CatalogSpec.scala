@@ -134,15 +134,29 @@ class Dsv2CatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $t VALUES (1,'a',10), (2,'b',20), (3,'a',30)")
     val q = spark.sql(s"SELECT v FROM $t WHERE part = 'a' AND v > 15")
     assert(q.as[Long].collect().toSeq == Seq(30L))
-    // both predicates are translatable → pushed into the inner snapshot
-    // plan (where partition pruning / parquet pushdown fire); the V2 scan
-    // reports them as its pushed filters
+    // both predicates are translatable and the table is delta-free →
+    // the NATIVE batch scan serves it (r10), claiming the filters
+    // (parquet row-group pushdown + row-exact re-verification inside the
+    // reader — the result assert above is the correctness gate)
     val scans = q.queryExecution.executedPlan.collectLeaves()
-    assert(scans.exists(_.toString.contains("GraftV1FallbackScan")),
-      s"expected the graft V1-fallback scan, got:\n${q.queryExecution}")
+    assert(scans.exists(_.toString.contains("GraftBatchScan")),
+      s"expected the native graft batch scan, got:\n${q.queryExecution}")
     // column pruning reached the scan: its readSchema is just (part, v)
     assert(!q.queryExecution.executedPlan.toString
       .contains(MetaCols.CommitTime))
+    // the same query against a DELTA-carrying (MOR) state declines to the
+    // V1-fallback scan, whose plan owns the window-merge semantics
+    val m = freshTable("t6m")
+    spark.sql(s"""CREATE TABLE $m (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '2', type 'mor')""")
+    spark.sql(s"INSERT INTO $m VALUES (1,'a',10), (2,'b',20)")
+    spark.sql(s"INSERT INTO $m VALUES (2,'b',25), (3,'a',30)") // deltas
+    val qm = spark.sql(s"SELECT v FROM $m WHERE part = 'b'")
+    assert(qm.queryExecution.executedPlan.collectLeaves()
+      .exists(_.toString.contains("GraftV1FallbackScan")),
+      s"MOR deltas must decline the native scan:\n${qm.queryExecution}")
+    assert(qm.as[Long].collect().toSeq == Seq(25L))
   }
 
   test("V2 predicate pushdown: expression predicates are claimed and evaluated inside the snapshot plan") {
@@ -537,13 +551,209 @@ class Dsv2CatalogSpec extends SparkSpec {
       (1 to 11).map(_ + 0.25).sum) < 1e-9)
   }
 
+  test("string-function predicates (substring/upper/trim) are claimed and fused (r10)") {
+    val t = freshTable("t23")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, nm STRING)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a','Widget'), (2,'b','Gadget')," +
+      " (3,'a','widget'), (4,'b','  pad  ')")
+    // substring: Spark 4.1's own V2→Catalyst translator has no mapping —
+    // without the r10 extension this stays a Filter node above the scan
+    val q1 = spark.sql(
+      s"SELECT id FROM $t WHERE substring(nm, 1, 3) = 'Wid'")
+    assert(q1.as[Long].collect().toSeq == Seq(1L))
+    assert(!q1.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]),
+      s"substring predicate not fully claimed:\n${q1.queryExecution.optimizedPlan}")
+    val q2 = spark.sql(s"SELECT id FROM $t WHERE upper(nm) = 'WIDGET'")
+    assert(q2.as[Long].collect().toSeq.sorted == Seq(1L, 3L))
+    assert(!q2.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]),
+      s"upper predicate not fully claimed:\n${q2.queryExecution.optimizedPlan}")
+    val q3 = spark.sql(s"SELECT id FROM $t WHERE trim(nm) = 'pad'")
+    assert(q3.as[Long].collect().toSeq == Seq(4L))
+    assert(!q3.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]),
+      s"trim predicate not fully claimed:\n${q3.queryExecution.optimizedPlan}")
+  }
+
+  test("multi-level namespace: cat.a.b.t serves CRUD and streaming toTable (r10)") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.a.b")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.a.b.deep")
+    spark.sql(s"""CREATE TABLE $cat.a.b.deep (id BIGINT, part STRING,
+      v BIGINT) PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '2')""")
+    spark.sql(s"INSERT INTO $cat.a.b.deep VALUES (1,'x',10)")
+    assert(spark.sql(s"SELECT id, v FROM $cat.a.b.deep")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    // the directory layout is the nested namespace
+    assert(new java.io.File(s"$wh/a/b/deep/.hoodie").isDirectory)
+
+    // streaming toTable INTO the deep table: the V1-fallback identifier
+    // dot-joins (a, b) into TableIdentifier's single database string; the
+    // catalog's namespace re-split resolves it back (the r9 honest note)
+    val src = freshTable("t24")
+    spark.sql(s"""CREATE TABLE $src (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
+    spark.sql(s"INSERT INTO $src VALUES (5,'y',50), (6,'y',60)")
+    val ckp = "/tmp/graft_test/deep_ns_ckp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckp))
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.table(src).select("id", "part", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckp)
+      .trigger(Trigger.AvailableNow()).toTable(s"$cat.a.b.deep")
+    q.awaitTermination(120000)
+    assert(spark.sql(s"SELECT id, v FROM $cat.a.b.deep ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (5L, 50L), (6L, 60L)))
+  }
+
+  test("native batch scan ≡ V1 fallback: rows, filters, projections, time travel (r10)") {
+    conf()
+    val t = freshTable("t21")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '4')""")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      (1 to 40).map(i => s"($i, 'p${i % 3}', ${i * 10})").mkString(", "))
+    spark.sql(s"INSERT INTO $t VALUES (2, 'p2', 999)") // upsert moves id=2
+    spark.sql(s"DELETE FROM $t WHERE id = 7")
+    def native(q: String) = spark.sql(q)
+    def fallback(q: String) = {
+      spark.conf.set("spark.graft.catalog.nativeScan", "false")
+      try spark.sql(q).collect().toSeq
+      finally spark.conf.unset("spark.graft.catalog.nativeScan")
+    }
+    for (q <- Seq(
+      s"SELECT * FROM $t",
+      s"SELECT id, v FROM $t WHERE part = 'p1' AND v > 100",
+      s"SELECT ${MetaCols.CommitTime}, id FROM $t WHERE id <= 5",
+      s"SELECT part, v FROM $t WHERE id % 4 = 1")) {
+      val n = native(q)
+      assert(n.collect().toSeq.toSet == fallback(q).toSet, s"mismatch: $q")
+    }
+    // the default path IS the native scan for this delta-free table
+    val plan = native(s"SELECT * FROM $t").queryExecution.executedPlan
+    assert(plan.collectLeaves().exists(_.toString.contains("GraftBatchScan")),
+      s"native scan expected:\n$plan")
+    // time travel through the native scan
+    val v1 = spark.sql(s"SELECT count(*) FROM $t VERSION AS OF " +
+      s"'${format.Timeline(spark.sessionState.newHadoopConf(),
+        s"$wh/ns/t21").completedInstants().head.ts}'")
+    assert(v1.as[Long].head == 0L) // creation commit: empty table declines
+  }
+
+  test("bucket V2 function ≡ the writer's fileId arithmetic") {
+    conf()
+    import graft.sources.{GraftBucketBound, GraftBucketFunction}
+    for (k <- Seq(1L, 2L, 17L, 123456789L, -5L)) {
+      val expected = spark.sql(
+        s"SELECT pmod(xxhash64(cast($k AS STRING)), 8)").head.getLong(0)
+      val viaFn = GraftBucketBound(org.apache.spark.sql.types.LongType)
+        .produceResult(org.apache.spark.sql.catalyst.InternalRow(8, k))
+      assert(viaFn.toLong == expected, s"key $k")
+      val viaHelper = GraftBucketFunction.bucketOf(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k.toString), 8)
+      assert(viaHelper.toLong == expected, s"helper key $k")
+    }
+    // catalog-resolvable by name (the SPJ planning lookup path)
+    val fn = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.FunctionCatalog]
+      .loadFunction(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "bucket"))
+    assert(fn.name() == "bucket")
+  }
+
+  test("storage-partitioned join: same-key catalog tables join with ZERO Exchange (r10)") {
+    conf()
+    val t1 = freshTable("spj1"); val t2 = freshTable("spj2")
+    for (t <- Seq(t1, t2))
+      spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+        PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '4')""")
+    spark.sql(s"INSERT INTO $t1 VALUES " +
+      (1 to 30).map(i => s"($i, 'p${i % 2}', $i)").mkString(", "))
+    spark.sql(s"INSERT INTO $t2 VALUES " +
+      (11 to 40).map(i => s"($i, 'q${i % 3}', ${i * 100})").mkString(", "))
+    // NOTE: restore is unset, not getOption round-trip — getOption
+    // resolves SQLConf DEFAULTS, so "restoring" it would pin the default
+    // as an explicit session value and leak into other tests
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.sql(
+        s"SELECT a.id, a.v, b.v FROM $t1 a JOIN $t2 b ON a.id = b.id")
+      assert(j.as[(Long, Long, Long)].collect().toSeq.sorted ==
+        (11 to 30).map(i => (i.toLong, i.toLong, i * 100L)))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must plan with no shuffle:\n$plan")
+      assert(plan.contains("GraftBatchScan"))
+    } finally Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").foreach(spark.conf.unset)
+  }
+
+  test("runtime filtering prunes partitions and buckets before any file opens (r10)") {
+    conf()
+    val t = freshTable("t22")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '4')""")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      (1 to 40).map(i => s"($i, 'p${i % 4}', ${i * 10})").mkString(", "))
+    val tbl = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns"), "t22"))
+    def freshScan() = {
+      val sb = tbl.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new org.apache.spark.sql.util
+          .CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      sb.build()
+    }
+    val all = freshScan().toBatch.planInputPartitions().length
+    assert(all > 4, s"expected per-file splits, got $all")
+    // partition-column runtime filter: only p1's files stay planned
+    val s1 = freshScan()
+    s1.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("part", Array("p1"))))
+    val p1 = s1.toBatch.planInputPartitions().length
+    assert(p1 < all && p1 > 0, s"partition runtime filter: $p1 vs $all")
+    // key-column runtime filter: only the keys' BUCKETS stay planned
+    val s2 = freshScan()
+    s2.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("id", Array(1L, 2L))))
+    val b2 = s2.toBatch.planInputPartitions().length
+    assert(b2 < all && b2 > 0, s"bucket runtime filter: $b2 vs $all")
+    // unknown filter shapes keep everything (superset-safe contract)
+    val s3 = freshScan()
+    s3.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThan("v", 0L)))
+    assert(s3.toBatch.planInputPartitions().length == all)
+
+    // end-to-end: a star join against a selective dimension still answers
+    // exactly (runtime filters are an optimization, never a filter)
+    Seq(("p1", 1L), ("p2", 2L)).toDF("dpart", "w")
+      .createOrReplaceTempView("graft_dim_rt")
+    val j = spark.sql(s"SELECT t.id, t.v FROM $t t JOIN graft_dim_rt d " +
+      s"ON t.part = d.dpart WHERE d.w = 1")
+    assert(j.as[(Long, Long)].collect().toSeq.sorted ==
+      (1 to 40).filter(_ % 4 == 1).map(i => (i.toLong, i * 10L)))
+  }
+
   test("streaming reads: readStream.table == the format-path stream, exactly-once across restarts") {
     val t = freshTable("t17")
     spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
       PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
     spark.sql(s"INSERT INTO $t VALUES (1,'a',10), (2,'b',20)")
     val base = "/tmp/graft_test/dsv2_stream"
-    Seq("sinkCat", "sinkFmt", "ckpCat", "ckpFmt").foreach(n =>
+    Seq("sinkCat", "sinkFmt", "ckpCat", "ckpFmt", "ckpToTable").foreach(n =>
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$base/$n")))
     import org.apache.spark.sql.streaming.Trigger

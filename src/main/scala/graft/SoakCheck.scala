@@ -138,12 +138,17 @@ object SoakCheck {
     try {
 
     // ---- path 1: COW write → 5% delete commit → delete view ------------
-    val cowDir = s"$root/cow"
+    // (written under <root>/ns/ so path 4 can mount it as a CATALOG table;
+    // v1 is a declared stats column so per-file sums are recorded)
+    val cowDir = s"$root/ns/cow"
     val data = synthTable(spark, TableRows)
     data.write.format("graft")
       .option("key", "id").option("partition", "part")
-      .option("buckets", "16").option("ts", "1000").save(cowDir)
-    new graft.write.CowWriter(spark, cowDir, 16)
+      .option("buckets", "16").option("stats", "v1")
+      .option("ts", "1000").save(cowDir)
+    // the delete REWRITES 5% of the groups: the rewriter must keep
+    // recording v1's stats+sums or path 4's metadata aggregate declines
+    new graft.write.CowWriter(spark, cowDir, 16, statsCols = Seq("v1"))
       .delete(data.filter(pmod(col("id"), lit(20)) === 0),
         col("id"), col("part"), "2000")
     val dv = measure(spark, "delete_view")(
@@ -199,18 +204,62 @@ object SoakCheck {
     require(kept == DocRows * 9 / 10,
       s"kept $kept docs, expected ${DocRows * 9 / 10}")
 
+    // ---- path 4: DSv2 metadata aggregate at 20× (r10) ------------------
+    // grouped COUNT/MIN/MAX/SUM on the 3M-row catalog table must stay a
+    // metadata walk: GraftMetaAggScan in the plan, ZERO file-read bytes,
+    // planning O(ms) — `SELECT sum(x) GROUP BY part` at 100 TB is a
+    // per-file-stats fold, never a scan
+    spark.conf.set("spark.sql.catalog.soakcat",
+      classOf[sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.soakcat.warehouse", root)
+    val aggSql = "SELECT part, count(*) AS n, min(v1) AS mn, " +
+      "max(v1) AS mx, sum(v1) AS sv FROM soakcat.ns.cow GROUP BY part"
+    require(spark.sql(aggSql).queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"),
+      s"soak metadata aggregate not metadata-answered:\n" +
+        spark.sql(aggSql).queryExecution.executedPlan)
+    val metaAgg = measure(spark, "v2_meta_agg")(
+      () => spark.sql(aggSql))(_.count())
+    require(metaAgg.rowsOut == 8, s"v2_meta_agg rows ${metaAgg.rowsOut}")
+    require(metaAgg.maxTaskInputMB == 0,
+      s"v2_meta_agg read ${metaAgg.maxTaskInputMB} MB of files " +
+        "(must be zero: metadata only)")
+
+    // ---- path 5: catalog streaming drain at 20× (r10) ------------------
+    // readStream.table over the same 3M-row catalog table (the
+    // V1-fallback source): both commits drain exactly-once through
+    // AvailableNow with per-task input bounded like any batch scan
+    var streamedRows = 0L
+    val stream = measure(spark, "catalog_stream")(() => {
+      val q = spark.readStream.table("soakcat.ns.cow")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/stream_ckp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(600000)
+      streamedRows = q.recentProgress.map(_.numInputRows).sum
+      spark.sql("SELECT 1")
+    })(_ => streamedRows)
+    // AvailableNow plans ONE batch over both commits: the commit-range
+    // read emits each touched group's CURRENT rows, i.e. the survivors
+    // of the 5% delete (every group was touched by it)
+    require(streamedRows == TableRows - TableRows / 20,
+      s"catalog stream drained $streamedRows rows, expected " +
+        s"${TableRows - TableRows / 20}")
+
     // ---- gates ---------------------------------------------------------
-    val all = Seq(dv, mor, morPart, dd)
+    val all = Seq(dv, mor, morPart, dd, metaAgg, stream)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
       s"${r.name}: a task shuffle-read ${r.maxTaskShuffleMB} MB"))
     // planning is a driver metadata walk — it must not scale with data.
-    // ingest_dedup is excluded: its "plan" thunk RUNS the three ingest
-    // commits (an eager multi-commit operator has no separable planning
-    // phase), so its plan_ms is workload wall time, not planning.
-    all.filter(_.name != "ingest_dedup").foreach(r =>
-      require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))
+    // ingest_dedup and catalog_stream are excluded: their "plan" thunks
+    // RUN the workload (eager multi-commit / stream drain), so plan_ms is
+    // wall time, not planning.
+    all.filterNot(r => Set("ingest_dedup", "catalog_stream")(r.name))
+      .foreach(r =>
+        require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))
 
     val json = s"""{"table_rows":$TableRows,"doc_rows":$DocRows,""" +
       s""""heap_mb":$heapMb,""" +

@@ -818,8 +818,8 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
   } catch {
     // any stat-parse / predicate-eval surprise declines the pushdown (the
     // ordinary scan is always correct) rather than failing the query
-    case MetaAggDecline => None
-    case scala.util.control.NonFatal(_) => None
+    case MetaAggDecline => { if (sys.env.contains("GRAFT_DEBUG_DECLINE")) new Exception("DECLINE-DEBUG").printStackTrace(); None }
+    case scala.util.control.NonFatal(e) => { if (sys.env.contains("GRAFT_DEBUG_DECLINE")) e.printStackTrace(); None }
   }
 
   /** The planned snapshot every read/delete verb roots at: the SAME frame

@@ -573,6 +573,42 @@ class FileIndexSpec extends SparkSpec {
     assert(sel.count() == raw.count())
   }
 
+  test("column-stats index: DECIMAL stats skip-prune and record exact sums (r10)") {
+    val dir = freshDir("orders_decstats")
+    import org.apache.spark.sql.types.DecimalType
+    // exact decimal money column built from integer cents (no fp rounding)
+    val dec = orders.withColumn("o_price_dec",
+      (expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "AS DECIMAL(16,0))") * expr("CAST(0.01 AS DECIMAL(3,2))"))
+        .cast(DecimalType(20, 2)))
+    val w = new CowWriter(spark, dir, numBuckets = 4,
+      statsCols = Seq("o_price_dec"))
+    w.insert(dec, col("o_orderkey"), col("o_orderstatus"), Fixtures.C1)
+    val snap = SnapshotReader.read(spark, dir)
+    val total = snap.inputFiles.length
+    assert(total > 2, s"need a multi-file table, got $total")
+    // impossible decimal range: ZERO files planned (min/max skipping on
+    // the decimal ordering, not a string rendering)
+    val none = snap.filter($"o_price_dec" > new java.math.BigDecimal(
+      "99999999999999.99"))
+    assert(none.count() == 0 && plannedFiles(none) == 0)
+    // selective decimal range is skipping-correct vs the raw scan
+    val cut = new java.math.BigDecimal("1000.00")
+    val sel = snap.filter($"o_price_dec" < cut)
+    val raw = SnapshotReader.evolvedRead(spark, snap.inputFiles.toSeq)
+      .filter($"o_price_dec" < cut)
+    assert(sel.count() == raw.count() && plannedFiles(sel) <= total)
+    // every file recorded an exact decimal sum; their fold == the scan sum
+    val tl = graft.format.Timeline(spark.sessionState.newHadoopConf(), dir)
+    val sums = tl.metadata(Fixtures.C1).allStats.toSeq.map { case (_, st) =>
+      new java.math.BigDecimal(st.colStats("o_price_dec").sum.get)
+    }
+    val folded = sums.reduce(_ add _)
+    val scanned = snap.agg(sum($"o_price_dec")).head().getDecimal(0)
+    assert(folded.compareTo(scanned) == 0,
+      s"per-file sum fold $folded != scan sum $scanned")
+  }
+
   test("column-stats index: rewrites keep stats; In/null semantics conservative-correct") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -408,8 +408,11 @@ object Fixtures {
       def statsDeclared = {
         val tl = graft.format.Timeline(
           spark.sessionState.newHadoopConf(), dir)
+        // NOTE: Option.contains is WHOLE-VALUE equality — the recorded
+        // value is a comma list, so membership needs the split (a bare
+        // .contains silently rebuilt the fixture on every call)
         tl.recordedExtraAsOf(graft.write.FormatWriter.StatsColsKey, None)
-          .contains("o_price_dec") &&
+          .exists(_.split(',').map(_.trim).contains("o_price_dec")) &&
           tl.completedInstants().lastOption.exists(i =>
             tl.metadata(i.ts).allStats.forall { case (_, st) =>
               st.path.isEmpty ||
@@ -444,6 +447,32 @@ object Fixtures {
         spark.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'F'")
       }
       (dir, tbl)
+    }
+
+  /** Second catalog table in the SAME warehouse as [[dsv2Dir]], bucketed
+    * identically (key o_orderkey, buckets 8) — the storage-partitioned
+    * join partner for `q_v2_spj`: keys %5==0 with a shifted cents column
+    * (CTAS only, 2 commits). Returns the catalog-qualified SQL name. */
+  def dsv2DimDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      dsv2Dir(spark, sfDir) // ensures catalog conf + namespace exist
+      val wh = s"${root(sfDir)}/dsv2_wh"
+      val cat = "graft_fix_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+      val tbl = s"$cat.main.orders_dim"
+      val dir = s"$wh/main/orders_dim"
+      if (!complete(spark, dir, 2)) {
+        rm(spark, dir)
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .createOrReplaceTempView("graft_dsv2_dim_src")
+        spark.sql(
+          s"""CREATE TABLE $tbl PARTITIONED BY (o_orderstatus)
+             |TBLPROPERTIES (key 'o_orderkey', buckets '8')
+             |AS SELECT o_orderkey, o_orderstatus,
+             |CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS o_cents_dim
+             |FROM graft_dsv2_dim_src WHERE o_orderkey % 5 = 0"""
+            .stripMargin)
+      }
+      tbl
     }
 
   def sqlDmlDir(spark: SparkSession, sfDir: String): String = synchronized {

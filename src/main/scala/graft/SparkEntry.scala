@@ -189,6 +189,28 @@ object SparkEntry {
           FROM $tbl GROUP BY o_orderstatus)
         ORDER BY o_orderstatus""")
     }),
+    // q_v2_spj (r10): STORAGE-PARTITIONED equi-join of two catalog
+    // tables bucketed on the same key+count — with v2 bucketing enabled
+    // the join plans with ZERO Exchange on either side (the native batch
+    // scan reports the writers' bucket layout; plan-asserted in
+    // Dsv2CatalogSpec), here value-gated against the DuckDB join oracle.
+    // The frame is materialized (localCheckpoint) INSIDE the conf scope
+    // so the SPJ planning happens under the enabled conf and nothing
+    // leaks to later queries.
+    "q_v2_spj" -> ((s, d) => {
+      val (_, tbl) = Fixtures.dsv2Dir(s, d)
+      val dim = Fixtures.dsv2DimDir(s, d)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try
+        s.sql(s"""SELECT a.o_orderkey, a.o_cents, b.o_cents_dim
+          FROM $tbl a JOIN $dim b ON a.o_orderkey = b.o_orderkey
+          ORDER BY a.o_orderkey""").localCheckpoint(true)
+      finally {
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }),
     // q_mat_view: incrementally maintained materialized aggregate — the
     // view table is refreshed from the source's CHANGE FEED (update
     // pre-images subtract old contributions; deletes empty groups out of
@@ -1265,6 +1287,18 @@ object SparkEntry {
         "FROM orders WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
         "AND o_orderstatus <> 'F')) " +
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // the SPJ fixture pair: orders_ins (keys %2/%3, 'F' deleted, %3 rows
+    // at +100000) joined with orders_dim (keys %5, cents+7)
+    "q_v2_spj" ->
+      ("SELECT a.o_orderkey, a.o_cents, b.o_cents_dim FROM " +
+        "(SELECT o_orderkey, CAST(round((CASE WHEN o_orderkey % 3 = 0 " +
+        "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) " +
+        "AS BIGINT) AS o_cents FROM orders " +
+        "WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
+        "AND o_orderstatus <> 'F') a JOIN " +
+        "(SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "+ 7 AS o_cents_dim FROM orders WHERE o_orderkey % 5 = 0) b " +
+        "ON a.o_orderkey = b.o_orderkey ORDER BY a.o_orderkey"),
     // maintained view ≡ full GROUP BY of the final source state (the
     // fixture's C2 update + C3 delete arithmetic replayed directly)
     "q_mat_view" ->

@@ -27,6 +27,7 @@ object JsonCodec {
         n.put("numDeletes", s.numDeletes)
         n.put("numUpdateWrites", s.numUpdateWrites)
         n.put("numInserts", s.numInserts)
+        s.sizeBytes.foreach(n.put("fileSizeInBytes", _))
         if (s.colStats.nonEmpty) {
           val cs = n.putObject("colStats")
           s.colStats.toSeq.sortBy(_._1).foreach { case (c, st) =>
@@ -68,6 +69,8 @@ object JsonCodec {
           numDeletes = n.get("numDeletes").asLong(),
           numUpdateWrites = n.get("numUpdateWrites").asLong(),
           numInserts = n.get("numInserts").asLong(),
+          sizeBytes = Option(n.get("fileSizeInBytes"))
+            .filterNot(_.isNull).map(_.asLong()),
           colStats = n.get("colStats") match {
             case cs: ObjectNode => cs.fields().asScala.map { c =>
               val o = c.getValue

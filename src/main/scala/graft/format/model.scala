@@ -39,7 +39,11 @@ final case class WriteStat(
     numDeletes: Long,
     numUpdateWrites: Long,
     numInserts: Long,
-    colStats: Map[String, ColStat] = Map.empty)
+    colStats: Map[String, ColStat] = Map.empty,
+    /** Written file size in bytes (Hudi's fileSizeInBytes) — lets read
+      * planning size splits and report exact scan statistics without a
+      * per-file FS RPC; None on fileless stats and pre-r10 commits. */
+    sizeBytes: Option[Long] = None)
 
 /** Per-file, per-column statistics recorded at write time (Hudi's
   * column-stats index analog, kept inline in the commit metadata — the

@@ -62,8 +62,11 @@ private[sources] final class GraftBatchScan(
     keyCol: String,
     partCol: String,
     buckets: Int,
-    dataSchema: StructType) extends Scan with Batch
-    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+    dataSchema: StructType,
+    sizeOf: Map[String, Long],
+    rowsOf: Map[String, Long]) extends Scan with Batch
+    with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -102,12 +105,15 @@ private[sources] final class GraftBatchScan(
       .toBoolean
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = new org.apache.hadoop.fs.Path(table.path)
+    // file length from the commit-recorded write stat (zero FS RPCs);
+    // pre-size-recording commits fall back to one getFileStatus each
+    lazy val fs = new org.apache.hadoop.fs.Path(table.path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     def fileOf(sl: FileSlice): (String, Long) = {
       val p = new org.apache.hadoop.fs.Path(
         s"${table.path}/${sl.relPath.get}")
-      (p.toString, fs.getFileStatus(p).getLen)
+      (p.toString,
+        sizeOf.getOrElse(sl.fileId, fs.getFileStatus(p).getLen))
     }
     if (spjEnabled)
       // storage-partitioned-join mode: ONE InputPartition per bucket (the
@@ -134,6 +140,28 @@ private[sources] final class GraftBatchScan(
       else new KeyGroupedPartitioning(
         Array(Expressions.bucket(buckets, keyCol)), n)
     } else new UnknownPartitioning(liveSlices.size)
+
+  /** EXACT scan statistics from commit metadata (r10): row count is the
+    * sum of the live files' recorded write counts (delta-free, so the
+    * files' rows ARE the snapshot), bytes the sum of recorded sizes —
+    * this is what lets Spark auto-BROADCAST a small catalog table in a
+    * join without hints or a full scan. Runtime-filter pruning is
+    * reflected (fewer live slices → smaller estimate). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val live = liveSlices
+      override def numRows(): java.util.OptionalLong =
+        if (live.forall(sl => rowsOf.contains(sl.fileId)))
+          java.util.OptionalLong.of(
+            live.map(sl => rowsOf(sl.fileId)).sum)
+        else java.util.OptionalLong.empty()
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (live.forall(sl => sizeOf.contains(sl.fileId)))
+          java.util.OptionalLong.of(
+            live.map(sl => sizeOf(sl.fileId)).sum)
+        else java.util.OptionalLong.empty()
+    }
 
   // ---- runtime filtering -----------------------------------------------
 

@@ -1122,6 +1122,14 @@ private final class GraftScanBuilder(table: GraftV2Table,
     if (slices.isEmpty ||
         slices.exists(s => s.deltas.nonEmpty || s.relPath.isEmpty))
       return None
+    // per-file sizes and row counts from the WRITE stats (r10) — exact
+    // scan statistics and split planning with zero FS RPCs on current
+    // tables; files from pre-size-recording commits fall back to one
+    // getFileStatus each at plan time
+    val tl = table.timeline
+    val stats: Map[String, WriteStat] = slices.flatMap(sl =>
+      tl.metadata(sl.commitTs).statByFileId(sl.fileId)
+        .map(sl.fileId -> _._2)).toMap
     for {
       key <- table.keyColumnName
       part <- table.partitionColumnName
@@ -1133,7 +1141,10 @@ private final class GraftScanBuilder(table: GraftV2Table,
         sl.fileId.drop(sl.fileId.lastIndexOf('-') + 1).toIntOption
           .exists(b => b >= 0 && b < buckets))
     } yield new GraftBatchScan(table, required, pushedExprs, v1, slices,
-      key, part, buckets, table.fullSchema): Scan
+      key, part, buckets, table.fullSchema,
+      sizeOf = stats.flatMap { case (fid, st) =>
+        st.sizeBytes.map(fid -> _) },
+      rowsOf = stats.map { case (fid, st) => fid -> st.numWrites }): Scan
   } catch { case scala.util.control.NonFatal(_) => None }
 }
 

@@ -94,7 +94,8 @@ final class CowWriter(
     val stats = written.toSeq.map { case ((part, fid), w) =>
       part -> WriteStat(fid, Some(w.relPath), prevCommit = None,
         numWrites = w.rows, numDeletes = 0, numUpdateWrites = 0,
-        numInserts = w.rows, colStats = w.colStats)
+        numInserts = w.rows, colStats = w.colStats,
+        sizeBytes = Some(w.sizeBytes))
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
       schema = data.drop(FidCol).schema, extra = withBuckets(extra),
@@ -262,7 +263,8 @@ final class CowWriter(
         numWrites = w.rows,
         numDeletes = deletedPerFid.getOrElse(fid, 0L),
         numUpdateWrites = updatedPerFid.getOrElse(fid, 0L),
-        numInserts = 0, colStats = w.colStats)
+        numInserts = 0, colStats = w.colStats,
+        sizeBytes = Some(w.sizeBytes))
     } ++ emptied.map { case (part, fid) =>
       part -> WriteStat(fid, None,
         prevCommit = prevByFid.get(fid).map(_.commitTs),
@@ -310,7 +312,8 @@ final class CowWriter(
       part -> WriteStat(fid, Some(w.relPath),
         prevCommit = prior.get(fid).map(_.commitTs),
         numWrites = w.rows, numDeletes = 0, numUpdateWrites = 0,
-        numInserts = w.rows, colStats = w.colStats)
+        numInserts = w.rows, colStats = w.colStats,
+        sizeBytes = Some(w.sizeBytes))
     } ++ replaced.map { s =>
       s.partitionPath -> WriteStat(s.fileId, None,
         prevCommit = Some(s.commitTs),

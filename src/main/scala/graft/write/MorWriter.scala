@@ -75,7 +75,8 @@ final class MorWriter(
     val stats = written.toSeq.map { case ((part, fid), w) =>
       part -> WriteStat(fid, Some(w.relPath), prevCommit = None,
         numWrites = w.rows, numDeletes = 0, numUpdateWrites = 0,
-        numInserts = w.rows, colStats = w.colStats)
+        numInserts = w.rows, colStats = w.colStats,
+        sizeBytes = Some(w.sizeBytes))
     }
     saveCommit(ts, stats, totalDeleted = 0, op = "INSERT",
       action = Instant.CommitAction, schema = data.drop(FidCol).schema,
@@ -146,7 +147,8 @@ final class MorWriter(
         numWrites = w.rows,
         numDeletes = deletedPerFid.getOrElse(fid, 0L),
         numUpdateWrites = updatedPerFid.getOrElse(fid, 0L),
-        numInserts = 0, colStats = w.colStats)
+        numInserts = 0, colStats = w.colStats,
+        sizeBytes = Some(w.sizeBytes))
     }
     saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
       op = "UPSERT_DELTA", action = Instant.DeltaCommitAction,
@@ -201,7 +203,8 @@ final class MorWriter(
       part -> WriteStat(fid, Some(w.relPath),
         prevCommit = slices.get(fid).map(_.commitTs),
         numWrites = w.rows, numDeletes = 0, numUpdateWrites = 0,
-        numInserts = 0, colStats = w.colStats)
+        numInserts = 0, colStats = w.colStats,
+        sizeBytes = Some(w.sizeBytes))
     } ++ emptied.map { s =>
       s.partitionPath -> WriteStat(s.fileId, None,
         prevCommit = Some(s.commitTs),

@@ -24,9 +24,10 @@ private[write] object SliceFiles {
   import CowWriter.FidCol
   private val PartDirCol = "__graft_part"
 
-  /** Per-written-file result: relative path, row count, column stats. */
+  /** Per-written-file result: relative path, row count, column stats,
+    * and the written file's size in bytes. */
   final case class Written(relPath: String, rows: Long,
-      colStats: Map[String, ColStat])
+      colStats: Map[String, ColStat], sizeBytes: Long)
 
   /** Column types the stats index can order and round-trip through a
     * string cast. Binary/array/map/struct columns are excluded (no total
@@ -200,7 +201,7 @@ private[write] object SliceFiles {
         val rel = if (part.isEmpty) name else s"$part/$name"
         val (n, stats) = counts.getOrElse((part, fid),
           (0L, Map.empty[String, ColStat]))
-        out((part, fid)) = Written(rel, n, stats)
+        out((part, fid)) = Written(rel, n, stats, files.head.getLen)
       }
     }
     fs.delete(tmp, true)

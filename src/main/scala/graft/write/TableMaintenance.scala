@@ -337,7 +337,8 @@ object TableMaintenance {
       part -> WriteStat(fid, Some(w.relPath),
         prevCommit = prior.get(fid).map(_.commitTs),
         numWrites = w.rows, numDeletes = 0, numUpdateWrites = 0,
-        numInserts = 0, colStats = w.colStats)
+        numInserts = 0, colStats = w.colStats,
+        sizeBytes = Some(w.sizeBytes))
     } ++ emptied.map { sl =>
       sl.partitionPath -> WriteStat(sl.fileId, None,
         prevCommit = Some(sl.commitTs),

@@ -665,6 +665,43 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(fn.name() == "bucket")
   }
 
+  test("exact scan statistics from metadata: small catalog table auto-broadcasts (r10)") {
+    conf()
+    val big = freshTable("stat_big"); val small = freshTable("stat_small")
+    spark.sql(s"""CREATE TABLE $big (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '4')""")
+    spark.sql(s"INSERT INTO $big SELECT id, concat('p', id % 4), id * 10 " +
+      "FROM range(5000)")
+    spark.sql(s"""CREATE TABLE $small (id BIGINT, part STRING, w BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '1')""")
+    spark.sql(s"INSERT INTO $small VALUES (1,'a',100), (2,'a',200)")
+    // the scan reports EXACT rows/bytes from the recorded write stats
+    val tbl = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ns"), "stat_small"))
+    val scan = tbl.asInstanceOf[
+      org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      .build()
+    val st = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows().getAsLong == 2L, s"numRows ${st.numRows()}")
+    assert(st.sizeInBytes().getAsLong > 0 &&
+      st.sizeInBytes().getAsLong < (1L << 20), s"bytes ${st.sizeInBytes()}")
+    // ... which lets Spark AUTO-broadcast it under the default threshold,
+    // no hint, no file-size listing
+    val j = spark.sql(s"SELECT b.id, b.v, s.w FROM $big b " +
+      s"JOIN $small s ON b.id = s.id")
+    assert(j.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      s"expected stats-driven broadcast:\n${j.queryExecution.executedPlan}")
+    assert(j.as[(Long, Long, Long)].collect().toSeq.sorted ==
+      Seq((1L, 10L, 100L), (2L, 20L, 200L)))
+  }
+
   test("storage-partitioned join: same-key catalog tables join with ZERO Exchange (r10)") {
     conf()
     val t1 = freshTable("spj1"); val t2 = freshTable("spj2")

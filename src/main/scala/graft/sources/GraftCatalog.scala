@@ -1179,9 +1179,41 @@ private final class GraftV1FallbackScan(table: GraftV2Table,
     pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     sort: Seq[org.apache.spark.sql.Column] = Seq.empty,
     limit: Option[Int] = None)
-    extends V1Scan {
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Metadata-recorded storage bytes of the snapshot's live files (base +
+    * deltas), as the join planner's sizing input (r10): an upper bound on
+    * the scan output (the MOR merge only shrinks it), so a small
+    * MOR/delta-carrying catalog table can still auto-broadcast while a
+    * big one never broadcasts by accident. Declines to "unknown" (Spark's
+    * conservative default) when any live file predates size recording.
+    * Row count stays unknown here on purpose — with outstanding deltas
+    * the merged cardinality is not a metadata fact. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes: Option[Long] = try {
+        val tl = table.timeline
+        val files: Seq[(String, String)] = tl.latestSlices(table.asOfOpt)
+          .values.toSeq.flatMap(sl =>
+            sl.relPath.map(_ => sl.commitTs -> sl.fileId).toSeq ++
+              sl.deltas.map(d => d.commitTs -> sl.fileId))
+        val sizes = files.map { case (ts, fid) =>
+          tl.metadata(ts).statByFileId(fid).flatMap(_._2.sizeBytes)
+        }
+        if (sizes.nonEmpty && sizes.forall(_.isDefined))
+          Some(sizes.flatten.sum)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+      override def sizeInBytes(): java.util.OptionalLong =
+        bytes.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

@@ -700,6 +700,24 @@ class Dsv2CatalogSpec extends SparkSpec {
       s"expected stats-driven broadcast:\n${j.queryExecution.executedPlan}")
     assert(j.as[(Long, Long, Long)].collect().toSeq.sorted ==
       Seq((1L, 10L, 100L), (2L, 20L, 200L)))
+
+    // a small MOR table with OUTSTANDING DELTAS declines the native scan
+    // but its V1-fallback scan still reports recorded bytes (an upper
+    // bound on the merge output) — it auto-broadcasts too
+    val sm = freshTable("stat_mor")
+    spark.sql(s"""CREATE TABLE $sm (id BIGINT, part STRING, w BIGINT)
+      PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '1', type 'mor')""")
+    spark.sql(s"INSERT INTO $sm VALUES (1,'a',100), (3,'a',300)")
+    spark.sql(s"INSERT INTO $sm VALUES (3,'a',333)") // delta
+    val j2 = spark.sql(s"SELECT b.id, s.w FROM $big b " +
+      s"JOIN $sm s ON b.id = s.id")
+    val p2 = j2.queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin") &&
+      p2.contains("GraftV1FallbackScan"),
+      s"expected broadcast V1-fallback MOR side:\n$p2")
+    assert(j2.as[(Long, Long)].collect().toSeq.sorted ==
+      Seq((1L, 100L), (3L, 333L)))
   }
 
   test("storage-partitioned join: same-key catalog tables join with ZERO Exchange (r10)") {

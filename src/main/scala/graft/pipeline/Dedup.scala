@@ -482,16 +482,32 @@ object Dedup {
         x => floor(x.cast("double") * scale).cast("long")).as("q"))
       .withColumn("nrm", longNormSq(col("q")))
     scoped(materialize, q) {
-      val bandCols = coords.zipWithIndex.map { case (cs, b) =>
-        val bucket = cs.zipWithIndex.map { case (c, j) =>
-          when(element_at(col("q"), c + 1) >= 0,
-            lit(1L << j)).otherwise(lit(0L))
-        }.foldLeft(lit(0L))(_ + _)
-        struct(lit(b).as("band"), bucket.as("bucket"))
-      }
-      val bucketed = q.select(col("id"), explode(array(bandCols: _*)).as("bc"))
-        .select(col("id"), col("bc.band").as("band"),
-          col("bc.bucket").as("bucket"))
+      // Band buckets as ONE looped higher-order expression over literal
+      // coordinate/shift tables (r10): the previous per-band UNROLLED
+      // when-chain generated O(bands × rowsPerBand) inlined branches —
+      // at 32 bands an 11k-line generate_doConsume that Janino refuses,
+      // silently disabling whole-stage codegen for the entire stage. The
+      // loop form is constant-size regardless of band count; arithmetic
+      // is unchanged (bucket_b = Σ_j [q[coords(b)(j)] ≥ 0]·2^j).
+      // Loop lengths come from the ACTUAL band arrays, not the
+      // `rowsPerBand` parameter: explicit `bandCoords` (the high-recall
+      // mode) may carry a different row count. zip_with pads the shorter
+      // side with nulls, which fall to the 0 branch — so short (even
+      // empty) bands contribute nothing, with no per-length special case.
+      val coordsLit = typedLit(coords.map(_.map(_ + 1))) // 1-based
+      val maxRows = coords.map(_.size).foldLeft(0)(math.max)
+      val buckets =
+        if (maxRows == 0) transform(coordsLit, _ => lit(0L))
+        else {
+          val powLit = typedLit((0 until maxRows).map(1L << _))
+          transform(coordsLit, cs =>
+            aggregate(
+              zip_with(cs, powLit, (c, p) =>
+                when(element_at(col("q"), c) >= 0, p).otherwise(lit(0L))),
+              lit(0L), _ + _))
+        }
+      val bucketed = q
+        .select(col("id"), posexplode(buckets).as(Seq("band", "bucket")))
       val cand = candidatePairs(capBuckets(bucketed, maxBucket))
       val a = q.select(col("id").as("id_a"), col("q").as("q_a"),
         col("nrm").as("n_a"))

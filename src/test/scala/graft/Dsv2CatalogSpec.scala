@@ -744,6 +744,15 @@ class Dsv2CatalogSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"storage-partitioned join must plan with no shuffle:\n$plan")
       assert(plan.contains("GraftBatchScan"))
+      // an aggregation keyed on the bucket key also satisfies its
+      // clustering from the reported partitioning: no Exchange either
+      // (the catalog twin of util.BucketedTables' zero-shuffle claim)
+      val a = spark.sql(s"SELECT id, sum(v) AS sv FROM $t1 GROUP BY id")
+      val aPlan = a.queryExecution.executedPlan.toString
+      assert(!aPlan.contains("Exchange"),
+        s"keyed aggregation must reuse the bucket partitioning:\n$aPlan")
+      assert(a.as[(Long, Long)].collect().toSeq.sorted ==
+        (1 to 30).map(i => (i.toLong, i.toLong)))
     } finally Seq("spark.sql.sources.v2.bucketing.enabled",
       "spark.sql.autoBroadcastJoinThreshold").foreach(spark.conf.unset)
   }
@@ -792,12 +801,19 @@ class Dsv2CatalogSpec extends SparkSpec {
         org.apache.spark.sql.sources.GreaterThan("v", 0L)))
     assert(s3.toBatch.planInputPartitions().length == all)
 
-    // end-to-end: a star join against a selective dimension still answers
-    // exactly (runtime filters are an optimization, never a filter)
+    // end-to-end: a star join against a selective parquet dimension
+    // plans a DYNAMIC-PRUNING runtime filter onto the fact scan (Spark's
+    // DPP rule targets SupportsRuntimeFiltering scans) and still answers
+    // exactly — runtime filters are an optimization, never a filter
+    val dimPq = "/tmp/graft_test/rt_dim_pq"
     Seq(("p1", 1L), ("p2", 2L)).toDF("dpart", "w")
-      .createOrReplaceTempView("graft_dim_rt")
+      .write.mode("overwrite").parquet(dimPq)
+    spark.read.parquet(dimPq).createOrReplaceTempView("graft_dim_rt")
     val j = spark.sql(s"SELECT t.id, t.v FROM $t t JOIN graft_dim_rt d " +
       s"ON t.part = d.dpart WHERE d.w = 1")
+    assert(j.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      s"expected a DPP runtime filter on the fact scan:\n" +
+        j.queryExecution.executedPlan)
     assert(j.as[(Long, Long)].collect().toSeq.sorted ==
       (1 to 40).filter(_ % 4 == 1).map(i => (i.toLong, i * 10L)))
   }

@@ -211,6 +211,19 @@ object SparkEntry {
         s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }),
+    // q_call_delete_view (r10): the reference's core operation driven
+    // through the SQL CALL procedure surface (graft.sources
+    // .GraftProcedures) — `CALL cat.system.delete_view(...)` materializes
+    // the records-deleted-at-commit view (data-sized, landed in the
+    // table's .delete cache) and returns the metadata-sized summary; the
+    // deleted-row COUNT is the oracle-gated value (the commit ts is a
+    // minted clock value, so it is not part of the compared frame).
+    "q_call_delete_view" -> ((s, d) => {
+      val (_, tbl) = Fixtures.dsv2Dir(s, d)
+      val cat = tbl.split('.').head
+      s.sql(s"CALL $cat.system.delete_view(table => 'main.orders_ins')")
+        .select(col("n_deleted"))
+    }),
     // q_mat_view: incrementally maintained materialized aggregate — the
     // view table is refreshed from the source's CHANGE FEED (update
     // pre-images subtract old contributions; deletes empty groups out of
@@ -1263,6 +1276,12 @@ object SparkEntry {
       ("SELECT count(*) AS n FROM orders " +
         "WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
         "AND o_orderstatus <> 'F'"),
+    // rows removed by the fixture's DELETE WHERE o_orderstatus = 'F':
+    // every live key (%2==0 CTAS ∪ %3==0 upsert, distinct by key) in F
+    "q_call_delete_view" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_deleted FROM orders " +
+        "WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
+        "AND o_orderstatus = 'F'"),
     // the upserted rows (%3 == 0) carry o_totalprice + 100000
     "q_v2_minmax" ->
       ("SELECT o_orderstatus, count(*) AS n, count(price) AS n_price, " +

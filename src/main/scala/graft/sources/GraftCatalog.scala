@@ -78,7 +78,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * drift or to lose.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -114,6 +115,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+
+  // ---- procedures --------------------------------------------------------
+  // Maintenance verbs as SQL `CALL g.system.<verb>(...)` — resolution is
+  // pure lookup (no storage IO); the verbs themselves live in
+  // [[GraftProcedures]].
+
+  private lazy val procedures = GraftProcedures.all(this)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(GraftProcedures.Namespace))
+      procedures.keys.toArray.sorted
+        .map(Identifier.of(GraftProcedures.Namespace, _))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    procedures
+      .filter(_ => ident.namespace().sameElements(GraftProcedures.Namespace))
+      .getOrElse(ident.name(), throw new NoSuchElementException(
+        s"unknown procedure $ident; known: " +
+          procedures.keys.toSeq.sorted.mkString("system.",
+            ", system.", "")))
+
+  /** Resolve a procedure's `table` ARGUMENT (a dotted, possibly
+    * backquoted identifier — with or without this catalog's name as its
+    * head) to the table's warehouse path, through the same
+    * segment-validation/containment rules as table DDL. */
+  private[sources] def resolveTablePath(raw: String): String = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(raw)
+    val rel =
+      if (parts.length > 1 && parts.head == catalogName) parts.tail else parts
+    val ident = Identifier.of(rel.init.toArray, rel.last)
+    val path = tablePath(ident)
+    if (!isTableDir(path)) throw new NoSuchTableException(ident)
+    path
+  }
 
   /** Identifier segments become DIRECTORY names — validate them so a
     * backquoted identifier carrying `/` or `..` cannot escape the

@@ -1,0 +1,316 @@
+package graft.sources
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.format.Timeline
+import graft.write.{FormatWriter, MorWriter, TableMaintenance}
+
+/** SQL `CALL` surface for table maintenance: the engine's administrative
+  * verbs ([[graft.write.TableMaintenance]], MOR compaction, the delete
+  * view) exposed as DSv2 stored procedures on [[GraftCatalog]] —
+  * `CALL g.system.clean(table => 'ns.t', retain_commits => 3)` — the same
+  * operational surface Hudi ships as Spark SQL procedures (the reference's
+  * users drive compaction/cleaning/savepoints this way; ref:
+  * `/root/reference/README.md:5` operates on such maintained tables).
+  *
+  * Execution model: Spark's `InvokeProcedures` analyzer rule calls
+  * [[BoundProcedure.call]] once with the coerced argument row and turns
+  * each returned [[LocalScan]] into a `LocalRelation` — so every
+  * procedure's RESULT must be metadata-sized (file lists, commit ids,
+  * counters: the same O(#touched file groups) driver scale the writers
+  * already hold). The underlying work itself runs as ordinary distributed
+  * jobs; nothing data-sized crosses the driver. Procedures whose natural
+  * output IS data-sized (the delete view) return a summary row pointing
+  * at the materialized result instead.
+  *
+  * Safety: table arguments resolve through the catalog's own
+  * warehouse-containment validation (backquoted identifiers carrying
+  * `/` or `..` are rejected, exactly as for table DDL), and every
+  * commit-minting procedure reserves its timestamp through the shared
+  * OCC protocol (`FormatWriter.nextTs`) and releases it on every exit.
+  */
+private[sources] object GraftProcedures {
+
+  /** Virtual namespace the procedures live under (`CALL g.system.x(...)`,
+    * mirroring Hudi/Iceberg convention). It is not a warehouse directory —
+    * procedure resolution never touches storage. */
+  val Namespace: Array[String] = Array("system")
+
+  private def spark: SparkSession = SparkSession.active
+  private def timeline(path: String): Timeline =
+    Timeline(spark.sessionState.newHadoopConf(), path)
+
+  // ---- result-row helpers ------------------------------------------------
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.map {
+      case s: String => UTF8String.fromString(s)
+      case x => x.asInstanceOf[AnyRef]
+    }.toArray[Any])
+
+  private def strRows(vs: Seq[String]): Seq[InternalRow] = vs.map(row(_))
+
+  private def out(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, t) => StructField(n, t, nullable = false) })
+
+  // ---- parameter helpers -------------------------------------------------
+
+  private def in(name: String, dt: DataType, comment: String,
+      default: Option[String] = None): ProcedureParameter = {
+    var b = ProcedureParameter.in(name, dt).comment(comment)
+    default.foreach(d => b = b.defaultValue(d))
+    b.build()
+  }
+
+  private def tableParam: ProcedureParameter =
+    in("table", StringType, "table identifier, e.g. 'ns.t' or 'cat.ns.t'")
+
+  private def str(r: InternalRow, i: Int): String =
+    r.getUTF8String(i).toString
+
+  private def optStr(r: InternalRow, i: Int): Option[String] =
+    if (r.isNullAt(i)) None else Some(str(r, i))
+
+  /** Split a comma-separated list argument, trimming blanks. */
+  private def csv(r: InternalRow, i: Int): Seq[String] =
+    str(r, i).split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Mint a reserved commit ts, run `body`, always release the
+    * reservation (a completed commit has already cleared its marker — the
+    * release is a no-op there; a no-op or failed attempt frees the ts
+    * instead of orphaning a live-lease marker that would shield debris). */
+  private def withMintedTs[A](tl: Timeline)(body: String => A): A = {
+    val ts = FormatWriter.nextTs(tl)
+    try body(ts) finally tl.unreserve(ts)
+  }
+
+  // ---- the procedures ----------------------------------------------------
+
+  /** One procedure: `params` ordering defines the bound input row.
+    * `bind` ignores the caller-supplied struct — the signature is fixed
+    * and Spark coerces/rearranges arguments against [[parameters]]. */
+  private final class Proc(
+      procName: String,
+      procDescription: String,
+      params: Seq[ProcedureParameter],
+      outSchema: StructType,
+      run: (GraftCatalog, InternalRow) => Seq[InternalRow],
+      catalog: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): JIterator[Scan] =
+      Collections.singletonList[Scan](
+        new GraftLocalScan(outSchema, run(catalog, input).toArray)).iterator()
+  }
+
+  def all(catalog: GraftCatalog): Map[String, UnboundProcedure] = {
+    def proc(name: String, description: String,
+        params: Seq[ProcedureParameter], outSchema: StructType)(
+        run: (GraftCatalog, InternalRow) => Seq[InternalRow])
+        : (String, UnboundProcedure) =
+      name -> new Proc(name, description, params, outSchema, run, catalog)
+
+    Map(
+      proc("clean",
+        "delete data files unreachable by the newest retain_commits " +
+          "snapshots (savepointed snapshots always kept)",
+        Seq(tableParam,
+          in("retain_commits", IntegerType, "snapshots to keep readable")),
+        out("deleted_path" -> StringType)) { (cat, r) =>
+        strRows(TableMaintenance.clean(spark,
+          cat.resolveTablePath(str(r, 0)), r.getInt(1)))
+      },
+
+      proc("rollback",
+        "undo every commit after to_ts (files + timeline); refuses " +
+          "archived or savepointed targets",
+        Seq(tableParam, in("to_ts", StringType, "newest instant to keep")),
+        out("undone_ts" -> StringType)) { (cat, r) =>
+        strRows(TableMaintenance.rollback(spark,
+          cat.resolveTablePath(str(r, 0)), str(r, 1)))
+      },
+
+      proc("restore",
+        "roll the table back to a SAVEPOINTED instant",
+        Seq(tableParam, in("savepoint_ts", StringType, "savepoint to restore")),
+        out("undone_ts" -> StringType)) { (cat, r) =>
+        strRows(TableMaintenance.restore(spark,
+          cat.resolveTablePath(str(r, 0)), str(r, 1)))
+      },
+
+      proc("savepoint",
+        "pin an instant's snapshot against clean() and archival " +
+          "(ts omitted = latest commit)",
+        Seq(tableParam, in("ts", StringType,
+          "instant to pin; NULL = latest", default = Some("NULL"))),
+        out("savepoint_ts" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val tl = timeline(path)
+        val ts = optStr(r, 1).getOrElse(tl.completedInstants().lastOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path has no commits to savepoint")).ts)
+        TableMaintenance.savepoint(spark, path, ts)
+        Seq(row(ts))
+      },
+
+      proc("release_savepoint",
+        "release a savepoint (the snapshot becomes reclaimable again)",
+        Seq(tableParam, in("ts", StringType, "savepoint to release")),
+        out("released_ts" -> StringType)) { (cat, r) =>
+        val ts = str(r, 1)
+        TableMaintenance.releaseSavepoint(spark,
+          cat.resolveTablePath(str(r, 0)), ts)
+        Seq(row(ts))
+      },
+
+      proc("compact",
+        "fold MOR delta files into fresh base files for every file group " +
+          "carrying at least min_deltas deltas",
+        Seq(tableParam, in("min_deltas", IntegerType,
+          "only compact groups with at least this many deltas",
+          default = Some("1"))),
+        out("commit_ts" -> StringType, "committed" -> BooleanType)) {
+        (cat, r) =>
+          val path = cat.resolveTablePath(str(r, 0))
+          val tl = timeline(path)
+          val nb = graft.read.SnapshotReader.recordedBuckets(tl, None)
+            .getOrElse(throw new IllegalArgumentException(
+              s"$path records no bucket count; compaction preserves the " +
+                "key->group routing and needs it recorded"))
+          val sc = FormatWriter.recordedExtra(tl, FormatWriter.StatsColsKey)
+            .map(_.split(",").toSeq).getOrElse(Seq.empty)
+          val bc = FormatWriter.recordedExtra(tl, FormatWriter.BloomColsKey)
+            .map(_.split(",").toSeq).getOrElse(Seq.empty)
+          val bb = FormatWriter.recordedExtra(tl, FormatWriter.BloomBitsKey)
+            .map(_.toInt).getOrElse(graft.format.Bloom.DefaultBits)
+          val w = new MorWriter(spark, path, nb, statsCols = sc,
+            bloomCols = bc, bloomBits = bb)
+          withMintedTs(w.timeline) { ts =>
+            w.compactIf(ts, minDeltas = r.getInt(1))
+            Seq(row(ts, Boolean.box(w.timeline.instantAt(ts).nonEmpty)))
+          }
+      },
+
+      proc("archive",
+        "move old completed instants into the compacted archive manifest, " +
+          "keeping keep_active on the active timeline",
+        Seq(tableParam, in("keep_active", IntegerType,
+          "completed instants to keep active")),
+        out("archived_ts" -> StringType)) { (cat, r) =>
+        strRows(TableMaintenance.archiveTimeline(spark,
+          cat.resolveTablePath(str(r, 0)), r.getInt(1)))
+      },
+
+      proc("cluster_sort",
+        "layout-only CLUSTER commit: rewrite every live file group sorted " +
+          "by cols (identity, fileIds and commit times preserved)",
+        Seq(tableParam,
+          in("cols", StringType, "comma-separated sort columns")),
+        out("file_id" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        withMintedTs(timeline(path)) { ts =>
+          strRows(TableMaintenance.sortLayout(spark, path, ts, csv(r, 1)))
+        }
+      },
+
+      proc("cluster_zorder",
+        "layout-only CLUSTER commit sorted by the Morton (Z-curve) value " +
+          "over cols: row groups prune on ANY of the z-ordered columns",
+        Seq(tableParam,
+          in("cols", StringType, "comma-separated z-order columns (>= 2)"),
+          in("bits", IntegerType, "quantile-bucket bits per column",
+            default = Some("8"))),
+        out("file_id" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        withMintedTs(timeline(path)) { ts =>
+          strRows(TableMaintenance.zorderLayout(spark, path, ts, csv(r, 1),
+            bits = r.getInt(2)))
+        }
+      },
+
+      proc("rebucket",
+        "rewrite the table at a new file-group grain (bucket rescale); " +
+          "appends and bucket pruning then run at the new count",
+        Seq(tableParam, in("buckets", IntegerType, "new bucket count")),
+        out("file_id" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        withMintedTs(timeline(path)) { ts =>
+          strRows(TableMaintenance.rebucket(spark, path, ts, r.getInt(1)))
+        }
+      },
+
+      proc("drop_partitions",
+        "retire whole partitions in ONE metadata-only commit (no data IO; " +
+          "files reclaimed later by clean)",
+        Seq(tableParam,
+          in("partitions", StringType, "comma-separated partition paths")),
+        out("superseded_file_id" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        withMintedTs(timeline(path)) { ts =>
+          strRows(TableMaintenance.deletePartitions(spark, path, ts, csv(r, 1)))
+        }
+      },
+
+      proc("sweep_orphans",
+        "delete data files no commit references (failed/conflicted write " +
+          "debris older than older_than_ms and not under a live lease)",
+        Seq(tableParam, in("older_than_ms", LongType,
+          "minimum debris age in milliseconds",
+          default = Some(s"${60L * 60 * 1000}"))),
+        out("deleted_path" -> StringType)) { (cat, r) =>
+        strRows(TableMaintenance.sweepOrphans(spark,
+          cat.resolveTablePath(str(r, 0)), olderThanMs = r.getLong(1)))
+      },
+
+      proc("delete_view",
+        "materialize the records-deleted-at-commit view (the reference's " +
+          "core operation; ref: hudi-delete-view README.md:5) and return " +
+          "its summary - the view itself is data-sized, so it lands in " +
+          "the table's .delete/<ts>/ parquet cache, not in this result",
+        Seq(tableParam, in("ts", StringType,
+          "commit to view deletions of; NULL = latest",
+          default = Some("NULL"))),
+        out("commit_ts" -> StringType, "n_deleted" -> LongType,
+          "cache_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val tl = timeline(path)
+        val ts = optStr(r, 1).getOrElse(tl.completedInstants().lastOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"$path has no commits")).ts)
+        val n = graft.deleteview.DeleteView(spark, path, ts).toDF().count()
+        Seq(row(ts, Long.box(n), s"$path/.delete/$ts"))
+      },
+
+      proc("show_timeline",
+        "the active timeline: one row per completed instant, oldest " +
+          "first, with its savepoint pin state",
+        Seq(tableParam),
+        out("commit_ts" -> StringType, "action" -> StringType,
+          "savepointed" -> BooleanType)) { (cat, r) =>
+        val tl = timeline(cat.resolveTablePath(str(r, 0)))
+        val pinned = tl.savepoints().toSet
+        tl.completedInstants().map(i =>
+          row(i.ts, i.action, Boolean.box(pinned.contains(i.ts))))
+      })
+  }
+}
+
+/** Metadata-sized procedure result: Spark inlines it as a LocalRelation. */
+private[sources] final class GraftLocalScan(
+    schema: StructType, rs: Array[InternalRow]) extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = rs
+  override def description(): String = s"GraftLocalScan(${rs.length} rows)"
+}

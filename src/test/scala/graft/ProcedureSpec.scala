@@ -1,0 +1,174 @@
+package graft
+
+import graft.format.Timeline
+import org.apache.spark.sql.functions._
+
+/** SQL `CALL` maintenance procedures ([[graft.sources.GraftProcedures]]):
+  * the engine's administrative verbs driven through the DSv2
+  * ProcedureCatalog — argument binding (named/positional/defaults),
+  * warehouse containment, and per-verb effect + result checks against the
+  * same underlying state the direct TableMaintenance calls produce. */
+class ProcedureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wh = "/tmp/graft_test/proc_wh"
+  private val cat = "graft_proc_test"
+
+  private def conf(): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+  }
+
+  private def freshTable(name: String, morType: Boolean = false): String = {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.$name")
+    val tpe = if (morType) ", type 'mor'" else ""
+    spark.sql(s"""CREATE TABLE $cat.ns.$name (
+      id BIGINT, part STRING, v BIGINT) PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '2'$tpe)""")
+    s"$cat.ns.$name"
+  }
+
+  private def tl(name: String): Timeline =
+    Timeline(spark.sessionState.newHadoopConf(), s"$wh/ns/$name")
+
+  test("show_timeline / savepoint / release_savepoint round trip") {
+    val t = freshTable("p1")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',10),(2,'b',20)")
+    spark.sql(s"INSERT INTO $t VALUES (3,'a',30)")
+    val timeline = spark.sql(s"CALL $cat.system.show_timeline(table => 'ns.p1')")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(timeline.map(_._1) == tl("p1").completedInstants().map(_.ts))
+    assert(timeline.forall(!_._3))
+    // default ts = latest commit
+    val pinned = spark.sql(s"CALL $cat.system.savepoint(table => 'ns.p1')")
+      .as[String].head()
+    assert(pinned == timeline.last._1)
+    assert(spark.sql(s"CALL $cat.system.show_timeline(table => 'ns.p1')")
+      .filter($"savepointed").as[(String, String, Boolean)].head()._1 == pinned)
+    spark.sql(s"CALL $cat.system.release_savepoint(" +
+      s"table => 'ns.p1', ts => '$pinned')")
+    assert(tl("p1").savepoints().isEmpty)
+  }
+
+  test("rollback undoes commits; positional arguments bind too") {
+    val t = freshTable("p2")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',10)")
+    val keep = tl("p2").completedInstants().last.ts
+    spark.sql(s"INSERT INTO $t VALUES (2,'a',20)")
+    spark.sql(s"INSERT INTO $t VALUES (3,'b',30)")
+    // positional CALL: (table, to_ts)
+    val undone = spark.sql(s"CALL $cat.system.rollback('ns.p2', '$keep')")
+      .as[String].collect().toSeq
+    assert(undone.size == 2)
+    assert(spark.sql(s"SELECT id FROM $t").as[Long].collect().toSeq == Seq(1L))
+    assert(tl("p2").completedInstants().last.ts == keep)
+  }
+
+  test("compact folds MOR deltas exactly once; committed flag reports it") {
+    val t = freshTable("p3", morType = true)
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',10),(2,'b',20)")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',11),(3,'b',30)") // delta commit
+    val before = spark.sql(s"SELECT id, v FROM $t ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(tl("p3").latestSlices(None).values.exists(_.deltas.nonEmpty))
+    val (cts, committed) = spark.sql(
+      s"CALL $cat.system.compact(table => 'ns.p3')")
+      .as[(String, Boolean)].head()
+    assert(committed)
+    assert(tl("p3").instantAt(cts).nonEmpty)
+    assert(tl("p3").latestSlices(None).values.forall(_.deltas.isEmpty))
+    // snapshot unchanged by the layout fold
+    assert(spark.sql(s"SELECT id, v FROM $t ORDER BY id")
+      .as[(Long, Long)].collect().toSeq == before)
+    // nothing left to compact: default min_deltas finds no dirty group
+    val again = spark.sql(s"CALL $cat.system.compact(table => 'ns.p3')")
+      .as[(String, Boolean)].head()
+    assert(!again._2)
+    // the un-committed mint released its reservation (no marker debris)
+    assert(!tl("p3").reservedTss().contains(again._1))
+  }
+
+  test("cluster_zorder + clean: layout rewrite, then old files reclaimed") {
+    val t = freshTable("p4")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a', id * 7 FROM range(1, 200)")
+    spark.sql(s"INSERT INTO $t VALUES (5,'a',999)")
+    val before = spark.sql(s"SELECT sum(v) FROM $t").as[Long].head()
+    val fids = spark.sql(
+      s"CALL $cat.system.cluster_zorder(table => 'ns.p4', cols => 'id,v')")
+      .as[String].collect().toSeq
+    assert(fids.nonEmpty)
+    assert(spark.sql(s"SELECT sum(v) FROM $t").as[Long].head() == before)
+    val swept = spark.sql(
+      s"CALL $cat.system.clean(table => 'ns.p4', retain_commits => 1)")
+      .as[String].collect().toSeq
+    assert(swept.nonEmpty) // the pre-cluster generation is unreachable now
+    assert(spark.sql(s"SELECT sum(v) FROM $t").as[Long].head() == before)
+  }
+
+  test("drop_partitions is metadata-only; delete_view summarizes deletions") {
+    val t = freshTable("p5")
+    spark.sql(s"INSERT INTO $t VALUES (1,'a',10),(2,'a',20),(3,'b',30)")
+    spark.sql(s"DELETE FROM $t WHERE id = 2")
+    val dv = spark.sql(s"CALL $cat.system.delete_view(table => 'ns.p5')")
+      .as[(String, Long, String)].head()
+    assert(dv._2 == 1L)
+    assert(dv._3 == s"$wh/ns/p5/.delete/${dv._1}")
+    // the materialized cache itself carries the deleted row
+    assert(spark.read.parquet(dv._3).count() == 1)
+    val nFilesBefore = tl("p5").completedInstants()
+      .flatMap(i => tl("p5").metadata(i.ts).allStats.flatMap(_._2.path))
+      .distinct.size
+    val superseded = spark.sql(
+      s"CALL $cat.system.drop_partitions(table => 'ns.p5', partitions => 'a')")
+      .as[String].collect().toSeq
+    assert(superseded.nonEmpty)
+    assert(spark.sql(s"SELECT id FROM $t").as[Long].collect().toSeq == Seq(3L))
+    // metadata-only: no new data files were written by the drop
+    val nFilesAfter = tl("p5").completedInstants()
+      .flatMap(i => tl("p5").metadata(i.ts).allStats.flatMap(_._2.path))
+      .distinct.size
+    assert(nFilesAfter == nFilesBefore)
+  }
+
+  test("rebucket rescales the file-group grain through CALL") {
+    val t = freshTable("p6")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a', id FROM range(1, 100)")
+    val fids = spark.sql(
+      s"CALL $cat.system.rebucket(table => 'ns.p6', buckets => 4)")
+      .as[String].collect().toSeq
+    assert(fids.toSet.size == 4)
+    assert(spark.sql(s"SELECT count(*) FROM $t").as[Long].head() == 99)
+    assert(graft.read.SnapshotReader.recordedBuckets(tl("p6"), None)
+      .contains(4))
+  }
+
+  test("containment and unknown-procedure guards") {
+    conf()
+    freshTable("p7")
+    // a table argument cannot escape the warehouse directory
+    val e1 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.show_timeline(table => '`..`.p7')"))
+    assert(e1.getMessage.contains("escape") ||
+      e1.getMessage.contains("illegal"))
+    // unknown procedure names fail to resolve with the known list
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL $cat.system.no_such_proc(table => 'ns.p7')"))
+    assert(e2.getMessage.contains("no_such_proc"))
+    // a non-table path fails resolution, not silently returns empty
+    intercept[Exception](spark.sql(
+      s"CALL $cat.system.show_timeline(table => 'ns.not_a_table')"))
+  }
+
+  test("SHOW PROCEDURES lists the system namespace surface") {
+    conf()
+    val names = spark.sql(s"SHOW PROCEDURES IN $cat")
+      .select("procedure_name").as[String].collect().toSet
+    assert(Set("clean", "compact", "rollback", "restore", "savepoint",
+      "release_savepoint", "archive", "cluster_sort", "cluster_zorder",
+      "rebucket", "drop_partitions", "sweep_orphans", "delete_view",
+      "show_timeline").subsetOf(names))
+  }
+}

@@ -118,19 +118,37 @@ private[sources] final class GraftBatchScan(
     if (spjEnabled)
       // storage-partitioned-join mode: ONE InputPartition per bucket (the
       // partition-key granularity SPJ co-locates on); a task reads the
-      // bucket's files across table partitions sequentially
+      // bucket's files across table partitions sequentially — never
+      // byte-split (a split bucket would break the co-location claim)
       liveSlices.groupBy(bucketOf).toSeq.sortBy(_._1).map {
         case (b, ss) =>
           GraftBucketPartition(b,
             ss.sortBy(_.partitionPath).map(fileOf).toArray): InputPartition
       }.toArray
-    else
-      // plain mode: one split per FILE for maximum scan parallelism (the
-      // reported partitioning is ignored without the v2 bucketing conf)
-      liveSlices.sortBy(sl => (bucketOf(sl), sl.partitionPath)).map { sl =>
-        GraftBucketPartition(bucketOf(sl),
-          Array(fileOf(sl))): InputPartition
-      }.toArray
+    else {
+      // plain mode: files byte-split and bin-packed with Spark's OWN
+      // sizing/packing (FilePartition.maxSplitBytes/getFilePartitions —
+      // maxPartitionBytes vs openCost vs bytes-per-core, largest-first
+      // bins), so a 10 GB file group fans out across the cluster instead
+      // of pinning one task (r10; the parquet read function assigns each
+      // row group to the split owning its midpoint, exactly as
+      // FileSourceScan). The reported partitioning is ignored without
+      // the v2 bucketing conf, so byte grain loses nothing.
+      val openCost = spark.sessionState.conf.filesOpenCostInBytes
+      val files = liveSlices
+        .sortBy(sl => (bucketOf(sl), sl.partitionPath)).map(fileOf)
+      val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
+        .maxSplitBytes(spark, files.map(_._2 + openCost).sum)
+      val splits = files.flatMap { case (path, len) =>
+        (0L until len by maxSplit).map(off =>
+          PartitionedFile(InternalRow.empty,
+            org.apache.spark.paths.SparkPath.fromPathString(path), off,
+            math.min(maxSplit, len - off)))
+      }
+      org.apache.spark.sql.execution.datasources.FilePartition
+        .getFilePartitions(spark, splits, maxSplit)
+        .map(fp => GraftFilePartition(fp.files): InputPartition).toArray
+    }
   }
 
   override def outputPartitioning(): Partitioning =
@@ -263,13 +281,19 @@ private[sources] final class GraftBatchScan(
 
 /** A set of parquet files sharing one writer-stamped bucket — the
   * [[org.apache.spark.sql.connector.read.HasPartitionKey]] hook
-  * storage-partitioned joins co-locate on. One file per instance in
-  * plain mode; all of a bucket's files in SPJ mode. */
+  * storage-partitioned joins co-locate on (SPJ mode only; whole files,
+  * never byte-split). */
 private[sources] final case class GraftBucketPartition(bucket: Int,
     files: Array[(String, Long)]) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
+
+/** Plain-mode task: byte-range splits bin-packed by Spark's own
+  * FilePartition logic. Deliberately NOT HasPartitionKey — a packed bin
+  * mixes buckets, and plain mode reports UnknownPartitioning anyway. */
+private[sources] final case class GraftFilePartition(
+    files: Array[PartitionedFile]) extends InputPartition
 
 private[sources] final case class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
@@ -279,12 +303,12 @@ private[sources] final case class GraftReaderFactory(
     columnar: Boolean) extends PartitionReaderFactory {
 
   private def fileIterator(partition: InputPartition)
-      : Iterator[InternalRow] =
-    partition.asInstanceOf[GraftBucketPartition].files.iterator
-      .flatMap { case (path, len) =>
-        readFunc(PartitionedFile(InternalRow.empty,
-          org.apache.spark.paths.SparkPath.fromPathString(path), 0, len))
-      }
+      : Iterator[InternalRow] = (partition match {
+    case GraftBucketPartition(_, files) => files.iterator
+      .map { case (path, len) => PartitionedFile(InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(path), 0, len) }
+    case GraftFilePartition(files) => files.iterator
+  }).flatMap(readFunc)
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar

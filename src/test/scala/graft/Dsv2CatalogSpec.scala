@@ -642,6 +642,29 @@ class Dsv2CatalogSpec extends SparkSpec {
       s"'${format.Timeline(spark.sessionState.newHadoopConf(),
         s"$wh/ns/t21").completedInstants().head.ts}'")
     assert(v1.as[Long].head == 0L) // creation commit: empty table declines
+
+    // plain-mode scans byte-SPLIT large files (r10): under a tiny
+    // maxPartitionBytes every file fans out into multiple range splits,
+    // and the range-owned row groups still read each row exactly once
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val df = spark.sql(s"SELECT id, v FROM $t")
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec
+            if b.scan.getClass.getSimpleName == "GraftBatchScan" => b.scan
+        }.get
+      val nFiles = format.Timeline(spark.sessionState.newHadoopConf(),
+        s"$wh/ns/t21").latestSlices(None).values.count(_.relPath.nonEmpty)
+      assert(scan.toBatch.planInputPartitions().length > nFiles,
+        "expected byte-range splits to outnumber files")
+      assert(df.collect().toSeq.toSet == fallback(s"SELECT id, v FROM $t").toSet)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
   }
 
   test("bucket V2 function ≡ the writer's fileId arithmetic") {
@@ -759,6 +782,10 @@ class Dsv2CatalogSpec extends SparkSpec {
 
   test("runtime filtering prunes partitions and buckets before any file opens (r10)") {
     conf()
+    // pin ONE FILE PER TASK for this test (an open cost above half the
+    // split size makes Spark's bin packing close every bin after one
+    // file), so planned-partition counts measure file pruning directly
+    spark.conf.set("spark.sql.files.openCostInBytes", (512L << 20).toString)
     val t = freshTable("t22")
     spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
       PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '4')""")
@@ -816,6 +843,7 @@ class Dsv2CatalogSpec extends SparkSpec {
         j.queryExecution.executedPlan)
     assert(j.as[(Long, Long)].collect().toSeq.sorted ==
       (1 to 40).filter(_ % 4 == 1).map(i => (i.toLong, i * 10L)))
+    spark.conf.unset("spark.sql.files.openCostInBytes")
   }
 
   test("streaming reads: readStream.table == the format-path stream, exactly-once across restarts") {

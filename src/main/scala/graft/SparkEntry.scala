@@ -735,6 +735,15 @@ object SparkEntry {
           col("embedding"), thresholdNum = 2, thresholdDen = 5,
           bandCoords = Some(EmbedHiCoords))
         .orderBy(col("id_a"), col("id_b"))),
+    // SemDeDup (r10): cluster-then-dedup — 32 seeded equal-norm Rademacher
+    // anchors bound candidates to within-cluster pairs (Σ|c|² not n²; the
+    // anchor count is the occupancy knob at scale); assignment and
+    // verification all integer, the generated oracle replicates both.
+    "q_sem_dedup" -> ((s, d) =>
+      Dedup.semDedupKeep(tp(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), SemDedupAnchors,
+          thresholdNum = 2, thresholdDen = 5)
+        .orderBy(col("id"))),
     "q_multimodal_stats" -> ((s, d) =>
       Multimodal.stats(
         tp(s, d, "documents").select(
@@ -1214,7 +1223,33 @@ object SparkEntry {
       "ORDER BY id_a, id_b"
   }
 
+  /** Seeded 32×64 Rademacher anchors for q_sem_dedup — ONE constant shared
+    * by the Spark query and the generated oracle (equal norms make argmax
+    * cosine = argmax integer dot; see [[Dedup.rademacherAnchors]]). */
+  private val SemDedupAnchors: Seq[Seq[Long]] =
+    Dedup.rademacherAnchors(k = 32, dim = 64, seed = 11L)
+
+  /** SemDeDup mirrored 1:1 from [[Dedup.semDedupKeep]]: quantize, assign
+    * by first-max integer anchor dot, drop any member with a smaller-id
+    * near-duplicate in its cluster — all arithmetic integer/128-bit, so
+    * cluster ids and verdicts are bit-identical across engines. */
+  private def semDedupOracle(anchors: Seq[Seq[Long]], num: Int,
+      den: Int): String = {
+    val anchorsLit =
+      anchors.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    "WITH q0 AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), v -> CAST(floor(v * 1000000) AS BIGINT)) AS qv FROM embeddings), " +
+      s"q1 AS (SELECT vec_id, qv, list_transform($anchorsLit, w -> list_sum(list_transform(list_zip(qv, w), p -> p[1] * p[2]))) AS dots FROM q0), " +
+      "n AS (SELECT vec_id, qv, list_sum(list_transform(qv, v -> v * v)) AS nrm, " +
+      "CAST(list_position(dots, list_aggregate(dots, 'max')) - 1 AS INT) AS cl FROM q1), " +
+      "d AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
+      "list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2])) AS dot, " +
+      "x.nrm AS na, y.nrm AS nb FROM n x JOIN n y ON x.cl = y.cl AND x.vec_id < y.vec_id), " +
+      s"drops AS (SELECT DISTINCT id_b FROM d WHERE na > 0 AND nb > 0 AND dot >= 0 AND ${den.toLong * den} * dot * dot >= ${num.toLong * num} * na * nb) " +
+      "SELECT vec_id AS id, cl FROM n WHERE vec_id NOT IN (SELECT id_b FROM drops) ORDER BY vec_id"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_sem_dedup" -> semDedupOracle(SemDedupAnchors, num = 2, den = 5),
     "q_delete_view" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey",
     "q_delete_view_c4" ->

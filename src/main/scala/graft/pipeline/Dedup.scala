@@ -546,6 +546,115 @@ object Dedup {
       rnd.shuffle((0 until dim).toVector).take(rowsPerBand).toSeq)
   }
 
+  /** Seeded Rademacher (±1) anchor vectors for [[semDedupKeep]]'s
+    * fixed-anchor mode: every anchor has EXACTLY the same norm (√dim), so
+    * argmax cosine over the anchors IS argmax integer dot — assignment
+    * stays pure integer arithmetic, bit-identical across engines and
+    * embeddable as plain literals in the SQL oracle. Deterministic draw
+    * order: anchors in index order, coordinates left to right. */
+  def rademacherAnchors(k: Int, dim: Int, seed: Long): Seq[Seq[Long]] = {
+    require(k >= 1 && dim >= 1, "need k >= 1 anchors of dim >= 1")
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)(Seq.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster embeddings, then remove near-identical
+    * members WITHIN each cluster — the clustering bounds the candidate set
+    * to Σ_c |c|² instead of n², which is the whole trick at 100 TB (grow
+    * the anchor count with the corpus: k ≈ n / target-occupancy keeps
+    * per-cluster pair counts flat).
+    *
+    * Semantics (all integer, engine-portable — the same exactness
+    * discipline as [[embeddingNearDupPairs]]):
+    *  - quantize: q = floor(x·scale) per coordinate;
+    *  - assign: cluster = 1-based-argmax over the anchor list of the
+    *    integer dot ⟨q, anchor⟩, FIRST max on ties (with equal-norm
+    *    anchors — [[rademacherAnchors]], or unit-normalized trained
+    *    centroids via [[semDedupTrainedKeep]] — max dot IS max cosine up
+    *    to quantization, and the contract is DEFINED on the quantized
+    *    anchors);
+    *  - drop: a member is dropped iff some SMALLER-id member of the same
+    *    cluster is a near-duplicate — den²·dot² ≥ num²·‖a‖²·‖b‖² ∧
+    *    dot ≥ 0 ∧ both norms > 0 (the [[ngramJaccardKeep]] drop-list
+    *    policy, cross-multiplied in 128-bit decimal);
+    *  - `maxCluster` caps verification per cluster to the smallest ids
+    *    (skew belt; Int.MaxValue = exact/lossless, the oracle config).
+    *
+    * The paper keeps low-centroid-similarity members for diversity; this
+    * operator's keep rule is the deterministic smallest-id contract the
+    * fleet's other dedup ops share (compose with
+    * [[keepBestPerCluster]] for a quality-ranked policy instead).
+    *
+    * Returns kept (id, cluster), one row per surviving document. */
+  def semDedupKeep(df: DataFrame, id: Column, vec: Column,
+      anchors: Seq[Seq[Long]], thresholdNum: Int, thresholdDen: Int,
+      scale: Long = 1000000L, maxCluster: Int = Int.MaxValue,
+      materialize: Boolean = true): DataFrame = {
+    import graft.functions.ArrayNumeric.{longDot, longNormSq}
+    require(anchors.nonEmpty && anchors.map(_.size).distinct.size == 1,
+      "anchors must be non-empty and all the same dimension")
+    val q0 = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("id"), vec.as("__v")))
+      .select(col("id"), transform(col("__v"),
+        x => floor(x.cast("double") * scale).cast("long")).as("q"))
+      .withColumn("nrm", longNormSq(col("q")))
+    val anchLit = typedLit(anchors)
+    // per-anchor integer dots as one looped expression (constant codegen
+    // size in k — the r10 sign-band lesson), then first-max argmax
+    val dots = transform(anchLit, w =>
+      aggregate(zip_with(col("q"), w, (x, c) => x * c), lit(0L), _ + _))
+    val assigned = q0.withColumn("cl",
+      (array_position(dots, array_max(dots)) - 1).cast("int"))
+    scoped(materialize, assigned) {
+      val bucketed = assigned.select(col("id"), lit(0).as("band"),
+        col("cl").cast("long").as("bucket"))
+      val cand = candidatePairs(capBuckets(bucketed, maxCluster))
+      val a = assigned.select(col("id").as("id_a"), col("q").as("q_a"),
+        col("nrm").as("n_a"))
+      val b = assigned.select(col("id").as("id_b"), col("q").as("q_b"),
+        col("nrm").as("n_b"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val scored = cand.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), longDot(col("q_a"), col("q_b"))
+          .as("dot_q"), col("n_a"), col("n_b"))
+      scoped(materialize, scored) {
+        val dropped = scored
+          .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
+            lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
+              >= lit(thresholdNum * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
+          .select(col("id_b").as("id")).distinct()
+        assigned.join(dropped, Seq("id"), "left_anti")
+          .select(col("id"), col("cl"))
+      }
+    }
+  }
+
+  /** [[semDedupKeep]] with TRAINED k-means centroids (the paper's shape):
+    * [[graft.pipeline.Similarity.ivfTrain]] centroids are unit-normalized
+    * on the driver and quantized to integer anchors at `scale`, then the
+    * fixed-anchor operator runs unchanged — assignment by max integer dot
+    * against unit-normalized anchors is max cosine up to quantization, and
+    * downstream semantics are identical (so the fixed-anchor properties
+    * carry over verbatim). Zero-norm centroids (possible for empty
+    * clusters on degenerate data) quantize to the zero anchor. */
+  def semDedupTrainedKeep(df: DataFrame, id: Column, vec: Column,
+      nlist: Int, thresholdNum: Int, thresholdDen: Int, iters: Int = 2,
+      seed: Long = 42L, trainFraction: Double = 1.0,
+      scale: Long = 1000000L, maxCluster: Int = Int.MaxValue,
+      materialize: Boolean = true): DataFrame = {
+    val cents = graft.pipeline.Similarity.ivfTrain(df, id, vec, nlist,
+      iters, seed, trainFraction)
+    val anchors = cents.sortBy(_._1).map { case (_, v) =>
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (nrm == 0.0) v.map(_ => 0L): Seq[Long]
+      else v.map(x => math.floor(x / nrm * scale).toLong): Seq[Long]
+    }
+    semDedupKeep(df, id, vec, anchors, thresholdNum, thresholdDen,
+      scale, maxCluster, materialize)
+  }
+
   /** All-pairs exact reference for [[embeddingNearDupPairs]]: same
     * quantization + integer verification, but candidates come from a global
     * `id_a < id_b` theta join — O(n²) by construction and INDEPENDENT of the

@@ -410,11 +410,24 @@ object Similarity {
       corpus.select(id.cast("long").as("id"), vec.as("v"))),
       trainFraction, seed)
     // one row per (id, subspace): the exploded training frame every phase
-    // below reuses — m× the sample rows, each 1/m the width (same bytes)
+    // below reuses — m× the sample rows, each 1/m the width (same bytes).
+    // PERSISTED across the init pick + Lloyd iterations (r10): without it
+    // every phase re-scans and re-samples the source — at 100 TB that is
+    // iters+1 corpus passes for a training set that fits the executors
+    // (trainFraction is the sizing knob); MEMORY_AND_DISK spills rather
+    // than recomputes if it doesn't.
     val sub = c.select(col("id"), explode(array((0 until m).map(s =>
       struct(lit(s).as("s"), subCol(col("v"), s, dsub).as("sv"))): _*))
       .as("e"))
       .select(col("id"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try pqTrainOn(sub, m, dsub, ksub, iters, seed, init)
+    finally sub.unpersist()
+  }
+
+  /** [[pqTrain]]'s Lloyd body over the persisted exploded frame. */
+  private def pqTrainOn(sub: DataFrame, m: Int, dsub: Int, ksub: Int,
+      iters: Int, seed: Long, init: Option[PqCodebooks]): PqCodebooks = {
     // WARM START (r10): a caller mid-alternation (OPQ) hands the previous
     // round's codebooks — Lloyd refines them instead of re-seeding and
     // re-converging from scratch. Cold start: deterministic seeded init,
@@ -593,57 +606,64 @@ object Similarity {
       seed: Long = 42L, trainFraction: Double = 1.0)
       : (Seq[Seq[Double]], PqCodebooks) = {
     val dsub = dim / m
+    // persisted across every alternation phase (r10): each OPQ round
+    // re-reads the sample three times (codes+reconstruction, the outer
+    // aggregate's probe side, the warm-start refit) — uncached that is
+    // 3·opqIters corpus re-scans and re-samples
     val c = trainSample(graft.util.ParallelScan.widen(
       corpus.select(id.cast("long").as("id"), vec.as("v"))),
       trainFraction, seed).filter(col("v").isNotNull)
-    var rot: Seq[Seq[Double]] =
-      (0 until dim).map(i => (0 until dim).map(j =>
-        if (i == j) 1.0 else 0.0))
-    def rotated: DataFrame =
-      c.select(col("id"), toFloats(rotateCol(col("v"), rot)).as("v"))
-    var books = pqTrain(c, col("id"), col("v"), dim, m, ksub, iters, seed)
-    for (_ <- 0 until opqIters) {
-      // reconstruction x̂ in ROTATED space from this round's codes
-      val booksD: Seq[Seq[Seq[Double]]] =
-        books.map(_.map(_.map(_.toDouble)))
-      val rv = rotated
-      val withCodes = rv.withColumn("codes",
-        array((0 until m).map(s =>
-          element_at(nearestL2(subCol(col("v"), s, dsub), books(s), 1),
-            1)): _*))
-        .withColumn("xhat", concat((0 until m).map(s =>
-          element_at(typedLit(booksD(s)),
-            element_at(col("codes"), s + 1) + 1)): _*))
-      // A = Σ x·x̂ᵀ over ORIGINAL x — flattened row-major outer product,
-      // one bounded aggregate (the shuffle carries ONE dim²-double row)
-      val joined = c.select(col("id"), col("v"))
-        .join(withCodes.select(col("id"), col("xhat")), "id")
-        .withColumn("outer", flatten(transform(col("v"), xi =>
-          transform(col("xhat"), yj => xi * yj))))
-      val agg = joined.agg(
-        graft.functions.VectorMeanAgg.vectorMean(col("outer"), dim * dim)
-          .as("mean"),
-        count(lit(1L)).as("n")).collect()(0)
-      val n = agg.getLong(1).toDouble
-      val flat = agg.getSeq[Double](0).map(_ * n)
-      val a = breeze.linalg.DenseMatrix.tabulate(dim, dim)(
-        (i, j) => flat(i * dim + j))
-      val svd = breeze.linalg.svd(a)
-      // maximize tr(R·A), A = U·S·Vᵀ ⇒ R = V·Uᵀ
-      val r = svd.Vt.t * svd.U.t
-      rot = (0 until dim).map(i => (0 until dim).map(j => r(i, j)))
-      // WARM-STARTED refit (r10, VERDICT r9 what's-wrong #2): ONE Lloyd
-      // refinement of the previous codebooks on the re-rotated data —
-      // the standard OPQ alternation step — instead of re-seeding and
-      // running the full `iters` Lloyd schedule every rotation round
-      // (that was O(opqIters × iters) Lloyd shuffles; this is
-      // O(opqIters)). Exactness gates are untouched: codebook quality
-      // only moves the APPROXIMATION; full-rerank ≡ brute force holds
-      // for any codebooks.
-      books = pqTrain(rotated, col("id"), col("v"), dim, m, ksub,
-        iters = 1, seed, init = Some(books))
-    }
-    (rot, books)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var rot: Seq[Seq[Double]] =
+        (0 until dim).map(i => (0 until dim).map(j =>
+          if (i == j) 1.0 else 0.0))
+      def rotated: DataFrame =
+        c.select(col("id"), toFloats(rotateCol(col("v"), rot)).as("v"))
+      var books = pqTrain(c, col("id"), col("v"), dim, m, ksub, iters, seed)
+      for (_ <- 0 until opqIters) {
+        // reconstruction x̂ in ROTATED space from this round's codes
+        val booksD: Seq[Seq[Seq[Double]]] =
+          books.map(_.map(_.map(_.toDouble)))
+        val rv = rotated
+        val withCodes = rv.withColumn("codes",
+          array((0 until m).map(s =>
+            element_at(nearestL2(subCol(col("v"), s, dsub), books(s), 1),
+              1)): _*))
+          .withColumn("xhat", concat((0 until m).map(s =>
+            element_at(typedLit(booksD(s)),
+              element_at(col("codes"), s + 1) + 1)): _*))
+        // A = Σ x·x̂ᵀ over ORIGINAL x — one bounded aggregate (the shuffle
+        // carries ONE dim²-double row). Native [[OuterSumAgg]] (r10):
+        // accumulates the outer product in a primitive buffer with zero
+        // per-row allocation — the previous flatten(transform×transform)
+        // form materialized a dim²-element array PER ROW before the
+        // aggregate saw it (the dominant OPQ training cost; equality with
+        // that form is tolerance-pinned in PipelineSpec).
+        val joined = c.select(col("id"), col("v"))
+          .join(withCodes.select(col("id"), col("xhat")), "id")
+        val flat = joined.agg(
+          graft.functions.OuterSumAgg.outerSum(col("v"), col("xhat"),
+            dim, dim).as("s")).collect()(0).getSeq[Double](0)
+        val a = breeze.linalg.DenseMatrix.tabulate(dim, dim)(
+          (i, j) => flat(i * dim + j))
+        val svd = breeze.linalg.svd(a)
+        // maximize tr(R·A), A = U·S·Vᵀ ⇒ R = V·Uᵀ
+        val r = svd.Vt.t * svd.U.t
+        rot = (0 until dim).map(i => (0 until dim).map(j => r(i, j)))
+        // WARM-STARTED refit (r10, VERDICT r9 what's-wrong #2): ONE Lloyd
+        // refinement of the previous codebooks on the re-rotated data —
+        // the standard OPQ alternation step — instead of re-seeding and
+        // running the full `iters` Lloyd schedule every rotation round
+        // (that was O(opqIters × iters) Lloyd shuffles; this is
+        // O(opqIters)). Exactness gates are untouched: codebook quality
+        // only moves the APPROXIMATION; full-rerank ≡ brute force holds
+        // for any codebooks.
+        books = pqTrain(rotated, col("id"), col("v"), dim, m, ksub,
+          iters = 1, seed, init = Some(books))
+      }
+      (rot, books)
+    } finally c.unpersist()
   }
 
   /** [[pqTopK]] with an OPQ-learned rotation: identical serving cost and

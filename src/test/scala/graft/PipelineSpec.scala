@@ -516,6 +516,45 @@ class PipelineSpec extends SparkSpec {
       rows.forall(_.getSeq[Double](1).size == 64))
   }
 
+  test("outer_sum aggregate == declarative flatten/transform outer product") {
+    // the OPQ Procrustes aggregate (r10): Σ x·x̂ᵀ accumulated in a
+    // primitive buffer must equal the per-row-materialized declarative
+    // form to float-summation tolerance, on an asymmetric (dimX != dimY)
+    // shape to pin the row-major layout
+    val dimX = 5
+    val dimY = 3
+    val rows = embs.limit(200)
+      .select($"vec_id".cast("long").as("id"),
+        expr("slice(embedding, 1, 5)").as("x"),
+        expr("transform(slice(embedding, 7, 3), v -> cast(v as double) + 0.5)")
+          .as("y"))
+    val native = rows.agg(graft.functions.OuterSumAgg
+        .outerSum($"x", $"y", dimX, dimY).as("s"))
+      .collect()(0).getSeq[Double](0)
+    val declRow = rows
+      .withColumn("outer", flatten(transform($"x", xi =>
+        transform($"y", yj => xi * yj))))
+      .agg(graft.functions.VectorMeanAgg.vectorMean($"outer", dimX * dimY)
+        .as("m"), count(lit(1)).as("n")).collect()(0)
+    val decl = declRow.getSeq[Double](0).map(_ * declRow.getLong(1))
+    assert(native.size == dimX * dimY)
+    native.zip(decl).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"outer_sum diverged: $a vs $b")
+    }
+    // null vectors skip the row (standard aggregate semantics)
+    val withNulls = rows.withColumn("x",
+      when($"id" % 2 === 0, $"x"))
+    val evens = rows.filter($"id" % 2 === 0)
+    val a1 = withNulls.agg(graft.functions.OuterSumAgg
+      .outerSum($"x", $"y", dimX, dimY)).collect()(0).getSeq[Double](0)
+    val a2 = evens.agg(graft.functions.OuterSumAgg
+      .outerSum($"x", $"y", dimX, dimY)).collect()(0).getSeq[Double](0)
+    a1.zip(a2).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)))
+    }
+  }
+
   test("LSH top-k: self bucket always contains the query itself") {
     val queries = embs.filter($"vec_id" < 5)
     val topk = Similarity.lshTopK(

@@ -147,6 +147,30 @@ object Fixtures {
       dir
     }
 
+  /** Incremental SEMANTIC-dedup index over `embeddings`, ingested in three
+    * vec_id-ordered batches ([[graft.pipeline.Dedup.semIngestDedup]]) with
+    * q_sem_dedup's exact anchor/threshold config. The final kept set must
+    * equal batch-mode [[graft.pipeline.Dedup.semDedupKeep]] of the whole
+    * corpus — q_sem_dedup_incremental reuses q_sem_dedup's oracle SQL. */
+  def semIndexDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/sem_index"
+      if (!complete(spark, dir, 3)) {
+        rm(spark, dir)
+        val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val n = embs.count()
+        val anchors = graft.pipeline.Dedup.rademacherAnchors(32, 64, 11L)
+        def ingest(i: Int, ts: String): Unit =
+          graft.pipeline.Dedup.semIngestDedup(spark, dir,
+            embs.filter(col("vec_id") * 3 >= lit(i * n) &&
+              col("vec_id") * 3 < lit((i + 1) * n)),
+            col("vec_id"), col("embedding"), anchors,
+            thresholdNum = 2, thresholdDen = 5, ts = Some(ts))
+        ingest(0, C1); ingest(1, C2); ingest(2, C3)
+      }
+      dir
+    }
+
   /** CDC MIRROR of the COW fixture: its full change feed (one
     * multi-commit batch) applied to a fresh table via
     * `operation=cdc` — the newest change per key wins, deletes remove

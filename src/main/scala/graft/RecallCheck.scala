@@ -180,6 +180,17 @@ object RecallCheck {
     val pareto = for (np <- paretoProbes; rr <- paretoReranks)
       yield (np, rr, ivfpqRes(np, rr))
 
+    // SemDeDup (r10): not a recall metric — the kept set is oracle-exact
+    // by construction (q_sem_dedup); report the operational shape at the
+    // bench SF: corpus size, survivors, and how many of the 32 seeded
+    // anchor cells the keeps span (the occupancy knob's effect).
+    val semKeep = Dedup.semDedupKeep(embs, col("vec_id"), col("embedding"),
+      Dedup.rademacherAnchors(32, 64, 11L),
+      thresholdNum = 2, thresholdDen = 5)
+    val semTotal = embs.count()
+    val semKept = semKeep.count()
+    val semCells = semKeep.select("cl").distinct().count()
+
     val minhashOk = missed == 0 && extra == 0
     val embOk = falsePos == 0
     val json =
@@ -211,7 +222,10 @@ object RecallCheck {
       s""""pareto":[""" + pareto.map { case (np, rr, r) =>
         s"""{"nprobe":$np,"rerank":$rr,"recall":$r}""" }.mkString(",") +
       s"""],""" +
-      s""""target":"exhaustive (nprobe=nlist, full rerank) must be exactly 1.0 (q_ivfpq_topk)","pass":${ivfpqExact == 1.0}}}"""
+      s""""target":"exhaustive (nprobe=nlist, full rerank) must be exactly 1.0 (q_ivfpq_topk)","pass":${ivfpqExact == 1.0}},""" +
+      s""""sem_dedup":{"anchors":32,"total":$semTotal,"kept":$semKept,""" +
+      s""""cells_used":$semCells,""" +
+      s""""target":"kept set oracle-exact by construction (q_sem_dedup); operational shape only","pass":${semKept > 0}}}"""
     println(json)
     outFile.foreach(f => java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f), json + "\n"))

@@ -744,6 +744,13 @@ object SparkEntry {
           col("embedding"), SemDedupAnchors,
           thresholdNum = 2, thresholdDen = 5)
         .orderBy(col("id"))),
+    // Incremental twin (r10): three-batch arrival-order ingest through the
+    // cluster-partitioned semantic index must converge to the same kept
+    // set — same oracle SQL as q_sem_dedup.
+    "q_sem_dedup_incremental" -> ((s, d) =>
+      read.SnapshotReader.read(s, Fixtures.semIndexDir(s, d))
+        .filter(col("kept"))
+        .select(col("doc_id").as("id"), col("cl")).orderBy(col("id"))),
     "q_multimodal_stats" -> ((s, d) =>
       Multimodal.stats(
         tp(s, d, "documents").select(
@@ -1250,6 +1257,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_sem_dedup" -> semDedupOracle(SemDedupAnchors, num = 2, den = 5),
+    "q_sem_dedup_incremental" ->
+      semDedupOracle(SemDedupAnchors, num = 2, den = 5),
     "q_delete_view" ->
       s"SELECT $OrdersColsSql FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey",
     "q_delete_view_c4" ->

@@ -592,21 +592,8 @@ object Dedup {
       anchors: Seq[Seq[Long]], thresholdNum: Int, thresholdDen: Int,
       scale: Long = 1000000L, maxCluster: Int = Int.MaxValue,
       materialize: Boolean = true): DataFrame = {
-    import graft.functions.ArrayNumeric.{longDot, longNormSq}
-    require(anchors.nonEmpty && anchors.map(_.size).distinct.size == 1,
-      "anchors must be non-empty and all the same dimension")
-    val q0 = graft.util.ParallelScan.widen(
-        df.select(id.cast("long").as("id"), vec.as("__v")))
-      .select(col("id"), transform(col("__v"),
-        x => floor(x.cast("double") * scale).cast("long")).as("q"))
-      .withColumn("nrm", longNormSq(col("q")))
-    val anchLit = typedLit(anchors)
-    // per-anchor integer dots as one looped expression (constant codegen
-    // size in k — the r10 sign-band lesson), then first-max argmax
-    val dots = transform(anchLit, w =>
-      aggregate(zip_with(col("q"), w, (x, c) => x * c), lit(0L), _ + _))
-    val assigned = q0.withColumn("cl",
-      (array_position(dots, array_max(dots)) - 1).cast("int"))
+    import graft.functions.ArrayNumeric.longDot
+    val assigned = semAssign(df, id, vec, anchors, scale)
     scoped(materialize, assigned) {
       val bucketed = assigned.select(col("id"), lit(0).as("band"),
         col("cl").cast("long").as("bucket"))
@@ -629,6 +616,103 @@ object Dedup {
           .select(col("id"), col("cl"))
       }
     }
+  }
+
+  /** Quantize + anchor-assign: (id, q, nrm, cl) — the shared front half of
+    * the semantic-dedup family. Per-anchor integer dots as one looped
+    * expression over the anchor literal (constant codegen size in k — the
+    * r10 sign-band lesson), then FIRST-MAX argmax. */
+  private def semAssign(df: DataFrame, id: Column, vec: Column,
+      anchors: Seq[Seq[Long]], scale: Long): DataFrame = {
+    import graft.functions.ArrayNumeric.longNormSq
+    require(anchors.nonEmpty && anchors.map(_.size).distinct.size == 1,
+      "anchors must be non-empty and all the same dimension")
+    val q0 = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("id"), vec.as("__v")))
+      .select(col("id"), transform(col("__v"),
+        x => floor(x.cast("double") * scale).cast("long")).as("q"))
+      .withColumn("nrm", longNormSq(col("q")))
+    val anchLit = typedLit(anchors)
+    val dots = transform(anchLit, w =>
+      aggregate(zip_with(col("q"), w, (x, c) => x * c), lit(0L), _ + _))
+    q0.withColumn("cl",
+      (array_position(dots, array_max(dots)) - 1).cast("int"))
+  }
+
+  /** Incremental SEMANTIC dedup against a graft-format index table
+    * PARTITIONED BY CLUSTER — [[semDedupKeep]]'s arrival-order twin, the
+    * [[ingestDedup]] production shape with a sharper scale property: the
+    * index row is (doc_id, q, nrm, cl, kept) partitioned by `pt = cl`, so
+    * an arriving batch reads ONLY the index partitions of the clusters its
+    * members land in (partition-pruned at metadata level) — history in
+    * every other cluster is never touched, let alone re-embedded.
+    *
+    * Semantics contract: `id` strictly increasing across batches. A batch
+    * member is dropped iff some EARLIER doc (any batch, kept or dropped)
+    * in the SAME cluster verifies the near-dup threshold — so arrival-
+    * order ingest converges to exactly the batch-mode [[semDedupKeep]]
+    * keep set (spec-pinned; with `maxCluster` active the cap applies per
+    * ingest pass, the same approximation trade [[ingestDedup]] documents).
+    * Because the index is a graft table, the dedup state gets time
+    * travel, incremental reads, OCC, and cleaning for free.
+    *
+    * Returns the updated index snapshot (lazy read of the table). */
+  def semIngestDedup(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, id: Column, vec: Column,
+      anchors: Seq[Seq[Long]], thresholdNum: Int, thresholdDen: Int,
+      scale: Long = 1000000L, maxCluster: Int = Int.MaxValue,
+      numBuckets: Int = 8, ts: Option[String] = None): DataFrame = {
+    import graft.functions.ArrayNumeric.longDot
+    val assigned = semAssign(batch, id, vec, anchors, scale)
+    assigned.persist()
+    try {
+      // the batch's clusters: a driver list bounded by |anchors| —
+      // metadata-sized by construction, and the partition-pruning key
+      val cells: Seq[String] = assigned.select(col("cl")).distinct()
+        .collect().map(_.getInt(0).toString).toSeq
+      val tl = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), indexDir)
+      val seen =
+        if (tl.completedInstants().nonEmpty)
+          graft.read.SnapshotReader.read(spark, indexDir)
+            // prune on the PARTITION PATH meta column (pt's recorded
+            // rendering) — a payload-column filter would scan every
+            // cluster's files and filter rows after the fact
+            .filter(col(graft.format.MetaCols.PartitionPath)
+              .isin(cells: _*))
+            .select(col("doc_id").as("id"), col("q"), col("nrm"), col("cl"))
+        else assigned.select("id", "q", "nrm", "cl").limit(0)
+      val union = assigned.select("id", "q", "nrm", "cl").unionByName(seen)
+      val bucketed = union.select(col("id"), lit(0).as("band"),
+        col("cl").cast("long").as("bucket"))
+      // only pairs whose LATER member is in this batch matter (history is
+      // settled); the earlier member may be anywhere in the union
+      val cand = candidatePairs(capBuckets(bucketed, maxCluster))
+        .join(assigned.select(col("id").as("id_b")), Seq("id_b"), "leftsemi")
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val a = union.select(col("id").as("id_a"), col("q").as("q_a"),
+        col("nrm").as("n_a"))
+      val b = union.select(col("id").as("id_b"), col("q").as("q_b"),
+        col("nrm").as("n_b"))
+      val drops = cand.join(a, "id_a").join(b, "id_b")
+        .select(col("id_b"), longDot(col("q_a"), col("q_b")).as("dot_q"),
+          col("n_a"), col("n_b"))
+        .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
+          lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
+            >= lit(thresholdNum * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
+        .select(col("id_b").as("__drop")).distinct()
+      val out = assigned
+        .join(drops, col("id") === col("__drop"), "left")
+        .select(col("id").as("doc_id"), col("q"), col("nrm"), col("cl"),
+          col("__drop").isNull.as("kept"))
+        .withColumn("pt", col("cl").cast("string"))
+      val writer = out.write.format("graft")
+        .option("key", "doc_id").option("partition", "pt")
+        .option("buckets", numBuckets.toString)
+        .mode(org.apache.spark.sql.SaveMode.Append)
+      ts.fold(writer)(t => writer.option("ts", t)).save(indexDir)
+    } finally assigned.unpersist(blocking = true)
+    graft.read.SnapshotReader.read(spark, indexDir)
   }
 
   /** [[semDedupKeep]] with TRAINED k-means centroids (the paper's shape):

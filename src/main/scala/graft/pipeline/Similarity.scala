@@ -116,23 +116,29 @@ object Similarity {
   def ivfTrain(corpus: DataFrame, id: Column, vec: Column,
       nlist: Int, iters: Int = 2, seed: Long = 42L,
       trainFraction: Double = 1.0): Seq[(Int, Seq[Float])] = {
+    // persisted across the init pick + every Lloyd step (r10): uncached,
+    // each phase re-scans and re-samples the source — iters+1 corpus
+    // passes for a training set trainFraction sizes to fit the executors
     val c = trainSample(graft.util.ParallelScan.widen(
       corpus.select(id.cast("long").as("id"), vec.as("v"))),
       trainFraction, seed)
-    var centroids: Seq[(Int, Seq[Float])] =
-      c.withColumn("__h", xxhash64(col("id"), lit(seed)))
-        .orderBy(col("__h")).limit(nlist)
-        .select(col("v")).collect()
-        .map(_.getSeq[Float](0).toSeq).zipWithIndex
-        .map { case (v, i) => (i, v) }.toSeq
-    for (_ <- 0 until iters) {
-      val assigned = assignToCentroid(c, centroids)
-      val updated = clusterMeans(assigned, centroids.head._2.size)
-      centroids = centroids.map { case (cl, v) =>
-        cl -> updated.getOrElse(cl, v)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Seq[(Int, Seq[Float])] =
+        c.withColumn("__h", xxhash64(col("id"), lit(seed)))
+          .orderBy(col("__h")).limit(nlist)
+          .select(col("v")).collect()
+          .map(_.getSeq[Float](0).toSeq).zipWithIndex
+          .map { case (v, i) => (i, v) }.toSeq
+      for (_ <- 0 until iters) {
+        val assigned = assignToCentroid(c, centroids)
+        val updated = clusterMeans(assigned, centroids.head._2.size)
+        centroids = centroids.map { case (cl, v) =>
+          cl -> updated.getOrElse(cl, v)
+        }
       }
-    }
-    centroids
+      centroids
+    } finally c.unpersist()
   }
 
   /** Lloyd-step per-cluster means via the native

@@ -1,0 +1,75 @@
+package graft
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+
+/** [[Dedup.semIngestDedup]]: arrival-order ingest through the
+  * cluster-partitioned semantic index must converge to batch-mode
+  * [[Dedup.semDedupKeep]], and the index's partition layout must actually
+  * prune — a read of one cluster's history touches only that cluster's
+  * partition directory. */
+class SemDedupIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_test/sem_ingest_idx"
+  private val anchors = Dedup.rademacherAnchors(4, 8, seed = 3L)
+
+  private def corpus(n: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(99L)
+    // planted near-dup pairs: every third vector is a copy of its
+    // predecessor with a tiny perturbation (cosine ~ 1)
+    val base = Seq.fill(n)(Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    base.zipWithIndex.map { case (v, i) =>
+      val w = if (i % 3 == 2) base(i - 1).map(_ * 1.001f) else v
+      (i.toLong, w.map(_.toFloat): Seq[Float])
+    }
+  }
+
+  test("three-batch ingest == batch-mode semDedupKeep; verdicts settled") {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val rows = corpus(30)
+    val df = rows.toDF("vec_id", "embedding")
+    val batchKeeps = Dedup.semDedupKeep(df, $"vec_id", $"embedding",
+        anchors, thresholdNum = 9, thresholdDen = 10)
+      .as[(Long, Int)].collect().toSet
+    for (i <- 0 until 3)
+      Dedup.semIngestDedup(spark, dir,
+        df.filter($"vec_id" >= i * 10 && $"vec_id" < (i + 1) * 10),
+        $"vec_id", $"embedding", anchors,
+        thresholdNum = 9, thresholdDen = 10)
+    val idx = read.SnapshotReader.read(spark, dir)
+    val ingestKeeps = idx.filter($"kept")
+      .select($"doc_id", $"cl").as[(Long, Int)].collect().toSet
+    assert(ingestKeeps == batchKeeps)
+    // the planted copies were actually dropped (the test has teeth)
+    assert(ingestKeeps.size < rows.size)
+    // every doc has exactly one verdict row — kept or dropped
+    assert(idx.count() == rows.size)
+  }
+
+  test("index reads partition-prune to the queried cluster only") {
+    // (depends on the table built by the previous test)
+    val idx = read.SnapshotReader.read(spark, dir)
+    val cells = idx.select($"pt").distinct().as[String].collect().sorted
+    assert(cells.length > 1, "corpus must span several clusters")
+    val one = cells.head
+    // pruning keys on the partition-path META column (what semIngestDedup
+    // itself filters on) — a payload `pt` filter would read every file
+    val pruned = read.SnapshotReader.read(spark, dir)
+      .filter(col(graft.format.MetaCols.PartitionPath) === one)
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "pt predicate did not reach the scan as a partitionFilter")
+    val files = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, Nil)
+      .flatMap(_.files).map(_.getPath.toString)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains(s"/$one/")),
+      s"expected only partition $one files, got:\n${files.mkString("\n")}")
+    // and the pruned read still answers correctly
+    assert(pruned.count() == idx.filter($"pt" === one).count())
+  }
+}

@@ -745,6 +745,23 @@ object Fixtures {
     (dataDir, cents, books)
   }
 
+  /** BM25 inverted index over `documents` (postings partitioned by term
+    * bucket + one-row corpus stats sidecar;
+    * [[graft.pipeline.TextRetrieval.buildIndex]]). */
+  def textIndexDir(spark: SparkSession, sfDir: String,
+      termBuckets: Int = 16): String = synchronized {
+    val dir = s"${root(sfDir)}/text_index"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats/_SUCCESS"))) {
+      rm(spark, dir)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.pipeline.TextRetrieval.buildIndex(spark, docs,
+        col("doc_id"), col("text"), dir, termBuckets = termBuckets)
+    }
+    dir
+  }
+
   private def rm(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)

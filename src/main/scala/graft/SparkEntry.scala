@@ -1,8 +1,9 @@
 package graft
 
 import graft.deleteview.DeleteView
+import graft.functions.Bitmap64
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextRetrieval}
 import graft.read.{IncrementalReader, SnapshotReader}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -609,6 +610,37 @@ object SparkEntry {
     }),
 
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----
+    // Exact mergeable distinct-count bitmaps (functions/BitmapDistinct):
+    // COUNT(DISTINCT) is non-algebraic (Spark plans an Expand + shuffle of
+    // the raw distinct values, and the resulting number cannot be
+    // re-aggregated); the roaring-style bitmap IS the mergeable form.
+    // q_bitmap_rollup is the 100 TB shape: per-(flag,status) bitmap
+    // partials — what a per-day job would persist — rolled up per flag by
+    // pure bitmap union, no raw-key rescan.
+    // BM25-style retrieval over the partition-pruned inverted index
+    // (pipeline/TextRetrieval): the query reads ONLY its terms' buckets of
+    // the postings, joins nothing (dl/df denormalized at build), and
+    // scores in scaled-integer arithmetic the DuckDB oracle reproduces
+    // bit-for-bit (fp BM25 is the production scorer, spec-gated — fp never
+    // sits under a hash-exactness gate).
+    "q_bm25_topk" -> ((s, d) => {
+      val dir = Fixtures.textIndexDir(s, d)
+      TextRetrieval.exactTopK(s, dir,
+        Seq("spark", "join", "window"), k = 20)
+    }),
+    "q_bitmap_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(Bitmap64.bitmapCardinality(
+          Bitmap64.bitmapBuild(col("l_orderkey"))).as("n_orders"))
+        .orderBy(col("l_returnflag"))),
+    "q_bitmap_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(Bitmap64.bitmapBuild(col("l_orderkey")).as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(Bitmap64.bitmapCardinality(
+          Bitmap64.bitmapMerge(col("bm"))).as("n_orders"))
+        .orderBy(col("l_returnflag"))),
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(tp(s, d, "documents"), col("text"), col("doc_id"))
         .select(col("doc_id")).orderBy(col("doc_id"))),
@@ -1603,6 +1635,31 @@ object SparkEntry {
         "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, " +
         "lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_sec " +
         "FROM events)) GROUP BY user_id ORDER BY user_id"),
+    // Mirrors TextRetrieval.exactTopK's scaled-integer scoring literally:
+    // every Spark `div` is a DuckDB `//` (both floor-divide nonnegative
+    // longs), every sum a long sum — bit-exact across engines.
+    "q_bm25_topk" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+        "post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+        "dfr AS (SELECT term, count(*) AS df FROM post GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl), " +
+        "sc AS (SELECT p.doc_id, " +
+        "(((1000000 * ((SELECT n FROM st) + 1)) // (f.df + 1)) * " +
+        "((p.tf * 2200000 * 1000000) // (p.tf * 1000000 + " +
+        "(1200000 * (1000000 - 750000 + (750000 * d.dl * 1000000) // " +
+        "((1000000 * (SELECT sdl FROM st)) // (SELECT n FROM st)))) // 1000000))" +
+        ") // 1000000 AS tscore " +
+        "FROM post p JOIN dl d USING (doc_id) JOIN dfr f USING (term) " +
+        "WHERE p.term IN ('spark', 'join', 'window')) " +
+        "SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score FROM sc " +
+        "GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"),
+    "q_bitmap_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_bitmap_rollup" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_dedup_exact" ->
       ("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (" +
         "PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) AS rn " +

@@ -1,0 +1,92 @@
+package graft
+
+import graft.pipeline.TextRetrieval
+import org.apache.spark.sql.functions._
+
+/** BM25 inverted-index retrieval: partition-pruned query path, fp scorer
+  * against an independent composition, batch ≡ single, df capping. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val idx = Fixtures.textIndexDir(spark, sf0001)
+
+  test("search reads only the query terms' buckets (partition pruning)") {
+    val terms = Seq("spark", "join")
+    val buckets = terms.map(TextRetrieval.termBucket(_, 16)).distinct.toSet
+    val df = TextRetrieval.exactTopK(spark, idx, terms, k = 10)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("/postings")) => s
+    }
+    assert(scans.size == 1, s"expected one postings scan, got ${scans.size}")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "tb predicate did not reach the scan as a partitionFilter")
+    val pruned = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+    val touched = pruned.flatMap(f =>
+      "tb=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(touched.nonEmpty && touched.subsetOf(buckets),
+      s"scan listed buckets $touched, query needs only $buckets")
+    // and the index holds more buckets than the query touched
+    val all = scan.relation.location.inputFiles
+      .flatMap(f => "tb=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
+      .toSet
+    assert(touched.size < all.size,
+      s"no pruning: touched ${touched.size} of ${all.size} buckets")
+  }
+
+  test("fp bm25TopK matches an independently-composed scorer (tolerance)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val terms = Seq("spark", "join", "window")
+    val got = TextRetrieval.bm25TopK(spark, idx, terms, k = 10)
+      .as[(Long, Double)].collect().toSeq
+
+    // reference: same math straight over the corpus, no index
+    val tok = docs.select($"doc_id",
+      explode(split(trim(lower($"text")), "\\s+")).as("term"))
+    val post = tok.groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val dfr = post.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.count().toDouble
+    val avgdl = tok.count().toDouble / n
+    val want = post.join(dl, "doc_id").join(dfr, "term")
+      .where($"term".isin(terms: _*))
+      .withColumn("tscore",
+        log(lit(1.0) + (lit(n) - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+          ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / lit(avgdl))))
+      .groupBy($"doc_id").agg(sum($"tscore").as("score"))
+      .orderBy($"score".desc, $"doc_id".asc).limit(10)
+      .as[(Long, Double)].collect().toSeq
+
+    assert(got.map(_._1) == want.map(_._1), "ranking differs")
+    got.zip(want).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(math.abs(b), 1.0))
+    }
+  }
+
+  test("batch scorer with one query equals the single-query scorer") {
+    val terms = Seq("spark", "window")
+    val single = TextRetrieval.exactTopK(spark, idx, terms, k = 8)
+      .as[(Long, Long)].collect().toSeq
+    val q = terms.map(t => (7L, t)).toDF("qid", "term")
+    val batch = TextRetrieval.exactTopKBatch(spark, idx, q, k = 8)
+      .select($"doc_id", $"score").as[(Long, Long)].collect().toSeq
+    assert(batch == single)
+  }
+
+  test("maxDfPermille drops stop-word posting lists at build time") {
+    val docs = Seq(
+      (1L, "the quick fox"), (2L, "the lazy dog"), (3L, "the end"),
+      (4L, "rare term here")).toDF("doc_id", "text")
+    val full = TextRetrieval.postings(docs, $"doc_id", $"text")
+    val capped = TextRetrieval.postings(docs, $"doc_id", $"text",
+      maxDfPermille = 500)
+    assert(full.where($"term" === "the").count() == 3)
+    assert(capped.where($"term" === "the").count() == 0) // df 3/4 > 0.5
+    assert(capped.where($"term" === "rare").count() == 1)
+  }
+}

@@ -637,6 +637,44 @@ object Fixtures {
       view
     }
 
+  /** Maintained exact distinct-count view
+    * ([[graft.views.MaterializedDistinct]]) over its own delete-heavy
+    * source script: C1 insert, C2 custkey-mutating upsert (%10==3 →
+    * +1000000: retraction + insert per row), C3 delete (%2==0), C4
+    * NEW-key insert (%5==1 re-inserted at key+1000000000 with the
+    * ORIGINAL custkey — exercises the zero-source-IO bitmap-union fast
+    * path AND idempotent re-insertion of already-present values). */
+  def matViewDistinctDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/orders_matview_distinct"
+      val src = s"$dir/src"; val view = s"$dir/view"
+      def instants(d: String) = Timeline(
+        spark.sessionState.newHadoopConf(), d).completedInstants().size
+      if (!complete(spark, src, 4) || instants(view) != 4) {
+        rm(spark, dir)
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        val k = col("o_orderkey")
+        def refresh(): Unit =
+          graft.views.MaterializedDistinct.refresh(
+            spark, src, view, "o_orderpriority", col("o_custkey"),
+            buckets = 8): Unit
+        val w = new CowWriter(spark, src, numBuckets = 8)
+        w.insert(orders, k, col("o_orderstatus"), C1)
+        refresh()
+        w.upsert(orders.filter(k % 10 === 3)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L),
+          k, col("o_orderstatus"), C2)
+        refresh()
+        w.delete(orders.filter(k % 2 === 0), k, col("o_orderstatus"), C3)
+        refresh()
+        w.upsert(orders.filter(k % 5 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L),
+          col("o_orderkey"), col("o_orderstatus"), C4)
+        refresh()
+      }
+      view
+    }
+
   /** Maintained TOP-3 values view (see [[graft.views.MaterializedTopK]])
     * built with [[matViewMinmaxDir]] off the same delete-heavy source. */
   def matViewTopkDir(spark: SparkSession, sfDir: String): String = {

@@ -251,6 +251,15 @@ object SparkEntry {
         .select(col("o_custkey"), col("n_rows"), col("min_val"),
           col("max_val"))
         .orderBy(col("o_custkey"))),
+    // q_mat_view_distinct: maintained per-group EXACT distinct count over
+    // a delete-heavy history — COUNT(DISTINCT) is not maintainable but
+    // its bitmap is: insert-only churn unions into the stored bitmap with
+    // zero source IO; retraction-touched groups re-aggregate from a
+    // group-filtered source scan (graft.views.MaterializedDistinct).
+    "q_mat_view_distinct" -> ((s, d) =>
+      views.MaterializedDistinct.read(s, Fixtures.matViewDistinctDir(s, d))
+        .select(col("o_orderpriority"), col("n_rows"), col("n_distinct"))
+        .orderBy(col("o_orderpriority"))),
     // q_mat_view_topk: maintained per-group TOP-3 values over the same
     // delete-heavy history, served exploded as (group, rnk, val) — the
     // deterministic row-set shape a row_number-per-group SQL reproduces
@@ -1420,6 +1429,19 @@ object SparkEntry {
         "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS max_val " +
         "FROM orders WHERE o_orderkey % 2 <> 0 AND o_custkey IS NOT NULL " +
         "GROUP BY o_custkey ORDER BY o_custkey"),
+    // maintained distinct ≡ COUNT(DISTINCT) over the final source state:
+    // C2 rewrote custkey for %10==3, C3 deleted %2==0, C4 re-inserted
+    // %5==1 under new keys with the ORIGINAL custkey
+    "q_mat_view_distinct" ->
+      ("WITH fin AS (SELECT o_orderpriority, CASE WHEN o_orderkey % 10 = 3 " +
+        "THEN o_custkey + 1000000 ELSE o_custkey END AS v FROM orders " +
+        "WHERE o_orderkey % 2 <> 0 " +
+        "UNION ALL SELECT o_orderpriority, o_custkey AS v FROM orders " +
+        "WHERE o_orderkey % 5 = 1) " +
+        "SELECT o_orderpriority, count(*) AS n_rows, " +
+        "count(DISTINCT v) AS n_distinct FROM fin " +
+        "WHERE o_orderpriority IS NOT NULL " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     // maintained top-3 ≡ row_number-per-group of the final source state
     "q_mat_view_topk" ->
       ("SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, val FROM (" +

@@ -304,6 +304,15 @@ object Bitmap64 {
   def bitmapContains(bytes: Column, v: Column): Column =
     Bridge.column(BitmapContains(
       Bridge.expression(bytes), Bridge.expression(v)))
+
+  /** Scalar: canonical union of two bitmap binaries (row-wise OR — the
+    * maintained-view merge of a stored bitmap with a churn bitmap). */
+  def bitmapUnion(a: Column, b: Column): Column =
+    Bridge.column(BitmapUnion(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Called from generated code: union two wire-format bitmaps. */
+  def unionBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    serialize(merge(deserialize(a), deserialize(b)))
 }
 
 /** `bitmap_build(x)`: aggregate a BIGINT column into canonical bitmap
@@ -397,6 +406,34 @@ case class BitmapMergeAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): BitmapMergeAgg =
     copy(child = newChildren.head)
+}
+
+/** `bitmap_union(a, b)`: canonical union of two bitmap binaries. */
+case class BitmapUnion(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bitmap_union"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (BINARY, BINARY), got ${l.sql} / ${r.sql}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Bitmap64.unionBytes(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Bitmap64.unionBytes($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BitmapUnion =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `bitmap_cardinality(b)`: exact distinct count from canonical bitmap

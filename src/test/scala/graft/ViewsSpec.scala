@@ -358,4 +358,63 @@ class ViewsSpec extends SparkSpec {
 
   private def SnapshotReader_read(path: String) =
     graft.read.SnapshotReader.read(spark, path)
+
+  test("materialized distinct: exact per-group distinct count maintained " +
+    "under inserts (bitmap-union fast path) and retractions (recompute)") {
+    import graft.views.MaterializedDistinct
+    val dir = freshDir("matview_distinct")
+    val src = s"$dir/src"; val view = s"$dir/view"
+    val k = col("o_orderkey")
+    val w = new CowWriter(spark, src, numBuckets = 4)
+    def expected() = SnapshotReader_read(src)
+      .filter(col("o_orderpriority").isNotNull)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_distinct"))
+    def assertInSync(): Unit = {
+      val e = expected()
+      val v = MaterializedDistinct.read(spark, view)
+        .select("o_orderpriority", "n_rows", "n_distinct")
+      assert(v.exceptAll(e).isEmpty && e.exceptAll(v).isEmpty)
+    }
+    def refresh(): Unit = MaterializedDistinct.refresh(spark, src, view,
+      "o_orderpriority", col("o_custkey"), buckets = 2): Unit
+
+    w.insert(orders, k, col("o_orderstatus"), C1)
+    refresh(); assertInSync()
+    // insert-ONLY commit under new keys, some custkeys already present:
+    // the zero-source-IO union path, idempotent re-insertion included
+    w.upsert(orders.filter(k % 5 === 1)
+      .withColumn("o_orderkey", k + 1000000000L),
+      col("o_orderkey"), col("o_orderstatus"), C2)
+    refresh(); assertInSync()
+    // retractions: updates move custkeys, deletes drop rows — affected
+    // groups re-aggregate from the group-filtered source
+    w.delete(orders.filter(k % 2 === 0), k, col("o_orderstatus"), C3)
+    refresh(); assertInSync()
+    // idempotent: nothing new → no view commit
+    val tl = graft.format.Timeline(spark.sessionState.newHadoopConf(), view)
+    val before = tl.completedInstants().size
+    refresh()
+    tl.refresh()
+    assert(tl.completedInstants().size == before)
+    // structural commit → recompute fallback, canonical-bytes diff
+    val replacement = orders.filter(k % 3 === 0)
+    w.overwriteTable(replacement, k, col("o_orderstatus"), "20260104000000")
+    refresh(); assertInSync()
+    // stored bitmap is the canonical serialization of the live value set
+    import graft.functions.Bitmap64
+    val row = MaterializedDistinct.read(spark, view)
+      .orderBy(col("o_orderpriority")).select("o_orderpriority", "bm")
+      .head()
+    val liveVals = SnapshotReader_read(src)
+      .filter(col("o_orderpriority") === row.getString(0) &&
+        col("o_custkey").isNotNull)
+      .select(col("o_custkey")).distinct()
+      .as[Long].collect()
+    val bm = Bitmap64.empty()
+    liveVals.foreach(Bitmap64.add(bm, _))
+    assert(java.util.Arrays.equals(
+      Bitmap64.serialize(bm), row.getAs[Array[Byte]](1)))
+  }
 }

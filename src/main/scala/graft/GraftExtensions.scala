@@ -114,7 +114,23 @@ object GraftExtensions {
       ((cs: Seq[Expression]) =>
         VectorMeanAgg(cs.head, litInt(cs(1), "dim"))),
     "float_cosine" ->
-      ((cs: Seq[Expression]) => FloatCosine(cs.head, cs(1))))
+      ((cs: Seq[Expression]) => FloatCosine(cs.head, cs(1))),
+    "sorted_intersect_count" ->
+      ((cs: Seq[Expression]) =>
+        graft.functions.SortedLongIntersectCount(cs.head, cs(1))),
+    // exact mergeable distinct-count bitmaps (functions/BitmapDistinct)
+    "bitmap_build" ->
+      ((cs: Seq[Expression]) => graft.functions.BitmapBuildAgg(cs.head)),
+    "bitmap_merge" ->
+      ((cs: Seq[Expression]) => graft.functions.BitmapMergeAgg(cs.head)),
+    "bitmap_union" ->
+      ((cs: Seq[Expression]) =>
+        graft.functions.BitmapUnion(cs.head, cs(1))),
+    "bitmap_cardinality" ->
+      ((cs: Seq[Expression]) => graft.functions.BitmapCardinality(cs.head)),
+    "bitmap_contains" ->
+      ((cs: Seq[Expression]) =>
+        graft.functions.BitmapContains(cs.head, cs(1))))
 
   /** Install every native function on a live session. */
   def registerAll(spark: SparkSession): Unit =

@@ -67,6 +67,19 @@ class SqlSurfaceSpec extends SparkSpec {
         "(array(cast(3.0 AS float), cast(5.0 AS float))) AS t(v)")
       .head().getSeq[Double](0)
     assert(vm == Seq(2.0, 4.0), s"expected Seq(2.0, 4.0), got $vm")
+    // scalar: sorted-merge intersection count
+    assert(spark.sql("SELECT sorted_intersect_count(array(1L, 3L, 5L), " +
+      "array(3L, 4L, 5L)) AS n").as[Long].head() == 2L)
+    // the bitmap family end-to-end in one SQL statement: build per group,
+    // merge across groups, count and probe the result
+    val bmRow = spark.sql(
+      "SELECT bitmap_cardinality(bitmap_merge(bm)) AS n, " +
+        "bitmap_contains(bitmap_union(first(bm), last(bm)), 30L) AS has30 " +
+        "FROM (SELECT g, bitmap_build(x) AS bm FROM VALUES " +
+        "(1, 10L), (1, 20L), (2, 20L), (2, 30L) AS t(g, x) GROUP BY g)")
+      .head()
+    assert(bmRow.getLong(0) == 3L, "distinct {10, 20, 30}")
+    assert(bmRow.getBoolean(1))
   }
 
   test("delete view registers as a SQL temp view with pushdown-able scan") {

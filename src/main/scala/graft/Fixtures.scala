@@ -800,6 +800,31 @@ object Fixtures {
     dir
   }
 
+  /** Incrementally maintained BM25 index over `documents`
+    * ([[graft.pipeline.TextRetrieval.incIngest]]): three ingest batches
+    * (doc_id %3 = 0/1/2) then one remove batch (%7 = 0) — the maintained
+    * df/stats views end at 4 commits each. */
+  def textIncIndexDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/text_index_inc"
+      def instants(d: String) = Timeline(
+        spark.sessionState.newHadoopConf(), d).completedInstants().size
+      if (instants(s"$dir/statsv") != 4 || instants(s"$dir/dfv") != 4) {
+        rm(spark, dir)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val id = col("doc_id"); val tx = col("text")
+        graft.pipeline.TextRetrieval.incIngest(spark, dir,
+          docs.filter(id % 3 === 0), id, tx, ts = Some(C1))
+        graft.pipeline.TextRetrieval.incIngest(spark, dir,
+          docs.filter(id % 3 === 1), id, tx, ts = Some(C2))
+        graft.pipeline.TextRetrieval.incIngest(spark, dir,
+          docs.filter(id % 3 === 2), id, tx, ts = Some(C3))
+        graft.pipeline.TextRetrieval.incRemove(spark, dir,
+          docs.filter(id % 7 === 0), id, tx, ts = Some(C4))
+      }
+      dir
+    }
+
   private def rm(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)

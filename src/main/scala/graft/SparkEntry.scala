@@ -637,6 +637,15 @@ object SparkEntry {
       TextRetrieval.exactTopK(s, dir,
         Seq("spark", "join", "window"), k = 20)
     }),
+    // q_bm25_incremental: the MAINTAINED index — postings as a graft
+    // table (df-free), df/corpus stats as MaterializedAgg views refreshed
+    // at churn cost per ingest/remove commit; converges to exactly the
+    // batch answer over the live docs (three ingests + one remove here).
+    "q_bm25_incremental" -> ((s, d) => {
+      val dir = Fixtures.textIncIndexDir(s, d)
+      TextRetrieval.incExactTopK(s, dir,
+        Seq("spark", "join", "window"), k = 20)
+    }),
     "q_bitmap_distinct" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(Bitmap64.bitmapCardinality(
@@ -1662,6 +1671,24 @@ object SparkEntry {
     // longs), every sum a long sum — bit-exact across engines.
     "q_bm25_topk" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+        "post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+        "dfr AS (SELECT term, count(*) AS df FROM post GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl), " +
+        "sc AS (SELECT p.doc_id, " +
+        "(((1000000 * ((SELECT n FROM st) + 1)) // (f.df + 1)) * " +
+        "((p.tf * 2200000 * 1000000) // (p.tf * 1000000 + " +
+        "(1200000 * (1000000 - 750000 + (750000 * d.dl * 1000000) // " +
+        "((1000000 * (SELECT sdl FROM st)) // (SELECT n FROM st)))) // 1000000))" +
+        ") // 1000000 AS tscore " +
+        "FROM post p JOIN dl d USING (doc_id) JOIN dfr f USING (term) " +
+        "WHERE p.term IN ('spark', 'join', 'window')) " +
+        "SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score FROM sc " +
+        "GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"),
+    // the maintained index reflects the live docs only (%7 = 0 removed):
+    // same literal scoring as q_bm25_topk over the filtered corpus
+    "q_bm25_incremental" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents WHERE doc_id % 7 <> 0), " +
         "post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2), " +
         "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
         "dfr AS (SELECT term, count(*) AS df FROM post GROUP BY 1), " +

@@ -132,25 +132,31 @@ object TextRetrieval {
       .limit(k)
   }
 
-  /** Oracle-exact scorer: scaled-integer BM25 shape with rational idf.
-    * Every operation below is a long add/multiply or a floor division of
-    * nonnegative longs — DuckDB's `//` computes the identical value, so
-    * the score column is engine-portable bit-for-bit. Returns
-    * `(doc_id, score)` top-k, score desc / doc_id asc. */
-  def exactTopK(spark: SparkSession, dir: String, terms: Seq[String],
-      k: Int, termBuckets: Int = 16): DataFrame = {
-    val st = stats(spark, dir)
-    val avgdlS = Scale * st.sdl / math.max(st.n, 1L) // scaled avg doc len
-    val scored = queryPostings(spark, dir, terms, termBuckets)
+  /** The scaled-integer per-posting score, shared by every exact entry
+    * point. Input needs columns `tf, dl, df`; appends `tscore`. */
+  private def scoreExact(posts: DataFrame, n: Long, sdl: Long): DataFrame = {
+    val avgdlS = Scale * sdl / math.max(n, 1L) // scaled avg doc len
+    posts
       .withColumn("idf_s",
-        expr(s"(${Scale} * (${st.n} + 1)) div (df + 1)"))
+        expr(s"(${Scale} * (${n} + 1)) div (df + 1)"))
       .withColumn("norm_s",
         expr(s"${Scale} - ${BS} + (${BS} * dl * ${Scale}) div ${avgdlS}"))
       .withColumn("tfq_s",
         expr(s"(tf * ${K1S + Scale} * ${Scale}) div " +
           s"(tf * ${Scale} + (${K1S} * norm_s) div ${Scale})"))
       .withColumn("tscore", expr(s"(idf_s * tfq_s) div ${Scale}"))
-    scored.groupBy(col("doc_id"))
+  }
+
+  /** Oracle-exact scorer: scaled-integer BM25 shape with rational idf.
+    * Every operation is a long add/multiply or a floor division of
+    * nonnegative longs — DuckDB's `//` computes the identical value, so
+    * the score column is engine-portable bit-for-bit. Returns
+    * `(doc_id, score)` top-k, score desc / doc_id asc. */
+  def exactTopK(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int, termBuckets: Int = 16): DataFrame = {
+    val st = stats(spark, dir)
+    scoreExact(queryPostings(spark, dir, terms, termBuckets), st.n, st.sdl)
+      .groupBy(col("doc_id"))
       .agg(sum(col("tscore")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
@@ -165,20 +171,12 @@ object TextRetrieval {
       queries: DataFrame, k: Int, termBuckets: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val st = stats(spark, dir)
-    val avgdlS = Scale * st.sdl / math.max(st.n, 1L)
     val terms = queries.select(col("term").cast("string"))
       .distinct().collect().map(_.getString(0)).toSeq // query-sized
     val q = broadcast(queries.select(col("qid"), col("term").as("qterm")))
-    val scored = queryPostings(spark, dir, terms, termBuckets)
-      .join(q, col("term") === col("qterm"))
-      .withColumn("idf_s",
-        expr(s"(${Scale} * (${st.n} + 1)) div (df + 1)"))
-      .withColumn("norm_s",
-        expr(s"${Scale} - ${BS} + (${BS} * dl * ${Scale}) div ${avgdlS}"))
-      .withColumn("tfq_s",
-        expr(s"(tf * ${K1S + Scale} * ${Scale}) div " +
-          s"(tf * ${Scale} + (${K1S} * norm_s) div ${Scale})"))
-      .withColumn("tscore", expr(s"(idf_s * tfq_s) div ${Scale}"))
+    val scored = scoreExact(
+        queryPostings(spark, dir, terms, termBuckets)
+          .join(q, col("term") === col("qterm")), st.n, st.sdl)
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("tscore")).as("score"))
     val w = Window.partitionBy(col("qid"))
@@ -186,5 +184,129 @@ object TextRetrieval {
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k).drop("rnk")
       .orderBy(col("qid"), col("score").desc, col("doc_id").asc)
+  }
+
+  // ---- incrementally maintained index ------------------------------------
+  //
+  // The batch index above denormalizes df into every posting — optimal for
+  // a rebuild-per-corpus-version deployment, but a single new document
+  // would invalidate the df stamped on EVERY posting of every term it
+  // contains. The incremental layout keeps postings df-FREE in a graft
+  // table and maintains the corpus-level numbers as views:
+  //
+  //   <dir>/postings  graft table, record key `term<U+0001>doc_id`,
+  //                   PARTITIONED BY term bucket — (term, doc_id, tf, dl)
+  //   <dir>/doclen    graft table, record key doc_id — (doc_id, dl, g)
+  //   <dir>/dfv       MaterializedAgg over postings GROUP BY term:
+  //                   n_rows = df (+ sum_tf = corpus term frequency)
+  //   <dir>/statsv    MaterializedAgg over doclen (constant group):
+  //                   n_rows = N, sum_dl = Σdl
+  //
+  // Ingest/remove are ordinary graft commits + churn-bounded view
+  // refreshes (the df view re-aggregates only the TERMS the batch
+  // touched); the index gets time travel / OCC / cleaning for free. A
+  // query reads the postings partitions of its terms (pruned on the
+  // partition-path meta column), joins df for those terms from the view
+  // (a record-key IN read, broadcast — query-sized), and reads the one
+  // stats row on the driver; scoring is identical to the batch path, so
+  // the maintained index converges to exactly the batch answer.
+  //
+  // Contract: `incIngest` batches carry NEW doc ids (append-only corpus —
+  // the training-data shape); updating a document = incRemove(old row) +
+  // incIngest(new row). Terms must not contain U+0001 (the key
+  // separator); whitespace tokenization already guarantees no spaces.
+
+  private val Sep = "\u0001"
+  private val StatsGroup = "all"
+
+  private def batchPostings(docs: DataFrame, idCol: Column,
+      textCol: Column): (DataFrame, DataFrame) = {
+    val tok = docs.select(idCol.cast("long").as("doc_id"),
+      explode(toks(textCol)).as("term"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val post = tok.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    (post, dl)
+  }
+
+  private def postKey: Column = concat(col("term"), lit(Sep), col("doc_id"))
+  private def postPart(termBuckets: Int): Column =
+    pmod(xxhash64(col("term")), lit(termBuckets)).cast("string")
+
+  private def refreshViews(spark: SparkSession, dir: String): Unit = {
+    graft.views.MaterializedAgg.refresh(spark, s"$dir/postings",
+      s"$dir/dfv", "term", Seq("tf" -> col("tf")))
+    graft.views.MaterializedAgg.refresh(spark, s"$dir/doclen",
+      s"$dir/statsv", "g", Seq("dl" -> col("dl"))): Unit
+  }
+
+  /** Add a batch of NEW documents to the maintained index (creates the
+    * index on first call). One graft commit per table + churn-bounded
+    * view refreshes. */
+  def incIngest(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: Column, textCol: Column, termBuckets: Int = 16,
+      numBuckets: Int = 8, ts: Option[String] = None): Unit = {
+    val (post, dl) = batchPostings(docs, idCol, textCol)
+    def write(df: DataFrame, path: String): Unit = {
+      val w = df.write.format("graft")
+        .option("key", "k").option("partition", "p")
+        .option("buckets", numBuckets.toString)
+        .mode(org.apache.spark.sql.SaveMode.Append)
+      ts.fold(w)(x => w.option("ts", x)).save(path)
+    }
+    write(post.withColumn("k", postKey)
+      .withColumn("p", postPart(termBuckets)), s"$dir/postings")
+    write(dl.withColumn("g", lit(StatsGroup))
+      .withColumn("k", col("doc_id").cast("string"))
+      .withColumn("p", lit(StatsGroup)), s"$dir/doclen")
+    refreshViews(spark, dir)
+  }
+
+  /** Remove documents (the rows as ingested — postings keys are recomputed
+    * from the text). One delete commit per table + view refreshes. */
+  def incRemove(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: Column, textCol: Column, termBuckets: Int = 16,
+      ts: Option[String] = None): Unit = {
+    val (post, dl) = batchPostings(docs, idCol, textCol)
+    def del(df: DataFrame, path: String): Unit = {
+      val w = df.write.format("graft")
+        .option("key", "k").option("partition", "p")
+        .option("operation", "delete")
+        .mode(org.apache.spark.sql.SaveMode.Append)
+      ts.fold(w)(x => w.option("ts", x)).save(path)
+    }
+    del(post.withColumn("k", postKey)
+      .withColumn("p", postPart(termBuckets)), s"$dir/postings")
+    del(dl.withColumn("g", lit(StatsGroup))
+      .withColumn("k", col("doc_id").cast("string"))
+      .withColumn("p", lit(StatsGroup)), s"$dir/doclen")
+    refreshViews(spark, dir)
+  }
+
+  /** Top-k over the maintained index — identical scoring to [[exactTopK]],
+    * df/stats resolved from the maintained views. */
+  def incExactTopK(spark: SparkSession, dir: String, terms: Seq[String],
+      k: Int, termBuckets: Int = 16): DataFrame = {
+    val statsRow = graft.views.MaterializedAgg.read(spark, s"$dir/statsv")
+      .select(col("n_rows"), col("sum_dl")).head()
+    val (n, sdl) = (statsRow.getLong(0), statsRow.getLong(1))
+    val buckets = terms.map(termBucket(_, termBuckets)).distinct
+      .map(_.toString)
+    val posts = graft.read.SnapshotReader.read(spark, s"$dir/postings")
+      .where(col(graft.format.MetaCols.PartitionPath)
+        .isin(buckets: _*)) // partition-pruned listing
+      .where(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    // df for the query terms: a record-key IN read of the view — tiny
+    val dfv = graft.views.MaterializedAgg.read(spark, s"$dir/dfv")
+      .where(col(graft.format.MetaCols.RecordKey).isin(terms: _*))
+      .select(col("term"), col("n_rows").as("df"))
+    scoreExact(posts.join(broadcast(dfv), "term"), n, sdl)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tscore")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
   }
 }

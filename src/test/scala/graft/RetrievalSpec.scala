@@ -78,6 +78,54 @@ class RetrievalSpec extends SparkSpec {
     assert(batch == single)
   }
 
+  test("maintained index: ingest batches converge to the batch index; " +
+    "remove updates df/stats exactly; postings read is partition-pruned") {
+    val dir = freshDir("text_inc_idx")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(120)
+    val id = col("doc_id"); val tx = col("text")
+    val terms = Seq("spark", "join", "window")
+
+    // two ingest batches == one batch build over the union
+    TextRetrieval.incIngest(spark, dir, docs.filter(id % 2 === 0), id, tx)
+    TextRetrieval.incIngest(spark, dir, docs.filter(id % 2 === 1), id, tx)
+    val batchDir = freshDir("text_inc_idx_batch")
+    TextRetrieval.buildIndex(spark, docs, id, tx, batchDir)
+    val inc = TextRetrieval.incExactTopK(spark, dir, terms, k = 15)
+      .as[(Long, Long)].collect().toSeq
+    val full = TextRetrieval.exactTopK(spark, batchDir, terms, k = 15)
+      .as[(Long, Long)].collect().toSeq
+    assert(inc == full)
+
+    // remove a slice: maintained answer == batch rebuild over survivors
+    TextRetrieval.incRemove(spark, dir, docs.filter(id % 5 === 2), id, tx)
+    val batchDir2 = freshDir("text_inc_idx_batch2")
+    TextRetrieval.buildIndex(spark, docs.filter(id % 5 =!= 2), id, tx,
+      batchDir2)
+    val inc2 = TextRetrieval.incExactTopK(spark, dir, terms, k = 15)
+      .as[(Long, Long)].collect().toSeq
+    val full2 = TextRetrieval.exactTopK(spark, batchDir2, terms, k = 15)
+      .as[(Long, Long)].collect().toSeq
+    assert(inc2 == full2)
+
+    // the graft postings scan lists only the query terms' partitions
+    val q = TextRetrieval.incExactTopK(spark, dir, terms, k = 15)
+    val buckets = terms.map(TextRetrieval.termBucket(_, 16)).toSet
+    val scans = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("/postings")) => s
+    }
+    assert(scans.size == 1)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "partition-path predicate did not reach the graft scan")
+    val pruned = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(pruned.nonEmpty && pruned.forall(f =>
+      buckets.exists(b => f.contains(s"/$b/"))),
+      s"pruned listing escaped the query buckets: $pruned")
+  }
+
   test("maxDfPermille drops stop-word posting lists at build time") {
     val docs = Seq(
       (1L, "the quick fox"), (2L, "the lazy dog"), (3L, "the end"),

@@ -247,8 +247,53 @@ object SoakCheck {
       s"catalog stream drained $streamedRows rows, expected " +
         s"${TableRows - TableRows / 20}")
 
+    // ---- path 6: bitmap distinct rollup at 20× (r10 tail) --------------
+    // two-level exact distinct over 3M rows: per-(part, v2) bitmap
+    // partials (8k groups), then per-part union — the raw keys cross the
+    // shuffle ONCE into small partials; the rollup moves only bitmaps.
+    // Every part holds exactly TableRows/8 distinct ids by construction.
+    val bmAgg = measure(spark, "bitmap_rollup")(() =>
+      data.groupBy(col("part"), col("v2"))
+        .agg(functions.Bitmap64.bitmapBuild(col("id")).as("bm"))
+        .groupBy(col("part"))
+        .agg(functions.Bitmap64.bitmapCardinality(
+          functions.Bitmap64.bitmapMerge(col("bm"))).as("n")))(df => {
+      val rows = df.collect()
+      rows.foreach(r => require(r.getLong(1) == TableRows / 8,
+        s"bitmap rollup ${r.getString(0)}: ${r.getLong(1)} distinct, " +
+          s"expected ${TableRows / 8}"))
+      rows.length.toLong
+    })
+    require(bmAgg.rowsOut == 8, s"bitmap_rollup rows ${bmAgg.rowsOut}")
+
+    // ---- path 7: BM25 index build + pruned search at 20× (r10 tail) ----
+    // inverted index over the 100k synthetic docs (~4M postings), then a
+    // 3-term search: the search must stay partition-pruned — its biggest
+    // task reads a few term buckets' postings, not the corpus.
+    val bmIdx = s"$root/text_index"
+    val docsAll = spark.range(0, DocRows, 1, 32)
+      .select(col("id"), synthText(col("id")).as("text"))
+    val idxBuild = measure(spark, "bm25_build")(() => {
+      pipeline.TextRetrieval.buildIndex(spark, docsAll, col("id"),
+        col("text"), bmIdx, termBuckets = 16)
+      spark.read.parquet(s"$bmIdx/stats")
+    })(_.count())
+    // query terms: the first tokens of one real doc (metadata-sized
+    // read), LOWERCASED — synthText's base-36 words are uppercase but the
+    // index tokenizer lowercases
+    val qTerms = docsAll.limit(1).select(col("text")).head()
+      .getString(0).toLowerCase.split(" ").take(3).toSeq
+    val search = measure(spark, "bm25_search")(() =>
+      pipeline.TextRetrieval.exactTopK(spark, bmIdx, qTerms, k = 20))(
+      _.count())
+    require(search.rowsOut == 20, s"bm25_search rows ${search.rowsOut}")
+    require(search.maxTaskInputMB < 64,
+      s"bm25_search task read ${search.maxTaskInputMB} MB — " +
+        "partition pruning failed at 20×")
+
     // ---- gates ---------------------------------------------------------
-    val all = Seq(dv, mor, morPart, dd, metaAgg, stream)
+    val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
+      search)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -257,7 +302,8 @@ object SoakCheck {
     // ingest_dedup and catalog_stream are excluded: their "plan" thunks
     // RUN the workload (eager multi-commit / stream drain), so plan_ms is
     // wall time, not planning.
-    all.filterNot(r => Set("ingest_dedup", "catalog_stream")(r.name))
+    all.filterNot(r => Set("ingest_dedup", "catalog_stream",
+        "bm25_build")(r.name))
       .foreach(r =>
         require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))
 

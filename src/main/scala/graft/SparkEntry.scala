@@ -637,6 +637,15 @@ object SparkEntry {
       TextRetrieval.exactTopK(s, dir,
         Seq("spark", "join", "window"), k = 20)
     }),
+    // q_hybrid_topk: reciprocal-rank fusion of the lexical BM25 pool and
+    // the vector cosine pool — ranks are integers on both engines, so the
+    // scaled-integer RRF score is oracle-exact (pipeline/TextRetrieval).
+    "q_hybrid_topk" -> ((s, d) => {
+      val dir = Fixtures.textIndexDir(s, d)
+      TextRetrieval.hybridRrfTopK(s, dir,
+        Seq("spark", "join", "window"), tp(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), queryVecId = 0L, k = 10)
+    }),
     // q_bm25_incremental: the MAINTAINED index — postings as a graft
     // table (df-free), df/corpus stats as MaterializedAgg views refreshed
     // at churn cost per ingest/remove commit; converges to exactly the
@@ -1685,6 +1694,38 @@ object SparkEntry {
         "WHERE p.term IN ('spark', 'join', 'window')) " +
         "SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score FROM sc " +
         "GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"),
+    // RRF fusion: the lexical CTE is q_bm25_topk's integer scoring ranked
+    // to pool 50; the vector CTE ranks cosine against vec_id 0 (the
+    // q_sim_topk parity); fused score = Σ 1000000 // (60 + rank)
+    "q_hybrid_topk" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+        "post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+        "dfr AS (SELECT term, count(*) AS df FROM post GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl), " +
+        "sc AS (SELECT p.doc_id, " +
+        "(((1000000 * ((SELECT n FROM st) + 1)) // (f.df + 1)) * " +
+        "((p.tf * 2200000 * 1000000) // (p.tf * 1000000 + " +
+        "(1200000 * (1000000 - 750000 + (750000 * d.dl * 1000000) // " +
+        "((1000000 * (SELECT sdl FROM st)) // (SELECT n FROM st)))) // 1000000))" +
+        ") // 1000000 AS tscore " +
+        "FROM post p JOIN dl d USING (doc_id) JOIN dfr f USING (term) " +
+        "WHERE p.term IN ('spark', 'join', 'window')), " +
+        "lexs AS (SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score " +
+        "FROM sc GROUP BY doc_id), " +
+        "lex AS (SELECT doc_id, lex_rank FROM (SELECT doc_id, " +
+        "row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank " +
+        "FROM lexs) WHERE lex_rank <= 50), " +
+        "vec AS (SELECT doc_id, vec_rank FROM (SELECT vec_id AS doc_id, " +
+        "row_number() OVER (ORDER BY list_cosine_similarity(" +
+        "CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) " +
+        "FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC) AS vec_rank " +
+        "FROM embeddings) WHERE vec_rank <= 50) " +
+        "SELECT doc_id, lex_rank, vec_rank, " +
+        "CAST(coalesce(1000000 // (60 + lex_rank), 0) + " +
+        "coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_s " +
+        "FROM lex FULL OUTER JOIN vec USING (doc_id) " +
+        "ORDER BY rrf_s DESC, doc_id ASC LIMIT 10"),
     // the maintained index reflects the live docs only (%7 = 0 removed):
     // same literal scoring as q_bm25_topk over the filtered corpus
     "q_bm25_incremental" ->

@@ -136,15 +136,21 @@ object TextRetrieval {
     * point. Input needs columns `tf, dl, df`; appends `tscore`. */
   private def scoreExact(posts: DataFrame, n: Long, sdl: Long): DataFrame = {
     val avgdlS = Scale * sdl / math.max(n, 1L) // scaled avg doc len
+    // Every literal is suffixed `L`: the idf numerator `S·(N+1)` exceeds
+    // Int.MaxValue from N ≈ 2148 docs on, and Spark folds UNsuffixed
+    // int-literal products in 32 bits — under ANSI that's a plan-time
+    // ARITHMETIC_OVERFLOW (caught by the 100k-doc soak; invisible at the
+    // 500-doc oracle SF). DuckDB needs no suffix: its int32 × BIGINT
+    // promotes, and the count-typed columns anchor every product.
     posts
       .withColumn("idf_s",
-        expr(s"(${Scale} * (${n} + 1)) div (df + 1)"))
+        expr(s"(${Scale}L * (${n}L + 1L)) div (df + 1L)"))
       .withColumn("norm_s",
-        expr(s"${Scale} - ${BS} + (${BS} * dl * ${Scale}) div ${avgdlS}"))
+        expr(s"${Scale}L - ${BS}L + (${BS}L * dl * ${Scale}L) div ${avgdlS}L"))
       .withColumn("tfq_s",
-        expr(s"(tf * ${K1S + Scale} * ${Scale}) div " +
-          s"(tf * ${Scale} + (${K1S} * norm_s) div ${Scale})"))
-      .withColumn("tscore", expr(s"(idf_s * tfq_s) div ${Scale}"))
+        expr(s"(tf * ${K1S + Scale}L * ${Scale}L) div " +
+          s"(tf * ${Scale}L + (${K1S}L * norm_s) div ${Scale}L)"))
+      .withColumn("tscore", expr(s"(idf_s * tfq_s) div ${Scale}L"))
   }
 
   /** Oracle-exact scorer: scaled-integer BM25 shape with rational idf.
@@ -184,6 +190,44 @@ object TextRetrieval {
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k).drop("rnk")
       .orderBy(col("qid"), col("score").desc, col("doc_id").asc)
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    * the lexical [[exactTopK]] pool and a vector top-k pool over an
+    * embedding table — the standard two-channel retrieval shape for
+    * training-data curation (lexical recall + semantic recall, fused
+    * without score calibration because RRF consumes only RANKS).
+    *
+    * `rrf = Σ_channels S div (rrfK + rank)` in scaled-integer arithmetic —
+    * ranks are integers on both engines (the lexical ranks order by the
+    * bit-exact integer BM25 score; the vector ranks inherit the
+    * `q_sim_topk`-established cosine rank parity), so the fused score is
+    * oracle-exact. A doc absent from a channel contributes 0 from it.
+    *
+    * The per-channel rank windows run over POOL-K rows (≤ `poolK`) by
+    * construction — the single-partition window is k-sized, never
+    * corpus-sized. At scale the vector pool swaps brute force for the
+    * IVF/PQ serving paths unchanged (any (doc_id, rank) frame fuses). */
+  def hybridRrfTopK(spark: SparkSession, dir: String, terms: Seq[String],
+      emb: DataFrame, embId: Column, embVec: Column, queryVecId: Long,
+      k: Int, poolK: Int = 50, rrfK: Int = 60,
+      termBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = exactTopK(spark, dir, terms, poolK, termBuckets)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val vec = Similarity.bruteForceTopK(emb, embId, embVec,
+        emb.filter(embId === queryVecId), embId, embVec, poolK)
+      .select(col("corpus_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_s",
+        coalesce(expr(s"${Scale}L div (${rrfK}L + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"${Scale}L div (${rrfK}L + vec_rank)"), lit(0L)))
+      .orderBy(col("rrf_s").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf_s"))
   }
 
   // ---- incrementally maintained index ------------------------------------

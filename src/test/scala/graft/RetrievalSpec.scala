@@ -126,6 +126,63 @@ class RetrievalSpec extends SparkSpec {
       s"pruned listing escaped the query buckets: $pruned")
   }
 
+  test("maintenance composes: cluster_sort of the postings table by term " +
+    "leaves maintained-index answers and views untouched") {
+    val dir = freshDir("text_inc_sorted")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(90)
+    val id = col("doc_id"); val tx = col("text")
+    val terms = Seq("spark", "join")
+    TextRetrieval.incIngest(spark, dir, docs.filter(id % 2 === 0), id, tx)
+    TextRetrieval.incIngest(spark, dir, docs.filter(id % 2 === 1), id, tx)
+    val before = TextRetrieval.incExactTopK(spark, dir, terms, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val dfvTl = graft.format.Timeline(
+      spark.sessionState.newHadoopConf(), s"$dir/dfv")
+    val viewCommits = dfvTl.completedInstants().size
+    // layout-only CLUSTER commit: postings re-sorted by term within each
+    // slice — identity preserved, CDC emits nothing
+    graft.write.TableMaintenance.sortLayout(spark, s"$dir/postings",
+      "20270101000000", Seq("term"))
+    // another ingest after the layout rewrite keeps converging
+    val after = TextRetrieval.incExactTopK(spark, dir, terms, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(after == before)
+    // the df view saw no churn from the layout commit: a refresh is a
+    // no-op (CDC emits nothing for CLUSTER commits)
+    graft.views.MaterializedAgg.refresh(spark, s"$dir/postings",
+      s"$dir/dfv", "term", Seq("tf" -> col("tf")))
+    dfvTl.refresh()
+    assert(dfvTl.completedInstants().size == viewCommits,
+      "layout-only commit must not mint a view commit")
+  }
+
+  test("hybrid RRF equals an in-memory fusion of the two pools") {
+    import graft.pipeline.{Similarity, TextRetrieval => TR}
+    val terms = Seq("spark", "join", "window")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val poolK = 30
+    val got = TR.hybridRrfTopK(spark, idx, terms, emb, col("vec_id"),
+        col("embedding"), queryVecId = 0L, k = 100, poolK = poolK)
+      .select($"doc_id", $"rrf_s").as[(Long, Long)].collect().toSeq
+
+    val lex = TR.exactTopK(spark, idx, terms, poolK)
+      .select($"doc_id").as[Long].collect().toSeq.zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    val vec = Similarity.bruteForceTopK(emb, col("vec_id"),
+        col("embedding"), emb.filter($"vec_id" === 0L), col("vec_id"),
+        col("embedding"), poolK)
+      .select($"corpus_id", $"rank").as[(Long, Int)].collect().toSeq
+      .map { case (d, r) => d -> r.toLong }.toMap
+    val want = (lex.keySet ++ vec.keySet).toSeq
+      .map { d =>
+        val s = lex.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+          vec.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L)
+        (d, s)
+      }
+      .sortBy { case (d, s) => (-s, d) }.take(100)
+    assert(got == want)
+  }
+
   test("maxDfPermille drops stop-word posting lists at build time") {
     val docs = Seq(
       (1L, "the quick fox"), (2L, "the lazy dog"), (3L, "the end"),

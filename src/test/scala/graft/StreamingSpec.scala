@@ -2,7 +2,7 @@ package graft
 
 import graft.streaming.TableTail
 import graft.write.CowWriter
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, countDistinct, window}
 
 /** Micro-batch tail over the versioned table's commit timeline. */
 class TableTailSpec extends SparkSpec {
@@ -85,6 +85,46 @@ class TableTailSpec extends SparkSpec {
       assert(math.abs(s.getDouble(3) - b.getDouble(3)) <=
         1e-9 * math.max(math.abs(b.getDouble(3)), 1.0))
     }
+  }
+
+  test("streaming EXACT distinct via bitmap agg: windowed distinct users " +
+    "== batch COUNT(DISTINCT) per window") {
+    import graft.functions.Bitmap64
+    import org.apache.spark.sql.streaming.Trigger
+    // TypedImperativeAggregate buffers serialize into streaming state, so
+    // the mergeable bitmap gives streaming the exact distinct COUNT
+    // Spark's streaming aggregation cannot express natively (no
+    // countDistinct in streaming; approx_count_distinct is approximate).
+    val dir = freshDir("stream_distinct_cow")
+    val events = spark.read.parquet(s"$sf0001/events.parquet").limit(2000)
+    val w = new CowWriter(spark, dir, numBuckets = 2)
+    val k = col("event_id")
+    w.insert(events.filter(k % 2 === 0), k, col("event_type"), Fixtures.C1)
+    w.upsert(events.filter(k % 2 === 1), k, col("event_type"), Fixtures.C2)
+
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"),
+          window(col("ts"), "1 hour").getField("start").as("hour_start"))
+        .agg(Bitmap64.bitmapCardinality(
+          Bitmap64.bitmapBuild(col("user_id"))).as("n_users"))
+
+    val q = agg(spark.readStream.format("graft").load(dir)
+        .select("event_id", "ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("stream_distinct")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_distinct")
+      .orderBy("event_type", "hour_start")
+      .collect().map(r => (r.getString(0), String.valueOf(r.get(1)), r.getLong(2)))
+
+    val batch = graft.read.SnapshotReader.read(spark, dir)
+      .groupBy(col("event_type"),
+        window(col("ts"), "1 hour").getField("start").as("hour_start"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "hour_start")
+      .collect().map(r => (r.getString(0), String.valueOf(r.get(1)), r.getLong(2)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
   test("graft stream source: maxCommitsPerBatch bounds each micro-batch") {

@@ -126,6 +126,12 @@ object GraftExtensions {
     "bitmap_union" ->
       ((cs: Seq[Expression]) =>
         graft.functions.BitmapUnion(cs.head, cs(1))),
+    "bitmap_and" ->
+      ((cs: Seq[Expression]) =>
+        graft.functions.BitmapAnd(cs.head, cs(1))),
+    "bitmap_andnot" ->
+      ((cs: Seq[Expression]) =>
+        graft.functions.BitmapAndNot(cs.head, cs(1))),
     "bitmap_cardinality" ->
       ((cs: Seq[Expression]) => graft.functions.BitmapCardinality(cs.head)),
     "bitmap_contains" ->

@@ -668,6 +668,23 @@ object SparkEntry {
         .agg(Bitmap64.bitmapCardinality(
           Bitmap64.bitmapMerge(col("bm"))).as("n_orders"))
         .orderBy(col("l_returnflag"))),
+    // q_bitmap_setops: the exact set algebra over stored bitmaps —
+    // intersection / difference / union of two cohorts' key sets without
+    // touching raw keys again (the retention-cohort shape at 100 TB).
+    "q_bitmap_setops" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .agg(
+          Bitmap64.bitmapBuild(
+            when(col("l_returnflag") === "A", col("l_orderkey"))).as("bma"),
+          Bitmap64.bitmapBuild(
+            when(col("l_returnflag") === "R", col("l_orderkey"))).as("bmr"))
+        .select(
+          Bitmap64.bitmapCardinality(
+            Bitmap64.bitmapAnd(col("bma"), col("bmr"))).as("n_both"),
+          Bitmap64.bitmapCardinality(
+            Bitmap64.bitmapAndNot(col("bma"), col("bmr"))).as("n_only_a"),
+          Bitmap64.bitmapCardinality(
+            Bitmap64.bitmapUnion(col("bma"), col("bmr"))).as("n_any"))),
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(tp(s, d, "documents"), col("text"), col("doc_id"))
         .select(col("doc_id")).orderBy(col("doc_id"))),
@@ -1750,6 +1767,16 @@ object SparkEntry {
     "q_bitmap_rollup" ->
       ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_bitmap_setops" ->
+      ("SELECT " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM (" +
+        "SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A' " +
+        "INTERSECT SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')) AS n_both, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM (" +
+        "SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A' " +
+        "EXCEPT SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')) AS n_only_a, " +
+        "(SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem " +
+        "WHERE l_returnflag IN ('A', 'R')) AS n_any"),
     "q_dedup_exact" ->
       ("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (" +
         "PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) AS rn " +

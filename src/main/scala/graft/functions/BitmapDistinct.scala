@@ -145,6 +145,87 @@ object Bitmap64 {
       x
   }
 
+  /** Intersection (fresh bitmap; inputs untouched). With [[merge]] and
+    * [[andNot]] this closes the set algebra over stored partials — the
+    * exact form of "users active in BOTH periods" / retention cohorts. */
+  def intersect(a: Bitmap, b: Bitmap): Bitmap = {
+    val out = empty()
+    val it = a.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val other = b.get(e.getKey)
+      if (other != null) {
+        val c = intersectContainers(e.getValue, other)
+        if (containerCount(c) > 0) out.put(e.getKey, c)
+      }
+    }
+    out
+  }
+
+  private def intersectContainers(a: AnyRef, b: AnyRef): AnyRef = (a, b) match {
+    case (x: Array[Char], y: Array[Char]) =>
+      val out = new Array[Char](math.min(x.length, y.length))
+      var i = 0; var j = 0; var n = 0
+      while (i < x.length && j < y.length) {
+        val u = x(i); val v = y(j)
+        if (u == v) { out(n) = u; n += 1; i += 1; j += 1 }
+        else if (u < v) i += 1
+        else j += 1
+      }
+      java.util.Arrays.copyOf(out, n)
+    case (arr: Array[Char], words: Array[Long]) =>
+      arr.filter(s => (words(s >>> 6) & (1L << (s & 63))) != 0L)
+    case (words: Array[Long], arr: Array[Char]) =>
+      intersectContainers(arr, words)
+    case (x: Array[Long], y: Array[Long]) =>
+      val out = new Array[Long](BitmapWords)
+      var i = 0
+      while (i < BitmapWords) { out(i) = x(i) & y(i); i += 1 }
+      out
+  }
+
+  /** Difference a \ b (fresh bitmap; inputs untouched). */
+  def andNot(a: Bitmap, b: Bitmap): Bitmap = {
+    val out = empty()
+    val it = a.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val other = b.get(e.getKey)
+      val c =
+        if (other == null) copyContainer(e.getValue)
+        else andNotContainers(e.getValue, other)
+      if (containerCount(c) > 0) out.put(e.getKey, c)
+    }
+    out
+  }
+
+  private def andNotContainers(a: AnyRef, b: AnyRef): AnyRef = (a, b) match {
+    case (x: Array[Char], y: Array[Char]) =>
+      val out = new Array[Char](x.length)
+      var i = 0; var j = 0; var n = 0
+      while (i < x.length) {
+        val u = x(i)
+        while (j < y.length && y(j) < u) j += 1
+        if (j >= y.length || y(j) != u) { out(n) = u; n += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(out, n)
+    case (arr: Array[Char], words: Array[Long]) =>
+      arr.filter(s => (words(s >>> 6) & (1L << (s & 63))) == 0L)
+    case (words: Array[Long], arr: Array[Char]) =>
+      val out = words.clone()
+      var i = 0
+      while (i < arr.length) {
+        val s = arr(i); out(s >>> 6) &= ~(1L << (s & 63)); i += 1
+      }
+      out
+    case (x: Array[Long], y: Array[Long]) =>
+      val out = new Array[Long](BitmapWords)
+      var i = 0
+      while (i < BitmapWords) { out(i) = x(i) & ~y(i); i += 1 }
+      out
+  }
+
   def cardinality(bm: Bitmap): Long = {
     var n = 0L
     val it = bm.values().iterator()
@@ -313,6 +394,22 @@ object Bitmap64 {
   /** Called from generated code: union two wire-format bitmaps. */
   def unionBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     serialize(merge(deserialize(a), deserialize(b)))
+
+  /** Scalar: canonical intersection of two bitmap binaries. */
+  def bitmapAnd(a: Column, b: Column): Column =
+    Bridge.column(BitmapAnd(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Scalar: canonical difference (a \ b) of two bitmap binaries. */
+  def bitmapAndNot(a: Column, b: Column): Column =
+    Bridge.column(BitmapAndNot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Called from generated code: intersect two wire-format bitmaps. */
+  def andBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    serialize(intersect(deserialize(a), deserialize(b)))
+
+  /** Called from generated code: a \ b over wire-format bitmaps. */
+  def andNotBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    serialize(andNot(deserialize(a), deserialize(b)))
 }
 
 /** `bitmap_build(x)`: aggregate a BIGINT column into canonical bitmap
@@ -433,6 +530,62 @@ case class BitmapUnion(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): BitmapUnion =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `bitmap_and(a, b)`: canonical intersection of two bitmap binaries. */
+case class BitmapAnd(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bitmap_and"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (BINARY, BINARY), got ${l.sql} / ${r.sql}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Bitmap64.andBytes(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Bitmap64.andBytes($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BitmapAnd =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `bitmap_andnot(a, b)`: canonical difference a \ b of bitmap binaries. */
+case class BitmapAndNot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bitmap_andnot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (BINARY, BINARY), got ${l.sql} / ${r.sql}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Bitmap64.andNotBytes(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Bitmap64.andNotBytes($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BitmapAndNot =
     copy(left = newLeft, right = newRight)
 }
 

@@ -87,6 +87,36 @@ class BitmapSpec extends SparkSpec {
     assert(got == Seq((1L, true, true), (2L, true, false)))
   }
 
+  test("set algebra: and / andnot / union agree with Scala sets across " +
+    "container forms, results canonical") {
+    // straddle the array/bitset crossover on a shared high part plus
+    // scattered containers, so every container-pair case is exercised
+    val a = ((0 until 5000).map(i => (7L << 16) | (i * 3 % 65536).toLong) ++
+      (0 until 100).map(i => (9L << 16) | i.toLong) ++ Seq(-1L, 42L)).distinct
+    val b = ((0 until 5000).map(i => (7L << 16) | (i * 5 % 65536).toLong) ++
+      (0 until 50).map(i => (9L << 16) | (i * 2).toLong) ++ Seq(-1L, 43L))
+      .distinct
+    val bmA = Bitmap64.empty(); val bmB = Bitmap64.empty()
+    a.foreach(Bitmap64.add(bmA, _)); b.foreach(Bitmap64.add(bmB, _))
+    val sa = a.toSet; val sb = b.toSet
+    def viaSet(s: Set[Long]): Array[Byte] = {
+      val bm = Bitmap64.empty(); s.toSeq.sorted.foreach(Bitmap64.add(bm, _))
+      Bitmap64.serialize(bm)
+    }
+    assert(java.util.Arrays.equals(
+      Bitmap64.andBytes(Bitmap64.serialize(bmA), Bitmap64.serialize(bmB)),
+      viaSet(sa & sb)))
+    assert(java.util.Arrays.equals(
+      Bitmap64.andNotBytes(Bitmap64.serialize(bmA), Bitmap64.serialize(bmB)),
+      viaSet(sa -- sb)))
+    assert(java.util.Arrays.equals(
+      Bitmap64.unionBytes(Bitmap64.serialize(bmA), Bitmap64.serialize(bmB)),
+      viaSet(sa | sb)))
+    // empty results stay canonical (zero containers, never empty ones)
+    assert(Bitmap64.cardinalityBytes(
+      Bitmap64.andBytes(viaSet(Set(1L)), viaSet(Set(2L)))) == 0L)
+  }
+
   test("codegen and interpreted cardinality agree") {
     val df = spark.range(0, 10000, 1, 4)
       .select((col("id") % 977).as("v"))

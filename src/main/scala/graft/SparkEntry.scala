@@ -646,6 +646,15 @@ object SparkEntry {
         Seq("spark", "join", "window"), tp(s, d, "embeddings"),
         col("vec_id"), col("embedding"), queryVecId = 0L, k = 10)
     }),
+    // q_bm25_batch: many queries at once — the query set broadcasts into
+    // the union-of-terms pruned scan; per-query rank windows are k-sized.
+    "q_bm25_batch" -> ((s, d) => {
+      val dir = Fixtures.textIndexDir(s, d)
+      import s.implicits._
+      val qs = Seq((1L, "spark"), (1L, "join"), (2L, "window"),
+        (2L, "scan")).toDF("qid", "term")
+      TextRetrieval.exactTopKBatch(s, dir, qs, k = 8)
+    }),
     // q_bm25_incremental: the MAINTAINED index — postings as a graft
     // table (df-free), df/corpus stats as MaterializedAgg views refreshed
     // at churn cost per ingest/remove commit; converges to exactly the
@@ -1743,6 +1752,26 @@ object SparkEntry {
         "coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_s " +
         "FROM lex FULL OUTER JOIN vec USING (doc_id) " +
         "ORDER BY rrf_s DESC, doc_id ASC LIMIT 10"),
+    "q_bm25_batch" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+        "post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+        "dfr AS (SELECT term, count(*) AS df FROM post GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl), " +
+        "q(qid, term) AS (VALUES (1, 'spark'), (1, 'join'), (2, 'window'), (2, 'scan')), " +
+        "sc AS (SELECT CAST(q.qid AS BIGINT) AS qid, p.doc_id, " +
+        "(((1000000 * ((SELECT n FROM st) + 1)) // (f.df + 1)) * " +
+        "((p.tf * 2200000 * 1000000) // (p.tf * 1000000 + " +
+        "(1200000 * (1000000 - 750000 + (750000 * d.dl * 1000000) // " +
+        "((1000000 * (SELECT sdl FROM st)) // (SELECT n FROM st)))) // 1000000))" +
+        ") // 1000000 AS tscore " +
+        "FROM post p JOIN dl d USING (doc_id) JOIN dfr f USING (term) " +
+        "JOIN q ON p.term = q.term), " +
+        "agg AS (SELECT qid, doc_id, CAST(sum(tscore) AS BIGINT) AS score " +
+        "FROM sc GROUP BY qid, doc_id) " +
+        "SELECT qid, doc_id, score FROM (SELECT qid, doc_id, score, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rnk " +
+        "FROM agg) WHERE rnk <= 8 ORDER BY qid, score DESC, doc_id ASC"),
     // the maintained index reflects the live docs only (%7 = 0 removed):
     // same literal scoring as q_bm25_topk over the filtered corpus
     "q_bm25_incremental" ->

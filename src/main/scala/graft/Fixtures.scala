@@ -791,7 +791,14 @@ object Fixtures {
     val dir = s"${root(sfDir)}/text_index"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats/_SUCCESS"))) {
+    def complete: Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats/_SUCCESS")) &&
+        // r10 tail: the positional index (phrase search) — a cache from
+        // the pre-positions schema must rebuild
+        (try spark.read.parquet(s"$dir/postings").schema
+          .fieldNames.contains("positions")
+        catch { case _: Throwable => false })
+    if (!complete) {
       rm(spark, dir)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       graft.pipeline.TextRetrieval.buildIndex(spark, docs,
@@ -809,7 +816,12 @@ object Fixtures {
       val dir = s"${root(sfDir)}/text_index_inc"
       def instants(d: String) = Timeline(
         spark.sessionState.newHadoopConf(), d).completedInstants().size
-      if (instants(s"$dir/statsv") != 4 || instants(s"$dir/dfv") != 4) {
+      def positional: Boolean =
+        try graft.read.SnapshotReader.read(spark, s"$dir/postings")
+          .schema.fieldNames.contains("positions")
+        catch { case _: Throwable => false }
+      if (instants(s"$dir/statsv") != 4 || instants(s"$dir/dfv") != 4 ||
+        !positional) {
         rm(spark, dir)
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val id = col("doc_id"); val tx = col("text")

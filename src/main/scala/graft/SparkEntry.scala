@@ -646,6 +646,14 @@ object SparkEntry {
         Seq("spark", "join", "window"), tp(s, d, "embeddings"),
         col("vec_id"), col("embedding"), queryVecId = 0L, k = 10)
     }),
+    // q_phrase_topk: exact phrase search over the positional index — the
+    // Lucene PhraseQuery shape as codegen'd array folds over the pruned
+    // postings (matched_i = (matched_{i-1} + 1) ∩ positions_i, no
+    // explode); occurrence counts are integers, oracle-exact.
+    "q_phrase_topk" -> ((s, d) => {
+      val dir = Fixtures.textIndexDir(s, d)
+      TextRetrieval.phraseTopK(s, dir, Seq("table", "hash"), k = 20)
+    }),
     // q_bm25_batch: many queries at once — the query set broadcasts into
     // the union-of-terms pruned scan; per-query rank windows are k-sized.
     "q_bm25_batch" -> ((s, d) => {
@@ -1752,6 +1760,15 @@ object SparkEntry {
         "coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_s " +
         "FROM lex FULL OUTER JOIN vec USING (doc_id) " +
         "ORDER BY rrf_s DESC, doc_id ASC LIMIT 10"),
+    // positional oracle: DuckDB zips parallel unnests, so (term, pos)
+    // pairs come from one pass; adjacency is the pos+1 self-join
+    "q_phrase_topk" ->
+      ("WITH s AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(ts) AS term, unnest(range(1, len(ts) + 1)) AS pos FROM s) " +
+        "SELECT p1.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_occur " +
+        "FROM tok p1 JOIN tok p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1 " +
+        "WHERE p1.term = 'table' AND p2.term = 'hash' " +
+        "GROUP BY p1.doc_id ORDER BY n_occur DESC, p1.doc_id ASC LIMIT 20"),
     "q_bm25_batch" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), " +
         "post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2), " +

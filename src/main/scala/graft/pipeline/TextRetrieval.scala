@@ -53,14 +53,17 @@ object TextRetrieval {
     * ([[TextAnalysis.tokens]]): whitespace split of trim(lower(text)). */
   private def toks(text: Column): Column = TextAnalysis.tokens(text)
 
-  /** One row per (term, doc) with everything scoring needs:
-    * `(term, doc_id, tf, dl, df)`. */
+  /** One row per (term, doc) with everything scoring AND phrase matching
+    * need: `(term, doc_id, tf, dl, df, positions)` — `positions` is the
+    * sorted 1-based token offsets of the term in the doc (the positional
+    * index Lucene calls proximity data; `tf = size(positions)`). */
   def postings(docs: DataFrame, idCol: Column, textCol: Column,
       maxDfPermille: Int = 1000): DataFrame = {
     val tok = docs.select(idCol.cast("long").as("doc_id"),
-      explode(toks(textCol)).as("term"))
+      posexplode(toks(textCol)).as(Seq("pos0", "term")))
     val post = tok.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos0") + 1)).as("positions"))
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(idCol).distinct().count()
@@ -68,7 +71,8 @@ object TextRetrieval {
       if (maxDfPermille >= 1000) dfreq
       else dfreq.where(col("df") * 1000L <= lit(n * maxDfPermille.toLong))
     post.join(dl, "doc_id").join(capped, "term")
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        col("positions"))
   }
 
   /** Build the serving index under `dir`: `dir/postings` partitioned by
@@ -192,6 +196,58 @@ object TextRetrieval {
       .orderBy(col("qid"), col("score").desc, col("doc_id").asc)
   }
 
+  /** Exact PHRASE search over the positional index: docs containing the
+    * consecutive token sequence `phrase`, with occurrence counts.
+    *
+    * The classic positional-postings fold (Lucene's PhraseQuery shape):
+    * read ONLY the phrase terms' postings (partition-pruned like any
+    * search), join them per doc, then narrow the match set term by term —
+    * `matched_i = (matched_{i-1} + 1) ∩ positions_i`, all inside
+    * codegen'd array expressions (`transform`/`array_intersect`), no
+    * explode. Matched sets only shrink, so per-row cost is bounded by the
+    * FIRST term's tf; pick the rarest term first for the tightest bound
+    * (the caller controls phrase order semantics, so this implementation
+    * keeps the given order — position arithmetic needs it anyway).
+    * Returns `(doc_id, n_occur)`, n_occur desc / doc_id asc, top-k. */
+  def phraseTopK(spark: SparkSession, dir: String, phrase: Seq[String],
+      k: Int, termBuckets: Int = 16): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    phraseFold(queryPostings(spark, dir, phrase.distinct, termBuckets),
+      phrase, k)
+  }
+
+  /** Phrase search over the MAINTAINED index (same fold; postings read
+    * partition-pruned through the graft snapshot). */
+  def incPhraseTopK(spark: SparkSession, dir: String, phrase: Seq[String],
+      k: Int, termBuckets: Int = 16): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val buckets = phrase.distinct.map(termBucket(_, termBuckets)).distinct
+      .map(_.toString)
+    val posts = graft.read.SnapshotReader.read(spark, s"$dir/postings")
+      .where(col(graft.format.MetaCols.PartitionPath).isin(buckets: _*))
+      .where(col("term").isin(phrase.distinct: _*))
+    phraseFold(posts, phrase, k)
+  }
+
+  private def phraseFold(posts: DataFrame, phrase: Seq[String],
+      k: Int): DataFrame = {
+    def termPositions(t: String, i: Int): DataFrame =
+      posts.where(col("term") === t)
+        .select(col("doc_id"),
+          transform(col("positions"), x => x.cast("long")).as(s"__p$i"))
+    val first = termPositions(phrase.head, 0)
+    val joined = phrase.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (t, i)) => acc.join(termPositions(t, i + 1), "doc_id")
+    }
+    val matched = (1 until phrase.size).foldLeft(col("__p0")) { (prev, i) =>
+      array_intersect(transform(prev, x => x + 1L), col(s"__p$i"))
+    }
+    joined.select(col("doc_id"), size(matched).cast("long").as("n_occur"))
+      .where(col("n_occur") > 0)
+      .orderBy(col("n_occur").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
     * the lexical [[exactTopK]] pool and a vector top-k pool over an
     * embedding table — the standard two-channel retrieval shape for
@@ -266,12 +322,14 @@ object TextRetrieval {
   private def batchPostings(docs: DataFrame, idCol: Column,
       textCol: Column): (DataFrame, DataFrame) = {
     val tok = docs.select(idCol.cast("long").as("doc_id"),
-      explode(toks(textCol)).as("term"))
+      posexplode(toks(textCol)).as(Seq("pos0", "term")))
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val post = tok.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos0") + 1)).as("positions"))
       .join(dl, "doc_id")
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"))
     (post, dl)
   }
 

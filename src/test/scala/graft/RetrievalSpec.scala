@@ -183,6 +183,35 @@ class RetrievalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("phrase search equals an in-memory scan of the raw text, " +
+    "including 3-term and repeated-term phrases; inc index agrees") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    def refCounts(phrase: Seq[String]): Map[Long, Long] =
+      texts.flatMap { case (id, t) =>
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq
+        val n = toks.sliding(phrase.size).count(_ == phrase)
+        if (n > 0) Some(id -> n.toLong) else None
+      }
+    def topK(m: Map[Long, Long], k: Int): Seq[(Long, Long)] =
+      m.toSeq.sortBy { case (d, n) => (-n, d) }.take(k)
+
+    for (phrase <- Seq(Seq("table", "hash"), Seq("the", "fast", "key"),
+        Seq("batch", "batch"))) {
+      val got = TextRetrieval.phraseTopK(spark, idx, phrase, k = 500)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == topK(refCounts(phrase), 500), s"phrase $phrase")
+    }
+
+    // the maintained index answers phrases identically
+    val dir = freshDir("text_inc_phrase")
+    TextRetrieval.incIngest(spark, dir, docs, $"doc_id", $"text")
+    val incGot = TextRetrieval.incPhraseTopK(spark, dir,
+      Seq("table", "hash"), k = 500).as[(Long, Long)].collect().toSeq
+    assert(incGot == topK(refCounts(Seq("table", "hash")), 500))
+  }
+
   test("maxDfPermille drops stop-word posting lists at build time") {
     val docs = Seq(
       (1L, "the quick fox"), (2L, "the lazy dog"), (3L, "the end"),

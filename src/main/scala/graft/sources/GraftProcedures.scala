@@ -293,6 +293,73 @@ private[sources] object GraftProcedures {
         Seq(row(ts, Long.box(n), s"$path/.delete/$ts"))
       },
 
+      proc("text_index_build",
+        "build the BM25 positional inverted index over a table's text " +
+          "column under <table>/.text_index (a dot-dir: invisible to " +
+          "data listing and never swept) - the index the text_search / " +
+          "phrase_search procedures serve from",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("term_buckets", IntegerType,
+            "postings partition count (query prunes to its terms' buckets)",
+            default = Some("16")),
+          in("max_df_permille", IntegerType,
+            "drop terms present in more than this fraction of docs " +
+              "(stop-word skew cap); 1000 keeps all",
+            default = Some("1000"))),
+        out("n_docs" -> LongType, "total_tokens" -> LongType,
+          "index_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val idxDir = s"$path/.text_index"
+        val docs = graft.read.SnapshotReader.read(spark, path)
+        graft.pipeline.TextRetrieval.buildIndex(spark, docs,
+          org.apache.spark.sql.functions.col(str(r, 1)),
+          org.apache.spark.sql.functions.col(str(r, 2)),
+          idxDir, termBuckets = r.getInt(3), maxDfPermille = r.getInt(4))
+        val st = spark.read.parquet(s"$idxDir/stats").head()
+        Seq(row(Long.box(st.getLong(0)), Long.box(st.getLong(1)), idxDir))
+      },
+
+      proc("text_search",
+        "top-k BM25 documents for space-separated query terms from the " +
+          "table's .text_index (exact scaled-integer scorer; result is " +
+          "k-bounded, the search itself runs distributed and " +
+          "partition-pruned)",
+        Seq(tableParam,
+          in("terms", StringType, "space-separated query terms"),
+          in("k", IntegerType, "results to return", default = Some("10")),
+          in("term_buckets", IntegerType,
+            "termBuckets the index was built with", default = Some("16"))),
+        out("doc_id" -> LongType, "score" -> LongType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val terms = str(r, 1).trim.toLowerCase.split("\\s+").toSeq
+          .filter(_.nonEmpty)
+        graft.pipeline.TextRetrieval.exactTopK(spark, s"$path/.text_index",
+            terms, r.getInt(2), r.getInt(3))
+          .collect().toSeq // k-bounded by construction
+          .map(x => row(Long.box(x.getLong(0)), Long.box(x.getLong(1))))
+      },
+
+      proc("phrase_search",
+        "documents containing the consecutive token sequence, with exact " +
+          "occurrence counts, from the table's .text_index positional " +
+          "postings (k-bounded result)",
+        Seq(tableParam,
+          in("phrase", StringType, "space-separated phrase tokens"),
+          in("k", IntegerType, "results to return", default = Some("10")),
+          in("term_buckets", IntegerType,
+            "termBuckets the index was built with", default = Some("16"))),
+        out("doc_id" -> LongType, "n_occur" -> LongType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val phrase = str(r, 1).trim.toLowerCase.split("\\s+").toSeq
+          .filter(_.nonEmpty)
+        graft.pipeline.TextRetrieval.phraseTopK(spark, s"$path/.text_index",
+            phrase, r.getInt(2), r.getInt(3))
+          .collect().toSeq // k-bounded by construction
+          .map(x => row(Long.box(x.getLong(0)), Long.box(x.getLong(1))))
+      },
+
       proc("show_timeline",
         "the active timeline: one row per completed instant, oldest " +
           "first, with its savepoint pin state",

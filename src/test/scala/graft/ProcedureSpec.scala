@@ -169,6 +169,42 @@ class ProcedureSpec extends SparkSpec {
     assert(Set("clean", "compact", "rollback", "restore", "savepoint",
       "release_savepoint", "archive", "cluster_sort", "cluster_zorder",
       "rebucket", "drop_partitions", "sweep_orphans", "delete_view",
-      "show_timeline").subsetOf(names))
+      "show_timeline", "text_index_build", "text_search",
+      "phrase_search").subsetOf(names))
+  }
+
+  test("text_index_build / text_search / phrase_search: SQL-only BM25 " +
+    "retrieval over a catalog table, equal to the library path") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.docs")
+    spark.sql(s"""CREATE TABLE $cat.ns.docs (doc_id BIGINT, text STRING,
+      pt STRING) PARTITIONED BY (pt)
+      TBLPROPERTIES (key 'doc_id', buckets '2')""")
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(150)
+      .select($"doc_id", $"text")
+      .createOrReplaceTempView("proc_docs_src")
+    spark.sql(s"INSERT INTO $cat.ns.docs " +
+      "SELECT doc_id, text, 'all' FROM proc_docs_src")
+
+    val built = spark.sql(s"CALL $cat.system.text_index_build(" +
+      "table => 'ns.docs', id_col => 'doc_id', text_col => 'text')")
+      .as[(Long, Long, String)].head()
+    assert(built._1 == 150L, s"n_docs ${built._1}")
+    assert(built._3.endsWith("/.text_index"))
+
+    val got = spark.sql(s"CALL $cat.system.text_search(" +
+      "table => 'ns.docs', terms => 'spark join', k => 7)")
+      .as[(Long, Long)].collect().toSeq
+    val want = graft.pipeline.TextRetrieval.exactTopK(spark, built._3,
+      Seq("spark", "join"), k = 7).as[(Long, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+
+    val gotP = spark.sql(s"CALL $cat.system.phrase_search(" +
+      "table => 'ns.docs', phrase => 'table hash', k => 7)")
+      .as[(Long, Long)].collect().toSeq
+    val wantP = graft.pipeline.TextRetrieval.phraseTopK(spark, built._3,
+      Seq("table", "hash"), k = 7).as[(Long, Long)].collect().toSeq
+    assert(gotP == wantP)
   }
 }

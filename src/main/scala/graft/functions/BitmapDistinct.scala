@@ -237,16 +237,20 @@ object Bitmap64 {
     * high part) `int64 high, int32 count`, followed by `count` uint16
     * slots when count ≤ 4096 else 1024 int64 words. */
   def serialize(bm: Bitmap): Array[Byte] = {
-    var size = 4
+    var size = 4L // Long: a sparse 64-bit key set can exceed Int bytes
     val sit = bm.values().iterator()
     val counts = new Array[Int](bm.size())
     var ci = 0
     while (sit.hasNext) {
       val n = containerCount(sit.next())
       counts(ci) = n; ci += 1
-      size += 8 + 4 + (if (n <= ArrayMax) 2 * n else 8 * BitmapWords)
+      size += 8 + 4 + (if (n <= ArrayMax) 2L * n else 8L * BitmapWords)
     }
-    val bb = ByteBuffer.allocate(size)
+    require(size <= Int.MaxValue - 8,
+      s"bitmap serialization is $size bytes — beyond a single binary " +
+        "cell; split the aggregation (e.g. group by a key prefix and " +
+        "roll partials up with bitmap_merge)")
+    val bb = ByteBuffer.allocate(size.toInt)
     bb.putInt(bm.size())
     val it = bm.entrySet().iterator()
     ci = 0

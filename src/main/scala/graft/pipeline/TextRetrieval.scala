@@ -38,9 +38,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (`q_bm25_topk`; the r10 `q_v2_sum` lesson applied from day one:
   *    never put fp folds under a hash-exactness gate).
   *
-  * Scale note: the rational idf `(S·(N+1)) div (df+1)` overflows long at
-  * N ≈ 9·10^12 docs with S = 10^6 — document-count, not byte, scale; the
-  * production fp scorer has no such bound.
+  * Scale note: the exact scorer's `idf_s · tfq_s` product crosses Long at
+  * N ≈ 8.4·10^6 docs, so [[exactTopK]] REFUSES beyond [[MaxExactDocs]]
+  * with a clear error instead of wrapping — the fp [[bm25TopK]] is the
+  * production scorer at corpus scale and has no such bound.
   */
 object TextRetrieval {
 
@@ -53,43 +54,71 @@ object TextRetrieval {
     * ([[TextAnalysis.tokens]]): whitespace split of trim(lower(text)). */
   private def toks(text: Column): Column = TextAnalysis.tokens(text)
 
+  /** The shared tokenize→aggregate base: df-FREE positional postings
+    * `(term, doc_id, tf, dl, positions)` and the per-doc length frame —
+    * ONE tokenize pass feeds both (postings, stats, and the incremental
+    * tables all derive from here, so the tokenization can never
+    * diverge between index forms). */
+  private def postingsBase(docs: DataFrame, idCol: Column,
+      textCol: Column): (DataFrame, DataFrame) = {
+    val tok = docs.select(idCol.cast("long").as("doc_id"),
+      posexplode(toks(textCol)).as(Seq("pos0", "term")))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val post = tok.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos0") + 1)).as("positions"))
+      .join(dl, "doc_id")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("positions"))
+    (post, dl)
+  }
+
   /** One row per (term, doc) with everything scoring AND phrase matching
     * need: `(term, doc_id, tf, dl, df, positions)` — `positions` is the
     * sorted 1-based token offsets of the term in the doc (the positional
     * index Lucene calls proximity data; `tf = size(positions)`). */
   def postings(docs: DataFrame, idCol: Column, textCol: Column,
       maxDfPermille: Int = 1000): DataFrame = {
-    val tok = docs.select(idCol.cast("long").as("doc_id"),
-      posexplode(toks(textCol)).as(Seq("pos0", "term")))
-    val post = tok.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("pos0") + 1)).as("positions"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val (post, _) = postingsBase(docs, idCol, textCol)
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.select(idCol).distinct().count()
     val capped =
       if (maxDfPermille >= 1000) dfreq
-      else dfreq.where(col("df") * 1000L <= lit(n * maxDfPermille.toLong))
-    post.join(dl, "doc_id").join(capped, "term")
+      else { // corpus size only needed when a cap is actually set
+        val n = docs.select(idCol).distinct().count()
+        dfreq.where(col("df") * 1000L <= lit(n * maxDfPermille.toLong))
+      }
+    post.join(capped, "term")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
         col("positions"))
   }
 
   /** Build the serving index under `dir`: `dir/postings` partitioned by
-    * term bucket, `dir/stats` a one-row corpus sidecar `(n, sdl)`. */
+    * term bucket, `dir/stats` a one-row corpus sidecar
+    * `(n, sdl, max_df_permille)` — the cap is RECORDED so phrase search
+    * can refuse an index whose postings were thinned. */
   def buildIndex(spark: SparkSession, docs: DataFrame, idCol: Column,
       textCol: Column, dir: String, termBuckets: Int = 16,
       maxDfPermille: Int = 1000): Unit = {
-    val post = postings(docs, idCol, textCol, maxDfPermille)
+    val (base, dl) = postingsBase(docs, idCol, textCol)
+    val dfreq = base.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val capped =
+      if (maxDfPermille >= 1000) dfreq
+      else {
+        val n = docs.select(idCol).distinct().count()
+        dfreq.where(col("df") * 1000L <= lit(n * maxDfPermille.toLong))
+      }
+    base.join(capped, "term")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        col("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(termBuckets)))
-    post.repartition(termBuckets, col("tb"))
+      .repartition(termBuckets, col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/postings")
-    // Corpus stats over ALL docs (independent of any df cap): N and Σdl.
-    val tok = docs.select(idCol.cast("long").as("doc_id"),
-      explode(toks(textCol)).as("term"))
-    tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    // Corpus stats over ALL docs (independent of any df cap): N and Σdl
+    // off the SAME per-doc length frame — no second tokenize pass.
+    dl.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sdl"),
+        lit(maxDfPermille).as("max_df_permille"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -108,11 +137,19 @@ object TextRetrieval {
       .where(col("term").isin(terms: _*))
   }
 
-  private case class CorpusStats(n: Long, sdl: Long)
+  private case class CorpusStats(n: Long, sdl: Long, maxDfPermille: Int)
 
   private def stats(spark: SparkSession, dir: String): CorpusStats = {
-    val r = spark.read.parquet(s"$dir/stats").head()
-    CorpusStats(r.getLong(0), r.getLong(1))
+    val df = spark.read.parquet(s"$dir/stats")
+    val r = df.head()
+    // sdl is NULL on a pre-r10 sidecar of an empty corpus; the cap column
+    // is absent on pre-cap-recording sidecars (treated as uncapped)
+    val sdl = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val cap =
+      if (df.schema.fieldNames.contains("max_df_permille"))
+        r.getInt(df.schema.fieldIndex("max_df_permille"))
+      else 1000
+    CorpusStats(r.getLong(0), sdl, cap)
   }
 
   /** Production scorer: BM25 with log idf in doubles, top-k docs for one
@@ -136,10 +173,23 @@ object TextRetrieval {
       .limit(k)
   }
 
+  /** Largest corpus the EXACT scorer serves: `idf_s · tfq_s` is bounded
+    * by `S·(N+1)/2 · (k1+1)·S`, which crosses Long.MaxValue at
+    * N ≈ 8.38·10^6 docs. Beyond that the exact path REFUSES (clear error,
+    * not a wrapped/ANSI-failed score) — the fp [[bm25TopK]] is the
+    * production scorer at corpus scale; the exact path exists for the
+    * cross-engine hash gate and any corpus that fits the bound. */
+  val MaxExactDocs: Long = 8L * 1000 * 1000
+
   /** The scaled-integer per-posting score, shared by every exact entry
     * point. Input needs columns `tf, dl, df`; appends `tscore`. */
   private def scoreExact(posts: DataFrame, n: Long, sdl: Long): DataFrame = {
-    val avgdlS = Scale * sdl / math.max(n, 1L) // scaled avg doc len
+    require(n <= MaxExactDocs,
+      s"exact scorer caps at $MaxExactDocs docs (idf*tf product would " +
+        s"exceed Long at n=$n); use bm25TopK for large corpora")
+    val avgdlS = math.max(Scale * sdl / math.max(n, 1L), 1L) // scaled avg dl
+      // (clamped to 1 only for an empty corpus, where no posting rows
+      // exist to evaluate the division anyway)
     // Every literal is suffixed `L`: the idf numerator `S·(N+1)` exceeds
     // Int.MaxValue from N ≈ 2148 docs on, and Spark folds UNsuffixed
     // int-literal products in 32 bits — under ANSI that's a plan-time
@@ -212,6 +262,13 @@ object TextRetrieval {
   def phraseTopK(spark: SparkSession, dir: String, phrase: Seq[String],
       k: Int, termBuckets: Int = 16): DataFrame = {
     require(phrase.nonEmpty, "phrase needs at least one term")
+    // A df-capped index THINNED its postings: a dropped stop-word would
+    // make phrase matches silently vanish (fine for BM25 — near-zero idf
+    // — but a wrong ANSWER for phrase semantics). Refuse loudly.
+    require(stats(spark, dir).maxDfPermille >= 1000,
+      "phrase search needs an uncapped index: this one was built with " +
+        "maxDfPermille < 1000, so frequent terms' postings were dropped " +
+        "and phrase matches containing them would silently disappear")
     phraseFold(queryPostings(spark, dir, phrase.distinct, termBuckets),
       phrase, k)
   }
@@ -319,19 +376,12 @@ object TextRetrieval {
   private val Sep = "\u0001"
   private val StatsGroup = "all"
 
+  // Incremental batches derive from the SAME tokenize→aggregate base as
+  // the batch index ([[postingsBase]]) — one definition of the postings
+  // shape, so the two index forms can never diverge.
   private def batchPostings(docs: DataFrame, idCol: Column,
-      textCol: Column): (DataFrame, DataFrame) = {
-    val tok = docs.select(idCol.cast("long").as("doc_id"),
-      posexplode(toks(textCol)).as(Seq("pos0", "term")))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val post = tok.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("pos0") + 1)).as("positions"))
-      .join(dl, "doc_id")
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        col("positions"))
-    (post, dl)
-  }
+      textCol: Column): (DataFrame, DataFrame) =
+    postingsBase(docs, idCol, textCol)
 
   private def postKey: Column = concat(col("term"), lit(Sep), col("doc_id"))
   private def postPart(termBuckets: Int): Column =

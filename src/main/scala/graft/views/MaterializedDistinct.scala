@@ -112,7 +112,7 @@ object MaterializedDistinct {
     val affected = recompGroups.limit(maxPushdownGroups + 1).collect()
       .map(_.get(0))
     val src = SnapshotReader.read(spark, srcPath)
-    val freshUps =
+    val freshUps0 =
       if (affected.isEmpty) null
       else if (affected.length <= maxPushdownGroups)
         aggregate(src.filter(col(groupCol)
@@ -120,6 +120,18 @@ object MaterializedDistinct {
       else aggregate(src.join(broadcast(
           recompGroups.select(col("__g").as(groupCol))), Seq(groupCol),
           "left_semi"), groupCol, v)
+
+    // Drop recomputed rows identical to the stored ones (canonical bitmap
+    // bytes make this an exact comparison): a value-preserving update —
+    // dn 0, every retraction re-inserted — would otherwise mint a view
+    // commit full of unchanged rows on every refresh.
+    val freshUps = Option(freshUps0).map(_.join(
+        viewRows.select(col("__g").as(groupCol), col("__on"), col("__obm")),
+        Seq(groupCol), "left_outer")
+      .filter(!(col("n_rows") <=> col("__on")) ||
+        !(col("bm") <=> col("__obm")))
+      .select(col(groupCol), col("n_rows"), col("n_distinct"), col("bm")))
+      .orNull
 
     val ups = Option(freshUps).fold(fastUps)(fastUps.unionByName(_))
     val dels = merged.filter(col("__nn") <= 0)

@@ -212,6 +212,35 @@ class RetrievalSpec extends SparkSpec {
     assert(incGot == topK(refCounts(Seq("table", "hash")), 500))
   }
 
+  test("guards: phrase search refuses a df-capped index; the exact " +
+    "scorer refuses a corpus beyond its Long-exact bound") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(40)
+    val id = col("doc_id"); val tx = col("text")
+    // capped build: postings of frequent terms were DROPPED — phrase
+    // matches through them would silently vanish, so the API refuses
+    val capped = freshDir("text_guard_capped")
+    TextRetrieval.buildIndex(spark, docs, id, tx, capped,
+      maxDfPermille = 500)
+    val e1 = intercept[IllegalArgumentException](
+      TextRetrieval.phraseTopK(spark, capped, Seq("the", "fast"), k = 5))
+    assert(e1.getMessage.contains("uncapped"))
+    // BM25 over the same capped index stays legal
+    assert(TextRetrieval.exactTopK(spark, capped, Seq("spark"), k = 5)
+      .count() >= 0)
+
+    // doctored sidecar claiming 9M docs: idf*tf would overflow Long, the
+    // exact scorer must refuse with a pointer at the fp scorer
+    val big = freshDir("text_guard_big")
+    TextRetrieval.buildIndex(spark, docs, id, tx, big)
+    val st = spark.read.parquet(s"$big/stats").head()
+    Seq((9000000L, st.getLong(1), 1000))
+      .toDF("n", "sdl", "max_df_permille")
+      .coalesce(1).write.mode("overwrite").parquet(s"$big/stats")
+    val e2 = intercept[IllegalArgumentException](
+      TextRetrieval.exactTopK(spark, big, Seq("spark"), k = 5).count())
+    assert(e2.getMessage.contains("bm25TopK"))
+  }
+
   test("maxDfPermille drops stop-word posting lists at build time") {
     val docs = Seq(
       (1L, "the quick fox"), (2L, "the lazy dog"), (3L, "the end"),

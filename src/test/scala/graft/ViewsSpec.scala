@@ -398,6 +398,17 @@ class ViewsSpec extends SparkSpec {
     refresh()
     tl.refresh()
     assert(tl.completedInstants().size == before)
+    // value-preserving churn: an upsert touching only a column the view
+    // does not track recomputes the affected groups to IDENTICAL rows —
+    // the canonical-bytes diff drops them all and no commit is minted
+    w.upsert(orders.filter(k % 2 =!= 0 && k % 9 === 1)
+        .withColumn("o_totalprice", $"o_totalprice" + 1),
+      k, col("o_orderstatus"), "20260103120000")
+    refresh()
+    tl.refresh()
+    assert(tl.completedInstants().size == before,
+      "a view-invisible source change must not mint a view commit")
+    assertInSync()
     // structural commit → recompute fallback, canonical-bytes diff
     val replacement = orders.filter(k % 3 === 0)
     w.overwriteTable(replacement, k, col("o_orderstatus"), "20260104000000")

@@ -397,43 +397,62 @@ object TextRetrieval {
   /** Add a batch of NEW documents to the maintained index (creates the
     * index on first call). One graft commit per table + churn-bounded
     * view refreshes. */
+  /** The two incremental-table frames of a batch, key/partition columns
+    * attached — shared by ingest, remove, and the transactional spec. */
+  private[graft] def incFrames(docs: DataFrame, idCol: Column,
+      textCol: Column, termBuckets: Int): (DataFrame, DataFrame) = {
+    val (post, dl) = batchPostings(docs, idCol, textCol)
+    (post.withColumn("k", postKey).withColumn("p", postPart(termBuckets)),
+      dl.withColumn("g", lit(StatsGroup))
+        .withColumn("k", col("doc_id").cast("string"))
+        .withColumn("p", lit(StatsGroup)))
+  }
+
   def incIngest(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: Column, textCol: Column, termBuckets: Int = 16,
       numBuckets: Int = 8, ts: Option[String] = None): Unit = {
-    val (post, dl) = batchPostings(docs, idCol, textCol)
-    def write(df: DataFrame, path: String): Unit = {
-      val w = df.write.format("graft")
-        .option("key", "k").option("partition", "p")
-        .option("buckets", numBuckets.toString)
-        .mode(org.apache.spark.sql.SaveMode.Append)
-      ts.fold(w)(x => w.option("ts", x)).save(path)
+    val (postFrame, dlFrame) = incFrames(docs, idCol, textCol, termBuckets)
+    val tl = graft.format.Timeline(
+      spark.sessionState.newHadoopConf(), s"$dir/postings")
+    if (tl.completedInstants().isEmpty) {
+      // bootstrap: CREATE both tables (recording the key/partition/bucket
+      // contract the transactional path resolves on every later batch)
+      def create(df: DataFrame, path: String): Unit = {
+        val w = df.write.format("graft")
+          .option("key", "k").option("partition", "p")
+          .option("buckets", numBuckets.toString)
+          .mode(org.apache.spark.sql.SaveMode.Append)
+        ts.fold(w)(x => w.option("ts", x)).save(path)
+      }
+      create(postFrame, s"$dir/postings")
+      create(dlFrame, s"$dir/doclen")
+    } else {
+      // every later batch lands as ONE multi-table transaction: a crash
+      // between the postings and doclen commits can never leave the
+      // index's dl/N bookkeeping out of step with its postings (the
+      // journal rolls the pair forward or back together). The txn mints
+      // its own reserved timestamps; `ts` applies to the bootstrap only.
+      graft.write.MultiTableTxn.commit(spark, Seq(
+        graft.write.MultiTableTxn.TableWrite(s"$dir/postings",
+          updates = Some(postFrame)),
+        graft.write.MultiTableTxn.TableWrite(s"$dir/doclen",
+          updates = Some(dlFrame)))): Unit
     }
-    write(post.withColumn("k", postKey)
-      .withColumn("p", postPart(termBuckets)), s"$dir/postings")
-    write(dl.withColumn("g", lit(StatsGroup))
-      .withColumn("k", col("doc_id").cast("string"))
-      .withColumn("p", lit(StatsGroup)), s"$dir/doclen")
     refreshViews(spark, dir)
   }
 
   /** Remove documents (the rows as ingested — postings keys are recomputed
-    * from the text). One delete commit per table + view refreshes. */
+    * from the text). One TRANSACTIONAL delete across both tables + view
+    * refreshes. */
   def incRemove(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: Column, textCol: Column, termBuckets: Int = 16,
       ts: Option[String] = None): Unit = {
-    val (post, dl) = batchPostings(docs, idCol, textCol)
-    def del(df: DataFrame, path: String): Unit = {
-      val w = df.write.format("graft")
-        .option("key", "k").option("partition", "p")
-        .option("operation", "delete")
-        .mode(org.apache.spark.sql.SaveMode.Append)
-      ts.fold(w)(x => w.option("ts", x)).save(path)
-    }
-    del(post.withColumn("k", postKey)
-      .withColumn("p", postPart(termBuckets)), s"$dir/postings")
-    del(dl.withColumn("g", lit(StatsGroup))
-      .withColumn("k", col("doc_id").cast("string"))
-      .withColumn("p", lit(StatsGroup)), s"$dir/doclen")
+    val (postFrame, dlFrame) = incFrames(docs, idCol, textCol, termBuckets)
+    graft.write.MultiTableTxn.commit(spark, Seq(
+      graft.write.MultiTableTxn.TableWrite(s"$dir/postings",
+        deletes = Some(postFrame)),
+      graft.write.MultiTableTxn.TableWrite(s"$dir/doclen",
+        deletes = Some(dlFrame)))): Unit
     refreshViews(spark, dir)
   }
 

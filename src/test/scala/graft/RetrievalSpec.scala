@@ -212,6 +212,43 @@ class RetrievalSpec extends SparkSpec {
     assert(incGot == topK(refCounts(Seq("table", "hash")), 500))
   }
 
+  test("incremental ingest is transactional: a failure between the " +
+    "postings and doclen commits publishes to NEITHER table") {
+    import graft.write.MultiTableTxn
+    val dir = freshDir("text_inc_txn")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(60)
+    val id = col("doc_id"); val tx = col("text")
+    TextRetrieval.incIngest(spark, dir, docs.filter(id % 2 === 0), id, tx)
+    def counts: (Int, Int) = {
+      def n(p: String) = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), p).completedInstants().size
+      (n(s"$dir/postings"), n(s"$dir/doclen"))
+    }
+    assert(counts == ((1, 1)))
+
+    // the same frames the ingest stages, but the publish faults after
+    // staging: all-or-nothing means NO commit lands on EITHER table
+    val (postFrame, dlFrame) = TextRetrieval.incFrames(
+      docs.filter(id % 2 === 1), id, tx, termBuckets = 16)
+    intercept[RuntimeException](MultiTableTxn.commitHook(spark, Seq(
+        MultiTableTxn.TableWrite(s"$dir/postings",
+          updates = Some(postFrame)),
+        MultiTableTxn.TableWrite(s"$dir/doclen", updates = Some(dlFrame))),
+      beforePublish = () => throw new RuntimeException("crash")))
+    assert(counts == ((1, 1)), "a faulted ingest must publish nothing")
+
+    // a clean retry lands on BOTH tables and the index converges
+    TextRetrieval.incIngest(spark, dir, docs.filter(id % 2 === 1), id, tx)
+    assert(counts == ((2, 2)))
+    val batchDir = freshDir("text_inc_txn_batch")
+    TextRetrieval.buildIndex(spark, docs, id, tx, batchDir)
+    val inc = TextRetrieval.incExactTopK(spark, dir,
+      Seq("spark", "join"), k = 10).as[(Long, Long)].collect().toSeq
+    val full = TextRetrieval.exactTopK(spark, batchDir,
+      Seq("spark", "join"), k = 10).as[(Long, Long)].collect().toSeq
+    assert(inc == full)
+  }
+
   test("guards: phrase search refuses a df-capped index; the exact " +
     "scorer refuses a corpus beyond its Long-exact bound") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(40)

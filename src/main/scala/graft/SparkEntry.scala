@@ -654,6 +654,15 @@ object SparkEntry {
       val dir = Fixtures.textIndexDir(s, d)
       TextRetrieval.phraseTopK(s, dir, Seq("table", "hash"), k = 20)
     }),
+    // q_phrase_decontam: verbatim-benchmark leakage screening through the
+    // positional index — docs containing ANY of the benchmark phrases,
+    // zero false positives, reading only the phrases' posting buckets.
+    "q_phrase_decontam" -> ((s, d) => {
+      val dir = Fixtures.textIndexDir(s, d)
+      TextRetrieval.phraseMatchDocs(s, dir,
+          Seq(Seq("table", "hash"), Seq("part", "filter")))
+        .orderBy(col("doc_id"))
+    }),
     // q_bm25_batch: many queries at once — the query set broadcasts into
     // the union-of-terms pruned scan; per-query rank windows are k-sized.
     "q_bm25_batch" -> ((s, d) => {
@@ -1760,6 +1769,14 @@ object SparkEntry {
         "coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_s " +
         "FROM lex FULL OUTER JOIN vec USING (doc_id) " +
         "ORDER BY rrf_s DESC, doc_id ASC LIMIT 10"),
+    "q_phrase_decontam" ->
+      ("WITH s AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(ts) AS term, unnest(range(1, len(ts) + 1)) AS pos FROM s) " +
+        "SELECT DISTINCT p1.doc_id AS doc_id " +
+        "FROM tok p1 JOIN tok p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1 " +
+        "WHERE (p1.term = 'table' AND p2.term = 'hash') " +
+        "OR (p1.term = 'part' AND p2.term = 'filter') " +
+        "ORDER BY doc_id"),
     // positional oracle: DuckDB zips parallel unnests, so (term, pos)
     // pairs come from one pass; adjacency is the pos+1 self-join
     "q_phrase_topk" ->

@@ -286,8 +286,28 @@ object TextRetrieval {
     phraseFold(posts, phrase, k)
   }
 
-  private def phraseFold(posts: DataFrame, phrase: Seq[String],
-      k: Int): DataFrame = {
+  /** Decontamination by EXACT phrase: the doc ids containing ANY of the
+    * given benchmark phrases — the retrieval-index form of leakage
+    * screening (an n-gram-overlap screen catches fuzzy contamination,
+    * [[Curation]]; this one catches verbatim benchmark strings with zero
+    * false positives and reads only the phrases' posting buckets, not the
+    * corpus). Returns distinct `doc_id` rows. */
+  def phraseMatchDocs(spark: SparkSession, dir: String,
+      phrases: Seq[Seq[String]], termBuckets: Int = 16): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "need at least one non-empty phrase")
+    require(stats(spark, dir).maxDfPermille >= 1000,
+      "phrase matching needs an uncapped index")
+    phrases.map { p =>
+      phraseHits(queryPostings(spark, dir, p.distinct, termBuckets), p)
+        .select(col("doc_id"))
+    }.reduce(_.unionByName(_)).distinct()
+  }
+
+  /** All docs with ≥1 occurrence of `phrase`: `(doc_id, n_occur)`,
+    * unordered and unlimited (the fold shared by top-k and match-all). */
+  private def phraseHits(posts: DataFrame,
+      phrase: Seq[String]): DataFrame = {
     def termPositions(t: String, i: Int): DataFrame =
       posts.where(col("term") === t)
         .select(col("doc_id"),
@@ -301,9 +321,13 @@ object TextRetrieval {
     }
     joined.select(col("doc_id"), size(matched).cast("long").as("n_occur"))
       .where(col("n_occur") > 0)
+  }
+
+  private def phraseFold(posts: DataFrame, phrase: Seq[String],
+      k: Int): DataFrame =
+    phraseHits(posts, phrase)
       .orderBy(col("n_occur").desc, col("doc_id").asc)
       .limit(k)
-  }
 
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
     * the lexical [[exactTopK]] pool and a vector top-k pool over an

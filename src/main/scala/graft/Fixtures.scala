@@ -742,6 +742,39 @@ object Fixtures {
     (dataDir, cents)
   }
 
+  /** IVF index grown INCREMENTALLY: trained + bulk-loaded over vec_id
+    * %3 != 2, then two [[graft.pipeline.Similarity.ivfIngest]] batches
+    * (%3 == 2 split by %2) appended against the frozen centroids — the
+    * serving index ends holding EVERY embedding. */
+  def ivfIngestDir(spark: SparkSession, sfDir: String,
+      nlist: Int = 8): (String, Seq[(Int, Seq[Float])]) = synchronized {
+    val dir = s"${root(sfDir)}/embeddings_ivf_ingest"
+    val dataDir = s"$dir/data"
+    val centDir = s"$dir/centroids"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def done(d: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS"))
+    if (!done(centDir)) {
+      rm(spark, dir)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val id = col("vec_id"); val v = col("embedding")
+      val centroids = graft.pipeline.Similarity.ivfWrite(
+        emb.filter(id % 3 =!= 2), id, v, dataDir, nlist = nlist)
+      graft.pipeline.Similarity.ivfIngest(
+        emb.filter(id % 3 === 2 && id % 2 === 0), id, v, dataDir, centroids)
+      graft.pipeline.Similarity.ivfIngest(
+        emb.filter(id % 3 === 2 && id % 2 =!= 0), id, v, dataDir, centroids)
+      import spark.implicits._
+      centroids.toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(centDir)
+    }
+    val cents = spark.read.parquet(centDir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
+      .sortBy(_._1).toSeq
+    (dataDir, cents)
+  }
+
   /** IVF-PQ serving index over `embeddings` (cells + compressed codes +
     * stored norms; see [[graft.pipeline.Similarity.ivfPqWrite]]), with the
     * centroids AND per-subspace codebooks persisted beside the data — the

@@ -768,6 +768,18 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // q_ivf_ingest_topk: the IVF index GROWN incrementally (bulk load on
+    // 2/3 of the corpus, two ivfIngest batches against the frozen
+    // centroids) — nprobe=nlist must stay exactly brute force over the
+    // UNION, proving ingest places every vector and loses none.
+    "q_ivf_ingest_topk" -> ((s, d) => {
+      val (path, centroids) = Fixtures.ivfIngestDir(s, d)
+      Similarity.ivfTopKFromTable(s, path, centroids,
+          t(s, d, "embeddings").filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), k = 5, nprobe = centroids.size)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // q_ivfpq_topk (r8): the COMPOSED serving layout — IVF cells for
     // selection, PQ codes for compressed-domain ADC scoring, exact rerank
     // joined back by id. nprobe=nlist + rerank ≥ corpus ⇒ exact ≡ brute
@@ -1917,6 +1929,14 @@ object SparkEntry {
         "WHERE floor(len(list_intersect(a.shingles, b.shingles)) * 1000 / greatest(len(list_distinct(list_cat(a.shingles, b.shingles))), 1)) >= 200 " +
         "ORDER BY id_a, id_b"),
     "q_sim_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // incrementally-grown IVF at nprobe=nlist ⇒ brute force over the
+    // union of all batches — same oracle as q_sim_topk.
+    "q_ivf_ingest_topk" ->
       ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +

@@ -239,6 +239,27 @@ object Similarity {
     centroids
   }
 
+  /** INCREMENTAL ingest into an [[ivfWrite]] table: assign a batch of NEW
+    * vectors to the FROZEN centroids and append them to their cells'
+    * partitions — the standard IVF growth path (FAISS `add` semantics):
+    * no retrain, no rewrite of existing cells, the query path unchanged
+    * (listing picks up the appended files; a previously-EMPTY cell gains
+    * its directory on first arrival and probes start finding it).
+    *
+    * Exactness: with nprobe = nlist the index stays exactly brute force
+    * over the UNION of all ingested batches — assignment only places
+    * vectors, never loses them (oracle-gated `q_ivf_ingest_topk`). At
+    * realistic nprobe, recall drifts as the data distribution moves away
+    * from the frozen centroids; re-training cadence is an operational
+    * choice (rebuild via [[ivfWrite]]), exactly the FAISS trade. */
+  def ivfIngest(batch: DataFrame, id: Column, vec: Column, path: String,
+      centroids: Seq[(Int, Seq[Float])]): Unit =
+    assignToCentroid(
+        batch.select(id.cast("long").as("corpus_id"), vec.as("v")),
+        centroids)
+      .withColumnRenamed("v", "cv")
+      .write.mode("append").partitionBy("__cluster").parquet(path)
+
   /** Approximate top-k against an [[ivfWrite]] table: the probe cells of
     * the query batch are resolved DRIVER-side from the centroid list
     * (metadata-sized), so the scan carries a static `__cluster IN (...)`

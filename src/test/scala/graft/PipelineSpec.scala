@@ -328,6 +328,27 @@ class PipelineSpec extends SparkSpec {
       s"scan read more cells than the query batch probes: $cells")
   }
 
+  test("ivfIngest: incrementally grown index == brute force over the " +
+    "union at nprobe = nlist; preexisting cell files are untouched") {
+    val path = freshDir("ivf_ingest_table")
+    val first = embs.filter($"vec_id" < 300)
+    val centroids = Similarity.ivfWrite(first, $"vec_id", $"embedding",
+      path, nlist = 8)
+    val filesBefore = spark.read.parquet(path).inputFiles.toSet
+    Similarity.ivfIngest(embs.filter($"vec_id" >= 300 && $"vec_id" < 450),
+      $"vec_id", $"embedding", path, centroids)
+    Similarity.ivfIngest(embs.filter($"vec_id" >= 450),
+      $"vec_id", $"embedding", path, centroids)
+    // append-only growth: every bulk-load file survives verbatim
+    assert(filesBefore.subsetOf(spark.read.parquet(path).inputFiles.toSet))
+    val queries = embs.filter($"vec_id" < 5)
+    val grown = Similarity.ivfTopKFromTable(spark, path, centroids,
+      queries, $"vec_id", $"embedding", k = 4, nprobe = 8)
+    val brute = Similarity.bruteForceTopK(embs, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 4)
+    assert(grown.exceptAll(brute).isEmpty && brute.exceptAll(grown).isEmpty)
+  }
+
   test("native centroid kernel == declarative expression form (nlist 8 and 1024)") {
     // Independent reference formulation: the pre-r5 greatest/array_sort
     // expression plans. Equality at small AND production-shaped nlist pins

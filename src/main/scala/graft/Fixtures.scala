@@ -775,6 +775,54 @@ object Fixtures {
     (dataDir, cents)
   }
 
+  /** IVF-PQ index grown INCREMENTALLY: trained + bulk-loaded over vec_id
+    * %3 != 2 (centroids AND codebooks frozen from that 2/3), then two
+    * [[graft.pipeline.Similarity.ivfPqIngest]] batches append the rest
+    * PQ-encoded against the frozen model. */
+  def ivfPqIngestDir(spark: SparkSession, sfDir: String, nlist: Int = 8,
+      m: Int = 8, ksub: Int = 16)
+      : (String, Seq[(Int, Seq[Float])],
+         graft.pipeline.Similarity.PqCodebooks) = synchronized {
+    val dir = s"${root(sfDir)}/embeddings_ivfpq_ingest"
+    val dataDir = s"$dir/data"
+    val centDir = s"$dir/centroids"
+    val bookDir = s"$dir/codebooks"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def done(d: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS"))
+    if (!done(centDir) || !done(bookDir)) {
+      rm(spark, dir)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val id = col("vec_id"); val v = col("embedding")
+      val (centroids, books) = graft.pipeline.Similarity.ivfPqWrite(
+        emb.filter(id % 3 =!= 2), id, v, dataDir, dim = 64,
+        nlist = nlist, m = m, ksub = ksub)
+      graft.pipeline.Similarity.ivfPqIngest(
+        emb.filter(id % 3 === 2 && id % 2 === 0), id, v, dataDir,
+        centroids, books, dim = 64, m = m)
+      graft.pipeline.Similarity.ivfPqIngest(
+        emb.filter(id % 3 === 2 && id % 2 =!= 0), id, v, dataDir,
+        centroids, books, dim = 64, m = m)
+      import spark.implicits._
+      centroids.toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(centDir)
+      books.zipWithIndex.flatMap { case (cents, s) =>
+        cents.zipWithIndex.map { case (c, code) => (s, code, c) }
+      }.toDF("subspace", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(bookDir)
+    }
+    val cents = spark.read.parquet(centDir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
+      .sortBy(_._1).toSeq
+    val books = spark.read.parquet(bookDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Float](2).toList: Seq[Float]))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    (dataDir, cents, books)
+  }
+
   /** IVF-PQ serving index over `embeddings` (cells + compressed codes +
     * stored norms; see [[graft.pipeline.Similarity.ivfPqWrite]]), with the
     * centroids AND per-subspace codebooks persisted beside the data — the

@@ -784,6 +784,19 @@ object SparkEntry {
     // selection, PQ codes for compressed-domain ADC scoring, exact rerank
     // joined back by id. nprobe=nlist + rerank ≥ corpus ⇒ exact ≡ brute
     // force (hash-gated); realistic settings are recall-gated in RECALL_r8.
+    // q_ivfpq_ingest_topk: the COMPRESSED index grown incrementally —
+    // bulk load trains centroids AND codebooks on 2/3, two ivfPqIngest
+    // batches append the rest PQ-encoded against the frozen model;
+    // exhaustive + full-rerank must stay brute force over the union.
+    "q_ivfpq_ingest_topk" -> ((s, d) => {
+      val (path, cents, books) = Fixtures.ivfPqIngestDir(s, d)
+      Similarity.ivfPqTopKFromTable(s, path, cents, books,
+          t(s, d, "embeddings").filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), k = 5, dim = 64,
+          nprobe = cents.size, rerank = 1 << 30)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_ivfpq_topk" -> ((s, d) => {
       val (path, cents, books) = Fixtures.ivfPqDir(s, d)
       Similarity.ivfPqTopKFromTable(s, path, cents, books,
@@ -1937,6 +1950,14 @@ object SparkEntry {
     // incrementally-grown IVF at nprobe=nlist ⇒ brute force over the
     // union of all batches — same oracle as q_sim_topk.
     "q_ivf_ingest_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // grown compressed index, exhaustive + full rerank ⇒ brute force over
+    // the union — same oracle as q_sim_topk.
+    "q_ivfpq_ingest_topk" ->
       ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +

@@ -771,6 +771,16 @@ object Similarity {
       else col("cv"))
     val books = pqTrain(encIn, col("corpus_id"), col("enc"), dim, m, ksub,
       iters, seed, trainFraction)
+    pqEncodeFrame(encIn, books, dim, m)
+      .write.mode("overwrite").partitionBy("__cluster").parquet(path)
+    (centroids, books)
+  }
+
+  /** Encode an assigned-and-residualized frame against FIXED codebooks:
+    * `(corpus_id, codes, vnorm, cv, __cluster)` — the stored row shape of
+    * the compressed index (shared by the bulk write and [[ivfPqIngest]]). */
+  private def pqEncodeFrame(encIn: DataFrame, books: PqCodebooks,
+      dim: Int, m: Int): DataFrame = {
     val dsub = dim / m
     encIn
       .withColumn("codes", array((0 until m).map(s =>
@@ -778,8 +788,34 @@ object Similarity {
           1)): _*))
       .withColumn("vnorm", norm(col("cv"))) // TRUE norm, not the residual's
       .select("corpus_id", "codes", "vnorm", "cv", "__cluster")
-      .write.mode("overwrite").partitionBy("__cluster").parquet(path)
-    (centroids, books)
+  }
+
+  /** INCREMENTAL ingest into an [[ivfPqWrite]] index: the new batch is
+    * assigned and PQ-ENCODED against the FROZEN centroids and codebooks,
+    * then appended to its cells' partitions — the compressed-index twin
+    * of [[ivfIngest]] (FAISS `IndexIVFPQ.add`). `residual` must match the
+    * build. Exactness: with nprobe = nlist and rerank ≥ corpus the grown
+    * index is exactly brute force over the union (ADC only generates
+    * candidates; the rerank reads the stored full vectors) — oracle-gated
+    * `q_ivfpq_ingest_topk`. At realistic settings, codebooks trained
+    * before the batch arrived quantize it slightly worse until the next
+    * re-train — the same drift trade as the coarse centroids. */
+  def ivfPqIngest(batch: DataFrame, id: Column, vec: Column, path: String,
+      centroids: Seq[(Int, Seq[Float])], books: PqCodebooks,
+      dim: Int, m: Int = 8, residual: Boolean = true): Unit = {
+    val centsF: Seq[Seq[Float]] = centroids.sortBy(_._1).map(_._2)
+    val assigned = assignToCentroid(
+        batch.select(id.cast("long").as("corpus_id"), vec.as("v")),
+        centroids)
+      .withColumnRenamed("v", "cv")
+    val encIn = assigned.withColumn("enc",
+      if (residual)
+        zip_with(col("cv"),
+          element_at(typedLit(centsF), col("__cluster") + 1),
+          (a, b) => a - b)
+      else col("cv"))
+    pqEncodeFrame(encIn, books, dim, m)
+      .write.mode("append").partitionBy("__cluster").parquet(path)
   }
 
   /** Approximate top-k against an [[ivfPqWrite]] index. Two phases:

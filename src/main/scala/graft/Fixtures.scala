@@ -718,6 +718,38 @@ object Fixtures {
     * plus its trained centroids, built once per scale factor. The centroids
     * are persisted next to the data so reuse needs no re-training; training
     * itself is deterministic (seeded), so a rebuild yields the same table. */
+  /** Shared centroid/codebook persistence for the ANN fixtures — one
+    * definition of the stored shape, reloaded identically everywhere. */
+  private def saveCentroids(spark: SparkSession,
+      centroids: Seq[(Int, Seq[Float])], dir: String): Unit = {
+    import spark.implicits._
+    centroids.toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  private def loadCentroids(spark: SparkSession,
+      dir: String): Seq[(Int, Seq[Float])] =
+    spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
+      .sortBy(_._1).toSeq
+
+  private def saveBooks(spark: SparkSession,
+      books: graft.pipeline.Similarity.PqCodebooks, dir: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (cents, sub) =>
+      cents.zipWithIndex.map { case (c, code) => (sub, code, c) }
+    }.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  private def loadBooks(spark: SparkSession,
+      dir: String): graft.pipeline.Similarity.PqCodebooks =
+    spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Float](2).toList: Seq[Float]))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+
   def ivfDir(spark: SparkSession, sfDir: String,
       nlist: Int = 8): (String, Seq[(Int, Seq[Float])]) = synchronized {
     val dir = s"${root(sfDir)}/embeddings_ivf"
@@ -732,13 +764,9 @@ object Fixtures {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val centroids = graft.pipeline.Similarity.ivfWrite(
         emb, col("vec_id"), col("embedding"), dataDir, nlist = nlist)
-      import spark.implicits._
-      centroids.toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(centDir)
+      saveCentroids(spark, centroids, centDir)
     }
-    val cents = spark.read.parquet(centDir).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
-      .sortBy(_._1).toSeq
+    val cents = loadCentroids(spark, centDir)
     (dataDir, cents)
   }
 
@@ -765,13 +793,9 @@ object Fixtures {
         emb.filter(id % 3 === 2 && id % 2 === 0), id, v, dataDir, centroids)
       graft.pipeline.Similarity.ivfIngest(
         emb.filter(id % 3 === 2 && id % 2 =!= 0), id, v, dataDir, centroids)
-      import spark.implicits._
-      centroids.toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(centDir)
+      saveCentroids(spark, centroids, centDir)
     }
-    val cents = spark.read.parquet(centDir).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
-      .sortBy(_._1).toSeq
+    val cents = loadCentroids(spark, centDir)
     (dataDir, cents)
   }
 
@@ -804,22 +828,11 @@ object Fixtures {
       graft.pipeline.Similarity.ivfPqIngest(
         emb.filter(id % 3 === 2 && id % 2 =!= 0), id, v, dataDir,
         centroids, books, dim = 64, m = m)
-      import spark.implicits._
-      centroids.toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(centDir)
-      books.zipWithIndex.flatMap { case (cents, s) =>
-        cents.zipWithIndex.map { case (c, code) => (s, code, c) }
-      }.toDF("subspace", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(bookDir)
+      saveCentroids(spark, centroids, centDir)
+      saveBooks(spark, books, bookDir)
     }
-    val cents = spark.read.parquet(centDir).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
-      .sortBy(_._1).toSeq
-    val books = spark.read.parquet(bookDir).collect()
-      .map(r => (r.getInt(0), r.getInt(1),
-        r.getSeq[Float](2).toList: Seq[Float]))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val cents = loadCentroids(spark, centDir)
+    val books = loadBooks(spark, bookDir)
     (dataDir, cents, books)
   }
 
@@ -845,22 +858,11 @@ object Fixtures {
       val (centroids, books) = graft.pipeline.Similarity.ivfPqWrite(
         emb, col("vec_id"), col("embedding"), dataDir, dim = 64,
         nlist = nlist, m = m, ksub = ksub)
-      import spark.implicits._
-      centroids.toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(centDir)
-      books.zipWithIndex.flatMap { case (cents, s) =>
-        cents.zipWithIndex.map { case (c, code) => (s, code, c) }
-      }.toDF("subspace", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(bookDir)
+      saveCentroids(spark, centroids, centDir)
+      saveBooks(spark, books, bookDir)
     }
-    val cents = spark.read.parquet(centDir).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
-      .sortBy(_._1).toSeq
-    val books = spark.read.parquet(bookDir).collect()
-      .map(r => (r.getInt(0), r.getInt(1),
-        r.getSeq[Float](2).toList: Seq[Float]))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val cents = loadCentroids(spark, centDir)
+    val books = loadBooks(spark, bookDir)
     (dataDir, cents, books)
   }
 
@@ -906,14 +908,16 @@ object Fixtures {
         rm(spark, dir)
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val id = col("doc_id"); val tx = col("text")
+        // ts pins the bootstrap only; later batches are multi-table
+        // transactions that mint their own reserved timestamps
         graft.pipeline.TextRetrieval.incIngest(spark, dir,
           docs.filter(id % 3 === 0), id, tx, ts = Some(C1))
         graft.pipeline.TextRetrieval.incIngest(spark, dir,
-          docs.filter(id % 3 === 1), id, tx, ts = Some(C2))
+          docs.filter(id % 3 === 1), id, tx)
         graft.pipeline.TextRetrieval.incIngest(spark, dir,
-          docs.filter(id % 3 === 2), id, tx, ts = Some(C3))
+          docs.filter(id % 3 === 2), id, tx)
         graft.pipeline.TextRetrieval.incRemove(spark, dir,
-          docs.filter(id % 7 === 0), id, tx, ts = Some(C4))
+          docs.filter(id % 7 === 0), id, tx)
       }
       dir
     }

@@ -298,10 +298,35 @@ object TextRetrieval {
       "need at least one non-empty phrase")
     require(stats(spark, dir).maxDfPermille >= 1000,
       "phrase matching needs an uncapped index")
-    phrases.map { p =>
-      phraseHits(queryPostings(spark, dir, p.distinct, termBuckets), p)
-        .select(col("doc_id"))
-    }.reduce(_.unionByName(_)).distinct()
+    // ONE postings pass for the whole phrase set (a per-phrase plan
+    // branch would rescan shared buckets once per phrase and grow the
+    // plan O(#phrases) — decontamination screens THOUSANDS of phrases):
+    // broadcast the (phrase, offset, term) spec into the union-pruned
+    // scan, group per (phrase, doc), and run the SAME positional fold as
+    // phraseTopK inside one `aggregate` higher-order expression over the
+    // offset-sorted steps. A group missing any offset lacks a term and
+    // cannot match (guarded by the count).
+    import spark.implicits._
+    val spec = broadcast(phrases.zipWithIndex.flatMap {
+      case (p, pid) => p.zipWithIndex.map {
+        case (t, off) => (pid, off, t, p.size)
+      }
+    }.toDF("__pid", "__off", "__qterm", "__plen"))
+    val allTerms = phrases.flatten.distinct
+    queryPostings(spark, dir, allTerms, termBuckets)
+      .join(spec, col("term") === col("__qterm"))
+      .groupBy(col("__pid"), col("doc_id"), col("__plen"))
+      .agg(count(lit(1)).as("__noff"),
+        sort_array(collect_list(struct(col("__off"),
+          transform(col("positions"), x => x.cast("long")).as("ps"))))
+          .as("__steps"))
+      .where(col("__noff") === col("__plen")) // every offset present
+      .withColumn("__matched", expr(
+        "aggregate(slice(__steps, 2, __plen - 1), __steps[0].ps, " +
+          "(acc, s) -> array_intersect(" +
+          "transform(acc, x -> x + 1L), s.ps))"))
+      .where(size(col("__matched")) > 0)
+      .select(col("doc_id")).distinct()
   }
 
   /** All docs with ≥1 occurrence of `phrase`: `(doc_id, n_occur)`,
@@ -418,9 +443,6 @@ object TextRetrieval {
       s"$dir/statsv", "g", Seq("dl" -> col("dl"))): Unit
   }
 
-  /** Add a batch of NEW documents to the maintained index (creates the
-    * index on first call). One graft commit per table + churn-bounded
-    * view refreshes. */
   /** The two incremental-table frames of a batch, key/partition columns
     * attached — shared by ingest, remove, and the transactional spec. */
   private[graft] def incFrames(docs: DataFrame, idCol: Column,
@@ -432,6 +454,15 @@ object TextRetrieval {
         .withColumn("p", lit(StatsGroup)))
   }
 
+  /** Add a batch of NEW documents to the maintained index (creates the
+    * index on first call). The bootstrap creates doclen FIRST and gates
+    * on postings — a crash between the two creations leaves postings
+    * empty, so a RETRY of the same batch simply redoes the bootstrap
+    * (re-upserting doclen's identical rows is a content no-op); once
+    * postings exists, both tables do. Every later batch lands as ONE
+    * multi-table transaction (all-or-nothing across postings + doclen) +
+    * churn-bounded view refreshes. `ts` pins the BOOTSTRAP commit only;
+    * transactional batches mint their own reserved timestamps. */
   def incIngest(spark: SparkSession, dir: String, docs: DataFrame,
       idCol: Column, textCol: Column, termBuckets: Int = 16,
       numBuckets: Int = 8, ts: Option[String] = None): Unit = {
@@ -440,7 +471,9 @@ object TextRetrieval {
       spark.sessionState.newHadoopConf(), s"$dir/postings")
     if (tl.completedInstants().isEmpty) {
       // bootstrap: CREATE both tables (recording the key/partition/bucket
-      // contract the transactional path resolves on every later batch)
+      // contract the transactional path resolves on every later batch).
+      // doclen first, postings last: the gate above tests postings, so a
+      // half-done bootstrap is always retryable, never wedged.
       def create(df: DataFrame, path: String): Unit = {
         val w = df.write.format("graft")
           .option("key", "k").option("partition", "p")
@@ -448,14 +481,9 @@ object TextRetrieval {
           .mode(org.apache.spark.sql.SaveMode.Append)
         ts.fold(w)(x => w.option("ts", x)).save(path)
       }
-      create(postFrame, s"$dir/postings")
       create(dlFrame, s"$dir/doclen")
+      create(postFrame, s"$dir/postings")
     } else {
-      // every later batch lands as ONE multi-table transaction: a crash
-      // between the postings and doclen commits can never leave the
-      // index's dl/N bookkeeping out of step with its postings (the
-      // journal rolls the pair forward or back together). The txn mints
-      // its own reserved timestamps; `ts` applies to the bootstrap only.
       graft.write.MultiTableTxn.commit(spark, Seq(
         graft.write.MultiTableTxn.TableWrite(s"$dir/postings",
           updates = Some(postFrame)),
@@ -466,11 +494,10 @@ object TextRetrieval {
   }
 
   /** Remove documents (the rows as ingested — postings keys are recomputed
-    * from the text). One TRANSACTIONAL delete across both tables + view
-    * refreshes. */
+    * from the text). One TRANSACTIONAL delete across both tables (minting
+    * its own reserved timestamps) + view refreshes. */
   def incRemove(spark: SparkSession, dir: String, docs: DataFrame,
-      idCol: Column, textCol: Column, termBuckets: Int = 16,
-      ts: Option[String] = None): Unit = {
+      idCol: Column, textCol: Column, termBuckets: Int = 16): Unit = {
     val (postFrame, dlFrame) = incFrames(docs, idCol, textCol, termBuckets)
     graft.write.MultiTableTxn.commit(spark, Seq(
       graft.write.MultiTableTxn.TableWrite(s"$dir/postings",

@@ -249,6 +249,44 @@ class RetrievalSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("streaming docs maintain the index: a graft doc-table stream " +
+    "drives incIngest per micro-batch, converging to the batch answer") {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = freshDir("text_stream_src")
+    val idxDir = freshDir("text_stream_idx")
+    val ckpt = freshDir("text_stream_ckpt")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(80)
+      .select($"doc_id", $"text")
+    // a 2-commit versioned docs table: the streaming source yields one
+    // micro-batch per commit; each drives one maintained-index batch
+    val w = new graft.write.CowWriter(spark, srcDir, numBuckets = 2)
+    w.insert(docs.filter($"doc_id" % 2 === 0)
+      .withColumn("pt", lit("all")), $"doc_id", $"pt", Fixtures.C1)
+    w.upsert(docs.filter($"doc_id" % 2 === 1)
+      .withColumn("pt", lit("all")), $"doc_id", $"pt", Fixtures.C2)
+
+    val q = spark.readStream.format("graft")
+      .option("maxCommitsPerBatch", "1").load(srcDir)
+      .select($"doc_id", $"text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          TextRetrieval.incIngest(spark, idxDir, batch,
+            col("doc_id"), col("text"))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val batchDir = freshDir("text_stream_batch")
+    TextRetrieval.buildIndex(spark, docs, $"doc_id", $"text", batchDir)
+    val streamed = TextRetrieval.incExactTopK(spark, idxDir,
+      Seq("spark", "join"), k = 10).as[(Long, Long)].collect().toSeq
+    val batch = TextRetrieval.exactTopK(spark, batchDir,
+      Seq("spark", "join"), k = 10).as[(Long, Long)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("guards: phrase search refuses a df-capped index; the exact " +
     "scorer refuses a corpus beyond its Long-exact bound") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(40)

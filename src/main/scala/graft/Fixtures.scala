@@ -124,6 +124,10 @@ object Fixtures {
     rebucketDir(spark, sfDir)
     precombineDir(spark, sfDir, "cow"); precombineDir(spark, sfDir, "mor")
     pdropDir(spark, sfDir); dedupIndexDir(spark, sfDir)
+    // r10 tail: retrieval + incremental-ANN + distinct-view fixtures
+    textIndexDir(spark, sfDir); textIncIndexDir(spark, sfDir)
+    ivfIngestDir(spark, sfDir); ivfPqIngestDir(spark, sfDir)
+    matViewDistinctDir(spark, sfDir); semIndexDir(spark, sfDir): Unit
   }
 
   /** Incremental-dedup SIGNATURE INDEX over `documents`, ingested in three

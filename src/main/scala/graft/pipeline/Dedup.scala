@@ -667,9 +667,14 @@ object Dedup {
     assigned.persist()
     try {
       // the batch's clusters: a driver list bounded by |anchors| —
-      // metadata-sized by construction, and the partition-pruning key
+      // metadata-sized by construction, and the partition-pruning key.
+      // A null/wrong-dimension vector assigns NO cluster (cl null, like
+      // the batch twin, which KEEPS such rows); it lands in the "none"
+      // partition so the ingest neither NPEs nor loses the row.
       val cells: Seq[String] = assigned.select(col("cl")).distinct()
-        .collect().map(_.getInt(0).toString).toSeq
+        .collect()
+        .map(r => if (r.isNullAt(0)) "none" else r.getInt(0).toString)
+        .toSeq
       val tl = graft.format.Timeline(
         spark.sessionState.newHadoopConf(), indexDir)
       val seen =
@@ -705,7 +710,8 @@ object Dedup {
         .join(drops, col("id") === col("__drop"), "left")
         .select(col("id").as("doc_id"), col("q"), col("nrm"), col("cl"),
           col("__drop").isNull.as("kept"))
-        .withColumn("pt", col("cl").cast("string"))
+        .withColumn("pt",
+          coalesce(col("cl").cast("string"), lit("none")))
       val writer = out.write.format("graft")
         .option("key", "doc_id").option("partition", "pt")
         .option("buckets", numBuckets.toString)

@@ -88,10 +88,20 @@ private[sources] final class GraftBatchScan(
   @volatile private var allowedPartitions: Option[Set[String]] = None
   @volatile private var allowedBuckets: Option[Set[Int]] = None
 
+  /** STATIC pruning from the pushed V1 filters (r10 review finding #5):
+    * a `WHERE part = 'x'` query must plan tasks over partition x's
+    * slices only — the pushed predicates are re-verified row-exactly by
+    * the reader, so slice-level pruning here is pure savings. Computed
+    * once; runtime filters narrow further. */
+  private lazy val staticPrunes: (Option[Set[String]], Option[Set[Int]]) =
+    prunesFrom(pushedV1)
+
   private def liveSlices: Seq[FileSlice] =
     slices.filter(sl =>
       allowedPartitions.forall(_.contains(sl.partitionPath)) &&
-        allowedBuckets.forall(_.contains(bucketOf(sl))))
+        allowedBuckets.forall(_.contains(bucketOf(sl))) &&
+        staticPrunes._1.forall(_.contains(sl.partitionPath)) &&
+        staticPrunes._2.forall(_.contains(bucketOf(sl))))
 
   /** SPJ mode keys on the session EXPLICITLY setting
     * `spark.sql.sources.v2.bucketing.enabled` (RuntimeConfig.get with a
@@ -194,43 +204,69 @@ private[sources] final class GraftBatchScan(
   }
 
   override def filter(filters: Array[Filter]): Unit = {
+    val (ps, bs) = prunesFrom(filters)
+    ps.foreach(s => allowedPartitions =
+      Some(allowedPartitions.fold(s)(_ intersect s)))
+    bs.foreach(s => allowedBuckets =
+      Some(allowedBuckets.fold(s)(_ intersect s)))
+  }
+
+  /** The (partition-path set, bucket set) an EqualTo/In filter array
+    * narrows to — shared by runtime filtering and the STATIC pushed-V1
+    * pruning in [[liveSlices]]. A filter whose shape or values cannot be
+    * rendered safely contributes nothing (superset kept). */
+  private def prunesFrom(filters: Array[Filter])
+      : (Option[Set[String]], Option[Set[Int]]) = {
     val resolver = spark.sessionState.conf.resolver
+    var parts: Option[Set[String]] = None
+    var bks: Option[Set[Int]] = None
+    def and[A](cur: Option[Set[A]], s: Set[A]): Option[Set[A]] =
+      Some(cur.fold(s)(_ intersect s))
+    def bucketIn(r: String): Int =
+      GraftBucketFunction.bucketOf(UTF8String.fromString(r), buckets)
     filters.foreach {
       case In(a, vs) if resolver(a, partCol) =>
-        narrowPartitions(vs.filter(_ != null).map(partitionRender).toSet)
+        val rendered = vs.filter(_ != null).map(renderAs(_, partCol))
+        if (rendered.forall(_.isDefined)) // one unrenderable value ⇒ the
+          parts = and(parts, rendered.flatten.toSet) // prune is unsound
       case EqualTo(a, v) if resolver(a, partCol) && v != null =>
-        narrowPartitions(Set(partitionRender(v)))
+        renderAs(v, partCol).foreach(r => parts = and(parts, Set(r)))
       case In(a, vs) if resolver(a, keyCol) =>
-        narrowBuckets(vs.filter(_ != null)
-          .map(v => GraftBucketFunction.bucketOf(keyRender(v), buckets))
-          .toSet)
+        val rendered = vs.filter(_ != null).map(renderAs(_, keyCol))
+        if (rendered.forall(_.isDefined))
+          bks = and(bks, rendered.flatten.map(bucketIn).toSet)
       case EqualTo(a, v) if resolver(a, keyCol) && v != null =>
-        narrowBuckets(
-          Set(GraftBucketFunction.bucketOf(keyRender(v), buckets)))
+        renderAs(v, keyCol).foreach(r => bks = and(bks, Set(bucketIn(r))))
       case _ => () // unknown shape: keep everything (superset is safe)
     }
+    (parts, bks)
   }
 
-  private def narrowPartitions(s: Set[String]): Unit =
-    allowedPartitions =
-      Some(allowedPartitions.fold(s)(_ intersect s))
-  private def narrowBuckets(s: Set[Int]): Unit =
-    allowedBuckets = Some(allowedBuckets.fold(s)(_ intersect s))
-
-  /** A runtime filter value → the slice's recorded partition-path string
-    * (writers record `partCol.cast("string")`). */
-  private def partitionRender(v: Any): String = v match {
-    case s: String => s
-    case u: UTF8String => u.toString
-    case other => other.toString
-  }
-
-  /** A runtime filter value → the key's recorded string rendering (the
-    * writer bucket function hashes `key.cast("string")`). */
-  private def keyRender(v: Any): UTF8String = v match {
-    case u: UTF8String => u
-    case s: String => UTF8String.fromString(s)
-    case other => UTF8String.fromString(other.toString)
+  /** A filter value → the column's RECORDED string rendering. Writers
+    * record a slice's partition path as `partCol.cast("string")` and hash
+    * buckets from `key.cast("string")`; both static and runtime filter
+    * values must reproduce that EXACT form or a prune silently drops
+    * matching slices — a Timestamp's Java `toString` is NOT its Spark
+    * cast (r10 review finding). Values arrive as EXTERNAL Scala/Java
+    * objects (Spark's default `SupportsRuntimeFiltering.filter` converts
+    * through `CatalystTypeConverters.convertToScala`), so non-string
+    * values render through Spark's own `Cast` over the column's declared
+    * type with the session time zone; anything that fails to convert
+    * DECLINES the prune (None → superset kept, never a wrong drop). */
+  private def renderAs(v: Any, colName: String): Option[String] = v match {
+    case s: String => Some(s)
+    case u: UTF8String => Some(u.toString)
+    case other =>
+      val resolver = spark.sessionState.conf.resolver
+      dataSchema.fields.find(f => resolver(f.name, colName)).flatMap { f =>
+        try {
+          val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToCatalyst(other)
+          Option(Cast(Literal(cat, f.dataType), StringType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+            .map(_.toString)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
   }
 
   // ---- reading ---------------------------------------------------------

@@ -132,13 +132,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadProcedure(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    procedures
-      .filter(_ => ident.namespace().sameElements(GraftProcedures.Namespace))
-      .getOrElse(ident.name(), throw new NoSuchElementException(
-        s"unknown procedure $ident; known: " +
-          procedures.keys.toSeq.sorted.mkString("system.",
-            ", system.", "")))
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    // AnalysisException (ROUTINE_NOT_FOUND — Spark 4.1 ships no
+    // NoSuchProcedureException), not a raw NoSuchElementException: CALL
+    // resolution surfaces this to the user, and a wrong NAMESPACE should
+    // say so rather than claim a correctly-named procedure is unknown
+    def notFound(hint: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "ROUTINE_NOT_FOUND",
+        messageParameters = Map("routineName" ->
+          (ident.toString + s" ($hint)")))
+    if (!ident.namespace().sameElements(GraftProcedures.Namespace))
+      notFound(s"procedures live in the " +
+        s"'${GraftProcedures.Namespace.head}' namespace: " +
+        s"CALL <catalog>.system.${ident.name()}(...)")
+    procedures.getOrElse(ident.name(),
+      notFound("known: " + procedures.keys.toSeq.sorted
+        .mkString("system.", ", system.", "")))
+  }
 
   /** Resolve a procedure's `table` ARGUMENT (a dotted, possibly
     * backquoted identifier — with or without this catalog's name as its
@@ -177,7 +188,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // validate the ORIGINAL segment first: `..`/slashes must be caught
       // here, never silently normalized away by the dot split
       val seg = safeSegment(seg0)
-      val sub = seg.split('.')
+      // -1 keeps TRAILING empty strings: Java split drops them, so
+      // "b." / "b.." would silently normalize to "b" and a DROP NAMESPACE
+      // on the misspelled name would delete b's directory (r10 review)
+      val sub = seg.split("\\.", -1)
       require(sub.nonEmpty && sub.forall(_.nonEmpty),
         s"illegal catalog namespace segment '$seg0'")
       sub.toSeq.map(safeSegment)
@@ -857,8 +871,16 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
   } catch {
     // any stat-parse / predicate-eval surprise declines the pushdown (the
     // ordinary scan is always correct) rather than failing the query
-    case MetaAggDecline => { if (sys.env.contains("GRAFT_DEBUG_DECLINE")) new Exception("DECLINE-DEBUG").printStackTrace(); None }
-    case scala.util.control.NonFatal(e) => { if (sys.env.contains("GRAFT_DEBUG_DECLINE")) e.printStackTrace(); None }
+    // declines are silent-by-design (the ordinary scan is always
+    // correct); the debug log names the cause for anyone wondering why a
+    // metadata-answerable aggregate planned a file scan
+    case MetaAggDecline =>
+      GraftV2Table.log.debug(
+        "metadata aggregate declined (explicit decline)")
+      None
+    case scala.util.control.NonFatal(e) =>
+      GraftV2Table.log.debug(s"metadata aggregate declined: $e")
+      None
   }
 
   /** The planned snapshot every read/delete verb roots at: the SAME frame
@@ -904,6 +926,9 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
 }
 
 private[sources] object GraftV2Table {
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[GraftV2Table])
+
   /** Exact decimal AVG from the folded exact sum + non-null count,
     * evaluated through Spark's OWN analyzed `sum / count` expression over
     * a one-row local relation — the analyzer applies the identical

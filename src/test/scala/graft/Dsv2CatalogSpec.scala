@@ -846,6 +846,74 @@ class Dsv2CatalogSpec extends SparkSpec {
     spark.conf.unset("spark.sql.files.openCostInBytes")
   }
 
+  test("filter values render via the writer's CAST: date partitions " +
+    "prune statically and at runtime; unrenderable values decline (r10)") {
+    conf()
+    spark.conf.set("spark.sql.files.openCostInBytes", (512L << 20).toString)
+    try {
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.ns.tdate")
+      spark.sql(s"""CREATE TABLE $cat.ns.tdate (id BIGINT, pt DATE,
+        v BIGINT) PARTITIONED BY (pt)
+        TBLPROPERTIES (key 'id', buckets '2')""")
+      spark.sql(s"INSERT INTO $cat.ns.tdate VALUES " +
+        (1 to 16).map(i =>
+          s"($i, DATE'2024-01-0${i % 4 + 1}', ${i * 10})").mkString(", "))
+
+      def scanParts(q: org.apache.spark.sql.DataFrame): Int =
+        q.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.inputPartitions.length
+        }.sum
+      val full = spark.sql(s"SELECT v FROM $cat.ns.tdate")
+      val filtered = spark.sql(
+        s"SELECT v FROM $cat.ns.tdate WHERE pt = DATE'2024-01-02'")
+      // correctness first: a bad rendering would silently return nothing
+      assert(filtered.as[Long].collect().sorted.toSeq ==
+        (1 to 16).filter(_ % 4 == 1).map(_ * 10L))
+      // static pruning: the pushed date predicate narrows planned slices
+      assert(scanParts(filtered) < scanParts(full) && scanParts(filtered) > 0,
+        s"static date prune: ${scanParts(filtered)} vs ${scanParts(full)}")
+
+      // runtime path: Spark's default SupportsRuntimeFiltering.filter
+      // delivers EXTERNAL values (java.sql.Date) — must prune, not erase
+      val tbl = spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("ns"), "tdate"))
+      def freshScan() = tbl.asInstanceOf[
+          org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new org.apache.spark.sql.util
+          .CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+        .build()
+      val all = freshScan().toBatch.planInputPartitions().length
+      val s1 = freshScan()
+      s1.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsRuntimeFiltering]
+        .filter(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.EqualTo("pt",
+            java.sql.Date.valueOf("2024-01-02"))))
+      val p = s1.toBatch.planInputPartitions().length
+      assert(p > 0 && p < all,
+        s"date runtime filter must prune without erasing: $p vs $all")
+      // an unrenderable value DECLINES the prune (superset kept)
+      val s2 = freshScan()
+      s2.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsRuntimeFiltering]
+        .filter(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.EqualTo("pt", new Object())))
+      assert(s2.toBatch.planInputPartitions().length == all)
+    } finally spark.conf.unset("spark.sql.files.openCostInBytes")
+  }
+
+  test("namespace segments with trailing dots are rejected, not " +
+    "silently normalized (r10: Java split drops trailing empties)") {
+    conf()
+    intercept[Exception](spark.sql(s"CREATE NAMESPACE $cat.`b.`"))
+    intercept[Exception](spark.sql(s"CREATE NAMESPACE $cat.`b..`"))
+    intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.`b.`"))
+  }
+
   test("streaming reads: readStream.table == the format-path stream, exactly-once across restarts") {
     val t = freshTable("t17")
     spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)

@@ -153,10 +153,17 @@ class ProcedureSpec extends SparkSpec {
       s"CALL $cat.system.show_timeline(table => '`..`.p7')"))
     assert(e1.getMessage.contains("escape") ||
       e1.getMessage.contains("illegal"))
-    // unknown procedure names fail to resolve with the known list
-    val e2 = intercept[Exception](spark.sql(
+    // unknown procedure names fail to resolve with the known list, as
+    // the ANALYSIS error CALL resolution expects (ROUTINE_NOT_FOUND) —
+    // not an internal-error-shaped NoSuchElementException (r10 review)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
       s"CALL $cat.system.no_such_proc(table => 'ns.p7')"))
     assert(e2.getMessage.contains("no_such_proc"))
+    // a wrong NAMESPACE names the right fix instead of claiming a
+    // correctly-named procedure is unknown
+    val e3 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      s"CALL $cat.clean(table => 'ns.p7')"))
+    assert(e3.getMessage.contains("system"))
     // a non-table path fails resolution, not silently returns empty
     intercept[Exception](spark.sql(
       s"CALL $cat.system.show_timeline(table => 'ns.not_a_table')"))

@@ -47,6 +47,29 @@ class SemDedupIngestSpec extends SparkSpec {
     assert(idx.count() == rows.size)
   }
 
+  test("a null/wrong-dimension embedding neither crashes the ingest nor " +
+    "loses the row: it lands KEPT in the 'none' partition (batch parity)") {
+    val d = "/tmp/graft_test/sem_ingest_null"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    val good = corpus(9)
+    val batch = (good :+ (100L, null.asInstanceOf[Seq[Float]]) :+
+      (101L, Seq(1.0f, 2.0f))) // wrong dimension (anchors are 8-d)
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semIngestDedup(spark, d, batch,
+      col("vec_id"), col("embedding"), anchors,
+      thresholdNum = 2, thresholdDen = 5)
+    val clusterless = out.filter(col("doc_id") >= 100L)
+      .select(col("doc_id"), col("kept"),
+        col(graft.format.MetaCols.PartitionPath).as("pt"))
+      .as[(Long, Boolean, String)].collect().toSeq.sortBy(_._1)
+    assert(clusterless == Seq((100L, true, "none"), (101L, true, "none")))
+    // batch parity: semDedupKeep also keeps both rows
+    val kept = Dedup.semDedupKeep(batch, col("vec_id"), col("embedding"),
+      anchors, thresholdNum = 2, thresholdDen = 5)
+      .select(col("id")).as[Long].collect().toSet
+    assert(kept.contains(100L) && kept.contains(101L))
+  }
+
   test("index reads partition-prune to the queried cluster only") {
     // (depends on the table built by the previous test)
     val idx = read.SnapshotReader.read(spark, dir)

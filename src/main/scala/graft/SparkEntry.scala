@@ -654,6 +654,15 @@ object SparkEntry {
       val dir = Fixtures.textIndexDir(s, d)
       TextRetrieval.phraseTopK(s, dir, Seq("table", "hash"), k = 20)
     }),
+    // q_more_like_this: doc-expansion retrieval — the source doc's 5
+    // rarest terms (max idf, deterministic ties) become the BM25 query,
+    // source excluded; selection and scoring are integer-exact.
+    "q_more_like_this" -> ((s, d) => {
+      val dir = Fixtures.textIndexDir(s, d)
+      val text = t(s, d, "documents").where(col("doc_id") === 0L)
+        .select(col("text")).head().getString(0)
+      TextRetrieval.moreLikeThis(s, dir, text, selfId = 0L, k = 15)
+    }),
     // q_phrase_decontam: verbatim-benchmark leakage screening through the
     // positional index — docs containing ANY of the benchmark phrases,
     // zero false positives, reading only the phrases' posting buckets.
@@ -1794,6 +1803,27 @@ object SparkEntry {
         "coalesce(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_s " +
         "FROM lex FULL OUTER JOIN vec USING (doc_id) " +
         "ORDER BY rrf_s DESC, doc_id ASC LIMIT 10"),
+    // doc 0's 5 rarest terms (df asc, term asc) as the query, doc 0
+    // excluded — selection and scoring fully integer, hash-exact
+    "q_more_like_this" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+        "post AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+        "dfr AS (SELECT term, count(*) AS df FROM post GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n, sum(dl) AS sdl FROM dl), " +
+        "sel AS (SELECT f.term FROM dfr f " +
+        "JOIN (SELECT DISTINCT term FROM tok WHERE doc_id = 0) dt USING (term) " +
+        "ORDER BY f.df ASC, f.term ASC LIMIT 5), " +
+        "sc AS (SELECT p.doc_id, " +
+        "(((1000000 * ((SELECT n FROM st) + 1)) // (f.df + 1)) * " +
+        "((p.tf * 2200000 * 1000000) // (p.tf * 1000000 + " +
+        "(1200000 * (1000000 - 750000 + (750000 * d.dl * 1000000) // " +
+        "((1000000 * (SELECT sdl FROM st)) // (SELECT n FROM st)))) // 1000000))" +
+        ") // 1000000 AS tscore " +
+        "FROM post p JOIN dl d USING (doc_id) JOIN dfr f USING (term) " +
+        "WHERE p.term IN (SELECT term FROM sel) AND p.doc_id <> 0) " +
+        "SELECT doc_id, CAST(sum(tscore) AS BIGINT) AS score FROM sc " +
+        "GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 15"),
     "q_phrase_decontam" ->
       ("WITH s AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents), " +
         "tok AS (SELECT doc_id, unnest(ts) AS term, unnest(range(1, len(ts) + 1)) AS pos FROM s) " +

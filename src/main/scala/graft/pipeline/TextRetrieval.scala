@@ -354,6 +354,34 @@ object TextRetrieval {
       .orderBy(col("n_occur").desc, col("doc_id").asc)
       .limit(k)
 
+  /** "More like this": top-k docs similar to a given document, scored by
+    * BM25 over the document's `m` RAREST terms (minimum df = maximum idf;
+    * deterministic tie-break by term) with the source doc excluded —
+    * Lucene's MoreLikeThisQuery shape. The term-selection probe is a
+    * partition-pruned read of the doc's own terms' df (query-sized driver
+    * list); the search is an ordinary [[exactTopK]]-style pruned scan, so
+    * the whole operation costs O(postings of m terms), never a corpus
+    * pass. Oracle-exact end to end: selection orders by integers and the
+    * scoring is the scaled-integer BM25. */
+  def moreLikeThis(spark: SparkSession, dir: String, text: String,
+      selfId: Long, k: Int, m: Int = 5,
+      termBuckets: Int = 16): DataFrame = {
+    val toks = text.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(toks.nonEmpty, "moreLikeThis needs a non-empty document")
+    val sel = queryPostings(spark, dir, toks, termBuckets)
+      .groupBy(col("term")).agg(first(col("df")).as("df"))
+      .orderBy(col("df").asc, col("term").asc).limit(m)
+      .select(col("term")).collect().map(_.getString(0)).toSeq // m-sized
+    val st = stats(spark, dir)
+    scoreExact(queryPostings(spark, dir, sel, termBuckets), st.n, st.sdl)
+      .where(col("doc_id") =!= selfId)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tscore")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
     * the lexical [[exactTopK]] pool and a vector top-k pool over an
     * embedding table — the standard two-channel retrieval shape for

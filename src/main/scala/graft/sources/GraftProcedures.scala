@@ -360,6 +360,40 @@ private[sources] object GraftProcedures {
           .map(x => row(Long.box(x.getLong(0)), Long.box(x.getLong(1))))
       },
 
+      proc("more_like_this",
+        "top-k documents similar to the given one: its m rarest terms " +
+          "(max idf) become the BM25 query, source excluded - the doc's " +
+          "text resolves via a key-pruned point lookup, the search from " +
+          "the table's .text_index (k-bounded result)",
+        Seq(tableParam,
+          in("doc_id", LongType, "source document id (the table key)"),
+          in("text_col", StringType, "text column"),
+          in("k", IntegerType, "results to return", default = Some("10")),
+          in("m", IntegerType, "query terms to select",
+            default = Some("5")),
+          in("term_buckets", IntegerType,
+            "termBuckets the index was built with", default = Some("16"))),
+        out("doc_id" -> LongType, "score" -> LongType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val selfId = r.getLong(1)
+        // point lookup by record key: bucket pruning + stats skipping
+        // serve this at file-listing time — one file group's read
+        val text = graft.read.SnapshotReader.read(spark, path)
+          .where(org.apache.spark.sql.functions
+            .col(graft.format.MetaCols.RecordKey) === selfId.toString)
+          .select(org.apache.spark.sql.functions.col(str(r, 2)))
+          .collect() match {
+          case Array(row) => row.getString(0)
+          case other => throw new IllegalArgumentException(
+            s"doc_id $selfId resolved ${other.length} rows in ${str(r, 0)}")
+        }
+        graft.pipeline.TextRetrieval.moreLikeThis(spark,
+            s"$path/.text_index", text, selfId, r.getInt(3), r.getInt(4),
+            r.getInt(5))
+          .collect().toSeq // k-bounded by construction
+          .map(x => row(Long.box(x.getLong(0)), Long.box(x.getLong(1))))
+      },
+
       proc("show_timeline",
         "the active timeline: one row per completed instant, oldest " +
           "first, with its savepoint pin state",

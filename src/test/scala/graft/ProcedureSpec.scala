@@ -213,5 +213,22 @@ class ProcedureSpec extends SparkSpec {
     val wantP = graft.pipeline.TextRetrieval.phraseTopK(spark, built._3,
       Seq("table", "hash"), k = 7).as[(Long, Long)].collect().toSeq
     assert(gotP == wantP)
+
+    // more_like_this: the doc text resolves by key lookup, the search
+    // equals the library path over the same resolved text
+    val srcId = spark.sql(s"SELECT min(doc_id) FROM $cat.ns.docs")
+      .as[Long].head()
+    val gotM = spark.sql(s"CALL $cat.system.more_like_this(" +
+      s"table => 'ns.docs', doc_id => ${srcId}L, text_col => 'text', " +
+      "k => 6)").as[(Long, Long)].collect().toSeq
+    val srcText = spark.sql(
+      s"SELECT text FROM $cat.ns.docs WHERE doc_id = $srcId")
+      .as[String].head()
+    val wantM = graft.pipeline.TextRetrieval.moreLikeThis(spark, built._3,
+      srcText, srcId, k = 6).as[(Long, Long)].collect().toSeq
+    assert(gotM == wantM && gotM.nonEmpty)
+    // a missing doc id fails loudly, not with an empty result
+    intercept[Exception](spark.sql(s"CALL $cat.system.more_like_this(" +
+      "table => 'ns.docs', doc_id => 999999999L, text_col => 'text')"))
   }
 }

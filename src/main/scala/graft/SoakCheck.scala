@@ -291,9 +291,41 @@ object SoakCheck {
       s"bm25_search task read ${search.maxTaskInputMB} MB — " +
         "partition pruning failed at 20×")
 
+    // ---- path 8: maintained EXACT distinct view at 20× (r10 tail) ------
+    // bootstrap over the 3M-row COW table, then an UPSERT moving 2% of
+    // the values and an incremental refresh (retraction-heavy: touched
+    // groups re-aggregate from the group-filtered source) — the view
+    // must equal a direct COUNT(DISTINCT) per group afterwards.
+    val dvwDir = s"$root/distinct_view"
+    var dvwGroups = 0L
+    val dvw = measure(spark, "distinct_view")(() => {
+      graft.views.MaterializedDistinct.refresh(spark, cowDir, dvwDir,
+        "part", col("v2"), buckets = 8)
+      new graft.write.CowWriter(spark, cowDir, 16, statsCols = Seq("v1"))
+        .upsert(data.filter(pmod(col("id"), lit(50)) === 1)
+          .withColumn("v2", col("v2") + 1000),
+          col("id"), col("part"), "3000")
+      graft.views.MaterializedDistinct.refresh(spark, cowDir, dvwDir,
+        "part", col("v2"), buckets = 8)
+      graft.views.MaterializedDistinct.read(spark, dvwDir)
+    })(df => {
+      val got = df.select(col("part"), col("n_distinct"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = read.SnapshotReader.read(spark, cowDir)
+        .groupBy(col("part"))
+        .agg(org.apache.spark.sql.functions
+          .countDistinct(col("v2")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(got == want,
+        s"distinct view out of sync: $got vs $want")
+      dvwGroups = got.size.toLong
+      dvwGroups
+    })
+    require(dvw.rowsOut == 8, s"distinct_view groups ${dvw.rowsOut}")
+
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
-      search)
+      search, dvw)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -303,7 +335,7 @@ object SoakCheck {
     // RUN the workload (eager multi-commit / stream drain), so plan_ms is
     // wall time, not planning.
     all.filterNot(r => Set("ingest_dedup", "catalog_stream",
-        "bm25_build")(r.name))
+        "bm25_build", "distinct_view")(r.name)) // these thunks RUN work
       .foreach(r =>
         require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))
 

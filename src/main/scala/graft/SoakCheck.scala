@@ -282,7 +282,7 @@ object SoakCheck {
     // read), LOWERCASED — synthText's base-36 words are uppercase but the
     // index tokenizer lowercases
     val qTerms = docsAll.limit(1).select(col("text")).head()
-      .getString(0).toLowerCase.split(" ").take(3).toSeq
+      .getString(0).toLowerCase(java.util.Locale.ROOT).split(" ").take(3).toSeq
     val search = measure(spark, "bm25_search")(() =>
       pipeline.TextRetrieval.exactTopK(spark, bmIdx, qTerms, k = 20))(
       _.count())

@@ -523,8 +523,8 @@ object Dedup {
       scoped(materialize, scored) {
         scored
           .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
-            lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
-              >= lit(thresholdNum * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
+            lit(thresholdDen.toLong * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
+              >= lit(thresholdNum.toLong * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
           .select(col("id_a"), col("id_b"), col("dot_q"))
       }
     }
@@ -609,8 +609,8 @@ object Dedup {
       scoped(materialize, scored) {
         val dropped = scored
           .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
-            lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
-              >= lit(thresholdNum * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
+            lit(thresholdDen.toLong * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
+              >= lit(thresholdNum.toLong * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
           .select(col("id_b").as("id")).distinct()
         assigned.join(dropped, Seq("id"), "left_anti")
           .select(col("id"), col("cl"))
@@ -703,8 +703,8 @@ object Dedup {
         .select(col("id_b"), longDot(col("q_a"), col("q_b")).as("dot_q"),
           col("n_a"), col("n_b"))
         .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
-          lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
-            >= lit(thresholdNum * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
+          lit(thresholdDen.toLong * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
+            >= lit(thresholdNum.toLong * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
         .select(col("id_b").as("__drop")).distinct()
       val out = assigned
         .join(drops, col("id") === col("__drop"), "left")
@@ -773,8 +773,8 @@ object Dedup {
       scoped(true, scored) {
         scored
           .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
-            lit(thresholdDen * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
-              >= lit(thresholdNum * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
+            lit(thresholdDen.toLong * thresholdDen) * dec(col("dot_q")) * dec(col("dot_q"))
+              >= lit(thresholdNum.toLong * thresholdNum) * dec(col("n_a")) * dec(col("n_b")))
           .select(col("id_a"), col("id_b"), col("dot_q"))
       }
     }

@@ -181,12 +181,25 @@ object TextRetrieval {
     * cross-engine hash gate and any corpus that fits the bound. */
   val MaxExactDocs: Long = 8L * 1000 * 1000
 
+  /** Largest TOTAL token count the exact scorer serves: `Scale · sdl`
+    * must stay inside Long, so sdl caps at ⌊Long.MaxValue/Scale⌋ with
+    * headroom. Same refuse-don't-wrap contract as [[MaxExactDocs]]. */
+  val MaxExactTokens: Long = 9L * 1000 * 1000 * 1000 * 1000 // 9e12
+
+  /** Largest SINGLE document length the exact scorer serves:
+    * `BS · dl · Scale` = 7.5e11 · dl crosses Long at dl ≈ 1.23e7.
+    * Enforced per ROW inside the plan (raise_error, not a wrap). */
+  val MaxExactDl: Long = 12L * 1000 * 1000 // 1.2e7
+
   /** The scaled-integer per-posting score, shared by every exact entry
     * point. Input needs columns `tf, dl, df`; appends `tscore`. */
   private def scoreExact(posts: DataFrame, n: Long, sdl: Long): DataFrame = {
     require(n <= MaxExactDocs,
       s"exact scorer caps at $MaxExactDocs docs (idf*tf product would " +
         s"exceed Long at n=$n); use bm25TopK for large corpora")
+    require(sdl <= MaxExactTokens,
+      s"exact scorer caps at $MaxExactTokens total tokens (Scale*sdl " +
+        s"would exceed Long at sdl=$sdl); use bm25TopK for large corpora")
     val avgdlS = math.max(Scale * sdl / math.max(n, 1L), 1L) // scaled avg dl
       // (clamped to 1 only for an empty corpus, where no posting rows
       // exist to evaluate the division anyway)
@@ -200,7 +213,13 @@ object TextRetrieval {
       .withColumn("idf_s",
         expr(s"(${Scale}L * (${n}L + 1L)) div (df + 1L)"))
       .withColumn("norm_s",
-        expr(s"${Scale}L - ${BS}L + (${BS}L * dl * ${Scale}L) div ${avgdlS}L"))
+        // per-row dl bound: BS*dl*Scale wraps past MaxExactDl; refuse
+        // loudly inside the plan instead of scoring with a wrapped Long
+        expr(s"CASE WHEN dl > ${MaxExactDl}L THEN CAST(raise_error(" +
+          s"'exact scorer caps at ${MaxExactDl} tokens per doc; use " +
+          s"bm25TopK') AS BIGINT) ELSE " +
+          s"${Scale}L - ${BS}L + (${BS}L * dl * ${Scale}L) div ${avgdlS}L " +
+          s"END"))
       .withColumn("tfq_s",
         expr(s"(tf * ${K1S + Scale}L * ${Scale}L) div " +
           s"(tf * ${Scale}L + (${K1S}L * norm_s) div ${Scale}L)"))
@@ -366,7 +385,7 @@ object TextRetrieval {
   def moreLikeThis(spark: SparkSession, dir: String, text: String,
       selfId: Long, k: Int, m: Int = 5,
       termBuckets: Int = 16): DataFrame = {
-    val toks = text.trim.toLowerCase.split("\\s+")
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
       .filter(_.nonEmpty).distinct.toSeq
     require(toks.nonEmpty, "moreLikeThis needs a non-empty document")
     val sel = queryPostings(spark, dir, toks, termBuckets)
@@ -539,9 +558,15 @@ object TextRetrieval {
     * df/stats resolved from the maintained views. */
   def incExactTopK(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int, termBuckets: Int = 16): DataFrame = {
+    // The constant-group stats row is DELETED when every doc has been
+    // incRemove'd — an empty index answers every query with zero hits,
+    // not a NoSuchElementException.
     val statsRow = graft.views.MaterializedAgg.read(spark, s"$dir/statsv")
-      .select(col("n_rows"), col("sum_dl")).head()
-    val (n, sdl) = (statsRow.getLong(0), statsRow.getLong(1))
+      .select(col("n_rows"), col("sum_dl")).collect().headOption
+    if (statsRow.isEmpty)
+      return spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("score"))
+    val (n, sdl) = (statsRow.get.getLong(0), statsRow.get.getLong(1))
     val buckets = terms.map(termBucket(_, termBuckets)).distinct
       .map(_.toString)
     val posts = graft.read.SnapshotReader.read(spark, s"$dir/postings")

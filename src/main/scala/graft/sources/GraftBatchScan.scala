@@ -259,7 +259,13 @@ private[sources] final class GraftBatchScan(
     case other =>
       val resolver = spark.sessionState.conf.resolver
       dataSchema.fields.find(f => resolver(f.name, colName)).flatMap { f =>
-        try {
+        // TIMESTAMP renders tz-DEPENDENTLY: the path/bucket was recorded
+        // with the WRITER session's zone, which this reader can't know —
+        // a reader under a different spark.sql.session.timeZone would
+        // render a different string and silently drop matching slices.
+        // Decline the prune (superset kept, rows still filtered exactly).
+        if (f.dataType == org.apache.spark.sql.types.TimestampType) None
+        else try {
           val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
             .convertToCatalyst(other)
           Option(Cast(Literal(cat, f.dataType), StringType,

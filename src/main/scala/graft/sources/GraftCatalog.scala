@@ -313,7 +313,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     schema.fieldNames.foreach(n =>
       require(!MetaCols.all.contains(n) && n != MetaCols.IsDeleted,
         s"column name '$n' is reserved for engine meta columns"))
-    val tpe = prop(FormatWriter.TypeKey).map(_.toLowerCase).getOrElse("cow")
+    val tpe = prop(FormatWriter.TypeKey).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("cow")
     require(tpe == "cow" || tpe == "mor",
       s"""graft type must be "cow" or "mor", got "$tpe"""")
     val buckets = prop(FormatWriter.BucketsKey).map(_.toInt).getOrElse(8)

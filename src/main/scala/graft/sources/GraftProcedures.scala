@@ -333,7 +333,7 @@ private[sources] object GraftProcedures {
             "termBuckets the index was built with", default = Some("16"))),
         out("doc_id" -> LongType, "score" -> LongType)) { (cat, r) =>
         val path = cat.resolveTablePath(str(r, 0))
-        val terms = str(r, 1).trim.toLowerCase.split("\\s+").toSeq
+        val terms = str(r, 1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
           .filter(_.nonEmpty)
         graft.pipeline.TextRetrieval.exactTopK(spark, s"$path/.text_index",
             terms, r.getInt(2), r.getInt(3))
@@ -352,7 +352,7 @@ private[sources] object GraftProcedures {
             "termBuckets the index was built with", default = Some("16"))),
         out("doc_id" -> LongType, "n_occur" -> LongType)) { (cat, r) =>
         val path = cat.resolveTablePath(str(r, 0))
-        val phrase = str(r, 1).trim.toLowerCase.split("\\s+").toSeq
+        val phrase = str(r, 1).trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
           .filter(_.nonEmpty)
         graft.pipeline.TextRetrieval.phraseTopK(spark, s"$path/.text_index",
             phrase, r.getInt(2), r.getInt(3))

@@ -821,7 +821,7 @@ private[graft] object SchemaEvolution {
           "written before the drop may still carry its values and would " +
           "resurrect them; rewrite the table (overwrite) under a new name")
     }
-    require(cols.map(_.name.toLowerCase).distinct.size == cols.size,
+    require(cols.map(_.name.toLowerCase(java.util.Locale.ROOT)).distinct.size == cols.size,
       "duplicate column names in ADD COLUMNS")
     // base ("commit") action: the recorded schema keeps the MOR delete
     // marker off, like every base-file commit (delta commits re-add it)

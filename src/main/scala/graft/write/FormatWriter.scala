@@ -279,10 +279,10 @@ private[graft] object FormatWriter {
     val part = parameters.get(PartColKey)
       .orElse(recordedExtra(timeline, PartColKey))
       .getOrElse(required(parameters, PartColKey))
-    val op = parameters.getOrElse("operation", "upsert").toLowerCase
+    val op = parameters.getOrElse("operation", "upsert").toLowerCase(java.util.Locale.ROOT)
     require(op == "upsert",
       s"""mode=Overwrite replaces the table; operation "$op" is meaningless here""")
-    val opt = parameters.get(TypeKey).map(_.toLowerCase)
+    val opt = parameters.get(TypeKey).map(_.toLowerCase(java.util.Locale.ROOT))
     opt.foreach(t => require(t == "cow" || t == "mor",
       s"""graft type must be "cow" or "mor", got "$t""""))
     val tpe = opt.orElse(recordedExtra(timeline, TypeKey)).getOrElse("cow")
@@ -314,7 +314,7 @@ private[graft] object FormatWriter {
   private def tableType(parameters: Map[String, String],
       timeline: Timeline): String = {
     val recorded = recordedExtra(timeline, TypeKey)
-    val opt = parameters.get(TypeKey).map(_.toLowerCase)
+    val opt = parameters.get(TypeKey).map(_.toLowerCase(java.util.Locale.ROOT))
     opt.foreach(t => require(t == "cow" || t == "mor",
       s"""graft type must be "cow" or "mor", got "$t""""))
     (opt, recorded) match {
@@ -364,7 +364,7 @@ private[graft] object FormatWriter {
     // write must still take the insert branch (an upsert would plan
     // against nothing)
     val noData = isNew || timeline.latestSlices(None).isEmpty
-    val op = parameters.getOrElse("operation", "upsert").toLowerCase
+    val op = parameters.getOrElse("operation", "upsert").toLowerCase(java.util.Locale.ROOT)
     require(op == "upsert" || op == "delete" || op == "cdc",
       s"""graft operation must be "upsert", "delete" or "cdc", got "$op"""")
     require(!(isNew && op == "delete"),

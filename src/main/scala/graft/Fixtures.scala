@@ -503,6 +503,47 @@ object Fixtures {
       tbl
     }
 
+  /** MOR twin of [[dsv2Dir]] with OUTSTANDING deltas (never compacted):
+    * CTAS of even keys, a DELTA upsert of %3 keys at +100000, a DELTA
+    * delete of status 'F' — content-identical to `orders_ins`, so it
+    * shares its oracle arithmetic, but every read must run the per-group
+    * merge. The `q_v2_spj_mor` fixture: storage-partitioned joins must
+    * survive compaction lag (VERDICT r10 #1). */
+  def dsv2MorDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      dsv2Dir(spark, sfDir) // ensures catalog conf + namespace exist
+      val wh = s"${root(sfDir)}/dsv2_wh"
+      val cat = "graft_fix_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+      val tbl = s"$cat.main.orders_mor"
+      val dir = s"$wh/main/orders_mor"
+      def derived(price: String) =
+        s"CAST(round(($price) * 100) AS BIGINT) AS o_cents"
+      if (!complete(spark, dir, 4)) {
+        rm(spark, dir)
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .createOrReplaceTempView("graft_dsv2_mor_src")
+        spark.sql(
+          s"""CREATE TABLE $tbl PARTITIONED BY (o_orderstatus)
+             |TBLPROPERTIES (key 'o_orderkey', buckets '8', type 'mor')
+             |AS SELECT o.*, ${derived("o_totalprice")}
+             |FROM graft_dsv2_mor_src o WHERE o_orderkey % 2 = 0"""
+            .stripMargin)
+        spark.sql( // DELTA upsert
+          s"""INSERT INTO $tbl SELECT o_orderkey, o_custkey, o_orderstatus,
+             |o_totalprice + 100000, o_orderdate, o_orderpriority,
+             |${derived("o_totalprice + 100000")}
+             |FROM graft_dsv2_mor_src WHERE o_orderkey % 3 = 0"""
+            .stripMargin)
+        spark.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'F'") // DELTA
+        // the fixture's whole point: deltas must be OUTSTANDING
+        val tl = graft.format.Timeline(
+          spark.sessionState.newHadoopConf(), dir)
+        require(tl.latestSlices(None).values.exists(_.deltas.nonEmpty),
+          s"dsv2MorDir fixture expected outstanding deltas at $dir")
+      }
+      tbl
+    }
+
   def sqlDmlDir(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = s"${root(sfDir)}/orders_sqldml"
     if (!complete(spark, dir, 4)) {

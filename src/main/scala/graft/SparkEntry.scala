@@ -212,6 +212,27 @@ object SparkEntry {
         s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }),
+    // q_v2_spj_mor (r11): the same storage-partitioned join with the
+    // fact side carrying OUTSTANDING MOR deltas — the native MOR batch
+    // scan (GraftMorBatchScan) plans per-file-group merge tasks and
+    // reports the same bucket partitioning, so the join still plans with
+    // zero Exchange through compaction lag (plan-asserted in
+    // Dsv2CatalogSpec; value-gated here against the same DuckDB oracle
+    // arithmetic, since the MOR twin is content-identical).
+    "q_v2_spj_mor" -> ((s, d) => {
+      val mor = Fixtures.dsv2MorDir(s, d)
+      val dim = Fixtures.dsv2DimDir(s, d)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try
+        s.sql(s"""SELECT a.o_orderkey, a.o_cents, b.o_cents_dim
+          FROM $mor a JOIN $dim b ON a.o_orderkey = b.o_orderkey
+          ORDER BY a.o_orderkey""").localCheckpoint(true)
+      finally {
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }),
     // q_call_delete_view (r10): the reference's core operation driven
     // through the SQL CALL procedure surface (graft.sources
     // .GraftProcedures) — `CALL cat.system.delete_view(...)` materializes
@@ -1489,6 +1510,19 @@ object SparkEntry {
     // the SPJ fixture pair: orders_ins (keys %2/%3, 'F' deleted, %3 rows
     // at +100000) joined with orders_dim (keys %5, cents+7)
     "q_v2_spj" ->
+      ("SELECT a.o_orderkey, a.o_cents, b.o_cents_dim FROM " +
+        "(SELECT o_orderkey, CAST(round((CASE WHEN o_orderkey % 3 = 0 " +
+        "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) " +
+        "AS BIGINT) AS o_cents FROM orders " +
+        "WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
+        "AND o_orderstatus <> 'F') a JOIN " +
+        "(SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "+ 7 AS o_cents_dim FROM orders WHERE o_orderkey % 5 = 0) b " +
+        "ON a.o_orderkey = b.o_orderkey ORDER BY a.o_orderkey"),
+    // the MOR twin is content-identical to orders_ins (only the storage
+    // layout differs: outstanding deltas merged per group at read time),
+    // so it shares the SPJ oracle arithmetic verbatim
+    "q_v2_spj_mor" ->
       ("SELECT a.o_orderkey, a.o_cents, b.o_cents_dim FROM " +
         "(SELECT o_orderkey, CAST(round((CASE WHEN o_orderkey % 3 = 0 " +
         "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) " +

@@ -53,35 +53,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[GraftScanBuilder]]'s `nativeEligible`, mirrored by the
   * `spark.graft.catalog.nativeScan` kill switch (default on).
   */
-private[sources] final class GraftBatchScan(
-    table: GraftV2Table,
-    required: StructType,
-    pushedExprs: Seq[Expression],
-    pushedV1: Array[Filter],
-    slices: Seq[FileSlice],
-    keyCol: String,
-    partCol: String,
-    buckets: Int,
-    dataSchema: StructType,
-    sizeOf: Map[String, Long],
-    rowsOf: Map[String, Long]) extends Scan with Batch
-    with SupportsReportPartitioning with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+/** Slice-level pruning machinery shared by the two native batch scans
+  * ([[GraftBatchScan]] delta-free, [[GraftMorBatchScan]] delta-carrying):
+  * static pruning from the pushed V1 filters plus
+  * [[SupportsRuntimeFiltering]] narrowing — partition-column values drop
+  * whole partition directories, key values drop buckets. Sound for BOTH
+  * scans by the share-fate argument: every version of a key (base row,
+  * delta upsert, delete marker) lives in the key's one group under the
+  * key's one partition, so group-level pruning can never change merge
+  * results. */
+private[sources] trait GraftScanPruning extends SupportsRuntimeFiltering {
 
-  private def spark: SparkSession = SparkSession.active
+  protected def table: GraftV2Table
+  protected def pushedV1: Array[Filter]
+  protected def slices: Seq[FileSlice]
+  protected def keyCol: String
+  protected def partCol: String
+  protected def buckets: Int
+  protected def required: StructType
 
-  override def readSchema(): StructType = required
-
-  override def toBatch: Batch = this
-
-  override def description(): String =
-    s"GraftBatchScan(${table.name()}, buckets=$buckets, " +
-      s"files=${slices.size})"
-
-  // ---- partition planning ----------------------------------------------
+  protected def spark: SparkSession = SparkSession.active
 
   /** bucket id a writer stamped into a fileId (`<partition>-<bucket>`). */
-  private def bucketOf(sl: FileSlice): Int =
+  protected def bucketOf(sl: FileSlice): Int =
     sl.fileId.substring(sl.fileId.lastIndexOf('-') + 1).toInt
 
   // runtime filters narrow these; None = no constraint (superset-safe)
@@ -96,7 +90,7 @@ private[sources] final class GraftBatchScan(
   private lazy val staticPrunes: (Option[Set[String]], Option[Set[Int]]) =
     prunesFrom(pushedV1)
 
-  private def liveSlices: Seq[FileSlice] =
+  protected def liveSlices: Seq[FileSlice] =
     slices.filter(sl =>
       allowedPartitions.forall(_.contains(sl.partitionPath)) &&
         allowedBuckets.forall(_.contains(bucketOf(sl))) &&
@@ -110,9 +104,121 @@ private[sources] final class GraftBatchScan(
     * scan to one task per bucket, the right trade for a co-located join
     * workload and the wrong one for every plain scan, so it stays opt-in
     * per session rather than riding the global default. */
-  private def spjEnabled: Boolean =
+  protected def spjEnabled: Boolean =
     spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
       .toBoolean
+
+  // ---- runtime filtering -----------------------------------------------
+
+  override def filterAttributes(): Array[NamedReference] = {
+    // Spark resolves these against the scan OUTPUT (a pruned projection
+    // may have dropped the partition or key column) — advertise only the
+    // prunable columns the query actually reads
+    val resolver = spark.sessionState.conf.resolver
+    Seq(partCol, keyCol).distinct
+      .filter(c => required.fields.exists(f => resolver(f.name, c)))
+      .map(Expressions.column).toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val (ps, bs) = prunesFrom(filters)
+    ps.foreach(s => allowedPartitions =
+      Some(allowedPartitions.fold(s)(_ intersect s)))
+    bs.foreach(s => allowedBuckets =
+      Some(allowedBuckets.fold(s)(_ intersect s)))
+  }
+
+  /** The (partition-path set, bucket set) an EqualTo/In filter array
+    * narrows to — shared by runtime filtering and the STATIC pushed-V1
+    * pruning in [[liveSlices]]. A filter whose shape or values cannot be
+    * rendered safely contributes nothing (superset kept). */
+  private def prunesFrom(filters: Array[Filter])
+      : (Option[Set[String]], Option[Set[Int]]) = {
+    val resolver = spark.sessionState.conf.resolver
+    var parts: Option[Set[String]] = None
+    var bks: Option[Set[Int]] = None
+    def and[A](cur: Option[Set[A]], s: Set[A]): Option[Set[A]] =
+      Some(cur.fold(s)(_ intersect s))
+    def bucketIn(r: String): Int =
+      GraftBucketFunction.bucketOf(UTF8String.fromString(r), buckets)
+    filters.foreach {
+      case In(a, vs) if resolver(a, partCol) =>
+        val rendered = vs.filter(_ != null).map(renderAs(_, partCol))
+        if (rendered.forall(_.isDefined)) // one unrenderable value ⇒ the
+          parts = and(parts, rendered.flatten.toSet) // prune is unsound
+      case EqualTo(a, v) if resolver(a, partCol) && v != null =>
+        renderAs(v, partCol).foreach(r => parts = and(parts, Set(r)))
+      case In(a, vs) if resolver(a, keyCol) =>
+        val rendered = vs.filter(_ != null).map(renderAs(_, keyCol))
+        if (rendered.forall(_.isDefined))
+          bks = and(bks, rendered.flatten.map(bucketIn).toSet)
+      case EqualTo(a, v) if resolver(a, keyCol) && v != null =>
+        renderAs(v, keyCol).foreach(r => bks = and(bks, Set(bucketIn(r))))
+      case _ => () // unknown shape: keep everything (superset is safe)
+    }
+    (parts, bks)
+  }
+
+  /** A filter value → the column's RECORDED string rendering. Writers
+    * record a slice's partition path as `partCol.cast("string")` and hash
+    * buckets from `key.cast("string")`; both static and runtime filter
+    * values must reproduce that EXACT form or a prune silently drops
+    * matching slices — a Timestamp's Java `toString` is NOT its Spark
+    * cast (r10 review finding). Values arrive as EXTERNAL Scala/Java
+    * objects (Spark's default `SupportsRuntimeFiltering.filter` converts
+    * through `CatalystTypeConverters.convertToScala`), so non-string
+    * values render through Spark's own `Cast` over the column's declared
+    * type with the session time zone; anything that fails to convert
+    * DECLINES the prune (None → superset kept, never a wrong drop). */
+  private def renderAs(v: Any, colName: String): Option[String] = v match {
+    case s: String => Some(s)
+    case u: UTF8String => Some(u.toString)
+    case other =>
+      val resolver = spark.sessionState.conf.resolver
+      table.fullSchema.fields.find(f => resolver(f.name, colName))
+        .flatMap { f =>
+        // TIMESTAMP renders tz-DEPENDENTLY: the path/bucket was recorded
+        // with the WRITER session's zone, which this reader can't know —
+        // a reader under a different spark.sql.session.timeZone would
+        // render a different string and silently drop matching slices.
+        // Decline the prune (superset kept, rows still filtered exactly).
+        if (f.dataType == org.apache.spark.sql.types.TimestampType) None
+        else try {
+          val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToCatalyst(other)
+          Option(Cast(Literal(cat, f.dataType), StringType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+            .map(_.toString)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+  }
+}
+
+private[sources] final class GraftBatchScan(
+    protected val table: GraftV2Table,
+    protected val required: StructType,
+    pushedExprs: Seq[Expression],
+    protected val pushedV1: Array[Filter],
+    protected val slices: Seq[FileSlice],
+    protected val keyCol: String,
+    protected val partCol: String,
+    protected val buckets: Int,
+    dataSchema: StructType,
+    sizeOf: Map[String, Long],
+    rowsOf: Map[String, Long]) extends Scan with Batch
+    with GraftScanPruning
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftBatchScan(${table.name()}, buckets=$buckets, " +
+      s"files=${slices.size})"
+
+  // ---- partition planning ----------------------------------------------
 
   override def planInputPartitions(): Array[InputPartition] = {
     // file length from the commit-recorded write stat (zero FS RPCs);
@@ -190,90 +296,6 @@ private[sources] final class GraftBatchScan(
             live.map(sl => sizeOf(sl.fileId)).sum)
         else java.util.OptionalLong.empty()
     }
-
-  // ---- runtime filtering -----------------------------------------------
-
-  override def filterAttributes(): Array[NamedReference] = {
-    // Spark resolves these against the scan OUTPUT (a pruned projection
-    // may have dropped the partition or key column) — advertise only the
-    // prunable columns the query actually reads
-    val resolver = spark.sessionState.conf.resolver
-    Seq(partCol, keyCol).distinct
-      .filter(c => required.fields.exists(f => resolver(f.name, c)))
-      .map(Expressions.column).toArray
-  }
-
-  override def filter(filters: Array[Filter]): Unit = {
-    val (ps, bs) = prunesFrom(filters)
-    ps.foreach(s => allowedPartitions =
-      Some(allowedPartitions.fold(s)(_ intersect s)))
-    bs.foreach(s => allowedBuckets =
-      Some(allowedBuckets.fold(s)(_ intersect s)))
-  }
-
-  /** The (partition-path set, bucket set) an EqualTo/In filter array
-    * narrows to — shared by runtime filtering and the STATIC pushed-V1
-    * pruning in [[liveSlices]]. A filter whose shape or values cannot be
-    * rendered safely contributes nothing (superset kept). */
-  private def prunesFrom(filters: Array[Filter])
-      : (Option[Set[String]], Option[Set[Int]]) = {
-    val resolver = spark.sessionState.conf.resolver
-    var parts: Option[Set[String]] = None
-    var bks: Option[Set[Int]] = None
-    def and[A](cur: Option[Set[A]], s: Set[A]): Option[Set[A]] =
-      Some(cur.fold(s)(_ intersect s))
-    def bucketIn(r: String): Int =
-      GraftBucketFunction.bucketOf(UTF8String.fromString(r), buckets)
-    filters.foreach {
-      case In(a, vs) if resolver(a, partCol) =>
-        val rendered = vs.filter(_ != null).map(renderAs(_, partCol))
-        if (rendered.forall(_.isDefined)) // one unrenderable value ⇒ the
-          parts = and(parts, rendered.flatten.toSet) // prune is unsound
-      case EqualTo(a, v) if resolver(a, partCol) && v != null =>
-        renderAs(v, partCol).foreach(r => parts = and(parts, Set(r)))
-      case In(a, vs) if resolver(a, keyCol) =>
-        val rendered = vs.filter(_ != null).map(renderAs(_, keyCol))
-        if (rendered.forall(_.isDefined))
-          bks = and(bks, rendered.flatten.map(bucketIn).toSet)
-      case EqualTo(a, v) if resolver(a, keyCol) && v != null =>
-        renderAs(v, keyCol).foreach(r => bks = and(bks, Set(bucketIn(r))))
-      case _ => () // unknown shape: keep everything (superset is safe)
-    }
-    (parts, bks)
-  }
-
-  /** A filter value → the column's RECORDED string rendering. Writers
-    * record a slice's partition path as `partCol.cast("string")` and hash
-    * buckets from `key.cast("string")`; both static and runtime filter
-    * values must reproduce that EXACT form or a prune silently drops
-    * matching slices — a Timestamp's Java `toString` is NOT its Spark
-    * cast (r10 review finding). Values arrive as EXTERNAL Scala/Java
-    * objects (Spark's default `SupportsRuntimeFiltering.filter` converts
-    * through `CatalystTypeConverters.convertToScala`), so non-string
-    * values render through Spark's own `Cast` over the column's declared
-    * type with the session time zone; anything that fails to convert
-    * DECLINES the prune (None → superset kept, never a wrong drop). */
-  private def renderAs(v: Any, colName: String): Option[String] = v match {
-    case s: String => Some(s)
-    case u: UTF8String => Some(u.toString)
-    case other =>
-      val resolver = spark.sessionState.conf.resolver
-      dataSchema.fields.find(f => resolver(f.name, colName)).flatMap { f =>
-        // TIMESTAMP renders tz-DEPENDENTLY: the path/bucket was recorded
-        // with the WRITER session's zone, which this reader can't know —
-        // a reader under a different spark.sql.session.timeZone would
-        // render a different string and silently drop matching slices.
-        // Decline the prune (superset kept, rows still filtered exactly).
-        if (f.dataType == org.apache.spark.sql.types.TimestampType) None
-        else try {
-          val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
-            .convertToCatalyst(other)
-          Option(Cast(Literal(cat, f.dataType), StringType,
-              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
-            .map(_.toString)
-        } catch { case scala.util.control.NonFatal(_) => None }
-      }
-  }
 
   // ---- reading ---------------------------------------------------------
 

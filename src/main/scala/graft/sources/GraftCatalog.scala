@@ -1167,12 +1167,17 @@ private final class GraftScanBuilder(table: GraftV2Table,
         pushedSort, pushedLimit))
   }
 
-  /** The native batch scan ([[GraftBatchScan]]: reported bucket
-    * partitioning + runtime filtering) for the shapes it serves exactly:
-    * delta-free file slices, no LIMIT/TopN claim, full table identity
-    * (key/partition/buckets) recorded, bucket key of a string-renderable
-    * type. Anything else — and any planning surprise — declines to the
-    * V1-fallback scan, which is always correct. */
+  /** The native batch scans (reported bucket partitioning + runtime
+    * filtering) for the shapes they serve exactly: [[GraftBatchScan]] on
+    * delta-free slice sets (vectorized/columnar, byte-split), and — r11 —
+    * [[GraftMorBatchScan]] on states with outstanding MOR deltas (per-
+    * file-group merge tasks), so SPJ and runtime filtering survive
+    * compaction lag. Both require: no LIMIT/TopN claim, full table
+    * identity (key/partition/buckets) recorded, bucket key of a
+    * string-renderable type, parseable bucket fileIds; the MOR scan
+    * additionally requires base/delta writer schemas agreeing on every
+    * column it reads. Anything else — and any planning surprise —
+    * declines to the V1-fallback scan, which is always correct. */
   private def nativeScan(): Option[Scan] = try {
     val session = SparkSession.active
     if (!session.conf.get("spark.graft.catalog.nativeScan", "true")
@@ -1182,34 +1187,108 @@ private final class GraftScanBuilder(table: GraftV2Table,
       case Some(f) => f
       case None => return None // a claimed predicate with no V1 form
     }
-    val slices = table.timeline.latestSlices(table.asOfOpt).values.toSeq
-    if (slices.isEmpty ||
-        slices.exists(s => s.deltas.nonEmpty || s.relPath.isEmpty))
-      return None
-    // per-file sizes and row counts from the WRITE stats (r10) — exact
-    // scan statistics and split planning with zero FS RPCs on current
-    // tables; files from pre-size-recording commits fall back to one
-    // getFileStatus each at plan time
     val tl = table.timeline
-    val stats: Map[String, WriteStat] = slices.flatMap(sl =>
-      tl.metadata(sl.commitTs).statByFileId(sl.fileId)
-        .map(sl.fileId -> _._2)).toMap
-    for {
+    val slices = tl.latestSlices(table.asOfOpt).values.toSeq
+    if (slices.isEmpty) return None
+    val resolver = session.sessionState.conf.resolver
+    // shared identity gates
+    val identity = for {
       key <- table.keyColumnName
       part <- table.partitionColumnName
       buckets <- table.bucketCount
       keyField <- table.fullSchema.fields.find(f =>
-        session.sessionState.conf.resolver(f.name, key))
+        resolver(f.name, key))
       if GraftBucketFunction.renderable(keyField.dataType)
       if slices.forall(sl => sl.fileId.lastIndexOf('-') > 0 &&
         sl.fileId.drop(sl.fileId.lastIndexOf('-') + 1).toIntOption
           .exists(b => b >= 0 && b < buckets))
-    } yield new GraftBatchScan(table, required, pushedExprs, v1, slices,
-      key, part, buckets, table.fullSchema,
-      sizeOf = stats.flatMap { case (fid, st) =>
-        st.sizeBytes.map(fid -> _) },
-      rowsOf = stats.map { case (fid, st) => fid -> st.numWrites }): Scan
+    } yield (key, part, buckets)
+    identity.flatMap { case (key, part, buckets) =>
+      if (slices.forall(s => s.deltas.isEmpty && s.relPath.nonEmpty)) {
+        // per-file sizes and row counts from the WRITE stats (r10) — exact
+        // scan statistics and split planning with zero FS RPCs on current
+        // tables; files from pre-size-recording commits fall back to one
+        // getFileStatus each at plan time
+        val stats: Map[String, WriteStat] = slices.flatMap(sl =>
+          tl.metadata(sl.commitTs).statByFileId(sl.fileId)
+            .map(sl.fileId -> _._2)).toMap
+        Some(new GraftBatchScan(table, required, pushedExprs, v1, slices,
+          key, part, buckets, table.fullSchema,
+          sizeOf = stats.flatMap { case (fid, st) =>
+            st.sizeBytes.map(fid -> _) },
+          rowsOf = stats.map { case (fid, st) => fid -> st.numWrites })
+          : Scan)
+      } else morNativeScan(slices, key, part, buckets, v1)
+    }
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[GraftMorBatchScan]] eligibility + construction: the scan reads
+    * base files with the newest base-commit writer schema and delta files
+    * with the newest deltacommit writer schema, so every column it reads
+    * (required ∪ claimed-filter ∪ key/commit-time/seqno ∪ precombine)
+    * must exist under the SAME type in both — a mid-evolution mismatch
+    * declines to the V1 fallback (whose unionByName merge owns that
+    * case). */
+  private def morNativeScan(slices: Seq[FileSlice], key: String,
+      part: String, buckets: Int, v1: Array[Filter]): Option[Scan] = {
+    val session = SparkSession.active
+    val resolver = session.sessionState.conf.resolver
+    val tl = table.timeline
+    val live = slices.filter(s => s.relPath.nonEmpty || s.deltas.nonEmpty)
+    val anyBase = live.exists(_.relPath.nonEmpty)
+    val anyDelta = live.exists(_.deltas.nonEmpty)
+    def parse(j: String): StructType =
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType]
+    val baseSchema = tl.latestSchemaJson(table.asOfOpt,
+      Some(graft.format.Instant.CommitAction)).map(parse)
+    val deltaSchema = tl.latestSchemaJson(table.asOfOpt,
+      Some(graft.format.Instant.DeltaCommitAction)).map(parse)
+    if (anyBase && baseSchema.isEmpty) return None // pre-schema table
+    if (anyDelta && deltaSchema.isEmpty) return None
+    if (anyDelta && !deltaSchema.exists(_.fields.exists(
+        _.name == MetaCols.IsDeleted))) return None
+    // precombine: mirror the declarative merge (ignored unless the merged
+    // frame carries the column); require it on BOTH populated sides
+    val allCols = (baseSchema.toSeq ++ deltaSchema.toSeq)
+      .flatMap(_.fieldNames).toSet
+    val pc = tl.recordedExtraAsOf(FormatWriter.PrecombineKey, table.asOfOpt)
+      .filter(allCols.contains)
+    val needed: Seq[String] =
+      (required.fieldNames.toSeq ++
+        pushedExprs.flatMap(_.collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.name
+        }) ++
+        Seq(MetaCols.RecordKey, MetaCols.CommitTime, MetaCols.CommitSeqno)
+        ++ pc.toSeq).distinct
+    def fieldIn(s: StructType, n: String) =
+      s.fields.find(f => resolver(f.name, n))
+    // every read column must exist on each populated side AND agree with
+    // the table schema's type (the merge schema types the readers by it)
+    val compatible = needed.forall { n =>
+      val full = fieldIn(table.fullSchema, n)
+      val b = baseSchema.flatMap(fieldIn(_, n))
+      val d = deltaSchema.flatMap(fieldIn(_, n))
+      full.nonEmpty &&
+        (!anyBase || b.exists(_.dataType == full.get.dataType)) &&
+        (!anyDelta || d.exists(_.dataType == full.get.dataType))
+    }
+    if (!compatible) return None
+    // recorded sizes keyed by relative path (base + delta files); missing
+    // entries fall back to one getFileStatus at plan time
+    val sizeOfPath: Map[String, Long] = live.flatMap { sl =>
+      val base = sl.relPath.flatMap(rel =>
+        tl.metadata(sl.commitTs).statByFileId(sl.fileId)
+          .flatMap(_._2.sizeBytes).map(rel -> _))
+      val deltas = sl.deltas.flatMap(d =>
+        tl.metadata(d.commitTs).statByFileId(sl.fileId)
+          .flatMap(_._2.sizeBytes).map(d.relPath -> _))
+      base.toSeq ++ deltas
+    }.toMap
+    Some(new GraftMorBatchScan(table, required, pushedExprs, v1, live,
+      key, part, buckets, baseSchema, deltaSchema, pc, sizeOfPath))
+  }
 }
 
 /** The metadata-answered aggregate scan: a handful of in-memory rows

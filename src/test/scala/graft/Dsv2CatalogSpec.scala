@@ -144,8 +144,8 @@ class Dsv2CatalogSpec extends SparkSpec {
     // column pruning reached the scan: its readSchema is just (part, v)
     assert(!q.queryExecution.executedPlan.toString
       .contains(MetaCols.CommitTime))
-    // the same query against a DELTA-carrying (MOR) state declines to the
-    // V1-fallback scan, whose plan owns the window-merge semantics
+    // the same query against a DELTA-carrying (MOR) state serves through
+    // the native MOR batch scan (r11): per-file-group merge tasks
     val m = freshTable("t6m")
     spark.sql(s"""CREATE TABLE $m (id BIGINT, part STRING, v BIGINT)
       PARTITIONED BY (part)
@@ -154,8 +154,8 @@ class Dsv2CatalogSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $m VALUES (2,'b',25), (3,'a',30)") // deltas
     val qm = spark.sql(s"SELECT v FROM $m WHERE part = 'b'")
     assert(qm.queryExecution.executedPlan.collectLeaves()
-      .exists(_.toString.contains("GraftV1FallbackScan")),
-      s"MOR deltas must decline the native scan:\n${qm.queryExecution}")
+      .exists(_.toString.contains("GraftMorBatchScan")),
+      s"MOR deltas must serve via the native MOR scan:\n${qm.queryExecution}")
     assert(qm.as[Long].collect().toSeq == Seq(25L))
   }
 
@@ -724,9 +724,9 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(j.as[(Long, Long, Long)].collect().toSeq.sorted ==
       Seq((1L, 10L, 100L), (2L, 20L, 200L)))
 
-    // a small MOR table with OUTSTANDING DELTAS declines the native scan
-    // but its V1-fallback scan still reports recorded bytes (an upper
-    // bound on the merge output) — it auto-broadcasts too
+    // a small MOR table with OUTSTANDING DELTAS serves via the native MOR
+    // scan (r11), which reports recorded bytes (an upper bound on the
+    // merge output) — it auto-broadcasts too
     val sm = freshTable("stat_mor")
     spark.sql(s"""CREATE TABLE $sm (id BIGINT, part STRING, w BIGINT)
       PARTITIONED BY (part)
@@ -737,8 +737,8 @@ class Dsv2CatalogSpec extends SparkSpec {
       s"JOIN $sm s ON b.id = s.id")
     val p2 = j2.queryExecution.executedPlan.toString
     assert(p2.contains("BroadcastHashJoin") &&
-      p2.contains("GraftV1FallbackScan"),
-      s"expected broadcast V1-fallback MOR side:\n$p2")
+      p2.contains("GraftMorBatchScan"),
+      s"expected broadcast native MOR side:\n$p2")
     assert(j2.as[(Long, Long)].collect().toSeq.sorted ==
       Seq((1L, 100L), (3L, 333L)))
   }
@@ -986,6 +986,120 @@ class Dsv2CatalogSpec extends SparkSpec {
       .forall(l => !l.toString.contains("GraftV1FallbackScan")))
     val viaApi = read.SnapshotReader.read(spark, dir)
     assert(viaApi.collect().length == viaFormat.collect().length)
+  }
+
+  test("native MOR batch scan ≡ V1 fallback: merge semantics through deltas (r11)") {
+    conf()
+    val t = freshTable("mor_nat")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '4', type 'mor')""")
+    spark.sql(s"INSERT INTO $t VALUES " + // base files
+      (1 to 40).map(i => s"($i, 'p${i % 3}', ${i * 10})").mkString(", "))
+    val midTs = Timeline(spark.sessionState.newHadoopConf(),
+      s"$wh/ns/mor_nat").completedInstants().last.ts
+    spark.sql(s"INSERT INTO $t VALUES " + // delta upserts + new keys
+      ((2 to 10 by 2).map(i => s"($i, 'p${i % 3}', ${i * 1000})") ++
+        Seq("(41, 'p1', 410)", "(42, 'p2', 420)")).mkString(", "))
+    spark.sql(s"DELETE FROM $t WHERE id IN (7, 13)") // delta delete markers
+    spark.sql(s"INSERT INTO $t VALUES (7, 'p1', 777)") // resurrection
+    def fallback(q: String) = {
+      spark.conf.set("spark.graft.catalog.nativeScan", "false")
+      try spark.sql(q).collect().toSeq
+      finally spark.conf.unset("spark.graft.catalog.nativeScan")
+    }
+    for (q <- Seq(
+      s"SELECT * FROM $t",
+      s"SELECT id, v FROM $t WHERE part = 'p1' AND v > 100",
+      s"SELECT ${MetaCols.CommitTime}, id FROM $t WHERE id <= 9",
+      s"SELECT part, v FROM $t WHERE id % 4 = 1", // expression predicate
+      s"SELECT v FROM $t WHERE id = 42", // bucket-pruned key lookup
+      s"SELECT count(*) FROM $t", // agg declines to scan on deltas
+      s"SELECT * FROM $t VERSION AS OF '$midTs'")) {
+      val n = spark.sql(q)
+      assert(n.collect().toSeq.toSet == fallback(q).toSet, s"mismatch: $q")
+    }
+    // deletes and resurrection resolved exactly
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 7").as[Long]
+      .collect().toSeq == Seq(777L))
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 13").count() == 0)
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 4").as[Long]
+      .collect().toSeq == Seq(4000L))
+    // the default plan IS the native MOR scan while deltas are outstanding
+    val plan = spark.sql(s"SELECT * FROM $t").queryExecution.executedPlan
+    assert(plan.collectLeaves().exists(
+      _.toString.contains("GraftMorBatchScan")),
+      s"native MOR scan expected:\n$plan")
+    // the pre-delta version has no deltas: the delta-free native scan
+    val tt = spark.sql(s"SELECT * FROM $t VERSION AS OF '$midTs'")
+    assert(tt.queryExecution.executedPlan.collectLeaves().exists(
+      _.toString.contains("GraftBatchScan(")),
+      s"delta-free time travel should use the plain native scan:\n" +
+        s"${tt.queryExecution.executedPlan}")
+  }
+
+  test("native MOR scan: precombine event-time ordering parity (r11)") {
+    conf()
+    val t = freshTable("mor_pc")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT,
+      pc BIGINT) PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '2', type 'mor',
+        precombine 'pc')""")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      (1 to 10).map(i => s"($i, 'a', ${i * 10}, 100)").mkString(", "))
+    // a STALE delta (pc 50 < 100) must not shadow the base row; a newer
+    // one (pc 200) must win; a delete then re-insert resurrects
+    spark.sql(s"INSERT INTO $t VALUES (2, 'a', 999, 50)")   // stale
+    spark.sql(s"INSERT INTO $t VALUES (3, 'a', 333, 200)")  // newer
+    spark.sql(s"DELETE FROM $t WHERE id = 4")
+    spark.sql(s"INSERT INTO $t VALUES (4, 'a', 444, 60)")   // resurrect
+    def fallback(q: String) = {
+      spark.conf.set("spark.graft.catalog.nativeScan", "false")
+      try spark.sql(q).collect().toSeq
+      finally spark.conf.unset("spark.graft.catalog.nativeScan")
+    }
+    val q = s"SELECT id, v, pc FROM $t"
+    assert(spark.sql(q).collect().toSeq.toSet == fallback(q).toSet)
+    val got = spark.sql(s"SELECT id, v FROM $t WHERE id <= 4 ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 333L), (4L, 444L)),
+      s"precombine merge mismatch: $got")
+    assert(spark.sql(s"SELECT * FROM $t").queryExecution.executedPlan
+      .collectLeaves().exists(_.toString.contains("GraftMorBatchScan")))
+  }
+
+  test("storage-partitioned join with OUTSTANDING deltas: zero Exchange (r11)") {
+    conf()
+    val t1 = freshTable("spjm1"); val t2 = freshTable("spjm2")
+    for (t <- Seq(t1, t2))
+      spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+        PARTITIONED BY (part)
+        TBLPROPERTIES (key 'id', buckets '4', type 'mor')""")
+    spark.sql(s"INSERT INTO $t1 VALUES " +
+      (1 to 30).map(i => s"($i, 'p${i % 2}', $i)").mkString(", "))
+    spark.sql(s"INSERT INTO $t2 VALUES " +
+      (11 to 40).map(i => s"($i, 'q${i % 3}', ${i * 100})").mkString(", "))
+    // outstanding deltas on BOTH sides
+    spark.sql(s"INSERT INTO $t1 VALUES (12, 'p0', 1200)")
+    spark.sql(s"INSERT INTO $t2 VALUES (12, 'q0', 120000)")
+    spark.sql(s"DELETE FROM $t1 WHERE id = 15")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.sql(
+        s"SELECT a.id, a.v, b.v FROM $t1 a JOIN $t2 b ON a.id = b.id")
+      val expected = ((11 to 30).toSet - 15).toSeq.sorted.map { i =>
+        (i.toLong,
+          if (i == 12) 1200L else i.toLong,
+          if (i == 12) 120000L else i * 100L)
+      }
+      assert(j.as[(Long, Long, Long)].collect().toSeq.sorted == expected)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"SPJ through outstanding deltas must plan no shuffle:\n$plan")
+      assert(plan.contains("GraftMorBatchScan"))
+    } finally Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").foreach(spark.conf.unset)
   }
 
   test("a format-written table in the warehouse is immediately catalog-visible") {

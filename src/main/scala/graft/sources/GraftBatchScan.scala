@@ -205,7 +205,11 @@ private[sources] final class GraftBatchScan(
     protected val buckets: Int,
     dataSchema: StructType,
     sizeOf: Map[String, Long],
-    rowsOf: Map[String, Long]) extends Scan with Batch
+    rowsOf: Map[String, Long],
+    limit: Option[Int] = None,
+    sortCols: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+      Seq.empty)
+    extends Scan with Batch
     with GraftScanPruning
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -216,7 +220,9 @@ private[sources] final class GraftBatchScan(
 
   override def description(): String =
     s"GraftBatchScan(${table.name()}, buckets=$buckets, " +
-      s"files=${slices.size})"
+      s"files=${slices.size}" +
+      limit.fold("")(n => s", limit=$n" +
+        (if (sortCols.nonEmpty) " (top-n)" else "")) + ")"
 
   // ---- partition planning ----------------------------------------------
 
@@ -304,7 +310,10 @@ private[sources] final class GraftBatchScan(
     val resolver = session.sessionState.conf.resolver
     // the parquet reader must ALSO read columns referenced only by
     // claimed predicates (Spark pruned them out of `required`)
-    val filterCols = pushedExprs
+    // sort expressions (TopN pushdown): SortOrder wrappers whose children
+    // reference table columns — those columns must be read too
+    val sortExprs: Seq[Expression] = sortCols
+    val extraCols = (pushedExprs ++ sortExprs)
       .flatMap(_.collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           a.name
@@ -312,11 +321,11 @@ private[sources] final class GraftBatchScan(
       .distinct
       .filterNot(n => required.fields.exists(f => resolver(f.name, n)))
       .flatMap(n => dataSchema.fields.find(f => resolver(f.name, n)))
-    val readSchema = StructType(required.fields ++ filterCols)
-    // bind claimed predicates to the read schema and resolve session time
-    // zone (driver-side; executors just evaluate)
+    val readSchema = StructType(required.fields ++ extraCols)
+    // bind claimed predicates / sort orders to the read schema and resolve
+    // session time zone (driver-side; executors just evaluate)
     val tz = session.sessionState.conf.sessionLocalTimeZone
-    val bound: Seq[Expression] = pushedExprs.map(_.transform {
+    def bind(e: Expression): Expression = e.transform {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         val i = readSchema.fields.indexWhere(f => resolver(f.name, a.name))
         require(i >= 0, s"claimed predicate column ${a.name} unresolved")
@@ -325,21 +334,30 @@ private[sources] final class GraftBatchScan(
     }.transform {
       case e: TimeZoneAwareExpression if e.timeZoneId.isEmpty =>
         e.withTimeZone(tz)
-    })
+    }
+    val bound: Seq[Expression] = pushedExprs.map(bind)
+    val boundSort: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+      sortExprs.map(bind).map {
+        case s: org.apache.spark.sql.catalyst.expressions.SortOrder => s
+        case other => throw new IllegalStateException(
+          s"pushed sort is not a SortOrder: $other")
+      }
     val fmt = new org.apache.spark.sql.execution.datasources.parquet
       .ParquetFileFormat()
     // columnar passthrough when nothing row-level remains to do and the
     // vectorized reader elects batches for this schema; the reader is
-    // TOLD which shape the consumer takes (its returning_batch contract)
-    val columnar = bound.isEmpty && filterCols.isEmpty &&
-      fmt.supportBatch(session, readSchema)
+    // TOLD which shape the consumer takes (its returning_batch contract).
+    // A plain LIMIT keeps batches (the columnar reader stops once the
+    // cumulative row count covers the limit); TopN needs rows.
+    val columnar = bound.isEmpty && extraCols.isEmpty &&
+      boundSort.isEmpty && fmt.supportBatch(session, readSchema)
     val readFunc = org.apache.spark.sql.graft.Bridge.parquetReadFunc(
       session, dataSchema, readSchema, pushedV1.toSeq,
       Map(org.apache.spark.sql.graft.Bridge.returningBatchKey ->
         columnar.toString),
       session.sessionState.newHadoopConf())
     GraftReaderFactory(readFunc, readSchema, required.length, bound,
-      columnar)
+      columnar, limit, boundSort)
   }
 }
 
@@ -364,7 +382,10 @@ private[sources] final case class GraftReaderFactory(
     readSchema: StructType,
     requiredLen: Int,
     bound: Seq[Expression],
-    columnar: Boolean) extends PartitionReaderFactory {
+    columnar: Boolean,
+    limit: Option[Int] = None,
+    boundSort: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+      Seq.empty) extends PartitionReaderFactory {
 
   private def fileIterator(partition: InputPartition)
       : Iterator[InternalRow] = (partition match {
@@ -379,8 +400,23 @@ private[sources] final case class GraftReaderFactory(
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val it = fileIterator(partition)
+    val raw = fileIterator(partition)
       .asInstanceOf[Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]]
+    // early-stopping LIMIT (partial semantics): stop pulling batches once
+    // the cumulative row count covers the limit — Spark's own limit above
+    // trims the final batch; the task never decodes past it
+    val it = limit match {
+      case Some(n) => new Iterator[
+          org.apache.spark.sql.vectorized.ColumnarBatch] {
+        private var seen = 0L
+        override def hasNext: Boolean = seen < n && raw.hasNext
+        override def next()
+            : org.apache.spark.sql.vectorized.ColumnarBatch = {
+          val b = raw.next(); seen += b.numRows(); b
+        }
+      }
+      case None => raw
+    }
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
       override def next(): Boolean =
@@ -406,14 +442,37 @@ private[sources] final case class GraftReaderFactory(
         pred.initialize(0)
         raw.filter(pred.eval)
       }
+    // TopN / LIMIT pushdown, PARTIAL semantics (the builder keeps
+    // isPartiallyPushed=true, so Spark's final TakeOrderedAndProject /
+    // limit runs above): TopN keeps a bounded heap of the task's best n
+    // rows under the pushed ordering — O(n) memory, one streaming pass;
+    // plain LIMIT stops the task after n filtered rows.
+    val shaped: Iterator[InternalRow] = (limit, boundSort) match {
+      case (Some(n), sort) if sort.nonEmpty =>
+        val ord: Ordering[InternalRow] =
+          new org.apache.spark.sql.catalyst.expressions.codegen
+            .LazilyGeneratedOrdering(sort)
+        val heap = new java.util.PriorityQueue[InternalRow](
+          math.max(n, 1), ord.reverse) // peek = worst of the best n
+        filtered.foreach { r =>
+          if (heap.size < n) heap.offer(r.copy())
+          else if (n > 0 && ord.compare(r, heap.peek()) < 0) {
+            heap.poll(); heap.offer(r.copy())
+          }
+        }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(heap.iterator())
+          .asScala
+      case (Some(n), _) => filtered.take(n)
+      case _ => filtered
+    }
     val it =
-      if (readSchema.length == requiredLen) filtered
+      if (readSchema.length == requiredLen) shaped
       else {
         val proj = UnsafeProjection.create(
           (0 until requiredLen).map(i => BoundReference(i,
             readSchema.fields(i).dataType,
             readSchema.fields(i).nullable): Expression))
-        filtered.map(proj)
+        shaped.map(proj)
       }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _

@@ -1039,7 +1039,8 @@ private final class GraftScanBuilder(table: GraftV2Table,
   // instead of the table) — and Spark's own final limit/sort stays above
   // for exactness, costing O(n) over the already-reduced rows.
   private var pushedLimit: Option[Int] = None
-  private var pushedSort: Seq[org.apache.spark.sql.Column] = Seq.empty
+  private var pushedSort: Seq[
+    org.apache.spark.sql.catalyst.expressions.SortOrder] = Seq.empty
 
   // both parent defaults return true; Scala requires the diamond resolved
   override def isPartiallyPushed(): Boolean = true
@@ -1053,24 +1054,20 @@ private final class GraftScanBuilder(table: GraftV2Table,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
-    val cols = orders.toSeq.map { o =>
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    val sorts = orders.toSeq.map { o =>
       org.apache.spark.sql.catalyst.expressions.V2ExpressionUtils
         .toCatalyst(o.expression()) match {
         case Some(e) =>
-          val c = org.apache.spark.sql.graft.Bridge.column(e)
-          (o.direction(), o.nullOrdering()) match {
-            case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) =>
-              c.asc_nulls_first
-            case (SortDirection.ASCENDING, NullOrdering.NULLS_LAST) =>
-              c.asc_nulls_last
-            case (SortDirection.DESCENDING, NullOrdering.NULLS_FIRST) =>
-              c.desc_nulls_first
-            case (_, _) => c.desc_nulls_last
-          }
+          val dir = if (o.direction() == SortDirection.ASCENDING)
+            ce.Ascending else ce.Descending
+          val no = if (o.nullOrdering() == NullOrdering.NULLS_FIRST)
+            ce.NullsFirst else ce.NullsLast
+          ce.SortOrder(e, dir, no, Seq.empty)
         case None => return false
       }
     }
-    pushedSort = cols
+    pushedSort = sorts
     pushedLimit = Some(limit)
     true
   }
@@ -1182,7 +1179,6 @@ private final class GraftScanBuilder(table: GraftV2Table,
     val session = SparkSession.active
     if (!session.conf.get("spark.graft.catalog.nativeScan", "true")
         .toBoolean) return None
-    if (pushedLimit.nonEmpty || pushedSort.nonEmpty) return None
     val v1 = pushedV1 match {
       case Some(f) => f
       case None => return None // a claimed predicate with no V1 form
@@ -1216,9 +1212,12 @@ private final class GraftScanBuilder(table: GraftV2Table,
           key, part, buckets, table.fullSchema,
           sizeOf = stats.flatMap { case (fid, st) =>
             st.sizeBytes.map(fid -> _) },
-          rowsOf = stats.map { case (fid, st) => fid -> st.numWrites })
+          rowsOf = stats.map { case (fid, st) => fid -> st.numWrites },
+          limit = pushedLimit, sortCols = pushedSort)
           : Scan)
-      } else morNativeScan(slices, key, part, buckets, v1)
+      } else if (pushedSort.isEmpty) // MOR TopN stays with the V1 plan
+        morNativeScan(slices, key, part, buckets, v1)
+      else None
     }
   } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -1287,7 +1286,8 @@ private final class GraftScanBuilder(table: GraftV2Table,
       base.toSeq ++ deltas
     }.toMap
     Some(new GraftMorBatchScan(table, required, pushedExprs, v1, live,
-      key, part, buckets, baseSchema, deltaSchema, pc, sizeOfPath))
+      key, part, buckets, baseSchema, deltaSchema, pc, sizeOfPath,
+      limit = pushedLimit))
   }
 }
 
@@ -1320,7 +1320,8 @@ private final class GraftMetaAggScan(table: GraftV2Table,
 private final class GraftV1FallbackScan(table: GraftV2Table,
     required: StructType,
     pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-    sort: Seq[org.apache.spark.sql.Column] = Seq.empty,
+    sort: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+      Seq.empty,
     limit: Option[Int] = None)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1371,7 +1372,9 @@ private final class GraftV1FallbackScan(table: GraftV2Table,
           .map(org.apache.spark.sql.graft.Bridge.column)
           .foldLeft(base)(_ filter _)
         val sorted =
-          if (sort.nonEmpty) filtered.orderBy(sort: _*) else filtered
+          if (sort.nonEmpty) filtered.orderBy(sort.map(
+            org.apache.spark.sql.graft.Bridge.column): _*)
+          else filtered
         val limited = limit.fold(sorted)(sorted.limit)
         val projected =
           limited.select(required.fieldNames.map(col).toIndexedSeq: _*)

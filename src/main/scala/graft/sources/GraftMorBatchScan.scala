@@ -71,7 +71,8 @@ private[sources] final class GraftMorBatchScan(
     baseSchema: Option[StructType],
     deltaSchema: Option[StructType],
     precombineCol: Option[String],
-    sizeOfPath: Map[String, Long]) extends Scan with Batch
+    sizeOfPath: Map[String, Long],
+    limit: Option[Int] = None) extends Scan with Batch
     with GraftScanPruning
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -83,7 +84,8 @@ private[sources] final class GraftMorBatchScan(
   override def description(): String =
     s"GraftMorBatchScan(${table.name()}, buckets=$buckets, " +
       s"groups=${slices.size}, " +
-      s"deltas=${slices.map(_.deltas.size).sum})"
+      s"deltas=${slices.map(_.deltas.size).sum}" +
+      limit.fold("")(n => s", limit=$n") + ")"
 
   // ---- the merge read schema -------------------------------------------
   // required columns first (the output projection is a prefix take), then
@@ -236,7 +238,8 @@ private[sources] final class GraftMorBatchScan(
       seqIdx = idxOf(MetaCols.CommitSeqno),
       pcIdx = pcIdx,
       pcType = if (pcIdx >= 0) mergeSchema.fields(pcIdx).dataType else null,
-      isDelIdx = mergeSchema.length)
+      isDelIdx = mergeSchema.length,
+      limit = limit)
   }
 }
 
@@ -265,7 +268,8 @@ private[sources] final case class GraftMorReaderFactory(
     requiredLen: Int,
     bound: Seq[Expression],
     keyIdx: Int, ctIdx: Int, seqIdx: Int, pcIdx: Int, pcType: DataType,
-    isDelIdx: Int) extends PartitionReaderFactory {
+    isDelIdx: Int,
+    limit: Option[Int] = None) extends PartitionReaderFactory {
 
   private def pf(path: String, len: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty,
@@ -471,7 +475,11 @@ private[sources] final case class GraftMorReaderFactory(
       }
     }
 
-    val it = emitting(groups.iterator.flatMap(mergeGroup))
+    // early-stopping LIMIT, partial semantics: each task emits at most n
+    // MERGED+filtered rows (Spark's own limit above trims globally); the
+    // remaining groups of the task are never read
+    val merged = emitting(groups.iterator.flatMap(mergeGroup))
+    val it = limit.fold(merged)(merged.take)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

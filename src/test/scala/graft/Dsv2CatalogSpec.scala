@@ -198,16 +198,17 @@ class Dsv2CatalogSpec extends SparkSpec {
       PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '2')""")
     spark.sql(s"INSERT INTO $t VALUES " +
       (1 to 20).map(i => s"($i, 'p${i % 3}', ${i * 10})").mkString(", "))
-    // plain LIMIT: the scan carries it (plan-visible), result bounded
+    // plain LIMIT: the scan carries it (plan-visible), result bounded —
+    // since r11 the NATIVE scan serves limit shapes too
     val l = spark.sql(s"SELECT id FROM $t LIMIT 5")
-    assert(l.queryExecution.executedPlan.toString.contains("PushedLimit"),
+    assert(l.queryExecution.executedPlan.toString.contains("limit=5"),
       s"limit not pushed:\n${l.queryExecution.executedPlan}")
     assert(l.collect().length == 5)
-    // TopN: ORDER BY + LIMIT — the inner plan is a TakeOrdered (top-n per
-    // partition, one merge: O(n) rows cross the V2 boundary); Spark's
-    // final sort/limit stays above for exactness (partial semantics)
+    // TopN: ORDER BY + LIMIT — top-n per task, O(n) rows cross the V2
+    // boundary; Spark's final sort/limit stays above for exactness
+    // (partial semantics)
     val topn = spark.sql(s"SELECT id, v FROM $t ORDER BY v DESC LIMIT 3")
-    assert(topn.queryExecution.executedPlan.toString.contains("PushedTopN"),
+    assert(topn.queryExecution.executedPlan.toString.contains("top-n"),
       s"topN not pushed:\n${topn.queryExecution.executedPlan}")
     assert(topn.as[(Long, Long)].collect().toSeq ==
       Seq((20L, 200L), (19L, 190L), (18L, 180L)))
@@ -215,6 +216,19 @@ class Dsv2CatalogSpec extends SparkSpec {
     val fl = spark.sql(
       s"SELECT id FROM $t WHERE part = 'p1' ORDER BY id LIMIT 2")
     assert(fl.as[Long].collect().toSeq == Seq(1L, 4L))
+    // the V1-fallback path still pushes both (its own plan shapes)
+    spark.conf.set("spark.graft.catalog.nativeScan", "false")
+    try {
+      val lv = spark.sql(s"SELECT id FROM $t LIMIT 5")
+      assert(lv.queryExecution.executedPlan.toString
+        .contains("PushedLimit"),
+        s"V1 limit not pushed:\n${lv.queryExecution.executedPlan}")
+      assert(lv.collect().length == 5)
+      val tv = spark.sql(s"SELECT id, v FROM $t ORDER BY v DESC LIMIT 3")
+      assert(tv.queryExecution.executedPlan.toString.contains("PushedTopN"))
+      assert(tv.as[(Long, Long)].collect().toSeq ==
+        Seq((20L, 200L), (19L, 190L), (18L, 180L)))
+    } finally spark.conf.unset("spark.graft.catalog.nativeScan")
   }
 
   test("catalog DDL guards: reserved columns, missing key, bad partitioning") {
@@ -986,6 +1000,56 @@ class Dsv2CatalogSpec extends SparkSpec {
       .forall(l => !l.toString.contains("GraftV1FallbackScan")))
     val viaApi = read.SnapshotReader.read(spark, dir)
     assert(viaApi.collect().length == viaFormat.collect().length)
+  }
+
+  test("LIMIT / TopN pushdown stays on the native scans (r11)") {
+    conf()
+    val t = freshTable("lim_nat")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '4')""")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      (1 to 40).map(i => s"($i, 'p${i % 3}', ${i * 10})").mkString(", "))
+    // plain LIMIT: native delta-free scan with an early-stopping limit
+    val ql = spark.sql(s"SELECT id, v FROM $t LIMIT 7")
+    val pl = ql.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(pl.contains("GraftBatchScan") && pl.contains("limit=7"),
+      s"native limit scan expected:\n$pl")
+    assert(ql.collect().length == 7)
+    // ORDER BY ... LIMIT: per-task top-n heap inside the native scan;
+    // Spark's TakeOrderedAndProject above keeps exactness
+    val qt = spark.sql(s"SELECT id, v FROM $t ORDER BY v DESC LIMIT 5")
+    val pt = qt.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(pt.contains("GraftBatchScan") && pt.contains("top-n"),
+      s"native top-n scan expected:\n$pt")
+    assert(qt.as[(Long, Long)].collect().toSeq ==
+      (40 to 36 by -1).map(i => (i.toLong, i * 10L)))
+    // the sort column is NOT in the projection: still exact
+    val qs = spark.sql(s"SELECT id FROM $t ORDER BY v ASC LIMIT 3")
+    assert(qs.as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    assert(qs.queryExecution.executedPlan.collectLeaves()
+      .exists(_.toString.contains("top-n")))
+    // filtered TopN: predicate re-verified before the heap
+    val qf = spark.sql(
+      s"SELECT id FROM $t WHERE part = 'p1' ORDER BY v DESC LIMIT 2")
+    assert(qf.as[Long].collect().toSeq == Seq(40L, 37L))
+    // LIMIT on a delta-carrying MOR table: native MOR scan, post-merge
+    val m = freshTable("lim_mor")
+    spark.sql(s"""CREATE TABLE $m (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '2', type 'mor')""")
+    spark.sql(s"INSERT INTO $m VALUES (1,'a',10), (2,'b',20), (3,'a',30)")
+    spark.sql(s"INSERT INTO $m VALUES (2,'b',25)") // delta
+    val qm = spark.sql(s"SELECT id, v FROM $m LIMIT 2")
+    assert(qm.queryExecution.executedPlan.collectLeaves()
+      .exists(_.toString.contains("GraftMorBatchScan")),
+      s"native MOR limit expected:\n${qm.queryExecution.executedPlan}")
+    assert(qm.collect().length == 2)
+    // a merged value must never leak a stale version through the limit
+    val all = spark.sql(s"SELECT v FROM $m WHERE id = 2 LIMIT 1")
+      .as[Long].collect().toSeq
+    assert(all == Seq(25L), s"limit must see merged rows, got $all")
   }
 
   test("native MOR batch scan ≡ V1 fallback: merge semantics through deltas (r11)") {

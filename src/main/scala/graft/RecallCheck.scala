@@ -60,10 +60,11 @@ object RecallCheck {
     val embMissed = allPairs.exceptAll(blocked).count()
     val embRecall =
       if (nExact == 0) 1.0 else (nExact - embMissed).toDouble / nExact
-    // high-recall mode: 32 seeded bands (q_embed_neardup_hi's blocking)
+    // high-recall mode: 32 seeded bands + multi-probe (q_embed_neardup_hi)
     val blockedHi = Dedup.embeddingNearDupPairs(embs, col("vec_id"),
       col("embedding"), thresholdNum = 2, thresholdDen = 5,
-      bandCoords = Some(Dedup.signBandCoords(32, 8, 64, 7L)))
+      bandCoords = Some(Dedup.signBandCoords(32, 8, 64, 7L)),
+      multiProbe = true)
     val hiFalsePos = blockedHi.exceptAll(allPairs).count()
     val hiMissed = allPairs.exceptAll(blockedHi).count()
     val hiRecall =
@@ -221,7 +222,7 @@ object RecallCheck {
       s""""target":"precision == 1.0 (blocked is subset of exact); recall is the shipped blocking contract","pass":$embOk},""" +
       s""""embed_neardup_hi":{"exact":$nExact,"blocked":${nExact - hiMissed + hiFalsePos},""" +
       s""""false_positives":$hiFalsePos,"recall":$hiRecall,""" +
-      s""""target":"32 seeded bands: recall 1-(1-p)^32 at precision 1.0 — the recall knob","pass":${hiFalsePos == 0}},""" +
+      s""""target":"32 seeded bands + multi-probe (lowest-margin flip): recall >= 0.8 at precision 1.0","pass":${hiFalsePos == 0 && hiRecall >= 0.8}},""" +
       s""""lsh_topk":{"k":$k,"planes":6,"recall_at_k":$lshTopkRecall,""" +
       s""""target":"< 1 by design, tuned by planes"},""" +
       s""""ivf_topk":{"k":$k,"nlist":$nlist,""" +

@@ -233,6 +233,15 @@ object SparkEntry {
         s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
     }),
+    // q_v2_meta_count_mor (r11): COUNT(*) on the OUTSTANDING-DELTA MOR
+    // fixture answered from commit metadata alone — the delta-tolerant
+    // fold (base numWrites + Σ per-delta exact numInserts − numDeletes,
+    // recorded by MorWriter against the merged pre-commit snapshot);
+    // plan-asserted zero-file in Dsv2CatalogSpec, value-gated here.
+    "q_v2_meta_count_mor" -> ((s, d) => {
+      val mor = Fixtures.dsv2MorDir(s, d)
+      s.sql(s"SELECT count(*) AS n FROM $mor")
+    }),
     // q_call_delete_view (r10): the reference's core operation driven
     // through the SQL CALL procedure surface (graft.sources
     // .GraftProcedures) — `CALL cat.system.delete_view(...)` materializes
@@ -884,13 +893,15 @@ object SparkEntry {
           col("embedding"), thresholdNum = 2, thresholdDen = 5)
         .orderBy(col("id_a"), col("id_b"))),
     // High-recall blocking mode: 32 seeded sign-bands (vs the default 8
-    // consecutive ones) — recall 1 − (1−p)^32 instead of ^8 at identical
-    // precision (verification stays exact); the oracle embeds the same
-    // seeded coordinate literals.
+    // consecutive ones), r11: + MULTI-PROBE — each vector also probes its
+    // lowest-margin bit-flip bucket per band, recovering most single-bit
+    // misses (measured recall 0.49 → 0.82 at sf0.1, precision still 1.0,
+    // RECALL_r11). The oracle embeds the same seeded coordinate literals
+    // and the same argmin flip arithmetic.
     "q_embed_neardup_hi" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(tp(s, d, "embeddings"), col("vec_id"),
           col("embedding"), thresholdNum = 2, thresholdDen = 5,
-          bandCoords = Some(EmbedHiCoords))
+          bandCoords = Some(EmbedHiCoords), multiProbe = true)
         .orderBy(col("id_a"), col("id_b"))),
     // SemDeDup (r10): cluster-then-dedup — 32 seeded equal-norm Rademacher
     // anchors bound candidates to within-cluster pairs (Σ|c|² not n²; the
@@ -1368,17 +1379,40 @@ object SparkEntry {
     * 1:1 from Dedup.embeddingNearDupPairs for an arbitrary per-band
     * coordinate choice (all math integer — floor(x·1e6) quantization,
     * integer dot/norms, threshold 2/5 cross-multiplied in 128-bit — so the
-    * bucket words and the verdicts are bit-identical across engines). */
-  private def embedNearDupOracle(coords: Seq[Seq[Int]]): String = {
+    * bucket words and the verdicts are bit-identical across engines).
+    * With `multiProbe`, each side also carries its per-band PROBE bucket
+    * (home bucket with the LOWEST-|q| coordinate's sign bit flipped —
+    * first index on ties, exactly Spark's array_position(absv,
+    * array_min)); co-bucketed = home=home ∨ home=probe on either side
+    * (probe×probe excluded, like candidatePairsHomeProbe). */
+  private def embedNearDupOracle(coords: Seq[Seq[Int]],
+      multiProbe: Boolean = false): String = {
     val buckets = coords.zipWithIndex.map { case (cs, b) =>
       val bits = cs.zipWithIndex.map { case (c, j) =>
         s"(CASE WHEN qv[${c + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"($bits) AS b$b"
     }.mkString(", ")
-    val coBucketed = coords.indices.map(b => s"x.b$b = y.b$b").mkString(" OR ")
+    val probes = coords.zipWithIndex.map { case (cs, b) =>
+      val m = cs.map(c => s"abs(qv[${c + 1}])").mkString("LEAST(", ", ", ")")
+      val chain = cs.zipWithIndex.map { case (c, j) =>
+        s"WHEN abs(qv[${c + 1}]) = $m THEN xor(b$b, ${1L << j})"
+      }.mkString(" ")
+      s"(CASE $chain ELSE b$b END) AS pb$b"
+    }.mkString(", ")
+    val coBucketed =
+      if (multiProbe) coords.indices.map(b =>
+        s"(x.b$b = y.b$b OR x.b$b = y.pb$b OR x.pb$b = y.b$b)")
+        .mkString(" OR ")
+      else coords.indices.map(b => s"x.b$b = y.b$b").mkString(" OR ")
+    val nSelect =
+      if (multiProbe) s"n0 AS (SELECT vec_id, qv, " +
+        s"list_sum(list_transform(qv, v -> v * v)) AS nrm, $buckets " +
+        s"FROM q), n AS (SELECT *, $probes FROM n0)"
+      else s"n AS (SELECT vec_id, qv, " +
+        s"list_sum(list_transform(qv, v -> v * v)) AS nrm, $buckets FROM q)"
     "WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), v -> CAST(floor(v * 1000000) AS BIGINT)) AS qv FROM embeddings), " +
-      s"n AS (SELECT vec_id, qv, list_sum(list_transform(qv, v -> v * v)) AS nrm, $buckets FROM q), " +
+      s"$nSelect, " +
       "d AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, " +
       "list_sum(list_transform(list_zip(x.qv, y.qv), p -> p[1] * p[2])) AS dot, " +
       s"x.nrm AS na, y.nrm AS nb FROM n x JOIN n y ON x.vec_id < y.vec_id AND ($coBucketed)) " +
@@ -1519,6 +1553,11 @@ object SparkEntry {
         "(SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
         "+ 7 AS o_cents_dim FROM orders WHERE o_orderkey % 5 = 0) b " +
         "ON a.o_orderkey = b.o_orderkey ORDER BY a.o_orderkey"),
+    // the MOR twin's live keys are the same set as orders_ins'
+    "q_v2_meta_count_mor" ->
+      ("SELECT count(*) AS n FROM orders " +
+        "WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
+        "AND o_orderstatus <> 'F'"),
     // the MOR twin is content-identical to orders_ins (only the storage
     // layout differs: outstanding deltas merged per group at read time),
     // so it shares the SPJ oracle arithmetic verbatim
@@ -2102,7 +2141,8 @@ object SparkEntry {
       embedNearDupOracle((0 until 8).map(b => (0 until 8).map(j => b * 8 + j))),
     // Same oracle shape over the 32 SEEDED bands (identical literals on
     // both engines — signBandCoords is deterministic).
-    "q_embed_neardup_hi" -> embedNearDupOracle(EmbedHiCoords),
+    "q_embed_neardup_hi" ->
+      embedNearDupOracle(EmbedHiCoords, multiProbe = true),
     "q_rollup" ->
       ("SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus, " +
         s"${sumB("CAST(l_quantity AS BIGINT)")} AS sum_qty, count(*) AS n " +

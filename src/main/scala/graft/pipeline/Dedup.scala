@@ -465,7 +465,8 @@ object Dedup {
       thresholdNum: Int = 2, thresholdDen: Int = 5,
       scale: Long = 1000000L, bands: Int = 8, rowsPerBand: Int = 8,
       maxBucket: Int = 10000, materialize: Boolean = true,
-      bandCoords: Option[Seq[Seq[Int]]] = None): DataFrame = {
+      bandCoords: Option[Seq[Seq[Int]]] = None,
+      multiProbe: Boolean = false): DataFrame = {
     import graft.functions.ArrayNumeric.{longDot, longNormSq}
     // Effective coordinate choice per band: consecutive runs by default
     // (the 8×8 contract the q_embed_neardup oracle mirrors), or explicit
@@ -506,9 +507,41 @@ object Dedup {
                 when(element_at(col("q"), c) >= 0, p).otherwise(lit(0L))),
               lit(0L), _ + _))
         }
-      val bucketed = q
+      val homes = q
         .select(col("id"), posexplode(buckets).as(Seq("band", "bucket")))
-      val cand = candidatePairs(capBuckets(bucketed, maxBucket))
+      // MULTI-PROBE sign-LSH (r11, the recall knob past band count): each
+      // vector ALSO probes the bucket at Hamming distance 1 in its band's
+      // LOWEST-MARGIN coordinate — the sign most likely to differ on a
+      // true near-duplicate is the one with the smallest |projection|, so
+      // one directed flip recovers most single-bit misses (Lv et al. 2007
+      // multi-probe LSH, sign-hash form). Probe rows are TAGGED and
+      // probe×probe pairs are excluded (candidates need a home side), so
+      // per-bucket pair growth is h² + 2hp, not (h+p)². Integer-exact and
+      // mirrored verbatim by the SQL oracle (argmin over literal coords).
+      val cand =
+        if (!multiProbe) candidatePairs(capBuckets(homes, maxBucket))
+        else {
+          val powLit = typedLit((0 until math.max(maxRows, 1))
+            .map(1L << _))
+          val probeBuckets = zip_with(coordsLit, buckets, (cs, bk) => {
+            val absv = transform(cs, c => abs(element_at(col("q"), c)))
+            val pos = array_position(absv, array_min(absv))
+            when(pos > 0,
+              bk.bitwiseXOR(element_at(powLit, pos.cast("int"))))
+              .otherwise(bk) // empty/all-null band: probe = home (no-op)
+          })
+          val zipped = q.select(col("id"),
+            posexplode(zip_with(buckets, probeBuckets,
+              (h, pb) => struct(h.as("h"), pb.as("pb"))))
+              .as(Seq("band", "hp")))
+          val bucketed = zipped
+            .select(col("id"), col("band"), col("hp.h").as("bucket"),
+              lit(0).as("p"))
+            .unionAll(zipped.filter(col("hp.pb") =!= col("hp.h"))
+              .select(col("id"), col("band"), col("hp.pb").as("bucket"),
+                lit(1).as("p")))
+          candidatePairsHomeProbe(capBuckets(bucketed, maxBucket))
+        }
       val a = q.select(col("id").as("id_a"), col("q").as("q_a"),
         col("nrm").as("n_a"))
       val b = q.select(col("id").as("id_b"), col("q").as("q_b"),
@@ -1058,6 +1091,17 @@ object Dedup {
     bucketed.as("x")
       .join(bucketed.as("y"), Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+  /** Multi-probe variant: co-bucketed pairs where at least ONE side is a
+    * HOME row (`p = 0`) — probe×probe pairs are excluded, bounding
+    * per-bucket pair growth to h² + 2hp instead of (h+p)². */
+  private def candidatePairsHomeProbe(bucketed: DataFrame): DataFrame =
+    bucketed.as("x")
+      .join(bucketed.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id") &&
+        (col("x.p") === 0 || col("y.p") === 0))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 }

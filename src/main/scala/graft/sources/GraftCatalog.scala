@@ -672,7 +672,10 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
       : Option[(StructType, Seq[InternalRow])] = try {
     val tl = timeline
     val slices = tl.latestSlices(asOf).values.toSeq
-    if (slices.exists(_.deltas.nonEmpty)) return None
+    // outstanding deltas: only COUNT(*) folds (r11 — from the exact
+    // per-delta insert/delete counters); extrema/sums need the merge
+    val anyDeltas = slices.exists(_.deltas.nonEmpty)
+    if (anyDeltas && !aggs.forall(_ == MetaCountStar)) return None
     val full = fullSchema
     val resolver = spark.sessionState.conf.resolver
     def fieldOf(c: String): Option[StructField] =
@@ -700,6 +703,67 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
         val pred = Predicate.createInterpreted(exprs.reduce(CatalystAnd))
         Some(v => pred.eval(InternalRow(v)))
       }
+    if (anyDeltas) {
+      // delta-tolerant COUNT(*) (r11): a group's live row count is its
+      // base file's recorded numWrites plus each outstanding delta's
+      // exact (numInserts − numDeletes) — both counters are computed
+      // against the merged pre-commit snapshot at write time (MorWriter),
+      // so the fold is exact including same-commit delete-wins,
+      // resurrections, and delta-only groups. Any delta commit without
+      // the exactness marker (pre-r11) declines.
+      val withRows = slices.filter(s =>
+        s.relPath.nonEmpty || s.deltas.nonEmpty)
+      def liveCount(sl: FileSlice): Long = {
+        val base = sl.relPath match {
+          case Some(_) =>
+            tl.metadata(sl.commitTs).statByFileId(sl.fileId) match {
+              case Some((_, st)) => st.numWrites
+              case None => throw MetaAggDecline
+            }
+          case None => 0L // delta-only group: everything is in the deltas
+        }
+        base + sl.deltas.map { d =>
+          val md = tl.metadata(d.commitTs)
+          if (!md.extra.get(FormatWriter.DeltaCountsKey).contains("exact"))
+            throw MetaAggDecline // pre-marker delta: inserts unrecorded
+          md.statByFileId(sl.fileId) match {
+            case Some((_, st)) => st.numInserts - st.numDeletes
+            case None => throw MetaAggDecline
+          }
+        }.sum
+      }
+      val selectedD = partPred match {
+        case None => withRows
+        case Some(p) => withRows.filter(sl =>
+          parsePart(sl.partitionPath) match {
+            case Some(v) => p(v)
+            case None => return None
+          })
+      }
+      val groupsD: Seq[(Option[Any], Seq[FileSlice])] =
+        if (groupByPartition)
+          selectedD.groupBy(_.partitionPath).toSeq.sortBy(_._1)
+            .map { case (p, ss) =>
+              parsePart(p) match {
+                case Some(v) => (Option(v), ss)
+                case None => return None
+              }
+            }
+        else Seq((None, selectedD))
+      val rowsD = groupsD.flatMap { case (gv, ss) =>
+        val n = ss.map(liveCount).sum
+        if (n < 0) throw MetaAggDecline // stat inconsistency: never guess
+        // a zero-count GROUP has no rows — the ordinary scan's GROUP BY
+        // emits no row for it (the global count keeps its single 0 row)
+        if (groupByPartition && n == 0L) None
+        else Some(InternalRow.fromSeq(gv.toSeq ++ aggs.map(_ => n)))
+      }
+      val gF = if (groupByPartition)
+        Seq(partField.get.copy(nullable = true)) else Seq.empty
+      val aF = aggs.zipWithIndex.map { case (_, i) =>
+        StructField(s"count(*)#$i", LongType, nullable = false) }
+      return Some((StructType(gF ++ aF), rowsD))
+    }
     // every live file's recorded WriteStat (pre-stats files decline)
     val stats: Seq[(FileSlice, WriteStat)] =
       slices.filter(_.relPath.nonEmpty).map { sl =>

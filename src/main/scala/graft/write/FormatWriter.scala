@@ -96,6 +96,15 @@ private[graft] object FormatWriter {
     * ordering values lose to any non-null; ties go to the newer commit. */
   val PrecombineKey = "precombine"
 
+  /** Commit-extra marker a MOR delta commit carries when its write stats
+    * record EXACT live-count deltas (numInserts = new live keys with
+    * within-commit delete-wins applied, numDeletes = existing keys
+    * removed). Lets the metadata COUNT(*) pushdown fold a group's live
+    * row count as base numWrites + Σ deltas (numInserts − numDeletes)
+    * without merging; pre-marker delta commits decline the fold (their
+    * numInserts was unrecorded). */
+  val DeltaCountsKey = "deltaCounts"
+
   /** Commit-extra key recording the comma-separated HOT payload columns
     * tracked by the column-stats skipping index (the record key is always
     * tracked). Declared at creation via `.option("stats", "c1,c2")`,

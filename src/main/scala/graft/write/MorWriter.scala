@@ -122,6 +122,15 @@ final class MorWriter(
     // counts if its key actually lives in the pre-commit snapshot (ref
     // invariant: totalRecordsDeleted must be exact, DeleteView.java:186).
     // Distinct per (key, op) so duplicate keys in user frames can't inflate.
+    // r11: numInserts records the NEW LIVE keys this delta creates — an
+    // upsert key absent from the pre-commit merged snapshot, unless the
+    // SAME commit also deletes it (delete-wins within a commit, so such a
+    // key never goes live). With exact per-delta inserts and deletes the
+    // group's live row count folds from metadata alone
+    // (base numWrites + Σ deltas (numInserts − numDeletes)) — the
+    // delta-tolerant COUNT(*) pushdown; the commit carries the
+    // [[FormatWriter.DeltaCountsKey]] marker so readers can tell these
+    // exact counters from pre-r11 commits (whose numInserts was 0).
     val slices = timeline.latestSlices(None)
     val tagged = (del.map(_.select(col(MetaCols.RecordKey), col(FidCol))
         .withColumn("__op", lit("d"))).toSeq ++
@@ -129,17 +138,34 @@ final class MorWriter(
         .withColumn("__op", lit("u"))))
       .reduceOption(_ unionByName _).map(_.distinct())
     val opCounts: Map[(String, String), Long] = tagged match {
-      case Some(t) if slices.nonEmpty =>
-        val current = SnapshotReader.merge(spark, basePath, slices.values.toSeq)
-          .select(MetaCols.RecordKey)
-        current
-          .join(t, Seq(MetaCols.RecordKey), "inner")
-          .groupBy(col(FidCol), col("__op")).count().collect()
-          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      case Some(t) =>
+        val perKey = t.groupBy(col(MetaCols.RecordKey), col(FidCol))
+          .agg(max(when(col("__op") === "u", 1).otherwise(0)).as("__hasU"),
+            max(when(col("__op") === "d", 1).otherwise(0)).as("__hasD"))
+        val withEx =
+          if (slices.nonEmpty)
+            perKey.join(
+              SnapshotReader.merge(spark, basePath, slices.values.toSeq)
+                .select(col(MetaCols.RecordKey)).withColumn("__ex", lit(1)),
+              Seq(MetaCols.RecordKey), "left")
+          else perKey.withColumn("__ex", lit(null).cast("int"))
+        withEx.groupBy(col(FidCol))
+          .agg(
+            sum(when(col("__hasD") === 1 && col("__ex").isNotNull, 1L)
+              .otherwise(0L)).as("d"),
+            sum(when(col("__hasU") === 1 && col("__ex").isNotNull, 1L)
+              .otherwise(0L)).as("u"),
+            sum(when(col("__hasU") === 1 && col("__ex").isNull &&
+              col("__hasD") === 0, 1L).otherwise(0L)).as("i"))
+          .collect().flatMap(r => Seq(
+            (r.getString(0), "d") -> r.getLong(1),
+            (r.getString(0), "u") -> r.getLong(2),
+            (r.getString(0), "i") -> r.getLong(3))).toMap
       case _ => Map.empty
     }
     val deletedPerFid = opCounts.collect { case ((f, "d"), n) => f -> n }
     val updatedPerFid = opCounts.collect { case ((f, "u"), n) => f -> n }
+    val insertedPerFid = opCounts.collect { case ((f, "i"), n) => f -> n }
 
     val stats = written.toSeq.map { case ((part, fid), w) =>
       part -> WriteStat(fid, Some(w.relPath),
@@ -147,12 +173,14 @@ final class MorWriter(
         numWrites = w.rows,
         numDeletes = deletedPerFid.getOrElse(fid, 0L),
         numUpdateWrites = updatedPerFid.getOrElse(fid, 0L),
-        numInserts = 0, colStats = w.colStats,
+        numInserts = insertedPerFid.getOrElse(fid, 0L),
+        colStats = w.colStats,
         sizeBytes = Some(w.sizeBytes))
     }
     saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
       op = "UPSERT_DELTA", action = Instant.DeltaCommitAction,
-      schema = deltaRows.drop(FidCol).schema, extra = extra,
+      schema = deltaRows.drop(FidCol).schema,
+      extra = extra + (FormatWriter.DeltaCountsKey -> "exact"),
       readPoint = readPoint)
   }
 

@@ -1166,6 +1166,70 @@ class Dsv2CatalogSpec extends SparkSpec {
       "spark.sql.autoBroadcastJoinThreshold").foreach(spark.conf.unset)
   }
 
+  test("delta-tolerant metadata COUNT(*): exact fold from delta counters (r11)") {
+    conf()
+    val t = freshTable("cnt_mor")
+    val path = s"$wh/ns/cnt_mor"
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '2', type 'mor')""")
+    spark.sql(s"INSERT INTO $t VALUES " + // base: 20 rows, parts p0/p1
+      (1 to 20).map(i => s"($i, 'p${i % 2}', ${i * 10})").mkString(", "))
+    // delta: 2 updates (no count change) + 2 new keys
+    spark.sql(s"INSERT INTO $t VALUES (2,'p0',999), (4,'p0',888), " +
+      "(21,'p1',210), (22,'p0',220)")
+    // delta deletes: one base key, one delta-inserted key
+    spark.sql(s"DELETE FROM $t WHERE id IN (5, 21)")
+    // resurrection
+    spark.sql(s"INSERT INTO $t VALUES (5, 'p1', 555)")
+    // same-commit upsert+delete of a BRAND-NEW key: delete wins, net 0
+    val w = new write.MorWriter(spark, path, numBuckets = 2)
+    val probe = Seq((100L, "p0", 1L)).toDF("id", "part", "v")
+    w.upsertDelta(Some(probe), Some(probe), col("id"), col("part"),
+      write.FormatWriter.nextTs(w.timeline))
+    // live truth from the merge (format surface, no metadata shortcuts)
+    val truth = spark.read.format("graft").load(path).count()
+    assert(truth == 21L) // 20 + 2 new - 2 del + 1 resurrect + 0
+    val q = spark.sql(s"SELECT count(*) FROM $t")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"),
+      s"expected the metadata count on an outstanding-delta table:\n" +
+        s"${q.queryExecution.executedPlan}")
+    assert(q.as[Long].head == truth)
+    assert(q.inputFiles.isEmpty, "metadata count must read zero files")
+    // grouped by partition: matches the scan's GROUP BY exactly
+    val g = spark.sql(
+      s"SELECT part, count(*) AS n FROM $t GROUP BY part ORDER BY part")
+    assert(g.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"), s"${g.queryExecution.executedPlan}")
+    val viaScan = spark.read.format("graft").load(path)
+      .groupBy("part").count().orderBy("part")
+      .as[(String, Long)].collect().toSeq
+    assert(g.as[(String, Long)].collect().toSeq == viaScan)
+    // partition-only filter composes
+    val f = spark.sql(s"SELECT count(*) FROM $t WHERE part = 'p1'")
+    assert(f.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"))
+    assert(f.as[Long].head == viaScan.toMap.apply("p1"))
+    // extrema still DECLINE with outstanding deltas (merge-only facts)
+    val m = spark.sql(s"SELECT max(v) FROM $t")
+    assert(!m.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"))
+    assert(m.as[Long].head == 999L)
+    // a partition emptied by deletes emits NO group row (scan parity)
+    val t2 = freshTable("cnt_mor_empty")
+    spark.sql(s"""CREATE TABLE $t2 (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '1', type 'mor')""")
+    spark.sql(s"INSERT INTO $t2 VALUES (1,'a',10), (2,'b',20)")
+    spark.sql(s"DELETE FROM $t2 WHERE part = 'a'")
+    val g2 = spark.sql(
+      s"SELECT part, count(*) AS n FROM $t2 GROUP BY part")
+    assert(g2.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"))
+    assert(g2.as[(String, Long)].collect().toSeq == Seq(("b", 1L)))
+  }
+
   test("a format-written table in the warehouse is immediately catalog-visible") {
     conf()
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")

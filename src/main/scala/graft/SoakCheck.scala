@@ -291,6 +291,103 @@ object SoakCheck {
       s"bm25_search task read ${search.maxTaskInputMB} MB — " +
         "partition pruning failed at 20×")
 
+    // ---- path 7b: MaxScore-pruned search on a SKEWED corpus (r11) ------
+    // a HOT term planted in 90% of the 100k docs; query = hot + two
+    // ordinary vocab terms (df ≈ 40). The rare terms' recorded impacts
+    // set a top-k floor above the hot term's best impact, so the hot
+    // term's ~90k docs are pruned BEFORE scoring — the lossless WAND
+    // win; the pruned result must equal the full scan bit for bit.
+    val wandIdx = s"$root/text_index_skew"
+    val docsSkew = spark.range(0, DocRows, 1, 32).select(col("id"),
+      concat_ws(" ", synthText(col("id")),
+        when(pmod(col("id"), lit(10)) =!= 0, lit("hottt"))
+          .otherwise(lit("cold"))).as("text"))
+    pipeline.TextRetrieval.buildIndex(spark, docsSkew, col("id"),
+      col("text"), wandIdx, termBuckets = 16)
+    val skewTerms = qTerms :+ "hottt"
+    var wandScored = 0L
+    val wand = measure(spark, "bm25_wand")(() =>
+      pipeline.TextRetrieval.exactTopK(spark, wandIdx, skewTerms,
+        k = 20))(df => {
+      val pruned = df.collect().toSeq
+      wandScored = pipeline.TextRetrieval.wandCandidates(spark, wandIdx,
+        skewTerms, 20, 16).map(_.count()).getOrElse(Long.MaxValue)
+      // lossless: equal to the same scorer over an impacts-blind read
+      // (wandCandidates disabled by asking beyond the sidecar's k)
+      val full = pipeline.TextRetrieval.exactTopK(spark, wandIdx,
+        skewTerms, k = pipeline.TextRetrieval.ImpactTopK + 8)
+        .limit(20).collect().toSeq
+      require(pruned == full, "WAND pruned top-k != full-scan top-k")
+      pruned.length.toLong
+    })
+    require(wand.rowsOut == 20, s"bm25_wand rows ${wand.rowsOut}")
+    // the hot term's posting list is ~90% of DocRows; the candidate set
+    // the scorer actually reads must be orders of magnitude smaller
+    require(wandScored * 100 < DocRows * 9L / 10,
+      s"WAND candidates $wandScored — expected <1% of the hot term's " +
+        s"~${DocRows * 9 / 10} postings")
+
+    // ---- path 7c: incremental text index at 100k docs (r11) ------------
+    // three transactional ingest batches into the maintained index, then
+    // a pruned search. Budget: ≤ 45 jobs per ingested batch (bootstrap +
+    // MultiTableTxn + churn-bounded view refreshes) — the ingest_dedup
+    // job-count pattern must not regress here.
+    val incIdx = s"$root/text_index_inc"
+    val ib = DocRows / 3
+    val incIng = measure(spark, "inc_index_ingest")(() => {
+      pipeline.TextRetrieval.incIngest(spark, incIdx,
+        docsAll.where(col("id") < ib), col("id"), col("text"))
+      pipeline.TextRetrieval.incIngest(spark, incIdx,
+        docsAll.where(col("id") >= ib && col("id") < 2 * ib),
+        col("id"), col("text"))
+      pipeline.TextRetrieval.incIngest(spark, incIdx,
+        docsAll.where(col("id") >= 2 * ib), col("id"), col("text"))
+      spark.sql("SELECT 1")
+    })(_ => 3L)
+    require(incIng.jobs <= 3 * 45,
+      s"inc_index_ingest ran ${incIng.jobs} jobs for 3 batches — " +
+        "budget is 45/batch")
+    val incSearch = measure(spark, "inc_index_search")(() =>
+      pipeline.TextRetrieval.incExactTopK(spark, incIdx, qTerms, k = 20))(
+      _.count())
+    require(incSearch.rowsOut == 20,
+      s"inc_index_search rows ${incSearch.rowsOut}")
+
+    // ---- path 7d: SemDeDup incremental ingest at 20× (r11) -------------
+    // 40k vectors (20× the sf0.1 embeddings), 10% planted exact
+    // duplicates of earlier gids, three arriving batches against the
+    // cluster-partitioned index. dim 64 keeps chance near-dups at the
+    // 9/10 threshold ~0 (7σ), so the kept count is deterministic.
+    val semIdx = s"$root/semdedup_index"
+    val SemRows = 40000L
+    val sb = SemRows / 3
+    def semVec(gid: org.apache.spark.sql.Column) =
+      array((0 until 64).map(c =>
+        ((pmod(xxhash64(gid, lit(c)), lit(2000L)) - 1000L)
+          .cast("double") / 1000.0)): _*)
+    def semBatch(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi, 1, 32)
+        .withColumn("gid", pmod(col("id"), lit(SemRows * 9 / 10)))
+        .select(col("id"), semVec(col("gid")).as("vec"))
+    val semAnchors = pipeline.Dedup.rademacherAnchors(32, 64, seed = 5L)
+    var semKept = 0L
+    val sem = measure(spark, "sem_ingest_dedup")(() => {
+      pipeline.Dedup.semIngestDedup(spark, semIdx, semBatch(0, sb),
+        col("id"), col("vec"), semAnchors, 9, 10, ts = Some("1000"))
+      pipeline.Dedup.semIngestDedup(spark, semIdx, semBatch(sb, 2 * sb),
+        col("id"), col("vec"), semAnchors, 9, 10, ts = Some("2000"))
+      pipeline.Dedup.semIngestDedup(spark, semIdx,
+        semBatch(2 * sb, SemRows), col("id"), col("vec"), semAnchors,
+        9, 10, ts = Some("3000"))
+    })(df => { semKept = df.filter(col("kept")).count(); df.count() })
+    require(sem.rowsOut == SemRows,
+      s"sem index holds ${sem.rowsOut} docs, expected $SemRows")
+    require(semKept == SemRows * 9 / 10,
+      s"sem kept $semKept docs, expected ${SemRows * 9 / 10}")
+    require(sem.jobs <= 3 * 45,
+      s"sem_ingest_dedup ran ${sem.jobs} jobs for 3 batches — " +
+        "budget is 45/batch")
+
     // ---- path 8: maintained EXACT distinct view at 20× (r10 tail) ------
     // bootstrap over the 3M-row COW table, then an UPSERT moving 2% of
     // the values and an incremental refresh (retraction-heavy: touched
@@ -325,7 +422,7 @@ object SoakCheck {
 
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
-      search, dvw)
+      search, wand, incIng, incSearch, sem, dvw)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -335,7 +432,8 @@ object SoakCheck {
     // RUN the workload (eager multi-commit / stream drain), so plan_ms is
     // wall time, not planning.
     all.filterNot(r => Set("ingest_dedup", "catalog_stream",
-        "bm25_build", "distinct_view")(r.name)) // these thunks RUN work
+        "bm25_build", "distinct_view",
+        "inc_index_ingest", "sem_ingest_dedup")(r.name)) // thunks RUN work
       .foreach(r =>
         require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))
 

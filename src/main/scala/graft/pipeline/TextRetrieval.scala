@@ -92,10 +92,23 @@ object TextRetrieval {
         col("positions"))
   }
 
+  /** Per-term top impacts kept in the `impacts` sidecar — serves any
+    * top-k with k ≤ this; larger k falls back to the unpruned scan. */
+  val ImpactTopK: Int = 32
+
   /** Build the serving index under `dir`: `dir/postings` partitioned by
     * term bucket, `dir/stats` a one-row corpus sidecar
     * `(n, sdl, max_df_permille)` — the cap is RECORDED so phrase search
-    * can refuse an index whose postings were thinned. */
+    * can refuse an index whose postings were thinned.
+    *
+    * r11: also writes `dir/impacts` — per term, its TOP-[[ImpactTopK]]
+    * exact per-posting scores ("impacts", Anserini/Lucene terminology),
+    * partitioned by the same term bucket. This is what the MaxScore-
+    * pruned [[exactTopK]] derives its top-k floor and per-term upper
+    * bounds from, with zero postings IO. Impacts use the exact
+    * scaled-integer arithmetic, so they exist only while the exact
+    * scorer's refuse-don't-wrap bounds hold — beyond them the sidecar is
+    * skipped and every query takes the unpruned path. */
   def buildIndex(spark: SparkSession, docs: DataFrame, idCol: Column,
       textCol: Column, dir: String, termBuckets: Int = 16,
       maxDfPermille: Int = 1000): Unit = {
@@ -115,11 +128,32 @@ object TextRetrieval {
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$dir/postings")
     // Corpus stats over ALL docs (independent of any df cap): N and Σdl
-    // off the SAME per-doc length frame — no second tokenize pass.
-    dl.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("sdl"),
+    // off the SAME per-doc length frame — no second tokenize pass. The
+    // row is collected (one row) because the impacts pass needs n/sdl.
+    val st = dl.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("sdl"),
+      coalesce(max(col("dl")), lit(0L)).as("maxdl")).head()
+    val (n, sdl, maxdl) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    import org.apache.spark.sql.{functions => F}
+    spark.range(1).select(lit(n).as("n"), lit(sdl).as("sdl"),
         lit(maxDfPermille).as("max_df_permille"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    if (n <= MaxExactDocs && sdl <= MaxExactTokens && maxdl <= MaxExactDl
+        && n > 0) {
+      val posts = spark.read.parquet(s"$dir/postings")
+        .select(col("term"), col("tb"), col("tf"), col("dl"), col("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("tscore").desc)
+      scoreExact(posts, n, sdl)
+        .withColumn("__r", F.row_number().over(w))
+        .where(col("__r") <= ImpactTopK)
+        .groupBy(col("term"), col("tb"))
+        .agg(F.reverse(F.sort_array(F.collect_list(col("tscore"))))
+          .as("top_imp"))
+        .repartition(termBuckets, col("tb"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$dir/impacts")
+    }
   }
 
   /** The driver-side term bucket — same Catalyst hash as the written
@@ -230,15 +264,69 @@ object TextRetrieval {
     * Every operation is a long add/multiply or a floor division of
     * nonnegative longs — DuckDB's `//` computes the identical value, so
     * the score column is engine-portable bit-for-bit. Returns
-    * `(doc_id, score)` top-k, score desc / doc_id asc. */
+    * `(doc_id, score)` top-k, score desc / doc_id asc.
+    *
+    * r11: MaxScore-pruned when the index carries the impacts sidecar
+    * (LOSSLESS — Turtle & Flood 1995 / block-max WAND family): the top-k
+    * floor θ comes from the sidecar alone (the k-th best impact of any
+    * single query term is a k-distinct-docs lower bound on the final
+    * k-th score), a NARROW (term, doc_id) pass bounds every doc by
+    * Σ max-impact of the terms it contains, and only docs with bound ≥ θ
+    * are scored. A hot low-idf term's millions of postings stop being
+    * scored the moment a rarer term's k-th impact exceeds the hot term's
+    * best — the classic WAND win; integer arithmetic keeps the bound
+    * math exact, so results are bit-identical to the unpruned scan
+    * (spec-pinned). Falls back transparently: no sidecar (pre-r11 index
+    * or out-of-bounds corpus), k > [[ImpactTopK]], or θ = 0. */
   def exactTopK(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int, termBuckets: Int = 16): DataFrame = {
     val st = stats(spark, dir)
-    scoreExact(queryPostings(spark, dir, terms, termBuckets), st.n, st.sdl)
+    val posts = queryPostings(spark, dir, terms, termBuckets)
+    val scoped = wandCandidates(spark, dir, terms, k, termBuckets) match {
+      case Some(c) => posts.join(c, "doc_id")
+      case None => posts
+    }
+    scoreExact(scoped, st.n, st.sdl)
       .groupBy(col("doc_id"))
       .agg(sum(col("tscore")).as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** The MaxScore candidate-doc frame (doc_id), or None when pruning
+    * cannot engage. Soundness: θ = the k-th best recorded impact of some
+    * single query term — that term alone names k distinct docs whose
+    * FULL scores are ≥ θ, so the true k-th best score is ≥ θ; a doc
+    * whose upper bound Σ_{t ∈ query ∩ doc} maxImpact(t) is < θ has full
+    * score strictly below the k-th best and can never enter the top k
+    * (contributions are non-negative). */
+  private[graft] def wandCandidates(spark: SparkSession, dir: String,
+      terms: Seq[String], k: Int, termBuckets: Int): Option[DataFrame] = {
+    if (k > ImpactTopK || k <= 0 || terms.isEmpty) return None
+    val impPath = new org.apache.hadoop.fs.Path(s"$dir/impacts")
+    val fs = impPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(impPath)) return None // pre-impacts index: no pruning
+    val buckets = terms.map(termBucket(_, termBuckets)).distinct
+    val imps: Map[String, Seq[Long]] = // query-sized driver map
+      spark.read.parquet(s"$dir/impacts")
+        .where(col("tb").isin(buckets.map(Integer.valueOf): _*))
+        .where(col("term").isin(terms: _*))
+        .select(col("term"), col("top_imp")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val theta = terms.flatMap(imps.get)
+      .filter(_.size >= k).map(_(k - 1))
+      .maxOption.getOrElse(0L)
+    if (theta <= 0L) return None // no single term fills k docs: full scan
+    val maxImp: Map[String, Long] =
+      terms.map(t => t -> imps.get(t).flatMap(_.headOption)
+        .getOrElse(0L)).toMap
+    Some(queryPostings(spark, dir, terms, termBuckets)
+      .select(col("doc_id"), // NARROW pass: two columns reach parquet
+        coalesce(element_at(typedLit(maxImp), col("term")), lit(0L))
+          .as("__mi"))
+      .groupBy(col("doc_id")).agg(sum(col("__mi")).as("__ub"))
+      .filter(col("__ub") >= theta)
+      .select(col("doc_id")))
   }
 
   /** Batch form: many queries at once. `queries` is `(qid, term)` rows

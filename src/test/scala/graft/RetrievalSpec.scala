@@ -19,23 +19,27 @@ class RetrievalSpec extends SparkSpec {
           if s.relation.location.rootPaths.exists(
             _.toString.contains("/postings")) => s
     }
-    assert(scans.size == 1, s"expected one postings scan, got ${scans.size}")
-    val scan = scans.head
-    assert(scan.partitionFilters.nonEmpty,
-      "tb predicate did not reach the scan as a partitionFilter")
-    val pruned = scan.relation.location
-      .listFiles(scan.partitionFilters, Nil)
-      .flatMap(_.files.map(_.getPath.toString))
-    val touched = pruned.flatMap(f =>
-      "tb=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
-    assert(touched.nonEmpty && touched.subsetOf(buckets),
-      s"scan listed buckets $touched, query needs only $buckets")
-    // and the index holds more buckets than the query touched
-    val all = scan.relation.location.inputFiles
-      .flatMap(f => "tb=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
-      .toSet
-    assert(touched.size < all.size,
-      s"no pruning: touched ${touched.size} of ${all.size} buckets")
+    // r11: the MaxScore candidate pass adds a second (narrow) postings
+    // scan — EVERY postings scan must stay bucket-pruned
+    assert(scans.nonEmpty, "expected at least one postings scan")
+    for (scan <- scans) {
+      assert(scan.partitionFilters.nonEmpty,
+        "tb predicate did not reach the scan as a partitionFilter")
+      val pruned = scan.relation.location
+        .listFiles(scan.partitionFilters, Nil)
+        .flatMap(_.files.map(_.getPath.toString))
+      val touched = pruned.flatMap(f =>
+        "tb=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+      assert(touched.nonEmpty && touched.subsetOf(buckets),
+        s"scan listed buckets $touched, query needs only $buckets")
+      // and the index holds more buckets than the query touched
+      val all = scan.relation.location.inputFiles
+        .flatMap(f =>
+          "tb=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
+        .toSet
+      assert(touched.size < all.size,
+        s"no pruning: touched ${touched.size} of ${all.size} buckets")
+    }
   }
 
   test("fp bm25TopK matches an independently-composed scorer (tolerance)") {
@@ -314,6 +318,55 @@ class RetrievalSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       TextRetrieval.exactTopK(spark, big, Seq("spark"), k = 5).count())
     assert(e2.getMessage.contains("bm25TopK"))
+  }
+
+  test("MaxScore pruning is lossless and actually prunes a hot term (r11)") {
+    // skewed corpus: a HOT term in 90% of docs, rare terms df ≈ 10
+    val docs = spark.range(0, 500).select(col("id"),
+      concat_ws(" ",
+        when(col("id") % 10 =!= 0, lit("hottt")).otherwise(lit("cold")),
+        concat(lit("rare"), (col("id") % 50).cast("string")),
+        concat(lit("word"), (col("id") % 25).cast("string"))).as("text"))
+    val dir = "/tmp/graft_test/wand_idx"
+    TextRetrieval.buildIndex(spark, docs, col("id"), col("text"), dir,
+      termBuckets = 4)
+    // the impacts sidecar exists and serves the floor
+    val terms = Seq("rare7", "word3", "hottt")
+    val cand = TextRetrieval.wandCandidates(spark, dir, terms, k = 5,
+      termBuckets = 4)
+    assert(cand.isDefined, "impacts sidecar should enable pruning")
+    val nCand = cand.get.count()
+    val nDocs = docs.count()
+    // rare7's 5th impact beats the hot term's best: hot-only docs pruned
+    assert(nCand < nDocs / 4,
+      s"expected strong pruning, got $nCand of $nDocs candidate docs")
+    // LOSSLESS: pruned top-k == the full-scan top-k, bit for bit, for
+    // every k the sidecar serves (incl. k at the ImpactTopK boundary)
+    def full(ts: Seq[String], k: Int) = {
+      val st = spark.read.parquet(s"$dir/stats").head()
+      // unpruned reference: same scorer over an impacts-free twin
+      val dir2 = "/tmp/graft_test/wand_idx_ref"
+      TextRetrieval.exactTopK(spark, dir2, ts, k, termBuckets = 4)
+    }
+    val dir2 = "/tmp/graft_test/wand_idx_ref"
+    TextRetrieval.buildIndex(spark, docs, col("id"), col("text"), dir2,
+      termBuckets = 4)
+    val p = new org.apache.hadoop.fs.Path(s"$dir2/impacts")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    for (k <- Seq(1, 5, 20, TextRetrieval.ImpactTopK)) {
+      val pruned = TextRetrieval.exactTopK(spark, dir, terms, k,
+        termBuckets = 4).as[(Long, Long)].collect().toSeq
+      val ref = full(terms, k).as[(Long, Long)].collect().toSeq
+      assert(pruned == ref, s"k=$k pruned != full: $pruned vs $ref")
+    }
+    // fallbacks: k beyond the sidecar, and an impacts-free index
+    assert(TextRetrieval.wandCandidates(spark, dir, terms,
+      k = TextRetrieval.ImpactTopK + 1, termBuckets = 4).isEmpty)
+    assert(TextRetrieval.wandCandidates(spark, dir2, terms, k = 5,
+      termBuckets = 4).isEmpty)
+    // query of only-unknown terms: zero hits, no exception
+    assert(TextRetrieval.exactTopK(spark, dir, Seq("absent"), 5,
+      termBuckets = 4).count() == 0)
   }
 
   test("maxDfPermille drops stop-word posting lists at build time") {

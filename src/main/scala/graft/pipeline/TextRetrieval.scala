@@ -619,11 +619,15 @@ object TextRetrieval {
       create(dlFrame, s"$dir/doclen")
       create(postFrame, s"$dir/postings")
     } else {
+      // the tokenize→aggregate frames are re-read by the txn's
+      // touched-group, write, and stats passes — materialize each ONCE
+      // (r11; the ingest soak measured the re-executions as the
+      // dominant per-batch job count)
       graft.write.MultiTableTxn.commit(spark, Seq(
         graft.write.MultiTableTxn.TableWrite(s"$dir/postings",
-          updates = Some(postFrame)),
+          updates = Some(postFrame.localCheckpoint(true))),
         graft.write.MultiTableTxn.TableWrite(s"$dir/doclen",
-          updates = Some(dlFrame)))): Unit
+          updates = Some(dlFrame.localCheckpoint(true))))): Unit
     }
     refreshViews(spark, dir)
   }
@@ -636,9 +640,9 @@ object TextRetrieval {
     val (postFrame, dlFrame) = incFrames(docs, idCol, textCol, termBuckets)
     graft.write.MultiTableTxn.commit(spark, Seq(
       graft.write.MultiTableTxn.TableWrite(s"$dir/postings",
-        deletes = Some(postFrame)),
+        deletes = Some(postFrame.localCheckpoint(true))),
       graft.write.MultiTableTxn.TableWrite(s"$dir/doclen",
-        deletes = Some(dlFrame)))): Unit
+        deletes = Some(dlFrame.localCheckpoint(true))))): Unit
     refreshViews(spark, dir)
   }
 

@@ -128,6 +128,13 @@ object MaterializedAgg {
     val dAggs = sum(col("__s")).as("__dn") +:
       values.map { case (n, _) =>
         sum(col("__s") * col(s"__v_$n")).as(s"__dv_$n") }
+    // MATERIALIZED once (r11): the churn-sized delta set is consumed by
+    // the touched-group collect, the view-pruned merge, two emptiness
+    // probes, and the write — localCheckpoint turns those from four
+    // re-executions of the CDC plan (each a multi-job union of
+    // per-commit plans) into reads of one churn-sized row set. The
+    // ingest-heavy soak caught the pattern: ~57 jobs per refresh, most
+    // of them re-running this plan.
     val deltas = ch.filter(col(groupCol).isNotNull)
       .select((col(groupCol).as("__g") +: sign.as("__s") +:
         values.map { case (n, e) => measure(e).as(s"__v_$n") }): _*)
@@ -135,6 +142,7 @@ object MaterializedAgg {
       .agg(dAggs.head, dAggs.tail: _*)
       .filter(values.map(v => col(s"__dv_${v._1}") =!= 0)
         .foldLeft(col("__dn") =!= 0)(_ || _))
+      .localCheckpoint(true)
 
     // small churn: prune the view read to the touched groups' files via a
     // record-key IN filter (bucket pruning + col-stats skipping) so the
@@ -149,12 +157,15 @@ object MaterializedAgg {
         .select((col(groupCol).as("__g") +: col("n_rows").as("__on") +:
           values.map(v => col(sumCol(v._1)).as(s"__ov_${v._1}"))): _*)
 
+    // merged is also read ≥3 times (both emptiness probes + the write) —
+    // materialize it too; it is at most touched-group-sized
     val merged = deltas.join(viewRows, Seq("__g"), "left_outer")
       .select((col("__g") +:
         (coalesce(col("__on"), lit(0L)) + col("__dn")).as("__nn") +:
         values.map(v =>
           (coalesce(col(s"__ov_${v._1}"), lit(0L)) + col(s"__dv_${v._1}"))
             .as(s"__nv_${v._1}"))): _*)
+      .localCheckpoint(true)
     def out(df: DataFrame): DataFrame =
       df.select((col("__g").as(groupCol) +: col("__nn").as("n_rows") +:
         values.map(v => col(s"__nv_${v._1}").as(sumCol(v._1)))): _*)

@@ -544,6 +544,43 @@ object Fixtures {
       tbl
     }
 
+  /** APPEND-ONLY MOR twin: CTAS of even keys, then a DELTA insert of the
+    * odd keys — every delta row a brand-new live key, zero deletes/
+    * updates. The shape whose metadata MIN/MAX/SUM stay foldable with
+    * deltas outstanding (`q_v2_minmax_mor`): the live table is simply
+    * ALL orders. */
+  def dsv2MorAppDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      dsv2Dir(spark, sfDir) // ensures catalog conf + namespace exist
+      val wh = s"${root(sfDir)}/dsv2_wh"
+      val cat = "graft_fix_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_")
+      val tbl = s"$cat.main.orders_mor_app"
+      val dir = s"$wh/main/orders_mor_app"
+      if (!complete(spark, dir, 2)) {
+        rm(spark, dir)
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .createOrReplaceTempView("graft_dsv2_morapp_src")
+        spark.sql(
+          s"""CREATE TABLE $tbl PARTITIONED BY (o_orderstatus)
+             |TBLPROPERTIES (key 'o_orderkey', buckets '8', type 'mor',
+             |  stats 'o_cents')
+             |AS SELECT o_orderkey, o_orderstatus,
+             |CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+             |FROM graft_dsv2_morapp_src WHERE o_orderkey % 2 = 0"""
+            .stripMargin)
+        spark.sql( // DELTA insert of exclusively NEW keys
+          s"""INSERT INTO $tbl SELECT o_orderkey, o_orderstatus,
+             |CAST(round(o_totalprice * 100) AS BIGINT)
+             |FROM graft_dsv2_morapp_src WHERE o_orderkey % 2 = 1"""
+            .stripMargin)
+        val tl = graft.format.Timeline(
+          spark.sessionState.newHadoopConf(), dir)
+        require(tl.latestSlices(None).values.exists(_.deltas.nonEmpty),
+          s"dsv2MorAppDir fixture expected outstanding deltas at $dir")
+      }
+      tbl
+    }
+
   def sqlDmlDir(spark: SparkSession, sfDir: String): String = synchronized {
     val dir = s"${root(sfDir)}/orders_sqldml"
     if (!complete(spark, dir, 4)) {

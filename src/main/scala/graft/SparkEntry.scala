@@ -242,6 +242,19 @@ object SparkEntry {
       val mor = Fixtures.dsv2MorDir(s, d)
       s.sql(s"SELECT count(*) AS n FROM $mor")
     }),
+    // q_v2_minmax_mor (r11): grouped COUNT/COUNT(col)/MIN/MAX/SUM on a
+    // MOR table whose outstanding deltas are APPEND-ONLY (exclusively
+    // new keys, counters prove it) — the files are a plain union, so
+    // every aggregate folds from per-file stats with zero file reads
+    // (plan-asserted in Dsv2CatalogSpec; value-gated here: evens by base
+    // + odds by delta = every order).
+    "q_v2_minmax_mor" -> ((s, d) => {
+      val tbl = Fixtures.dsv2MorAppDir(s, d)
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+        count(o_cents) AS n_cents, min(o_cents) AS min_cents,
+        max(o_cents) AS max_cents, sum(o_cents) AS sum_cents
+        FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
     // q_call_delete_view (r10): the reference's core operation driven
     // through the SQL CALL procedure surface (graft.sources
     // .GraftProcedures) — `CALL cat.system.delete_view(...)` materializes
@@ -1553,6 +1566,15 @@ object SparkEntry {
         "(SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
         "+ 7 AS o_cents_dim FROM orders WHERE o_orderkey % 5 = 0) b " +
         "ON a.o_orderkey = b.o_orderkey ORDER BY a.o_orderkey"),
+    // the append-only MOR twin's live rows are ALL orders (evens via the
+    // base CTAS, odds via the delta insert)
+    "q_v2_minmax_mor" ->
+      ("SELECT o_orderstatus, count(*) AS n, count(cents) AS n_cents, " +
+        "min(cents) AS min_cents, max(cents) AS max_cents, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents FROM " +
+        "(SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "AS cents FROM orders) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // the MOR twin's live keys are the same set as orders_ins'
     "q_v2_meta_count_mor" ->
       ("SELECT count(*) AS n FROM orders " +

@@ -672,10 +672,13 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
       : Option[(StructType, Seq[InternalRow])] = try {
     val tl = timeline
     val slices = tl.latestSlices(asOf).values.toSeq
-    // outstanding deltas: only COUNT(*) folds (r11 — from the exact
-    // per-delta insert/delete counters); extrema/sums need the merge
+    // outstanding deltas (r11): COUNT(*) folds from the exact per-delta
+    // insert/delete counters for ANY marked delta; MIN/MAX/SUM/COUNT(col)
+    // additionally fold when every delta is APPEND-ONLY (inserts of new
+    // keys exclusively — the files are then a plain union and per-file
+    // stats compose; see the stats assembly below). Everything else
+    // declines to the merge.
     val anyDeltas = slices.exists(_.deltas.nonEmpty)
-    if (anyDeltas && !aggs.forall(_ == MetaCountStar)) return None
     val full = fullSchema
     val resolver = spark.sessionState.conf.resolver
     def fieldOf(c: String): Option[StructField] =
@@ -703,7 +706,7 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
         val pred = Predicate.createInterpreted(exprs.reduce(CatalystAnd))
         Some(v => pred.eval(InternalRow(v)))
       }
-    if (anyDeltas) {
+    if (anyDeltas && aggs.forall(_ == MetaCountStar)) {
       // delta-tolerant COUNT(*) (r11): a group's live row count is its
       // base file's recorded numWrites plus each outstanding delta's
       // exact (numInserts − numDeletes) — both counters are computed
@@ -764,14 +767,38 @@ private[graft] final class GraftV2Table(ident: String, val path: String,
         StructField(s"count(*)#$i", LongType, nullable = false) }
       return Some((StructType(gF ++ aF), rowsD))
     }
-    // every live file's recorded WriteStat (pre-stats files decline)
+    // every live file's recorded WriteStat (pre-stats files decline).
+    // r11: an APPEND-ONLY delta file — marked counters, zero deletes,
+    // zero updates, every written row a NEW live key — joins the fold as
+    // a pseudo-entry of its own (the group's files are then a plain
+    // union, so extrema/sums/null-counts compose per file exactly); a
+    // delta that deleted or updated anything declines the whole
+    // aggregation (only the merge knows which base rows survive).
     val stats: Seq[(FileSlice, WriteStat)] =
-      slices.filter(_.relPath.nonEmpty).map { sl =>
-        tl.metadata(sl.commitTs).statByFileId(sl.fileId) match {
-          case Some((_, st)) => sl -> st
-          case None => return None
+      slices.filter(s => s.relPath.nonEmpty || s.deltas.nonEmpty)
+        .flatMap { sl =>
+          val base = sl.relPath.map { _ =>
+            tl.metadata(sl.commitTs).statByFileId(sl.fileId) match {
+              case Some((_, st)) => sl -> st
+              case None => return None
+            }
+          }
+          val deltaEntries = sl.deltas.map { d =>
+            val md = tl.metadata(d.commitTs)
+            if (!md.extra.get(FormatWriter.DeltaCountsKey)
+                .contains("exact")) return None // pre-marker delta
+            md.statByFileId(sl.fileId) match {
+              case Some((_, st))
+                  if st.numDeletes == 0 && st.numUpdateWrites == 0 &&
+                    st.numInserts == st.numWrites =>
+                sl.copy(fileId = s"${sl.fileId}@${d.commitTs}",
+                  commitTs = d.commitTs, relPath = Some(d.relPath),
+                  deltas = Seq.empty) -> st
+              case _ => return None // not append-only: merge-only facts
+            }
+          }
+          base.toSeq ++ deltaEntries
         }
-      }
     val selected = partPred match {
       case None => stats
       case Some(p) => stats.filter { case (sl, _) =>

@@ -401,15 +401,19 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(!qnf.queryExecution.executedPlan.toString
       .contains("GraftMetaAggScan"))
     assert(qnf.as[Long].head == 3L)
-    // MOR with outstanding deltas: declined, merged count still correct
+    // MOR with outstanding deltas: since r11 the count folds from the
+    // exact per-delta counters — still metadata-answered, still correct
+    // (1 update + 1 new key over a 2-row base = 3 live rows)
     val m = freshTable("t13")
     spark.sql(s"""CREATE TABLE $m (id BIGINT, part STRING)
       PARTITIONED BY (part) TBLPROPERTIES (key 'id', buckets '1', type 'mor')""")
     spark.sql(s"INSERT INTO $m VALUES (1, 'a'), (2, 'a')")
     spark.sql(s"INSERT INTO $m VALUES (2, 'a'), (3, 'a')") // delta upsert
     val qm = spark.sql(s"SELECT count(*) FROM $m")
-    assert(!qm.queryExecution.executedPlan.toString
-      .contains("GraftMetaAggScan"))
+    assert(qm.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"),
+      s"delta count not metadata-answered:\n${qm.queryExecution}")
+    assert(qm.inputFiles.isEmpty)
     assert(qm.as[Long].head == 3L)
   }
 
@@ -1228,6 +1232,43 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(g2.queryExecution.executedPlan.toString
       .contains("GraftMetaAggScan"))
     assert(g2.as[(String, Long)].collect().toSeq == Seq(("b", 1L)))
+  }
+
+  test("append-only MOR deltas: full metadata aggregate fold (r11)") {
+    conf()
+    val t = freshTable("agg_mor_app")
+    val path = s"$wh/ns/agg_mor_app"
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '2', type 'mor', stats 'v')""")
+    spark.sql(s"INSERT INTO $t VALUES " + // base files
+      (1 to 10).map(i => s"($i, 'p${i % 2}', ${i * 10})").mkString(", "))
+    spark.sql(s"INSERT INTO $t VALUES " + // DELTA: exclusively new keys
+      (11 to 20).map(i => s"($i, 'p${i % 2}', ${i * 10})").mkString(", "))
+    val q = spark.sql(s"""SELECT part, count(*) AS n, count(v) AS nv,
+      min(v) AS mn, max(v) AS mx, sum(v) AS sv FROM $t
+      GROUP BY part ORDER BY part""")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"),
+      s"append-only deltas must keep the metadata fold:\n" +
+        s"${q.queryExecution.executedPlan}")
+    assert(q.inputFiles.isEmpty)
+    val viaScan = spark.read.format("graft").load(path)
+      .groupBy("part").agg(count(lit(1)).as("n"), count($"v").as("nv"),
+        min($"v").as("mn"), max($"v").as("mx"), sum($"v").as("sv"))
+      .orderBy("part").collect().toSeq
+    assert(q.collect().toSeq == viaScan)
+    // an UPDATE delta (existing key) breaks the union property: extrema
+    // decline to the merge, COUNT(*) keeps folding from the counters
+    spark.sql(s"INSERT INTO $t VALUES (5, 'p1', 999)")
+    val m = spark.sql(s"SELECT max(v) FROM $t")
+    assert(!m.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"))
+    assert(m.as[Long].head == 999L)
+    val c = spark.sql(s"SELECT count(*) FROM $t")
+    assert(c.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"))
+    assert(c.as[Long].head == 20L)
   }
 
   test("a format-written table in the warehouse is immediately catalog-visible") {

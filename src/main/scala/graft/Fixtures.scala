@@ -556,7 +556,7 @@ object Fixtures {
       val cat = "graft_fix_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_")
       val tbl = s"$cat.main.orders_mor_app"
       val dir = s"$wh/main/orders_mor_app"
-      if (!complete(spark, dir, 2)) {
+      if (!complete(spark, dir, 3)) { // creation + CTAS insert + delta
         rm(spark, dir)
         spark.read.parquet(s"$sfDir/orders.parquet")
           .createOrReplaceTempView("graft_dsv2_morapp_src")

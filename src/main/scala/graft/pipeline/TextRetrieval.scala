@@ -149,7 +149,8 @@ object TextRetrieval {
         .where(col("__r") <= ImpactTopK)
         .groupBy(col("term"), col("tb"))
         .agg(F.reverse(F.sort_array(F.collect_list(col("tscore"))))
-          .as("top_imp"))
+          .as("top_imp"),
+          F.first(col("df")).as("df")) // the pruning cost/benefit gate
         .repartition(termBuckets, col("tb"))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"$dir/impacts")
@@ -282,7 +283,8 @@ object TextRetrieval {
       k: Int, termBuckets: Int = 16): DataFrame = {
     val st = stats(spark, dir)
     val posts = queryPostings(spark, dir, terms, termBuckets)
-    val scoped = wandCandidates(spark, dir, terms, k, termBuckets) match {
+    val scoped = wandCandidates(spark, dir, terms, k, termBuckets,
+        corpusTokens = Some(st.sdl)) match {
       case Some(c) => posts.join(c, "doc_id")
       case None => posts
     }
@@ -300,25 +302,52 @@ object TextRetrieval {
     * whose upper bound Σ_{t ∈ query ∩ doc} maxImpact(t) is < θ has full
     * score strictly below the k-th best and can never enter the top k
     * (contributions are non-negative). */
+  /** Below this many total query-term postings the pruning's narrow
+    * candidate pass exceeds what it saves — the full scan of a small
+    * posting set is already trivial. Session override:
+    * `spark.graft.text.wandMinPostings`. */
+  val WandMinPostings: Long = 1L << 16
+
+  /** Below this many total CORPUS tokens (the free upper bound on any
+    * query's postings, read from the stats sidecar the query loads
+    * anyway) pruning is skipped with ZERO extra IO — the impacts sidecar
+    * is never consulted on a corpus whose full query-term scan is
+    * trivial. Session override: `spark.graft.text.wandMinCorpusTokens`. */
+  val WandMinCorpusTokens: Long = 1L << 19
+
   private[graft] def wandCandidates(spark: SparkSession, dir: String,
-      terms: Seq[String], k: Int, termBuckets: Int): Option[DataFrame] = {
+      terms: Seq[String], k: Int, termBuckets: Int,
+      corpusTokens: Option[Long] = None): Option[DataFrame] = {
     if (k > ImpactTopK || k <= 0 || terms.isEmpty) return None
+    val minTokens = spark.conf
+      .get("spark.graft.text.wandMinCorpusTokens",
+        WandMinCorpusTokens.toString).toLong
+    if (corpusTokens.exists(_ < minTokens))
+      return None // small corpus: no pruning, no sidecar IO
     val impPath = new org.apache.hadoop.fs.Path(s"$dir/impacts")
     val fs = impPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(impPath)) return None // pre-impacts index: no pruning
+    val impDf = spark.read.parquet(s"$dir/impacts")
+    if (!impDf.schema.fieldNames.contains("df")) return None // pre-df form
     val buckets = terms.map(termBucket(_, termBuckets)).distinct
-    val imps: Map[String, Seq[Long]] = // query-sized driver map
-      spark.read.parquet(s"$dir/impacts")
+    val imps: Map[String, (Seq[Long], Long)] = // query-sized driver map
+      impDf
         .where(col("tb").isin(buckets.map(Integer.valueOf): _*))
         .where(col("term").isin(terms: _*))
-        .select(col("term"), col("top_imp")).collect()
-        .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
-    val theta = terms.flatMap(imps.get)
+        .select(col("term"), col("top_imp"), col("df")).collect()
+        .map(r => r.getString(0) ->
+          (r.getSeq[Long](1).toSeq, r.getLong(2))).toMap
+    val minPostings = spark.conf
+      .get("spark.graft.text.wandMinPostings", WandMinPostings.toString)
+      .toLong
+    if (imps.valuesIterator.map(_._2).sum < minPostings)
+      return None // small posting set: pruning costs more than it saves
+    val theta = terms.flatMap(t => imps.get(t).map(_._1))
       .filter(_.size >= k).map(_(k - 1))
       .maxOption.getOrElse(0L)
     if (theta <= 0L) return None // no single term fills k docs: full scan
     val maxImp: Map[String, Long] =
-      terms.map(t => t -> imps.get(t).flatMap(_.headOption)
+      terms.map(t => t -> imps.get(t).flatMap(_._1.headOption)
         .getOrElse(0L)).toMap
     Some(queryPostings(spark, dir, terms, termBuckets)
       .select(col("doc_id"), // NARROW pass: two columns reach parquet

@@ -1271,6 +1271,59 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(c.as[Long].head == 20L)
   }
 
+  test("randomized: native MOR scan and delta count-fold ≡ V1 fallback " +
+      "under random op sequences (r11)") {
+    conf()
+    for (seed <- Seq(11L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      val t = freshTable(s"mor_fuzz_$seed")
+      spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+        PARTITIONED BY (part)
+        TBLPROPERTIES (key 'id', buckets '3', type 'mor')""")
+      var nextId = 31L
+      val livePool = scala.collection.mutable.Set((1L to 30L): _*)
+      spark.sql(s"INSERT INTO $t VALUES " + (1 to 30).map(i =>
+        s"($i, 'p${rnd.nextInt(3)}', ${rnd.nextInt(1000)})")
+        .mkString(", "))
+      def fallback(q: String) = {
+        spark.conf.set("spark.graft.catalog.nativeScan", "false")
+        try spark.sql(q).collect().toSeq
+        finally spark.conf.unset("spark.graft.catalog.nativeScan")
+      }
+      for (_ <- 1 to 6) {
+        if (rnd.nextBoolean() || livePool.isEmpty) {
+          // upsert: a mix of new ids and (maybe dead) existing ids
+          val news = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1; livePool += id; id
+          }
+          val olds = rnd.shuffle((1L until nextId).toVector)
+            .take(rnd.nextInt(3))
+          olds.foreach(livePool += _) // resurrection is legal
+          spark.sql(s"INSERT INTO $t VALUES " + (news ++ olds).map(i =>
+            s"($i, 'p${rnd.nextInt(3)}', ${rnd.nextInt(1000)})")
+            .mkString(", "))
+        } else {
+          val victims = rnd.shuffle(livePool.toSeq)
+            .take(1 + rnd.nextInt(3))
+          victims.foreach(livePool -= _)
+          spark.sql(
+            s"DELETE FROM $t WHERE id IN (${victims.mkString(",")})")
+        }
+        for (q <- Seq(s"SELECT * FROM $t",
+          s"SELECT id, v FROM $t WHERE part = 'p1'")) {
+          assert(spark.sql(q).collect().toSeq.toSet == fallback(q).toSet,
+            s"seed=$seed mismatch: $q")
+        }
+        // the metadata count-fold must track the live set exactly
+        val c = spark.sql(s"SELECT count(*) FROM $t")
+        assert(c.queryExecution.executedPlan.toString
+          .contains("GraftMetaAggScan"), s"seed=$seed count not folded")
+        assert(c.as[Long].head == livePool.size.toLong,
+          s"seed=$seed count ${c.as[Long].head} != ${livePool.size}")
+      }
+    }
+  }
+
   test("a format-written table in the warehouse is immediately catalog-visible") {
     conf()
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")

@@ -321,6 +321,18 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("MaxScore pruning is lossless and actually prunes a hot term (r11)") {
+    // the 500-doc corpus sits below the production cost/benefit gates —
+    // drop both so the pruning logic itself is exercised
+    spark.conf.set("spark.graft.text.wandMinPostings", "0")
+    spark.conf.set("spark.graft.text.wandMinCorpusTokens", "0")
+    try testWand()
+    finally {
+      spark.conf.unset("spark.graft.text.wandMinPostings")
+      spark.conf.unset("spark.graft.text.wandMinCorpusTokens")
+    }
+  }
+
+  private def testWand(): Unit = {
     // skewed corpus: a HOT term in 90% of docs, rare terms df ≈ 10
     val docs = spark.range(0, 500).select(col("id"),
       concat_ws(" ",

@@ -141,18 +141,42 @@ private[sources] final class GraftMorBatchScan(
           ss.sortBy(_.partitionPath).map(groupFiles).toArray): InputPartition
       }.toArray
     else {
-      // plain mode: whole-GROUP tasks (a dirty group cannot byte-split),
-      // greedily bin-packed largest-first to Spark's own split sizing so
-      // thousands of small compacted groups don't become thousands of
-      // tasks. A group is bounded by the writer's target file size +
-      // compaction lag — the same bound Hudi's merge reader carries.
-      val groups = live.map(groupFiles)
-      val sized = groups.map(g =>
+      // plain mode (r11 refinement): on a mostly-compacted table the
+      // CLEAN groups are the bulk — they need no merge, so they plan
+      // exactly like the delta-free scan: byte-split and bin-packed by
+      // Spark's own FilePartition sizing, read with parquet-level
+      // pushdown of the claimed V1 filters + row-exact re-verification
+      // (row format — Spark forbids mixing columnar and row partitions
+      // in one scan, and the dirty tail is row-merge by nature). DIRTY
+      // groups stay whole-GROUP tasks (a merged group cannot split — its
+      // delta map must see its whole history), greedily bin-packed
+      // largest-first; a group is bounded by the writer's target file
+      // size + compaction lag, the same bound Hudi's merge reader
+      // carries.
+      val (dirty, clean) = live.partition(_.deltas.nonEmpty)
+      val openCost = spark.sessionState.conf.filesOpenCostInBytes
+      val totalBytes = live.map(sl =>
+        groupFiles(sl) match { case g =>
+          g.base.map(_._2).getOrElse(0L) + g.deltas.map(_._2).sum +
+            openCost }).sum
+      val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
+        .maxSplitBytes(spark, totalBytes)
+      val cleanParts: Seq[InputPartition] = {
+        val files = clean.sortBy(sl => (bucketOf(sl), sl.partitionPath))
+          .map(sl => groupFiles(sl).base.get)
+        val splits = files.flatMap { case (path, len) =>
+          (0L until len by maxSplit).map(off =>
+            PartitionedFile(InternalRow.empty,
+              org.apache.spark.paths.SparkPath.fromPathString(path), off,
+              math.min(maxSplit, len - off)))
+        }
+        org.apache.spark.sql.execution.datasources.FilePartition
+          .getFilePartitions(spark, splits, maxSplit)
+          .map(fp => GraftFilePartition(fp.files): InputPartition)
+      }
+      val sized = dirty.map(groupFiles).map(g =>
         g -> (g.base.map(_._2).getOrElse(0L) + g.deltas.map(_._2).sum))
         .sortBy(-_._2)
-      val openCost = spark.sessionState.conf.filesOpenCostInBytes
-      val maxSplit = org.apache.spark.sql.execution.datasources.FilePartition
-        .maxSplitBytes(spark, sized.map(_._2 + openCost).sum)
       val bins = scala.collection.mutable.ArrayBuffer
         .empty[(scala.collection.mutable.ArrayBuffer[MorGroupFiles], Long)]
       sized.foreach { case (g, sz) =>
@@ -163,8 +187,9 @@ private[sources] final class GraftMorBatchScan(
             bins(i) = (buf, tot + cost)
         }
       }
-      bins.map(b => GraftMorGroupsPartition(b._1.toArray): InputPartition)
-        .toArray
+      (cleanParts ++
+        bins.map(b => GraftMorGroupsPartition(b._1.toArray)
+          : InputPartition)).toArray
     }
   }
 
@@ -218,7 +243,12 @@ private[sources] final class GraftMorBatchScan(
     val deltaReadSchema = StructType(mergeSchema.fields :+
       org.apache.spark.sql.types.StructField(MetaCols.IsDeleted,
         org.apache.spark.sql.types.BooleanType, nullable = true))
-    val hconf = session.sessionState.newHadoopConf()
+    // each reader builds on its OWN hadoopConf: buildReaderWithPartition-
+    // Values stamps the requested schema INTO the conf it is given, so a
+    // shared conf makes the last-built reader's schema leak into the
+    // others (caught when the clean-split reader joined: delta rows came
+    // back with the clean projection and the fold read past the end)
+    def freshConf() = session.sessionState.newHadoopConf()
     val rowOpts = Map(
       org.apache.spark.sql.graft.Bridge.returningBatchKey -> "false")
     // NO parquet-level predicate pushdown on either merge side: a value
@@ -226,11 +256,45 @@ private[sources] final class GraftMorBatchScan(
     // and resurrect an older matching one. Predicates run post-merge.
     val baseReadFunc = baseSchema.map(ds =>
       org.apache.spark.sql.graft.Bridge.parquetReadFunc(
-        session, ds, mergeSchema, Seq.empty, rowOpts, hconf))
+        session, ds, mergeSchema, Seq.empty, rowOpts, freshConf()))
     val deltaReadFunc = deltaSchema.map(ds =>
       org.apache.spark.sql.graft.Bridge.parquetReadFunc(
-        session, ds, deltaReadSchema, Seq.empty, rowOpts, hconf))
+        session, ds, deltaReadSchema, Seq.empty, rowOpts, freshConf()))
     val pcIdx = precombineCol.map(idxOf).getOrElse(-1)
+    // CLEAN-group splits (plain mode) read exactly like the delta-free
+    // scan: required + filter-only columns, claimed V1 filters pushed to
+    // parquet row groups, row-exact re-verification — just never
+    // columnar (a scan's partitions must share one format and the dirty
+    // tail is rows). Built only when a base schema exists.
+    val cleanFactory = baseSchema.map { ds =>
+      val resolver = session.sessionState.conf.resolver
+      val filterCols = pushedExprs
+        .flatMap(_.collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.name
+        })
+        .distinct
+        .filterNot(n => required.fields.exists(f => resolver(f.name, n)))
+        .flatMap(n => ds.fields.find(f => resolver(f.name, n)))
+      val cleanSchema = StructType(required.fields ++ filterCols)
+      def bindClean(e: Expression): Expression = e.transform {
+        case a: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute =>
+          val i = cleanSchema.fields.indexWhere(f =>
+            resolver(f.name, a.name))
+          require(i >= 0, s"claimed predicate column ${a.name} unresolved")
+          BoundReference(i, cleanSchema.fields(i).dataType,
+            cleanSchema.fields(i).nullable)
+      }.transform {
+        case e: TimeZoneAwareExpression if e.timeZoneId.isEmpty =>
+          e.withTimeZone(tz)
+      }
+      GraftReaderFactory(
+        org.apache.spark.sql.graft.Bridge.parquetReadFunc(
+          session, ds, cleanSchema, pushedV1.toSeq, rowOpts, freshConf()),
+        cleanSchema, required.length, pushedExprs.map(bindClean),
+        columnar = false, limit = limit)
+    }
     GraftMorReaderFactory(baseReadFunc, deltaReadFunc, mergeSchema,
       required.length, bound,
       keyIdx = idxOf(MetaCols.RecordKey),
@@ -239,7 +303,8 @@ private[sources] final class GraftMorBatchScan(
       pcIdx = pcIdx,
       pcType = if (pcIdx >= 0) mergeSchema.fields(pcIdx).dataType else null,
       isDelIdx = mergeSchema.length,
-      limit = limit)
+      limit = limit,
+      clean = cleanFactory)
   }
 }
 
@@ -269,7 +334,9 @@ private[sources] final case class GraftMorReaderFactory(
     bound: Seq[Expression],
     keyIdx: Int, ctIdx: Int, seqIdx: Int, pcIdx: Int, pcType: DataType,
     isDelIdx: Int,
-    limit: Option[Int] = None) extends PartitionReaderFactory {
+    limit: Option[Int] = None,
+    clean: Option[GraftReaderFactory] = None)
+    extends PartitionReaderFactory {
 
   private def pf(path: String, len: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty,
@@ -299,6 +366,14 @@ private[sources] final case class GraftMorReaderFactory(
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
+    partition match {
+      // clean-group byte-range splits: the delta-free read path (parquet
+      // filter pushdown + row-exact re-verify), no merge machinery
+      case p: GraftFilePartition => return clean.getOrElse(
+        throw new IllegalStateException(
+          "clean split planned without a base schema")).createReader(p)
+      case _ => ()
+    }
     val groups: Array[MorGroupFiles] = partition match {
       case GraftMorBucketPartition(_, gs) => gs
       case GraftMorGroupsPartition(gs) => gs

@@ -1271,6 +1271,50 @@ class Dsv2CatalogSpec extends SparkSpec {
     assert(c.as[Long].head == 20L)
   }
 
+  test("plain-mode MOR scan byte-splits its CLEAN groups (r11)") {
+    conf()
+    val t = freshTable("mor_split")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, part STRING, v BIGINT)
+      PARTITIONED BY (part)
+      TBLPROPERTIES (key 'id', buckets '4', type 'mor')""")
+    spark.sql(s"INSERT INTO $t SELECT id, concat('p', id % 3), id * 10 " +
+      "FROM range(1, 2001)")
+    spark.sql(s"INSERT INTO $t VALUES (7, 'p1', 777)") // ONE dirty group
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val df = spark.sql(s"SELECT id, v FROM $t")
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec
+            if b.scan.getClass.getSimpleName == "GraftMorBatchScan" =>
+            b.scan
+        }.get
+      val parts = scan.toBatch.planInputPartitions()
+      val nGroups = format.Timeline(spark.sessionState.newHadoopConf(),
+        s"$wh/ns/mor_split").latestSlices(None).size
+      // clean groups fan out into byte-range splits; the one dirty group
+      // stays a whole-group merge task
+      assert(parts.length > nGroups,
+        s"expected byte splits to outnumber the $nGroups groups, " +
+          s"got ${parts.length}")
+      assert(parts.count(_.getClass.getSimpleName
+        == "GraftMorGroupsPartition") == 1,
+        "exactly one dirty-group merge task expected")
+      // rows exact, merged value included, under the mixed plan
+      spark.conf.set("spark.graft.catalog.nativeScan", "false")
+      val ref = try spark.sql(s"SELECT id, v FROM $t").collect().toSet
+        finally spark.conf.unset("spark.graft.catalog.nativeScan")
+      assert(df.collect().toSet == ref)
+      assert(spark.sql(s"SELECT v FROM $t WHERE id = 7")
+        .as[Long].collect().toSeq == Seq(777L))
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
   test("randomized: native MOR scan and delta count-fold ≡ V1 fallback " +
       "under random op sequences (r11)") {
     conf()

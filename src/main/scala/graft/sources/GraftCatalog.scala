@@ -1306,9 +1306,7 @@ private final class GraftScanBuilder(table: GraftV2Table,
           rowsOf = stats.map { case (fid, st) => fid -> st.numWrites },
           limit = pushedLimit, sortCols = pushedSort)
           : Scan)
-      } else if (pushedSort.isEmpty) // MOR TopN stays with the V1 plan
-        morNativeScan(slices, key, part, buckets, v1)
-      else None
+      } else morNativeScan(slices, key, part, buckets, v1)
     }
   } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -1346,7 +1344,7 @@ private final class GraftScanBuilder(table: GraftV2Table,
       .filter(allCols.contains)
     val needed: Seq[String] =
       (required.fieldNames.toSeq ++
-        pushedExprs.flatMap(_.collect {
+        (pushedExprs ++ pushedSort).flatMap(_.collect {
           case a: org.apache.spark.sql.catalyst.analysis
             .UnresolvedAttribute => a.name
         }) ++
@@ -1378,7 +1376,7 @@ private final class GraftScanBuilder(table: GraftV2Table,
     }.toMap
     Some(new GraftMorBatchScan(table, required, pushedExprs, v1, live,
       key, part, buckets, baseSchema, deltaSchema, pc, sizeOfPath,
-      limit = pushedLimit))
+      limit = pushedLimit, sortCols = pushedSort))
   }
 }
 

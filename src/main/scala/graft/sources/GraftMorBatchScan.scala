@@ -72,7 +72,9 @@ private[sources] final class GraftMorBatchScan(
     deltaSchema: Option[StructType],
     precombineCol: Option[String],
     sizeOfPath: Map[String, Long],
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    sortCols: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+      Seq.empty) extends Scan with Batch
     with GraftScanPruning
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -85,7 +87,8 @@ private[sources] final class GraftMorBatchScan(
     s"GraftMorBatchScan(${table.name()}, buckets=$buckets, " +
       s"groups=${slices.size}, " +
       s"deltas=${slices.map(_.deltas.size).sum}" +
-      limit.fold("")(n => s", limit=$n") + ")"
+      limit.fold("")(n => s", limit=$n" +
+        (if (sortCols.nonEmpty) " (top-n)" else "")) + ")"
 
   // ---- the merge read schema -------------------------------------------
   // required columns first (the output projection is a prefix take), then
@@ -101,7 +104,7 @@ private[sources] final class GraftMorBatchScan(
       if (!have.exists(f => resolver(f.name, name)))
         table.fullSchema.fields.find(f => resolver(f.name, name))
           .foreach(have += _)
-    pushedExprs.flatMap(_.collect {
+    (pushedExprs ++ sortCols).flatMap(_.collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         a.name
     }).distinct.foreach(ensure)
@@ -230,7 +233,7 @@ private[sources] final class GraftMorBatchScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val session = spark
     val tz = session.sessionState.conf.sessionLocalTimeZone
-    val bound: Seq[Expression] = pushedExprs.map(_.transform {
+    def bindMerge(e: Expression): Expression = e.transform {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         val i = idxOf(a.name)
         require(i >= 0, s"claimed predicate column ${a.name} unresolved")
@@ -239,7 +242,13 @@ private[sources] final class GraftMorBatchScan(
     }.transform {
       case e: TimeZoneAwareExpression if e.timeZoneId.isEmpty =>
         e.withTimeZone(tz)
-    })
+    }
+    val bound: Seq[Expression] = pushedExprs.map(bindMerge)
+    val boundSort = sortCols.map(bindMerge).map {
+      case s: org.apache.spark.sql.catalyst.expressions.SortOrder => s
+      case other => throw new IllegalStateException(
+        s"pushed sort is not a SortOrder: $other")
+    }
     val deltaReadSchema = StructType(mergeSchema.fields :+
       org.apache.spark.sql.types.StructField(MetaCols.IsDeleted,
         org.apache.spark.sql.types.BooleanType, nullable = true))
@@ -268,7 +277,7 @@ private[sources] final class GraftMorBatchScan(
     // tail is rows). Built only when a base schema exists.
     val cleanFactory = baseSchema.map { ds =>
       val resolver = session.sessionState.conf.resolver
-      val filterCols = pushedExprs
+      val extraCols = (pushedExprs ++ sortCols)
         .flatMap(_.collect {
           case a: org.apache.spark.sql.catalyst.analysis
             .UnresolvedAttribute => a.name
@@ -276,7 +285,7 @@ private[sources] final class GraftMorBatchScan(
         .distinct
         .filterNot(n => required.fields.exists(f => resolver(f.name, n)))
         .flatMap(n => ds.fields.find(f => resolver(f.name, n)))
-      val cleanSchema = StructType(required.fields ++ filterCols)
+      val cleanSchema = StructType(required.fields ++ extraCols)
       def bindClean(e: Expression): Expression = e.transform {
         case a: org.apache.spark.sql.catalyst.analysis
           .UnresolvedAttribute =>
@@ -293,7 +302,12 @@ private[sources] final class GraftMorBatchScan(
         org.apache.spark.sql.graft.Bridge.parquetReadFunc(
           session, ds, cleanSchema, pushedV1.toSeq, rowOpts, freshConf()),
         cleanSchema, required.length, pushedExprs.map(bindClean),
-        columnar = false, limit = limit)
+        columnar = false, limit = limit,
+        boundSort = sortCols.map(bindClean).map {
+          case s: org.apache.spark.sql.catalyst.expressions.SortOrder => s
+          case other => throw new IllegalStateException(
+            s"pushed sort is not a SortOrder: $other")
+        })
     }
     GraftMorReaderFactory(baseReadFunc, deltaReadFunc, mergeSchema,
       required.length, bound,
@@ -304,7 +318,8 @@ private[sources] final class GraftMorBatchScan(
       pcType = if (pcIdx >= 0) mergeSchema.fields(pcIdx).dataType else null,
       isDelIdx = mergeSchema.length,
       limit = limit,
-      clean = cleanFactory)
+      clean = cleanFactory,
+      boundSort = boundSort)
   }
 }
 
@@ -335,7 +350,9 @@ private[sources] final case class GraftMorReaderFactory(
     keyIdx: Int, ctIdx: Int, seqIdx: Int, pcIdx: Int, pcType: DataType,
     isDelIdx: Int,
     limit: Option[Int] = None,
-    clean: Option[GraftReaderFactory] = None)
+    clean: Option[GraftReaderFactory] = None,
+    boundSort: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+      Seq.empty)
     extends PartitionReaderFactory {
 
   private def pf(path: String, len: Long): PartitionedFile =
@@ -401,7 +418,28 @@ private[sources] final case class GraftMorReaderFactory(
     def emitting(rows: Iterator[InternalRow]): Iterator[InternalRow] = {
       val filtered =
         if (predicate == null) rows else rows.filter(predicate.eval)
-      filtered.map(project)
+      // TopN/LIMIT over the MERGED+filtered rows, partial semantics —
+      // the same bounded heap the delta-free reader uses (r11); merged
+      // rows may be reused reader buffers, so heap entries are copies
+      val shaped: Iterator[InternalRow] = (limit, boundSort) match {
+        case (Some(n), sort) if sort.nonEmpty =>
+          val ord: Ordering[InternalRow] =
+            new org.apache.spark.sql.catalyst.expressions.codegen
+              .LazilyGeneratedOrdering(sort)
+          val heap = new java.util.PriorityQueue[InternalRow](
+            math.max(n, 1), ord.reverse)
+          filtered.foreach { r =>
+            if (heap.size < n) heap.offer(r.copy())
+            else if (n > 0 && ord.compare(r, heap.peek()) < 0) {
+              heap.poll(); heap.offer(r.copy())
+            }
+          }
+          scala.jdk.CollectionConverters
+            .IteratorHasAsScala(heap.iterator()).asScala
+        case (Some(n), _) => filtered.take(n)
+        case _ => filtered
+      }
+      shaped.map(project)
     }
 
     /** Winner among this key's LIVE versions newer than the delete cut,
@@ -553,8 +591,8 @@ private[sources] final case class GraftMorReaderFactory(
     // early-stopping LIMIT, partial semantics: each task emits at most n
     // MERGED+filtered rows (Spark's own limit above trims globally); the
     // remaining groups of the task are never read
-    val merged = emitting(groups.iterator.flatMap(mergeGroup))
-    val it = limit.fold(merged)(merged.take)
+    // limit/top-n applied INSIDE emitting (post-merge, pre-projection)
+    val it = emitting(groups.iterator.flatMap(mergeGroup))
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

@@ -1054,6 +1054,19 @@ class Dsv2CatalogSpec extends SparkSpec {
     val all = spark.sql(s"SELECT v FROM $m WHERE id = 2 LIMIT 1")
       .as[Long].collect().toSeq
     assert(all == Seq(25L), s"limit must see merged rows, got $all")
+    // TopN on the MOR scan (r11): ranks by the MERGED values — the
+    // delta's v=25 must place id=2 correctly, not its stale v=20
+    val qmt = spark.sql(s"SELECT id, v FROM $m ORDER BY v DESC LIMIT 2")
+    val pmt = qmt.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(pmt.contains("GraftMorBatchScan") && pmt.contains("top-n"),
+      s"native MOR top-n expected:\n$pmt")
+    assert(qmt.as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 30L), (2L, 25L)))
+    // sort column outside the projection, with a filter, on MOR
+    val qms = spark.sql(
+      s"SELECT id FROM $m WHERE part = 'b' ORDER BY v ASC LIMIT 1")
+    assert(qms.as[Long].collect().toSeq == Seq(2L))
   }
 
   test("native MOR batch scan ≡ V1 fallback: merge semantics through deltas (r11)") {

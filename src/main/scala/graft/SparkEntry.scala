@@ -255,6 +255,16 @@ object SparkEntry {
         max(o_cents) AS max_cents, sum(o_cents) AS sum_cents
         FROM $tbl GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
+    // q_v2_topn_mor (r11): ORDER BY ... LIMIT on the OUTSTANDING-DELTA
+    // MOR fixture — the native MOR scan's per-task top-n heap ranks the
+    // MERGED rows (the +100000 delta values place their rows; stale base
+    // versions never rank); deterministic under the id tiebreak, so the
+    // result is oracle-exact.
+    "q_v2_topn_mor" -> ((s, d) => {
+      val mor = Fixtures.dsv2MorDir(s, d)
+      s.sql(s"""SELECT o_orderkey, o_cents FROM $mor
+        ORDER BY o_cents DESC, o_orderkey LIMIT 20""")
+    }),
     // q_call_delete_view (r10): the reference's core operation driven
     // through the SQL CALL procedure surface (graft.sources
     // .GraftProcedures) — `CALL cat.system.delete_view(...)` materializes
@@ -1566,6 +1576,16 @@ object SparkEntry {
         "(SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) " +
         "+ 7 AS o_cents_dim FROM orders WHERE o_orderkey % 5 = 0) b " +
         "ON a.o_orderkey = b.o_orderkey ORDER BY a.o_orderkey"),
+    // top-20 by cents over the MOR twin's merged rows (same CASE
+    // arithmetic as the SPJ oracle's fact side), id tiebreak
+    "q_v2_topn_mor" ->
+      ("SELECT o_orderkey, o_cents FROM " +
+        "(SELECT o_orderkey, CAST(round((CASE WHEN o_orderkey % 3 = 0 " +
+        "THEN o_totalprice + 100000 ELSE o_totalprice END) * 100) " +
+        "AS BIGINT) AS o_cents FROM orders " +
+        "WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) " +
+        "AND o_orderstatus <> 'F') " +
+        "ORDER BY o_cents DESC, o_orderkey LIMIT 20"),
     // the append-only MOR twin's live rows are ALL orders (evens via the
     // base CTAS, odds via the delta insert)
     "q_v2_minmax_mor" ->

@@ -199,6 +199,24 @@ object RecallCheck {
     val pareto = for (np <- paretoProbes; rr <- paretoReranks)
       yield (np, rr, ivfpqRes(np, rr))
 
+    // IVF-OPQ (r11): the full OPQ+IVF+PQ composition at the same knobs —
+    // the recall delta the learned rotation buys at identical serving
+    // cost (exhaustive gate is q_ivfopq_topk's oracle)
+    val ivfopqRealistic = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_recall_ivfopq").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir))))
+      val (rot, oc, ob) = Similarity.ivfOpqWrite(embs, col("vec_id"),
+        col("embedding"), dir, dim = 64, nlist = nlist)
+      val top = pairSet(Similarity.ivfPqTopKFromTable(spark, dir, oc, ob,
+        queries, col("vec_id"), col("embedding"), k, dim = 64,
+        nprobe = nlist / 2, rerank = 4 * k, rotation = Some(rot)))
+      if (bruteTop.isEmpty) 1.0
+      else (bruteTop & top).size.toDouble / bruteTop.size
+    }
+
     // SemDeDup (r10): not a recall metric — the kept set is oracle-exact
     // by construction (q_sem_dedup); report the operational shape at the
     // bench SF: corpus size, survivors, and how many of the 32 seeded
@@ -238,6 +256,7 @@ object RecallCheck {
       s""""ivfpq_topk":{"k":$k,"nlist":$nlist,""" +
       s""""recall_at_k_nprobe${nlist / 2}_rerank${4 * k}":$ivfpqRealistic,""" +
       s""""recall_raw_pq_same_setting":$ivfpqRaw,""" +
+      s""""recall_ivfopq_same_setting":$ivfopqRealistic,""" +
       s""""recall_at_k_exhaustive":$ivfpqExact,""" +
       s""""pareto":[""" + pareto.map { case (np, rr, r) =>
         s"""{"nprobe":$np,"rerank":$rr,"recall":$r}""" }.mkString(",") +

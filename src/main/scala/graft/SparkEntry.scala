@@ -868,6 +868,21 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // q_ivfopq_topk (r11): the FULL production composition —
+    // OPQ rotation + IVF cells + residual PQ codes (FAISS
+    // `OPQm,IVFn,PQm`). Exhaustive probe + full rerank ≡ brute force
+    // (rotation preserves dots; the rerank reads ORIGINAL vectors), so
+    // the gate is the same hash-exact oracle; realistic-mode recall vs
+    // plain IVF-PQ is measured in RECALL_r11.
+    "q_ivfopq_topk" -> ((s, d) => {
+      val (path, rot, cents, books) = Fixtures.ivfOpqDir(s, d)
+      Similarity.ivfPqTopKFromTable(s, path, cents, books,
+          t(s, d, "embeddings").filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), k = 5, dim = 64,
+          nprobe = cents.size, rerank = 1 << 30, rotation = Some(rot))
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_sim_topk" -> ((s, d) => {
       val e = tp(s, d, "embeddings")
       Similarity.bruteForceTopK(
@@ -2111,6 +2126,14 @@ object SparkEntry {
     // nprobe=nlist + rerank ≥ corpus ⇒ IVF-PQ degenerates to exact brute
     // force — same oracle as q_sim_topk.
     "q_ivfpq_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // exhaustive probe + full rerank over ORIGINAL vectors ⇒ exact brute
+    // force regardless of the learned rotation — same oracle
+    "q_ivfopq_topk" ->
       ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +

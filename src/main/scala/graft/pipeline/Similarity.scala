@@ -789,27 +789,53 @@ object Similarity {
       dim: Int, nlist: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
       seed: Long = 42L,
       residual: Boolean = true,
-      trainFraction: Double = 1.0): (Seq[(Int, Seq[Float])], PqCodebooks) = {
-    val centroids = ivfTrain(corpus, id, vec, nlist, iters, seed,
-      trainFraction)
+      trainFraction: Double = 1.0,
+      rotation: Option[Seq[Seq[Double]]] = None)
+      : (Seq[(Int, Seq[Float])], PqCodebooks) = {
+    // OPQ composition (r11): with a `rotation`, the whole IVF-PQ
+    // machinery — coarse training, cell assignment, residuals, codebook
+    // training, encoding — runs in ROTATED space (FAISS's
+    // OPQ-as-pretransform, `OPQm,IVFn,PQm`), while the stored `cv` stays
+    // the ORIGINAL vector so the exact-cosine rerank (and its oracle
+    // gate) are untouched. Rotation preserves dots and norms, so the ADC
+    // scores approximate the same cosine — only the approximation
+    // quality moves.
+    val base = corpus.select(id.cast("long").as("corpus_id"), vec.as("cv"))
+      .withColumn("v",
+        rotation.fold(col("cv"))(r => toFloats(rotateCol(col("cv"), r))))
+    val centroids = ivfTrain(base, col("corpus_id"), col("v"), nlist,
+      iters, seed, trainFraction)
     val centsF: Seq[Seq[Float]] = centroids.sortBy(_._1).map(_._2)
-    val assigned = assignToCentroid(
-        corpus.select(id.cast("long").as("corpus_id"), vec.as("v")),
-        centroids)
-      .withColumnRenamed("v", "cv")
+    val assigned = assignToCentroid(base, centroids)
     // what the codebooks see: the residual against the row's own cell
-    // centroid, or the raw vector
+    // centroid, or the (possibly rotated) vector
     val encIn = assigned.withColumn("enc",
       if (residual)
-        zip_with(col("cv"),
+        zip_with(col("v"),
           element_at(typedLit(centsF), col("__cluster") + 1),
           (a, b) => a - b)
-      else col("cv"))
+      else col("v"))
     val books = pqTrain(encIn, col("corpus_id"), col("enc"), dim, m, ksub,
       iters, seed, trainFraction)
     pqEncodeFrame(encIn, books, dim, m)
       .write.mode("overwrite").partitionBy("__cluster").parquet(path)
     (centroids, books)
+  }
+
+  /** [[ivfPqWrite]] with an OPQ-learned rotation trained first: the
+    * production `OPQm,IVFnlist,PQm` layout. Returns (rotation, centroids,
+    * codebooks) — persist all three; queries pass the same rotation to
+    * [[ivfPqTopKFromTable]]. Serving cost identical to plain IVF-PQ. */
+  def ivfOpqWrite(corpus: DataFrame, id: Column, vec: Column, path: String,
+      dim: Int, nlist: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      opqIters: Int = 3, seed: Long = 42L, residual: Boolean = true,
+      trainFraction: Double = 1.0)
+      : (Seq[Seq[Double]], Seq[(Int, Seq[Float])], PqCodebooks) = {
+    val (rot, _) = opqTrain(corpus, id, vec, dim, m, ksub, iters,
+      opqIters, seed, trainFraction)
+    val (cents, books) = ivfPqWrite(corpus, id, vec, path, dim, nlist, m,
+      ksub, iters, seed, residual, trainFraction, rotation = Some(rot))
+    (rot, cents, books)
   }
 
   /** Encode an assigned-and-residualized frame against FIXED codebooks:
@@ -838,18 +864,19 @@ object Similarity {
     * re-train — the same drift trade as the coarse centroids. */
   def ivfPqIngest(batch: DataFrame, id: Column, vec: Column, path: String,
       centroids: Seq[(Int, Seq[Float])], books: PqCodebooks,
-      dim: Int, m: Int = 8, residual: Boolean = true): Unit = {
+      dim: Int, m: Int = 8, residual: Boolean = true,
+      rotation: Option[Seq[Seq[Double]]] = None): Unit = {
     val centsF: Seq[Seq[Float]] = centroids.sortBy(_._1).map(_._2)
-    val assigned = assignToCentroid(
-        batch.select(id.cast("long").as("corpus_id"), vec.as("v")),
-        centroids)
-      .withColumnRenamed("v", "cv")
+    val base = batch.select(id.cast("long").as("corpus_id"), vec.as("cv"))
+      .withColumn("v",
+        rotation.fold(col("cv"))(r => toFloats(rotateCol(col("cv"), r))))
+    val assigned = assignToCentroid(base, centroids)
     val encIn = assigned.withColumn("enc",
       if (residual)
-        zip_with(col("cv"),
+        zip_with(col("v"),
           element_at(typedLit(centsF), col("__cluster") + 1),
           (a, b) => a - b)
-      else col("cv"))
+      else col("v"))
     pqEncodeFrame(encIn, books, dim, m)
       .write.mode("append").partitionBy("__cluster").parquet(path)
   }
@@ -873,24 +900,31 @@ object Similarity {
       path: String, centroids: Seq[(Int, Seq[Float])], books: PqCodebooks,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, dim: Int, nprobe: Int = 2, rerank: Int = 50,
-      residual: Boolean = true): DataFrame = {
+      residual: Boolean = true,
+      rotation: Option[Seq[Seq[Double]]] = None): DataFrame = {
     // residual decomposition: ⟨q, x̂⟩ = ⟨q, c_cell⟩ + ⟨q, r̂⟩ — the first
     // term is one dot per (query, probed cell) against the centroid
-    // literal, the second the usual LUT sum over the codes
+    // literal, the second the usual LUT sum over the codes. With an OPQ
+    // `rotation` (must match the build), probing/LUT/qc run on the
+    // ROTATED query while qnorm and the exact rerank stay on the
+    // original (rotation preserves both).
     val centsD: Seq[Seq[Double]] =
       centroids.sortBy(_._1).map(_._2.map(_.toDouble))
     val qd = queries.select(queryId.cast("long").as("query_id"),
         queryVec.as("qv"))
+      .withColumn("__rqv",
+        rotation.fold(col("qv"))(r => toFloats(rotateCol(col("qv"), r))))
       .withColumn("__cluster",
-        explode(probeClusters(centroids, nprobe)(col("qv"))))
-      .withColumn("lut", pqLut(col("qv"), books, dim))
+        explode(probeClusters(centroids, nprobe)(col("__rqv"))))
+      .withColumn("lut", pqLut(col("__rqv"), books, dim))
       .withColumn("qnorm", norm(col("qv")))
       .withColumn("qc",
         if (residual)
-          aggregate(zip_with(col("qv"),
+          aggregate(zip_with(col("__rqv"),
             element_at(typedLit(centsD), col("__cluster") + 1),
             (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
         else lit(0.0d))
+      .drop("__rqv")
     val tableDir = new org.apache.hadoop.fs.Path(path)
     val existing = tableDir.getFileSystem(
         spark.sessionState.newHadoopConf())

@@ -251,6 +251,31 @@ class PipelineSpec extends SparkSpec {
     assert(adc.groupBy("query_id").count().filter($"count" =!= 5).isEmpty)
   }
 
+  test("IVF-OPQ composition: exhaustive probe + full rerank == brute " +
+      "force; rotated ingest stays exact over the union (r11)") {
+    val path = "/tmp/graft_test/ivfopq_table"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val bulk = embs.filter($"vec_id" % 3 =!= 0)
+    val batch = embs.filter($"vec_id" % 3 === 0)
+    val (rot, cents, books) = Similarity.ivfOpqWrite(bulk, $"vec_id",
+      $"embedding", path, dim = 64, nlist = 8, iters = 1, opqIters = 1)
+    val queries = embs.filter($"vec_id" < 5)
+    def top(k: Int) = Similarity.ivfPqTopKFromTable(spark, path, cents,
+      books, queries, $"vec_id", $"embedding", k = k, dim = 64,
+      nprobe = 8, rerank = 1 << 30, rotation = Some(rot))
+    val bruteBulk = Similarity.bruteForceTopK(bulk, $"vec_id",
+      $"embedding", queries, $"vec_id", $"embedding", k = 5)
+    assert(top(5).exceptAll(bruteBulk).isEmpty &&
+      bruteBulk.exceptAll(top(5)).isEmpty)
+    // FAISS-add ingest with the SAME rotation: exact over the union
+    Similarity.ivfPqIngest(batch, $"vec_id", $"embedding", path, cents,
+      books, dim = 64, rotation = Some(rot))
+    val bruteAll = Similarity.bruteForceTopK(embs, $"vec_id",
+      $"embedding", queries, $"vec_id", $"embedding", k = 5)
+    assert(top(5).exceptAll(bruteAll).isEmpty &&
+      bruteAll.exceptAll(top(5)).isEmpty)
+  }
+
   test("IVF-PQ table path: exhaustive probe + full rerank == brute force; " +
       "ADC scan never reads vectors") {
     val path = "/tmp/graft_test/ivfpq_table"

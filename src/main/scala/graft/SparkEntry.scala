@@ -1178,6 +1178,14 @@ object SparkEntry {
     // the highest quality score (ties by smallest id) plus all unclustered
     // docs — the quality-ranked representative policy
     // (Dedup.keepBestPerCluster over the same MinHash pair set).
+    // ExactSubstr duplicated-span removal (Lee et al. 2022): every 8-token
+    // window occurring ≥2 times in the corpus is cut from every doc that
+    // contains it; hash-then-verify (8-byte candidate shuffle, exact-string
+    // verdicts) instead of the paper's in-memory suffix array.
+    "q_substr_dedup" -> ((s, d) =>
+      Dedup.substrDedup(tp(s, d, "documents"), col("doc_id"), col("text"),
+          w = 8)
+        .orderBy(col("doc_id"))),
     "q_dedup_best" -> ((s, d) => {
       val docs = tp(s, d, "documents")
       Dedup.keepBestPerCluster(
@@ -2362,6 +2370,30 @@ object SparkEntry {
         "GROUP BY id ORDER BY doc_id"),
     // best-of-cluster keep set: same recursive-CTE clusters, winners by
     // (quality desc, doc_id asc) per cluster, losers anti-joined away
+    // ExactSubstr: window/token positions via zipped unnests; the NOT
+    // EXISTS is the same "covered by any duplicated window" test the
+    // in-row array pass evaluates.
+    "q_substr_dedup" ->
+      (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+        "wins AS (SELECT doc_id, " +
+        "unnest(range(0, greatest(len(t)-8+1, 0))) AS pos, " +
+        "unnest(list_transform(range(0, greatest(len(t)-8+1, 0)), " +
+        "i -> array_to_string(t[i+1:i+8], ' '))) AS win FROM toks), " +
+        "dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2), " +
+        "mark AS (SELECT DISTINCT w.doc_id AS doc_id, w.pos AS pos " +
+        "FROM wins w JOIN dup d ON w.win = d.win), " +
+        "toki AS (SELECT doc_id, unnest(range(0, len(t))) AS idx, " +
+        "unnest(t) AS tok FROM toks), " +
+        "keep AS (SELECT k.doc_id AS doc_id, k.idx AS idx, k.tok AS tok " +
+        "FROM toki k WHERE NOT EXISTS (SELECT 1 FROM mark m " +
+        "WHERE m.doc_id = k.doc_id AND m.pos <= k.idx AND k.idx < m.pos + 8)), " +
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS kept_text, " +
+        "count(*) AS kept FROM keep GROUP BY doc_id) " +
+        "SELECT t.doc_id AS doc_id, coalesce(a.kept_text, '') AS kept_text, " +
+        "CAST(len(t.t) AS INT) AS n_tokens, " +
+        "CAST(len(t.t) - coalesce(a.kept, 0) AS INT) AS removed_tokens " +
+        "FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id " +
+        "ORDER BY doc_id"),
     "q_dedup_best" ->
       ("WITH RECURSIVE " + ShinglesCte.stripPrefix("WITH ") + ", " +
         "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a " +

@@ -909,6 +909,85 @@ object Dedup {
     clusterLabels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("drop_id"))
 
+  /** ExactSubstr duplicated-span removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): any window of `w`
+    * consecutive word tokens whose exact token sequence occurs at
+    * `minDupCount`+ positions in the corpus — across documents or repeated
+    * inside one — is a duplicated span, and every token instance covered
+    * by at least one duplicated window is removed. One row per input doc:
+    * (doc_id, kept_text, n_tokens, removed_tokens); `kept_text` is the
+    * surviving tokens joined by single spaces (token-normalized —
+    * lowercased, whitespace-collapsed — like every text operator here).
+    *
+    * The published implementation builds one corpus-wide suffix array in
+    * memory; the Spark-native shape is hash-then-verify over the w-token
+    * windows:
+    *
+    *  1. CANDIDATES — each doc emits one 8-byte xxhash64 per window
+    *     position (the window string is built and hashed in-row, never
+    *     shuffled); one map-side-combined count-by-hash finds hashes seen
+    *     ≥ minDupCount times. The suffix array's O(corpus) RAM becomes an
+    *     O(#windows × 8 B) shuffle — the part that must scale to 100 TB.
+    *  2. VERIFY — only positions whose hash is duplicated re-materialize
+    *     their window string (a doc-id join re-attaches the token array,
+    *     so the ×w string blowup runs over candidate positions only), and
+    *     a count by the actual string discards xxhash64 collisions:
+    *     verdicts are exact-string, never hash-trust.
+    *  3. CLEAN — duplicated positions aggregate to one sorted per-doc
+    *     array (bounded by that doc's own window count) and a single
+    *     in-row array pass drops covered tokens.
+    *
+    * Skew: a boilerplate window duplicated millions of times costs one
+    * partially-aggregated count — there is no bucket self-join anywhere,
+    * so no quadratic hotspot to cap. */
+  def substrDedup(df: DataFrame, id: Column, text: Column, w: Int,
+      minDupCount: Int = 2): DataFrame = {
+    require(w >= 1, s"window width must be >= 1 token (got $w)")
+    require(minDupCount >= 2, s"minDupCount must be >= 2 (got $minDupCount)")
+    val toks = graft.util.ParallelScan.widen(
+      df.select(id.cast("long").as("doc_id"),
+        TextAnalysis.tokens(text).as("t")))
+    // Window start positions 0..len-w; empty when the doc is shorter
+    // than w (such docs are kept whole). sequence() must be guarded: with
+    // start > stop it would COUNT DOWN, fabricating negative positions.
+    val posSeq = when(size(col("t")) >= w,
+      sequence(lit(0), size(col("t")) - w))
+      .otherwise(array().cast("array<int>"))
+    def winAt(t: Column, pos: Column): Column =
+      concat_ws(" ", slice(t, pos + 1, lit(w)))
+    // Phase 1: (doc_id, pos, h) — hashes computed BEFORE the explode so
+    // the generator output (and the count shuffle) never carries the token
+    // array or the window string.
+    val winHashes = toks.select(col("doc_id"),
+      transform(posSeq, p => xxhash64(winAt(col("t"), p))).as("hs"))
+    val wins = winHashes
+      .select(col("doc_id"), posexplode_outer(col("hs")).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+    val dupH = wins.groupBy("h").count()
+      .filter(col("count") >= minDupCount).select("h")
+    // Phase 2: re-materialize candidate windows and verify by string.
+    val cand = wins.join(dupH, Seq("h"), "left_semi")
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        winAt(col("t"), col("pos")).as("win"))
+    val dupWins = cand.groupBy("win").count()
+      .filter(col("count") >= minDupCount).select("win")
+    val marked = cand.join(dupWins, Seq("win"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("mpos"))
+    // Phase 3: drop tokens covered by any duplicated window, in-row.
+    val mpos = coalesce(col("mpos"), array().cast("array<int>"))
+    val kept = filter(
+      zip_with(col("t"), sequence(lit(0), size(col("t")) - 1),
+        (tok, i) => struct(tok.as("tok"), i.as("i"))),
+      s => !exists(mpos, p => p <= s("i") && s("i") < p + w))
+    toks.join(marked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", transform(kept, s => s("tok"))).as("kept_text"),
+        size(col("t")).as("n_tokens"),
+        (size(col("t")) - size(kept)).as("removed_tokens"))
+  }
+
   /** BEST-of-cluster dedup: keep, per duplicate cluster, the member with
     * the highest `score` (ties by smallest id — deterministic), plus every
     * unclustered doc — the production dedup policy (quality-ranked

@@ -601,6 +601,57 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("substrDedup: a planted cross-doc 8-token span is cut from both " +
+      "docs, unique context survives") {
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"epsilon $span zeta"),
+      (3L, "nothing shared here at all today friends ok")).toDF("id", "txt")
+    val out = Dedup.substrDedup(df, $"id", $"txt", w = 8)
+      .orderBy($"doc_id").collect()
+    assert(out(0).getString(1) == "alpha beta gamma delta")
+    assert(out(0).getInt(3) == 8)
+    assert(out(1).getString(1) == "epsilon zeta")
+    assert(out(2).getString(1) ==
+      "nothing shared here at all today friends ok")
+    assert(out(2).getInt(3) == 0)
+  }
+
+  test("substrDedup: a WITHIN-doc repeat counts as duplicated; short docs " +
+      "and minDupCount=3 survivors are kept whole") {
+    val span = (1 to 8).map(i => s"rep$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$span filler_a filler_b $span"),   // repeats inside one doc
+      (2L, "tiny doc"),                          // shorter than w
+      (3L, "independent third document with no repeats anywhere at all")).
+      toDF("id", "txt")
+    val cut = Dedup.substrDedup(df, $"id", $"txt", w = 8)
+      .orderBy($"doc_id").collect()
+    assert(cut(0).getString(1) == "filler_a filler_b")
+    assert(cut(1).getString(1) == "tiny doc" && cut(1).getInt(3) == 0)
+    // with minDupCount=3, doc 1's double repeat is under threshold too
+    val lax = Dedup.substrDedup(df, $"id", $"txt", w = 8, minDupCount = 3)
+      .orderBy($"doc_id").collect()
+    assert(lax.forall(_.getInt(3) == 0), "nothing reaches 3 occurrences")
+  }
+
+  test("substrDedup: kept tokens are a subsequence of the original; a " +
+      "window wider than every doc removes nothing") {
+    val out = Dedup.substrDedup(docs, $"doc_id", $"text", w = 8)
+    val joined = docs.select($"doc_id",
+        TextAnalysis.tokens($"text").as("orig"))
+      .join(out, "doc_id")
+    // every kept token multiset is contained in the original's
+    val bad = joined.filter(
+      size(array_except(split($"kept_text", " "), $"orig")) > 0 &&
+        $"kept_text" =!= "")
+    assert(bad.isEmpty)
+    assert(joined.filter($"n_tokens" =!= size($"orig")).isEmpty)
+    val wide = Dedup.substrDedup(docs, $"doc_id", $"text", w = 100000)
+    assert(wide.filter($"removed_tokens" =!= 0).isEmpty)
+  }
+
   test("LSH top-k: self bucket always contains the query itself") {
     val queries = embs.filter($"vec_id" < 5)
     val topk = Similarity.lshTopK(

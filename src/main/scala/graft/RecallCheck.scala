@@ -217,6 +217,24 @@ object RecallCheck {
       else (bruteTop & top).size.toDouble / bruteTop.size
     }
 
+    // kNN JOIN (r12): whole-corpus query side (no broadcast anywhere) —
+    // recall of the realistic-nprobe cell join vs the exact nprobe = nlist
+    // join (which PipelineSpec pins ≡ brute force), plus the mutual-edge
+    // yield the kNN-graph clustering actually consumes.
+    val knnK = 3
+    def knnAt(nprobe: Int) = Similarity.knnJoin(embs, col("vec_id"),
+      col("embedding"), k = knnK, nlist = nlist, nprobe = nprobe)
+    val knnExactDf = knnAt(nlist)
+    val knnExact = pairSet(knnExactDf)
+    def knnRecallAt(nprobe: Int): Double = {
+      val s = pairSet(knnAt(nprobe))
+      if (knnExact.isEmpty) 1.0
+      else (knnExact & s).size.toDouble / knnExact.size
+    }
+    val knnR1 = knnRecallAt(1)
+    val knnR4 = knnRecallAt(nlist / 2)
+    val knnMutual = Similarity.mutualKnnEdges(knnExactDf).count()
+
     // SemDeDup (r10): not a recall metric — the kept set is oracle-exact
     // by construction (q_sem_dedup); report the operational shape at the
     // bench SF: corpus size, survivors, and how many of the 32 seeded
@@ -262,6 +280,10 @@ object RecallCheck {
         s"""{"nprobe":$np,"rerank":$rr,"recall":$r}""" }.mkString(",") +
       s"""],""" +
       s""""target":"exhaustive (nprobe=nlist, full rerank) must be exactly 1.0 (q_ivfpq_topk)","pass":${ivfpqExact == 1.0}},""" +
+      s""""knn_join":{"k":$knnK,"nlist":$nlist,""" +
+      s""""recall_by_nprobe":{"1":$knnR1,"${nlist / 2}":$knnR4},""" +
+      s""""mutual_edges_at_exact":$knnMutual,""" +
+      s""""target":"< 1 by design at low nprobe; nprobe == nlist is spec-pinned exact (PipelineSpec) and oracle-gated (q_knn_join)"},""" +
       s""""sem_dedup":{"anchors":32,"total":$semTotal,"kept":$semKept,""" +
       s""""cells_used":$semCells,""" +
       s""""target":"kept set oracle-exact by construction (q_sem_dedup); operational shape only","pass":${semKept > 0}}}"""

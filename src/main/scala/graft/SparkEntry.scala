@@ -892,6 +892,27 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // kNN JOIN (r12): every vector's 3 nearest others. The query side is
+    // the whole corpus, so this is the no-broadcast shape — both sides
+    // shuffled by IVF cell. nprobe = nlist ⇒ exact brute force (the gate);
+    // realistic nprobe recall is measured in RECALL_r12.
+    "q_knn_join" -> ((s, d) =>
+      Similarity.knnJoin(tp(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), k = 3, nlist = 8, nprobe = 8)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))),
+    // Mutual-kNN-graph clustering (r12): connected components over edges
+    // kept only when each endpoint is in the other's top-3 — the
+    // clustering-based curation primitive composed from knnJoin +
+    // mutualKnnEdges + the existing label-propagation components.
+    "q_knn_clusters" -> ((s, d) =>
+      Dedup.clusters(
+          Similarity.mutualKnnEdges(
+            Similarity.knnJoin(tp(s, d, "embeddings"), col("vec_id"),
+              col("embedding"), k = 3, nlist = 8, nprobe = 8)),
+          col("id_a"), col("id_b"))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id"))),
     // q_pq_topk (r8): the product-quantization path's EXACTNESS gate —
     // rerank ≥ corpus size means ADC only generates candidates and the
     // exact-cosine rerank reproduces brute force (the PQ analog of
@@ -2115,6 +2136,31 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
         "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
         ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // nprobe = nlist ⇒ the cell join degenerates to exact brute force over
+    // all pairs minus self.
+    "q_knn_join" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id" +
+        ") WHERE rank <= 3 ORDER BY query_id, rank"),
+    // mutual-kNN edges from the exact kNN join, min-label components via
+    // the same recursive CTE the transitive-dedup oracles use.
+    "q_knn_clusters" ->
+      ("WITH RECURSIVE knn AS (SELECT query_id, corpus_id FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id" +
+        ") WHERE rank <= 3), " +
+        "mutual AS (SELECT a.query_id AS id_a, a.corpus_id AS id_b " +
+        "FROM knn a JOIN knn b ON a.query_id = b.corpus_id AND a.corpus_id = b.query_id " +
+        "WHERE a.query_id < a.corpus_id), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM mutual " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM mutual), " +
+        "reach(id, lbl) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src) " +
+        "SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id " +
+        "ORDER BY vec_id"),
     // incrementally-grown IVF at nprobe=nlist ⇒ brute force over the
     // union of all batches — same oracle as q_sim_topk.
     "q_ivf_ingest_topk" ->

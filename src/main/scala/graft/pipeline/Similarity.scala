@@ -993,4 +993,75 @@ object Similarity {
       .withColumn("cosine_micro", floor(col("cos") * 1000000).cast("long"))
       .select("query_id", "corpus_id", "rank", "cosine_micro")
   }
+
+  /** k-nearest-neighbor JOIN over one embedding table: for EVERY row, its
+    * `k` nearest other rows by cosine (self excluded; ties by ascending
+    * corpus id). Output (query_id, corpus_id, rank, cosine_micro) — the
+    * kNN-graph builder behind clustering-based curation (SemDeDup-style
+    * cluster mining, mutual-kNN components via [[mutualKnnEdges]]).
+    *
+    * The query side here is the WHOLE corpus, so the broadcast shape every
+    * probe-sized top-k path above uses ([[bruteForceTopK]], [[ivfTopK]])
+    * is structurally wrong at scale — you cannot broadcast 100 TB of
+    * queries. This path instead shuffles BOTH sides by IVF cell:
+    * corpus rows land in their nearest-centroid cell, query rows replicate
+    * to their `nprobe` nearest cells, and the join is a plain shuffle
+    * hash join on the cell id. Candidates per query = its probed cells'
+    * occupancy (× nprobe cells), never all-pairs; Spark 4's
+    * WindowGroupLimit bounds the per-query rank below the final exchange,
+    * so only ≤ k candidate rows per (query, map partition) shuffle to the
+    * rank stage. nprobe = nlist degenerates to exact brute force — the
+    * oracle gate; realistic nprobe is recall-measured (RECALL_r12).
+    *
+    * Skew belt: a hot cell (near-duplicate pile-ups collapse many rows
+    * onto one centroid) makes that cell's task quadratic. `cellSplits` > 1
+    * splits each cell's CORPUS rows into that many sub-tasks by id hash
+    * and replicates each query row to every split of its probed cells —
+    * the standard replicated skew join: per-task pairs shrink ×splits at
+    * the cost of ×splits query-row duplication (queries are the narrow
+    * side). Result-identical for any value (spec-pinned). */
+  def knnJoin(ds: DataFrame, id: Column, vec: Column, k: Int,
+      nlist: Int, nprobe: Int, iters: Int = 2, seed: Long = 42L,
+      trainFraction: Double = 1.0, cellSplits: Int = 1): DataFrame = {
+    require(cellSplits >= 1, s"cellSplits must be >= 1 (got $cellSplits)")
+    val base = ds.select(id.cast("long").as("id"), vec.as("v"))
+    val centroids = ivfTrain(base, col("id"), col("v"), nlist, iters, seed,
+      trainFraction)
+    val probeN = math.min(nprobe, centroids.size)
+    val corpus = assignToCentroid(
+        graft.util.ParallelScan.widen(base), centroids)
+      .select(col("__cluster"),
+        pmod(xxhash64(col("id")), lit(cellSplits)).cast("int").as("__s"),
+        col("id").as("corpus_id"), col("v").as("cv"))
+    val probes = graft.util.ParallelScan.widen(base)
+      .withColumn("__cluster",
+        explode(probeClusters(centroids, probeN)(col("v"))))
+      .withColumn("__s",
+        explode(sequence(lit(0), lit(cellSplits - 1))))
+      .select(col("__cluster"), col("__s"),
+        col("id").as("query_id"), col("v").as("qv"))
+    val scored = probes.join(corpus, Seq("__cluster", "__s"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cosine_micro", floor(col("cos") * 1000000).cast("long"))
+      .select("query_id", "corpus_id", "rank", "cosine_micro")
+  }
+
+  /** Mutual-kNN edges from a [[knnJoin]] result: (id_a, id_b) with
+    * id_a < id_b, kept iff each endpoint is in the other's top-k — the
+    * standard symmetrization that makes kNN graphs cluster-able (one-way
+    * edges from hubs are what smear unrelated clusters together).
+    * `intersect` is one shuffle dedup over the edge set (≤ n·k rows,
+    * corpus-metadata-sized next to the vectors themselves). */
+  def mutualKnnEdges(knn: DataFrame): DataFrame = {
+    val fwd = knn.select(col("query_id").as("id_a"),
+      col("corpus_id").as("id_b"))
+    val rev = knn.select(col("corpus_id").as("id_a"),
+      col("query_id").as("id_b"))
+    fwd.intersect(rev).filter(col("id_a") < col("id_b"))
+  }
 }

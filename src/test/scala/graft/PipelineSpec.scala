@@ -652,6 +652,36 @@ class PipelineSpec extends SparkSpec {
     assert(wide.filter($"removed_tokens" =!= 0).isEmpty)
   }
 
+  test("knnJoin: nprobe=nlist == independent brute force; cellSplits " +
+      "skew belt is result-identical") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Similarity.knnJoin(embs, $"vec_id", $"embedding",
+        k = 3, nlist = 4, nprobe = 4)
+      .select("query_id", "corpus_id", "rank")
+    val pairs = embs.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .crossJoin(embs.select($"vec_id".as("corpus_id"), $"embedding".as("cv")))
+      .filter($"query_id" =!= $"corpus_id")
+      .withColumn("cos", Similarity.cosine($"cv", $"qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy($"cos".desc, $"corpus_id".asc)
+    val brute = pairs.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3).select("query_id", "corpus_id", "rank")
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    val split = Similarity.knnJoin(embs, $"vec_id", $"embedding",
+        k = 3, nlist = 4, nprobe = 4, cellSplits = 3)
+      .select("query_id", "corpus_id", "rank")
+    assert(split.exceptAll(got).isEmpty && got.exceptAll(split).isEmpty)
+  }
+
+  test("mutualKnnEdges keeps only reciprocated pairs, once, id_a < id_b") {
+    val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("query_id", "corpus_id")
+    val edges = Similarity.mutualKnnEdges(knn)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(edges == Seq((1L, 2L), (3L, 4L)))
+  }
+
   test("LSH top-k: self bucket always contains the query itself") {
     val queries = embs.filter($"vec_id" < 5)
     val topk = Similarity.lshTopK(

@@ -1111,6 +1111,16 @@ object SparkEntry {
       TextAnalysis.withQuality(tp(s, d, "documents"), col("text"))
         .filter(col("quality_score") >= 700)
         .select(col("doc_id")).orderBy(col("doc_id"))),
+    // CCNet-style LM quality filter (r12): per-doc bigram coverage against
+    // a reference slice's LM table (source = 'src0', bigrams seen ≥ 2) —
+    // integer-exact; the fp stupid-backoff scorer is spec-pinned instead.
+    "q_lm_coverage" -> ((s, d) => {
+      val docs = tp(s, d, "documents")
+      TextAnalysis.bigramCoverage(docs, col("doc_id"), col("text"),
+          TextAnalysis.bigramLm(docs.filter(col("source") === "src0"),
+            col("text"), minCount = 2))
+        .orderBy(col("doc_id"))
+    }),
     // Corpus-relative quality cut: keep the top 20% by integer score via a
     // histogram-resolved threshold — no global sort, ties kept
     // (Curation.keepTopQuantile).
@@ -2326,6 +2336,22 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "q_quality_filter" ->
       (s"SELECT doc_id FROM documents WHERE CAST($QualitySql AS BIGINT) >= 700 ORDER BY doc_id"),
+    // bigram lists via list_transform over adjacent pairs; the reference
+    // LM is the src0 slice's bigrams with count >= 2.
+    "q_lm_coverage" ->
+      (s"WITH toks AS (SELECT doc_id, source, $Toks AS t FROM documents), " +
+        "bg AS (SELECT doc_id, source, CASE WHEN len(t) >= 2 THEN " +
+        "list_transform(range(0, len(t)-1), i -> array_to_string(t[i+1:i+2], ' ')) " +
+        "ELSE [] END AS bgs FROM toks), " +
+        "lm AS (SELECT bigram FROM (SELECT unnest(bgs) AS bigram FROM bg " +
+        "WHERE source = 'src0') GROUP BY bigram HAVING count(*) >= 2), " +
+        "ex AS (SELECT doc_id, unnest(bgs) AS bigram FROM bg), " +
+        "hits AS (SELECT e.doc_id AS doc_id, count(*) AS known FROM ex e " +
+        "JOIN lm l ON e.bigram = l.bigram GROUP BY e.doc_id) " +
+        "SELECT b.doc_id AS doc_id, CAST(len(b.bgs) AS INT) AS n_bigrams, " +
+        "CAST(coalesce(h.known, 0) AS BIGINT) AS known_bigrams, " +
+        "CAST(floor(coalesce(h.known, 0) * 1000 / greatest(len(b.bgs), 1)) AS BIGINT) AS lm_coverage_permille " +
+        "FROM bg b LEFT JOIN hits h ON b.doc_id = h.doc_id ORDER BY doc_id"),
     // top-20% threshold from the descending score histogram (ties kept:
     // the smallest threshold whose tail covers ceil(0.2·N) rows)
     "q_quality_topfrac" ->

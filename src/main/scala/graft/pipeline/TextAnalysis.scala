@@ -173,4 +173,108 @@ object TextAnalysis {
     * shingles). Documents shorter than k + w − 1 chars get an empty set. */
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 8): Column =
     graft.functions.WinnowHashes.winnowHashes(lower(text), k, w)
+
+  /** Word-bigram strings of a text column ("tok_i tok_i+1"); one per
+    * adjacent token pair, empty for single-token docs. The unit the LM
+    * quality filters below count. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Reference-corpus bigram table for the LM filters: (bigram, cnt) with
+    * cnt ≥ `minCount`. One map-side-combined count over the reference
+    * corpus — build once, reuse across scoring runs (persist it as a graft
+    * table for incremental refresh). */
+  def bigramLm(ref: DataFrame, refText: Column, minCount: Long = 1L)
+      : DataFrame =
+    graft.util.ParallelScan.widen(ref.select(bigrams(refText).as("bg")))
+      .select(explode_outer(col("bg")).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** CCNet-style LM quality score, integer-exact: per document, the
+    * per-mille of its word bigrams that appear (≥ minCount times) in a
+    * reference corpus ("does this doc look like reference text"). CCNet
+    * filters crawl text by a KenLM perplexity cut; the coverage form keeps
+    * that signal's shape with exact integer arithmetic, so the gate has a
+    * bit-exact SQL oracle (fp perplexity drifts with summation order —
+    * [[stupidBackoffScores]] is the fp variant, tolerance-pinned in
+    * specs). Output: (doc_id, n_bigrams, known_bigrams,
+    * lm_coverage_permille); single-token docs score 0 of 0 → 0‰.
+    *
+    * Scale: scoring is one shuffle join of exploded doc bigrams against
+    * the (vocabulary-sized, partially-aggregated) reference table keyed by
+    * the bigram string, then one map-side-combined count by doc — no
+    * broadcast of either side is required; Catalyst broadcasts the
+    * reference automatically when its stats say it fits. */
+  def bigramCoverage(df: DataFrame, id: Column, text: Column,
+      lm: DataFrame): DataFrame = {
+    val exploded = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("doc_id"), bigrams(text).as("bg")))
+      .select(col("doc_id"), explode_outer(col("bg")).as("bigram"))
+    val hits = exploded.filter(col("bigram").isNotNull)
+      .join(lm.select("bigram"), Seq("bigram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("known_bigrams"))
+    graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("doc_id"),
+          size(bigrams(text)).as("n_bigrams")))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("known_bigrams"), lit(0L)).cast("long")
+          .as("known_bigrams"),
+        floor(coalesce(col("known_bigrams"), lit(0L)) * 1000 /
+          greatest(col("n_bigrams"), lit(1))).cast("long")
+          .as("lm_coverage_permille"))
+  }
+
+  /** Stupid-backoff bigram LM scoring (Brants et al. 2007) — the fp
+    * perplexity-style variant of [[bigramCoverage]]: per document, the
+    * average negative log-probability of each token given its predecessor,
+    * backing off to `alpha` × the add-one-smoothed unigram probability
+    * when the bigram is unseen. Lower = more reference-like. Output:
+    * (doc_id, n_scored, avg_neg_logprob). fp by nature → spec-pinned with
+    * tolerance, not oracle-hashed; rank-order agreement with
+    * [[bigramCoverage]] is the spec's cross-check. Same join shape as the
+    * coverage scorer: exploded bigrams against the reference tables, no
+    * required broadcast. */
+  def stupidBackoffScores(df: DataFrame, id: Column, text: Column,
+      ref: DataFrame, refText: Column, alpha: Double = 0.4): DataFrame = {
+    val refToks = graft.util.ParallelScan.widen(
+        ref.select(tokens(refText).as("t")))
+      .select(explode_outer(col("t")).as("tok"))
+      .filter(col("tok").isNotNull)
+    val uni = refToks.groupBy("tok").agg(count(lit(1)).as("ucnt"))
+    val totals = uni.agg(sum(col("ucnt")).as("n_ref"),
+      count(lit(1)).as("vocab"))
+    val bi = bigramLm(ref, refText)
+      .select(col("bigram"), col("cnt").as("bcnt"),
+        split(col("bigram"), " ").getItem(0).as("w1"))
+    val prevCnt = uni.select(col("tok").as("w1"), col("ucnt").as("pcnt"))
+    val exploded = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("doc_id"), bigrams(text).as("bg")))
+      .select(col("doc_id"), explode_outer(col("bg")).as("bigram"))
+      .filter(col("bigram").isNotNull)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val scored = exploded
+      .join(bi.select("bigram", "bcnt"), Seq("bigram"), "left")
+      .join(prevCnt, Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("ucnt").as("w2cnt")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lp",
+        when(col("bcnt").isNotNull && col("pcnt").isNotNull,
+          log(col("bcnt").cast("double") / col("pcnt")))
+          .otherwise(log(lit(alpha) *
+            (coalesce(col("w2cnt"), lit(0L)) + 1).cast("double") /
+            (col("n_ref") + col("vocab")))))
+    scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_scored"),
+      (-avg(col("lp"))).as("avg_neg_logprob"))
+  }
 }

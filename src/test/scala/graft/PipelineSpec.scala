@@ -682,6 +682,47 @@ class PipelineSpec extends SparkSpec {
     assert(edges == Seq((1L, 2L), (3L, 4L)))
   }
 
+  test("bigramCoverage: full / zero / single-token docs score " +
+      "1000 / 0 / 0 permille") {
+    val ref = Seq((100L, "a b c")).toDF("id", "txt")
+    val docsDf = Seq((1L, "a b c"), (2L, "x y z"), (3L, "a"))
+      .toDF("id", "txt")
+    val lm = TextAnalysis.bigramLm(ref, $"txt", minCount = 1)
+    val out = TextAnalysis.bigramCoverage(docsDf, $"id", $"txt", lm)
+      .orderBy($"doc_id").collect()
+    assert(out(0).getLong(3) == 1000L && out(0).getLong(2) == 2L)
+    assert(out(1).getLong(3) == 0L && out(1).getLong(2) == 0L)
+    assert(out(2).getInt(1) == 0 && out(2).getLong(3) == 0L)
+  }
+
+  test("stupidBackoffScores: seen bigram scores exactly, unseen backs " +
+      "off to alpha x add-one unigram; tracks coverage on real docs") {
+    val ref = Seq((100L, "a b a b")).toDF("id", "txt")
+    // c("a b")=2, c("b a")=1; c(a)=2, c(b)=2, N=4, V=2
+    val d = Seq((1L, "a b"), (2L, "b b")).toDF("id", "txt")
+    val out = TextAnalysis.stupidBackoffScores(d, $"id", $"txt",
+        ref, $"txt").orderBy($"doc_id").collect()
+    assert(math.abs(out(0).getDouble(2) - 0.0) < 1e-12)       // log(2/2)
+    assert(math.abs(out(1).getDouble(2) -
+      (-math.log(0.4 * 3.0 / 6.0))) < 1e-12)
+    // real docs: high-coverage docs must average more reference-like
+    // (lower neg-logprob) than zero-coverage docs
+    val refSlice = docs.filter($"source" === "src0")
+    val cov = TextAnalysis.bigramCoverage(docs, $"doc_id", $"text",
+      TextAnalysis.bigramLm(refSlice, $"text", minCount = 2))
+    val ppl = TextAnalysis.stupidBackoffScores(docs, $"doc_id", $"text",
+      refSlice, $"text")
+    val j = cov.join(ppl, "doc_id")
+    val hi = j.filter($"lm_coverage_permille" >= 800)
+      .agg(avg($"avg_neg_logprob")).collect()(0)
+    val lo = j.filter($"lm_coverage_permille" <= 200)
+      .agg(avg($"avg_neg_logprob")).collect()(0)
+    if (!hi.isNullAt(0) && !lo.isNullAt(0))
+      assert(hi.getDouble(0) < lo.getDouble(0),
+        s"coverage and backoff disagree: hi=${hi.getDouble(0)} " +
+          s"lo=${lo.getDouble(0)}")
+  }
+
   test("LSH top-k: self bucket always contains the query itself") {
     val queries = embs.filter($"vec_id" < 5)
     val topk = Similarity.lshTopK(

@@ -1111,6 +1111,15 @@ object SparkEntry {
       TextAnalysis.withQuality(tp(s, d, "documents"), col("text"))
         .filter(col("quality_score") >= 700)
         .select(col("doc_id")).orderBy(col("doc_id"))),
+    // Exact distributed quantiles (r12): histogram-refined multi-pass
+    // selection, metadata-sized shuffles only — no global sort, no
+    // per-group distinct-value buffering. Small buckets/maxExact force
+    // multiple refinement rounds even at verify SF.
+    "q_exact_quantiles" -> ((s, d) =>
+      graft.operators.Quantiles.exactQuantiles(
+          t(s, d, "lineitem"), col("l_extendedprice"),
+          Seq(0.25, 0.5, 0.75, 0.95), buckets = 64, maxExact = 500)
+        .orderBy(col("p_permille"))),
     // CCNet-style LM quality filter (r12): per-doc bigram coverage against
     // a reference slice's LM table (source = 'src0', bigrams seen ≥ 2) —
     // integer-exact; the fp stupid-backoff scorer is spec-pinned instead.
@@ -2336,6 +2345,14 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "q_quality_filter" ->
       (s"SELECT doc_id FROM documents WHERE CAST($QualitySql AS BIGINT) >= 700 ORDER BY doc_id"),
+    // quantile_disc shares the operator's rank contract:
+    // k = max(1, ceil(p * n)), k-th smallest with duplicates counted.
+    "q_exact_quantiles" ->
+      ("SELECT CAST(250 AS INT) AS p_permille, quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem " +
+        "UNION ALL SELECT CAST(500 AS INT), quantile_disc(l_extendedprice, 0.5) FROM lineitem " +
+        "UNION ALL SELECT CAST(750 AS INT), quantile_disc(l_extendedprice, 0.75) FROM lineitem " +
+        "UNION ALL SELECT CAST(950 AS INT), quantile_disc(l_extendedprice, 0.95) FROM lineitem " +
+        "ORDER BY p_permille"),
     // bigram lists via list_transform over adjacent pairs; the reference
     // LM is the src0 slice's bigrams with count >= 2.
     "q_lm_coverage" ->

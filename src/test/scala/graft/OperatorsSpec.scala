@@ -76,4 +76,49 @@ class OperatorsSpec extends SparkSpec {
     assert(out.select("extra", "payload").as[(String, Long)].head() ==
       ("x", 7L))
   }
+
+  test("exactQuantiles matches a sorted-take reference on integers, " +
+      "duplicates, tiny inputs, and p in {0, 1}") {
+    import graft.operators.Quantiles
+    def ref(vals: Seq[Double], p: Double): Double = {
+      val s = vals.sorted
+      s(math.max(1, math.ceil(p * s.size).toInt) - 1)
+    }
+    val cases = Seq(
+      (1 to 100).map(_.toDouble),                    // uniform
+      Seq(1.0, 1.0, 1.0, 100.0),                     // tie-dominated
+      Seq(42.0),                                     // single row
+      (1 to 7).map(_ => 3.14),                       // all equal
+      Seq(-5.0, -1.0, 0.0, 2.5, 2.5, 9.0))           // negatives + dup
+    val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    for (vals <- cases) {
+      val df = vals.toDF("x")
+      // tiny buckets/maxExact force several refinement + widen rounds
+      val got = Quantiles.exactQuantiles(df, $"x", probs,
+          buckets = 4, maxExact = 2)
+        .orderBy($"p_permille").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      for (p <- probs)
+        assert(got(math.round(p * 1000).toInt) == ref(vals, p),
+          s"vals=$vals p=$p got=${got(math.round(p * 1000).toInt)} " +
+            s"want=${ref(vals, p)}")
+    }
+    // empty input -> empty result, null rows ignored
+    assert(Quantiles.exactQuantiles(
+      Seq.empty[Double].toDF("x"), $"x", Seq(0.5)).isEmpty)
+    val withNulls = Seq(Some(1.0), None, Some(3.0), None).toDF("x")
+    assert(Quantiles.exactQuantiles(withNulls, $"x", Seq(1.0))
+      .collect()(0).getDouble(1) == 3.0)
+  }
+
+  test("exactQuantiles on longs keeps the column type exact") {
+    import graft.operators.Quantiles
+    val df = (1L to 1000L).toDF("x")
+    val out = Quantiles.exactQuantiles(df, $"x", Seq(0.5, 0.999),
+      buckets = 8, maxExact = 10)
+    assert(out.schema("value").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val m = out.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m(500) == 500L && m(999) == 999L)
+  }
 }

@@ -394,6 +394,90 @@ private[sources] object GraftProcedures {
           .map(x => row(Long.box(x.getLong(0)), Long.box(x.getLong(1))))
       },
 
+      proc("substr_dedup",
+        "ExactSubstr duplicated-span removal (Lee et al. 2022) over the " +
+          "table's text column: every w-token window occurring min_dup+ " +
+          "times in the corpus is cut from every doc containing it. The " +
+          "cleaned corpus is data-sized, so it lands under " +
+          "<table>/.substr_dedup/ (doc_id, kept_text, n_tokens, " +
+          "removed_tokens) and this result is the summary",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("w", IntegerType, "window width in tokens",
+            default = Some("8")),
+          in("min_dup", IntegerType,
+            "occurrences for a window to count as duplicated",
+            default = Some("2"))),
+        out("n_docs" -> LongType, "docs_modified" -> LongType,
+          "tokens_removed" -> LongType, "out_path" -> StringType)) {
+        (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val outDir = s"$path/.substr_dedup"
+        val docs = graft.read.SnapshotReader.read(spark, path)
+        graft.pipeline.Dedup.substrDedup(docs,
+            org.apache.spark.sql.functions.col(str(r, 1)),
+            org.apache.spark.sql.functions.col(str(r, 2)),
+            w = r.getInt(3), minDupCount = r.getInt(4))
+          .write.mode("overwrite").parquet(outDir)
+        val st = spark.read.parquet(outDir).selectExpr("count(*)",
+          "coalesce(sum(CASE WHEN removed_tokens > 0 THEN 1 ELSE 0 END), 0)",
+          "coalesce(sum(removed_tokens), 0)").head()
+        Seq(row(Long.box(st.getLong(0)), Long.box(st.getLong(1)),
+          Long.box(st.getLong(2)), outDir))
+      },
+
+      proc("knn_graph",
+        "k-nearest-neighbor graph over the table's embedding column via " +
+          "the IVF cell join (neither side broadcast - the whole-corpus " +
+          "query shape); the directed top-k edge set is data-sized, so " +
+          "it lands under <table>/.knn_graph/ (query_id, corpus_id, " +
+          "rank, cosine_micro) and this result is the summary",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT vector id column"),
+          in("vec_col", StringType, "ARRAY<FLOAT> embedding column"),
+          in("k", IntegerType, "neighbors per vector", default = Some("3")),
+          in("nlist", IntegerType, "IVF cells", default = Some("8")),
+          in("nprobe", IntegerType,
+            "cells probed per query (= nlist for exact)",
+            default = Some("2"))),
+        out("n_edges" -> LongType, "mutual_edges" -> LongType,
+          "out_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val outDir = s"$path/.knn_graph"
+        val ds = graft.read.SnapshotReader.read(spark, path)
+        graft.pipeline.Similarity.knnJoin(ds,
+            org.apache.spark.sql.functions.col(str(r, 1)),
+            org.apache.spark.sql.functions.col(str(r, 2)),
+            k = r.getInt(3), nlist = r.getInt(4), nprobe = r.getInt(5))
+          .write.mode("overwrite").parquet(outDir)
+        val edges = spark.read.parquet(outDir)
+        val mutual = graft.pipeline.Similarity.mutualKnnEdges(edges).count()
+        Seq(row(Long.box(edges.count()), Long.box(mutual), outDir))
+      },
+
+      proc("exact_quantiles",
+        "exact distributed quantiles of a numeric column (DuckDB " +
+          "quantile_disc contract: k-th smallest, k = max(1, ceil(p*n))) " +
+          "by histogram refinement - no global sort, no distinct-value " +
+          "buffering; one metadata-sized row per probability",
+        Seq(tableParam,
+          in("column", StringType, "numeric column to rank"),
+          in("probs", StringType,
+            "comma-separated probabilities in [0, 1]",
+            default = Some("0.5"))),
+        out("p_permille" -> IntegerType, "value" -> DoubleType)) {
+        (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val probs = csv(r, 2).map(_.toDouble)
+        graft.operators.Quantiles.exactQuantiles(
+            graft.read.SnapshotReader.read(spark, path),
+            org.apache.spark.sql.functions.col(str(r, 1)).cast("double"),
+            probs)
+          .collect().toSeq // one row per prob by construction
+          .map(x => row(Int.box(x.getInt(0)), Double.box(x.getDouble(1))))
+      },
+
       proc("show_timeline",
         "the active timeline: one row per completed instant, oldest " +
           "first, with its savepoint pin state",

@@ -231,4 +231,47 @@ class ProcedureSpec extends SparkSpec {
     intercept[Exception](spark.sql(s"CALL $cat.system.more_like_this(" +
       "table => 'ns.docs', doc_id => 999999999L, text_col => 'text')"))
   }
+
+  test("substr_dedup / exact_quantiles procedures: summary row + " +
+      "materialized cleaned corpus") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.txt")
+    spark.sql(s"CREATE TABLE $cat.ns.txt (id BIGINT, body STRING, " +
+      "pt STRING) PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'id', buckets '2')")
+    val span = (1 to 8).map(i => s"d$i").mkString(" ")
+    spark.sql(s"INSERT INTO $cat.ns.txt VALUES " +
+      s"(1, 'aa bb $span cc', 'all'), (2, 'xx $span yy', 'all'), " +
+      "(3, 'unique text only here', 'all')")
+    val sd = spark.sql(s"CALL $cat.system.substr_dedup(" +
+      "table => 'ns.txt', id_col => 'id', text_col => 'body')").head()
+    assert(sd.getLong(0) == 3L && sd.getLong(1) == 2L &&
+      sd.getLong(2) == 16L)
+    val cleaned = spark.read.parquet(sd.getString(3))
+    assert(cleaned.filter($"doc_id" === 1).head().getString(1) ==
+      "aa bb cc")
+    val q = spark.sql(s"CALL $cat.system.exact_quantiles(" +
+      "table => 'ns.txt', column => 'id', probs => '0.5,1.0')")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(q(500) == 2.0 && q(1000) == 3.0)
+  }
+
+  test("knn_graph procedure: exhaustive nprobe yields k edges per vector") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.emb")
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("emb_src")
+    spark.sql(s"CREATE TABLE $cat.ns.emb PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'vec_id', buckets '2') " +
+      "AS SELECT vec_id, embedding, 'all' AS pt FROM emb_src")
+    val kg = spark.sql(s"CALL $cat.system.knn_graph(table => 'ns.emb', " +
+      "id_col => 'vec_id', vec_col => 'embedding', k => 3, " +
+      "nlist => 4, nprobe => 4)").head()
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(kg.getLong(0) == n * 3, "k edges per vector at exhaustive probe")
+    assert(kg.getLong(1) > 0 && kg.getLong(1) <= kg.getLong(0))
+    assert(spark.read.parquet(kg.getString(2)).count() == kg.getLong(0))
+  }
 }

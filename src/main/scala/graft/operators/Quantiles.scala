@@ -24,17 +24,18 @@ import org.apache.spark.sql.functions._
   * n = 10¹², B = 1024, maxExact = 10⁵ → 3 counting rounds, each
   * metadata-sized.
   *
-  * fp-edge honesty: the `floor((v−lo)/width·B)` bucket index and the
-  * derived range bounds are different fp arithmetic and can disagree by an
-  * ulp at bucket edges, so the histogram is used only as a HEURISTIC to
-  * locate the target bucket; the bracket actually adopted is re-counted
-  * with the very range predicate the next round (and the final exact
-  * stage) filters by, and widens a bucket per side until it provably
-  * contains the target rank. Brackets are on the DOUBLE cast (cast is
-  * order-monotone — earlier brackets hold strictly-smaller values, ties
-  * share a bracket); the final selection compares ORIGINAL values, so the
-  * result is exact for any ordered numeric type regardless of double
-  * rounding. */
+  * fp-edge honesty: the `floor((v−lo)/width·B)` bucket index and
+  * arithmetic bounds like `lo + width·i/B` are DIFFERENT fp expressions
+  * and can disagree by an ulp at bucket edges — so the next bracket is
+  * never an arithmetic bound. Instead the histogram reports each
+  * bucket's actual (count, min vd, max vd); the bucket index is MONOTONE
+  * in vd (equal doubles always share a bucket), so buckets are
+  * contiguous runs of the sorted values and the rows with
+  * vd ∈ [bucket min, bucket max] are EXACTLY that bucket's rows — the
+  * data-derived bounds are an exact sub-bracket with nothing to
+  * re-verify. Brackets live on the order-monotone double cast; the final
+  * selection compares ORIGINAL values, so the result is exact for any
+  * ordered numeric type regardless of double rounding. */
 object Quantiles {
 
   /** One row per requested probability: (p_permille, value), where value
@@ -47,8 +48,14 @@ object Quantiles {
       s"probabilities must be in [0, 1]: $probs")
     require(buckets >= 2, s"need >= 2 histogram buckets (got $buckets)")
     val spark = df.sparkSession
+    // Every refinement round re-scans the projected column — persist the
+    // single-column frame for the call (memory-and-disk: at 100 TB the
+    // one column is the working set, and spilled blocks still beat
+    // re-reading the table per round).
     val base = graft.util.ParallelScan.widen(df.select(value.as("__v")))
       .filter(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val valueType = base.schema("__v").dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("p_permille",
@@ -64,6 +71,30 @@ object Quantiles {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val (gLo, gHi) = (stats.getDouble(1), stats.getDouble(2))
     val vd = col("__v").cast("double")
+    // Every prob's FIRST round histograms the identical global bracket —
+    // memoize per bracket so requesting many probs costs one shared
+    // first-round pass plus only the divergent refinements. Each bucket
+    // reports (count, min vd, max vd): floor((vd−lo)/width·B) is MONOTONE
+    // in vd, so buckets are CONTIGUOUS runs of the sorted values — the
+    // rows with vd ∈ [bucket min, bucket max] are exactly that bucket's
+    // rows (equal doubles always share a bucket), making the data-derived
+    // bounds an EXACT sub-bracket with no fp edge to re-verify.
+    val histoCache = new java.util.concurrent.ConcurrentHashMap[
+      (Double, Double), Seq[(Int, Long, Double, Double)]]()
+    def histogram(lo: Double, hi: Double,
+        width: Double): Seq[(Int, Long, Double, Double)] =
+      histoCache.computeIfAbsent((lo, hi), { _ =>
+        val idx = least(
+          floor((vd - lit(lo)) / lit(width) * lit(buckets)).cast("int"),
+          lit(buckets - 1))
+        base.filter(vd >= lit(lo) && vd <= lit(hi))
+          .groupBy(idx.as("__b")).agg(count(lit(1)).as("c"),
+            min(vd).as("mn"), max(vd).as("mx"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3)))
+          .sortBy(_._1).toSeq
+      })
 
     def answerFor(p: Double): Any = {
       var rank = math.max(1L, math.ceil(p * n).toLong)
@@ -73,43 +104,19 @@ object Quantiles {
       var progress = true
       while (cnt > maxExact && lo < hi && progress) {
         val width = hi - lo
-        val idx = least(
-          floor((vd - lit(lo)) / lit(width) * lit(buckets)).cast("int"),
-          lit(buckets - 1))
-        val histo = base.filter(vd >= lit(lo) && vd <= lit(hi))
-          .groupBy(idx.as("__b")).agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val histo = histogram(lo, hi, width)
+        // walk buckets in vd order to the one containing the target rank
         var cum = 0L
         var i = 0
-        while (i < buckets - 1 && cum + histo.getOrElse(i, 0L) < rank) {
-          cum += histo.getOrElse(i, 0L); i += 1
+        while (i < histo.size - 1 && cum + histo(i)._2 < rank) {
+          cum += histo(i)._2; i += 1
         }
-        // Adopt [newLo, newHi] only once the RANGE predicate itself proves
-        // it contains the target rank; widen a bucket per side per retry
-        // to absorb any fp disagreement with the floor-index heuristic.
-        var widen = 0
-        var done = false
-        var newLo = lo; var newHi = hi
-        var below = 0L; var inside = 0L
-        while (!done) {
-          newLo = if (i - widen <= 0) lo
-            else lo + width * (i - widen).toDouble / buckets
-          newHi = if (i + 1 + widen >= buckets) hi
-            else lo + width * (i + 1 + widen).toDouble / buckets
-          val chk = base.filter(vd >= lit(lo) && vd <= lit(hi)).agg(
-            sum(when(vd < lit(newLo), 1L).otherwise(0L)).as("below"),
-            sum(when(vd >= lit(newLo) && vd <= lit(newHi), 1L)
-              .otherwise(0L)).as("inside")).collect()(0)
-          below = if (chk.isNullAt(0)) 0L else chk.getLong(0)
-          inside = if (chk.isNullAt(1)) 0L else chk.getLong(1)
-          if (below < rank && rank <= below + inside) done = true
-          else widen += 1
-        }
-        progress = newLo > lo || newHi < hi
-        rank -= below
-        cnt = inside
-        lo = newLo
-        hi = newHi
+        val (_, bCnt, bMin, bMax) = histo(i)
+        progress = bMin > lo || bMax < hi
+        rank -= cum
+        cnt = bCnt
+        lo = bMin
+        hi = bMax
       }
       // Exact stage: aggregate per DISTINCT original value inside the
       // bracket (collect is bounded by distinct values ≤ cnt ≤ maxExact;
@@ -133,10 +140,22 @@ object Quantiles {
       ans
     }
 
-    val rows = probs.map { p =>
-      org.apache.spark.sql.Row(math.round(p * 1000).toInt, answerFor(p))
+    // Prime the shared first round once, then refine every prob
+    // CONCURRENTLY — the scheduler interleaves the per-prob chains, so the
+    // wall clock is one chain's latency, not the sum (the jobs are
+    // metadata-sized; there is no contention to speak of).
+    if (n > maxExact && gLo < gHi) histogram(gLo, gHi, gHi - gLo)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val answers = Await.result(
+      Future.sequence(probs.map(p => Future((p, answerFor(p))))),
+      Duration.Inf)
+    val rows = answers.map { case (p, a) =>
+      org.apache.spark.sql.Row(math.round(p * 1000).toInt, a)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
+    } finally base.unpersist()
   }
 }

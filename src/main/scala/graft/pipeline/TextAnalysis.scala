@@ -214,21 +214,22 @@ object TextAnalysis {
     * reference automatically when its stats say it fits. */
   def bigramCoverage(df: DataFrame, id: Column, text: Column,
       lm: DataFrame): DataFrame = {
+    // ONE scan: explode_outer emits a single null-bigram row for empty
+    // arrays so every doc survives the explode; count(bigram) skips that
+    // null ⇒ n_bigrams, and a left join flags reference hits (a null key
+    // never matches) ⇒ count(__hit) = known_bigrams. One shuffle join by
+    // bigram + one map-side-combined count by doc.
     val exploded = graft.util.ParallelScan.widen(
         df.select(id.cast("long").as("doc_id"), bigrams(text).as("bg")))
       .select(col("doc_id"), explode_outer(col("bg")).as("bigram"))
-    val hits = exploded.filter(col("bigram").isNotNull)
-      .join(lm.select("bigram"), Seq("bigram"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("known_bigrams"))
-    graft.util.ParallelScan.widen(
-        df.select(id.cast("long").as("doc_id"),
-          size(bigrams(text)).as("n_bigrams")))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_bigrams"),
-        coalesce(col("known_bigrams"), lit(0L)).cast("long")
-          .as("known_bigrams"),
-        floor(coalesce(col("known_bigrams"), lit(0L)) * 1000 /
-          greatest(col("n_bigrams"), lit(1))).cast("long")
+    exploded
+      .join(lm.select(col("bigram"), lit(1).as("__hit")),
+        Seq("bigram"), "left")
+      .groupBy("doc_id").agg(
+        count(col("bigram")).cast("int").as("n_bigrams"),
+        count(col("__hit")).as("known_bigrams"),
+        floor(count(col("__hit")) * 1000 /
+          greatest(count(col("bigram")), lit(1))).cast("long")
           .as("lm_coverage_permille"))
   }
 

@@ -127,8 +127,30 @@ object Fixtures {
     // r10 tail: retrieval + incremental-ANN + distinct-view fixtures
     textIndexDir(spark, sfDir); textIncIndexDir(spark, sfDir)
     ivfIngestDir(spark, sfDir); ivfPqIngestDir(spark, sfDir)
-    matViewDistinctDir(spark, sfDir); semIndexDir(spark, sfDir): Unit
+    matViewDistinctDir(spark, sfDir); semIndexDir(spark, sfDir)
+    // r12: incremental ExactSubstr window index + cleaned docs
+    substrIndexDir(spark, sfDir): Unit
   }
+
+  /** Incremental ExactSubstr WINDOW-COUNT INDEX + cleaned docs over
+    * `documents`, ingested in three batches by `doc_id % 3` (the arrival
+    * order q_substr_dedup_incremental's oracle replicates with cumulative
+    * per-batch window counts). Returns the root dir holding `windex` and
+    * `docs` ([[graft.pipeline.Dedup.substrIngest]]). */
+  def substrIndexDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/substr_index"
+      if (!complete(spark, s"$dir/windex", 3)) {
+        rm(spark, dir)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        def ingest(b: Int, ts: Option[String]): Unit =
+          graft.pipeline.Dedup.substrIngest(spark, dir,
+            docs.filter(pmod(col("doc_id"), lit(3)) === b),
+            col("doc_id"), col("text"), w = 8, ts = ts): Unit
+        ingest(0, Some(C1)); ingest(1, None); ingest(2, None)
+      }
+      dir
+    }
 
   /** Incremental-dedup SIGNATURE INDEX over `documents`, ingested in three
     * doc_id-ordered batches (see [[graft.pipeline.Dedup.ingestDedup]]).

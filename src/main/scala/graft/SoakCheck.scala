@@ -422,9 +422,55 @@ object SoakCheck {
     })
     require(dvw.rowsOut == 8, s"distinct_view groups ${dvw.rowsOut}")
 
+    // ---- path 9: ExactSubstr dedup at 20× docs (r12) -------------------
+    // 100k docs of 40 UNIQUE tokens each (token = f(doc, position), so no
+    // accidental window repeats); 10% of docs carry one planted 8-token
+    // boilerplate span. Exactly the span window duplicates ⇒ removed
+    // tokens = 8 × planted docs, deterministic. The candidate shuffle is
+    // 8 bytes per window — the gate below is the 100 TB claim.
+    val SubDocs = 100000L
+    val planted = SubDocs / 10
+    val span = (1 to 8).map(i => s"boiler$i").mkString(" ")
+    val subDocs = spark.range(0, SubDocs, 1, 32)
+      .select(col("id"), concat_ws(" ",
+        (0 until 20).map(i => concat(lit(s"t${i}_"), col("id"))) ++
+          Seq(when(pmod(col("id"), lit(10)) === 0, lit(span))
+            .otherwise(concat(lit("u_"), col("id")))) ++
+          (20 until 40).map(i => concat(lit(s"t${i}_"), col("id"))): _*)
+        .as("text"))
+    var subRemoved = 0L
+    var subTouched = 0L
+    val sub = measure(spark, "substr_dedup")(() =>
+      pipeline.Dedup.substrDedup(subDocs, col("id"), col("text"), w = 8)
+    )(df => {
+      val agg = df.agg(sum(col("removed_tokens")),
+        sum(when(col("removed_tokens") > 0, 1L).otherwise(0L)),
+        count(lit(1))).collect()(0)
+      subRemoved = agg.getLong(0); subTouched = agg.getLong(1); agg.getLong(2)
+    })
+    require(sub.rowsOut == SubDocs, s"substr_dedup rows ${sub.rowsOut}")
+    require(subRemoved == 8 * planted && subTouched == planted,
+      s"substr_dedup removed $subRemoved tokens in $subTouched docs, " +
+        s"expected ${8 * planted} in $planted")
+
+    // ---- path 10: kNN join at 20× vectors (r12) ------------------------
+    // 40k synthetic 64-dim vectors, IVF cell join at nlist 64 / nprobe 4:
+    // the whole-corpus-query shape — no broadcast side anywhere; per-task
+    // pairs bounded by probed-cell occupancy (the shuffle gate below).
+    val KnnRows = 40000L
+    val knnVecs = spark.range(0, KnnRows, 1, 32)
+      .select(col("id"), semVec(col("id"))
+        .cast("array<float>").as("vec"))
+    val knn = measure(spark, "knn_join")(() =>
+      pipeline.Similarity.knnJoin(knnVecs, col("id"), col("vec"),
+        k = 3, nlist = 64, nprobe = 4, trainFraction = 0.25)
+    )(_.count())
+    require(knn.rowsOut == KnnRows * 3,
+      s"knn_join rows ${knn.rowsOut}, expected ${KnnRows * 3}")
+
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
-      search, wand, incIng, incSearch, sem, dvw)
+      search, wand, incIng, incSearch, sem, dvw, sub, knn)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -434,8 +480,9 @@ object SoakCheck {
     // RUN the workload (eager multi-commit / stream drain), so plan_ms is
     // wall time, not planning.
     all.filterNot(r => Set("ingest_dedup", "catalog_stream",
-        "bm25_build", "distinct_view",
-        "inc_index_ingest", "sem_ingest_dedup")(r.name)) // thunks RUN work
+        "bm25_build", "distinct_view", "inc_index_ingest",
+        "sem_ingest_dedup", "knn_join")(r.name)) // thunks RUN work
+      // (knn_join's "plan" includes ivfTrain's Lloyd jobs)
       .foreach(r =>
         require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))
 

@@ -1226,6 +1226,15 @@ object SparkEntry {
       Dedup.substrDedup(tp(s, d, "documents"), col("doc_id"), col("text"),
           w = 8)
         .orderBy(col("doc_id"))),
+    // Incremental ExactSubstr (r12): three arrival batches (doc_id % 3)
+    // against the maintained window-count index — each doc cleaned vs
+    // everything seen up to and INCLUDING its own batch (the oracle
+    // replicates arrival order with cumulative per-batch window counts).
+    "q_substr_dedup_incremental" -> ((s, d) =>
+      read.SnapshotReader.read(s, s"${Fixtures.substrIndexDir(s, d)}/docs")
+        .select(col("doc_id"), col("kept_text"), col("n_tokens"),
+          col("removed_tokens"))
+        .orderBy(col("doc_id"))),
     "q_dedup_best" -> ((s, d) => {
       val docs = tp(s, d, "documents")
       Dedup.keepBestPerCluster(
@@ -2471,6 +2480,30 @@ object SparkEntry {
         "dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2), " +
         "mark AS (SELECT DISTINCT w.doc_id AS doc_id, w.pos AS pos " +
         "FROM wins w JOIN dup d ON w.win = d.win), " +
+        "toki AS (SELECT doc_id, unnest(range(0, len(t))) AS idx, " +
+        "unnest(t) AS tok FROM toks), " +
+        "keep AS (SELECT k.doc_id AS doc_id, k.idx AS idx, k.tok AS tok " +
+        "FROM toki k WHERE NOT EXISTS (SELECT 1 FROM mark m " +
+        "WHERE m.doc_id = k.doc_id AND m.pos <= k.idx AND k.idx < m.pos + 8)), " +
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS kept_text, " +
+        "count(*) AS kept FROM keep GROUP BY doc_id) " +
+        "SELECT t.doc_id AS doc_id, coalesce(a.kept_text, '') AS kept_text, " +
+        "CAST(len(t.t) AS INT) AS n_tokens, " +
+        "CAST(len(t.t) - coalesce(a.kept, 0) AS INT) AS removed_tokens " +
+        "FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id " +
+        "ORDER BY doc_id"),
+    // arrival-order ExactSubstr: cumulative window counts per (win, batch)
+    // decide duplication for each batch's docs — batch b sees batches <= b.
+    "q_substr_dedup_incremental" ->
+      (s"WITH toks AS (SELECT doc_id, doc_id % 3 AS b, $Toks AS t FROM documents), " +
+        "wins AS (SELECT doc_id, b, " +
+        "unnest(range(0, greatest(len(t)-8+1, 0))) AS pos, " +
+        "unnest(list_transform(range(0, greatest(len(t)-8+1, 0)), " +
+        "i -> array_to_string(t[i+1:i+8], ' '))) AS win FROM toks), " +
+        "wb AS (SELECT win, b, count(*) AS c FROM wins GROUP BY win, b), " +
+        "cum AS (SELECT win, b, sum(c) OVER (PARTITION BY win ORDER BY b) AS cnt FROM wb), " +
+        "mark AS (SELECT DISTINCT w.doc_id AS doc_id, w.pos AS pos " +
+        "FROM wins w JOIN cum c ON w.win = c.win AND w.b = c.b WHERE c.cnt >= 2), " +
         "toki AS (SELECT doc_id, unnest(range(0, len(t))) AS idx, " +
         "unnest(t) AS tok FROM toks), " +
         "keep AS (SELECT k.doc_id AS doc_id, k.idx AS idx, k.tok AS tok " +

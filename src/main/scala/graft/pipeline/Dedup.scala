@@ -975,7 +975,14 @@ object Dedup {
     val marked = cand.join(dupWins, Seq("win"), "left_semi")
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("mpos"))
-    // Phase 3: drop tokens covered by any duplicated window, in-row.
+    dropCoveredTokens(toks, marked, w)
+  }
+
+  /** ExactSubstr phase 3, shared by [[substrDedup]] and [[substrIngest]]:
+    * drop every token covered by a duplicated window, in one in-row array
+    * pass. `toks` = (doc_id, t); `marked` = (doc_id, sorted positions). */
+  private def dropCoveredTokens(toks: DataFrame, marked: DataFrame,
+      w: Int): DataFrame = {
     val mpos = coalesce(col("mpos"), array().cast("array<int>"))
     val kept = filter(
       zip_with(col("t"), sequence(lit(0), size(col("t")) - 1),
@@ -986,6 +993,105 @@ object Dedup {
         concat_ws(" ", transform(kept, s => s("tok"))).as("kept_text"),
         size(col("t")).as("n_tokens"),
         (size(col("t")) - size(kept)).as("removed_tokens"))
+  }
+
+  /** INCREMENTAL ExactSubstr ingest — the arrival-order twin of
+    * [[substrDedup]]. Contract: an arriving document is cleaned against
+    * every window seen up to and INCLUDING its own batch; already-emitted
+    * documents are never retro-edited when a later batch re-duplicates
+    * their text (the same "earlier docs are settled" convention as
+    * [[ingestDedup]]).
+    *
+    * State under `dir/`: `windex` — one graft row per DISTINCT window
+    * string seen so far with its exact occurrence count (the record key
+    * IS the window string, so verdicts stay exact-string, never
+    * hash-trust); `docs` — the cleaned output rows keyed by doc id.
+    * Every post-bootstrap batch commits BOTH tables in ONE
+    * [[graft.write.MultiTableTxn]]: a crash can never record a batch's
+    * cleaned docs without the counts that justified them, or counts
+    * without their docs. Being graft tables, the dedup state gets time
+    * travel, OCC, and cleaning for free.
+    *
+    * Scale: per batch, one count-by-window shuffle of the batch's own
+    * windows plus one key-shaped join against the index — bounded by
+    * index size (the cost class of merging one shard into a sharded
+    * suffix array); the already-ingested corpus text is never re-read.
+    *
+    * Returns the batch's cleaned rows (doc_id, kept_text, n_tokens,
+    * removed_tokens), exactly as recorded in `dir/docs`. `ts` pins the
+    * BOOTSTRAP commits only; transactional batches mint reserved
+    * timestamps of their own. Each doc id must arrive at most once. */
+  def substrIngest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, id: Column, text: Column, w: Int,
+      minDupCount: Int = 2, numBuckets: Int = 8,
+      ts: Option[String] = None): DataFrame = {
+    require(w >= 1, s"window width must be >= 1 token (got $w)")
+    val toks = graft.util.ParallelScan.widen(
+        batch.select(id.cast("long").as("doc_id"),
+          TextAnalysis.tokens(text).as("t")))
+      .persist()
+    try {
+      val posSeq = when(size(col("t")) >= w,
+        sequence(lit(0), size(col("t")) - w))
+        .otherwise(array().cast("array<int>"))
+      def winAt(t: Column, pos: Column): Column =
+        concat_ws(" ", slice(t, pos + 1, lit(w)))
+      // The batch materializes its window STRINGS directly (batch-sized
+      // ×w — the price of never re-reading history text).
+      val wins = toks.select(col("doc_id"),
+          transform(posSeq, p =>
+            struct(p.as("pos"), winAt(col("t"), p).as("win"))).as("ws"))
+        .select(col("doc_id"), explode_outer(col("ws")).as("pw"))
+        .filter(col("pw").isNotNull)
+        .select(col("doc_id"), col("pw.pos").as("pos"),
+          col("pw.win").as("win"))
+      val bCounts = wins.groupBy("win").agg(count(lit(1)).as("bcnt"))
+      val idxDir = s"$dir/windex"
+      val docsDir = s"$dir/docs"
+      val tl = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), idxDir)
+      val boot = tl.completedInstants().isEmpty
+      val hist =
+        if (boot) bCounts.select(col("win"), col("bcnt").as("hcnt")).limit(0)
+        else graft.read.SnapshotReader.read(spark, idxDir)
+          .select(col("win"), col("cnt").as("hcnt"))
+      // materialized ONCE: read again by the dup filter and the txn's
+      // touched/write/stats passes (see the ingest-soak job-count note)
+      val totals = bCounts.join(hist, Seq("win"), "left")
+        .select(col("win"),
+          (col("bcnt") + coalesce(col("hcnt"), lit(0L))).as("cnt"))
+        .localCheckpoint(true)
+      val dupWins = totals.filter(col("cnt") >= minDupCount).select("win")
+      val marked = wins.join(dupWins, Seq("win"), "left_semi")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("pos"))).as("mpos"))
+      val cleaned = dropCoveredTokens(toks, marked, w).localCheckpoint(true)
+      val idxRows = totals
+        .withColumn("k", col("win")).withColumn("p", lit("all"))
+      val docRows = cleaned
+        .withColumn("k", col("doc_id").cast("string"))
+        .withColumn("p", lit("all"))
+      if (boot) {
+        // docs first, windex last: the boot gate above tests windex, so a
+        // crash between the creates leaves a retryable half, never a wedge
+        def create(df: DataFrame, path: String): Unit = {
+          val wtr = df.write.format("graft")
+            .option("key", "k").option("partition", "p")
+            .option("buckets", numBuckets.toString)
+            .mode(org.apache.spark.sql.SaveMode.Append)
+          ts.fold(wtr)(x => wtr.option("ts", x)).save(path)
+        }
+        create(docRows, docsDir)
+        create(idxRows, idxDir)
+      } else {
+        graft.write.MultiTableTxn.commit(spark, Seq(
+          graft.write.MultiTableTxn.TableWrite(idxDir,
+            updates = Some(idxRows)),
+          graft.write.MultiTableTxn.TableWrite(docsDir,
+            updates = Some(docRows)))): Unit
+      }
+      cleaned
+    } finally toks.unpersist(blocking = true)
   }
 
   /** BEST-of-cluster dedup: keep, per duplicate cluster, the member with

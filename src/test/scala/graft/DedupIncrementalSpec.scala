@@ -103,4 +103,65 @@ class DedupIncrementalSpec extends SparkSpec {
       .option("from", C1).load(dir)
     assert(inc.select("doc_id").as[Long].collect().toSet == Set(2L))
   }
+
+  test("substrIngest: arrival order decides which doc gets cleaned; " +
+      "later duplicates never retro-edit settled docs") {
+    val dir = freshDir("substr_inc")
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    // batch 1: doc 1 carries the span ONCE — unique so far, kept whole
+    val c1 = graft.pipeline.Dedup.substrIngest(spark, dir,
+      docs((1L, s"aa bb $span cc")), $"doc_id", $"text", w = 8,
+      ts = Some(C1)).orderBy($"doc_id").collect()
+    assert(c1(0).getString(1) == s"aa bb $span cc".toLowerCase &&
+      c1(0).getInt(3) == 0, "first occurrence is unique at its arrival")
+    // batch 2: doc 2 repeats the span — ITS copy is cut (count reaches
+    // 2), doc 1's emitted row stays untouched in dir/docs
+    val c2 = graft.pipeline.Dedup.substrIngest(spark, dir,
+      docs((2L, s"xx $span yy")), $"doc_id", $"text", w = 8)
+      .orderBy($"doc_id").collect()
+    assert(c2(0).getString(1) == "xx yy" && c2(0).getInt(3) == 8)
+    val all = graft.read.SnapshotReader.read(spark, s"$dir/docs")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"kept_text", $"removed_tokens").collect()
+    assert(all(0).getInt(2) == 0 && all(1).getInt(2) == 8)
+    // batch 3: a WITHIN-batch repeat is duplicated on arrival
+    val c3 = graft.pipeline.Dedup.substrIngest(spark, dir,
+      docs((3L, s"qq $span rr"), (4L, s"zz $span ww")),
+      $"doc_id", $"text", w = 8).orderBy($"doc_id").collect()
+    assert(c3(0).getString(1) == "qq rr" && c3(1).getString(1) == "zz ww")
+    // the window index carries the exact corpus-so-far count
+    val cnt = graft.read.SnapshotReader.read(spark, s"$dir/windex")
+      .filter($"win" === span.toLowerCase).select($"cnt").as[Long].head()
+    assert(cnt == 4L)
+  }
+
+  test("substrIngest batches are transactional: a fault between the " +
+      "windex and docs commits publishes to NEITHER table") {
+    import graft.write.MultiTableTxn
+    val dir = freshDir("substr_inc_txn")
+    graft.pipeline.Dedup.substrIngest(spark, dir,
+      docs((1L, "one two three four five six seven eight nine")),
+      $"doc_id", $"text", w = 8, ts = Some(C1))
+    def counts: (Int, Int) = {
+      def n(p: String) = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), p).completedInstants().size
+      (n(s"$dir/windex"), n(s"$dir/docs"))
+    }
+    assert(counts == ((1, 1)))
+    // stage a second batch but fault the publish: nothing may land
+    val upd = Seq(("w x y z a b c d", 1L, "w x y z a b c d", "all"))
+      .toDF("win", "cnt", "k", "p")
+    val drows = Seq((2L, "w x y z a b c d", 8, 0, "2", "all"))
+      .toDF("doc_id", "kept_text", "n_tokens", "removed_tokens", "k", "p")
+    intercept[RuntimeException](MultiTableTxn.commitHook(spark, Seq(
+        MultiTableTxn.TableWrite(s"$dir/windex", updates = Some(upd)),
+        MultiTableTxn.TableWrite(s"$dir/docs", updates = Some(drows))),
+      beforePublish = () => throw new RuntimeException("crash")))
+    assert(counts == ((1, 1)), "a faulted batch must publish nothing")
+    // a clean retry through the real API lands on both
+    graft.pipeline.Dedup.substrIngest(spark, dir,
+      docs((2L, "ten eleven twelve thirteen fourteen fifteen sixteen " +
+        "seventeen eighteen")), $"doc_id", $"text", w = 8)
+    assert(counts == ((2, 2)))
+  }
 }

@@ -1120,6 +1120,14 @@ object SparkEntry {
           t(s, d, "lineitem"), col("l_extendedprice"),
           Seq(0.25, 0.5, 0.75, 0.95), buckets = 64, maxExact = 500)
         .orderBy(col("p_permille"))),
+    // Per-group exact quantiles (r12): every (group, prob) bracket
+    // advances in ONE aggregate job per round over a broadcast bracket
+    // table — pass count is the deepest group's log_B, never group count.
+    "q_group_quantiles" -> ((s, d) =>
+      graft.operators.Quantiles.exactQuantilesBy(
+          t(s, d, "lineitem"), col("l_returnflag"), col("l_extendedprice"),
+          Seq(0.5, 0.9), buckets = 64, maxExact = 500)
+        .orderBy(col("grp"), col("p_permille"))),
     // CCNet-style LM quality filter (r12): per-doc bigram coverage against
     // a reference slice's LM table (source = 'src0', bigrams seen ≥ 2) —
     // integer-exact; the fp stupid-backoff scorer is spec-pinned instead.
@@ -2362,6 +2370,13 @@ object SparkEntry {
         "UNION ALL SELECT CAST(750 AS INT), quantile_disc(l_extendedprice, 0.75) FROM lineitem " +
         "UNION ALL SELECT CAST(950 AS INT), quantile_disc(l_extendedprice, 0.95) FROM lineitem " +
         "ORDER BY p_permille"),
+    "q_group_quantiles" ->
+      ("SELECT grp, p_permille, value FROM (" +
+        "SELECT l_returnflag AS grp, CAST(500 AS INT) AS p_permille, " +
+        "quantile_disc(l_extendedprice, 0.5) AS value FROM lineitem GROUP BY l_returnflag " +
+        "UNION ALL SELECT l_returnflag, CAST(900 AS INT), " +
+        "quantile_disc(l_extendedprice, 0.9) FROM lineitem GROUP BY l_returnflag" +
+        ") ORDER BY grp, p_permille"),
     // bigram lists via list_transform over adjacent pairs; the reference
     // LM is the src0 slice's bigrams with count >= 2.
     "q_lm_coverage" ->

@@ -158,4 +158,124 @@ object Quantiles {
       spark.sparkContext.parallelize(rows, 1), schema)
     } finally base.unpersist()
   }
+
+  /** Per-GROUP exact quantiles — the same rank contract and
+    * histogram-refinement shape as [[exactQuantiles]], with EVERY
+    * (group, prob) bracket advanced together: each round is ONE
+    * aggregate job keyed (group, prob, bucket) over a broadcast table of
+    * the active brackets, so the pass count is the DEEPEST group's
+    * ⌈log_B(rows/maxExact)⌉ — never the group count. Driver state is
+    * O(groups × probs), which per-group quantile semantics require
+    * anyway (one answer row per group × prob). The same monotonicity
+    * argument applies per bracket: each bucket reports its actual
+    * (count, min vd, max vd) and those data-derived bounds are an exact
+    * sub-bracket. Output: (grp, p_permille, value) in the group and
+    * value columns' own types. */
+  def exactQuantilesBy(df: DataFrame, group: Column, value: Column,
+      probs: Seq[Double], buckets: Int = 1024,
+      maxExact: Int = 100000): DataFrame = {
+    require(probs.nonEmpty, "at least one probability required")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probabilities must be in [0, 1]: $probs")
+    require(buckets >= 2, s"need >= 2 histogram buckets (got $buckets)")
+    val spark = df.sparkSession
+    val base = graft.util.ParallelScan.widen(
+        df.select(group.as("__g"), value.as("__v")))
+      .filter(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val grpType = base.schema("__g").dataType
+    val valueType = base.schema("__v").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp", grpType),
+      org.apache.spark.sql.types.StructField("p_permille",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("value", valueType)))
+    val vd = col("__v").cast("double")
+
+    final case class St(grp: Any, pi: Int, var rank: Long, var lo: Double,
+      var hi: Double, var cnt: Long, var stuck: Boolean = false,
+      var ans: Any = null)
+    val stats = base.groupBy(col("__g")).agg(count(lit(1)).as("n"),
+      min(vd).as("lo"), max(vd).as("hi")).collect()
+    val states = stats.flatMap { r =>
+      val n = r.getLong(1)
+      probs.zipWithIndex.map { case (p, pi) =>
+        St(r.get(0), pi, math.max(1L, math.ceil(p * n).toLong),
+          r.getDouble(2), r.getDouble(3), n)
+      }
+    }.toSeq
+    def needsRound(s: St) = s.cnt > maxExact && s.lo < s.hi && !s.stuck
+    val bracketSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__bg", grpType),
+      org.apache.spark.sql.types.StructField("__pi",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__lo",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("__hi",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    def bracketsDf(ss: Seq[St]) = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(ss.map(s =>
+        org.apache.spark.sql.Row(s.grp, s.pi, s.lo, s.hi)), 1),
+      bracketSchema))
+    def joined(ss: Seq[St]) = base.join(bracketsDf(ss),
+      col("__g") <=> col("__bg") && vd >= col("__lo") && vd <= col("__hi"))
+
+    while (states.exists(needsRound)) {
+      val active = states.filter(needsRound)
+      val idx = least(
+        floor((vd - col("__lo")) / (col("__hi") - col("__lo")) *
+          lit(buckets)).cast("int"), lit(buckets - 1))
+      val histo = joined(active)
+        .groupBy(col("__g").as("g"), col("__pi"), idx.as("__b"))
+        .agg(count(lit(1)).as("c"), min(vd).as("mn"), max(vd).as("mx"))
+        .collect()
+        .groupBy(r => (r.get(0), r.getInt(1)))
+        .map { case (k, rs) =>
+          k -> rs.map(r => (r.getInt(2), r.getLong(3), r.getDouble(4),
+            r.getDouble(5))).sortBy(_._1).toSeq
+        }
+      active.foreach { s =>
+        val hs = histo((s.grp, s.pi))
+        var cum = 0L
+        var i = 0
+        while (i < hs.size - 1 && cum + hs(i)._2 < s.rank) {
+          cum += hs(i)._2; i += 1
+        }
+        val (_, bCnt, bMin, bMax) = hs(i)
+        s.stuck = !(bMin > s.lo || bMax < s.hi)
+        s.rank -= cum
+        s.cnt = bCnt
+        s.lo = bMin
+        s.hi = bMax
+      }
+    }
+    // Exact stage, ALL remaining states in one job: per-distinct-value
+    // counts inside each final bracket, resolved engine-ordered.
+    val grouped = joined(states)
+      .groupBy(col("__g").as("g"), col("__pi"), col("__v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("__pi"), col("__v").asc)
+      .collect()
+      .groupBy(r => (r.get(0), r.getInt(1)))
+    states.foreach { s =>
+      val vs = grouped((s.grp, s.pi))
+      var cum = 0L
+      var j = 0
+      while (s.ans == null && j < vs.length) {
+        cum += vs(j).getLong(3)
+        if (cum >= s.rank) s.ans = vs(j).get(2)
+        j += 1
+      }
+      require(s.ans != null,
+        s"internal: group ${s.grp} rank ${s.rank} not found in bracket " +
+          s"[${s.lo}, ${s.hi}]")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(states.map(s =>
+        org.apache.spark.sql.Row(s.grp,
+          math.round(probs(s.pi) * 1000).toInt, s.ans)), 1),
+      outSchema)
+    } finally base.unpersist()
+  }
 }

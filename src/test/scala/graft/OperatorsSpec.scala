@@ -111,6 +111,32 @@ class OperatorsSpec extends SparkSpec {
       .collect()(0).getDouble(1) == 3.0)
   }
 
+  test("exactQuantilesBy == per-group sorted-take reference; mixed " +
+      "group sizes refine together") {
+    import graft.operators.Quantiles
+    def ref(vals: Seq[Long], p: Double): Long = {
+      val s = vals.sorted
+      s(math.max(1, math.ceil(p * s.size).toInt) - 1)
+    }
+    // group "big": 1..1000; group "tiny": three rows; group "ties":
+    // all-equal — one call advances all of them
+    val rows =
+      (1L to 1000L).map(v => ("big", v)) ++
+        Seq(("tiny", 7L), ("tiny", 3L), ("tiny", 11L)) ++
+        (1 to 5).map(_ => ("ties", 42L))
+    val df = rows.toDF("g", "v")
+    val probs = Seq(0.0, 0.5, 0.9, 1.0)
+    val got = Quantiles.exactQuantilesBy(df, $"g", $"v", probs,
+        buckets = 4, maxExact = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val byG = rows.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2) }
+    for ((g, vs) <- byG; p <- probs)
+      assert(got((g, math.round(p * 1000).toInt)) == ref(vs, p),
+        s"g=$g p=$p")
+    assert(got.size == byG.size * probs.size)
+  }
+
   test("exactQuantiles on longs keeps the column type exact") {
     import graft.operators.Quantiles
     val df = (1L to 1000L).toDF("x")

@@ -456,6 +456,41 @@ private[sources] object GraftProcedures {
         Seq(row(Long.box(edges.count()), Long.box(mutual), outDir))
       },
 
+      proc("lm_coverage",
+        "CCNet-style LM quality scores: per-doc permille of word bigrams " +
+          "present in the reference slice's bigram table (rows matching " +
+          "ref_predicate, bigram count >= min_count). Scores are " +
+          "data-sized, so they land under <table>/.lm_coverage/ (doc_id, " +
+          "n_bigrams, known_bigrams, lm_coverage_permille) and this " +
+          "result is the summary",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("ref_predicate", StringType,
+            "SQL boolean expression selecting the reference rows, " +
+              "e.g. \"source = 'src0'\""),
+          in("min_count", IntegerType,
+            "reference occurrences for a bigram to count as known",
+            default = Some("2"))),
+        out("n_docs" -> LongType, "mean_coverage_permille" -> LongType,
+          "out_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val outDir = s"$path/.lm_coverage"
+        val docs = graft.read.SnapshotReader.read(spark, path)
+        val lm = graft.pipeline.TextAnalysis.bigramLm(
+          docs.filter(org.apache.spark.sql.functions.expr(str(r, 3))),
+          org.apache.spark.sql.functions.col(str(r, 2)),
+          minCount = r.getInt(4).toLong)
+        graft.pipeline.TextAnalysis.bigramCoverage(docs,
+            org.apache.spark.sql.functions.col(str(r, 1)),
+            org.apache.spark.sql.functions.col(str(r, 2)), lm)
+          .write.mode("overwrite").parquet(outDir)
+        val st = spark.read.parquet(outDir).selectExpr("count(*)",
+          "coalesce(CAST(floor(avg(lm_coverage_permille)) AS BIGINT), 0)")
+          .head()
+        Seq(row(Long.box(st.getLong(0)), Long.box(st.getLong(1)), outDir))
+      },
+
       proc("exact_quantiles",
         "exact distributed quantiles of a numeric column (DuckDB " +
           "quantile_disc contract: k-th smallest, k = max(1, ceil(p*n))) " +

@@ -257,6 +257,30 @@ class ProcedureSpec extends SparkSpec {
     assert(q(500) == 2.0 && q(1000) == 3.0)
   }
 
+  test("lm_coverage procedure: reference-slice scoring lands in the " +
+      "dot-dir with a faithful summary") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.lmdocs")
+    spark.sql(s"CREATE TABLE $cat.ns.lmdocs (id BIGINT, body STRING, " +
+      "src STRING, pt STRING) PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'id', buckets '2')")
+    spark.sql(s"INSERT INTO $cat.ns.lmdocs VALUES " +
+      "(1, 'a b c a b c', 'ref', 'all'), " + // ref: 'a b'/'b c' x2, 'c a' x1
+      "(2, 'a b c', 'crawl', 'all'), " +     // both bigrams known -> 1000
+      "(3, 'x y z', 'crawl', 'all')")        // none known -> 0
+    val s0 = spark.sql(s"CALL $cat.system.lm_coverage(" +
+      "table => 'ns.lmdocs', id_col => 'id', text_col => 'body', " +
+      "ref_predicate => \"src = 'ref'\")").head()
+    assert(s0.getLong(0) == 3L)
+    val scored = spark.read.parquet(s0.getString(2))
+      .orderBy($"doc_id")
+      .select($"doc_id", $"lm_coverage_permille").collect()
+    assert(scored(1).getLong(1) == 1000L && scored(2).getLong(1) == 0L)
+    assert(s0.getLong(1) ==
+      (scored.map(_.getLong(1)).sum / 3))
+  }
+
   test("knn_graph procedure: exhaustive nprobe yields k edges per vector") {
     conf()
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")

@@ -453,6 +453,37 @@ object SoakCheck {
       s"substr_dedup removed $subRemoved tokens in $subTouched docs, " +
         s"expected ${8 * planted} in $planted")
 
+    // ---- path 9b: incremental ExactSubstr ingest at 20× (r12) ----------
+    // the same 100k corpus arriving in three batches against the
+    // window-count index; the ingest contract makes removed counts
+    // deterministic: the boilerplate span reaches count 2 WITHIN batch 1
+    // (10% planted), so every planted doc in every batch is cleaned —
+    // same totals as the batch path. Budget: ≤ 60 jobs/batch (the
+    // ingest-job-count theme from the r10/r11 verdicts).
+    val subIdx = s"$root/substr_index"
+    val sb3 = SubDocs / 3
+    var incRemoved = 0L
+    val subInc = measure(spark, "substr_ingest")(() => {
+      def ingest(lo: Long, hi: Long, ts: Option[String]) =
+        pipeline.Dedup.substrIngest(spark, subIdx,
+          subDocs.filter(col("id") >= lo && col("id") < hi),
+          col("id"), col("text"), w = 8, ts = ts)
+      ingest(0, sb3, Some("1000"))
+      ingest(sb3, 2 * sb3, None)
+      ingest(2 * sb3, SubDocs, None)
+      read.SnapshotReader.read(spark, s"$subIdx/docs")
+    })(df => {
+      incRemoved = df.agg(sum(col("removed_tokens"))).collect()(0).getLong(0)
+      df.count()
+    })
+    require(subInc.rowsOut == SubDocs,
+      s"substr_ingest docs ${subInc.rowsOut}")
+    require(incRemoved == 8 * planted,
+      s"substr_ingest removed $incRemoved, expected ${8 * planted}")
+    require(subInc.jobs <= 3 * 60,
+      s"substr_ingest ran ${subInc.jobs} jobs for 3 batches — " +
+        "budget is 60/batch")
+
     // ---- path 10: kNN join at 20× vectors (r12) ------------------------
     // 40k synthetic 64-dim vectors, IVF cell join at nlist 64 / nprobe 4:
     // the whole-corpus-query shape — no broadcast side anywhere; per-task
@@ -470,7 +501,7 @@ object SoakCheck {
 
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
-      search, wand, incIng, incSearch, sem, dvw, sub, knn)
+      search, wand, incIng, incSearch, sem, dvw, sub, subInc, knn)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -481,7 +512,7 @@ object SoakCheck {
     // wall time, not planning.
     all.filterNot(r => Set("ingest_dedup", "catalog_stream",
         "bm25_build", "distinct_view", "inc_index_ingest",
-        "sem_ingest_dedup", "knn_join")(r.name)) // thunks RUN work
+        "sem_ingest_dedup", "knn_join", "substr_ingest")(r.name)) // thunks RUN work
       // (knn_join's "plan" includes ivfTrain's Lloyd jobs)
       .foreach(r =>
         require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))

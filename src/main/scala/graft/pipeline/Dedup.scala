@@ -941,7 +941,7 @@ object Dedup {
     * partially-aggregated count — there is no bucket self-join anywhere,
     * so no quadratic hotspot to cap. */
   def substrDedup(df: DataFrame, id: Column, text: Column, w: Int,
-      minDupCount: Int = 2): DataFrame = {
+      minDupCount: Int = 2, materialize: Boolean = true): DataFrame = {
     require(w >= 1, s"window width must be >= 1 token (got $w)")
     require(minDupCount >= 2, s"minDupCount must be >= 2 (got $minDupCount)")
     val toks = graft.util.ParallelScan.widen(
@@ -970,12 +970,19 @@ object Dedup {
       .join(toks, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         winAt(col("t"), col("pos")).as("win"))
-    val dupWins = cand.groupBy("win").count()
-      .filter(col("count") >= minDupCount).select("win")
-    val marked = cand.join(dupWins, Seq("win"), "left_semi")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("pos"))).as("mpos"))
-    dropCoveredTokens(toks, marked, w)
+    // toks feeds phase 1, the candidate re-join, and the final clean —
+    // and `cand` is consumed by both the string-verify count and the
+    // marked semi-join: scoped persists keep this ONE corpus pass + one
+    // candidates-only pass (unscoped, the plan re-reads the source per
+    // consumer — see `scoped` for the lazy-composition trade).
+    scoped(materialize, toks, cand) {
+      val dupWins = cand.groupBy("win").count()
+        .filter(col("count") >= minDupCount).select("win")
+      val marked = cand.join(dupWins, Seq("win"), "left_semi")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("pos"))).as("mpos"))
+      dropCoveredTokens(toks, marked, w)
+    }
   }
 
   /** ExactSubstr phase 3, shared by [[substrDedup]] and [[substrIngest]]:

@@ -1234,6 +1234,14 @@ object SparkEntry {
       Dedup.substrDedup(tp(s, d, "documents"), col("doc_id"), col("text"),
           w = 8)
         .orderBy(col("doc_id"))),
+    // ExactSubstr span manifest (r12): one row per MAXIMAL duplicated
+    // span — the cut list (Lee et al. publish byte ranges, not rewritten
+    // text); overlapping/adjacent windows merged by a lag+running-sum
+    // pass over the duplicated positions.
+    "q_substr_spans" -> ((s, d) =>
+      Dedup.substrSpans(tp(s, d, "documents"), col("doc_id"), col("text"),
+          w = 8)
+        .orderBy(col("doc_id"), col("span_start"))),
     // Incremental ExactSubstr (r12): three arrival batches (doc_id % 3)
     // against the maintained window-count index — each doc cleaned vs
     // everything seen up to and INCLUDING its own batch (the oracle
@@ -2507,6 +2515,25 @@ object SparkEntry {
         "CAST(len(t.t) - coalesce(a.kept, 0) AS INT) AS removed_tokens " +
         "FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id " +
         "ORDER BY doc_id"),
+    // same mark set as q_substr_dedup, islands via lag + running sum
+    "q_substr_spans" ->
+      (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+        "wins AS (SELECT doc_id, " +
+        "unnest(range(0, greatest(len(t)-8+1, 0))) AS pos, " +
+        "unnest(list_transform(range(0, greatest(len(t)-8+1, 0)), " +
+        "i -> array_to_string(t[i+1:i+8], ' '))) AS win FROM toks), " +
+        "dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2), " +
+        "mark AS (SELECT DISTINCT w.doc_id AS doc_id, w.pos AS pos " +
+        "FROM wins w JOIN dup d ON w.win = d.win), " +
+        "brk AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS b " +
+        "FROM mark), " +
+        "grp AS (SELECT doc_id, pos, sum(b) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS g FROM brk) " +
+        "SELECT doc_id, CAST(min(pos) AS INT) AS span_start, " +
+        "CAST(max(pos) + 8 AS INT) AS span_end, " +
+        "CAST(max(pos) + 8 - min(pos) AS INT) AS span_tokens " +
+        "FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start"),
     // arrival-order ExactSubstr: cumulative window counts per (win, batch)
     // decide duplication for each batch's docs — batch b sees batches <= b.
     "q_substr_dedup_incremental" ->

@@ -955,6 +955,28 @@ object Dedup {
       .otherwise(array().cast("array<int>"))
     def winAt(t: Column, pos: Column): Column =
       concat_ws(" ", slice(t, pos + 1, lit(w)))
+    val cand = substrCandidates(toks, posSeq, w, minDupCount)
+    // toks feeds phase 1, the candidate re-join, and the final clean —
+    // and `cand` is consumed by both the string-verify count and the
+    // marked semi-join: scoped persists keep this ONE corpus pass + one
+    // candidates-only pass (unscoped, the plan re-reads the source per
+    // consumer — see `scoped` for the lazy-composition trade).
+    scoped(materialize, toks, cand) {
+      val marked = substrMarked(cand, minDupCount)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("pos"))).as("mpos"))
+      dropCoveredTokens(toks, marked, w)
+    }
+  }
+
+  /** ExactSubstr phases 1–2 (shared by [[substrDedup]] and
+    * [[substrSpans]]): candidate (doc_id, pos, win) rows — positions
+    * whose 8-byte window HASH is duplicated, with the window string
+    * re-materialized for exact verification. */
+  private def substrCandidates(toks: DataFrame, posSeq: Column,
+      w: Int, minDupCount: Int): DataFrame = {
+    def winAt(t: Column, pos: Column): Column =
+      concat_ws(" ", slice(t, pos + 1, lit(w)))
     // Phase 1: (doc_id, pos, h) — hashes computed BEFORE the explode so
     // the generator output (and the count shuffle) never carries the token
     // array or the window string.
@@ -966,22 +988,57 @@ object Dedup {
     val dupH = wins.groupBy("h").count()
       .filter(col("count") >= minDupCount).select("h")
     // Phase 2: re-materialize candidate windows and verify by string.
-    val cand = wins.join(dupH, Seq("h"), "left_semi")
+    wins.join(dupH, Seq("h"), "left_semi")
       .join(toks, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         winAt(col("t"), col("pos")).as("win"))
-    // toks feeds phase 1, the candidate re-join, and the final clean —
-    // and `cand` is consumed by both the string-verify count and the
-    // marked semi-join: scoped persists keep this ONE corpus pass + one
-    // candidates-only pass (unscoped, the plan re-reads the source per
-    // consumer — see `scoped` for the lazy-composition trade).
+  }
+
+  /** Candidate positions whose window STRING reaches `minDupCount`
+    * occurrences — the exact-string verdicts. */
+  private def substrMarked(cand: DataFrame, minDupCount: Int): DataFrame = {
+    val dupWins = cand.groupBy("win").count()
+      .filter(col("count") >= minDupCount).select("win")
+    cand.join(dupWins, Seq("win"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** ExactSubstr SPAN MANIFEST: the same duplicated-window detection as
+    * [[substrDedup]], but instead of rewriting documents it emits one row
+    * per MAXIMAL duplicated span — (doc_id, span_start, span_end,
+    * span_tokens) with token-index [start, end) bounds — the cut list a
+    * data loader or an audit consumes without materializing cleaned text
+    * (Lee et al. 2022 publish exactly this: byte ranges to drop).
+    * Overlapping/adjacent duplicated windows merge: positions are sorted
+    * per doc and every window is w wide, so a window starts a NEW span
+    * exactly when it begins after the previous window's end — one
+    * lag + running-sum window pass over the (duplicated-position-sized)
+    * marked set, partitioned by doc. */
+  def substrSpans(df: DataFrame, id: Column, text: Column, w: Int,
+      minDupCount: Int = 2, materialize: Boolean = true): DataFrame = {
+    require(w >= 1, s"window width must be >= 1 token (got $w)")
+    require(minDupCount >= 2, s"minDupCount must be >= 2 (got $minDupCount)")
+    val toks = graft.util.ParallelScan.widen(
+      df.select(id.cast("long").as("doc_id"),
+        TextAnalysis.tokens(text).as("t")))
+    val posSeq = when(size(col("t")) >= w,
+      sequence(lit(0), size(col("t")) - w))
+      .otherwise(array().cast("array<int>"))
+    val cand = substrCandidates(toks, posSeq, w, minDupCount)
     scoped(materialize, toks, cand) {
-      val dupWins = cand.groupBy("win").count()
-        .filter(col("count") >= minDupCount).select("win")
-      val marked = cand.join(dupWins, Seq("win"), "left_semi")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_set(col("pos"))).as("mpos"))
-      dropCoveredTokens(toks, marked, w)
+      val marked = substrMarked(cand, minDupCount)
+      val byDoc = Window.partitionBy("doc_id").orderBy(col("pos"))
+      val brk = marked.withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= w, 0)
+          .otherwise(1))
+      val grp = brk.withColumn("__g",
+        sum(col("__brk")).over(byDoc.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      grp.groupBy(col("doc_id"), col("__g"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + w).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start")).as("span_tokens"))
     }
   }
 

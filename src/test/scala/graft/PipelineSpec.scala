@@ -652,6 +652,32 @@ class PipelineSpec extends SparkSpec {
     assert(wide.filter($"removed_tokens" =!= 0).isEmpty)
   }
 
+  test("substrSpans: adjacent duplicated windows merge into one span; " +
+      "gapped ones stay separate; spans account for every removed token") {
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$a $a"),              // adjacent repeats -> ONE [0,16) span
+      (2L, s"$a gap1 gap2 $a"),    // wait: both occurrences duplicated
+      (3L, "totally unique text with nothing repeated at all")).
+      toDF("id", "txt")
+    val spans = Dedup.substrSpans(df, $"id", $"txt", w = 8)
+      .orderBy($"doc_id", $"span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.count(_._1 == 1L) == 1 && spans.find(_._1 == 1L).get ==
+      ((1L, 0, 16)), s"doc1 spans: ${spans.toSeq}")
+    assert(spans.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0, 8), (2L, 10, 18)), s"doc2 spans: ${spans.toSeq}")
+    assert(!spans.exists(_._1 == 3L))
+    // on real docs the manifest accounts exactly for substrDedup's cuts
+    val cut = Dedup.substrDedup(docs, $"doc_id", $"text", w = 8)
+      .select($"doc_id", $"removed_tokens")
+    val acc = Dedup.substrSpans(docs, $"doc_id", $"text", w = 8)
+      .groupBy($"doc_id").agg(sum($"span_tokens").as("span_sum"))
+    assert(cut.join(acc, Seq("doc_id"), "left")
+      .filter(coalesce($"span_sum", lit(0L)) =!= $"removed_tokens")
+      .isEmpty)
+  }
+
   test("knnJoin: nprobe=nlist == independent brute force; cellSplits " +
       "skew belt is result-identical") {
     import org.apache.spark.sql.expressions.Window

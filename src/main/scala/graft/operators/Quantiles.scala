@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact distributed quantiles by iterative histogram refinement — no
@@ -8,7 +9,8 @@ import org.apache.spark.sql.functions._
   *
   * Rank contract (matches DuckDB's `quantile_disc`): the p-quantile of n
   * non-null rows is the k-th smallest value (1-based, duplicates counted)
-  * with k = max(1, ceil(p·n)).
+  * with k = max(1, ceil(p·n)). Ordering follows Spark SQL's fp total
+  * order: −Inf < finite < +Inf < NaN.
   *
   * Why not the obvious alternatives at 100 TB:
   *  - `ORDER BY` + take(k): a full range-shuffle sort of every row.
@@ -16,13 +18,25 @@ import org.apache.spark.sql.functions._
   *    DISTINCT value per group — OOMs on high-cardinality columns.
   *  - `approx_percentile`: bounded memory, but approximate.
   *
-  * This operator: one stats pass (n, min, max), then per requested prob a
-  * bracket [lo, hi] is narrowed by one B-bucket histogram per round — a
-  * map-side-combined aggregate whose shuffle is ≤ B rows — until the
-  * bracket holds ≤ `maxExact` rows; those aggregate per DISTINCT value and
-  * the exact rank is picked on the driver. Rounds ≈ ⌈log_B(n/maxExact)⌉:
-  * n = 10¹², B = 1024, maxExact = 10⁵ → 3 counting rounds, each
-  * metadata-sized.
+  * This operator: one stats pass (n, min, max, non-finite band counts),
+  * then per requested prob a bracket [lo, hi] is narrowed by one B-bucket
+  * histogram per round — a map-side-combined aggregate whose shuffle is
+  * ≤ B rows — until the bracket holds ≤ `maxExact` rows; those aggregate
+  * per DISTINCT value and the exact rank is picked. Rounds ≈
+  * ⌈log_B(n/maxExact)⌉: n = 10¹², B = 1024, maxExact = 10⁵ → 3 counting
+  * rounds, each metadata-sized.
+  *
+  * Non-finite honesty: ±Inf and NaN rows would break the refinement's
+  * memory bound (every row lands in bucket 0 when width is non-finite, so
+  * the "no-progress brackets are ulp-wide" argument no longer caps the
+  * exact stage). The stats pass therefore counts the −Inf / +Inf / NaN
+  * BANDS exactly; a rank falling in a band is answered directly and only
+  * ranks in the finite band (shifted by the −Inf count) enter refinement,
+  * whose brackets are always finite. A finite bracket can still span more
+  * than Double.MaxValue (width overflows to +Inf) — bucket indices then
+  * use HALVED arithmetic, floor((v/2 − lo/2)/(hi/2 − lo/2)·B): x/2 is
+  * order-monotone (equal doubles stay equal), which is all the bucket
+  * index needs (see below), and hi/2 − lo/2 cannot overflow.
   *
   * fp-edge honesty: the `floor((v−lo)/width·B)` bucket index and
   * arithmetic bounds like `lo + width·i/B` are DIFFERENT fp expressions
@@ -38,15 +52,50 @@ import org.apache.spark.sql.functions._
   * ordered numeric type regardless of double rounding. */
 object Quantiles {
 
+  private def requireProbs(probs: Seq[Double], buckets: Int): Unit = {
+    require(probs.nonEmpty, "at least one probability required")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probabilities must be in [0, 1]: $probs")
+    // output rows are keyed by round(p·1000) — two probs landing on the
+    // same permille would emit ambiguous duplicate keys
+    require(probs.map(p => math.round(p * 1000)).distinct.size == probs.size,
+      s"probabilities must map to distinct permilles: $probs")
+    require(buckets >= 2, s"need >= 2 histogram buckets (got $buckets)")
+  }
+
+  /** The non-finite value of the column's own fp type (bands can only be
+    * non-empty for float/double columns — no other type casts to ±Inf or
+    * NaN). */
+  private def fpConst(valueType: org.apache.spark.sql.types.DataType,
+      v: Double): Any = valueType match {
+    case org.apache.spark.sql.types.FloatType => v.toFloat
+    case org.apache.spark.sql.types.DoubleType => v
+    case t => throw new IllegalStateException(
+      s"internal: non-finite band on non-fp column type $t")
+  }
+
+  /** Histogram bucket index over bracket [lo, hi] — order-monotone in
+    * `vd` by construction. When hi − lo overflows to +Inf the halved form
+    * is used: x ↦ x/2 is monotone non-decreasing on doubles (equal in,
+    * equal out), so bucket indices stay monotone in vd and the
+    * contiguous-runs argument is untouched; hi/2 − lo/2 ≤ Double.MaxValue
+    * never overflows. */
+  private def bucketIdx(vd: Column, lo: Double, hi: Double,
+      buckets: Int): Column = {
+    val width = hi - lo
+    val raw =
+      if (java.lang.Double.isInfinite(width))
+        floor((vd / 2 - lit(lo / 2)) / lit(hi / 2 - lo / 2) * lit(buckets))
+      else floor((vd - lit(lo)) / lit(width) * lit(buckets))
+    least(raw.cast("int"), lit(buckets - 1))
+  }
+
   /** One row per requested probability: (p_permille, value), where value
     * is the exact discrete quantile of `value` over `df`'s non-null rows,
     * in the column's own type. Empty input → empty result. */
   def exactQuantiles(df: DataFrame, value: Column, probs: Seq[Double],
       buckets: Int = 1024, maxExact: Int = 100000): DataFrame = {
-    require(probs.nonEmpty, "at least one probability required")
-    require(probs.forall(p => p >= 0.0 && p <= 1.0),
-      s"probabilities must be in [0, 1]: $probs")
-    require(buckets >= 2, s"need >= 2 histogram buckets (got $buckets)")
+    requireProbs(probs, buckets)
     val spark = df.sparkSession
     // Every refinement round re-scans the projected column — persist the
     // single-column frame for the call (memory-and-disk: at 100 TB the
@@ -61,35 +110,45 @@ object Quantiles {
       org.apache.spark.sql.types.StructField("p_permille",
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("value", valueType)))
+    val vd = col("__v").cast("double")
 
+    // Stats pass: total n plus the exact −Inf / +Inf / NaN band counts
+    // and the FINITE extrema. Band answers never enter refinement, so
+    // every bracket below is finite.
     val stats = base.agg(count(lit(1)).as("n"),
-      min(col("__v").cast("double")).as("lo"),
-      max(col("__v").cast("double")).as("hi")).collect()(0)
+      count(when(vd === lit(Double.NegativeInfinity), 1)).as("nneg"),
+      count(when(vd === lit(Double.PositiveInfinity), 1)).as("npos"),
+      count(when(isnan(vd), 1)).as("nnan"),
+      min(when(!isnan(vd) && vd > lit(Double.NegativeInfinity) &&
+        vd < lit(Double.PositiveInfinity), vd)).as("lo"),
+      max(when(!isnan(vd) && vd > lit(Double.NegativeInfinity) &&
+        vd < lit(Double.PositiveInfinity), vd)).as("hi")).collect()(0)
     val n = stats.getLong(0)
     if (n == 0L)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val (gLo, gHi) = (stats.getDouble(1), stats.getDouble(2))
-    val vd = col("__v").cast("double")
+    val (nNeg, nPos, nNan) = (stats.getLong(1), stats.getLong(2),
+      stats.getLong(3))
+    val nFin = n - nNeg - nPos - nNan
+    val (gLo, gHi) =
+      if (nFin == 0L) (0.0, 0.0)
+      else (stats.getDouble(4), stats.getDouble(5))
     // Every prob's FIRST round histograms the identical global bracket —
     // memoize per bracket so requesting many probs costs one shared
     // first-round pass plus only the divergent refinements. Each bucket
-    // reports (count, min vd, max vd): floor((vd−lo)/width·B) is MONOTONE
-    // in vd, so buckets are CONTIGUOUS runs of the sorted values — the
-    // rows with vd ∈ [bucket min, bucket max] are exactly that bucket's
-    // rows (equal doubles always share a bucket), making the data-derived
+    // reports (count, min vd, max vd): the bucket index is MONOTONE in
+    // vd, so buckets are CONTIGUOUS runs of the sorted values — the rows
+    // with vd ∈ [bucket min, bucket max] are exactly that bucket's rows
+    // (equal doubles always share a bucket), making the data-derived
     // bounds an EXACT sub-bracket with no fp edge to re-verify.
     val histoCache = new java.util.concurrent.ConcurrentHashMap[
       (Double, Double), Seq[(Int, Long, Double, Double)]]()
-    def histogram(lo: Double, hi: Double,
-        width: Double): Seq[(Int, Long, Double, Double)] =
+    def histogram(lo: Double,
+        hi: Double): Seq[(Int, Long, Double, Double)] =
       histoCache.computeIfAbsent((lo, hi), { _ =>
-        val idx = least(
-          floor((vd - lit(lo)) / lit(width) * lit(buckets)).cast("int"),
-          lit(buckets - 1))
         base.filter(vd >= lit(lo) && vd <= lit(hi))
-          .groupBy(idx.as("__b")).agg(count(lit(1)).as("c"),
-            min(vd).as("mn"), max(vd).as("mx"))
+          .groupBy(bucketIdx(vd, lo, hi, buckets).as("__b"))
+          .agg(count(lit(1)).as("c"), min(vd).as("mn"), max(vd).as("mx"))
           .collect()
           .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
             r.getDouble(3)))
@@ -97,14 +156,21 @@ object Quantiles {
       })
 
     def answerFor(p: Double): Any = {
-      var rank = math.max(1L, math.ceil(p * n).toLong)
+      val rank0 = math.max(1L, math.ceil(p * n).toLong)
+      // band routing — Spark's fp total order: −Inf, finite, +Inf, NaN
+      if (rank0 <= nNeg)
+        return fpConst(valueType, Double.NegativeInfinity)
+      if (rank0 > nNeg + nFin && rank0 <= nNeg + nFin + nPos)
+        return fpConst(valueType, Double.PositiveInfinity)
+      if (rank0 > nNeg + nFin + nPos)
+        return fpConst(valueType, Double.NaN)
+      var rank = rank0 - nNeg
       var lo = gLo
       var hi = gHi
-      var cnt = n
+      var cnt = nFin
       var progress = true
       while (cnt > maxExact && lo < hi && progress) {
-        val width = hi - lo
-        val histo = histogram(lo, hi, width)
+        val histo = histogram(lo, hi)
         // walk buckets in vd order to the one containing the target rank
         var cum = 0L
         var i = 0
@@ -122,7 +188,8 @@ object Quantiles {
       // bracket (collect is bounded by distinct values ≤ cnt ≤ maxExact;
       // a tie-dominated no-progress bracket is ulp-wide, so its distinct
       // count is tiny even when its row count is not) and walk to the
-      // rank-th smallest in original-type order.
+      // rank-th smallest in original-type order. Finite bracket bounds
+      // exclude ±Inf and NaN rows by comparison semantics.
       val grouped = base.filter(vd >= lit(lo) && vd <= lit(hi))
         .groupBy(col("__v")).agg(count(lit(1)).as("c"))
         .orderBy(col("__v").asc)
@@ -144,7 +211,7 @@ object Quantiles {
     // CONCURRENTLY — the scheduler interleaves the per-prob chains, so the
     // wall clock is one chain's latency, not the sum (the jobs are
     // metadata-sized; there is no contention to speak of).
-    if (n > maxExact && gLo < gHi) histogram(gLo, gHi, gHi - gLo)
+    if (nFin > maxExact && gLo < gHi) histogram(gLo, gHi)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -159,25 +226,27 @@ object Quantiles {
     } finally base.unpersist()
   }
 
-  /** Per-GROUP exact quantiles — the same rank contract and
-    * histogram-refinement shape as [[exactQuantiles]], with EVERY
+  /** Per-GROUP exact quantiles — the same rank contract, band routing,
+    * and histogram-refinement shape as [[exactQuantiles]], with EVERY
     * (group, prob) bracket advanced together: each round is ONE
     * aggregate job keyed (group, prob, bucket) over a broadcast table of
     * the active brackets, so the pass count is the DEEPEST group's
-    * ⌈log_B(rows/maxExact)⌉ — never the group count. Driver state is
-    * O(groups × probs), which per-group quantile semantics require
-    * anyway (one answer row per group × prob). The same monotonicity
-    * argument applies per bracket: each bucket reports its actual
-    * (count, min vd, max vd) and those data-derived bounds are an exact
-    * sub-bracket. Output: (grp, p_permille, value) in the group and
-    * value columns' own types. */
+    * ⌈log_B(rows/maxExact)⌉ — never the group count. The walk to the
+    * rank-holding bucket happens IN THE FRAME (a running-sum window per
+    * (group, prob) partition over the ≤ B histogram rows, filtered to
+    * the one bucket whose cumulative range covers the rank), so each
+    * round collects exactly ONE row per active (group, prob) — driver
+    * state is O(groups × probs), which per-group quantile semantics
+    * require anyway (one answer row per group × prob), never
+    * × buckets and never × maxExact. The exact stage is resolved the
+    * same way: per-distinct-value counts stay distributed and only the
+    * rank-holding value row per (group, prob) is collected. Output:
+    * (grp, p_permille, value) in the group and value columns' own
+    * types. */
   def exactQuantilesBy(df: DataFrame, group: Column, value: Column,
       probs: Seq[Double], buckets: Int = 1024,
       maxExact: Int = 100000): DataFrame = {
-    require(probs.nonEmpty, "at least one probability required")
-    require(probs.forall(p => p >= 0.0 && p <= 1.0),
-      s"probabilities must be in [0, 1]: $probs")
-    require(buckets >= 2, s"need >= 2 histogram buckets (got $buckets)")
+    requireProbs(probs, buckets)
     val spark = df.sparkSession
     val base = graft.util.ParallelScan.widen(
         df.select(group.as("__g"), value.as("__v")))
@@ -197,79 +266,128 @@ object Quantiles {
       var hi: Double, var cnt: Long, var stuck: Boolean = false,
       var ans: Any = null)
     val stats = base.groupBy(col("__g")).agg(count(lit(1)).as("n"),
-      min(vd).as("lo"), max(vd).as("hi")).collect()
+      count(when(vd === lit(Double.NegativeInfinity), 1)).as("nneg"),
+      count(when(vd === lit(Double.PositiveInfinity), 1)).as("npos"),
+      count(when(isnan(vd), 1)).as("nnan"),
+      min(when(!isnan(vd) && vd > lit(Double.NegativeInfinity) &&
+        vd < lit(Double.PositiveInfinity), vd)).as("lo"),
+      max(when(!isnan(vd) && vd > lit(Double.NegativeInfinity) &&
+        vd < lit(Double.PositiveInfinity), vd)).as("hi")).collect()
     val states = stats.flatMap { r =>
       val n = r.getLong(1)
+      val (nNeg, nPos, nNan) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val nFin = n - nNeg - nPos - nNan
       probs.zipWithIndex.map { case (p, pi) =>
-        St(r.get(0), pi, math.max(1L, math.ceil(p * n).toLong),
-          r.getDouble(2), r.getDouble(3), n)
+        val rank0 = math.max(1L, math.ceil(p * n).toLong)
+        val s =
+          if (rank0 <= nNeg)
+            St(r.get(0), pi, 0L, 0.0, 0.0, 0L,
+              ans = fpConst(valueType, Double.NegativeInfinity))
+          else if (rank0 > nNeg + nFin && rank0 <= nNeg + nFin + nPos)
+            St(r.get(0), pi, 0L, 0.0, 0.0, 0L,
+              ans = fpConst(valueType, Double.PositiveInfinity))
+          else if (rank0 > nNeg + nFin + nPos)
+            St(r.get(0), pi, 0L, 0.0, 0.0, 0L,
+              ans = fpConst(valueType, Double.NaN))
+          else
+            St(r.get(0), pi, rank0 - nNeg, r.getDouble(5), r.getDouble(6),
+              nFin)
+        s
       }
     }.toSeq
-    def needsRound(s: St) = s.cnt > maxExact && s.lo < s.hi && !s.stuck
+    def needsRound(s: St) = s.ans == null && s.cnt > maxExact &&
+      s.lo < s.hi && !s.stuck
     val bracketSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("__bg", grpType),
       org.apache.spark.sql.types.StructField("__pi",
         org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("__lo",
         org.apache.spark.sql.types.DoubleType, nullable = false),
       org.apache.spark.sql.types.StructField("__hi",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
     def bracketsDf(ss: Seq[St]) = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(ss.map(s =>
-        org.apache.spark.sql.Row(s.grp, s.pi, s.lo, s.hi)), 1),
+        org.apache.spark.sql.Row(s.grp, s.pi, s.rank, s.lo, s.hi)),
+        math.max(1, ss.size / 10000)),
       bracketSchema))
     def joined(ss: Seq[St]) = base.join(bracketsDf(ss),
       col("__g") <=> col("__bg") && vd >= col("__lo") && vd <= col("__hi"))
+    // Per-bracket bucket index with per-row overflow fallback: when a
+    // bracket's width overflows to +Inf the HALVED form is used for that
+    // bracket's rows (same monotonicity argument as the single-column
+    // path — x/2 is order-monotone, hi/2 − lo/2 never overflows).
+    val width = col("__hi") - col("__lo")
+    val halved = floor((vd / 2 - col("__lo") / 2) /
+      (col("__hi") / 2 - col("__lo") / 2) * lit(buckets))
+    val plain = floor((vd - col("__lo")) / width * lit(buckets))
+    val idx = least(
+      when(width === lit(Double.PositiveInfinity), halved)
+        .otherwise(plain).cast("int"),
+      lit(buckets - 1))
 
     while (states.exists(needsRound)) {
       val active = states.filter(needsRound)
-      val idx = least(
-        floor((vd - col("__lo")) / (col("__hi") - col("__lo")) *
-          lit(buckets)).cast("int"), lit(buckets - 1))
-      val histo = joined(active)
-        .groupBy(col("__g").as("g"), col("__pi"), idx.as("__b"))
+      // Bucket histogram per active bracket, then the rank walk IN THE
+      // FRAME: a running-sum window over each (group, prob)'s ≤ B bucket
+      // rows picks the single bucket whose cumulative count range covers
+      // the rank — one collected row per active state, never × buckets.
+      val hw = Window.partitionBy(col("g"), col("__pi"))
+        .orderBy(col("__b"))
+      val picked = joined(active)
+        .groupBy(col("__g").as("g"), col("__pi"), col("__rank"),
+          idx.as("__b"))
         .agg(count(lit(1)).as("c"), min(vd).as("mn"), max(vd).as("mx"))
+        .withColumn("cumx", coalesce(
+          sum(col("c")).over(hw.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .filter(col("__rank") > col("cumx") &&
+          col("__rank") <= col("cumx") + col("c"))
+        .select(col("g"), col("__pi"), col("c"), col("mn"), col("mx"),
+          col("cumx"))
         .collect()
-        .groupBy(r => (r.get(0), r.getInt(1)))
-        .map { case (k, rs) =>
-          k -> rs.map(r => (r.getInt(2), r.getLong(3), r.getDouble(4),
-            r.getDouble(5))).sortBy(_._1).toSeq
-        }
+        .map(r => (r.get(0), r.getInt(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+        .toMap
       active.foreach { s =>
-        val hs = histo((s.grp, s.pi))
-        var cum = 0L
-        var i = 0
-        while (i < hs.size - 1 && cum + hs(i)._2 < s.rank) {
-          cum += hs(i)._2; i += 1
-        }
-        val (_, bCnt, bMin, bMax) = hs(i)
+        val (bCnt, bMin, bMax, cumx) = picked.getOrElse((s.grp, s.pi),
+          throw new IllegalStateException(
+            s"internal: group ${s.grp} rank ${s.rank} not covered in " +
+              s"bracket [${s.lo}, ${s.hi}]"))
         s.stuck = !(bMin > s.lo || bMax < s.hi)
-        s.rank -= cum
+        s.rank -= cumx
         s.cnt = bCnt
         s.lo = bMin
         s.hi = bMax
       }
     }
     // Exact stage, ALL remaining states in one job: per-distinct-value
-    // counts inside each final bracket, resolved engine-ordered.
-    val grouped = joined(states)
-      .groupBy(col("__g").as("g"), col("__pi"), col("__v"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("__pi"), col("__v").asc)
-      .collect()
-      .groupBy(r => (r.get(0), r.getInt(1)))
-    states.foreach { s =>
-      val vs = grouped((s.grp, s.pi))
-      var cum = 0L
-      var j = 0
-      while (s.ans == null && j < vs.length) {
-        cum += vs(j).getLong(3)
-        if (cum >= s.rank) s.ans = vs(j).get(2)
-        j += 1
+    // counts inside each final bracket, the rank-holding value picked by
+    // the same in-frame running-sum window — one collected row per
+    // (group, prob), never × maxExact.
+    val pending = states.filter(_.ans == null)
+    if (pending.nonEmpty) {
+      val vw = Window.partitionBy(col("g"), col("__pi"))
+        .orderBy(col("__v").asc)
+      val resolved = joined(pending)
+        .groupBy(col("__g").as("g"), col("__pi"), col("__rank"), col("__v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cumx", coalesce(
+          sum(col("c")).over(vw.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .filter(col("__rank") > col("cumx") &&
+          col("__rank") <= col("cumx") + col("c"))
+        .select(col("g"), col("__pi"), col("__v"))
+        .collect()
+        .map(r => (r.get(0), r.getInt(1)) -> r.get(2))
+        .toMap
+      pending.foreach { s =>
+        s.ans = resolved.getOrElse((s.grp, s.pi),
+          throw new IllegalStateException(
+            s"internal: group ${s.grp} rank ${s.rank} not found in " +
+              s"bracket [${s.lo}, ${s.hi}]"))
       }
-      require(s.ans != null,
-        s"internal: group ${s.grp} rank ${s.rank} not found in bracket " +
-          s"[${s.lo}, ${s.hi}]")
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(states.map(s =>

@@ -953,8 +953,6 @@ object Dedup {
     val posSeq = when(size(col("t")) >= w,
       sequence(lit(0), size(col("t")) - w))
       .otherwise(array().cast("array<int>"))
-    def winAt(t: Column, pos: Column): Column =
-      concat_ws(" ", slice(t, pos + 1, lit(w)))
     val cand = substrCandidates(toks, posSeq, w, minDupCount)
     // toks feeds phase 1, the candidate re-join, and the final clean —
     // and `cand` is consumed by both the string-verify count and the

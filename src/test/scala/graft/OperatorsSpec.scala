@@ -147,4 +147,86 @@ class OperatorsSpec extends SparkSpec {
     val m = out.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(m(500) == 500L && m(999) == 999L)
   }
+
+  // fp total order used by the reference models: -Inf < finite < +Inf < NaN
+  private def fpSorted(vals: Seq[Double]): Seq[Double] =
+    vals.sortWith((a, b) => java.lang.Double.compare(a, b) < 0)
+
+  test("exactQuantiles: ±Inf / NaN bands answered exactly, finite ranks " +
+      "refined on the finite sub-column only") {
+    import graft.operators.Quantiles
+    val vals = Seq(Double.NegativeInfinity, Double.NegativeInfinity) ++
+      (1 to 40).map(_.toDouble) ++
+      Seq(Double.PositiveInfinity, Double.NaN, Double.NaN)
+    def ref(p: Double): Double = {
+      val s = fpSorted(vals)
+      s(math.max(1, math.ceil(p * s.size).toInt) - 1)
+    }
+    val probs = Seq(0.0, 0.02, 0.05, 0.5, 0.93, 0.96, 1.0)
+    val got = Quantiles.exactQuantiles(vals.toDF("x"), $"x", probs,
+        buckets = 4, maxExact = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (p <- probs) {
+      val (g, w) = (got(math.round(p * 1000).toInt), ref(p))
+      assert(g == w || (g.isNaN && w.isNaN), s"p=$p got=$g want=$w")
+    }
+  }
+
+  test("exactQuantiles: finite range wider than Double.MaxValue (width " +
+      "overflow) still refines exactly via halved bucketing") {
+    import graft.operators.Quantiles
+    val vals = Seq(-Double.MaxValue, -1.5e308, -7.0, -1.0, 0.0, 2.0,
+      5.0, 9.0, 1.2e308, Double.MaxValue, Double.MaxValue)
+    def ref(p: Double): Double = {
+      val s = fpSorted(vals)
+      s(math.max(1, math.ceil(p * s.size).toInt) - 1)
+    }
+    val probs = Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.9, 1.0)
+    val got = Quantiles.exactQuantiles(vals.toDF("x"), $"x", probs,
+        buckets = 4, maxExact = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (p <- probs)
+      assert(got(math.round(p * 1000).toInt) == ref(p), s"p=$p")
+  }
+
+  test("exactQuantilesBy: 10^4 groups advance together with O(1) rows " +
+      "collected per (group, prob) per round; non-finite groups routed") {
+    import graft.operators.Quantiles
+    // 10^4 groups x 6 rows, tiny maxExact so every group refines; a few
+    // groups carry ±Inf/NaN rows; one group is entirely NaN.
+    val rows = (0 until 10000).flatMap { g =>
+      val extra: Seq[Double] =
+        if (g % 997 == 0) Seq(Double.NegativeInfinity, Double.NaN)
+        else if (g % 499 == 0) Seq(Double.PositiveInfinity)
+        else Seq.empty
+      ((1 to 6).map(i => (g.toDouble * 7 + i * i).toDouble) ++ extra)
+        .map(v => (g.toLong, v))
+    } ++ Seq((10000L, Double.NaN), (10000L, Double.NaN))
+    val df = rows.toDF("g", "v").repartition(8)
+    val probs = Seq(0.1, 0.5, 1.0)
+    val got = Quantiles.exactQuantilesBy(df, $"g", $"v", probs,
+        buckets = 4, maxExact = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val byG = rows.groupBy(_._1)
+    assert(got.size == byG.size * probs.size)
+    for ((g, vs0) <- byG; p <- probs) {
+      val s = fpSorted(vs0.map(_._2))
+      val w = s(math.max(1, math.ceil(p * s.size).toInt) - 1)
+      val a = got((g, math.round(p * 1000).toInt))
+      assert(a == w || (a.isNaN && w.isNaN), s"g=$g p=$p got=$a want=$w")
+    }
+  }
+
+  test("exactQuantiles rejects probabilities colliding on the same " +
+      "permille output key") {
+    import graft.operators.Quantiles
+    val df = Seq(1.0, 2.0).toDF("x")
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, $"x", Seq(0.5001, 0.5004))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantilesBy(df, lit("a"), $"x", Seq(0.5001, 0.5004))
+    }
+  }
 }

@@ -235,6 +235,22 @@ object RecallCheck {
     val knnR4 = knnRecallAt(nlist / 2)
     val knnMutual = Similarity.mutualKnnEdges(knnExactDf).count()
 
+    // Compressed-domain kNN join (r13): the same exact reference set;
+    // realistic (nprobe, rerank) measures what SDC candidate generation
+    // plus the bounded exact rerank lose vs the full-vector cell join at
+    // the SAME nprobe — the recall price of never shuffling vectors
+    // through the big join.
+    def knnPqRecall(nprobe: Int, rr: Int): Double = {
+      val s = pairSet(Similarity.knnJoinPq(embs, col("vec_id"),
+        col("embedding"), k = knnK, nlist = nlist, nprobe = nprobe,
+        dim = 64, rerank = rr))
+      if (knnExact.isEmpty) 1.0
+      else (knnExact & s).size.toDouble / knnExact.size
+    }
+    val knnPqR0 = knnPqRecall(nlist / 2, 0) // graph-build mode: SDC only
+    val knnPqR = knnPqRecall(nlist / 2, 4 * knnK)
+    val knnPqRHi = knnPqRecall(nlist / 2, 12 * knnK)
+
     // SemDeDup (r10): not a recall metric — the kept set is oracle-exact
     // by construction (q_sem_dedup); report the operational shape at the
     // bench SF: corpus size, survivors, and how many of the 32 seeded
@@ -284,6 +300,12 @@ object RecallCheck {
       s""""recall_by_nprobe":{"1":$knnR1,"${nlist / 2}":$knnR4},""" +
       s""""mutual_edges_at_exact":$knnMutual,""" +
       s""""target":"< 1 by design at low nprobe; nprobe == nlist is spec-pinned exact (PipelineSpec) and oracle-gated (q_knn_join)"},""" +
+      s""""knn_join_pq":{"k":$knnK,"nlist":$nlist,"m":8,"ksub":256,""" +
+      s""""recall_nprobe${nlist / 2}_rerank0_sdc_only":$knnPqR0,""" +
+      s""""recall_nprobe${nlist / 2}_rerank${4 * knnK}":$knnPqR,""" +
+      s""""recall_nprobe${nlist / 2}_rerank${12 * knnK}":$knnPqRHi,""" +
+      s""""full_vector_same_nprobe":$knnR4,""" +
+      s""""target":"exhaustive probe + full rerank is spec-pinned exact (PipelineSpec) and oracle-gated (q_knn_join_pq); realistic rows price the codes-only join"},""" +
       s""""sem_dedup":{"anchors":32,"total":$semTotal,"kept":$semKept,""" +
       s""""cells_used":$semCells,""" +
       s""""target":"kept set oracle-exact by construction (q_sem_dedup); operational shape only","pass":${semKept > 0}}}"""

@@ -44,9 +44,11 @@ object SoakCheck {
     @volatile var taskEnds = 0
     @volatile var maxTaskInput = 0L
     @volatile var maxTaskShuffleRead = 0L
+    @volatile var totalShuffleWrite = 0L
     /** Snapshot for stability polling (events post async). */
-    def fingerprint: (Int, Int, Int, Long, Long) =
-      (jobs, stages, taskEnds, maxTaskInput, maxTaskShuffleRead)
+    def fingerprint: (Int, Int, Int, Long, Long, Long) =
+      (jobs, stages, taskEnds, maxTaskInput, maxTaskShuffleRead,
+        totalShuffleWrite)
     override def onJobStart(j: SparkListenerJobStart): Unit =
       synchronized { jobs += 1 }
     override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
@@ -59,18 +61,21 @@ object SoakCheck {
         maxTaskShuffleRead = math.max(maxTaskShuffleRead,
           m.shuffleReadMetrics.localBytesRead +
             m.shuffleReadMetrics.remoteBytesRead)
+        totalShuffleWrite += m.shuffleWriteMetrics.bytesWritten
       }
     }
   }
 
   private final case class PathResult(name: String, rowsOut: Long,
       wallSec: Double, planMs: Long, jobs: Int, stages: Int,
-      maxTaskInputMB: Long, maxTaskShuffleMB: Long) {
+      maxTaskInputMB: Long, maxTaskShuffleMB: Long,
+      totalShuffleWriteMB: Long) {
     def json: String =
       s"""{"rows_out":$rowsOut,"wall_sec":$wallSec,"plan_ms":$planMs,""" +
         s""""jobs":$jobs,"stages":$stages,""" +
         s""""max_task_input_mb":$maxTaskInputMB,""" +
-        s""""max_task_shuffle_mb":$maxTaskShuffleMB}"""
+        s""""max_task_shuffle_mb":$maxTaskShuffleMB,""" +
+        s""""total_shuffle_write_mb":$totalShuffleWriteMB}"""
   }
 
   /** Run `df`'s planning, then `action` under a fresh listener. */
@@ -102,7 +107,8 @@ object SoakCheck {
         last = now
       }
       PathResult(name, rows, (t2 - t0) / 1e9, (t1 - t0) / 1000000L,
-        m.jobs, m.stages, m.maxTaskInput >> 20, m.maxTaskShuffleRead >> 20)
+        m.jobs, m.stages, m.maxTaskInput >> 20, m.maxTaskShuffleRead >> 20,
+        m.totalShuffleWrite >> 20)
     } finally spark.sparkContext.removeSparkListener(m)
   }
 
@@ -499,9 +505,26 @@ object SoakCheck {
     require(knn.rowsOut == KnnRows * 3,
       s"knn_join rows ${knn.rowsOut}, expected ${KnnRows * 3}")
 
+    // ---- path 10b: COMPRESSED-DOMAIN kNN join (r13) --------------------
+    // same corpus, same nlist/nprobe, graph-build mode (rerank = 0): both
+    // sides of the cell join carry PQ codes and no vector enters any
+    // shuffle — total shuffle bytes must come in well under the
+    // full-vector join's (the gate below).
+    val knnPq = measure(spark, "knn_join_pq")(() =>
+      pipeline.Similarity.knnJoinPq(knnVecs, col("id"), col("vec"),
+        k = 3, nlist = 64, nprobe = 4, dim = 64, trainFraction = 0.25,
+        rerank = 0)
+    )(_.count())
+    require(knnPq.rowsOut == KnnRows * 3,
+      s"knn_join_pq rows ${knnPq.rowsOut}, expected ${KnnRows * 3}")
+    require(knnPq.totalShuffleWriteMB * 2 <= knn.totalShuffleWriteMB,
+      s"knn_join_pq shuffled ${knnPq.totalShuffleWriteMB} MB vs " +
+        s"knn_join's ${knn.totalShuffleWriteMB} MB — the codes-only " +
+        "join must at least halve the bytes")
+
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
-      search, wand, incIng, incSearch, sem, dvw, sub, subInc, knn)
+      search, wand, incIng, incSearch, sem, dvw, sub, subInc, knn, knnPq)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -512,7 +535,8 @@ object SoakCheck {
     // wall time, not planning.
     all.filterNot(r => Set("ingest_dedup", "catalog_stream",
         "bm25_build", "distinct_view", "inc_index_ingest",
-        "sem_ingest_dedup", "knn_join", "substr_ingest")(r.name)) // thunks RUN work
+        "sem_ingest_dedup", "knn_join", "knn_join_pq",
+        "substr_ingest")(r.name)) // thunks RUN work
       // (knn_join's "plan" includes ivfTrain's Lloyd jobs)
       .foreach(r =>
         require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))

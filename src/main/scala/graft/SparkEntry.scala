@@ -901,6 +901,17 @@ object SparkEntry {
           col("embedding"), k = 3, nlist = 8, nprobe = 8)
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))),
+    // COMPRESSED-DOMAIN kNN join (r13): both sides of the cell join carry
+    // PQ codes, never vectors (SDC scoring); vectors appear only in the
+    // id-keyed exact rerank. Exhaustive probe + full rerank ⇒ exact brute
+    // force minus self regardless of quantization (the gate); realistic
+    // (nprobe, rerank) recall is measured in RECALL_r13.
+    "q_knn_join_pq" -> ((s, d) =>
+      Similarity.knnJoinPq(tp(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), k = 3, nlist = 8, nprobe = 8, dim = 64,
+          rerank = 1 << 30)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))),
     // Mutual-kNN-graph clustering (r12): connected components over edges
     // kept only when each endpoint is in the other's top-3 — the
     // clustering-based curation primitive composed from knnJoin +
@@ -2183,6 +2194,14 @@ object SparkEntry {
     // nprobe = nlist ⇒ the cell join degenerates to exact brute force over
     // all pairs minus self.
     "q_knn_join" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id" +
+        ") WHERE rank <= 3 ORDER BY query_id, rank"),
+    // compressed-domain kNN join at exhaustive probe + full rerank ⇒ the
+    // same exact brute force minus self as q_knn_join.
+    "q_knn_join_pq" ->
       ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +

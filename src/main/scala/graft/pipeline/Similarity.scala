@@ -1040,15 +1040,172 @@ object Similarity {
         explode(sequence(lit(0), lit(cellSplits - 1))))
       .select(col("__cluster"), col("__s"),
         col("id").as("query_id"), col("v").as("qv"))
-    val scored = probes.join(corpus, Seq("__cluster", "__s"))
+    // SHUFFLE_HASH pinned: the planner would otherwise sometimes broadcast
+    // a (tiny-looking synthetic) side, scattering each query's candidates
+    // across every streamed partition — the cell-keyed exchange both
+    // bounds the build side per task and leaves the join output
+    // cell-partitioned, so the top-k partial aggregate emits ≤ nprobe
+    // buffers per query (measured 57 → 2 MB on the SOAK corpus).
+    val scored = probes.join(corpus.hint("shuffle_hash"),
+        Seq("__cluster", "__s"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .withColumn("cosine_micro", floor(col("cos") * 1000000).cast("long"))
-      .select("query_id", "corpus_id", "rank", "cosine_micro")
+    topKRanked(scored, col("cos"), k)
+  }
+
+  /** Per-query top-k rank over a candidate frame via the map-side-combined
+    * [[graft.functions.TopKAgg]] — replaces the
+    * `row_number() OVER (PARTITION BY query_id ...)` form on the kNN-JOIN
+    * paths, where the query side is the whole corpus: the window's rank
+    * exchange ships queries × k × #map-partitions rows even under
+    * WindowGroupLimit (it dominated the join's own shuffle in SOAK_r13);
+    * the aggregate combines to queries × k pairs total. Ordering
+    * (score DESC, id ASC) is bit-identical to the window form
+    * (spec-pinned). */
+  private def topKRanked(scored: DataFrame, score: Column,
+      k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(score, col("corpus_id"), k)
+        .as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .select(col("query_id"), col("__e.id").as("corpus_id"),
+        (col("__p") + 1).cast("int").as("rank"),
+        floor(col("__e.score") * 1000000).cast("long").as("cosine_micro"))
+
+  /** COMPRESSED-DOMAIN kNN join — [[knnJoin]]'s cell-shuffle shape with
+    * PQ codes flowing through the candidate join instead of the vectors
+    * themselves. At 100 TB of embeddings the vectors ARE the data, and
+    * [[knnJoin]] moves them (1 + nprobe)× through the cell exchange; here
+    * BOTH sides of the big join carry (id, m one-byte codes, norm) — a
+    * dim·4/m ≈ 32–256× row-size reduction — and full vectors enter the
+    * plan only in the id-keyed exact-cosine rerank of each query's ADC
+    * top-`rerank` candidates.
+    *
+    * Candidate scoring is SYMMETRIC distance computation (SDC — Jégou et
+    * al. 2011 §III): both sides are quantized and scored via the
+    * m·ksub² code-pair dot table `dot(books(s)(a), books(s)(b))`, a plan
+    * literal. ADC (query-side LUT) would score more accurately but the
+    * per-query LUT is m·ksub doubles — at production shapes (m 16,
+    * ksub 256) that is ~8× the vector itself, exactly the payload this
+    * operator exists to avoid shuffling; SDC's extra quantization error
+    * only moves which candidates reach the exact rerank. Codebooks
+    * quantize RAW vectors (no IVF residual): SDC under residuals needs a
+    * per-CELL-PAIR cross-term table — nlist² of them — so the residual
+    * refinement is structurally reserved for the query-broadcast paths
+    * ([[ivfPqTopKFromTable]]).
+    *
+    * Cost accounting vs [[knnJoin]] (n rows, vectors of dim·4 bytes,
+    * codes of ~m bytes): the cell exchange drops from (1+nprobe)·n·vec to
+    * (1+nprobe)·n·codes. `rerank = 0` (the kNN-GRAPH BUILD mode, same
+    * contract as [[pqTopK]]'s rerank=0) ranks purely by the SDC cosine
+    * estimate — NO vector ever enters a shuffle, the full byte win;
+    * `rerank > 0` adds two id-keyed joins moving 2·n·vec + n·rerank·vec
+    * for exact-cosine verdicts on each query's SDC top-`rerank` — the
+    * quality/bytes dial RECALL_r13 prices at both settings. Compute per
+    * candidate drops from a dim-wide fused dot to m table lookups either
+    * way.
+    *
+    * Exactness gate: nprobe = nlist makes every corpus row a candidate of
+    * every query and rerank ≥ corpus lets them all through the ADC cut,
+    * so the exact-cosine rerank reproduces brute force minus self
+    * REGARDLESS of quantization quality (`q_knn_join_pq`'s oracle);
+    * realistic (nprobe, rerank) recall is measured in RECALL_r13. With
+    * rerank = 0, `cosine_micro` is the SDC ESTIMATE of the cosine
+    * (approximate values, approximate ranking — candidates only).
+    * `cellSplits` is the same replicated skew belt as [[knnJoin]]
+    * (result-identical for any value). */
+  def knnJoinPq(ds: DataFrame, id: Column, vec: Column, k: Int,
+      nlist: Int, nprobe: Int, dim: Int, m: Int = 8, ksub: Int = 256,
+      iters: Int = 2, seed: Long = 42L, trainFraction: Double = 1.0,
+      rerank: Int = 50, cellSplits: Int = 1): DataFrame = {
+    require(cellSplits >= 1, s"cellSplits must be >= 1 (got $cellSplits)")
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    val topR = math.max(rerank, k)
+    val base = ds.select(id.cast("long").as("id"), vec.as("v"))
+    val centroids = ivfTrain(base, col("id"), col("v"), nlist, iters, seed,
+      trainFraction)
+    val books = pqTrain(base, col("id"), col("v"), dim, m, ksub, iters,
+      seed, trainFraction)
+    val probeN = math.min(nprobe, centroids.size)
+    // the SDC table: sdc[s][a][b] = ⟨books(s)(a), books(s)(b)⟩, flattened
+    // to one m·ksub² literal so per-pair scoring is m element_at lookups
+    val sdcFlat: Seq[Double] =
+      for (s <- 0 until m; a <- 0 until ksub; b <- 0 until ksub) yield {
+        val (ca, cb) = (books(s)(a), books(s)(b))
+        var acc = 0.0; var i = 0
+        while (i < dsub) { acc += ca(i).toDouble * cb(i); i += 1 }
+        acc
+      }
+    // one encode pass feeds both join sides AND the rerank's vector
+    // fetches — persist so assignment + coding run once per row
+    val coded = assignToCentroid(graft.util.ParallelScan.widen(base),
+        centroids)
+      .withColumn("codes", array((0 until m).map(s =>
+        element_at(nearestL2(subCol(col("v"), s, dsub), books(s), 1),
+          1)): _*))
+      .withColumn("vnorm", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val corpus = coded.select(col("__cluster"),
+        pmod(xxhash64(col("id")), lit(cellSplits)).cast("int").as("__s"),
+        col("id").as("corpus_id"), col("codes").as("ccodes"),
+        col("vnorm").as("cnorm"))
+      val probes = coded
+        .withColumn("__cluster",
+          explode(probeClusters(centroids, probeN)(col("v"))))
+        .withColumn("__s", explode(sequence(lit(0), lit(cellSplits - 1))))
+        .select(col("__cluster"), col("__s"), col("id").as("query_id"),
+          col("vnorm").as("qnorm"), col("codes").as("qcodes"))
+      // native gather kernel — the HOF form (aggregate + zip_with over a
+      // table literal) evaluates interpreted with per-PAIR allocations and
+      // made the compressed join 5× slower than the full-vector one
+      val sdcDot = graft.functions.SdcDot.sdcDot(col("qcodes"),
+        col("ccodes"), sdcFlat, ksub)
+      // SHUFFLE_HASH pinned for the same reason as [[knnJoin]]: the
+      // cell-keyed exchange IS the advertised byte win (codes, never
+      // vectors) and keeps the join output cell-partitioned for the
+      // top-k partial aggregate
+      val scored = probes.join(corpus.hint("shuffle_hash"),
+          Seq("__cluster", "__s"))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .withColumn("adc",
+          when(col("qnorm") * col("cnorm") === 0.0d, lit(0.0d))
+            .otherwise(sdcDot / (col("qnorm") * col("cnorm"))))
+      val out =
+        if (rerank <= 0)
+          // graph-build mode: SDC ranking is the verdict; no vector ever
+          // shuffles (cosine_micro = the SDC cosine estimate)
+          topKRanked(scored, col("adc"), k)
+        else {
+          // candidate cut: the aggregate buffers up to topR pairs per
+          // query in memory, so the huge-topR exhaustive gate keeps the
+          // spill-friendly window form (WindowGroupLimit still prunes)
+          val cand =
+            if (topR <= 65536)
+              topKRanked(scored, col("adc"), topR)
+                .select("query_id", "corpus_id")
+            else {
+              val wAdc = Window.partitionBy("query_id")
+                .orderBy(col("adc").desc, col("corpus_id").asc)
+              scored.withColumn("__r", row_number().over(wAdc))
+                .filter(col("__r") <= topR)
+                .select("query_id", "corpus_id")
+            }
+          // exact rerank: candidate ids fetch each side's vector by an
+          // id-keyed join — the ONLY plan full vectors flow through
+          val rescored = cand
+            .join(coded.select(col("id").as("corpus_id"),
+              col("v").as("cv")), Seq("corpus_id"))
+            .join(coded.select(col("id").as("query_id"),
+              col("v").as("qv")), Seq("query_id"))
+            .withColumn("cos", cosine(col("qv"), col("cv")))
+          topKRanked(rescored, col("cos"), k)
+        }
+      // materialize before releasing the cache — the caller's action
+      // would otherwise re-run assignment + coding per consumer
+      out.localCheckpoint(true)
+    } finally coded.unpersist(blocking = false)
   }
 
   /** Mutual-kNN edges from a [[knnJoin]] result: (id_a, id_b) with

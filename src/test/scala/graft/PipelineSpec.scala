@@ -699,6 +699,31 @@ class PipelineSpec extends SparkSpec {
     assert(split.exceptAll(got).isEmpty && got.exceptAll(split).isEmpty)
   }
 
+  test("knnJoinPq: exhaustive probe + full rerank == knnJoin exact; " +
+      "cellSplits result-identical; realistic mode emits k per query") {
+    val exact = Similarity.knnJoin(embs, $"vec_id", $"embedding",
+        k = 3, nlist = 4, nprobe = 4)
+      .select("query_id", "corpus_id", "rank")
+    val pq = Similarity.knnJoinPq(embs, $"vec_id", $"embedding",
+        k = 3, nlist = 4, nprobe = 4, dim = 64, rerank = 1 << 30)
+      .select("query_id", "corpus_id", "rank")
+    assert(pq.exceptAll(exact).isEmpty && exact.exceptAll(pq).isEmpty)
+    val split = Similarity.knnJoinPq(embs, $"vec_id", $"embedding",
+        k = 3, nlist = 4, nprobe = 4, dim = 64, rerank = 1 << 30,
+        cellSplits = 3)
+      .select("query_id", "corpus_id", "rank")
+    assert(split.exceptAll(pq).isEmpty && pq.exceptAll(split).isEmpty)
+    // realistic mode: approximate by design, but shape-contract holds —
+    // k rows per query, ranks 1..k, no self pairs
+    val approx = Similarity.knnJoinPq(embs, $"vec_id", $"embedding",
+      k = 3, nlist = 4, nprobe = 2, dim = 64, rerank = 8)
+    val n = embs.count()
+    assert(approx.count() == n * 3)
+    assert(approx.filter($"query_id" === $"corpus_id").isEmpty)
+    assert(approx.groupBy("query_id").agg(max($"rank").as("mr"))
+      .filter($"mr" =!= 3).isEmpty)
+  }
+
   test("mutualKnnEdges keeps only reciprocated pairs, once, id_a < id_b") {
     val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
       .toDF("query_id", "corpus_id")

@@ -1149,6 +1149,16 @@ object SparkEntry {
             col("text"), minCount = 2))
         .orderBy(col("doc_id"))
     }),
+    // Trigram coverage (r13): the order-3 generalization — same
+    // integer-exact single-scan shape over ngramLm(3); the order-n
+    // stupid-backoff scorer is its fp twin (spec-pinned).
+    "q_lm_coverage_tri" -> ((s, d) => {
+      val docs = tp(s, d, "documents")
+      TextAnalysis.ngramCoverage(docs, col("doc_id"), col("text"),
+          TextAnalysis.ngramLm(docs.filter(col("source") === "src0"),
+            col("text"), n = 3, minCount = 2), n = 3)
+        .orderBy(col("doc_id"))
+    }),
     // Corpus-relative quality cut: keep the top 20% by integer score via a
     // histogram-resolved threshold — no global sort, ties kept
     // (Curation.keepTopQuantile).
@@ -2418,6 +2428,22 @@ object SparkEntry {
         "JOIN lm l ON e.bigram = l.bigram GROUP BY e.doc_id) " +
         "SELECT b.doc_id AS doc_id, CAST(len(b.bgs) AS INT) AS n_bigrams, " +
         "CAST(coalesce(h.known, 0) AS BIGINT) AS known_bigrams, " +
+        "CAST(floor(coalesce(h.known, 0) * 1000 / greatest(len(b.bgs), 1)) AS BIGINT) AS lm_coverage_permille " +
+        "FROM bg b LEFT JOIN hits h ON b.doc_id = h.doc_id ORDER BY doc_id"),
+    // trigram lists via list_transform over adjacent triples; the
+    // reference LM is the src0 slice's trigrams with count >= 2.
+    "q_lm_coverage_tri" ->
+      (s"WITH toks AS (SELECT doc_id, source, $Toks AS t FROM documents), " +
+        "bg AS (SELECT doc_id, source, CASE WHEN len(t) >= 3 THEN " +
+        "list_transform(range(0, len(t)-2), i -> array_to_string(t[i+1:i+3], ' ')) " +
+        "ELSE [] END AS bgs FROM toks), " +
+        "lm AS (SELECT gram FROM (SELECT unnest(bgs) AS gram FROM bg " +
+        "WHERE source = 'src0') GROUP BY gram HAVING count(*) >= 2), " +
+        "ex AS (SELECT doc_id, unnest(bgs) AS gram FROM bg), " +
+        "hits AS (SELECT e.doc_id AS doc_id, count(*) AS known FROM ex e " +
+        "JOIN lm l ON e.gram = l.gram GROUP BY e.doc_id) " +
+        "SELECT b.doc_id AS doc_id, CAST(len(b.bgs) AS INT) AS n_ngrams, " +
+        "CAST(coalesce(h.known, 0) AS BIGINT) AS known_ngrams, " +
         "CAST(floor(coalesce(h.known, 0) * 1000 / greatest(len(b.bgs), 1)) AS BIGINT) AS lm_coverage_permille " +
         "FROM bg b LEFT JOIN hits h ON b.doc_id = h.doc_id ORDER BY doc_id"),
     // top-20% threshold from the descending score histogram (ties kept:

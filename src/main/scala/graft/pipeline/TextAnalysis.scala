@@ -174,16 +174,21 @@ object TextAnalysis {
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 8): Column =
     graft.functions.WinnowHashes.winnowHashes(lower(text), k, w)
 
-  /** Word-bigram strings of a text column ("tok_i tok_i+1"); one per
-    * adjacent token pair, empty for single-token docs. The unit the LM
+  /** Word n-gram strings of a text column ("tok_i … tok_i+n−1"); one per
+    * window start, empty for docs shorter than n tokens. The unit the LM
     * quality filters below count. */
-  def bigrams(text: Column): Column = {
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"ngram order must be >= 1 (got $n)")
     val t = tokens(text)
-    when(size(t) >= 2,
-      transform(sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word-bigram strings — [[ngrams]] at order 2 (kept as the named unit
+    * the original bigram LM filters consume). */
+  def bigrams(text: Column): Column = ngrams(text, 2)
 
   /** Reference-corpus bigram table for the LM filters: (bigram, cnt) with
     * cnt ≥ `minCount`. One map-side-combined count over the reference
@@ -277,5 +282,114 @@ object TextAnalysis {
     scored.groupBy("doc_id").agg(
       count(lit(1)).as("n_scored"),
       (-avg(col("lp"))).as("avg_neg_logprob"))
+  }
+
+  /** Reference-corpus n-gram table: (gram, cnt) with cnt ≥ `minCount` —
+    * [[bigramLm]] generalized to any order (one map-side-combined count
+    * over the reference corpus per order). */
+  def ngramLm(ref: DataFrame, refText: Column, n: Int,
+      minCount: Long = 1L): DataFrame =
+    graft.util.ParallelScan.widen(ref.select(ngrams(refText, n).as("g")))
+      .select(explode_outer(col("g")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /** [[bigramCoverage]] generalized to order-n grams against an
+    * [[ngramLm]] table: per document, the per-mille of its word n-grams
+    * appearing in the reference — integer-exact, bit-exact SQL oracle
+    * (`q_lm_coverage_tri` gates the trigram form). Docs shorter than n
+    * tokens score 0 of 0 → 0‰. Same single-scan shape: one shuffle join
+    * by the gram string + one map-side-combined count by doc. */
+  def ngramCoverage(df: DataFrame, id: Column, text: Column,
+      lm: DataFrame, n: Int): DataFrame = {
+    val exploded = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("doc_id"), ngrams(text, n).as("g")))
+      .select(col("doc_id"), explode_outer(col("g")).as("gram"))
+    exploded
+      .join(lm.select(col("gram"), lit(1).as("__hit")),
+        Seq("gram"), "left")
+      .groupBy("doc_id").agg(
+        count(col("gram")).cast("int").as("n_ngrams"),
+        count(col("__hit")).as("known_ngrams"),
+        floor(count(col("__hit")) * 1000 /
+          greatest(count(col("gram")), lit(1))).cast("long")
+          .as("lm_coverage_permille"))
+  }
+
+  /** Order-n stupid-backoff LM scoring (Brants et al. 2007, the full
+    * chain): per document, the average negative log-score of each
+    * order-n gram's last token given its n−1 predecessors, backing off
+    * by DROPPING THE LEFTMOST context word — α^(n−o) · c_o(last o
+    * tokens)/c_{o−1}(those minus the last) at the first order o whose
+    * numerator exists, down to α^(n−1) × the add-one-smoothed unigram.
+    * `order = 2` reproduces [[stupidBackoffScores]] (spec-pinned); CCNet
+    * proper scores with a 5-gram KenLM — `order = 5` here is the same
+    * count-table construction with Katz-style storage replaced by one
+    * table per order, all built in one pass each over the reference.
+    *
+    * Scale: one exploded shuffle join per order (2(n−1)+1 joins total,
+    * each keyed by a gram string against a vocabulary-sized count
+    * table) — no broadcast required on either side; fp by nature →
+    * spec-pinned, not oracle-hashed (the integer-exact gate is
+    * [[ngramCoverage]]). */
+  def stupidBackoffScoresN(df: DataFrame, id: Column, text: Column,
+      ref: DataFrame, refText: Column, order: Int,
+      alpha: Double = 0.4): DataFrame = {
+    require(order >= 2, s"backoff needs order >= 2 (got $order)")
+    val refToks = graft.util.ParallelScan.widen(
+        ref.select(tokens(refText).as("t")))
+      .select(explode_outer(col("t")).as("tok"))
+      .filter(col("tok").isNotNull)
+    val uni = refToks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("n_ref"),
+      count(lit(1)).as("vocab"))
+    val cnts: Map[Int, DataFrame] = (2 to order).map(o =>
+      o -> ngramLm(ref, refText, o)
+        .select(col("gram"), col("cnt").as(s"c$o"))).toMap
+    var cur = graft.util.ParallelScan.widen(
+        df.select(id.cast("long").as("doc_id"),
+          ngrams(text, order).as("g")))
+      .select(col("doc_id"), explode_outer(col("g")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .withColumn("__w", split(col("gram"), " "))
+    for (o <- 2 to order) {
+      // the order-o backoff level looks at the LAST o tokens and their
+      // length-(o−1) prefix (leftmost-word dropping)
+      cur = cur
+        .withColumn(s"__k$o",
+          array_join(slice(col("__w"), order - o + 1, o), " "))
+        .withColumn(s"__x$o",
+          array_join(slice(col("__w"), order - o + 1, o - 1), " "))
+        .join(cnts(o).select(col("gram").as(s"__k$o"), col(s"c$o")),
+          Seq(s"__k$o"), "left")
+      cur =
+        if (o == 2)
+          cur.join(uni.select(col("tok").as("__x2"), col("c1").as("p2")),
+            Seq("__x2"), "left")
+        else
+          cur.join(cnts(o - 1).select(col("gram").as(s"__x$o"),
+            col(s"c${o - 1}").as(s"p$o")), Seq(s"__x$o"), "left")
+    }
+    val scored = cur
+      .withColumn("__wn", element_at(col("__w"), order))
+      .join(uni.select(col("tok").as("__wn"), col("c1").as("wncnt")),
+        Seq("__wn"), "left")
+      .crossJoin(broadcast(totals))
+    val fallback = log(lit(math.pow(alpha, order - 1)) *
+      (coalesce(col("wncnt"), lit(0L)) + 1).cast("double") /
+      (col("n_ref") + col("vocab")))
+    // low orders fold in first so the FULL order ends up outermost:
+    // the first level with both counts present wins, exactly the chain
+    val chain = (2 to order).foldLeft(fallback) { (els, o) =>
+      when(col(s"c$o").isNotNull && col(s"p$o").isNotNull,
+        log(lit(math.pow(alpha, order - o)) *
+          col(s"c$o").cast("double") / col(s"p$o")))
+        .otherwise(els)
+    }
+    scored.withColumn("lp", chain)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_scored"),
+        (-avg(col("lp"))).as("avg_neg_logprob"))
   }
 }

@@ -774,6 +774,80 @@ class PipelineSpec extends SparkSpec {
           s"lo=${lo.getDouble(0)}")
   }
 
+  test("stupidBackoffScoresN: order 2 == the bigram scorer; trigram " +
+      "chain matches an in-memory stupid-backoff model") {
+    val refSlice = docs.filter($"source" === "src0").limit(50)
+    val a = TextAnalysis.stupidBackoffScores(docs.limit(100), $"doc_id",
+        $"text", refSlice, $"text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val b = TextAnalysis.stupidBackoffScoresN(docs.limit(100), $"doc_id",
+        $"text", refSlice, $"text", order = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    for ((k, (n, v)) <- a) {
+      assert(b(k)._1 == n, s"doc $k n_scored")
+      assert(math.abs(b(k)._2 - v) < 1e-9, s"doc $k: $v vs ${b(k)._2}")
+    }
+    // trigram chain vs an independent in-memory model over a tiny corpus
+    val refRows = Seq("a b c a b c d", "b c a")
+    val docRows = Seq((1L, "a b c"), (2L, "x b c"), (3L, "x y z"),
+      (4L, "b c a b"), (5L, "ab"))
+    def grams(toks: Seq[String], n: Int): Seq[Seq[String]] =
+      if (toks.size < n) Seq.empty else toks.sliding(n).toSeq
+    val refToks = refRows.map(_.split("\\s+").toSeq)
+    val cnt: Map[Int, Map[Seq[String], Long]] = (1 to 3).map(o =>
+      o -> refToks.flatMap(grams(_, o)).groupBy(identity)
+        .map { case (g, gs) => g -> gs.size.toLong }).toMap
+    val nRef = cnt(1).values.sum.toDouble
+    val vocab = cnt(1).size.toDouble
+    val alpha = 0.4
+    def score(g: Seq[String]): Double = {
+      def at(o: Int): Option[Double] = {
+        val key = g.takeRight(o)
+        val ctx = key.dropRight(1)
+        val c = cnt(o).get(key)
+        val p = if (o == 2) cnt(1).get(Seq(ctx.head)) else cnt(o - 1).get(ctx)
+        (c, p) match {
+          case (Some(cv), Some(pv)) =>
+            Some(math.log(math.pow(alpha, 3 - o) * cv.toDouble / pv))
+          case _ => None
+        }
+      }
+      at(3).orElse(at(2)).getOrElse(
+        math.log(math.pow(alpha, 2) *
+          (cnt(1).getOrElse(Seq(g.last), 0L) + 1).toDouble / (nRef + vocab)))
+    }
+    val want = docRows.flatMap { case (id, t) =>
+      val gs = grams(t.split("\\s+").toSeq, 3)
+      if (gs.isEmpty) None
+      else Some(id -> (gs.size.toLong, -gs.map(score).sum / gs.size))
+    }.toMap
+    val got = TextAnalysis.stupidBackoffScoresN(
+        docRows.toDF("id", "txt"), $"id", $"txt",
+        refRows.map(Tuple1(_)).toDF("txt"), $"txt", order = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for ((k, (n, v)) <- want) {
+      assert(got(k)._1 == n, s"doc $k n_scored: want $n got ${got(k)._1}")
+      assert(math.abs(got(k)._2 - v) < 1e-9,
+        s"doc $k: want $v got ${got(k)._2}")
+    }
+  }
+
+  test("ngramCoverage at order 2 == bigramCoverage") {
+    val refSlice = docs.filter($"source" === "src0")
+    val a = TextAnalysis.bigramCoverage(docs, $"doc_id", $"text",
+        TextAnalysis.bigramLm(refSlice, $"text", minCount = 2))
+      .withColumnRenamed("n_bigrams", "n_ngrams")
+      .withColumnRenamed("known_bigrams", "known_ngrams")
+    val b = TextAnalysis.ngramCoverage(docs, $"doc_id", $"text",
+      TextAnalysis.ngramLm(refSlice, $"text", n = 2, minCount = 2), n = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("LSH top-k: self bucket always contains the query itself") {
     val queries = embs.filter($"vec_id" < 5)
     val topk = Similarity.lshTopK(

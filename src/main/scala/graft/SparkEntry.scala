@@ -3,7 +3,7 @@ package graft
 import graft.deleteview.DeleteView
 import graft.functions.Bitmap64
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextRetrieval}
+import graft.pipeline.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextRetrieval}
 import graft.read.{IncrementalReader, SnapshotReader}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1187,6 +1187,28 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tok"), col("tok_start"),
           col("tok_end"), col("seq_first"), col("seq_last"), col("n_seqs"))
         .orderBy(col("doc_id"))),
+    // BPE model-token counts (r13): tokenize with the self-contained BPE
+    // under the fixture merges (Bpe.SeedMerges — deterministic constants
+    // embedded on both engines); exact integers, hash-gated. Production
+    // trains with Bpe.trainMerges on the corpus itself (spec/property
+    // pinned ≡ the in-memory trainer).
+    "q_bpe_tokens" -> ((s, d) =>
+      tp(s, d, "documents").select(col("doc_id"),
+          Bpe.tokenCount(col("text"), Bpe.SeedMerges).cast("long")
+            .as("n_bpe"))
+        .orderBy(col("doc_id"))),
+    // Sequence packing on MODEL tokens (r13): the q_pack shape with BPE
+    // counts instead of the bpe-ish regex — budgets are now real
+    // tokenizer units end to end.
+    "q_pack_bpe" -> ((s, d) =>
+      Curation.packSequences(
+          tp(s, d, "documents").select(col("doc_id"), col("lang"),
+            Bpe.tokenCount(col("text"), Bpe.SeedMerges).cast("long")
+              .as("n_tok")),
+          col("lang"), col("doc_id"), col("n_tok"), cap = 256L)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("tok_start"),
+          col("tok_end"), col("seq_first"), col("seq_last"), col("n_seqs"))
+        .orderBy(col("doc_id"))),
     // Segment manifest of the packing: one row per (doc, sequence) pair
     // with the doc's offset and length inside that sequence — what a
     // training-data loader consumes (Curation.packSegments).
@@ -1471,6 +1493,30 @@ object SparkEntry {
   /** DuckDB lambda for whitespace tokens of lower(text). */
   private val Toks =
     "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** Recursive-CTE BPE tokenizer shared by the q_bpe_* / q_pack_bpe
+    * oracles: replays [[graft.pipeline.Bpe]]'s single-step
+    * leftmost-lowest-rank merge application per DISTINCT word against the
+    * embedded [[graft.pipeline.Bpe.SeedMerges]] literals (single-step ≡
+    * the batch training application — pinned in BpeProps). Yields
+    * `bpe_final(w, n)`: each word's exact token count. chr(31) separates
+    * pair halves so ("ab","c") and ("a","bc") stay distinct. */
+  private lazy val BpeCte: String = {
+    val mv = Bpe.SeedMerges.zipWithIndex
+      .map { case ((l, r), i) => s"($i, '$l', '$r')" }.mkString(", ")
+    s"merges(rank, l, r) AS (VALUES $mv), " +
+      s"bpe_words AS (SELECT DISTINCT w FROM (SELECT unnest($Toks) AS w FROM documents)), " +
+      "bpe_step(w, syms) AS (" +
+      "SELECT w, list_transform(range(1, len(w) + 1), i -> substr(w, CAST(i AS INT), 1)) FROM bpe_words " +
+      "UNION ALL " +
+      "SELECT s.w, s.syms[1:list_position(s.pairs, m.l || chr(31) || m.r) - 1] || [m.l || m.r] || s.syms[list_position(s.pairs, m.l || chr(31) || m.r) + 2:] " +
+      "FROM (SELECT w, syms, list_transform(range(1, len(syms)), i -> syms[i] || chr(31) || syms[i + 1]) AS pairs FROM bpe_step) s " +
+      "JOIN merges m ON list_contains(s.pairs, m.l || chr(31) || m.r) " +
+      "AND NOT EXISTS (SELECT 1 FROM merges m2 WHERE m2.rank < m.rank AND list_contains(s.pairs, m2.l || chr(31) || m2.r))), " +
+      "bpe_final AS (SELECT w, len(syms) AS n FROM " +
+      "(SELECT w, syms, list_transform(range(1, len(syms)), i -> syms[i] || chr(31) || syms[i + 1]) AS pairs FROM bpe_step) s " +
+      "WHERE NOT EXISTS (SELECT 1 FROM merges m WHERE list_contains(s.pairs, m.l || chr(31) || m.r)))"
+  }
 
   // Shared quality-metric fragments (must stay semantically identical to
   // TextAnalysis.withQuality):
@@ -2471,6 +2517,28 @@ object SparkEntry {
         "(tok_end - n_tok) // 512 AS seq_first, " +
         "CASE WHEN n_tok > 0 THEN (tok_end - 1) // 512 ELSE (tok_end - n_tok) // 512 END AS seq_last, " +
         "(CASE WHEN n_tok > 0 THEN (tok_end - 1) // 512 ELSE (tok_end - n_tok) // 512 END) - ((tok_end - n_tok) // 512) + 1 AS n_seqs " +
+        "FROM w ORDER BY doc_id"),
+    // recursive-CTE BPE: per-word token counts from single-step merge
+    // replay over the embedded SeedMerges literals, summed per doc.
+    "q_bpe_tokens" ->
+      (s"WITH RECURSIVE $BpeCte, " +
+        s"dt AS (SELECT doc_id, unnest($Toks) AS w FROM documents) " +
+        "SELECT d.doc_id AS doc_id, CAST(sum(f.n) AS BIGINT) AS n_bpe " +
+        "FROM dt d JOIN bpe_final f USING (w) GROUP BY d.doc_id " +
+        "ORDER BY doc_id"),
+    // q_pack's window arithmetic over per-doc BPE counts (cap 256).
+    "q_pack_bpe" ->
+      (s"WITH RECURSIVE $BpeCte, " +
+        s"dt AS (SELECT doc_id, lang, unnest($Toks) AS w FROM documents), " +
+        "c AS (SELECT d.doc_id AS doc_id, any_value(d.lang) AS lang, " +
+        "CAST(sum(f.n) AS BIGINT) AS n_tok " +
+        "FROM dt d JOIN bpe_final f USING (w) GROUP BY d.doc_id), " +
+        "w AS (SELECT doc_id, lang, n_tok, " +
+        "CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS tok_end FROM c) " +
+        "SELECT doc_id, lang, n_tok, tok_end - n_tok AS tok_start, tok_end, " +
+        "(tok_end - n_tok) // 256 AS seq_first, " +
+        "CASE WHEN n_tok > 0 THEN (tok_end - 1) // 256 ELSE (tok_end - n_tok) // 256 END AS seq_last, " +
+        "(CASE WHEN n_tok > 0 THEN (tok_end - 1) // 256 ELSE (tok_end - n_tok) // 256 END) - ((tok_end - n_tok) // 256) + 1 AS n_seqs " +
         "FROM w ORDER BY doc_id"),
     // Segment manifest: one row per (doc, sequence) pair — each doc's
     // offset and length inside every sequence its interval touches

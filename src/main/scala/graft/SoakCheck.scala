@@ -437,13 +437,14 @@ object SoakCheck {
     val SubDocs = 100000L
     val planted = SubDocs / 10
     val span = (1 to 8).map(i => s"boiler$i").mkString(" ")
+    def subText(idc: org.apache.spark.sql.Column) =
+      concat_ws(" ",
+        (0 until 20).map(i => concat(lit(s"t${i}_"), idc)) ++
+          Seq(when(pmod(idc, lit(10)) === 0, lit(span))
+            .otherwise(concat(lit("u_"), idc))) ++
+          (20 until 40).map(i => concat(lit(s"t${i}_"), idc)): _*)
     val subDocs = spark.range(0, SubDocs, 1, 32)
-      .select(col("id"), concat_ws(" ",
-        (0 until 20).map(i => concat(lit(s"t${i}_"), col("id"))) ++
-          Seq(when(pmod(col("id"), lit(10)) === 0, lit(span))
-            .otherwise(concat(lit("u_"), col("id")))) ++
-          (20 until 40).map(i => concat(lit(s"t${i}_"), col("id"))): _*)
-        .as("text"))
+      .select(col("id"), subText(col("id")).as("text"))
     var subRemoved = 0L
     var subTouched = 0L
     val sub = measure(spark, "substr_dedup")(() =>
@@ -490,6 +491,34 @@ object SoakCheck {
       s"substr_ingest ran ${subInc.jobs} jobs for 3 batches — " +
         "budget is 60/batch")
 
+    // ---- path 9c: TAIL batch into the grown index (r13) ----------------
+    // 1% of the corpus arriving AFTER the 100k-doc index exists: the
+    // storage-partitioned index join must keep the exchange batch-sized
+    // (batch counts shuffle into the windex bucket layout; index
+    // partitions are read co-located, never shuffled) — the gate below is
+    // the "per-batch cost tracks the batch" claim at a 100:1 ratio.
+    val TailDocs = 1000L
+    var tailRemoved = 0L
+    val subTail = measure(spark, "substr_ingest_tail")(() =>
+      pipeline.Dedup.substrIngest(spark, subIdx,
+        spark.range(SubDocs, SubDocs + TailDocs, 1, 8)
+          .select(col("id"), subText(col("id")).as("text")),
+        col("id"), col("text"), w = 8)
+    )(df => {
+      tailRemoved =
+        df.agg(sum(col("removed_tokens"))).collect()(0).getLong(0)
+      df.count()
+    })
+    require(subTail.rowsOut == TailDocs,
+      s"substr_ingest_tail rows ${subTail.rowsOut}")
+    require(tailRemoved == 8 * (TailDocs / 10),
+      s"substr_ingest_tail removed $tailRemoved, " +
+        s"expected ${8 * (TailDocs / 10)}")
+    require(subTail.totalShuffleWriteMB * 10 <= subInc.totalShuffleWriteMB,
+      s"substr_ingest_tail shuffled ${subTail.totalShuffleWriteMB} MB vs " +
+        s"${subInc.totalShuffleWriteMB} MB for the 100x corpus — the " +
+        "tail batch's exchange must track the batch, not the index")
+
     // ---- path 10: kNN join at 20× vectors (r12) ------------------------
     // 40k synthetic 64-dim vectors, IVF cell join at nlist 64 / nprobe 4:
     // the whole-corpus-query shape — no broadcast side anywhere; per-task
@@ -524,7 +553,8 @@ object SoakCheck {
 
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
-      search, wand, incIng, incSearch, sem, dvw, sub, subInc, knn, knnPq)
+      search, wand, incIng, incSearch, sem, dvw, sub, subInc, subTail,
+      knn, knnPq)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -536,7 +566,7 @@ object SoakCheck {
     all.filterNot(r => Set("ingest_dedup", "catalog_stream",
         "bm25_build", "distinct_view", "inc_index_ingest",
         "sem_ingest_dedup", "knn_join", "knn_join_pq",
-        "substr_ingest")(r.name)) // thunks RUN work
+        "substr_ingest", "substr_ingest_tail")(r.name)) // thunks RUN work
       // (knn_join's "plan" includes ivfTrain's Lloyd jobs)
       .foreach(r =>
         require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))

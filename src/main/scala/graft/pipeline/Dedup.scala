@@ -1075,9 +1075,17 @@ object Dedup {
     * travel, OCC, and cleaning for free.
     *
     * Scale: per batch, one count-by-window shuffle of the batch's own
-    * windows plus one key-shaped join against the index — bounded by
-    * index size (the cost class of merging one shard into a sharded
-    * suffix array); the already-ingested corpus text is never re-read.
+    * windows plus one STORAGE-PARTITIONED join against the index: the
+    * windex is a bucketed graft table, so its DSv2 scan reports
+    * `bucket(n, k)` KeyGroupedPartitioning and (with the v2-bucketing
+    * shuffle conf, set around the join) Spark shuffles ONLY the
+    * batch-side counts into the index's bucket layout — the index
+    * partitions are read co-located, never shuffled. Per-batch exchange
+    * bytes therefore track the BATCH's window count however large the
+    * index grows (SOAK_r13 gates it); the already-ingested corpus text
+    * is never re-read. (r12 joined through the format-level reader,
+    * which re-shuffled the full index every batch — the sharded-suffix-
+    * array merge cost class, now strictly better.)
     *
     * Returns the batch's cleaned rows (doc_id, kept_text, n_tokens,
     * removed_tokens), exactly as recorded in `dir/docs`. `ts` pins the
@@ -1113,16 +1121,54 @@ object Dedup {
       val tl = graft.format.Timeline(
         spark.sessionState.newHadoopConf(), idxDir)
       val boot = tl.completedInstants().isEmpty
-      val hist =
-        if (boot) bCounts.select(col("win"), col("bcnt").as("hcnt")).limit(0)
-        else graft.read.SnapshotReader.read(spark, idxDir)
-          .select(col("win"), col("cnt").as("hcnt"))
       // materialized ONCE: read again by the dup filter and the txn's
       // touched/write/stats passes (see the ingest-soak job-count note)
-      val totals = bCounts.join(hist, Seq("win"), "left")
-        .select(col("win"),
-          (col("bcnt") + coalesce(col("hcnt"), lit(0L))).as("cnt"))
-        .localCheckpoint(true)
+      val totals =
+        if (boot)
+          bCounts.select(col("win"), col("bcnt").as("cnt"))
+            .localCheckpoint(true)
+        else {
+          // storage-partitioned join: the windex DSv2 scan (mounted via a
+          // per-dir catalog, the table's own bucket key `k` as join key)
+          // reports bucket(n, k); with the shuffle conf only the BATCH
+          // side exchanges, into the index's bucket layout
+          val cat = s"graft_substr_${Integer.toHexString(dir.hashCode)}"
+          spark.conf.set(s"spark.sql.catalog.$cat",
+            "graft.sources.GraftCatalog")
+          spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+          val hist = spark.table(s"$cat.windex")
+            .select(col("k"), col("cnt").as("hcnt"))
+          // barrier: bCounts' groupBy leaves a 32-partition hash
+          // partitioning that outbids the index's 8-partition key-grouped
+          // spec in EnsureRequirements' side selection — Spark would then
+          // re-shuffle the INDEX to hash(32) (index-sized exchange, the
+          // exact cost this join exists to avoid). The checkpoint drops
+          // the reusable spec so the scan side's layout wins; it also
+          // pins the batch counts for the dup filter re-read.
+          val bc = bCounts.localCheckpoint(true)
+          val prevSpj =
+            spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+          val prevShuf = spark.conf.getOption(
+            "spark.sql.sources.v2.bucketing.shuffle.enabled")
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          spark.conf.set(
+            "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+          try
+            bc.withColumnRenamed("win", "k")
+              .join(hist, Seq("k"), "left")
+              .select(col("k").as("win"),
+                (col("bcnt") + coalesce(col("hcnt"), lit(0L))).as("cnt"))
+              .localCheckpoint(true) // eager: the plan runs under the conf
+          finally {
+            prevSpj.fold(spark.conf.unset(
+              "spark.sql.sources.v2.bucketing.enabled"))(v =>
+              spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+            prevShuf.fold(spark.conf.unset(
+              "spark.sql.sources.v2.bucketing.shuffle.enabled"))(v =>
+              spark.conf.set(
+                "spark.sql.sources.v2.bucketing.shuffle.enabled", v))
+          }
+        }
       val dupWins = totals.filter(col("cnt") >= minDupCount).select("win")
       val marked = wins.join(dupWins, Seq("win"), "left_semi")
         .groupBy("doc_id")
@@ -1135,10 +1181,23 @@ object Dedup {
         .withColumn("p", lit("all"))
       if (boot) {
         // docs first, windex last: the boot gate above tests windex, so a
-        // crash between the creates leaves a retryable half, never a wedge
+        // crash between the creates leaves a retryable half, never a wedge.
+        // Both tables are MOR (r13): every batch touches every bucket
+        // (window hashes are uniform), so COW upserts rewrote the WHOLE
+        // index per batch — index-sized shuffle however small the batch.
+        // MOR appends are batch-sized delta commits; snapshots and the
+        // storage-partitioned index join merge deltas natively
+        // (GraftMorBatchScan), and maintenance compaction amortizes the
+        // rewrite on the operator's schedule instead of every batch's.
+        // deltaCounters=off: these are internal state tables consumed by
+        // joins, never by metadata COUNT(*) — the per-delta live-count
+        // existence join (snapshot-keys-sized however small the batch)
+        // buys nothing here
         def create(df: DataFrame, path: String): Unit = {
           val wtr = df.write.format("graft")
             .option("key", "k").option("partition", "p")
+            .option("type", "mor")
+            .option("deltaCounters", "off")
             .option("buckets", numBuckets.toString)
             .mode(org.apache.spark.sql.SaveMode.Append)
           ts.fold(wtr)(x => wtr.option("ts", x)).save(path)

@@ -105,6 +105,19 @@ private[graft] object FormatWriter {
     * numInserts was unrecorded). */
   val DeltaCountsKey = "deltaCounts"
 
+  /** Table-property key (recorded at creation/overwrite like
+    * `buckets`/`type`): `exact` (default) maintains the per-delta live
+    * counters above; `off` skips the existence check they require — a
+    * SNAPSHOT-KEY join per delta commit, table-sized however small the
+    * batch — for DELETE-FREE deltas. The right declaration for internal
+    * high-churn state tables (dedup window/signature indexes) that are
+    * consumed by joins, not metadata COUNT(*): their delta commits then
+    * carry no [[DeltaCountsKey]] marker and every reader already declines
+    * the metadata fold for such commits (the pre-r11 commit shape).
+    * Deltas CARRYING DELETES always compute exact counters regardless —
+    * `totalRecordsDeleted` exactness is a delete-view invariant. */
+  val DeltaCountersKey = "deltaCounters"
+
   /** Commit-extra key recording the comma-separated HOT payload columns
     * tracked by the column-stats skipping index (the record key is always
     * tracked). Declared at creation via `.option("stats", "c1,c2")`,
@@ -305,6 +318,7 @@ private[graft] object FormatWriter {
     // re-creation point: the ordering column may be (re)declared here
     val pc = parameters.get(PrecombineKey)
       .orElse(recordedExtra(timeline, PrecombineKey))
+    val dc = deltaCounters(parameters, timeline)
     new CowWriter(spark, basePath, nb, statsCols = sc,
       bloomCols = bc, bloomBits = bb, precombine = pc)
       .overwriteTable(df, col(key), col(part),
@@ -313,7 +327,21 @@ private[graft] object FormatWriter {
           (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty) ++
           (if (bc.nonEmpty) Map(BloomColsKey -> bc.mkString(","),
             BloomBitsKey -> bb.toString) else Map.empty) ++
-          pc.map(PrecombineKey -> _))
+          pc.map(PrecombineKey -> _) ++
+          (if (dc != "exact") Map(DeltaCountersKey -> dc) else Map.empty))
+  }
+
+  /** Delta-counter mode: explicit option, else the mode recorded at
+    * creation (or the newest overwrite), else `exact`. See
+    * [[DeltaCountersKey]]. */
+  private def deltaCounters(parameters: Map[String, String],
+      timeline: Timeline): String = {
+    val v = parameters.get(DeltaCountersKey)
+      .orElse(recordedExtra(timeline, DeltaCountersKey))
+      .getOrElse("exact").toLowerCase(java.util.Locale.ROOT)
+    require(v == "exact" || v == "off",
+      s"""deltaCounters must be "exact" or "off", got "$v"""")
+    v
   }
 
   /** Table type: explicit option, else the type recorded at creation (or
@@ -412,12 +440,14 @@ private[graft] object FormatWriter {
     val bc = bloomCols(parameters, timeline)
     val bb = bloomBits(parameters, timeline)
     val pc = precombineCol(parameters, timeline)
+    val dc = deltaCounters(parameters, timeline)
     val createExtra = extra + (BucketsKey -> nb.toString) +
       (TypeKey -> tpe) + (KeyColKey -> key) + (PartColKey -> part) ++
       (if (sc.nonEmpty) Map(StatsColsKey -> sc.mkString(",")) else Map.empty) ++
       (if (bc.nonEmpty) Map(BloomColsKey -> bc.mkString(","),
         BloomBitsKey -> bb.toString) else Map.empty) ++
-      pc.map(PrecombineKey -> _)
+      pc.map(PrecombineKey -> _) ++
+      (if (dc != "exact") Map(DeltaCountersKey -> dc) else Map.empty)
     // unreserve on every exit: a completed commit already cleared its
     // marker (no-op there); a no-op write (empty micro-batch) or a failed/
     // conflicted attempt releases its ts instead of orphaning the marker
@@ -426,7 +456,8 @@ private[graft] object FormatWriter {
         // MOR needs no writer-side ordering: deltas append as written and
         // the snapshot merge resolves by the recorded ordering column
         val w = new MorWriter(spark, basePath, nb, statsCols = sc,
-          bloomCols = bc, bloomBits = bb)
+          bloomCols = bc, bloomBits = bb,
+          exactCounters = dc == "exact")
         if (noData) cdcSplit match {
           // bootstrapping a mirror: deletes of keys that never existed
           // are no-ops — only the net-surviving rows insert

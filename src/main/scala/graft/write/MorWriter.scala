@@ -31,7 +31,12 @@ final class MorWriter(
     bloomCols: Seq[String] = Seq.empty,
     bloomBits: Int = graft.format.Bloom.DefaultBits,
     // publish hook — see [[CowWriter]]'s parameter of the same name
-    publish: Option[MultiTableTxn.CommitPublisher] = None) {
+    publish: Option[MultiTableTxn.CommitPublisher] = None,
+    // false = the table declared deltaCounters=off: DELETE-FREE delta
+    // commits skip the snapshot-key existence join (table-sized however
+    // small the batch) and carry no DeltaCountsKey marker — see
+    // [[FormatWriter.DeltaCountersKey]]
+    exactCounters: Boolean = true) {
 
   import CowWriter.FidCol
 
@@ -132,11 +137,19 @@ final class MorWriter(
     // [[FormatWriter.DeltaCountsKey]] marker so readers can tell these
     // exact counters from pre-r11 commits (whose numInserts was 0).
     val slices = timeline.latestSlices(None)
+    // deltaCounters=off + no deletes: totalDeleted = 0 is trivially exact,
+    // and skipping the counters leaves numInserts unrecorded — the
+    // pre-marker commit shape every reader handles (metadata COUNT
+    // declines the fold for this commit). A delta WITH deletes always
+    // computes exactly (delete-view invariant).
+    val skipCounters = !exactCounters &&
+      del.isEmpty
     val tagged = (del.map(_.select(col(MetaCols.RecordKey), col(FidCol))
         .withColumn("__op", lit("d"))).toSeq ++
       up.map(_.select(col(MetaCols.RecordKey), col(FidCol))
         .withColumn("__op", lit("u"))))
       .reduceOption(_ unionByName _).map(_.distinct())
+      .filterNot(_ => skipCounters)
     val opCounts: Map[(String, String), Long] = tagged match {
       case Some(t) =>
         val perKey = t.groupBy(col(MetaCols.RecordKey), col(FidCol))
@@ -180,7 +193,9 @@ final class MorWriter(
     saveCommit(ts, stats, totalDeleted = deletedPerFid.values.sum,
       op = "UPSERT_DELTA", action = Instant.DeltaCommitAction,
       schema = deltaRows.drop(FidCol).schema,
-      extra = extra + (FormatWriter.DeltaCountsKey -> "exact"),
+      extra =
+        if (skipCounters) extra
+        else extra + (FormatWriter.DeltaCountsKey -> "exact"),
       readPoint = readPoint)
   }
 

@@ -125,7 +125,9 @@ object MultiTableTxn {
           staged += Staged(tl, w.basePath, cts, meta, action, rp, coa)
         if (tpe == "mor")
           new MorWriter(spark, w.basePath, nb, statsCols = sc,
-            bloomCols = bc, bloomBits = bb, publish = Some(capture))
+            bloomCols = bc, bloomBits = bb, publish = Some(capture),
+            exactCounters = !recorded(FormatWriter.DeltaCountersKey)
+              .contains("off"))
             .upsertDelta(w.updates, w.deletes, col(key), col(part), ts)
         else
           new CowWriter(spark, w.basePath, nb, statsCols = sc,

@@ -41,4 +41,56 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("one-side-shuffle SPJ: a computed frame LEFT-joins a bucketed " +
+      "graft catalog table with ONE exchange (batch side only), " +
+      "unmatched left rows kept — the substrIngest index-join primitive") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spj_shuffle").toString
+    val idx = (0 until 100).map(i => (s"w$i", i.toLong))
+      .toDF("k", "cnt").withColumn("p", lit("all"))
+    idx.write.format("graft")
+      .option("key", "k").option("partition", "p").option("buckets", "8")
+      .mode("append").save(s"$root/windex")
+    spark.conf.set("spark.sql.catalog.spjshuf",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjshuf.warehouse", root)
+    val hist = spark.table("spjshuf.windex").select($"k", $"cnt")
+    // half known keys, half new — the left join must keep all 100
+    val batch = ((0 until 50).map(i => s"w${i * 2}") ++
+      (0 until 50).map(i => s"new$i")).toDF("k")
+      .withColumn("bcnt", lit(1L))
+    val prevBroadcast =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def joined = batch.join(hist, Seq("k"), "left")
+        .select($"k", ($"bcnt" + coalesce($"cnt", lit(0L))).as("total"))
+      val plain = joined.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled",
+        "true")
+      val spjDf = joined
+      val spj = spjDf.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap
+      assert(spj == plain && spj.size == 100,
+        "SPJ left join changed results")
+      // AQE's toString appends an "Initial Plan" section — assert on the
+      // final plan only
+      val plan = spjDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected exactly 1 exchange:\n$plan")
+      assert(plan.contains("keygroupedpartitioning"),
+        s"batch side must shuffle into the index bucket layout:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(root))
+    }
+  }
 }

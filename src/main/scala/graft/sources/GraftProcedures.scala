@@ -456,6 +456,77 @@ private[sources] object GraftProcedures {
         Seq(row(Long.box(edges.count()), Long.box(mutual), outDir))
       },
 
+      proc("knn_graph_pq",
+        "compressed-domain kNN graph: both sides of the IVF cell join " +
+          "carry PQ codes (SDC scoring), never vectors; rerank = 0 is " +
+          "the graph-build mode (no vector ever shuffles, SDC cosine " +
+          "estimates), rerank > 0 fetches candidate vectors by id for " +
+          "exact-cosine verdicts. Edges land under " +
+          "<table>/.knn_graph_pq/ (query_id, corpus_id, rank, " +
+          "cosine_micro); this result is the summary",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT vector id column"),
+          in("vec_col", StringType, "ARRAY<FLOAT> embedding column"),
+          in("dim", IntegerType, "embedding dimension"),
+          in("k", IntegerType, "neighbors per vector", default = Some("3")),
+          in("nlist", IntegerType, "IVF cells", default = Some("8")),
+          in("nprobe", IntegerType,
+            "cells probed per query (= nlist for exhaustive)",
+            default = Some("2")),
+          in("m", IntegerType, "PQ subspaces", default = Some("8")),
+          in("rerank", IntegerType,
+            "exact-cosine candidates per query (0 = SDC-only)",
+            default = Some("0"))),
+        out("n_edges" -> LongType, "mutual_edges" -> LongType,
+          "out_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val outDir = s"$path/.knn_graph_pq"
+        val ds = graft.read.SnapshotReader.read(spark, path)
+        graft.pipeline.Similarity.knnJoinPq(ds,
+            org.apache.spark.sql.functions.col(str(r, 1)),
+            org.apache.spark.sql.functions.col(str(r, 2)),
+            k = r.getInt(4), nlist = r.getInt(5), nprobe = r.getInt(6),
+            dim = r.getInt(3), m = r.getInt(7), rerank = r.getInt(8))
+          .write.mode("overwrite").parquet(outDir)
+        val edges = spark.read.parquet(outDir)
+        val mutual = graft.pipeline.Similarity.mutualKnnEdges(edges).count()
+        Seq(row(Long.box(edges.count()), Long.box(mutual), outDir))
+      },
+
+      proc("bpe_tokens",
+        "self-contained BPE: train num_merges merges from the table's " +
+          "own word-type counts (distributed count + TakeOrdered head, " +
+          "driver merge loop), then tokenize every document with the " +
+          "native in-row expression. Per-doc model-token counts land " +
+          "under <table>/.bpe_tokens/ (id, n_tokens); this result is " +
+          "the summary",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("num_merges", IntegerType, "merges to learn",
+            default = Some("64")),
+          in("max_types", IntegerType,
+            "word-type table cap (driver memory bound)",
+            default = Some("1048576"))),
+        out("n_docs" -> LongType, "total_tokens" -> LongType,
+          "n_merges" -> LongType, "out_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val outDir = s"$path/.bpe_tokens"
+        val docs = graft.read.SnapshotReader.read(spark, path)
+        val textCol = org.apache.spark.sql.functions.col(str(r, 2))
+        val merges = graft.pipeline.Bpe.trainMerges(docs, textCol,
+          numMerges = r.getInt(3), maxTypes = r.getInt(4))
+        docs.select(
+            org.apache.spark.sql.functions.col(str(r, 1)).as("id"),
+            graft.pipeline.Bpe.tokenCount(textCol, merges)
+              .cast("long").as("n_tokens"))
+          .write.mode("overwrite").parquet(outDir)
+        val st = spark.read.parquet(outDir).selectExpr("count(*)",
+          "coalesce(sum(n_tokens), 0)").head()
+        Seq(row(Long.box(st.getLong(0)), Long.box(st.getLong(1)),
+          Long.box(merges.size.toLong), outDir))
+      },
+
       proc("lm_coverage",
         "CCNet-style LM quality scores: per-doc permille of word bigrams " +
           "present in the reference slice's bigram table (rows matching " +

@@ -297,5 +297,49 @@ class ProcedureSpec extends SparkSpec {
     assert(kg.getLong(0) == n * 3, "k edges per vector at exhaustive probe")
     assert(kg.getLong(1) > 0 && kg.getLong(1) <= kg.getLong(0))
     assert(spark.read.parquet(kg.getString(2)).count() == kg.getLong(0))
+
+    // compressed-domain twin at exhaustive probe + full rerank: the edge
+    // SET must equal the full-vector graph's (exactness regardless of
+    // quantization — the rerank reads true vectors)
+    val pq = spark.sql(s"CALL $cat.system.knn_graph_pq(table => 'ns.emb', " +
+      "id_col => 'vec_id', vec_col => 'embedding', dim => 64, k => 3, " +
+      "nlist => 4, nprobe => 4, rerank => 1000000)").head()
+    assert(pq.getLong(0) == n * 3 && pq.getLong(1) == kg.getLong(1))
+    val full = spark.read.parquet(kg.getString(2))
+      .select("query_id", "corpus_id", "rank")
+    val comp = spark.read.parquet(pq.getString(2))
+      .select("query_id", "corpus_id", "rank")
+    assert(full.exceptAll(comp).isEmpty && comp.exceptAll(full).isEmpty)
+  }
+
+  test("bpe_tokens procedure: trains on the table, counts land; " +
+      "concatenated token text is lossless vs the whitespace words") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.docs_bpe")
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_src")
+    spark.sql(s"CREATE TABLE $cat.ns.docs_bpe PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'doc_id', buckets '2') " +
+      "AS SELECT doc_id, text, 'all' AS pt FROM docs_src")
+    val r = spark.sql(s"CALL $cat.system.bpe_tokens(" +
+      "table => 'ns.docs_bpe', id_col => 'doc_id', text_col => 'text', " +
+      "num_merges => 32)").head()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(2) == 32L)
+    val counts = spark.read.parquet(r.getString(3))
+    assert(counts.count() == docs.count())
+    // with 32 merges on the closed vocabulary, tokens per doc must be
+    // strictly fewer than characters and at least the word count
+    import org.apache.spark.sql.functions._
+    val j = docs.select(col("doc_id").as("id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+          .as("n_words"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+          .as("n_chars"))
+      .join(counts, "id")
+    assert(j.filter(col("n_tokens") < col("n_words") ||
+      col("n_tokens") > col("n_chars")).isEmpty)
   }
 }

@@ -205,6 +205,10 @@ object SoakCheck {
     })(df => { kept = df.filter(col("kept")).count(); df.count() })
     require(dd.rowsOut == DocRows,
       s"dedup index holds ${dd.rowsOut} docs, expected $DocRows")
+    // job budget (r13: MOR index + catalog-scan history reads +
+    // materialized write frame cut 110 → 100 jobs, 442 → 385 MB shuffle)
+    require(dd.jobs <= 3 * 45,
+      s"ingest_dedup ran ${dd.jobs} jobs for 3 batches — budget is 45/batch")
     // planted duplicates: ids >= 90% of DocRows repeat earlier gids, so
     // kept must be exactly the distinct gid count
     require(kept == DocRows * 9 / 10,
@@ -335,11 +339,10 @@ object SoakCheck {
 
     // ---- path 7c: incremental text index at 100k docs (r11) ------------
     // three transactional ingest batches into the maintained index, then
-    // a pruned search. Budget: ≤ 100 jobs per ingested batch (bootstrap
+    // a pruned search. Budget: ≤ 65 jobs per ingested batch (bootstrap
     // + MultiTableTxn + churn-bounded view refreshes; r11 materialized
-    // the re-executed churn plans, 145 → 85/batch measured — the
-    // remaining jobs are cheap bookkeeping across the four commits each
-    // batch lands).
+    // the re-executed churn plans, 145 → 85/batch; r13's MOR state
+    // tables cut the per-batch index rewrite, 193 → 160 total).
     val incIdx = s"$root/text_index_inc"
     val ib = DocRows / 3
     val incIng = measure(spark, "inc_index_ingest")(() => {
@@ -352,9 +355,9 @@ object SoakCheck {
         docsAll.where(col("id") >= 2 * ib), col("id"), col("text"))
       spark.sql("SELECT 1")
     })(_ => 3L)
-    require(incIng.jobs <= 3 * 100,
+    require(incIng.jobs <= 3 * 65,
       s"inc_index_ingest ran ${incIng.jobs} jobs for 3 batches — " +
-        "budget is 100/batch")
+        "budget is 65/batch")
     val incSearch = measure(spark, "inc_index_search")(() =>
       pipeline.TextRetrieval.incExactTopK(spark, incIdx, qTerms, k = 20))(
       _.count())

@@ -1128,15 +1128,11 @@ object Dedup {
           bCounts.select(col("win"), col("bcnt").as("cnt"))
             .localCheckpoint(true)
         else {
-          // storage-partitioned join: the windex DSv2 scan (mounted via a
-          // per-dir catalog, the table's own bucket key `k` as join key)
-          // reports bucket(n, k); with the shuffle conf only the BATCH
-          // side exchanges, into the index's bucket layout
-          val cat = s"graft_substr_${Integer.toHexString(dir.hashCode)}"
-          spark.conf.set(s"spark.sql.catalog.$cat",
-            "graft.sources.GraftCatalog")
-          spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
-          val hist = spark.table(s"$cat.windex")
+          // storage-partitioned join: the windex DSv2 scan (catalog
+          // mount, the table's own bucket key `k` as join key) reports
+          // bucket(n, k); with the shuffle conf only the BATCH side
+          // exchanges, into the index's bucket layout
+          val hist = graft.util.CatalogMount.table(spark, idxDir)
             .select(col("k"), col("cnt").as("hcnt"))
           // barrier: bCounts' groupBy leaves a 32-partition hash
           // partitioning that outbids the index's 8-partition key-grouped
@@ -1282,9 +1278,13 @@ object Dedup {
       val batchRows = sigs.join(base, "id") // (id, sig, shingles)
       val tl = graft.format.Timeline(
         spark.sessionState.newHadoopConf(), indexDir)
+      // catalog read (r13): the index is MOR — the V1 snapshot path would
+      // merge its deltas with a per-key window, one INDEX-sized shuffle
+      // per batch; the catalog's native MOR scan merges per file group
+      // inside the task, so reading history costs input bytes only
       val seen =
         if (tl.completedInstants().nonEmpty)
-          graft.read.SnapshotReader.read(spark, indexDir)
+          graft.util.CatalogMount.table(spark, indexDir)
             .select(col("doc_id").as("id"), col("sig"), col("shingles"))
         else batchRows.select("id", "sig", "shingles").limit(0)
       // One banding pass over seen ∪ batch — identical bucket function to
@@ -1305,13 +1305,23 @@ object Dedup {
       val drops = verifyJaccardArrays(cand,
           union.select(col("id"), col("shingles")), thresholdPermille)
         .select(col("id_b").as("__drop")).distinct()
+      // materialized ONCE (r13): the writer re-reads its input frame for
+      // the touched/write/stats passes — unscoped, each pass re-ran the
+      // MinHash aggregation, the banding union, and the verify join
       val out = batchRows
         .join(drops, col("id") === col("__drop"), "left")
         .select(col("id").as("doc_id"), col("sig"), col("shingles"),
           col("__drop").isNull.as("kept"))
         .withColumn("pt", lit("all"))
+        .localCheckpoint(true)
+      // MOR + deltaCounters=off (r13): every batch's ids hash across all
+      // buckets, so COW appends rewrote the WHOLE index per batch and the
+      // exact-live-count existence join re-read it — this is an internal
+      // state table consumed by scans/joins, never metadata COUNT(*)
       val writer = out.write.format("graft")
         .option("key", "doc_id").option("partition", "pt")
+        .option("type", "mor")
+        .option("deltaCounters", "off")
         .option("buckets", numBuckets.toString)
         .mode(org.apache.spark.sql.SaveMode.Append)
       ts.fold(writer)(t => writer.option("ts", t)).save(indexDir)

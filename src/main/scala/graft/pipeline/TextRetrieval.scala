@@ -638,9 +638,17 @@ object TextRetrieval {
       // contract the transactional path resolves on every later batch).
       // doclen first, postings last: the gate above tests postings, so a
       // half-done bootstrap is always retryable, never wedged.
+      // MOR + deltaCounters=off (r13): each batch's postings keys hash
+      // across every bucket, so COW appends rewrote the whole index per
+      // batch and the exact-live-count existence join re-read it; these
+      // are internal state tables consumed by pruned scans and the
+      // maintained views (which refresh from the change feed), never by
+      // metadata COUNT(*). Compaction is the operator's maintenance call.
       def create(df: DataFrame, path: String): Unit = {
         val w = df.write.format("graft")
           .option("key", "k").option("partition", "p")
+          .option("type", "mor")
+          .option("deltaCounters", "off")
           .option("buckets", numBuckets.toString)
           .mode(org.apache.spark.sql.SaveMode.Append)
         ts.fold(w)(x => w.option("ts", x)).save(path)

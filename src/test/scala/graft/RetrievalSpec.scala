@@ -111,23 +111,26 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(inc2 == full2)
 
-    // the graft postings scan lists only the query terms' partitions
+    // the graft postings scan lists only the query terms' partitions —
+    // the index carries outstanding MOR deltas (r13: the state tables are
+    // MOR), so the read mounts GraftMorRelation, whose partition-path
+    // filter prunes the file-GROUP set at planning time
+    // (lastPlannedFiles is its observability hook, base + delta paths)
     val q = TextRetrieval.incExactTopK(spark, dir, terms, k = 15)
+    q.collect()
     val buckets = terms.map(TextRetrieval.termBucket(_, 16)).toSet
-    val scans = q.queryExecution.sparkPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.relation.location.rootPaths.exists(
-            _.toString.contains("/postings")) => s
+    val rels = q.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[graft.read.GraftMorRelation] &&
+            l.relation.asInstanceOf[graft.read.GraftMorRelation]
+              .lastPlannedFiles.exists(_.contains("/postings/")) =>
+        l.relation.asInstanceOf[graft.read.GraftMorRelation]
     }
-    assert(scans.size == 1)
-    assert(scans.head.partitionFilters.nonEmpty,
-      "partition-path predicate did not reach the graft scan")
-    val pruned = scans.head.relation.location
-      .listFiles(scans.head.partitionFilters, Nil)
-      .flatMap(_.files.map(_.getPath.toString))
+    assert(rels.size == 1, "postings must mount the MOR relation")
+    val pruned = rels.head.lastPlannedFiles
     assert(pruned.nonEmpty && pruned.forall(f =>
       buckets.exists(b => f.contains(s"/$b/"))),
-      s"pruned listing escaped the query buckets: $pruned")
+      s"planned listing escaped the query buckets: $pruned")
   }
 
   test("maintenance composes: cluster_sort of the postings table by term " +

@@ -140,7 +140,10 @@ object Fixtures {
   def substrIndexDir(spark: SparkSession, sfDir: String): String =
     synchronized {
       val dir = s"${root(sfDir)}/substr_index"
-      if (!complete(spark, s"$dir/windex", 3)) {
+      // 3 ingest commits + 1 compaction (the post-ingest maintenance a
+      // read-heavy MOR state table runs — identity on content, turns the
+      // serving reads back into plain base scans)
+      if (!complete(spark, s"$dir/windex", 4)) {
         rm(spark, dir)
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         def ingest(b: Int, ts: Option[String]): Unit =
@@ -148,6 +151,8 @@ object Fixtures {
             docs.filter(pmod(col("doc_id"), lit(3)) === b),
             col("doc_id"), col("text"), w = 8, ts = ts): Unit
         ingest(0, Some(C1)); ingest(1, None); ingest(2, None)
+        graft.write.MorWriter.compactTable(spark, s"$dir/windex")
+        graft.write.MorWriter.compactTable(spark, s"$dir/docs")
       }
       dir
     }
@@ -159,7 +164,8 @@ object Fixtures {
   def dedupIndexDir(spark: SparkSession, sfDir: String): String =
     synchronized {
       val dir = s"${root(sfDir)}/dedup_index"
-      if (!complete(spark, dir, 3)) {
+      // 3 ingest commits + 1 compaction (post-ingest maintenance)
+      if (!complete(spark, dir, 4)) {
         rm(spark, dir)
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val n = docs.count()
@@ -169,6 +175,7 @@ object Fixtures {
               col("doc_id") * 3 < lit((i + 1) * n)),
             col("doc_id"), col("text"), ts = Some(ts))
         ingest(0, C1); ingest(1, C2); ingest(2, C3)
+        graft.write.MorWriter.compactTable(spark, dir)
       }
       dir
     }
@@ -1058,6 +1065,10 @@ object Fixtures {
           docs.filter(id % 3 === 2), id, tx)
         graft.pipeline.TextRetrieval.incRemove(spark, dir,
           docs.filter(id % 7 === 0), id, tx)
+        // post-ingest maintenance: fold the MOR state tables' deltas so
+        // serving reads are plain base scans again (content identity)
+        graft.write.MorWriter.compactTable(spark, s"$dir/postings")
+        graft.write.MorWriter.compactTable(spark, s"$dir/doclen")
       }
       dir
     }

@@ -283,6 +283,33 @@ final class MorWriter(
 }
 
 object MorWriter {
+
+  /** Maintenance compaction by path: fold every file group holding
+    * ≥ `minDeltas` outstanding deltas into a fresh base slice — the
+    * `CALL <cat>.system.compact` verb's body as a library call, for
+    * operators that maintain MOR state tables and compact on their own
+    * schedule (post-ingest, off the write path). Identity on table
+    * content; no-op (no commit) when nothing qualifies. */
+  def compactTable(spark: SparkSession, path: String,
+      minDeltas: Int = 1): Unit = {
+    val tl = Timeline(spark.sessionState.newHadoopConf(), path)
+    val nb = graft.read.SnapshotReader.recordedBuckets(tl, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path records no bucket count; compaction preserves the " +
+          "key->group routing and needs it recorded"))
+    val sc = FormatWriter.recordedExtra(tl, FormatWriter.StatsColsKey)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val bc = FormatWriter.recordedExtra(tl, FormatWriter.BloomColsKey)
+      .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    val bb = FormatWriter.recordedExtra(tl, FormatWriter.BloomBitsKey)
+      .map(_.toInt).getOrElse(graft.format.Bloom.DefaultBits)
+    val w = new MorWriter(spark, path, nb, statsCols = sc,
+      bloomCols = bc, bloomBits = bb)
+    val ts = FormatWriter.nextTs(w.timeline)
+    try w.compactIf(ts, minDeltas = minDeltas)
+    finally w.timeline.unreserve(ts) // no dirty groups -> no commit
+  }
+
   /** Schema recorded with a commit: the UNION of the newest previously
     * recorded schema (ANY action) and the new frame's schema — new fields'
     * order first, previous-only fields appended, and the MOR delete marker

@@ -63,7 +63,7 @@ case class TopKAgg(
 
   override def eval(buf: TopKAgg.Buf): Any = {
     val idx = Array.range(0, buf.size).sortWith { (a, b) =>
-      val c = java.lang.Double.compare(buf.scores(a), buf.scores(b))
+      val c = TopKAgg.cmpScore(buf.scores(a), buf.scores(b))
       if (c != 0) c > 0 else buf.ids(a) < buf.ids(b)
     }
     new GenericArrayData(idx.map(i => InternalRow(buf.ids(i),
@@ -108,15 +108,25 @@ case class TopKAgg(
 
 object TopKAgg {
 
+  /** Spark SQL's fp total order: NaN greater than everything AND
+    * −0.0 == 0.0 (`SQLOrderingUtil` semantics — raw `Double.compare`
+    * would rank −0.0 below 0.0 and silently diverge from the window
+    * form on zero-score ties; TopKAggProps pins the equality). */
+  private[graft] def cmpScore(a: Double, b: Double): Int =
+    java.lang.Double.compare(
+      if (a == 0.0d) 0.0d else a,
+      if (b == 0.0d) 0.0d else b)
+
   /** Capacity-k heap, WORST pair at the root: a is worse than b iff
-    * (score_a < score_b) under fp total order, ties by id_a > id_b. */
+    * (score_a < score_b) under Spark's fp total order, ties by
+    * id_a > id_b. */
   final class Buf(val k: Int) {
     var scores = new Array[Double](math.min(k, 16))
     var ids = new Array[Long](math.min(k, 16))
     var size = 0
 
     private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
-      val c = java.lang.Double.compare(sa, sb)
+      val c = cmpScore(sa, sb)
       if (c != 0) c < 0 else ia > ib
     }
 

@@ -1456,6 +1456,19 @@ object SparkEntry {
           Seq("en" -> 5000L, "de" -> 2000L, "es" -> 1500L, "fr" -> 800L))
         .select(col("doc_id"), col("lang"), col("n_tok"), col("tok_before"))
         .orderBy(col("doc_id"))),
+    // Domain token budgets in MODEL tokens (r13): the same deterministic
+    // hash-ordered mixture with per-doc BPE counts — training mixtures
+    // budgeted in tokenizer units end to end (budgets scaled to the
+    // ~2.5x-smaller BPE counts).
+    "q_mix_budget_bpe" -> ((s, d) =>
+      Curation.mixByBudget(
+          tp(s, d, "documents").select(col("doc_id"), col("lang"),
+            Bpe.tokenCount(col("text"), Bpe.SeedMerges).cast("long")
+              .as("n_tok")),
+          col("lang"), col("doc_id"), "mix7", col("n_tok"),
+          Seq("en" -> 2500L, "de" -> 1000L, "es" -> 700L, "fr" -> 400L))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("tok_before"))
+        .orderBy(col("doc_id"))),
   )
 
   // ---- DuckDB oracles ----
@@ -2783,5 +2796,19 @@ object SparkEntry {
         "SELECT doc_id, lang, n_tok, tok_before FROM w " +
         "WHERE tok_before < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 " +
         "WHEN 'es' THEN 1500 WHEN 'fr' THEN 800 ELSE 0 END ORDER BY doc_id"),
+    // the mixture arithmetic over recursive-CTE BPE counts
+    "q_mix_budget_bpe" ->
+      (s"WITH RECURSIVE $BpeCte, " +
+        s"dt AS (SELECT doc_id, lang, unnest($Toks) AS w FROM documents), " +
+        "c AS (SELECT d.doc_id AS doc_id, any_value(d.lang) AS lang, " +
+        "CAST(sum(f.n) AS BIGINT) AS n_tok " +
+        "FROM dt d JOIN bpe_final f USING (w) GROUP BY d.doc_id), " +
+        "h AS (SELECT doc_id, lang, n_tok, " +
+        "md5(CAST(doc_id AS VARCHAR) || '|mix7') AS hk FROM c), " +
+        "w AS (SELECT doc_id, lang, n_tok, " +
+        "CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) - n_tok AS tok_before FROM h) " +
+        "SELECT doc_id, lang, n_tok, tok_before FROM w " +
+        "WHERE tok_before < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 1000 " +
+        "WHEN 'es' THEN 700 WHEN 'fr' THEN 400 ELSE 0 END ORDER BY doc_id"),
   )
 }

@@ -235,4 +235,83 @@ class MorSpec extends SparkSpec {
     // updated payloads carried
     assert(inc.filter($"o_totalprice" < 100000).isEmpty)
   }
+
+  test("deltaCounters=off: delete-free deltas skip the exactness marker " +
+      "and metadata COUNT declines to a correct scan; deletes still " +
+      "count exactly; exact mode keeps the metadata fold") {
+    def build(dcOff: Boolean): String = {
+      val dir = freshDir(s"orders_dc_${if (dcOff) "off" else "exact"}")
+      def write(df: org.apache.spark.sql.DataFrame, ts: String): Unit = {
+        val w0 = df.write.format("graft")
+          .option("key", "o_orderkey").option("partition", "p")
+          .option("type", "mor").option("buckets", "2").option("ts", ts)
+          .mode(org.apache.spark.sql.SaveMode.Append)
+        (if (dcOff) w0.option("deltaCounters", "off") else w0).save(dir)
+      }
+      val o = orders.limit(300).withColumn("p", lit("all"))
+      write(o.filter($"o_orderkey" % 3 === 0), C1) // insert (base)
+      write(o.filter($"o_orderkey" % 3 === 1), C2) // delete-free delta
+      write(o.filter($"o_orderkey" % 3 === 2), C4) // delete-free delta
+      dir
+    }
+    val expected = orders.limit(300).count()
+
+    val off = build(dcOff = true)
+    val offTl = Timeline(spark.sessionState.newHadoopConf(), off)
+    // delta commits carry NO exactness marker (pre-r11 shape) and leave
+    // numInserts unrecorded
+    val offDeltas = offTl.completedInstants()
+      .filter(_.action == Instant.DeltaCommitAction)
+    assert(offDeltas.size == 2)
+    offDeltas.foreach { i =>
+      val md = offTl.metadata(i.ts)
+      assert(!md.extra.contains(graft.write.FormatWriter.DeltaCountsKey))
+      assert(md.allStats.forall(_._2.numInserts == 0L))
+    }
+    assert(SnapshotReader.read(spark, off).count() == expected)
+    // catalog COUNT(*): the metadata fold DECLINES (no GraftMetaAggScan)
+    // but the scan answer is exact
+    spark.conf.set("spark.sql.catalog.dcoff",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dcoff.warehouse",
+      new java.io.File(off).getParent)
+    val name = new java.io.File(off).getName
+    val q = spark.sql(s"SELECT count(*) AS n FROM dcoff.`$name`")
+    assert(!q.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"),
+      "off-mode deltas must decline the metadata COUNT fold")
+    assert(q.head().getLong(0) == expected)
+    // a DELETE delta still records exact totals (delete-view invariant)
+    val w = new MorWriter(spark, off, numBuckets = 2,
+      exactCounters = false)
+    val dels = orders.limit(300).filter($"o_orderkey" % 5 === 0)
+      .withColumn("p", lit("all"))
+    val nDel = dels.count()
+    w.delete(dels, col("o_orderkey"), col("p"), "20260105000000")
+    // fresh Timeline: offTl memoized its instant listing pre-delete
+    val delMd = Timeline(spark.sessionState.newHadoopConf(), off)
+      .metadata("20260105000000")
+    assert(delMd.totalRecordsDeleted == nDel)
+    assert(SnapshotReader.read(spark, off).count() == expected - nDel)
+
+    // exact mode on the same script keeps the fold: marker present,
+    // GraftMetaAggScan plans, zero file input, same answer
+    val ex = build(dcOff = false)
+    val exTl = Timeline(spark.sessionState.newHadoopConf(), ex)
+    exTl.completedInstants()
+      .filter(_.action == Instant.DeltaCommitAction)
+      .foreach(i => assert(exTl.metadata(i.ts).extra
+        .get(graft.write.FormatWriter.DeltaCountsKey).contains("exact")))
+    spark.conf.set("spark.sql.catalog.dcex",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dcex.warehouse",
+      new java.io.File(ex).getParent)
+    val exName = new java.io.File(ex).getName
+    val q2 = spark.sql(s"SELECT count(*) AS n FROM dcex.`$exName`")
+    assert(q2.queryExecution.executedPlan.toString
+      .contains("GraftMetaAggScan"),
+      "exact-mode deltas must keep the metadata COUNT fold")
+    assert(q2.head().getLong(0) == expected)
+    assert(q2.inputFiles.isEmpty)
+  }
 }

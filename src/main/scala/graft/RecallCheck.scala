@@ -240,16 +240,21 @@ object RecallCheck {
     // plus the bounded exact rerank lose vs the full-vector cell join at
     // the SAME nprobe — the recall price of never shuffling vectors
     // through the big join.
-    def knnPqRecall(nprobe: Int, rr: Int): Double = {
+    def knnPqRecall(nprobe: Int, rr: Int, opqIters: Int = 0): Double = {
       val s = pairSet(Similarity.knnJoinPq(embs, col("vec_id"),
         col("embedding"), k = knnK, nlist = nlist, nprobe = nprobe,
-        dim = 64, rerank = rr))
+        dim = 64, rerank = rr, opqIters = opqIters))
       if (knnExact.isEmpty) 1.0
       else (knnExact & s).size.toDouble / knnExact.size
     }
     val knnPqR0 = knnPqRecall(nlist / 2, 0) // graph-build mode: SDC only
     val knnPqR = knnPqRecall(nlist / 2, 4 * knnK)
     val knnPqRHi = knnPqRecall(nlist / 2, 12 * knnK)
+    // OPQ-composed (r14): same settings, same exchange bytes — the rows
+    // price what the rotation buys the SDC candidate generation
+    val knnOpqR0 = knnPqRecall(nlist / 2, 0, opqIters = 3)
+    val knnOpqR = knnPqRecall(nlist / 2, 4 * knnK, opqIters = 3)
+    val knnOpqRHi = knnPqRecall(nlist / 2, 12 * knnK, opqIters = 3)
 
     // SemDeDup (r10): not a recall metric — the kept set is oracle-exact
     // by construction (q_sem_dedup); report the operational shape at the
@@ -305,7 +310,10 @@ object RecallCheck {
       s""""recall_nprobe${nlist / 2}_rerank${4 * knnK}":$knnPqR,""" +
       s""""recall_nprobe${nlist / 2}_rerank${12 * knnK}":$knnPqRHi,""" +
       s""""full_vector_same_nprobe":$knnR4,""" +
-      s""""target":"exhaustive probe + full rerank is spec-pinned exact (PipelineSpec) and oracle-gated (q_knn_join_pq); realistic rows price the codes-only join"},""" +
+      s""""opq_recall_nprobe${nlist / 2}_rerank0_sdc_only":$knnOpqR0,""" +
+      s""""opq_recall_nprobe${nlist / 2}_rerank${4 * knnK}":$knnOpqR,""" +
+      s""""opq_recall_nprobe${nlist / 2}_rerank${12 * knnK}":$knnOpqRHi,""" +
+      s""""target":"exhaustive probe + full rerank is spec-pinned exact (PipelineSpec) and oracle-gated (q_knn_join_pq/q_knn_join_opq); realistic rows price the codes-only join; opq rows the rotation's lift at identical bytes"},""" +
       s""""sem_dedup":{"anchors":32,"total":$semTotal,"kept":$semKept,""" +
       s""""cells_used":$semCells,""" +
       s""""target":"kept set oracle-exact by construction (q_sem_dedup); operational shape only","pass":${semKept > 0}}}"""

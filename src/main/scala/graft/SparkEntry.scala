@@ -912,6 +912,17 @@ object SparkEntry {
           rerank = 1 << 30)
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))),
+    // OPQ-composed compressed kNN join (r14): codebooks + SDC table in
+    // rotated space, cells/norms/rerank on the original vectors. Same
+    // exhaustive gate — rotation preserves inner products, so full rerank
+    // is still exact brute force; the realistic-dial recall lift at
+    // identical exchange bytes is priced in RECALL_r14.
+    "q_knn_join_opq" -> ((s, d) =>
+      Similarity.knnJoinPq(tp(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), k = 3, nlist = 8, nprobe = 8, dim = 64,
+          rerank = 1 << 30, opqIters = 2)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))),
     // Mutual-kNN-graph clustering (r12): connected components over edges
     // kept only when each endpoint is in the other's top-3 — the
     // clustering-based curation primitive composed from knnJoin +
@@ -2271,6 +2282,14 @@ object SparkEntry {
     // compressed-domain kNN join at exhaustive probe + full rerank ⇒ the
     // same exact brute force minus self as q_knn_join.
     "q_knn_join_pq" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, embeddings q WHERE c.vec_id <> q.vec_id" +
+        ") WHERE rank <= 3 ORDER BY query_id, rank"),
+    // OPQ rotation preserves inner products, so exhaustive probe + full
+    // rerank is the same exact brute force minus self.
+    "q_knn_join_opq" ->
       ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +

@@ -1113,11 +1113,21 @@ object Similarity {
     * rerank = 0, `cosine_micro` is the SDC ESTIMATE of the cosine
     * (approximate values, approximate ranking — candidates only).
     * `cellSplits` is the same replicated skew belt as [[knnJoin]]
-    * (result-identical for any value). */
+    * (result-identical for any value).
+    *
+    * `opqIters` > 0 composes the OPQ rotation ([[opqTrain]], Ge et al.):
+    * codebooks, codes and the SDC table live in ROTATED space while the
+    * IVF cells, norms and the exact rerank stay on the original vectors
+    * (rotation preserves dots and norms, so SDC approximates the SAME
+    * cosine — only the quantization quality moves, at IDENTICAL exchange
+    * bytes). The exactness gate is unchanged for any `opqIters`
+    * (exhaustive probe + full rerank never depends on code quality,
+    * spec-pinned); the realistic-dial lift is priced in RECALL_r14. */
   def knnJoinPq(ds: DataFrame, id: Column, vec: Column, k: Int,
       nlist: Int, nprobe: Int, dim: Int, m: Int = 8, ksub: Int = 256,
       iters: Int = 2, seed: Long = 42L, trainFraction: Double = 1.0,
-      rerank: Int = 50, cellSplits: Int = 1): DataFrame = {
+      rerank: Int = 50, cellSplits: Int = 1,
+      opqIters: Int = 0): DataFrame = {
     require(cellSplits >= 1, s"cellSplits must be >= 1 (got $cellSplits)")
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val dsub = dim / m
@@ -1125,8 +1135,22 @@ object Similarity {
     val base = ds.select(id.cast("long").as("id"), vec.as("v"))
     val centroids = ivfTrain(base, col("id"), col("v"), nlist, iters, seed,
       trainFraction)
-    val books = pqTrain(base, col("id"), col("v"), dim, m, ksub, iters,
-      seed, trainFraction)
+    val (rotation, books) =
+      if (opqIters > 0) {
+        val (r, b) = opqTrain(base, col("id"), col("v"), dim, m, ksub,
+          iters, opqIters, seed, trainFraction)
+        (Option(r), b)
+      } else
+        (None, pqTrain(base, col("id"), col("v"), dim, m, ksub, iters,
+          seed, trainFraction))
+    // the SDC table below strides by ksub — a short codebook (a sampled
+    // training set with fewer rows than ksub in some subspace) would
+    // otherwise surface as a bare IndexOutOfBoundsException from
+    // books(s)(a)
+    require(books.forall(_.size == ksub),
+      s"PQ codebooks have ${books.map(_.size).distinct.mkString(",")} " +
+        s"entries, expected ksub=$ksub: the (sampled) training set has " +
+        "fewer rows than ksub — lower ksub or raise trainFraction")
     val probeN = math.min(nprobe, centroids.size)
     // the SDC table: sdc[s][a][b] = ⟨books(s)(a), books(s)(b)⟩, flattened
     // to one m·ksub² literal so per-pair scoring is m element_at lookups
@@ -1138,13 +1162,20 @@ object Similarity {
         acc
       }
     // one encode pass feeds both join sides AND the rerank's vector
-    // fetches — persist so assignment + coding run once per row
+    // fetches — persist so assignment + coding run once per row. Coding
+    // reads the (possibly rotated) `rv`; cells, norms and the rerank stay
+    // on the original `v` (‖x‖ = ‖R·x‖, rotateCol is applied ONCE per row
+    // — the separate withColumn keeps the m code kernels referencing one
+    // materialized column, not m inlined rotations).
     val coded = assignToCentroid(graft.util.ParallelScan.widen(base),
         centroids)
+      .withColumn("rv",
+        rotation.fold(col("v"))(r => toFloats(rotateCol(col("v"), r))))
       .withColumn("codes", array((0 until m).map(s =>
-        element_at(nearestL2(subCol(col("v"), s, dsub), books(s), 1),
+        element_at(nearestL2(subCol(col("rv"), s, dsub), books(s), 1),
           1)): _*))
       .withColumn("vnorm", norm(col("v")))
+      .drop("rv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val corpus = coded.select(col("__cluster"),

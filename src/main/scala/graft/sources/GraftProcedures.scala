@@ -476,6 +476,9 @@ private[sources] object GraftProcedures {
           in("m", IntegerType, "PQ subspaces", default = Some("8")),
           in("rerank", IntegerType,
             "exact-cosine candidates per query (0 = SDC-only)",
+            default = Some("0")),
+          in("opq_iters", IntegerType,
+            "OPQ alternation rounds (0 = plain PQ codebooks)",
             default = Some("0"))),
         out("n_edges" -> LongType, "mutual_edges" -> LongType,
           "out_path" -> StringType)) { (cat, r) =>
@@ -486,7 +489,8 @@ private[sources] object GraftProcedures {
             org.apache.spark.sql.functions.col(str(r, 1)),
             org.apache.spark.sql.functions.col(str(r, 2)),
             k = r.getInt(4), nlist = r.getInt(5), nprobe = r.getInt(6),
-            dim = r.getInt(3), m = r.getInt(7), rerank = r.getInt(8))
+            dim = r.getInt(3), m = r.getInt(7), rerank = r.getInt(8),
+            opqIters = r.getInt(9))
           .write.mode("overwrite").parquet(outDir)
         val edges = spark.read.parquet(outDir)
         val mutual = graft.pipeline.Similarity.mutualKnnEdges(edges).count()

@@ -713,6 +713,13 @@ class PipelineSpec extends SparkSpec {
         cellSplits = 3)
       .select("query_id", "corpus_id", "rank")
     assert(split.exceptAll(pq).isEmpty && pq.exceptAll(split).isEmpty)
+    // OPQ-composed: rotation preserves inner products, so at exhaustive
+    // settings rotated ≡ plain ≡ exact regardless of code quality
+    val opq = Similarity.knnJoinPq(embs, $"vec_id", $"embedding",
+        k = 3, nlist = 4, nprobe = 4, dim = 64, rerank = 1 << 30,
+        opqIters = 2)
+      .select("query_id", "corpus_id", "rank")
+    assert(opq.exceptAll(pq).isEmpty && pq.exceptAll(opq).isEmpty)
     // realistic mode: approximate by design, but shape-contract holds —
     // k rows per query, ranks 1..k, no self pairs
     val approx = Similarity.knnJoinPq(embs, $"vec_id", $"embedding",

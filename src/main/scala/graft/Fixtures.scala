@@ -188,7 +188,9 @@ object Fixtures {
   def semIndexDir(spark: SparkSession, sfDir: String): String =
     synchronized {
       val dir = s"${root(sfDir)}/sem_index"
-      if (!complete(spark, dir, 3)) {
+      // 3 ingest commits + 1 post-ingest compaction (MOR state table
+      // since r14 — the serving reads go back to plain base scans)
+      if (!complete(spark, dir, 4)) {
         rm(spark, dir)
         val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val n = embs.count()
@@ -200,6 +202,7 @@ object Fixtures {
             col("vec_id"), col("embedding"), anchors,
             thresholdNum = 2, thresholdDen = 5, ts = Some(ts))
         ingest(0, C1); ingest(1, C2); ingest(2, C3)
+        graft.write.MorWriter.compactTable(spark, dir)
       }
       dir
     }

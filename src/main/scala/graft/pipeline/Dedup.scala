@@ -712,27 +712,43 @@ object Dedup {
         spark.sessionState.newHadoopConf(), indexDir)
       val seen =
         if (tl.completedInstants().nonEmpty)
-          graft.read.SnapshotReader.read(spark, indexDir)
-            // prune on the PARTITION PATH meta column (pt's recorded
-            // rendering) — a payload-column filter would scan every
-            // cluster's files and filter rows after the fact
-            .filter(col(graft.format.MetaCols.PartitionPath)
-              .isin(cells: _*))
+          // native catalog scan (r14, re-landed from the measured r13
+          // revert): the V1 MOR snapshot read merges deltas via a per-key
+          // window — one index-sized shuffle per BATCH however small the
+          // batch; the DSv2 scan merges per file group inside the task.
+          // The `pt` filter is a static partition prune on the catalog
+          // table's partition column (planned slices narrow to the
+          // batch's clusters — spec-asserted via inputPartitions)
+          graft.util.CatalogMount.table(spark, indexDir)
+            .filter(col("pt").isin(cells: _*))
             .select(col("doc_id").as("id"), col("q"), col("nrm"), col("cl"))
         else assigned.select("id", "q", "nrm", "cl").limit(0)
       val union = assigned.select("id", "q", "nrm", "cl").unionByName(seen)
       val bucketed = union.select(col("id"), lit(0).as("band"),
         col("cl").cast("long").as("bucket"))
       // only pairs whose LATER member is in this batch matter (history is
-      // settled); the earlier member may be anywhere in the union
+      // settled); the earlier member may be anywhere in the union.
+      // broadcast PINNED (the r13 lesson): the batch id list is
+      // batch-sized; left to stats the planner shuffled the PAIR frame —
+      // quadratic in cluster occupancy, the largest frame in the loop
       val cand = candidatePairs(capBuckets(bucketed, maxCluster))
-        .join(assigned.select(col("id").as("id_b")), Seq("id_b"), "leftsemi")
+        .join(broadcast(assigned.select(col("id").as("id_b"))),
+          Seq("id_b"), "leftsemi")
       val dec = (c: Column) => c.cast("decimal(38,0)")
       val a = union.select(col("id").as("id_a"), col("q").as("q_a"),
         col("nrm").as("n_a"))
       val b = union.select(col("id").as("id_b"), col("q").as("q_b"),
         col("nrm").as("n_b"))
-      val drops = cand.join(a, "id_a").join(b, "id_b")
+      // broadcast PINNED on the union side of both verify joins: it is
+      // the LINEAR side (batch + the touched clusters' history, the same
+      // locality bound the partition prune enforces) while `cand` is
+      // quadratic in cluster occupancy. The r13 catalog-read attempt
+      // regressed 223 → 1399 MB soak shuffle exactly here: the native
+      // scan's EXACT size stats pushed the union past
+      // autoBroadcastJoinThreshold and Catalyst de-broadcast what the V1
+      // path's unknown-size estimate had always broadcast. Pinning makes
+      // the r12 plan shape deliberate instead of accidental.
+      val drops = cand.join(broadcast(a), "id_a").join(broadcast(b), "id_b")
         .select(col("id_b"), longDot(col("q_a"), col("q_b")).as("dot_q"),
           col("n_a"), col("n_b"))
         .filter(col("n_a") > 0 && col("n_b") > 0 && col("dot_q") >= 0 &&
@@ -745,8 +761,16 @@ object Dedup {
           col("__drop").isNull.as("kept"))
         .withColumn("pt",
           coalesce(col("cl").cast("string"), lit("none")))
+      // MOR + deltaCounters=off (r14): every batch appends verdict rows
+      // across many clusters, so COW upserts rewrote every touched bucket
+      // per batch; MOR appends are batch-sized delta commits and the
+      // catalog read above merges them in-task. An internal state table
+      // consumed by joins never answers metadata COUNT(*), so the
+      // per-delta live-count existence join buys nothing
       val writer = out.write.format("graft")
         .option("key", "doc_id").option("partition", "pt")
+        .option("type", "mor")
+        .option("deltaCounters", "off")
         .option("buckets", numBuckets.toString)
         .mode(org.apache.spark.sql.SaveMode.Append)
       ts.fold(writer)(t => writer.option("ts", t)).save(indexDir)

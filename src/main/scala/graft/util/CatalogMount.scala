@@ -17,7 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The catalog instance is cached by Spark per name, so the name encodes
   * the qualified PARENT directory (the mounted warehouse) — remounting
   * the same directory reuses the instance; different directories get
-  * different catalogs. */
+  * different catalogs. Each DISTINCT warehouse registers one
+  * `spark.sql.catalog.*` conf pair for the session's lifetime (two
+  * strings per mounted parent directory — bounded by the number of
+  * distinct state-table roots an application maintains, not by reads;
+  * a session mounting unboundedly many directories should prefer
+  * [[graft.read.SnapshotReader]] or recycle the session). */
 object CatalogMount {
 
   /** The table at `tableDir` (its parent becomes the warehouse, its name
@@ -35,6 +40,8 @@ object CatalogMount {
     spark.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
-    spark.table(s"$cat.${q.getName}")
+    // backtick-quoted: a table directory named with a dot/hyphen/space
+    // must parse as ONE identifier, not a namespace path
+    spark.table(s"$cat.`${q.getName}`")
   }
 }

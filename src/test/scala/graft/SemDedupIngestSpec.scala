@@ -76,23 +76,55 @@ class SemDedupIngestSpec extends SparkSpec {
     val cells = idx.select($"pt").distinct().as[String].collect().sorted
     assert(cells.length > 1, "corpus must span several clusters")
     val one = cells.head
-    // pruning keys on the partition-path META column (what semIngestDedup
-    // itself filters on) — a payload `pt` filter would read every file
-    val pruned = read.SnapshotReader.read(spark, dir)
-      .filter(col(graft.format.MetaCols.PartitionPath) === one)
-    val scans = pruned.queryExecution.sparkPlan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }
-    assert(scans.size == 1)
-    assert(scans.head.partitionFilters.nonEmpty,
-      "pt predicate did not reach the scan as a partitionFilter")
-    val files = scans.head.relation.location
-      .listFiles(scans.head.partitionFilters, Nil)
-      .flatMap(_.files).map(_.getPath.toString)
-    assert(files.nonEmpty)
-    assert(files.forall(_.contains(s"/$one/")),
-      s"expected only partition $one files, got:\n${files.mkString("\n")}")
+    // the ingest's own read path (r14): the catalog-mounted native scan
+    // with a `pt` partition filter — planned input partitions must narrow
+    // to the queried cluster's file groups, a STATIC metadata prune
+    def scanParts(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.inputPartitions.length
+      }.sum
+    val full = graft.util.CatalogMount.table(spark, dir)
+    val pruned = full.filter($"pt" === one)
+    assert(scanParts(pruned) > 0 && scanParts(pruned) < scanParts(full),
+      s"pt prune did not narrow planned slices: " +
+        s"${scanParts(pruned)} vs ${scanParts(full)}")
     // and the pruned read still answers correctly
     assert(pruned.count() == idx.filter($"pt" === one).count())
+  }
+
+  test("verify joins keep the pair frame exchange-free: the union side " +
+    "broadcasts (the r13 de-broadcast regression, pinned)") {
+    // (depends on the table built by the first test) — drive one more
+    // batch through the ingest and assert its drops-plan joins the
+    // candidate-pair frame against BROADCAST sides only
+    val batch = Seq((200L, Seq.fill(8)(0.5f): Seq[Float])).toDF(
+      "vec_id", "embedding")
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String, qe: org.apache.spark.sql.execution
+          .QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString: Unit }
+      def onFailure(f: String, qe: org.apache.spark.sql.execution
+          .QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Dedup.semIngestDedup(spark, dir, batch, $"vec_id", $"embedding",
+        anchors, thresholdNum = 9, thresholdDen = 10)
+      org.apache.spark.sql.graft.Bridge.waitForListeners(
+        spark.sparkContext)
+    } finally spark.listenerManager.unregister(l)
+    // every join KEYED on id_a/id_b consumes the candidate-pair frame
+    // (the bucketed self-join that PRODUCES pairs keys on band/bucket) —
+    // each must be a BroadcastHashJoin: a sort-merge or shuffled-hash
+    // join there means the quadratic pair side moved through an exchange,
+    // the exact r13 de-broadcast regression
+    val exchanged = raw"(SortMergeJoin|ShuffledHashJoin) \[(id_a|id_b)#".r
+    val offenders = plans.synchronized {
+      plans.filter(p => exchanged.findFirstIn(p).nonEmpty)
+    }
+    assert(offenders.isEmpty,
+      s"pair-frame join left broadcast:\n${offenders.headOption.getOrElse("")}")
   }
 }

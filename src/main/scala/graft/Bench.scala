@@ -97,8 +97,20 @@ object Bench {
     val spin1B = spin1()
     val calibB = spinPar(SpinIters)
 
+    // Adaptive third sample (r14): two passes disagreeing by >25% on a
+    // non-trivial query mean at least one sample ate host noise (the
+    // codec-heavy queries swung ±35% between ROUNDS on untouched code —
+    // VERDICT r13); one extra run tightens the min exactly where the
+    // estimator is weakest, at ~zero cost when the host is quiet.
+    val fnByName = named.toMap
     val results = pass1.zip(pass2).map { case ((name, a), (_, b)) =>
-      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      val m = if (a < 0) b else if (b < 0) a else math.min(a, b)
+      val spread =
+        if (a > 0 && b > 0) math.abs(a - b) / math.min(a, b) else 0.0
+      name -> (if (m >= 0.3 && spread > 0.25) {
+        val c = runOne(name, fnByName(name), timed = true)
+        if (c >= 0) math.min(m, c) else m
+      } else m)
     }
     // Per-GROUP normalization: each group's cost scales by the fastest
     // spin sample observed adjacent to it (before/after, either pass) —

@@ -390,14 +390,44 @@ object SoakCheck {
       pipeline.Dedup.semIngestDedup(spark, semIdx,
         semBatch(2 * sb, SemRows), col("id"), col("vec"), semAnchors,
         9, 10, ts = Some("3000"))
-    })(df => { semKept = df.filter(col("kept")).count(); df.count() })
+    })(df => {
+      // ONE pass over the (MOR, delta-carrying) index for both counts —
+      // two separate actions would pay the V1 merge read twice
+      val r = df.agg(count(lit(1)),
+        sum(when(col("kept"), 1L).otherwise(0L))).collect()(0)
+      semKept = r.getLong(1)
+      r.getLong(0)
+    })
     require(sem.rowsOut == SemRows,
       s"sem index holds ${sem.rowsOut} docs, expected $SemRows")
     require(semKept == SemRows * 9 / 10,
       s"sem kept $semKept docs, expected ${SemRows * 9 / 10}")
-    require(sem.jobs <= 3 * 100,
+    require(sem.jobs <= 3 * 30,
       s"sem_ingest_dedup ran ${sem.jobs} jobs for 3 batches — " +
-        "budget is 100/batch")
+        "budget is 30/batch (r14: catalog state reads + pinned broadcasts)")
+
+    // ---- path 7e: sem TAIL batch into the grown index (r14) ------------
+    // 1% of the corpus arriving AFTER the 40k-vector index exists. The
+    // locality bound here is TOUCHED-CLUSTER HISTORY (with 32 anchors a
+    // spread batch touches every cluster — semantics require comparing
+    // against those clusters' full history), so unlike substr the tail
+    // cannot be index-free; the gate pins that it costs a FRACTION of
+    // the 100× bootstrap, i.e. per-batch cost never re-pays the whole
+    // ingest history.
+    val SemTail = SemRows / 100
+    val semTail = measure(spark, "sem_ingest_tail")(() =>
+      pipeline.Dedup.semIngestDedup(spark, semIdx,
+        semBatch(SemRows, SemRows + SemTail),
+        col("id"), col("vec"), semAnchors, 9, 10))(df =>
+      df.agg(count(lit(1))).collect()(0).getLong(0))
+    require(semTail.rowsOut == SemRows + SemTail,
+      s"sem index holds ${semTail.rowsOut}, expected ${SemRows + SemTail}")
+    require(semTail.totalShuffleWriteMB * 4 <= sem.totalShuffleWriteMB,
+      s"sem_ingest_tail shuffled ${semTail.totalShuffleWriteMB} MB vs " +
+        s"${sem.totalShuffleWriteMB} MB for the 100x bootstrap — a tail " +
+        "batch must cost a fraction of the history it joins against")
+    require(semTail.jobs <= 30,
+      s"sem_ingest_tail ran ${semTail.jobs} jobs — budget is 30/batch")
 
     // ---- path 8: maintained EXACT distinct view at 20× (r10 tail) ------
     // bootstrap over the 3M-row COW table, then an UPSERT moving 2% of
@@ -430,6 +460,14 @@ object SoakCheck {
       dvwGroups
     })
     require(dvw.rowsOut == 8, s"distinct_view groups ${dvw.rowsOut}")
+    // r14 budget (was 121 jobs / 523 MB before the shared-checkpoint
+    // treatment): bootstrap agg + diff sides each execute ONCE now —
+    // measured 63 jobs / 285 MB, gated with headroom
+    require(dvw.jobs <= 75,
+      s"distinct_view ran ${dvw.jobs} jobs — budget is 75 " +
+        "(bootstrap + upsert + incremental refresh, single-execution diffs)")
+    require(dvw.totalShuffleWriteMB <= 360,
+      s"distinct_view shuffled ${dvw.totalShuffleWriteMB} MB — budget 360")
 
     // ---- path 9: ExactSubstr dedup at 20× docs (r12) -------------------
     // 100k docs of 40 UNIQUE tokens each (token = f(doc, position), so no
@@ -556,8 +594,8 @@ object SoakCheck {
 
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
-      search, wand, incIng, incSearch, sem, dvw, sub, subInc, subTail,
-      knn, knnPq)
+      search, wand, incIng, incSearch, sem, semTail, dvw, sub, subInc,
+      subTail, knn, knnPq)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -568,7 +606,7 @@ object SoakCheck {
     // wall time, not planning.
     all.filterNot(r => Set("ingest_dedup", "catalog_stream",
         "bm25_build", "distinct_view", "inc_index_ingest",
-        "sem_ingest_dedup", "knn_join", "knn_join_pq",
+        "sem_ingest_dedup", "sem_ingest_tail", "knn_join", "knn_join_pq",
         "substr_ingest", "substr_ingest_tail")(r.name)) // thunks RUN work
       // (knn_join's "plan" includes ivfTrain's Lloyd jobs)
       .foreach(r =>

@@ -1208,6 +1208,19 @@ object SparkEntry {
           Bpe.tokenCount(col("text"), Bpe.SeedMerges).cast("long")
             .as("n_bpe"))
         .orderBy(col("doc_id"))),
+    // CORPUS-trained BPE (r14): merges learned by Bpe.trainMerges on the
+    // documents table itself (the production path), tokenization under
+    // the LEARNED table. The oracle embeds the same learned literals —
+    // oracleSql is a def rendered after the queries run, and training is
+    // integer-deterministic in the data, so both engines replay one
+    // merge table (closes the r13 gap: trainMerges was property-pinned
+    // but never hash-gated end to end).
+    "q_bpe_tokens_trained" -> ((s, d) => {
+      val m = Bpe.trainedFor(tp(s, d, "documents"), col("text"), d)
+      tp(s, d, "documents").select(col("doc_id"),
+          Bpe.tokenCount(col("text"), m).cast("long").as("n_bpe_t"))
+        .orderBy(col("doc_id"))
+    }),
     // Sequence packing on MODEL tokens (r13): the q_pack shape with BPE
     // counts instead of the bpe-ish regex — budgets are now real
     // tokenizer units end to end.
@@ -1525,9 +1538,15 @@ object SparkEntry {
     * the batch training application — pinned in BpeProps). Yields
     * `bpe_final(w, n)`: each word's exact token count. chr(31) separates
     * pair halves so ("ab","c") and ("a","bc") stay distinct. */
-  private lazy val BpeCte: String = {
-    val mv = Bpe.SeedMerges.zipWithIndex
-      .map { case ((l, r), i) => s"($i, '$l', '$r')" }.mkString(", ")
+  private lazy val BpeCte: String = bpeCte(Bpe.SeedMerges)
+
+  /** [[BpeCte]] parameterized by the merge table — the trained-merge
+    * oracle (`q_bpe_tokens_trained`) embeds learned literals here. */
+  private def bpeCte(merges: Seq[(String, String)]): String = {
+    def esc(x: String) = x.replace("'", "''")
+    val mv = merges.zipWithIndex
+      .map { case ((l, r), i) => s"($i, '${esc(l)}', '${esc(r)}')" }
+      .mkString(", ")
     s"merges(rank, l, r) AS (VALUES $mv), " +
       s"bpe_words AS (SELECT DISTINCT w FROM (SELECT unnest($Toks) AS w FROM documents)), " +
       "bpe_step(w, syms) AS (" +
@@ -2556,6 +2575,16 @@ object SparkEntry {
       (s"WITH RECURSIVE $BpeCte, " +
         s"dt AS (SELECT doc_id, unnest($Toks) AS w FROM documents) " +
         "SELECT d.doc_id AS doc_id, CAST(sum(f.n) AS BIGINT) AS n_bpe " +
+        "FROM dt d JOIN bpe_final f USING (w) GROUP BY d.doc_id " +
+        "ORDER BY doc_id"),
+    // same replay over the LEARNED merge table (Bpe.lastTrained is set
+    // by the q_bpe_tokens_trained run that precedes this render in
+    // Verify; the SeedMerges fallback only fires if the query never ran,
+    // in which case there is no result to compare anyway)
+    "q_bpe_tokens_trained" ->
+      (s"WITH RECURSIVE ${bpeCte(Bpe.lastTrained.getOrElse(Bpe.SeedMerges))}, " +
+        s"dt AS (SELECT doc_id, unnest($Toks) AS w FROM documents) " +
+        "SELECT d.doc_id AS doc_id, CAST(sum(f.n) AS BIGINT) AS n_bpe_t " +
         "FROM dt d JOIN bpe_final f USING (w) GROUP BY d.doc_id " +
         "ORDER BY doc_id"),
     // q_pack's window arithmetic over per-doc BPE counts (cap 256).

@@ -95,6 +95,21 @@ case class TopKAgg(
     containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(score, id)
+  // analysis-time typing (ExpectsInputTypes is out of reach —
+  // AbstractDataType is private[sql]): update() casts eval results
+  // directly, so a float score or int id child would otherwise surface
+  // as a runtime ClassCastException mid-job instead of an
+  // AnalysisException at planning; the [[TopKAgg.topK]] builder also
+  // casts, so only direct Expression construction can get here
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (score DOUBLE, id BIGINT), got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+  }
   override def prettyName: String = "top_k_pairs"
 
   override def withNewMutableAggBufferOffset(offset: Int): TopKAgg =
@@ -172,6 +187,9 @@ object TopKAgg {
   /** Aggregate column: the k (score DESC, id ASC)-first pairs of the
     * group as `array<struct<id, score>>`, map-side combined. */
   def topK(score: Column, id: Column, k: Int): Column =
-    Bridge.column(TopKAgg(Bridge.expression(score),
-      Bridge.expression(id), k).toAggregateExpression())
+    // casts make Column-level misuse (float score, int id) WORK rather
+    // than fail: cast-to-same-type is a no-op for the intended callers,
+    // and checkInputDataTypes still rejects direct Expression misuse
+    Bridge.column(TopKAgg(Bridge.expression(score.cast("double")),
+      Bridge.expression(id.cast("long")), k).toAggregateExpression())
 }

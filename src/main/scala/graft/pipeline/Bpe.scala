@@ -146,4 +146,31 @@ object Bpe {
     * `q_bpe_tokens` / `q_pack_bpe` gates and their SQL oracles share. */
   lazy val SeedMerges: Seq[(String, String)] =
     trainMergesLocal(SeedWordFreq, 40)
+
+  /** CORPUS-trained merges, cached per source key (one training pass per
+    * table per JVM — repeat callers and the bench's warm passes reuse
+    * the learned table). [[lastTrained]] exposes the most recent result
+    * so the oracle-SQL generator — a `def`, rendered AFTER the queries
+    * run in `graft.Verify` — can embed the SAME learned literals the
+    * query tokenized with: the SeedMerges embedding mechanism pointed at
+    * trained output (`q_bpe_tokens_trained`). Training is
+    * integer-deterministic in the data (count desc, word asc type head;
+    * max-count lexicographic merge selection), so query and oracle agree
+    * even across separate JVMs over the same corpus. */
+  private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String)]]()
+  @volatile private var lastKey: Option[String] = None
+
+  def trainedFor(df: DataFrame, text: Column, key: String,
+      numMerges: Int = 48, maxTypes: Int = 1 << 20)
+      : Seq[(String, String)] = {
+    val m = trainedCache.computeIfAbsent(key,
+      _ => trainMerges(df, text, numMerges, maxTypes))
+    lastKey = Some(key)
+    m
+  }
+
+  /** The most recently [[trainedFor]]-returned merges, if any. */
+  def lastTrained: Option[Seq[(String, String)]] =
+    lastKey.flatMap(k => Option(trainedCache.get(k)))
 }

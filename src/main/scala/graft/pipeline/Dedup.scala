@@ -995,10 +995,18 @@ object Dedup {
     * [[substrSpans]]): candidate (doc_id, pos, win) rows — positions
     * whose 8-byte window HASH is duplicated, with the window string
     * re-materialized for exact verification. */
+  /** The `w`-token window STRING starting at 0-based `pos` — the ONE
+    * window definition shared by the batch pass ([[substrCandidates]])
+    * and the incremental ingest ([[substrIngest]]). They must stay
+    * bit-identical: the arrival-order contract compares window strings
+    * counted by different code paths, so a drifting copy would silently
+    * split counts for the same span. */
+  private def winAt(t: Column, pos: Column, w: Int): Column =
+    concat_ws(" ", slice(t, pos + 1, lit(w)))
+
   private def substrCandidates(toks: DataFrame, posSeq: Column,
       w: Int, minDupCount: Int): DataFrame = {
-    def winAt(t: Column, pos: Column): Column =
-      concat_ws(" ", slice(t, pos + 1, lit(w)))
+    def winAt(t: Column, pos: Column): Column = Dedup.winAt(t, pos, w)
     // Phase 1: (doc_id, pos, h) — hashes computed BEFORE the explode so
     // the generator output (and the count shuffle) never carries the token
     // array or the window string.
@@ -1128,13 +1136,13 @@ object Dedup {
       val posSeq = when(size(col("t")) >= w,
         sequence(lit(0), size(col("t")) - w))
         .otherwise(array().cast("array<int>"))
-      def winAt(t: Column, pos: Column): Column =
-        concat_ws(" ", slice(t, pos + 1, lit(w)))
+      // window definition SHARED with the batch pass ([[winAt]]) — the
+      // arrival-order contract needs both to stay bit-identical
       // The batch materializes its window STRINGS directly (batch-sized
       // ×w — the price of never re-reading history text).
       val wins = toks.select(col("doc_id"),
           transform(posSeq, p =>
-            struct(p.as("pos"), winAt(col("t"), p).as("win"))).as("ws"))
+            struct(p.as("pos"), winAt(col("t"), p, w).as("win"))).as("ws"))
         .select(col("doc_id"), explode_outer(col("ws")).as("pw"))
         .filter(col("pw").isNotNull)
         .select(col("doc_id"), col("pw.pos").as("pos"),
@@ -1152,12 +1160,6 @@ object Dedup {
           bCounts.select(col("win"), col("bcnt").as("cnt"))
             .localCheckpoint(true)
         else {
-          // storage-partitioned join: the windex DSv2 scan (catalog
-          // mount, the table's own bucket key `k` as join key) reports
-          // bucket(n, k); with the shuffle conf only the BATCH side
-          // exchanges, into the index's bucket layout
-          val hist = graft.util.CatalogMount.table(spark, idxDir)
-            .select(col("k"), col("cnt").as("hcnt"))
           // barrier: bCounts' groupBy leaves a 32-partition hash
           // partitioning that outbids the index's 8-partition key-grouped
           // spec in EnsureRequirements' side selection — Spark would then
@@ -1166,28 +1168,38 @@ object Dedup {
           // the reusable spec so the scan side's layout wins; it also
           // pins the batch counts for the dup filter re-read.
           val bc = bCounts.localCheckpoint(true)
-          val prevSpj =
-            spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
-          val prevShuf = spark.conf.getOption(
-            "spark.sql.sources.v2.bucketing.shuffle.enabled")
-          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-          spark.conf.set(
+          // ISOLATED session for the storage-partitioned join (r14): the
+          // SPJ needs spark.sql.sources.v2.bucketing{,.shuffle}.enabled;
+          // flipping them on the CALLER's session leaked into concurrent
+          // queries during the eager checkpoint, and two interleaved
+          // ingests could restore each other's stale values. newSession
+          // shares the SparkContext (and re-applies builder-time
+          // options) but owns its SQLConf, so the flip is invisible
+          // outside this block; frames cross sessions as materialized
+          // RDDs (batch-counts-sized both ways). Runtime-set confs are
+          // NOT inherited — the sizing conf the join cares about is
+          // copied explicitly.
+          val iso = spark.newSession()
+          iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          iso.conf.set(
             "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-          try
-            bc.withColumnRenamed("win", "k")
-              .join(hist, Seq("k"), "left")
-              .select(col("k").as("win"),
-                (col("bcnt") + coalesce(col("hcnt"), lit(0L))).as("cnt"))
-              .localCheckpoint(true) // eager: the plan runs under the conf
-          finally {
-            prevSpj.fold(spark.conf.unset(
-              "spark.sql.sources.v2.bucketing.enabled"))(v =>
-              spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
-            prevShuf.fold(spark.conf.unset(
-              "spark.sql.sources.v2.bucketing.shuffle.enabled"))(v =>
-              spark.conf.set(
-                "spark.sql.sources.v2.bucketing.shuffle.enabled", v))
-          }
+          iso.conf.set("spark.sql.shuffle.partitions",
+            spark.conf.get("spark.sql.shuffle.partitions"))
+          // storage-partitioned join: the windex DSv2 scan (catalog
+          // mount, the table's own bucket key `k` as join key) reports
+          // bucket(n, k); with the shuffle conf only the BATCH side
+          // exchanges, into the index's bucket layout
+          val hist = graft.util.CatalogMount.table(iso, idxDir)
+            .select(col("k"), col("cnt").as("hcnt"))
+          val bcIso = org.apache.spark.sql.graft.Bridge
+            .sinkBatchDataFrame(iso, bc)
+          val joined = bcIso.withColumnRenamed("win", "k")
+            .join(hist, Seq("k"), "left")
+            .select(col("k").as("win"),
+              (col("bcnt") + coalesce(col("hcnt"), lit(0L))).as("cnt"))
+            .localCheckpoint(true) // eager: the plan runs under iso's conf
+          org.apache.spark.sql.graft.Bridge.sinkBatchDataFrame(
+            spark, joined)
         }
       val dupWins = totals.filter(col("cnt") >= minDupCount).select("win")
       val marked = wins.join(dupWins, Seq("win"), "left_semi")

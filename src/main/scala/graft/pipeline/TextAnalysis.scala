@@ -332,7 +332,15 @@ object TextAnalysis {
     * each keyed by a gram string against a vocabulary-sized count
     * table) — no broadcast required on either side; fp by nature →
     * spec-pinned, not oracle-hashed (the integer-exact gate is
-    * [[ngramCoverage]]). */
+    * [[ngramCoverage]]).
+    *
+    * COVERAGE CONTRACT: a document shorter than `order` tokens has zero
+    * order-n grams and gets NO output row (same as [[bigramLm]]'s scorer
+    * for sub-bigram docs — the order-2 ≡ pin depends on it). Raising the
+    * order therefore narrows which docs appear, not just their scores;
+    * a caller filtering on the score must left-join this result back to
+    * the corpus and decide a policy for the unscored tail (CCNet keeps
+    * them — too short to judge is not the same as low quality). */
   def stupidBackoffScoresN(df: DataFrame, id: Column, text: Column,
       ref: DataFrame, refText: Column, order: Int,
       alpha: Double = 0.4): DataFrame = {

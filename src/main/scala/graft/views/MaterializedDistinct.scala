@@ -82,6 +82,10 @@ object MaterializedDistinct {
         // bitmap_build ignores NULLs, so the when() keeps only inserts
         Bitmap64.bitmapBuild(when(col("__sign") > 0, col("__v")))
           .as("__add_bm"))
+      // ONE CDC read (r14): the touched-group collect below and the
+      // merged join would each re-run the change-feed scan + fold; the
+      // materialized frame is touched-groups-sized
+      .localCheckpoint(true)
 
     // prune the view read to the touched groups when the churn is small
     val touched = deltas.select(col("__g").cast("string"))
@@ -99,6 +103,10 @@ object MaterializedDistinct {
       // any retraction can shrink the distinct set; only the source knows
       // whether the retracted value's last duplicate went
       .withColumn("__recomp", col("__nn") > 0 && col("__rem_n") > 0)
+      // ONE view-side join (r14): consumed by fastUps, the recompute
+      // collect, and the deletes side — three executions of the pruned
+      // view read without the checkpoint
+      .localCheckpoint(true)
 
     val fastUps = merged.filter(col("__nn") > 0 && !col("__recomp"))
       .withColumn("__nbm",

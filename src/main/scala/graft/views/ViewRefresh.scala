@@ -36,7 +36,11 @@ private[views] object ViewRefresh {
     val viewTl = Timeline(conf, viewPath)
 
     if (viewTl.completedInstants().isEmpty) {
+      // eager checkpoint: the insert's touched/write/stats passes would
+      // otherwise re-run the SOURCE-SIZED bootstrap scan ~3×; the
+      // materialized aggregate is group-count-sized
       val agg = bootstrap(SnapshotReader.read(spark, srcPath))
+        .localCheckpoint(true)
       val ts0 = FormatWriter.nextTs(viewTl)
       try new CowWriter(spark, viewPath, buckets).insert(agg, col(groupCol),
         lit("all"), ts0,
@@ -57,7 +61,16 @@ private[views] object ViewRefresh {
       .exists(i => StructuralOps.contains(srcTl.metadata(i.ts).operationType))
 
     val viewSnap = SnapshotReader.read(spark, viewPath)
-    val (ups, dels) = diff(viewSnap, structural, asOf, srcHead)
+    val (ups0, dels0) = diff(viewSnap, structural, asOf, srcHead)
+
+    // one execution per diff side (r14 job/byte budget): the two isEmpty
+    // gates below plus CowWriter.commit's touched/write/stats passes
+    // would otherwise re-run each diff plan — CDC read + view join +
+    // the retraction re-aggregate of the source — up to 5×. The
+    // materialized diff is churn-sized (touched groups), never
+    // source-sized
+    val ups = Option(ups0).map(_.localCheckpoint(true)).orNull
+    val dels = Option(dels0).map(_.localCheckpoint(true)).orNull
 
     val up = Option(ups).filter(!_.isEmpty)
     val del = Option(dels).filter(!_.isEmpty)

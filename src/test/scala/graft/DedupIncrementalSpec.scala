@@ -164,4 +164,43 @@ class DedupIncrementalSpec extends SparkSpec {
         "seventeen eighteen")), $"doc_id", $"text", w = 8)
     assert(counts == ((2, 2)))
   }
+
+  test("substrIngest's SPJ conf flips are invisible to the caller's " +
+      "session, even DURING the ingest (isolated-session window)") {
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled")
+    // pin the outer session's values to 'false' — a leak would be seen
+    // either as a transient 'true' by the poller below or as a flipped
+    // final value (the interleaved-restore bug class)
+    keys.foreach(k => spark.conf.set(k, "false"))
+    try {
+      val dir = freshDir("substr_inc_conf")
+      graft.pipeline.Dedup.substrIngest(spark, dir,
+        docs((1L, "one two three four five six seven eight nine")),
+        $"doc_id", $"text", w = 8, ts = Some(C1))
+      @volatile var leaked: Option[String] = None
+      @volatile var stop = false
+      val poller = new Thread(() => {
+        while (!stop) {
+          keys.foreach { k =>
+            if (spark.conf.get(k) == "true") leaked = Some(k)
+          }
+          Thread.sleep(1)
+        }
+      })
+      poller.setDaemon(true)
+      poller.start()
+      try
+        // non-bootstrap batch: this is the path that runs the SPJ under
+        // the flipped confs (an eager checkpoint, a real execution window)
+        graft.pipeline.Dedup.substrIngest(spark, dir,
+          docs((2L, "ten eleven twelve thirteen fourteen fifteen " +
+            "sixteen seventeen eighteen")), $"doc_id", $"text", w = 8)
+      finally { stop = true; poller.join(1000) }
+      assert(leaked.isEmpty, s"conf ${leaked.getOrElse("")} leaked to " +
+        "the outer session during ingest")
+      assert(keys.forall(spark.conf.get(_) == "false"),
+        "outer-session conf values changed across the ingest")
+    } finally keys.foreach(spark.conf.unset)
+  }
 }

@@ -766,13 +766,18 @@ object Dedup {
       // per batch; MOR appends are batch-sized delta commits and the
       // catalog read above merges them in-task. An internal state table
       // consumed by joins never answers metadata COUNT(*), so the
-      // per-delta live-count existence join buys nothing
-      val writer = out.write.format("graft")
+      // per-delta live-count existence join buys nothing. The options go
+      // on the CREATING commit only — appends follow the recorded table
+      // type, so a pre-r14 COW index keeps ingesting (as COW) instead of
+      // tripping the type-contradiction guard
+      val base = out.write.format("graft")
         .option("key", "doc_id").option("partition", "pt")
-        .option("type", "mor")
-        .option("deltaCounters", "off")
         .option("buckets", numBuckets.toString)
         .mode(org.apache.spark.sql.SaveMode.Append)
+      val writer =
+        if (tl.completedInstants().isEmpty)
+          base.option("type", "mor").option("deltaCounters", "off")
+        else base
       ts.fold(writer)(t => writer.option("ts", t)).save(indexDir)
     } finally assigned.unpersist(blocking = true)
     graft.read.SnapshotReader.read(spark, indexDir)

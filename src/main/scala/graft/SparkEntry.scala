@@ -906,10 +906,15 @@ object SparkEntry {
     // id-keyed exact rerank. Exhaustive probe + full rerank ⇒ exact brute
     // force minus self regardless of quantization (the gate); realistic
     // (nprobe, rerank) recall is measured in RECALL_r13.
+    // ksub 64 at the GATE (r14): exhaustive probe + full rerank is exact
+    // REGARDLESS of quantization quality, so the gate doesn't need
+    // production-sized codebooks — 256-entry books trained on the bench
+    // corpus cost a 4 MB SDC plan literal and most of the query's wall
+    // time for zero gate power (RECALL_r14 prices quality at defaults).
     "q_knn_join_pq" -> ((s, d) =>
       Similarity.knnJoinPq(tp(s, d, "embeddings"), col("vec_id"),
           col("embedding"), k = 3, nlist = 8, nprobe = 8, dim = 64,
-          rerank = 1 << 30)
+          ksub = 64, rerank = 1 << 30)
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))),
     // OPQ-composed compressed kNN join (r14): codebooks + SDC table in
@@ -920,7 +925,7 @@ object SparkEntry {
     "q_knn_join_opq" -> ((s, d) =>
       Similarity.knnJoinPq(tp(s, d, "embeddings"), col("vec_id"),
           col("embedding"), k = 3, nlist = 8, nprobe = 8, dim = 64,
-          rerank = 1 << 30, opqIters = 2)
+          ksub = 64, rerank = 1 << 30, opqIters = 2)
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))),
     // Mutual-kNN-graph clustering (r12): connected components over edges

@@ -310,6 +310,16 @@ class ProcedureSpec extends SparkSpec {
     val comp = spark.read.parquet(pq.getString(2))
       .select("query_id", "corpus_id", "rank")
     assert(full.exceptAll(comp).isEmpty && comp.exceptAll(full).isEmpty)
+
+    // opq_iters routes through the rotation (r14): inner products are
+    // preserved, so the exhaustive edge set is STILL the full-vector one
+    val opq = spark.sql(s"CALL $cat.system.knn_graph_pq(table => 'ns.emb', " +
+      "id_col => 'vec_id', vec_col => 'embedding', dim => 64, k => 3, " +
+      "nlist => 4, nprobe => 4, rerank => 1000000, opq_iters => 1)").head()
+    assert(opq.getLong(0) == n * 3 && opq.getLong(1) == kg.getLong(1))
+    val rot = spark.read.parquet(opq.getString(2))
+      .select("query_id", "corpus_id", "rank")
+    assert(full.exceptAll(rot).isEmpty && rot.exceptAll(full).isEmpty)
   }
 
   test("bpe_tokens procedure: trains on the table, counts land; " +

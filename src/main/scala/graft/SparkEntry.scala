@@ -1175,6 +1175,20 @@ object SparkEntry {
             col("text"), n = 3, minCount = 2), n = 3)
         .orderBy(col("doc_id"))
     }),
+    // Gopher repetition filters (r14, Rae et al. 2021 §A1.1): per-doc
+    // top-n-gram fraction at n ∈ {2,3,4} — one explode of all orders,
+    // one map-side-combined (doc,n,gram) count, one (doc,n) max; exact
+    // integer permille.
+    "q_rep_topgram" -> ((s, d) =>
+      TextAnalysis.topNgramFraction(tp(s, d, "documents"), col("doc_id"),
+          col("text"), orders = Seq(2, 3, 4))
+        .orderBy(col("doc_id"), col("n"))),
+    // ... and duplicated-5-gram POSITION coverage (overlaps counted
+    // once — the within-doc twin of ExactSubstr's covered-token rule).
+    "q_rep_dupcov" -> ((s, d) =>
+      TextAnalysis.dupNgramCoverage(tp(s, d, "documents"), col("doc_id"),
+          col("text"), n = 5)
+        .orderBy(col("doc_id"))),
     // Corpus-relative quality cut: keep the top 20% by integer score via a
     // histogram-resolved threshold — no global sort, ties kept
     // (Curation.keepTopQuantile).
@@ -2548,6 +2562,41 @@ object SparkEntry {
         "CAST(coalesce(h.known, 0) AS BIGINT) AS known_ngrams, " +
         "CAST(floor(coalesce(h.known, 0) * 1000 / greatest(len(b.bgs), 1)) AS BIGINT) AS lm_coverage_permille " +
         "FROM bg b LEFT JOIN hits h ON b.doc_id = h.doc_id ORDER BY doc_id"),
+    // Gopher top-n-gram fraction: per (doc, n) the max n-gram count;
+    // permille = top_cnt·n·1000/n_tokens (uncapped, like the paper's
+    // char fraction — overlapping self-repeats may exceed 1000).
+    "q_rep_topgram" ->
+      (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+        "ex AS (" + Seq(2, 3, 4).map(n =>
+          s"SELECT doc_id, $n AS n, unnest(CASE WHEN len(t) >= $n THEN " +
+          s"list_transform(range(0, len(t)-$n+1), i -> array_to_string(t[i+1:i+$n], ' ')) " +
+          "ELSE [] END) AS gram FROM toks").mkString(" UNION ALL ") + "), " +
+        "c AS (SELECT doc_id, n, gram, count(*) AS c FROM ex GROUP BY doc_id, n, gram), " +
+        "m AS (SELECT doc_id, n, max(c) AS top_cnt FROM c GROUP BY doc_id, n), " +
+        "base AS (SELECT doc_id, len(t) AS n_tokens, unnest([2, 3, 4]) AS n FROM toks) " +
+        "SELECT b.doc_id AS doc_id, CAST(b.n AS INT) AS n, " +
+        "CAST(b.n_tokens AS INT) AS n_tokens, " +
+        "CAST(coalesce(m.top_cnt, 0) AS BIGINT) AS top_cnt, " +
+        "CAST(floor(coalesce(m.top_cnt, 0) * b.n * 1000 / greatest(b.n_tokens, 1)) AS BIGINT) AS permille " +
+        "FROM base b LEFT JOIN m ON b.doc_id = m.doc_id AND b.n = m.n " +
+        "ORDER BY doc_id, n"),
+    // Gopher duplicated-5-gram coverage: positions covered by any
+    // within-doc window occurring >= 2 times, overlaps counted once
+    // (DISTINCT over pos+k), the same zipped-unnest window build as the
+    // ExactSubstr oracles.
+    "q_rep_dupcov" ->
+      (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+        "wins AS (SELECT doc_id, unnest(range(0, greatest(len(t)-5+1, 0))) AS pos, " +
+        "unnest(list_transform(range(0, greatest(len(t)-5+1, 0)), i -> array_to_string(t[i+1:i+5], ' '))) AS win FROM toks), " +
+        "dup AS (SELECT doc_id, win FROM wins GROUP BY doc_id, win HAVING count(*) >= 2), " +
+        "mark AS (SELECT DISTINCT w.doc_id AS doc_id, w.pos AS pos FROM wins w " +
+        "JOIN dup d ON w.doc_id = d.doc_id AND w.win = d.win), " +
+        "cov AS (SELECT doc_id, count(DISTINCT j) AS covered FROM " +
+        "(SELECT doc_id, pos + unnest(range(0, 5)) AS j FROM mark) GROUP BY doc_id) " +
+        "SELECT t.doc_id AS doc_id, CAST(len(t.t) AS INT) AS n_tokens, " +
+        "CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens, " +
+        "CAST(floor(coalesce(c.covered, 0) * 1000 / greatest(len(t.t), 1)) AS BIGINT) AS permille " +
+        "FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id ORDER BY doc_id"),
     // top-20% threshold from the descending score histogram (ties kept:
     // the smallest threshold whose tail covers ceil(0.2·N) rows)
     "q_quality_topfrac" ->

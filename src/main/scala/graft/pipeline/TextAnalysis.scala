@@ -190,6 +190,103 @@ object TextAnalysis {
     * the original bigram LM filters consume). */
   def bigrams(text: Column): Column = ngrams(text, 2)
 
+  /** GOPHER repetition filter, part 1 (Rae et al. 2021 §A1.1): per
+    * document and per order n ∈ `orders`, the fraction of the document
+    * covered by occurrences of its single MOST FREQUENT word n-gram —
+    * `top_cnt · n / n_tokens` as an exact permille floor (may exceed
+    * 1000 for overlapping self-repeats, as in the paper's uncapped
+    * char-fraction; the filter thresholds, it doesn't normalize).
+    * Degenerate repetition ("the the the …", boilerplate chants) scores
+    * near or above 1000; healthy prose scores low. Token-based rather
+    * than character-based — same construction, and the permille stays
+    * integer-exact for the cross-engine hash gate.
+    *
+    * Output: one row per (doc, n): (doc_id, n, n_tokens, top_cnt,
+    * permille); docs shorter than n tokens report top_cnt 0 (present,
+    * not absent — a filter must see every doc). Scale shape: ONE
+    * explode of all orders → one map-side-combined count keyed
+    * (doc, n, gram) → one (doc, n) max — never a per-doc in-row mode
+    * scan (O(len²) on long documents). */
+  def topNgramFraction(df: DataFrame, id: Column, text: Column,
+      orders: Seq[Int]): DataFrame = {
+    require(orders.nonEmpty && orders.forall(_ >= 1),
+      s"orders must be non-empty, all >= 1 (got $orders)")
+    val base = graft.util.ParallelScan.widen(
+      df.select(id.cast("long").as("doc_id"), tokens(text).as("t")))
+    def gramsOf(t: Column, n: Int): Column =
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val ex = base.select(col("doc_id"),
+        explode(array(orders.map(n =>
+          struct(lit(n).as("n"), gramsOf(col("t"), n).as("gs"))): _*))
+          .as("e"))
+      .select(col("doc_id"), col("e.n").as("n"),
+        explode(col("e.gs")).as("gram"))
+    val top = ex.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n").agg(max(col("c")).as("top_cnt"))
+    base.select(col("doc_id"), size(col("t")).as("n_tokens"),
+        explode(array(orders.map(n => lit(n)): _*)).as("n"))
+      .join(top, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"), col("n_tokens"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+        floor(coalesce(col("top_cnt"), lit(0L)) * col("n") * 1000 /
+          greatest(col("n_tokens"), lit(1))).as("permille"))
+  }
+
+  /** GOPHER repetition filter, part 2: per document, the fraction of
+    * token POSITIONS covered by any word n-gram occurring MORE THAN ONCE
+    * within the document — position-coverage semantics, so overlapping
+    * duplicate windows never double-count (the within-doc twin of
+    * [[graft.pipeline.Dedup.substrDedup]]'s covered-token rule; Gopher
+    * applies it at n ∈ 5..10). Output (doc_id, n_tokens, covered_tokens,
+    * permille), one row per doc.
+    *
+    * Scale shape: windows explode to (doc, pos, win) — the per-(doc,win)
+    * count is one map-side-combined shuffle, duplicated positions fold
+    * to ONE sorted per-doc array, and the covered-token count is a
+    * single in-row pass over that array (islands arithmetic:
+    * `n − overlap(prevEnd, pos)` per marked start). */
+  def dupNgramCoverage(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, s"ngram order must be >= 1 (got $n)")
+    val base = graft.util.ParallelScan.widen(
+      df.select(id.cast("long").as("doc_id"), tokens(text).as("t")))
+    val posSeq = when(size(col("t")) >= n,
+      sequence(lit(0), size(col("t")) - n))
+      .otherwise(array().cast("array<int>"))
+    val wins = base.select(col("doc_id"),
+        explode(transform(posSeq, p => struct(p.as("pos"),
+          concat_ws(" ", slice(col("t"), p + 1, lit(n))).as("win"))))
+          .as("pw"))
+      .select(col("doc_id"), col("pw.pos").as("pos"),
+        col("pw.win").as("win"))
+    val dupPos = wins
+      .withColumn("c",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id", "win")))
+      .filter(col("c") >= 2)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    // covered = Σ over sorted marked starts of (n − overlap with the
+    // previous window's end) — exact interval-union length in one fold
+    val covered = aggregate(col("ps"),
+      struct(lit(0).as("tot"), lit(Int.MinValue / 2).as("pe")),
+      (acc, p) => struct(
+        (acc.getField("tot") + lit(n) -
+          greatest(acc.getField("pe") - p, lit(0))).as("tot"),
+        (p + lit(n)).as("pe")),
+      acc => acc.getField("tot"))
+    base.select(col("doc_id"), size(col("t")).as("n_tokens"))
+      .join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(covered, lit(0)).cast("long").as("covered_tokens"),
+        floor(coalesce(covered, lit(0)) * 1000 /
+          greatest(col("n_tokens"), lit(1))).as("permille"))
+  }
+
   /** Reference-corpus bigram table for the LM filters: (bigram, cnt) with
     * cnt ≥ `minCount`. One map-side-combined count over the reference
     * corpus — build once, reuse across scoring runs (persist it as a graft

@@ -740,6 +740,41 @@ class PipelineSpec extends SparkSpec {
     assert(edges == Seq((1L, 2L), (3L, 4L)))
   }
 
+  test("gopher repetition filters: top-gram fraction exceeds 1000 on " +
+      "self-overlap, dup coverage counts overlapping positions once, " +
+      "short docs present with zeros") {
+    val docs = Seq(
+      (1L, "a a a a"),      // degenerate repeat
+      (2L, "a b a b c"),    // one repeated bigram, clean otherwise
+      (3L, "x"),            // shorter than every order
+      (4L, "p q r s t"))    // no repetition at all
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.topNgramFraction(docs, $"doc_id", $"text",
+        orders = Seq(2, 3))
+      .orderBy($"doc_id", $"n")
+      .select($"doc_id", $"n", $"top_cnt", $"permille")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(top == Seq(
+      // "a a" occurs 3× in 4 tokens: 3·2·1000/4 = 1500 — uncapped
+      (1L, 2, 3L, 1500L), (1L, 3, 2L, 1500L),
+      // "a b" occurs 2× in 5 tokens: 2·2·1000/5 = 800; top trigram 1×
+      (2L, 2, 2L, 800L), (2L, 3, 1L, 600L),
+      (3L, 2, 0L, 0L), (3L, 3, 0L, 0L),
+      (4L, 2, 1L, 400L), (4L, 3, 1L, 600L)))
+    val cov = TextAnalysis.dupNgramCoverage(docs, $"doc_id", $"text",
+        n = 2)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"covered_tokens", $"permille")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(cov == Seq(
+      // "a a" at pos 0,1,2: union [0,4) = 4 tokens, NOT 6 (overlap once)
+      (1L, 4L, 1000L),
+      // "a b" at pos 0,2: [0,2) ∪ [2,4) = 4 of 5
+      (2L, 4L, 800L),
+      (3L, 0L, 0L),
+      (4L, 0L, 0L)))
+  }
+
   test("bigramCoverage: full / zero / single-token docs score " +
       "1000 / 0 / 0 permille") {
     val ref = Seq((100L, "a b c")).toDF("id", "txt")

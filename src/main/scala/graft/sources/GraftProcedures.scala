@@ -566,6 +566,44 @@ private[sources] object GraftProcedures {
         Seq(row(Long.box(st.getLong(0)), Long.box(st.getLong(1)), outDir))
       },
 
+      proc("rep_filters",
+        "Gopher repetition filters (Rae et al. 2021 A1.1): per-doc " +
+          "top-n-gram fraction for each order in `orders` plus " +
+          "duplicated-`dup_n`-gram position coverage (overlaps counted " +
+          "once). Data-sized scores land under <table>/.rep_filters/ " +
+          "(topgram: doc_id, n, n_tokens, top_cnt, permille; dupcov: " +
+          "doc_id, n_tokens, covered_tokens, permille); this result is " +
+          "the summary",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("orders", StringType,
+            "comma-separated top-gram orders", default = Some("'2,3,4'")),
+          in("dup_n", IntegerType,
+            "duplicated-gram coverage order", default = Some("5"))),
+        out("n_docs" -> LongType, "max_topgram_permille" -> LongType,
+          "max_dupcov_permille" -> LongType, "out_path" -> StringType)) {
+        (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val outDir = s"$path/.rep_filters"
+        val docs = graft.read.SnapshotReader.read(spark, path)
+        val idc = org.apache.spark.sql.functions.col(str(r, 1))
+        val txt = org.apache.spark.sql.functions.col(str(r, 2))
+        val orders = str(r, 3).split(",").map(_.trim.toInt).toSeq
+        graft.pipeline.TextAnalysis
+          .topNgramFraction(docs, idc, txt, orders)
+          .write.mode("overwrite").parquet(s"$outDir/topgram")
+        graft.pipeline.TextAnalysis
+          .dupNgramCoverage(docs, idc, txt, r.getInt(4))
+          .write.mode("overwrite").parquet(s"$outDir/dupcov")
+        val tg = spark.read.parquet(s"$outDir/topgram")
+          .selectExpr("coalesce(max(permille), 0)").head().getLong(0)
+        val dc = spark.read.parquet(s"$outDir/dupcov")
+          .selectExpr("count(*)", "coalesce(max(permille), 0)").head()
+        Seq(row(Long.box(dc.getLong(0)), Long.box(tg),
+          Long.box(dc.getLong(1)), outDir))
+      },
+
       proc("exact_quantiles",
         "exact distributed quantiles of a numeric column (DuckDB " +
           "quantile_disc contract: k-th smallest, k = max(1, ceil(p*n))) " +

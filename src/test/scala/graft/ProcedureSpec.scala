@@ -352,4 +352,27 @@ class ProcedureSpec extends SparkSpec {
     assert(j.filter(col("n_tokens") < col("n_words") ||
       col("n_tokens") > col("n_chars")).isEmpty)
   }
+
+  test("rep_filters procedure: both score sets land, summary maxima " +
+      "match the materialized rows, every doc present") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.docs_rep")
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_rep_src")
+    spark.sql(s"CREATE TABLE $cat.ns.docs_rep PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'doc_id', buckets '2') " +
+      "AS SELECT doc_id, text, 'all' AS pt FROM docs_rep_src")
+    val r = spark.sql(s"CALL $cat.system.rep_filters(" +
+      "table => 'ns.docs_rep', id_col => 'doc_id', " +
+      "text_col => 'text')").head()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(r.getLong(0) == n)
+    val tg = spark.read.parquet(s"${r.getString(3)}/topgram")
+    val dc = spark.read.parquet(s"${r.getString(3)}/dupcov")
+    import org.apache.spark.sql.functions._
+    assert(tg.count() == n * 3 && dc.count() == n) // orders 2,3,4
+    assert(tg.agg(max(col("permille"))).head().getLong(0) == r.getLong(1))
+    assert(dc.agg(max(col("permille"))).head().getLong(0) == r.getLong(2))
+  }
 }

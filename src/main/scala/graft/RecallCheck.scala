@@ -157,6 +157,22 @@ object RecallCheck {
     val opqAdcRecall = opqRecallAt(0)
     val opqRerankRecall = opqRecallAt(4 * k)
 
+    // PCA (r14): subspace-cosine candidates at rank < dim — recall priced
+    // by (rank, rerank); full rerank is exact regardless of rank (the
+    // q_pca_topk gate), so only realistic settings are measured here.
+    def pcaRecallAt(rank: Int, rerank: Int): Double = {
+      val top = pairSet(Similarity.pcaTopK(
+        embs, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k, dim = 64,
+        rank = rank, center = false, rerank = rerank))
+      if (bruteTop.isEmpty) 1.0
+      else (bruteTop & top).size.toDouble / bruteTop.size
+    }
+    val pcaR8 = pcaRecallAt(8, 0)
+    val pcaR16 = pcaRecallAt(16, 0)
+    val pcaR32 = pcaRecallAt(32, 0)
+    val pcaR16Rerank = pcaRecallAt(16, 4 * k)
+
     // IVF-PQ composed serving path (r8): realistic nprobe + rerank, and
     // the exhaustive setting that must reproduce brute force exactly.
     // Each index is built ONCE per quantization mode; nprobe/rerank are
@@ -292,6 +308,10 @@ object RecallCheck {
       s""""recall_opq_adc":$opqAdcRecall,""" +
       s""""recall_opq_rerank${4 * k}":$opqRerankRecall,""" +
       s""""target":"ADC < 1 by design; rerank >= corpus is exact (q_pq_topk); rerank must not lose recall vs pure ADC","pass":${pqRerankRecall >= pqAdcRecall}},""" +
+      s""""pca_topk":{"k":$k,"dim":64,""" +
+      s""""recall_at_k_by_rank":{"8":$pcaR8,"16":$pcaR16,"32":$pcaR32},""" +
+      s""""recall_rank16_rerank${4 * k}":$pcaR16Rerank,""" +
+      s""""target":"< 1 by design at rank < dim; full rerank is exact (q_pca_topk); rerank must not lose recall vs pure subspace","pass":${pcaR16Rerank >= pcaR16}},""" +
       s""""ivfpq_topk":{"k":$k,"nlist":$nlist,""" +
       s""""recall_at_k_nprobe${nlist / 2}_rerank${4 * k}":$ivfpqRealistic,""" +
       s""""recall_raw_pq_same_setting":$ivfpqRaw,""" +

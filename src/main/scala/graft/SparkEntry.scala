@@ -892,6 +892,19 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // PCA top-k (r14): candidates ranked in a 16-dim principal subspace
+    // (rank/dim of the scoring FLOPs/bytes), exact-cosine rerank on the
+    // original vectors. Full rerank ⇒ exact brute force regardless of
+    // rank — the gate; realistic (rank, rerank) recall is in RECALL_r14.
+    "q_pca_topk" -> ((s, d) => {
+      val e = tp(s, d, "embeddings")
+      Similarity.pcaTopK(
+        e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5, dim = 64, rank = 16, center = false, rerank = 1 << 30)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // kNN JOIN (r12): every vector's 3 nearest others. The query side is
     // the whole corpus, so this is the no-broadcast shape — both sides
     // shuffled by IVF cell. nprobe = nlist ⇒ exact brute force (the gate);
@@ -1319,6 +1332,14 @@ object SparkEntry {
     "q_substr_dedup" -> ((s, d) =>
       Dedup.substrDedup(tp(s, d, "documents"), col("doc_id"), col("text"),
           w = 8)
+        .orderBy(col("doc_id"))),
+    // RefinedWeb-style duplicated-segment removal (r14): drop non-first
+    // occurrences of 5-token segments that repeat corpus-wide; tail and
+    // unique segments pass through. Two shuffles (segment-keyed count+join,
+    // doc-keyed regroup), never all-pairs.
+    "q_seg_dedup" -> ((s, d) =>
+      Dedup.segmentDedup(tp(s, d, "documents"), col("doc_id"), col("text"),
+          width = 5, minDupCount = 2, keepFirst = true)
         .orderBy(col("doc_id"))),
     // ExactSubstr span manifest (r12): one row per MAXIMAL duplicated
     // span — the cut list (Lee et al. publish byte ranges, not rewritten
@@ -2309,6 +2330,14 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
         "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
         ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // PCA candidates + FULL exact-cosine rerank ⇒ brute force regardless
+    // of the subspace rank — same oracle as q_sim_topk.
+    "q_pca_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
     // nprobe = nlist ⇒ the cell join degenerates to exact brute force over
     // all pairs minus self.
     "q_knn_join" ->
@@ -2742,6 +2771,31 @@ object SparkEntry {
         "CAST(len(t.t) AS INT) AS n_tokens, " +
         "CAST(len(t.t) - coalesce(a.kept, 0) AS INT) AS removed_tokens " +
         "FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id " +
+        "ORDER BY doc_id"),
+    // duplicated-segment removal: non-overlapping 5-token windows via
+    // zipped unnests; corpus count + canonical-first via windows; docs
+    // reassembled from kept segments in order plus the always-kept tail
+    "q_seg_dedup" ->
+      (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+        "base AS (SELECT doc_id, t, CAST(len(t)//5 AS INT) AS nseg FROM toks), " +
+        "occ AS (SELECT doc_id, unnest(range(0, nseg)) AS pos, " +
+        "unnest(list_transform(range(0, nseg), " +
+        "i -> array_to_string(t[i*5+1:i*5+5], ' '))) AS seg FROM base), " +
+        "occ2 AS (SELECT doc_id, pos, seg, " +
+        "count(*) OVER (PARTITION BY seg) AS cnt, " +
+        "row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM occ), " +
+        "kept AS (SELECT doc_id, pos, seg FROM occ2 WHERE cnt < 2 OR rn = 1), " +
+        "agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS body, " +
+        "count(*) AS kept_n FROM kept GROUP BY doc_id) " +
+        "SELECT b.doc_id AS doc_id, " +
+        // coalesce: DuckDB's array_to_string([]) is NULL, Spark's '' —
+        // both the tail slice and the fully-deduped doc hit it
+        "coalesce(array_to_string(list_filter([coalesce(a.body, ''), " +
+        "coalesce(array_to_string(b.t[b.nseg*5+1:], ' '), '')], " +
+        "x -> x <> ''), ' '), '') AS text_dedup, " +
+        "CAST(b.nseg AS BIGINT) AS segs_total, " +
+        "CAST(b.nseg - coalesce(a.kept_n, 0) AS BIGINT) AS segs_removed " +
+        "FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id " +
         "ORDER BY doc_id"),
     // same mark set as q_substr_dedup, islands via lag + running sum
     "q_substr_spans" ->

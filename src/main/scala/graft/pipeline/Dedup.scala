@@ -1422,6 +1422,86 @@ object Dedup {
       finally intermediates.foreach(_.unpersist(blocking = true))
     }
 
+  /** Corpus-wide duplicated-SEGMENT removal (the "line dedup" pass of
+    * RefinedWeb/CCNet-style pipelines, Penedo et al. 2023 §3.3 — drop the
+    * boilerplate lines that repeat across documents, keeping documents
+    * otherwise intact). The synthetic corpus carries no newlines, so the
+    * segment unit is a fixed-width NON-OVERLAPPING token window — the same
+    * operator with `\n`-split segments is a parameter change, not a new
+    * plan.
+    *
+    * Semantics (integer/string-exact, so the DuckDB oracle hash-matches):
+    * tokenize ([[TextAnalysis.tokens]] — trim/lower/split, the repo-wide
+    * convention), cut ⌊n/width⌋ segments of `width` tokens plus an
+    * always-kept tail; a segment OCCURRENCE is dropped iff its segment
+    * string occurs ≥ `minDupCount` times corpus-wide and (when `keepFirst`)
+    * it is not the canonical first occurrence (min (doc_id, pos)).
+    * Documents are reassembled from kept segments in order + tail; the
+    * output text is the NORMALIZED token stream (same contract as
+    * [[substrDedup]]).
+    *
+    * Returns (doc_id, text_dedup, segs_total, segs_removed), one row per
+    * input document (zero-segment docs pass through with their tail).
+    *
+    * Scale shape (100 TB): two shuffles — (1) segment-keyed: the distinct
+    * count is map-side combined, so the exchange carries distinct segments
+    * per mapper, and the occurrence↔count join reuses the same key; (2)
+    * doc-keyed regroup bounded by document size. Never all-pairs, no
+    * window over the corpus. Skew (one mega-duplicated boilerplate
+    * segment) concentrates that key's OCCURRENCES in one reducer — AQE
+    * skew-join splits it, and the keep-decision is a per-row predicate, so
+    * no quadratic blowup is possible. */
+  def segmentDedup(df: DataFrame, id: Column, text: Column,
+      width: Int = 5, minDupCount: Int = 2,
+      keepFirst: Boolean = true, materialize: Boolean = true): DataFrame = {
+    require(width > 0, "width must be positive")
+    require(minDupCount >= 2, "minDupCount below 2 would drop every segment")
+    val base = df.select(id.cast("long").as("doc_id"),
+        TextAnalysis.tokens(text).as("t"))
+      .withColumn("nseg", (size(col("t")) / width).cast("int"))
+      .withColumn("tail_", array_join(
+        slice(col("t"), col("nseg") * width + 1, size(col("t")) + 1), " "))
+    // explicit empty-array branch: sequence(0, -1) would INFER step −1 and
+    // yield [0, −1] for zero-segment docs instead of an empty list
+    val segArr = when(col("nseg") > 0,
+      transform(sequence(lit(0), col("nseg") - 1, lit(1)),
+        i => array_join(slice(col("t"), i * width + 1, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+    // posexplode_outer, not posexplode: keeps Catalyst from inferring a
+    // size()>0 filter that re-evaluates the segment build below the
+    // exchange (see the explode_outer note at the top of this file)
+    val occ = base.select(col("doc_id"), posexplode_outer(segArr)
+        .as(Seq("pos", "seg")))
+      .filter(col("seg").isNotNull)
+    // base feeds occ AND the final left join; occ feeds the count AND the
+    // occurrence↔count join — scoped persists keep this at ONE corpus
+    // tokenization + one segment-cut pass (see `scoped`)
+    scoped(materialize, base, occ) {
+      val counts = occ.groupBy("seg")
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("pos"))).as("first_occ"))
+      val keepCond = if (keepFirst)
+        col("cnt") < minDupCount ||
+          (col("first_occ.doc_id") === col("doc_id") &&
+            col("first_occ.pos") === col("pos"))
+      else col("cnt") < minDupCount
+      val kept = occ.join(counts, "seg").filter(keepCond)
+      val re = kept.groupBy("doc_id")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            s => s("seg")), " ").as("body"),
+          count(lit(1)).as("kept_n"))
+      base.join(re, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          array_join(filter(
+            array(coalesce(col("body"), lit("")), col("tail_")),
+            x => length(x) > 0), " ").as("text_dedup"),
+          col("nseg").cast("long").as("segs_total"),
+          (col("nseg") - coalesce(col("kept_n"), lit(0L)))
+            .cast("long").as("segs_removed"))
+    }
+  }
+
   /** (id_a, id_b, inter) + per-doc set sizes → integer-exact Jaccard
     * per-mille: floor(inter·1000 / (sz_a + sz_b − inter)). */
   private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,

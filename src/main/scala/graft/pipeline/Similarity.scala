@@ -616,6 +616,127 @@ object Similarity {
   private def toFloats(a: Column): Column =
     transform(a, x => x.cast("float"))
 
+  /** PCA model learned by [[pcaTrain]]: `mean` (length dim), `components`
+    * — `rank` orthonormal rows in DESCENDING explained-variance order —
+    * and the matching eigenvalues. Metadata-sized (rank·dim doubles):
+    * persists as a plan literal, never shuffles. */
+  case class PcaModel(mean: Seq[Double], components: Seq[Seq[Double]],
+      variances: Seq[Double])
+
+  /** Distributed PCA over an `array<float>` embedding column.
+    *
+    * ONE aggregation job computes the sufficient statistics — n, Σx
+    * ([[graft.functions.VectorMeanAgg]]) and Σx·xᵀ ([[graft.functions
+    * .OuterSumAgg]], zero per-row allocation, map-side combined) — so the
+    * driver sees a single dim×dim row regardless of corpus size; the
+    * dim×dim symmetric eigendecomposition runs on the driver via breeze
+    * (`eigSym`, the same dependency [[opqTrain]]'s SVD uses). This is the
+    * textbook covariance-method PCA and the right shape at 100 TB: the
+    * data pass is embarrassingly parallel and the driver cost is dim³,
+    * independent of rows.
+    *
+    * `center = true` (default) diagonalizes the covariance E[xxᵀ]−μμᵀ —
+    * classical PCA. `center = false` diagonalizes the raw second moment
+    * E[xxᵀ]: at `rank = dim` the components are then a pure ORTHOGONAL
+    * basis change, so projection preserves dot products and norms exactly
+    * — the property the full-rank exactness gate rides on (centering
+    * would shift cosine).
+    *
+    * Eigenvector signs are canonicalized (largest-|coordinate| entry
+    * positive) so the learned model is reproducible run to run. */
+  def pcaTrain(corpus: DataFrame, id: Column, vec: Column, dim: Int,
+      rank: Int, center: Boolean = true, trainFraction: Double = 1.0,
+      seed: Long = 42L): PcaModel = {
+    require(rank >= 1 && rank <= dim, s"rank must be in [1, $dim]")
+    val c = trainSample(
+      corpus.select(id.cast("long").as("id"), vec.as("v")),
+      trainFraction, seed).filter(col("v").isNotNull)
+    val row = c.agg(count(lit(1)).as("n"),
+        graft.functions.VectorMeanAgg.vectorMean(col("v"), dim).as("mu"),
+        graft.functions.OuterSumAgg.outerSum(col("v"), col("v"), dim, dim)
+          .as("ss"))
+      .collect()(0)
+    val n = row.getLong(0)
+    require(n > 0, "pcaTrain: empty (or fully-null) training set")
+    val mu = row.getSeq[Double](1)
+    val ss = row.getSeq[Double](2)
+    val cov = breeze.linalg.DenseMatrix.tabulate[Double](dim, dim) {
+      (i, j) =>
+        ss(i * dim + j) / n - (if (center) mu(i) * mu(j) else 0.0)
+    }
+    val eig = breeze.linalg.eigSym(cov)
+    // eigSym returns eigenvalues ASCENDING; take the top `rank` descending
+    val order = (0 until dim).sortBy(i => -eig.eigenvalues(i)).take(rank)
+    val comps = order.map { i =>
+      val v = (0 until dim).map(j => eig.eigenvectors(j, i))
+      val pivot = v.maxBy(math.abs)
+      if (pivot < 0) v.map(-_) else v
+    }
+    PcaModel(if (center) mu else Seq.fill(dim)(0.0),
+      comps, order.map(eig.eigenvalues(_)))
+  }
+
+  /** Project an `array<float>` column into the model's principal subspace
+    * — (x − μ) through the component rows, one codegen'd dot per output
+    * coordinate, model as a plan literal. Output: `array<float>` of
+    * length rank. */
+  def pcaProject(vec: Column, model: PcaModel): Column = {
+    val centered =
+      if (model.mean.forall(_ == 0.0)) vec
+      else zip_with(vec, typedLit(model.mean), (x, m) => x - m)
+    toFloats(rotateCol(centered, model.components))
+  }
+
+  /** Top-k cosine search THROUGH a PCA projection: candidates are ranked
+    * by cosine in the rank-dimensional subspace (the scoring pass costs
+    * rank/dim of the full-vector FLOPs and, with the projected corpus
+    * materialized, rank/dim of the scan bytes — the 100 TB lever), then
+    * the optional `rerank` re-scores the top candidates by exact cosine
+    * over the ORIGINAL vectors, exactly like [[pqTopK]]'s rerank.
+    *
+    * Exactness gate: with `center = false` and `rank = dim` the
+    * projection is an orthogonal basis change — subspace cosine IS the
+    * true cosine — and full rerank makes the result brute force
+    * regardless of rank. Realistic (rank, rerank) recall is priced in
+    * RECALL_r14. */
+  def pcaTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, dim: Int, rank: Int, center: Boolean = false,
+      rerank: Int = 0, trainFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame = {
+    val model = pcaTrain(corpus, corpusId, corpusVec, dim, rank, center,
+      trainFraction, seed)
+    val c = corpus.select(corpusId.cast("long").as("corpus_id"),
+        corpusVec.as("cv"))
+      .withColumn("pv", pcaProject(col("cv"), model))
+    val q = queries.select(queryId.cast("long").as("query_id"),
+        queryVec.as("qv"))
+      .withColumn("qp", pcaProject(col("qv"), model))
+    val scored = graft.util.ParallelScan.widen(c)
+      .crossJoin(broadcast(q))
+      .withColumn("pcos", cosine(col("pv"), col("qp")))
+    val wPca = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("corpus_id").asc)
+    if (rerank <= 0)
+      scored.withColumn("rank", row_number().over(wPca))
+        .filter(col("rank") <= k)
+        .withColumn("cosine_micro",
+          floor(col("pcos") * 1000000).cast("long"))
+        .select("query_id", "corpus_id", "rank", "cosine_micro")
+    else {
+      val cand = scored.withColumn("__r", row_number().over(wPca))
+        .filter(col("__r") <= math.max(rerank, k))
+      val wCos = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("corpus_id").asc)
+      cand.withColumn("cos", cosine(col("cv"), col("qv")))
+        .withColumn("rank", row_number().over(wCos))
+        .filter(col("rank") <= k)
+        .withColumn("cosine_micro",
+          floor(col("cos") * 1000000).cast("long"))
+        .select("query_id", "corpus_id", "rank", "cosine_micro")
+    }
+  }
+
   /** OPQ (Ge et al., non-parametric): learn an ORTHOGONAL rotation `R`
     * jointly with the codebooks so the product quantizer's subspace cuts
     * align with the data — lower quantization error, higher ADC recall at

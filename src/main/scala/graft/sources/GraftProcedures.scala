@@ -604,6 +604,44 @@ private[sources] object GraftProcedures {
           Long.box(dc.getLong(1)), outDir))
       },
 
+      proc("seg_dedup",
+        "corpus-wide duplicated-segment removal (RefinedWeb-style line " +
+          "dedup over fixed-width token windows): occurrences of a " +
+          "segment repeating >= min_dup times corpus-wide are dropped " +
+          "(keep_first retains the canonical first), documents " +
+          "reassembled in order. Cleaned docs (doc_id, text_dedup, " +
+          "segs_total, segs_removed) land under <table>/.seg_dedup/; " +
+          "this result is the summary",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("width", IntegerType, "segment width in tokens",
+            default = Some("5")),
+          in("min_dup", IntegerType,
+            "corpus-wide occurrences for a segment to count duplicated",
+            default = Some("2")),
+          in("keep_first", BooleanType,
+            "retain the canonical first occurrence",
+            default = Some("true"))),
+        out("n_docs" -> LongType, "segs_total" -> LongType,
+          "segs_removed" -> LongType, "out_path" -> StringType)) {
+        (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val outDir = s"$path/.seg_dedup"
+        val docs = graft.read.SnapshotReader.read(spark, path)
+        graft.pipeline.Dedup.segmentDedup(docs,
+            org.apache.spark.sql.functions.col(str(r, 1)),
+            org.apache.spark.sql.functions.col(str(r, 2)),
+            width = r.getInt(3), minDupCount = r.getInt(4),
+            keepFirst = r.getBoolean(5))
+          .write.mode("overwrite").parquet(outDir)
+        val st = spark.read.parquet(outDir).selectExpr("count(*)",
+          "coalesce(sum(segs_total), 0)", "coalesce(sum(segs_removed), 0)")
+          .head()
+        Seq(row(Long.box(st.getLong(0)), Long.box(st.getLong(1)),
+          Long.box(st.getLong(2)), outDir))
+      },
+
       proc("exact_quantiles",
         "exact distributed quantiles of a numeric column (DuckDB " +
           "quantile_disc contract: k-th smallest, k = max(1, ceil(p*n))) " +

@@ -1132,4 +1132,127 @@ class PipelineSpec extends SparkSpec {
     val stats = Multimodal.stats(media)
     assert(stats.count() == 4)
   }
+
+  test("segmentDedup drops non-first duplicated segments, keeps tails") {
+    val df = Seq(
+      (1L, "a b c d e f g"),       // seg "a b c d e" first occ, tail "f g"
+      (2L, "a b c d e x y z w v"), // seg1 duplicated (dropped), seg2 unique
+      (3L, "p q r"),               // zero segments: tail passes through
+      (4L, "a b c d e")            // duplicated seg, no tail → empty text
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, $"doc_id", $"text", width = 5)
+      .orderBy($"doc_id").collect()
+    assert(out(0).getString(1) == "a b c d e f g")
+    assert(out(0).getLong(2) == 1L && out(0).getLong(3) == 0L)
+    assert(out(1).getString(1) == "x y z w v")
+    assert(out(1).getLong(2) == 2L && out(1).getLong(3) == 1L)
+    assert(out(2).getString(1) == "p q r" && out(2).getLong(2) == 0L)
+    assert(out(3).getString(1) == "" && out(3).getLong(3) == 1L)
+  }
+
+  test("segmentDedup keepFirst=false removes every duplicated occurrence") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, $"doc_id", $"text", width = 5,
+        keepFirst = false)
+      .orderBy($"doc_id").collect()
+    assert(out.forall(_.getString(1) == ""))
+    assert(out.forall(_.getLong(3) == 1L))
+  }
+
+  test("segmentDedup matches an in-memory model on the real corpus") {
+    val W = 5
+    val rows = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").toSeq))
+    val occs = rows.flatMap { case (id, t) =>
+      (0 until t.length / W).map(i =>
+        (id, i, t.slice(i * W, i * W + W).mkString(" ")))
+    }
+    val byIdPos = occs.groupBy(_._3).map { case (s, os) =>
+      s -> (os.length, os.map(o => (o._1, o._2)).min)
+    }
+    val expected = rows.map { case (id, t) =>
+      val n = t.length / W
+      val kept = (0 until n)
+        .map(i => (i, t.slice(i * W, i * W + W).mkString(" ")))
+        .filter { case (i, s) =>
+          val (c, first) = byIdPos(s); c < 2 || first == (id, i) }
+      val tail = t.drop(n * W).mkString(" ")
+      val text = Seq(kept.map(_._2).mkString(" "), tail)
+        .filter(_.nonEmpty).mkString(" ")
+      (id, text, n.toLong, (n - kept.length).toLong)
+    }.sortBy(_._1)
+    val got = Dedup.segmentDedup(docs, $"doc_id", $"text", width = W)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected.toSeq)
+    assert(expected.map(_._4).sum > 0,
+      "corpus carries no duplicated segments — the gate would be vacuous")
+  }
+
+  test("pcaTrain components are orthonormal with descending variances") {
+    val m = Similarity.pcaTrain(embs, $"vec_id", $"embedding",
+      dim = 64, rank = 64)
+    for (i <- 0 until 64; j <- i until 64) {
+      val d = (0 until 64).map(c => m.components(i)(c) * m.components(j)(c)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-8, s"component dot ($i,$j) = $d")
+    }
+    assert(m.variances == m.variances.sortBy(-_), "variances descending")
+    assert(m.variances.forall(_ > -1e-9), "covariance eigenvalues nonneg")
+  }
+
+  test("full-rank uncentered PCA projection preserves pairwise dots") {
+    val m = Similarity.pcaTrain(embs, $"vec_id", $"embedding",
+      dim = 64, rank = 64, center = false)
+    val sample = embs.filter($"vec_id" < 8)
+      .select($"vec_id", $"embedding",
+        Similarity.pcaProject($"embedding", m).as("pv"))
+      .collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble),
+        r.getSeq[Float](2).map(_.toDouble)))
+    for (a <- sample; b <- sample) {
+      val d0 = a._1.zip(b._1).map { case (x, y) => x * y }.sum
+      val d1 = a._2.zip(b._2).map { case (x, y) => x * y }.sum
+      assert(math.abs(d0 - d1) < 1e-3 * math.max(1.0, math.abs(d0)),
+        s"dot drift $d0 vs $d1")
+    }
+  }
+
+  test("pcaTopK at full rerank equals brute-force top-k") {
+    val queries = embs.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(embs, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 5)
+      .select($"query_id", $"corpus_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pca = Similarity.pcaTopK(embs, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 5, dim = 64, rank = 12,
+        center = false, rerank = 1 << 30)
+      .select($"query_id", $"corpus_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pca == brute)
+  }
+
+  test("centered PCA reconstruction error is monotone in rank") {
+    val xs = embs.select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    def err(rank: Int): Double = {
+      val m = Similarity.pcaTrain(embs, $"vec_id", $"embedding",
+        dim = 64, rank = rank)
+      xs.map { x =>
+        val c = x.zip(m.mean).map { case (v, mu) => v - mu }
+        val proj = m.components.map(row =>
+          row.zip(c).map { case (a, b) => a * b }.sum)
+        val rec = (0 until 64).map(j =>
+          m.components.indices.map(i => m.components(i)(j) * proj(i)).sum)
+        c.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / xs.length
+    }
+    val (e4, e16, e64) = (err(4), err(16), err(64))
+    assert(e4 >= e16 - 1e-9 && e16 >= e64 - 1e-9,
+      s"reconstruction error not monotone: $e4, $e16, $e64")
+    assert(e64 < 1e-6, s"full-rank reconstruction should be exact, got $e64")
+  }
 }

@@ -375,4 +375,30 @@ class ProcedureSpec extends SparkSpec {
     assert(tg.agg(max(col("permille"))).head().getLong(0) == r.getLong(1))
     assert(dc.agg(max(col("permille"))).head().getLong(0) == r.getLong(2))
   }
+
+  test("seg_dedup procedure: cleaned docs land, summary matches, and the " +
+      "result equals the library call") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.docs_seg")
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_seg_src")
+    spark.sql(s"CREATE TABLE $cat.ns.docs_seg PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'doc_id', buckets '2') " +
+      "AS SELECT doc_id, text, 'all' AS pt FROM docs_seg_src")
+    val r = spark.sql(s"CALL $cat.system.seg_dedup(" +
+      "table => 'ns.docs_seg', id_col => 'doc_id', " +
+      "text_col => 'text', width => 5)").head()
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(r.getLong(0) == src.count())
+    val landed = spark.read.parquet(r.getString(3))
+    import org.apache.spark.sql.functions._
+    val direct = graft.pipeline.Dedup.segmentDedup(
+      src, col("doc_id"), col("text"), width = 5)
+    assert(landed.orderBy("doc_id").collect().toSeq ==
+      direct.orderBy("doc_id").collect().toSeq)
+    assert(landed.agg(sum(col("segs_removed"))).head().getLong(0) ==
+      r.getLong(2))
+    assert(r.getLong(2) > 0, "corpus should carry duplicated segments")
+  }
 }

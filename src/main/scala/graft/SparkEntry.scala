@@ -3,7 +3,7 @@ package graft
 import graft.deleteview.DeleteView
 import graft.functions.Bitmap64
 import graft.operators.{AsOfJoin, RangeJoin}
-import graft.pipeline.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextRetrieval}
+import graft.pipeline.{Bpe, Curation, Dedup, Models, Multimodal, Similarity, TextAnalysis, TextRetrieval}
 import graft.read.{IncrementalReader, SnapshotReader}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1151,6 +1151,20 @@ object SparkEntry {
       TextAnalysis.withQuality(tp(s, d, "documents"), col("text"))
         .filter(col("quality_score") >= 700)
         .select(col("doc_id")).orderBy(col("doc_id"))),
+    // Trained linear quality model (r14): ridge fit on integer doc
+    // features (closed form from ONE moment job) predicting lang == 'en',
+    // scored corpus-wide with the INTEGER-quantized weights — a pure
+    // BIGINT dot product, so the oracle (a def rendered after the query
+    // runs, embedding the learned qweights — the trained-BPE mechanism)
+    // hash-matches with no fp caveat.
+    "q_quality_model" -> ((s, d) => {
+      val docs = tp(s, d, "documents")
+      val m = Models.trainedFor(docs, QualityModelFeats,
+        (col("lang") === "en").cast("double"), key = d)
+      docs.select(col("doc_id"),
+          Models.scoreQ(m, QualityModelFeats).as("score_q"))
+        .orderBy(col("doc_id"))
+    }),
     // Exact distributed quantiles (r12): histogram-refined multi-pass
     // selection, metadata-sized shuffles only — no global sort, no
     // per-group distinct-value buffering. Small buckets/maxExact force
@@ -1570,6 +1584,14 @@ object SparkEntry {
   /** DuckDB lambda for whitespace tokens of lower(text). */
   private val Toks =
     "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** Integer doc features of the trained quality model — the Spark side
+    * of the (n_chars, n_tokens, n_distinct_tokens) triple the
+    * `q_quality_model` oracle recomputes verbatim in DuckDB. */
+  private val QualityModelFeats: Seq[Column] = Seq(
+    col("n_chars"),
+    size(TextAnalysis.tokens(col("text"))).cast("long"),
+    size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long"))
 
   /** Recursive-CTE BPE tokenizer shared by the q_bpe_* / q_pack_bpe
     * oracles: replays [[graft.pipeline.Bpe]]'s single-step
@@ -2544,6 +2566,19 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id"),
     "q_quality_filter" ->
       (s"SELECT doc_id FROM documents WHERE CAST($QualitySql AS BIGINT) >= 700 ORDER BY doc_id"),
+    // trained-model replay: oracleSql is a def rendered AFTER the queries
+    // run in Verify, so the LEARNED quantized weights of the run embed
+    // here as BIGINT literals — the score is a pure integer dot product
+    // over the same features, bit-identical in any engine. The zero
+    // fallback only fires if the query never ran.
+    "q_quality_model" -> {
+      val q = Models.lastTrained.map(_.qweights)
+        .getOrElse(Seq(0L, 0L, 0L, 0L))
+      (s"SELECT doc_id, CAST(${q(0)} + ${q(1)}*n_chars + ${q(2)}*len(t) + " +
+        s"${q(3)}*len(list_distinct(t)) AS BIGINT) AS score_q " +
+        s"FROM (SELECT doc_id, n_chars, $Toks AS t FROM documents) " +
+        "ORDER BY doc_id")
+    },
     // quantile_disc shares the operator's rank contract:
     // k = max(1, ceil(p * n)), k-th smallest with duplicates counted.
     "q_exact_quantiles" ->

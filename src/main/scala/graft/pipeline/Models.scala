@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear-model fitting for quality classification — the
+  * fastText/CCNet-style "train a cheap linear scorer on document features,
+  * score the whole corpus" step of a training-data pipeline (Wenzek et al.
+  * 2020 train a classifier to rank documents; the linear-on-features form
+  * here is the sufficient-statistics-friendly variant).
+  *
+  * Scale design (100 TB): ridge regression has a CLOSED FORM in the
+  * (p+1)×(p+1) moment matrices — one aggregation job computes XᵀX and Xᵀy
+  * over the augmented feature vector [1, f₁…f_p] via
+  * [[graft.functions.OuterSumAgg]] (zero per-row allocation, map-side
+  * combined: the driver sees a single p² row regardless of corpus size),
+  * and the p×p solve runs on the driver via breeze. No SGD, no iterations,
+  * no parameter shuffling — the same shape as [[Similarity.pcaTrain]].
+  *
+  * Scoring is INTEGER-EXACT by construction: weights are quantized ONCE on
+  * the driver (round(w·qscale) → BIGINT literals), so a score over integer
+  * features is a pure BIGINT dot product — bit-identical in any engine and
+  * therefore hash-gatable, with no fp-summation-order caveat. The fp
+  * `weights` stay available for callers that want real-valued scores.
+  */
+object Models {
+
+  /** Fitted linear model. `weights(0)` is the intercept; `qweights` are
+    * `round(weights · qscale)` — the integer-exact scoring table. */
+  case class LinearModel(weights: Seq[Double], qscale: Long,
+      qweights: Seq[Long])
+
+  /** Ridge regression via normal equations: `w = (XᵀX + λ·n·I′)⁻¹ Xᵀy`
+    * with the intercept unpenalized (I′ zeroes the [0,0] entry). One
+    * distributed job; rows with a null label or null feature vector are
+    * skipped (standard aggregate null semantics).
+    *
+    * The moment sums are floating-point and follow partition merge order,
+    * so the last ulp of `weights` can differ between runs — consumers
+    * that need replay (the oracle gates) embed the QUANTIZED weights of
+    * the run that trained, exactly like the trained-BPE gate embeds its
+    * learned merge table. */
+  def ridgeFit(df: DataFrame, features: Seq[Column], label: Column,
+      lambda: Double = 1e-3, qscale: Long = 1000000L): LinearModel = {
+    require(features.nonEmpty, "at least one feature column")
+    require(qscale > 0, "qscale must be positive")
+    val p = features.size + 1
+    val z = array((lit(1.0d) +: features.map(_.cast("double"))): _*)
+    val row = df.select(z.as("z"), label.cast("double").as("y"))
+      .filter(col("y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        graft.functions.OuterSumAgg.outerSum(col("z"), col("z"), p, p)
+          .as("xtx"),
+        graft.functions.OuterSumAgg.outerSum(col("z"), array(col("y")),
+          p, 1).as("xty"))
+      .head()
+    val n = row.getLong(0)
+    require(n > 0, "ridgeFit: empty (or fully-null-label) training set")
+    val xtx = row.getSeq[Double](1)
+    val xty = row.getSeq[Double](2)
+    val a = breeze.linalg.DenseMatrix.tabulate[Double](p, p) { (i, j) =>
+      xtx(i * p + j) + (if (i == j && i > 0) lambda * n else 0.0)
+    }
+    val b = breeze.linalg.DenseVector(xty.toArray)
+    val w = (a \ b).toArray.toSeq
+    LinearModel(w, qscale, w.map(x => math.round(x * qscale)))
+  }
+
+  /** Real-valued score `w₀ + Σ wᵢ·fᵢ` (double). */
+  def score(model: LinearModel, features: Seq[Column]): Column = {
+    require(features.size + 1 == model.weights.size,
+      s"model has ${model.weights.size - 1} features, got ${features.size}")
+    features.zip(model.weights.tail)
+      .map { case (f, w) => f.cast("double") * lit(w) }
+      .foldLeft(lit(model.weights.head): Column)(_ + _)
+  }
+
+  /** Integer-exact quantized score `qw₀ + Σ qwᵢ·fᵢ` (BIGINT) — features
+    * must be integer-typed; ≈ `score · qscale`. Pure integer arithmetic:
+    * identical in every engine, safe under a hash gate. */
+  def scoreQ(model: LinearModel, features: Seq[Column]): Column = {
+    require(features.size + 1 == model.qweights.size,
+      s"model has ${model.qweights.size - 1} features, got ${features.size}")
+    features.zip(model.qweights.tail)
+      .map { case (f, w) => f.cast("long") * lit(w) }
+      .foldLeft(lit(model.qweights.head): Column)(_ + _)
+  }
+
+  /** Corpus-trained model cached per source key (one fit per table per
+    * JVM); [[lastTrained]] exposes the most recent result so the
+    * oracle-SQL generator — a `def` rendered AFTER the queries run in
+    * `graft.Verify` — can embed the SAME quantized weights the query
+    * scored with (the trained-BPE embedding mechanism). */
+  private val trainedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LinearModel]()
+  @volatile private var lastKey: Option[String] = None
+
+  def trainedFor(df: => DataFrame, features: => Seq[Column],
+      label: => Column, key: String, lambda: Double = 1e-3): LinearModel = {
+    val m = trainedCache.computeIfAbsent(key,
+      _ => ridgeFit(df, features, label, lambda))
+    lastKey = Some(key)
+    m
+  }
+
+  /** The most recently [[trainedFor]]-returned model, if any. */
+  def lastTrained: Option[LinearModel] =
+    lastKey.flatMap(k => Option(trainedCache.get(k)))
+}

@@ -1235,6 +1235,61 @@ class PipelineSpec extends SparkSpec {
     assert(pca == brute)
   }
 
+  test("ridgeFit recovers an exact linear relationship") {
+    val df = Seq.tabulate(50) { i =>
+      val x1 = (i % 7).toDouble; val x2 = (i % 11).toDouble
+      (i.toLong, x1, x2, 2.0 + 3.0 * x1 - 0.5 * x2)
+    }.toDF("id", "x1", "x2", "y")
+    val m = Models.ridgeFit(df, Seq($"x1", $"x2"), $"y", lambda = 1e-12)
+    val want = Seq(2.0, 3.0, -0.5)
+    m.weights.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"weights ${m.weights} != $want") }
+  }
+
+  test("ridgeFit matches an in-memory normal-equations solve; shrinkage " +
+      "is monotone in lambda") {
+    val feats = Seq($"n_chars".cast("double"),
+      size(split(trim(lower($"text")), "\\s+")).cast("double"))
+    val label = ($"lang" === "en").cast("double")
+    val rows = docs.select(feats :+ (label.as("y")): _*).collect()
+      .map(r => (Array(1.0, r.getDouble(0), r.getDouble(1)), r.getDouble(2)))
+    def local(lambda: Double): Seq[Double] = {
+      val p = 3
+      val a = breeze.linalg.DenseMatrix.zeros[Double](p, p)
+      val b = breeze.linalg.DenseVector.zeros[Double](p)
+      rows.foreach { case (z, y) =>
+        for (i <- 0 until p; j <- 0 until p) a(i, j) += z(i) * z(j)
+        for (i <- 0 until p) b(i) += z(i) * y
+      }
+      for (i <- 1 until p) a(i, i) += lambda * rows.length
+      (a \ b).toArray.toSeq
+    }
+    val m = Models.ridgeFit(docs, Seq($"n_chars",
+      size(split(trim(lower($"text")), "\\s+"))), label, lambda = 1e-3)
+    m.weights.zip(local(1e-3)).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6 * math.max(1.0, math.abs(w)),
+        s"distributed ${m.weights} != local ${local(1e-3)}") }
+    def l2(ws: Seq[Double]): Double =
+      math.sqrt(ws.tail.map(w => w * w).sum)
+    val norms = Seq(1e-3, 1.0, 1000.0).map(l =>
+      l2(Models.ridgeFit(docs, Seq($"n_chars",
+        size(split(trim(lower($"text")), "\\s+"))), label, lambda = l)
+        .weights))
+    assert(norms == norms.sortBy(-_),
+      s"shrinkage not monotone in lambda: $norms")
+  }
+
+  test("scoreQ is the exact integer dot product of the quantized weights") {
+    val m = Models.LinearModel(Seq(0.5, 2.0, -1.0), 1000000L,
+      Seq(500000L, 2000000L, -1000000L))
+    val df = Seq((1L, 3L, 7L), (2L, 0L, -4L)).toDF("id", "f1", "f2")
+    val got = df.select($"id", Models.scoreQ(m, Seq($"f1", $"f2")).as("s"))
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      (1L, 500000L + 3L * 2000000L + 7L * -1000000L),
+      (2L, 500000L + 0L + -4L * -1000000L)))
+  }
+
   test("centered PCA reconstruction error is monotone in rank") {
     val xs = embs.select($"embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble))

@@ -1016,6 +1016,43 @@ object Fixtures {
     (dataDir, rot, loadCentroids(spark, centDir), loadBooks(spark, bookDir))
   }
 
+  /** PCA-composed IVF-PQ index over `embeddings` (the FAISS
+    * `PCAR<rank>,IVF<n>,PQ<m>` chain;
+    * [[graft.pipeline.Similarity.ivfPcaWrite]]) — cells/residuals/codes
+    * live in the rank-dim principal subspace, stored vectors original. */
+  def ivfPcaDir(spark: SparkSession, sfDir: String, rank: Int = 16,
+      nlist: Int = 8, m: Int = 8, ksub: Int = 16)
+      : (String, Seq[Seq[Double]], Seq[(Int, Seq[Float])],
+         graft.pipeline.Similarity.PqCodebooks) = synchronized {
+    val dir = s"${root(sfDir)}/embeddings_ivfpca"
+    val dataDir = s"$dir/data"
+    val centDir = s"$dir/centroids"
+    val bookDir = s"$dir/codebooks"
+    val rotDir = s"$dir/rotation"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def done(d: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS"))
+    if (!done(centDir) || !done(bookDir) || !done(rotDir)) {
+      rm(spark, dir)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val (rot, centroids, books) = graft.pipeline.Similarity.ivfPcaWrite(
+        emb, col("vec_id"), col("embedding"), dataDir, dim = 64,
+        rank = rank, nlist = nlist, m = m, ksub = ksub, iters = 1,
+        trainFraction = 0.5)
+      import spark.implicits._
+      rot.zipWithIndex.map { case (row, i) => (i, row) }
+        .toDF("i", "row").coalesce(1)
+        .write.mode("overwrite").parquet(rotDir)
+      saveCentroids(spark, centroids, centDir)
+      saveBooks(spark, books, bookDir)
+    }
+    val rot: Seq[Seq[Double]] = spark.read.parquet(rotDir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList: Seq[Double]))
+      .sortBy(_._1).map(_._2).toSeq
+    (dataDir, rot, loadCentroids(spark, centDir), loadBooks(spark, bookDir))
+  }
+
   /** BM25 inverted index over `documents` (postings partitioned by term
     * bucket + one-row corpus stats sidecar;
     * [[graft.pipeline.TextRetrieval.buildIndex]]). */

@@ -883,6 +883,20 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // PCA-composed IVF-PQ (r14): the FAISS PCAR16,IVF8,PQ8 chain — the
+    // whole compressed index lives in a 16-dim principal subspace
+    // (rank×dim rotation, dim = rank on the rotated side); stored
+    // vectors stay original, so exhaustive probe + full rerank is still
+    // exact brute force — the gate.
+    "q_ivfpca_topk" -> ((s, d) => {
+      val (path, rot, cents, books) = Fixtures.ivfPcaDir(s, d)
+      Similarity.ivfPqTopKFromTable(s, path, cents, books,
+          t(s, d, "embeddings").filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), k = 5, dim = 16,
+          nprobe = cents.size, rerank = 1 << 30, rotation = Some(rot))
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_sim_topk" -> ((s, d) => {
       val e = tp(s, d, "embeddings")
       Similarity.bruteForceTopK(
@@ -2428,6 +2442,15 @@ object SparkEntry {
     // exhaustive probe + full rerank over ORIGINAL vectors ⇒ exact brute
     // force regardless of the learned rotation — same oracle
     "q_ivfopq_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // PCA-composed IVF-PQ at exhaustive probe + full rerank ⇒ exact
+    // brute force (rerank reads the stored ORIGINAL vectors) — same
+    // oracle as q_sim_topk.
+    "q_ivfpca_topk" ->
       ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +

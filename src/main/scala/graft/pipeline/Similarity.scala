@@ -959,6 +959,36 @@ object Similarity {
     (rot, cents, books)
   }
 
+  /** [[ivfPqWrite]] behind a PCA pre-transform — FAISS's
+    * `PCAR<rank>,IVF<nlist>,PQ<m>` index-factory chain: an UNCENTERED
+    * rank-dim PCA is trained first ([[pcaTrain]] — uncentered so the
+    * projection stays a partial orthogonal transform and subspace dots
+    * remain true partial dots), then the ENTIRE IVF-PQ machinery — coarse
+    * cells, residuals, codebooks, ADC probing — runs in the rank-dim
+    * principal subspace (the rotation plumbing with a rank×dim matrix
+    * and dim = rank): coarse/codebook TRAINING and probe FLOPs drop by
+    * rank/dim, PQ's m subspaces cut the informative rank dims instead of
+    * spreading over all dim (m must divide rank), while the stored `cv`
+    * stays the ORIGINAL vector so the exact-cosine rerank — and the
+    * exhaustive-probe + full-rerank oracle gate — are untouched.
+    *
+    * Returns (components, centroids, codebooks); queries pass the same
+    * components as `rotation` to [[ivfPqTopKFromTable]] with
+    * `dim = rank`. */
+  def ivfPcaWrite(corpus: DataFrame, id: Column, vec: Column, path: String,
+      dim: Int, rank: Int, nlist: Int, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, seed: Long = 42L, residual: Boolean = true,
+      trainFraction: Double = 1.0)
+      : (Seq[Seq[Double]], Seq[(Int, Seq[Float])], PqCodebooks) = {
+    require(rank % m == 0, s"m=$m must divide rank=$rank")
+    val model = pcaTrain(corpus, id, vec, dim, rank, center = false,
+      trainFraction, seed)
+    val (cents, books) = ivfPqWrite(corpus, id, vec, path, dim = rank,
+      nlist, m, ksub, iters, seed, residual, trainFraction,
+      rotation = Some(model.components))
+    (model.components, cents, books)
+  }
+
   /** Encode an assigned-and-residualized frame against FIXED codebooks:
     * `(corpus_id, codes, vnorm, cv, __cluster)` — the stored row shape of
     * the compressed index (shared by the bulk write and [[ivfPqIngest]]). */

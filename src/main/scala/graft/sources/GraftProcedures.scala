@@ -642,6 +642,38 @@ private[sources] object GraftProcedures {
           Long.box(st.getLong(2)), outDir))
       },
 
+      proc("quality_model",
+        "train a linear quality scorer (closed-form ridge from one " +
+          "moment job) on integer feature expressions and score the " +
+          "whole corpus with the integer-quantized weights. Scores " +
+          "(id, score_q BIGINT) land under <table>/.quality_model/; " +
+          "this result is the summary incl. the quantized weights " +
+          "(intercept first, scale 1e6)",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("features", StringType,
+            "';'-separated integer SQL expressions (';' because " +
+              "expressions may contain commas; note backslashes " +
+              "unescape TWICE — the CALL literal, then expr())"),
+          in("label", StringType, "numeric SQL expression to regress on"),
+          in("lambda", DoubleType, "ridge penalty (intercept exempt)",
+            default = Some("0.001"))),
+        out("n_docs" -> LongType, "qweights" -> StringType,
+          "out_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val outDir = s"$path/.quality_model"
+        val docs = graft.read.SnapshotReader.read(spark, path)
+        val fx = org.apache.spark.sql.functions
+        val feats = str(r, 2).split(";").map(e => fx.expr(e.trim)).toSeq
+        val m = graft.pipeline.Models.ridgeFit(docs, feats,
+          fx.expr(str(r, 3)), lambda = r.getDouble(4))
+        docs.select(fx.col(str(r, 1)).cast("long").as("id"),
+            graft.pipeline.Models.scoreQ(m, feats).as("score_q"))
+          .write.mode("overwrite").parquet(outDir)
+        val n = spark.read.parquet(outDir).count()
+        Seq(row(Long.box(n), m.qweights.mkString(","), outDir))
+      },
+
       proc("exact_quantiles",
         "exact distributed quantiles of a numeric column (DuckDB " +
           "quantile_disc contract: k-th smallest, k = max(1, ceil(p*n))) " +

@@ -1235,6 +1235,27 @@ class PipelineSpec extends SparkSpec {
     assert(pca == brute)
   }
 
+  test("PCA-composed IVF-PQ: exhaustive probe + full rerank equals " +
+      "brute force; rotation is rank x dim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpca")
+      .toString
+    val (rot, cents, books) = Similarity.ivfPcaWrite(embs, $"vec_id",
+      $"embedding", s"$dir/data", dim = 64, rank = 16, nlist = 4,
+      m = 8, ksub = 16, iters = 1)
+    assert(rot.size == 16 && rot.head.size == 64)
+    val queries = embs.filter($"vec_id" < 10)
+    val got = Similarity.ivfPqTopKFromTable(spark, s"$dir/data", cents,
+        books, queries, $"vec_id", $"embedding", k = 5, dim = 16,
+        nprobe = cents.size, rerank = 1 << 30, rotation = Some(rot))
+      .select($"query_id", $"corpus_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(embs, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 5)
+      .select($"query_id", $"corpus_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+  }
+
   test("ridgeFit recovers an exact linear relationship") {
     val df = Seq.tabulate(50) { i =>
       val x1 = (i % 7).toDouble; val x2 = (i % 11).toDouble

@@ -401,4 +401,37 @@ class ProcedureSpec extends SparkSpec {
       r.getLong(2))
     assert(r.getLong(2) > 0, "corpus should carry duplicated segments")
   }
+
+  test("quality_model procedure: scores land and replay the returned " +
+      "quantized weights exactly") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.docs_qm")
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("docs_qm_src")
+    spark.sql(s"CREATE TABLE $cat.ns.docs_qm PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'doc_id', buckets '2') " +
+      "AS SELECT doc_id, text, lang, n_chars, 'all' AS pt FROM docs_qm_src")
+    // features deliberately backslash-free: expression strings pass
+    // through TWO SQL string-literal unescapes (the CALL statement, then
+    // expr()), so a regex would need quadruple escaping
+    val r = spark.sql(s"CALL $cat.system.quality_model(" +
+      "table => 'ns.docs_qm', id_col => 'doc_id', " +
+      "features => 'n_chars; size(split(text, \" \"))', " +
+      "label => 'CAST(lang = \"en\" AS DOUBLE)')").head()
+    val src = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(r.getLong(0) == src.count())
+    val qw = r.getString(1).split(",").map(_.toLong)
+    assert(qw.length == 3)
+    val landed = spark.read.parquet(r.getString(2))
+    import org.apache.spark.sql.functions._
+    // replay the returned integer weights over the source features: the
+    // landed scores must match row for row (pure BIGINT arithmetic)
+    val replay = src.select(col("doc_id").as("id"),
+      (lit(qw(0)) + col("n_chars") * qw(1) +
+        size(split(col("text"), " ")).cast("long") * qw(2))
+        .as("score_q"))
+    assert(landed.orderBy("id").collect().toSeq ==
+      replay.orderBy("id").collect().toSeq)
+  }
 }

@@ -233,6 +233,24 @@ object RecallCheck {
       else (bruteTop & top).size.toDouble / bruteTop.size
     }
 
+    // IVF-PCA (r14): the PCAR16,IVF,PQ chain at the same knobs — what the
+    // 4× training/probe FLOP cut (rank 16 of dim 64) costs in recall vs
+    // the full-dim index (exhaustive gate is q_ivfpca_topk's oracle)
+    val ivfpcaRealistic = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_recall_ivfpca").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir))))
+      val (rot, pc, pb) = Similarity.ivfPcaWrite(embs, col("vec_id"),
+        col("embedding"), dir, dim = 64, rank = 16, nlist = nlist)
+      val top = pairSet(Similarity.ivfPqTopKFromTable(spark, dir, pc, pb,
+        queries, col("vec_id"), col("embedding"), k, dim = 16,
+        nprobe = nlist / 2, rerank = 4 * k, rotation = Some(rot)))
+      if (bruteTop.isEmpty) 1.0
+      else (bruteTop & top).size.toDouble / bruteTop.size
+    }
+
     // kNN JOIN (r12): whole-corpus query side (no broadcast anywhere) —
     // recall of the realistic-nprobe cell join vs the exact nprobe = nlist
     // join (which PipelineSpec pins ≡ brute force), plus the mutual-edge
@@ -316,6 +334,7 @@ object RecallCheck {
       s""""recall_at_k_nprobe${nlist / 2}_rerank${4 * k}":$ivfpqRealistic,""" +
       s""""recall_raw_pq_same_setting":$ivfpqRaw,""" +
       s""""recall_ivfopq_same_setting":$ivfopqRealistic,""" +
+      s""""recall_ivfpca_rank16_same_setting":$ivfpcaRealistic,""" +
       s""""recall_at_k_exhaustive":$ivfpqExact,""" +
       s""""pareto":[""" + pareto.map { case (np, rr, r) =>
         s"""{"nprobe":$np,"rerank":$rr,"recall":$r}""" }.mkString(",") +

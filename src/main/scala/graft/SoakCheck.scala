@@ -560,6 +560,45 @@ object SoakCheck {
         s"${subInc.totalShuffleWriteMB} MB for the 100x corpus — the " +
         "tail batch's exchange must track the batch, not the index")
 
+    // ---- path 9d: segment dedup at 20× docs (r14) ----------------------
+    // 100k docs of 25 unique tokens each (5 aligned segments, no tail);
+    // 10% of docs carry one planted 5-token segment at position 4.
+    // keepFirst retains exactly the canonical first occurrence, so
+    // segs_removed = planted − 1, deterministic. Unlike ExactSubstr the
+    // count shuffle carries the distinct SEGMENT STRINGS (the output's
+    // own key — no hash-trust); the gate bounds it to corpus scale.
+    val SegDocs = 100000L
+    val segPlanted = SegDocs / 10
+    val segSpan = (1 to 5).map(i => s"segboiler$i").mkString(" ")
+    val segDocs = spark.range(0, SegDocs, 1, 32)
+      .select(col("id"), concat_ws(" ",
+        (0 until 20).map(i => concat(lit(s"s${i}_"), col("id"))) ++
+          Seq(when(pmod(col("id"), lit(10)) === 0, lit(segSpan))
+            .otherwise(concat_ws(" ",
+              (20 until 25).map(i => concat(lit(s"s${i}_"), col("id"))): _*)))
+          : _*).as("text"))
+    var segRemoved = 0L
+    val seg = measure(spark, "seg_dedup")(() =>
+      pipeline.Dedup.segmentDedup(segDocs, col("id"), col("text"),
+        width = 5)
+    )(df => {
+      val agg = df.agg(sum(col("segs_removed")), sum(col("segs_total")),
+        count(lit(1))).collect()(0)
+      segRemoved = agg.getLong(0)
+      require(agg.getLong(1) == 5 * SegDocs,
+        s"seg_dedup segs_total ${agg.getLong(1)}")
+      agg.getLong(2)
+    })
+    require(seg.rowsOut == SegDocs, s"seg_dedup rows ${seg.rowsOut}")
+    require(segRemoved == segPlanted - 1,
+      s"seg_dedup removed $segRemoved segments, expected ${segPlanted - 1}")
+    // measured 35 MB / 10 jobs at this scale — the count shuffle carries
+    // each distinct segment string roughly once (corpus-sized, not
+    // occurrence-amplified); gated with headroom
+    require(seg.totalShuffleWriteMB <= 60,
+      s"seg_dedup shuffled ${seg.totalShuffleWriteMB} MB — budget 60")
+    require(seg.jobs <= 15, s"seg_dedup ran ${seg.jobs} jobs — budget 15")
+
     // ---- path 10: kNN join at 20× vectors (r12) ------------------------
     // 40k synthetic 64-dim vectors, IVF cell join at nlist 64 / nprobe 4:
     // the whole-corpus-query shape — no broadcast side anywhere; per-task
@@ -595,7 +634,7 @@ object SoakCheck {
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
       search, wand, incIng, incSearch, sem, semTail, dvw, sub, subInc,
-      subTail, knn, knnPq)
+      subTail, seg, knn, knnPq)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,

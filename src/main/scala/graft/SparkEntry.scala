@@ -1179,6 +1179,17 @@ object SparkEntry {
           Models.scoreQ(m, QualityModelFeats).as("score_q"))
         .orderBy(col("doc_id"))
     }),
+    // Logistic twin (r14): IRLS fit — one moment job per iteration —
+    // on the same features/label; scoring and oracle mechanism identical
+    // (quantized-weight BIGINT dot, per-kind lastTrained).
+    "q_quality_model_lr" -> ((s, d) => {
+      val docs = tp(s, d, "documents")
+      val m = Models.logisticTrainedFor(docs, QualityModelFeats,
+        (col("lang") === "en").cast("double"), key = d)
+      docs.select(col("doc_id"),
+          Models.scoreQ(m, QualityModelFeats).as("score_q"))
+        .orderBy(col("doc_id"))
+    }),
     // Exact distributed quantiles (r12): histogram-refined multi-pass
     // selection, metadata-sized shuffles only — no global sort, no
     // per-group distinct-value buffering. Small buckets/maxExact force
@@ -1599,13 +1610,27 @@ object SparkEntry {
   private val Toks =
     "string_split_regex(trim(lower(text)), '\\s+')"
 
-  /** Integer doc features of the trained quality model — the Spark side
+  /** Integer doc features of the trained quality models — the Spark side
     * of the (n_chars, n_tokens, n_distinct_tokens) triple the
-    * `q_quality_model` oracle recomputes verbatim in DuckDB. */
+    * `q_quality_model*` oracles recompute verbatim in DuckDB. */
   private val QualityModelFeats: Seq[Column] = Seq(
     col("n_chars"),
     size(TextAnalysis.tokens(col("text"))).cast("long"),
     size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long"))
+
+  /** Trained-model oracle replay: oracleSql is a def rendered AFTER the
+    * queries run in Verify, so the LEARNED quantized weights of the run
+    * embed here as BIGINT literals — the score is a pure integer dot
+    * product over the same features, bit-identical in any engine. The
+    * zero fallback only fires if the query never ran. */
+  private def qualityModelOracle(kind: String): String = {
+    val q = Models.lastTrained(kind).map(_.qweights)
+      .getOrElse(Seq(0L, 0L, 0L, 0L))
+    s"SELECT doc_id, CAST(${q(0)} + ${q(1)}*n_chars + ${q(2)}*len(t) + " +
+      s"${q(3)}*len(list_distinct(t)) AS BIGINT) AS score_q " +
+      s"FROM (SELECT doc_id, n_chars, $Toks AS t FROM documents) " +
+      "ORDER BY doc_id"
+  }
 
   /** Recursive-CTE BPE tokenizer shared by the q_bpe_* / q_pack_bpe
     * oracles: replays [[graft.pipeline.Bpe]]'s single-step
@@ -2594,14 +2619,8 @@ object SparkEntry {
     // here as BIGINT literals — the score is a pure integer dot product
     // over the same features, bit-identical in any engine. The zero
     // fallback only fires if the query never ran.
-    "q_quality_model" -> {
-      val q = Models.lastTrained.map(_.qweights)
-        .getOrElse(Seq(0L, 0L, 0L, 0L))
-      (s"SELECT doc_id, CAST(${q(0)} + ${q(1)}*n_chars + ${q(2)}*len(t) + " +
-        s"${q(3)}*len(list_distinct(t)) AS BIGINT) AS score_q " +
-        s"FROM (SELECT doc_id, n_chars, $Toks AS t FROM documents) " +
-        "ORDER BY doc_id")
-    },
+    "q_quality_model" -> qualityModelOracle("ridge"),
+    "q_quality_model_lr" -> qualityModelOracle("logit"),
     // quantile_disc shares the operator's rank contract:
     // k = max(1, ceil(p * n)), k-th smallest with duplicates counted.
     "q_exact_quantiles" ->

@@ -86,24 +86,92 @@ object Models {
       .foldLeft(lit(model.qweights.head): Column)(_ + _)
   }
 
-  /** Corpus-trained model cached per source key (one fit per table per
-    * JVM); [[lastTrained]] exposes the most recent result so the
-    * oracle-SQL generator — a `def` rendered AFTER the queries run in
-    * `graft.Verify` — can embed the SAME quantized weights the query
-    * scored with (the trained-BPE embedding mechanism). */
+  /** Logistic regression via IRLS (iteratively reweighted least
+    * squares): each iteration is ONE moment job — XᵀWX = Σ (√s·z)(√s·z)ᵀ
+    * via [[graft.functions.OuterSumAgg]] and XᵀW·u = Σ z·(s·η + y − μ)
+    * (the working response folded in-plan), then a p×p driver solve —
+    * so the whole fit is `iters` embarrassingly-parallel passes with a
+    * p²-sized driver exchange each, no SGD, no parameter shuffling.
+    * μ = σ(η), s = μ(1−μ) floored at 1e-6 (the standard IRLS guard for
+    * separated points). `lambda·n` ridge on the non-intercept weights
+    * keeps separable data finite. Labels must be in {0, 1}.
+    *
+    * Same determinism contract as [[ridgeFit]]: fp moment sums follow
+    * merge order; oracle gates embed the run's quantized weights. */
+  def logisticFit(df: DataFrame, features: Seq[Column], label: Column,
+      lambda: Double = 1e-6, iters: Int = 8,
+      qscale: Long = 1000000L): LinearModel = {
+    require(features.nonEmpty, "at least one feature column")
+    require(iters >= 1, "at least one IRLS iteration")
+    val p = features.size + 1
+    val z = array((lit(1.0d) +: features.map(_.cast("double"))): _*)
+    val base = df.select(z.as("z"), label.cast("double").as("y"))
+      .filter(col("y").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      require(n > 0, "logisticFit: empty (or fully-null-label) training set")
+      var w: Seq[Double] = Seq.fill(p)(0.0)
+      for (_ <- 0 until iters) {
+        val eta = aggregate(zip_with(col("z"), typedLit(w),
+          (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
+        val it = base.select(col("z"), col("y"), eta.as("eta"))
+          .withColumn("mu",
+            lit(1.0d) / (lit(1.0d) + exp(-col("eta"))))
+          .withColumn("s",
+            greatest(col("mu") * (lit(1.0d) - col("mu")), lit(1e-6d)))
+          .withColumn("a", transform(col("z"), zi => zi * sqrt(col("s"))))
+          .withColumn("b", transform(col("z"),
+            zi => zi * (col("s") * col("eta") + col("y") - col("mu"))))
+          .agg(graft.functions.OuterSumAgg.outerSum(col("a"), col("a"),
+              p, p).as("xwx"),
+            graft.functions.OuterSumAgg.outerSum(col("b"),
+              array(lit(1.0d)), p, 1).as("xwu"))
+          .head()
+        val xwx = it.getSeq[Double](0)
+        val xwu = it.getSeq[Double](1)
+        val a = breeze.linalg.DenseMatrix.tabulate[Double](p, p) {
+          (i, j) =>
+            xwx(i * p + j) + (if (i == j && i > 0) lambda * n else 0.0)
+        }
+        val b = breeze.linalg.DenseVector(xwu.toArray)
+        w = (a \ b).toArray.toSeq
+      }
+      LinearModel(w, qscale, w.map(x => math.round(x * qscale)))
+    } finally base.unpersist()
+  }
+
+  /** Corpus-trained models cached per (kind, source key) — one fit per
+    * table per JVM; [[lastTrained]] exposes the most recent result PER
+    * KIND so the oracle-SQL generators — `def`s rendered AFTER the
+    * queries run in `graft.Verify` — can embed the SAME quantized
+    * weights each query scored with (the trained-BPE embedding
+    * mechanism), even when both model kinds run in one Verify pass. */
   private val trainedCache =
     new java.util.concurrent.ConcurrentHashMap[String, LinearModel]()
-  @volatile private var lastKey: Option[String] = None
+  @volatile private var lastKeys: Map[String, String] = Map.empty
 
-  def trainedFor(df: => DataFrame, features: => Seq[Column],
-      label: => Column, key: String, lambda: Double = 1e-3): LinearModel = {
-    val m = trainedCache.computeIfAbsent(key,
-      _ => ridgeFit(df, features, label, lambda))
-    lastKey = Some(key)
+  private def cached(kind: String, key: String)(
+      fit: => LinearModel): LinearModel = {
+    val full = s"$kind:$key"
+    val m = trainedCache.computeIfAbsent(full, _ => fit)
+    synchronized { lastKeys = lastKeys.updated(kind, full) }
     m
   }
 
-  /** The most recently [[trainedFor]]-returned model, if any. */
-  def lastTrained: Option[LinearModel] =
-    lastKey.flatMap(k => Option(trainedCache.get(k)))
+  def trainedFor(df: => DataFrame, features: => Seq[Column],
+      label: => Column, key: String, lambda: Double = 1e-3): LinearModel =
+    cached("ridge", key)(ridgeFit(df, features, label, lambda))
+
+  def logisticTrainedFor(df: => DataFrame, features: => Seq[Column],
+      label: => Column, key: String, lambda: Double = 1e-6,
+      iters: Int = 8): LinearModel =
+    cached("logit", key)(logisticFit(df, features, label, lambda, iters))
+
+  /** The most recently trained model of `kind` ("ridge" | "logit"). */
+  def lastTrained(kind: String): Option[LinearModel] =
+    lastKeys.get(kind).flatMap(k => Option(trainedCache.get(k)))
+
+  /** The most recent ridge model (back-compat accessor). */
+  def lastTrained: Option[LinearModel] = lastTrained("ridge")
 }

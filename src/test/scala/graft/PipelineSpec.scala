@@ -1300,6 +1300,41 @@ class PipelineSpec extends SparkSpec {
       s"shrinkage not monotone in lambda: $norms")
   }
 
+  test("logisticFit separates a separable set and matches in-memory IRLS") {
+    val df = Seq.tabulate(80) { i =>
+      val x = (i % 16).toDouble
+      (i.toLong, x, if (x >= 8.0) 1.0 else 0.0)
+    }.toDF("id", "x", "y")
+    val m = Models.logisticFit(df, Seq($"x"), $"y", lambda = 1e-4,
+      iters = 10)
+    // every point classified correctly (score sign vs 0.5 boundary: the
+    // logit is positive iff mu > 0.5)
+    val preds = df.select($"y",
+        Models.score(m, Seq($"x")).as("eta")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(preds.forall { case (y, eta) => (eta > 0) == (y == 1.0) })
+    // distributed IRLS ≡ an independent in-memory IRLS on the same data
+    val rows = df.select($"x", $"y").collect()
+      .map(r => (Array(1.0, r.getDouble(0)), r.getDouble(1)))
+    var w = Array(0.0, 0.0)
+    for (_ <- 0 until 10) {
+      val a = breeze.linalg.DenseMatrix.zeros[Double](2, 2)
+      val b = breeze.linalg.DenseVector.zeros[Double](2)
+      rows.foreach { case (z, y) =>
+        val eta = z(0) * w(0) + z(1) * w(1)
+        val mu = 1.0 / (1.0 + math.exp(-eta))
+        val s = math.max(mu * (1.0 - mu), 1e-6)
+        for (i <- 0 until 2; j <- 0 until 2) a(i, j) += s * z(i) * z(j)
+        for (i <- 0 until 2) b(i) += z(i) * (s * eta + y - mu)
+      }
+      a(1, 1) += 1e-4 * rows.length
+      w = (a \ b).toArray
+    }
+    m.weights.zip(w).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-6 * math.max(1.0, math.abs(e)),
+        s"distributed ${m.weights} != local ${w.toSeq}") }
+  }
+
   test("scoreQ is the exact integer dot product of the quantized weights") {
     val m = Models.LinearModel(Seq(0.5, 2.0, -1.0), 1000000L,
       Seq(500000L, 2000000L, -1000000L))

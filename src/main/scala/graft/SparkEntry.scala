@@ -1179,6 +1179,19 @@ object SparkEntry {
           Models.scoreQ(m, QualityModelFeats).as("score_q"))
         .orderBy(col("doc_id"))
     }),
+    // Composed quality FILTER (r14): train the scorer, keep the top 30%
+    // by quantized score — the CCNet "keep the best slice" pipeline step
+    // (model fit + corpus-relative threshold cut, ties kept) end to end.
+    "q_quality_keep" -> ((s, d) => {
+      val docs = tp(s, d, "documents")
+      val m = Models.trainedFor(docs, QualityModelFeats,
+        (col("lang") === "en").cast("double"), key = d)
+      Curation.keepTopQuantile(
+          docs.withColumn("score_q", Models.scoreQ(m, QualityModelFeats)),
+          col("score_q"), 0.3)
+        .select(col("doc_id"), col("score_q"))
+        .orderBy(col("doc_id"))
+    }),
     // Logistic twin (r14): IRLS fit — one moment job per iteration —
     // on the same features/label; scoring and oracle mechanism identical
     // (quantized-weight BIGINT dot, per-kind lastTrained).
@@ -1623,14 +1636,16 @@ object SparkEntry {
     * embed here as BIGINT literals — the score is a pure integer dot
     * product over the same features, bit-identical in any engine. The
     * zero fallback only fires if the query never ran. */
-  private def qualityModelOracle(kind: String): String = {
+  private def qualityScoresCte(kind: String): String = {
     val q = Models.lastTrained(kind).map(_.qweights)
       .getOrElse(Seq(0L, 0L, 0L, 0L))
     s"SELECT doc_id, CAST(${q(0)} + ${q(1)}*n_chars + ${q(2)}*len(t) + " +
       s"${q(3)}*len(list_distinct(t)) AS BIGINT) AS score_q " +
-      s"FROM (SELECT doc_id, n_chars, $Toks AS t FROM documents) " +
-      "ORDER BY doc_id"
+      s"FROM (SELECT doc_id, n_chars, $Toks AS t FROM documents)"
   }
+
+  private def qualityModelOracle(kind: String): String =
+    qualityScoresCte(kind) + " ORDER BY doc_id"
 
   /** Recursive-CTE BPE tokenizer shared by the q_bpe_* / q_pack_bpe
     * oracles: replays [[graft.pipeline.Bpe]]'s single-step
@@ -2621,6 +2636,14 @@ object SparkEntry {
     // fallback only fires if the query never ran.
     "q_quality_model" -> qualityModelOracle("ridge"),
     "q_quality_model_lr" -> qualityModelOracle("logit"),
+    // composed filter: replayed scores + the q_quality_topfrac threshold
+    // arithmetic (corpus-relative cut, ties kept)
+    "q_quality_keep" ->
+      (s"WITH q AS (${qualityScoresCte("ridge")}), " +
+        "h AS (SELECT score_q AS s, count(*) AS c FROM q GROUP BY 1), " +
+        "w AS (SELECT s, CAST(sum(c) OVER (ORDER BY s DESC) AS BIGINT) AS cum FROM h), " +
+        "t AS (SELECT max(s) AS thr FROM w WHERE cum >= CAST(ceil(0.3 * (SELECT count(*) FROM q)) AS BIGINT)) " +
+        "SELECT doc_id, score_q FROM q, t WHERE score_q >= thr ORDER BY doc_id"),
     // quantile_disc shares the operator's rank contract:
     // k = max(1, ceil(p * n)), k-th smallest with duplicates counted.
     "q_exact_quantiles" ->

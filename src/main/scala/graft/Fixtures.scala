@@ -157,6 +157,30 @@ object Fixtures {
       dir
     }
 
+  /** Incremental SEGMENT-COUNT INDEX + cleaned docs over `documents`,
+    * ingested in three batches by `doc_id % 3` (the arrival order
+    * q_seg_dedup_incremental's oracle replicates with cumulative
+    * per-batch counts and arrival-first row numbers). Returns the root
+    * dir holding `segindex` and `docs`
+    * ([[graft.pipeline.Dedup.segIngest]]). */
+  def segIndexDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/seg_index"
+      // 3 ingest commits + 1 compaction (post-ingest maintenance)
+      if (!complete(spark, s"$dir/segindex", 4)) {
+        rm(spark, dir)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        def ingest(b: Int, ts: Option[String]): Unit =
+          graft.pipeline.Dedup.segIngest(spark, dir,
+            docs.filter(pmod(col("doc_id"), lit(3)) === b),
+            col("doc_id"), col("text"), width = 5, ts = ts): Unit
+        ingest(0, Some(C1)); ingest(1, None); ingest(2, None)
+        graft.write.MorWriter.compactTable(spark, s"$dir/segindex")
+        graft.write.MorWriter.compactTable(spark, s"$dir/docs")
+      }
+      dir
+    }
+
   /** Incremental-dedup SIGNATURE INDEX over `documents`, ingested in three
     * doc_id-ordered batches (see [[graft.pipeline.Dedup.ingestDedup]]).
     * The final kept set must equal batch-mode fuzzy dedup of the whole

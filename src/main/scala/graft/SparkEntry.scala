@@ -1410,6 +1410,16 @@ object SparkEntry {
         .select(col("doc_id"), col("kept_text"), col("n_tokens"),
           col("removed_tokens"))
         .orderBy(col("doc_id"))),
+    // Incremental segment dedup (r14): three doc_id%3 arrival batches
+    // against the maintained segment-count index — each occurrence
+    // judged vs the cumulative count up to and INCLUDING its own batch,
+    // arrival-first kept (the oracle replays both with windows over the
+    // batch ordering).
+    "q_seg_dedup_incremental" -> ((s, d) =>
+      read.SnapshotReader.read(s, s"${Fixtures.segIndexDir(s, d)}/docs")
+        .select(col("doc_id"), col("text_dedup"), col("segs_total"),
+          col("segs_removed"))
+        .orderBy(col("doc_id"))),
     "q_dedup_best" -> ((s, d) => {
       val docs = tp(s, d, "documents")
       Dedup.keepBestPerCluster(
@@ -2890,6 +2900,29 @@ object SparkEntry {
         "SELECT b.doc_id AS doc_id, " +
         // coalesce: DuckDB's array_to_string([]) is NULL, Spark's '' —
         // both the tail slice and the fully-deduped doc hit it
+        "coalesce(array_to_string(list_filter([coalesce(a.body, ''), " +
+        "coalesce(array_to_string(b.t[b.nseg*5+1:], ' '), '')], " +
+        "x -> x <> ''), ' '), '') AS text_dedup, " +
+        "CAST(b.nseg AS BIGINT) AS segs_total, " +
+        "CAST(b.nseg - coalesce(a.kept_n, 0) AS BIGINT) AS segs_removed " +
+        "FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id " +
+        "ORDER BY doc_id"),
+    // arrival-order segment dedup: cumulative count up to and including
+    // the occurrence's own batch (RANGE peers over the batch ordering),
+    // arrival-first via row_number over (batch, doc_id, pos)
+    "q_seg_dedup_incremental" ->
+      (s"WITH toks AS (SELECT doc_id, doc_id % 3 AS b, $Toks AS t FROM documents), " +
+        "base AS (SELECT doc_id, b, t, CAST(len(t)//5 AS INT) AS nseg FROM toks), " +
+        "occ AS (SELECT doc_id, b, unnest(range(0, nseg)) AS pos, " +
+        "unnest(list_transform(range(0, nseg), " +
+        "i -> array_to_string(t[i*5+1:i*5+5], ' '))) AS seg FROM base), " +
+        "occ2 AS (SELECT doc_id, pos, seg, " +
+        "count(*) OVER (PARTITION BY seg ORDER BY b RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "row_number() OVER (PARTITION BY seg ORDER BY b, doc_id, pos) AS rn FROM occ), " +
+        "kept AS (SELECT doc_id, pos, seg FROM occ2 WHERE cum < 2 OR rn = 1), " +
+        "agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS body, " +
+        "count(*) AS kept_n FROM kept GROUP BY doc_id) " +
+        "SELECT b.doc_id AS doc_id, " +
         "coalesce(array_to_string(list_filter([coalesce(a.body, ''), " +
         "coalesce(array_to_string(b.t[b.nseg*5+1:], ' '), '')], " +
         "x -> x <> ''), ' '), '') AS text_dedup, " +

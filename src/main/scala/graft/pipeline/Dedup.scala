@@ -1502,6 +1502,144 @@ object Dedup {
     }
   }
 
+  /** Incremental [[segmentDedup]]: arrival-order ingest against a
+    * maintained SEGMENT-COUNT index. An arriving document is cleaned
+    * against everything seen up to and INCLUDING its own batch —
+    * an occurrence is dropped iff its segment's cumulative count
+    * (history + this batch) reaches `minDupCount` and (when `keepFirst`)
+    * it is not the ARRIVAL-first occurrence (the stored first if the
+    * segment is historical, else the batch's min (doc_id, pos)).
+    * Settled documents are never retro-edited ([[ingestDedup]]'s
+    * convention), so a later batch re-duplicating old text drops only
+    * its own copies.
+    *
+    * State under `dir/`: `segindex` — one graft row per DISTINCT segment
+    * string (record key IS the segment — exact-string verdicts) with its
+    * count and first occurrence; `docs` — cleaned outputs keyed by doc
+    * id. Both MOR with deltaCounters=off; every post-bootstrap batch
+    * commits BOTH in one [[graft.write.MultiTableTxn]]. Per batch: one
+    * count-by-segment shuffle of the batch plus one STORAGE-PARTITIONED
+    * index join (the segindex DSv2 scan reports bucket(n, k); only the
+    * batch-side counts exchange — the same batch-bounded shape, conf
+    * isolation, and checkpoint barrier as [[substrIngest]], documented
+    * there). Per-batch cost tracks the BATCH however large the index
+    * grows; history text is never re-read.
+    *
+    * Returns the batch's cleaned rows (doc_id, text_dedup, segs_total,
+    * segs_removed) exactly as recorded in `dir/docs`. `ts` pins the
+    * bootstrap commits only. Each doc id must arrive at most once. */
+  def segIngest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, id: Column, text: Column, width: Int = 5,
+      minDupCount: Int = 2, keepFirst: Boolean = true,
+      numBuckets: Int = 8, ts: Option[String] = None): DataFrame = {
+    require(width > 0, "width must be positive")
+    require(minDupCount >= 2, "minDupCount below 2 would drop every segment")
+    val base = graft.util.ParallelScan.widen(
+        batch.select(id.cast("long").as("doc_id"),
+          TextAnalysis.tokens(text).as("t")))
+      .withColumn("nseg", (size(col("t")) / width).cast("int"))
+      .withColumn("tail_", array_join(
+        slice(col("t"), col("nseg") * width + 1, size(col("t")) + 1), " "))
+      .persist()
+    try {
+      val segArr = when(col("nseg") > 0,
+        transform(sequence(lit(0), col("nseg") - 1, lit(1)),
+          i => array_join(slice(col("t"), i * width + 1, lit(width)), " ")))
+        .otherwise(array().cast("array<string>"))
+      // batch-sized; read by the count aggregate AND the keep join
+      val occ = base.select(col("doc_id"), posexplode_outer(segArr)
+          .as(Seq("pos", "seg")))
+        .filter(col("seg").isNotNull)
+        .localCheckpoint(true)
+      val bAgg = occ.groupBy("seg").agg(count(lit(1)).as("bcnt"),
+        min(struct(col("doc_id"), col("pos"))).as("bfirst"))
+      val idxDir = s"$dir/segindex"
+      val docsDir = s"$dir/docs"
+      val tl = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), idxDir)
+      val boot = tl.completedInstants().isEmpty
+      val totals =
+        if (boot)
+          bAgg.select(col("seg"), col("bcnt").as("cnt"),
+              col("bfirst.doc_id").as("fdoc"),
+              col("bfirst.pos").as("fpos"))
+            .localCheckpoint(true)
+        else {
+          // checkpoint barrier + isolated session: see [[substrIngest]]'s
+          // in-line notes — identical machinery, different key
+          val bc = bAgg.localCheckpoint(true)
+          val iso = spark.newSession()
+          iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          iso.conf.set(
+            "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+          iso.conf.set("spark.sql.shuffle.partitions",
+            spark.conf.get("spark.sql.shuffle.partitions"))
+          val hist = graft.util.CatalogMount.table(iso, idxDir)
+            .select(col("k"), col("cnt").as("hcnt"),
+              col("fdoc").as("hfdoc"), col("fpos").as("hfpos"))
+          val bcIso = org.apache.spark.sql.graft.Bridge
+            .sinkBatchDataFrame(iso, bc)
+          // ARRIVAL-first: a historical segment keeps its stored first
+          // forever; only brand-new segments adopt the batch's min
+          val joined = bcIso.withColumnRenamed("seg", "k")
+            .join(hist, Seq("k"), "left")
+            .select(col("k").as("seg"),
+              (col("bcnt") + coalesce(col("hcnt"), lit(0L))).as("cnt"),
+              coalesce(col("hfdoc"), col("bfirst.doc_id")).as("fdoc"),
+              coalesce(col("hfpos"), col("bfirst.pos")).as("fpos"))
+            .localCheckpoint(true)
+          org.apache.spark.sql.graft.Bridge.sinkBatchDataFrame(
+            spark, joined)
+        }
+      val keepCond = if (keepFirst)
+        col("cnt") < minDupCount ||
+          (col("fdoc") === col("doc_id") && col("fpos") === col("pos"))
+      else col("cnt") < minDupCount
+      val kept = occ.join(totals, Seq("seg")).filter(keepCond)
+      val re = kept.groupBy("doc_id")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            s => s("seg")), " ").as("body"),
+          count(lit(1)).as("kept_n"))
+      val cleaned = base.join(re, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          array_join(filter(
+            array(coalesce(col("body"), lit("")), col("tail_")),
+            x => length(x) > 0), " ").as("text_dedup"),
+          col("nseg").cast("long").as("segs_total"),
+          (col("nseg") - coalesce(col("kept_n"), lit(0L)))
+            .cast("long").as("segs_removed"))
+        .localCheckpoint(true)
+      val idxRows = totals
+        .withColumn("k", col("seg")).withColumn("p", lit("all"))
+      val docRows = cleaned
+        .withColumn("k", col("doc_id").cast("string"))
+        .withColumn("p", lit("all"))
+      if (boot) {
+        // docs first, segindex last — the boot gate tests segindex, so a
+        // crash between creates leaves a retryable half, never a wedge
+        def create(df: DataFrame, path: String): Unit = {
+          val wtr = df.write.format("graft")
+            .option("key", "k").option("partition", "p")
+            .option("type", "mor")
+            .option("deltaCounters", "off")
+            .option("buckets", numBuckets.toString)
+            .mode(org.apache.spark.sql.SaveMode.Append)
+          ts.fold(wtr)(x => wtr.option("ts", x)).save(path)
+        }
+        create(docRows, docsDir)
+        create(idxRows, idxDir)
+      } else {
+        graft.write.MultiTableTxn.commit(spark, Seq(
+          graft.write.MultiTableTxn.TableWrite(idxDir,
+            updates = Some(idxRows)),
+          graft.write.MultiTableTxn.TableWrite(docsDir,
+            updates = Some(docRows)))): Unit
+      }
+      cleaned
+    } finally base.unpersist(blocking = true)
+  }
+
   /** (id_a, id_b, inter) + per-doc set sizes → integer-exact Jaccard
     * per-mille: floor(inter·1000 / (sz_a + sz_b − inter)). */
   private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,

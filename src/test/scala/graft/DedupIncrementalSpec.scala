@@ -203,4 +203,56 @@ class DedupIncrementalSpec extends SparkSpec {
         "outer-session conf values changed across the ingest")
     } finally keys.foreach(spark.conf.unset)
   }
+
+  test("segIngest: arrival-first survives, later duplicates drop their " +
+      "own copies only; the index carries exact cumulative counts") {
+    val dir = freshDir("seg_inc")
+    val span = "w1 w2 w3 w4 w5"
+    // batch 1: doc 1 carries the segment once (aligned at pos 0) —
+    // unique so far, kept whole; tail always kept
+    val c1 = Dedup.segIngest(spark, dir,
+      docs((1L, s"$span t1 t2")), $"doc_id", $"text", width = 5,
+      ts = Some(C1)).orderBy($"doc_id").collect()
+    assert(c1(0).getString(1) == s"$span t1 t2")
+    assert(c1(0).getLong(3) == 0L)
+    // batch 2: doc 2 repeats the segment — cumulative count reaches 2,
+    // doc 2's copy drops (doc 1 stays the arrival-first), doc 1's
+    // settled row is untouched
+    val c2 = Dedup.segIngest(spark, dir,
+      docs((2L, s"$span x1 x2 x3 x4 x5")), $"doc_id", $"text", width = 5)
+      .orderBy($"doc_id").collect()
+    assert(c2(0).getString(1) == "x1 x2 x3 x4 x5")
+    assert(c2(0).getLong(3) == 1L)
+    val settled = SnapshotReader.read(spark, s"$dir/docs")
+      .orderBy($"doc_id").select($"text_dedup", $"segs_removed").collect()
+    assert(settled(0).getString(0) == s"$span t1 t2" &&
+      settled(0).getLong(1) == 0L, "settled doc retro-edited")
+    // batch 3: within-batch repeat — the batch's own min (doc_id, pos)
+    // would win ONLY for a brand-new segment; this one is historical,
+    // so both copies drop
+    val c3 = Dedup.segIngest(spark, dir,
+      docs((3L, s"$span a1 a2 a3 a4 a5"), (4L, span)),
+      $"doc_id", $"text", width = 5).orderBy($"doc_id").collect()
+    assert(c3(0).getString(1) == "a1 a2 a3 a4 a5")
+    assert(c3(1).getString(1) == "")
+    // exact cumulative count + the arrival-first pin
+    val idx = SnapshotReader.read(spark, s"$dir/segindex")
+      .filter($"seg" === span)
+      .select($"cnt", $"fdoc", $"fpos").head()
+    assert(idx.getLong(0) == 4L)
+    assert(idx.getLong(1) == 1L && idx.getInt(2) == 0)
+  }
+
+  test("segIngest: a brand-new segment duplicated WITHIN one batch keeps " +
+      "the batch's min (doc_id, pos) occurrence") {
+    val dir = freshDir("seg_inc_batchfirst")
+    Dedup.segIngest(spark, dir, docs((1L, "u1 u2 u3 u4 u5")),
+      $"doc_id", $"text", width = 5, ts = Some(C1)): Unit
+    val span = "n1 n2 n3 n4 n5"
+    val c = Dedup.segIngest(spark, dir,
+      docs((5L, span), (6L, span)), $"doc_id", $"text", width = 5)
+      .orderBy($"doc_id").collect()
+    assert(c(0).getString(1) == span, "batch-min occurrence kept")
+    assert(c(1).getString(1) == "", "the other within-batch copy drops")
+  }
 }

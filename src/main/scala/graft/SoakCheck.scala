@@ -599,6 +599,61 @@ object SoakCheck {
       s"seg_dedup shuffled ${seg.totalShuffleWriteMB} MB — budget 60")
     require(seg.jobs <= 15, s"seg_dedup ran ${seg.jobs} jobs — budget 15")
 
+    // ---- path 9e: incremental segment ingest + tail batch (r14) --------
+    // the same 100k corpus in three batches against the segment-count
+    // index, then a 1% TAIL batch into the grown index: the
+    // storage-partitioned join must keep the tail's exchange batch-sized
+    // (the substrIngest claim, re-proven on the segment machinery).
+    // keepFirst totals: planted−1 removed over the bootstrap batches;
+    // every planted tail doc drops its copy (the segment is historical).
+    val segIdx = s"$root/seg_index"
+    val sg3 = SegDocs / 3
+    var segIncRemoved = 0L
+    val segInc = measure(spark, "seg_ingest")(() => {
+      def ingest(lo: Long, hi: Long, ts: Option[String]) =
+        pipeline.Dedup.segIngest(spark, segIdx,
+          segDocs.filter(col("id") >= lo && col("id") < hi),
+          col("id"), col("text"), width = 5, ts = ts)
+      ingest(0, sg3, Some("1000"))
+      ingest(sg3, 2 * sg3, None)
+      ingest(2 * sg3, SegDocs, None)
+      read.SnapshotReader.read(spark, s"$segIdx/docs")
+    })(df => {
+      segIncRemoved =
+        df.agg(sum(col("segs_removed"))).collect()(0).getLong(0)
+      df.count()
+    })
+    require(segInc.rowsOut == SegDocs, s"seg_ingest docs ${segInc.rowsOut}")
+    require(segIncRemoved == segPlanted - 1,
+      s"seg_ingest removed $segIncRemoved, expected ${segPlanted - 1}")
+    require(segInc.jobs <= 3 * 60,
+      s"seg_ingest ran ${segInc.jobs} jobs for 3 batches — budget 60/batch")
+    val SegTail = 1000L
+    var segTailRemoved = 0L
+    val segTail = measure(spark, "seg_ingest_tail")(() =>
+      pipeline.Dedup.segIngest(spark, segIdx,
+        spark.range(SegDocs, SegDocs + SegTail, 1, 8)
+          .select(col("id"), concat_ws(" ",
+            (0 until 20).map(i => concat(lit(s"s${i}_"), col("id"))) ++
+              Seq(when(pmod(col("id"), lit(10)) === 0, lit(segSpan))
+                .otherwise(concat_ws(" ", (20 until 25).map(i =>
+                  concat(lit(s"s${i}_"), col("id"))): _*))): _*)
+            .as("text")),
+        col("id"), col("text"), width = 5)
+    )(df => {
+      segTailRemoved =
+        df.agg(sum(col("segs_removed"))).collect()(0).getLong(0)
+      df.count()
+    })
+    require(segTail.rowsOut == SegTail,
+      s"seg_ingest_tail rows ${segTail.rowsOut}")
+    require(segTailRemoved == SegTail / 10,
+      s"seg_ingest_tail removed $segTailRemoved, expected ${SegTail / 10}")
+    require(segTail.totalShuffleWriteMB * 10 <= segInc.totalShuffleWriteMB,
+      s"seg_ingest_tail shuffled ${segTail.totalShuffleWriteMB} MB vs " +
+        s"${segInc.totalShuffleWriteMB} MB for the 100x corpus — the " +
+        "tail batch's exchange must track the batch, not the index")
+
     // ---- path 10: kNN join at 20× vectors (r12) ------------------------
     // 40k synthetic 64-dim vectors, IVF cell join at nlist 64 / nprobe 4:
     // the whole-corpus-query shape — no broadcast side anywhere; per-task
@@ -634,7 +689,7 @@ object SoakCheck {
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
       search, wand, incIng, incSearch, sem, semTail, dvw, sub, subInc,
-      subTail, seg, knn, knnPq)
+      subTail, seg, segInc, segTail, knn, knnPq)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,

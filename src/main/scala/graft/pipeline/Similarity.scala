@@ -989,6 +989,84 @@ object Similarity {
     (model.components, cents, books)
   }
 
+  /** SELF-DESCRIBING persisted ANN index: the full `IVF<nlist>,PQ<m>`
+    * family (`variant` ∈ pq | opq | pca) built under `dir` with its
+    * metadata sidecars — `data/` (the cell-partitioned codes+vectors
+    * table), `centroids/`, `codebooks/`, `rotation/` (absent for plain
+    * pq), `meta/` (variant, rotated dim, residual flag) — so a search
+    * needs ONLY the directory. This is what the SQL surface
+    * (`CALL ann_index_build` / `ann_search`) serves from; the sidecars
+    * are metadata-sized parquet (nlist·dim + m·ksub·dsub floats).
+    * Returns (cells, rotated dim). */
+  def annIndexBuild(corpus: DataFrame, id: Column, vec: Column,
+      dir: String, dim: Int, nlist: Int, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, seed: Long = 42L, residual: Boolean = true,
+      trainFraction: Double = 1.0, variant: String = "pq",
+      rank: Int = 0, opqIters: Int = 3): (Int, Int) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dataDir = s"$dir/data"
+    val (rot, cents, books, rdim) = variant match {
+      case "pq" =>
+        val (c, b) = ivfPqWrite(corpus, id, vec, dataDir, dim, nlist, m,
+          ksub, iters, seed, residual, trainFraction)
+        (None: Option[Seq[Seq[Double]]], c, b, dim)
+      case "opq" =>
+        val (r, c, b) = ivfOpqWrite(corpus, id, vec, dataDir, dim, nlist,
+          m, ksub, iters, opqIters, seed, residual, trainFraction)
+        (Some(r), c, b, dim)
+      case "pca" =>
+        require(rank > 0, "variant=pca needs rank > 0")
+        val (r, c, b) = ivfPcaWrite(corpus, id, vec, dataDir, dim, rank,
+          nlist, m, ksub, iters, seed, residual, trainFraction)
+        (Some(r), c, b, rank)
+      case other => throw new IllegalArgumentException(
+        s"variant must be pq | opq | pca (got '$other')")
+    }
+    cents.map { case (i, v) => (i, v) }.toDF("i", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (v, code) => (s, code, v) }
+    }.toDF("s", "code", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    rot.foreach(r =>
+      r.zipWithIndex.map { case (row, i) => (i, row) }.toDF("i", "row")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation"))
+    Seq((variant, rdim, residual)).toDF("variant", "rdim", "residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    (cents.size, rdim)
+  }
+
+  /** Top-k against an [[annIndexBuild]] directory: loads the sidecars,
+    * then runs [[ivfPqTopKFromTable]] with the recorded variant's
+    * rotation and rotated dim. Exhaustive probe + full rerank ≡ brute
+    * force for every variant (rerank reads the stored ORIGINAL
+    * vectors). */
+  def annTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val variant = meta.getString(0)
+    val rdim = meta.getInt(1)
+    val residual = meta.getBoolean(2)
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
+      .sortBy(_._1).toSeq
+    val bookRows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Float](2).toList: Seq[Float]))
+    val books: PqCodebooks = bookRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    val rot: Option[Seq[Seq[Double]]] =
+      if (variant == "pq") None
+      else Some(spark.read.parquet(s"$dir/rotation").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toList: Seq[Double]))
+        .sortBy(_._1).map(_._2).toSeq)
+    ivfPqTopKFromTable(spark, s"$dir/data", cents, books, queries,
+      queryId, queryVec, k, dim = rdim, nprobe = nprobe, rerank = rerank,
+      residual = residual, rotation = rot)
+  }
+
   /** Encode an assigned-and-residualized frame against FIXED codebooks:
     * `(corpus_id, codes, vnorm, cv, __cluster)` — the stored row shape of
     * the compressed index (shared by the bulk write and [[ivfPqIngest]]). */

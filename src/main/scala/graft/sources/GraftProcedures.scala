@@ -642,6 +642,73 @@ private[sources] object GraftProcedures {
           Long.box(st.getLong(2)), outDir))
       },
 
+      proc("ann_index_build",
+        "build a compressed vector-search index (IVF<nlist>,PQ<m>; " +
+          "variant pq | opq | pca) over a table's embedding column " +
+          "under <table>/.ann — cell-partitioned codes+vectors plus " +
+          "metadata sidecars; ann_search serves from it",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT row id column"),
+          in("vec_col", StringType, "ARRAY<FLOAT> embedding column"),
+          in("dim", IntegerType, "embedding dimensionality"),
+          in("nlist", IntegerType, "IVF cells", default = Some("8")),
+          in("m", IntegerType, "PQ subspaces", default = Some("8")),
+          in("ksub", IntegerType, "codes per subspace",
+            default = Some("16")),
+          in("variant", StringType, "pq | opq | pca",
+            default = Some("'pq'")),
+          in("rank", IntegerType, "PCA rank (variant = pca only)",
+            default = Some("0")),
+          in("train_fraction", DoubleType,
+            "hash-sample fraction for codebook/centroid training",
+            default = Some("1.0"))),
+        out("cells" -> IntegerType, "rotated_dim" -> IntegerType,
+          "index_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val dir = s"$path/.ann"
+        val rows = graft.read.SnapshotReader.read(spark, path)
+        val fx = org.apache.spark.sql.functions
+        val (cells, rdim) = graft.pipeline.Similarity.annIndexBuild(
+          rows, fx.col(str(r, 1)), fx.col(str(r, 2)), dir,
+          dim = r.getInt(3), nlist = r.getInt(4), m = r.getInt(5),
+          ksub = r.getInt(6), trainFraction = r.getDouble(9),
+          variant = str(r, 7), rank = r.getInt(8))
+        Seq(row(Int.box(cells), Int.box(rdim), dir))
+      },
+
+      proc("ann_search",
+        "top-k cosine neighbors from the table's .ann index for the " +
+          "query rows a predicate selects (ADC candidates over the " +
+          "probed cells only, exact-cosine rerank; result is " +
+          "queries x k bounded — keep the predicate selective)",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT row id column"),
+          in("vec_col", StringType, "ARRAY<FLOAT> embedding column"),
+          in("query_predicate", StringType,
+            "SQL boolean expression selecting the query rows, " +
+              "e.g. \"vec_id < 10\""),
+          in("k", IntegerType, "neighbors per query",
+            default = Some("5")),
+          in("nprobe", IntegerType, "IVF cells probed per query",
+            default = Some("2")),
+          in("rerank", IntegerType,
+            "ADC candidates re-scored by exact cosine",
+            default = Some("50"))),
+        out("query_id" -> LongType, "corpus_id" -> LongType,
+          "rank" -> IntegerType, "cosine_micro" -> LongType)) {
+        (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val fx = org.apache.spark.sql.functions
+        val queries = graft.read.SnapshotReader.read(spark, path)
+          .filter(fx.expr(str(r, 3)))
+        graft.pipeline.Similarity.annTopK(spark, s"$path/.ann",
+            queries, fx.col(str(r, 1)), fx.col(str(r, 2)),
+            k = r.getInt(4), nprobe = r.getInt(5), rerank = r.getInt(6))
+          .collect().toSeq // queries × k bounded
+          .map(x => row(Long.box(x.getLong(0)), Long.box(x.getLong(1)),
+            Int.box(x.getInt(2)), Long.box(x.getLong(3))))
+      },
+
       proc("quality_model",
         "train a linear quality scorer (closed-form ridge from one " +
           "moment job) on integer feature expressions and score the " +

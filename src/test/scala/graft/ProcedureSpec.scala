@@ -402,6 +402,42 @@ class ProcedureSpec extends SparkSpec {
     assert(r.getLong(2) > 0, "corpus should carry duplicated segments")
   }
 
+  test("ann_index_build + ann_search: exhaustive probe + full rerank " +
+      "equals brute force; pca variant records the reduced dim") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.embs")
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("embs_ann_src")
+    spark.sql(s"CREATE TABLE $cat.ns.embs PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'vec_id', buckets '2') " +
+      "AS SELECT vec_id, embedding, 'all' AS pt FROM embs_ann_src")
+    val b = spark.sql(s"CALL $cat.system.ann_index_build(" +
+      "table => 'ns.embs', id_col => 'vec_id', vec_col => 'embedding', " +
+      "dim => 64, nlist => 4, variant => 'pca', rank => 16)").head()
+    assert(b.getInt(0) == 4 && b.getInt(1) == 16)
+    val got = spark.sql(s"CALL $cat.system.ann_search(" +
+      "table => 'ns.embs', id_col => 'vec_id', vec_col => 'embedding', " +
+      "query_predicate => 'vec_id < 10', k => 5, nprobe => 4, " +
+      "rerank => 1000000)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    import org.apache.spark.sql.functions._
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val brute = graft.pipeline.Similarity.bruteForceTopK(
+        embs, col("vec_id"), col("embedding"),
+        embs.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5)
+      .select(col("query_id"), col("corpus_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    // realistic knobs stay k-bounded and well-formed
+    val fast = spark.sql(s"CALL $cat.system.ann_search(" +
+      "table => 'ns.embs', id_col => 'vec_id', vec_col => 'embedding', " +
+      "query_predicate => 'vec_id < 3', k => 3)").collect()
+    assert(fast.length == 9 &&
+      fast.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 3))
+  }
+
   test("quality_model procedure: scores land and replay the returned " +
       "quantized weights exactly") {
     conf()

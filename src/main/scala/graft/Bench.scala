@@ -122,17 +122,28 @@ object Bench {
     }
     val SpinParRef = 0.932
     val byName = results.toMap
-    val totalNorm = groups.zipWithIndex.map { case (g, i) =>
-      val gTotal = g.map(q => byName(q._1)).filter(_ >= 0).sum
-      gTotal * (SpinParRef / groupSpin(i))
-    }.sum
+    // r15: the normalized board is PER QUERY, not just the total — a
+    // single run-wide factor can't correct intra-run host drift (a slow
+    // window mid-run manufactured phantom per-query regressions in r14),
+    // so each query is scaled by ITS group's adjacent spin sample.
+    val groupOf: Map[String, Int] = groups.zipWithIndex.flatMap {
+      case (g, i) => g.map(q => q._1 -> i)
+    }.toMap
+    val resultsNorm = results.map { case (k, v) =>
+      k -> (if (v >= 0) v * (SpinParRef / groupSpin(groupOf(k))) else v)
+    }
+    val totalNorm = resultsNorm.filter(_._2 >= 0).map(_._2).sum
     val spin1Min = math.min(spin1A, spin1B)
     val spinParMin = (Seq(calibA, calibB) ++ samples1 ++ samples2).min
     // total sums successful queries; failures stay visible as -1 entries
     val total = results.filter(_._2 >= 0).map(_._2).sum
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
     def arr(xs: Seq[Double]) = xs.map(r3).mkString("[", ",", "]")
-    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // both boards in the full artifact: "queries" = group-normalized
+    // (the comparable figures), "queries_raw" = wall-clock minima
+    val qsFull = resultsNorm.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val qsRaw = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val calibFull = s"""{"spin1_sec":${r3(spin1Min)},""" +
       s""""spin_par_sec":${r3(spinParMin)},""" +
@@ -143,7 +154,9 @@ object Bench {
       s""""group_size":$GroupSize,""" +
       s""""spin_iters":$SpinIters,"workers":$cpus}"""
     val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""total_normalized":${r3(totalNorm)},"queries":$qsFull,""" +
+      s""""total_normalized":${r3(totalNorm)},""" +
+      s""""queries_normalization":"per_group","queries":$qsFull,""" +
+      s""""queries_raw":$qsRaw,""" +
       s""""sf":"$sfDir","calibration":$calibFull}"""
     // The harness that collects this output keeps only the LAST ~2000 chars
     // of stdout and parses the JSON line from that window; with ~100 queries
@@ -165,9 +178,10 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
         s""""total_normalized":${r3(totalNorm)},"n_queries":${results.size},""" +
         s""""queries_shown":${entries.size},"full":"BENCH_FULL.json",""" +
+        s""""queries_normalization":"per_group",""" +
         s""""queries":$qs,"sf":"$sfDir","calibration":$calibCompact}"""
     }
-    val bySlowest = results.sortBy { case (_, v) => -v }
+    val bySlowest = resultsNorm.sortBy { case (_, v) => -v }
     var keep = bySlowest.size
     while (keep > 1 && line(bySlowest.take(keep)).length > StdoutBudget)
       keep -= 1

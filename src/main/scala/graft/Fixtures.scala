@@ -112,6 +112,11 @@ object Fixtures {
     dir
   }
 
+  /** Scratch path under the fixture root for queries that persist
+    * metadata-sized sidecars (e.g. the frozen quality model). */
+  def scratch(sfDir: String, name: String): String =
+    s"${root(sfDir)}/$name"
+
   /** Build both fixtures up front (Bench calls this before timing). */
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     cowDir(spark, sfDir); morDir(spark, sfDir); ivfDir(spark, sfDir)
@@ -1076,6 +1081,40 @@ object Fixtures {
       .sortBy(_._1).map(_._2).toSeq
     (dataDir, rot, loadCentroids(spark, centDir), loadBooks(spark, bookDir))
   }
+
+  /** SELF-DESCRIBING `.ann` index grown INCREMENTALLY through its
+    * persisted sidecars ([[graft.pipeline.Similarity.annIngest]]): built
+    * via [[graft.pipeline.Similarity.annIndexBuild]] (variant pca — the
+    * most composed path, so the STORED projection must be re-applied to
+    * every batch) over vec_id % 3 != 2, then two annIngest batches append
+    * the rest using the directory alone — no in-memory model crosses the
+    * build/ingest boundary. q_ann_ingest_topk serves the grown index
+    * exhaustively ≡ brute force over the union. */
+  def annIngestDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/embeddings_ann_ingest"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // the ingest marker is written LAST: a crash mid-sequence leaves a
+      // rebuildable partial, never a half-grown index that looks done
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/ingested/_SUCCESS"))) {
+        rm(spark, dir)
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val id = col("vec_id"); val v = col("embedding")
+        graft.pipeline.Similarity.annIndexBuild(
+          emb.filter(id % 3 =!= 2), id, v, dir, dim = 64, nlist = 8,
+          iters = 1, trainFraction = 0.5, variant = "pca", rank = 16)
+        graft.pipeline.Similarity.annIngest(spark, dir,
+          emb.filter(id % 3 === 2 && id % 2 === 0), id, v)
+        graft.pipeline.Similarity.annIngest(spark, dir,
+          emb.filter(id % 3 === 2 && id % 2 =!= 0), id, v)
+        import spark.implicits._
+        Seq(1).toDF("ok").coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/ingested")
+      }
+      dir
+    }
 
   /** BM25 inverted index over `documents` (postings partitioned by term
     * bucket + one-row corpus stats sidecar;

@@ -859,6 +859,21 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // q_ann_ingest_topk (r15): the SELF-DESCRIBING .ann index grown
+    // incrementally — built as variant pca over 2/3 of the corpus, two
+    // annIngest batches append the rest THROUGH THE PERSISTED SIDECARS
+    // (stored PCA projection re-applied to each batch, frozen
+    // centroids/codebooks). Exhaustive probe + full rerank over the
+    // grown directory must stay exact brute force over the union.
+    "q_ann_ingest_topk" -> ((s, d) => {
+      val dir = Fixtures.annIngestDir(s, d)
+      Similarity.annTopK(s, dir,
+          t(s, d, "embeddings").filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), k = 5, nprobe = 8,
+          rerank = 1 << 30)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_ivfpq_topk" -> ((s, d) => {
       val (path, cents, books) = Fixtures.ivfPqDir(s, d)
       Similarity.ivfPqTopKFromTable(s, path, cents, books,
@@ -1192,6 +1207,26 @@ object SparkEntry {
         .select(col("doc_id"), col("score_q"))
         .orderBy(col("doc_id"))
     }),
+    // Frozen-model serving (r15): fit on HALF the corpus (even doc ids),
+    // PERSIST the model as a self-describing one-row sidecar (feature
+    // SQL + quantized weights), re-LOAD it, and score the other half
+    // from the sidecar alone — stored feature strings re-parsed via
+    // expr(), frozen integer weights, no refit, no training-data read.
+    // The cross-session CCNet serving pattern; the oracle replays this
+    // run's quantized weights over the odd half (trained-BPE mechanism).
+    "q_quality_score_frozen" -> ((s, d) => {
+      val docs = tp(s, d, "documents")
+      val m = Models.ridgeTrainedForKind("ridge_frozen",
+        docs.filter(col("doc_id") % 2 === 0), QualityModelFeats,
+        (col("lang") === "en").cast("double"), key = d)
+      val dir = Fixtures.scratch(d, "quality_model_frozen")
+      Models.save(s, dir, "ridge", Models.featureSql(QualityModelFeats), m)
+      val mdl = Models.load(s, dir)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"),
+          Models.scoreQ(mdl.model, mdl.features.map(expr)).as("score_q"))
+        .orderBy(col("doc_id"))
+    }),
     // Logistic twin (r14): IRLS fit — one moment job per iteration —
     // on the same features/label; scoring and oracle mechanism identical
     // (quantized-weight BIGINT dot, per-kind lastTrained).
@@ -1253,6 +1288,14 @@ object SparkEntry {
     "q_rep_dupcov" -> ((s, d) =>
       TextAnalysis.dupNgramCoverage(tp(s, d, "documents"), col("doc_id"),
           col("text"), n = 5)
+        .orderBy(col("doc_id"))),
+    // Composed Gopher KEEP step (r15): one operator ANDing the paper's
+    // thresholds — top-n-gram fraction n ∈ 2..4 (permille 200/180/160)
+    // and duplicated-n-gram coverage n ∈ 5..10 (150..100) — emitting
+    // kept doc ids; integer-exact so the composed filter hash-gates.
+    "q_gopher_keep" -> ((s, d) =>
+      TextAnalysis.gopherKeep(tp(s, d, "documents"), col("doc_id"),
+          col("text"), GopherTop, GopherDup)
         .orderBy(col("doc_id"))),
     // Corpus-relative quality cut: keep the top 20% by integer score via a
     // histogram-resolved threshold — no global sort, ties kept
@@ -1393,6 +1436,24 @@ object SparkEntry {
       Dedup.segmentDedup(tp(s, d, "documents"), col("doc_id"), col("text"),
           width = 5, minDupCount = 2, keepFirst = true)
         .orderBy(col("doc_id"))),
+    // Delimiter-mode segment dedup (r15): the paper's LITERAL line dedup
+    // — the synthetic corpus carries no newlines, so the gate first
+    // materializes a deterministic line structure (4-token lines joined
+    // by \n, reproduced verbatim in the oracle), then drops duplicated
+    // EXACT lines corpus-wide through the same count/keep/reassemble
+    // plan with delim = "\n" (no tokens, no tail, segments re-joined by
+    // the delimiter).
+    "q_seg_dedup_lines" -> ((s, d) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val nl = ((size(t) + lit(3)) / lit(4)).cast("int")
+      val docsNl = tp(s, d, "documents").select(col("doc_id"),
+        array_join(transform(sequence(lit(0), nl - 1, lit(1)),
+          i => array_join(slice(t, i * 4 + 1, lit(4)), " ")), "\n")
+          .as("text_nl"))
+      Dedup.segmentDedup(docsNl, col("doc_id"), col("text_nl"),
+          minDupCount = 2, keepFirst = true, delim = Some("\n"))
+        .orderBy(col("doc_id"))
+    }),
     // ExactSubstr span manifest (r12): one row per MAXIMAL duplicated
     // span — the cut list (Lee et al. publish byte ranges, not rewritten
     // text); overlapping/adjacent windows merged by a lag+running-sum
@@ -1646,12 +1707,54 @@ object SparkEntry {
     * embed here as BIGINT literals — the score is a pure integer dot
     * product over the same features, bit-identical in any engine. The
     * zero fallback only fires if the query never ran. */
-  private def qualityScoresCte(kind: String): String = {
+  /** The Gopher keep gate's threshold tables — the paper's permille
+    * defaults, passed to BOTH engines so Spark and the oracle can't
+    * drift ([[graft.pipeline.TextAnalysis.gopherKeep]] carries the same
+    * values as its parameter defaults). */
+  private val GopherTop = Seq(2 -> 200, 3 -> 180, 4 -> 160)
+  private val GopherDup =
+    Seq(5 -> 150, 6 -> 140, 7 -> 130, 8 -> 120, 9 -> 110, 10 -> 100)
+
+  /** Composed Gopher keep oracle: the q_rep_topgram / q_rep_dupcov
+    * constructions generalized to every gated order, reduced to violator
+    * sets, ANDed by exclusion. */
+  private lazy val GopherKeepOracle: String = {
+    def caseOf(ts: Seq[(Int, Int)], n: String) =
+      s"CASE $n " +
+        ts.map { case (k, v) => s"WHEN $k THEN $v" }.mkString(" ") + " END"
+    val exT = GopherTop.map(_._1).map(n =>
+      s"SELECT doc_id, $n AS n, unnest(CASE WHEN len(t) >= $n THEN " +
+        s"list_transform(range(0, len(t)-$n+1), i -> array_to_string(t[i+1:i+$n], ' ')) " +
+        "ELSE [] END) AS gram FROM toks").mkString(" UNION ALL ")
+    val winsD = GopherDup.map(_._1).map(n =>
+      s"SELECT doc_id, $n AS n, unnest(range(0, greatest(len(t)-$n+1, 0))) AS pos, " +
+        s"unnest(list_transform(range(0, greatest(len(t)-$n+1, 0)), i -> array_to_string(t[i+1:i+$n], ' '))) AS win FROM toks")
+      .mkString(" UNION ALL ")
+    s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+      s"ex AS ($exT), " +
+      "c AS (SELECT doc_id, n, gram, count(*) AS c FROM ex GROUP BY doc_id, n, gram), " +
+      "m AS (SELECT doc_id, n, max(c) AS top_cnt FROM c GROUP BY doc_id, n), " +
+      "nt AS (SELECT doc_id, len(t) AS nt FROM toks), " +
+      "vt AS (SELECT DISTINCT m.doc_id AS doc_id FROM m JOIN nt ON m.doc_id = nt.doc_id " +
+      s"WHERE floor(m.top_cnt * m.n * 1000 / greatest(nt.nt, 1)) > ${caseOf(GopherTop, "m.n")}), " +
+      s"wins AS ($winsD), " +
+      "dup AS (SELECT doc_id, n, win FROM wins GROUP BY doc_id, n, win HAVING count(*) >= 2), " +
+      "mark AS (SELECT DISTINCT w.doc_id AS doc_id, w.n AS n, w.pos AS pos FROM wins w " +
+      "JOIN dup d ON w.doc_id = d.doc_id AND w.n = d.n AND w.win = d.win), " +
+      "cov AS (SELECT doc_id, n, count(DISTINCT j) AS covered FROM " +
+      "(SELECT doc_id, n, pos + unnest(range(0, n)) AS j FROM mark) GROUP BY doc_id, n), " +
+      "vd AS (SELECT DISTINCT c2.doc_id AS doc_id FROM cov c2 JOIN nt ON c2.doc_id = nt.doc_id " +
+      s"WHERE floor(c2.covered * 1000 / greatest(nt.nt, 1)) > ${caseOf(GopherDup, "c2.n")}) " +
+      "SELECT doc_id FROM documents WHERE doc_id NOT IN " +
+      "(SELECT doc_id FROM vt UNION SELECT doc_id FROM vd) ORDER BY doc_id"
+  }
+
+  private def qualityScoresCte(kind: String, where: String = ""): String = {
     val q = Models.lastTrained(kind).map(_.qweights)
       .getOrElse(Seq(0L, 0L, 0L, 0L))
     s"SELECT doc_id, CAST(${q(0)} + ${q(1)}*n_chars + ${q(2)}*len(t) + " +
       s"${q(3)}*len(list_distinct(t)) AS BIGINT) AS score_q " +
-      s"FROM (SELECT doc_id, n_chars, $Toks AS t FROM documents)"
+      s"FROM (SELECT doc_id, n_chars, $Toks AS t FROM documents$where)"
   }
 
   private def qualityModelOracle(kind: String): String =
@@ -2473,6 +2576,14 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
         "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
         ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // .ann index grown through its persisted sidecars, exhaustive + full
+    // rerank ⇒ brute force over the union — same oracle as q_sim_topk.
+    "q_ann_ingest_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
     // grown compressed index, exhaustive + full rerank ⇒ brute force over
     // the union — same oracle as q_sim_topk.
     "q_ivfpq_ingest_topk" ->
@@ -2646,6 +2757,12 @@ object SparkEntry {
     // fallback only fires if the query never ran.
     "q_quality_model" -> qualityModelOracle("ridge"),
     "q_quality_model_lr" -> qualityModelOracle("logit"),
+    // frozen-sidecar serving: the model fitted on the EVEN half scores
+    // the ODD half — weights are this run's ridge_frozen quantization
+    // (round-tripped through the persisted sidecar by the query)
+    "q_quality_score_frozen" ->
+      (qualityScoresCte("ridge_frozen", " WHERE doc_id % 2 = 1") +
+        " ORDER BY doc_id"),
     // composed filter: replayed scores + the q_quality_topfrac threshold
     // arithmetic (corpus-relative cut, ties kept)
     "q_quality_keep" ->
@@ -2736,6 +2853,11 @@ object SparkEntry {
         "CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens, " +
         "CAST(floor(coalesce(c.covered, 0) * 1000 / greatest(len(t.t), 1)) AS BIGINT) AS permille " +
         "FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id ORDER BY doc_id"),
+    // composed Gopher keep: violators of EITHER family (top-gram
+    // fraction at its per-order threshold, dup-coverage at its), kept =
+    // the rest — thresholds rendered from the same constants the Spark
+    // defaults carry
+    "q_gopher_keep" -> GopherKeepOracle,
     // top-20% threshold from the descending score histogram (ties kept:
     // the smallest threshold whose tail covers ceil(0.2·N) rows)
     "q_quality_topfrac" ->
@@ -2903,6 +3025,27 @@ object SparkEntry {
         "coalesce(array_to_string(list_filter([coalesce(a.body, ''), " +
         "coalesce(array_to_string(b.t[b.nseg*5+1:], ' '), '')], " +
         "x -> x <> ''), ' '), '') AS text_dedup, " +
+        "CAST(b.nseg AS BIGINT) AS segs_total, " +
+        "CAST(b.nseg - coalesce(a.kept_n, 0) AS BIGINT) AS segs_removed " +
+        "FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id " +
+        "ORDER BY doc_id"),
+    // delimiter-mode (line) segment dedup: the same count/keep windows
+    // over EXACT 4-token lines (the deterministic line structure the
+    // query materializes), kept lines re-joined by chr(10); no tail
+    "q_seg_dedup_lines" ->
+      (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+        "base AS (SELECT doc_id, t, CAST((len(t)+3)//4 AS INT) AS nseg FROM toks), " +
+        "occ AS (SELECT doc_id, unnest(range(0, nseg)) AS pos, " +
+        "unnest(list_transform(range(0, nseg), " +
+        "i -> array_to_string(t[i*4+1:i*4+4], ' '))) AS seg FROM base), " +
+        "occ2 AS (SELECT doc_id, pos, seg, " +
+        "count(*) OVER (PARTITION BY seg) AS cnt, " +
+        "row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM occ), " +
+        "kept AS (SELECT doc_id, pos, seg FROM occ2 WHERE cnt < 2 OR rn = 1), " +
+        "agg AS (SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS body, " +
+        "count(*) AS kept_n FROM kept GROUP BY doc_id) " +
+        "SELECT b.doc_id AS doc_id, " +
+        "coalesce(a.body, '') AS text_dedup, " +
         "CAST(b.nseg AS BIGINT) AS segs_total, " +
         "CAST(b.nseg - coalesce(a.kept_n, 0) AS BIGINT) AS segs_removed " +
         "FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id " +

@@ -32,8 +32,11 @@ object Models {
 
   /** Ridge regression via normal equations: `w = (XᵀX + λ·n·I′)⁻¹ Xᵀy`
     * with the intercept unpenalized (I′ zeroes the [0,0] entry). One
-    * distributed job; rows with a null label or null feature vector are
-    * skipped (standard aggregate null semantics).
+    * distributed job; rows with a null label or with ANY null feature
+    * value are skipped (the explicit `exists`-null filter below — a null
+    * feature becomes a null ELEMENT of the assembled `array()` vector,
+    * which the moment aggregate would otherwise reject loudly, never a
+    * silently-absorbed whole-null row).
     *
     * The moment sums are floating-point and follow partition merge order,
     * so the last ulp of `weights` can differ between runs — consumers
@@ -47,7 +50,7 @@ object Models {
     val p = features.size + 1
     val z = array((lit(1.0d) +: features.map(_.cast("double"))): _*)
     val row = df.select(z.as("z"), label.cast("double").as("y"))
-      .filter(col("y").isNotNull)
+      .filter(col("y").isNotNull && !exists(col("z"), _.isNull))
       .agg(count(lit(1)).as("n"),
         graft.functions.OuterSumAgg.outerSum(col("z"), col("z"), p, p)
           .as("xtx"),
@@ -96,8 +99,14 @@ object Models {
     * separated points). `lambda·n` ridge on the non-intercept weights
     * keeps separable data finite. Labels must be in {0, 1}.
     *
-    * Same determinism contract as [[ridgeFit]]: fp moment sums follow
-    * merge order; oracle gates embed the run's quantized weights. */
+    * COST: the fit is `iters` FULL passes over the training corpus (the
+    * projected base frame is persisted, but every iteration re-reads it
+    * to fold the current weights into η) — at 100 TB keep `iters`
+    * single-digit; IRLS converges quadratically, so 4–8 iterations is
+    * the working range, not a budget cut. Null handling and the
+    * determinism contract match [[ridgeFit]]: rows with a null label or
+    * any null feature are skipped; fp moment sums follow merge order;
+    * oracle gates embed the run's quantized weights. */
   def logisticFit(df: DataFrame, features: Seq[Column], label: Column,
       lambda: Double = 1e-6, iters: Int = 8,
       qscale: Long = 1000000L): LinearModel = {
@@ -106,7 +115,7 @@ object Models {
     val p = features.size + 1
     val z = array((lit(1.0d) +: features.map(_.cast("double"))): _*)
     val base = df.select(z.as("z"), label.cast("double").as("y"))
-      .filter(col("y").isNotNull)
+      .filter(col("y").isNotNull && !exists(col("z"), _.isNull))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = base.count()
@@ -141,6 +150,43 @@ object Models {
     } finally base.unpersist()
   }
 
+  /** A model re-loaded from a [[save]] sidecar: the frozen weights plus
+    * the feature EXPRESSIONS (SQL strings) they were fitted on, so a
+    * later session can re-score any table from the directory alone. */
+  case class PersistedModel(kind: String, features: Seq[String],
+      model: LinearModel)
+
+  /** The features' SQL renderings — what [[save]] persists so the scoring
+    * expressions travel with the weights (Catalyst's `Expression.sql`
+    * round-trips through `expr()` for the projection/function trees these
+    * models use; spec-pinned in ModelsSpec). */
+  def featureSql(features: Seq[Column]): Seq[String] =
+    features.map(org.apache.spark.sql.graft.Bridge.columnSql)
+
+  /** Persist a fitted model as a SELF-DESCRIBING metadata sidecar: ONE
+    * parquet row (kind, feature SQL strings, fp weights, qscale,
+    * quantized weights) under `dir`. The cross-session CCNet serving
+    * shape: fit once on a curated table, then [[load]] + [[scoreQ]] any
+    * corpus with the FROZEN integer weights — no refit, no training-data
+    * read, and the quantized scores stay bit-identical to the fitting
+    * run's. */
+  def save(spark: org.apache.spark.sql.SparkSession, dir: String,
+      kind: String, features: Seq[String], model: LinearModel): Unit = {
+    import spark.implicits._
+    Seq((kind, features, model.weights, model.qscale, model.qweights))
+      .toDF("kind", "features", "weights", "qscale", "qweights")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[save]] sidecar. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PersistedModel = {
+    val r = spark.read.parquet(dir).head()
+    PersistedModel(r.getString(0), r.getSeq[String](1).toList,
+      LinearModel(r.getSeq[Double](2).toList, r.getLong(3),
+        r.getSeq[Long](4).toList))
+  }
+
   /** Corpus-trained models cached per (kind, source key) — one fit per
     * table per JVM; [[lastTrained]] exposes the most recent result PER
     * KIND so the oracle-SQL generators — `def`s rendered AFTER the
@@ -162,6 +208,15 @@ object Models {
   def trainedFor(df: => DataFrame, features: => Seq[Column],
       label: => Column, key: String, lambda: Double = 1e-3): LinearModel =
     cached("ridge", key)(ridgeFit(df, features, label, lambda))
+
+  /** [[trainedFor]] under a caller-chosen kind — lets a query family
+    * (e.g. the frozen-sidecar gate, fitted on a different slice) keep
+    * its own [[lastTrained]] slot without clobbering the plain ridge
+    * one. */
+  def ridgeTrainedForKind(kind: String, df: => DataFrame,
+      features: => Seq[Column], label: => Column, key: String,
+      lambda: Double = 1e-3): LinearModel =
+    cached(kind, key)(ridgeFit(df, features, label, lambda))
 
   def logisticTrainedFor(df: => DataFrame, features: => Seq[Column],
       label: => Column, key: String, lambda: Double = 1e-6,

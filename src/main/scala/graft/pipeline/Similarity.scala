@@ -1037,18 +1037,17 @@ object Similarity {
     (cents.size, rdim)
   }
 
-  /** Top-k against an [[annIndexBuild]] directory: loads the sidecars,
-    * then runs [[ivfPqTopKFromTable]] with the recorded variant's
-    * rotation and rotated dim. Exhaustive probe + full rerank ≡ brute
-    * force for every variant (rerank reads the stored ORIGINAL
-    * vectors). */
-  def annTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+  /** An [[annIndexBuild]] directory's metadata sidecars, loaded. All
+    * metadata-sized (nlist·dim centroids, m·ksub·dsub codebook floats,
+    * a dim² rotation at most) — never data-sized. */
+  private case class AnnIndex(variant: String, rdim: Int,
+      residual: Boolean, cents: Seq[(Int, Seq[Float])],
+      books: PqCodebooks, rot: Option[Seq[Seq[Double]]])
+
+  private def annLoad(spark: org.apache.spark.sql.SparkSession,
+      dir: String): AnnIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val variant = meta.getString(0)
-    val rdim = meta.getInt(1)
-    val residual = meta.getBoolean(2)
     val cents = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toList: Seq[Float]))
       .sortBy(_._1).toSeq
@@ -1062,9 +1061,43 @@ object Similarity {
       else Some(spark.read.parquet(s"$dir/rotation").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toList: Seq[Double]))
         .sortBy(_._1).map(_._2).toSeq)
-    ivfPqTopKFromTable(spark, s"$dir/data", cents, books, queries,
-      queryId, queryVec, k, dim = rdim, nprobe = nprobe, rerank = rerank,
-      residual = residual, rotation = rot)
+    AnnIndex(variant, meta.getInt(1), meta.getBoolean(2), cents, books,
+      rot)
+  }
+
+  /** Top-k against an [[annIndexBuild]] directory: loads the sidecars,
+    * then runs [[ivfPqTopKFromTable]] with the recorded variant's
+    * rotation and rotated dim. Exhaustive probe + full rerank ≡ brute
+    * force for every variant (rerank reads the stored ORIGINAL
+    * vectors). */
+  def annTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
+    val idx = annLoad(spark, dir)
+    ivfPqTopKFromTable(spark, s"$dir/data", idx.cents, idx.books, queries,
+      queryId, queryVec, k, dim = idx.rdim, nprobe = nprobe,
+      rerank = rerank, residual = idx.residual, rotation = idx.rot)
+  }
+
+  /** INCREMENTAL append into an [[annIndexBuild]] directory — the
+    * operational path that lets a growing corpus ADD vectors instead of
+    * rebuilding (FAISS `IndexIVFPQ.add` through the persisted sidecars).
+    * The batch is transformed with the STORED rotation (OPQ rotation or
+    * PCA projection; identity for plain pq), assigned and PQ-encoded
+    * against the FROZEN centroids and codebooks ([[ivfPqIngest]]), and
+    * appended to its cells' partitions; no sidecar changes, no rewrite
+    * of existing cells, cost ∝ the batch. Exactness contract unchanged:
+    * [[annTopK]] at exhaustive probe + full rerank over the grown index
+    * ≡ brute force over the union (gated `q_ann_ingest_topk`); at
+    * realistic settings a model trained before the batch arrived
+    * quantizes it slightly worse until the next rebuild — the standard
+    * drift trade, priced in RECALL_r*.json. */
+  def annIngest(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, id: Column, vec: Column): Unit = {
+    val idx = annLoad(spark, dir)
+    ivfPqIngest(batch, id, vec, s"$dir/data", idx.cents, idx.books,
+      dim = idx.rdim, m = idx.books.size, residual = idx.residual,
+      rotation = idx.rot)
   }
 
   /** Encode an assigned-and-residualized frame against FIXED codebooks:

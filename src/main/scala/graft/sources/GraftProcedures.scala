@@ -604,6 +604,29 @@ private[sources] object GraftProcedures {
           Long.box(dc.getLong(1)), outDir))
       },
 
+      proc("gopher_keep",
+        "composed Gopher repetition KEEP step (Rae et al. 2021 A1): " +
+          "drop documents whose top-n-gram fraction (n in 2..4) or " +
+          "duplicated-n-gram position coverage (n in 5..10) exceeds " +
+          "the paper's permille thresholds (200/180/160 and " +
+          "150/140/130/120/110/100); kept doc ids land under " +
+          "<table>/.gopher_keep/",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column")),
+        out("n_docs" -> LongType, "n_kept" -> LongType,
+          "out_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val outDir = s"$path/.gopher_keep"
+        val docs = graft.read.SnapshotReader.read(spark, path)
+        val fx = org.apache.spark.sql.functions
+        graft.pipeline.TextAnalysis.gopherKeep(docs,
+            fx.col(str(r, 1)), fx.col(str(r, 2)))
+          .write.mode("overwrite").parquet(outDir)
+        Seq(row(Long.box(docs.count()),
+          Long.box(spark.read.parquet(outDir).count()), outDir))
+      },
+
       proc("seg_dedup",
         "corpus-wide duplicated-segment removal (RefinedWeb-style line " +
           "dedup over fixed-width token windows): occurrences of a " +
@@ -622,7 +645,12 @@ private[sources] object GraftProcedures {
             default = Some("2")),
           in("keep_first", BooleanType,
             "retain the canonical first occurrence",
-            default = Some("true"))),
+            default = Some("true")),
+          in("delim", StringType,
+            "segment delimiter — empty for fixed-width token windows, " +
+              "e.g. chr(10) for literal line dedup (width is then " +
+              "ignored; exact substrings, re-joined verbatim)",
+            default = Some("''"))),
         out("n_docs" -> LongType, "segs_total" -> LongType,
           "segs_removed" -> LongType, "out_path" -> StringType)) {
         (cat, r) =>
@@ -633,7 +661,8 @@ private[sources] object GraftProcedures {
             org.apache.spark.sql.functions.col(str(r, 1)),
             org.apache.spark.sql.functions.col(str(r, 2)),
             width = r.getInt(3), minDupCount = r.getInt(4),
-            keepFirst = r.getBoolean(5))
+            keepFirst = r.getBoolean(5),
+            delim = Option(str(r, 6)).filter(_.nonEmpty))
           .write.mode("overwrite").parquet(outDir)
         val st = spark.read.parquet(outDir).selectExpr("count(*)",
           "coalesce(sum(segs_total), 0)", "coalesce(sum(segs_removed), 0)")
@@ -701,6 +730,16 @@ private[sources] object GraftProcedures {
         val fx = org.apache.spark.sql.functions
         val queries = graft.read.SnapshotReader.read(spark, path)
           .filter(fx.expr(str(r, 3)))
+        // the "queries × k bounded" result contract (and the broadcast
+        // of the query side inside the probe) holds only for a SELECTIVE
+        // predicate — refuse corpus-sized query sets loudly instead of
+        // collecting corpus × k rows to the driver
+        val MaxQueries = 10000L
+        val nQueries = queries.limit((MaxQueries + 1).toInt).count()
+        require(nQueries <= MaxQueries,
+          s"ann_search: query_predicate selected more than $MaxQueries " +
+            "rows — narrow it (bulk all-pairs search is knnJoin's job, " +
+            "not a CALL that collects to the driver)")
         graft.pipeline.Similarity.annTopK(spark, s"$path/.ann",
             queries, fx.col(str(r, 1)), fx.col(str(r, 2)),
             k = r.getInt(4), nprobe = r.getInt(5), rerank = r.getInt(6))
@@ -709,36 +748,104 @@ private[sources] object GraftProcedures {
             Int.box(x.getInt(2)), Long.box(x.getLong(3))))
       },
 
+      proc("ann_ingest",
+        "incrementally append rows into the table's .ann index: the " +
+          "batch a predicate selects is transformed with the persisted " +
+          "rotation (opq | pca; identity for pq), PQ-encoded against " +
+          "the frozen centroids/codebooks and appended to its cells — " +
+          "no retrain, no rebuild, cost tracks the batch; ann_search " +
+          "over the grown index serves every added row",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT row id column"),
+          in("vec_col", StringType, "ARRAY<FLOAT> embedding column"),
+          in("batch_predicate", StringType,
+            "SQL boolean expression selecting the NEW rows to add, " +
+              "e.g. \"vec_id >= 4000\" — rows already indexed must not " +
+              "re-match (the index appends blindly; a re-added id would " +
+              "serve twice)")),
+        out("n_ingested" -> LongType, "index_path" -> StringType)) {
+        (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val fx = org.apache.spark.sql.functions
+        val batch = graft.read.SnapshotReader.read(spark, path)
+          .filter(fx.expr(str(r, 3)))
+        graft.pipeline.Similarity.annIngest(spark, s"$path/.ann", batch,
+          fx.col(str(r, 1)), fx.col(str(r, 2)))
+        Seq(row(Long.box(batch.count()), s"$path/.ann"))
+      },
+
       proc("quality_model",
         "train a linear quality scorer (closed-form ridge from one " +
           "moment job) on integer feature expressions and score the " +
           "whole corpus with the integer-quantized weights. Scores " +
-          "(id, score_q BIGINT) land under <table>/.quality_model/; " +
-          "this result is the summary incl. the quantized weights " +
-          "(intercept first, scale 1e6)",
+          "(id, score_q BIGINT) land under <table>/.quality_model/" +
+          "scores/; the FROZEN model (kind, feature expressions, " +
+          "weights, quantized weights) persists as a one-row sidecar " +
+          "under <table>/.quality_model/model/ — quality_score replays " +
+          "it on any other table. This result is the summary incl. the " +
+          "quantized weights (intercept first, scale 1e6)",
         Seq(tableParam,
           in("id_col", StringType, "BIGINT document id column"),
           in("features", StringType,
             "';'-separated integer SQL expressions (';' because " +
               "expressions may contain commas; note backslashes " +
-              "unescape TWICE — the CALL literal, then expr())"),
+              "unescape TWICE — the CALL literal, then expr(). The " +
+              "split is not quote-aware: a ';' INSIDE a string literal " +
+              "also splits, so keep ';' out of feature expressions)"),
           in("label", StringType, "numeric SQL expression to regress on"),
           in("lambda", DoubleType, "ridge penalty (intercept exempt)",
             default = Some("0.001"))),
         out("n_docs" -> LongType, "qweights" -> StringType,
           "out_path" -> StringType)) { (cat, r) =>
         val path = cat.resolveTablePath(str(r, 0))
-        val outDir = s"$path/.quality_model"
+        val outDir = s"$path/.quality_model/scores"
         val docs = graft.read.SnapshotReader.read(spark, path)
         val fx = org.apache.spark.sql.functions
-        val feats = str(r, 2).split(";").map(e => fx.expr(e.trim)).toSeq
+        val featSql = str(r, 2).split(";").map(_.trim).toSeq
+        val feats = featSql.map(e => fx.expr(e))
         val m = graft.pipeline.Models.ridgeFit(docs, feats,
           fx.expr(str(r, 3)), lambda = r.getDouble(4))
+        // the frozen model travels as its OWN sidecar: the exact feature
+        // strings the user supplied plus the quantized weights — what
+        // quality_score replays on a different table, another session
+        graft.pipeline.Models.save(spark, s"$path/.quality_model/model",
+          "ridge", featSql, m)
         docs.select(fx.col(str(r, 1)).cast("long").as("id"),
             graft.pipeline.Models.scoreQ(m, feats).as("score_q"))
           .write.mode("overwrite").parquet(outDir)
         val n = spark.read.parquet(outDir).count()
         Seq(row(Long.box(n), m.qweights.mkString(","), outDir))
+      },
+
+      proc("quality_score",
+        "score a table with a PERSISTED quality model — the " +
+          ".quality_model/model sidecar quality_model wrote, usually on " +
+          "a DIFFERENT table: the frozen INTEGER weights and stored " +
+          "feature expressions replay as one codegen projection (no " +
+          "refit, no training-data read, scores bit-identical to the " +
+          "fitting run's quantization). Scores (id, score_q BIGINT) " +
+          "land under <table>/.quality_scores/",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("model_table", StringType,
+            "table whose .quality_model/model sidecar holds the " +
+              "frozen model (the table quality_model was CALLed on)")),
+        out("n_docs" -> LongType, "kind" -> StringType,
+          "qweights" -> StringType, "out_path" -> StringType)) {
+        (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val mdl = graft.pipeline.Models.load(spark,
+          s"${cat.resolveTablePath(str(r, 2))}/.quality_model/model")
+        val outDir = s"$path/.quality_scores"
+        val fx = org.apache.spark.sql.functions
+        val feats = mdl.features.map(e => fx.expr(e))
+        graft.read.SnapshotReader.read(spark, path)
+          .select(fx.col(str(r, 1)).cast("long").as("id"),
+            graft.pipeline.Models.scoreQ(mdl.model, feats).as("score_q"))
+          .write.mode("overwrite").parquet(outDir)
+        val n = spark.read.parquet(outDir).count()
+        Seq(row(Long.box(n), mdl.kind, mdl.model.qweights.mkString(","),
+          outDir))
       },
 
       proc("exact_quantiles",

@@ -26,6 +26,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Column → SQL text. [[expression]] returns a LAZY node wrapper whose
+    * `.sql` renders as the useless `columnnodeexpression()`; this runs
+    * the real node→expression conversion first, so the rendering is the
+    * resolvable SQL of the column's tree (what the persisted-model
+    * sidecar stores). */
+  def columnSql(c: Column): String =
+    classic.ColumnNodeToExpressionConverter(c.node).sql
+
   /** V2 connector Predicates → their V1 `Filter` renderings (the subset
     * that has one) — `private[sql]` in Spark; used by the DSv2 scan to
     * keep expression predicates feeding the metadata-aggregate path's

@@ -73,4 +73,27 @@ object ModelsProps extends Properties("Models") {
       val negMax = scored.filter(_._1 == 0.0).map(_._2).max
       posMin > negMax
     }
+
+  property("save/load round-trips the model and its feature SQL") =
+    Prop.forAll(Gen.listOfN(4, Gen.chooseNum(-5.0, 5.0))) { w =>
+      import spark.implicits._
+      val m = Models.LinearModel(w, 1000000L,
+        w.map(x => math.round(x * 1000000L)))
+      // the production feature shapes: column ref, size-of-split chain,
+      // distinct count — featureSql must re-parse via expr() to the
+      // same semantics (the sidecar's portability contract)
+      val feats = Seq(col("n_chars").cast("long"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long"),
+        size(array_distinct(split(trim(lower(col("text"))), "\\s+")))
+          .cast("long"))
+      val dir = s"/tmp/graft_test/models_rt_${math.abs(w.head).toInt}"
+      Models.save(spark, dir, "ridge", Models.featureSql(feats), m)
+      val got = Models.load(spark, dir)
+      val df = Seq((12L, "The  quick brown Fox the fox"))
+        .toDF("n_chars", "text")
+      val a = df.select(Models.scoreQ(m, feats).as("q")).head().getLong(0)
+      val b = df.select(Models.scoreQ(got.model,
+        got.features.map(expr)).as("q")).head().getLong(0)
+      got.kind == "ridge" && got.model == m && a == b
+    }
 }

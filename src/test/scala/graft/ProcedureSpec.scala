@@ -438,6 +438,72 @@ class ProcedureSpec extends SparkSpec {
       fast.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 3))
   }
 
+  test("ann_ingest procedure: a batch appended through the persisted " +
+      "sidecars serves exactly over the grown index") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.embs_grow")
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("embs_grow_src")
+    // index built over 2/3 of the corpus, PCA variant (so ingest must
+    // re-apply the STORED projection to the batch)
+    spark.sql(s"CREATE TABLE $cat.ns.embs_grow PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'vec_id', buckets '2') " +
+      "AS SELECT vec_id, embedding, 'all' AS pt FROM embs_grow_src " +
+      "WHERE vec_id % 3 <> 2")
+    val b = spark.sql(s"CALL $cat.system.ann_index_build(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "vec_col => 'embedding', dim => 64, nlist => 4, " +
+      "variant => 'pca', rank => 16)").head()
+    assert(b.getInt(0) == 4 && b.getInt(1) == 16)
+    // the corpus grows: the remaining third lands in the table, then
+    // ann_ingest appends it to the index from the directory alone
+    spark.sql(s"INSERT INTO $cat.ns.embs_grow " +
+      "SELECT vec_id, embedding, 'all' AS pt FROM embs_grow_src " +
+      "WHERE vec_id % 3 = 2")
+    import org.apache.spark.sql.functions._
+    val embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val added = embs.filter(col("vec_id") % 3 === 2).count()
+    val ing = spark.sql(s"CALL $cat.system.ann_ingest(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "vec_col => 'embedding', " +
+      "batch_predicate => 'vec_id % 3 = 2')").head()
+    assert(ing.getLong(0) == added)
+    // exhaustive probe + full rerank over the GROWN index == brute force
+    // over the union — ingest placed every vector and lost none
+    val got = spark.sql(s"CALL $cat.system.ann_search(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "vec_col => 'embedding', " +
+      "query_predicate => 'vec_id < 10', k => 5, nprobe => 4, " +
+      "rerank => 1000000)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = graft.pipeline.Similarity.bruteForceTopK(
+        embs, col("vec_id"), col("embedding"),
+        embs.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5)
+      .select(col("query_id"), col("corpus_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+  }
+
+  test("ann_search refuses a corpus-sized query predicate") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.embs_wide")
+    spark.range(0, 10001).selectExpr("id AS vec_id",
+        "array(CAST(id AS FLOAT), 1.0F) AS embedding", "'all' AS pt")
+      .createOrReplaceTempView("embs_wide_src")
+    spark.sql(s"CREATE TABLE $cat.ns.embs_wide PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'vec_id', buckets '2') " +
+      "AS SELECT * FROM embs_wide_src")
+    // the guard fires before any index read: a broad predicate would
+    // collect corpus x k rows to the driver
+    val e = intercept[Exception](spark.sql(s"CALL $cat.system.ann_search(" +
+      "table => 'ns.embs_wide', id_col => 'vec_id', " +
+      "vec_col => 'embedding', query_predicate => 'true')").collect())
+    assert(e.getMessage.contains("narrow it"))
+  }
+
   test("quality_model procedure: scores land and replay the returned " +
       "quantized weights exactly") {
     conf()
@@ -469,5 +535,28 @@ class ProcedureSpec extends SparkSpec {
         .as("score_q"))
     assert(landed.orderBy("id").collect().toSeq ==
       replay.orderBy("id").collect().toSeq)
+
+    // cross-table serving: quality_score replays the PERSISTED sidecar
+    // (feature expressions + frozen quantized weights) on a DIFFERENT
+    // table — no refit; scores must equal the same integer replay
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.docs_qs")
+    spark.sql(s"CREATE TABLE $cat.ns.docs_qs PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'doc_id', buckets '2') " +
+      "AS SELECT doc_id, text, lang, n_chars, 'all' AS pt " +
+      "FROM docs_qm_src WHERE doc_id % 2 = 1")
+    val rs = spark.sql(s"CALL $cat.system.quality_score(" +
+      "table => 'ns.docs_qs', id_col => 'doc_id', " +
+      "model_table => 'ns.docs_qm')").head()
+    val odd = src.filter(col("doc_id") % 2 === 1)
+    assert(rs.getLong(0) == odd.count())
+    assert(rs.getString(1) == "ridge")
+    assert(rs.getString(2) == r.getString(1)) // the SAME frozen weights
+    val scored = spark.read.parquet(rs.getString(3))
+    val replayOdd = odd.select(col("doc_id").as("id"),
+      (lit(qw(0)) + col("n_chars") * qw(1) +
+        size(split(col("text"), " ")).cast("long") * qw(2))
+        .as("score_q"))
+    assert(scored.orderBy("id").collect().toSeq ==
+      replayOdd.orderBy("id").collect().toSeq)
   }
 }

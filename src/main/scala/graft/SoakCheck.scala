@@ -44,11 +44,12 @@ object SoakCheck {
     @volatile var taskEnds = 0
     @volatile var maxTaskInput = 0L
     @volatile var maxTaskShuffleRead = 0L
+    @volatile var maxTaskShuffleRecords = 0L
     @volatile var totalShuffleWrite = 0L
     /** Snapshot for stability polling (events post async). */
-    def fingerprint: (Int, Int, Int, Long, Long, Long) =
+    def fingerprint: (Int, Int, Int, Long, Long, Long, Long) =
       (jobs, stages, taskEnds, maxTaskInput, maxTaskShuffleRead,
-        totalShuffleWrite)
+        maxTaskShuffleRecords, totalShuffleWrite)
     override def onJobStart(j: SparkListenerJobStart): Unit =
       synchronized { jobs += 1 }
     override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
@@ -61,6 +62,10 @@ object SoakCheck {
         maxTaskShuffleRead = math.max(maxTaskShuffleRead,
           m.shuffleReadMetrics.localBytesRead +
             m.shuffleReadMetrics.remoteBytesRead)
+        // bytes hide row skew under shuffle compression (boilerplate
+        // strings compress ~100×) — record counts are the CPU-skew gate
+        maxTaskShuffleRecords = math.max(maxTaskShuffleRecords,
+          m.shuffleReadMetrics.recordsRead)
         totalShuffleWrite += m.shuffleWriteMetrics.bytesWritten
       }
     }
@@ -69,13 +74,14 @@ object SoakCheck {
   private final case class PathResult(name: String, rowsOut: Long,
       wallSec: Double, planMs: Long, jobs: Int, stages: Int,
       maxTaskInputMB: Long, maxTaskShuffleMB: Long,
-      totalShuffleWriteMB: Long) {
+      totalShuffleWriteMB: Long, maxTaskShuffleRecords: Long) {
     def json: String =
       s"""{"rows_out":$rowsOut,"wall_sec":$wallSec,"plan_ms":$planMs,""" +
         s""""jobs":$jobs,"stages":$stages,""" +
         s""""max_task_input_mb":$maxTaskInputMB,""" +
         s""""max_task_shuffle_mb":$maxTaskShuffleMB,""" +
-        s""""total_shuffle_write_mb":$totalShuffleWriteMB}"""
+        s""""total_shuffle_write_mb":$totalShuffleWriteMB,""" +
+        s""""max_task_shuffle_records":$maxTaskShuffleRecords}"""
   }
 
   /** Run `df`'s planning, then `action` under a fresh listener. */
@@ -108,7 +114,7 @@ object SoakCheck {
       }
       PathResult(name, rows, (t2 - t0) / 1e9, (t1 - t0) / 1000000L,
         m.jobs, m.stages, m.maxTaskInput >> 20, m.maxTaskShuffleRead >> 20,
-        m.totalShuffleWrite >> 20)
+        m.totalShuffleWrite >> 20, m.maxTaskShuffleRecords)
     } finally spark.sparkContext.removeSparkListener(m)
   }
 
@@ -654,6 +660,72 @@ object SoakCheck {
         s"${segInc.totalShuffleWriteMB} MB for the 100x corpus — the " +
         "tail batch's exchange must track the batch, not the index")
 
+    // ---- path 9f: HOT-SEGMENT row skew (r15) ---------------------------
+    // A planted boilerplate segment covering 80% of ALL occurrences —
+    // the pathological shape for the occurrence↔count keep-join: every
+    // hot occurrence hashes to ONE reducer. AQE skew-join splitting does
+    // NOT protect this plan (the count side reaches the join as a final
+    // HashAggregate, so OptimizeSkewedJoin never fires — measured at an
+    // 8 KB threshold; and its trigger is COMPRESSED bytes, which
+    // identical boilerplate strings crush ~100× below any threshold
+    // while the row/CPU skew persists). The armor is Dedup.segKeepJoin's
+    // deterministic top-N hot-key split; this path MEASURES it both
+    // ways: armor off must exhibit the pathology (the hot occurrences in
+    // one task), armor on must bound the largest task to a fraction.
+    val SkewDocs2 = 100000L
+    val hotSpan2 = (1 to 5).map(i => s"hotboiler$i").mkString(" ")
+    val hotDoc2 = Seq.fill(5)(hotSpan2).mkString(" ")
+    val skewDocs = spark.range(0, SkewDocs2, 1, 32)
+      .select(col("id"),
+        when(pmod(col("id"), lit(5)) < 4, lit(hotDoc2))
+          .otherwise(concat_ws(" ",
+            (0 until 25).map(i => concat(lit(s"x${i}_"), col("id"))): _*))
+          .as("text"))
+    val hotOcc = SkewDocs2 / 5 * 4 * 5 // 80% of docs × 5 hot segments
+    // at 100 TB the distinct-segment count frame does NOT fit a
+    // broadcast — at soak scale it would, and a broadcast keep-join has
+    // no per-key reducer at all (the pathology this path exists to
+    // measure). Disable broadcast for the skew runs only.
+    val bcKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val bcSaved = bcKeys.map(k => k -> spark.conf.getOption(k))
+    bcKeys.foreach(spark.conf.set(_, "-1"))
+    def runSkew(name: String, hotN: Int): (PathResult, Long) = {
+      var removed = 0L
+      val r = measure(spark, name)(() =>
+        pipeline.Dedup.segmentDedup(skewDocs, col("id"), col("text"),
+          width = 5, hotN = hotN)
+      )(df => {
+        val agg = df.agg(sum(col("segs_removed")), count(lit(1)))
+          .collect()(0)
+        removed = agg.getLong(0)
+        agg.getLong(1)
+      })
+      (r, removed)
+    }
+    val ((skewOff, remOff), (skewOn, remOn)) =
+      try (runSkew("seg_dedup_skew_unarmored", 0),
+        runSkew("seg_dedup_skew", 64))
+      finally bcSaved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    require(remOff == hotOcc - 1 && remOn == hotOcc - 1,
+      s"seg_dedup_skew removed $remOff/$remOn, expected ${hotOcc - 1}")
+    require(skewOff.rowsOut == SkewDocs2 && skewOn.rowsOut == SkewDocs2,
+      s"seg_dedup_skew rows ${skewOff.rowsOut}/${skewOn.rowsOut}")
+    // the pathology is REAL: without the armor, one task ingests at
+    // least the hot key's occurrences (~400k records)
+    require(skewOff.maxTaskShuffleRecords >= hotOcc,
+      s"unarmored skew task read ${skewOff.maxTaskShuffleRecords} " +
+        s"records — expected the hot key's $hotOcc in one task " +
+        "(did a plan change absorb the skew? re-point this gate)")
+    // ... and the armor bounds it: largest task ≤ a quarter of the hot
+    // key (measured 66k vs 406k at this shape — the residual is the
+    // even regroup, not the hot key)
+    require(skewOn.maxTaskShuffleRecords * 4 <= hotOcc,
+      s"armored skew task read ${skewOn.maxTaskShuffleRecords} records " +
+        s"vs the $hotOcc-record hot key — the top-N split must keep " +
+        "hot occurrences out of the shuffle join")
+
     // ---- path 10: kNN join at 20× vectors (r12) ------------------------
     // 40k synthetic 64-dim vectors, IVF cell join at nlist 64 / nprobe 4:
     // the whole-corpus-query shape — no broadcast side anywhere; per-task
@@ -686,10 +758,48 @@ object SoakCheck {
         s"knn_join's ${knn.totalShuffleWriteMB} MB — the codes-only " +
         "join must at least halve the bytes")
 
+    // ---- path 10c: .ann sidecar index + 1% batch ingest (r15) ----------
+    // the serving-index ingest path: annIndexBuild over the 40k corpus,
+    // then a 1% batch appended THROUGH THE PERSISTED SIDECARS
+    // (annIngest). The batch pass is map-only — rotate/assign/encode are
+    // projections and the cell-partitioned write needs no exchange — so
+    // the gate pins its shuffle to ~zero and its jobs to a handful,
+    // proving ingest cost tracks the batch, not the index.
+    val annDir = s"$root/ann_ingest"
+    val annBuild = measure(spark, "ann_index_build")(() => {
+      graft.pipeline.Similarity.annIndexBuild(knnVecs, col("id"),
+        col("vec"), annDir, dim = 64, nlist = 64, iters = 1,
+        trainFraction = 0.25, variant = "pca", rank = 16)
+      spark.read.parquet(s"$annDir/data")
+    })(_.count())
+    require(annBuild.rowsOut == KnnRows,
+      s"ann_index_build rows ${annBuild.rowsOut}")
+    val AnnBatch = 400L
+    val annInc = measure(spark, "ann_ingest")(() => {
+      graft.pipeline.Similarity.annIngest(spark, annDir,
+        spark.range(KnnRows, KnnRows + AnnBatch, 1, 4)
+          .select(col("id"), semVec(col("id"))
+            .cast("array<float>").as("vec")),
+        col("id"), col("vec"))
+      spark.read.parquet(s"$annDir/data")
+    })(_.count())
+    require(annInc.rowsOut == KnnRows + AnnBatch,
+      s"ann_ingest grew to ${annInc.rowsOut}, " +
+        s"expected ${KnnRows + AnnBatch}")
+    require(annInc.totalShuffleWriteMB <= 1,
+      s"ann_ingest shuffled ${annInc.totalShuffleWriteMB} MB — the " +
+        "batch encode is map-only; any exchange means the index got " +
+        "re-read into a shuffle")
+    require(annInc.jobs <= 16,
+      s"ann_ingest ran ${annInc.jobs} jobs — budget 16 (measured 13: " +
+        "four sidecar loads with their schema reads, one encode/write " +
+        "pass, the verification count; NONE may scale with the index)")
+
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
       search, wand, incIng, incSearch, sem, semTail, dvw, sub, subInc,
-      subTail, seg, segInc, segTail, knn, knnPq)
+      subTail, seg, segInc, segTail, skewOff, skewOn, knn, knnPq,
+      annBuild, annInc)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -701,7 +811,9 @@ object SoakCheck {
     all.filterNot(r => Set("ingest_dedup", "catalog_stream",
         "bm25_build", "distinct_view", "inc_index_ingest",
         "sem_ingest_dedup", "sem_ingest_tail", "knn_join", "knn_join_pq",
-        "substr_ingest", "substr_ingest_tail")(r.name)) // thunks RUN work
+        "substr_ingest", "substr_ingest_tail",
+        "ann_index_build", "ann_ingest",
+        "seg_dedup_skew_unarmored", "seg_dedup_skew")(r.name)) // RUN work
       // (knn_join's "plan" includes ivfTrain's Lloyd jobs)
       .foreach(r =>
         require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))

@@ -1127,11 +1127,14 @@ object Dedup {
     * Returns the batch's cleaned rows (doc_id, kept_text, n_tokens,
     * removed_tokens), exactly as recorded in `dir/docs`. `ts` pins the
     * BOOTSTRAP commits only; transactional batches mint reserved
-    * timestamps of their own. Each doc id must arrive at most once. */
+    * timestamps of their own. Each doc id must arrive at most once —
+    * ENFORCED by [[assertUningested]] (a key-only docs-table probe per
+    * post-bootstrap batch; `assertNewDocs = false` skips it). */
   def substrIngest(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, id: Column, text: Column, w: Int,
       minDupCount: Int = 2, numBuckets: Int = 8,
-      ts: Option[String] = None): DataFrame = {
+      ts: Option[String] = None,
+      assertNewDocs: Boolean = true): DataFrame = {
     require(w >= 1, s"window width must be >= 1 token (got $w)")
     val toks = graft.util.ParallelScan.widen(
         batch.select(id.cast("long").as("doc_id"),
@@ -1158,6 +1161,8 @@ object Dedup {
       val tl = graft.format.Timeline(
         spark.sessionState.newHadoopConf(), idxDir)
       val boot = tl.completedInstants().isEmpty
+      if (!boot && assertNewDocs)
+        assertUningested(spark, docsDir, toks.select(col("doc_id")))
       // materialized ONCE: read again by the dup filter and the txn's
       // touched/write/stats passes (see the ingest-soak job-count note)
       val totals =
@@ -1425,10 +1430,11 @@ object Dedup {
   /** Corpus-wide duplicated-SEGMENT removal (the "line dedup" pass of
     * RefinedWeb/CCNet-style pipelines, Penedo et al. 2023 §3.3 — drop the
     * boilerplate lines that repeat across documents, keeping documents
-    * otherwise intact). The synthetic corpus carries no newlines, so the
-    * segment unit is a fixed-width NON-OVERLAPPING token window — the same
-    * operator with `\n`-split segments is a parameter change, not a new
-    * plan.
+    * otherwise intact). Two segment units ([[segSplit]]): the default
+    * fixed-width NON-OVERLAPPING token window, and — `delim = Some("\n")`
+    * — the paper's literal line mode, where a segment is the exact
+    * delimiter-split substring (same plan, different cut; gated
+    * separately as q_seg_dedup / q_seg_dedup_lines).
     *
     * Semantics (integer/string-exact, so the DuckDB oracle hash-matches):
     * tokenize ([[TextAnalysis.tokens]] — trim/lower/split, the repo-wide
@@ -1451,54 +1457,178 @@ object Dedup {
     * segment) concentrates that key's OCCURRENCES in one reducer — AQE
     * skew-join splits it, and the keep-decision is a per-row predicate, so
     * no quadratic blowup is possible. */
+  /** Re-ingest guard shared by the incremental ingest paths: the
+    * arrival-order contract requires each doc id to arrive AT MOST ONCE —
+    * a re-ingested id would silently upsert its settled docs row while
+    * DOUBLE-COUNTING its windows/segments in the count index, permanently
+    * skewing every later verdict. One key-only scan of the docs table
+    * (column-pruned to the record key) probed by the batch's distinct ids
+    * (broadcast — batch-sized); refuses loudly on the first hit. The
+    * docs-key scan is the per-batch price; callers that enforce arrival
+    * uniqueness upstream can switch it off via `assertNewDocs`. */
+  private def assertUningested(spark: org.apache.spark.sql.SparkSession,
+      docsDir: String, ids: DataFrame): Unit = {
+    val probe = ids.select(col("doc_id").cast("string").as("k")).distinct()
+    val dup = graft.util.CatalogMount.table(spark, docsDir)
+      .select(col("k")).join(broadcast(probe), Seq("k"))
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"ingest: doc id ${if (dup.isEmpty) "" else dup.head.getString(0)} " +
+        "was already ingested — each id must arrive at most once " +
+        "(re-ingesting would double-count its index entries; pass " +
+        "assertNewDocs = false only if uniqueness is enforced upstream)")
+  }
+
+  /** The two segment units [[segmentDedup]]/[[segIngest]] share:
+    *
+    *  - token mode (`delim = None`): [[TextAnalysis.tokens]] cut into
+    *    ⌊n/width⌋ fixed-width NON-overlapping windows plus an always-kept
+    *    tail; segments and the reassembled text are the NORMALIZED token
+    *    stream joined by single spaces.
+    *  - delimiter mode (`delim = Some(d)`, e.g. "\n" — RefinedWeb's
+    *    literal line dedup): segments are the EXACT substrings
+    *    `split(text, d)` (no tokenization, no case folding; empty
+    *    segments — blank lines — participate like any other), there is
+    *    no tail, and kept segments are re-joined with `d` verbatim.
+    *
+    * Returns (base with doc_id/nseg/tail_, the segment-array column,
+    * the reassembly joiner). */
+  private def segSplit(df: DataFrame, id: Column, text: Column,
+      width: Int, delim: Option[String]): (DataFrame, Column, String) =
+    delim match {
+      case None =>
+        require(width > 0, "width must be positive")
+        val base = df.select(id.cast("long").as("doc_id"),
+            TextAnalysis.tokens(text).as("t"))
+          .withColumn("nseg", (size(col("t")) / width).cast("int"))
+          .withColumn("tail_", array_join(
+            slice(col("t"), col("nseg") * width + 1, size(col("t")) + 1),
+            " "))
+        // explicit empty-array branch: sequence(0, -1) would INFER step
+        // −1 and yield [0, −1] for zero-segment docs, not an empty list
+        val segArr = when(col("nseg") > 0,
+          transform(sequence(lit(0), col("nseg") - 1, lit(1)),
+            i => array_join(slice(col("t"), i * width + 1, lit(width)),
+              " ")))
+          .otherwise(array().cast("array<string>"))
+        (base, segArr, " ")
+      case Some(d) =>
+        require(d.nonEmpty, "delim must be non-empty")
+        val base = df.select(id.cast("long").as("doc_id"),
+            split(text, java.util.regex.Pattern.quote(d)).as("segs"))
+          .withColumn("nseg", size(col("segs")).cast("int"))
+          .withColumn("tail_", lit(""))
+        (base, col("segs"), d)
+    }
+
+  /** Reassembled output frame shared by batch and delimiter modes: kept
+    * segments in position order joined by `joiner`, plus the (token-mode)
+    * tail — one row per input document. */
+  private def segAssemble(base: DataFrame, kept: DataFrame,
+      joiner: String): DataFrame = {
+    val re = kept.groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s("seg")), joiner).as("body"),
+        count(lit(1)).as("kept_n"))
+    base.join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(
+          array(coalesce(col("body"), lit("")), col("tail_")),
+          x => length(x) > 0), joiner).as("text_dedup"),
+        col("nseg").cast("long").as("segs_total"),
+        (col("nseg") - coalesce(col("kept_n"), lit(0L)))
+          .cast("long").as("segs_removed"))
+  }
+
+  /** Per-occurrence keep verdict given the segment's corpus count and
+    * canonical first occurrence. */
+  private def segKeepCond(keepFirst: Boolean, minDupCount: Int,
+      cnt: Column, fdoc: Column, fpos: Column): Column =
+    if (keepFirst)
+      cnt < minDupCount ||
+        (fdoc === col("doc_id") && fpos === col("pos"))
+    else cnt < minDupCount
+
+  /** HOT-KEY armor for the occurrence↔count keep-join (shared by
+    * [[segmentDedup]] and [[segIngest]]): the `hotN` highest-count
+    * segments are collected to the driver (N metadata rows — counts are
+    * already aggregated), their verdicts answered MAP-SIDE from literal
+    * maps, and only COLD occurrences enter the shuffle join — so the
+    * largest join task is bounded by the (N+1)-th segment count, however
+    * pathological the boilerplate.
+    *
+    * Why not lean on AQE skew-join splitting (the r12–r14 adjudication):
+    * MEASURED false for this plan shape. The count side reaches the join
+    * as a final HashAggregate over its own exchange — not a bare shuffle
+    * stage — so `OptimizeSkewedJoin` never fires (verified at an 8 KB
+    * skew threshold: a planted segment covering 80% of all occurrences
+    * still landed its 400k rows in ONE task, every AQE setting
+    * identical). And even where it applies, AQE's trigger is COMPRESSED
+    * bytes — a million identical boilerplate strings compress ~100×, so
+    * row/CPU skew hides far below the byte threshold. The top-N split is
+    * deterministic, costs one TakeOrdered job, and changes no verdict
+    * (hash-gate-identical by construction; SOAK `seg_dedup_skew` pins
+    * the task-records bound). */
+  private def segKeepJoin(occ: DataFrame, counts: DataFrame,
+      keepFirst: Boolean, minDupCount: Int, hotN: Int): DataFrame = {
+    val cold = occ.join(counts, "seg").filter(segKeepCond(keepFirst,
+      minDupCount, col("cnt"), col("fdoc"), col("fpos")))
+      .select("doc_id", "pos", "seg")
+    if (hotN <= 0) cold
+    else {
+      val hot = counts.orderBy(col("cnt").desc, col("seg").asc)
+        .limit(hotN).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3)))
+      if (hot.isEmpty) cold
+      else {
+        val hotKeys: Seq[String] = hot.map(_._1).toSeq
+        val cntMap = typedLit(hot.map(t => t._1 -> t._2).toMap)
+        val fdMap = typedLit(hot.map(t => t._1 -> t._3).toMap)
+        val fpMap = typedLit(hot.map(t => t._1 -> t._4).toMap)
+        val keptHot = occ.filter(col("seg").isInCollection(hotKeys))
+          .filter(segKeepCond(keepFirst, minDupCount,
+            element_at(cntMap, col("seg")),
+            element_at(fdMap, col("seg")),
+            element_at(fpMap, col("seg"))))
+          .select("doc_id", "pos", "seg")
+        val keptCold = occ.filter(!col("seg").isInCollection(hotKeys))
+          .join(counts, "seg").filter(segKeepCond(keepFirst, minDupCount,
+            col("cnt"), col("fdoc"), col("fpos")))
+          .select("doc_id", "pos", "seg")
+        keptHot.union(keptCold)
+      }
+    }
+  }
+
   def segmentDedup(df: DataFrame, id: Column, text: Column,
       width: Int = 5, minDupCount: Int = 2,
-      keepFirst: Boolean = true, materialize: Boolean = true): DataFrame = {
-    require(width > 0, "width must be positive")
+      keepFirst: Boolean = true, materialize: Boolean = true,
+      delim: Option[String] = None, hotN: Int = 64): DataFrame = {
     require(minDupCount >= 2, "minDupCount below 2 would drop every segment")
-    val base = df.select(id.cast("long").as("doc_id"),
-        TextAnalysis.tokens(text).as("t"))
-      .withColumn("nseg", (size(col("t")) / width).cast("int"))
-      .withColumn("tail_", array_join(
-        slice(col("t"), col("nseg") * width + 1, size(col("t")) + 1), " "))
-    // explicit empty-array branch: sequence(0, -1) would INFER step −1 and
-    // yield [0, −1] for zero-segment docs instead of an empty list
-    val segArr = when(col("nseg") > 0,
-      transform(sequence(lit(0), col("nseg") - 1, lit(1)),
-        i => array_join(slice(col("t"), i * width + 1, lit(width)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val (base, segArr, joiner) = segSplit(df, id, text, width, delim)
     // posexplode_outer, not posexplode: keeps Catalyst from inferring a
     // size()>0 filter that re-evaluates the segment build below the
     // exchange (see the explode_outer note at the top of this file)
     val occ = base.select(col("doc_id"), posexplode_outer(segArr)
         .as(Seq("pos", "seg")))
       .filter(col("seg").isNotNull)
+    val counts = occ.groupBy("seg")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first_occ"))
+      .select(col("seg"), col("cnt"), col("first_occ.doc_id").as("fdoc"),
+        col("first_occ.pos").as("fpos"))
     // base feeds occ AND the final left join; occ feeds the count AND the
-    // occurrence↔count join — scoped persists keep this at ONE corpus
-    // tokenization + one segment-cut pass (see `scoped`)
-    scoped(materialize, base, occ) {
-      val counts = occ.groupBy("seg")
-        .agg(count(lit(1)).as("cnt"),
-          min(struct(col("doc_id"), col("pos"))).as("first_occ"))
-      val keepCond = if (keepFirst)
-        col("cnt") < minDupCount ||
-          (col("first_occ.doc_id") === col("doc_id") &&
-            col("first_occ.pos") === col("pos"))
-      else col("cnt") < minDupCount
-      val kept = occ.join(counts, "seg").filter(keepCond)
-      val re = kept.groupBy("doc_id")
-        .agg(array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("seg")))),
-            s => s("seg")), " ").as("body"),
-          count(lit(1)).as("kept_n"))
-      base.join(re, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          array_join(filter(
-            array(coalesce(col("body"), lit("")), col("tail_")),
-            x => length(x) > 0), " ").as("text_dedup"),
-          col("nseg").cast("long").as("segs_total"),
-          (col("nseg") - coalesce(col("kept_n"), lit(0L)))
-            .cast("long").as("segs_removed"))
+    // occurrence↔count join; counts feeds the hot-key TakeOrdered AND
+    // the cold join — scoped persists keep this at ONE corpus
+    // tokenization + one segment-cut + one count pass (see `scoped`)
+    scoped(materialize, base, occ, counts) {
+      // hot-key split needs an eager TakeOrdered; in lazy composition
+      // mode (materialize = false) the operator stays fully declarative
+      val kept = segKeepJoin(occ, counts, keepFirst, minDupCount,
+        if (materialize) hotN else 0)
+      segAssemble(base, kept, joiner)
     }
   }
 
@@ -1527,25 +1657,22 @@ object Dedup {
     *
     * Returns the batch's cleaned rows (doc_id, text_dedup, segs_total,
     * segs_removed) exactly as recorded in `dir/docs`. `ts` pins the
-    * bootstrap commits only. Each doc id must arrive at most once. */
+    * bootstrap commits only. Each doc id must arrive at most once —
+    * ENFORCED by [[assertUningested]] (a key-only docs-table probe per
+    * post-bootstrap batch; `assertNewDocs = false` skips it).
+    * `delim` switches the segment unit exactly as in [[segmentDedup]]
+    * (pass the SAME value on every batch — the index keys are the
+    * segment strings of that unit). */
   def segIngest(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, id: Column, text: Column, width: Int = 5,
       minDupCount: Int = 2, keepFirst: Boolean = true,
-      numBuckets: Int = 8, ts: Option[String] = None): DataFrame = {
-    require(width > 0, "width must be positive")
+      numBuckets: Int = 8, ts: Option[String] = None,
+      delim: Option[String] = None,
+      assertNewDocs: Boolean = true, hotN: Int = 64): DataFrame = {
     require(minDupCount >= 2, "minDupCount below 2 would drop every segment")
-    val base = graft.util.ParallelScan.widen(
-        batch.select(id.cast("long").as("doc_id"),
-          TextAnalysis.tokens(text).as("t")))
-      .withColumn("nseg", (size(col("t")) / width).cast("int"))
-      .withColumn("tail_", array_join(
-        slice(col("t"), col("nseg") * width + 1, size(col("t")) + 1), " "))
-      .persist()
+    val (rawBase, segArr, joiner) = segSplit(batch, id, text, width, delim)
+    val base = graft.util.ParallelScan.widen(rawBase).persist()
     try {
-      val segArr = when(col("nseg") > 0,
-        transform(sequence(lit(0), col("nseg") - 1, lit(1)),
-          i => array_join(slice(col("t"), i * width + 1, lit(width)), " ")))
-        .otherwise(array().cast("array<string>"))
       // batch-sized; read by the count aggregate AND the keep join
       val occ = base.select(col("doc_id"), posexplode_outer(segArr)
           .as(Seq("pos", "seg")))
@@ -1558,6 +1685,8 @@ object Dedup {
       val tl = graft.format.Timeline(
         spark.sessionState.newHadoopConf(), idxDir)
       val boot = tl.completedInstants().isEmpty
+      if (!boot && assertNewDocs)
+        assertUningested(spark, docsDir, base.select(col("doc_id")))
       val totals =
         if (boot)
           bAgg.select(col("seg"), col("bcnt").as("cnt"),
@@ -1591,24 +1720,11 @@ object Dedup {
           org.apache.spark.sql.graft.Bridge.sinkBatchDataFrame(
             spark, joined)
         }
-      val keepCond = if (keepFirst)
-        col("cnt") < minDupCount ||
-          (col("fdoc") === col("doc_id") && col("fpos") === col("pos"))
-      else col("cnt") < minDupCount
-      val kept = occ.join(totals, Seq("seg")).filter(keepCond)
-      val re = kept.groupBy("doc_id")
-        .agg(array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("seg")))),
-            s => s("seg")), " ").as("body"),
-          count(lit(1)).as("kept_n"))
-      val cleaned = base.join(re, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          array_join(filter(
-            array(coalesce(col("body"), lit("")), col("tail_")),
-            x => length(x) > 0), " ").as("text_dedup"),
-          col("nseg").cast("long").as("segs_total"),
-          (col("nseg") - coalesce(col("kept_n"), lit(0L)))
-            .cast("long").as("segs_removed"))
+      // totals is checkpointed, so the hot-key TakeOrdered re-read is a
+      // local scan; the armor bounds the batch join's largest task by
+      // the (hotN+1)-th cumulative count (see [[segKeepJoin]])
+      val kept = segKeepJoin(occ, totals, keepFirst, minDupCount, hotN)
+      val cleaned = segAssemble(base, kept, joiner)
         .localCheckpoint(true)
       val idxRows = totals
         .withColumn("k", col("seg")).withColumn("p", lit("all"))

@@ -287,6 +287,102 @@ object TextAnalysis {
           greatest(col("n_tokens"), lit(1))).as("permille"))
   }
 
+  /** The COMPOSED Gopher repetition KEEP step (Rae et al. 2021 Table A1):
+    * one operator that drops every document whose top-n-gram fraction
+    * (n ∈ 2..4) or duplicated-n-gram position coverage (n ∈ 5..10)
+    * STRICTLY exceeds its order's threshold — the paper's permille
+    * defaults 200/180/160 and 150/140/130/120/110/100 — and emits the
+    * kept doc ids. Integer-exact end to end (the same permille floors as
+    * [[topNgramFraction]]/[[dupNgramCoverage]]), so the gate
+    * hash-matches a SQL oracle.
+    *
+    * Scale shape: ONE tokenization pass (the token base is persisted for
+    * the call, [[graft.pipeline.Dedup]]'s `scoped` convention), one
+    * all-orders explode per filter family, map-side-combined counts, and
+    * a doc-keyed anti-join of the violator union — violators are a
+    * doc-id-sized frame, never corpus text. Thresholds ride a literal
+    * map lookup (`element_at`), so adding orders changes data, not
+    * plan shape. */
+  def gopherKeep(df: DataFrame, id: Column, text: Column,
+      topThresholds: Seq[(Int, Int)] = Seq(2 -> 200, 3 -> 180, 4 -> 160),
+      dupThresholds: Seq[(Int, Int)] =
+        Seq(5 -> 150, 6 -> 140, 7 -> 130, 8 -> 120, 9 -> 110, 10 -> 100))
+      : DataFrame = {
+    require(topThresholds.nonEmpty && topThresholds.forall(_._1 >= 1),
+      s"topThresholds must be non-empty, orders >= 1 (got $topThresholds)")
+    require(dupThresholds.nonEmpty && dupThresholds.forall(_._1 >= 1),
+      s"dupThresholds must be non-empty, orders >= 1 (got $dupThresholds)")
+    val base = graft.util.ParallelScan.widen(
+      df.select(id.cast("long").as("doc_id"), tokens(text).as("t")))
+    base.persist()
+    try {
+      val sizes = base.select(col("doc_id"), size(col("t")).as("n_tokens"))
+      def gramsOf(t: Column, n: Int): Column =
+        when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      // family 1: top-n-gram fraction — docs absent from the count frame
+      // (shorter than n) score 0 and can never violate, so the violator
+      // set needs only the counted (doc, n) pairs
+      val exT = base.select(col("doc_id"),
+          explode(array(topThresholds.map { case (n, _) =>
+            struct(lit(n).as("n"), gramsOf(col("t"), n).as("gs"))
+          }: _*)).as("e"))
+        .select(col("doc_id"), col("e.n").as("n"),
+          explode(col("e.gs")).as("gram"))
+      val topViol = exT.groupBy("doc_id", "n", "gram")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n").agg(max(col("c")).as("top_cnt"))
+        .join(sizes, "doc_id")
+        .filter(floor(col("top_cnt") * col("n") * 1000 /
+            greatest(col("n_tokens"), lit(1))) >
+          element_at(typedLit(topThresholds.toMap), col("n")))
+        .select("doc_id")
+      // family 2: duplicated-n-gram coverage, all orders in one explode;
+      // the per-(doc, n) interval-union fold of [[dupNgramCoverage]] with
+      // the order as a ROW VALUE instead of a literal
+      val winsD = base.select(col("doc_id"),
+          explode(array(dupThresholds.map { case (n, _) =>
+            val ps = when(size(col("t")) >= n,
+              sequence(lit(0), size(col("t")) - n))
+              .otherwise(array().cast("array<int>"))
+            struct(lit(n).as("n"),
+              transform(ps, p => struct(p.as("pos"),
+                concat_ws(" ", slice(col("t"), p + 1, lit(n)))
+                  .as("win"))).as("pw"))
+          }: _*)).as("e"))
+        .select(col("doc_id"), col("e.n").as("n"),
+          col("e.pw").as("pw"))
+        .select(col("doc_id"), col("n"), explode(col("pw")).as("pw"))
+        .select(col("doc_id"), col("n"), col("pw.pos").as("pos"),
+          col("pw.win").as("win"))
+      val dupPos = winsD
+        .withColumn("c", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id", "n", "win")))
+        .filter(col("c") >= 2)
+        .groupBy("doc_id", "n")
+        .agg(sort_array(collect_set(col("pos"))).as("ps"))
+      val covered = aggregate(col("ps"),
+        struct(lit(0).as("tot"), lit(Int.MinValue / 2).as("pe")),
+        (acc, p) => struct(
+          (acc.getField("tot") + col("n") -
+            greatest(acc.getField("pe") - p, lit(0))).as("tot"),
+          (p + col("n")).as("pe")),
+        acc => acc.getField("tot"))
+      val dupViol = dupPos
+        .join(sizes, "doc_id")
+        .filter(floor(covered * 1000 / greatest(col("n_tokens"), lit(1))) >
+          element_at(typedLit(dupThresholds.toMap), col("n")))
+        .select("doc_id")
+      base.select("doc_id")
+        .join(topViol.union(dupViol).distinct(), Seq("doc_id"),
+          "left_anti")
+        .localCheckpoint(eager = true)
+    } finally base.unpersist(blocking = true)
+  }
+
   /** Reference-corpus bigram table for the LM filters: (bigram, cnt) with
     * cnt ≥ `minCount`. One map-side-combined count over the reference
     * corpus — build once, reuse across scoring runs (persist it as a graft

@@ -243,6 +243,46 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(idx.getLong(1) == 1L && idx.getInt(2) == 0)
   }
 
+  test("segIngest delim mode: the index keys are exact lines; a later " +
+      "batch drops its copy of a historical line") {
+    val dir = freshDir("seg_inc_lines")
+    Dedup.segIngest(spark, dir, docs((1L, "Shared Line\nkeep me")),
+      $"doc_id", $"text", delim = Some("\n"), ts = Some(C1)): Unit
+    val c = Dedup.segIngest(spark, dir,
+      docs((2L, "fresh\nShared Line")), $"doc_id", $"text",
+      delim = Some("\n")).orderBy($"doc_id").collect()
+    assert(c(0).getString(1) == "fresh")
+    assert(c(0).getLong(2) == 2L && c(0).getLong(3) == 1L)
+    // exact-cased line string is the record key
+    val idx = SnapshotReader.read(spark, s"$dir/segindex")
+      .filter($"seg" === "Shared Line").select($"cnt", $"fdoc").head()
+    assert(idx.getLong(0) == 2L && idx.getLong(1) == 1L)
+  }
+
+  test("segIngest and substrIngest refuse a re-ingested doc id (the " +
+      "count index would double-count it)") {
+    val dir = freshDir("seg_inc_guard")
+    Dedup.segIngest(spark, dir, docs((1L, "g1 g2 g3 g4 g5")),
+      $"doc_id", $"text", width = 5, ts = Some(C1)): Unit
+    val e = intercept[IllegalArgumentException](
+      Dedup.segIngest(spark, dir, docs((1L, "g1 g2 g3 g4 g5")),
+        $"doc_id", $"text", width = 5))
+    assert(e.getMessage.contains("already ingested"))
+    // fresh ids still flow, and assertNewDocs = false restores the old
+    // unchecked behavior for upstream-enforced pipelines
+    Dedup.segIngest(spark, dir, docs((2L, "h1 h2 h3 h4 h5")),
+      $"doc_id", $"text", width = 5): Unit
+    Dedup.segIngest(spark, dir, docs((1L, "g1 g2 g3 g4 g5")),
+      $"doc_id", $"text", width = 5, assertNewDocs = false): Unit
+    val sdir = freshDir("sub_inc_guard")
+    Dedup.substrIngest(spark, sdir, docs((1L, "s1 s2 s3 s4 s5 s6 s7 s8")),
+      $"doc_id", $"text", w = 8, ts = Some(C1)): Unit
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.substrIngest(spark, sdir,
+        docs((1L, "s1 s2 s3 s4 s5 s6 s7 s8")), $"doc_id", $"text", w = 8))
+    assert(e2.getMessage.contains("already ingested"))
+  }
+
   test("segIngest: a brand-new segment duplicated WITHIN one batch keeps " +
       "the batch's min (doc_id, pos) occurrence") {
     val dir = freshDir("seg_inc_batchfirst")

@@ -1160,6 +1160,25 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall(_.getLong(3) == 1L))
   }
 
+  test("segmentDedup delim mode: EXACT lines (case preserved, empties " +
+      "participate), kept lines re-joined verbatim, no tail") {
+    val df = Seq(
+      (1L, "Hello World\nfoo bar\nunique one"),  // both dup lines: first
+      (2L, "foo bar\nHello World\nother line"),  // drops both dup lines
+      (3L, "solo\n\nsolo2"),                     // blank line = a segment
+      (4L, "solo\n\nsolo2")                      // exact dup: all drop
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, $"doc_id", $"text",
+        minDupCount = 2, delim = Some("\n"))
+      .orderBy($"doc_id").collect()
+    assert(out(0).getString(1) == "Hello World\nfoo bar\nunique one")
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 0L)
+    assert(out(1).getString(1) == "other line")
+    assert(out(1).getLong(3) == 2L)
+    assert(out(2).getString(1) == "solo\n\nsolo2")
+    assert(out(3).getString(1) == "" && out(3).getLong(3) == 3L)
+  }
+
   test("segmentDedup matches an in-memory model on the real corpus") {
     val W = 5
     val rows = docs.select($"doc_id", $"text").collect()

@@ -703,11 +703,32 @@ object SoakCheck {
       })
       (r, removed)
     }
-    val ((skewOff, remOff), (skewOn, remOn)) =
+    // the ExactSubstr twin on the SAME corpus: the period-5 hot text
+    // makes 5 distinct 8-token window rotations, the most frequent at
+    // 4 occurrences × 80k docs = 320k rows on one hash AND one string —
+    // both mark joins must carry the armor
+    def runSkewSub(name: String, hotN: Int): PathResult =
+      measure(spark, name)(() =>
+        pipeline.Dedup.substrDedup(skewDocs, col("id"), col("text"),
+          w = 8, hotN = hotN)
+      )(_.count())
+    val ((skewOff, remOff), (skewOn, remOn), subOff, subOn) =
       try (runSkew("seg_dedup_skew_unarmored", 0),
-        runSkew("seg_dedup_skew", 64))
+        runSkew("seg_dedup_skew", 64),
+        runSkewSub("substr_dedup_skew_unarmored", 0),
+        runSkewSub("substr_dedup_skew", 64))
       finally bcSaved.foreach { case (k, v) =>
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    require(subOff.rowsOut == SkewDocs2 && subOn.rowsOut == SkewDocs2,
+      s"substr_dedup_skew rows ${subOff.rowsOut}/${subOn.rowsOut}")
+    require(subOff.maxTaskShuffleRecords >= 300000,
+      s"unarmored substr skew task read ${subOff.maxTaskShuffleRecords} " +
+        "records — expected the 320k-row hot window in one task " +
+        "(did a plan change absorb the skew? re-point this gate)")
+    require(subOn.maxTaskShuffleRecords * 2 <= subOff.maxTaskShuffleRecords,
+      s"armored substr skew task read ${subOn.maxTaskShuffleRecords} " +
+        s"records vs ${subOff.maxTaskShuffleRecords} unarmored — the " +
+        "hot-key split must keep hot windows out of both mark joins")
     require(remOff == hotOcc - 1 && remOn == hotOcc - 1,
       s"seg_dedup_skew removed $remOff/$remOn, expected ${hotOcc - 1}")
     require(skewOff.rowsOut == SkewDocs2 && skewOn.rowsOut == SkewDocs2,
@@ -798,8 +819,8 @@ object SoakCheck {
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
       search, wand, incIng, incSearch, sem, semTail, dvw, sub, subInc,
-      subTail, seg, segInc, segTail, skewOff, skewOn, knn, knnPq,
-      annBuild, annInc)
+      subTail, seg, segInc, segTail, skewOff, skewOn, subOff, subOn,
+      knn, knnPq, annBuild, annInc)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -813,7 +834,9 @@ object SoakCheck {
         "sem_ingest_dedup", "sem_ingest_tail", "knn_join", "knn_join_pq",
         "substr_ingest", "substr_ingest_tail",
         "ann_index_build", "ann_ingest",
-        "seg_dedup_skew_unarmored", "seg_dedup_skew")(r.name)) // RUN work
+        "seg_dedup_skew_unarmored", "seg_dedup_skew",
+        "substr_dedup_skew_unarmored", "substr_dedup_skew",
+        "substr_dedup")(r.name)) // RUN work
       // (knn_join's "plan" includes ivfTrain's Lloyd jobs)
       .foreach(r =>
         require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))

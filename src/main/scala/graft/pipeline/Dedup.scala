@@ -970,7 +970,8 @@ object Dedup {
     * partially-aggregated count — there is no bucket self-join anywhere,
     * so no quadratic hotspot to cap. */
   def substrDedup(df: DataFrame, id: Column, text: Column, w: Int,
-      minDupCount: Int = 2, materialize: Boolean = true): DataFrame = {
+      minDupCount: Int = 2, materialize: Boolean = true,
+      hotN: Int = 64): DataFrame = {
     require(w >= 1, s"window width must be >= 1 token (got $w)")
     require(minDupCount >= 2, s"minDupCount must be >= 2 (got $minDupCount)")
     val toks = graft.util.ParallelScan.widen(
@@ -982,17 +983,49 @@ object Dedup {
     val posSeq = when(size(col("t")) >= w,
       sequence(lit(0), size(col("t")) - w))
       .otherwise(array().cast("array<int>"))
-    val cand = substrCandidates(toks, posSeq, w, minDupCount)
-    // toks feeds phase 1, the candidate re-join, and the final clean —
-    // and `cand` is consumed by both the string-verify count and the
-    // marked semi-join: scoped persists keep this ONE corpus pass + one
-    // candidates-only pass (unscoped, the plan re-reads the source per
-    // consumer — see `scoped` for the lazy-composition trade).
-    scoped(materialize, toks, cand) {
-      val marked = substrMarked(cand, minDupCount)
+    // Phase 1 inlined (substrSpans keeps the unarmored helper): the
+    // hash-count frame must join the persist set so the armor's
+    // TakeOrdered and the cold semi join share ONE aggregation pass.
+    val winHashes = toks.select(col("doc_id"),
+      transform(posSeq, p => xxhash64(winAt(col("t"), p, w))).as("hs"))
+    val wins = winHashes
+      .select(col("doc_id"), posexplode_outer(col("hs")).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+    val countsH = wins.groupBy("h").count()
+    def candFor(n: Int): DataFrame =
+      semiArmored(wins, countsH, "h", minDupCount, n)
+        .join(toks, Seq("doc_id"))
+        .select(col("doc_id"), col("pos"),
+          winAt(col("t"), col("pos"), w).as("win"))
+    if (!materialize) {
+      // lazy composition mode: fully declarative, armor off (it needs an
+      // eager TakeOrdered) — the historical plan, verdict-identical
+      val marked = substrMarked(candFor(0), minDupCount)
         .groupBy("doc_id")
         .agg(sort_array(collect_set(col("pos"))).as("mpos"))
       dropCoveredTokens(toks, marked, w)
+    } else {
+      // toks feeds phase 1, the candidate re-join, and the final clean;
+      // countsH feeds the hash armor + the cold hash semi; cand feeds
+      // the string count + the string semi; countsW the string armor +
+      // cold semi — persists keep each at ONE pass, released after the
+      // eager checkpoint of the (output-sized) result. BOTH mark joins
+      // carry the hot-key armor: a boilerplate window duplicated
+      // millions of times is exactly ExactSubstr's production input.
+      val outer = Seq(toks, countsH)
+      outer.foreach(_.persist())
+      var inner: Seq[DataFrame] = Nil
+      try {
+        val cand = candFor(hotN)
+        val countsW = cand.groupBy("win").count()
+        inner = Seq(cand, countsW)
+        inner.foreach(_.persist())
+        val marked = semiArmored(cand, countsW, "win", minDupCount, hotN)
+          .select("doc_id", "pos")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_set(col("pos"))).as("mpos"))
+        dropCoveredTokens(toks, marked, w).localCheckpoint(eager = true)
+      } finally (outer ++ inner).foreach(_.unpersist(blocking = true))
     }
   }
 
@@ -1134,7 +1167,7 @@ object Dedup {
       batch: DataFrame, id: Column, text: Column, w: Int,
       minDupCount: Int = 2, numBuckets: Int = 8,
       ts: Option[String] = None,
-      assertNewDocs: Boolean = true): DataFrame = {
+      assertNewDocs: Boolean = true, hotN: Int = 64): DataFrame = {
     require(w >= 1, s"window width must be >= 1 token (got $w)")
     val toks = graft.util.ParallelScan.widen(
         batch.select(id.cast("long").as("doc_id"),
@@ -1211,8 +1244,12 @@ object Dedup {
           org.apache.spark.sql.graft.Bridge.sinkBatchDataFrame(
             spark, joined)
         }
-      val dupWins = totals.filter(col("cnt") >= minDupCount).select("win")
-      val marked = wins.join(dupWins, Seq("win"), "left_semi")
+      // hot-key armored mark join (totals is checkpointed, so the
+      // armor's TakeOrdered is a local re-scan) — bounds the batch's
+      // largest semi-join task by the (hotN+1)-th cumulative count
+      val marked = semiArmored(wins,
+          totals.select(col("win"), col("cnt").as("count")),
+          "win", minDupCount, hotN)
         .groupBy("doc_id")
         .agg(sort_array(collect_set(col("pos"))).as("mpos"))
       val cleaned = dropCoveredTokens(toks, marked, w).localCheckpoint(true)
@@ -1599,6 +1636,36 @@ object Dedup {
           .select("doc_id", "pos", "seg")
         keptHot.union(keptCold)
       }
+    }
+  }
+
+  /** Hot-key armored LEFT SEMI of per-occurrence rows against the
+    * duplicated-key set (ExactSubstr's mark joins — the semi twin of
+    * [[segKeepJoin]], same measured rationale): a semi verdict for a key
+    * IN the set is constantly TRUE, so the top-`hotN` keys by count are
+    * answered map-side by an `isInCollection` literal and only COLD
+    * occurrences shuffle — the largest semi-join task is bounded by the
+    * (hotN+1)-th count. `counts` must carry (`key`, `count`); rows with
+    * count < `minDupCount` are never in the set either way. Collecting
+    * the top-N is one TakeOrdered over the already-aggregated counts. */
+  private def semiArmored(occ: DataFrame, counts: DataFrame, key: String,
+      minDupCount: Int, hotN: Int): DataFrame = {
+    val dup = counts.filter(col("count") >= minDupCount).select(key)
+    if (hotN <= 0) occ.join(dup, Seq(key), "left_semi")
+    else {
+      val hot = counts.filter(col("count") >= minDupCount)
+        .orderBy(col("count").desc, col(key).asc).limit(hotN)
+        .collect().map(_.get(0)).toSeq
+      if (hot.isEmpty) occ.join(dup, Seq(key), "left_semi")
+      else
+        // the USING-style semi join moves the join key to the FIRST
+        // column; re-project to occ's order before the POSITIONAL union
+        // (without it the union silently type-coerces the scrambled
+        // columns — caught by the arrival-order spec)
+        occ.filter(col(key).isInCollection(hot))
+          .union(occ.filter(!col(key).isInCollection(hot))
+            .join(dup, Seq(key), "left_semi")
+            .select(occ.columns.map(col).toIndexedSeq: _*))
     }
   }
 

@@ -251,6 +251,29 @@ object RecallCheck {
       else (bruteTop & top).size.toDouble / bruteTop.size
     }
 
+    // .ann ingest drift (r15): the sidecar index built on 2/3 of the
+    // corpus (pca variant), the last third APPENDED through the frozen
+    // sidecars (annIngest) — recall at the same knobs vs the full-corpus
+    // build (recall_ivfpca_rank16_same_setting) prices the "model
+    // trained before the batch arrived" drift annIngest's scaladoc
+    // references. Exhaustive settings stay exact either way (the
+    // q_ann_ingest_topk gate), so only realistic knobs are measured.
+    val annIngestDrift = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_recall_anningest").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(dir))))
+      val id = col("vec_id"); val v = col("embedding")
+      Similarity.annIndexBuild(embs.filter(id % 3 =!= 2), id, v, dir,
+        dim = 64, nlist = nlist, variant = "pca", rank = 16): Unit
+      Similarity.annIngest(spark, dir, embs.filter(id % 3 === 2), id, v)
+      val top = pairSet(Similarity.annTopK(spark, dir, queries, id, v,
+        k, nprobe = nlist / 2, rerank = 4 * k))
+      if (bruteTop.isEmpty) 1.0
+      else (bruteTop & top).size.toDouble / bruteTop.size
+    }
+
     // kNN JOIN (r12): whole-corpus query side (no broadcast anywhere) —
     // recall of the realistic-nprobe cell join vs the exact nprobe = nlist
     // join (which PipelineSpec pins ≡ brute force), plus the mutual-edge
@@ -335,6 +358,7 @@ object RecallCheck {
       s""""recall_raw_pq_same_setting":$ivfpqRaw,""" +
       s""""recall_ivfopq_same_setting":$ivfopqRealistic,""" +
       s""""recall_ivfpca_rank16_same_setting":$ivfpcaRealistic,""" +
+      s""""recall_ann_ingest_grown_same_setting":$annIngestDrift,""" +
       s""""recall_at_k_exhaustive":$ivfpqExact,""" +
       s""""pareto":[""" + pareto.map { case (np, rr, r) =>
         s"""{"nprobe":$np,"rerank":$rr,"recall":$r}""" }.mkString(",") +

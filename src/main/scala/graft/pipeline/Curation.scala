@@ -208,15 +208,19 @@ object Curation {
       .groupBy("__s").agg(count(lit(1)).as("__c"))
       .withColumn("__p", bucketOf(col("__s")))
     // two-level descending prefix sum: local cumsum per bucket + bucket
-    // offsets (≤ histPartitions rows — the ONLY unpartitioned window,
-    // bounded by construction)
+    // offsets. The offsets are ≤ histPartitions rows; computing them via
+    // a bounded TRIANGLE JOIN (strictly-lower buckets' totals summed per
+    // bucket) instead of an unpartitioned window keeps every exchange
+    // partitioned — no single-partition WindowExec, same integer
+    // arithmetic
     val local = hist.withColumn("__lcum", sum(col("__c"))
       .over(Window.partitionBy(col("__p")).orderBy(col("__s").desc)))
-    val offsets = hist.groupBy(col("__p"))
-      .agg(sum(col("__c")).as("__pt"))
-      .withColumn("__off", coalesce(
-        sum(col("__pt")).over(Window.orderBy(col("__p").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ptots = hist.groupBy(col("__p")).agg(sum(col("__c")).as("__pt"))
+    val offsets = ptots.as("a")
+      .join(broadcast(ptots.select(col("__p").as("__bp"),
+        col("__pt").as("__bpt"))), col("__bp") < col("__p"), "left")
+      .groupBy(col("__p"))
+      .agg(coalesce(sum(col("__bpt")), lit(0L)).as("__off"))
       .select("__p", "__off")
     val thr = local.join(broadcast(offsets), Seq("__p"))
       .withColumn("__cum", col("__lcum") + col("__off"))

@@ -530,18 +530,29 @@ object TextRetrieval {
     * `q_sim_topk`-established cosine rank parity), so the fused score is
     * oracle-exact. A doc absent from a channel contributes 0 from it.
     *
-    * The per-channel rank windows run over POOL-K rows (≤ `poolK`) by
-    * construction — the single-partition window is k-sized, never
-    * corpus-sized. At scale the vector pool swaps brute force for the
+    * The lexical rank is computed by a bounded triangle join over the
+    * ≤ `poolK`-row pool (1 + strictly-ahead count ≡ row_number with the
+    * doc_id tie-break) — no single-partition WindowExec anywhere on the
+    * serving path. At scale the vector pool swaps brute force for the
     * IVF/PQ serving paths unchanged (any (doc_id, rank) frame fuses). */
   def hybridRrfTopK(spark: SparkSession, dir: String, terms: Seq[String],
       emb: DataFrame, embId: Column, embVec: Column, queryVecId: Long,
       k: Int, poolK: Int = 50, rrfK: Int = 60,
       termBuckets: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lex = exactTopK(spark, dir, terms, poolK, termBuckets)
-      .withColumn("lex_rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+    // rank = 1 + count of strictly-ahead pool rows, via a bounded
+    // triangle join over the ≤ poolK-row pool — identical to
+    // row_number() over (score DESC, doc_id ASC) since doc_id breaks
+    // ties totally, without the single-partition WindowExec
+    val pool = exactTopK(spark, dir, terms, poolK, termBuckets)
+      .select(col("doc_id"), col("score"))
+    val lex = pool.as("a")
+      .join(broadcast(pool.select(col("doc_id").as("__bd"),
+          col("score").as("__bs"))),
+        col("__bs") > col("score") ||
+          (col("__bs") === col("score") && col("__bd") < col("doc_id")),
+        "left")
+      .groupBy(col("doc_id"))
+      .agg((count(col("__bd")) + lit(1L)).as("lex_rank"))
       .select(col("doc_id"), col("lex_rank"))
     val vec = Similarity.bruteForceTopK(emb, embId, embVec,
         emb.filter(embId === queryVecId), embId, embVec, poolK)

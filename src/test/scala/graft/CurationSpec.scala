@@ -279,23 +279,15 @@ class CurationSpec extends SparkSpec {
     // unique scores: exactly ceil(0.13*5000)=650 rows, the highest ids
     val got = res.select("id").as[Long].collect().toSet
     assert(got == ((5000 - 649) to 5000).map(_.toLong).toSet)
-    // plan audit: every unpartitioned Window must sit over the bucket
-    // OFFSETS aggregate (≤ histPartitions rows by construction), never
-    // over the raw histogram
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
-      Window => LWindow}
+    // plan audit (tightened r15): NO unpartitioned window anywhere —
+    // the bucket offsets now come from a bounded triangle join, so the
+    // whole plan is free of single-partition exchanges
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val globals = res.queryExecution.optimizedPlan.collect {
       case w: LWindow if w.partitionSpec.isEmpty => w
     }
-    assert(globals.nonEmpty, "expected the bounded offsets window")
-    globals.foreach { w =>
-      val overOffsets = w.child.collectFirst {
-        case a: Aggregate
-          if a.groupingExpressions.exists(_.toString.contains("__p")) => a
-      }
-      assert(overOffsets.isDefined,
-        s"unpartitioned window over an unbounded frame:\n$w")
-    }
+    assert(globals.isEmpty,
+      s"unpartitioned window in the keepTopQuantile plan:\n$globals")
     // nulls in the score column don't shift the threshold
     val withNulls = df.union(Seq((-1L, 0L), (-2L, 0L)).toDF("id", "s")
       .withColumn("s", lit(null).cast("long")))

@@ -836,7 +836,8 @@ object SoakCheck {
         "ann_index_build", "ann_ingest",
         "seg_dedup_skew_unarmored", "seg_dedup_skew",
         "substr_dedup_skew_unarmored", "substr_dedup_skew",
-        "substr_dedup")(r.name)) // RUN work
+        "substr_dedup", "seg_dedup", "seg_ingest",
+        "seg_ingest_tail")(r.name)) // RUN work
       // (knn_join's "plan" includes ivfTrain's Lloyd jobs)
       .foreach(r =>
         require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))

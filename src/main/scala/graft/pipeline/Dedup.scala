@@ -971,7 +971,8 @@ object Dedup {
     * so no quadratic hotspot to cap. */
   def substrDedup(df: DataFrame, id: Column, text: Column, w: Int,
       minDupCount: Int = 2, materialize: Boolean = true,
-      hotN: Int = 64): DataFrame = {
+      hotN: Int = 64,
+      hotMinCount: Long = HotEngageCount): DataFrame = {
     require(w >= 1, s"window width must be >= 1 token (got $w)")
     require(minDupCount >= 2, s"minDupCount must be >= 2 (got $minDupCount)")
     val toks = graft.util.ParallelScan.widen(
@@ -983,49 +984,79 @@ object Dedup {
     val posSeq = when(size(col("t")) >= w,
       sequence(lit(0), size(col("t")) - w))
       .otherwise(array().cast("array<int>"))
-    // Phase 1 inlined (substrSpans keeps the unarmored helper): the
-    // hash-count frame must join the persist set so the armor's
-    // TakeOrdered and the cold semi join share ONE aggregation pass.
+    // Phase 1 inlined (substrSpans keeps the unarmored helper). The
+    // count frames stay UNCACHED — each has ONE full consumer (its semi
+    // join), hot discovery samples occurrences instead of reading exact
+    // counts, and uncached count sides keep their small-data broadcasts
+    // (see [[hotTop]]).
     val winHashes = toks.select(col("doc_id"),
       transform(posSeq, p => xxhash64(winAt(col("t"), p, w))).as("hs"))
     val wins = winHashes
       .select(col("doc_id"), posexplode_outer(col("hs")).as(Seq("pos", "h")))
       .filter(col("h").isNotNull)
-    val countsH = wins.groupBy("h").count()
-    def candFor(n: Int): DataFrame =
-      semiArmored(wins, countsH, "h", minDupCount, n)
-        .join(toks, Seq("doc_id"))
-        .select(col("doc_id"), col("pos"),
-          winAt(col("t"), col("pos"), w).as("win"))
+    val dupH = wins.groupBy("h").count()
+      .filter(col("count") >= minDupCount).select("h")
+    def candPlain: DataFrame = wins.join(dupH, Seq("h"), "left_semi")
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        winAt(col("t"), col("pos"), w).as("win"))
     if (!materialize) {
-      // lazy composition mode: fully declarative, armor off (it needs an
-      // eager TakeOrdered) — the historical plan, verdict-identical
-      val marked = substrMarked(candFor(0), minDupCount)
+      // lazy composition mode: fully declarative, armor off (discovery
+      // is eager) — the historical plan, verdict-identical
+      val marked = substrMarked(candPlain, minDupCount)
         .groupBy("doc_id")
         .agg(sort_array(collect_set(col("pos"))).as("mpos"))
       dropCoveredTokens(toks, marked, w)
     } else {
       // toks feeds phase 1, the candidate re-join, and the final clean;
-      // countsH feeds the hash armor + the cold hash semi; cand feeds
-      // the string count + the string semi; countsW the string armor +
-      // cold semi — persists keep each at ONE pass, released after the
-      // eager checkpoint of the (output-sized) result. BOTH mark joins
-      // carry the hot-key armor: a boilerplate window duplicated
-      // millions of times is exactly ExactSubstr's production input.
-      val outer = Seq(toks, countsH)
-      outer.foreach(_.persist())
+      // cand feeds the string count and the string semi. BOTH mark joins
+      // carry the hot-key armor — a boilerplate window duplicated
+      // millions of times is exactly ExactSubstr's production input:
+      // hot WINDOW STRINGS discovered from a sampled pass over the
+      // persisted tokens, their hashes derived locally (an occurrence of
+      // a DIFFERENT string colliding with a hot hash rides the literal
+      // path like the plain semi would pass it — the string verify
+      // decides, as always), and the candidates' exact dup-membership
+      // re-aggregated with the key filter pushed below the agg.
+      toks.persist()
       var inner: Seq[DataFrame] = Nil
       try {
-        val cand = candFor(hotN)
-        val countsW = cand.groupBy("win").count()
-        inner = Seq(cand, countsW)
-        inner.foreach(_.persist())
-        val marked = semiArmored(cand, countsW, "win", minDupCount, hotN)
+        val positions = toks.select(col("doc_id"), col("t"),
+            explode_outer(posSeq).as("pos"))
+          .filter(col("pos").isNotNull)
+        val hotW: Seq[String] = hotTop(positions.select(col("doc_id"),
+            col("pos"), winAt(col("t"), col("pos"), w).as("win")),
+          "win", hotN, hotMinCount)
+        val hotH: Seq[Any] =
+          if (hotW.isEmpty) Nil
+          else {
+            import toks.sparkSession.implicits._
+            hotW.toDF("w").select(xxhash64(col("w"))).collect()
+              .map(r => Long.box(r.getLong(0))).toSeq
+          }
+        val dupHotH: Seq[Any] =
+          if (hotH.isEmpty) Nil
+          else wins.filter(col("h").isInCollection(hotH)).groupBy("h")
+            .agg(count(lit(1)).as("c")).filter(col("c") >= minDupCount)
+            .collect().map(r => Long.box(r.getLong(0))).toSeq
+        val cand = semiArmoredWith(wins, dupH, "h", hotH, dupHotH)
+          .join(toks, Seq("doc_id"))
+          .select(col("doc_id"), col("pos"),
+            winAt(col("t"), col("pos"), w).as("win"))
+        cand.persist(); inner = Seq(cand)
+        val dupW = cand.groupBy("win").count()
+          .filter(col("count") >= minDupCount).select("win")
+        val dupHotW: Seq[Any] =
+          if (hotW.isEmpty) Nil
+          else cand.filter(col("win").isInCollection(hotW)).groupBy("win")
+            .agg(count(lit(1)).as("c")).filter(col("c") >= minDupCount)
+            .collect().map(_.getString(0)).toSeq
+        val marked = semiArmoredWith(cand, dupW, "win", hotW, dupHotW)
           .select("doc_id", "pos")
           .groupBy("doc_id")
           .agg(sort_array(collect_set(col("pos"))).as("mpos"))
         dropCoveredTokens(toks, marked, w).localCheckpoint(eager = true)
-      } finally (outer ++ inner).foreach(_.unpersist(blocking = true))
+      } finally (Seq(toks) ++ inner).foreach(_.unpersist(blocking = true))
     }
   }
 
@@ -1167,7 +1198,8 @@ object Dedup {
       batch: DataFrame, id: Column, text: Column, w: Int,
       minDupCount: Int = 2, numBuckets: Int = 8,
       ts: Option[String] = None,
-      assertNewDocs: Boolean = true, hotN: Int = 64): DataFrame = {
+      assertNewDocs: Boolean = true, hotN: Int = 64,
+      hotMinCount: Long = HotEngageCount): DataFrame = {
     require(w >= 1, s"window width must be >= 1 token (got $w)")
     val toks = graft.util.ParallelScan.widen(
         batch.select(id.cast("long").as("doc_id"),
@@ -1244,12 +1276,19 @@ object Dedup {
           org.apache.spark.sql.graft.Bridge.sinkBatchDataFrame(
             spark, joined)
         }
-      // hot-key armored mark join (totals is checkpointed, so the
-      // armor's TakeOrdered is a local re-scan) — bounds the batch's
-      // largest semi-join task by the (hotN+1)-th cumulative count
-      val marked = semiArmored(wins,
-          totals.select(col("win"), col("cnt").as("count")),
-          "win", minDupCount, hotN)
+      // hot-key armored mark join (totals is checkpointed, so hot
+      // discovery is an exact local re-scan) — bounds the batch's
+      // largest semi-join task by the hottest cold key
+      val hotRows =
+        if (hotN <= 0) Nil
+        else totals.filter(col("cnt") >= hotMinCount)
+          .orderBy(col("cnt").desc, col("win").asc).limit(hotN)
+          .collect().toSeq
+      val marked = semiArmoredWith(wins,
+          totals.filter(col("cnt") >= minDupCount).select("win"),
+          "win", hotRows.map(_.getString(0)),
+          hotRows.filter(_.getLong(1) >= minDupCount)
+            .map(_.getString(0)))
         .groupBy("doc_id")
         .agg(sort_array(collect_set(col("pos"))).as("mpos"))
       val cleaned = dropCoveredTokens(toks, marked, w).localCheckpoint(true)
@@ -1588,12 +1627,11 @@ object Dedup {
     else cnt < minDupCount
 
   /** HOT-KEY armor for the occurrence↔count keep-join (shared by
-    * [[segmentDedup]] and [[segIngest]]): the `hotN` highest-count
-    * segments are collected to the driver (N metadata rows — counts are
-    * already aggregated), their verdicts answered MAP-SIDE from literal
-    * maps, and only COLD occurrences enter the shuffle join — so the
-    * largest join task is bounded by the (N+1)-th segment count, however
-    * pathological the boilerplate.
+    * [[segmentDedup]] and [[segIngest]]): the hot segments' verdicts are
+    * answered MAP-SIDE from literal maps built over their EXACT stats,
+    * and only COLD occurrences enter the shuffle join — so the largest
+    * join task is bounded by the hottest cold key, however pathological
+    * the boilerplate.
     *
     * Why not lean on AQE skew-join splitting (the r12–r14 adjudication):
     * MEASURED false for this plan shape. The count side reaches the join
@@ -1603,76 +1641,108 @@ object Dedup {
     * still landed its 400k rows in ONE task, every AQE setting
     * identical). And even where it applies, AQE's trigger is COMPRESSED
     * bytes — a million identical boilerplate strings compress ~100×, so
-    * row/CPU skew hides far below the byte threshold. The top-N split is
-    * deterministic, costs one TakeOrdered job, and changes no verdict
-    * (hash-gate-identical by construction; SOAK `seg_dedup_skew` pins
-    * the task-records bound). */
+    * row/CPU skew hides far below the byte threshold. The literal split
+    * is deterministic and changes no verdict (hash-gate-identical by
+    * construction; SOAK `seg_dedup_skew` pins the task-records bound).
+    *
+    * `hotStats` = (segment, exact count, first doc, first pos) for the
+    * discovered candidates ([[hotTop]] + a key-pushed-down stats pass);
+    * empty = the plain join, byte-identical to the unarmored plan. */
   private def segKeepJoin(occ: DataFrame, counts: DataFrame,
-      keepFirst: Boolean, minDupCount: Int, hotN: Int): DataFrame = {
+      keepFirst: Boolean, minDupCount: Int,
+      hotStats: Seq[(String, Long, Long, Int)]): DataFrame = {
     val cold = occ.join(counts, "seg").filter(segKeepCond(keepFirst,
       minDupCount, col("cnt"), col("fdoc"), col("fpos")))
       .select("doc_id", "pos", "seg")
-    if (hotN <= 0) cold
+    if (hotStats.isEmpty) cold
     else {
-      val hot = counts.orderBy(col("cnt").desc, col("seg").asc)
-        .limit(hotN).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          r.getInt(3)))
-      if (hot.isEmpty) cold
-      else {
-        val hotKeys: Seq[String] = hot.map(_._1).toSeq
-        val cntMap = typedLit(hot.map(t => t._1 -> t._2).toMap)
-        val fdMap = typedLit(hot.map(t => t._1 -> t._3).toMap)
-        val fpMap = typedLit(hot.map(t => t._1 -> t._4).toMap)
-        val keptHot = occ.filter(col("seg").isInCollection(hotKeys))
-          .filter(segKeepCond(keepFirst, minDupCount,
-            element_at(cntMap, col("seg")),
-            element_at(fdMap, col("seg")),
-            element_at(fpMap, col("seg"))))
-          .select("doc_id", "pos", "seg")
-        val keptCold = occ.filter(!col("seg").isInCollection(hotKeys))
-          .join(counts, "seg").filter(segKeepCond(keepFirst, minDupCount,
-            col("cnt"), col("fdoc"), col("fpos")))
-          .select("doc_id", "pos", "seg")
-        keptHot.union(keptCold)
-      }
+      val hotKeys: Seq[String] = hotStats.map(_._1)
+      val cntMap = typedLit(hotStats.map(t => t._1 -> t._2).toMap)
+      val fdMap = typedLit(hotStats.map(t => t._1 -> t._3).toMap)
+      val fpMap = typedLit(hotStats.map(t => t._1 -> t._4).toMap)
+      val keptHot = occ.filter(col("seg").isInCollection(hotKeys))
+        .filter(segKeepCond(keepFirst, minDupCount,
+          element_at(cntMap, col("seg")),
+          element_at(fdMap, col("seg")),
+          element_at(fpMap, col("seg"))))
+        .select("doc_id", "pos", "seg")
+      val keptCold = occ.filter(!col("seg").isInCollection(hotKeys))
+        .join(counts, "seg").filter(segKeepCond(keepFirst, minDupCount,
+          col("cnt"), col("fdoc"), col("fpos")))
+        .select("doc_id", "pos", "seg")
+      keptHot.union(keptCold)
     }
+  }
+
+  /** The armor's ENGAGEMENT FLOOR: a key qualifies as hot only when its
+    * count alone would meaningfully load one reducer (~100k occurrences
+    * ≈ a few MB — below that, a single task handles it trivially and the
+    * split only costs plan complexity). */
+  private val HotEngageCount = 100000L
+
+  /** HOT-KEY DISCOVERY by deterministic occurrence sampling: a ~1%
+    * hash-coin over (doc_id, pos) — [[hotCoin]] — marks sample rows,
+    * per-key sampled counts must clear hotMinCount/mod/2, and the top
+    * `hotN` survivors are the hot CANDIDATES. Discovery only chooses
+    * which keys ride literal plans — verdicts always come from EXACT
+    * stats re-aggregated for the candidates afterwards (a filter on the
+    * grouping key pushes below the aggregation, so that pass is
+    * map-side over the persisted occurrences) — so sampling noise can
+    * shift bytes between the literal and shuffle paths but never change
+    * a result. Cost: one cache-read pass with a metadata-sized exchange
+    * (only keys clearing the sampled floor), which is what lets the
+    * COUNT frame stay UNCACHED: persisting it for an exact TakeOrdered
+    * hands the optimizer its accurate cache size and de-broadcasts a
+    * toy-sized dup side (+58 MB measured on the regular soak corpus,
+    * the r13 sem-dedup de-broadcast failure mode re-observed).
+    *
+    * A floor below 2× the sampling modulus skips sampling and counts
+    * exactly (a sub-200 floor means the caller — tests — wants tiny keys
+    * to engage; the sample would be empty at that scale). */
+  private val HotSampleMod = 100L
+  private def hotCoin: Column =
+    pmod(xxhash64(col("doc_id"), col("pos")), lit(HotSampleMod)) === 0
+  private def hotTop(occLike: DataFrame, key: String, hotN: Int,
+      hotMinCount: Long): Seq[String] = {
+    if (hotN <= 0) return Nil
+    val (sampled, floor) =
+      if (hotMinCount < 2 * HotSampleMod) (occLike, hotMinCount)
+      else (occLike.filter(hotCoin),
+        math.max(1L, hotMinCount / HotSampleMod / 2))
+    sampled.groupBy(key).agg(count(lit(1)).as("__sc"))
+      .filter(col("__sc") >= floor)
+      .orderBy(col("__sc").desc, col(key).asc).limit(hotN)
+      .collect().map(_.getString(0)).toSeq
   }
 
   /** Hot-key armored LEFT SEMI of per-occurrence rows against the
     * duplicated-key set (ExactSubstr's mark joins — the semi twin of
-    * [[segKeepJoin]], same measured rationale): a semi verdict for a key
-    * IN the set is constantly TRUE, so the top-`hotN` keys by count are
-    * answered map-side by an `isInCollection` literal and only COLD
-    * occurrences shuffle — the largest semi-join task is bounded by the
-    * (hotN+1)-th count. `counts` must carry (`key`, `count`); rows with
-    * count < `minDupCount` are never in the set either way. Collecting
-    * the top-N is one TakeOrdered over the already-aggregated counts. */
-  private def semiArmored(occ: DataFrame, counts: DataFrame, key: String,
-      minDupCount: Int, hotN: Int): DataFrame = {
-    val dup = counts.filter(col("count") >= minDupCount).select(key)
-    if (hotN <= 0) occ.join(dup, Seq(key), "left_semi")
+    * [[segKeepJoin]]): a semi verdict for a key IN the set is constantly
+    * TRUE, so occurrences of `hotDup` keys pass map-side, occurrences of
+    * hot-but-not-duplicated candidates (`hotAll` \ `hotDup`) drop
+    * map-side, and only COLD occurrences shuffle into the semi join.
+    * Empty `hotAll` = the plain join, byte-identical to unarmored. */
+  private def semiArmoredWith(occ: DataFrame, dup: DataFrame, key: String,
+      hotAll: Seq[Any], hotDup: Seq[Any]): DataFrame =
+    if (hotAll.isEmpty) occ.join(dup, Seq(key), "left_semi")
     else {
-      val hot = counts.filter(col("count") >= minDupCount)
-        .orderBy(col("count").desc, col(key).asc).limit(hotN)
-        .collect().map(_.get(0)).toSeq
-      if (hot.isEmpty) occ.join(dup, Seq(key), "left_semi")
-      else
-        // the USING-style semi join moves the join key to the FIRST
-        // column; re-project to occ's order before the POSITIONAL union
-        // (without it the union silently type-coerces the scrambled
-        // columns — caught by the arrival-order spec)
-        occ.filter(col(key).isInCollection(hot))
-          .union(occ.filter(!col(key).isInCollection(hot))
-            .join(dup, Seq(key), "left_semi")
-            .select(occ.columns.map(col).toIndexedSeq: _*))
+      val keep =
+        if (hotDup.isEmpty) occ.filter(lit(false))
+        else occ.filter(col(key).isInCollection(hotDup))
+      // the USING-style semi join moves the join key to the FIRST
+      // column; re-project to occ's order before the POSITIONAL union
+      // (without it the union silently type-coerces the scrambled
+      // columns — caught by the arrival-order spec)
+      keep.union(occ.filter(!col(key).isInCollection(hotAll))
+        .join(dup, Seq(key), "left_semi")
+        .select(occ.columns.map(col).toIndexedSeq: _*))
     }
-  }
 
   def segmentDedup(df: DataFrame, id: Column, text: Column,
       width: Int = 5, minDupCount: Int = 2,
       keepFirst: Boolean = true, materialize: Boolean = true,
-      delim: Option[String] = None, hotN: Int = 64): DataFrame = {
+      delim: Option[String] = None, hotN: Int = 64,
+      hotMinCount: Long = HotEngageCount): DataFrame = {
     require(minDupCount >= 2, "minDupCount below 2 would drop every segment")
     val (base, segArr, joiner) = segSplit(df, id, text, width, delim)
     // posexplode_outer, not posexplode: keeps Catalyst from inferring a
@@ -1686,15 +1756,25 @@ object Dedup {
         min(struct(col("doc_id"), col("pos"))).as("first_occ"))
       .select(col("seg"), col("cnt"), col("first_occ.doc_id").as("fdoc"),
         col("first_occ.pos").as("fpos"))
-    // base feeds occ AND the final left join; occ feeds the count AND the
-    // occurrence↔count join; counts feeds the hot-key TakeOrdered AND
-    // the cold join — scoped persists keep this at ONE corpus
-    // tokenization + one segment-cut + one count pass (see `scoped`)
-    scoped(materialize, base, occ, counts) {
-      // hot-key split needs an eager TakeOrdered; in lazy composition
-      // mode (materialize = false) the operator stays fully declarative
+    // base feeds occ AND the final left join; occ feeds the count AND
+    // the occurrence↔count join. `counts` stays UNCACHED on purpose: its
+    // single FULL consumer is the cold join (hot discovery samples occ,
+    // and the candidates' exact stats re-aggregate with the seg filter
+    // pushed below the agg — both map-side over the persisted occ), and
+    // keeping it uncached preserves the optimizer's small-data broadcast
+    // of the count side (see [[hotTop]]).
+    scoped(materialize, base, occ) {
+      // hot-key split needs eager discovery; in lazy composition mode
+      // (materialize = false) the operator stays fully declarative
+      val hotSegs =
+        if (materialize) hotTop(occ, "seg", hotN, hotMinCount) else Nil
+      val hotStats =
+        if (hotSegs.isEmpty) Nil
+        else counts.filter(col("seg").isInCollection(hotSegs)).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getInt(3))).toSeq
       val kept = segKeepJoin(occ, counts, keepFirst, minDupCount,
-        if (materialize) hotN else 0)
+        hotStats)
       segAssemble(base, kept, joiner)
     }
   }
@@ -1735,7 +1815,8 @@ object Dedup {
       minDupCount: Int = 2, keepFirst: Boolean = true,
       numBuckets: Int = 8, ts: Option[String] = None,
       delim: Option[String] = None,
-      assertNewDocs: Boolean = true, hotN: Int = 64): DataFrame = {
+      assertNewDocs: Boolean = true, hotN: Int = 64,
+      hotMinCount: Long = HotEngageCount): DataFrame = {
     require(minDupCount >= 2, "minDupCount below 2 would drop every segment")
     val (rawBase, segArr, joiner) = segSplit(batch, id, text, width, delim)
     val base = graft.util.ParallelScan.widen(rawBase).persist()
@@ -1787,10 +1868,19 @@ object Dedup {
           org.apache.spark.sql.graft.Bridge.sinkBatchDataFrame(
             spark, joined)
         }
-      // totals is checkpointed, so the hot-key TakeOrdered re-read is a
-      // local scan; the armor bounds the batch join's largest task by
-      // the (hotN+1)-th cumulative count (see [[segKeepJoin]])
-      val kept = segKeepJoin(occ, totals, keepFirst, minDupCount, hotN)
+      // totals is checkpointed, so hot discovery is an exact local
+      // re-scan (no sampling needed — and no cache-stats side effects,
+      // totals is materialized for the txn anyway); the armor bounds the
+      // batch join's largest task by the hottest cold key
+      val hotStats =
+        if (hotN <= 0) Nil
+        else totals.filter(col("cnt") >= hotMinCount)
+          .orderBy(col("cnt").desc, col("seg").asc).limit(hotN)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getInt(3))).toSeq
+      val kept = segKeepJoin(occ, totals, keepFirst, minDupCount,
+        hotStats)
       val cleaned = segAssemble(base, kept, joiner)
         .localCheckpoint(true)
       val idxRows = totals

@@ -1179,6 +1179,30 @@ class PipelineSpec extends SparkSpec {
     assert(out(3).getString(1) == "" && out(3).getLong(3) == 3L)
   }
 
+  test("hot-key armor (engaged via hotMinCount = 1) is verdict-identical " +
+      "to the plain keep/mark joins") {
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e x y z w v"),
+      (3L, "a b c d e"),
+      (4L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val plain = Dedup.segmentDedup(df, $"doc_id", $"text", width = 5,
+      hotN = 0).orderBy($"doc_id").collect().toSeq
+    val armored = Dedup.segmentDedup(df, $"doc_id", $"text", width = 5,
+      hotN = 8, hotMinCount = 1L).orderBy($"doc_id").collect().toSeq
+    assert(armored == plain)
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val sdf = Seq((1L, s"aa bb $span cc"), (2L, s"xx $span yy"),
+      (3L, "unique tokens only here nothing repeats at all ok"))
+      .toDF("doc_id", "text")
+    val p2 = Dedup.substrDedup(sdf, $"doc_id", $"text", w = 8,
+      hotN = 0).orderBy($"doc_id").collect().toSeq
+    val a2 = Dedup.substrDedup(sdf, $"doc_id", $"text", w = 8,
+      hotN = 8, hotMinCount = 1L).orderBy($"doc_id").collect().toSeq
+    assert(a2 == p2)
+  }
+
   test("segmentDedup matches an in-memory model on the real corpus") {
     val W = 5
     val rows = docs.select($"doc_id", $"text").collect()

@@ -1106,9 +1106,9 @@ object Fixtures {
           emb.filter(id % 3 =!= 2), id, v, dir, dim = 64, nlist = 8,
           iters = 1, trainFraction = 0.5, variant = "pca", rank = 16)
         graft.pipeline.Similarity.annIngest(spark, dir,
-          emb.filter(id % 3 === 2 && id % 2 === 0), id, v)
+          emb.filter(id % 3 === 2 && id % 2 === 0), id, v, "fx-b1"): Unit
         graft.pipeline.Similarity.annIngest(spark, dir,
-          emb.filter(id % 3 === 2 && id % 2 =!= 0), id, v)
+          emb.filter(id % 3 === 2 && id % 2 =!= 0), id, v, "fx-b2"): Unit
         import spark.implicits._
         Seq(1).toDF("ok").coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/ingested")

@@ -258,7 +258,7 @@ object RecallCheck {
     // trained before the batch arrived" drift annIngest's scaladoc
     // references. Exhaustive settings stay exact either way (the
     // q_ann_ingest_topk gate), so only realistic knobs are measured.
-    val annIngestDrift = {
+    val (annIngestDrift, annRebuilt) = {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_recall_anningest").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -267,11 +267,20 @@ object RecallCheck {
       val id = col("vec_id"); val v = col("embedding")
       Similarity.annIndexBuild(embs.filter(id % 3 =!= 2), id, v, dir,
         dim = 64, nlist = nlist, variant = "pca", rank = 16): Unit
-      Similarity.annIngest(spark, dir, embs.filter(id % 3 === 2), id, v)
-      val top = pairSet(Similarity.annTopK(spark, dir, queries, id, v,
-        k, nprobe = nlist / 2, rerank = 4 * k))
-      if (bruteTop.isEmpty) 1.0
-      else (bruteTop & top).size.toDouble / bruteTop.size
+      Similarity.annIngest(spark, dir, embs.filter(id % 3 === 2), id, v,
+        "recall-b1"): Unit
+      def recallNow(): Double = {
+        val top = pairSet(Similarity.annTopK(spark, dir, queries, id, v,
+          k, nprobe = nlist / 2, rerank = 4 * k))
+        if (bruteTop.isEmpty) 1.0
+        else (bruteTop & top).size.toDouble / bruteTop.size
+      }
+      val drift = recallNow()
+      // the drift-recovery verb (r16): retrain over the grown corpus
+      // from the index's own stored vectors, atomic generation swap —
+      // recall at the same knobs must recover to the retrained row
+      Similarity.annRebuild(spark, dir): Unit
+      (drift, recallNow())
     }
 
     // kNN JOIN (r12): whole-corpus query side (no broadcast anywhere) —
@@ -359,6 +368,7 @@ object RecallCheck {
       s""""recall_ivfopq_same_setting":$ivfopqRealistic,""" +
       s""""recall_ivfpca_rank16_same_setting":$ivfpcaRealistic,""" +
       s""""recall_ann_ingest_grown_same_setting":$annIngestDrift,""" +
+      s""""recall_ann_rebuild_same_setting":$annRebuilt,""" +
       s""""recall_at_k_exhaustive":$ivfpqExact,""" +
       s""""pareto":[""" + pareto.map { case (np, rr, r) =>
         s"""{"nprobe":$np,"rerank":$rr,"recall":$r}""" }.mkString(",") +

@@ -46,16 +46,23 @@ object SoakCheck {
     @volatile var maxTaskShuffleRead = 0L
     @volatile var maxTaskShuffleRecords = 0L
     @volatile var totalShuffleWrite = 0L
+    @volatile var maxTaskDurationMs = 0L
     /** Snapshot for stability polling (events post async). */
-    def fingerprint: (Int, Int, Int, Long, Long, Long, Long) =
+    def fingerprint: (Int, Int, Int, Long, Long, Long, Long, Long) =
       (jobs, stages, taskEnds, maxTaskInput, maxTaskShuffleRead,
-        maxTaskShuffleRecords, totalShuffleWrite)
+        maxTaskShuffleRecords, totalShuffleWrite, maxTaskDurationMs)
     override def onJobStart(j: SparkListenerJobStart): Unit =
       synchronized { jobs += 1 }
     override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
       synchronized { stages += 1 }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
       taskEnds += 1
+      // CPU-skew gate for joins whose per-task COMPUTE is quadratic in
+      // its keys' rows (the kNN hub cell): records can't see pair work,
+      // wall duration can
+      if (t.taskInfo != null)
+        maxTaskDurationMs = math.max(maxTaskDurationMs,
+          t.taskInfo.duration)
       val m = t.taskMetrics
       if (m != null) {
         maxTaskInput = math.max(maxTaskInput, m.inputMetrics.bytesRead)
@@ -74,14 +81,16 @@ object SoakCheck {
   private final case class PathResult(name: String, rowsOut: Long,
       wallSec: Double, planMs: Long, jobs: Int, stages: Int,
       maxTaskInputMB: Long, maxTaskShuffleMB: Long,
-      totalShuffleWriteMB: Long, maxTaskShuffleRecords: Long) {
+      totalShuffleWriteMB: Long, maxTaskShuffleRecords: Long,
+      maxTaskDurationMs: Long) {
     def json: String =
       s"""{"rows_out":$rowsOut,"wall_sec":$wallSec,"plan_ms":$planMs,""" +
         s""""jobs":$jobs,"stages":$stages,""" +
         s""""max_task_input_mb":$maxTaskInputMB,""" +
         s""""max_task_shuffle_mb":$maxTaskShuffleMB,""" +
         s""""total_shuffle_write_mb":$totalShuffleWriteMB,""" +
-        s""""max_task_shuffle_records":$maxTaskShuffleRecords}"""
+        s""""max_task_shuffle_records":$maxTaskShuffleRecords,""" +
+        s""""max_task_duration_ms":$maxTaskDurationMs}"""
   }
 
   /** Run `df`'s planning, then `action` under a fresh listener. */
@@ -114,7 +123,8 @@ object SoakCheck {
       }
       PathResult(name, rows, (t2 - t0) / 1e9, (t1 - t0) / 1000000L,
         m.jobs, m.stages, m.maxTaskInput >> 20, m.maxTaskShuffleRead >> 20,
-        m.totalShuffleWrite >> 20, m.maxTaskShuffleRecords)
+        m.totalShuffleWrite >> 20, m.maxTaskShuffleRecords,
+        m.maxTaskDurationMs)
     } finally spark.sparkContext.removeSparkListener(m)
   }
 
@@ -779,6 +789,54 @@ object SoakCheck {
         s"knn_join's ${knn.totalShuffleWriteMB} MB — the codes-only " +
         "join must at least halve the bytes")
 
+    // ---- path 10d: kNN-join HUB-CELL skew (r16) -------------------------
+    // Real embedding corpora have hub clusters: 6k of 14k vectors sit in
+    // ONE IVF cell (a near-duplicate pile-up), so that cell's task does
+    // |cell|² = 36M pair computations — a CPU-skew pathology shuffle
+    // RECORDS cannot see (the task reads only ~14k rows) and AQE cannot
+    // split (the exchange is ~2 MB, far under any byte threshold; the
+    // join is shuffle_hash-pinned besides). The r16 armor derives
+    // per-cell splits from the occupancy counts (cellSplitsOf): the hub
+    // cell's corpus rows split into ⌈6000/200⌉ = 30 sub-tasks, probes
+    // replicate only over THEIR cells' splits (30 sub-cells over 32
+    // shuffle partitions — a couple collide per task, which is the
+    // residual the gate's margin absorbs). Twin gates in both
+    // directions on max task DURATION — the quadratic term's only
+    // visible metric: unarmored must exhibit the concentration (proves
+    // the pathology and keeps the gate honest), armored must bound it.
+    val HubRows = 6000L
+    val KnnSkewRows = 14000L
+    val hubBase = (0 until 64).map(c =>
+      (pmod(xxhash64(lit(7L), lit(c)), lit(2000L)) - 1000L)
+        .cast("double") / 1000.0)
+    val hubVec = array((0 until 64).map(c =>
+      hubBase(c) + (pmod(xxhash64(col("id"), lit(c + 1000)),
+        lit(2000L)) - 1000L).cast("double") / 1000000.0): _*)
+    val skewVecs = spark.range(0, KnnSkewRows, 1, 32)
+      .select(col("id"),
+        when(col("id") < HubRows, hubVec)
+          .otherwise(semVec(col("id") + 777777L))
+          .cast("array<float>").as("vec"))
+    def runKnnSkew(name: String, target: Long): PathResult =
+      measure(spark, name)(() =>
+        pipeline.Similarity.knnJoin(skewVecs, col("id"), col("vec"),
+          k = 3, nlist = 32, nprobe = 1, trainFraction = 0.25,
+          targetCellRows = target)
+      )(_.count())
+    val knnSkewOff = runKnnSkew("knn_join_skew_unarmored", 0L)
+    val knnSkewOn = runKnnSkew("knn_join_skew", 200L)
+    require(knnSkewOff.rowsOut == KnnSkewRows * 3 &&
+      knnSkewOn.rowsOut == KnnSkewRows * 3,
+      s"knn_join_skew rows ${knnSkewOff.rowsOut}/${knnSkewOn.rowsOut}")
+    require(knnSkewOff.maxTaskDurationMs >= 3000,
+      s"unarmored hub-cell task took ${knnSkewOff.maxTaskDurationMs} ms " +
+        "— expected the 36M-pair cell in one task (did a plan change " +
+        "absorb the skew? re-point this gate)")
+    require(knnSkewOn.maxTaskDurationMs * 2 <= knnSkewOff.maxTaskDurationMs,
+      s"armored hub-cell max task ${knnSkewOn.maxTaskDurationMs} ms vs " +
+        s"${knnSkewOff.maxTaskDurationMs} unarmored — the occupancy-" +
+        "derived splits must break the quadratic cell")
+
     // ---- path 10c: .ann sidecar index + 1% batch ingest (r15) ----------
     // the serving-index ingest path: annIndexBuild over the 40k corpus,
     // then a 1% batch appended THROUGH THE PERSISTED SIDECARS
@@ -801,8 +859,12 @@ object SoakCheck {
         spark.range(KnnRows, KnnRows + AnnBatch, 1, 4)
           .select(col("id"), semVec(col("id"))
             .cast("array<float>").as("vec")),
-        col("id"), col("vec"))
-      spark.read.parquet(s"$annDir/data")
+        col("id"), col("vec"), batchId = "soak-b1"): Unit
+      // the grown index = build data + the LEDGERED batch dirs (read
+      // per root — the roots are separate partitioned tables)
+      graft.pipeline.Similarity.annDataRoots(spark, annDir)
+        .map(r => spark.read.parquet(r).select("corpus_id"))
+        .reduce(_ unionByName _)
     })(_.count())
     require(annInc.rowsOut == KnnRows + AnnBatch,
       s"ann_ingest grew to ${annInc.rowsOut}, " +
@@ -811,16 +873,19 @@ object SoakCheck {
       s"ann_ingest shuffled ${annInc.totalShuffleWriteMB} MB — the " +
         "batch encode is map-only; any exchange means the index got " +
         "re-read into a shuffle")
-    require(annInc.jobs <= 16,
-      s"ann_ingest ran ${annInc.jobs} jobs — budget 16 (measured 13: " +
+    require(annInc.jobs <= 22,
+      s"ann_ingest ran ${annInc.jobs} jobs — budget 22 (measured 19: " +
         "four sidecar loads with their schema reads, one encode/write " +
-        "pass, the verification count; NONE may scale with the index)")
+        "pass into the staged batch dir, the staged footer count that " +
+        "feeds the ledger record, and the per-root verification count " +
+        "over data/ + the ledgered batch; ALL constant — none may " +
+        "scale with the index)")
 
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
       search, wand, incIng, incSearch, sem, semTail, dvw, sub, subInc,
       subTail, seg, segInc, segTail, skewOff, skewOn, subOff, subOn,
-      knn, knnPq, annBuild, annInc)
+      knn, knnPq, knnSkewOff, knnSkewOn, annBuild, annInc)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -836,6 +901,7 @@ object SoakCheck {
         "ann_index_build", "ann_ingest",
         "seg_dedup_skew_unarmored", "seg_dedup_skew",
         "substr_dedup_skew_unarmored", "substr_dedup_skew",
+        "knn_join_skew_unarmored", "knn_join_skew",
         "substr_dedup", "seg_dedup", "seg_ingest",
         "seg_ingest_tail")(r.name)) // RUN work
       // (knn_join's "plan" includes ivfTrain's Lloyd jobs)

@@ -1293,9 +1293,20 @@ object SparkEntry {
     // thresholds — top-n-gram fraction n ∈ 2..4 (permille 200/180/160)
     // and duplicated-n-gram coverage n ∈ 5..10 (150..100) — emitting
     // kept doc ids; integer-exact so the composed filter hash-gates.
+    // r16: the synthetic corpus has no within-doc duplicated 5-grams
+    // (the dup family was vacuously clean), so the gate PLANTS
+    // repetition — every doc_id % 7 == 0 doc is self-concatenated
+    // (reproduced verbatim in the oracle). Doubling duplicates every
+    // n-gram (dup coverage → ~1000‰, violating all dup orders) while
+    // the top-gram fraction is unchanged (counts and token total both
+    // double), so the dup family now discriminates on its own.
     "q_gopher_keep" -> ((s, d) =>
-      TextAnalysis.gopherKeep(tp(s, d, "documents"), col("doc_id"),
-          col("text"), GopherTop, GopherDup)
+      TextAnalysis.gopherKeep(
+          tp(s, d, "documents").select(col("doc_id"),
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" "), col("text")))
+              .otherwise(col("text")).as("text")),
+          col("doc_id"), col("text"), GopherTop, GopherDup)
         .orderBy(col("doc_id"))),
     // Corpus-relative quality cut: keep the top 20% by integer score via a
     // histogram-resolved threshold — no global sort, ties kept
@@ -1446,9 +1457,14 @@ object SparkEntry {
     "q_seg_dedup_lines" -> ((s, d) => {
       val t = TextAnalysis.tokens(col("text"))
       val nl = ((size(t) + lit(3)) / lit(4)).cast("int")
+      // explicit zero-doc branch (segSplit's own convention): without it
+      // sequence(0, -1) infers step -1 and a null/empty-token doc would
+      // throw or null-propagate instead of yielding no lines
       val docsNl = tp(s, d, "documents").select(col("doc_id"),
-        array_join(transform(sequence(lit(0), nl - 1, lit(1)),
-          i => array_join(slice(t, i * 4 + 1, lit(4)), " ")), "\n")
+        array_join(when(nl > 0,
+            transform(sequence(lit(0), nl - 1, lit(1)),
+              i => array_join(slice(t, i * 4 + 1, lit(4)), " ")))
+          .otherwise(array().cast("array<string>")), "\n")
           .as("text_nl"))
       Dedup.segmentDedup(docsNl, col("doc_id"), col("text_nl"),
           minDupCount = 2, keepFirst = true, delim = Some("\n"))
@@ -1717,7 +1733,9 @@ object SparkEntry {
 
   /** Composed Gopher keep oracle: the q_rep_topgram / q_rep_dupcov
     * constructions generalized to every gated order, reduced to violator
-    * sets, ANDed by exclusion. */
+    * sets, ANDed by exclusion. The r16 self-concatenation plant
+    * (doc_id % 7 == 0 — makes the dup family non-vacuous on the
+    * synthetic corpus) is reproduced verbatim in the planted CTE. */
   private lazy val GopherKeepOracle: String = {
     def caseOf(ts: Seq[(Int, Int)], n: String) =
       s"CASE $n " +
@@ -1730,7 +1748,9 @@ object SparkEntry {
       s"SELECT doc_id, $n AS n, unnest(range(0, greatest(len(t)-$n+1, 0))) AS pos, " +
         s"unnest(list_transform(range(0, greatest(len(t)-$n+1, 0)), i -> array_to_string(t[i+1:i+$n], ' '))) AS win FROM toks")
       .mkString(" UNION ALL ")
-    s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +
+    "WITH planted AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 " +
+      "THEN text || ' ' || text ELSE text END AS text FROM documents), " +
+      s"toks AS (SELECT doc_id, $Toks AS t FROM planted), " +
       s"ex AS ($exT), " +
       "c AS (SELECT doc_id, n, gram, count(*) AS c FROM ex GROUP BY doc_id, n, gram), " +
       "m AS (SELECT doc_id, n, max(c) AS top_cnt FROM c GROUP BY doc_id, n), " +

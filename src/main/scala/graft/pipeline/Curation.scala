@@ -156,9 +156,10 @@ object Curation {
     * descending cumulative sum is computed as a DISTRIBUTED two-level
     * prefix sum: the histogram is range-repartitioned on the score, each
     * range partition cumulates locally, and the per-partition totals
-    * (≤ `histPartitions` rows, bounded BY CONSTRUCTION — this is the only
-    * unpartitioned window in the plan) provide the cross-partition
-    * offsets. The resulting threshold broadcasts back as a filter. Ties
+    * (≤ `histPartitions` rows, bounded BY CONSTRUCTION — collected and
+    * prefix-summed on the driver, re-entering as a literal frame)
+    * provide the cross-partition offsets. The resulting threshold
+    * broadcasts back as a filter. Ties
     * at the threshold are all kept (the smallest threshold whose tail
     * covers ⌈frac·N⌉ rows), so the result is deterministic and
     * engine-exact — unlike `ORDER BY score LIMIT k`, which is both a
@@ -208,20 +209,23 @@ object Curation {
       .groupBy("__s").agg(count(lit(1)).as("__c"))
       .withColumn("__p", bucketOf(col("__s")))
     // two-level descending prefix sum: local cumsum per bucket + bucket
-    // offsets. The offsets are ≤ histPartitions rows; computing them via
-    // a bounded TRIANGLE JOIN (strictly-lower buckets' totals summed per
-    // bucket) instead of an unpartitioned window keeps every exchange
-    // partitioned — no single-partition WindowExec, same integer
-    // arithmetic
+    // offsets. The per-bucket totals are ≤ histPartitions rows BY
+    // CONSTRUCTION — collect them and compute the exclusive prefix sum
+    // on the driver, re-entering as a literal frame: one evaluation of
+    // the hist aggregate for the offsets (the r15 triangle join fed
+    // hist to three consumers), no single-partition WindowExec, same
+    // integer arithmetic
     val local = hist.withColumn("__lcum", sum(col("__c"))
       .over(Window.partitionBy(col("__p")).orderBy(col("__s").desc)))
     val ptots = hist.groupBy(col("__p")).agg(sum(col("__c")).as("__pt"))
-    val offsets = ptots.as("a")
-      .join(broadcast(ptots.select(col("__p").as("__bp"),
-        col("__pt").as("__bpt"))), col("__bp") < col("__p"), "left")
-      .groupBy(col("__p"))
-      .agg(coalesce(sum(col("__bpt")), lit(0L)).as("__off"))
-      .select("__p", "__off")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // exclusive prefix: offset of bucket i = Σ totals of buckets < i
+    val excl = ptots.map(_._2).scanLeft(0L)(_ + _).init
+    val offsets = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      ptots.map(_._1).zip(excl).toSeq.toDF("__p", "__off")
+    }
     val thr = local.join(broadcast(offsets), Seq("__p"))
       .withColumn("__cum", col("__lcum") + col("__off"))
       .filter(col("__cum") >= lit(target))

@@ -1193,7 +1193,11 @@ object Dedup {
     * BOOTSTRAP commits only; transactional batches mint reserved
     * timestamps of their own. Each doc id must arrive at most once —
     * ENFORCED by [[assertUningested]] (a key-only docs-table probe per
-    * post-bootstrap batch; `assertNewDocs = false` skips it). */
+    * post-bootstrap batch; `assertNewDocs = false` skips it). The unit
+    * parameters (`w`/`minDupCount`) are RECORDED in the windex's
+    * creation-commit extras and ENFORCED on every later batch
+    * ([[assertIngestContract]]) — a drifting window width refuses
+    * loudly instead of silently mixing units in the count index. */
   def substrIngest(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, id: Column, text: Column, w: Int,
       minDupCount: Int = 2, numBuckets: Int = 8,
@@ -1226,6 +1230,11 @@ object Dedup {
       val tl = graft.format.Timeline(
         spark.sessionState.newHadoopConf(), idxDir)
       val boot = tl.completedInstants().isEmpty
+      // unit contract: recorded at bootstrap, required to match after —
+      // a drifting window width would mix units in the count index
+      val contract = Map(IngestUnitKey -> s"window:$w",
+        IngestMinDupKey -> minDupCount.toString)
+      if (!boot) assertIngestContract(tl, idxDir, contract)
       if (!boot && assertNewDocs)
         assertUningested(spark, docsDir, toks.select(col("doc_id")))
       // materialized ONCE: read again by the dup filter and the txn's
@@ -1310,18 +1319,17 @@ object Dedup {
         // deltaCounters=off: these are internal state tables consumed by
         // joins, never by metadata COUNT(*) — the per-delta live-count
         // existence join (snapshot-keys-sized however small the batch)
-        // buys nothing here
-        def create(df: DataFrame, path: String): Unit = {
-          val wtr = df.write.format("graft")
-            .option("key", "k").option("partition", "p")
-            .option("type", "mor")
-            .option("deltaCounters", "off")
-            .option("buckets", numBuckets.toString)
-            .mode(org.apache.spark.sql.SaveMode.Append)
-          ts.fold(wtr)(x => wtr.option("ts", x)).save(path)
-        }
-        create(docRows, docsDir)
-        create(idxRows, idxDir)
+        // buys nothing here. The ingest contract rides the creation
+        // commit's extras (the buckets mechanism) on the index table.
+        def create(df: DataFrame, path: String,
+            extra: Map[String, String]): Unit =
+          graft.write.FormatWriter.append(spark, path,
+            Map("key" -> "k", "partition" -> "p", "type" -> "mor",
+              "deltaCounters" -> "off",
+              "buckets" -> numBuckets.toString) ++ ts.map("ts" -> _),
+            df, extra)
+        create(docRows, docsDir, Map.empty)
+        create(idxRows, idxDir, contract)
       } else {
         graft.write.MultiTableTxn.commit(spark, Seq(
           graft.write.MultiTableTxn.TableWrite(idxDir,
@@ -1542,6 +1550,33 @@ object Dedup {
     * (broadcast — batch-sized); refuses loudly on the first hit. The
     * docs-key scan is the per-batch price; callers that enforce arrival
     * uniqueness upstream can switch it off via `assertNewDocs`. */
+  /** The incremental indexes' INGEST CONTRACT, persisted in the index
+    * table's CREATION commit extras exactly like `buckets`
+    * ([[graft.write.FormatWriter.BucketsKey]]) and required to MATCH on
+    * every post-bootstrap batch: the index keys are segment/window
+    * strings OF ONE UNIT — a caller drifting on `width`/`delim`/`w`/
+    * `minDupCount` between batches would silently mix units in one
+    * count index and corrupt every later verdict, so a mismatch refuses
+    * loudly naming both values. Indexes bootstrapped before the contract
+    * existed record nothing and are accepted as-is (nothing to check
+    * against); re-bootstrapping records it. */
+  private val IngestUnitKey = "ingest.unit"
+  private val IngestMinDupKey = "ingest.minDupCount"
+  private val IngestKeepFirstKey = "ingest.keepFirst"
+
+  private def assertIngestContract(tl: graft.format.Timeline,
+      dir: String, contract: Map[String, String]): Unit =
+    contract.foreach { case (k, got) =>
+      graft.write.FormatWriter.recordedExtra(tl, k).foreach { r =>
+        if (r != got) throw new IllegalArgumentException(
+          s"$k=$got contradicts the ingest contract recorded when $dir " +
+            s"was bootstrapped ($k=$r): every batch must pass the same " +
+            "unit parameters — a drifting caller would silently mix " +
+            "segment units in the count index and corrupt every later " +
+            "verdict")
+      }
+    }
+
   private def assertUningested(spark: org.apache.spark.sql.SparkSession,
       docsDir: String, ids: DataFrame): Unit = {
     val probe = ids.select(col("doc_id").cast("string").as("k")).distinct()
@@ -1807,9 +1842,63 @@ object Dedup {
     * bootstrap commits only. Each doc id must arrive at most once —
     * ENFORCED by [[assertUningested]] (a key-only docs-table probe per
     * post-bootstrap batch; `assertNewDocs = false` skips it).
-    * `delim` switches the segment unit exactly as in [[segmentDedup]]
-    * (pass the SAME value on every batch — the index keys are the
-    * segment strings of that unit). */
+    * `delim` switches the segment unit exactly as in [[segmentDedup]];
+    * the unit parameters (`width`/`delim`/`minDupCount`/`keepFirst`)
+    * are RECORDED in the index's creation-commit extras and ENFORCED on
+    * every later batch ([[assertIngestContract]]) — a drifting caller
+    * refuses loudly instead of silently mixing segment units in the
+    * count index. */
+  /** STREAMING-driven [[segIngest]] — the `foreachBatch` body that makes
+    * a `readStream.format("graft")`-tailed corpus maintain the segment
+    * index EXACTLY-ONCE per micro-batch:
+    *
+    * {{{
+    * spark.readStream.format("graft").load(srcTable)
+    *   .select(col("doc_id"), col("text"))
+    *   .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+    *     Dedup.segIngestBatch(spark, dir, b, col("doc_id"), col("text"))
+    *       : Unit
+    *   }.option("checkpointLocation", ckpt).start()
+    * }}}
+    *
+    * After a restart the engine re-runs the last possibly-uncommitted
+    * micro-batch. [[segIngest]]'s post-bootstrap commit is ONE
+    * [[graft.write.MultiTableTxn]] (docs + segindex all-or-nothing), so
+    * a replayed batch is either FULLY present — detected by a key-only
+    * docs probe and skipped (returns None) — or fully absent and
+    * ingested normally. A PARTIAL overlap can only mean two writers or
+    * re-used doc ids: refused loudly (the assertUningested contract).
+    * The bootstrap pair of creates is individually idempotent under
+    * replay (same keys upsert, same rows). The arrival-order semantics
+    * are [[segIngest]]'s, micro-batch = batch. */
+  def segIngestBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, id: Column, text: Column,
+      width: Int = 5, minDupCount: Int = 2, keepFirst: Boolean = true,
+      numBuckets: Int = 8, delim: Option[String] = None,
+      hotN: Int = 64,
+      hotMinCount: Long = HotEngageCount): Option[DataFrame] = {
+    val ids = batch.select(id.cast("long").cast("string").as("k"))
+      .distinct()
+    val nIds = ids.count()
+    if (nIds == 0) return None // empty micro-batch: nothing to land
+    val tl = graft.format.Timeline(
+      spark.sessionState.newHadoopConf(), s"$dir/segindex")
+    if (tl.completedInstants().nonEmpty) {
+      val nPresent = graft.util.CatalogMount.table(spark, s"$dir/docs")
+        .select(col("k")).join(broadcast(ids), Seq("k")).count()
+      if (nPresent == nIds) return None // txn landed before the crash
+      require(nPresent == 0L,
+        s"segIngestBatch: $nPresent of $nIds batch doc ids are already " +
+          "in the index but not all of them — a replayed micro-batch is " +
+          "all-or-nothing under the txn, so a partial overlap means two " +
+          "writers or re-used doc ids; refusing to double-count")
+    }
+    Some(segIngest(spark, dir, batch, id, text, width, minDupCount,
+      keepFirst, numBuckets, ts = None, delim,
+      assertNewDocs = false, // the probe above already decided
+      hotN, hotMinCount))
+  }
+
   def segIngest(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, id: Column, text: Column, width: Int = 5,
       minDupCount: Int = 2, keepFirst: Boolean = true,
@@ -1821,6 +1910,22 @@ object Dedup {
     val (rawBase, segArr, joiner) = segSplit(batch, id, text, width, delim)
     val base = graft.util.ParallelScan.widen(rawBase).persist()
     try {
+      val idxDir = s"$dir/segindex"
+      val docsDir = s"$dir/docs"
+      val tl = graft.format.Timeline(
+        spark.sessionState.newHadoopConf(), idxDir)
+      val boot = tl.completedInstants().isEmpty
+      // unit contract: recorded at bootstrap, required to match after —
+      // mixed units in one count index corrupt every later verdict.
+      // Checked BEFORE the eager occ checkpoint so a refused batch does
+      // no distributed work.
+      val contract = Map(
+        IngestUnitKey -> delim.fold(s"token:$width")(d => s"delim:$d"),
+        IngestMinDupKey -> minDupCount.toString,
+        IngestKeepFirstKey -> keepFirst.toString)
+      if (!boot) assertIngestContract(tl, idxDir, contract)
+      if (!boot && assertNewDocs)
+        assertUningested(spark, docsDir, base.select(col("doc_id")))
       // batch-sized; read by the count aggregate AND the keep join
       val occ = base.select(col("doc_id"), posexplode_outer(segArr)
           .as(Seq("pos", "seg")))
@@ -1828,13 +1933,6 @@ object Dedup {
         .localCheckpoint(true)
       val bAgg = occ.groupBy("seg").agg(count(lit(1)).as("bcnt"),
         min(struct(col("doc_id"), col("pos"))).as("bfirst"))
-      val idxDir = s"$dir/segindex"
-      val docsDir = s"$dir/docs"
-      val tl = graft.format.Timeline(
-        spark.sessionState.newHadoopConf(), idxDir)
-      val boot = tl.completedInstants().isEmpty
-      if (!boot && assertNewDocs)
-        assertUningested(spark, docsDir, base.select(col("doc_id")))
       val totals =
         if (boot)
           bAgg.select(col("seg"), col("bcnt").as("cnt"),
@@ -1890,18 +1988,18 @@ object Dedup {
         .withColumn("p", lit("all"))
       if (boot) {
         // docs first, segindex last — the boot gate tests segindex, so a
-        // crash between creates leaves a retryable half, never a wedge
-        def create(df: DataFrame, path: String): Unit = {
-          val wtr = df.write.format("graft")
-            .option("key", "k").option("partition", "p")
-            .option("type", "mor")
-            .option("deltaCounters", "off")
-            .option("buckets", numBuckets.toString)
-            .mode(org.apache.spark.sql.SaveMode.Append)
-          ts.fold(wtr)(x => wtr.option("ts", x)).save(path)
-        }
-        create(docRows, docsDir)
-        create(idxRows, idxDir)
+        // crash between creates leaves a retryable half, never a wedge.
+        // The ingest contract rides the creation commit's extras (the
+        // buckets mechanism), on the index table whose keys it governs.
+        def create(df: DataFrame, path: String,
+            extra: Map[String, String]): Unit =
+          graft.write.FormatWriter.append(spark, path,
+            Map("key" -> "k", "partition" -> "p", "type" -> "mor",
+              "deltaCounters" -> "off",
+              "buckets" -> numBuckets.toString) ++ ts.map("ts" -> _),
+            df, extra)
+        create(docRows, docsDir, Map.empty)
+        create(idxRows, idxDir, contract)
       } else {
         graft.write.MultiTableTxn.commit(spark, Seq(
           graft.write.MultiTableTxn.TableWrite(idxDir,

@@ -1065,18 +1065,84 @@ object Similarity {
       rot)
   }
 
-  /** Top-k against an [[annIndexBuild]] directory: loads the sidecars,
-    * then runs [[ivfPqTopKFromTable]] with the recorded variant's
-    * rotation and rotated dim. Exhaustive probe + full rerank ≡ brute
-    * force for every variant (rerank reads the stored ORIGINAL
-    * vectors). */
+  /** `__cluster=` partition directories under a cell-partitioned root;
+    * empty when the root does not exist (a zero-row ingest batch). */
+  private def listCells(spark: org.apache.spark.sql.SparkSession,
+      root: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("__cluster=") =>
+        n.stripPrefix("__cluster=").toInt
+      }.toSet
+  }
+
+  // ---- .ann generations + ingest ledger --------------------------------
+  //
+  // Layout under an [[annIndexBuild]] directory (all pieces optional
+  // except the build itself):
+  //   data/ centroids/ codebooks/ rotation/ meta/   the build (gen 0)
+  //   batches/<batchId>/                            one ingest batch each
+  //   ledger/<batchId>.json                         the batch's COMMIT
+  //   gen/g<NNNNN>/{<same layout>, COMMITTED}       one rebuild each
+  //
+  // VISIBLE-OR-ABSENT: a batch is served iff its ledger entry exists —
+  // annIngest stages the encoded rows under batches/<batchId>/ first and
+  // creates the ledger file LAST (one atomic create), so a job failure
+  // after partial task commit leaves an unledgered (invisible) batch a
+  // re-run simply overwrites. A rebuild ([[annRebuild]]) is the same
+  // protocol one level up: the new generation directory is fully built
+  // (ingested batches folded into its data/), then its COMMITTED marker
+  // is created last; readers serve the NEWEST committed generation, so a
+  // crashed rebuild leaves the old index serving. Prior ledger entries
+  // are carried into the new generation as FOLDED records (no batch
+  // dir), so a replayed batch id still refuses after a rebuild.
+
+  /** The serving root of an `.ann` directory: the newest COMMITTED
+    * rebuild generation, else the build itself. */
+  private[graft] def annRoot(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val g = new org.apache.hadoop.fs.Path(s"$dir/gen")
+    val fs = g.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(g)) dir
+    else fs.listStatus(g).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "COMMITTED")))
+      .map(_.toString).sorted.lastOption.getOrElse(dir)
+  }
+
+  /** The cell-partitioned data roots a search reads: the serving root's
+    * build data plus every LEDGERED ingest batch (staged-but-uncommitted
+    * batch dirs are invisible — the crash-window contract). */
+  def annDataRoots(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val root = annRoot(spark, dir)
+    val lp = new org.apache.hadoop.fs.Path(s"$root/ledger")
+    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
+    val ledgered =
+      if (!fs.exists(lp)) Seq.empty[String]
+      else fs.listStatus(lp).map(_.getPath.getName)
+        .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
+        .sorted.toSeq
+        .map(b => s"$root/batches/$b")
+        .filter(b => fs.exists(new org.apache.hadoop.fs.Path(b)))
+    s"$root/data" +: ledgered
+  }
+
+  /** Top-k against an [[annIndexBuild]] directory: resolves the serving
+    * generation, loads its sidecars, then probes the build data plus
+    * every ledgered ingest batch with the recorded variant's rotation
+    * and rotated dim. Exhaustive probe + full rerank ≡ brute force for
+    * every variant (rerank reads the stored ORIGINAL vectors). */
   def annTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
-    val idx = annLoad(spark, dir)
-    ivfPqTopKFromTable(spark, s"$dir/data", idx.cents, idx.books, queries,
-      queryId, queryVec, k, dim = idx.rdim, nprobe = nprobe,
-      rerank = rerank, residual = idx.residual, rotation = idx.rot)
+    val root = annRoot(spark, dir)
+    val idx = annLoad(spark, root)
+    ivfPqTopKFromRoots(spark, annDataRoots(spark, dir), idx.cents,
+      idx.books, queries, queryId, queryVec, k, dim = idx.rdim,
+      nprobe = nprobe, rerank = rerank, residual = idx.residual,
+      rotation = idx.rot)
   }
 
   /** INCREMENTAL append into an [[annIndexBuild]] directory — the
@@ -1084,20 +1150,137 @@ object Similarity {
     * rebuilding (FAISS `IndexIVFPQ.add` through the persisted sidecars).
     * The batch is transformed with the STORED rotation (OPQ rotation or
     * PCA projection; identity for plain pq), assigned and PQ-encoded
-    * against the FROZEN centroids and codebooks ([[ivfPqIngest]]), and
-    * appended to its cells' partitions; no sidecar changes, no rewrite
-    * of existing cells, cost ∝ the batch. Exactness contract unchanged:
-    * [[annTopK]] at exhaustive probe + full rerank over the grown index
-    * ≡ brute force over the union (gated `q_ann_ingest_topk`); at
-    * realistic settings a model trained before the batch arrived
-    * quantizes it slightly worse until the next rebuild — the standard
-    * drift trade, priced in RECALL_r*.json. */
+    * against the FROZEN centroids and codebooks, staged under
+    * `batches/<batchId>/`, and COMMITTED by one atomic ledger-file
+    * create — so the batch is visible-or-absent (a failed job leaves no
+    * half-served rows) and a RE-ARRIVING batch id refuses loudly instead
+    * of silently double-serving its vectors (the idempotency guard the
+    * dedup ingest paths enforce by doc id). No sidecar changes, no
+    * rewrite of existing cells, cost ∝ the batch. Returns the row count
+    * actually committed (counted ONCE, from the staged files' footers).
+    * Exactness contract unchanged: [[annTopK]] at exhaustive probe +
+    * full rerank over the grown index ≡ brute force over the union
+    * (gated `q_ann_ingest_topk`); at realistic settings a model trained
+    * before the batch arrived quantizes it slightly worse until the
+    * next [[annRebuild]] — the drift trade priced in RECALL_r*.json. */
   def annIngest(spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch: DataFrame, id: Column, vec: Column): Unit = {
-    val idx = annLoad(spark, dir)
-    ivfPqIngest(batch, id, vec, s"$dir/data", idx.cents, idx.books,
-      dim = idx.rdim, m = idx.books.size, residual = idx.residual,
-      rotation = idx.rot)
+      batch: DataFrame, id: Column, vec: Column,
+      batchId: String): Long = {
+    require(batchId.nonEmpty && batchId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"batchId '$batchId' must be a filename-safe token " +
+        "([A-Za-z0-9._-]+) — it names the batch's ledger entry")
+    val root = annRoot(spark, dir)
+    val ledgerFile =
+      new org.apache.hadoop.fs.Path(s"$root/ledger/$batchId.json")
+    val fs = ledgerFile.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(ledgerFile),
+      s"ann ingest batch '$batchId' was already committed into $dir — " +
+        "a replayed batch would serve its vectors twice; use a new " +
+        "batch id (or annRebuild to fold and retrain)")
+    val idx = annLoad(spark, root)
+    val stage = s"$root/batches/$batchId"
+    // overwrite clobbers the remains of a crashed earlier attempt of the
+    // SAME id — unledgered, so it was never visible
+    encodeAgainst(batch, id, vec, idx)
+      .write.mode("overwrite").partitionBy("__cluster").parquet(stage)
+    // count once, from the staged parquet footers (metadata-only)
+    val n =
+      if (listCells(spark, stage).isEmpty) 0L
+      else spark.read.parquet(stage).count()
+    val out = fs.create(ledgerFile, false) // atomic create IS the commit
+    try out.write(
+      s"""{"batch_id":"$batchId","n_rows":$n,"folded":false}\n"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    n
+  }
+
+  /** Assign + encode a raw batch against a loaded index's frozen
+    * rotation/centroids/codebooks — the stored row shape. */
+  private def encodeAgainst(batch: DataFrame, id: Column, vec: Column,
+      idx: AnnIndex): DataFrame = {
+    val centsF: Seq[Seq[Float]] = idx.cents.sortBy(_._1).map(_._2)
+    val base = batch.select(id.cast("long").as("corpus_id"), vec.as("cv"))
+      .withColumn("v",
+        idx.rot.fold(col("cv"))(r => toFloats(rotateCol(col("cv"), r))))
+    val assigned = assignToCentroid(base, idx.cents)
+    val encIn = assigned.withColumn("enc",
+      if (idx.residual)
+        zip_with(col("v"),
+          element_at(typedLit(centsF), col("__cluster") + 1),
+          (a, b) => a - b)
+      else col("v"))
+    pqEncodeFrame(encIn, idx.books, idx.rdim, idx.books.size)
+  }
+
+  /** RETRAIN an [[annIndexBuild]] directory over its GROWN corpus — the
+    * drift-recovery verb: [[annIngest]] serves new vectors through
+    * centroids/codebooks trained before they arrived (recall drifts, the
+    * RECALL_r*.json `ann_ingest_grown` row prices it); annRebuild reads
+    * every stored ORIGINAL vector (build data + all ledgered batches —
+    * the source table is NOT needed), re-trains the same variant at the
+    * same shape, and writes a NEW generation under `gen/`, committed by
+    * one atomic marker create. Readers atomically switch to the new
+    * generation; a crashed rebuild leaves the old one serving; prior
+    * batch ids stay refused (folded ledger records). Policy knob:
+    * rebuild when the ingested fraction of the corpus is large enough
+    * that the measured drift matters — e.g. > 10–30% ingested since the
+    * last (re)build.
+    *
+    * Training knobs not recorded in the sidecars (`iters`, `seed`,
+    * `trainFraction`, `opqIters`) are arguments; the structural shape
+    * (variant, nlist, m, ksub, rank, residual, original dim) is
+    * recovered from the serving generation itself. Returns the new
+    * generation's path. */
+  def annRebuild(spark: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int = 2, seed: Long = 42L, trainFraction: Double = 1.0,
+      opqIters: Int = 3): String = {
+    val root = annRoot(spark, dir)
+    val idx = annLoad(spark, root)
+    val roots = annDataRoots(spark, dir)
+      .filter(r => listCells(spark, r).nonEmpty)
+    val corpus = roots.map(r => spark.read.parquet(r)
+        .select(col("corpus_id"), col("cv")))
+      .reduce(_ unionByName _)
+    // structural shape recovered from the serving generation: original
+    // dim from a stored vector, nlist/m/ksub from the sidecars
+    val origDim = corpus.select(size(col("cv"))).head().getInt(0)
+    val nlist = idx.cents.size
+    val m = idx.books.size
+    val ksub = idx.books.head.size
+    val gp = new org.apache.hadoop.fs.Path(s"$dir/gen")
+    val fs = gp.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing =
+      if (!fs.exists(gp)) Seq.empty[String]
+      else fs.listStatus(gp).map(_.getPath.getName).sorted.toSeq
+    val next = existing.lastOption
+      .map(_.stripPrefix("g").toInt + 1).getOrElse(1)
+    val newGen = f"$dir/gen/g$next%05d"
+    annIndexBuild(corpus, col("corpus_id"), col("cv"), newGen,
+      dim = origDim, nlist = nlist, m = m, ksub = ksub, iters = iters,
+      seed = seed, residual = idx.residual,
+      trainFraction = trainFraction, variant = idx.variant,
+      rank = if (idx.variant == "pca") idx.rdim else 0,
+      opqIters = opqIters): Unit
+    // carry prior batch ids as FOLDED ledger records (no batch dir): a
+    // replayed id refuses after the rebuild too — its rows are in data/
+    val oldLedger = new org.apache.hadoop.fs.Path(s"$root/ledger")
+    if (fs.exists(oldLedger))
+      fs.listStatus(oldLedger).map(_.getPath.getName)
+        .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
+        .foreach { b =>
+          val o = fs.create(new org.apache.hadoop.fs.Path(
+            s"$newGen/ledger/$b.json"), false)
+          try o.write(
+            s"""{"batch_id":"$b","n_rows":-1,"folded":true}\n"""
+              .getBytes("UTF-8"))
+          finally o.close()
+        }
+    // one atomic create commits the generation
+    fs.create(new org.apache.hadoop.fs.Path(newGen, "COMMITTED"), false)
+      .close()
+    newGen
   }
 
   /** Encode an assigned-and-residualized frame against FIXED codebooks:
@@ -1163,6 +1346,21 @@ object Similarity {
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, dim: Int, nprobe: Int = 2, rerank: Int = 50,
       residual: Boolean = true,
+      rotation: Option[Seq[Seq[Double]]] = None): DataFrame =
+    ivfPqTopKFromRoots(spark, Seq(path), centroids, books, queries,
+      queryId, queryVec, k, dim, nprobe, rerank, residual, rotation)
+
+  /** [[ivfPqTopKFromTable]] over SEVERAL cell-partitioned roots — the
+    * grown-index read shape: the build's `data/` plus every LEDGERED
+    * ingest batch directory ([[annIngest]]). Each root contributes its
+    * probed cells' files; roots missing a cell (a small batch that hit
+    * few cells) simply contribute nothing there. */
+  private def ivfPqTopKFromRoots(spark: org.apache.spark.sql.SparkSession,
+      roots: Seq[String], centroids: Seq[(Int, Seq[Float])],
+      books: PqCodebooks,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, dim: Int, nprobe: Int = 2, rerank: Int = 50,
+      residual: Boolean = true,
       rotation: Option[Seq[Seq[Double]]] = None): DataFrame = {
     // residual decomposition: ⟨q, x̂⟩ = ⟨q, c_cell⟩ + ⟨q, r̂⟩ — the first
     // term is one dot per (query, probed cell) against the centroid
@@ -1187,13 +1385,11 @@ object Similarity {
             (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
         else lit(0.0d))
       .drop("__rqv")
-    val tableDir = new org.apache.hadoop.fs.Path(path)
-    val existing = tableDir.getFileSystem(
-        spark.sessionState.newHadoopConf())
-      .listStatus(tableDir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("__cluster=") =>
-        n.stripPrefix("__cluster=").toInt
-      }.toSet
+    // per-root cell inventory (driver-resolved static path lists); a
+    // root missing a probed cell simply contributes nothing there
+    val byRoot: Seq[(String, Set[Int])] =
+      roots.map(r => r -> listCells(spark, r))
+    val existing = byRoot.iterator.flatMap(_._2).toSet
     val cells = qd.select("__cluster").distinct()
       .collect().map(_.getInt(0)).toSeq.filter(existing)
     if (cells.isEmpty)
@@ -1208,8 +1404,12 @@ object Similarity {
             org.apache.spark.sql.types.IntegerType, nullable = false),
           org.apache.spark.sql.types.StructField("cosine_micro",
             org.apache.spark.sql.types.LongType))))
-    def cellScan() = spark.read.option("basePath", path)
-      .parquet(cells.map(c => s"$path/__cluster=$c"): _*)
+    def cellScan() = byRoot.flatMap { case (r, ex) =>
+        val cs = cells.filter(ex)
+        if (cs.isEmpty) None
+        else Some(spark.read.option("basePath", r)
+          .parquet(cs.map(c => s"$r/__cluster=$c"): _*))
+      }.reduce(_ unionByName _)
     // phase 1: compressed-domain scoring — vectors never enter this plan
     val adc = cellScan().select("corpus_id", "codes", "vnorm", "__cluster")
       .join(broadcast(qd), Seq("__cluster"))
@@ -1276,30 +1476,86 @@ object Similarity {
     * oracle gate; realistic nprobe is recall-measured (RECALL_r12).
     *
     * Skew belt: a hot cell (near-duplicate pile-ups collapse many rows
-    * onto one centroid) makes that cell's task quadratic. `cellSplits` > 1
-    * splits each cell's CORPUS rows into that many sub-tasks by id hash
-    * and replicates each query row to every split of its probed cells —
-    * the standard replicated skew join: per-task pairs shrink ×splits at
-    * the cost of ×splits query-row duplication (queries are the narrow
-    * side). Result-identical for any value (spec-pinned). */
+    * onto one centroid — real embedding corpora have hub clusters) makes
+    * that cell's task quadratic. Splits are PER CELL, derived from the
+    * cell occupancy counts measured at assignment ([[cellSplitsOf]]):
+    * cell c's CORPUS rows split into max(`cellSplits`,
+    * ⌈|c| / targetCellRows⌉) sub-tasks by id hash, and each query row
+    * replicates only over ITS probed cells' actual splits — the
+    * replicated skew join, sized by the data instead of a hand-tuned
+    * knob. `cellSplits` remains the uniform floor (1 = none);
+    * `targetCellRows <= 0` disables the auto derivation. Result-identical
+    * for any setting (spec-pinned); the SOAK `knn_join_skew` twin pins
+    * the hub-cell task bound in both directions. */
+  /** Auto cell-split default: at 100 TB a hub cell concentrates
+    * |cell_corpus| × |cell_queries| pair work in one task; 2M build-side
+    * rows per sub-task keeps the quadratic term bounded while staying
+    * far above any local/test cell size (so small-scale plans are
+    * byte-identical to the unsplit ones). */
+  val DefaultTargetCellRows: Long = 2L << 20
+
+  /** Occupancy-derived per-cell split counts (r16, the hot-key-armor
+    * pattern applied to the ANN join): count the corpus side per cell —
+    * EXACTLY below the sampling cutoff (tests/soaks engage
+    * deterministically), by a ~1% deterministic id-hash sample above it
+    * (splits shape load balance only, never results, so sampling noise
+    * is safe; a cell needing ≥ 2 splits has ≥ targetCellRows ≥ 100k rows
+    * ≈ ≥ 1k sampled rows, ±3%) — and split cell c into
+    * ⌈|c| / target⌉ sub-cells, floored by the manual `cellSplits`.
+    * Returns empty when auto is off or NO cell exceeds the floor — the
+    * caller then plans the exact pre-r16 uniform shape. */
+  private val CellSampleMod = 100L
+  private def cellSplitsOf(base: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], cellSplits: Int,
+      target: Long): Map[Int, Int] = {
+    if (target <= 0) return Map.empty
+    val (src, scale) =
+      if (target < CellSampleMod * 1000)
+        (base, 1L)
+      else
+        (base.filter(
+          pmod(xxhash64(col("id")), lit(CellSampleMod)) === 0),
+          CellSampleMod)
+    val occ = assignToCentroid(src, centroids)
+      .groupBy("__cluster").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1) * scale).toMap
+    val m = occ.map { case (c, n) =>
+      c -> math.max(cellSplits,
+        ((n + target - 1) / target).toInt)
+    }
+    if (m.values.forall(_ == cellSplits)) Map.empty else m
+  }
+
+  /** The split count of a row's `__cluster` as a literal-map lookup;
+    * cells absent from the (sampled) occupancy map fall back to the
+    * uniform floor. */
+  private def splitsCol(splits: Map[Int, Int], cellSplits: Int): Column =
+    if (splits.isEmpty) lit(cellSplits)
+    else coalesce(element_at(typedLit(splits), col("__cluster")),
+      lit(cellSplits))
+
   def knnJoin(ds: DataFrame, id: Column, vec: Column, k: Int,
       nlist: Int, nprobe: Int, iters: Int = 2, seed: Long = 42L,
-      trainFraction: Double = 1.0, cellSplits: Int = 1): DataFrame = {
+      trainFraction: Double = 1.0, cellSplits: Int = 1,
+      targetCellRows: Long = DefaultTargetCellRows): DataFrame = {
     require(cellSplits >= 1, s"cellSplits must be >= 1 (got $cellSplits)")
     val base = ds.select(id.cast("long").as("id"), vec.as("v"))
     val centroids = ivfTrain(base, col("id"), col("v"), nlist, iters, seed,
       trainFraction)
     val probeN = math.min(nprobe, centroids.size)
+    val splits = cellSplitsOf(base, centroids, cellSplits, targetCellRows)
     val corpus = assignToCentroid(
         graft.util.ParallelScan.widen(base), centroids)
       .select(col("__cluster"),
-        pmod(xxhash64(col("id")), lit(cellSplits)).cast("int").as("__s"),
+        pmod(xxhash64(col("id")), splitsCol(splits, cellSplits))
+          .cast("int").as("__s"),
         col("id").as("corpus_id"), col("v").as("cv"))
     val probes = graft.util.ParallelScan.widen(base)
       .withColumn("__cluster",
         explode(probeClusters(centroids, probeN)(col("v"))))
       .withColumn("__s",
-        explode(sequence(lit(0), lit(cellSplits - 1))))
+        explode(sequence(lit(0),
+          (splitsCol(splits, cellSplits) - 1).cast("int"))))
       .select(col("__cluster"), col("__s"),
         col("id").as("query_id"), col("v").as("qv"))
     // SHUFFLE_HASH pinned: the planner would otherwise sometimes broadcast
@@ -1374,8 +1630,9 @@ object Similarity {
     * realistic (nprobe, rerank) recall is measured in RECALL_r13. With
     * rerank = 0, `cosine_micro` is the SDC ESTIMATE of the cosine
     * (approximate values, approximate ranking — candidates only).
-    * `cellSplits` is the same replicated skew belt as [[knnJoin]]
-    * (result-identical for any value).
+    * `cellSplits`/`targetCellRows` are the same occupancy-derived
+    * replicated skew belt as [[knnJoin]] (result-identical for any
+    * setting).
     *
     * `opqIters` > 0 composes the OPQ rotation ([[opqTrain]], Ge et al.):
     * codebooks, codes and the SDC table live in ROTATED space while the
@@ -1389,7 +1646,8 @@ object Similarity {
       nlist: Int, nprobe: Int, dim: Int, m: Int = 8, ksub: Int = 256,
       iters: Int = 2, seed: Long = 42L, trainFraction: Double = 1.0,
       rerank: Int = 50, cellSplits: Int = 1,
-      opqIters: Int = 0): DataFrame = {
+      opqIters: Int = 0,
+      targetCellRows: Long = DefaultTargetCellRows): DataFrame = {
     require(cellSplits >= 1, s"cellSplits must be >= 1 (got $cellSplits)")
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val dsub = dim / m
@@ -1440,14 +1698,20 @@ object Similarity {
       .drop("rv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // occupancy-derived per-cell splits (shared with [[knnJoin]]) —
+      // the hub-cell belt, sized by the data
+      val splits = cellSplitsOf(base, centroids, cellSplits,
+        targetCellRows)
       val corpus = coded.select(col("__cluster"),
-        pmod(xxhash64(col("id")), lit(cellSplits)).cast("int").as("__s"),
+        pmod(xxhash64(col("id")), splitsCol(splits, cellSplits))
+          .cast("int").as("__s"),
         col("id").as("corpus_id"), col("codes").as("ccodes"),
         col("vnorm").as("cnorm"))
       val probes = coded
         .withColumn("__cluster",
           explode(probeClusters(centroids, probeN)(col("v"))))
-        .withColumn("__s", explode(sequence(lit(0), lit(cellSplits - 1))))
+        .withColumn("__s", explode(sequence(lit(0),
+          (splitsCol(splits, cellSplits) - 1).cast("int"))))
         .select(col("__cluster"), col("__s"), col("id").as("query_id"),
           col("vnorm").as("qnorm"), col("codes").as("qcodes"))
       // native gather kernel — the HOF form (aggregate + zip_with over a

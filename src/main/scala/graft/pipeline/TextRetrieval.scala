@@ -530,30 +530,28 @@ object TextRetrieval {
     * `q_sim_topk`-established cosine rank parity), so the fused score is
     * oracle-exact. A doc absent from a channel contributes 0 from it.
     *
-    * The lexical rank is computed by a bounded triangle join over the
-    * ≤ `poolK`-row pool (1 + strictly-ahead count ≡ row_number with the
-    * doc_id tie-break) — no single-partition WindowExec anywhere on the
-    * serving path. At scale the vector pool swaps brute force for the
-    * IVF/PQ serving paths unchanged (any (doc_id, rank) frame fuses). */
+    * The lexical pool is ≤ `poolK` rows BY CONSTRUCTION (exactTopK's
+    * limit), so its ranks are computed on the driver — one collect of
+    * the pool, ranks assigned locally, re-entering the plan as a literal
+    * frame. One index-probe evaluation total, no single-partition
+    * WindowExec, no self-join re-running the probe on the broadcast
+    * side. At scale the vector pool swaps brute force for the IVF/PQ
+    * serving paths unchanged (any (doc_id, rank) frame fuses). */
   def hybridRrfTopK(spark: SparkSession, dir: String, terms: Seq[String],
       emb: DataFrame, embId: Column, embVec: Column, queryVecId: Long,
       k: Int, poolK: Int = 50, rrfK: Int = 60,
       termBuckets: Int = 16): DataFrame = {
-    // rank = 1 + count of strictly-ahead pool rows, via a bounded
-    // triangle join over the ≤ poolK-row pool — identical to
-    // row_number() over (score DESC, doc_id ASC) since doc_id breaks
-    // ties totally, without the single-partition WindowExec
+    // rank = row_number over (score DESC, doc_id ASC) — doc_id breaks
+    // ties totally, so the driver-side sort is the same total order
     val pool = exactTopK(spark, dir, terms, poolK, termBuckets)
       .select(col("doc_id"), col("score"))
-    val lex = pool.as("a")
-      .join(broadcast(pool.select(col("doc_id").as("__bd"),
-          col("score").as("__bs"))),
-        col("__bs") > col("score") ||
-          (col("__bs") === col("score") && col("__bd") < col("doc_id")),
-        "left")
-      .groupBy(col("doc_id"))
-      .agg((count(col("__bd")) + lit(1L)).as("lex_rank"))
-      .select(col("doc_id"), col("lex_rank"))
+      .collect() // ≤ poolK rows — the operator's own result contract
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (d, s) => (-s, d) }
+    import spark.implicits._
+    val lex = pool.zipWithIndex
+      .map { case ((d, _), i) => (d, i + 1L) }.toSeq
+      .toDF("doc_id", "lex_rank")
     val vec = Similarity.bruteForceTopK(emb, embId, embVec,
         emb.filter(embId === queryVecId), embId, embVec, poolK)
       .select(col("corpus_id").as("doc_id"),

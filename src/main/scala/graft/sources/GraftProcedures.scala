@@ -752,26 +752,54 @@ private[sources] object GraftProcedures {
         "incrementally append rows into the table's .ann index: the " +
           "batch a predicate selects is transformed with the persisted " +
           "rotation (opq | pca; identity for pq), PQ-encoded against " +
-          "the frozen centroids/codebooks and appended to its cells — " +
-          "no retrain, no rebuild, cost tracks the batch; ann_search " +
-          "over the grown index serves every added row",
+          "the frozen centroids/codebooks, staged under its batch_id " +
+          "and committed by one atomic ledger append — visible-or-" +
+          "absent, and a replayed batch_id refuses instead of serving " +
+          "its vectors twice. No retrain, cost tracks the batch; " +
+          "ann_search over the grown index serves every added row",
         Seq(tableParam,
           in("id_col", StringType, "BIGINT row id column"),
           in("vec_col", StringType, "ARRAY<FLOAT> embedding column"),
           in("batch_predicate", StringType,
             "SQL boolean expression selecting the NEW rows to add, " +
               "e.g. \"vec_id >= 4000\" — rows already indexed must not " +
-              "re-match (the index appends blindly; a re-added id would " +
-              "serve twice)")),
+              "re-match (a re-added id would serve twice; the ledger " +
+              "guards the BATCH id, not row ids)"),
+          in("batch_id", StringType,
+            "caller-chosen idempotency token ([A-Za-z0-9._-]+) naming " +
+              "this batch's ledger entry; re-CALLing with the same id " +
+              "refuses")),
         out("n_ingested" -> LongType, "index_path" -> StringType)) {
         (cat, r) =>
         val path = cat.resolveTablePath(str(r, 0))
         val fx = org.apache.spark.sql.functions
         val batch = graft.read.SnapshotReader.read(spark, path)
           .filter(fx.expr(str(r, 3)))
-        graft.pipeline.Similarity.annIngest(spark, s"$path/.ann", batch,
-          fx.col(str(r, 1)), fx.col(str(r, 2)))
-        Seq(row(Long.box(batch.count()), s"$path/.ann"))
+        val n = graft.pipeline.Similarity.annIngest(spark, s"$path/.ann",
+          batch, fx.col(str(r, 1)), fx.col(str(r, 2)),
+          batchId = str(r, 4))
+        Seq(row(Long.box(n), s"$path/.ann"))
+      },
+
+      proc("ann_rebuild",
+        "retrain the table's .ann index over its GROWN corpus (build " +
+          "data + every ledgered ingest batch, read from the index " +
+          "itself — the source table is not needed): same variant and " +
+          "shape, fresh centroids/codebooks/rotation, written as a new " +
+          "generation and committed by one atomic marker — readers " +
+          "switch atomically, a crashed rebuild leaves the old index " +
+          "serving, and prior batch ids stay refused. Run it when the " +
+          "ingested-since-build fraction is large enough that the " +
+          "measured recall drift matters (RECALL prices it)",
+        Seq(tableParam,
+          in("train_fraction", DoubleType,
+            "hash-sample fraction for centroid/codebook retraining",
+            default = Some("1.0"))),
+        out("generation_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val gen = graft.pipeline.Similarity.annRebuild(spark,
+          s"$path/.ann", trainFraction = r.getDouble(1))
+        Seq(row(gen))
       },
 
       proc("quality_model",
@@ -799,6 +827,19 @@ private[sources] object GraftProcedures {
           "out_path" -> StringType)) { (cat, r) =>
         val path = cat.resolveTablePath(str(r, 0))
         val outDir = s"$path/.quality_model/scores"
+        // r14 wrote scores DIRECTLY under .quality_model/; the r15 layout
+        // split (scores/ + model/) overwrites only the subdirs, so a
+        // table that ran the old procedure keeps its stale top-level
+        // parquet files — a mixed directory that breaks direct readers
+        // of the old path. Clear legacy FILES (never the subdirs) before
+        // writing, per the FORMAT.md migration note.
+        locally {
+          val mdlDir = new org.apache.hadoop.fs.Path(s"$path/.quality_model")
+          val fs = mdlDir.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(mdlDir))
+            fs.listStatus(mdlDir).filter(_.isFile)
+              .foreach(f => fs.delete(f.getPath, false))
+        }
         val docs = graft.read.SnapshotReader.read(spark, path)
         val fx = org.apache.spark.sql.functions
         val featSql = str(r, 2).split(";").map(_.trim).toSeq

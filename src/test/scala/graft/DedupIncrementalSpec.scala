@@ -283,6 +283,44 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(e2.getMessage.contains("already ingested"))
   }
 
+  test("the ingest contract is recorded at bootstrap and a drifting " +
+      "unit parameter refuses loudly (r16)") {
+    // seg: width drift, delim drift, minDupCount drift — each refuses
+    // naming both values; a matching batch continues to flow
+    val dir = freshDir("seg_inc_contract")
+    Dedup.segIngest(spark, dir, docs((1L, "c1 c2 c3 c4 c5")),
+      $"doc_id", $"text", width = 5, ts = Some(C1)): Unit
+    val eW = intercept[IllegalArgumentException](
+      Dedup.segIngest(spark, dir, docs((2L, "c6 c7 c8")),
+        $"doc_id", $"text", width = 3))
+    assert(eW.getMessage.contains("token:3") &&
+      eW.getMessage.contains("token:5"), eW.getMessage)
+    val eD = intercept[IllegalArgumentException](
+      Dedup.segIngest(spark, dir, docs((2L, "c6\nc7")),
+        $"doc_id", $"text", delim = Some("\n")))
+    assert(eD.getMessage.contains("delim:") &&
+      eD.getMessage.contains("token:5"), eD.getMessage)
+    val eM = intercept[IllegalArgumentException](
+      Dedup.segIngest(spark, dir, docs((2L, "c6 c7 c8 c9 c10")),
+        $"doc_id", $"text", width = 5, minDupCount = 3))
+    assert(eM.getMessage.contains("minDupCount"), eM.getMessage)
+    // matching parameters continue the flow after the refusals
+    Dedup.segIngest(spark, dir, docs((2L, "d1 d2 d3 d4 d5")),
+      $"doc_id", $"text", width = 5): Unit
+    // substr: window-width drift refuses, matching batch flows
+    val sdir = freshDir("sub_inc_contract")
+    Dedup.substrIngest(spark, sdir, docs((1L, "w1 w2 w3 w4 w5 w6 w7 w8")),
+      $"doc_id", $"text", w = 8, ts = Some(C1)): Unit
+    val eS = intercept[IllegalArgumentException](
+      Dedup.substrIngest(spark, sdir, docs((2L, "w9 w10 w11 w12")),
+        $"doc_id", $"text", w = 4))
+    assert(eS.getMessage.contains("window:4") &&
+      eS.getMessage.contains("window:8"), eS.getMessage)
+    Dedup.substrIngest(spark, sdir,
+      docs((2L, "x1 x2 x3 x4 x5 x6 x7 x8")), $"doc_id", $"text",
+      w = 8): Unit
+  }
+
   test("segIngest: a brand-new segment duplicated WITHIN one batch keeps " +
       "the batch's min (doc_id, pos) occurrence") {
     val dir = freshDir("seg_inc_batchfirst")

@@ -697,6 +697,12 @@ class PipelineSpec extends SparkSpec {
         k = 3, nlist = 4, nprobe = 4, cellSplits = 3)
       .select("query_id", "corpus_id", "rank")
     assert(split.exceptAll(got).isEmpty && got.exceptAll(split).isEmpty)
+    // r16 auto mode: a tiny targetCellRows forces occupancy-derived
+    // per-cell splits (every cell over the target) — result-identical
+    val auto = Similarity.knnJoin(embs, $"vec_id", $"embedding",
+        k = 3, nlist = 4, nprobe = 4, targetCellRows = 10)
+      .select("query_id", "corpus_id", "rank")
+    assert(auto.exceptAll(got).isEmpty && got.exceptAll(auto).isEmpty)
   }
 
   test("knnJoinPq: exhaustive probe + full rerank == knnJoin exact; " +
@@ -713,6 +719,12 @@ class PipelineSpec extends SparkSpec {
         cellSplits = 3)
       .select("query_id", "corpus_id", "rank")
     assert(split.exceptAll(pq).isEmpty && pq.exceptAll(split).isEmpty)
+    // r16 auto mode: occupancy-derived per-cell splits, result-identical
+    val auto = Similarity.knnJoinPq(embs, $"vec_id", $"embedding",
+        k = 3, nlist = 4, nprobe = 4, dim = 64, rerank = 1 << 30,
+        targetCellRows = 10)
+      .select("query_id", "corpus_id", "rank")
+    assert(auto.exceptAll(pq).isEmpty && pq.exceptAll(auto).isEmpty)
     // OPQ-composed: rotation preserves inner products, so at exhaustive
     // settings rotated ≡ plain ≡ exact regardless of code quality
     val opq = Similarity.knnJoinPq(embs, $"vec_id", $"embedding",
@@ -773,6 +785,26 @@ class PipelineSpec extends SparkSpec {
       (2L, 4L, 800L),
       (3L, 0L, 0L),
       (4L, 0L, 0L)))
+  }
+
+  test("gopherKeep: the dup-coverage family discriminates on its own — " +
+      "a self-concatenated doc passes every top-gram threshold and is " +
+      "dropped by dup coverage (r16)") {
+    // 30 distinct tokens: top-n fraction n·1000/30 ≤ 133 passes all top
+    // thresholds; self-concatenation doubles counts AND tokens (fraction
+    // unchanged) while duplicating every n-gram → dup coverage ~1000‰
+    val clean = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, s"$clean $clean"), (2L, clean))
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.gopherKeep(docs, $"doc_id", $"text")
+      .as[Long].collect().toSet
+    assert(kept == Set(2L), s"kept $kept")
+    // the top-gram family ALONE (dup thresholds unreachable) keeps both:
+    // the drop above is the dup family's — strictly fewer docs kept
+    val topOnly = TextAnalysis.gopherKeep(docs, $"doc_id", $"text",
+        dupThresholds = Seq(5 -> 1000))
+      .as[Long].collect().toSet
+    assert(topOnly == Set(1L, 2L), s"topOnly $topOnly")
   }
 
   test("bigramCoverage: full / zero / single-token docs score " +

@@ -467,7 +467,7 @@ class ProcedureSpec extends SparkSpec {
     val ing = spark.sql(s"CALL $cat.system.ann_ingest(" +
       "table => 'ns.embs_grow', id_col => 'vec_id', " +
       "vec_col => 'embedding', " +
-      "batch_predicate => 'vec_id % 3 = 2')").head()
+      "batch_predicate => 'vec_id % 3 = 2', batch_id => 'b1')").head()
     assert(ing.getLong(0) == added)
     // exhaustive probe + full rerank over the GROWN index == brute force
     // over the union — ingest placed every vector and lost none
@@ -484,6 +484,58 @@ class ProcedureSpec extends SparkSpec {
       .select(col("query_id"), col("corpus_id"), col("rank")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == brute)
+
+    // r16 idempotency: a replayed batch id refuses instead of serving
+    // its vectors twice
+    val e = intercept[Exception](spark.sql(s"CALL $cat.system.ann_ingest(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "vec_col => 'embedding', " +
+      "batch_predicate => 'vec_id % 3 = 2', batch_id => 'b1')").collect())
+    assert(e.getMessage.contains("already committed"), e.getMessage)
+
+    // r16 crash window: a STAGED-but-unledgered batch dir (a job that
+    // died after partial task commit) is invisible to search, and a
+    // re-run of the same batch id clobbers it and commits cleanly
+    val annDir = s"$wh/ns/embs_grow/.ann"
+    val staged = new org.apache.hadoop.fs.Path(s"$annDir/batches/b2")
+    val fs = staged.getFileSystem(spark.sessionState.newHadoopConf())
+    // fake a partial stage: copy one committed cell dir without a ledger
+    embs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("corpus_id"),
+        org.apache.spark.sql.functions.array().cast("array<int>")
+          .as("codes"),
+        org.apache.spark.sql.functions.lit(0.0d).as("vnorm"),
+        col("embedding").as("cv"),
+        org.apache.spark.sql.functions.lit(0).as("__cluster"))
+      .write.partitionBy("__cluster").parquet(staged.toString)
+    assert(fs.exists(staged))
+    val before = spark.sql(s"CALL $cat.system.ann_search(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "vec_col => 'embedding', " +
+      "query_predicate => 'vec_id < 10', k => 5, nprobe => 4, " +
+      "rerank => 1000000)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(before == brute,
+      "an unledgered staged batch leaked into the search")
+
+    // r16 rebuild: retrain over the grown corpus from the index's own
+    // stored vectors; exhaustive search over the new generation still
+    // equals brute force, and prior batch ids stay refused
+    val gen = spark.sql(s"CALL $cat.system.ann_rebuild(" +
+      "table => 'ns.embs_grow')").head().getString(0)
+    assert(gen.contains("/gen/g00001"), gen)
+    val afterRebuild = spark.sql(s"CALL $cat.system.ann_search(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "vec_col => 'embedding', " +
+      "query_predicate => 'vec_id < 10', k => 5, nprobe => 4, " +
+      "rerank => 1000000)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(afterRebuild == brute)
+    val e2 = intercept[Exception](spark.sql(s"CALL $cat.system.ann_ingest(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "vec_col => 'embedding', " +
+      "batch_predicate => 'vec_id % 3 = 2', batch_id => 'b1')").collect())
+    assert(e2.getMessage.contains("already committed"), e2.getMessage)
   }
 
   test("ann_search refuses a corpus-sized query predicate") {

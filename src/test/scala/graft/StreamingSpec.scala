@@ -2,7 +2,7 @@ package graft
 
 import graft.streaming.TableTail
 import graft.write.CowWriter
-import org.apache.spark.sql.functions.{col, countDistinct, window}
+import org.apache.spark.sql.functions.{col, countDistinct, lit, window}
 
 /** Micro-batch tail over the versioned table's commit timeline. */
 class TableTailSpec extends SparkSpec {
@@ -196,6 +196,84 @@ class TableTailSpec extends SparkSpec {
     assert(afterThird.toSeq ==
       orders.select("o_orderkey").as[Long].collect().sorted.toSeq,
       "second run must deliver exactly commit C3's rows")
+  }
+
+  test("streaming segment dedup: a graft doc-table stream drives " +
+      "segIngestBatch per micro-batch with exactly-once across a " +
+      "mid-stream restart (r16)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.pipeline.Dedup
+    val srcDir = freshDir("seg_stream_src")
+    val idxDir = freshDir("seg_stream_idx")
+    val refDir = freshDir("seg_stream_ref")
+    val ckpt = freshDir("seg_stream_ckpt")
+    val span = "sb1 sb2 sb3 sb4 sb5"
+    def docRows(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text").withColumn("pt", lit("all"))
+    val w = new CowWriter(spark, srcDir, numBuckets = 2)
+    // arrival order matters: doc 1 carries the boilerplate first, doc 3
+    // (a later commit) repeats it — the streaming index must drop doc
+    // 3's copy, exactly like sequential segIngest
+    w.insert(docRows(1L -> s"$span a1 a2 a3 a4 a5", 2L -> "b1 b2 b3 b4 b5"),
+      col("doc_id"), col("pt"), Fixtures.C1)
+    w.upsert(docRows(3L -> s"c1 c2 c3 c4 c5 $span", 4L -> "d1 d2 d3 d4 d5"),
+      col("doc_id"), col("pt"), Fixtures.C2)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxCommitsPerBatch", "1").load(srcDir)
+        .select($"doc_id", $"text")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Dedup.segIngestBatch(spark, idxDir, b,
+            col("doc_id"), col("text"), width = 5): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    runOnce()
+    // reference: the same two batches ingested sequentially
+    Dedup.segIngest(spark, refDir,
+      docRows(1L -> s"$span a1 a2 a3 a4 a5", 2L -> "b1 b2 b3 b4 b5"),
+      $"doc_id", $"text", width = 5, ts = Some(Fixtures.C1)): Unit
+    Dedup.segIngest(spark, refDir,
+      docRows(3L -> s"c1 c2 c3 c4 c5 $span", 4L -> "d1 d2 d3 d4 d5"),
+      $"doc_id", $"text", width = 5): Unit
+    def docsOf(d: String) = read.SnapshotReader.read(spark, s"$d/docs")
+      .select($"doc_id".cast("long"), $"text_dedup", $"segs_removed")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(docsOf(idxDir) == docsOf(refDir) && docsOf(idxDir).size == 4)
+    assert(docsOf(idxDir).find(_._1 == 3L).get._3 == 1L,
+      "doc 3's copy of the historical segment must drop")
+
+    // restart mid-stream: a THIRD commit arrives after the first drain;
+    // the offset log resumes exactly after C2 and doc 5's copy of the
+    // (now twice-seen) segment drops against the maintained counts
+    w.upsert(docRows(5L -> s"$span e1 e2 e3 e4 e5"),
+      col("doc_id"), col("pt"), Fixtures.C3)
+    runOnce()
+    val d5 = read.SnapshotReader.read(spark, s"$idxDir/docs")
+      .filter($"k" === "5").select($"text_dedup").as[String].head()
+    assert(d5 == "e1 e2 e3 e4 e5", s"doc 5 kept '$d5'")
+
+    // engine replay simulation: after a crash between the txn commit and
+    // the checkpoint write, the engine re-runs the SAME micro-batch —
+    // segIngestBatch must detect the fully-landed batch and skip
+    val replay = Dedup.segIngestBatch(spark, idxDir,
+      docRows(5L -> s"$span e1 e2 e3 e4 e5"),
+      col("doc_id"), col("text"), width = 5)
+    assert(replay.isEmpty, "a fully-landed replay must skip")
+    val cnt = read.SnapshotReader.read(spark, s"$idxDir/segindex")
+      .filter($"seg" === span).select($"cnt").as[Long].head()
+    assert(cnt == 3L, s"replay must not double-count (cnt=$cnt)")
+    // a PARTIAL overlap (one settled id + one fresh) is two writers or
+    // id re-use — refused
+    val e = intercept[IllegalArgumentException](
+      Dedup.segIngestBatch(spark, idxDir,
+        docRows(5L -> "x1 x2 x3 x4 x5", 6L -> "y1 y2 y3 y4 y5"),
+        col("doc_id"), col("text"), width = 5))
+    assert(e.getMessage.contains("partial overlap") ||
+      e.getMessage.contains("not all"), e.getMessage)
   }
 
   test("graft sink: graft source drains into writeStream.format(\"graft\") exactly once") {

@@ -1876,27 +1876,58 @@ object Dedup {
       width: Int = 5, minDupCount: Int = 2, keepFirst: Boolean = true,
       numBuckets: Int = 8, delim: Option[String] = None,
       hotN: Int = 64,
-      hotMinCount: Long = HotEngageCount): Option[DataFrame] = {
-    val ids = batch.select(id.cast("long").cast("string").as("k"))
-      .distinct()
-    val nIds = ids.count()
-    if (nIds == 0) return None // empty micro-batch: nothing to land
-    val tl = graft.format.Timeline(
-      spark.sessionState.newHadoopConf(), s"$dir/segindex")
-    if (tl.completedInstants().nonEmpty) {
-      val nPresent = graft.util.CatalogMount.table(spark, s"$dir/docs")
-        .select(col("k")).join(broadcast(ids), Seq("k")).count()
-      if (nPresent == nIds) return None // txn landed before the crash
-      require(nPresent == 0L,
-        s"segIngestBatch: $nPresent of $nIds batch doc ids are already " +
-          "in the index but not all of them — a replayed micro-batch is " +
-          "all-or-nothing under the txn, so a partial overlap means two " +
-          "writers or re-used doc ids; refusing to double-count")
-    }
-    Some(segIngest(spark, dir, batch, id, text, width, minDupCount,
+      hotMinCount: Long = HotEngageCount): Option[DataFrame] =
+    if (streamBatchSettled(spark, "segIngestBatch", s"$dir/segindex",
+        s"$dir/docs", batch.select(id.cast("long")))) None
+    else Some(segIngest(spark, dir, batch, id, text, width, minDupCount,
       keepFirst, numBuckets, ts = None, delim,
       assertNewDocs = false, // the probe above already decided
       hotN, hotMinCount))
+
+  /** [[segIngestBatch]]'s ExactSubstr twin — the `foreachBatch` body for
+    * a graft-stream-fed window-count index. Same exactly-once argument:
+    * the post-bootstrap commit is ONE MultiTableTxn, so a replayed
+    * micro-batch is fully present (skipped) or fully absent (ingested);
+    * a partial overlap refuses. */
+  def substrIngestBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, id: Column, text: Column, w: Int,
+      minDupCount: Int = 2, numBuckets: Int = 8, hotN: Int = 64,
+      hotMinCount: Long = HotEngageCount): Option[DataFrame] =
+    if (streamBatchSettled(spark, "substrIngestBatch", s"$dir/windex",
+        s"$dir/docs", batch.select(id.cast("long")))) None
+    else Some(substrIngest(spark, dir, batch, id, text, w, minDupCount,
+      numBuckets, ts = None,
+      assertNewDocs = false, // the probe above already decided
+      hotN, hotMinCount))
+
+  /** The streaming replay decision shared by the *IngestBatch verbs:
+    * true = the micro-batch is empty or ALREADY FULLY LANDED (the txn
+    * committed before the crash that forced the engine's replay) —
+    * skip; false = no id has landed — ingest. A PARTIAL overlap can
+    * only mean two writers or re-used doc ids (the txn is
+    * all-or-nothing): refuse loudly. One key-only docs probe per
+    * micro-batch (column-pruned scan ⋈ broadcast batch ids). */
+  private def streamBatchSettled(spark: org.apache.spark.sql.SparkSession,
+      verb: String, idxDir: String, docsDir: String,
+      idFrame: DataFrame): Boolean = {
+    val ids = idFrame.toDF("__i")
+      .select(col("__i").cast("string").as("k")).distinct()
+    val nIds = ids.count()
+    if (nIds == 0) return true // empty micro-batch: nothing to land
+    val tl = graft.format.Timeline(
+      spark.sessionState.newHadoopConf(), idxDir)
+    if (tl.completedInstants().isEmpty) return false // bootstrap
+    val nPresent = graft.util.CatalogMount.table(spark, docsDir)
+      .select(col("k")).join(broadcast(ids), Seq("k")).count()
+    if (nPresent == nIds) true
+    else {
+      require(nPresent == 0L,
+        s"$verb: $nPresent of $nIds batch doc ids are already " +
+          "in the index but not all of them — a replayed micro-batch is " +
+          "all-or-nothing under the txn, so a partial overlap means two " +
+          "writers or re-used doc ids; refusing to double-count")
+      false
+    }
   }
 
   def segIngest(spark: org.apache.spark.sql.SparkSession, dir: String,

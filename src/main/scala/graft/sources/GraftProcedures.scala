@@ -671,6 +671,81 @@ private[sources] object GraftProcedures {
           Long.box(st.getLong(2)), outDir))
       },
 
+      proc("seg_ingest",
+        "arrival-order INCREMENTAL segment dedup: the batch a predicate " +
+          "selects is cleaned against everything seen up to and " +
+          "INCLUDING itself, and the maintained segment-count index " +
+          "under <table>/.seg_index/ commits docs + counts in one " +
+          "transaction. The unit parameters (width/delim/min_dup/" +
+          "keep_first) are RECORDED at bootstrap and ENFORCED on every " +
+          "later batch — a drifting caller refuses loudly. Each doc id " +
+          "must arrive at most once (enforced)",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("batch_predicate", StringType,
+            "SQL boolean expression selecting THIS batch's NEW rows, " +
+              "e.g. \"doc_id % 3 = 0\""),
+          in("width", IntegerType, "segment width in tokens",
+            default = Some("5")),
+          in("min_dup", IntegerType,
+            "cumulative occurrences for a segment to count duplicated",
+            default = Some("2")),
+          in("keep_first", BooleanType,
+            "retain the arrival-first occurrence", default = Some("true")),
+          in("delim", StringType,
+            "segment delimiter — empty for fixed-width token windows, " +
+              "e.g. chr(10) for literal line dedup",
+            default = Some("''"))),
+        out("n_docs" -> LongType, "segs_removed" -> LongType,
+          "index_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val dir = s"$path/.seg_index"
+        val fx = org.apache.spark.sql.functions
+        val batch = graft.read.SnapshotReader.read(spark, path)
+          .filter(fx.expr(str(r, 3)))
+        val cleaned = graft.pipeline.Dedup.segIngest(spark, dir, batch,
+          fx.col(str(r, 1)), fx.col(str(r, 2)), width = r.getInt(4),
+          minDupCount = r.getInt(5), keepFirst = r.getBoolean(6),
+          delim = Option(str(r, 7)).filter(_.nonEmpty))
+        val st = cleaned.agg(fx.count(fx.lit(1)),
+          fx.coalesce(fx.sum("segs_removed"), fx.lit(0L))).head()
+        Seq(row(Long.box(st.getLong(0)), Long.box(st.getLong(1)), dir))
+      },
+
+      proc("substr_ingest",
+        "arrival-order INCREMENTAL ExactSubstr dedup: the batch a " +
+          "predicate selects is cleaned against every window seen up " +
+          "to and INCLUDING itself, and the maintained window-count " +
+          "index under <table>/.substr_index/ commits docs + counts in " +
+          "one transaction. The unit parameters (w/min_dup) are " +
+          "RECORDED at bootstrap and ENFORCED on every later batch. " +
+          "Each doc id must arrive at most once (enforced)",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("batch_predicate", StringType,
+            "SQL boolean expression selecting THIS batch's NEW rows"),
+          in("w", IntegerType, "window width in tokens",
+            default = Some("8")),
+          in("min_dup", IntegerType,
+            "cumulative occurrences for a window to count duplicated",
+            default = Some("2"))),
+        out("n_docs" -> LongType, "removed_tokens" -> LongType,
+          "index_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val dir = s"$path/.substr_index"
+        val fx = org.apache.spark.sql.functions
+        val batch = graft.read.SnapshotReader.read(spark, path)
+          .filter(fx.expr(str(r, 3)))
+        val cleaned = graft.pipeline.Dedup.substrIngest(spark, dir,
+          batch, fx.col(str(r, 1)), fx.col(str(r, 2)), w = r.getInt(4),
+          minDupCount = r.getInt(5))
+        val st = cleaned.agg(fx.count(fx.lit(1)),
+          fx.coalesce(fx.sum("removed_tokens"), fx.lit(0L))).head()
+        Seq(row(Long.box(st.getLong(0)), Long.box(st.getLong(1)), dir))
+      },
+
       proc("ann_index_build",
         "build a compressed vector-search index (IVF<nlist>,PQ<m>; " +
           "variant pq | opq | pca) over a table's embedding column " +

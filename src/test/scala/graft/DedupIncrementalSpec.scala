@@ -321,6 +321,34 @@ class DedupIncrementalSpec extends SparkSpec {
       w = 8): Unit
   }
 
+  test("substrIngestBatch: the streaming replay gate skips a fully " +
+      "landed micro-batch, refuses a partial overlap, ingests fresh " +
+      "ids (r16)") {
+    val dir = freshDir("sub_inc_stream")
+    val t1 = "r1 r2 r3 r4 r5 r6 r7 r8"
+    // bootstrap micro-batch
+    assert(Dedup.substrIngestBatch(spark, dir, docs((1L, t1)),
+      $"doc_id", $"text", w = 8).nonEmpty)
+    // second micro-batch lands
+    assert(Dedup.substrIngestBatch(spark, dir, docs((2L, t1)),
+      $"doc_id", $"text", w = 8).nonEmpty)
+    // engine replay of the landed batch: skip, no double count
+    assert(Dedup.substrIngestBatch(spark, dir, docs((2L, t1)),
+      $"doc_id", $"text", w = 8).isEmpty)
+    val cnt = SnapshotReader.read(spark, s"$dir/windex")
+      .filter($"win" === t1).select($"cnt").as[Long].head()
+    assert(cnt == 2L, s"replay must not double-count (cnt=$cnt)")
+    // empty micro-batch: skip
+    assert(Dedup.substrIngestBatch(spark, dir,
+      docs((9L, t1)).filter($"doc_id" < 0), $"doc_id", $"text",
+      w = 8).isEmpty)
+    // partial overlap = two writers or id re-use: refuse
+    val e = intercept[IllegalArgumentException](
+      Dedup.substrIngestBatch(spark, dir, docs((2L, t1), (3L, t1)),
+        $"doc_id", $"text", w = 8))
+    assert(e.getMessage.contains("not all"), e.getMessage)
+  }
+
   test("segIngest: a brand-new segment duplicated WITHIN one batch keeps " +
       "the batch's min (doc_id, pos) occurrence") {
     val dir = freshDir("seg_inc_batchfirst")

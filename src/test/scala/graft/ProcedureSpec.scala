@@ -402,6 +402,69 @@ class ProcedureSpec extends SparkSpec {
     assert(r.getLong(2) > 0, "corpus should carry duplicated segments")
   }
 
+  test("seg_ingest / substr_ingest procedures: arrival-order batches " +
+      "maintain the transactional indexes, the recorded unit contract " +
+      "refuses a drifting CALL (r16)") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.docs_inc")
+    // 4 docs, the 5-token boilerplate planted in docs 1 and 3 (separate
+    // arrival batches) — the second arrival must drop its copy
+    Seq(
+      (1L, "ib1 ib2 ib3 ib4 ib5", "all"),
+      (2L, "u1 u2 u3 u4 u5", "all"),
+      (3L, "ib1 ib2 ib3 ib4 ib5", "all"),
+      (4L, "v1 v2 v3 v4 v5", "all"))
+      .toDF("doc_id", "text", "pt")
+      .createOrReplaceTempView("docs_inc_src")
+    spark.sql(s"CREATE TABLE $cat.ns.docs_inc PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'doc_id', buckets '2') " +
+      "AS SELECT * FROM docs_inc_src")
+    val b1 = spark.sql(s"CALL $cat.system.seg_ingest(" +
+      "table => 'ns.docs_inc', id_col => 'doc_id', text_col => 'text', " +
+      "batch_predicate => 'doc_id <= 2', width => 5)").head()
+    assert(b1.getLong(0) == 2L && b1.getLong(1) == 0L)
+    val b2 = spark.sql(s"CALL $cat.system.seg_ingest(" +
+      "table => 'ns.docs_inc', id_col => 'doc_id', text_col => 'text', " +
+      "batch_predicate => 'doc_id > 2', width => 5)").head()
+    assert(b2.getLong(0) == 2L && b2.getLong(1) == 1L,
+      s"arrival batch 2 must drop doc 3's copy (got ${b2.getLong(1)})")
+    // the recorded contract refuses a drifting width, naming both units
+    val e = intercept[Exception](spark.sql(s"CALL $cat.system.seg_ingest(" +
+      "table => 'ns.docs_inc', id_col => 'doc_id', text_col => 'text', " +
+      "batch_predicate => 'doc_id > 100', width => 3)").collect())
+    assert(e.getMessage.contains("token:3") &&
+      e.getMessage.contains("token:5"), e.getMessage)
+
+    // ExactSubstr twin over a fresh table (8-token window in docs 1, 3)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.docs_sub")
+    Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8", "all"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8", "all"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8", "all"))
+      .toDF("doc_id", "text", "pt")
+      .createOrReplaceTempView("docs_sub_src")
+    spark.sql(s"CREATE TABLE $cat.ns.docs_sub PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'doc_id', buckets '2') " +
+      "AS SELECT * FROM docs_sub_src")
+    val s1 = spark.sql(s"CALL $cat.system.substr_ingest(" +
+      "table => 'ns.docs_sub', id_col => 'doc_id', text_col => 'text', " +
+      "batch_predicate => 'doc_id <= 2', w => 8)").head()
+    assert(s1.getLong(0) == 2L && s1.getLong(1) == 0L)
+    val s2 = spark.sql(s"CALL $cat.system.substr_ingest(" +
+      "table => 'ns.docs_sub', id_col => 'doc_id', text_col => 'text', " +
+      "batch_predicate => 'doc_id = 3', w => 8)").head()
+    assert(s2.getLong(0) == 1L && s2.getLong(1) == 8L,
+      s"doc 3's duplicated window must cut 8 tokens (got ${s2.getLong(1)})")
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.substr_ingest(" +
+        "table => 'ns.docs_sub', id_col => 'doc_id', " +
+        "text_col => 'text', batch_predicate => 'doc_id > 100', " +
+        "w => 4)").collect())
+    assert(e2.getMessage.contains("window:4") &&
+      e2.getMessage.contains("window:8"), e2.getMessage)
+  }
+
   test("ann_index_build + ann_search: exhaustive probe + full rerank " +
       "equals brute force; pca variant records the reduced dim") {
     conf()

@@ -115,7 +115,21 @@ object Similarity {
     * standard distributed k-means shape; cost is O(n·nlist·dim) per iter. */
   def ivfTrain(corpus: DataFrame, id: Column, vec: Column,
       nlist: Int, iters: Int = 2, seed: Long = 42L,
-      trainFraction: Double = 1.0): Seq[(Int, Seq[Float])] = {
+      trainFraction: Double = 1.0): Seq[(Int, Seq[Float])] =
+    ivfTrainOcc(corpus, id, vec, nlist, iters, seed, trainFraction,
+      withOccupancy = false)._1
+
+  /** [[ivfTrain]] plus — `withOccupancy = true` — the per-cell
+    * OCCUPANCY ESTIMATE of the final centroids over the (persisted)
+    * train sample, scaled by 1/trainFraction: one extra CACHE-READ
+    * assignment pass, never an extra corpus scan. Feeds the kNN joins'
+    * occupancy-derived cell splits ([[cellSplitsOf]]) — load balancing
+    * only, so the sampled estimate is safe; trainFraction = 1.0 makes
+    * it exact. */
+  private[graft] def ivfTrainOcc(corpus: DataFrame, id: Column,
+      vec: Column, nlist: Int, iters: Int = 2, seed: Long = 42L,
+      trainFraction: Double = 1.0, withOccupancy: Boolean = true)
+      : (Seq[(Int, Seq[Float])], Map[Int, Long]) = {
     // persisted across the init pick + every Lloyd step (r10): uncached,
     // each phase re-scans and re-samples the source — iters+1 corpus
     // passes for a training set trainFraction sizes to fit the executors
@@ -137,7 +151,15 @@ object Similarity {
           cl -> updated.getOrElse(cl, v)
         }
       }
-      centroids
+      val occ =
+        if (!withOccupancy) Map.empty[Int, Long]
+        else assignToCentroid(c, centroids)
+          .groupBy("__cluster").agg(count(lit(1)).as("__c"))
+          .collect()
+          .map(r => r.getInt(0) ->
+            math.ceil(r.getLong(1) / trainFraction).toLong)
+          .toMap
+      (centroids, occ)
     } finally c.unpersist()
   }
 
@@ -1196,6 +1218,33 @@ object Similarity {
     n
   }
 
+  /** STREAMING-driven [[annIngest]] — the `foreachBatch` body for a
+    * `readStream`-fed vector corpus maintaining a `.ann` index:
+    *
+    * {{{
+    * embStream.writeStream.foreachBatch { (b: DataFrame, bid: Long) =>
+    *   Similarity.annIngestBatch(spark, dir, b,
+    *     col("vec_id"), col("embedding"), s"stream-$bid"): Unit
+    * }.option("checkpointLocation", ckpt).start()
+    * }}}
+    *
+    * Exactly-once under engine replay falls straight out of the ledger:
+    * the micro-batch id names the ledger entry, so a replayed batch —
+    * whose predecessor crashed AFTER the ledger commit but before the
+    * checkpoint write — is detected by its existing entry and SKIPPED
+    * (returns None) instead of refused; a predecessor that crashed
+    * before the ledger commit left an invisible staged dir the re-run
+    * overwrites. Returns Some(rows committed) when the batch lands. */
+  def annIngestBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, id: Column, vec: Column,
+      batchId: String): Option[Long] = {
+    val root = annRoot(spark, dir)
+    val lf = new org.apache.hadoop.fs.Path(s"$root/ledger/$batchId.json")
+    if (lf.getFileSystem(spark.sessionState.newHadoopConf()).exists(lf))
+      None // replay of a committed micro-batch
+    else Some(annIngest(spark, dir, batch, id, vec, batchId))
+  }
+
   /** Assign + encode a raw batch against a loaded index's frozen
     * rotation/centroids/codebooks — the stored row shape. */
   private def encodeAgainst(batch: DataFrame, id: Column, vec: Column,
@@ -1495,30 +1544,17 @@ object Similarity {
   val DefaultTargetCellRows: Long = 2L << 20
 
   /** Occupancy-derived per-cell split counts (r16, the hot-key-armor
-    * pattern applied to the ANN join): count the corpus side per cell —
-    * EXACTLY below the sampling cutoff (tests/soaks engage
-    * deterministically), by a ~1% deterministic id-hash sample above it
-    * (splits shape load balance only, never results, so sampling noise
-    * is safe; a cell needing ≥ 2 splits has ≥ targetCellRows ≥ 100k rows
-    * ≈ ≥ 1k sampled rows, ±3%) — and split cell c into
-    * ⌈|c| / target⌉ sub-cells, floored by the manual `cellSplits`.
+    * pattern applied to the ANN join): from the per-cell occupancy
+    * estimate [[ivfTrainOcc]] measures on its ALREADY-PERSISTED train
+    * sample (one cache-read pass — never an extra corpus scan; splits
+    * shape load balance only, never results, so the trainFraction-scaled
+    * estimate is safe and trainFraction = 1.0 is exact), split cell c
+    * into ⌈|c| / target⌉ sub-cells, floored by the manual `cellSplits`.
     * Returns empty when auto is off or NO cell exceeds the floor — the
     * caller then plans the exact pre-r16 uniform shape. */
-  private val CellSampleMod = 100L
-  private def cellSplitsOf(base: DataFrame,
-      centroids: Seq[(Int, Seq[Float])], cellSplits: Int,
+  private def cellSplitsOf(occ: Map[Int, Long], cellSplits: Int,
       target: Long): Map[Int, Int] = {
     if (target <= 0) return Map.empty
-    val (src, scale) =
-      if (target < CellSampleMod * 1000)
-        (base, 1L)
-      else
-        (base.filter(
-          pmod(xxhash64(col("id")), lit(CellSampleMod)) === 0),
-          CellSampleMod)
-    val occ = assignToCentroid(src, centroids)
-      .groupBy("__cluster").agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1) * scale).toMap
     val m = occ.map { case (c, n) =>
       c -> math.max(cellSplits,
         ((n + target - 1) / target).toInt)
@@ -1540,10 +1576,11 @@ object Similarity {
       targetCellRows: Long = DefaultTargetCellRows): DataFrame = {
     require(cellSplits >= 1, s"cellSplits must be >= 1 (got $cellSplits)")
     val base = ds.select(id.cast("long").as("id"), vec.as("v"))
-    val centroids = ivfTrain(base, col("id"), col("v"), nlist, iters, seed,
-      trainFraction)
+    val (centroids, occ) = ivfTrainOcc(base, col("id"), col("v"), nlist,
+      iters, seed, trainFraction,
+      withOccupancy = targetCellRows > 0)
     val probeN = math.min(nprobe, centroids.size)
-    val splits = cellSplitsOf(base, centroids, cellSplits, targetCellRows)
+    val splits = cellSplitsOf(occ, cellSplits, targetCellRows)
     val corpus = assignToCentroid(
         graft.util.ParallelScan.widen(base), centroids)
       .select(col("__cluster"),
@@ -1653,8 +1690,9 @@ object Similarity {
     val dsub = dim / m
     val topR = math.max(rerank, k)
     val base = ds.select(id.cast("long").as("id"), vec.as("v"))
-    val centroids = ivfTrain(base, col("id"), col("v"), nlist, iters, seed,
-      trainFraction)
+    val (centroids, occ) = ivfTrainOcc(base, col("id"), col("v"), nlist,
+      iters, seed, trainFraction,
+      withOccupancy = targetCellRows > 0)
     val (rotation, books) =
       if (opqIters > 0) {
         val (r, b) = opqTrain(base, col("id"), col("v"), dim, m, ksub,
@@ -1700,8 +1738,7 @@ object Similarity {
     try {
       // occupancy-derived per-cell splits (shared with [[knnJoin]]) —
       // the hub-cell belt, sized by the data
-      val splits = cellSplitsOf(base, centroids, cellSplits,
-        targetCellRows)
+      val splits = cellSplitsOf(occ, cellSplits, targetCellRows)
       val corpus = coded.select(col("__cluster"),
         pmod(xxhash64(col("id")), splitsCol(splits, cellSplits))
           .cast("int").as("__s"),

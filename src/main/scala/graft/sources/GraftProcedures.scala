@@ -877,6 +877,37 @@ private[sources] object GraftProcedures {
         Seq(row(gen))
       },
 
+      proc("ann_stats",
+        "operational state of the table's .ann index: the serving " +
+          "generation, its variant/shape, and one row per data root " +
+          "(the build plus each LEDGERED ingest batch) with its row " +
+          "count (parquet footer sums — no data read). Staged-but-" +
+          "uncommitted batch dirs are invisible here exactly as they " +
+          "are to ann_search",
+        Seq(tableParam),
+        out("generation" -> StringType, "variant" -> StringType,
+          "root" -> StringType, "n_rows" -> LongType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val dir = s"$path/.ann"
+        val root = graft.pipeline.Similarity.annRoot(spark, dir)
+        val variant = spark.read.parquet(s"$root/meta").head().getString(0)
+        val gen = if (root == dir) "build" else
+          root.substring(root.lastIndexOf('/') + 1)
+        graft.pipeline.Similarity.annDataRoots(spark, dir).map { rt =>
+          val p = new org.apache.hadoop.fs.Path(rt)
+          val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          // a zero-row ingest batch has a ledger entry and an empty
+          // staged dir (no cell children) — report 0 without a read
+          val hasCells = fs.exists(p) && fs.listStatus(p)
+            .exists(s => s.isDirectory &&
+              s.getPath.getName.startsWith("__cluster="))
+          val n =
+            if (!hasCells) 0L
+            else spark.read.parquet(rt).count() // footer-count fold
+          row(gen, variant, rt, Long.box(n))
+        }
+      },
+
       proc("quality_model",
         "train a linear quality scorer (closed-form ridge from one " +
           "moment job) on integer feature expressions and score the " +

@@ -678,6 +678,32 @@ class PipelineSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("annIngestBatch: a streaming micro-batch lands once through the " +
+      "ledger, a replayed batch id skips, and the grown index serves " +
+      "exactly (r16)") {
+    val dir = freshDir("ann_stream_idx")
+    Similarity.annIndexBuild(embs.filter($"vec_id" % 3 =!= 2),
+      $"vec_id", $"embedding", dir, dim = 64, nlist = 4,
+      variant = "pca", rank = 16): Unit
+    val batch = embs.filter($"vec_id" % 3 === 2)
+    val n1 = Similarity.annIngestBatch(spark, dir, batch,
+      $"vec_id", $"embedding", "stream-7")
+    assert(n1.contains(batch.count()))
+    // engine replay of the committed micro-batch: ledger detects, skips
+    assert(Similarity.annIngestBatch(spark, dir, batch,
+      $"vec_id", $"embedding", "stream-7").isEmpty)
+    // exhaustive probe + full rerank over the grown index ≡ brute force
+    // over the union — the replay added nothing twice
+    val got = Similarity.annTopK(spark, dir,
+        embs.filter($"vec_id" < 5), $"vec_id", $"embedding",
+        k = 3, nprobe = 4, rerank = 1 << 30)
+      .select("query_id", "corpus_id", "rank")
+    val brute = Similarity.bruteForceTopK(embs, $"vec_id", $"embedding",
+        embs.filter($"vec_id" < 5), $"vec_id", $"embedding", k = 3)
+      .select("query_id", "corpus_id", "rank")
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
   test("knnJoin: nprobe=nlist == independent brute force; cellSplits " +
       "skew belt is result-identical") {
     import org.apache.spark.sql.expressions.Window

@@ -580,6 +580,13 @@ class ProcedureSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(before == brute,
       "an unledgered staged batch leaked into the search")
+    // ann_stats sees exactly what search sees: the build + the one
+    // ledgered batch (b1), never the staged-unledgered b2
+    val stats = spark.sql(s"CALL $cat.system.ann_stats(" +
+      "table => 'ns.embs_grow')").collect()
+    assert(stats.length == 2 && stats.forall(_.getString(0) == "build"))
+    assert(stats.map(_.getLong(3)).sum == embs.count())
+    assert(!stats.exists(_.getString(2).endsWith("/b2")))
 
     // r16 rebuild: retrain over the grown corpus from the index's own
     // stored vectors; exhaustive search over the new generation still
@@ -599,6 +606,12 @@ class ProcedureSpec extends SparkSpec {
       "vec_col => 'embedding', " +
       "batch_predicate => 'vec_id % 3 = 2', batch_id => 'b1')").collect())
     assert(e2.getMessage.contains("already committed"), e2.getMessage)
+    // after the rebuild: one generation root holding everything, the
+    // folded b1 carries no batch dir
+    val stats2 = spark.sql(s"CALL $cat.system.ann_stats(" +
+      "table => 'ns.embs_grow')").collect()
+    assert(stats2.length == 1 && stats2.head.getString(0) == "g00001")
+    assert(stats2.head.getLong(3) == embs.count())
   }
 
   test("ann_search refuses a corpus-sized query predicate") {

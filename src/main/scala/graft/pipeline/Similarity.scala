@@ -1245,6 +1245,35 @@ object Similarity {
     else Some(annIngest(spark, dir, batch, id, vec, batchId))
   }
 
+  /** Reclaim a rebuilt `.ann` directory's DEAD state: with at least one
+    * COMMITTED generation, every OLDER generation (committed or not —
+    * a crashed rebuild's partial directory included) and the top-level
+    * build pieces (`data/`, `batches/`, `ledger/`, the sidecars —
+    * all folded into the serving generation by [[annRebuild]]) are
+    * deleted. The serving generation is never touched; with no
+    * committed generation nothing is deleted (the top level IS the
+    * index). Run it when no reader may still be executing against an
+    * older generation — the same contract as table cleaning. Returns
+    * the deleted paths. */
+  def annClean(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val root = annRoot(spark, dir)
+    if (root == dir) return Seq.empty // no committed generation
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val oldGens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/gen"))
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.toString != root)
+    val topLevel = Seq("data", "batches", "ledger", "centroids",
+      "codebooks", "rotation", "meta")
+      .map(n => new org.apache.hadoop.fs.Path(s"$dir/$n"))
+      .filter(fs.exists)
+    (oldGens ++ topLevel).map { q =>
+      fs.delete(q, true): Unit
+      q.toString
+    }.toSeq
+  }
+
   /** Assign + encode a raw batch against a loaded index's frozen
     * rotation/centroids/codebooks — the stored row shape. */
   private def encodeAgainst(batch: DataFrame, id: Column, vec: Column,

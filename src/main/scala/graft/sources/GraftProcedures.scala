@@ -877,6 +877,21 @@ private[sources] object GraftProcedures {
         Seq(row(gen))
       },
 
+      proc("ann_clean",
+        "reclaim a rebuilt .ann index's dead state: with a committed " +
+          "generation serving, every older generation (a crashed " +
+          "rebuild's partial included) and the folded top-level build " +
+          "pieces are deleted; the serving generation is never " +
+          "touched, and with no committed generation nothing is. Run " +
+          "when no reader may still be on an older generation (the " +
+          "table-clean contract)",
+        Seq(tableParam),
+        out("deleted_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        graft.pipeline.Similarity.annClean(spark, s"$path/.ann")
+          .map(row(_))
+      },
+
       proc("ann_stats",
         "operational state of the table's .ann index: the serving " +
           "generation, its variant/shape, and one row per data root " +

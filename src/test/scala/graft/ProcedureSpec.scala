@@ -612,6 +612,32 @@ class ProcedureSpec extends SparkSpec {
       "table => 'ns.embs_grow')").collect()
     assert(stats2.length == 1 && stats2.head.getString(0) == "g00001")
     assert(stats2.head.getLong(3) == embs.count())
+
+    // ann_clean reclaims the folded top level + the staged b2 remains;
+    // the serving generation is untouched and search stays exact
+    val cleaned = spark.sql(s"CALL $cat.system.ann_clean(" +
+      "table => 'ns.embs_grow')").collect().map(_.getString(0)).toSet
+    assert(cleaned.exists(_.endsWith("/.ann/data")) &&
+      cleaned.exists(_.endsWith("/.ann/batches")), cleaned.toString)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$annDir/data")))
+    val afterClean = spark.sql(s"CALL $cat.system.ann_search(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "vec_col => 'embedding', " +
+      "query_predicate => 'vec_id < 10', k => 5, nprobe => 4, " +
+      "rerank => 1000000)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(afterClean == brute)
+    // a second rebuild works from the cleaned state (reads g00001) and
+    // a repeat clean then drops g00001
+    val gen2 = spark.sql(s"CALL $cat.system.ann_rebuild(" +
+      "table => 'ns.embs_grow')").head().getString(0)
+    assert(gen2.endsWith("g00002"))
+    val cleaned2 = spark.sql(s"CALL $cat.system.ann_clean(" +
+      "table => 'ns.embs_grow')").collect().map(_.getString(0)).toSet
+    assert(cleaned2.exists(_.endsWith("/gen/g00001")), cleaned2.toString)
+    // nothing dead left: the next clean is a no-op
+    assert(spark.sql(s"CALL $cat.system.ann_clean(" +
+      "table => 'ns.embs_grow')").collect().isEmpty)
   }
 
   test("ann_search refuses a corpus-sized query predicate") {

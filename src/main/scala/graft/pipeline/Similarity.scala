@@ -1184,7 +1184,13 @@ object Similarity {
     * full rerank over the grown index ≡ brute force over the union
     * (gated `q_ann_ingest_topk`); at realistic settings a model trained
     * before the batch arrived quantizes it slightly worse until the
-    * next [[annRebuild]] — the drift trade priced in RECALL_r*.json. */
+    * next [[annRebuild]] — the drift trade priced in RECALL_r*.json.
+    *
+    * Operational bound: each ledgered batch adds one scan branch per
+    * probed cell to the serving plan ([[ivfPqTopKFromRoots]] unions the
+    * roots), so thousands of small batches bloat plans — fold them
+    * periodically via [[annRebuild]] (+ [[annClean]]); the rebuild
+    * cadence bounds both the recall drift and the root count. */
   def annIngest(spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, id: Column, vec: Column,
       batchId: String): Long = {

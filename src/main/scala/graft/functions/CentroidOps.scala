@@ -128,3 +128,144 @@ object NearestCentroids {
   def nearest(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(vec), centroids, nprobe))
 }
+
+/** Native Catalyst expression: a vector minus its ASSIGNED centroid —
+  * the IVF residual the PQ codebooks quantize (`x − centroid(cell)`).
+  *
+  * Exists for the same reason as [[NearestCentroids]]: the declarative
+  * form `zip_with(v, element_at(typedLit(centroids), cl + 1), _ - _)`
+  * embeds the whole nlist×dim centroid table as an ANALYZED ARRAY
+  * LITERAL in the plan — O(nlist·dim) analysis, constant-pool and
+  * serialization cost per query, the exact shape the assignment path
+  * already engineered away. Here the matrix is one reference object
+  * shipped with the stage; the plan is a single node regardless of
+  * nlist and the subtraction loop runs inside whole-stage codegen.
+  *
+  * Arithmetic matches the HOF form bit-for-bit: FLOAT subtraction per
+  * element (`Subtract(FloatType)`), element order preserved. Null
+  * contract: null vector or null cluster → null; a cluster id outside
+  * the matrix → null (as `element_at` past the end). Inputs are the
+  * encode paths' internal columns (array<float> vector, int cluster),
+  * property-pinned equal to the HOF form in PipelineSpec. */
+case class CentroidResidual(left: Expression, right: Expression,
+    centroids: Seq[Seq[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true // out-of-range cluster → null
+  override def prettyName: String = "centroid_residual"
+
+  @transient private lazy val mat: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(v: Any, cl: Any): Any =
+    CentroidOps.residualAt(v.asInstanceOf[ArrayData], mat,
+      cl.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cl) => {
+      val matRef = ctx.addReferenceObj("centroidMatF", mat, "float[][]")
+      s"""${ev.value} = graft.functions.CentroidOps.residualAt(
+         |  $v, $matRef, $cl);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native Catalyst expression: ⟨query, centroid(cell)⟩ — the residual
+  * decomposition's per-(query, probed-cell) term in ADC scoring
+  * (`⟨q, x̂⟩ = ⟨q, c_cell⟩ + ⟨q, r̂⟩`). Replaces the
+  * `aggregate(zip_with(q, element_at(typedLit(cents), cl + 1), _*_))`
+  * HOF form whose centroid literal is O(nlist·dim) in the analyzed
+  * plan. Arithmetic bit-identical to the HOF form: each product is
+  * `(double) qᵢ · cᵢ` accumulated left-to-right in a double. Null
+  * vector/cluster or out-of-range cluster → null. */
+case class CentroidQueryDot(left: Expression, right: Expression,
+    centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // out-of-range cluster → null
+  override def prettyName: String = "centroid_query_dot"
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(v: Any, cl: Any): Any = {
+    val c = cl.asInstanceOf[Int]
+    if (c < 0 || c >= mat.length) null
+    else java.lang.Double.valueOf(
+      CentroidOps.dotAt(v.asInstanceOf[ArrayData], mat, c))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cl) => {
+      val matRef = ctx.addReferenceObj("centroidMatD", mat, "double[][]")
+      s"""if ($cl < 0 || $cl >= $matRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.CentroidOps.dotAt(
+         |    $v, $matRef, $cl);
+         |}""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CentroidQueryDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object CentroidOps {
+
+  /** Shared kernel: `v − mat(cl)` in FLOAT arithmetic (returns null on an
+    * out-of-range cluster — the `element_at` contract of the HOF form it
+    * replaces). Length follows the vector. */
+  def residualAt(v: ArrayData, mat: Array[Array[Float]],
+      cl: Int): ArrayData = {
+    if (cl < 0 || cl >= mat.length) return null
+    val c = mat(cl)
+    val n = v.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = v.getFloat(i) - (if (i < c.length) c(i) else 0.0f)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Shared kernel: Σ (double) vᵢ · mat(cl)ᵢ, left-to-right double
+    * accumulation — bit-identical to the `aggregate(zip_with(_*_))`
+    * form. Caller guarantees `cl` in range. */
+  def dotAt(v: ArrayData, mat: Array[Array[Double]], cl: Int): Double = {
+    val c = mat(cl)
+    val n = math.min(v.numElements(), c.length)
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      acc += v.getFloat(i).toDouble * c(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Column builder: `vec − centroids(cluster)` in float arithmetic. */
+  def residual(vec: Column, cluster: Column,
+      centroids: Seq[Seq[Float]]): Column =
+    Bridge.column(CentroidResidual(Bridge.expression(vec),
+      Bridge.expression(cluster), centroids))
+
+  /** Column builder: `⟨vec, centroids(cluster)⟩` as a double. */
+  def queryDot(vec: Column, cluster: Column,
+      centroids: Seq[Seq[Double]]): Column =
+    Bridge.column(CentroidQueryDot(Bridge.expression(vec),
+      Bridge.expression(cluster), centroids))
+}

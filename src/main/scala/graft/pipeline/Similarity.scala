@@ -948,16 +948,11 @@ object Similarity {
         rotation.fold(col("cv"))(r => toFloats(rotateCol(col("cv"), r))))
     val centroids = ivfTrain(base, col("corpus_id"), col("v"), nlist,
       iters, seed, trainFraction)
-    val centsF: Seq[Seq[Float]] = centroids.sortBy(_._1).map(_._2)
     val assigned = assignToCentroid(base, centroids)
     // what the codebooks see: the residual against the row's own cell
     // centroid, or the (possibly rotated) vector
     val encIn = assigned.withColumn("enc",
-      if (residual)
-        zip_with(col("v"),
-          element_at(typedLit(centsF), col("__cluster") + 1),
-          (a, b) => a - b)
-      else col("v"))
+      residualCol(residual, centroids))
     val books = pqTrain(encIn, col("corpus_id"), col("enc"), dim, m, ksub,
       iters, seed, trainFraction)
     pqEncodeFrame(encIn, books, dim, m)
@@ -1284,19 +1279,50 @@ object Similarity {
     * rotation/centroids/codebooks — the stored row shape. */
   private def encodeAgainst(batch: DataFrame, id: Column, vec: Column,
       idx: AnnIndex): DataFrame = {
-    val centsF: Seq[Seq[Float]] = idx.cents.sortBy(_._1).map(_._2)
     val base = batch.select(id.cast("long").as("corpus_id"), vec.as("cv"))
       .withColumn("v",
         idx.rot.fold(col("cv"))(r => toFloats(rotateCol(col("cv"), r))))
     val assigned = assignToCentroid(base, idx.cents)
     val encIn = assigned.withColumn("enc",
-      if (idx.residual)
-        zip_with(col("v"),
-          element_at(typedLit(centsF), col("__cluster") + 1),
-          (a, b) => a - b)
-      else col("v"))
+      residualCol(idx.residual, idx.cents))
     pqEncodeFrame(encIn, idx.books, idx.rdim, idx.books.size)
   }
+
+  /** The encode paths' residual column (`v − centroid(__cluster)`, float
+    * arithmetic), as ONE native expression node
+    * ([[graft.functions.CentroidResidual]]): the centroid matrix ships
+    * as a stage reference object, so the analyzed plan stays
+    * constant-size in nlist — the same engineering as the assignment
+    * kernel ([[assignToCentroid]]); the pre-r17 `zip_with(v,
+    * element_at(typedLit(cents), …))` form embedded an O(nlist·dim)
+    * array literal in every encode plan. Bit-identical to the HOF form
+    * it replaced (property-pinned in PipelineSpec via
+    * [[residualViaExprForm]]). */
+  private def residualCol(residual: Boolean,
+      centroids: Seq[(Int, Seq[Float])]): Column =
+    if (residual)
+      graft.functions.CentroidOps.residual(col("v"), col("__cluster"),
+        centroids.sortBy(_._1).map(_._2))
+    else col("v")
+
+  /** The pre-r17 declarative residual — kept ONLY as the independent
+    * reference formulation the PipelineSpec equality property pins the
+    * native kernel against. */
+  private[graft] def residualViaExprForm(v: Column, cluster: Column,
+      centroids: Seq[(Int, Seq[Float])]): Column = {
+    val centsF: Seq[Seq[Float]] = centroids.sortBy(_._1).map(_._2)
+    zip_with(v, element_at(typedLit(centsF), cluster + 1),
+      (a, b) => a - b)
+  }
+
+  /** The pre-r17 declarative query·centroid dot — kept ONLY as the
+    * reference formulation for the PipelineSpec equality pin of
+    * [[graft.functions.CentroidQueryDot]]. */
+  private[graft] def queryDotViaExprForm(q: Column, cluster: Column,
+      centsD: Seq[Seq[Double]]): Column =
+    aggregate(zip_with(q,
+      element_at(typedLit(centsD), cluster + 1),
+      (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   /** RETRAIN an [[annIndexBuild]] directory over its GROWN corpus — the
     * drift-recovery verb: [[annIngest]] serves new vectors through
@@ -1395,17 +1421,12 @@ object Similarity {
       centroids: Seq[(Int, Seq[Float])], books: PqCodebooks,
       dim: Int, m: Int = 8, residual: Boolean = true,
       rotation: Option[Seq[Seq[Double]]] = None): Unit = {
-    val centsF: Seq[Seq[Float]] = centroids.sortBy(_._1).map(_._2)
     val base = batch.select(id.cast("long").as("corpus_id"), vec.as("cv"))
       .withColumn("v",
         rotation.fold(col("cv"))(r => toFloats(rotateCol(col("cv"), r))))
     val assigned = assignToCentroid(base, centroids)
     val encIn = assigned.withColumn("enc",
-      if (residual)
-        zip_with(col("v"),
-          element_at(typedLit(centsF), col("__cluster") + 1),
-          (a, b) => a - b)
-      else col("v"))
+      residualCol(residual, centroids))
     pqEncodeFrame(encIn, books, dim, m)
       .write.mode("append").partitionBy("__cluster").parquet(path)
   }
@@ -1463,10 +1484,13 @@ object Similarity {
       .withColumn("lut", pqLut(col("__rqv"), books, dim))
       .withColumn("qnorm", norm(col("qv")))
       .withColumn("qc",
+        // native single-node kernel (CentroidQueryDot): the centroid
+        // matrix is a stage reference object, not an O(nlist·dim)
+        // analyzed array literal — bit-identical to the HOF form
+        // ([[queryDotViaExprForm]], property-pinned)
         if (residual)
-          aggregate(zip_with(col("__rqv"),
-            element_at(typedLit(centsD), col("__cluster") + 1),
-            (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+          graft.functions.CentroidOps.queryDot(col("__rqv"),
+            col("__cluster"), centsD)
         else lit(0.0d))
       .drop("__rqv")
     // per-root cell inventory (driver-resolved static path lists); a

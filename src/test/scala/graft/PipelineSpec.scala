@@ -416,6 +416,55 @@ class PipelineSpec extends SparkSpec {
       "probe plan width must not grow with nlist")
   }
 
+  test("native residual/query-dot kernels == declarative expression " +
+    "forms (nlist 8 and 1024); plan width constant in nlist") {
+    // r17: the encode paths' residual (v − centroid(cell), float) and the
+    // ADC qc term (⟨q, centroid(cell)⟩, double) moved off the
+    // O(nlist·dim) typedLit array literal onto single-node kernels —
+    // equality against the HOF reference forms pins the arithmetic
+    // bit-for-bit at small AND production-shaped nlist.
+    def mkCentroids(nlist: Int): Seq[(Int, Seq[Float])] = {
+      val rnd = new scala.util.Random(11)
+      (0 until nlist).map(i =>
+        i -> Seq.fill(64)(rnd.nextGaussian().toFloat))
+    }
+    val c = embs.limit(200)
+      .select($"vec_id".cast("long").as("id"), $"embedding".as("v"))
+    for (nlist <- Seq(8, 1024)) {
+      val cents = mkCentroids(nlist)
+      val centsF = cents.sortBy(_._1).map(_._2)
+      val centsD = centsF.map(_.map(_.toDouble))
+      val assigned = Similarity.assignToCentroid(c, cents)
+      val kr = assigned.select($"id",
+        graft.functions.CentroidOps.residual($"v", $"__cluster", centsF)
+          .as("r"))
+      val er = assigned.select($"id",
+        Similarity.residualViaExprForm($"v", $"__cluster", cents).as("r"))
+      assert(kr.exceptAll(er).isEmpty && er.exceptAll(kr).isEmpty,
+        s"residual kernel diverged from expression form at nlist=$nlist")
+      val kq = assigned.select($"id",
+        graft.functions.CentroidOps.queryDot($"v", $"__cluster", centsD)
+          .as("qc"))
+      val eq = assigned.select($"id",
+        Similarity.queryDotViaExprForm($"v", $"__cluster", centsD)
+          .as("qc"))
+      assert(kq.exceptAll(eq).isEmpty && eq.exceptAll(kq).isEmpty,
+        s"query-dot kernel diverged from expression form at nlist=$nlist")
+    }
+    // the scale property: ONE reference object, not nlist·dim literals
+    def exprNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.expressions
+        .map(_.collect { case x => x }.size).sum
+    val a8 = Similarity.assignToCentroid(c, mkCentroids(8))
+    val a1024 = Similarity.assignToCentroid(c, mkCentroids(1024))
+    assert(
+      exprNodes(a8.select(graft.functions.CentroidOps.residual(
+        $"v", $"__cluster", mkCentroids(8).map(_._2)))) ==
+      exprNodes(a1024.select(graft.functions.CentroidOps.residual(
+        $"v", $"__cluster", mkCentroids(1024).map(_._2)))),
+      "residual plan width must not grow with nlist")
+  }
+
   test("IVF training is deterministic and returns nlist centroids") {
     val c1 = Similarity.ivfTrain(embs, $"vec_id", $"embedding", nlist = 4)
     val c2 = Similarity.ivfTrain(embs, $"vec_id", $"embedding", nlist = 4)

@@ -1116,6 +1116,39 @@ object Fixtures {
       dir
     }
 
+  /** `.ann` index with a LEDGERED TOMBSTONE SET
+    * ([[graft.pipeline.Similarity.annDelete]]): built over 2/3 of the
+    * corpus, one annIngest batch appends the rest, then vec_id % 7 = 0
+    * is taken down. q_ann_delete_topk serves it exhaustively ≡ brute
+    * force over corpus-minus-deleted — the takedown contract's oracle
+    * gate (serving-time anti-join; the physical-removal twin is
+    * spec-pinned in PipelineSpec). */
+  def annDeleteDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/embeddings_ann_delete"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // the tombstone marker is written LAST: a crash mid-sequence
+      // leaves a rebuildable partial, never a half-done index
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/deleted/_SUCCESS"))) {
+        rm(spark, dir)
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val id = col("vec_id"); val v = col("embedding")
+        graft.pipeline.Similarity.annIndexBuild(
+          emb.filter(id % 3 =!= 2), id, v, dir, dim = 64, nlist = 8,
+          iters = 1, trainFraction = 0.5, variant = "pca", rank = 16)
+        graft.pipeline.Similarity.annIngest(spark, dir,
+          emb.filter(id % 3 === 2), id, v, "fx-grow"): Unit
+        graft.pipeline.Similarity.annDelete(spark, dir,
+          emb.filter(id % 7 === 0), id, "fx-takedown"): Unit
+        import spark.implicits._
+        Seq(1).toDF("ok").coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/deleted")
+      }
+      dir
+    }
+
   /** BM25 inverted index over `documents` (postings partitioned by term
     * bucket + one-row corpus stats sidecar;
     * [[graft.pipeline.TextRetrieval.buildIndex]]). */

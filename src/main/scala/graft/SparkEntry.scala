@@ -874,6 +874,22 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    // q_ann_delete_topk (r17): the TAKEDOWN contract — a ledgered
+    // tombstone set (annDelete) anti-joins out of serving BEFORE
+    // candidate ranking, so exhaustive probe + full rerank over the
+    // tombstoned index ≡ brute force over corpus-minus-deleted (the
+    // oracle excludes vec_id % 7 = 0 on the corpus side only: deleted
+    // docs may still QUERY, they just can't be RETRIEVED). Physical
+    // removal at rebuild is spec-pinned in PipelineSpec.
+    "q_ann_delete_topk" -> ((s, d) => {
+      val dir = Fixtures.annDeleteDir(s, d)
+      Similarity.annTopK(s, dir,
+          t(s, d, "embeddings").filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), k = 5, nprobe = 8,
+          rerank = 1 << 30)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_ivfpq_topk" -> ((s, d) => {
       val (path, cents, books) = Fixtures.ivfPqDir(s, d)
       Similarity.ivfPqTopKFromTable(s, path, cents, books,
@@ -2603,6 +2619,16 @@ object SparkEntry {
         "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
         "FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 10) q" +
+        ") WHERE rank <= 5 ORDER BY query_id, rank"),
+    // tombstoned .ann index at exhaustive settings ⇒ brute force over
+    // corpus-minus-deleted: the takedown slice (vec_id % 7 = 0) is
+    // excluded on the CORPUS side only.
+    "q_ann_delete_topk" ->
+      ("SELECT query_id, corpus_id, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank " +
+        "FROM (SELECT * FROM embeddings WHERE vec_id % 7 <> 0) c, " +
+        "(SELECT * FROM embeddings WHERE vec_id < 10) q" +
         ") WHERE rank <= 5 ORDER BY query_id, rank"),
     // grown compressed index, exhaustive + full rerank ⇒ brute force over
     // the union — same oracle as q_sim_topk.

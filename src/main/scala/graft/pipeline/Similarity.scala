@@ -1095,26 +1095,46 @@ object Similarity {
       }.toSet
   }
 
-  // ---- .ann generations + ingest ledger --------------------------------
+  // ---- .ann generations + ingest/tombstone ledgers ----------------------
   //
   // Layout under an [[annIndexBuild]] directory (all pieces optional
   // except the build itself):
   //   data/ centroids/ codebooks/ rotation/ meta/   the build (gen 0)
   //   batches/<batchId>/                            one ingest batch each
   //   ledger/<batchId>.json                         the batch's COMMIT
+  //   tombstones/<deleteId>/                        one tombstone set each
+  //   tombledger/<deleteId>.json                    the set's COMMIT
   //   gen/g<NNNNN>/{<same layout>, COMMITTED}       one rebuild each
   //
   // VISIBLE-OR-ABSENT: a batch is served iff its ledger entry exists —
   // annIngest stages the encoded rows under batches/<batchId>/ first and
   // creates the ledger file LAST (one atomic create), so a job failure
   // after partial task commit leaves an unledgered (invisible) batch a
-  // re-run simply overwrites. A rebuild ([[annRebuild]]) is the same
-  // protocol one level up: the new generation directory is fully built
-  // (ingested batches folded into its data/), then its COMMITTED marker
-  // is created last; readers serve the NEWEST committed generation, so a
-  // crashed rebuild leaves the old index serving. Prior ledger entries
-  // are carried into the new generation as FOLDED records (no batch
-  // dir), so a replayed batch id still refuses after a rebuild.
+  // re-run simply overwrites. The ledger FILE's existence is the commit;
+  // its JSON body (row count) is advisory — consumers must tolerate a
+  // truncated/empty body (a crash between create and close), and none
+  // parse it today. Tombstone sets ([[annDelete]]) follow the identical
+  // protocol under tombstones/ + tombledger/. A rebuild ([[annRebuild]])
+  // is the same protocol one level up: the new generation directory is
+  // fully built (ledgered batches folded into its data/, tombstoned rows
+  // physically EXCLUDED), then its COMMITTED marker is created last;
+  // readers serve the NEWEST committed generation, so a crashed rebuild
+  // leaves the old index serving. Prior ledger/tombledger entries are
+  // carried into the new generation as FOLDED records (no data dir), so
+  // a replayed batch/delete id still refuses after a rebuild.
+  //
+  // WRITER/REBUILD FENCE (r17): a rebuild snapshots the serving root's
+  // ledger+tombledger names BEFORE reading the corpus, re-lists them
+  // immediately before creating COMMITTED (aborting — new generation
+  // deleted, nothing committed — if entries appeared: their data would
+  // not be in the new generation), and re-lists once more AFTER the
+  // marker create, rolling the marker back and aborting if an entry
+  // landed in the commit window. Symmetrically, annIngest/annDelete
+  // re-resolve the serving root AFTER their ledger create and, if a
+  // rebuild committed underneath them, SELF-REVOKE (delete their own
+  // entry + staging in the now-dead root) and throw a retryable error —
+  // so every interleaving ends with the entry either served or loudly
+  // absent, never silently dropped into a dead generation.
 
   /** The serving root of an `.ann` directory: the newest COMMITTED
     * rebuild generation, else the build itself. */
@@ -1128,38 +1148,77 @@ object Similarity {
       .map(_.toString).sorted.lastOption.getOrElse(dir)
   }
 
-  /** The cell-partitioned data roots a search reads: the serving root's
-    * build data plus every LEDGERED ingest batch (staged-but-uncommitted
-    * batch dirs are invisible — the crash-window contract). */
-  def annDataRoots(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[String] = {
-    val root = annRoot(spark, dir)
-    val lp = new org.apache.hadoop.fs.Path(s"$root/ledger")
-    val fs = lp.getFileSystem(spark.sessionState.newHadoopConf())
-    val ledgered =
-      if (!fs.exists(lp)) Seq.empty[String]
-      else fs.listStatus(lp).map(_.getPath.getName)
-        .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
-        .sorted.toSeq
-        .map(b => s"$root/batches/$b")
-        .filter(b => fs.exists(new org.apache.hadoop.fs.Path(b)))
+  /** Committed entry names (sorted) of one of a root's ledgers
+    * (`ledger` or `tombledger`). */
+  private def ledgerNames(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, sub: String): Seq[String] = {
+    val lp = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    if (!fs.exists(lp)) Seq.empty
+    else fs.listStatus(lp).map(_.getPath.getName)
+      .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
+      .sorted.toSeq
+  }
+
+  /** The cell-partitioned data roots a search reads AGAINST A RESOLVED
+    * serving root: its build data plus every LEDGERED ingest batch
+    * (staged-but-uncommitted batch dirs are invisible — the crash-window
+    * contract; a FOLDED ledger record has no batch dir and contributes
+    * nothing). One resolved root must feed sidecar load, data roots and
+    * tombstones alike — resolving twice lets a concurrent rebuild serve
+    * one generation's sidecars against another's data. */
+  private[graft] def annDataRootsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ledgered = ledgerNames(fs, root, "ledger")
+      .map(b => s"$root/batches/$b")
+      .filter(b => fs.exists(new org.apache.hadoop.fs.Path(b)))
     s"$root/data" +: ledgered
   }
 
+  /** [[annDataRootsOf]] against the CURRENT serving generation. */
+  def annDataRoots(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] =
+    annDataRootsOf(spark, annRoot(spark, dir))
+
+  /** The resolved root's LEDGERED tombstone ids as one distinct id frame
+    * (None with no committed tombstone set). Tombstone sets are
+    * takedown-sized — the frame is broadcast into the serving
+    * anti-join. Folded tombledger records (post-rebuild: the rows are
+    * physically gone from data/) have no tombstones dir and contribute
+    * nothing. */
+  private[graft] def annTombstonesOf(
+      spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sets = ledgerNames(fs, root, "tombledger")
+      .map(t => s"$root/tombstones/$t")
+      .filter(t => fs.exists(new org.apache.hadoop.fs.Path(t)))
+    if (sets.isEmpty) None
+    else Some(sets.map(r => spark.read.parquet(r).select(col("corpus_id")))
+      .reduce(_ unionByName _).distinct())
+  }
+
   /** Top-k against an [[annIndexBuild]] directory: resolves the serving
-    * generation, loads its sidecars, then probes the build data plus
-    * every ledgered ingest batch with the recorded variant's rotation
-    * and rotated dim. Exhaustive probe + full rerank ≡ brute force for
+    * generation ONCE (sidecars, data roots and tombstones all come from
+    * that one resolution — a rebuild committing mid-call cannot mix
+    * generations), then probes the build data plus every ledgered
+    * ingest batch with the recorded variant's rotation and rotated dim,
+    * anti-joining the ledgered tombstone ids BEFORE candidate ranking
+    * (deleted rows neither surface nor occupy rerank slots). Exhaustive
+    * probe + full rerank ≡ brute force over corpus-minus-deleted for
     * every variant (rerank reads the stored ORIGINAL vectors). */
   def annTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nprobe: Int = 2, rerank: Int = 50): DataFrame = {
     val root = annRoot(spark, dir)
     val idx = annLoad(spark, root)
-    ivfPqTopKFromRoots(spark, annDataRoots(spark, dir), idx.cents,
+    ivfPqTopKFromRoots(spark, annDataRootsOf(spark, root), idx.cents,
       idx.books, queries, queryId, queryVec, k, dim = idx.rdim,
       nprobe = nprobe, rerank = rerank, residual = idx.residual,
-      rotation = idx.rot)
+      rotation = idx.rot, exclude = annTombstonesOf(spark, root))
   }
 
   /** INCREMENTAL append into an [[annIndexBuild]] directory — the
@@ -1211,13 +1270,79 @@ object Similarity {
     val n =
       if (listCells(spark, stage).isEmpty) 0L
       else spark.read.parquet(stage).count()
-    val out = fs.create(ledgerFile, false) // atomic create IS the commit
-    try out.write(
-      s"""{"batch_id":"$batchId","n_rows":$n,"folded":false}\n"""
-        .getBytes("UTF-8"))
-    finally out.close()
+    commitLedgerEntry(fs, ledgerFile,
+      s"""{"batch_id":"$batchId","n_rows":$n,"folded":false}\n""")
+    annIngestBeforeFenceHook()
+    // writer/rebuild fence: a rebuild that committed while this batch
+    // encoded either folded this entry forward (then it is served) or
+    // stranded it in a dead generation (then self-revoke + retry error)
+    ensureRootUnchanged(spark, dir, root, "ledger", batchId, ledgerFile,
+      stage, s"ann ingest batch '$batchId'")
     n
   }
+
+  /** One atomic ledger create: the file's EXISTENCE is the commit; the
+    * JSON body is advisory (a crash between create and close can leave
+    * it empty — consumers must never treat body content as the
+    * contract). */
+  private def commitLedgerEntry(fs: org.apache.hadoop.fs.FileSystem,
+      ledgerFile: org.apache.hadoop.fs.Path, json: String): Unit = {
+    val out = fs.create(ledgerFile, false) // atomic create IS the commit
+    try out.write(json.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The ingest/delete side of the r17 writer/rebuild fence. If the
+    * serving root changed since `root` was resolved, a rebuild committed
+    * underneath this writer; two consistent outcomes:
+    *
+    *  - the writer's entry made the rebuild's snapshot (entry created
+    *    before the rebuild listed its ledger — staging completes before
+    *    the entry create, so the data was read too): the new generation
+    *    carries the id as a FOLDED record and serves the data — the
+    *    write simply SUCCEEDED through the fold;
+    *  - it did not (the rebuild's own fences abort on entries that
+    *    appear mid-flight, so this means a rebuild that never saw us
+    *    won the race in a way its fences resolved against us): the
+    *    entry sits in a dead generation — delete it and its staging
+    *    (loudly ABSENT) and throw a retryable error.
+    *
+    * Between this check and [[annRebuild]]'s pre/post-commit re-lists,
+    * no interleaving silently drops a committed batch or tombstone. */
+  private def ensureRootUnchanged(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      root: String, sub: String, entryId: String,
+      ledgerFile: org.apache.hadoop.fs.Path,
+      stage: String, what: String): Unit = {
+    val now = annRoot(spark, dir)
+    if (now != root) {
+      val fs =
+        ledgerFile.getFileSystem(spark.sessionState.newHadoopConf())
+      val folded =
+        new org.apache.hadoop.fs.Path(s"$now/$sub/$entryId.json")
+      if (!fs.exists(folded)) {
+        fs.delete(ledgerFile, false): Unit
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true): Unit
+        throw new IllegalStateException(
+          s"$what raced a concurrent annRebuild commit on $dir: the " +
+            "entry landed in a superseded generation and was revoked " +
+            "(nothing is committed) — re-run it against the new " +
+            "serving generation")
+      }
+      // else: the rebuild snapshotted this entry and folded it forward —
+      // the data is in the new generation; the write succeeded
+    }
+  }
+
+  /** TEST-ONLY interleaving hooks for the writer/rebuild fence specs —
+    * no-ops in production. [[annRebuildBeforeCommitHook]] fires (with
+    * the old serving root) after the new generation is built and folded
+    * but BEFORE the pre-commit fence; [[annIngestBeforeFenceHook]]
+    * fires after a writer's ledger create but BEFORE its root check. */
+  @volatile private[graft] var annRebuildBeforeCommitHook
+      : String => Unit = _ => ()
+  @volatile private[graft] var annIngestBeforeFenceHook
+      : () => Unit = () => ()
 
   /** STREAMING-driven [[annIngest]] — the `foreachBatch` body for a
     * `readStream`-fed vector corpus maintaining a `.ann` index:
@@ -1246,33 +1371,112 @@ object Similarity {
     else Some(annIngest(spark, dir, batch, id, vec, batchId))
   }
 
-  /** Reclaim a rebuilt `.ann` directory's DEAD state: with at least one
-    * COMMITTED generation, every OLDER generation (committed or not —
-    * a crashed rebuild's partial directory included) and the top-level
-    * build pieces (`data/`, `batches/`, `ledger/`, the sidecars —
-    * all folded into the serving generation by [[annRebuild]]) are
-    * deleted. The serving generation is never touched; with no
-    * committed generation nothing is deleted (the top level IS the
-    * index). Run it when no reader may still be executing against an
-    * older generation — the same contract as table cleaning. Returns
-    * the deleted paths. */
+  /** DELETE rows from a `.ann` index — the takedown verb: the id set is
+    * staged under `tombstones/<deleteId>/` and COMMITTED by one atomic
+    * `tombledger/<deleteId>.json` create (the exact visible-or-absent
+    * protocol of [[annIngest]]). From that commit on, [[annTopK]]
+    * anti-joins the tombstoned ids BEFORE candidate ranking (the rows
+    * neither surface nor occupy rerank slots), and the next
+    * [[annRebuild]] EXCLUDES them when it reads the stored vectors —
+    * tombstone filtering is the serving-time story, the rebuild is the
+    * PHYSICAL removal (after which the set's id is carried as a folded
+    * record, so a replayed deleteId still refuses). A re-arriving
+    * deleteId refuses loudly (delete a different slice under a new id —
+    * re-deleting already-tombstoned rows is a no-op set union, not an
+    * error, as long as the SET id is fresh). Ids need not currently be
+    * in the index (a tombstone can arrive ahead of a batch that will
+    * never be served — the anti-join is by id). Returns the distinct id
+    * count committed.
+    *
+    * Scale: a tombstone set is takedown-sized (ids only, no vectors);
+    * serving broadcasts the union of ledgered sets into the probed-cell
+    * scan — rebuild cadence bounds that union exactly as it bounds the
+    * batch-root count. */
+  def annDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: DataFrame, idCol: Column, deleteId: String): Long = {
+    require(deleteId.nonEmpty && deleteId.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"deleteId '$deleteId' must be a filename-safe token " +
+        "([A-Za-z0-9._-]+) — it names the set's tombledger entry")
+    val root = annRoot(spark, dir)
+    val ledgerFile =
+      new org.apache.hadoop.fs.Path(s"$root/tombledger/$deleteId.json")
+    val fs = ledgerFile.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(ledgerFile),
+      s"ann tombstone set '$deleteId' was already committed into $dir " +
+        "— use a new delete id (replaying a takedown must be " +
+        "detectable, not silent)")
+    val stage = s"$root/tombstones/$deleteId"
+    ids.select(idCol.cast("long").as("corpus_id")).distinct()
+      .write.mode("overwrite").parquet(stage)
+    val n = spark.read.parquet(stage).count()
+    commitLedgerEntry(fs, ledgerFile,
+      s"""{"delete_id":"$deleteId","n_ids":$n,"folded":false}\n""")
+    annIngestBeforeFenceHook()
+    ensureRootUnchanged(spark, dir, root, "tombledger", deleteId,
+      ledgerFile, stage, s"ann tombstone set '$deleteId'")
+    n
+  }
+
+  /** Reclaim a rebuilt `.ann` directory's DEAD state, with a RETENTION
+    * WINDOW for in-flight readers (r17, the table-clean stance): the
+    * newest `keepGenerations` generations — counting the top-level
+    * build as the oldest — survive; every COMMITTED generation older
+    * than the window, every UNCOMMITTED generation numbered BELOW the
+    * serving one (a crashed old rebuild's partial), and (once outside
+    * the window) the folded top-level build pieces are deleted. An
+    * uncommitted generation numbered ABOVE the serving one is NEVER
+    * touched — it may be a rebuild in flight; a crashed one is
+    * reclaimed by the next successful rebuild+clean cycle, once a newer
+    * committed generation outranks it. The serving generation is never
+    * deleted; with no committed generation nothing is (the top level IS
+    * the index). `keepGenerations = 2` (default) lets a reader that
+    * resolved the PREVIOUS generation just before a rebuild finish its
+    * scan across a concurrent clean; 1 restores eager reclamation (the
+    * caller asserts no concurrent readers). Returns the deleted
+    * paths. */
   def annClean(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[String] = {
+      dir: String, keepGenerations: Int = 2): Seq[String] = {
+    require(keepGenerations >= 1,
+      s"keepGenerations must be >= 1 (got $keepGenerations) — the " +
+        "serving generation is always retained")
     val root = annRoot(spark, dir)
     if (root == dir) return Seq.empty // no committed generation
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val oldGens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/gen"))
-      .filter(_.isDirectory).map(_.getPath)
-      .filter(_.toString != root)
-    val topLevel = Seq("data", "batches", "ledger", "centroids",
-      "codebooks", "rotation", "meta")
-      .map(n => new org.apache.hadoop.fs.Path(s"$dir/$n"))
-      .filter(fs.exists)
-    (oldGens ++ topLevel).map { q =>
+    val genDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/gen"))
+      .filter(_.isDirectory).map(_.getPath).toSeq
+    val committed = genDirs
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(g, "COMMITTED")))
+      .map(_.toString).sorted // ascending; last == root
+    def genNum(path: org.apache.hadoop.fs.Path): Int =
+      try path.getName.stripPrefix("g").toInt
+      catch { case _: NumberFormatException => Int.MaxValue }
+    val servingNum = genNum(new org.apache.hadoop.fs.Path(root))
+    // generation sequence oldest → newest; the top-level build occupies
+    // the oldest slot only while its data still exists (an earlier clean
+    // may have reclaimed it already)
+    val hasTopLevel =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data"))
+    val seq: Seq[String] = (if (hasTopLevel) Seq(dir) else Seq.empty) ++
+      committed
+    val retained = seq.takeRight(keepGenerations).toSet + root
+    val deadGens = genDirs.filter { g =>
+      val s = g.toString
+      if (retained(s)) false
+      else if (committed.contains(s)) true // committed, aged out
+      else genNum(g) < servingNum // crashed OLD rebuild only
+    }
+    val topLevel =
+      if (retained(dir)) Seq.empty
+      else Seq("data", "batches", "ledger", "tombstones", "tombledger",
+        "centroids", "codebooks", "rotation", "meta")
+        .map(n => new org.apache.hadoop.fs.Path(s"$dir/$n"))
+        .filter(fs.exists)
+    (deadGens ++ topLevel).map { q =>
       fs.delete(q, true): Unit
       q.toString
-    }.toSeq
+    }
   }
 
   /** Assign + encode a raw batch against a loaded index's frozen
@@ -1329,14 +1533,29 @@ object Similarity {
     * centroids/codebooks trained before they arrived (recall drifts, the
     * RECALL_r*.json `ann_ingest_grown` row prices it); annRebuild reads
     * every stored ORIGINAL vector (build data + all ledgered batches —
-    * the source table is NOT needed), re-trains the same variant at the
-    * same shape, and writes a NEW generation under `gen/`, committed by
-    * one atomic marker create. Readers atomically switch to the new
-    * generation; a crashed rebuild leaves the old one serving; prior
-    * batch ids stay refused (folded ledger records). Policy knob:
-    * rebuild when the ingested fraction of the corpus is large enough
-    * that the measured drift matters — e.g. > 10–30% ingested since the
-    * last (re)build.
+    * the source table is NOT needed) MINUS the ledgered tombstone ids
+    * ([[annDelete]] — the rebuild IS the physical removal), re-trains
+    * the same variant at the same shape, and writes a NEW generation
+    * under `gen/`, committed by one atomic marker create. Readers
+    * atomically switch to the new generation; a crashed rebuild leaves
+    * the old one serving; prior batch AND delete ids stay refused
+    * (folded ledger/tombledger records). Policy knob: rebuild when the
+    * ingested-or-tombstoned fraction of the corpus is large enough that
+    * the measured drift (or the tombstone anti-join) matters — e.g.
+    * > 10–30% since the last (re)build (`CALL ann_stats` computes the
+    * fraction and the flag).
+    *
+    * CONCURRENT-WRITER FENCE (r17): the ledger+tombledger name set is
+    * snapshotted before the corpus read, re-listed immediately before
+    * the COMMITTED create (a new entry → the new generation is missing
+    * its data: the generation is deleted and the rebuild aborts loudly
+    * — re-run it), and re-listed once more AFTER the create (an entry
+    * that landed inside the commit window → the marker is rolled back,
+    * the generation deleted, and the rebuild aborts — the old
+    * generation, which HAS the entry, keeps serving). The symmetric
+    * post-commit check in [[annIngest]]/[[annDelete]] self-revokes an
+    * entry stranded in a dead generation — between the two sides, no
+    * interleaving silently drops a committed batch or tombstone.
     *
     * Training knobs not recorded in the sidecars (`iters`, `seed`,
     * `trainFraction`, `opqIters`) are arguments; the structural shape
@@ -1347,20 +1566,32 @@ object Similarity {
       iters: Int = 2, seed: Long = 42L, trainFraction: Double = 1.0,
       opqIters: Int = 3): String = {
     val root = annRoot(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def entrySnapshot(): (Seq[String], Seq[String]) =
+      (ledgerNames(fs, root, "ledger"), ledgerNames(fs, root, "tombledger"))
+    val s1 = entrySnapshot()
     val idx = annLoad(spark, root)
-    val roots = annDataRoots(spark, dir)
+    val roots = annDataRootsOf(spark, root)
       .filter(r => listCells(spark, r).nonEmpty)
-    val corpus = roots.map(r => spark.read.parquet(r)
+    val stored = roots.map(r => spark.read.parquet(r)
         .select(col("corpus_id"), col("cv")))
       .reduce(_ unionByName _)
+    // physical removal: tombstoned ids never enter the new generation
+    val corpus = annTombstonesOf(spark, root)
+      .fold(stored)(t => stored.join(broadcast(t), Seq("corpus_id"),
+        "left_anti"))
     // structural shape recovered from the serving generation: original
     // dim from a stored vector, nlist/m/ksub from the sidecars
-    val origDim = corpus.select(size(col("cv"))).head().getInt(0)
+    val firstRow = corpus.select(size(col("cv"))).head(1)
+    require(firstRow.nonEmpty,
+      s"annRebuild($dir): every stored vector is tombstoned — an empty " +
+        "retrain is meaningless; drop the index directory instead")
+    val origDim = firstRow.head.getInt(0)
     val nlist = idx.cents.size
     val m = idx.books.size
     val ksub = idx.books.head.size
     val gp = new org.apache.hadoop.fs.Path(s"$dir/gen")
-    val fs = gp.getFileSystem(spark.sessionState.newHadoopConf())
     val existing =
       if (!fs.exists(gp)) Seq.empty[String]
       else fs.listStatus(gp).map(_.getPath.getName).sorted.toSeq
@@ -1373,23 +1604,39 @@ object Similarity {
       trainFraction = trainFraction, variant = idx.variant,
       rank = if (idx.variant == "pca") idx.rdim else 0,
       opqIters = opqIters): Unit
-    // carry prior batch ids as FOLDED ledger records (no batch dir): a
-    // replayed id refuses after the rebuild too — its rows are in data/
-    val oldLedger = new org.apache.hadoop.fs.Path(s"$root/ledger")
-    if (fs.exists(oldLedger))
-      fs.listStatus(oldLedger).map(_.getPath.getName)
-        .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
-        .foreach { b =>
-          val o = fs.create(new org.apache.hadoop.fs.Path(
-            s"$newGen/ledger/$b.json"), false)
-          try o.write(
-            s"""{"batch_id":"$b","n_rows":-1,"folded":true}\n"""
-              .getBytes("UTF-8"))
-          finally o.close()
-        }
+    // carry the SNAPSHOTTED batch/delete ids as FOLDED records (no data
+    // dir): a replayed id refuses after the rebuild too — batch rows are
+    // in data/, tombstoned rows are physically gone
+    s1._1.foreach(b => commitLedgerEntry(fs,
+      new org.apache.hadoop.fs.Path(s"$newGen/ledger/$b.json"),
+      s"""{"batch_id":"$b","n_rows":-1,"folded":true}\n"""))
+    s1._2.foreach(t => commitLedgerEntry(fs,
+      new org.apache.hadoop.fs.Path(s"$newGen/tombledger/$t.json"),
+      s"""{"delete_id":"$t","n_ids":-1,"folded":true}\n"""))
+    def abortConcurrent(phase: String): Nothing = {
+      fs.delete(new org.apache.hadoop.fs.Path(newGen), true): Unit
+      throw new IllegalStateException(
+        s"annRebuild($dir) detected a concurrent ingest/delete commit " +
+          s"$phase: its data is not in the retrained generation, so " +
+          "the generation was discarded (the prior one keeps serving, " +
+          "including the late entry) — re-run the rebuild")
+    }
+    annRebuildBeforeCommitHook(root)
+    // fence (pre-commit): entries that appeared since the corpus read
+    // are not in the new generation — abort, nothing committed
+    if (entrySnapshot() != s1) abortConcurrent("before its marker")
     // one atomic create commits the generation
     fs.create(new org.apache.hadoop.fs.Path(newGen, "COMMITTED"), false)
       .close()
+    // fence (post-commit): an entry that landed inside the commit window
+    // was either self-revoked by its writer (who saw the new root — set
+    // unchanged, we keep the commit) or is still present — roll the
+    // marker back so the old generation (which serves it) stays current
+    if (entrySnapshot() != s1) {
+      fs.delete(new org.apache.hadoop.fs.Path(newGen, "COMMITTED"),
+        false): Unit
+      abortConcurrent("inside its commit window")
+    }
     newGen
   }
 
@@ -1466,7 +1713,8 @@ object Similarity {
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, dim: Int, nprobe: Int = 2, rerank: Int = 50,
       residual: Boolean = true,
-      rotation: Option[Seq[Seq[Double]]] = None): DataFrame = {
+      rotation: Option[Seq[Seq[Double]]] = None,
+      exclude: Option[DataFrame] = None): DataFrame = {
     // residual decomposition: ⟨q, x̂⟩ = ⟨q, c_cell⟩ + ⟨q, r̂⟩ — the first
     // term is one dot per (query, probed cell) against the centroid
     // literal, the second the usual LUT sum over the codes. With an OPQ
@@ -1512,12 +1760,20 @@ object Similarity {
             org.apache.spark.sql.types.IntegerType, nullable = false),
           org.apache.spark.sql.types.StructField("cosine_micro",
             org.apache.spark.sql.types.LongType))))
-    def cellScan() = byRoot.flatMap { case (r, ex) =>
+    // tombstone anti-join (takedown-sized id set, broadcast) applied to
+    // BOTH phases' scans: deleted rows neither rank as ADC candidates
+    // (no stolen rerank slots) nor re-enter via the rerank's id join
+    def cellScan() = {
+      val scan = byRoot.flatMap { case (r, ex) =>
         val cs = cells.filter(ex)
         if (cs.isEmpty) None
         else Some(spark.read.option("basePath", r)
           .parquet(cs.map(c => s"$r/__cluster=$c"): _*))
       }.reduce(_ unionByName _)
+      exclude.fold(scan)(t =>
+        scan.join(broadcast(t.select(col("corpus_id"))),
+          Seq("corpus_id"), "left_anti"))
+    }
     // phase 1: compressed-domain scoring — vectors never enter this plan
     val adc = cellScan().select("corpus_id", "codes", "vnorm", "__cluster")
       .join(broadcast(qd), Seq("__cluster"))

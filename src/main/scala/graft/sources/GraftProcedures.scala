@@ -877,38 +877,91 @@ private[sources] object GraftProcedures {
         Seq(row(gen))
       },
 
+      proc("ann_delete",
+        "DELETE rows from the table's .ann index — the takedown verb: " +
+          "the ids a predicate selects over the table are committed as " +
+          "a ledgered tombstone set (visible-or-absent, one atomic " +
+          "ledger create); from then on ann_search anti-joins them " +
+          "before candidate ranking, and the next ann_rebuild excludes " +
+          "them PHYSICALLY from the retrained generation. A replayed " +
+          "delete_id refuses loudly (takedown replay must be " +
+          "detectable); re-deleting already-tombstoned rows under a " +
+          "NEW id is a harmless set union",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT row id column"),
+          in("delete_predicate", StringType,
+            "SQL boolean expression selecting the rows to remove, " +
+              "e.g. \"vec_id % 7 = 0\" — evaluated against the TABLE " +
+              "snapshot (delete rows from the table first or together; " +
+              "the tombstone takes ids, not vectors)"),
+          in("delete_id", StringType,
+            "caller-chosen idempotency token ([A-Za-z0-9._-]+) naming " +
+              "this set's tombledger entry; re-CALLing with the same " +
+              "id refuses")),
+        out("n_tombstoned" -> LongType, "index_path" -> StringType)) {
+        (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val fx = org.apache.spark.sql.functions
+        val ids = graft.read.SnapshotReader.read(spark, path)
+          .filter(fx.expr(str(r, 2)))
+        val n = graft.pipeline.Similarity.annDelete(spark, s"$path/.ann",
+          ids, fx.col(str(r, 1)), deleteId = str(r, 3))
+        Seq(row(Long.box(n), s"$path/.ann"))
+      },
+
       proc("ann_clean",
-        "reclaim a rebuilt .ann index's dead state: with a committed " +
-          "generation serving, every older generation (a crashed " +
-          "rebuild's partial included) and the folded top-level build " +
-          "pieces are deleted; the serving generation is never " +
-          "touched, and with no committed generation nothing is. Run " +
-          "when no reader may still be on an older generation (the " +
-          "table-clean contract)",
-        Seq(tableParam),
+        "reclaim a rebuilt .ann index's dead state, with a retention " +
+          "window for in-flight readers: the newest keep_generations " +
+          "generations (the top-level build counts as the oldest) " +
+          "survive; committed generations older than the window, " +
+          "crashed OLD rebuilds' partials, and (once aged out) the " +
+          "folded top-level pieces are deleted. An uncommitted NEWER " +
+          "generation is never touched (it may be a rebuild in " +
+          "flight). keep_generations = 2 (default) lets a reader that " +
+          "resolved the previous generation finish across a " +
+          "concurrent clean; 1 reclaims eagerly (caller asserts no " +
+          "concurrent readers — the table-clean contract)",
+        Seq(tableParam,
+          in("keep_generations", IntegerType,
+            "newest generations retained (>= 1)",
+            default = Some("2"))),
         out("deleted_path" -> StringType)) { (cat, r) =>
         val path = cat.resolveTablePath(str(r, 0))
-        graft.pipeline.Similarity.annClean(spark, s"$path/.ann")
+        graft.pipeline.Similarity.annClean(spark, s"$path/.ann",
+            keepGenerations = r.getInt(1))
           .map(row(_))
       },
 
       proc("ann_stats",
         "operational state of the table's .ann index: the serving " +
-          "generation, its variant/shape, and one row per data root " +
-          "(the build plus each LEDGERED ingest batch) with its row " +
-          "count (parquet footer sums — no data read). Staged-but-" +
-          "uncommitted batch dirs are invisible here exactly as they " +
-          "are to ann_search",
-        Seq(tableParam),
+          "generation, its variant, one row per data root (the build " +
+          "plus each LEDGERED ingest batch; kind 'build' | 'ingest') " +
+          "with its footer row count, plus one 'tombstones' row when " +
+          "deletes are pending. Every row also carries the index-wide " +
+          "ingested_fraction (ingested rows / total stored rows), " +
+          "tombstoned_fraction, and rebuild_recommended — the " +
+          "documented fold-the-drift policy (rebuild when either " +
+          "fraction crosses rebuild_threshold). Staged-but-uncommitted " +
+          "dirs are invisible here exactly as they are to ann_search",
+        Seq(tableParam,
+          in("rebuild_threshold", DoubleType,
+            "ingested/tombstoned fraction above which " +
+              "rebuild_recommended flips true (policy: 0.1-0.3)",
+            default = Some("0.1"))),
         out("generation" -> StringType, "variant" -> StringType,
-          "root" -> StringType, "n_rows" -> LongType)) { (cat, r) =>
+          "root" -> StringType, "n_rows" -> LongType,
+          "kind" -> StringType, "ingested_fraction" -> DoubleType,
+          "tombstoned_fraction" -> DoubleType,
+          "rebuild_recommended" -> BooleanType)) { (cat, r) =>
         val path = cat.resolveTablePath(str(r, 0))
+        val threshold = r.getDouble(1)
         val dir = s"$path/.ann"
-        val root = graft.pipeline.Similarity.annRoot(spark, dir)
+        val sim = graft.pipeline.Similarity
+        val root = sim.annRoot(spark, dir)
         val variant = spark.read.parquet(s"$root/meta").head().getString(0)
         val gen = if (root == dir) "build" else
           root.substring(root.lastIndexOf('/') + 1)
-        graft.pipeline.Similarity.annDataRoots(spark, dir).map { rt =>
+        def footerCount(rt: String): Long = {
           val p = new org.apache.hadoop.fs.Path(rt)
           val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
           // a zero-row ingest batch has a ledger entry and an empty
@@ -916,11 +969,33 @@ private[sources] object GraftProcedures {
           val hasCells = fs.exists(p) && fs.listStatus(p)
             .exists(s => s.isDirectory &&
               s.getPath.getName.startsWith("__cluster="))
-          val n =
-            if (!hasCells) 0L
-            else spark.read.parquet(rt).count() // footer-count fold
-          row(gen, variant, rt, Long.box(n))
+          if (!hasCells) 0L
+          else spark.read.parquet(rt).count() // footer-count fold
         }
+        val dataRoots = sim.annDataRootsOf(spark, root)
+          .map(rt => (rt, footerCount(rt),
+            if (rt.endsWith("/data")) "build" else "ingest"))
+        val nTomb = sim.annTombstonesOf(spark, root)
+          .map(_.count()).getOrElse(0L)
+        val total = dataRoots.map(_._2).sum
+        val ingested = dataRoots.filter(_._3 == "ingest").map(_._2).sum
+        val ingestedFrac =
+          if (total == 0) 0.0 else ingested.toDouble / total
+        val tombFrac =
+          if (total == 0) 0.0 else nTomb.toDouble / total
+        val recommend =
+          ingestedFrac >= threshold || tombFrac >= threshold
+        val dataRows = dataRoots.map { case (rt, n, kind) =>
+          row(gen, variant, rt, Long.box(n), kind,
+            Double.box(ingestedFrac), Double.box(tombFrac),
+            Boolean.box(recommend))
+        }
+        val tombRows =
+          if (nTomb == 0) Seq.empty
+          else Seq(row(gen, variant, s"$root/tombstones",
+            Long.box(nTomb), "tombstones", Double.box(ingestedFrac),
+            Double.box(tombFrac), Boolean.box(recommend)))
+        dataRows ++ tombRows
       },
 
       proc("quality_model",

@@ -753,6 +753,127 @@ class PipelineSpec extends SparkSpec {
     assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
   }
 
+  test("annDelete: tombstoned rows vanish from serving at exhaustive " +
+      "settings; rebuild physically excludes them; replayed delete id " +
+      "refuses; undeleted results unchanged (r17)") {
+    val dir = freshDir("ann_delete_idx")
+    Similarity.annIndexBuild(embs.filter($"vec_id" % 3 =!= 2),
+      $"vec_id", $"embedding", dir, dim = 64, nlist = 4,
+      variant = "pca", rank = 16): Unit
+    Similarity.annIngest(spark, dir, embs.filter($"vec_id" % 3 === 2),
+      $"vec_id", $"embedding", "grow-1"): Unit
+    val deleted = embs.filter($"vec_id" % 7 === 0)
+    val live = embs.filter($"vec_id" % 7 =!= 0)
+    val nDel = Similarity.annDelete(spark, dir,
+      deleted, $"vec_id", "takedown-1")
+    assert(nDel == deleted.count())
+    def topNow(): org.apache.spark.sql.DataFrame =
+      Similarity.annTopK(spark, dir, embs.filter($"vec_id" < 5),
+          $"vec_id", $"embedding", k = 3, nprobe = 4, rerank = 1 << 30)
+        .select("query_id", "corpus_id", "rank")
+    // exhaustive + full rerank over the tombstoned index ≡ brute force
+    // over corpus-minus-deleted (queries themselves may be deleted docs —
+    // a deleted doc may still QUERY, it just can't be RETRIEVED)
+    val brute = Similarity.bruteForceTopK(live, $"vec_id", $"embedding",
+        embs.filter($"vec_id" < 5), $"vec_id", $"embedding", k = 3)
+      .select("query_id", "corpus_id", "rank")
+    val got = topNow()
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    // a replayed delete id refuses loudly (takedown replay is detectable)
+    val e = intercept[IllegalArgumentException](Similarity.annDelete(
+      spark, dir, deleted, $"vec_id", "takedown-1"))
+    assert(e.getMessage.contains("already committed"))
+    // rebuild: PHYSICAL removal — no tombstoned id in any stored row of
+    // the new generation; serving is unchanged for the undeleted
+    val gen = Similarity.annRebuild(spark, dir, iters = 1)
+    val storedIds = Similarity.annDataRootsOf(spark, gen)
+      .map(r => spark.read.parquet(r).select("corpus_id"))
+      .reduce(_ unionByName _)
+    assert(storedIds.join(deleted.select($"vec_id".as("corpus_id")),
+      Seq("corpus_id")).isEmpty, "rebuild re-included tombstoned rows")
+    assert(storedIds.count() == live.count())
+    val after = topNow()
+    assert(after.exceptAll(brute).isEmpty && brute.exceptAll(after).isEmpty)
+    // the folded tombledger record still refuses the delete id
+    val e2 = intercept[IllegalArgumentException](Similarity.annDelete(
+      spark, dir, deleted, $"vec_id", "takedown-1"))
+    assert(e2.getMessage.contains("already committed"))
+    // retention clean (default keepGenerations = 2): the top-level build
+    // survives as the previous generation — a reader that resolved its
+    // roots JUST before the rebuild still completes
+    val oldRoots = Similarity.annDataRootsOf(spark, dir)
+    assert(Similarity.annClean(spark, dir).isEmpty)
+    assert(oldRoots.map(r => spark.read.parquet(r).count()).sum ==
+      embs.count(), "retained previous generation must stay readable")
+    // eager clean reclaims it; serving still exact
+    val cleaned = Similarity.annClean(spark, dir, keepGenerations = 1)
+    assert(cleaned.exists(_.endsWith("/data")) &&
+      cleaned.exists(_.endsWith("/tombstones")), cleaned.toString)
+    val afterClean = topNow()
+    assert(afterClean.exceptAll(brute).isEmpty &&
+      brute.exceptAll(afterClean).isEmpty)
+  }
+
+  test("writer/rebuild fence: an ingest committing mid-rebuild aborts " +
+      "the rebuild (nothing lost); a rebuild committing mid-ingest " +
+      "folds the entry forward (served) (r17)") {
+    // side A: ingest lands while a rebuild is between corpus read and
+    // marker — the rebuild must abort (its generation is missing the
+    // batch) and the old root must keep serving the batch
+    val dirA = freshDir("ann_fence_a")
+    Similarity.annIndexBuild(embs.filter($"vec_id" % 3 =!= 2),
+      $"vec_id", $"embedding", dirA, dim = 64, nlist = 4,
+      variant = "pq"): Unit
+    val late = embs.filter($"vec_id" % 3 === 2)
+    try {
+      Similarity.annRebuildBeforeCommitHook = _ =>
+        Similarity.annIngest(spark, dirA, late,
+          $"vec_id", $"embedding", "racer"): Unit
+      val e = intercept[IllegalStateException](
+        Similarity.annRebuild(spark, dirA, iters = 1))
+      assert(e.getMessage.contains("concurrent ingest/delete commit"),
+        e.getMessage)
+    } finally Similarity.annRebuildBeforeCommitHook = _ => ()
+    // nothing committed: the top level still serves, INCLUDING the racer
+    assert(Similarity.annRoot(spark, dirA) == dirA)
+    val got = Similarity.annTopK(spark, dirA, embs.filter($"vec_id" < 5),
+        $"vec_id", $"embedding", k = 3, nprobe = 4, rerank = 1 << 30)
+      .select("query_id", "corpus_id", "rank")
+    val brute = Similarity.bruteForceTopK(embs, $"vec_id", $"embedding",
+        embs.filter($"vec_id" < 5), $"vec_id", $"embedding", k = 3)
+      .select("query_id", "corpus_id", "rank")
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    // a re-run rebuild (no concurrency) folds the racer and commits
+    val gen = Similarity.annRebuild(spark, dirA, iters = 1)
+    assert(Similarity.annRoot(spark, dirA)
+      .endsWith(gen.stripPrefix("file:")))
+
+    // side B: a rebuild that snapshotted an in-flight ingest's entry
+    // folds it forward — the ingest returns success, served by the new
+    // generation, and a replay still refuses
+    val dirB = freshDir("ann_fence_b")
+    Similarity.annIndexBuild(embs.filter($"vec_id" % 3 =!= 2),
+      $"vec_id", $"embedding", dirB, dim = 64, nlist = 4,
+      variant = "pq"): Unit
+    try {
+      Similarity.annIngestBeforeFenceHook = () =>
+        Similarity.annRebuild(spark, dirB, iters = 1): Unit
+      val n = Similarity.annIngest(spark, dirB, late,
+        $"vec_id", $"embedding", "folded-b")
+      assert(n == late.count())
+    } finally Similarity.annIngestBeforeFenceHook = () => ()
+    assert(Similarity.annRoot(spark, dirB) != dirB,
+      "the hooked rebuild must have committed")
+    val gotB = Similarity.annTopK(spark, dirB, embs.filter($"vec_id" < 5),
+        $"vec_id", $"embedding", k = 3, nprobe = 4, rerank = 1 << 30)
+      .select("query_id", "corpus_id", "rank")
+    assert(gotB.exceptAll(brute).isEmpty && brute.exceptAll(gotB).isEmpty,
+      "the folded-forward batch must be served by the new generation")
+    val e2 = intercept[IllegalArgumentException](Similarity.annIngest(
+      spark, dirB, late, $"vec_id", $"embedding", "folded-b"))
+    assert(e2.getMessage.contains("already committed"))
+  }
+
   test("knnJoin: nprobe=nlist == independent brute force; cellSplits " +
       "skew belt is result-identical") {
     import org.apache.spark.sql.expressions.Window

@@ -587,6 +587,17 @@ class ProcedureSpec extends SparkSpec {
     assert(stats.length == 2 && stats.forall(_.getString(0) == "build"))
     assert(stats.map(_.getLong(3)).sum == embs.count())
     assert(!stats.exists(_.getString(2).endsWith("/b2")))
+    // r17 policy columns: a third of the corpus arrived via ingest, so
+    // ingested_fraction ~ 1/3 and the default 0.1 threshold recommends
+    // a rebuild; a generous threshold does not
+    assert(stats.map(_.getString(4)).sorted.toSeq == Seq("build", "ingest"))
+    assert(stats.forall(r => math.abs(r.getDouble(5) -
+      added.toDouble / embs.count()) < 1e-9))
+    assert(stats.forall(_.getBoolean(7)), "rebuild_recommended must flip")
+    val statsLoose = spark.sql(s"CALL $cat.system.ann_stats(" +
+      "table => 'ns.embs_grow', rebuild_threshold => 0.9)").collect()
+    assert(statsLoose.forall(!_.getBoolean(7)),
+      "below threshold must not recommend")
 
     // r16 rebuild: retrain over the grown corpus from the index's own
     // stored vectors; exhaustive search over the new generation still
@@ -607,16 +618,25 @@ class ProcedureSpec extends SparkSpec {
       "batch_predicate => 'vec_id % 3 = 2', batch_id => 'b1')").collect())
     assert(e2.getMessage.contains("already committed"), e2.getMessage)
     // after the rebuild: one generation root holding everything, the
-    // folded b1 carries no batch dir
+    // folded b1 carries no batch dir; nothing ingested since → the
+    // policy columns reset
     val stats2 = spark.sql(s"CALL $cat.system.ann_stats(" +
       "table => 'ns.embs_grow')").collect()
     assert(stats2.length == 1 && stats2.head.getString(0) == "g00001")
     assert(stats2.head.getLong(3) == embs.count())
+    assert(stats2.head.getDouble(5) == 0.0 && !stats2.head.getBoolean(7))
 
-    // ann_clean reclaims the folded top level + the staged b2 remains;
-    // the serving generation is untouched and search stays exact
+    // r17 retention: the DEFAULT clean (keep_generations = 2) retains
+    // the top-level build as the previous generation — a reader that
+    // resolved it just before the rebuild still completes
+    assert(spark.sql(s"CALL $cat.system.ann_clean(" +
+      "table => 'ns.embs_grow')").collect().isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$annDir/data")))
+    // eager clean (keep_generations = 1) reclaims the folded top level +
+    // the staged b2 remains; the serving generation is untouched
     val cleaned = spark.sql(s"CALL $cat.system.ann_clean(" +
-      "table => 'ns.embs_grow')").collect().map(_.getString(0)).toSet
+      "table => 'ns.embs_grow', keep_generations => 1)").collect()
+      .map(_.getString(0)).toSet
     assert(cleaned.exists(_.endsWith("/.ann/data")) &&
       cleaned.exists(_.endsWith("/.ann/batches")), cleaned.toString)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$annDir/data")))
@@ -627,17 +647,72 @@ class ProcedureSpec extends SparkSpec {
       "rerank => 1000000)").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(afterClean == brute)
-    // a second rebuild works from the cleaned state (reads g00001) and
-    // a repeat clean then drops g00001
+    // a second rebuild works from the cleaned state (reads g00001); the
+    // default clean now retains g00001 as the previous generation, the
+    // eager one drops it
     val gen2 = spark.sql(s"CALL $cat.system.ann_rebuild(" +
       "table => 'ns.embs_grow')").head().getString(0)
     assert(gen2.endsWith("g00002"))
-    val cleaned2 = spark.sql(s"CALL $cat.system.ann_clean(" +
-      "table => 'ns.embs_grow')").collect().map(_.getString(0)).toSet
-    assert(cleaned2.exists(_.endsWith("/gen/g00001")), cleaned2.toString)
-    // nothing dead left: the next clean is a no-op
     assert(spark.sql(s"CALL $cat.system.ann_clean(" +
       "table => 'ns.embs_grow')").collect().isEmpty)
+    val cleaned2 = spark.sql(s"CALL $cat.system.ann_clean(" +
+      "table => 'ns.embs_grow', keep_generations => 1)").collect()
+      .map(_.getString(0)).toSet
+    assert(cleaned2.exists(_.endsWith("/gen/g00001")), cleaned2.toString)
+    // nothing dead left: the next clean is a no-op at any retention
+    assert(spark.sql(s"CALL $cat.system.ann_clean(" +
+      "table => 'ns.embs_grow', keep_generations => 1)").collect().isEmpty)
+
+    // r17 takedown through SQL: tombstone a slice, search excludes it
+    // at exhaustive settings, ann_stats reports the pending set, the
+    // next rebuild removes it physically
+    val delCount = embs.filter(col("vec_id") % 7 === 0).count()
+    val del = spark.sql(s"CALL $cat.system.ann_delete(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "delete_predicate => 'vec_id % 7 = 0', " +
+      "delete_id => 'takedown-1')").head()
+    assert(del.getLong(0) == delCount)
+    val live = embs.filter(col("vec_id") % 7 =!= 0)
+    val bruteLive = graft.pipeline.Similarity.bruteForceTopK(
+        live, col("vec_id"), col("embedding"),
+        embs.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5)
+      .select(col("query_id"), col("corpus_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val afterDel = spark.sql(s"CALL $cat.system.ann_search(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "vec_col => 'embedding', " +
+      "query_predicate => 'vec_id < 10', k => 5, nprobe => 4, " +
+      "rerank => 1000000)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(afterDel == bruteLive,
+      "tombstoned rows must vanish from ann_search")
+    val e3 = intercept[Exception](spark.sql(s"CALL $cat.system.ann_delete(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "delete_predicate => 'vec_id % 7 = 0', " +
+      "delete_id => 'takedown-1')").collect())
+    assert(e3.getMessage.contains("already committed"), e3.getMessage)
+    val stats3 = spark.sql(s"CALL $cat.system.ann_stats(" +
+      "table => 'ns.embs_grow')").collect()
+    assert(stats3.exists(r => r.getString(4) == "tombstones" &&
+      r.getLong(3) == delCount))
+    assert(stats3.forall(_.getBoolean(7)),
+      "a pending tombstone set past the threshold must recommend rebuild")
+    val gen3 = spark.sql(s"CALL $cat.system.ann_rebuild(" +
+      "table => 'ns.embs_grow')").head().getString(0)
+    assert(gen3.endsWith("g00003"))
+    val stats4 = spark.sql(s"CALL $cat.system.ann_stats(" +
+      "table => 'ns.embs_grow')").collect()
+    assert(stats4.length == 1 &&
+      stats4.head.getLong(3) == embs.count() - delCount,
+      "the rebuilt generation must physically exclude tombstoned rows")
+    val afterDelRebuild = spark.sql(s"CALL $cat.system.ann_search(" +
+      "table => 'ns.embs_grow', id_col => 'vec_id', " +
+      "vec_col => 'embedding', " +
+      "query_predicate => 'vec_id < 10', k => 5, nprobe => 4, " +
+      "rerank => 1000000)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(afterDelRebuild == bruteLive)
   }
 
   test("ann_search refuses a corpus-sized query predicate") {

@@ -1590,6 +1590,23 @@ object Dedup {
         "assertNewDocs = false only if uniqueness is enforced upstream)")
   }
 
+  /** The takedown twin of [[assertUningested]]: every doc id in a DELETE
+    * batch must be PRESENT in the docs table — subtracting a never-
+    * ingested doc's counts would corrupt the index, so an unknown id
+    * refuses loudly. Key-only docs probe, batch-sized broadcast. */
+  private def assertAllIngested(spark: org.apache.spark.sql.SparkSession,
+      docsDir: String, ids: DataFrame, what: String): Unit = {
+    val probe = ids.select(col("doc_id").cast("string").as("k")).distinct()
+    val n = probe.count()
+    val present = graft.util.CatalogMount.table(spark, docsDir)
+      .select(col("k")).join(broadcast(probe), Seq("k"))
+      .distinct().count()
+    require(present == n,
+      s"$what: ${n - present} of $n doc ids were never ingested into " +
+        s"$docsDir — deleting an unknown doc would subtract counts it " +
+        "never contributed; delete exactly the rows as ingested")
+  }
+
   /** The two segment units [[segmentDedup]]/[[segIngest]] share:
     *
     *  - token mode (`delim = None`): [[TextAnalysis.tokens]] cut into
@@ -2040,6 +2057,161 @@ object Dedup {
       }
       cleaned
     } finally base.unpersist(blocking = true)
+  }
+
+  // ---- index takedown (r17) ---------------------------------------------
+  //
+  // The count indexes only ever ACCUMULATE through ingest; a takedown
+  // (PII removal, rights revocation) needs the inverse verb. Counts are
+  // exactly decrementable — the deleted docs' segment/window counts are
+  // recomputed from their text (which the caller supplies: the index
+  // stores CLEANED rows, and subtraction must mirror what ingest added)
+  // and subtracted; index rows reaching zero are deleted, and the docs
+  // rows go in the same transaction. What is NOT re-elected is the
+  // keep-first KEEPER: `fdoc`/`fpos` stay as recorded even when the
+  // keeper doc itself is taken down — the index does not store the
+  // second-earliest occurrence, and (deliberately) a taken-down doc's
+  // content is NOT resurrected through later arrivals: segments whose
+  // count stays >= minDupCount keep being suppressed. Segments whose
+  // count falls BELOW minDupCount genuinely are below the duplication
+  // threshold again and future arrivals keep them — count-consistent
+  // both ways. A deleted id may later RE-INGEST (its docs row is gone,
+  // so the at-most-once guard accepts it as new).
+
+  /** Remove documents from a [[segIngest]] index: subtract their
+    * segments' counts (recomputed from the supplied text — pass the
+    * rows AS INGESTED), delete index rows reaching zero and the docs
+    * rows, all in ONE transaction. Unit parameters are validated
+    * against the persisted ingest contract; unknown doc ids refuse
+    * loudly ([[assertAllIngested]]); a count underflow (text differing
+    * from what was ingested) refuses before any commit. Returns the
+    * number of docs removed. Cost tracks the DELETE batch: one
+    * batch-counts exchange into the index's bucket layout (the
+    * storage-partitioned join ingest uses), never an index rewrite. */
+  def segDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docs: DataFrame, id: Column, text: Column, width: Int = 5,
+      delim: Option[String] = None): Long = {
+    val (rawBase, segArr, _) = segSplit(docs, id, text, width, delim)
+    val base = rawBase.localCheckpoint(true)
+    val idxDir = s"$dir/segindex"
+    val docsDir = s"$dir/docs"
+    val tl = graft.format.Timeline(
+      spark.sessionState.newHadoopConf(), idxDir)
+    require(tl.completedInstants().nonEmpty,
+      s"segDelete: no segment index at $idxDir")
+    assertIngestContract(tl, idxDir,
+      Map(IngestUnitKey -> delim.fold(s"token:$width")(d => s"delim:$d")))
+    assertAllIngested(spark, docsDir, base.select(col("doc_id")),
+      "segDelete")
+    val dAgg = base.select(posexplode_outer(segArr).as(Seq("pos", "seg")))
+      .filter(col("seg").isNotNull)
+      .groupBy("seg").agg(count(lit(1)).as("dcnt"))
+    val joined = joinIndexCounts(spark, idxDir,
+      dAgg.withColumnRenamed("seg", "k"),
+      Seq(col("cnt").as("hcnt"), col("fdoc"), col("fpos")))
+    val bad = joined
+      .filter(col("hcnt").isNull || col("hcnt") < col("dcnt"))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"segDelete: segment '${bad.headOption.map(_.getString(0))
+        .getOrElse("")}' would underflow (stored " +
+        s"${bad.headOption.map(_.get(2)).orNull} < subtracted " +
+        s"${bad.headOption.map(_.get(1)).orNull}) — the supplied text " +
+        "differs from what was ingested; delete exactly the rows as " +
+        "ingested")
+    val upd = joined.filter(col("hcnt") > col("dcnt"))
+      .select(col("k").as("seg"),
+        (col("hcnt") - col("dcnt")).as("cnt"),
+        col("fdoc"), col("fpos"), col("k"), lit("all").as("p"))
+    val dels = joined.filter(col("hcnt") === col("dcnt"))
+      .select(col("k"), lit("all").as("p"))
+    val docDels = base
+      .select(col("doc_id").cast("string").as("k"), lit("all").as("p"))
+    graft.write.MultiTableTxn.commit(spark, Seq(
+      graft.write.MultiTableTxn.TableWrite(idxDir,
+        updates = Some(upd), deletes = Some(dels)),
+      graft.write.MultiTableTxn.TableWrite(docsDir,
+        deletes = Some(docDels)))): Unit
+    base.count()
+  }
+
+  /** Remove documents from a [[substrIngest]] index — the window-count
+    * twin of [[segDelete]]: subtract the deleted docs' window counts
+    * (recomputed from the supplied AS-INGESTED text), drop zeroed index
+    * rows + the docs rows in one transaction. Same guards: persisted
+    * unit contract, all-ingested probe, underflow refusal. */
+  def substrDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docs: DataFrame, id: Column, text: Column, w: Int): Long = {
+    require(w >= 1, s"window width must be >= 1 token (got $w)")
+    val toks = docs.select(id.cast("long").as("doc_id"),
+        TextAnalysis.tokens(text).as("t"))
+      .localCheckpoint(true)
+    val idxDir = s"$dir/windex"
+    val docsDir = s"$dir/docs"
+    val tl = graft.format.Timeline(
+      spark.sessionState.newHadoopConf(), idxDir)
+    require(tl.completedInstants().nonEmpty,
+      s"substrDelete: no window index at $idxDir")
+    assertIngestContract(tl, idxDir, Map(IngestUnitKey -> s"window:$w"))
+    assertAllIngested(spark, docsDir, toks.select(col("doc_id")),
+      "substrDelete")
+    val posSeq = when(size(col("t")) >= w,
+      sequence(lit(0), size(col("t")) - w))
+      .otherwise(array().cast("array<int>"))
+    val dAgg = toks
+      .select(explode_outer(transform(posSeq,
+        p => winAt(col("t"), p, w))).as("win"))
+      .filter(col("win").isNotNull)
+      .groupBy("win").agg(count(lit(1)).as("dcnt"))
+    val joined = joinIndexCounts(spark, idxDir,
+      dAgg.withColumnRenamed("win", "k"),
+      Seq(col("cnt").as("hcnt")))
+    val bad = joined
+      .filter(col("hcnt").isNull || col("hcnt") < col("dcnt"))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"substrDelete: window '${bad.headOption.map(_.getString(0))
+        .getOrElse("")}' would underflow — the supplied text differs " +
+        "from what was ingested; delete exactly the rows as ingested")
+    val upd = joined.filter(col("hcnt") > col("dcnt"))
+      .select(col("k").as("win"),
+        (col("hcnt") - col("dcnt")).as("cnt"),
+        col("k"), lit("all").as("p"))
+    val dels = joined.filter(col("hcnt") === col("dcnt"))
+      .select(col("k"), lit("all").as("p"))
+    val docDels = toks
+      .select(col("doc_id").cast("string").as("k"), lit("all").as("p"))
+    graft.write.MultiTableTxn.commit(spark, Seq(
+      graft.write.MultiTableTxn.TableWrite(idxDir,
+        updates = Some(upd), deletes = Some(dels)),
+      graft.write.MultiTableTxn.TableWrite(docsDir,
+        deletes = Some(docDels)))): Unit
+    toks.count()
+  }
+
+  /** Batch-counts ↔ index join on the index's OWN bucket layout — the
+    * storage-partitioned-join machinery the ingest paths use (isolated
+    * session so the v2-bucketing confs never leak; only the BATCH side
+    * exchanges, the index partitions are read co-located). `batch` is
+    * `(k, dcnt)`; returns `(k, dcnt, <histCols>)` left-joined and
+    * eagerly checkpointed (re-read by the caller's validation + both
+    * txn frames). */
+  private def joinIndexCounts(spark: org.apache.spark.sql.SparkSession,
+      idxDir: String, batch: DataFrame,
+      histCols: Seq[Column]): DataFrame = {
+    val bc = batch.localCheckpoint(true)
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    iso.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    iso.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    val hist = graft.util.CatalogMount.table(iso, idxDir)
+      .select(col("k") +: histCols: _*)
+    val bcIso = org.apache.spark.sql.graft.Bridge
+      .sinkBatchDataFrame(iso, bc)
+    val joined = bcIso.join(hist, Seq("k"), "left")
+      .localCheckpoint(true) // eager: the plan runs under iso's conf
+    org.apache.spark.sql.graft.Bridge.sinkBatchDataFrame(spark, joined)
   }
 
   /** (id_a, id_b, inter) + per-doc set sizes → integer-exact Jaccard

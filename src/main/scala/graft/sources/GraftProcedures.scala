@@ -746,6 +746,195 @@ private[sources] object GraftProcedures {
         Seq(row(Long.box(st.getLong(0)), Long.box(st.getLong(1)), dir))
       },
 
+      proc("seg_delete",
+        "TAKEDOWN for the maintained segment index: subtract the " +
+          "selected docs' segment counts (recomputed from their text — " +
+          "the rows AS INGESTED), delete zeroed index rows and the " +
+          "docs rows in one transaction. The keep-first keeper is NOT " +
+          "re-elected (taken-down content stays suppressed while its " +
+          "segments remain duplicated); fully-zeroed segments re-open. " +
+          "Unknown ids, drifted text (count underflow) and drifted " +
+          "unit parameters refuse loudly before any commit",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("delete_predicate", StringType,
+            "SQL boolean expression selecting the rows to remove " +
+              "(evaluated against the table snapshot)"),
+          in("width", IntegerType, "segment width in tokens (must " +
+            "match the persisted ingest contract)", default = Some("5")),
+          in("delim", StringType,
+            "segment delimiter — empty for fixed-width token windows",
+            default = Some("''"))),
+        out("n_docs_removed" -> LongType, "index_path" -> StringType)) {
+        (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val dir = s"$path/.seg_index"
+        val fx = org.apache.spark.sql.functions
+        val batch = graft.read.SnapshotReader.read(spark, path)
+          .filter(fx.expr(str(r, 3)))
+        val n = graft.pipeline.Dedup.segDelete(spark, dir, batch,
+          fx.col(str(r, 1)), fx.col(str(r, 2)), width = r.getInt(4),
+          delim = Option(str(r, 5)).filter(_.nonEmpty))
+        Seq(row(Long.box(n), dir))
+      },
+
+      proc("substr_delete",
+        "TAKEDOWN for the maintained window index — the ExactSubstr " +
+          "twin of seg_delete: subtract the selected docs' window " +
+          "counts, drop zeroed rows + docs rows in one transaction; " +
+          "unknown ids / drifted text / drifted w refuse loudly",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("delete_predicate", StringType,
+            "SQL boolean expression selecting the rows to remove"),
+          in("w", IntegerType, "window width in tokens (must match " +
+            "the persisted ingest contract)", default = Some("8"))),
+        out("n_docs_removed" -> LongType, "index_path" -> StringType)) {
+        (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val dir = s"$path/.substr_index"
+        val fx = org.apache.spark.sql.functions
+        val batch = graft.read.SnapshotReader.read(spark, path)
+          .filter(fx.expr(str(r, 3)))
+        val n = graft.pipeline.Dedup.substrDelete(spark, dir, batch,
+          fx.col(str(r, 1)), fx.col(str(r, 2)), w = r.getInt(4))
+        Seq(row(Long.box(n), dir))
+      },
+
+      proc("bm25_ingest",
+        "add documents to the table's MAINTAINED BM25 index under " +
+          "<table>/.bm25_inc (creates it on first call): postings + " +
+          "doc lengths land as one transaction, the df/stats views " +
+          "refresh churn-bounded. This is the incremental twin of " +
+          "text_index_build (whose bulk .text_index is rebuilt by " +
+          "re-CALLing it — that IS its takedown path); bm25_remove is " +
+          "the doc-removal verb here",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("batch_predicate", StringType,
+            "SQL boolean expression selecting THIS batch's NEW rows")),
+        out("index_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val dir = s"$path/.bm25_inc"
+        val fx = org.apache.spark.sql.functions
+        val batch = graft.read.SnapshotReader.read(spark, path)
+          .filter(fx.expr(str(r, 3)))
+        graft.pipeline.TextRetrieval.incIngest(spark, dir, batch,
+          fx.col(str(r, 1)), fx.col(str(r, 2)))
+        Seq(row(dir))
+      },
+
+      proc("bm25_remove",
+        "TAKEDOWN for the maintained BM25 index: delete the selected " +
+          "docs' postings and length rows (keys recomputed from their " +
+          "text — the rows AS INGESTED) in one transaction, then " +
+          "refresh the df/stats views — scores re-normalize to the " +
+          "shrunken corpus immediately",
+        Seq(tableParam,
+          in("id_col", StringType, "BIGINT document id column"),
+          in("text_col", StringType, "text column"),
+          in("delete_predicate", StringType,
+            "SQL boolean expression selecting the rows to remove")),
+        out("index_path" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val dir = s"$path/.bm25_inc"
+        val fx = org.apache.spark.sql.functions
+        val batch = graft.read.SnapshotReader.read(spark, path)
+          .filter(fx.expr(str(r, 3)))
+        graft.pipeline.TextRetrieval.incRemove(spark, dir, batch,
+          fx.col(str(r, 1)), fx.col(str(r, 2)))
+        Seq(row(dir))
+      },
+
+      proc("bm25_search",
+        "exact BM25 top-k over the MAINTAINED index (.bm25_inc): " +
+          "partition-pruned postings reads for the query terms, df and " +
+          "corpus stats from the maintained views",
+        Seq(tableParam,
+          in("query", StringType, "space-separated query terms"),
+          in("k", IntegerType, "results", default = Some("10"))),
+        out("doc_id" -> LongType, "score" -> LongType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val terms = str(r, 1).toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).toSeq
+        graft.pipeline.TextRetrieval.incExactTopK(spark,
+            s"$path/.bm25_inc", terms, k = r.getInt(2))
+          .collect().toSeq // k-bounded
+          .map(x => row(Long.box(x.getLong(0)), Long.box(x.getLong(1))))
+      },
+
+      proc("index_status",
+        "cross-sidecar drift detection: one row per sidecar index " +
+          "under the table (.ann / .seg_index / .substr_index / " +
+          ".bm25_inc / .text_index / .quality_model), comparing the " +
+          "covers against the table's CURRENT live row count — " +
+          "metadata-only (footer sums, maintained views, key-pruned " +
+          "counts; no text or vector data is read). stale = the table " +
+          "moved (inserts or deletes) without the matching index " +
+          "maintenance verb; the detail column names the catch-up verb",
+        Seq(tableParam),
+        out("index" -> StringType, "covered_rows" -> LongType,
+          "table_rows" -> LongType, "stale" -> BooleanType,
+          "detail" -> StringType)) { (cat, r) =>
+        val path = cat.resolveTablePath(str(r, 0))
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        def has(n: String) =
+          fs.exists(new org.apache.hadoop.fs.Path(s"$path/$n"))
+        val tableRows =
+          graft.read.SnapshotReader.read(spark, path).count()
+        val sim = graft.pipeline.Similarity
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        def emit(name: String, covered: Long, verb: String): Unit =
+          out += row(name, Long.box(covered), Long.box(tableRows),
+            Boolean.box(covered != tableRows),
+            if (covered == tableRows) "in sync"
+            else s"catch up via $verb")
+        if (has(".ann")) {
+          val root = sim.annRoot(spark, s"$path/.ann")
+          val stored = sim.annDataRootsOf(spark, root).map { rt =>
+            val p = new org.apache.hadoop.fs.Path(rt)
+            val hasCells = fs.exists(p) && fs.listStatus(p)
+              .exists(s => s.isDirectory &&
+                s.getPath.getName.startsWith("__cluster="))
+            if (!hasCells) 0L else spark.read.parquet(rt).count()
+          }.sum
+          val tomb = sim.annTombstonesOf(spark, root)
+            .map(_.count()).getOrElse(0L)
+          emit(".ann", stored - tomb, "CALL ann_ingest / ann_delete")
+        }
+        def docsCovered(idx: String): Long =
+          graft.read.SnapshotReader.read(spark, s"$path/$idx/docs")
+            .count()
+        if (has(".seg_index"))
+          emit(".seg_index", docsCovered(".seg_index"),
+            "CALL seg_ingest / seg_delete")
+        if (has(".substr_index"))
+          emit(".substr_index", docsCovered(".substr_index"),
+            "CALL substr_ingest / substr_delete")
+        if (has(".bm25_inc")) {
+          val n = graft.views.MaterializedAgg.read(spark,
+              s"$path/.bm25_inc/statsv")
+            .select(org.apache.spark.sql.functions.col("n_rows"))
+            .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+          emit(".bm25_inc", n, "CALL bm25_ingest / bm25_remove")
+        }
+        if (has(".text_index")) {
+          val n = spark.read.parquet(s"$path/.text_index/stats")
+            .head().getLong(0)
+          emit(".text_index", n, "CALL text_index_build (bulk rebuild)")
+        }
+        if (has(".quality_model")) {
+          val n = spark.read
+            .parquet(s"$path/.quality_model/scores").count()
+          emit(".quality_model", n, "CALL quality_model / quality_score")
+        }
+        out.toSeq
+      },
+
       proc("ann_index_build",
         "build a compressed vector-search index (IVF<nlist>,PQ<m>; " +
           "variant pq | opq | pca) over a table's embedding column " +

@@ -135,6 +135,97 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(cnt == 4L)
   }
 
+  test("substrDelete: takedown subtracts exact window counts, zeroed " +
+      "rows vanish, unknown ids and drifted text refuse, and a deleted " +
+      "id may re-ingest as new (r17)") {
+    val dir = freshDir("substr_del")
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    graft.pipeline.Dedup.substrIngest(spark, dir,
+      docs((1L, span)), $"doc_id", $"text", w = 8, ts = Some(C1))
+    val c2 = graft.pipeline.Dedup.substrIngest(spark, dir,
+      docs((2L, span)), $"doc_id", $"text", w = 8).collect()
+    assert(c2(0).getInt(3) == 8, "doc 2 duplicates doc 1 — cut")
+    // refusals fire BEFORE any commit: unknown id, drifted text
+    // (underflow), drifted unit (persisted contract)
+    val e1 = intercept[IllegalArgumentException](
+      graft.pipeline.Dedup.substrDelete(spark, dir,
+        docs((99L, "whatever text this is")), $"doc_id", $"text", w = 8))
+    assert(e1.getMessage.contains("never ingested"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      graft.pipeline.Dedup.substrDelete(spark, dir,
+        docs((1L, s"$span $span")), $"doc_id", $"text", w = 8))
+    assert(e2.getMessage.contains("underflow"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      graft.pipeline.Dedup.substrDelete(spark, dir,
+        docs((1L, span)), $"doc_id", $"text", w = 4))
+    assert(e3.getMessage.contains("ingest contract"), e3.getMessage)
+    // the real takedown: both copies go, the count row zeroes out and
+    // is DELETED, the docs rows vanish — one transaction
+    val n = graft.pipeline.Dedup.substrDelete(spark, dir,
+      docs((1L, span), (2L, span)), $"doc_id", $"text", w = 8)
+    assert(n == 2)
+    assert(graft.read.SnapshotReader.read(spark, s"$dir/windex")
+      .filter($"win" === span.toLowerCase).isEmpty,
+      "a zeroed window row must be deleted, not kept at 0")
+    assert(graft.read.SnapshotReader.read(spark, s"$dir/docs").isEmpty)
+    // with the contribution really gone, a future arrival of the same
+    // span is UNIQUE again (count-consistent: below minDupCount)
+    val c3 = graft.pipeline.Dedup.substrIngest(spark, dir,
+      docs((3L, span)), $"doc_id", $"text", w = 8).collect()
+    assert(c3(0).getInt(3) == 0, "the deleted contribution must not " +
+      "suppress a fresh arrival")
+    // a deleted id re-ingests as NEW (its docs row is gone) — and now
+    // duplicates doc 3, so its copy is cut
+    val c4 = graft.pipeline.Dedup.substrIngest(spark, dir,
+      docs((1L, span)), $"doc_id", $"text", w = 8).collect()
+    assert(c4(0).getInt(3) == 8)
+  }
+
+  test("segDelete: counts subtract exactly; the keep-first keeper is " +
+      "NOT re-elected (taken-down content stays suppressed); zeroed " +
+      "segments re-open (r17)") {
+    val dir = freshDir("seg_del")
+    // width-3 segments: doc 1 = [abc][pqr], doc 2 = [abc][stu]
+    graft.pipeline.Dedup.segIngest(spark, dir,
+      docs((1L, "a b c p q r")), $"doc_id", $"text", width = 3,
+      ts = Some(C1))
+    val c2 = graft.pipeline.Dedup.segIngest(spark, dir,
+      docs((2L, "a b c s t u")), $"doc_id", $"text", width = 3)
+      .collect()
+    assert(c2(0).getString(1) == "s t u",
+      "doc 2's duplicated segment is dropped (doc 1 is the keeper)")
+    // unit drift refuses via the persisted contract
+    val e = intercept[IllegalArgumentException](
+      graft.pipeline.Dedup.segDelete(spark, dir,
+        docs((1L, "a b c p q r")), $"doc_id", $"text", width = 4))
+    assert(e.getMessage.contains("ingest contract"), e.getMessage)
+    // take down the KEEPER doc 1: 'a b c' decrements to 1 (row stays,
+    // fdoc frozen), 'p q r' zeroes out (row deleted)
+    assert(graft.pipeline.Dedup.segDelete(spark, dir,
+      docs((1L, "a b c p q r")), $"doc_id", $"text", width = 3) == 1)
+    val idx = graft.read.SnapshotReader.read(spark, s"$dir/segindex")
+      .select($"seg", $"cnt", $"fdoc").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(idx("a b c") == ((1L, 1L)),
+      "count subtracts; the keeper stays frozen on the deleted doc")
+    assert(!idx.contains("p q r"), "zeroed segment row must be deleted")
+    assert(graft.read.SnapshotReader.read(spark, s"$dir/docs")
+      .select($"doc_id").as[Long].collect().toSeq == Seq(2L))
+    // doc 3 repeats 'a b c': count reaches minDup again and the frozen
+    // keeper is NOT doc 3 — taken-down content is not resurrected
+    val c3 = graft.pipeline.Dedup.segIngest(spark, dir,
+      docs((3L, "a b c v w x")), $"doc_id", $"text", width = 3)
+      .collect()
+    assert(c3(0).getString(1) == "v w x",
+      "the keeper slot is not re-elected after a takedown")
+    // but the ZEROED segment re-opened: a fresh arrival of 'p q r' is
+    // unique again and kept whole
+    val c4 = graft.pipeline.Dedup.segIngest(spark, dir,
+      docs((4L, "p q r y z w")), $"doc_id", $"text", width = 3)
+      .collect()
+    assert(c4(0).getString(1) == "p q r y z w")
+  }
+
   test("substrIngest batches are transactional: a fault between the " +
       "windex and docs commits publishes to NEITHER table") {
     import graft.write.MultiTableTxn

@@ -715,6 +715,111 @@ class ProcedureSpec extends SparkSpec {
     assert(afterDelRebuild == bruteLive)
   }
 
+  test("takedown + drift surface (r17): seg_delete / substr_delete / " +
+      "bm25_ingest-remove-search through SQL; index_status flags every " +
+      "out-of-sync sidecar and clears when caught up") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.docs_td")
+    spark.range(0, 60)
+      .selectExpr("id AS doc_id",
+        "concat('alpha beta gamma delta epsilon tok', id, " +
+          "' zeta eta theta iota kappa') AS text",
+        "'all' AS pt")
+      .createOrReplaceTempView("docs_td_src")
+    spark.sql(s"CREATE TABLE $cat.ns.docs_td PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'doc_id', buckets '2') " +
+      "AS SELECT * FROM docs_td_src")
+    def status(): Map[String, (Long, Long, Boolean)] =
+      spark.sql(s"CALL $cat.system.index_status(table => 'ns.docs_td')")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // half-ingested segment index → flagged; fully ingested → in sync
+    spark.sql(s"CALL $cat.system.seg_ingest(table => 'ns.docs_td', " +
+      "id_col => 'doc_id', text_col => 'text', " +
+      "batch_predicate => 'doc_id % 2 = 0', width => 5)").collect()
+    assert(status()(".seg_index") == ((30L, 60L, true)))
+    spark.sql(s"CALL $cat.system.seg_ingest(table => 'ns.docs_td', " +
+      "id_col => 'doc_id', text_col => 'text', " +
+      "batch_predicate => 'doc_id % 2 = 1', width => 5)").collect()
+    assert(status()(".seg_index") == ((60L, 60L, false)))
+    // takedown through SQL: seg_delete subtracts, then the table DELETE
+    // brings both sides back in sync
+    val segDel = spark.sql(s"CALL $cat.system.seg_delete(" +
+      "table => 'ns.docs_td', id_col => 'doc_id', text_col => 'text', " +
+      "delete_predicate => 'doc_id < 5', width => 5)").head()
+    assert(segDel.getLong(0) == 5L)
+    assert(status()(".seg_index") == ((55L, 60L, true)))
+    spark.sql(s"DELETE FROM $cat.ns.docs_td WHERE doc_id < 5")
+    assert(status()(".seg_index") == ((55L, 55L, false)))
+    // the maintained BM25 index through SQL: ingest all, search, remove
+    spark.sql(s"CALL $cat.system.bm25_ingest(table => 'ns.docs_td', " +
+      "id_col => 'doc_id', text_col => 'text', " +
+      "batch_predicate => 'true')").collect()
+    assert(status()(".bm25_inc") == ((55L, 55L, false)))
+    val hits = spark.sql(s"CALL $cat.system.bm25_search(" +
+      "table => 'ns.docs_td', query => 'tok7 zeta', k => 3)").collect()
+    assert(hits.nonEmpty && hits.head.getLong(0) == 7L,
+      s"the doc carrying the rare term must rank first: ${hits.toSeq}")
+    spark.sql(s"CALL $cat.system.bm25_remove(table => 'ns.docs_td', " +
+      "id_col => 'doc_id', text_col => 'text', " +
+      "delete_predicate => 'doc_id >= 50')").collect()
+    assert(status()(".bm25_inc") == ((45L, 55L, true)))
+    // substr index: ingest everything, delete a slice through SQL
+    spark.sql(s"CALL $cat.system.substr_ingest(table => 'ns.docs_td', " +
+      "id_col => 'doc_id', text_col => 'text', " +
+      "batch_predicate => 'true', w => 8)").collect()
+    assert(status()(".substr_index") == ((55L, 55L, false)))
+    val subDel = spark.sql(s"CALL $cat.system.substr_delete(" +
+      "table => 'ns.docs_td', id_col => 'doc_id', text_col => 'text', " +
+      "delete_predicate => 'doc_id >= 50', w => 8)").head()
+    assert(subDel.getLong(0) == 10L)
+    assert(status()(".substr_index") == ((45L, 55L, true)))
+  }
+
+  test("index_status on a vector table: .ann covered rows track " +
+      "ingest and tombstones (r17)") {
+    conf()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.embs_st")
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .createOrReplaceTempView("embs_st_src")
+    spark.sql(s"CREATE TABLE $cat.ns.embs_st PARTITIONED BY (pt) " +
+      "TBLPROPERTIES (key 'vec_id', buckets '2') " +
+      "AS SELECT vec_id, embedding, 'all' AS pt FROM embs_st_src " +
+      "WHERE vec_id % 3 <> 2")
+    spark.sql(s"CALL $cat.system.ann_index_build(" +
+      "table => 'ns.embs_st', id_col => 'vec_id', " +
+      "vec_col => 'embedding', dim => 64, nlist => 4)").collect()
+    def annStatus(): (Long, Long, Boolean) =
+      spark.sql(s"CALL $cat.system.index_status(table => 'ns.embs_st')")
+        .collect().filter(_.getString(0) == ".ann")
+        .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).head
+    val built = annStatus()
+    assert(!built._3 && built._1 == built._2, s"fresh index in sync: $built")
+    // the table grows without index maintenance → flagged
+    spark.sql(s"INSERT INTO $cat.ns.embs_st " +
+      "SELECT vec_id, embedding, 'all' AS pt FROM embs_st_src " +
+      "WHERE vec_id % 3 = 2")
+    assert(annStatus()._3, "table moved without ann_ingest: stale")
+    spark.sql(s"CALL $cat.system.ann_ingest(table => 'ns.embs_st', " +
+      "id_col => 'vec_id', vec_col => 'embedding', " +
+      "batch_predicate => 'vec_id % 3 = 2', batch_id => 'st-b1')")
+      .collect()
+    assert(!annStatus()._3, "after ann_ingest: in sync")
+    // takedown: tombstone + table delete keep the pair in sync (covered
+    // counts stored MINUS tombstoned)
+    spark.sql(s"CALL $cat.system.ann_delete(table => 'ns.embs_st', " +
+      "id_col => 'vec_id', delete_predicate => 'vec_id % 5 = 0', " +
+      "delete_id => 'st-td1')").collect()
+    assert(annStatus()._3, "tombstoned but table not yet deleted: stale")
+    spark.sql(s"DELETE FROM $cat.ns.embs_st WHERE vec_id % 5 = 0")
+    val after = annStatus()
+    assert(!after._3 && after._1 == after._2,
+      s"tombstones must subtract from covered rows: $after")
+  }
+
   test("ann_search refuses a corpus-sized query predicate") {
     conf()
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")

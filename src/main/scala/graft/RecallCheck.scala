@@ -258,7 +258,7 @@ object RecallCheck {
     // trained before the batch arrived" drift annIngest's scaladoc
     // references. Exhaustive settings stay exact either way (the
     // q_ann_ingest_topk gate), so only realistic knobs are measured.
-    val (annIngestDrift, annRebuilt) = {
+    val (annIngestDrift, annRebuilt, annDeleteUndeleted) = {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_recall_anningest").toString
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -269,18 +269,28 @@ object RecallCheck {
         dim = 64, nlist = nlist, variant = "pca", rank = 16): Unit
       Similarity.annIngest(spark, dir, embs.filter(id % 3 === 2), id, v,
         "recall-b1"): Unit
-      def recallNow(): Double = {
+      def recallVs(ref: Set[(Long, Long)]): Double = {
         val top = pairSet(Similarity.annTopK(spark, dir, queries, id, v,
           k, nprobe = nlist / 2, rerank = 4 * k))
-        if (bruteTop.isEmpty) 1.0
-        else (bruteTop & top).size.toDouble / bruteTop.size
+        if (ref.isEmpty) 1.0
+        else (ref & top).size.toDouble / ref.size
       }
-      val drift = recallNow()
+      val drift = recallVs(bruteTop)
       // the drift-recovery verb (r16): retrain over the grown corpus
       // from the index's own stored vectors, atomic generation swap —
       // recall at the same knobs must recover to the retrained row
       Similarity.annRebuild(spark, dir): Unit
-      (drift, recallNow())
+      val rebuilt = recallVs(bruteTop)
+      // takedown (r17): tombstone a slice, then measure recall for the
+      // UNDELETED rows — vs brute force over corpus-minus-deleted —
+      // at the same knobs. The anti-join must not degrade what
+      // remains (the row should sit at the rebuilt level).
+      Similarity.annDelete(spark, dir, embs.filter(id % 11 === 0), id,
+        "recall-td1"): Unit
+      val live = embs.filter(id % 11 =!= 0)
+      val bruteLive = pairSet(Similarity.bruteForceTopK(live, id, v,
+        queries, id, v, k))
+      (drift, rebuilt, recallVs(bruteLive))
     }
 
     // kNN JOIN (r12): whole-corpus query side (no broadcast anywhere) —
@@ -369,6 +379,7 @@ object RecallCheck {
       s""""recall_ivfpca_rank16_same_setting":$ivfpcaRealistic,""" +
       s""""recall_ann_ingest_grown_same_setting":$annIngestDrift,""" +
       s""""recall_ann_rebuild_same_setting":$annRebuilt,""" +
+      s""""recall_ann_delete_undeleted_same_setting":$annDeleteUndeleted,""" +
       s""""recall_at_k_exhaustive":$ivfpqExact,""" +
       s""""pareto":[""" + pareto.map { case (np, rr, r) =>
         s"""{"nprobe":$np,"rerank":$rr,"recall":$r}""" }.mkString(",") +

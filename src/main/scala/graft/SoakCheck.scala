@@ -823,19 +823,51 @@ object SoakCheck {
           k = 3, nlist = 32, nprobe = 1, trainFraction = 0.25,
           targetCellRows = target)
       )(_.count())
+    // r17 (ADVICE): the twins' thresholds are NORMALIZED against a
+    // per-pair cost measured in the SAME run — a single-task 3M-pair
+    // scan of the same kernel class (64-dim float cosine per pair) —
+    // so machine speed, CPU contention, and JIT state move the
+    // prediction and the measurement together, where the old fixed
+    // 3000 ms floor + 2x cross-twin ratio could flip on a slow or
+    // noisy host. The hub cell does |cell|^2 = 36M pairs in one task
+    // unarmored; concentration must show >= 15% of that predicted
+    // cost, the armored max task must come in under 50% of it (the
+    // occupancy splits cut the largest task to ~1/30 of the
+    // quadratic, measured ~12%), and armored must beat unarmored
+    // outright with margin.
+    val CalibPairsM = 3.0 // 2000 x 1500 pairs, one partition
+    val calib = measure(spark, "knn_skew_calibration")(() =>
+      spark.range(0, 2000, 1, 1)
+        .select(semVec(col("id") + 111L).cast("array<float>").as("va"))
+        .crossJoin(broadcast(spark.range(0, 1500, 1, 1)
+          .select(semVec(col("id") + 222L).cast("array<float>")
+            .as("vb"))))
+        .select(pipeline.Similarity.cosine(col("va"), col("vb")).as("c"))
+        .agg(sum(col("c")).as("s"))
+    )(_.count())
+    val msPerMpair =
+      math.max(1.0, calib.maxTaskDurationMs.toDouble / CalibPairsM)
+    val predictedHubMs = (HubRows * HubRows / 1.0e6) * msPerMpair
     val knnSkewOff = runKnnSkew("knn_join_skew_unarmored", 0L)
     val knnSkewOn = runKnnSkew("knn_join_skew", 200L)
     require(knnSkewOff.rowsOut == KnnSkewRows * 3 &&
       knnSkewOn.rowsOut == KnnSkewRows * 3,
       s"knn_join_skew rows ${knnSkewOff.rowsOut}/${knnSkewOn.rowsOut}")
-    require(knnSkewOff.maxTaskDurationMs >= 3000,
+    require(knnSkewOff.maxTaskDurationMs >= 0.15 * predictedHubMs,
       s"unarmored hub-cell task took ${knnSkewOff.maxTaskDurationMs} ms " +
-        "— expected the 36M-pair cell in one task (did a plan change " +
-        "absorb the skew? re-point this gate)")
-    require(knnSkewOn.maxTaskDurationMs * 2 <= knnSkewOff.maxTaskDurationMs,
+        f"vs $predictedHubMs%.0f predicted for the 36M-pair cell " +
+        f"(calibrated $msPerMpair%.1f ms/Mpair) — expected the " +
+        "quadratic in one task (did a plan change absorb the skew? " +
+        "re-point this gate)")
+    require(knnSkewOn.maxTaskDurationMs <= 0.5 * predictedHubMs,
       s"armored hub-cell max task ${knnSkewOn.maxTaskDurationMs} ms vs " +
-        s"${knnSkewOff.maxTaskDurationMs} unarmored — the occupancy-" +
+        f"$predictedHubMs%.0f predicted unarmored — the occupancy-" +
         "derived splits must break the quadratic cell")
+    require(knnSkewOn.maxTaskDurationMs * 1.5 <=
+      knnSkewOff.maxTaskDurationMs,
+      s"armored hub-cell max task ${knnSkewOn.maxTaskDurationMs} ms vs " +
+        s"${knnSkewOff.maxTaskDurationMs} unarmored — armor must win " +
+        "outright")
 
     // ---- path 10c: .ann sidecar index + 1% batch ingest (r15) ----------
     // the serving-index ingest path: annIndexBuild over the 40k corpus,
@@ -885,7 +917,7 @@ object SoakCheck {
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
       search, wand, incIng, incSearch, sem, semTail, dvw, sub, subInc,
       subTail, seg, segInc, segTail, skewOff, skewOn, subOff, subOn,
-      knn, knnPq, knnSkewOff, knnSkewOn, annBuild, annInc)
+      knn, knnPq, calib, knnSkewOff, knnSkewOn, annBuild, annInc)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,

@@ -165,33 +165,61 @@ object Curation {
     * engine-exact — unlike `ORDER BY score LIMIT k`, which is both a
     * global sort and tie-ambiguous.
     *
-    * The bucket boundaries come from one eager metadata-sized aggregate
-    * (corpus count + `percentile_approx` split points, collected and
-    * baked into the plan as literals) — so the bucket id is a PURE
-    * FUNCTION of the score, never a physical-partition artifact, and the
-    * approximation only shapes load balance, never the result.
+    * The corpus count and the bucket boundaries both derive from the
+    * MATERIALIZED histogram (one metadata-sized aggregate over it,
+    * collected and baked into the plan as literals) — so the bucket id
+    * is a PURE FUNCTION of the score, never a physical-partition
+    * artifact, and the boundary approximation only shapes load balance,
+    * never the result.
     *
-    * 100 TB shape: two aggregates over the corpus (boundary probe +
-    * histogram), a histogram-sized (distinct score values — possibly
-    * corpus-sized for unique scores, but never wider than the data)
-    * shuffle with partition-local windows, and one broadcast-compare
-    * filter; no step ever sorts the corpus in a single partition, for ANY
-    * score distribution — a per-row-unique score (timestamp, byte
-    * length) degrades to a plain extra shuffle, not a one-task sort. */
+    * 100 TB shape (r17): the SCORE EXPRESSION evaluates over the corpus
+    * exactly TWICE — once building the histogram, once in the final
+    * broadcast-compare filter (for trained-quality scores each
+    * evaluation is a text-feature pass, which dominates everything
+    * else; the r16 shape re-evaluated it in four separate jobs). In
+    * between: a histogram-sized (distinct score values — possibly
+    * corpus-ROW-sized for unique scores, but two longs per row, never
+    * wider) eager materialization + shuffle with partition-local
+    * windows. No step ever sorts the corpus in a single partition, for
+    * ANY score distribution — a per-row-unique score (timestamp, byte
+    * length) degrades to a narrow extra materialization, not a
+    * one-task sort. */
   def keepTopQuantile(df: DataFrame, score: Column, frac: Double,
       histPartitions: Int = 64): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, "frac in (0, 1]")
     require(histPartitions > 0, "histPartitions must be positive")
     val s = score.cast("long")
+    // ONE scoring pass builds the histogram, eagerly materialized: the
+    // corpus count, the bucket boundaries, the per-bucket totals AND the
+    // local cumsums all derive from it without touching the corpus
+    // again (r17 — the r16 shape re-evaluated the score expression in
+    // FOUR separate jobs: boundary probe, offsets collect, the window's
+    // recompute, and the final filter; with text-feature scores each
+    // pass re-ran the feature extraction, the measured 2× cost of
+    // q_quality_keep). The checkpoint is distinct-score-values × 16 B —
+    // for quantized integer scores a few rows per feature combination;
+    // the per-row-unique worst case (timestamps) materializes two longs
+    // per corpus row, orders of magnitude under the two corpus-wide
+    // text-scoring passes it replaces.
+    val hist0 = df.select(s.as("__s"))
+      .groupBy("__s").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val probs = (1 until histPartitions)
       .map(i => lit(i.toDouble / histPartitions))
-    // distinct DESCENDING boundaries; duplicate split points (heavy score
-    // mass) collapse — that mass is a single histogram row anyway
+    // n over ALL rows (null scores included — they count toward the
+    // corpus size exactly as df.count() did); boundaries are UNWEIGHTED
+    // quantiles of the distinct scores — they only balance histogram
+    // rows across the window partitions (which is precisely the load
+    // the window carries), never the result. Duplicate split points
+    // (heavy score mass) collapse — that mass is one histogram row.
     val (n, bounds) =
-      if (probs.isEmpty) (df.count(), Seq.empty[Long])
+      if (probs.isEmpty)
+        (hist0.agg(coalesce(sum(col("__c")), lit(0L))).first().getLong(0),
+          Seq.empty[Long])
       else {
-        val head = df.agg(count(lit(1)).as("__n"),
-          percentile_approx(s, array(probs: _*),
+        val head = hist0.agg(
+          coalesce(sum(col("__c")), lit(0L)).as("__n"),
+          percentile_approx(col("__s"), array(probs: _*),
             lit(math.max(1000, 10 * histPartitions))).as("__b")).first()
         (head.getLong(0),
           Option(head.get(1)).map(_ => head.getSeq[Long](1).distinct
@@ -205,9 +233,7 @@ object Curation {
       .foldLeft(Option.empty[Column]) { case (acc, (b, i)) =>
         Some(acc.fold(when(c >= lit(b), lit(i)))(_.when(c >= lit(b), lit(i))))
       }.map(_.otherwise(lit(bounds.length))).getOrElse(lit(0))
-    val hist = df.select(s.as("__s"))
-      .groupBy("__s").agg(count(lit(1)).as("__c"))
-      .withColumn("__p", bucketOf(col("__s")))
+    val hist = hist0.withColumn("__p", bucketOf(col("__s")))
     // two-level descending prefix sum: local cumsum per bucket + bucket
     // offsets. The per-bucket totals are ≤ histPartitions rows BY
     // CONSTRUCTION — collect them and compute the exclusive prefix sum

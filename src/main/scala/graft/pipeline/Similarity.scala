@@ -553,6 +553,19 @@ object Similarity {
     * m·ksub·dsub doubles, metadata-sized); the table itself is computed
     * once per query row by codegen'd HOFs. */
   private[graft] def pqLut(qv: Column, books: PqCodebooks,
+      dim: Int): Column =
+    // native single-node kernel (r17, [[graft.functions.PqLutExpr]]):
+    // the m·ksub·dsub codebook table ships as ONE stage reference
+    // object instead of an analyzed array literal per query plan, and
+    // the table builds in a primitive loop inside codegen instead of
+    // m·ksub interpreted aggregate-HOF evaluations — bit-identical to
+    // [[pqLutViaExprForm]] (property-pinned)
+    graft.functions.AdcOps.pqLut(qv, books)
+
+  /** The pre-r17 declarative LUT — kept ONLY as the reference
+    * formulation for the PipelineSpec equality pin of
+    * [[graft.functions.PqLutExpr]]. */
+  private[graft] def pqLutViaExprForm(qv: Column, books: PqCodebooks,
       dim: Int): Column = {
     val m = books.size
     val dsub = dim / m
@@ -566,8 +579,18 @@ object Similarity {
 
   /** ADC approximate dot product: Σ_s lut(s)(codes(s)) — EXACTLY the dot
     * of the query with the reconstructed (decoded) vector, up to fp
-    * summation order (property-pinned in PipelineSpec). */
+    * summation order (property-pinned in PipelineSpec). Native kernel
+    * (r17, [[graft.functions.AdcDotExpr]]): the HOF form evaluated
+    * interpreted with per-row array allocations on the phase-1 ADC
+    * scan — the [[graft.functions.SdcDot]] pathology on the
+    * (probed-cell rows × queries) side. */
   private[graft] def adcDot(codes: Column, lut: Column): Column =
+    graft.functions.AdcOps.adcDot(codes, lut)
+
+  /** The pre-r17 declarative gather — kept ONLY as the reference
+    * formulation for the PipelineSpec equality pin of
+    * [[graft.functions.AdcDotExpr]]. */
+  private[graft] def adcDotViaExprForm(codes: Column, lut: Column): Column =
     aggregate(zip_with(codes, lut,
       (code, tbl) => element_at(tbl, code + 1)),
       lit(0.0d), (acc, x) => acc + x)

@@ -465,6 +465,42 @@ class PipelineSpec extends SparkSpec {
       "residual plan width must not grow with nlist")
   }
 
+  test("native pq-lut / adc-dot kernels == declarative expression forms " +
+    "(r17); lut plan width constant in ksub") {
+    val books = Similarity.pqTrain(embs, $"vec_id", $"embedding",
+      dim = 64, m = 8, ksub = 16, iters = 1)
+    val q = embs.limit(40)
+      .select($"vec_id".cast("long").as("id"), $"embedding".as("qv"))
+    val lk = q.select($"id", Similarity.pqLut($"qv", books, 64).as("l"))
+    val le = q.select($"id",
+      Similarity.pqLutViaExprForm($"qv", books, 64).as("l"))
+    assert(lk.exceptAll(le).isEmpty && le.exceptAll(lk).isEmpty,
+      "pq-lut kernel diverged from the expression form")
+    // adc gather over real encoded rows x real query LUTs
+    val enc = Similarity.pqEncode(embs.limit(60), $"vec_id", $"embedding",
+      books, dim = 64).select($"corpus_id", $"codes")
+    val pairs = enc.crossJoin(
+      broadcast(q.limit(5).select($"id",
+        Similarity.pqLut($"qv", books, 64).as("lut"))))
+    val gk = pairs.select($"corpus_id", $"id",
+      Similarity.adcDot($"codes", $"lut").as("adc"))
+    val ge = pairs.select($"corpus_id", $"id",
+      Similarity.adcDotViaExprForm($"codes", $"lut").as("adc"))
+    assert(gk.exceptAll(ge).isEmpty && ge.exceptAll(gk).isEmpty,
+      "adc-dot kernel diverged from the expression form")
+    // scale property: the codebook table rides on ONE node — plan width
+    // does not grow with ksub
+    def exprNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.expressions
+        .map(_.collect { case x => x }.size).sum
+    val books64 = Similarity.pqTrain(embs, $"vec_id", $"embedding",
+      dim = 64, m = 8, ksub = 64, iters = 1)
+    assert(
+      exprNodes(q.select(Similarity.pqLut($"qv", books, 64))) ==
+        exprNodes(q.select(Similarity.pqLut($"qv", books64, 64))),
+      "pq-lut plan width must not grow with ksub")
+  }
+
   test("IVF training is deterministic and returns nlist centroids") {
     val c1 = Similarity.ivfTrain(embs, $"vec_id", $"embedding", nlist = 4)
     val c2 = Similarity.ivfTrain(embs, $"vec_id", $"embedding", nlist = 4)

@@ -1917,6 +1917,73 @@ object Dedup {
       assertNewDocs = false, // the probe above already decided
       hotN, hotMinCount))
 
+  /** STREAMING takedown — the `foreachBatch` body of a CDC-tailed
+    * takedown pipeline feeding [[segDelete]]:
+    *
+    * {{{
+    * spark.readStream.format("graft").option("cdc", "true").load(tbl)
+    *   .filter(col("_change_type") === "delete") // full PRE-IMAGE rows
+    *   .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+    *     Dedup.segDeleteBatch(spark, idxDir, b,
+    *       col("doc_id"), col("text"), width = 5): Unit
+    *   }.option("checkpointLocation", ckpt).start()
+    * }}}
+    *
+    * The change feed's delete rows carry the FULL pre-commit payload
+    * (the engine's delete-view artifact), which is exactly what count
+    * subtraction needs — the takedown pipeline composes from the
+    * reference's core operation without re-reading any table state.
+    * Exactly-once mirrors [[segIngestBatch]] inverted: the delete txn
+    * is all-or-nothing, so a replayed micro-batch finds NONE of its ids
+    * in the docs table and SKIPS (None); all present → delete
+    * (Some(n)); a partial overlap refuses. Caveat (documented, same as
+    * the ingest side's never-ingested blind spot): a replay skip is
+    * indistinguishable from deleting docs that were never ingested —
+    * in a CDC pipeline the deletes come off the same table the index
+    * was built from, and `CALL index_status` flags the drift if the
+    * index was never maintained. */
+  def segDeleteBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, id: Column, text: Column,
+      width: Int = 5, delim: Option[String] = None): Option[Long] =
+    if (streamDeleteSettled(spark, "segDeleteBatch", s"$dir/docs",
+        batch.select(id.cast("long")))) None
+    else Some(segDelete(spark, dir, batch, id, text, width, delim))
+
+  /** [[segDeleteBatch]]'s ExactSubstr twin — the CDC-takedown
+    * `foreachBatch` body for a window-count index. */
+  def substrDeleteBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, id: Column, text: Column,
+      w: Int): Option[Long] =
+    if (streamDeleteSettled(spark, "substrDeleteBatch", s"$dir/docs",
+        batch.select(id.cast("long")))) None
+    else Some(substrDelete(spark, dir, batch, id, text, w))
+
+  /** The streaming replay decision of the *DeleteBatch verbs — the
+    * ingest probe inverted: true = the micro-batch is empty or NONE of
+    * its ids remain (the delete txn committed before the crash that
+    * forced the replay) — skip; false = all ids present — delete. A
+    * partial overlap refuses (two writers, or a delete feed drifting
+    * from the index). */
+  private def streamDeleteSettled(
+      spark: org.apache.spark.sql.SparkSession, verb: String,
+      docsDir: String, idFrame: DataFrame): Boolean = {
+    val ids = idFrame.toDF("__i")
+      .select(col("__i").cast("string").as("k")).distinct()
+    val nIds = ids.count()
+    if (nIds == 0) return true // empty micro-batch: nothing to remove
+    val nPresent = graft.util.CatalogMount.table(spark, docsDir)
+      .select(col("k")).join(broadcast(ids), Seq("k")).count()
+    if (nPresent == 0L) true // fully-landed replay
+    else {
+      require(nPresent == nIds,
+        s"$verb: $nPresent of $nIds batch doc ids are still in the " +
+          "index but not all of them — the delete txn is " +
+          "all-or-nothing, so a partial overlap means two writers or " +
+          "a takedown feed drifting from the index; refusing")
+      false
+    }
+  }
+
   /** The streaming replay decision shared by the *IngestBatch verbs:
     * true = the micro-batch is empty or ALREADY FULLY LANDED (the txn
     * committed before the crash that forced the engine's replay) —

@@ -1441,6 +1441,38 @@ object Similarity {
     n
   }
 
+  /** STREAMING-driven [[annDelete]] — the `foreachBatch` body of a
+    * CDC-tailed takedown pipeline maintaining a `.ann` index:
+    *
+    * {{{
+    * spark.readStream.format("graft").option("cdc", "true").load(tbl)
+    *   .filter(col("_change_type") === "delete")
+    *   .writeStream.foreachBatch { (b: DataFrame, bid: Long) =>
+    *     Similarity.annDeleteBatch(spark, dir, b,
+    *       col("vec_id"), s"stream-td-$bid"): Unit
+    *   }.option("checkpointLocation", ckpt).start()
+    * }}}
+    *
+    * Exactly-once falls out of the tombledger exactly as ingest's does
+    * out of the ledger: the micro-batch id names the entry, a replayed
+    * committed batch SKIPS (None), a crashed-before-commit attempt left
+    * an invisible staged set the re-run overwrites. An EMPTY
+    * micro-batch returns None without minting a ledger entry (a busy
+    * CDC stream with few deletes must not bloat the tombledger with
+    * empty sets). Returns Some(distinct ids committed) when the set
+    * lands. */
+  def annDeleteBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ids: DataFrame, idCol: Column,
+      deleteId: String): Option[Long] = {
+    val root = annRoot(spark, dir)
+    val lf =
+      new org.apache.hadoop.fs.Path(s"$root/tombledger/$deleteId.json")
+    if (lf.getFileSystem(spark.sessionState.newHadoopConf()).exists(lf))
+      None // replay of a committed micro-batch
+    else if (ids.isEmpty) None // no deletes this batch: no empty sets
+    else Some(annDelete(spark, dir, ids, idCol, deleteId))
+  }
+
   /** Reclaim a rebuilt `.ann` directory's DEAD state, with a RETENTION
     * WINDOW for in-flight readers (r17, the table-clean stance): the
     * newest `keepGenerations` generations — counting the top-level

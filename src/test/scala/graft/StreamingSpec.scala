@@ -276,6 +276,115 @@ class TableTailSpec extends SparkSpec {
       e.getMessage.contains("not all"), e.getMessage)
   }
 
+  test("CDC-driven index takedown: the change feed's delete pre-images " +
+      "drive segDeleteBatch + annDeleteBatch exactly once across " +
+      "replay (r17)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.pipeline.{Dedup, Similarity}
+    // ---- seg half: the delete rows' FULL PRE-IMAGE text (the delete
+    // view artifact) is exactly what count subtraction needs ----------
+    val srcDir = freshDir("cdc_td_src")
+    val idxDir = freshDir("cdc_td_idx")
+    val ckpt = freshDir("cdc_td_ckpt")
+    val span = "t1 t2 t3 t4 t5"
+    def docRows(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text").withColumn("pt", lit("all"))
+    val allDocs = docRows(
+      1L -> s"$span a1 a2 a3 a4 a5",
+      2L -> s"$span b1 b2 b3 b4 b5", // doc 2 repeats doc 1's span
+      3L -> "c1 c2 c3 c4 c5",
+      4L -> "d1 d2 d3 d4 d5")
+    val w = new CowWriter(spark, srcDir, numBuckets = 2)
+    w.insert(allDocs, col("doc_id"), col("pt"), Fixtures.C1)
+    Dedup.segIngest(spark, idxDir, allDocs, $"doc_id", $"text",
+      width = 5, ts = Some(Fixtures.C1)): Unit
+    // takedown: docs 2 and 3 leave the table in one delete commit
+    w.delete(docRows(2L -> "", 3L -> ""), col("doc_id"), col("pt"),
+      Fixtures.C2)
+    def runTakedown(): Unit = {
+      val q = spark.readStream.format("graft").option("cdc", "true")
+        .load(srcDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Dedup.segDeleteBatch(spark, idxDir,
+            b.filter(col("_change_type") === "delete"),
+            col("doc_id"), col("text"), width = 5): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    runTakedown()
+    val left = read.SnapshotReader.read(spark, s"$idxDir/docs")
+      .select($"doc_id".cast("long")).as[Long].collect().sorted.toSeq
+    assert(left == Seq(1L, 4L), s"index docs after CDC takedown: $left")
+    val spanCnt = read.SnapshotReader.read(spark, s"$idxDir/segindex")
+      .filter($"seg" === span).select($"cnt").as[Long].head()
+    assert(spanCnt == 1L,
+      s"doc 2's span contribution must subtract (cnt=$spanCnt)")
+    // stream restart: nothing new → no change; direct replay of the
+    // same delete batch (crash between txn and checkpoint) skips
+    runTakedown()
+    assert(read.SnapshotReader.read(spark, s"$idxDir/docs").count() == 2)
+    val replay = Dedup.segDeleteBatch(spark, idxDir,
+      docRows(2L -> s"$span b1 b2 b3 b4 b5", 3L -> "c1 c2 c3 c4 c5"),
+      col("doc_id"), col("text"), width = 5)
+    assert(replay.isEmpty, "a fully-landed delete replay must skip")
+
+    // ---- ann half: CDC deletes tombstone the vector index ------------
+    val vecSrc = freshDir("cdc_td_vec_src")
+    val annDir = freshDir("cdc_td_ann")
+    val vckpt = freshDir("cdc_td_vec_ckpt")
+    def vecRows(ids: Long*) = ids.toSeq.toDF("vec_id")
+      .select($"vec_id",
+        org.apache.spark.sql.functions.array((0 until 8).map(i =>
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64($"vec_id", lit(i)),
+            lit(1000)).cast("double") / 1000.0d): _*)
+          .cast("array<float>").as("embedding"))
+      .withColumn("pt", lit("all"))
+    val vw = new CowWriter(spark, vecSrc, numBuckets = 2)
+    vw.insert(vecRows(0L to 29L: _*), col("vec_id"), col("pt"),
+      Fixtures.C1)
+    Similarity.annIndexBuild(
+      read.SnapshotReader.read(spark, vecSrc), $"vec_id", $"embedding",
+      annDir, dim = 8, nlist = 2, m = 2, iters = 1): Unit
+    vw.delete(vecRows(0L, 7L, 14L, 21L), col("vec_id"), col("pt"),
+      Fixtures.C2)
+    val vq = spark.readStream.format("graft").option("cdc", "true")
+      .load(vecSrc)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        Similarity.annDeleteBatch(spark, annDir,
+          b.filter(col("_change_type") === "delete"),
+          col("vec_id"), s"stream-td-$bid"): Unit
+      }
+      .option("checkpointLocation", vckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    vq.awaitTermination(180000)
+    val live = read.SnapshotReader.read(spark, vecSrc)
+    assert(live.count() == 26)
+    val queries = vecRows(3L, 7L) // one live, one deleted (may query)
+    val got = Similarity.annTopK(spark, annDir, queries,
+        $"vec_id", $"embedding", k = 3, nprobe = 2, rerank = 1 << 30)
+      .select("query_id", "corpus_id", "rank")
+    val brute = Similarity.bruteForceTopK(live, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 3)
+      .select("query_id", "corpus_id", "rank")
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "CDC-tombstoned index must serve corpus-minus-deleted")
+    // replay of the committed micro-batch skips; an empty batch mints
+    // no tombledger entry
+    assert(Similarity.annDeleteBatch(spark, annDir,
+      vecRows(0L, 7L, 14L, 21L), $"vec_id", "stream-td-0").isEmpty)
+    assert(Similarity.annDeleteBatch(spark, annDir,
+      vecRows().filter(lit(false)), $"vec_id", "stream-td-empty").isEmpty)
+    val tl = new org.apache.hadoop.fs.Path(s"$annDir/tombledger")
+    val fs = tl.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tl,
+      "stream-td-empty.json")), "empty batches must not mint entries")
+  }
+
   test("graft sink: graft source drains into writeStream.format(\"graft\") exactly once") {
     import org.apache.spark.sql.streaming.Trigger
     val src = freshDir("sink_src_cow")

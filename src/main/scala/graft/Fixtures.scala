@@ -186,6 +186,33 @@ object Fixtures {
       dir
     }
 
+  /** Segment index with a TAKEDOWN applied
+    * ([[graft.pipeline.Dedup.segDelete]]): two arrival batches
+    * (doc_id % 3 ∈ {0, 1}), then doc_id % 9 = 0 (a subset of batch 0)
+    * deleted with their as-ingested text. q_seg_delete_counts gates the
+    * surviving index counts against a DuckDB recount over the
+    * non-deleted ingested docs — exact subtraction, zeroed rows
+    * gone. */
+  def segDeleteIdxDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${root(sfDir)}/seg_delete_idx"
+      // boot create + batch-1 txn + delete txn = 3 segindex commits
+      if (!complete(spark, s"$dir/segindex", 3)) {
+        rm(spark, dir)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        graft.pipeline.Dedup.segIngest(spark, dir,
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          col("doc_id"), col("text"), width = 5, ts = Some(C1)): Unit
+        graft.pipeline.Dedup.segIngest(spark, dir,
+          docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+          col("doc_id"), col("text"), width = 5): Unit
+        graft.pipeline.Dedup.segDelete(spark, dir,
+          docs.filter(pmod(col("doc_id"), lit(9)) === 0),
+          col("doc_id"), col("text"), width = 5): Unit
+      }
+      dir
+    }
+
   /** Incremental-dedup SIGNATURE INDEX over `documents`, ingested in three
     * doc_id-ordered batches (see [[graft.pipeline.Dedup.ingestDedup]]).
     * The final kept set must equal batch-mode fuzzy dedup of the whole

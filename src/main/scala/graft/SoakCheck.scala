@@ -670,6 +670,44 @@ object SoakCheck {
         s"${segInc.totalShuffleWriteMB} MB for the 100x corpus — the " +
         "tail batch's exchange must track the batch, not the index")
 
+    // ---- path 9e': segment-index TAKEDOWN at 20× (r17) -----------------
+    // 2% of the grown 101k-doc index deleted with as-ingested text: the
+    // subtraction joins the DELETE batch's counts into the index's
+    // bucket layout (the ingest machinery inverted), so its exchange
+    // must track the batch like the tail's did — never an index
+    // rewrite — and zeroed per-doc-unique segments must leave no row.
+    val SegDel = 2000L
+    val segDel = measure(spark, "seg_delete")(() => {
+      val n = pipeline.Dedup.segDelete(spark, segIdx,
+        segDocs.filter(col("id") < SegDel),
+        col("id"), col("text"), width = 5)
+      // the verification count below reads the whole MOR docs table (a
+      // key-windowed merge — index-sized by design) and is asserted
+      // OUTSIDE this measure; the gate prices the DELETE alone
+      spark.range(0, n).toDF()
+    })(_.count())
+    require(segDel.rowsOut == SegDel,
+      s"seg_delete removed ${segDel.rowsOut} docs")
+    require(read.SnapshotReader.read(spark, s"$segIdx/docs").count() ==
+      SegDocs + SegTail - SegDel, "seg_delete docs-table count wrong")
+    require(segDel.totalShuffleWriteMB * 10 <= segInc.totalShuffleWriteMB,
+      s"seg_delete shuffled ${segDel.totalShuffleWriteMB} MB vs " +
+        s"${segInc.totalShuffleWriteMB} MB for the 100x corpus — the " +
+        "delete batch's exchange must track the batch, not the index")
+    require(segDel.jobs <= 60,
+      s"seg_delete ran ${segDel.jobs} jobs — budget 60 (constant: " +
+        "contract probe + presence probe + counts join + txn passes)")
+    // zeroed rows vanish; surviving docs' segments stay
+    def segRowOf(id: Long): Long =
+      read.SnapshotReader.read(spark, s"$segIdx/segindex")
+        .filter(col("seg") ===
+          (0 until 5).map(i => s"s${i}_$id").mkString(" "))
+        .count()
+    require(segRowOf(7L) == 0L,
+      "a deleted doc's per-doc-unique segment row must be gone")
+    require(segRowOf(SegDel + 7L) == 1L,
+      "a surviving doc's segment row must remain")
+
     // ---- path 9f: HOT-SEGMENT row skew (r15) ---------------------------
     // A planted boilerplate segment covering 80% of ALL occurrences —
     // the pathological shape for the occurrence↔count keep-join: every
@@ -824,29 +862,31 @@ object SoakCheck {
           targetCellRows = target)
       )(_.count())
     // r17 (ADVICE): the twins' thresholds are NORMALIZED against a
-    // per-pair cost measured in the SAME run — a single-task 3M-pair
-    // scan of the same kernel class (64-dim float cosine per pair) —
-    // so machine speed, CPU contention, and JIT state move the
-    // prediction and the measurement together, where the old fixed
-    // 3000 ms floor + 2x cross-twin ratio could flip on a slow or
-    // noisy host. The hub cell does |cell|^2 = 36M pairs in one task
-    // unarmored; concentration must show >= 15% of that predicted
-    // cost, the armored max task must come in under 50% of it (the
-    // occupancy splits cut the largest task to ~1/30 of the
-    // quadratic, measured ~12%), and armored must beat unarmored
-    // outright with margin.
-    val CalibPairsM = 3.0 // 2000 x 1500 pairs, one partition
+    // per-pair cost measured in the SAME run — by the JOIN ITSELF on a
+    // scaled-down single-cell hub (1,500 of the same hub vectors at
+    // nlist 1: one task, 1500² = 2.25M pairs through the identical
+    // plan/kernel/codegen) — so machine speed, CPU contention, JIT
+    // state AND the kernel's true constant move the prediction and the
+    // measurement together, where the old fixed 3000 ms floor + 2×
+    // cross-twin ratio could flip on a slow or noisy host (and a
+    // hand-rolled "same cost class" calibration kernel measured 40×
+    // off the real join's per-pair cost — only the join calibrates the
+    // join). The full hub cell does 6000² = 36M pairs in one task
+    // unarmored: concentration must show ≥ 15% of the predicted cost,
+    // the armored max task must come in under 50% of it (the occupancy
+    // splits cut the largest task to ~1/30 of the quadratic), and
+    // armored must beat unarmored outright with margin.
+    val CalibHub = 1500L
     val calib = measure(spark, "knn_skew_calibration")(() =>
-      spark.range(0, 2000, 1, 1)
-        .select(semVec(col("id") + 111L).cast("array<float>").as("va"))
-        .crossJoin(broadcast(spark.range(0, 1500, 1, 1)
-          .select(semVec(col("id") + 222L).cast("array<float>")
-            .as("vb"))))
-        .select(pipeline.Similarity.cosine(col("va"), col("vb")).as("c"))
-        .agg(sum(col("c")).as("s"))
+      pipeline.Similarity.knnJoin(
+        skewVecs.filter(col("id") < CalibHub), col("id"), col("vec"),
+        k = 3, nlist = 1, nprobe = 1, trainFraction = 0.25)
     )(_.count())
-    val msPerMpair =
-      math.max(1.0, calib.maxTaskDurationMs.toDouble / CalibPairsM)
+    require(calib.rowsOut == CalibHub * 3,
+      s"knn_skew_calibration rows ${calib.rowsOut}")
+    val msPerMpair = math.max(0.05,
+      calib.maxTaskDurationMs.toDouble /
+        (CalibHub * CalibHub / 1.0e6))
     val predictedHubMs = (HubRows * HubRows / 1.0e6) * msPerMpair
     val knnSkewOff = runKnnSkew("knn_join_skew_unarmored", 0L)
     val knnSkewOn = runKnnSkew("knn_join_skew", 200L)
@@ -913,11 +953,42 @@ object SoakCheck {
         "over data/ + the ledgered batch; ALL constant — none may " +
         "scale with the index)")
 
+    // ---- path 10f: .ann TAKEDOWN at 20× (r15 index) ---------------------
+    // 1% of the grown index tombstoned: the delete writes the DISTINCT
+    // id set (a takedown-sized exchange, nothing vector-sized) and
+    // commits one tombledger entry; serving with the tombstone
+    // broadcast-anti-joined must still return k rows per query with no
+    // tombstoned id surfacing.
+    val AnnDel = 400L
+    val annDel = measure(spark, "ann_delete")(() => {
+      graft.pipeline.Similarity.annDelete(spark, annDir,
+        spark.range(0, AnnDel, 1, 4).select(col("id")),
+        col("id"), "soak-td1"): Unit
+      spark.read.parquet(s"$annDir/tombstones/soak-td1")
+    })(_.count())
+    require(annDel.rowsOut == AnnDel,
+      s"ann_delete committed ${annDel.rowsOut} ids")
+    require(annDel.totalShuffleWriteMB <= 1,
+      s"ann_delete shuffled ${annDel.totalShuffleWriteMB} MB — the " +
+        "tombstone set is ids-only (one distinct over the id batch); " +
+        "any real exchange means vectors entered the delete path")
+    // serving with the tombstone set broadcast-anti-joined: k rows per
+    // query, no tombstoned id surfaces
+    val served = graft.pipeline.Similarity.annTopK(spark, annDir,
+        knnVecs.filter(col("id") >= 20000L && col("id") < 20040L),
+        col("id"), col("vec"), k = 5, nprobe = 8, rerank = 40)
+      .collect()
+    require(served.length == 40 * 5,
+      s"ann serving with tombstones returned ${served.length} rows")
+    require(served.forall(_.getLong(1) >= AnnDel),
+      "a tombstoned id surfaced from ann serving")
+
     // ---- gates ---------------------------------------------------------
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
       search, wand, incIng, incSearch, sem, semTail, dvw, sub, subInc,
-      subTail, seg, segInc, segTail, skewOff, skewOn, subOff, subOn,
-      knn, knnPq, calib, knnSkewOff, knnSkewOn, annBuild, annInc)
+      subTail, seg, segInc, segTail, segDel, skewOff, skewOn, subOff,
+      subOn, knn, knnPq, calib, knnSkewOff, knnSkewOn, annBuild, annInc,
+      annDel)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,
@@ -935,7 +1006,7 @@ object SoakCheck {
         "substr_dedup_skew_unarmored", "substr_dedup_skew",
         "knn_join_skew_unarmored", "knn_join_skew",
         "substr_dedup", "seg_dedup", "seg_ingest",
-        "seg_ingest_tail")(r.name)) // RUN work
+        "seg_ingest_tail", "seg_delete", "ann_delete")(r.name)) // RUN work
       // (knn_join's "plan" includes ivfTrain's Lloyd jobs)
       .foreach(r =>
         require(r.planMs < 30000, s"${r.name}: planning took ${r.planMs} ms"))

@@ -1513,6 +1513,15 @@ object SparkEntry {
         .select(col("doc_id"), col("text_dedup"), col("segs_total"),
           col("segs_removed"))
         .orderBy(col("doc_id"))),
+    // Segment-index TAKEDOWN (r17): two arrival batches, then a slice
+    // deleted with its as-ingested text — the surviving index counts
+    // must equal a full recount over the non-deleted ingested docs
+    // (exact subtraction; fully-zeroed segments leave no row).
+    "q_seg_delete_counts" -> ((s, d) =>
+      read.SnapshotReader.read(s,
+          s"${Fixtures.segDeleteIdxDir(s, d)}/segindex")
+        .select(col("seg"), col("cnt"))
+        .orderBy(col("seg"))),
     "q_dedup_best" -> ((s, d) => {
       val docs = tp(s, d, "documents")
       Dedup.keepBestPerCluster(
@@ -3119,6 +3128,18 @@ object SparkEntry {
         "CAST(b.nseg - coalesce(a.kept_n, 0) AS BIGINT) AS segs_removed " +
         "FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id " +
         "ORDER BY doc_id"),
+    // takedown: index counts == recount over the non-deleted ingested
+    // docs (batches doc_id%3 in {0,1}; doc_id%9=0 deleted — exact
+    // subtraction, zeroed segments leave no row)
+    "q_seg_delete_counts" ->
+      (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents " +
+        "WHERE doc_id % 3 < 2 AND doc_id % 9 <> 0), " +
+        "base AS (SELECT doc_id, t, CAST(len(t)//5 AS INT) AS nseg " +
+        "FROM toks), " +
+        "occ AS (SELECT doc_id, unnest(list_transform(range(0, nseg), " +
+        "i -> array_to_string(t[i*5+1:i*5+5], ' '))) AS seg FROM base) " +
+        "SELECT seg, CAST(count(*) AS BIGINT) AS cnt FROM occ " +
+        "GROUP BY seg ORDER BY seg"),
     // same mark set as q_substr_dedup, islands via lag + running sum
     "q_substr_spans" ->
       (s"WITH toks AS (SELECT doc_id, $Toks AS t FROM documents), " +

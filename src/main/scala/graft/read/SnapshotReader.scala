@@ -178,10 +178,24 @@ object SnapshotReader {
     * below the per-key window (the key, not the partition, is the window
     * axis) — for those the explicit `partitions` parameter remains the
     * metadata-pruning path, and compaction keeps that side small. */
+  /** @param keyFilter optional one-column `_hoodie_record_key` frame:
+    *   restrict the merged snapshot to THESE keys, with the restriction
+    *   pushed BELOW the merge window — the broadcast semi-join drops
+    *   non-matching rows before the key-partitioned exchange, so a
+    *   key-probe over a huge table shuffles only the matching rows
+    *   (batch-sized) instead of every dirty group's. Dropping whole key
+    *   groups before a key-partitioned window is semantics-preserving.
+    *   The frame must be probe-sized (it is broadcast). */
   private[graft] def merge(spark: SparkSession, basePath: String,
       slices: Seq[FileSlice],
       timeline: Option[Timeline] = None,
-      asOf: Option[String] = None): DataFrame = {
+      asOf: Option[String] = None,
+      keyFilter: Option[DataFrame] = None): DataFrame = {
+    def keyed(df: DataFrame): DataFrame =
+      keyFilter.fold(df)(kf => df.join(
+        org.apache.spark.sql.functions.broadcast(
+          kf.toDF(MetaCols.RecordKey)),
+        Seq(MetaCols.RecordKey), "left_semi"))
     def abs(rel: String) = s"$basePath/$rel"
     val (withDeltas, baseOnly) = slices.partition(_.deltas.nonEmpty)
     val basePaths = baseOnly.flatMap(_.relPath).map(abs)
@@ -225,7 +239,8 @@ object SnapshotReader {
       val unioned = (if (mergeBase.nonEmpty)
         Seq(baseRead(mergeBase)
           .withColumn(IsDeleted, lit(false))) else Seq.empty) :+ deltas
-      val all = unioned.reduce(_.unionByName(_, allowMissingColumns = true))
+      val all = keyed(
+        unioned.reduce(_.unionByName(_, allowMissingColumns = true)))
       // EVENT-TIME ordering (precombine): when the table declared an
       // ordering column, the row version with the GREATEST ordering value
       // wins regardless of arrival order — a late-arriving stale delta
@@ -267,7 +282,7 @@ object SnapshotReader {
       Some(resolved.select(cols.map(col).toIndexedSeq: _*))
     } else None
 
-    (plainScan.toSeq ++ merged.toSeq)
+    (plainScan.map(keyed).toSeq ++ merged.toSeq)
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
         // every slice is fileless (deletes emptied the groups): a legal

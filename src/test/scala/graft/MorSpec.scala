@@ -53,6 +53,40 @@ class MorSpec extends SparkSpec {
     assert(snap.exceptAll(exp).isEmpty && exp.exceptAll(snap).isEmpty)
   }
 
+  test("merge keyFilter: key-restricted merge == full merge filtered, " +
+      "with the restriction pushed below the window (r17)") {
+    // the existence-probe pushdown (MorWriter's exact op counters):
+    // keyed merge must agree with post-filtering the full snapshot for
+    // every key class — live, updated, deleted (absent), never-written
+    // (absent) — across base+delta AND post-compaction states
+    val tl = Timeline(spark.sessionState.newHadoopConf(), base)
+    val slices = tl.latestSlices(None).values.toSeq
+    val probeKeys = Seq(
+      orders.filter($"o_orderkey" % 7 === 0).limit(5),   // deleted at C2
+      orders.filter($"o_orderkey" % 10 === 3 &&
+        $"o_orderkey" % 7 =!= 0).limit(5),               // updated
+      orders.filter($"o_orderkey" % 7 === 1).limit(5))   // untouched
+      .map(_.select($"o_orderkey".cast("string")
+        .as(MetaCols.RecordKey)))
+      .reduce(_ unionByName _)
+      .unionByName(Seq("99999999").toDF(MetaCols.RecordKey)) // never written
+    val keyed = SnapshotReader.merge(spark, base, slices,
+        keyFilter = Some(probeKeys))
+      .select(col(MetaCols.RecordKey))
+    val full = SnapshotReader.merge(spark, base, slices)
+      .select(col(MetaCols.RecordKey))
+      .join(broadcast(probeKeys), Seq(MetaCols.RecordKey), "left_semi")
+    assert(keyed.exceptAll(full).isEmpty && full.exceptAll(keyed).isEmpty,
+      "keyed merge must equal full-merge-then-filter")
+    // deleted + never-written keys are ABSENT (the existence contract)
+    val got = keyed.as[String].collect().toSet
+    assert(!got.contains("99999999"))
+    assert(orders.filter($"o_orderkey" % 7 === 0).limit(5)
+      .select($"o_orderkey".cast("string")).as[String].collect()
+      .forall(k => !got.contains(k)),
+      "a delta-deleted key must read as absent through the keyed merge")
+  }
+
   test("delta commit records exact delete counts") {
     val tl = Timeline(spark.sessionState.newHadoopConf(), base)
     assert(tl.instantAt(C2).get.action == Instant.DeltaCommitAction)

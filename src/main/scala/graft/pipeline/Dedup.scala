@@ -86,14 +86,18 @@ object Dedup {
         df.select(id.cast("long").as("id"), text.as("__text"))
           .filter(col("__text").isNotNull))
       .select(col("id"), shingleSet(col("__text"), n).as("shingles"))
+    // explode_outer: see the object-level note above minhashPairs.
+    val exploded = base.select(col("id"),
+      explode_outer(col("shingles")).as("sh"))
+    // ONE native aggregate yields the whole signature array (map-side
+    // combined, elementwise-min merge — see functions.MinHashAgg).
+    // r17 note: persisting `sigs` for the bucket self-join was tried and
+    // MEASURED SLOWER (+0.15 s isolated) — ReuseExchange already shares
+    // the signature aggregate's exchange between the self-join's sides,
+    // so the cache only added a materialization barrier. Left unpinned.
+    val sigs = exploded.groupBy("id").agg(
+      graft.functions.MinHashAgg.minhashSig(col("sh"), numHashes).as("sig"))
     scoped(materialize, base) {
-      // explode_outer: see the object-level note above minhashPairs.
-      val exploded = base.select(col("id"),
-        explode_outer(col("shingles")).as("sh"))
-      // ONE native aggregate yields the whole signature array (map-side
-      // combined, elementwise-min merge — see functions.MinHashAgg).
-      val sigs = exploded.groupBy("id").agg(
-        graft.functions.MinHashAgg.minhashSig(col("sh"), numHashes).as("sig"))
       // Band bucket = hash of the band's signature slice (+ band index). The
       // sig is an aggregate OUTPUT attribute, so the per-band slices reference
       // the materialized array — nothing recomputes upstream work per band.
@@ -104,7 +108,7 @@ object Dedup {
       val bucketed = sigs
         .select(col("id"), explode(array(bandCols: _*)).as("bc"))
         .select(col("id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
-      val cand = candidatePairs(capBuckets(bucketed, maxBucket))
+      val cand = candidatePairs(bucketed, maxBucket)
       verifyJaccardArrays(cand, base, thresholdPermille)
     }
   }
@@ -132,13 +136,17 @@ object Dedup {
       blocking: Column, n: Int = 3, thresholdPermille: Int = 500,
       materialize: Boolean = true): DataFrame = {
     val base = ngramBase(df, id, text, blocking, n)
-    scoped(materialize, base) {
-      // sz travels WITH the exploded rows (computed from the in-row array)
-      // so the prefix stage needs no second window/join to learn it.
-      val exploded = base.select(col("id"), col("block"),
-        size(col("shingles")).cast("long").as("sz"),
-        explode(col("shingles")).as("sh"))
-      val prefix = prefixShingles(exploded, thresholdPermille)
+    // sz travels WITH the exploded rows (computed from the in-row array)
+    // so the prefix stage needs no second window/join to learn it.
+    val exploded = base.select(col("id"), col("block"),
+      size(col("shingles")).cast("long").as("sz"),
+      explode(col("shingles")).as("sh"))
+    // r17 (optimization): the prefix index joins the scoped persist set —
+    // the candidate SELF-join references it through both sides, and an
+    // unpersisted prefix meant the df-count shuffle + df join + rank
+    // window all ran twice (measured on the isolated bench).
+    val prefix = prefixShingles(exploded, thresholdPermille)
+    scoped(materialize, base, prefix) {
       // Size filter (also lossless): J(A,B) ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t —
       // prunes size-mismatched collisions before the distinct.
       val cand = prefix.select(col("block"), col("sh"), col("id").as("id_a"),
@@ -258,8 +266,9 @@ object Dedup {
     val base = winnowBase(df, id, text, blocking, k, w)
       .filter(size(col("fps")) >=
         ratioPermille.fold(minShared)(_ => 1))
-    scoped(materialize, base) {
-      val cand = winnowCandidates(base, minShared, ratioPermille, dfCap)
+    val prefix = winnowPrefix(base, minShared, ratioPermille, dfCap)
+    scoped(materialize, base, prefix) {
+      val cand = winnowCandidatesFrom(prefix, ratioPermille)
       // r10 verify shave (VERDICT r9 #8): fingerprints are DISTINCT by
       // construction (winnow_hashes), so sorting each doc's array ONCE
       // lets every candidate pair verify with an allocation-free merge
@@ -291,7 +300,16 @@ object Dedup {
     * sz·1000/sz·p would wrap for multi-million-fingerprint docs and
     * silently widen the prefix. */
   private[graft] def winnowCandidates(base: DataFrame, minShared: Int,
-      ratioPermille: Option[Int], dfCap: Option[Int] = None): DataFrame = {
+      ratioPermille: Option[Int], dfCap: Option[Int] = None): DataFrame =
+    winnowCandidatesFrom(
+      winnowPrefix(base, minShared, ratioPermille, dfCap), ratioPermille)
+
+  /** The prefix index of [[winnowCandidates]] — split out (r17) so
+    * [[winnowPairs]] can pin it in the scoped persist set: the candidate
+    * self-join references it through both sides, and unpersisted the
+    * df-count shuffle + df join + rank window all ran twice. */
+  private[graft] def winnowPrefix(base: DataFrame, minShared: Int,
+      ratioPermille: Option[Int], dfCap: Option[Int]): DataFrame = {
     val exploded = base.select(col("id"), col("block"),
       size(col("fps")).cast("long").as("sz"), explode(col("fps")).as("fp"))
     val dfreq = exploded.groupBy("fp").agg(count(lit(1)).as("__df"))
@@ -309,11 +327,16 @@ object Dedup {
     // Absolute-mode skew cap: truncate each (block, fp) posting to its
     // dfCap smallest ids (deterministic; see winnowPairs scaladoc for the
     // documented recall trade) — a hot posting then yields ≤ cap² pairs.
-    val prefix = dfCap.fold(prefix0) { cap =>
+    dfCap.fold(prefix0) { cap =>
       val wCap = Window.partitionBy("block", "fp").orderBy(col("id").asc)
       prefix0.withColumn("__pn", row_number().over(wCap))
         .filter(col("__pn") <= cap).drop("__pn")
     }
+  }
+
+  /** Candidate pairs from a (possibly pinned) [[winnowPrefix]] frame. */
+  private[graft] def winnowCandidatesFrom(prefix: DataFrame,
+      ratioPermille: Option[Int]): DataFrame = {
     val candRaw = prefix.select(col("block"), col("fp"), col("id").as("id_a"),
         col("sz").as("sz_a"))
       .join(prefix.select(col("block"), col("fp"), col("id").as("id_b"),
@@ -404,22 +427,32 @@ object Dedup {
     * pigeonhole at least one chunk is untouched), so the output is exactly
     * "all pairs with hamming ≤ 3" — brute-force oracle-matchable. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000,
+      materialize: Boolean = true): DataFrame = {
     require(maxHamming <= 3, "4-chunk bucketing guarantees recall only to 3")
+    // r17 (optimization): the simhash table joins the scoped persist set —
+    // the bucket self-join plus the two verify joins referenced `sims`
+    // FOUR times, and each unpersisted reference re-ran the whole
+    // tokenize + md5 + SimHashAgg pass (isolated bench: 1.6 s → the
+    // aggregate pass alone was most of it). Same scoped contract as
+    // [[minhashPairs]] (persist for the call, localCheckpoint the
+    // output-sized result, release).
     val sims = simhash60(df, id, text)
-    val chunks = (0 until 4).map(c => struct(lit(c).as("band"),
-      shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(0x7FFFL)
-        .as("bucket")))
-    val bucketed = sims.select(col("id"), explode(array(chunks: _*)).as("bc"))
-      .select(col("id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
-    val pairs = candidatePairs(capBuckets(bucketed, maxBucket))
-    pairs
-      .join(sims.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
-      .join(sims.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    scoped(materialize, sims) {
+      val chunks = (0 until 4).map(c => struct(lit(c).as("band"),
+        shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(0x7FFFL)
+          .as("bucket")))
+      val bucketed = sims.select(col("id"), explode(array(chunks: _*)).as("bc"))
+        .select(col("id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+      val pairs = candidatePairs(bucketed, maxBucket)
+      pairs
+        .join(sims.select(col("id").as("id_a"), col("simhash").as("sh_a")), "id_a")
+        .join(sims.select(col("id").as("id_b"), col("simhash").as("sh_b")), "id_b")
+        .withColumn("hamming",
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+    }
   }
 
   /** Embedding near-dup pairs: deterministic sign-LSH blocking + EXACT
@@ -519,7 +552,7 @@ object Dedup {
       // per-bucket pair growth is h² + 2hp, not (h+p)². Integer-exact and
       // mirrored verbatim by the SQL oracle (argmin over literal coords).
       val cand =
-        if (!multiProbe) candidatePairs(capBuckets(homes, maxBucket))
+        if (!multiProbe) candidatePairs(homes, maxBucket)
         else {
           val powLit = typedLit((0 until math.max(maxRows, 1))
             .map(1L << _))
@@ -540,7 +573,7 @@ object Dedup {
             .unionAll(zipped.filter(col("hp.pb") =!= col("hp.h"))
               .select(col("id"), col("band"), col("hp.pb").as("bucket"),
                 lit(1).as("p")))
-          candidatePairsHomeProbe(capBuckets(bucketed, maxBucket))
+          candidatePairsHomeProbe(bucketed, maxBucket)
         }
       val a = q.select(col("id").as("id_a"), col("q").as("q_a"),
         col("nrm").as("n_a"))
@@ -630,7 +663,7 @@ object Dedup {
     scoped(materialize, assigned) {
       val bucketed = assigned.select(col("id"), lit(0).as("band"),
         col("cl").cast("long").as("bucket"))
-      val cand = candidatePairs(capBuckets(bucketed, maxCluster))
+      val cand = candidatePairs(bucketed, maxCluster)
       val a = assigned.select(col("id").as("id_a"), col("q").as("q_a"),
         col("nrm").as("n_a"))
       val b = assigned.select(col("id").as("id_b"), col("q").as("q_b"),
@@ -731,7 +764,7 @@ object Dedup {
       // broadcast PINNED (the r13 lesson): the batch id list is
       // batch-sized; left to stats the planner shuffled the PAIR frame —
       // quadratic in cluster occupancy, the largest frame in the loop
-      val cand = candidatePairs(capBuckets(bucketed, maxCluster))
+      val cand = candidatePairs(bucketed, maxCluster)
         .join(broadcast(assigned.select(col("id").as("id_b"))),
           Seq("id_b"), "leftsemi")
       val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -896,9 +929,23 @@ object Dedup {
     try {
     val e0 = pairs.select(idA.cast("long").as("src"),
       idB.cast("long").as("dst"))
+    // r17 (optimization): symmetrize via ONE in-row explode instead of
+    // e0.union(e0.swapped) — the union referenced `pairs` twice, so an
+    // unmaterialized upstream pair generator (mutualKnnEdges in
+    // q_knn_clusters) was evaluated twice inside this truncate. The
+    // explode reads it once and emits both orientations per row;
+    // `distinct()` is unchanged.
+    // Checkpointed PRE-PARTITIONED by dst (r17): the per-round neighbor
+    // join keys edges by dst, and localCheckpoint preserves the physical
+    // partitioning — the edge table (the big side at scale) is exchanged
+    // ONCE here instead of once per round.
     val edges = truncate(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()) // reused every round
+      e0.select(explode(array(
+          struct(col("src").as("src"), col("dst").as("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct()
+        .repartition(col("dst"))) // reused every round
     var lbl = truncate(
       edges.groupBy("src").agg(min("dst").as("nmin"))
         .select(col("src").as("id"),
@@ -911,19 +958,25 @@ object Dedup {
         .groupBy("src").agg(min(col("dlbl")).as("nmin"))
         .select(col("src").as("id"), col("nmin"))
       val stepped = lbl.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("__old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("l1"))
       // path halving: follow the label's own label (labels are vertex ids
-      // of the same component, so the lookup stays within the component)
+      // of the same component, so the lookup stays within the component).
+      // r17: the pre-step label rides along so convergence is read off
+      // the checkpointed frame itself — the r16 form re-joined `jumped`
+      // against `lbl` (one exchange per round) just to count changes.
+      // (Fusing two rounds per checkpoint and jumping through the
+      // current step instead of the checkpointed table were both tried
+      // and MEASURED SLOWER — duplicating the deep in-flight subtree
+      // costs more than the sync points it saves, even with
+      // ReuseExchange; see OPTIMIZATION_r17.md.)
       val jumped = truncate(stepped
         .join(lbl.select(col("id").as("l1"), col("lbl").as("ll")),
           Seq("l1"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__old"),
           least(col("l1"), coalesce(col("ll"), col("l1"))).as("lbl")))
-      changed = jumped.select(col("id"), col("lbl").as("nl"))
-        .join(lbl, Seq("id"))
-        .filter(col("nl") =!= col("lbl")).count()
-      lbl = jumped
+      changed = jumped.filter(col("lbl") =!= col("__old")).count()
+      lbl = jumped.select(col("id"), col("lbl"))
     }
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     } finally checkpointDir.foreach(_ => org.apache.spark.sql.graft.Bridge
@@ -1430,7 +1483,7 @@ object Dedup {
           col("bc.bucket").as("bucket"))
       // Only pairs whose LATER member is in this batch matter (history is
       // already settled); the earlier member may be anywhere.
-      val cand = candidatePairs(capBuckets(bucketed, maxBucket))
+      val cand = candidatePairs(bucketed, maxBucket)
         .join(batchRows.select(col("id").as("id_b")), Seq("id_b"), "leftsemi")
       val drops = verifyJaccardArrays(cand,
           union.select(col("id"), col("shingles")), thresholdPermille)
@@ -2296,28 +2349,81 @@ object Dedup {
 
   /** Cap bucket membership: keep the `maxBucket` smallest ids per bucket
     * (deterministic; overflow rows rely on their other bands). */
-  private def capBuckets(bucketed: DataFrame, maxBucket: Int): DataFrame = {
+  /** r16 form of the bucket cap, kept as the property-test reference for
+    * the aggregate form below: `row_number() OVER (PARTITION BY band,
+    * bucket ORDER BY id) <= maxBucket`. */
+  private[graft] def capBucketsViaWindow(bucketed: DataFrame,
+      maxBucket: Int): DataFrame = {
     val w = Window.partitionBy("band", "bucket").orderBy(col("id").asc)
     bucketed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucket).drop("__rn")
   }
 
-  /** Distinct co-bucketed id pairs (id_a < id_b). */
-  private def candidatePairs(bucketed: DataFrame): DataFrame =
-    bucketed.as("x")
-      .join(bucketed.as("y"), Seq("band", "bucket"))
+  /** r16 pair generators over a capped bucket stream, kept as the
+    * property-test reference for [[candidatePairs]] /
+    * [[candidatePairsHomeProbe]]. */
+  private[graft] def candidatePairsViaSelfJoin(bucketed: DataFrame,
+      maxBucket: Int): DataFrame =
+    capBucketsViaWindow(bucketed, maxBucket).as("x")
+      .join(capBucketsViaWindow(bucketed, maxBucket).as("y"),
+        Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+  private[graft] def candidatePairsHomeProbeViaSelfJoin(
+      bucketed: DataFrame, maxBucket: Int): DataFrame =
+    capBucketsViaWindow(bucketed, maxBucket).as("x")
+      .join(capBucketsViaWindow(bucketed, maxBucket).as("y"),
+        Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id") &&
+        (col("x.p") === 0 || col("y.p") === 0))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+  /** Capped co-bucket membership in ONE map-side-combined aggregate
+    * (r17, guide §2.2/§2.5): each (band, bucket) group folds to its
+    * `maxBucket` smallest-id rows via [[graft.functions.MinKAgg]] — a
+    * hot bucket costs the exchange ≤ maxBucket rows PER MAPPER instead
+    * of shipping its whole occupancy to one reducer for the r16 rank
+    * window's sort, and the bucket stream is read ONCE instead of once
+    * per self-join side. Kept set and pair set are bit-identical to the
+    * window + self-join form (ids are unique within a bucket, so
+    // `orderBy id` is a total order; property-pinned in DedupProps). */
+  private[graft] def cappedIds(bucketed: DataFrame, tag: Column,
+      maxBucket: Int): DataFrame =
+    bucketed.groupBy("band", "bucket")
+      .agg(graft.functions.MinKAgg.minK(col("id"), tag, maxBucket)
+        .as("__ids"))
+
+  /** In-row pair explosion of a capped, id-ASC bucket array: element i
+    * pairs with every LATER element — id_a < id_b by construction, the
+    * exact pair set of the self-join form. */
+  private[graft] def pairsFromCapped(capped: DataFrame): DataFrame =
+    capped
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "__a")))
+      .select(col("__a").getField("id").as("id_a"),
+        col("__a").getField("p").as("p_a"),
+        explode(slice(col("__ids"), col("__i") + 2, size(col("__ids"))))
+          .as("__b"))
+      .select(col("id_a"), col("p_a"),
+        col("__b").getField("id").as("id_b"),
+        col("__b").getField("p").as("p_b"))
+
+  /** Distinct co-bucketed id pairs (id_a < id_b). */
+  private[graft] def candidatePairs(bucketed: DataFrame,
+      maxBucket: Int): DataFrame =
+    pairsFromCapped(cappedIds(bucketed, lit(0), maxBucket))
+      .select("id_a", "id_b")
       .distinct()
 
   /** Multi-probe variant: co-bucketed pairs where at least ONE side is a
     * HOME row (`p = 0`) — probe×probe pairs are excluded, bounding
     * per-bucket pair growth to h² + 2hp instead of (h+p)². */
-  private def candidatePairsHomeProbe(bucketed: DataFrame): DataFrame =
-    bucketed.as("x")
-      .join(bucketed.as("y"), Seq("band", "bucket"))
-      .filter(col("x.id") < col("y.id") &&
-        (col("x.p") === 0 || col("y.p") === 0))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+  private[graft] def candidatePairsHomeProbe(bucketed: DataFrame,
+      maxBucket: Int): DataFrame =
+    pairsFromCapped(cappedIds(bucketed, col("p"), maxBucket))
+      .filter(col("p_a") === 0 || col("p_b") === 0)
+      .select("id_a", "id_b")
       .distinct()
 }

@@ -2060,17 +2060,29 @@ object Similarity {
     val dsub = dim / m
     val topR = math.max(rerank, k)
     val base = ds.select(id.cast("long").as("id"), vec.as("v"))
-    val (centroids, occ) = ivfTrainOcc(base, col("id"), col("v"), nlist,
+    // r17 (optimization, guide §2.6 — overlap independent jobs): IVF
+    // training and codebook training read the same input but depend on
+    // nothing of each other, yet ran strictly serially — every Lloyd
+    // collect round-trip of one added dead time to the other. Both are
+    // seeded-deterministic, so running them from two driver threads
+    // changes nothing but the wall clock (the scheduler interleaves
+    // their metadata-sized jobs; results are bit-identical).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val centsF = Future(ivfTrainOcc(base, col("id"), col("v"), nlist,
       iters, seed, trainFraction,
-      withOccupancy = targetCellRows > 0)
-    val (rotation, books) =
+      withOccupancy = targetCellRows > 0))
+    val booksF = Future(
       if (opqIters > 0) {
         val (r, b) = opqTrain(base, col("id"), col("v"), dim, m, ksub,
           iters, opqIters, seed, trainFraction)
         (Option(r), b)
       } else
         (None, pqTrain(base, col("id"), col("v"), dim, m, ksub, iters,
-          seed, trainFraction))
+          seed, trainFraction)))
+    val (centroids, occ) = Await.result(centsF, Duration.Inf)
+    val (rotation, books) = Await.result(booksF, Duration.Inf)
     // the SDC table below strides by ksub — a short codebook (a sampled
     // training set with fewer rows than ksub in some subspace) would
     // otherwise surface as a bare IndexOutOfBoundsException from
@@ -2176,13 +2188,26 @@ object Similarity {
     * id_a < id_b, kept iff each endpoint is in the other's top-k — the
     * standard symmetrization that makes kNN graphs cluster-able (one-way
     * edges from hubs are what smear unrelated clusters together).
-    * `intersect` is one shuffle dedup over the edge set (≤ n·k rows,
-    * corpus-metadata-sized next to the vectors themselves). */
-  def mutualKnnEdges(knn: DataFrame): DataFrame = {
-    val fwd = knn.select(col("query_id").as("id_a"),
-      col("corpus_id").as("id_b"))
-    val rev = knn.select(col("corpus_id").as("id_a"),
-      col("query_id").as("id_b"))
-    fwd.intersect(rev).filter(col("id_a") < col("id_b"))
-  }
+    *
+    * r17 (optimization): ONE canonical-orientation aggregate instead of
+    * `fwd.intersect(rev)`. The intersect referenced `knn` twice — and the
+    * planner evaluates each reference as its own subtree, so an
+    * UNMATERIALIZED knnJoin upstream (the composed q_knn_clusters path)
+    * ran the whole cell join TWICE — and then paid intersect's two-sided
+    * distinct aggregates plus the semi join. Here each (q,c) row folds to
+    * its canonical (min,max) orientation with a direction flag; a pair is
+    * mutual iff BOTH directions were observed — one map-side-combined
+    * exchange, `knn` referenced once. Result-identical to the intersect
+    * form (knnJoin never emits self-pairs, and its (query, corpus) rows
+    * are distinct by construction; property-pinned in PipelineSpec). */
+  def mutualKnnEdges(knn: DataFrame): DataFrame =
+    knn.select(
+        least(col("query_id"), col("corpus_id")).as("id_a"),
+        greatest(col("query_id"), col("corpus_id")).as("id_b"),
+        (col("query_id") < col("corpus_id")).as("__fwd"))
+      .groupBy("id_a", "id_b")
+      .agg(max(when(col("__fwd"), 1).otherwise(0)).as("__f"),
+        max(when(!col("__fwd"), 1).otherwise(0)).as("__r"))
+      .filter(col("__f") === 1 && col("__r") === 1)
+      .select(col("id_a"), col("id_b"))
 }

@@ -190,6 +190,68 @@ object TextAnalysis {
     * the original bigram LM filters consume). */
   def bigrams(text: Column): Column = ngrams(text, 2)
 
+  /** In-row "let": binds `bound` once and hands it to `body` through a
+    * higher-order-function lambda, so an expensive sub-expression used
+    * several times inside one expression tree is EVALUATED once per row
+    * and — unlike a projection alias — can never be re-inlined per
+    * reference by predicate pushdown / project collapse. */
+  private def letCol(bound: Column)(body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
+
+  /** Occurrence count of the most frequent element of an ASC-sorted
+    * string array (0 for empty): one fold tracking the current run —
+    * equal elements are adjacent after the sort, so the max run length
+    * IS the max multiplicity. */
+  private def maxRunCount(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Tokens covered by duplicated n-gram windows of token array `t`,
+    * computed ENTIRELY in-row (the metric is per-document local — no
+    * cross-document state exists): windows sort by (string, pos), a
+    * position is duplicated iff a sort-neighbor shares its window
+    * string, and the covered-token count is the same interval-union
+    * fold over the ASC positions as the r14 shuffle form (bit-identical
+    * integer arithmetic). O(L log L) per doc — the unit of parallelism
+    * is the document, exactly like the final per-doc fold the previous
+    * implementation already required. */
+  private def dupCoveredCount(t: Column, n: Int): Column = {
+    val posSeq = when(size(t) >= n, sequence(lit(0), size(t) - n))
+      .otherwise(array().cast("array<int>"))
+    val pw = transform(posSeq, p =>
+      struct(concat_ws(" ", slice(t, p + 1, lit(n))).as("win"),
+        p.as("pos")))
+    letCol(sort_array(pw)) { srt =>
+      val L = size(srt)
+      val idxs = when(L > 0, sequence(lit(1), L))
+        .otherwise(array().cast("array<int>"))
+      val dupPos = sort_array(filter(
+        transform(idxs, i =>
+          when((i > lit(1) &&
+              element_at(srt, i - 1).getField("win") ===
+                element_at(srt, i).getField("win")) ||
+            (i < L &&
+              element_at(srt, i + 1).getField("win") ===
+                element_at(srt, i).getField("win")),
+            element_at(srt, i).getField("pos"))),
+        p => p.isNotNull))
+      aggregate(dupPos,
+        struct(lit(0).as("tot"), lit(Int.MinValue / 2).as("pe")),
+        (acc, p) => struct(
+          (acc.getField("tot") + lit(n) -
+            greatest(acc.getField("pe") - p, lit(0))).as("tot"),
+          (p + lit(n)).as("pe")),
+        acc => acc.getField("tot"))
+    }
+  }
+
   /** GOPHER repetition filter, part 1 (Rae et al. 2021 §A1.1): per
     * document and per order n ∈ `orders`, the fraction of the document
     * covered by occurrences of its single MOST FREQUENT word n-gram —
@@ -211,30 +273,36 @@ object TextAnalysis {
       orders: Seq[Int]): DataFrame = {
     require(orders.nonEmpty && orders.forall(_ >= 1),
       s"orders must be non-empty, all >= 1 (got $orders)")
+    // r17 (optimization, guide §2.4 — remove shuffles outright): the
+    // metric is per-document local, so the (doc, n, gram) count shuffle
+    // + (doc, n) max + corpus re-join of the r14 form are gone — the max
+    // multiplicity is the longest run of the doc's SORTED gram array
+    // ([[maxRunCount]]), computed in-row; the whole operator is one
+    // map-side pass. The per-doc cost is O(L log L) (the explode input
+    // is CreateArray, so no size-filter is inferred that could push the
+    // gram work below the widening exchange). Output rows, types and
+    // integer arithmetic are bit-identical to the shuffle form
+    // (spec-pinned; oracle unchanged).
     val base = graft.util.ParallelScan.widen(
       df.select(id.cast("long").as("doc_id"), tokens(text).as("t")))
-    def gramsOf(t: Column, n: Int): Column =
-      when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-    val ex = base.select(col("doc_id"),
+    base.select(col("doc_id"),
         explode(array(orders.map(n =>
-          struct(lit(n).as("n"), gramsOf(col("t"), n).as("gs"))): _*))
-          .as("e"))
+          struct(lit(n).as("n"), size(col("t")).as("n_tokens"),
+            maxRunCount(sort_array(ngramsOf(col("t"), n)))
+              .as("top_cnt"))): _*)).as("e"))
       .select(col("doc_id"), col("e.n").as("n"),
-        explode(col("e.gs")).as("gram"))
-    val top = ex.groupBy("doc_id", "n", "gram")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n").agg(max(col("c")).as("top_cnt"))
-    base.select(col("doc_id"), size(col("t")).as("n_tokens"),
-        explode(array(orders.map(n => lit(n)): _*)).as("n"))
-      .join(top, Seq("doc_id", "n"), "left")
-      .select(col("doc_id"), col("n"), col("n_tokens"),
-        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
-        floor(coalesce(col("top_cnt"), lit(0L)) * col("n") * 1000 /
-          greatest(col("n_tokens"), lit(1))).as("permille"))
+        col("e.n_tokens").as("n_tokens"), col("e.top_cnt").as("top_cnt"),
+        floor(col("e.top_cnt") * col("e.n") * 1000 /
+          greatest(col("e.n_tokens"), lit(1))).as("permille"))
   }
+
+  /** [[ngrams]] over an already-tokenized array (the per-order gram
+    * arrays the in-row repetition metrics fold over). */
+  private def ngramsOf(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** GOPHER repetition filter, part 2: per document, the fraction of
     * token POSITIONS covered by any word n-gram occurring MORE THAN ONCE
@@ -252,39 +320,21 @@ object TextAnalysis {
   def dupNgramCoverage(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame = {
     require(n >= 1, s"ngram order must be >= 1 (got $n)")
+    // r17 (optimization, guide §2.4): per-document-local metric → the
+    // exploded (doc, pos, win) shuffle, the count-over-window sort and
+    // the per-doc regroup + corpus re-join are all gone; duplicated
+    // positions and the interval-union fold compute in-row
+    // ([[dupCoveredCount]] — identical integer fold, spec-pinned). The
+    // operator is one map-side pass over the token base.
     val base = graft.util.ParallelScan.widen(
       df.select(id.cast("long").as("doc_id"), tokens(text).as("t")))
-    val posSeq = when(size(col("t")) >= n,
-      sequence(lit(0), size(col("t")) - n))
-      .otherwise(array().cast("array<int>"))
-    val wins = base.select(col("doc_id"),
-        explode(transform(posSeq, p => struct(p.as("pos"),
-          concat_ws(" ", slice(col("t"), p + 1, lit(n))).as("win"))))
-          .as("pw"))
-      .select(col("doc_id"), col("pw.pos").as("pos"),
-        col("pw.win").as("win"))
-    val dupPos = wins
-      .withColumn("c",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id", "win")))
-      .filter(col("c") >= 2)
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("pos"))).as("ps"))
-    // covered = Σ over sorted marked starts of (n − overlap with the
-    // previous window's end) — exact interval-union length in one fold
-    val covered = aggregate(col("ps"),
-      struct(lit(0).as("tot"), lit(Int.MinValue / 2).as("pe")),
-      (acc, p) => struct(
-        (acc.getField("tot") + lit(n) -
-          greatest(acc.getField("pe") - p, lit(0))).as("tot"),
-        (p + lit(n)).as("pe")),
-      acc => acc.getField("tot"))
-    base.select(col("doc_id"), size(col("t")).as("n_tokens"))
-      .join(dupPos, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(covered, lit(0)).cast("long").as("covered_tokens"),
-        floor(coalesce(covered, lit(0)) * 1000 /
-          greatest(col("n_tokens"), lit(1))).as("permille"))
+    base.select(col("doc_id"),
+        explode(array(struct(size(col("t")).as("n_tokens"),
+          dupCoveredCount(col("t"), n).as("covered")))).as("e"))
+      .select(col("doc_id"), col("e.n_tokens").as("n_tokens"),
+        col("e.covered").cast("long").as("covered_tokens"),
+        floor(col("e.covered") * 1000 /
+          greatest(col("e.n_tokens"), lit(1))).as("permille"))
   }
 
   /** The COMPOSED Gopher repetition KEEP step (Rae et al. 2021 Table A1):
@@ -312,75 +362,34 @@ object TextAnalysis {
       s"topThresholds must be non-empty, orders >= 1 (got $topThresholds)")
     require(dupThresholds.nonEmpty && dupThresholds.forall(_._1 >= 1),
       s"dupThresholds must be non-empty, orders >= 1 (got $dupThresholds)")
+    // r17 (optimization, guide §2.4): both filter families are
+    // per-document local, so the two explode shuffles, the window count,
+    // the per-doc regroups and the violator anti-join are replaced by ONE
+    // in-row keep predicate over the token base — the whole composed
+    // filter is a single map-side pass (no persist, no checkpoint: there
+    // is no shared intermediate left to scope). Violation arithmetic is
+    // the exact integer form of [[topNgramFraction]]/[[dupNgramCoverage]]
+    // (docs shorter than n score 0 and can never violate — unchanged).
+    // The keep verdict rides an explode_outer generator rather than a
+    // filter so the per-row work cannot be pushed below the widening
+    // exchange (the repo-wide explode_outer convention), and the token
+    // array is referenced only through one generator input, so no
+    // optimizer rule can re-inline the tokenization per reference.
     val base = graft.util.ParallelScan.widen(
       df.select(id.cast("long").as("doc_id"), tokens(text).as("t")))
-    base.persist()
-    try {
-      val sizes = base.select(col("doc_id"), size(col("t")).as("n_tokens"))
-      def gramsOf(t: Column, n: Int): Column =
-        when(size(t) >= n,
-          transform(sequence(lit(0), size(t) - n),
-            i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))
-      // family 1: top-n-gram fraction — docs absent from the count frame
-      // (shorter than n) score 0 and can never violate, so the violator
-      // set needs only the counted (doc, n) pairs
-      val exT = base.select(col("doc_id"),
-          explode(array(topThresholds.map { case (n, _) =>
-            struct(lit(n).as("n"), gramsOf(col("t"), n).as("gs"))
-          }: _*)).as("e"))
-        .select(col("doc_id"), col("e.n").as("n"),
-          explode(col("e.gs")).as("gram"))
-      val topViol = exT.groupBy("doc_id", "n", "gram")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "n").agg(max(col("c")).as("top_cnt"))
-        .join(sizes, "doc_id")
-        .filter(floor(col("top_cnt") * col("n") * 1000 /
-            greatest(col("n_tokens"), lit(1))) >
-          element_at(typedLit(topThresholds.toMap), col("n")))
-        .select("doc_id")
-      // family 2: duplicated-n-gram coverage, all orders in one explode;
-      // the per-(doc, n) interval-union fold of [[dupNgramCoverage]] with
-      // the order as a ROW VALUE instead of a literal
-      val winsD = base.select(col("doc_id"),
-          explode(array(dupThresholds.map { case (n, _) =>
-            val ps = when(size(col("t")) >= n,
-              sequence(lit(0), size(col("t")) - n))
-              .otherwise(array().cast("array<int>"))
-            struct(lit(n).as("n"),
-              transform(ps, p => struct(p.as("pos"),
-                concat_ws(" ", slice(col("t"), p + 1, lit(n)))
-                  .as("win"))).as("pw"))
-          }: _*)).as("e"))
-        .select(col("doc_id"), col("e.n").as("n"),
-          col("e.pw").as("pw"))
-        .select(col("doc_id"), col("n"), explode(col("pw")).as("pw"))
-        .select(col("doc_id"), col("n"), col("pw.pos").as("pos"),
-          col("pw.win").as("win"))
-      val dupPos = winsD
-        .withColumn("c", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window
-            .partitionBy("doc_id", "n", "win")))
-        .filter(col("c") >= 2)
-        .groupBy("doc_id", "n")
-        .agg(sort_array(collect_set(col("pos"))).as("ps"))
-      val covered = aggregate(col("ps"),
-        struct(lit(0).as("tot"), lit(Int.MinValue / 2).as("pe")),
-        (acc, p) => struct(
-          (acc.getField("tot") + col("n") -
-            greatest(acc.getField("pe") - p, lit(0))).as("tot"),
-          (p + col("n")).as("pe")),
-        acc => acc.getField("tot"))
-      val dupViol = dupPos
-        .join(sizes, "doc_id")
-        .filter(floor(covered * 1000 / greatest(col("n_tokens"), lit(1))) >
-          element_at(typedLit(dupThresholds.toMap), col("n")))
-        .select("doc_id")
-      base.select("doc_id")
-        .join(topViol.union(dupViol).distinct(), Seq("doc_id"),
-          "left_anti")
-        .localCheckpoint(eager = true)
-    } finally base.unpersist(blocking = true)
+    val nTok = greatest(size(col("t")), lit(1))
+    val topViol = topThresholds.map { case (n, thr) =>
+      floor(maxRunCount(sort_array(ngramsOf(col("t"), n))) *
+        lit(n) * 1000 / nTok) > lit(thr.toLong)
+    }.reduce(_ || _)
+    val dupViol = dupThresholds.map { case (n, thr) =>
+      floor(dupCoveredCount(col("t"), n) * 1000 / nTok) > lit(thr.toLong)
+    }.reduce(_ || _)
+    base.select(col("doc_id"),
+        explode_outer(when(!(topViol || dupViol), array(lit(1)))
+          .otherwise(array().cast("array<int>"))).as("__k"))
+      .filter(col("__k").isNotNull)
+      .select("doc_id")
   }
 
   /** Reference-corpus bigram table for the LM filters: (bigram, cnt) with

@@ -158,6 +158,39 @@ object DedupProps extends Properties("Dedup.ngramJaccard") {
         (got == want) :| s"got $got, want $want"
     }
 
+  /** r17: the MinKAgg bucket-cap + in-row pair explosion must reproduce
+    * the r16 rank-window + self-join pair set exactly, in both the plain
+    * and the home/probe variant (random co-bucket streams, small caps so
+    * the cap actually bites; ids unique per bucket by construction —
+    * the callers' invariant). */
+  property("candidatePairs (MinKAgg form) == window+self-join reference") =
+    Prop.forAll(
+        Gen.choose(1, 4), // bands
+        Gen.choose(1, 3), // distinct buckets per band
+        Gen.choose(1, 5), // maxBucket cap
+        Gen.choose(1, 12) // ids
+      ) { (bands, buckets, cap, nIds) =>
+      import spark.implicits._
+      val rows = for {
+        b <- 0 until bands
+        k <- 0 until buckets
+        id <- 0 until nIds
+        if (id * 31 + b * 7 + k * 13) % 3 != 0 // deterministic holes
+      } yield (id.toLong, b, k.toLong, (id + b + k) % 2)
+      val df = (if (rows.isEmpty) Seq((0L, 0, 0L, 0)) else rows)
+        .toDF("id", "band", "bucket", "p")
+      val gotPlain = Dedup.candidatePairs(df, cap)
+        .as[(Long, Long)].collect().toSet
+      val refPlain = Dedup.candidatePairsViaSelfJoin(df, cap)
+        .as[(Long, Long)].collect().toSet
+      val gotHp = Dedup.candidatePairsHomeProbe(df, cap)
+        .as[(Long, Long)].collect().toSet
+      val refHp = Dedup.candidatePairsHomeProbeViaSelfJoin(df, cap)
+        .as[(Long, Long)].collect().toSet
+      ((gotPlain == refPlain) :| s"plain: got $gotPlain want $refPlain") &&
+        ((gotHp == refHp) :| s"homeProbe: got $gotHp want $refHp")
+    }
+
   /** The r10 winnow-verify shave: the sorted-merge intersect count must
     * equal `size(array_intersect(...))` on sorted DISTINCT inputs, in
     * BOTH codegen (DataFrame eval) and interpreted (direct eval) modes. */

@@ -935,47 +935,63 @@ object Dedup {
     // q_knn_clusters) was evaluated twice inside this truncate. The
     // explode reads it once and emits both orientations per row;
     // `distinct()` is unchanged.
-    // Checkpointed PRE-PARTITIONED by dst (r17): the per-round neighbor
-    // join keys edges by dst, and localCheckpoint preserves the physical
-    // partitioning — the edge table (the big side at scale) is exchanged
-    // ONCE here instead of once per round.
     val edges = truncate(
       e0.select(explode(array(
           struct(col("src").as("src"), col("dst").as("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .distinct()
-        .repartition(col("dst"))) // reused every round
+        .distinct()) // reused every round
     var lbl = truncate(
       edges.groupBy("src").agg(min("dst").as("nmin"))
         .select(col("src").as("id"),
           least(col("src"), col("nmin")).as("lbl")))
+    val spark = pairs.sparkSession
     var changed = 1L
     while (changed > 0) {
-      // min over neighbors' labels (symmetric edges → every vertex listed)
-      val viaNeighbors = edges
-        .join(lbl.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
-        .groupBy("src").agg(min(col("dlbl")).as("nmin"))
-        .select(col("src").as("id"), col("nmin"))
-      val stepped = lbl.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), col("lbl").as("__old"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("l1"))
+      // ONE aggregate fuses the neighbor-min and the old self-label
+      // (r17): neighbor messages (id, candidate-label) union the label
+      // table's own rows tagged `self` — min(candidate) IS
+      // least(old, min over neighbors) and the single self row per id
+      // carries the round-start label out of the same exchange, where
+      // the r16 shape paid a separate left join (one more exchange per
+      // round) to combine them. Per-round plan: 4 exchanges total
+      // (messages, fused groupBy, and the two halving-lookup sides).
+      val viaMin = edges
+        .join(lbl.select(col("id").as("dst"), col("lbl").as("dlbl")),
+          "dst")
+        .select(col("src").as("id"), col("dlbl").as("cand"),
+          lit(false).as("self"))
+        .unionAll(lbl.select(col("id"), col("lbl").as("cand"),
+          lit(true).as("self")))
+        .groupBy("id")
+        .agg(min(col("cand")).as("l1"),
+          max(when(col("self"), col("cand"))).as("__old"))
       // path halving: follow the label's own label (labels are vertex ids
       // of the same component, so the lookup stays within the component).
-      // r17: the pre-step label rides along so convergence is read off
-      // the checkpointed frame itself — the r16 form re-joined `jumped`
-      // against `lbl` (one exchange per round) just to count changes.
-      // (Fusing two rounds per checkpoint and jumping through the
-      // current step instead of the checkpointed table were both tried
-      // and MEASURED SLOWER — duplicating the deep in-flight subtree
-      // costs more than the sync points it saves, even with
-      // ReuseExchange; see OPTIMIZATION_r17.md.)
-      val jumped = truncate(stepped
+      // (Fusing two rounds per checkpoint, jumping through the current
+      // step instead of the checkpointed table, and pre-partitioning the
+      // checkpoints by the join keys were ALL tried and MEASURED no
+      // faster or slower — localCheckpoint does not preserve
+      // partitioning under AQE, and duplicating the in-flight subtree
+      // costs more than the sync points it saves; see
+      // OPTIMIZATION_r17.md.)
+      val stepped = viaMin
         .join(lbl.select(col("id").as("l1"), col("lbl").as("ll")),
           Seq("l1"), "left")
         .select(col("id"), col("__old"),
-          least(col("l1"), coalesce(col("ll"), col("l1"))).as("lbl")))
-      changed = jumped.filter(col("lbl") =!= col("__old")).count()
+          least(col("l1"), coalesce(col("ll"), col("l1"))).as("lbl"))
+      // The convergence count rides the checkpoint materialization as a
+      // read-only row observer (r17): the r16 form paid one more Spark
+      // job per round just to count label changes. Task retries can only
+      // over-count, and a false non-zero merely runs one extra
+      // (idempotent) round — convergence stays exact.
+      val acc = sc.longAccumulator("graft.clusters.changed")
+      val (lblIdx, oldIdx) = (2, 1) // (id, __old, lbl)
+      val jumped = truncate(org.apache.spark.sql.graft.Bridge
+        .observedDataFrame(spark, stepped) { r =>
+          if (r.getLong(lblIdx) != r.getLong(oldIdx)) acc.add(1L)
+        })
+      changed = acc.value
       lbl = jumped.select(col("id"), col("lbl"))
     }
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

@@ -54,6 +54,22 @@ object Bridge {
       isStreaming = true)
   }
 
+  /** Re-mount `df` with a per-row OBSERVER run while the frame
+    * materializes — used by [[graft.pipeline.Dedup.clusters]] to fold
+    * its convergence count into the round's checkpoint pass instead of
+    * paying a separate job per iteration. The observer sees the
+    * UnsafeRow BEFORE any defensive copy (read-only peek; Dataset's own
+    * checkpoint path copies downstream). */
+  def observedDataFrame(spark: SparkSession, df: DataFrame)(
+      observe: org.apache.spark.sql.catalyst.InternalRow => Unit)
+      : DataFrame = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+      it.map { r => observe(r); r }
+    }
+    s.internalCreateDataFrame(rdd, df.schema, isStreaming = false)
+  }
+
   /** Exact save/restore of the SparkContext checkpoint dir (the public
     * `setCheckpointDir` nests a fresh UUID dir under its argument on every
     * call, so restoring through it would drift the location deeper; the

@@ -223,7 +223,81 @@ case class CentroidQueryDot(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: `M · x` — the dense mat-vec behind the
+  * OPQ rotation and the PCA projection. Replaces the
+  * `transform(typedLit(M), row => aggregate(zip_with(row, vec, _*_), 0d,
+  * _+_))` HOF form, which (a) embeds the dim×dim matrix as an ANALYZED
+  * ARRAY LITERAL per plan (4096 doubles at dim 64 — the cost class
+  * [[NearestCentroids]]/[[CentroidResidual]] were built to kill) and
+  * (b) evaluates interpreted with three lambda dispatches and a boxed
+  * accumulator per element. Here the matrix ships as ONE stage reference
+  * object and each output coordinate is a primitive fused loop.
+  *
+  * Arithmetic bit-identical to the HOF form: per output row,
+  * Σ (double) Mᵣᵢ · xᵢ accumulated left to right in a double (a float
+  * input element is widened exactly like zip_with's implicit cast).
+  * Null vector → null; vector elements are non-null by the callers'
+  * contract (embeddings), and vector length must equal the matrix row
+  * length (same contract the zip_with form required for a non-null
+  * result). Property-pinned equal to the HOF form in PipelineSpec. */
+case class MatVec(child: Expression, mat: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(mat.nonEmpty, "matrix must be non-empty")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "mat_vec"
+
+  @transient private lazy val m: Array[Array[Double]] =
+    mat.map(_.toArray).toArray
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any): Any =
+    CentroidOps.matVecAt(v.asInstanceOf[ArrayData], m, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val matRef = ctx.addReferenceObj("rotMat", m, "double[][]")
+      s"${ev.value} = graft.functions.CentroidOps.matVecAt(" +
+        s"$v, $matRef, $isFloat);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MatVec = copy(child = newChild)
+}
+
 object CentroidOps {
+
+  /** Shared kernel for [[MatVec]]: out(r) = Σᵢ mat(r)(i) · vᵢ, double
+    * accumulation left to right (float elements widened per element —
+    * zip_with's cast semantics). */
+  def matVecAt(v: ArrayData, mat: Array[Array[Double]],
+      isFloat: Boolean): ArrayData = {
+    val rows = mat.length
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      val row = mat(r)
+      var acc = 0.0d
+      var i = 0
+      val n = row.length
+      if (isFloat) {
+        while (i < n) { acc += row(i) * v.getFloat(i); i += 1 }
+      } else {
+        while (i < n) { acc += row(i) * v.getDouble(i); i += 1 }
+      }
+      out(r) = acc
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column builder: `M · vec` as array<double>. */
+  def matVec(vec: Column, mat: Seq[Seq[Double]]): Column =
+    Bridge.column(MatVec(Bridge.expression(vec), mat))
 
   /** Shared kernel: `v − mat(cl)` in FLOAT arithmetic (returns null on an
     * out-of-range cluster — the `element_at` contract of the HOF form it

@@ -651,9 +651,18 @@ object Similarity {
     }
   }
 
-  /** `R · x` as a codegen'd HOF over the ROTATION as a plan literal
-    * (dim×dim doubles — metadata-sized): one dot per output coordinate. */
+  /** `R · x` via the native [[graft.functions.MatVec]] kernel (r17): the
+    * rotation ships as ONE stage reference object instead of a dim²
+    * analyzed array literal per plan, and each coordinate is a primitive
+    * fused loop instead of three interpreted lambda dispatches per
+    * element — bit-identical arithmetic (property-pinned). The HOF form
+    * is kept below as the property-test reference. */
   private def rotateCol(vec: Column, rot: Seq[Seq[Double]]): Column =
+    graft.functions.CentroidOps.matVec(vec, rot)
+
+  /** r16 HOF form of [[rotateCol]], the property-test reference. */
+  private[graft] def rotateColViaHof(vec: Column,
+      rot: Seq[Seq[Double]]): Column =
     transform(typedLit(rot), row =>
       aggregate(zip_with(row, vec, (a, b) => a * b), lit(0.0d),
         (acc, x) => acc + x))

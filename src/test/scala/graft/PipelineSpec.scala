@@ -465,6 +465,46 @@ class PipelineSpec extends SparkSpec {
       "residual plan width must not grow with nlist")
   }
 
+  test("native mat-vec kernel == declarative HOF rotation form " +
+    "(float and double inputs); plan width constant in dim") {
+    // r17 optimization round: rotateCol (OPQ rotation, PCA projection)
+    // moved off the transform(typedLit(R), row => aggregate(zip_with))
+    // HOF form — dim² analyzed literal, interpreted per row — onto the
+    // MatVec kernel. Equality pins the arithmetic bit-for-bit on float
+    // inputs (the encode paths) and double inputs (pcaProject's
+    // centered vectors).
+    val rnd = new scala.util.Random(13)
+    def mkRot(dim: Int): Seq[Seq[Double]] =
+      Seq.fill(dim)(Seq.fill(dim)(rnd.nextGaussian()))
+    val rot = mkRot(64)
+    val c = embs.limit(200)
+      .select($"vec_id".cast("long").as("id"), $"embedding".as("v"))
+    val kF = c.select($"id",
+      graft.functions.CentroidOps.matVec($"v", rot).as("r"))
+    val eF = c.select($"id",
+      Similarity.rotateColViaHof($"v", rot).as("r"))
+    assert(kF.exceptAll(eF).isEmpty && eF.exceptAll(kF).isEmpty,
+      "mat-vec kernel diverged from HOF form on float input")
+    val cd = c.select($"id",
+      org.apache.spark.sql.functions.transform($"v",
+        x => x.cast("double") * 1.5).as("v"))
+    val kD = cd.select($"id",
+      graft.functions.CentroidOps.matVec($"v", rot).as("r"))
+    val eD = cd.select($"id",
+      Similarity.rotateColViaHof($"v", rot).as("r"))
+    assert(kD.exceptAll(eD).isEmpty && eD.exceptAll(kD).isEmpty,
+      "mat-vec kernel diverged from HOF form on double input")
+    // scale property: the rotation is one reference object, not dim²
+    // analyzed literals
+    def exprNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.expressions
+        .map(_.collect { case x => x }.size).sum
+    assert(
+      exprNodes(c.select(graft.functions.CentroidOps.matVec($"v", mkRot(8)))) ==
+        exprNodes(c.select(graft.functions.CentroidOps.matVec($"v", mkRot(128)))),
+      "mat-vec plan width must not grow with dim")
+  }
+
   test("native pq-lut / adc-dot kernels == declarative expression forms " +
     "(r17); lut plan width constant in ksub") {
     val books = Similarity.pqTrain(embs, $"vec_id", $"embedding",

@@ -2413,8 +2413,12 @@ object Dedup {
         .as("__ids"))
 
   /** In-row pair explosion of a capped, id-ASC bucket array: element i
-    * pairs with every LATER element — id_a < id_b by construction, the
-    * exact pair set of the self-join form. */
+    * pairs with every LATER element, then the id_a < id_b guard of the
+    * self-join form — NOT redundant with the ASC sort: a bucket can hold
+    * the SAME id twice (ingestDedup unions the incoming batch with the
+    * seen index, so a re-ingested doc co-buckets with its own index
+    * row), and the self-join's strict inequality never emitted that
+    * degenerate (id, id) pair. */
   private[graft] def pairsFromCapped(capped: DataFrame): DataFrame =
     capped
       .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "__a")))
@@ -2425,6 +2429,7 @@ object Dedup {
       .select(col("id_a"), col("p_a"),
         col("__b").getField("id").as("id_b"),
         col("__b").getField("p").as("p_b"))
+      .filter(col("id_a") < col("id_b"))
 
   /** Distinct co-bucketed id pairs (id_a < id_b). */
   private[graft] def candidatePairs(bucketed: DataFrame,

@@ -171,12 +171,16 @@ object DedupProps extends Properties("Dedup.ngramJaccard") {
         Gen.choose(1, 12) // ids
       ) { (bands, buckets, cap, nIds) =>
       import spark.implicits._
-      val rows = for {
+      val rows = (for {
         b <- 0 until bands
         k <- 0 until buckets
         id <- 0 until nIds
         if (id * 31 + b * 7 + k * 13) % 3 != 0 // deterministic holes
-      } yield (id.toLong, b, k.toLong, (id + b + k) % 2)
+      } yield (id.toLong, b, k.toLong, (id + b + k) % 2)) ++
+        // DUPLICATE id in one bucket (the ingestDedup re-ingest shape:
+        // batch copy + seen-index copy co-bucket) — the pair generator
+        // must never emit the degenerate (id, id) pair
+        Seq((0L, 0, 0L, 0), (0L, 0, 0L, 0))
       val df = (if (rows.isEmpty) Seq((0L, 0, 0L, 0)) else rows)
         .toDF("id", "band", "bucket", "p")
       val gotPlain = Dedup.candidatePairs(df, cap)

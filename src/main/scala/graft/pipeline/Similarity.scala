@@ -487,21 +487,27 @@ object Similarity {
     // WARM START (r10): a caller mid-alternation (OPQ) hands the previous
     // round's codebooks — Lloyd refines them instead of re-seeding and
     // re-converging from scratch. Cold start: deterministic seeded init,
-    // one subspace-distinct hash stream each, picked with ONE ranked
-    // window over all subspaces.
+    // one subspace-distinct hash stream each, picked with ONE bounded
+    // smallest-hash aggregate over all subspaces (r17: the rank-window
+    // form had exactly m rank partitions, funnelling the whole exploded
+    // sample through m reducers plus a sort just to keep ksub rows each;
+    // MinKVecAgg map-side-combines to ≤ ksub rows per mapper per
+    // subspace — same (hash ASC, id ASC) total order, bit-identical pick,
+    // pinned against the window form in PipelineSpec).
     init.foreach(b => require(b.size == m && b.forall(_.size == ksub),
       s"init codebooks shape ${b.map(_.size)} != ($m x $ksub)"))
-    val wInit = Window.partitionBy("s")
-      .orderBy(col("__h"), col("id")) // id tiebreak: total order
     var books: Seq[Seq[Seq[Float]]] = init.getOrElse {
       val picked = sub
         .withColumn("__h", xxhash64(col("id"), col("s") + lit(seed)))
-        .withColumn("__r", row_number().over(wInit))
-        .filter(col("__r") <= ksub)
-        .select("s", "__r", "sv").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
-      (0 until m).map(s => picked.filter(_._1 == s).sortBy(_._2).map(_._3)
-        .toSeq)
+        .groupBy(col("s"))
+        .agg(graft.functions.MinKVecAgg.minKVecs(
+          col("__h"), col("id"), col("sv"), ksub).as("pk"))
+        .select("s", "pk").collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[scala.collection.Seq[Float]](1).map(v =>
+            (if (v == null) null else v.toSeq): Seq[Float]))
+        .toMap
+      (0 until m).map(s => picked.getOrElse(s, Seq.empty).toSeq)
     }
     for (_ <- 0 until iters) {
       // nearest codebook entry per (row, subspace): the m codebooks ride

@@ -505,6 +505,34 @@ class PipelineSpec extends SparkSpec {
       "mat-vec plan width must not grow with dim")
   }
 
+  test("MinKVecAgg seeded-init pick == rank-window reference " +
+    "(key ties, short groups)") {
+    // r17 optimization round: pqTrainOn's cold-start codebook pick moved
+    // from `row_number() OVER (PARTITION BY s ORDER BY __h, id) <= ksub`
+    // (m rank partitions — the whole exploded sample funnels through m
+    // reducers plus a sort) onto the map-side-combined MinKVecAgg. Same
+    // (key ASC, id ASC) total order: forced key ties exercise the id
+    // tiebreak, a one-row group exercises the short-group path.
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (i % 5, i.toLong, (i * 2654435761L) % 7, Seq.fill(4)(rnd.nextFloat()))
+    } :+ ((5, 999L, 0L, Seq.fill(4)(rnd.nextFloat())))
+    val df = rows.toDF("s", "id", "h", "sv")
+    val k = 8
+    val agg = df.groupBy($"s")
+      .agg(graft.functions.MinKVecAgg.minKVecs($"h", $"id", $"sv", k)
+        .as("pk"))
+      .select($"s", posexplode($"pk"))
+      .toDF("s", "r0", "v")
+    val w = Window.partitionBy("s").orderBy($"h", $"id")
+    val ref = df.withColumn("__r", row_number().over(w))
+      .filter($"__r" <= k)
+      .select($"s", ($"__r" - 1).as("r0"), $"sv".as("v"))
+    assert(agg.exceptAll(ref).isEmpty && ref.exceptAll(agg).isEmpty,
+      "MinKVecAgg pick diverged from the rank-window reference")
+  }
+
   test("native pq-lut / adc-dot kernels == declarative expression forms " +
     "(r17); lut plan width constant in ksub") {
     val books = Similarity.pqTrain(embs, $"vec_id", $"embedding",

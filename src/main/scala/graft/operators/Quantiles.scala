@@ -74,157 +74,27 @@ object Quantiles {
       s"internal: non-finite band on non-fp column type $t")
   }
 
-  /** Histogram bucket index over bracket [lo, hi] — order-monotone in
-    * `vd` by construction. When hi − lo overflows to +Inf the halved form
-    * is used: x ↦ x/2 is monotone non-decreasing on doubles (equal in,
-    * equal out), so bucket indices stay monotone in vd and the
-    * contiguous-runs argument is untouched; hi/2 − lo/2 ≤ Double.MaxValue
-    * never overflows. */
-  private def bucketIdx(vd: Column, lo: Double, hi: Double,
-      buckets: Int): Column = {
-    val width = hi - lo
-    val raw =
-      if (java.lang.Double.isInfinite(width))
-        floor((vd / 2 - lit(lo / 2)) / lit(hi / 2 - lo / 2) * lit(buckets))
-      else floor((vd - lit(lo)) / lit(width) * lit(buckets))
-    least(raw.cast("int"), lit(buckets - 1))
-  }
-
   /** One row per requested probability: (p_permille, value), where value
     * is the exact discrete quantile of `value` over `df`'s non-null rows,
-    * in the column's own type. Empty input → empty result. */
+    * in the column's own type. Empty input → empty result.
+    *
+    * r18 (guide §2.4 — share one exchange per refinement round): the
+    * former single-column path ran one histogram JOB per (prob, bracket)
+    * per round — memoized only while the probs' brackets coincided — plus
+    * one exact-stage job per prob; after round 1 the brackets diverge and
+    * each round cost up to |probs| scans of the persisted base. The
+    * grouped engine ([[exactQuantilesBy]]) already advances EVERY active
+    * bracket in ONE aggregate job per round (broadcast bracket table,
+    * in-frame rank walk) and resolves all exact stages in one job, so the
+    * single-column operator delegates with a constant group: pass count
+    * becomes the deepest prob's ⌈log_B⌉ with exactly one base scan each.
+    * Rank contract, fp band routing and the bucket-index arithmetic are
+    * the shared implementation's — results identical (pinned against the
+    * sorted-take model in QuantilesProps). */
   def exactQuantiles(df: DataFrame, value: Column, probs: Seq[Double],
-      buckets: Int = 1024, maxExact: Int = 100000): DataFrame = {
-    requireProbs(probs, buckets)
-    val spark = df.sparkSession
-    // Every refinement round re-scans the projected column — persist the
-    // single-column frame for the call (memory-and-disk: at 100 TB the
-    // one column is the working set, and spilled blocks still beat
-    // re-reading the table per round).
-    val base = graft.util.ParallelScan.widen(df.select(value.as("__v")))
-      .filter(col("__v").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-    val valueType = base.schema("__v").dataType
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("p_permille",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("value", valueType)))
-    val vd = col("__v").cast("double")
-
-    // Stats pass: total n plus the exact −Inf / +Inf / NaN band counts
-    // and the FINITE extrema. Band answers never enter refinement, so
-    // every bracket below is finite.
-    val stats = base.agg(count(lit(1)).as("n"),
-      count(when(vd === lit(Double.NegativeInfinity), 1)).as("nneg"),
-      count(when(vd === lit(Double.PositiveInfinity), 1)).as("npos"),
-      count(when(isnan(vd), 1)).as("nnan"),
-      min(when(!isnan(vd) && vd > lit(Double.NegativeInfinity) &&
-        vd < lit(Double.PositiveInfinity), vd)).as("lo"),
-      max(when(!isnan(vd) && vd > lit(Double.NegativeInfinity) &&
-        vd < lit(Double.PositiveInfinity), vd)).as("hi")).collect()(0)
-    val n = stats.getLong(0)
-    if (n == 0L)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val (nNeg, nPos, nNan) = (stats.getLong(1), stats.getLong(2),
-      stats.getLong(3))
-    val nFin = n - nNeg - nPos - nNan
-    val (gLo, gHi) =
-      if (nFin == 0L) (0.0, 0.0)
-      else (stats.getDouble(4), stats.getDouble(5))
-    // Every prob's FIRST round histograms the identical global bracket —
-    // memoize per bracket so requesting many probs costs one shared
-    // first-round pass plus only the divergent refinements. Each bucket
-    // reports (count, min vd, max vd): the bucket index is MONOTONE in
-    // vd, so buckets are CONTIGUOUS runs of the sorted values — the rows
-    // with vd ∈ [bucket min, bucket max] are exactly that bucket's rows
-    // (equal doubles always share a bucket), making the data-derived
-    // bounds an EXACT sub-bracket with no fp edge to re-verify.
-    val histoCache = new java.util.concurrent.ConcurrentHashMap[
-      (Double, Double), Seq[(Int, Long, Double, Double)]]()
-    def histogram(lo: Double,
-        hi: Double): Seq[(Int, Long, Double, Double)] =
-      histoCache.computeIfAbsent((lo, hi), { _ =>
-        base.filter(vd >= lit(lo) && vd <= lit(hi))
-          .groupBy(bucketIdx(vd, lo, hi, buckets).as("__b"))
-          .agg(count(lit(1)).as("c"), min(vd).as("mn"), max(vd).as("mx"))
-          .collect()
-          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
-            r.getDouble(3)))
-          .sortBy(_._1).toSeq
-      })
-
-    def answerFor(p: Double): Any = {
-      val rank0 = math.max(1L, math.ceil(p * n).toLong)
-      // band routing — Spark's fp total order: −Inf, finite, +Inf, NaN
-      if (rank0 <= nNeg)
-        return fpConst(valueType, Double.NegativeInfinity)
-      if (rank0 > nNeg + nFin && rank0 <= nNeg + nFin + nPos)
-        return fpConst(valueType, Double.PositiveInfinity)
-      if (rank0 > nNeg + nFin + nPos)
-        return fpConst(valueType, Double.NaN)
-      var rank = rank0 - nNeg
-      var lo = gLo
-      var hi = gHi
-      var cnt = nFin
-      var progress = true
-      while (cnt > maxExact && lo < hi && progress) {
-        val histo = histogram(lo, hi)
-        // walk buckets in vd order to the one containing the target rank
-        var cum = 0L
-        var i = 0
-        while (i < histo.size - 1 && cum + histo(i)._2 < rank) {
-          cum += histo(i)._2; i += 1
-        }
-        val (_, bCnt, bMin, bMax) = histo(i)
-        progress = bMin > lo || bMax < hi
-        rank -= cum
-        cnt = bCnt
-        lo = bMin
-        hi = bMax
-      }
-      // Exact stage: aggregate per DISTINCT original value inside the
-      // bracket (collect is bounded by distinct values ≤ cnt ≤ maxExact;
-      // a tie-dominated no-progress bracket is ulp-wide, so its distinct
-      // count is tiny even when its row count is not) and walk to the
-      // rank-th smallest in original-type order. Finite bracket bounds
-      // exclude ±Inf and NaN rows by comparison semantics.
-      val grouped = base.filter(vd >= lit(lo) && vd <= lit(hi))
-        .groupBy(col("__v")).agg(count(lit(1)).as("c"))
-        .orderBy(col("__v").asc)
-        .collect()
-      var cum = 0L
-      var ans: Any = null
-      var j = 0
-      while (ans == null && j < grouped.length) {
-        cum += grouped(j).getLong(1)
-        if (cum >= rank) ans = grouped(j).get(0)
-        j += 1
-      }
-      require(ans != null,
-        s"internal: rank $rank not found in bracket [$lo, $hi]")
-      ans
-    }
-
-    // Prime the shared first round once, then refine every prob
-    // CONCURRENTLY — the scheduler interleaves the per-prob chains, so the
-    // wall clock is one chain's latency, not the sum (the jobs are
-    // metadata-sized; there is no contention to speak of).
-    if (nFin > maxExact && gLo < gHi) histogram(gLo, gHi)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val answers = Await.result(
-      Future.sequence(probs.map(p => Future((p, answerFor(p))))),
-      Duration.Inf)
-    val rows = answers.map { case (p, a) =>
-      org.apache.spark.sql.Row(math.round(p * 1000).toInt, a)
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
-    } finally base.unpersist()
-  }
+      buckets: Int = 1024, maxExact: Int = 100000): DataFrame =
+    exactQuantilesBy(df, lit(1), value, probs, buckets, maxExact)
+      .select(col("p_permille"), col("value"))
 
   /** Per-GROUP exact quantiles — the same rank contract, band routing,
     * and histogram-refinement shape as [[exactQuantiles]], with EVERY

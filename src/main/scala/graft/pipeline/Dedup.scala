@@ -327,11 +327,31 @@ object Dedup {
     // Absolute-mode skew cap: truncate each (block, fp) posting to its
     // dfCap smallest ids (deterministic; see winnowPairs scaladoc for the
     // documented recall trade) — a hot posting then yields ≤ cap² pairs.
+    // r18 (guide §2.2/§2.5): the rank window shipped a hot posting's FULL
+    // occupancy to one reducer just to keep its first `cap` ids; the
+    // bounded MinKAgg heap gets map-side combine — each mapper emits
+    // ≤ cap rows per (block, fp), so the exchange cost tracks the cap,
+    // not the posting (the capBuckets argument; same kept set — ids are
+    // unique per posting, pinned == the window form in DedupProps). The
+    // doc size rides as the heap's int payload (sz is a size(), so the
+    // int round-trip is lossless).
     dfCap.fold(prefix0) { cap =>
-      val wCap = Window.partitionBy("block", "fp").orderBy(col("id").asc)
-      prefix0.withColumn("__pn", row_number().over(wCap))
-        .filter(col("__pn") <= cap).drop("__pn")
+      prefix0.groupBy(col("block"), col("fp"))
+        .agg(graft.functions.MinKAgg.minK(col("id"), col("sz").cast("int"),
+          cap).as("__kept"))
+        .select(col("block"), col("fp"), explode(col("__kept")).as("__e"))
+        .select(col("__e.id").as("id"), col("block"), col("fp"),
+          col("__e.p").cast("long").as("sz"))
     }
+  }
+
+  /** REFERENCE form of [[winnowPrefix]]'s dfCap stage (the r17 rank
+    * window) — kept for the bit-identity pin in DedupProps. */
+  private[graft] def winnowPrefixCapViaWindow(prefix0: DataFrame,
+      cap: Int): DataFrame = {
+    val wCap = Window.partitionBy("block", "fp").orderBy(col("id").asc)
+    prefix0.withColumn("__pn", row_number().over(wCap))
+      .filter(col("__pn") <= cap).drop("__pn")
   }
 
   /** Candidate pairs from a (possibly pinned) [[winnowPrefix]] frame. */

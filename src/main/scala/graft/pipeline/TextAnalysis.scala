@@ -99,6 +99,23 @@ object TextAnalysis {
     * hash-matches. Documents shorter than `n` tokens are one whole-doc
     * gram (repetition 0) — the shingle convention. */
   def dupNgramPermille(text: Column, n: Int): Column = {
+    // r18: the gram build + array_distinct ran as interpreted HOF lambdas
+    // per row; the distinct count is now the native
+    // [[graft.functions.NgramDistinctShortTail]] kernel (same short-doc
+    // convention; pinned bit-identical against [[dupNgramPermilleHof]] in
+    // PipelineSpec). W = size(grams) of the HOF form = max(sz−n,0)+1 —
+    // null text folds to the single empty-string gram there, so W
+    // coalesces to 1 and the kernel reports 1 distinct (permille 0,
+    // exactly the HOF result).
+    val toks = tokens(text)
+    val w = coalesce(greatest(size(toks) - n, lit(0)) + lit(1), lit(1))
+    floor((w - graft.functions.NgramRepetition.distinctShortTail(toks, n)) *
+      lit(1000) / w).cast("long")
+  }
+
+  /** REFERENCE form of [[dupNgramPermille]] (the pure-`functions._` HOF
+    * chain) — kept for the bit-identity pin in PipelineSpec. */
+  private[graft] def dupNgramPermilleHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val grams = transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
@@ -201,8 +218,13 @@ object TextAnalysis {
   /** Occurrence count of the most frequent element of an ASC-sorted
     * string array (0 for empty): one fold tracking the current run —
     * equal elements are adjacent after the sort, so the max run length
-    * IS the max multiplicity. */
-  private def maxRunCount(sorted: Column): Column =
+    * IS the max multiplicity.
+    *
+    * r18: REFERENCE form only — the hot path is the native
+    * [[graft.functions.NgramMaxRun]] kernel (HOF lambdas evaluate
+    * interpreted per element; the kernel is one primitive loop per row).
+    * Kept for the bit-identity property pin in PipelineSpec. */
+  private[graft] def maxRunCountHof(sorted: Column): Column =
     aggregate(sorted,
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, g) => {
@@ -221,8 +243,13 @@ object TextAnalysis {
     * fold over the ASC positions as the r14 shuffle form (bit-identical
     * integer arithmetic). O(L log L) per doc — the unit of parallelism
     * is the document, exactly like the final per-doc fold the previous
-    * implementation already required. */
-  private def dupCoveredCount(t: Column, n: Int): Column = {
+    * implementation already required.
+    *
+    * r18: REFERENCE form only — the hot path is the native
+    * [[graft.functions.NgramDupCovered]] kernel (same grouping + the
+    * same interval-union fold in one primitive loop). Kept for the
+    * bit-identity property pin in PipelineSpec. */
+  private[graft] def dupCoveredCountHof(t: Column, n: Int): Column = {
     val posSeq = when(size(t) >= n, sequence(lit(0), size(t) - n))
       .otherwise(array().cast("array<int>"))
     val pw = transform(posSeq, p =>
@@ -276,19 +303,21 @@ object TextAnalysis {
     // r17 (optimization, guide §2.4 — remove shuffles outright): the
     // metric is per-document local, so the (doc, n, gram) count shuffle
     // + (doc, n) max + corpus re-join of the r14 form are gone — the max
-    // multiplicity is the longest run of the doc's SORTED gram array
-    // ([[maxRunCount]]), computed in-row; the whole operator is one
-    // map-side pass. The per-doc cost is O(L log L) (the explode input
-    // is CreateArray, so no size-filter is inferred that could push the
-    // gram work below the widening exchange). Output rows, types and
-    // integer arithmetic are bit-identical to the shuffle form
-    // (spec-pinned; oracle unchanged).
+    // multiplicity is the longest run of the doc's SORTED gram array,
+    // computed in-row; the whole operator is one map-side pass. The
+    // per-doc cost is O(L log L) (the explode input is CreateArray, so
+    // no size-filter is inferred that could push the gram work below
+    // the widening exchange). Output rows, types and integer arithmetic
+    // are bit-identical to the shuffle form (spec-pinned; oracle
+    // unchanged). r18: the fold is the native
+    // [[graft.functions.NgramMaxRun]] kernel (was the interpreted
+    // [[maxRunCountHof]] HOF — pinned bit-identical in PipelineSpec).
     val base = graft.util.ParallelScan.widen(
       df.select(id.cast("long").as("doc_id"), tokens(text).as("t")))
     base.select(col("doc_id"),
         explode(array(orders.map(n =>
           struct(lit(n).as("n"), size(col("t")).as("n_tokens"),
-            maxRunCount(sort_array(ngramsOf(col("t"), n)))
+            graft.functions.NgramRepetition.maxRun(col("t"), n)
               .as("top_cnt"))): _*)).as("e"))
       .select(col("doc_id"), col("e.n").as("n"),
         col("e.n_tokens").as("n_tokens"), col("e.top_cnt").as("top_cnt"),
@@ -297,8 +326,8 @@ object TextAnalysis {
   }
 
   /** [[ngrams]] over an already-tokenized array (the per-order gram
-    * arrays the in-row repetition metrics fold over). */
-  private def ngramsOf(t: Column, n: Int): Column =
+    * arrays the in-row repetition reference forms fold over). */
+  private[graft] def ngramsOf(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
@@ -323,14 +352,18 @@ object TextAnalysis {
     // r17 (optimization, guide §2.4): per-document-local metric → the
     // exploded (doc, pos, win) shuffle, the count-over-window sort and
     // the per-doc regroup + corpus re-join are all gone; duplicated
-    // positions and the interval-union fold compute in-row
-    // ([[dupCoveredCount]] — identical integer fold, spec-pinned). The
-    // operator is one map-side pass over the token base.
+    // positions and the interval-union fold compute in-row (identical
+    // integer fold, spec-pinned). The operator is one map-side pass
+    // over the token base. r18: the fold is the native
+    // [[graft.functions.NgramDupCovered]] kernel (was the interpreted
+    // [[dupCoveredCountHof]] HOF — pinned bit-identical in
+    // PipelineSpec).
     val base = graft.util.ParallelScan.widen(
       df.select(id.cast("long").as("doc_id"), tokens(text).as("t")))
     base.select(col("doc_id"),
         explode(array(struct(size(col("t")).as("n_tokens"),
-          dupCoveredCount(col("t"), n).as("covered")))).as("e"))
+          graft.functions.NgramRepetition.dupCovered(col("t"), n)
+            .as("covered")))).as("e"))
       .select(col("doc_id"), col("e.n_tokens").as("n_tokens"),
         col("e.covered").cast("long").as("covered_tokens"),
         floor(col("e.covered") * 1000 /
@@ -375,15 +408,20 @@ object TextAnalysis {
     // exchange (the repo-wide explode_outer convention), and the token
     // array is referenced only through one generator input, so no
     // optimizer rule can re-inline the tokenization per reference.
+    // r18: both folds are the native kernels (NgramMaxRun /
+    // NgramDupCovered); the permille arithmetic around them is
+    // unchanged, so the keep predicate is bit-identical by the kernels'
+    // property pins.
     val base = graft.util.ParallelScan.widen(
       df.select(id.cast("long").as("doc_id"), tokens(text).as("t")))
     val nTok = greatest(size(col("t")), lit(1))
     val topViol = topThresholds.map { case (n, thr) =>
-      floor(maxRunCount(sort_array(ngramsOf(col("t"), n))) *
+      floor(graft.functions.NgramRepetition.maxRun(col("t"), n) *
         lit(n) * 1000 / nTok) > lit(thr.toLong)
     }.reduce(_ || _)
     val dupViol = dupThresholds.map { case (n, thr) =>
-      floor(dupCoveredCount(col("t"), n) * 1000 / nTok) > lit(thr.toLong)
+      floor(graft.functions.NgramRepetition.dupCovered(col("t"), n) * 1000 /
+        nTok) > lit(thr.toLong)
     }.reduce(_ || _)
     base.select(col("doc_id"),
         explode_outer(when(!(topViol || dupViol), array(lit(1)))

@@ -127,6 +127,28 @@ object DedupProps extends Properties("Dedup.ngramJaccard") {
           s"cap >= corpus size must be lossless: $inactive vs $lossless")
     }
 
+  /** r18: the dfCap posting truncation moved from a rank window to the
+    * bounded MinKAgg heap aggregate — the kept (id, block, fp, sz) rows
+    * must be IDENTICAL to the window form (ids unique per posting, so
+    * the smallest-cap set is deterministic in both). */
+  property("winnow dfCap: MinKAgg posting cap == rank-window form") =
+    Prop.forAll(Gen.listOfN(8, genWinnowDoc), Gen.choose(1, 6),
+        Gen.choose(2, 4)) { (docs, minShared, cap) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val base = Dedup.winnowBase(df, col("doc_id"), col("text"),
+          blocking = lit(1), k = 5, w = 8)
+        .filter(size(col("fps")) >= minShared)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("id"), col("block").cast("long"), col("fp"), col("sz"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+      val agg = rows(Dedup.winnowPrefix(base, minShared, None, Some(cap)))
+      val win = rows(Dedup.winnowPrefixCapViaWindow(
+        Dedup.winnowPrefix(base, minShared, None, None), cap))
+      (agg == win) :| s"aggregate cap $agg != window cap $win"
+    }
+
   /** Transitive clusters must equal an in-memory union-find over the same
     * random edge set — chains, cycles, self-loops, duplicate edges and
     * multi-component graphs all land on smallest-reachable-id labels. */

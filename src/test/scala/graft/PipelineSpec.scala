@@ -1107,6 +1107,40 @@ class PipelineSpec extends SparkSpec {
     assert(topOnly == Set(1L, 2L), s"topOnly $topOnly")
   }
 
+  test("ngram repetition native kernels == HOF reference forms " +
+      "bit-identically (r18 pins: NgramMaxRun / NgramDupCovered)") {
+    // Random docs over a small vocab (dense repetition), plus the
+    // degenerate shapes: empty text (one empty token), single token,
+    // self-concatenated doc, null text (both forms must score 0).
+    val rnd = new scala.util.Random(18)
+    val vocab = Vector("a", "b", "c", "dd", "eee", "w1", "w2", "zz")
+    val rep = "p q r p q r p q r"
+    val docs = (1L to 200L).map { i =>
+      val len = rnd.nextInt(40)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((201L, ""), (202L, "x"), (203L, rep),
+      (204L, null.asInstanceOf[String]))
+    val raw = docs.toDF("doc_id", "text")
+    val df = raw.select($"doc_id", $"text",
+      TextAnalysis.tokens($"text").as("t"))
+    for (n <- Seq(1, 2, 3, 5, 10)) {
+      val cmp = df.select(
+        graft.functions.NgramRepetition.maxRun($"t", n).as("nat_run"),
+        TextAnalysis.maxRunCountHof(
+          sort_array(TextAnalysis.ngramsOf($"t", n))).as("hof_run"),
+        graft.functions.NgramRepetition.dupCovered($"t", n).as("nat_cov"),
+        TextAnalysis.dupCoveredCountHof($"t", n).as("hof_cov"),
+        TextAnalysis.dupNgramPermille($"text", n).as("nat_dup"),
+        TextAnalysis.dupNgramPermilleHof($"text", n).as("hof_dup"))
+      assert(cmp.filter($"nat_run" =!= $"hof_run" ||
+        $"nat_cov" =!= $"hof_cov" ||
+        $"nat_dup" =!= $"hof_dup" ||
+        $"hof_run".isNull || $"hof_cov".isNull ||
+        $"nat_dup".isNull =!= $"hof_dup".isNull).isEmpty,
+        s"kernel diverged from HOF reference at n=$n")
+    }
+  }
+
   test("bigramCoverage: full / zero / single-token docs score " +
       "1000 / 0 / 0 permille") {
     val ref = Seq((100L, "a b c")).toDF("id", "txt")

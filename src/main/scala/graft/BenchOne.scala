@@ -35,11 +35,27 @@ object BenchOne {
         sys.error(s"unknown query $name; known: ${byName.keys.toSeq.sorted.take(5).mkString(",")}..."))
       planDir.foreach { dir =>
         new java.io.File(dir).mkdirs()
-        val plan = fn(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$dir/$name.txt"),
-          plan.getBytes("UTF-8"))
+        // r18: scoped operators checkpoint internally, so the returned
+        // frame's explain shows a Scan ExistingRDD stub — install the
+        // PlanProbe sink so each INNER (pre-checkpoint) frame's plan is
+        // captured too, as <query>__inner<i>_<label>.txt (capped; label
+        // repeats index for iterative operators). Uninstalled before any
+        // timing below.
+        val innerN = new java.util.concurrent.atomic.AtomicInteger(0)
+        graft.util.PlanProbe.install { (label, plan) =>
+          val i = innerN.incrementAndGet()
+          if (i <= 12)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$dir/${name}__inner${i}_$label.txt"),
+              plan.getBytes("UTF-8"))
+        }
+        try {
+          val plan = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/$name.txt"),
+            plan.getBytes("UTF-8"))
+        } finally graft.util.PlanProbe.uninstall()
       }
       spark.sparkContext.setJobDescription(s"warmup: $name")
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -82,7 +82,8 @@ object SoakCheck {
       wallSec: Double, planMs: Long, jobs: Int, stages: Int,
       maxTaskInputMB: Long, maxTaskShuffleMB: Long,
       totalShuffleWriteMB: Long, maxTaskShuffleRecords: Long,
-      maxTaskDurationMs: Long) {
+      maxTaskDurationMs: Long,
+      metaListings: Long = 0L, metaOpens: Long = 0L) {
     def json: String =
       s"""{"rows_out":$rowsOut,"wall_sec":$wallSec,"plan_ms":$planMs,""" +
         s""""jobs":$jobs,"stages":$stages,""" +
@@ -90,7 +91,8 @@ object SoakCheck {
         s""""max_task_shuffle_mb":$maxTaskShuffleMB,""" +
         s""""total_shuffle_write_mb":$totalShuffleWriteMB,""" +
         s""""max_task_shuffle_records":$maxTaskShuffleRecords,""" +
-        s""""max_task_duration_ms":$maxTaskDurationMs}"""
+        s""""max_task_duration_ms":$maxTaskDurationMs,""" +
+        s""""meta_listings":$metaListings,"meta_opens":$metaOpens}"""
   }
 
   /** Run `df`'s planning, then `action` under a fresh listener. */
@@ -99,6 +101,11 @@ object SoakCheck {
     val m = new Metrics
     spark.sparkContext.addSparkListener(m)
     try {
+      // r18: driver metadata-read accounting (timeline listings + commit
+      // file opens) rides each path as a SOAK column — the per-query
+      // planning-floor evidence for the shared-Timeline trimming.
+      val l0 = graft.format.Timeline.hoodieListings.get()
+      val o0 = graft.format.Timeline.commitFileOpens.get()
       val t0 = System.nanoTime()
       val df = plan()
       df.queryExecution.executedPlan // force resolve+optimize+planning
@@ -124,7 +131,9 @@ object SoakCheck {
       PathResult(name, rows, (t2 - t0) / 1e9, (t1 - t0) / 1000000L,
         m.jobs, m.stages, m.maxTaskInput >> 20, m.maxTaskShuffleRead >> 20,
         m.totalShuffleWrite >> 20, m.maxTaskShuffleRecords,
-        m.maxTaskDurationMs)
+        m.maxTaskDurationMs,
+        metaListings = graft.format.Timeline.hoodieListings.get() - l0,
+        metaOpens = graft.format.Timeline.commitFileOpens.get() - o0)
     } finally spark.sparkContext.removeSparkListener(m)
   }
 
@@ -795,6 +804,56 @@ object SoakCheck {
         s"vs the $hotOcc-record hot key — the top-N split must keep " +
         "hot occurrences out of the shuffle join")
 
+    // ---- path 9g: GIANT-DOCUMENT in-row text metrics (r18) -------------
+    // The in-row gopher rewrite (r17) made the DOCUMENT the unit of
+    // parallelism; r18's native kernels bound the per-doc cost at
+    // O(orders · L log L), but ONE pathological 10⁶-token doc still runs
+    // its nine per-order kernels in ONE task — the documented trade this
+    // twin pins with numbers instead of an assumption. Twin shape: the
+    // same 20k-doc corpus with and without the planted giant; the giant
+    // run's max task must EXHIBIT the concentration (≥ 2 s — proves the
+    // gate watches the right task) and stay BOUNDED (≤ 60 s on a ~9 s
+    // measured cost — the length-filter headroom), while the keep
+    // verdicts stay exact: hash-distinct giant tokens are kept, planted
+    // period-3 repetition is dropped.
+    val GiantL = 1000000L
+    val GopherN = 20000L
+    val gopherCorpus = spark.range(0, GopherN, 1, 32).select(col("id"),
+      when(pmod(col("id"), lit(7)) === 0,
+        concat_ws(" ", (0 until 30).map(i =>
+          concat(lit(s"g${i % 3}_"), pmod(col("id"), lit(97)))): _*))
+        .otherwise(concat_ws(" ",
+          (0 until 30).map(i => concat(lit(s"g${i}_"), col("id"))): _*))
+        .as("text"))
+    val giantDoc = spark.range(0, 1, 1, 1).select(lit(GopherN).as("id"),
+      array_join(transform(sequence(lit(0L), lit(GiantL - 1)),
+        i => conv(pmod(xxhash64(i), lit(99991L)), 10, 36)), " ")
+        .as("text"))
+      .localCheckpoint(true) // generation cost stays out of the twin
+    val keptNormal = GopherN - ((GopherN - 1) / 7 + 1) // id % 7 == 0 drop
+    def runGopher(name: String, df: org.apache.spark.sql.DataFrame)
+        : PathResult =
+      measure(spark, name)(() =>
+        pipeline.TextAnalysis.gopherKeep(df, col("id"), col("text"))
+      )(_.count())
+    val gopherNorm = runGopher("gopher_giant_baseline", gopherCorpus)
+    val gopherGiant = runGopher("gopher_giant",
+      gopherCorpus.unionByName(giantDoc))
+    require(gopherNorm.rowsOut == keptNormal,
+      s"gopher_giant_baseline kept ${gopherNorm.rowsOut}, " +
+        s"expected $keptNormal")
+    require(gopherGiant.rowsOut == keptNormal + 1,
+      s"gopher_giant kept ${gopherGiant.rowsOut}, expected " +
+        s"${keptNormal + 1} (hash-distinct giant doc must be KEPT)")
+    require(gopherGiant.maxTaskDurationMs >= 2000,
+      s"gopher_giant max task ${gopherGiant.maxTaskDurationMs} ms — " +
+        "expected the 10⁶-token doc's kernels concentrated in one task " +
+        "(did a plan change spread it? re-point this gate)")
+    require(gopherGiant.maxTaskDurationMs <= 60000,
+      s"gopher_giant max task ${gopherGiant.maxTaskDurationMs} ms — the " +
+        "per-doc kernel cost must stay bounded (measured ~9 s at this " +
+        "shape); a regression here re-opens the giant-doc tail")
+
     // ---- path 10: kNN join at 20× vectors (r12) ------------------------
     // 40k synthetic 64-dim vectors, IVF cell join at nlist 64 / nprobe 4:
     // the whole-corpus-query shape — no broadcast side anywhere; per-task
@@ -987,8 +1046,8 @@ object SoakCheck {
     val all = Seq(dv, mor, morPart, dd, metaAgg, stream, bmAgg, idxBuild,
       search, wand, incIng, incSearch, sem, semTail, dvw, sub, subInc,
       subTail, seg, segInc, segTail, segDel, skewOff, skewOn, subOff,
-      subOn, knn, knnPq, calib, knnSkewOff, knnSkewOn, annBuild, annInc,
-      annDel)
+      subOn, gopherNorm, gopherGiant, knn, knnPq, calib, knnSkewOff,
+      knnSkewOn, annBuild, annInc, annDel)
     all.foreach(r => require(r.maxTaskInputMB < 2048,
       s"${r.name}: a task read ${r.maxTaskInputMB} MB (>2 GiB gate)"))
     all.foreach(r => require(r.maxTaskShuffleMB < 2048,

@@ -36,12 +36,20 @@ import org.apache.spark.sql.functions._
   * side (Parquet column pruning), and shuffles at most the touched groups'
   * rows. Parallelism comes from Parquet splits, not 1-task-per-file-pair.
   */
-final class DeleteView(spark: SparkSession, basePath: String, ts: String) {
+final class DeleteView private[graft] (spark: SparkSession,
+    basePath: String, ts: String, sharedTimeline: Option[Timeline]) {
+
+  def this(spark: SparkSession, basePath: String, ts: String) =
+    this(spark, basePath, ts, None)
 
   private val conf = spark.sessionState.newHadoopConf()
   private val base = new Path(basePath)
   private val fs = base.getFileSystem(conf)
-  private val timeline = Timeline(conf, basePath)
+  // r18 (metadata-read trimming): a caller already holding a Timeline for
+  // this table (ChangeFeed iterates one per-commit DeleteView per deleting
+  // commit) hands it over — the per-view re-list + re-parse of the whole
+  // timeline disappears; standalone construction keeps the fresh handle.
+  private val timeline = sharedTimeline.getOrElse(Timeline(conf, basePath))
 
   // Instant resolution: completed instant with timestamp == ts must exist
   // (ref: DeleteView.java:51-56 — Optional.get throws on absence).
@@ -181,4 +189,11 @@ final class DeleteView(spark: SparkSession, basePath: String, ts: String) {
 object DeleteView {
   def apply(spark: SparkSession, basePath: String, ts: String): DeleteView =
     new DeleteView(spark, basePath, ts)
+
+  /** Construction with a caller-shared [[Timeline]] (one listing + one
+    * metadata parse per commit for the WHOLE calling operation — see the
+    * class note). */
+  private[graft] def apply(spark: SparkSession, basePath: String,
+      ts: String, tl: Timeline): DeleteView =
+    new DeleteView(spark, basePath, ts, Some(tl))
 }

@@ -64,6 +64,7 @@ final class Timeline(val fs: FileSystem, val basePath: Path,
   def refresh(): Unit = { instantsMemo = None; archiveMemo = None }
 
   private def listInstants(): Seq[Instant] = {
+    Timeline.hoodieListings.incrementAndGet()
     if (!Timeline.retryOnce(fs.exists(hoodieDir))) return Seq.empty
     val active = Timeline.retryOnce(fs.listStatus(hoodieDir)).toSeq
       .map(_.getPath.getName)
@@ -130,6 +131,7 @@ final class Timeline(val fs: FileSystem, val basePath: Path,
           s"no completed instant at ts=$ts under $hoodieDir"))
       if (!activeTsMemo.contains(ts)) archived()(ts)._2
       else {
+        Timeline.commitFileOpens.incrementAndGet()
         val p = new Path(hoodieDir, ts + suffixOf(i.action))
         Timeline.retryOnce {
           val in = fs.open(p)
@@ -651,6 +653,13 @@ final class Timeline(val fs: FileSystem, val basePath: Path,
 }
 
 object Timeline {
+  /** Observability counters (SOAK metadata-read accounting, r18):
+    * cumulative `.hoodie` directory listings and commit-file opens across
+    * every Timeline instance in this JVM. Measurement only — never read
+    * by planning code. */
+  val hoodieListings = new java.util.concurrent.atomic.AtomicLong
+  val commitFileOpens = new java.util.concurrent.atomic.AtomicLong
+
   val MetaDir = ".hoodie"
   val CommitSuffix = ".commit"
   val DeltaCommitSuffix = ".deltacommit"

@@ -56,7 +56,23 @@ case class MinKVecAgg(
       val v = vec.eval(input)
       val arr =
         if (v == null) null
-        else v.asInstanceOf[ArrayData].toFloatArray()
+        else {
+          val ad = v.asInstanceOf[ArrayData]
+          // Null-element check (r18, advisory): toFloatArray() NPEs on a
+          // GenericArrayData null slot and silently reads 0.0 from an
+          // UnsafeArrayData one, while the output type declares
+          // containsNull = false — reject loudly instead (the callers'
+          // embedding contract forbids null elements).
+          var j = 0
+          val n = ad.numElements()
+          while (j < n) {
+            if (ad.isNullAt(j)) throw new IllegalArgumentException(
+              s"$prettyName: vec contains a null element at index $j " +
+                "(embedding arrays must be null-free)")
+            j += 1
+          }
+          ad.toFloatArray()
+        }
       buf.offer(h.asInstanceOf[Long], i.asInstanceOf[Long], arr)
     }
     buf

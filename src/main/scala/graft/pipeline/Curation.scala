@@ -201,9 +201,12 @@ object Curation {
     // the per-row-unique worst case (timestamps) materializes two longs
     // per corpus row, orders of magnitude under the two corpus-wide
     // text-scoring passes it replaces.
-    val hist0 = df.select(s.as("__s"))
-      .groupBy("__s").agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
+    val hist0 = {
+      val inner = df.select(s.as("__s"))
+        .groupBy("__s").agg(count(lit(1)).as("__c"))
+      graft.util.PlanProbe.record("quality-hist", inner) // r18 plan audit
+      inner.localCheckpoint(true)
+    }
     val probs = (1 until histPartitions)
       .map(i => lit(i.toDouble / histPartitions))
     // n over ALL rows (null scores included — they count toward the

@@ -943,9 +943,11 @@ object Dedup {
     val sc = pairs.sparkSession.sparkContext
     val callerDir = org.apache.spark.sql.graft.Bridge.rawCheckpointDir(sc)
     checkpointDir.foreach(sc.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
+    def truncate(df: DataFrame): DataFrame = {
+      graft.util.PlanProbe.record("clusters-round", df) // r18 plan audit
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
+    }
     try {
     val e0 = pairs.select(idA.cast("long").as("src"),
       idB.cast("long").as("dst"))
@@ -1144,7 +1146,9 @@ object Dedup {
           .select("doc_id", "pos")
           .groupBy("doc_id")
           .agg(sort_array(collect_set(col("pos"))).as("mpos"))
-        dropCoveredTokens(toks, marked, w).localCheckpoint(eager = true)
+        val out = dropCoveredTokens(toks, marked, w)
+        graft.util.PlanProbe.record("substr-drop", out) // r18 plan audit
+        out.localCheckpoint(eager = true)
       } finally (Seq(toks) ++ inner).foreach(_.unpersist(blocking = true))
     }
   }
@@ -1596,7 +1600,14 @@ object Dedup {
     if (!materialize) body
     else {
       intermediates.foreach(_.persist())
-      try body.localCheckpoint(eager = true)
+      try {
+        val inner = body
+        // r18 plan-audit hook: the checkpoint hides the operator's real
+        // subtree from the returned frame's explain — capture it here
+        // when a dump sink is active (no-op otherwise)
+        graft.util.PlanProbe.record("scoped", inner)
+        inner.localCheckpoint(eager = true)
+      }
       finally intermediates.foreach(_.unpersist(blocking = true))
     }
 

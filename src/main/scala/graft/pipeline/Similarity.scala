@@ -497,7 +497,13 @@ object Similarity {
     init.foreach(b => require(b.size == m && b.forall(_.size == ksub),
       s"init codebooks shape ${b.map(_.size)} != ($m x $ksub)"))
     var books: Seq[Seq[Seq[Float]]] = init.getOrElse {
+      // Null-id guard (r18, advisory): xxhash64 stays non-null for a null
+      // id child, so the OLD window form could rank a null-id row while
+      // the aggregate skips it. Ids are never null by the callers'
+      // contract; the explicit filter makes the skip semantics identical
+      // either way instead of leaving the divergence latent.
       val picked = sub
+        .filter(col("id").isNotNull)
         .withColumn("__h", xxhash64(col("id"), col("s") + lit(seed)))
         .groupBy(col("s"))
         .agg(graft.functions.MinKVecAgg.minKVecs(
@@ -2195,6 +2201,7 @@ object Similarity {
         }
       // materialize before releasing the cache — the caller's action
       // would otherwise re-run assignment + coding per consumer
+      graft.util.PlanProbe.record("knnJoinPq", out)
       out.localCheckpoint(true)
     } finally coded.unpersist(blocking = false)
   }

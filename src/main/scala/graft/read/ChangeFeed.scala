@@ -75,7 +75,10 @@ object ChangeFeed {
         val prevTs = instants.takeWhile(_.ts < i.ts).lastOption.map(_.ts)
         val deletes =
           if (meta.totalRecordsDeleted > 0)
-            Seq(DeleteView(spark, basePath, i.ts).toDF()
+            // r18: share THIS read's Timeline — each per-commit delete
+            // view otherwise re-listed .hoodie and re-parsed every commit
+            // file (O(#commits) metadata reads per deleting commit)
+            Seq(DeleteView(spark, basePath, i.ts, tl).toDF()
               .withColumn(ChangeType, lit("delete")))
           else Seq.empty
         deletes ++ written(spark, basePath, tl, i, prevTs, preImages).toSeq

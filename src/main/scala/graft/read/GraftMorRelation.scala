@@ -77,7 +77,8 @@ final class GraftMorRelation(
     basePath: String,
     asOf: Option[String],
     override val schema: StructType,
-    presetPartitions: Seq[String] = Seq.empty) extends GraftFilteredScan {
+    presetPartitions: Seq[String] = Seq.empty,
+    initialTimeline: Option[Timeline] = None) extends GraftFilteredScan {
 
   /** Absolute data-file paths the last `buildScan` planned (base + delta) —
     * observability/test hook for the metadata-pruning contract; the V1 RDD
@@ -85,7 +86,13 @@ final class GraftMorRelation(
   @volatile private[graft] var lastPlannedFiles: Seq[String] = Seq.empty
 
   override protected def planScan(filters: Array[Filter]): DataFrame = {
-    val timeline = Timeline(session.sessionState.newHadoopConf(), basePath)
+    // r18 (metadata-read trimming): a TIME-TRAVEL scan (asOf pinned) may
+    // reuse the constructor-time Timeline forever — commits are immutable
+    // and archival is transparent, so the slices/schema/stats of a
+    // snapshot ≤ asOf can never change. Latest-state scans keep a fresh
+    // handle per scan (a reused df must see commits landed since).
+    val timeline = initialTimeline.filter(_ => asOf.isDefined)
+      .getOrElse(Timeline(session.sessionState.newHadoopConf(), basePath))
     val all = timeline.latestSlices(asOf).values.toSeq
       // the engine API's explicit `partitions` parameter, pre-applied
       .filter(s => presetPartitions.isEmpty ||

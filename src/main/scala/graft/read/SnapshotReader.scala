@@ -115,7 +115,8 @@ object SnapshotReader {
         org.apache.spark.sql.graft.Bridge.ofRows(spark,
           org.apache.spark.sql.execution.datasources.LogicalRelation(
             new GraftMorRelation(spark, basePath, asOf,
-              tableSchemaFromJson(sj), presetPartitions = partitions)))
+              tableSchemaFromJson(sj), presetPartitions = partitions,
+              initialTimeline = Some(timeline))))
       case None => // delta-free (or legacy pre-schema table): direct plan
         merge(spark, basePath, slices, Some(timeline), asOf)
     }

@@ -187,7 +187,8 @@ final class GraftSourceProvider extends StreamSourceProvider
       val schema = StructType(
         resolved.filterNot(_.name == graft.format.MetaCols.PartitionPath) ++
           resolved.filter(_.name == graft.format.MetaCols.PartitionPath))
-      new graft.read.GraftMorRelation(spark, basePath, asOf, schema)
+      new graft.read.GraftMorRelation(spark, basePath, asOf, schema,
+        initialTimeline = Some(timeline))
     }
   }
 
